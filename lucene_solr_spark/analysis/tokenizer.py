@@ -1,0 +1,92 @@
+"""StandardAnalyzer-equivalent analysis chain, shared by engine and oracle.
+
+Reference semantics (behavior only; implementation is regex/numpy, not a DFA
+port):
+  - StandardTokenizer: UAX#29 word-break subset sufficient for source code /
+    ASCII-dominant text. ALPHANUM runs (unicode \\w incl. '_' as ExtendNumLet
+    joiner), mid-token [.'] between alphanumerics (MidNumLet / Single_Quote,
+    WB6/WB7), ',' between digits (MidNum, WB11/WB12).
+    lucene/analysis/common/.../standard/StandardTokenizerImpl.jflex:125-163
+  - maxTokenLength 255: longer tokens are dropped (never emitted), so they do
+    not count toward field length.  StandardAnalyzer.java:39,
+    StandardTokenizer.java:173-176.
+  - StandardFilter: no-op in this version.
+  - LowerCaseFilter: per-codepoint Character.toLowerCase(int);
+    U+0130 'İ' maps to a single 'i' (Python str.lower would expand to 2 cp).
+  - StopFilter: the 33-word English set, StopAnalyzer.java:42-48; removed
+    tokens do not count toward field length (norms).
+
+field_len (for norms) == number of tokens emitted after the full chain,
+matching FieldInvertState.length with discountOverlaps (no overlaps here).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+
+# UAX#29 subset: \w run, optionally extended by [.']\w+ (letter/digit context
+# approximation of MidNumLet+SQ) or ,digits when preceded by a digit (MidNum).
+TOKEN_RE = re.compile(r"\w+(?:[.']\w+|(?<=\d),\d+)*", re.UNICODE)
+
+# Tokens must contain at least one letter/digit (a pure '_'/joiner run is not
+# an ALPHANUM/NUM segment and is never emitted by StandardTokenizer).
+_HAS_ALNUM_RE = re.compile(r"[^\W_]", re.UNICODE)
+
+MAX_TOKEN_LENGTH = 255
+
+# StopAnalyzer.ENGLISH_STOP_WORDS_SET (StopAnalyzer.java:42-48)
+ENGLISH_STOP_WORDS = frozenset(
+    [
+        "a", "an", "and", "are", "as", "at", "be", "but", "by",
+        "for", "if", "in", "into", "is", "it",
+        "no", "not", "of", "on", "or", "such",
+        "that", "the", "their", "then", "there", "these",
+        "they", "this", "to", "was", "will", "with",
+    ]
+)
+
+
+def _java_lower(text: str) -> str:
+    """Per-codepoint lowercase matching Java Character.toLowerCase(int) on the
+    cases where Python's str.lower() diverges (dotted capital I expands)."""
+    if "İ" in text:
+        text = text.replace("İ", "i")
+    return text.lower()
+
+
+def tokenize(text: str) -> list[str]:
+    """StandardTokenizer + maxTokenLength drop (pre-filters)."""
+    if not text:
+        return []
+    toks = TOKEN_RE.findall(text)
+    return [t for t in toks if len(t) <= MAX_TOKEN_LENGTH and _HAS_ALNUM_RE.search(t)]
+
+
+def analyze(text: str) -> list[str]:
+    """Full chain: tokenize -> lowercase -> stop filter. Returns final tokens;
+    len(result) is the field length used for norms."""
+    return [
+        lt
+        for t in tokenize(text)
+        if (lt := _java_lower(t)) not in ENGLISH_STOP_WORDS
+    ]
+
+
+def analyze_to_counts(text: str) -> tuple[dict[str, int], int]:
+    """-> (term -> tf map, field_len). One pass, used by build + oracle."""
+    toks = analyze(text)
+    return dict(Counter(toks)), len(toks)
+
+
+def analyze_batch(texts) -> tuple[list[dict[str, int]], np.ndarray]:
+    """Vectorized-ish batch: list of tf-maps + int32 field_len array."""
+    counts: list[dict[str, int]] = []
+    lens = np.empty(len(texts), dtype=np.int32)
+    for i, text in enumerate(texts):
+        c, n = analyze_to_counts(text if isinstance(text, str) else "")
+        counts.append(c)
+        lens[i] = n
+    return counts, lens

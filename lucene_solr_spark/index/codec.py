@@ -1,0 +1,115 @@
+"""Posting-block codec: vectorized numpy VByte (+ delta) for binary columns.
+
+Semantics mirror the reference's posting encoding contract (ascending docID
+deltas, tf >= 1, block-based layout — Lucene50PostingsFormat.java:42-140,
+ForUtil.java:157-205) but the byte format is ours: classic VByte with the
+high bit as the continuation flag, little-endian 7-bit groups, plus the
+reference's all-equal-block optimization (ForUtil all-same -> single value).
+
+Everything is numpy-vectorized: encode/decode never loops per-value in
+Python (loops are over byte-position, <= 10 iterations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Marker header for an all-equal run: 1 byte 0xFF + vbyte(count) + vbyte(value).
+# Normal payload starts with 0x00 header.
+_HDR_PLAIN = 0
+_HDR_ALLEQ = 1
+
+
+def _vbyte_encode_raw(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    # number of 7-bit groups per value
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    rem = v.copy()
+    idx = starts.copy()
+    left = nbytes.copy()
+    while True:
+        active = left > 0
+        if not active.any():
+            break
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        more = (left > 1).astype(np.uint8) << 7
+        out[idx[active]] = byte[active] | more[active]
+        rem >>= np.uint64(7)
+        idx += 1
+        left -= 1
+    return out
+
+
+def _vbyte_decode_raw(buf: np.ndarray, count: int | None = None) -> np.ndarray:
+    b = np.asarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = b < 128
+    if is_end.all():  # fast path: every value fits one byte
+        return b.astype(np.uint64)
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    idx = np.arange(b.size)
+    val_id = np.searchsorted(ends, idx)
+    offsets = (idx - starts[val_id]).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * offsets)
+    # 64-bit exact scatter-add via two 32-bit bincounts
+    lo = np.bincount(val_id, weights=(contrib & np.uint64(0xFFFFFFFF)).astype(np.float64),
+                     minlength=ends.size)
+    hi = np.bincount(val_id, weights=(contrib >> np.uint64(32)).astype(np.float64),
+                     minlength=ends.size)
+    vals = lo.astype(np.uint64) + (hi.astype(np.uint64) << np.uint64(32))
+    return vals
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint array; all-equal runs collapse to 3+ bytes (ForUtil's
+    all-same-block trick, ForUtil.java:186-195)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size > 1 and (v == v[0]).all():
+        payload = _vbyte_encode_raw(np.array([v.size, v[0]], dtype=np.uint64))
+        return bytes(np.concatenate(([np.uint8(_HDR_ALLEQ)], payload)))
+    return bytes(np.concatenate(([np.uint8(_HDR_PLAIN)], _vbyte_encode_raw(v))))
+
+
+def vbyte_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if b[0] == _HDR_ALLEQ:
+        cnt_val = _vbyte_decode_raw(b[1:])
+        return np.full(int(cnt_val[0]), cnt_val[1], dtype=np.uint64)
+    return _vbyte_decode_raw(b[1:])
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Ascending docIDs -> deltas; first element is kept absolute relative to
+    0 is wasteful, so it is the gap from first_doc (stored in block metadata),
+    i.e. deltas[0] == 0 and deltas[i] = doc[i] - doc[i-1] >= 1."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    return np.diff(d, prepend=d[:1])
+
+
+def delta_decode(deltas: np.ndarray, first_doc: int) -> np.ndarray:
+    d = np.asarray(deltas, dtype=np.uint64).copy()
+    if d.size == 0:
+        return d
+    d[0] = np.uint64(first_doc)
+    return np.cumsum(d, dtype=np.uint64)
+
+
+def encode_doc_block(doc_ids: np.ndarray) -> bytes:
+    return vbyte_encode(delta_encode(doc_ids))
+
+
+def decode_doc_block(buf: bytes, first_doc: int) -> np.ndarray:
+    return delta_decode(vbyte_decode(buf), first_doc)

@@ -1,0 +1,90 @@
+"""Bit-exact float32 Okapi BM25, shared by the Spark engine and the oracle.
+
+Reference math (lucene/core/.../search/similarities/BM25Similarity.java):
+  idf      = (float) Math.log(1 + (docCount - df + 0.5)/(df + 0.5))   :72-74
+             (double math, cast to float)
+  avgdl    = (float)(sumTotalTermFreq / (double) docCount)            :89-97
+  cache[i] = k1 * ((1-b) + b * NORM_TABLE[i] / avgdl)                 :214-217
+             (float math)
+  weight   = idf * boost; weightValue = weight * (k1 + 1)             :292-297,223
+  score    = weightValue * tf / (tf + cache[normByte])                :241-245
+Boolean combinations sum per-clause float scores in DOUBLE and cast the sum
+back to float (DisjunctionSumScorer.java:40-46, ConjunctionScorer.java:61-67,
+coord == 1 for BM25).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..analysis.smallfloat import NORM_TABLE
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+
+
+def idf_f32(df: int, doc_count: int) -> np.float32:
+    """double-precision log, single cast to float32 (BM25Similarity.java:72-74)."""
+    x = 1.0 + (float(doc_count) - float(df) + 0.5) / (float(df) + 0.5)
+    return np.float32(np.log(x))
+
+
+def avgdl_f32(sum_ttf: int, doc_count: int) -> np.float32:
+    if sum_ttf <= 0:
+        return np.float32(1.0)
+    return np.float32(float(sum_ttf) / float(doc_count))
+
+
+def norm_cache(avgdl: np.float32, k1: np.float32 = K1, b: np.float32 = B) -> np.ndarray:
+    """256-entry freq-independent denominator cache (BM25Similarity.java:214-217)."""
+    one = np.float32(1.0)
+    return (k1 * ((one - b) + b * NORM_TABLE / avgdl)).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class TermWeight:
+    """Stats-bound per-term scorer state (TermWeight + BM25Stats analog)."""
+
+    term: str
+    df: int
+    weight_value: np.float32  # idf * boost * (k1 + 1)
+    cache: np.ndarray  # float32[256]
+
+    def score(self, tf: np.ndarray, norm_byte: np.ndarray) -> np.ndarray:
+        """Vectorized float32 BM25 for posting arrays."""
+        freq = np.asarray(tf, dtype=np.float32)
+        norm = self.cache[np.asarray(norm_byte, dtype=np.uint8)]
+        return (self.weight_value * freq / (freq + norm)).astype(np.float32)
+
+    def max_score(self, max_tf: np.ndarray, max_norm_byte: np.ndarray) -> np.ndarray:
+        """Block-max upper bound: score is increasing in tf and in norm_byte
+        (cache is decreasing in the byte), so (block_max_tf, block_max_norm)
+        bounds every posting in the block. Used for WAND pruning only —
+        never changes results."""
+        return self.score(max_tf, max_norm_byte)
+
+
+def make_term_weight(
+    term: str,
+    df: int,
+    doc_count: int,
+    avgdl: np.float32,
+    boost: float = 1.0,
+    k1: np.float32 = K1,
+    b: np.float32 = B,
+) -> TermWeight:
+    idf = idf_f32(df, doc_count)
+    weight = np.float32(idf * np.float32(boost))
+    weight_value = np.float32(weight * (k1 + np.float32(1.0)))
+    return TermWeight(term, df, weight_value, norm_cache(avgdl, k1, b))
+
+
+def combine_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
+    """Sum float32 clause scores in double, cast back to float32
+    (DisjunctionSumScorer.java:40-46)."""
+    acc = np.zeros_like(per_term_scores[0], dtype=np.float64)
+    for s in per_term_scores:
+        acc += s.astype(np.float64)
+    return acc.astype(np.float32)
