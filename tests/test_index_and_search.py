@@ -1,0 +1,164 @@
+"""End-to-end: build the index on Spark, assert rank- and score-identity vs
+the pure-Python control oracle (BaseDistributedSearchTestCase pattern), index
+invariants (CheckIndex analog), and determinism across parallelism."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import make_corpus
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.search.engine import IndexSearcher
+from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+N_DOCS = 400
+
+QUERIES = [
+    ("hotcommon", "or"),            # stopword-scale df (skew)
+    ("parse", "or"),                # common term
+    ("parse_30", "or"),             # rare term
+    ("parse index merge", "or"),
+    ("parse index", "and"),
+    ("hotcommon parse_30", "or"),   # rare + hot (WAND stressor)
+    ("hotcommon parse_30", "and"),
+    ("def class return", "or"),
+    ("DupLicated content", "or"),   # exact-dup docs -> ties
+    ("the and of", "or"),           # all stopwords -> empty
+    ("zzz_missing", "or"),          # absent term -> empty
+    ("PARSE Index", "or"),          # query analysis = lowercase
+    ("token score", "and"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    pdf = make_corpus(N_DOCS, seed=42)
+    src = spark.createDataFrame(pdf)
+    out = os.path.join(tmp_root, "idx_corpus")
+    paths = build_index(
+        spark,
+        src,
+        out_dir=out,
+        content_col="content",
+        order_cols=["repo", "path", "commit"],
+        meta_cols=["repo", "path", "lang"],
+        range_size=64,  # small ranges so the tiny corpus exercises multi-range merge
+        fingerprint="corpus400v1",
+    )
+    searcher = IndexSearcher(spark, out)
+    # oracle over the SAME doc_id assignment
+    docs = spark.read.parquet(paths.docs).select("doc_id", "repo", "path").collect()
+    key_to_id = {(r["repo"], r["path"]): r["doc_id"] for r in docs}
+    oracle_docs = [
+        (key_to_id[(row.repo, row.path)], row.content) for row in pdf.itertuples()
+    ]
+    oidx = build_oracle_index(oracle_docs)
+    return paths, searcher, oidx
+
+
+def test_corpus_stats_match_oracle(built):
+    _, searcher, oidx = built
+    assert searcher.doc_count == oidx.doc_count == N_DOCS
+    assert searcher.sum_ttf == oidx.sum_ttf
+    assert searcher.avgdl == oidx.avgdl
+
+
+@pytest.mark.parametrize("query,mode", QUERIES, ids=[f"{q}:{m}" for q, m in QUERIES])
+def test_rank_identity(built, query, mode):
+    _, searcher, oidx = built
+    expected = oracle_topk(oidx, query, k=10, mode=mode)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk(query, k=10, mode=mode).collect()]
+    assert len(got) == len(expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed, (query, mode, got, expected)
+        assert np.float32(gs) == es, (query, gd, gs, es)
+
+
+def test_prune_does_not_change_results(built):
+    _, searcher, oidx = built
+    for q in ["hotcommon", "parse index merge", "hotcommon parse_30"]:
+        pruned = [(r["doc_id"], r["score"]) for r in searcher.topk(q, k=10, prune=True).collect()]
+        full = [(r["doc_id"], r["score"]) for r in searcher.topk(q, k=10, prune=False).collect()]
+        assert pruned == full
+
+
+def test_index_invariants(built, spark):
+    """CheckIndex analog (CheckIndex.java:80-212; FIXTURES.md §6)."""
+    paths, searcher, oidx = built
+    blocks = spark.read.parquet(paths.postings)
+    docs = spark.read.parquet(paths.docs)
+    term_stats = spark.read.parquet(paths.term_stats)
+
+    # df == total posting entries; sum tf == ttf — engine vs oracle
+    ts = {r["term"]: (r["df"], r["ttf"]) for r in term_stats.collect()}
+    for term, post in oidx.postings.items():
+        assert ts[term][0] == len(post), term
+        assert ts[term][1] == sum(post.values()), term
+    assert len(ts) == len(oidx.postings)
+
+    # block metadata consistent
+    bad = blocks.filter(
+        (F.col("first_doc") > F.col("last_doc"))
+        | (F.col("n_docs") <= 0)
+        | (F.col("max_tf") <= 0)
+    ).count()
+    assert bad == 0
+
+    # every posting doc exists in docs; norms match oracle
+    norm_map = {r["doc_id"]: r["norm_byte"] for r in docs.select("doc_id", "norm_byte").collect()}
+    assert norm_map.keys() == oidx.norm_bytes.keys()
+    for d, nb in oidx.norm_bytes.items():
+        assert norm_map[d] == nb
+
+    # sha256 invariant vs source content recomputed
+    import hashlib
+
+    pdf = make_corpus(N_DOCS, seed=42)
+    sha_by_key = {
+        (row.repo, row.path): hashlib.sha256(row.content.encode()).hexdigest()
+        for row in pdf.itertuples()
+    }
+    for r in docs.select("repo", "path", "sha256").collect():
+        assert sha_by_key[(r["repo"], r["path"])] == r["sha256"]
+
+
+def test_determinism_across_parallelism(built, spark, tmp_root):
+    """Same input at different partition counts -> identical stats + top-k
+    (FIXTURES.md §6 final invariant)."""
+    paths, searcher, _ = built
+    pdf = make_corpus(N_DOCS, seed=42)
+    src = spark.createDataFrame(pdf).repartition(13)  # different input layout
+    out2 = os.path.join(tmp_root, "idx_corpus_p13")
+    build_index(
+        spark, src, out_dir=out2, content_col="content",
+        order_cols=["repo", "path", "commit"], meta_cols=["repo", "path", "lang"],
+        range_size=64, fingerprint="corpus400v1p13",
+    )
+    s2 = IndexSearcher(spark, out2)
+    assert s2.doc_count == searcher.doc_count
+    assert s2.sum_ttf == searcher.sum_ttf
+    for q, m in [("hotcommon parse_30", "or"), ("parse index", "and"), ("def class return", "or")]:
+        a = [(r["doc_id"], r["score"]) for r in searcher.topk(q, k=10, mode=m).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s2.topk(q, k=10, mode=m).collect()]
+        assert a == b
+
+
+def test_resume_skips_completed_stages(built, spark, tmp_root):
+    """Checkpoint-resume: re-running build with same fingerprint is a no-op."""
+    paths, _, _ = built
+    import json, time
+
+    with open(paths.manifest("postings")) as f:
+        gen_before = json.load(f)["generation"]
+    pdf = make_corpus(N_DOCS, seed=42)
+    src = spark.createDataFrame(pdf)
+    t = time.time()
+    build_index(
+        spark, src, out_dir=paths.root, content_col="content",
+        order_cols=["repo", "path", "commit"], meta_cols=["repo", "path", "lang"],
+        range_size=64, fingerprint="corpus400v1",
+    )
+    with open(paths.manifest("postings")) as f:
+        assert json.load(f)["generation"] == gen_before  # stage skipped
