@@ -1,38 +1,100 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: build (or reuse) the inverted index over
+sf0.001 documents and run a BM25 top-k search through the full engine
+(posting blocks, WAND pruning, sha256 verification join).
+
+`queries()` — one entry per implemented operator (SURVEY.md §2).
+`oracle_sql()` — DuckDB-equivalent SQL for each query.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.ops.bm25_sql import bm25_topk_sql
+from lucene_solr_spark.ops.relational import OPS as RELATIONAL_OPS
+from lucene_solr_spark.search.engine import IndexSearcher
+
+_SEARCHERS: dict[str, IndexSearcher] = {}
+
+# (name, query string, mode)
+BM25_QUERIES = [
+    ("bm25_term", "spark", "or"),
+    ("bm25_or", "fast merge sort", "or"),
+    ("bm25_and", "dup merge", "and"),
+    ("bm25_rare_hot", "dup join", "or"),  # rare + stopword-scale term (WAND stressor)
+    ("bm25_dup_clause", "spark spark vector", "or"),  # duplicate SHOULD clauses
+]
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Build-or-reuse the index for a testdata dir (manifest-fingerprint
+    resume makes repeat calls a metadata no-op)."""
+    key = os.path.abspath(sf_dir)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark,
+        src,
+        out_dir=idx_dir,
+        content_col="text",
+        doc_id_col="doc_id",
+        meta_cols=["lang", "source"],
+        range_size=512,
+        fingerprint=key,
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _bm25_query_fn(query: str, mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _searcher(spark, sf_dir)
+        hits = s.topk(query, k=10, mode=mode)
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return hits.withColumn("rank", F.row_number().over(w).cast("int")).select(
+            "doc_id", "rank"
+        )
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return s.search("spark join", k=10).select(
+        "doc_id", "score", "lang", "source", "sha256", "field_len"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, q, mode in BM25_QUERIES:
+        out[name] = _bm25_query_fn(q, mode)
+    for name, (fn, _sql) in RELATIONAL_OPS.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, q, mode in BM25_QUERIES:
+        out[name] = bm25_topk_sql(q, k=10, mode=mode)
+    for name, (_fn, sql) in RELATIONAL_OPS.items():
+        if sql is not None:
+            out[name] = sql
+    return out

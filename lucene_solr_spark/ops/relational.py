@@ -1,0 +1,509 @@
+"""Relational operator surface: Solr streaming expressions, facets,
+collectors, and multi-term query rewrites re-expressed as Catalyst plans.
+
+Each OPS entry is (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name before hashing).
+
+Reference mapping (SURVEY.md §2.3, §2.5-2.7):
+  field_facet        FacetComponent field facet          -> groupBy().count()
+  range_facet        RangeFacetProcessor                 -> bucket expr + count
+  pivot_facet        PivotFacet (nested facets)          -> groupBy(f1, f2)
+  stats_component    StatsComponent/StatsValuesFactory   -> agg built-ins
+  rollup_stream      RollupStream sort-agg               -> groupBy().agg()
+  unique_stream      UniqueStream first-per-key          -> Window row_number=1
+  top_stream         RankStream bounded top-N            -> ORDER BY LIMIT
+  merge_stream       MergeStream sorted union            -> unionByName + sort
+  inner_join_stream  InnerJoinStream sort-merge join     -> df.join
+  hash_join_stream   HashJoinStream build/probe          -> broadcast join
+  left_outer_join    LeftOuterJoinStream                 -> left join
+  intersect_stream   IntersectStream                     -> left_semi join
+  complement_stream  ComplementStream                    -> left_anti join
+  grouping_collapse  CollapsingQParserPlugin / grouping  -> Window rn=1
+  group_topk         SecondPassGroupingCollector         -> Window rn<=k
+  search_after       searchAfter/CursorMark deep paging  -> keyset predicate
+  term_range_query   TermRangeQuery/PointRangeQuery      -> BETWEEN
+  prefix_query       PrefixQuery                         -> LIKE 'p%'
+  wildcard_query     WildcardQuery                       -> LIKE pattern
+  fuzzy_query        FuzzyQuery (Levenshtein <= 2)       -> levenshtein()
+  boolean_filter     BooleanQuery FILTER clauses         -> WHERE AND/OR/NOT
+  match_all_count    MatchAllDocsQuery + TotalHitCount   -> COUNT(*)
+  min_should_match   MinShouldMatchSumScorer n-of-m      -> HAVING count >= n
+  export_sorted      ExportQParserPlugin sorted dump     -> ORDER BY (full)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- facets
+
+def field_facet(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("facet_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+FIELD_FACET_SQL = """
+SELECT o_orderpriority, count(*) AS facet_count
+FROM orders WHERE o_totalprice > 1000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def range_facet(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.withColumn("qty_bucket", (F.floor(F.col("l_quantity") / 10) * 10).cast("long"))
+        .groupBy("qty_bucket")
+        .agg(F.count("*").alias("facet_count"))
+        .orderBy("qty_bucket")
+    )
+
+
+RANGE_FACET_SQL = """
+SELECT CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS qty_bucket, count(*) AS facet_count
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def pivot_facet(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("facet_count"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PIVOT_FACET_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS facet_count
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stats_component(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_COMPONENT_SQL = """
+SELECT l_returnflag, count(*) AS cnt,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(avg(l_extendedprice), 2) AS mean_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- streaming expressions
+
+def rollup_stream(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("mean_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_STREAM_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_discount), 6) AS mean_disc, count(*) AS cnt
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def unique_stream(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    )
+
+
+UNIQUE_STREAM_SQL = """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def top_stream(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(20)
+    )
+
+
+TOP_STREAM_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def merge_stream(spark, sf):
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 190000).select("o_orderkey")
+    lo = o.filter(F.col("o_totalprice") < 1000).select("o_orderkey")
+    return hi.unionByName(lo).orderBy("o_orderkey")
+
+
+MERGE_STREAM_SQL = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 190000
+UNION ALL
+SELECT o_orderkey FROM orders WHERE o_totalprice < 1000
+ORDER BY o_orderkey
+"""
+
+
+def inner_join_stream(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "c_custkey", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+INNER_JOIN_STREAM_SQL = """
+SELECT o_orderkey, c_custkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 150000 ORDER BY o_orderkey
+"""
+
+
+def hash_join_stream(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)  # HashJoinStream: build small side
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+HASH_JOIN_STREAM_SQL = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def left_outer_join_stream(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 180000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("big_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+LEFT_OUTER_JOIN_STREAM_SQL = """
+SELECT c_custkey, count(o_orderkey) AS big_orders
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 180000) o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def intersect_stream(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return a.join(b, "o_custkey", "left_semi").orderBy("o_custkey")
+
+
+INTERSECT_STREAM_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+def complement_stream(spark, sf):
+    # customers that never placed a high-value order (EXCEPT / left_anti)
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(o, "o_custkey", "left_anti").orderBy("o_custkey")
+
+
+COMPLEMENT_STREAM_SQL = """
+SELECT c_custkey AS o_custkey FROM customer
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+ORDER BY o_custkey
+"""
+
+
+# ------------------------------------------------------ grouping/collapse
+
+def grouping_collapse(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+        .orderBy("o_custkey")
+    )
+
+
+GROUPING_COLLAPSE_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def group_topk(spark, sf):
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+GROUP_TOPK_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+"""
+
+
+# ---------------------------------------------------- query-shape operators
+
+def search_after(spark, sf):
+    # page 3 of a (o_totalprice DESC, o_orderkey ASC) sort, keyset cursor =
+    # last row of page 2, computed deterministically inside the query.
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    ranked = o.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("rn") > 20) & (F.col("rn") <= 30))
+        .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("rn")
+    )
+
+
+SEARCH_AFTER_SQL = """
+SELECT rn, o_orderkey, round(o_totalprice, 2) AS price FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn > 20 AND rn <= 30 ORDER BY rn
+"""
+
+
+def term_range_query(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("hits"))
+        .orderBy("o_orderstatus")
+    )
+
+
+TERM_RANGE_QUERY_SQL = """
+SELECT o_orderstatus, count(*) AS hits
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def prefix_query(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("s%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+PREFIX_QUERY_SQL = """
+SELECT p_partkey, p_name FROM part WHERE p_name LIKE 's%' ORDER BY p_partkey
+"""
+
+
+def wildcard_query(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type").like("%O%O%"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+WILDCARD_QUERY_SQL = """
+SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%O%O%' ORDER BY p_partkey
+"""
+
+
+def fuzzy_query(spark, sf):
+    # FuzzyQuery: edit distance <= 2 from a target term over the term dict
+    target = F.lit("grean")  # misspelled color inside p_name words
+    p = _t(spark, sf, "part")
+    words = p.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("w")
+    )
+    return (
+        words.filter(F.levenshtein(F.col("w"), target) <= 2)
+        .select("p_partkey", "w")
+        .distinct()
+        .orderBy("p_partkey", "w")
+    )
+
+
+FUZZY_QUERY_SQL = """
+SELECT DISTINCT p_partkey, w
+FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)
+WHERE levenshtein(w, 'grean') <= 2
+ORDER BY p_partkey, w
+"""
+
+
+def boolean_filter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & ((F.col("l_quantity") >= 45) | (F.col("l_discount") >= 0.09))
+            & ~(F.col("l_linestatus") == "O")
+        )
+        .agg(F.count("*").alias("hits"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+BOOLEAN_FILTER_SQL = """
+SELECT count(*) AS hits, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R' AND (l_quantity >= 45 OR l_discount >= 0.09)
+  AND NOT (l_linestatus = 'O')
+"""
+
+
+def match_all_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count("*").alias("total_hits"))
+
+
+MATCH_ALL_COUNT_SQL = "SELECT count(*) AS total_hits FROM lineitem"
+
+
+def min_should_match(spark, sf):
+    # n-of-m SHOULD clauses (MinShouldMatchSumScorer): docs matching >= 2 of 3 terms
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    hits = (
+        tok.filter(F.col("term").isin(["spark", "vector", "dup"]))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("matched"))
+        .filter(F.col("matched") >= 2)
+        .select("doc_id", "matched")
+        .orderBy("doc_id")
+    )
+    return hits
+
+
+MIN_SHOULD_MATCH_SQL = """
+SELECT doc_id, matched FROM (
+  SELECT doc_id, count(DISTINCT term) AS matched
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN ('spark', 'vector', 'dup')
+  GROUP BY doc_id
+) WHERE matched >= 2 ORDER BY doc_id
+"""
+
+
+def export_sorted(spark, sf):
+    return (
+        _t(spark, sf, "supplier")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("bal"))
+        .orderBy(F.col("bal").desc(), F.col("s_suppkey").asc())
+    )
+
+
+EXPORT_SORTED_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+FROM supplier ORDER BY bal DESC, s_suppkey ASC
+"""
+
+
+OPS: dict[str, tuple] = {
+    "field_facet": (field_facet, FIELD_FACET_SQL),
+    "range_facet": (range_facet, RANGE_FACET_SQL),
+    "pivot_facet": (pivot_facet, PIVOT_FACET_SQL),
+    "stats_component": (stats_component, STATS_COMPONENT_SQL),
+    "rollup_stream": (rollup_stream, ROLLUP_STREAM_SQL),
+    "unique_stream": (unique_stream, UNIQUE_STREAM_SQL),
+    "top_stream": (top_stream, TOP_STREAM_SQL),
+    "merge_stream": (merge_stream, MERGE_STREAM_SQL),
+    "inner_join_stream": (inner_join_stream, INNER_JOIN_STREAM_SQL),
+    "hash_join_stream": (hash_join_stream, HASH_JOIN_STREAM_SQL),
+    "left_outer_join_stream": (left_outer_join_stream, LEFT_OUTER_JOIN_STREAM_SQL),
+    "intersect_stream": (intersect_stream, INTERSECT_STREAM_SQL),
+    "complement_stream": (complement_stream, COMPLEMENT_STREAM_SQL),
+    "grouping_collapse": (grouping_collapse, GROUPING_COLLAPSE_SQL),
+    "group_topk": (group_topk, GROUP_TOPK_SQL),
+    "search_after": (search_after, SEARCH_AFTER_SQL),
+    "term_range_query": (term_range_query, TERM_RANGE_QUERY_SQL),
+    "prefix_query": (prefix_query, PREFIX_QUERY_SQL),
+    "wildcard_query": (wildcard_query, WILDCARD_QUERY_SQL),
+    "fuzzy_query": (fuzzy_query, FUZZY_QUERY_SQL),
+    "boolean_filter": (boolean_filter, BOOLEAN_FILTER_SQL),
+    "match_all_count": (match_all_count, MATCH_ALL_COUNT_SQL),
+    "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),
+    "export_sorted": (export_sorted, EXPORT_SORTED_SQL),
+}

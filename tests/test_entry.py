@@ -1,0 +1,42 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema; every
+query has a runnable definition; engine BM25 queries match the DuckDB
+oracle at sf0.001 (full parity at sf0.01 runs via tools/check_oracle_parity.py)."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as e  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def test_entry_returns_rows(spark):
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"doc_id", "score", "sha256"}
+
+
+def test_queries_have_oracles_or_are_flagged(spark):
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+
+
+@pytest.mark.parametrize("name", [n for n, _, _ in e.BM25_QUERIES])
+def test_bm25_queries_match_duckdb_oracle(spark, name):
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = sorted(tuple(r) for r in qs[name](spark, SF).collect())
+    want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
+    assert got == want
