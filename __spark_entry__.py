@@ -20,6 +20,7 @@ from pyspark.sql import Window
 
 from lucene_solr_spark.index.builder import build_index
 from lucene_solr_spark.ops.bm25_sql import bm25_topk_sql
+from lucene_solr_spark.ops.pipeline import OPS as PIPELINE_OPS
 from lucene_solr_spark.ops.relational import OPS as RELATIONAL_OPS
 from lucene_solr_spark.search.engine import IndexSearcher
 
@@ -85,7 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q, mode in BM25_QUERIES:
         out[name] = _bm25_query_fn(q, mode)
-    for name, (fn, _sql) in RELATIONAL_OPS.items():
+    for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
 
@@ -94,7 +95,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, q, mode in BM25_QUERIES:
         out[name] = bm25_topk_sql(q, k=10, mode=mode)
-    for name, (_fn, sql) in RELATIONAL_OPS.items():
+    for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql
     return out

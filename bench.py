@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput + per-query latency.
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "index_files_per_sec": ..., "n_docs": ...}
+
+The index build is timed cold (overwrite=True, fresh dir) — it is the
+throughput half of BASELINE.json's metric; the BM25 top-k latencies are
+the query half.  `--parallelism N` overrides local[N] for the scaling-
+efficiency study (tools/bench_scaling.py runs this at two levels).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"lss-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--parallelism", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    ap.add_argument("--skip-build", action="store_true", help="reuse an existing index")
+    ap.add_argument("--index-dir", default=None)
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = make_spark(args.parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.engine import IndexSearcher
+
+    queries: dict[str, float] = {}
+    idx_dir = args.index_dir or os.path.join(tempfile.gettempdir(), f"lss_bench_{os.getpid()}")
+
+    # ---- index-build throughput (files/sec) ----
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = src.count()
+    t = time.time()
+    if not args.skip_build:
+        if os.path.exists(idx_dir):
+            shutil.rmtree(idx_dir)
+        build_index(
+            spark,
+            src,
+            out_dir=idx_dir,
+            content_col="text",
+            doc_id_col="doc_id",
+            meta_cols=["lang", "source"],
+            range_size=512,
+            fingerprint=f"bench:{sf_dir}",
+        )
+    build_s = time.time() - t
+    queries["index_build"] = round(build_s, 4)
+
+    searcher = IndexSearcher(spark, idx_dir)
+
+    # ---- BM25 top-k latency (rank-identical query half of the metric) ----
+    bm25 = [
+        ("q_bm25_term", "spark", "or"),
+        ("q_bm25_or", "fast merge sort", "or"),
+        ("q_bm25_and", "dup merge", "and"),
+        ("q_bm25_hot", "the table value", "or"),  # stopword-scale df terms
+    ]
+    for name, q, mode in bm25:
+        t = time.time()
+        searcher.topk(q, k=10, mode=mode).collect()
+        queries[name] = round(time.time() - t, 4)
+
+    # ---- relational / pipeline headliners ----
+    from lucene_solr_spark.ops.relational import OPS as REL_OPS
+    from lucene_solr_spark.ops.pipeline import OPS as PIPE_OPS
+
+    headliners = ["rollup_stream", "hash_join_stream", "group_topk", "field_facet"]
+    for name in headliners:
+        fn = REL_OPS[name][0]
+        t = time.time()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.time() - t, 4)
+    for name, (fn, _sql) in PIPE_OPS.items():
+        if name == "dedup_ngram_jaccard":
+            continue  # all-pairs ground-truth audit op; not a scale-path query
+        t = time.time()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.time() - t, 4)
+
+    total = round(sum(queries.values()), 4)
+    out = {
+        "metric": "index-build + BM25 top-10 + pipeline ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "parallelism": args.parallelism,
+        "n_docs": n_docs,
+        "index_files_per_sec": round(n_docs / build_s, 2) if not args.skip_build else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    if not args.index_dir and os.path.exists(idx_dir):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

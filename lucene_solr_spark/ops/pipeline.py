@@ -1,0 +1,906 @@
+"""Large-scale training-data pipeline operators over the `documents`,
+`embeddings`, and `events` tables.
+
+These extend the reference's surface with the operations a 100 TB
+pre-training corpus pipeline needs: deduplication (exact, bag-of-words,
+MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-cosine), approximate
+nearest-neighbor search (brute-force + sign-bucket IVF), text analysis
+(language ID, quality scoring, token counting, fingerprinting), multimodal
+binary-column plumbing, graph BFS, and sessionization.
+
+Design rules shared by every op:
+  * Declarative Catalyst plans (higher-order array functions, window
+    functions, joins) — no per-row Python except the SimHash and multimodal
+    UDFs, which are Arrow-batched mapInPandas with vectorized numpy inner
+    loops (the reference's "no per-row Python" posture, BASELINE.json).
+  * All hashing is sha256-of-string so the DuckDB oracle computes the
+    IDENTICAL algorithm — LSH candidate sets match by construction, not by
+    probabilistic recall.
+  * Quadratic steps are always blocked (LSH band buckets, sign buckets,
+    shared-shingle joins) so the pair space stays near-linear at 100 TB;
+    the one deliberately unblocked op (dedup_ngram_jaccard) is the small-
+    scale ground truth for the MinHash path and documented as such.
+
+Each OPS entry is (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MINHASH_K = 8  # permutations (min-sha256 salted hashes)
+MINHASH_BAND_R = 2  # rows per band -> 4 bands
+SHINGLE_K = 3  # word shingle width
+JACCARD_THRESHOLD = 0.5
+SIMHASH_HAMMING_MAX = 6
+COSINE_DUP_THRESHOLD = 0.4
+ANN_K = 10
+ANN_N_QUERIES = 5
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
+
+
+def _with_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Word k-gram shingles as an array column (empty if < k tokens)."""
+    return _with_tokens(df).withColumn(
+        "sh",
+        F.expr(
+            f"CASE WHEN size(toks) >= {k} THEN "
+            f"transform(sequence(0, size(toks)-{k}), i -> concat_ws(' ', slice(toks, i+1, {k}))) "
+            f"ELSE array() END"
+        ),
+    )
+
+
+# SQL fragments shared by several oracles (DuckDB dialect).
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_K - 1}, 0))) AS g(i)
+)
+"""
+
+
+# ------------------------------------------------------------------ dedup
+
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on sha256(text); keeper = min doc_id.
+
+    At 100 TB this is one shuffle on a 64-hex key with near-perfect key
+    distribution (no skew by construction)."""
+    d = _docs(spark, sf)
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return (
+        d.withColumn("keeper_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keeper_id",
+            (F.col("doc_id") != F.col("keeper_id")).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS INTEGER) AS is_dup
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_bag_of_words(spark, sf):
+    """Order-insensitive exact dedup: key = sha256 of the sorted token
+    multiset (catches shuffled copies that byte-hashing misses)."""
+    d = _with_tokens(_docs(spark, sf))
+    key = F.sha2(F.concat_ws(" ", F.sort_array(F.col("toks"))), 256)
+    w = Window.partitionBy(key)
+    return (
+        d.withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", "keeper_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BAG_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY sha256(array_to_string(list_sort({_SQL_TOKS}), ' '))
+         ) AS keeper_id
+  FROM documents
+)
+SELECT doc_id, keeper_id FROM keyed WHERE doc_id <> keeper_id ORDER BY doc_id
+"""
+
+
+def _minhash_sig(df: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7): hk = min over shingles of sha256(shingle || '#k').
+
+    One groupBy(doc_id) shuffle computes all K mins (map-side partial agg);
+    min-of-sha256-hex is a valid MinHash family (uniform permutation of the
+    shingle space per salt) and is reproducible in ANSI SQL."""
+    sh = _with_shingles(df).select("doc_id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.sha2(F.concat(F.col("s"), F.lit(f"#{k}")), 256)).alias(f"h{k}")
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    shingle -> K=8 salted min-hashes -> 4 bands of r=2 -> band-bucket
+    self-join (the ONLY pair generator: candidate count is linear in bucket
+    occupancy, never all-pairs) -> exact shingle-Jaccard >= 0.5 verify.
+    The oracle runs the identical algorithm, so the candidate set matches
+    by construction."""
+    d = _docs(spark, sf)
+    sig = _minhash_sig(d)
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * MINHASH_BAND_R + r}") for r in range(MINHASH_BAND_R)]).alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bx")).select(
+        "doc_id", F.col("bx.band").alias("band"), F.col("bx.bv").alias("bv")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    shd = _with_shingles(d).select("doc_id", F.explode("sh").alias("s")).distinct()
+    sz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(shd.alias("x"), F.col("a_id") == F.col("x.doc_id"))
+        .join(shd.alias("y"), (F.col("b_id") == F.col("y.doc_id")) & (F.col("x.s") == F.col("y.s")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _minhash_sql_cte() -> str:
+    mins = ", ".join(
+        f"min(sha256(s || '#{k}')) AS h{k}" for k in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_R
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bv} AS bv FROM sig".format(
+            b=b,
+            bv=" || '|' || ".join(
+                f"h{b * MINHASH_BAND_R + r}" for r in range(MINHASH_BAND_R)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+{_SQL_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.a_id
+  JOIN shd y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+"""
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_minhash_sql_cte().strip()}
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a_id
+JOIN sz sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+def dedup_ngram_jaccard(spark, sf):
+    """Exact shingle-Jaccard pairs via shared-shingle join — the ground
+    truth for dedup_minhash_lsh. Pair generation is blocked on sharing at
+    least one shingle (never an all-pairs cross join), but a stopword-scale
+    shingle still fans out; at 100 TB use dedup_minhash_lsh and keep this
+    as the sampled-audit op."""
+    d = _docs(spark, sf)
+    shd = _with_shingles(d).select("doc_id", F.explode("sh").alias("s")).distinct()
+    sz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        shd.alias("x")
+        .join(shd.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SQL_SHINGLES.strip()},
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+  FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a_id
+JOIN sz sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash_lo", T.LongType(), False),
+        T.StructField("simhash_hi", T.LongType(), False),
+    ]
+)
+
+_J = np.arange(64)
+
+
+def _word_bits(word: str, cache: dict) -> np.ndarray:
+    """bit j (j=0..63) = bit (j%4) of hex nibble j//4 of sha256(word)[:16] —
+    the exact convention the SQL oracle reproduces."""
+    b = cache.get(word)
+    if b is None:
+        h16 = hashlib.sha256(word.encode()).hexdigest()[:16]
+        nib = np.frombuffer(h16.encode("ascii"), dtype=np.uint8)
+        vals = np.where(nib >= 97, nib - 87, nib - 48).astype(np.int64)
+        b = cache[word] = (vals[_J // 4] >> (_J % 4)) & 1
+    return b
+
+
+def _simhash_map(iterator):
+    cache: dict[str, np.ndarray] = {}
+    pow_lo = (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.int64)
+    for pdf in iterator:
+        ids, los, his = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = [t for t in str(text or "").split(" ") if t]
+            v = np.zeros(64, dtype=np.int64)
+            for w, c in Counter(toks).items():
+                bits = _word_bits(w, cache)
+                v += np.where(bits == 1, c, -c)
+            sb = (v > 0).astype(np.int64)
+            ids.append(int(doc_id))
+            los.append(int((sb[:32] * pow_lo).sum()))
+            his.append(int((sb[32:] * pow_lo).sum()))
+        yield pd.DataFrame({"doc_id": ids, "simhash_lo": los, "simhash_hi": his})
+
+
+def simhash_fingerprints(df: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (BIGINT-safe), via an
+    Arrow-batched mapInPandas with a per-batch word-hash cache (vocabulary
+    is tiny relative to tokens, so the numpy inner loop is per-WORD, not
+    per-token)."""
+    return df.select("doc_id", "text").mapInPandas(_simhash_map, schema=SIMHASH_SCHEMA)
+
+
+def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs: block on any equal 16-bit chunk (4 chunks ==
+    hamming<=6 guarantee via pigeonhole over 64 bits... chunks of 16; any
+    pair with hamming <= 3 shares a chunk; we verify <= 6 so blocking is a
+    recall heuristic exactly mirrored by the oracle), verify via popcount of
+    xor."""
+    d = _docs(spark, sf)
+    fp = simhash_fingerprints(d)
+    chunks = fp.select(
+        "doc_id",
+        "simhash_lo",
+        "simhash_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("cno"), (F.col("simhash_lo") % 65536).alias("cv")),
+                F.struct(F.lit(1).alias("cno"), (F.floor(F.col("simhash_lo") / 65536)).alias("cv")),
+                F.struct(F.lit(2).alias("cno"), (F.col("simhash_hi") % 65536).alias("cv")),
+                F.struct(F.lit(3).alias("cno"), (F.floor(F.col("simhash_hi") / 65536)).alias("cv")),
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash_lo", "simhash_hi", F.col("c.cno").alias("cno"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
+    ) + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+    return (
+        a.join(b, (F.col("a.cno") == F.col("b.cno")) & (F.col("a.cv") == F.col("b.cv")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SIMHASH_SQL_CTE = f"""
+tok AS (
+  SELECT doc_id, t.tok AS w, count(*) AS cnt
+  FROM documents d, unnest({_SQL_TOKS}) AS t(tok)
+  GROUP BY 1, 2
+),
+hw AS (SELECT doc_id, cnt, substr(sha256(w), 1, 16) AS h FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (
+               (CASE WHEN ascii(substr(h, j // 4 + 1, 1)) >= 97
+                     THEN ascii(substr(h, j // 4 + 1, 1)) - 87
+                     ELSE ascii(substr(h, j // 4 + 1, 1)) - 48 END
+               ) >> (j % 4)) & 1 = 1
+             THEN cnt ELSE -cnt END) AS v
+  FROM hw, unnest(generate_series(0, 63)) AS g(j)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN j < 32 AND v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash_lo,
+         sum(CASE WHEN j >= 32 AND v > 0 THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS simhash_hi
+  FROM bits GROUP BY doc_id
+)
+"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_SQL_CTE.strip()},
+chunks AS (
+  SELECT doc_id, simhash_lo, simhash_hi, cno,
+         CASE cno WHEN 0 THEN simhash_lo % 65536
+                  WHEN 1 THEN simhash_lo // 65536
+                  WHEN 2 THEN simhash_hi % 65536
+                  ELSE simhash_hi // 65536 END AS cv
+  FROM fp, unnest(generate_series(0, 3)) AS g(cno)
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+            + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS INTEGER) AS hamming
+FROM chunks a JOIN chunks b ON a.cno = b.cno AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+      + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY a_id, b_id
+"""
+
+
+# ------------------------------------------------------------- embeddings
+
+def _with_demb(df: DataFrame) -> DataFrame:
+    """float32 -> double BEFORE any arithmetic, so Spark and the oracle
+    multiply/accumulate identical doubles."""
+    return df.withColumn("demb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_SQL_SIGN_BUCKET = (
+    "("
+    + " + ".join(f"(CASE WHEN emb[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(8))
+    + ")"
+)
+
+
+def _with_sign_bucket(df: DataFrame) -> DataFrame:
+    """Coarse IVF cell: 8 sign bits of the first 8 dims -> 256 buckets.
+    A deterministic, SQL-reproducible stand-in for trained IVF centroids;
+    at scale this is the partition key that keeps ANN probes local."""
+    bucket = None
+    for d in range(8):
+        bit = F.when(F.element_at("demb", d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup pairs: block on the 256-cell sign bucket (near-
+    identical vectors share all sign bits), verify cosine >= threshold
+    within the cell. Pair space is sum of per-bucket squares, not n^2."""
+    e = _with_sign_bucket(_with_demb(_emb(spark, sf)))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(_cos_expr("a.demb", "b.demb"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SQL_EMB = f"""
+v AS (
+  SELECT vec_id, emb, {_SQL_SIGN_BUCKET} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+)
+"""
+
+DEDUP_EMB_COS_SQL = f"""
+WITH {_SQL_EMB.strip()}
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {COSINE_DUP_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    graded against. Query side (5 vectors) is broadcast; the big side
+    streams — one pass, no shuffle until the per-query top-k window."""
+    e = _with_demb(_emb(spark, sf))
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("qemb")
+    )
+    cos = F.expr(_cos_expr("qemb", "demb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {ANN_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(q.qemb, v.emb) AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id AS neighbor_id
+FROM scored
+QUALIFY rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_topk(spark, sf):
+    """IVF-style ANN: probe only the query's sign-bucket cell (nprobe=1).
+    The scale path — each probe touches 1/256 of the corpus, co-partitioned
+    by bucket so the join is local after one repartition."""
+    e = _with_sign_bucket(_with_demb(_emb(spark, sf)))
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("demb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.expr(_cos_expr("qemb", "demb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH {_SQL_EMB.strip()},
+q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < {ANN_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(q.qemb, v.emb) AS cosine
+  FROM v JOIN q ON v.bucket = q.qbucket WHERE v.vec_id <> q.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id AS neighbor_id
+FROM scored
+QUALIFY rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+# ----------------------------------------------------------- text analysis
+
+_LANG_SETS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "ich"],
+}
+
+
+def lang_id(spark, sf):
+    """Wordlist-overlap language ID (n-gram-heuristic family): score each
+    language by its function-word hit count over the token multiset;
+    argmax, ties/zero -> 'und'. Pure Catalyst (array_intersect-style via
+    filter+size); one narrow pass over text."""
+    d = _with_tokens(_docs(spark, sf))
+    for code, words in _LANG_SETS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        d = d.withColumn(
+            f"n_{code}",
+            F.expr(f"size(filter(toks, x -> array_contains(array({arr}), x)))"),
+        )
+    best = F.greatest(*[F.col(f"n_{c}") for c in _LANG_SETS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in _LANG_SETS:  # first max wins in declaration order
+        pred = pred.when(F.col(f"n_{code}") == best, F.lit(code))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.col(f"n_{c}").cast("int").alias(f"n_{c}") for c in _LANG_SETS],
+    ).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    cols = []
+    for code, words in _LANG_SETS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"len(list_filter({_SQL_TOKS}, x -> list_contains([{arr}], x))) AS n_{code}"
+        )
+    codes = list(_LANG_SETS)
+    best = f"greatest({', '.join('n_' + c for c in codes)})"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN n_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    ncols = ", ".join(f"CAST(n_{c} AS INTEGER) AS n_{c}" for c in codes)
+    return f"""
+WITH scored AS (SELECT doc_id, {', '.join(cols)} FROM documents)
+SELECT doc_id, {case} AS pred_lang, {ncols}
+FROM scored ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+_STOP10 = "'the','a','and','of','to','is','in','that','it','for'"
+
+
+def quality_score(spark, sf):
+    """Document quality heuristics: token count, distinct-token ratio,
+    stopword ratio, mean token length; composite linear score. All
+    double arithmetic with identical literals on both sides -> bit-equal."""
+    d = _with_tokens(_docs(spark, sf))
+    n_tok = F.size("toks").cast("double")
+    n_dist = F.size(F.array_distinct("toks")).cast("double")
+    n_stop = F.expr(f"size(filter(toks, x -> x IN ({_STOP10})))").cast("double")
+    sum_len = F.expr("aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))").cast("double")
+    return (
+        d.withColumn("n_tokens", n_tok)
+        .withColumn("distinct_ratio", n_dist / n_tok)
+        .withColumn("stop_ratio", n_stop / n_tok)
+        .withColumn("mean_tok_len", sum_len / n_tok)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("distinct_ratio", 6).alias("distinct_ratio"),
+            F.round("stop_ratio", 6).alias("stop_ratio"),
+            F.round("mean_tok_len", 6).alias("mean_tok_len"),
+            F.round(
+                F.col("distinct_ratio") * 2.0 - F.col("stop_ratio") * 3.0
+                + F.col("n_tokens") * 0.002,
+                6,
+            ).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP10}))) AS DOUBLE) AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sum_len
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(n_dist / n_tok, 6) AS distinct_ratio,
+       round(n_stop / n_tok, 6) AS stop_ratio,
+       round(sum_len / n_tok, 6) AS mean_tok_len,
+       round((n_dist / n_tok) * 2.0 - (n_stop / n_tok) * 3.0 + n_tok * 0.002, 6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def token_count(spark, sf):
+    """Token counting: whitespace tokens, alnum-run tokens (BPE-ish regex
+    pre-tokenizer), and characters. Stays entirely in whole-stage codegen."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").alias("ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long").alias("alnum_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS alnum_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark, sf):
+    """Winnowing-style document fingerprint: min & max sha256 over word
+    5-gram shingles (window = whole doc; the per-window generalization is
+    the same groupBy with a window id). 16-hex prefix keeps it join-friendly."""
+    k = 5
+    d = _with_shingles(_docs(spark, sf), k=k).select("doc_id", F.explode("sh").alias("s"))
+    h = F.substring(F.sha2(F.col("s"), 256), 1, 16)
+    return (
+        d.groupBy("doc_id")
+        .agg(F.min(h).alias("fp_min"), F.max(h).alias("fp_max"), F.count("*").alias("n_grams"))
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS g(i)
+)
+SELECT doc_id, min(substr(sha256(s), 1, 16)) AS fp_min,
+       max(substr(sha256(s), 1, 16)) AS fp_max,
+       count(*) AS n_grams
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------------- multimodal
+
+MM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("header_byte", T.IntegerType(), False),
+        T.StructField("est_frames", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+    ]
+)
+
+
+def _decode_media_batch(payloads: list[bytes]) -> list[tuple[int, int, int, int]]:
+    """Deterministic fake decoder. A real deployment swaps this for
+    PIL/av/librosa over the same binary column; those libs are absent in
+    this container, so the decode is a documented deterministic stand-in
+    (the Spark-side plumbing — binary column, Arrow batches, schema — is
+    the real thing)."""
+    try:  # pragma: no cover - real decoder path, lib not installed here
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real image decode not wired in this sandbox")
+    except ImportError:
+        pass
+    out = []
+    for p in payloads:
+        n = len(p)
+        out.append((n, p[0] if n else 0, n // 256 + 1, 1 + (n % 640)))
+    return out
+
+
+def _mm_map(iterator):
+    for pdf in iterator:
+        decoded = _decode_media_batch([bytes(x) for x in pdf["payload"]])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [d[0] for d in decoded],
+                "header_byte": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "est_frames": [d[2] for d in decoded],
+                "width": pd.Series([d[3] for d in decoded], dtype="int32"),
+            }
+        )
+
+
+def multimodal_decode(spark, sf):
+    """Multimodal plumbing: treat content as an opaque binary payload column
+    and run a decode/feature-extract stage as Arrow-batched mapInPandas.
+    Partitioning, schema, and batch shape are production-real; the decode
+    itself is a deterministic stub (see _decode_media_batch)."""
+    d = _docs(spark, sf).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return d.mapInPandas(_mm_map, schema=MM_SCHEMA).orderBy("doc_id")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS header_byte,
+       CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS est_frames,
+       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------- graph / events
+
+def graph_bfs(spark, sf):
+    """BFS over the event-type transition graph (ShortestPathStream analog,
+    solr/solrj/.../io/graph/ShortestPathStream.java:55): edges = consecutive
+    events per user; min-hop distance from 'error' up to 3 hops via
+    iterated joins — each iteration is one broadcast-able join, the frontier
+    never leaves the cluster."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    edges = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+        .distinct()
+    )
+    frontier = spark.createDataFrame([("error", 0)], "node string, d int")
+    reached = frontier
+    for _ in range(3):
+        step = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            .distinct()
+        )
+        reached = reached.unionByName(step)
+        frontier = step
+    return (
+        reached.groupBy("node").agg(F.min("d").cast("int").alias("hops")).orderBy("node")
+    )
+
+
+GRAPH_BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT event_type AS src, dst FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+),
+r(node, d) AS (
+  SELECT 'error', 0
+  UNION ALL
+  SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.d < 3
+)
+SELECT node, CAST(min(d) AS INTEGER) AS hops FROM r GROUP BY node ORDER BY node
+"""
+
+
+def sessionize(spark, sf):
+    """Sessionization: a new session starts after a >30-minute gap per user
+    (stateful streaming's session window, expressed as the batch prefix-sum
+    idiom: lag -> gap flag -> cumulative sum = session id)."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # integer microseconds: exact, and any tz interpretation offset cancels
+    # in the lag difference (oracle uses epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "sess_id", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("sess_id") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+OPS: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_bag_of_words": (dedup_bag_of_words, DEDUP_BAG_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_BRUTE_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
+    "graph_bfs": (graph_bfs, GRAPH_BFS_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+}

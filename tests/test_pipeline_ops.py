@@ -1,0 +1,71 @@
+"""Training-data pipeline ops vs their DuckDB oracles at sf0.001.
+
+Mirrors the driver's correctness gate (row count + sorted-column value
+equality) for a fast representative subset; tools/check_oracle_parity.py
+covers the full set at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from lucene_solr_spark.ops.pipeline import OPS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "graph_bfs",
+    "sessionize",
+]
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out), [cols[i].lower() for i in order]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_pipeline_op_matches_oracle(spark, duck, name):
+    fn, sql = OPS[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    sn, sc = _normalize(srows, sdf.columns)
+    on, oc = _normalize(orows, ocols)
+    assert sc == oc
+    assert len(sn) == len(on)
+    assert sn == on
