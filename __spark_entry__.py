@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from lucene_solr_spark.index.builder import build_index
-from lucene_solr_spark.ops.bm25_sql import bm25_topk_sql
+from lucene_solr_spark.ops.bm25_sql import (
+    bm25_boolean_sql,
+    bm25_dismax_sql,
+    bm25_phrase_sql,
+    bm25_topk_sql,
+)
 from lucene_solr_spark.ops.pipeline import OPS as PIPELINE_OPS
 from lucene_solr_spark.ops.relational import OPS as RELATIONAL_OPS
 from lucene_solr_spark.search.engine import IndexSearcher
@@ -34,6 +39,18 @@ BM25_QUERIES = [
     ("bm25_rare_hot", "dup join", "or"),  # rare + stopword-scale term (WAND stressor)
     ("bm25_dup_clause", "spark spark vector", "or"),  # duplicate SHOULD clauses
 ]
+
+# name -> kwargs for IndexSearcher.topk_boolean / bm25_boolean_sql
+BOOL_QUERIES = {
+    "bm25_must_not": dict(must="merge sort", must_not="dup"),
+    "bm25_msm": dict(should="spark vector dup", min_should_match=2),
+    "bm25_must_should": dict(must="merge", should="fast sort"),
+}
+DISMAX_QUERIES = {"bm25_dismax": ("fast merge sort", 0.1)}
+PHRASE_QUERIES = {
+    "bm25_phrase": "fast merge",
+    "bm25_phrase_gap": "merge the sort",  # stop-filter position gap preserved
+}
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
@@ -62,14 +79,37 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def _ranked(hits: DataFrame) -> DataFrame:
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return hits.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "rank"
+    )
+
+
 def _bm25_query_fn(query: str, mode: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        s = _searcher(spark, sf_dir)
-        hits = s.topk(query, k=10, mode=mode)
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        return hits.withColumn("rank", F.row_number().over(w).cast("int")).select(
-            "doc_id", "rank"
-        )
+        return _ranked(_searcher(spark, sf_dir).topk(query, k=10, mode=mode))
+
+    return run
+
+
+def _bool_query_fn(kwargs: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_boolean(k=10, **kwargs))
+
+    return run
+
+
+def _dismax_query_fn(query: str, tiebreak: float) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_dismax(query, k=10, tiebreak=tiebreak))
+
+    return run
+
+
+def _phrase_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_phrase(query, k=10))
 
     return run
 
@@ -86,6 +126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q, mode in BM25_QUERIES:
         out[name] = _bm25_query_fn(q, mode)
+    for name, kwargs in BOOL_QUERIES.items():
+        out[name] = _bool_query_fn(kwargs)
+    for name, (q, tb) in DISMAX_QUERIES.items():
+        out[name] = _dismax_query_fn(q, tb)
+    for name, q in PHRASE_QUERIES.items():
+        out[name] = _phrase_query_fn(q)
     for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
@@ -95,6 +141,12 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, q, mode in BM25_QUERIES:
         out[name] = bm25_topk_sql(q, k=10, mode=mode)
+    for name, kwargs in BOOL_QUERIES.items():
+        out[name] = bm25_boolean_sql(k=10, **kwargs)
+    for name, (q, tb) in DISMAX_QUERIES.items():
+        out[name] = bm25_dismax_sql(q, k=10, tiebreak=tb)
+    for name, q in PHRASE_QUERIES.items():
+        out[name] = bm25_phrase_sql(q, k=10)
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql

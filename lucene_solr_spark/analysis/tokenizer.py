@@ -75,6 +75,24 @@ def analyze(text: str) -> list[str]:
     ]
 
 
+def analyze_with_positions(text: str) -> tuple[dict[str, list[int]], int]:
+    """-> (term -> ascending position list, field_len).
+
+    Positions are indices in the post-tokenizer stream (0-based); stop-filter
+    removals leave gaps (FilteringTokenFilter.java:50-58 bumps the position
+    increment), so phrase adjacency is position+1 over the ORIGINAL stream.
+    field_len counts only surviving tokens (norms discount stopwords)."""
+    pos: dict[str, list[int]] = {}
+    flen = 0
+    for i, t in enumerate(tokenize(text)):
+        lt = _java_lower(t)
+        if lt in ENGLISH_STOP_WORDS:
+            continue
+        pos.setdefault(lt, []).append(i)
+        flen += 1
+    return pos, flen
+
+
 def analyze_to_counts(text: str) -> tuple[dict[str, int], int]:
     """-> (term -> tf map, field_len). One pass, used by build + oracle."""
     toks = analyze(text)

@@ -52,6 +52,7 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.BLOCK_SIZE analog
 DEFAULT_RANGE_SIZE = 8192  # docs per range bucket (merge salt + query partition)
 DEFAULT_TERM_BUCKETS = 16  # output file partitions by term hash
 N_LAYOUT_BUCKETS = 64  # fixed layout constant for doc_id assignment
+INDEX_SCHEMA_VERSION = 2  # v2: positions stream (DOCS_AND_FREQS_AND_POSITIONS)
 
 
 FRAGMENT_SCHEMA = T.StructType(
@@ -67,6 +68,7 @@ FRAGMENT_SCHEMA = T.StructType(
         T.StructField("docs_buf", T.BinaryType(), False),
         T.StructField("tfs_buf", T.BinaryType(), False),
         T.StructField("norms_buf", T.BinaryType(), False),
+        T.StructField("pos_buf", T.BinaryType(), False),
         T.StructField("seg_id", T.IntegerType(), False),
     ]
 )
@@ -85,6 +87,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("docs_buf", T.BinaryType(), False),
         T.StructField("tfs_buf", T.BinaryType(), False),
         T.StructField("norms_buf", T.BinaryType(), False),
+        T.StructField("pos_buf", T.BinaryType(), False),
     ]
 )
 
@@ -121,6 +124,7 @@ def _write_manifest(paths: IndexPaths, stage: str, payload: dict) -> None:
     os.makedirs(paths.manifest_dir, exist_ok=True)
     payload = dict(payload)
     payload["stage"] = stage
+    payload["schema"] = INDEX_SCHEMA_VERSION
     payload["generation"] = int(time.time() * 1000)
     with open(paths.manifest(stage), "w") as f:
         json.dump(payload, f, indent=2, default=str)
@@ -128,13 +132,18 @@ def _write_manifest(paths: IndexPaths, stage: str, payload: dict) -> None:
 
 def _stage_done(paths: IndexPaths, stage: str, fingerprint: str) -> bool:
     """Checkpoint-resume: a stage is skipped iff its manifest exists and was
-    written for the same input fingerprint (segments_N generation analog)."""
+    written for the same input fingerprint (segments_N generation analog)
+    AND the same index schema version (format migrations force rebuild)."""
     p = paths.manifest(stage)
     if not os.path.exists(p):
         return False
     try:
         with open(p) as f:
-            return json.load(f).get("fingerprint") == fingerprint
+            m = json.load(f)
+        return (
+            m.get("fingerprint") == fingerprint
+            and m.get("schema") == INDEX_SCHEMA_VERSION
+        )
     except (json.JSONDecodeError, OSError):
         return False
 
@@ -211,42 +220,66 @@ def _make_fragments_fn(content_col: str, range_size: int):
     def fragments(iterator):
         """DWPT analog: accumulate the whole Spark partition's postings in
         memory (the partition is the RAM budget, cf. FlushByRamOrCountsPolicy),
-        then flush sorted fragments split at doc-range boundaries."""
+        then flush sorted fragments split at doc-range boundaries.
+
+        Positions stream: per (term, doc) the ascending token positions are
+        delta-encoded (first absolute) and concatenated in doc order; tf is
+        the per-doc run length, so the stream splits losslessly at any doc
+        boundary (Lucene .pos file analog, Lucene50PostingsWriter.java:323)."""
         from pyspark import TaskContext
 
+        from ..analysis.tokenizer import analyze_with_positions
+
         seg_id = TaskContext.get().partitionId() if TaskContext.get() else -1
-        acc: dict[str, list[list[int]]] = {}
+        acc: dict[str, list[list]] = {}
         for pdf in iterator:
-            counts, lens = analyze_batch(pdf[content_col].fillna("").tolist())
-            norms = encode_norm(lens)
+            texts = pdf[content_col].fillna("").tolist()
             doc_ids = pdf["doc_id"].to_numpy()
-            for i, cmap in enumerate(counts):
+            flens = np.empty(len(texts), dtype=np.int32)
+            pos_maps = []
+            for i, text in enumerate(texts):
+                pm, fl = analyze_with_positions(text if isinstance(text, str) else "")
+                pos_maps.append(pm)
+                flens[i] = fl
+            norms = encode_norm(flens)
+            for i, pm in enumerate(pos_maps):
                 d = int(doc_ids[i])
                 nb = int(norms[i])
-                for term, tf in cmap.items():
+                for term, plist in pm.items():
                     lst = acc.get(term)
                     if lst is None:
-                        lst = acc[term] = [[], [], []]
+                        lst = acc[term] = [[], [], [], []]
                     lst[0].append(d)
-                    lst[1].append(tf)
+                    lst[1].append(len(plist))
                     lst[2].append(nb)
+                    lst[3].append(plist)
         rows = []
-        for term, (ds, tfs, nbs) in acc.items():
+        for term, (ds, tfs, nbs, poss) in acc.items():
             d = np.asarray(ds, dtype=np.int64)
             order = np.argsort(d, kind="mergesort")
             d = d[order]
             tf = np.asarray(tfs, dtype=np.int64)[order]
             nb = np.asarray(nbs, dtype=np.uint8)[order]
+            pos_sorted = [poss[j] for j in order]
             ranges = d // range_size
             # contiguous runs per range (d is sorted)
             cut = np.flatnonzero(np.diff(ranges)) + 1
-            for part_d, part_tf, part_nb, rid in zip(
-                np.split(d, cut), np.split(tf, cut), np.split(nb, cut), ranges[np.concatenate(([0], cut))]
-            ):
+            bounds = np.concatenate(([0], cut, [d.size]))
+            for bi in range(len(bounds) - 1):
+                lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+                part_d, part_tf, part_nb = d[lo:hi], tf[lo:hi], nb[lo:hi]
+                # per-doc deltas with the FIRST position absolute (unlike doc
+                # deltas, there is no per-doc metadata slot to carry it)
+                pos_vals = np.concatenate(
+                    [
+                        np.diff(np.asarray(p, dtype=np.uint64), prepend=np.uint64(0))
+                        for p in pos_sorted[lo:hi]
+                    ]
+                )
                 rows.append(
                     (
                         term,
-                        int(rid),
+                        int(ranges[lo]),
                         int(part_d[0]),
                         int(part_d[-1]),
                         int(part_d.size),
@@ -256,6 +289,7 @@ def _make_fragments_fn(content_col: str, range_size: int):
                         vbyte_encode(delta_encode(part_d.astype(np.uint64))),
                         vbyte_encode(part_tf.astype(np.uint64)),
                         part_nb.tobytes(),
+                        vbyte_encode(pos_vals),
                         seg_id,
                     )
                 )
@@ -283,11 +317,17 @@ def _merge_fragments_fn():
         d = np.concatenate(docs_parts).astype(np.int64)
         tf = np.concatenate(tf_parts).astype(np.int64)
         nb = np.concatenate(nb_parts)
+        # positions: per-doc delta runs are doc-local, so the merged stream is
+        # just the fragment streams concatenated in the same doc order
+        pos_vals = np.concatenate([vbyte_decode(b) for b in pdf["pos_buf"]])
+        pos_bounds = np.concatenate(([0], np.cumsum(tf)))
         out = []
         for b0 in range(0, d.size, BLOCK_SIZE):
-            bd = d[b0 : b0 + BLOCK_SIZE]
-            btf = tf[b0 : b0 + BLOCK_SIZE]
-            bnb = nb[b0 : b0 + BLOCK_SIZE]
+            b1 = min(b0 + BLOCK_SIZE, d.size)
+            bd = d[b0:b1]
+            btf = tf[b0:b1]
+            bnb = nb[b0:b1]
+            bpos = pos_vals[pos_bounds[b0] : pos_bounds[b1]]
             out.append(
                 (
                     term,
@@ -302,6 +342,7 @@ def _merge_fragments_fn():
                     vbyte_encode(delta_encode(bd.astype(np.uint64))),
                     vbyte_encode(btf.astype(np.uint64)),
                     bnb.tobytes(),
+                    vbyte_encode(bpos.astype(np.uint64)),
                 )
             )
         return pd.DataFrame(out, columns=[f.name for f in BLOCK_SCHEMA.fields])

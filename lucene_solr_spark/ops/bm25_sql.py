@@ -53,6 +53,213 @@ def stoplist_sql() -> str:
     return "(" + ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
 
 
+def bm25_boolean_sql(
+    should: str = "",
+    must: str = "",
+    must_not: str = "",
+    min_should_match: int = 0,
+    k: int = 10,
+) -> str:
+    """BooleanQuery MUST/SHOULD/MUST_NOT/minimumNumberShouldMatch as one
+    SQL string over `documents(doc_id, text)` -> (doc_id, rank).
+
+    Semantics mirror BooleanWeight.java:375-533: all MUST terms required;
+    if no MUST clauses, >= max(1, msm) distinct SHOULD terms required, else
+    >= msm; MUST_NOT excludes without scoring; score = sum over matching
+    MUST+SHOULD clauses."""
+    should_t = analyze(should)
+    must_t = analyze(must)
+    not_t = sorted(set(analyze(must_not)))
+    scoring = should_t + must_t
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    uniq = sorted(set(scoring))
+    clause = {t: scoring.count(t) for t in uniq}
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    clause_vals = ",".join(f"('{t}',{c})" for t, c in clause.items())
+    must_u = sorted(set(must_t))
+    should_u = sorted(set(should_t))
+    msm_req = max(min_should_match, 0 if must_t else 1)
+    having = []
+    if must_u:
+        must_in = ",".join(f"'{t}'" for t in must_u)
+        having.append(
+            f"count(DISTINCT CASE WHEN tf.term IN ({must_in}) THEN tf.term END) = {len(must_u)}"
+        )
+    if msm_req > 0 and should_u:
+        should_in = ",".join(f"'{t}'" for t in should_u)
+        having.append(
+            f"count(DISTINCT CASE WHEN tf.term IN ({should_in}) THEN tf.term END) >= {msm_req}"
+        )
+    having_sql = ("HAVING " + " AND ".join(having)) if having else ""
+    excl = ""
+    if not_t:
+        not_in = ",".join(f"'{t}'" for t in not_t)
+        excl = f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ({not_in}))"
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1) * c.clause_n
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN clauses c USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  WHERE 1=1 {excl}
+  GROUP BY tf.doc_id
+  {having_sql}
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_dismax_sql(query: str, k: int = 10, tiebreak: float = 0.0) -> str:
+    """DisjunctionMaxQuery: score = max clause + tiebreak * (sum - max)
+    (DisjunctionMaxScorer). Rank-only output."""
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+per_clause AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+         * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS s
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, max(s) + {tiebreak} * (sum(s) - max(s)) AS score
+  FROM per_clause GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_phrase_sql(query: str, k: int = 10) -> str:
+    """Exact PhraseQuery (position gaps from stop removal preserved):
+    pf = aligned-position count; weight = (sum of term idfs) * (k1+1)
+    (PhraseWeight); score = weight * pf / (pf + k1*((1-b)+b*dl/avgdl))."""
+    from ..search.engine import phrase_spec
+
+    phrase = phrase_spec(query).phrase
+    if not phrase:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    uniq = sorted({t for t, _ in phrase})
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    # chained positional self-joins: p{i}.pos = p0.pos + off_i
+    t0, off0 = phrase[0]
+    joins = []
+    for i, (t, off) in enumerate(phrase[1:], start=1):
+        joins.append(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {off - off0} AND p{i}.term = '{t}'"
+        )
+    join_sql = "\n  ".join(joins)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, t[pos] AS term, pos
+  FROM toks, unnest(generate_series(1, len(t))) AS g(pos)
+  WHERE t[pos] NOT IN {stoplist_sql()}
+),
+tok AS (SELECT doc_id, term FROM tokpos),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+dfs AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats s
+),
+pf AS (
+  SELECT p0.doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM tokpos p0
+  {join_sql}
+  WHERE p0.term = '{t0}'
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         i.w * ({K1} + 1) * pf.pf
+         / (pf.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS score
+  FROM pf
+  JOIN dl ON pf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  CROSS JOIN idfsum i
+  WHERE pf.pf > 0
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(query: str, k: int = 10, mode: str = "or") -> str:
     """Full BM25 top-k as one SQL string over `documents(doc_id, text)`.
 

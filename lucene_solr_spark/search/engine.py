@@ -15,21 +15,32 @@ per-leaf scorer -> TopScoreDocCollector -> TopDocs.merge; SURVEY.md §3.1):
  5. global merge: ORDER BY score DESC, doc_id ASC LIMIT k (TopDocs.merge
     tie-break; docIDs are globally dense so partition order == docID order).
 
+Boolean semantics (BooleanWeight.java:375-533; BooleanScorer/ConjunctionDISI/
+ReqExclScorer/MinShouldMatchSumScorer):
+  * MUST terms all required (conjunction); SHOULD optional but if there are
+    no MUST clauses at least max(1, minimumNumberShouldMatch) SHOULD terms
+    must match; MUST_NOT excludes and never scores (ReqExclScorer).
+  * score = double sum of matching clause float scores, cast to float32
+    (DisjunctionSumScorer.java:40-46); duplicate clauses score repeatedly.
+  * DisjunctionMax: max + tiebreak * (sum - max) (DisjunctionMaxScorer).
+  * PhraseQuery: conjunction on docs, then position-list alignment
+    (ExactPhraseScorer.java:27-110); tf := phrase frequency; weight uses
+    the SUM of the terms' idfs (PhraseWeight via Similarity.computeWeight
+    with all TermStatistics).
+
 Block-max pruning (our extension; results MUST be identical):
-  * AND: a range lacking any required term short-circuits to empty; within a
-    range, blocks that don't overlap the rarest term's doc span are skipped
-    before decode (ConjunctionDISI cost-ordered leapfrog analog).
-  * single-term/OR: per-range upper bound = sum over terms of the best block
-    bound (score increases in tf and norm_byte, so weightValue *
-    max_tf/(max_tf + k1*(1-b)) over-estimates every posting). A first wave
-    over the best-bounded ranges establishes the global threshold theta (one
-    scalar to the driver); ranges bounded <= theta are never scored
-    (block-max WAND at range granularity).
+  * MUST/phrase: a range lacking any required term short-circuits to empty;
+    within a range, blocks outside the rarest required term's doc span are
+    skipped before decode (ConjunctionDISI cost-ordered leapfrog analog).
+  * pure-OR: per-range upper bound = sum of best block bounds; a first wave
+    over the best-bounded ranges establishes threshold theta; ranges
+    bounded <= theta are never scored (block-max WAND at range granularity).
 """
 
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -37,10 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis.tokenizer import analyze
+from ..analysis.tokenizer import analyze, analyze_with_positions
 from ..index.builder import DEFAULT_TERM_BUCKETS, IndexPaths
 from ..index.codec import delta_decode, vbyte_decode
-from .bm25 import B, K1, avgdl_f32, make_term_weight, norm_cache
+from .bm25 import B, K1, avgdl_f32, idf_f32, make_term_weight, norm_cache
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -52,6 +63,42 @@ TOPK_SCHEMA = T.StructType(
 _EMPTY = pd.DataFrame(
     {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float32")}
 )
+
+
+@dataclass(frozen=True)
+class BooleanSpec:
+    """Normalized boolean query (BooleanQuery.Builder analog). Term lists
+    are analyzed terms; duplicates in `should` are duplicate clauses."""
+
+    should: tuple[str, ...] = ()
+    must: tuple[str, ...] = ()
+    must_not: tuple[str, ...] = ()
+    min_should_match: int = 0
+    dismax: bool = False  # score SHOULD clauses as DisjunctionMax
+    tiebreak: float = 0.0
+    phrase: tuple[tuple[str, int], ...] = ()  # [(term, position offset)]
+
+    @property
+    def scoring_terms(self) -> tuple[str, ...]:
+        return tuple(self.should) + tuple(self.must) + tuple(t for t, _ in self.phrase)
+
+    @property
+    def all_terms(self) -> tuple[str, ...]:
+        return self.scoring_terms + tuple(self.must_not)
+
+
+def phrase_spec(query: str) -> BooleanSpec:
+    """Analyze a phrase query preserving position gaps left by the stop
+    filter (QueryParser builds PhraseQuery with analysis positions)."""
+    pos_map, _ = analyze_with_positions(query)
+    pairs = sorted(
+        ((term, p) for term, plist in pos_map.items() for p in plist),
+        key=lambda x: x[1],
+    )
+    if not pairs:
+        return BooleanSpec()
+    base = pairs[0][1]
+    return BooleanSpec(phrase=tuple((t, p - base) for t, p in pairs))
 
 
 class IndexSearcher:
@@ -97,34 +144,54 @@ class IndexSearcher:
         bucket_ids = [r["b"] for r in bucket_rows]
         return self._postings.filter(F.col("bucket").isin(bucket_ids) & F.col("term").isin(uniq))
 
-    # ---------------- top-k ----------------
+    # ---------------- top-k entry points ----------------
 
-    def topk(
-        self,
-        query: str,
-        k: int = 10,
-        mode: str = "or",
-        prune: bool = True,
-        first_wave_ranges: int = 8,
-    ) -> DataFrame:
+    def topk(self, query: str, k: int = 10, mode: str = "or", prune: bool = True,
+             first_wave_ranges: int = 8) -> DataFrame:
+        terms = tuple(analyze(query))
+        spec = BooleanSpec(must=terms) if mode == "and" else BooleanSpec(should=terms)
+        return self.topk_spec(spec, k=k, prune=prune, first_wave_ranges=first_wave_ranges)
+
+    def topk_boolean(self, *, should: str = "", must: str = "", must_not: str = "",
+                     min_should_match: int = 0, k: int = 10) -> DataFrame:
+        spec = BooleanSpec(
+            should=tuple(analyze(should)),
+            must=tuple(analyze(must)),
+            must_not=tuple(analyze(must_not)),
+            min_should_match=min_should_match,
+        )
+        return self.topk_spec(spec, k=k)
+
+    def topk_dismax(self, query: str, k: int = 10, tiebreak: float = 0.0) -> DataFrame:
+        spec = BooleanSpec(should=tuple(analyze(query)), dismax=True, tiebreak=tiebreak)
+        return self.topk_spec(spec, k=k, prune=False)
+
+    def topk_phrase(self, query: str, k: int = 10) -> DataFrame:
+        return self.topk_spec(phrase_spec(query), k=k)
+
+    def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool = True,
+                  first_wave_ranges: int = 8) -> DataFrame:
         """-> DataFrame(doc_id long, score float): k best rows ordered
         score DESC, doc_id ASC (HitQueue/TopDocs.merge tie-break)."""
-        terms = analyze(query)
-        if not terms:
+        if not spec.scoring_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        weights = self.term_weights(terms)
-        if mode == "and" and any(weights[t]["df"] == 0 for t in set(terms)):
+        weights = self.term_weights(list(spec.all_terms))
+        required = set(spec.must) | {t for t, _ in spec.phrase}
+        if any(weights[t]["df"] == 0 for t in required):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        present = [t for t in terms if weights[t]["df"] > 0]
-        if not present:
+        # absent SHOULD/NOT terms are dropped (rewrite-to-fixpoint analog)
+        present = [t for t in set(spec.all_terms) if weights[t]["df"] > 0]
+        if not any(t in present for t in spec.scoring_terms):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
         blocks = self._blocks_for(present)
-        score_fn = _make_range_scorer(
-            terms=present, weights=weights, avgdl=float(self.avgdl), mode=mode, k=k
-        )
+        score_fn = _make_range_scorer(spec, weights, float(self.avgdl), self.doc_count, k)
 
-        if prune and mode != "and":
+        pure_or = (
+            not spec.must and not spec.must_not and not spec.phrase
+            and not spec.dismax and spec.min_should_match <= 1
+        )
+        if prune and pure_or:
             result = self._wand_pruned(blocks, score_fn, weights, k, first_wave_ranges)
         else:
             result = blocks.groupBy("range_id").applyInPandas(score_fn, schema=TOPK_SCHEMA)
@@ -191,69 +258,178 @@ class IndexSearcher:
         return wave1_df.unionByName(wave2)
 
 
-def _make_range_scorer(terms: list[str], weights: dict, avgdl: float, mode: str, k: int):
+def _decode_group(g: pd.DataFrame, need_pos: bool):
+    """Decode one term's blocks (sorted by block_no) within a range."""
+    docs_l, tf_l, nb_l, pos_l = [], [], [], []
+    for _, row in g.iterrows():
+        docs_l.append(delta_decode(vbyte_decode(row["docs_buf"]), int(row["first_doc"])))
+        tf_l.append(vbyte_decode(row["tfs_buf"]))
+        nb_l.append(np.frombuffer(row["norms_buf"], dtype=np.uint8))
+        if need_pos:
+            pos_l.append(vbyte_decode(row["pos_buf"]))
+    d = np.concatenate(docs_l).astype(np.int64)
+    tf = np.concatenate(tf_l).astype(np.int64)
+    nb = np.concatenate(nb_l)
+    pos = np.concatenate(pos_l) if need_pos else None
+    return d, tf, nb, pos
+
+
+def _phrase_freqs(per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray) -> np.ndarray:
+    """Exact phrase frequency per candidate doc (ExactPhraseScorer analog):
+    lead = first phrase term; pf(doc) = |{p in pos0 : p + off_i in pos_i ∀i}|."""
+    # per-doc position slices: doc -> positions (absolute, decoded from
+    # doc-local delta runs split by tf)
+    def doc_pos(t: str) -> dict[int, np.ndarray]:
+        d, tf, _nb, pos = per_term[t]
+        out = {}
+        bounds = np.concatenate(([0], np.cumsum(tf)))
+        for i in range(d.size):
+            raw = pos[bounds[i] : bounds[i + 1]]
+            out[int(d[i])] = np.cumsum(raw)  # delta (first absolute) -> absolute
+        return out
+
+    maps = {t: doc_pos(t) for t, _ in phrase}
+    (t0, off0) = phrase[0]
+    pf = np.zeros(cand.size, dtype=np.int64)
+    for ci, doc in enumerate(cand):
+        match = maps[t0][int(doc)] - off0
+        for t, off in phrase[1:]:
+            p = maps[t].get(int(doc))
+            if p is None:
+                match = match[:0]
+                break
+            match = match[np.isin(match, p - off, assume_unique=True)]
+            if match.size == 0:
+                break
+        pf[ci] = match.size
+    return pf
+
+
+def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int, k: int):
     """Per-(doc-range) scorer for applyInPandas. One group == one 'segment'."""
-    uniq_terms = sorted(set(terms))
-    clause_count = {t: terms.count(t) for t in uniq_terms}
-    dfs = {t: weights[t]["df"] for t in uniq_terms}
-    wvs = {t: np.float32(weights[t]["weight_value"]) for t in uniq_terms}
+    should_terms = sorted({t for t in spec.should if weights[t]["df"] > 0})
+    should_count = {t: spec.should.count(t) for t in should_terms}
+    must_terms = sorted(set(spec.must))
+    must_count = {t: spec.must.count(t) for t in must_terms}
+    not_terms = sorted({t for t in spec.must_not if weights[t]["df"] > 0})
+    phrase = spec.phrase
+    phrase_terms = sorted({t for t, _ in phrase})
+    required = sorted(set(must_terms) | set(phrase_terms))
+    msm = max(spec.min_should_match, 0 if (must_terms or phrase) else 1)
+    dfs = {t: weights[t]["df"] for t in weights}
+    wvs = {t: np.float32(weights[t]["weight_value"]) for t in weights}
     cache = norm_cache(np.float32(avgdl))  # identical to the global 256-float cache
+    if phrase:
+        # PhraseWeight: one weight from summed term idfs
+        idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in phrase_terms))
+        phrase_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         present = set(pdf["term"])
-        if mode == "and" and len(present) < len(uniq_terms):
+        if any(t not in present for t in required):
+            return _EMPTY
+        if not any(t in present for t in should_terms) and not required:
             return _EMPTY
 
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
 
         lead_span = None
-        if mode == "and":
-            lead = min(uniq_terms, key=lambda t: dfs[t])
+        if required:
+            lead = min(required, key=lambda t: dfs[t])
             g = groups[lead]
             lead_span = (int(g["first_doc"].min()), int(g["last_doc"].max()))
 
-        per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t in uniq_terms:
-            g = groups.get(t)
-            if g is None:
-                continue
-            g = g.sort_values("block_no", kind="mergesort")
-            if lead_span is not None:
+        per_term = {}
+        for t in sorted(present):
+            g = groups[t].sort_values("block_no", kind="mergesort")
+            if lead_span is not None and t not in phrase_terms:
+                # block skip outside the lead's span (phrase terms keep all
+                # blocks: position streams must stay doc-aligned per decode)
                 m = (g["last_doc"] >= lead_span[0]) & (g["first_doc"] <= lead_span[1])
                 g = g[m]
                 if g.empty:
-                    return _EMPTY
-            docs_l, tf_l, nb_l = [], [], []
-            for fd, db, tb, nb_ in zip(g["first_doc"], g["docs_buf"], g["tfs_buf"], g["norms_buf"]):
-                docs_l.append(delta_decode(vbyte_decode(db), int(fd)))
-                tf_l.append(vbyte_decode(tb))
-                nb_l.append(np.frombuffer(nb_, dtype=np.uint8))
-            per_term[t] = (
-                np.concatenate(docs_l).astype(np.int64),
-                np.concatenate(tf_l).astype(np.int64),
-                np.concatenate(nb_l),
-            )
+                    if t in required:
+                        return _EMPTY
+                    continue
+            per_term[t] = _decode_group(g, need_pos=t in phrase_terms)
 
         if not per_term:
             return _EMPTY
+        for t in required:
+            if t not in per_term:
+                return _EMPTY
 
-        base = min(int(d[0][0]) for d in per_term.values())
-        top = max(int(d[0][-1]) for d in per_term.values())
+        base = min(int(v[0][0]) for v in per_term.values())
+        top = max(int(v[0][-1]) for v in per_term.values())
         width = top - base + 1
         acc = np.zeros(width, dtype=np.float64)  # double clause sum (DisjunctionSumScorer)
-        hit_count = np.zeros(width, dtype=np.int32)
-        for t, (d, tf, nb) in per_term.items():
-            freq = tf.astype(np.float32)
-            s = (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
-            idxs = d - base
-            acc[idxs] += s.astype(np.float64) * clause_count[t]
-            hit_count[idxs] += 1
+        mx = np.zeros(width, dtype=np.float64) if spec.dismax else None
+        should_hits = np.zeros(width, dtype=np.int32)
+        must_hits = np.zeros(width, dtype=np.int32)
+        excluded = np.zeros(width, dtype=bool)
 
-        mask = hit_count >= len(uniq_terms) if mode == "and" else hit_count > 0
+        for t, (d, tf, nb, _pos) in per_term.items():
+            idxs = d - base
+            if t in not_terms:
+                excluded[idxs] = True
+                if t not in should_count and t not in must_count:
+                    continue
+            n_clauses = should_count.get(t, 0) + must_count.get(t, 0)
+            if n_clauses > 0:
+                freq = tf.astype(np.float32)
+                s = (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
+                sd = s.astype(np.float64)
+                acc[idxs] += sd * n_clauses
+                if mx is not None:
+                    np.maximum.at(mx, idxs, sd)
+            if t in should_count:
+                should_hits[idxs] += 1
+            if t in must_count:
+                must_hits[idxs] += 1
+
+        mask = ~excluded
+        if must_terms:
+            mask &= must_hits >= len(must_terms)
+        if msm > 0:
+            mask &= should_hits >= msm
+
+        if phrase:
+            # conjunction on docs first (two-phase: cheap approximation),
+            # then position verify (expensive) on survivors only
+            phrase_docsets = [set(per_term[t][0].tolist()) for t in phrase_terms]
+            cand_set = set.intersection(*phrase_docsets)
+            cand_mask = np.zeros(width, dtype=bool)
+            if cand_set:
+                cidx = np.fromiter(cand_set, dtype=np.int64) - base
+                cand_mask[cidx] = True
+            mask &= cand_mask
+            cand = np.flatnonzero(mask) + base
+            if cand.size == 0:
+                return _EMPTY
+            pf = _phrase_freqs(per_term, phrase, cand)
+            keep = pf > 0
+            cand, pf = cand[keep], pf[keep]
+            if cand.size == 0:
+                return _EMPTY
+            # norms for phrase docs from any phrase term's stream
+            t0 = phrase_terms[0]
+            d0, _tf0, nb0, _ = per_term[t0]
+            nb_map = dict(zip(d0.tolist(), nb0.tolist()))
+            nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
+            freq = pf.astype(np.float32)
+            ps = (phrase_wv * freq / (freq + cache[nbv])).astype(np.float32)
+            acc[cand - base] += ps.astype(np.float64)
+            mask = np.zeros(width, dtype=bool)
+            mask[cand - base] = True
+
         idx = np.flatnonzero(mask)
         if idx.size == 0:
             return _EMPTY
-        sc = acc[idx].astype(np.float32)
+        if mx is not None:
+            tb = float(spec.tiebreak)
+            sc = (mx[idx] + tb * (acc[idx] - mx[idx])).astype(np.float32)
+        else:
+            sc = acc[idx].astype(np.float32)
         docs_out = idx + base
         order = np.lexsort((docs_out, -sc.astype(np.float64)))[:k]
         return pd.DataFrame(

@@ -19,8 +19,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..analysis.smallfloat import encode_norm
-from ..analysis.tokenizer import analyze, analyze_to_counts
-from .bm25 import avgdl_f32, combine_scores, make_term_weight
+from ..analysis.tokenizer import analyze, analyze_to_counts, analyze_with_positions
+from .bm25 import K1, avgdl_f32, combine_scores, idf_f32, make_term_weight
 
 
 @dataclass
@@ -28,6 +28,7 @@ class OracleIndex:
     doc_count: int = 0
     sum_ttf: int = 0
     postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {doc: tf}
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
     norm_bytes: dict[int, int] = field(default_factory=dict)  # doc -> norm byte
     field_len: dict[int, int] = field(default_factory=dict)
 
@@ -40,13 +41,14 @@ def build_oracle_index(docs: list[tuple[int, str]]) -> OracleIndex:
     """docs: [(doc_id, content)] with deterministic, dense-ish doc_ids."""
     idx = OracleIndex()
     for doc_id, content in docs:
-        counts, flen = analyze_to_counts(content or "")
+        pos_map, flen = analyze_with_positions(content or "")
         idx.doc_count += 1
         idx.sum_ttf += flen
         idx.field_len[doc_id] = flen
         idx.norm_bytes[doc_id] = int(encode_norm(np.array([flen]))[0])
-        for term, tf in counts.items():
-            idx.postings.setdefault(term, {})[doc_id] = tf
+        for term, plist in pos_map.items():
+            idx.postings.setdefault(term, {})[doc_id] = len(plist)
+            idx.positions.setdefault(term, {})[doc_id] = plist
     return idx
 
 
@@ -87,3 +89,77 @@ def oracle_topk(
     order = np.lexsort((docs, -scores.astype(np.float64)))
     top = order[:k]
     return [(int(docs[i]), np.float32(scores[i])) for i in top]
+
+
+def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.float32]]:
+    """Control for BooleanSpec queries (engine.BooleanSpec): MUST/SHOULD/
+    MUST_NOT/minShouldMatch, DisjunctionMax, exact PhraseQuery."""
+    should = [t for t in spec.should if t in idx.postings]
+    must = list(spec.must)
+    phrase = list(spec.phrase)
+    phrase_terms = sorted({t for t, _ in phrase})
+    required = sorted(set(must) | set(phrase_terms))
+    if any(t not in idx.postings for t in required):
+        return []
+    weights = {
+        t: make_term_weight(t, len(idx.postings.get(t, {})), idx.doc_count, idx.avgdl)
+        for t in set(should) | set(must) | set(phrase_terms)
+    }
+    # candidates
+    if required:
+        cand = set.intersection(*[set(idx.postings[t]) for t in required])
+    else:
+        cand = set.union(*[set(idx.postings[t]) for t in set(should)]) if should else set()
+    for t in set(spec.must_not):
+        cand -= set(idx.postings.get(t, {}))
+    msm = max(spec.min_should_match, 0 if required else 1)
+    if msm > 0:
+        cand = {
+            d for d in cand
+            if sum(1 for t in set(should) if d in idx.postings.get(t, {})) >= msm
+        }
+    if phrase:
+        pf_map = {}
+        for d in sorted(cand):
+            base_t, base_off = phrase[0]
+            match = [p - base_off for p in idx.positions[base_t].get(d, [])]
+            for t, off in phrase[1:]:
+                pset = {p - off for p in idx.positions[t].get(d, [])}
+                match = [p for p in match if p in pset]
+                if not match:
+                    break
+            if match:
+                pf_map[d] = len(match)
+        cand = set(pf_map)
+    if not cand:
+        return []
+    docs = np.array(sorted(cand), dtype=np.int64)
+    norm = np.array([idx.norm_bytes[d] for d in docs], dtype=np.uint8)
+    per_clause = []
+    for t in list(spec.should) + list(spec.must):  # duplicates = duplicate clauses
+        if t not in weights:
+            continue
+        post = idx.postings.get(t, {})
+        tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+        s = weights[t].score(tf, norm)
+        s[tf == 0] = np.float32(0.0)
+        per_clause.append(s)
+    if phrase:
+        idf_sum = np.float32(
+            sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in phrase_terms)
+        )
+        wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        cache = weights[phrase_terms[0]].cache
+        pf = np.array([pf_map[int(d)] for d in docs], dtype=np.float32)
+        per_clause.append((wv * pf / (pf + cache[norm])).astype(np.float32))
+    if not per_clause:
+        return []
+    if spec.dismax:
+        stack = np.stack(per_clause)
+        mx = stack.max(axis=0).astype(np.float64)
+        tot = stack.astype(np.float64).sum(axis=0)
+        scores = (mx + float(spec.tiebreak) * (tot - mx)).astype(np.float32)
+    else:
+        scores = combine_scores(per_clause)
+    order = np.lexsort((docs, -scores.astype(np.float64)))
+    return [(int(docs[i]), np.float32(scores[i])) for i in order[:k]]

@@ -1,0 +1,89 @@
+"""Boolean/dismax/phrase query engine vs the pure-Python control oracle
+(BaseDistributedSearchTestCase pattern), on the synthetic corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import make_corpus
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.search.engine import BooleanSpec, IndexSearcher, phrase_spec
+from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    pdf = make_corpus(N_DOCS, seed=7)
+    src = spark.createDataFrame(pdf)
+    out = os.path.join(tmp_root, "idx_bool")
+    paths = build_index(
+        spark, src, out_dir=out, content_col="content",
+        order_cols=["repo", "path", "commit"], meta_cols=["repo", "path"],
+        range_size=64, fingerprint="bool300v1",
+    )
+    searcher = IndexSearcher(spark, out)
+    docs = spark.read.parquet(paths.docs).select("doc_id", "repo", "path").collect()
+    key_to_id = {(r["repo"], r["path"]): r["doc_id"] for r in docs}
+    oidx = build_oracle_index(
+        [(key_to_id[(row.repo, row.path)], row.content) for row in pdf.itertuples()]
+    )
+    return searcher, oidx
+
+
+def _assert_identical(got, expected, ctx):
+    assert len(got) == len(expected), (ctx, got, expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed, (ctx, got, expected)
+        assert np.float32(gs) == es, (ctx, gd, gs, es)
+
+
+BOOL_CASES = [
+    BooleanSpec(must=("parse", "index"), must_not=("hotcommon",)),
+    BooleanSpec(should=("parse", "merge", "token"), min_should_match=2),
+    BooleanSpec(must=("parse",), should=("index", "merge")),
+    BooleanSpec(should=("hotcommon", "parse_30"), must_not=("merge",)),
+    BooleanSpec(must=("parse",), must_not=("parse",)),  # self-contradiction -> empty
+    BooleanSpec(should=("parse", "zzz_missing"), min_should_match=2),  # absent term
+]
+
+
+@pytest.mark.parametrize("spec", BOOL_CASES, ids=[str(i) for i in range(len(BOOL_CASES))])
+def test_boolean_rank_identity(built, spec):
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, spec)
+
+
+@pytest.mark.parametrize("tiebreak", [0.0, 0.3])
+def test_dismax_rank_identity(built, tiebreak):
+    searcher, oidx = built
+    spec = BooleanSpec(should=("parse", "index", "merge"), dismax=True, tiebreak=tiebreak)
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_dismax(
+        "parse index merge", k=10, tiebreak=tiebreak).collect()]
+    _assert_identical(got, expected, ("dismax", tiebreak))
+
+
+PHRASES = ["parse index", "index merge", "the parse index", "def class"]
+
+
+@pytest.mark.parametrize("q", PHRASES)
+def test_phrase_rank_identity(built, q):
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, phrase_spec(q), k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_phrase(q, k=10).collect()]
+    _assert_identical(got, expected, ("phrase", q))
+
+
+def test_phrase_with_filter(built):
+    """Mixed spec: phrase + MUST_NOT (two-phase + exclusion compose)."""
+    searcher, oidx = built
+    spec = phrase_spec("parse index")
+    spec = BooleanSpec(phrase=spec.phrase, must_not=("hotcommon",))
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, "phrase+not")
