@@ -62,17 +62,26 @@ def tokenize(text: str) -> list[str]:
     if not text:
         return []
     toks = TOKEN_RE.findall(text)
-    return [t for t in toks if len(t) <= MAX_TOKEN_LENGTH and _HAS_ALNUM_RE.search(t)]
+    # a pure '_' run is not an ALPHANUM/NUM segment (strip-check is a fast
+    # equivalent of searching for a non-underscore \w char inside a \w+ run)
+    return [t for t in toks if len(t) <= MAX_TOKEN_LENGTH and t.strip("_")]
+
+
+def _tokenize_lowered(text: str) -> list[str]:
+    """tokenize + lowercase in bulk: case never changes \\w token boundaries
+    (and 'İ' is pre-substituted), so lowering the whole text first is
+    equivalent to per-token _java_lower and much faster."""
+    if not text:
+        return []
+    toks = TOKEN_RE.findall(_java_lower(text))
+    return [t for t in toks if len(t) <= MAX_TOKEN_LENGTH and t.strip("_")]
 
 
 def analyze(text: str) -> list[str]:
     """Full chain: tokenize -> lowercase -> stop filter. Returns final tokens;
     len(result) is the field length used for norms."""
-    return [
-        lt
-        for t in tokenize(text)
-        if (lt := _java_lower(t)) not in ENGLISH_STOP_WORDS
-    ]
+    stop = ENGLISH_STOP_WORDS
+    return [t for t in _tokenize_lowered(text) if t not in stop]
 
 
 def analyze_with_positions(text: str) -> tuple[dict[str, list[int]], int]:
@@ -84,11 +93,15 @@ def analyze_with_positions(text: str) -> tuple[dict[str, list[int]], int]:
     field_len counts only surviving tokens (norms discount stopwords)."""
     pos: dict[str, list[int]] = {}
     flen = 0
-    for i, t in enumerate(tokenize(text)):
-        lt = _java_lower(t)
-        if lt in ENGLISH_STOP_WORDS:
+    stop = ENGLISH_STOP_WORDS
+    for i, t in enumerate(_tokenize_lowered(text)):
+        if t in stop:
             continue
-        pos.setdefault(lt, []).append(i)
+        lst = pos.get(t)
+        if lst is None:
+            pos[t] = [i]
+        else:
+            lst.append(i)
         flen += 1
     return pos, flen
 

@@ -183,21 +183,15 @@ def assign_doc_ids(
     )
 
 
-def _field_len_udf():
-    @F.pandas_udf(T.IntegerType())
-    def field_len(content: pd.Series) -> pd.Series:
+def _analysis_udf():
+    @F.pandas_udf("field_len int, norm_byte int")
+    def analysis(content: pd.Series) -> pd.DataFrame:
         _, lens = analyze_batch(content.fillna("").tolist())
-        return pd.Series(lens)
+        return pd.DataFrame(
+            {"field_len": lens, "norm_byte": encode_norm(lens).astype(np.int32)}
+        )
 
-    return field_len
-
-
-def _norm_byte_udf():
-    @F.pandas_udf(T.IntegerType())
-    def norm_byte(field_len: pd.Series) -> pd.Series:
-        return pd.Series(encode_norm(field_len.to_numpy()).astype(np.int32))
-
-    return norm_byte
+    return analysis
 
 
 def build_docs_table(
@@ -205,14 +199,16 @@ def build_docs_table(
 ) -> DataFrame:
     """docs: (doc_id, *meta, sha256, field_len, norm_byte).
 
-    sha256 stays JVM-side (F.sha2, whole-stage codegen); field_len/norm are
-    the analysis pandas UDF (the one unavoidable Python hot path)."""
+    sha256 stays JVM-side (F.sha2, whole-stage codegen); field_len/norm come
+    from ONE Arrow-batched analysis pandas UDF (the one unavoidable Python
+    hot path)."""
     return (
         df.select("doc_id", *meta_cols, F.col(content_col).alias("_content"))
         .withColumn("sha256", F.sha2(F.col("_content"), 256))
-        .withColumn("field_len", _field_len_udf()(F.col("_content")))
-        .withColumn("norm_byte", _norm_byte_udf()(F.col("field_len")))
-        .drop("_content")
+        .withColumn("_a", _analysis_udf()(F.col("_content")))
+        .withColumn("field_len", F.col("_a.field_len"))
+        .withColumn("norm_byte", F.col("_a.norm_byte"))
+        .drop("_content", "_a")
     )
 
 
@@ -253,7 +249,14 @@ def _make_fragments_fn(content_col: str, range_size: int):
                     lst[1].append(len(plist))
                     lst[2].append(nb)
                     lst[3].append(plist)
-        rows = []
+        from .codec import vbyte_encode_batch
+
+        # flush: per-term metadata + value streams; binary encoding happens
+        # in THREE batched vbyte passes at the end (no per-row numpy calls)
+        r_term, r_rid, r_first, r_last = [], [], [], []
+        r_n, r_sum, r_max, r_maxnorm, r_norm = [], [], [], [], []
+        d_stream, tf_stream, pos_stream = [], [], []
+        d_bounds, p_bounds = [0], [0]
         for term, (ds, tfs, nbs, poss) in acc.items():
             d = np.asarray(ds, dtype=np.int64)
             order = np.argsort(d, kind="mergesort")
@@ -261,91 +264,199 @@ def _make_fragments_fn(content_col: str, range_size: int):
             tf = np.asarray(tfs, dtype=np.int64)[order]
             nb = np.asarray(nbs, dtype=np.uint8)[order]
             pos_sorted = [poss[j] for j in order]
+            # per-doc position deltas, FIRST position absolute (no per-doc
+            # metadata slot to carry it): vectorized over the whole term
+            from itertools import chain
+
+            total_tf = int(tf.sum())
+            flat = np.fromiter(chain.from_iterable(pos_sorted), np.int64, total_tf)
+            cum_tf = np.concatenate(([0], np.cumsum(tf)))
+            pdeltas = np.diff(flat, prepend=np.int64(0))
+            pdeltas[cum_tf[:-1]] = flat[cum_tf[:-1]]
+            ddeltas = np.diff(d, prepend=d[:1])  # first element -> 0
             ranges = d // range_size
             # contiguous runs per range (d is sorted)
             cut = np.flatnonzero(np.diff(ranges)) + 1
             bounds = np.concatenate(([0], cut, [d.size]))
             for bi in range(len(bounds) - 1):
                 lo, hi = int(bounds[bi]), int(bounds[bi + 1])
-                part_d, part_tf, part_nb = d[lo:hi], tf[lo:hi], nb[lo:hi]
-                # per-doc deltas with the FIRST position absolute (unlike doc
-                # deltas, there is no per-doc metadata slot to carry it)
-                pos_vals = np.concatenate(
-                    [
-                        np.diff(np.asarray(p, dtype=np.uint64), prepend=np.uint64(0))
-                        for p in pos_sorted[lo:hi]
-                    ]
-                )
-                rows.append(
-                    (
-                        term,
-                        int(ranges[lo]),
-                        int(part_d[0]),
-                        int(part_d[-1]),
-                        int(part_d.size),
-                        int(part_tf.sum()),
-                        int(part_tf.max()),
-                        int(part_nb.max()),
-                        vbyte_encode(delta_encode(part_d.astype(np.uint64))),
-                        vbyte_encode(part_tf.astype(np.uint64)),
-                        part_nb.tobytes(),
-                        vbyte_encode(pos_vals),
-                        seg_id,
-                    )
-                )
-        if rows:
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAGMENT_SCHEMA.fields])
+                r_term.append(term)
+                r_rid.append(int(ranges[lo]))
+                r_first.append(int(d[lo]))
+                r_last.append(int(d[hi - 1]))
+                r_n.append(hi - lo)
+                r_sum.append(int(cum_tf[hi] - cum_tf[lo]))
+                r_max.append(int(tf[lo:hi].max()))
+                r_maxnorm.append(int(nb[lo:hi].max()))
+                r_norm.append(nb[lo:hi].tobytes())
+                dd = ddeltas[lo:hi].copy()
+                dd[0] = 0  # range-start delta is absolute via first_doc meta
+                d_stream.append(dd)
+                tf_stream.append(tf[lo:hi])
+                pos_stream.append(pdeltas[cum_tf[lo] : cum_tf[hi]])
+                d_bounds.append(d_bounds[-1] + (hi - lo))
+                p_bounds.append(p_bounds[-1] + int(cum_tf[hi] - cum_tf[lo]))
+        if not r_term:
+            return
+        yield pd.DataFrame(
+            {
+                "term": r_term,
+                "range_id": np.asarray(r_rid, dtype=np.int64),
+                "first_doc": np.asarray(r_first, dtype=np.int64),
+                "last_doc": np.asarray(r_last, dtype=np.int64),
+                "n_docs": np.asarray(r_n, dtype=np.int32),
+                "sum_tf": np.asarray(r_sum, dtype=np.int64),
+                "max_tf": np.asarray(r_max, dtype=np.int32),
+                "max_norm": np.asarray(r_maxnorm, dtype=np.int32),
+                "docs_buf": vbyte_encode_batch(
+                    np.concatenate(d_stream).astype(np.uint64), np.asarray(d_bounds)
+                ),
+                "tfs_buf": vbyte_encode_batch(
+                    np.concatenate(tf_stream).astype(np.uint64), np.asarray(d_bounds)
+                ),
+                "norms_buf": r_norm,
+                "pos_buf": vbyte_encode_batch(
+                    np.concatenate(pos_stream).astype(np.uint64), np.asarray(p_bounds)
+                ),
+                "seg_id": np.full(len(r_term), seg_id, dtype=np.int32),
+            }
+        )
 
     return fragments
 
 
-def _merge_fragments_fn():
-    from .codec import vbyte_decode, delta_decode
+def _merge_fragments_stream_fn():
+    """SegmentMerger analog, fully vectorized per shuffle partition.
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        """SegmentMerger analog for one (term, range_id) group: segments cover
-        disjoint doc ranges, so the k-way merge is sort-by-first_doc + concat;
-        re-blocked to BLOCK_SIZE with per-block skip/block-max metadata."""
-        term, range_id = key
-        pdf = pdf.sort_values("first_doc", kind="mergesort")
-        docs_parts, tf_parts, nb_parts = [], [], []
-        for _, row in pdf.iterrows():
-            deltas = vbyte_decode(row["docs_buf"])
-            docs_parts.append(delta_decode(deltas, int(row["first_doc"])))
-            tf_parts.append(vbyte_decode(row["tfs_buf"]))
-            nb_parts.append(np.frombuffer(row["norms_buf"], dtype=np.uint8))
-        d = np.concatenate(docs_parts).astype(np.int64)
-        tf = np.concatenate(tf_parts).astype(np.int64)
-        nb = np.concatenate(nb_parts)
-        # positions: per-doc delta runs are doc-local, so the merged stream is
-        # just the fragment streams concatenated in the same doc order
-        pos_vals = np.concatenate([vbyte_decode(b) for b in pdf["pos_buf"]])
-        pos_bounds = np.concatenate(([0], np.cumsum(tf)))
-        out = []
-        for b0 in range(0, d.size, BLOCK_SIZE):
-            b1 = min(b0 + BLOCK_SIZE, d.size)
-            bd = d[b0:b1]
-            btf = tf[b0:b1]
-            bnb = nb[b0:b1]
-            bpos = pos_vals[pos_bounds[b0] : pos_bounds[b1]]
-            out.append(
-                (
-                    term,
-                    int(range_id),
-                    b0 // BLOCK_SIZE,
-                    int(bd[0]),
-                    int(bd[-1]),
-                    int(bd.size),
-                    int(btf.sum()),
-                    int(btf.max()),
-                    int(bnb.max()),
-                    vbyte_encode(delta_encode(bd.astype(np.uint64))),
-                    vbyte_encode(btf.astype(np.uint64)),
-                    bnb.tobytes(),
-                    vbyte_encode(bpos.astype(np.uint64)),
-                )
+    The fragment shuffle is hash-partitioned on (term, range_id); one
+    mapInPandas call merges ALL groups of the partition with numpy passes
+    (per-group applyInPandas overhead killed the build at 200k+ near-
+    singleton groups). Fragments are individually doc-sorted; interleaved
+    doc spans across segments are k-way merged by one vectorized lexsort
+    within groups — the whole merge is bounds arithmetic + reduceat + one
+    batched vbyte encode per stream."""
+    from .codec import vbyte_decode_batch, vbyte_encode_batch
+
+    def merge(iterator):
+        parts = list(iterator)  # whole shuffle partition (bounded by n_shuffle)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["term", "range_id", "first_doc"], kind="mergesort")
+        n_frag = len(pdf)
+
+        docs_list = vbyte_decode_batch(pdf["docs_buf"].tolist())
+        frag_sizes = np.fromiter((a.size for a in docs_list), dtype=np.int64, count=n_frag)
+        frag_starts = np.concatenate(([0], np.cumsum(frag_sizes)))[:-1]
+        total = int(frag_sizes.sum())
+
+        # vectorized delta-decode across fragments: first delta of each
+        # fragment is 0 in the codec; substitute the absolute first_doc and
+        # cumsum with per-fragment reset
+        deltas = np.concatenate(docs_list)
+        deltas[frag_starts] = pdf["first_doc"].to_numpy(np.uint64)
+        g = np.cumsum(deltas)
+        corr = np.repeat(g[frag_starts] - deltas[frag_starts], frag_sizes)
+        D = (g - corr).astype(np.int64)
+
+        TF = np.concatenate(vbyte_decode_batch(pdf["tfs_buf"].tolist())).astype(np.int64)
+        NB = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint8) for b in pdf["norms_buf"]]
+        )
+        POS = np.concatenate(vbyte_decode_batch(pdf["pos_buf"].tolist()))
+
+        # group boundaries (term, range_id change)
+        terms = pdf["term"].to_numpy()
+        rids = pdf["range_id"].to_numpy()
+        new_grp = np.ones(n_frag, dtype=bool)
+        new_grp[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+        grp_frag_starts = np.flatnonzero(new_grp)
+        grp_val_starts = frag_starts[grp_frag_starts]
+        grp_val_ends = np.concatenate((grp_val_starts[1:], [total]))
+
+        # k-way merge: fragments are individually sorted but their doc spans
+        # may interleave across segments (hash-bucketed doc-id layout), so
+        # sort values within each group by doc — one vectorized lexsort, and
+        # a run-permutation gather keeps the per-doc position runs aligned
+        is_grp_start = np.zeros(total, dtype=bool)
+        is_grp_start[grp_val_starts] = True
+        needs_sort = total > 1 and bool(((np.diff(D) <= 0) & ~is_grp_start[1:]).any())
+        if needs_sort:
+            grp_sizes = grp_val_ends - grp_val_starts
+            grp_of_val = np.repeat(np.arange(grp_val_starts.size), grp_sizes)
+            order = np.lexsort((D, grp_of_val))
+            run_starts = np.concatenate(([0], np.cumsum(TF)))[:-1]
+            new_lens = TF[order]
+            cum_new = np.concatenate(([0], np.cumsum(new_lens)))
+            pos_idx = (
+                np.repeat(run_starts[order], new_lens)
+                + np.arange(int(cum_new[-1]))
+                - np.repeat(cum_new[:-1], new_lens)
             )
-        return pd.DataFrame(out, columns=[f.name for f in BLOCK_SCHEMA.fields])
+            D = D[order]
+            TF = new_lens
+            NB = NB[order]
+            POS = POS[pos_idx]
+        # invariant: strictly ascending docs within each group (a violation
+        # now means duplicate doc ids — a real upstream bug)
+        if total > 1:
+            bad = (np.diff(D) <= 0) & ~is_grp_start[1:]
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise AssertionError(
+                    f"duplicate doc id in postings merge (doc {D[i]} -> {D[i+1]})"
+                )
+
+        # blocks: tile each group in BLOCK_SIZE chunks
+        blk_starts_list = [
+            np.arange(s, e, BLOCK_SIZE, dtype=np.int64)
+            for s, e in zip(grp_val_starts, grp_val_ends)
+        ]
+        blocks_per_grp = np.fromiter(
+            (a.size for a in blk_starts_list), dtype=np.int64, count=len(blk_starts_list)
+        )
+        blk_starts = np.concatenate(blk_starts_list)
+        n_blocks = blk_starts.size
+        blk_bounds = np.concatenate((blk_starts, [total]))
+        blk_ends = blk_bounds[1:]
+        grp_first_blk = np.concatenate(([0], np.cumsum(blocks_per_grp)))[:-1]
+        blk_no = (np.arange(n_blocks) - np.repeat(grp_first_blk, blocks_per_grp)).astype(np.int32)
+
+        # per-block metadata in single reduceat passes
+        sum_tf = np.add.reduceat(TF, blk_starts)
+        max_tf = np.maximum.reduceat(TF, blk_starts)
+        max_norm = np.maximum.reduceat(NB.astype(np.int32), blk_starts)
+
+        # per-block doc deltas: global diff with block-start reset to 0
+        bdeltas = np.diff(D, prepend=np.int64(0))
+        bdeltas[blk_starts] = 0
+        docs_bufs = vbyte_encode_batch(bdeltas.astype(np.uint64), blk_bounds)
+        tfs_bufs = vbyte_encode_batch(TF.astype(np.uint64), blk_bounds)
+        nb_blob = NB.tobytes()
+        norms_bufs = [nb_blob[s:e] for s, e in zip(blk_starts, blk_ends)]
+        cum_tf = np.concatenate(([0], np.cumsum(TF)))
+        pos_bounds = cum_tf[blk_bounds]
+        pos_bufs = vbyte_encode_batch(POS, pos_bounds)
+
+        yield pd.DataFrame(
+            {
+                "term": np.repeat(terms[grp_frag_starts], blocks_per_grp),
+                "range_id": np.repeat(rids[grp_frag_starts], blocks_per_grp),
+                "block_no": blk_no,
+                "first_doc": D[blk_starts],
+                "last_doc": D[blk_ends - 1],
+                "n_docs": (blk_ends - blk_starts).astype(np.int32),
+                "sum_tf": sum_tf,
+                "max_tf": max_tf.astype(np.int32),
+                "max_norm": max_norm,
+                "docs_buf": docs_bufs,
+                "tfs_buf": tfs_bufs,
+                "norms_buf": norms_bufs,
+                "pos_buf": pos_bufs,
+            }
+        )
 
     return merge
 
@@ -377,14 +488,20 @@ def build_index(
             meta_cols.remove(doc_id_col)
     else:
         base = assign_doc_ids(source, order_cols or ["repo", "path", "commit"])
+    # both the docs and postings stages (and their range-sampling passes)
+    # consume base; persist so the doc-id window sort runs exactly once
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- stage: docs (stored fields + norms) ----
     if overwrite or not _stage_done(paths, "docs", fingerprint):
         t = time.time()
+        # no exchange after the analysis UDF: a repartitionByRange here would
+        # EXECUTE THE UDF TWICE (range sampling runs the child plan) and cap
+        # write parallelism; base partitions are written as-is
         docs = build_docs_table(base, content_col, meta_cols)
-        docs.repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 2), "doc_id").write.mode(
-            "overwrite"
-        ).parquet(paths.docs)
+        docs.write.mode("overwrite").parquet(paths.docs)
         n_docs = spark.read.parquet(paths.docs).count()
         _write_manifest(
             paths, "docs", {"fingerprint": fingerprint, "rows": n_docs, "wall_s": time.time() - t}
@@ -393,11 +510,16 @@ def build_index(
     # ---- stage: postings (fragments -> salted merge -> blocks) ----
     if overwrite or not _stage_done(paths, "postings", fingerprint):
         t = time.time()
-        fragments = base.select("doc_id", content_col).mapInPandas(
+        # DWPT analog: every base partition is one segment (no exchange —
+        # the merge k-way-sorts interleaved doc spans, any layout is fine)
+        seg_src = base.select("doc_id", content_col)
+        fragments = seg_src.mapInPandas(
             _make_fragments_fn(content_col, range_size), schema=FRAGMENT_SCHEMA
         )
-        blocks = fragments.groupBy("term", "range_id").applyInPandas(
-            _merge_fragments_fn(), schema=BLOCK_SCHEMA
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        blocks = (
+            fragments.repartition(n_shuffle, "term", "range_id")
+            .mapInPandas(_merge_fragments_stream_fn(), schema=BLOCK_SCHEMA)
         )
         (
             blocks.withColumn(
@@ -437,6 +559,8 @@ def build_index(
             .parquet(paths.corpus_stats)
         )
         _write_manifest(paths, "stats", {"fingerprint": fingerprint, "wall_s": time.time() - t})
+
+    base.unpersist()
 
     # ---- stage: lineage (per-segment metrics, UpdateLog/CheckIndex-lite) ----
     if overwrite or not _stage_done(paths, "lineage", fingerprint):

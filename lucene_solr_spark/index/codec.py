@@ -91,6 +91,102 @@ def vbyte_decode(buf: bytes) -> np.ndarray:
     return _vbyte_decode_raw(b[1:])
 
 
+def _widths(v: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
+def _encode_payload(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """-> (concatenated vbyte payload, cumulative byte ends per value)."""
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    w = _widths(v)
+    ends = np.cumsum(w)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    starts = ends - w
+    rem = v.copy()
+    idx = starts.copy()
+    left = w.copy()
+    while True:
+        active = left > 0
+        if not active.any():
+            break
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        more = (left > 1).astype(np.uint8) << 7
+        out[idx[active]] = byte[active] | more[active]
+        rem >>= np.uint64(7)
+        idx += 1
+        left -= 1
+    return out.tobytes(), ends
+
+
+def vbyte_encode_batch(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Encode MANY value groups in one vectorized pass (the per-call numpy
+    overhead of vbyte_encode dominates index builds with 100k+ near-singleton
+    terms). bounds = int64[n_groups+1] cumulative value offsets. Output is
+    byte-identical to [vbyte_encode(values[b0:b1]) ...] including the
+    all-equal-run optimization."""
+    v = np.asarray(values, dtype=np.uint64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n = bounds.size - 1
+    sizes = np.diff(bounds)
+    blob, ends = _encode_payload(v)
+    byte_bounds = np.concatenate(([0], ends))[bounds] if v.size else np.zeros(n + 1, dtype=np.int64)
+    # all-equal groups (size > 1, min == max) use the collapsed encoding
+    nz = np.flatnonzero(sizes > 0)
+    alleq = np.zeros(n, dtype=bool)
+    if nz.size:
+        mn = np.minimum.reduceat(v, bounds[nz])
+        mx = np.maximum.reduceat(v, bounds[nz])
+        alleq[nz] = (mn == mx) & (sizes[nz] > 1)
+    ae_idx = np.flatnonzero(alleq)
+    ae_blob, ae_bb = b"", None
+    if ae_idx.size:
+        pairs = np.empty(2 * ae_idx.size, dtype=np.uint64)
+        pairs[0::2] = sizes[ae_idx].astype(np.uint64)
+        pairs[1::2] = v[bounds[ae_idx]]
+        ae_blob, ae_ends = _encode_payload(pairs)
+        ae_bb = np.concatenate(([0], ae_ends))[0::2]
+    out: list[bytes] = []
+    ae_pos = 0
+    hdr_plain = bytes([_HDR_PLAIN])
+    hdr_alleq = bytes([_HDR_ALLEQ])
+    for g in range(n):
+        if alleq[g]:
+            out.append(hdr_alleq + ae_blob[ae_bb[ae_pos] : ae_bb[ae_pos + 1]])
+            ae_pos += 1
+        else:
+            out.append(hdr_plain + blob[byte_bounds[g] : byte_bounds[g + 1]])
+    return out
+
+
+def vbyte_decode_batch(bufs) -> list[np.ndarray]:
+    """Decode many vbyte bufs in one vectorized pass over the concatenated
+    PLAIN payloads (ALLEQ bufs expand individually — they are 3-6 bytes)."""
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in bufs]
+    plain_ids = [i for i, a in enumerate(arrs) if a.size and a[0] == _HDR_PLAIN and a.size > 1]
+    out: list[np.ndarray | None] = [None] * len(arrs)
+    if plain_ids:
+        payloads = [arrs[i][1:] for i in plain_ids]
+        lens = np.fromiter((p.size for p in payloads), dtype=np.int64, count=len(payloads))
+        cat = np.concatenate(payloads)
+        vals = _vbyte_decode_raw(cat)
+        is_end_cum = np.concatenate(([0], np.cumsum(cat < 128)))
+        span = np.concatenate(([0], np.cumsum(lens)))
+        counts = is_end_cum[span[1:]] - is_end_cum[span[:-1]]
+        val_bounds = np.concatenate(([0], np.cumsum(counts)))
+        for j, i in enumerate(plain_ids):
+            out[i] = vals[val_bounds[j] : val_bounds[j + 1]]
+    for i, a in enumerate(arrs):
+        if out[i] is None:
+            out[i] = vbyte_decode(bytes(a))
+    return out
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Ascending docIDs -> deltas; first element is kept absolute relative to
     0 is wasteful, so it is the gap from first_doc (stored in block metadata),
