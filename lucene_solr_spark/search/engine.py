@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..analysis.tokenizer import analyze, analyze_with_positions
-from ..index.builder import DEFAULT_TERM_BUCKETS, IndexPaths
+from ..index.builder import BLOCK_SCHEMA, DEFAULT_TERM_BUCKETS, IndexPaths
 from ..index.codec import delta_decode, vbyte_decode
 from .bm25 import B, K1, avgdl_f32, idf_f32, make_term_weight, norm_cache
 
@@ -113,7 +113,11 @@ class IndexSearcher:
             with open(self.paths.manifest("postings")) as f:
                 n_term_buckets = int(json.load(f).get("n_term_buckets", DEFAULT_TERM_BUCKETS))
         self.n_term_buckets = n_term_buckets
-        self._postings = spark.read.parquet(self.paths.postings)
+        # explicit schema: readable even for a generation-0 (empty) index
+        postings_schema = T.StructType(
+            list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+        )
+        self._postings = spark.read.schema(postings_schema).parquet(self.paths.postings)
         self._term_stats = spark.read.parquet(self.paths.term_stats)
 
     # ---------------- Weight stage ----------------
@@ -259,7 +263,9 @@ class IndexSearcher:
 
 
 def _decode_group(g: pd.DataFrame, need_pos: bool):
-    """Decode one term's blocks (sorted by block_no) within a range."""
+    """Decode one term's blocks within a range, in ascending doc order.
+    Sorted by first_doc (not block_no): appended segment generations reuse
+    block numbers but always cover higher doc ids."""
     docs_l, tf_l, nb_l, pos_l = [], [], [], []
     for _, row in g.iterrows():
         docs_l.append(delta_decode(vbyte_decode(row["docs_buf"]), int(row["first_doc"])))
@@ -341,7 +347,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
 
         per_term = {}
         for t in sorted(present):
-            g = groups[t].sort_values("block_no", kind="mergesort")
+            g = groups[t].sort_values("first_doc", kind="mergesort")
             if lead_span is not None and t not in phrase_terms:
                 # block skip outside the lead's span (phrase terms keep all
                 # blocks: position streams must stay doc-aligned per decode)

@@ -1,0 +1,144 @@
+"""Streaming surface: TopicStream checkpointed pull, DaemonStream loop,
+incremental segment generations, and Structured Streaming foreachBatch
+indexing. Core invariant: incremental build == full rebuild (same stats,
+same top-k, rank- and score-identical)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import make_corpus
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.search.engine import IndexSearcher
+from lucene_solr_spark.streaming.indexer import (
+    apply_increment,
+    index_stream,
+    init_empty_index,
+)
+from lucene_solr_spark.streaming.topic import DaemonStream, TopicStream
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = make_corpus(N_DOCS, seed=9)
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    return pdf
+
+
+QUERIES = [("parse index", "or"), ("hotcommon", "or"), ("parse index", "and")]
+
+
+def _topk_all(searcher):
+    return {
+        (q, m): [(r["doc_id"], r["score"]) for r in searcher.topk(q, k=10, mode=m).collect()]
+        for q, m in QUERIES
+    }
+
+
+def test_incremental_equals_full_rebuild(spark, tmp_root, corpus):
+    full_dir = os.path.join(tmp_root, "idx_full")
+    inc_dir = os.path.join(tmp_root, "idx_inc")
+    src = spark.createDataFrame(corpus)
+    build_index(
+        spark, src, out_dir=full_dir, content_col="content", doc_id_col="doc_id",
+        meta_cols=["repo", "path"], range_size=64, fingerprint="full240",
+    )
+    init_empty_index(spark, inc_dir, meta_cols=["repo", "path"], range_size=64)
+    for lo, hi in [(0, 100), (100, 101), (101, 240)]:  # uneven generations
+        batch = spark.createDataFrame(corpus[(corpus.doc_id >= lo) & (corpus.doc_id < hi)])
+        out = apply_increment(
+            spark, inc_dir, batch, content_col="content", doc_id_col="doc_id",
+            meta_cols=["repo", "path"], batch_id=f"{lo}-{hi}",
+        )
+        assert out["rows"] == hi - lo
+
+    s_full = IndexSearcher(spark, full_dir)
+    s_inc = IndexSearcher(spark, inc_dir)
+    assert s_inc.doc_count == s_full.doc_count == N_DOCS
+    assert s_inc.sum_ttf == s_full.sum_ttf
+    assert _topk_all(s_inc) == _topk_all(s_full)
+    # phrase queries exercise appended position streams
+    a = [(r["doc_id"], r["score"]) for r in s_full.topk_phrase("parse index", k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in s_inc.topk_phrase("parse index", k=10).collect()]
+    assert a == b
+
+
+def test_increment_idempotent_and_monotone(spark, tmp_root, corpus):
+    d = os.path.join(tmp_root, "idx_idem")
+    init_empty_index(spark, d, meta_cols=["repo", "path"], range_size=64)
+    batch = spark.createDataFrame(corpus[corpus.doc_id < 50])
+    kw = dict(content_col="content", doc_id_col="doc_id", meta_cols=["repo", "path"])
+    r1 = apply_increment(spark, d, batch, batch_id="b0", **kw)
+    assert r1["rows"] == 50
+    r2 = apply_increment(spark, d, batch, batch_id="b0", **kw)  # replay
+    assert r2.get("skipped")
+    with pytest.raises(ValueError, match="watermark"):
+        apply_increment(spark, d, batch, batch_id="b1", **kw)  # non-monotone
+    assert IndexSearcher(spark, d).doc_count == 50
+
+
+def test_topic_and_daemon_stream(spark, tmp_root, corpus):
+    table_dir = os.path.join(tmp_root, "topic_src")
+    ckpt = os.path.join(tmp_root, "topic_ckpt")
+    spark.createDataFrame(corpus[corpus.doc_id < 80]).write.mode("overwrite").parquet(table_dir)
+
+    seen = []
+    topic = TopicStream(
+        spark, lambda s: s.read.parquet(table_dir), "doc_id", ckpt
+    )
+    assert topic.pull(lambda df: seen.append(df.count())) == 80
+    assert topic.pull(lambda df: seen.append(df.count())) == 0  # caught up
+    # new rows arrive -> only the delta is pulled; checkpoint survives a new instance
+    spark.createDataFrame(corpus[(corpus.doc_id >= 80) & (corpus.doc_id < 120)]).write.mode(
+        "append"
+    ).parquet(table_dir)
+    topic2 = TopicStream(spark, lambda s: s.read.parquet(table_dir), "doc_id", ckpt)
+    daemon = DaemonStream(topic2)
+    out = daemon.run(lambda df: seen.append(df.count()), max_runs=5, idle_stop=1)
+    assert out["rows"] == 40
+    assert seen == [80, 40]
+    assert topic2.watermark == 119
+
+
+def test_index_stream_foreachbatch(spark, tmp_root, corpus):
+    src_dir = os.path.join(tmp_root, "stream_src")
+    idx_dir = os.path.join(tmp_root, "idx_stream")
+    ckpt = os.path.join(tmp_root, "stream_ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    init_empty_index(spark, idx_dir, meta_cols=["repo", "path"], range_size=64)
+    schema = spark.createDataFrame(corpus).schema
+
+    # drop 1: first 120 docs
+    spark.createDataFrame(corpus[corpus.doc_id < 120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q = index_stream(
+        spark, src_dir, idx_dir, schema, content_col="content", doc_id_col="doc_id",
+        meta_cols=["repo", "path"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    # drop 2: the rest; a new availableNow query resumes from the checkpoint
+    spark.createDataFrame(corpus[corpus.doc_id >= 120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q2 = index_stream(
+        spark, src_dir, idx_dir, schema, content_col="content", doc_id_col="doc_id",
+        meta_cols=["repo", "path"], checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+
+    s = IndexSearcher(spark, idx_dir)
+    assert s.doc_count == N_DOCS
+    # equivalence with a batch rebuild
+    full_dir = os.path.join(tmp_root, "idx_stream_full")
+    build_index(
+        spark, spark.createDataFrame(corpus), out_dir=full_dir, content_col="content",
+        doc_id_col="doc_id", meta_cols=["repo", "path"], range_size=64,
+        fingerprint="streamfull",
+    )
+    s_full = IndexSearcher(spark, full_dir)
+    assert _topk_all(s) == _topk_all(s_full)
