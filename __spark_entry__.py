@@ -23,6 +23,8 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_boolean_sql,
     bm25_dismax_sql,
     bm25_phrase_sql,
+    bm25_rescore_sql,
+    bm25_synonym_sql,
     bm25_topk_sql,
 )
 from lucene_solr_spark.ops.pipeline import OPS as PIPELINE_OPS
@@ -51,6 +53,8 @@ PHRASE_QUERIES = {
     "bm25_phrase": "fast merge",
     "bm25_phrase_gap": "merge the sort",  # stop-filter position gap preserved
 }
+SYNONYM_QUERIES = {"bm25_synonym": "fast quick rapid"}
+RESCORE_QUERIES = {"bm25_rescore": ("merge sort", "spark", 50, 2.0)}
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
@@ -114,6 +118,35 @@ def _phrase_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _synonym_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_synonym(query, k=10))
+
+    return run
+
+
+def _rescore_query_fn(q1: str, q2: str, first_n: int, weight: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """QueryRescorer: re-rank the top first_n of q1 by adding
+        weight * score(q2). q2 is scored over all its matches here (small
+        SFs); at scale the candidate set is pushed into the q2 block scan."""
+        s = _searcher(spark, sf_dir)
+        first = s.topk(q1, k=first_n).select("doc_id", F.col("score").alias("s1"))
+        second = s.topk(q2, k=1_000_000, prune=False).select(
+            "doc_id", F.col("score").alias("s2")
+        )
+        combined = (
+            first.join(second, "doc_id", "left")
+            .withColumn("final", F.col("s1") + F.lit(weight) * F.coalesce("s2", F.lit(0.0)))
+        )
+        w = Window.orderBy(F.col("final").desc(), F.col("doc_id").asc())
+        return combined.withColumn("rank", F.row_number().over(w).cast("int")).select(
+            "doc_id", "rank"
+        ).limit(10)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     s = _searcher(spark, "/root/testdata/sf0.001")
@@ -132,6 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _dismax_query_fn(q, tb)
     for name, q in PHRASE_QUERIES.items():
         out[name] = _phrase_query_fn(q)
+    for name, q in SYNONYM_QUERIES.items():
+        out[name] = _synonym_query_fn(q)
+    for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
+        out[name] = _rescore_query_fn(q1, q2, n, w)
     for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
@@ -147,6 +184,10 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_dismax_sql(q, k=10, tiebreak=tb)
     for name, q in PHRASE_QUERIES.items():
         out[name] = bm25_phrase_sql(q, k=10)
+    for name, q in SYNONYM_QUERIES.items():
+        out[name] = bm25_synonym_sql(q, k=10)
+    for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
+        out[name] = bm25_rescore_sql(q1, q2, first_n=n, weight=w, k=10)
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql

@@ -260,6 +260,119 @@ LIMIT {k}
 """
 
 
+def bm25_synonym_sql(query: str, k: int = 10) -> str:
+    """SynonymQuery: tf summed across synonym terms, one weight from
+    df = max of the terms' docFreqs (SynonymQuery.java)."""
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfmax AS (SELECT CAST(max(df) AS DOUBLE) AS df FROM (
+  SELECT term, count(*) AS df FROM tf GROUP BY term)),
+agg AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY doc_id),
+scored AS (
+  SELECT agg.doc_id,
+         ln(1 + (s.n - m.df + 0.5) / (m.df + 0.5)) * ({K1} + 1)
+         * agg.tf / (agg.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS score
+  FROM agg
+  JOIN dl ON agg.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  CROSS JOIN dfmax m
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_rescore_sql(query1: str, query2: str, first_n: int = 50, weight: float = 2.0,
+                     k: int = 10) -> str:
+    """QueryRescorer (search/QueryRescorer.java): take the top first_n of
+    query1, combine score1 + weight * score2 for docs also matching query2
+    (QueryRescorer.combine), return the re-ranked top k."""
+    inner1 = bm25_topk_sql(query1, k=first_n, mode="or").replace("rank", "rank1")
+    # full score table for query2 (scores of ALL matching docs)
+    terms2 = sorted(set(analyze(query2)))
+    t2_in = ",".join(f"'{t}'" for t in terms2) or "''"
+    return f"""
+WITH first_pass AS ({inner1}),
+tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf1 AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({",".join(f"'{t}'" for t in sorted(set(analyze(query1))))})
+  GROUP BY doc_id, term
+),
+dfs1 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf1 GROUP BY term),
+s1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1 + (s.n - dfs1.df + 0.5) / (dfs1.df + 0.5)) * ({K1} + 1)
+             * tf1.tf / (tf1.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))) AS score1
+  FROM tf1 JOIN dfs1 USING (term)
+  JOIN dl ON tf1.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s GROUP BY tf1.doc_id
+),
+tf2 AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({t2_in}) GROUP BY doc_id, term
+),
+dfs2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+s2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1 + (s.n - dfs2.df + 0.5) / (dfs2.df + 0.5)) * ({K1} + 1)
+             * tf2.tf / (tf2.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))) AS score2
+  FROM tf2 JOIN dfs2 USING (term)
+  JOIN dl ON tf2.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s GROUP BY tf2.doc_id
+),
+combined AS (
+  SELECT fp.doc_id, s1.score1 + {weight} * COALESCE(s2.score2, 0) AS final
+  FROM first_pass fp
+  JOIN s1 ON s1.doc_id = fp.doc_id
+  LEFT JOIN s2 ON s2.doc_id = fp.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INTEGER) AS rank
+FROM combined
+ORDER BY final DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(query: str, k: int = 10, mode: str = "or") -> str:
     """Full BM25 top-k as one SQL string over `documents(doc_id, text)`.
 

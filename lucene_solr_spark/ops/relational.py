@@ -481,6 +481,100 @@ FROM supplier ORDER BY bal DESC, s_suppkey ASC
 """
 
 
+# ------------------------------------------- term-dict / text components
+
+def terms_component(spark, sf):
+    """TermsComponent (solr/core/.../component/TermsComponent.java): browse
+    the term dictionary — top terms by docFreq."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+TERMS_COMPONENT_SQL = """
+SELECT term, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+
+def suggest_prefix(spark, sf):
+    """Suggest/autocomplete (lucene/suggest FSTs): prefix lookup over the
+    term dictionary ranked by docFreq — the FST is replaced by term-dict
+    min/max pruning + ORDER BY LIMIT."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return (
+        tok.filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+SUGGEST_PREFIX_SQL = """
+SELECT term, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
+def highlight_snippet(spark, sf):
+    """Highlighter (lucene/highlighter): snippet = up to 3 words of context
+    around the first 'vector' match (RE2-safe pattern, identical in both
+    engines)."""
+    pat = r"(\S+ ){0,3}vector( \S+){0,3}"
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("text").rlike(r"\bvector\b"))
+        .select("doc_id", F.regexp_extract(F.col("text"), pat, 0).alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
+HIGHLIGHT_SQL = r"""
+SELECT doc_id, regexp_extract(text, '(\S+ ){0,3}vector( \S+){0,3}') AS snippet
+FROM documents WHERE regexp_matches(text, '\bvector\b')
+ORDER BY doc_id
+"""
+
+
+def json_facet_aggs(spark, sf):
+    """JSON Facet API bucket metrics (solr/core/.../search/facet/):
+    unique (UniqueAgg) and percentile (PercentileAgg) per bucket — exact
+    here (count distinct + interpolated percentile); HLLAgg's approximate
+    path is approx_count_distinct in Spark (not oracle-comparable)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("unique_custs"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JSON_FACET_AGGS_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS unique_custs,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 OPS: dict[str, tuple] = {
     "field_facet": (field_facet, FIELD_FACET_SQL),
     "range_facet": (range_facet, RANGE_FACET_SQL),
@@ -506,4 +600,8 @@ OPS: dict[str, tuple] = {
     "match_all_count": (match_all_count, MATCH_ALL_COUNT_SQL),
     "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),
     "export_sorted": (export_sorted, EXPORT_SORTED_SQL),
+    "terms_component": (terms_component, TERMS_COMPONENT_SQL),
+    "suggest_prefix": (suggest_prefix, SUGGEST_PREFIX_SQL),
+    "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
+    "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
 }

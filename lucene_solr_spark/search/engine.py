@@ -173,6 +173,52 @@ class IndexSearcher:
     def topk_phrase(self, query: str, k: int = 10) -> DataFrame:
         return self.topk_spec(phrase_spec(query), k=k)
 
+    def topk_synonym(self, query: str, k: int = 10) -> DataFrame:
+        """SynonymQuery (search/SynonymQuery.java): all terms score as ONE
+        pseudo-term — tf summed across synonyms per doc, one similarity
+        weight built from df = max over the terms' docFreqs."""
+        terms = sorted(set(analyze(query)))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        weights = self.term_weights(terms)
+        present = [t for t in terms if weights[t]["df"] > 0]
+        if not present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        df_max = max(weights[t]["df"] for t in present)
+        tw = make_term_weight("__syn__", df_max, self.doc_count, self.avgdl)
+        wv = np.float32(tw.weight_value)
+        cache = norm_cache(np.float32(float(self.avgdl)))
+        blocks = self._blocks_for(present)
+
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term = {
+                t: _decode_group(g.sort_values("first_doc", kind="mergesort"), False)
+                for t, g in pdf.groupby("term", sort=False)
+            }
+            base = min(int(v[0][0]) for v in per_term.values())
+            top = max(int(v[0][-1]) for v in per_term.values())
+            width = top - base + 1
+            tf_acc = np.zeros(width, dtype=np.int64)
+            nb_acc = np.zeros(width, dtype=np.uint8)
+            for d, tf, nb, _ in per_term.values():
+                tf_acc[d - base] += tf
+                nb_acc[d - base] = nb
+            idx = np.flatnonzero(tf_acc)
+            freq = tf_acc[idx].astype(np.float32)
+            sc = (wv * freq / (freq + cache[nb_acc[idx]])).astype(np.float32)
+            docs_out = idx + base
+            order = np.lexsort((docs_out, -sc.astype(np.float64)))[:k]
+            return pd.DataFrame(
+                {"doc_id": docs_out[order].astype(np.int64), "score": sc[order]}
+            )
+
+        return (
+            blocks.groupBy("range_id")
+            .applyInPandas(score_range, schema=TOPK_SCHEMA)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool = True,
                   first_wave_ranges: int = 8) -> DataFrame:
         """-> DataFrame(doc_id long, score float): k best rows ordered
