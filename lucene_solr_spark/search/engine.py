@@ -235,6 +235,13 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
         blocks = self._blocks_for(present)
+        # column-prune the scorer's scan: pos_buf (the widest column) is only
+        # read for phrase queries; block metadata the scorer never touches is
+        # dropped so the parquet ReadSchema stays minimal
+        scan_cols = [
+            "term", "range_id", "first_doc", "last_doc",
+            "docs_buf", "tfs_buf", "norms_buf",
+        ] + (["pos_buf"] if spec.phrase else [])
         score_fn = _make_range_scorer(spec, weights, float(self.avgdl), self.doc_count, k)
 
         pure_or = (
@@ -242,9 +249,15 @@ class IndexSearcher:
             and not spec.dismax and spec.min_should_match <= 1
         )
         if prune and pure_or:
-            result = self._wand_pruned(blocks, score_fn, weights, k, first_wave_ranges)
+            result = self._wand_pruned(
+                blocks, scan_cols, score_fn, weights, k, first_wave_ranges
+            )
         else:
-            result = blocks.groupBy("range_id").applyInPandas(score_fn, schema=TOPK_SCHEMA)
+            result = (
+                blocks.select(scan_cols)
+                .groupBy("range_id")
+                .applyInPandas(score_fn, schema=TOPK_SCHEMA)
+            )
 
         return result.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -259,7 +272,8 @@ class IndexSearcher:
         )
 
     def _wand_pruned(
-        self, blocks: DataFrame, score_fn, weights: dict, k: int, first_wave_ranges: int
+        self, blocks: DataFrame, scan_cols: list[str], score_fn, weights: dict,
+        k: int, first_wave_ranges: int
     ) -> DataFrame:
         wv_map = F.create_map(
             *[x for t, w in weights.items() for x in (F.lit(t), F.lit(w["weight_value"]))]
@@ -280,8 +294,9 @@ class IndexSearcher:
         ]
         if not wave1_ids:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        scan = blocks.select(scan_cols)
         wave1_top = (
-            blocks.filter(F.col("range_id").isin(wave1_ids))
+            scan.filter(F.col("range_id").isin(wave1_ids))
             .groupBy("range_id")
             .applyInPandas(score_fn, schema=TOPK_SCHEMA)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -293,7 +308,7 @@ class IndexSearcher:
         )
         if len(wave1_top) < k:
             # not enough hits for a threshold: score the rest unpruned
-            rest = blocks.filter(~F.col("range_id").isin(wave1_ids))
+            rest = scan.filter(~F.col("range_id").isin(wave1_ids))
             wave2 = rest.groupBy("range_id").applyInPandas(score_fn, schema=TOPK_SCHEMA)
             return wave1_df.unionByName(wave2)
         theta = float(wave1_top[-1]["score"])
@@ -301,7 +316,7 @@ class IndexSearcher:
             (~F.col("range_id").isin(wave1_ids)) & (F.col("bound") > F.lit(theta))
         )
         wave2 = (
-            blocks.join(F.broadcast(surviving.select("range_id")), "range_id", "left_semi")
+            scan.join(F.broadcast(surviving.select("range_id")), "range_id", "left_semi")
             .groupBy("range_id")
             .applyInPandas(score_fn, schema=TOPK_SCHEMA)
         )
