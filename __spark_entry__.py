@@ -22,6 +22,7 @@ from lucene_solr_spark.index.builder import build_index
 from lucene_solr_spark.ops.bm25_sql import (
     bm25_boolean_sql,
     bm25_dismax_sql,
+    bm25_mlt_sql,
     bm25_phrase_sql,
     bm25_rescore_sql,
     bm25_synonym_sql,
@@ -55,6 +56,7 @@ PHRASE_QUERIES = {
 }
 SYNONYM_QUERIES = {"bm25_synonym": "fast quick rapid"}
 RESCORE_QUERIES = {"bm25_rescore": ("merge sort", "spark", 50, 2.0)}
+MLT_QUERIES = {"bm25_mlt": (0, 5)}  # (seed_doc_id, n_query_terms)
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
@@ -125,6 +127,34 @@ def _synonym_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _mlt_query_fn(seed: int, n_terms: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MoreLikeThis: seed doc's top-n terms by tf*idf as a SHOULD query,
+        seed excluded from the hits (MoreLikeThis.java:141)."""
+        import math
+
+        from lucene_solr_spark.analysis.tokenizer import analyze_to_counts
+
+        s = _searcher(spark, sf_dir)
+        text = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") == seed)
+            .select("text")
+            .collect()[0][0]
+        )
+        counts, _ = analyze_to_counts(text)
+        weights = s.term_weights(list(counts))
+        ranked = sorted(
+            counts.items(),
+            key=lambda kv: (-kv[1] * math.log(s.doc_count / weights[kv[0]]["df"]), kv[0]),
+        )
+        terms = tuple(t for t, _ in ranked[:n_terms])
+        hits = s.topk(" ".join(terms), k=11).filter(F.col("doc_id") != seed).limit(10)
+        return _ranked(hits)
+
+    return run
+
+
 def _rescore_query_fn(q1: str, q2: str, first_n: int, weight: float):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         """QueryRescorer: re-rank the top first_n of q1 by adding
@@ -169,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _synonym_query_fn(q)
     for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
         out[name] = _rescore_query_fn(q1, q2, n, w)
+    for name, (seed, nt) in MLT_QUERIES.items():
+        out[name] = _mlt_query_fn(seed, nt)
     for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
@@ -188,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_synonym_sql(q, k=10)
     for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
         out[name] = bm25_rescore_sql(q1, q2, first_n=n, weight=w, k=10)
+    for name, (seed, nt) in MLT_QUERIES.items():
+        out[name] = bm25_mlt_sql(seed_doc_id=seed, n_terms=nt, k=10)
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql

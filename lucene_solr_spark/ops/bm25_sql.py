@@ -373,6 +373,57 @@ LIMIT {k}
 """
 
 
+def bm25_mlt_sql(seed_doc_id: int = 0, n_terms: int = 5, k: int = 10) -> str:
+    """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java:141): take the
+    seed doc's top n_terms terms by tf*idf (ties: term asc), run them as a
+    SHOULD query, excluding the seed doc itself from the hits."""
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+all_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term
+),
+all_df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM all_tf GROUP BY term),
+qterms AS (
+  SELECT t.term
+  FROM all_tf t JOIN all_df USING (term) CROSS JOIN stats s
+  WHERE t.doc_id = {seed_doc_id}
+  ORDER BY t.tf * ln(s.n / all_df.df) DESC, t.term ASC
+  LIMIT {n_terms}
+),
+tf AS (SELECT * FROM all_tf WHERE term IN (SELECT term FROM qterms)),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+             * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> {seed_doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(query: str, k: int = 10, mode: str = "or") -> str:
     """Full BM25 top-k as one SQL string over `documents(doc_id, text)`.
 

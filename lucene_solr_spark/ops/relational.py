@@ -549,6 +549,34 @@ ORDER BY doc_id
 """
 
 
+def gather_nodes(spark, sf):
+    """GatherNodesStream (solrj/io/graph/GatherNodesStream.java:54): expand
+    from root nodes across edges, aggregating at each hop — roots are
+    BUILDING-segment customers, hop 1 their orders, hop 2 the priorities
+    reached, with the count of distinct roots reaching each."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_roots"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+GATHER_NODES_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT c_custkey) AS n_roots,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def json_facet_aggs(spark, sf):
     """JSON Facet API bucket metrics (solr/core/.../search/facet/):
     unique (UniqueAgg) and percentile (PercentileAgg) per bucket — exact
@@ -604,4 +632,5 @@ OPS: dict[str, tuple] = {
     "suggest_prefix": (suggest_prefix, SUGGEST_PREFIX_SQL),
     "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
+    "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
 }
