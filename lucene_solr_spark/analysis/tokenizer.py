@@ -113,7 +113,7 @@ def analyze_to_counts(text: str) -> tuple[dict[str, int], int]:
 
 
 def analyze_batch(texts) -> tuple[list[dict[str, int]], np.ndarray]:
-    """Vectorized-ish batch: list of tf-maps + int32 field_len array."""
+    """Batch: list of tf-maps + int32 field_len array."""
     counts: list[dict[str, int]] = []
     lens = np.empty(len(texts), dtype=np.int32)
     for i, text in enumerate(texts):
@@ -121,3 +121,51 @@ def analyze_batch(texts) -> tuple[list[dict[str, int]], np.ndarray]:
         counts.append(c)
         lens[i] = n
     return counts, lens
+
+
+def token_table(texts) -> tuple | None:
+    """Fully vectorized batch analysis for the index build hot path.
+
+    Per-token Python (dict/list ops per posting) saturates memory bandwidth
+    long before 32 cores; here the ONLY Python loops are the per-doc regex
+    findall and three vocabulary-sized comprehensions. Everything per-token
+    is factorize/cumsum/bincount (C speed, streaming access).
+
+    Returns (uniq_terms object[], term_code int64[], doc_idx int64[],
+    position int64[], field_len int32[]) where the parallel arrays hold one
+    entry per SURVIVING token occurrence (maxTokenLength + alnum + stop
+    filters applied; positions keep stop-gap semantics), in document scan
+    order. None if the batch has no tokens."""
+    import pandas as pd
+
+    n_docs = len(texts)
+    parts: list[list[str]] = []
+    counts = np.empty(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = TOKEN_RE.findall(_java_lower(t)) if (t and isinstance(t, str)) else []
+        parts.append(toks)
+        counts[i] = len(toks)
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    flat = np.empty(total, dtype=object)
+    o = 0
+    for toks in parts:
+        flat[o : o + len(toks)] = toks
+        o += len(toks)
+    codes, uniq = pd.factorize(flat, sort=False)
+    uniq = np.asarray(uniq, dtype=object)
+    # vocabulary-sized attribute vectors (vocab << tokens)
+    nv = len(uniq)
+    keep1 = np.fromiter(
+        (len(u) <= MAX_TOKEN_LENGTH and bool(u.strip("_")) for u in uniq), bool, nv
+    )
+    stopm = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniq), bool, nv)
+    k1 = keep1[codes]  # token kept by the TOKENIZER (defines positions)
+    doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ck = np.concatenate(([0], np.cumsum(k1)))  # exclusive prefix of kept
+    doc_rep = np.repeat(np.arange(n_docs), counts)
+    pos = ck[:-1] - ck[doc_starts][doc_rep]  # 0-based position among kept
+    post = k1 & ~stopm[codes]  # survives the STOP filter too -> a posting
+    field_len = np.bincount(doc_rep[post], minlength=n_docs).astype(np.int32)
+    return uniq, codes[post], doc_rep[post], pos[post], field_len

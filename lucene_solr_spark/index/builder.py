@@ -186,7 +186,13 @@ def assign_doc_ids(
 def _analysis_udf():
     @F.pandas_udf("field_len int, norm_byte int")
     def analysis(content: pd.Series) -> pd.DataFrame:
-        _, lens = analyze_batch(content.fillna("").tolist())
+        from ..analysis.tokenizer import token_table
+
+        texts = content.tolist()
+        table = token_table(texts)
+        lens = (
+            np.zeros(len(texts), dtype=np.int32) if table is None else table[4]
+        )
         return pd.DataFrame(
             {"field_len": lens, "norm_byte": encode_norm(lens).astype(np.int32)}
         )
@@ -214,113 +220,102 @@ def build_docs_table(
 
 def _make_fragments_fn(content_col: str, range_size: int):
     def fragments(iterator):
-        """DWPT analog: accumulate the whole Spark partition's postings in
-        memory (the partition is the RAM budget, cf. FlushByRamOrCountsPolicy),
-        then flush sorted fragments split at doc-range boundaries.
+        """DWPT analog, fully vectorized: each Arrow batch becomes one set of
+        sorted posting fragments (term, doc-range) -> delta+VByte streams.
 
-        Positions stream: per (term, doc) the ascending token positions are
-        delta-encoded (first absolute) and concatenated in doc order; tf is
-        the per-doc run length, so the stream splits losslessly at any doc
-        boundary (Lucene .pos file analog, Lucene50PostingsWriter.java:323)."""
+        Per-token work is factorize/lexsort/reduceat (C speed) — per-token
+        Python dict accumulation saturated memory bandwidth and capped
+        multi-core scaling. Multiple fragments per (term, range) from one
+        partition are fine: the shuffle merge k-way merges them.
+
+        Positions stream: per (term, doc) ascending positions, delta-encoded
+        with the FIRST position absolute, concatenated in doc order; tf is
+        the per-doc run length so the stream splits at any doc boundary
+        (Lucene .pos analog, Lucene50PostingsWriter.java:323)."""
         from pyspark import TaskContext
 
-        from ..analysis.tokenizer import analyze_with_positions
-
-        seg_id = TaskContext.get().partitionId() if TaskContext.get() else -1
-        acc: dict[str, list[list]] = {}
-        for pdf in iterator:
-            texts = pdf[content_col].fillna("").tolist()
-            doc_ids = pdf["doc_id"].to_numpy()
-            flens = np.empty(len(texts), dtype=np.int32)
-            pos_maps = []
-            for i, text in enumerate(texts):
-                pm, fl = analyze_with_positions(text if isinstance(text, str) else "")
-                pos_maps.append(pm)
-                flens[i] = fl
-            norms = encode_norm(flens)
-            for i, pm in enumerate(pos_maps):
-                d = int(doc_ids[i])
-                nb = int(norms[i])
-                for term, plist in pm.items():
-                    lst = acc.get(term)
-                    if lst is None:
-                        lst = acc[term] = [[], [], [], []]
-                    lst[0].append(d)
-                    lst[1].append(len(plist))
-                    lst[2].append(nb)
-                    lst[3].append(plist)
+        from ..analysis.tokenizer import token_table
         from .codec import vbyte_encode_batch
 
-        # flush: per-term metadata + value streams; binary encoding happens
-        # in THREE batched vbyte passes at the end (no per-row numpy calls)
-        r_term, r_rid, r_first, r_last = [], [], [], []
-        r_n, r_sum, r_max, r_maxnorm, r_norm = [], [], [], [], []
-        d_stream, tf_stream, pos_stream = [], [], []
-        d_bounds, p_bounds = [0], [0]
-        for term, (ds, tfs, nbs, poss) in acc.items():
-            d = np.asarray(ds, dtype=np.int64)
-            order = np.argsort(d, kind="mergesort")
-            d = d[order]
-            tf = np.asarray(tfs, dtype=np.int64)[order]
-            nb = np.asarray(nbs, dtype=np.uint8)[order]
-            pos_sorted = [poss[j] for j in order]
-            # per-doc position deltas, FIRST position absolute (no per-doc
-            # metadata slot to carry it): vectorized over the whole term
-            from itertools import chain
+        seg_id = TaskContext.get().partitionId() if TaskContext.get() else -1
 
-            total_tf = int(tf.sum())
-            flat = np.fromiter(chain.from_iterable(pos_sorted), np.int64, total_tf)
-            cum_tf = np.concatenate(([0], np.cumsum(tf)))
-            pdeltas = np.diff(flat, prepend=np.int64(0))
-            pdeltas[cum_tf[:-1]] = flat[cum_tf[:-1]]
-            ddeltas = np.diff(d, prepend=d[:1])  # first element -> 0
-            ranges = d // range_size
-            # contiguous runs per range (d is sorted)
-            cut = np.flatnonzero(np.diff(ranges)) + 1
-            bounds = np.concatenate(([0], cut, [d.size]))
-            for bi in range(len(bounds) - 1):
-                lo, hi = int(bounds[bi]), int(bounds[bi + 1])
-                r_term.append(term)
-                r_rid.append(int(ranges[lo]))
-                r_first.append(int(d[lo]))
-                r_last.append(int(d[hi - 1]))
-                r_n.append(hi - lo)
-                r_sum.append(int(cum_tf[hi] - cum_tf[lo]))
-                r_max.append(int(tf[lo:hi].max()))
-                r_maxnorm.append(int(nb[lo:hi].max()))
-                r_norm.append(nb[lo:hi].tobytes())
-                dd = ddeltas[lo:hi].copy()
-                dd[0] = 0  # range-start delta is absolute via first_doc meta
-                d_stream.append(dd)
-                tf_stream.append(tf[lo:hi])
-                pos_stream.append(pdeltas[cum_tf[lo] : cum_tf[hi]])
-                d_bounds.append(d_bounds[-1] + (hi - lo))
-                p_bounds.append(p_bounds[-1] + int(cum_tf[hi] - cum_tf[lo]))
-        if not r_term:
-            return
-        yield pd.DataFrame(
-            {
-                "term": r_term,
-                "range_id": np.asarray(r_rid, dtype=np.int64),
-                "first_doc": np.asarray(r_first, dtype=np.int64),
-                "last_doc": np.asarray(r_last, dtype=np.int64),
-                "n_docs": np.asarray(r_n, dtype=np.int32),
-                "sum_tf": np.asarray(r_sum, dtype=np.int64),
-                "max_tf": np.asarray(r_max, dtype=np.int32),
-                "max_norm": np.asarray(r_maxnorm, dtype=np.int32),
-                "docs_buf": vbyte_encode_batch(
-                    np.concatenate(d_stream).astype(np.uint64), np.asarray(d_bounds)
-                ),
-                "tfs_buf": vbyte_encode_batch(
-                    np.concatenate(tf_stream).astype(np.uint64), np.asarray(d_bounds)
-                ),
-                "norms_buf": r_norm,
-                "pos_buf": vbyte_encode_batch(
-                    np.concatenate(pos_stream).astype(np.uint64), np.asarray(p_bounds)
-                ),
-                "seg_id": np.full(len(r_term), seg_id, dtype=np.int32),
-            }
-        )
+        for pdf in iterator:
+            table = token_table(pdf[content_col].tolist())
+            if table is None:
+                continue
+            uniq, c2, drep, p2, flens = table
+            norms = encode_norm(flens)
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            d2 = doc_ids[drep]
+            nb2 = norms[drep]
+            n = c2.size
+            if n == 0:
+                continue
+            # order by (term, doc, position)
+            order = np.lexsort((p2, d2, c2))
+            c2, d2, p2, nb2 = c2[order], d2[order], p2[order], nb2[order]
+
+            # (term, doc) runs -> tf per posting
+            new_run = np.ones(n, dtype=bool)
+            new_run[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+            run_starts = np.flatnonzero(new_run)
+            nr = run_starts.size
+            run_bounds = np.concatenate((run_starts, [n]))
+            tf = np.diff(run_bounds)
+            rd = d2[run_starts]
+            rc = c2[run_starts]
+            rnb = nb2[run_starts]
+            rranges = rd // range_size
+
+            # (term, range) rows over runs
+            new_row = np.ones(nr, dtype=bool)
+            new_row[1:] = (rc[1:] != rc[:-1]) | (rranges[1:] != rranges[:-1])
+            row_starts_r = np.flatnonzero(new_row)  # index into runs
+            row_bounds_r = np.concatenate((row_starts_r, [nr]))
+            row_ends_r = row_bounds_r[1:]
+            n_rows = row_starts_r.size
+
+            # metadata per row (reduceat over runs)
+            first_doc = rd[row_starts_r]
+            last_doc = rd[row_ends_r - 1]
+            n_docs_row = (row_ends_r - row_starts_r).astype(np.int32)
+            sum_tf = np.add.reduceat(tf, row_starts_r)
+            max_tf = np.maximum.reduceat(tf, row_starts_r).astype(np.int32)
+            max_norm = np.maximum.reduceat(rnb.astype(np.int32), row_starts_r)
+
+            # doc deltas per row: diff over run docs, row-start reset to 0
+            ddeltas = np.diff(rd, prepend=rd[:1])
+            ddeltas[row_starts_r] = 0
+            # position deltas per token: per-run reset to absolute first
+            pdeltas = np.diff(p2, prepend=np.int64(0))
+            pdeltas[run_starts] = p2[run_starts]
+
+            # row bounds in run space and token space
+            tok_row_bounds = run_bounds[row_bounds_r]
+            nb_blob = rnb.tobytes()
+            yield pd.DataFrame(
+                {
+                    "term": uniq[rc[row_starts_r]],
+                    "range_id": rranges[row_starts_r].astype(np.int64),
+                    "first_doc": first_doc,
+                    "last_doc": last_doc,
+                    "n_docs": n_docs_row,
+                    "sum_tf": sum_tf.astype(np.int64),
+                    "max_tf": max_tf,
+                    "max_norm": max_norm,
+                    "docs_buf": vbyte_encode_batch(
+                        ddeltas.astype(np.uint64), row_bounds_r
+                    ),
+                    "tfs_buf": vbyte_encode_batch(tf.astype(np.uint64), row_bounds_r),
+                    "norms_buf": [
+                        nb_blob[s:e] for s, e in zip(row_starts_r, row_ends_r)
+                    ],
+                    "pos_buf": vbyte_encode_batch(
+                        pdeltas.astype(np.uint64), tok_row_bounds
+                    ),
+                    "seg_id": np.full(n_rows, seg_id, dtype=np.int32),
+                }
+            )
 
     return fragments
 

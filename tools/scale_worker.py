@@ -28,9 +28,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName(f"lss-scale-{args.cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(2 * args.cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(4 * args.cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "48g")
+        # small splits -> ~4 task waves at every parallelism level, so
+        # straggler skew costs the same fraction of wall at N and 4N
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
