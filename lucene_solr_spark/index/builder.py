@@ -50,8 +50,9 @@ from .codec import delta_encode, vbyte_encode
 
 BLOCK_SIZE = 128  # Lucene50PostingsFormat.BLOCK_SIZE analog
 DEFAULT_RANGE_SIZE = 8192  # docs per range bucket (merge salt + query partition)
-DEFAULT_TERM_BUCKETS = 16  # output file partitions by term hash
-N_LAYOUT_BUCKETS = 64  # fixed layout constant for doc_id assignment
+DEFAULT_TERM_BUCKETS = 64  # output file partitions by term hash (query-side
+# pruning granularity AND final-write parallelism — must exceed cluster width)
+N_LAYOUT_BUCKETS = 256  # fixed layout constant for doc_id assignment
 INDEX_SCHEMA_VERSION = 2  # v2: positions stream (DOCS_AND_FREQS_AND_POSITIONS)
 
 
