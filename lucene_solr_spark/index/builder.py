@@ -53,7 +53,7 @@ DEFAULT_RANGE_SIZE = 8192  # docs per range bucket (merge salt + query partition
 DEFAULT_TERM_BUCKETS = 64  # output file partitions by term hash (query-side
 # pruning granularity AND final-write parallelism — must exceed cluster width)
 N_LAYOUT_BUCKETS = 256  # fixed layout constant for doc_id assignment
-INDEX_SCHEMA_VERSION = 2  # v2: positions stream (DOCS_AND_FREQS_AND_POSITIONS)
+INDEX_SCHEMA_VERSION = 3  # v3: crc32 term buckets (driver-computable), bucketed term_stats
 
 
 FRAGMENT_SCHEMA = T.StructType(
@@ -517,9 +517,12 @@ def build_index(
             fragments.repartition(n_shuffle, "term", "range_id")
             .mapInPandas(_merge_fragments_stream_fn(), schema=BLOCK_SCHEMA)
         )
+        # crc32 (not xxhash64): the query side computes bucket ids driver-
+        # side via zlib.crc32 — no Spark job just to locate a term's files
         (
             blocks.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
+                "bucket",
+                F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_term_buckets)).cast("int"),
             )
             .repartition("bucket")
             .sortWithinPartitions("term", "range_id", "block_no")
@@ -539,10 +542,12 @@ def build_index(
         t = time.time()
         blocks = spark.read.parquet(paths.postings)
         (
-            blocks.groupBy("term")
+            blocks.groupBy("term", "bucket")
             .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
-            .repartition(max(1, n_term_buckets // 4))
+            .repartition("bucket")
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .partitionBy("bucket")
             .parquet(paths.term_stats)
         )
         docs = spark.read.parquet(paths.docs)

@@ -118,14 +118,30 @@ class IndexSearcher:
             list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
         )
         self._postings = spark.read.schema(postings_schema).parquet(self.paths.postings)
-        self._term_stats = spark.read.parquet(self.paths.term_stats)
+        self._term_stats = spark.read.schema(
+            "term string, df long, ttf long, bucket int"
+        ).parquet(self.paths.term_stats)
 
     # ---------------- Weight stage ----------------
 
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        """crc32 term bucket ids, computed driver-side (no Spark job) —
+        matches the build's F.crc32(encode(term)) % n exactly."""
+        import zlib
+
+        return sorted({zlib.crc32(t.encode("utf-8")) % self.n_term_buckets for t in terms})
+
     def term_weights(self, terms: list[str]) -> dict[str, dict]:
-        """Global-exact per-term stats + float32 weightValue (idf*boost*(k1+1))."""
+        """Global-exact per-term stats + float32 weightValue (idf*boost*(k1+1)).
+        The stats scan is pruned to the terms' bucket partitions."""
         uniq = sorted(set(terms))
-        rows = self._term_stats.filter(F.col("term").isin(uniq)).select("term", "df").collect()
+        rows = (
+            self._term_stats.filter(
+                F.col("bucket").isin(self._buckets_of(uniq)) & F.col("term").isin(uniq)
+            )
+            .select("term", "df")
+            .collect()
+        )
         stats = {r["term"]: int(r["df"]) for r in rows}
         out = {}
         for t in uniq:
@@ -139,14 +155,9 @@ class IndexSearcher:
     def _blocks_for(self, terms: list[str]) -> DataFrame:
         uniq = sorted(set(terms))
         # literal bucket ids -> parquet partition pruning; term isin -> row-group stats
-        bucket_rows = (
-            self.spark.createDataFrame([(t,) for t in uniq], "term string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)).cast("int").alias("b"))
-            .distinct()
-            .collect()
+        return self._postings.filter(
+            F.col("bucket").isin(self._buckets_of(uniq)) & F.col("term").isin(uniq)
         )
-        bucket_ids = [r["b"] for r in bucket_rows]
-        return self._postings.filter(F.col("bucket").isin(bucket_ids) & F.col("term").isin(uniq))
 
     # ---------------- top-k entry points ----------------
 

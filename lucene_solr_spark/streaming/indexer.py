@@ -68,9 +68,9 @@ def init_empty_index(
         "bucket", F.lit(0).cast("int")
     )
     empty_blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
-    spark.createDataFrame([], "term string, df long, ttf long").write.mode(
+    spark.createDataFrame([], "term string, df long, ttf long, bucket int").write.mode(
         "overwrite"
-    ).parquet(paths.term_stats)
+    ).partitionBy("bucket").parquet(paths.term_stats)
     _write_stats(spark, paths)
     for stage, payload in [
         ("postings", {"range_size": range_size, "n_term_buckets": n_term_buckets}),
@@ -94,9 +94,10 @@ def _write_stats(spark: SparkSession, paths: IndexPaths) -> None:
     )
     blocks = spark.read.schema(postings_schema).parquet(paths.postings)
     (
-        blocks.groupBy("term")
+        blocks.groupBy("term", "bucket")
         .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(paths.term_stats + "_next")
     )
     docs = spark.read.parquet(paths.docs)
@@ -167,7 +168,8 @@ def apply_increment(
     )
     (
         blocks.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
+            "bucket",
+            F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_term_buckets)).cast("int"),
         )
         .repartition("bucket")
         .sortWithinPartitions("term", "range_id", "block_no")
