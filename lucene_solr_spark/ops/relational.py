@@ -603,6 +603,28 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# SQLHandler (solr/core/.../handler/SQLHandler.java:80-130): the reference
+# parses SQL with Presto and compiles to streaming expressions; here the
+# layer IS spark.sql — the SAME ANSI string runs on Spark and the DuckDB
+# oracle (TPC-H-Q1 shape: filter + group + agg + order).
+SQL_HANDLER_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def sql_handler_q1(spark, sf):
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_HANDLER_Q1)
+
+
 OPS: dict[str, tuple] = {
     "field_facet": (field_facet, FIELD_FACET_SQL),
     "range_facet": (range_facet, RANGE_FACET_SQL),
@@ -633,4 +655,5 @@ OPS: dict[str, tuple] = {
     "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
+    "sql_handler_q1": (sql_handler_q1, SQL_HANDLER_Q1),
 }
