@@ -51,8 +51,9 @@ BOOL_QUERIES = {
 }
 DISMAX_QUERIES = {"bm25_dismax": ("fast merge sort", 0.1)}
 PHRASE_QUERIES = {
-    "bm25_phrase": "fast merge",
-    "bm25_phrase_gap": "merge the sort",  # stop-filter position gap preserved
+    "bm25_phrase": ("fast merge", 0),
+    "bm25_phrase_gap": ("merge the sort", 0),  # stop-filter position gap preserved
+    "bm25_phrase_sloppy": ("fast sort", 3),  # simplified SloppyPhrase match
 }
 SYNONYM_QUERIES = {"bm25_synonym": "fast quick rapid"}
 RESCORE_QUERIES = {"bm25_rescore": ("merge sort", "spark", 50, 2.0)}
@@ -113,9 +114,9 @@ def _dismax_query_fn(query: str, tiebreak: float) -> Callable[[SparkSession, str
     return run
 
 
-def _phrase_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
+def _phrase_query_fn(query: str, slop: int) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _ranked(_searcher(spark, sf_dir).topk_phrase(query, k=10))
+        return _ranked(_searcher(spark, sf_dir).topk_phrase(query, k=10, slop=slop))
 
     return run
 
@@ -193,8 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _bool_query_fn(kwargs)
     for name, (q, tb) in DISMAX_QUERIES.items():
         out[name] = _dismax_query_fn(q, tb)
-    for name, q in PHRASE_QUERIES.items():
-        out[name] = _phrase_query_fn(q)
+    for name, (q, slop) in PHRASE_QUERIES.items():
+        out[name] = _phrase_query_fn(q, slop)
     for name, q in SYNONYM_QUERIES.items():
         out[name] = _synonym_query_fn(q)
     for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
@@ -214,8 +215,8 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_boolean_sql(k=10, **kwargs)
     for name, (q, tb) in DISMAX_QUERIES.items():
         out[name] = bm25_dismax_sql(q, k=10, tiebreak=tb)
-    for name, q in PHRASE_QUERIES.items():
-        out[name] = bm25_phrase_sql(q, k=10)
+    for name, (q, slop) in PHRASE_QUERIES.items():
+        out[name] = bm25_phrase_sql(q, k=10, slop=slop)
     for name, q in SYNONYM_QUERIES.items():
         out[name] = bm25_synonym_sql(q, k=10)
     for name, (q1, q2, n, w) in RESCORE_QUERIES.items():

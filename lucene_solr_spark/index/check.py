@@ -90,6 +90,21 @@ def verify_index(
         (F.col("first_doc") < F.lit(doc_minmax[0])) | (F.col("last_doc") > F.lit(doc_minmax[1]))
     ).count() if doc_minmax[0] is not None else blocks.count()
 
+    # 1c. skew bound: postings per (term, range) group never exceed
+    # range_size — the salting guarantee that keeps every merge/score task
+    # bounded regardless of term df (stopword-scale terms included)
+    import json as _json
+
+    with open(paths.manifest("postings")) as f:
+        range_size = int(_json.load(f).get("range_size", 0))
+    if range_size:
+        out["skew_bound_violations"] = (
+            blocks.groupBy("term", "range_id")
+            .agg(F.sum("n_docs").alias("g"))
+            .filter(F.col("g") > range_size)
+            .count()
+        )
+
     # 2. stats invariants
     agg = blocks.groupBy("term").agg(
         F.sum("n_docs").alias("df2"), F.sum("sum_tf").alias("ttf2")

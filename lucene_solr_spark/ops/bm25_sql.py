@@ -188,9 +188,11 @@ LIMIT {k}
 """
 
 
-def bm25_phrase_sql(query: str, k: int = 10) -> str:
-    """Exact PhraseQuery (position gaps from stop removal preserved):
-    pf = aligned-position count; weight = (sum of term idfs) * (k1+1)
+def bm25_phrase_sql(query: str, k: int = 10, slop: int = 0) -> str:
+    """PhraseQuery (position gaps from stop removal preserved):
+    pf = aligned-position count (slop=0 exact; slop>0 simplified sloppy —
+    lead positions with every clause within +-slop of its offset, matching
+    engine._phrase_freqs exactly); weight = (sum of term idfs) * (k1+1)
     (PhraseWeight); score = weight * pf / (pf + k1*((1-b)+b*dl/avgdl))."""
     from ..search.engine import phrase_spec
 
@@ -203,9 +205,14 @@ def bm25_phrase_sql(query: str, k: int = 10) -> str:
     t0, off0 = phrase[0]
     joins = []
     for i, (t, off) in enumerate(phrase[1:], start=1):
+        cond = (
+            f"p{i}.pos = p0.pos + {off - off0}"
+            if slop == 0
+            else f"abs(p{i}.pos - (p0.pos + {off - off0})) <= {slop}"
+        )
         joins.append(
             f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
-            f"AND p{i}.pos = p0.pos + {off - off0} AND p{i}.term = '{t}'"
+            f"AND {cond} AND p{i}.term = '{t}'"
         )
     join_sql = "\n  ".join(joins)
     return f"""
@@ -236,7 +243,7 @@ idfsum AS (
   FROM dfs CROSS JOIN stats s
 ),
 pf AS (
-  SELECT p0.doc_id, CAST(count(*) AS DOUBLE) AS pf
+  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS pf
   FROM tokpos p0
   {join_sql}
   WHERE p0.term = '{t0}'

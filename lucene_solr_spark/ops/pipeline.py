@@ -576,6 +576,53 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_multiprobe(spark, sf):
+    """Multi-probe IVF: probe the query's sign-bucket plus the 8 buckets at
+    Hamming distance 1 (one flipped sign bit) — the standard recall/cost
+    dial: nprobe=9 of 256 cells touches ~3.5% of the corpus instead of
+    ~0.4%, recovering neighbors whose first dims sit near a sign boundary."""
+    e = _with_sign_bucket(_with_demb(_emb(spark, sf)))
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("demb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(8)]
+    )
+    cos = F.expr(_cos_expr("qemb", "demb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        e.join(F.broadcast(q), F.array_contains(probes, F.col("bucket")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_PROBES = ", ".join(["q.qbucket"] + [f"xor(q.qbucket, {1 << b})" for b in range(8)])
+
+ANN_MULTIPROBE_SQL = f"""
+WITH {_SQL_EMB.strip()},
+q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < {ANN_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(q.qemb, v.emb) AS cosine
+  FROM v JOIN q ON v.bucket IN ({_SQL_PROBES})
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id AS neighbor_id
+FROM scored
+QUALIFY rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
 # ----------------------------------------------------------- text analysis
 
 _LANG_SETS = {
@@ -896,6 +943,7 @@ OPS: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_BRUTE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_ivf_multiprobe": (ann_ivf_multiprobe, ANN_MULTIPROBE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

@@ -77,6 +77,9 @@ class BooleanSpec:
     dismax: bool = False  # score SHOULD clauses as DisjunctionMax
     tiebreak: float = 0.0
     phrase: tuple[tuple[str, int], ...] = ()  # [(term, position offset)]
+    slop: int = 0  # 0 = exact phrase; >0 = simplified sloppy match (see
+    # _phrase_freqs; SloppyPhraseScorer's weighted sloppyFreq is NOT
+    # replicated — both engine and oracles share this definition)
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:
@@ -87,7 +90,7 @@ class BooleanSpec:
         return self.scoring_terms + tuple(self.must_not)
 
 
-def phrase_spec(query: str) -> BooleanSpec:
+def phrase_spec(query: str, slop: int = 0) -> BooleanSpec:
     """Analyze a phrase query preserving position gaps left by the stop
     filter (QueryParser builds PhraseQuery with analysis positions)."""
     pos_map, _ = analyze_with_positions(query)
@@ -98,7 +101,7 @@ def phrase_spec(query: str) -> BooleanSpec:
     if not pairs:
         return BooleanSpec()
     base = pairs[0][1]
-    return BooleanSpec(phrase=tuple((t, p - base) for t, p in pairs))
+    return BooleanSpec(phrase=tuple((t, p - base) for t, p in pairs), slop=slop)
 
 
 class IndexSearcher:
@@ -181,8 +184,8 @@ class IndexSearcher:
         spec = BooleanSpec(should=tuple(analyze(query)), dismax=True, tiebreak=tiebreak)
         return self.topk_spec(spec, k=k, prune=False)
 
-    def topk_phrase(self, query: str, k: int = 10) -> DataFrame:
-        return self.topk_spec(phrase_spec(query), k=k)
+    def topk_phrase(self, query: str, k: int = 10, slop: int = 0) -> DataFrame:
+        return self.topk_spec(phrase_spec(query, slop=slop), k=k)
 
     def topk_synonym(self, query: str, k: int = 10) -> DataFrame:
         """SynonymQuery (search/SynonymQuery.java): all terms score as ONE
@@ -352,9 +355,16 @@ def _decode_group(g: pd.DataFrame, need_pos: bool):
     return d, tf, nb, pos
 
 
-def _phrase_freqs(per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray) -> np.ndarray:
-    """Exact phrase frequency per candidate doc (ExactPhraseScorer analog):
-    lead = first phrase term; pf(doc) = |{p in pos0 : p + off_i in pos_i ∀i}|."""
+def _phrase_freqs(
+    per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray, slop: int = 0
+) -> np.ndarray:
+    """Phrase frequency per candidate doc.
+
+    slop == 0 (ExactPhraseScorer analog): pf = |{p in pos0 :
+    p + off_i in pos_i ∀i}|. slop > 0 (simplified SloppyPhraseScorer):
+    pf = |{p in pos0 : ∀i ∃q in pos_i with |q − (p + off_i)| <= slop}| —
+    match-counting only, not Lucene's 1/(distance+1)-weighted sloppyFreq;
+    the control and SQL oracles share this exact definition."""
     # per-doc position slices: doc -> positions (absolute, decoded from
     # doc-local delta runs split by tf)
     def doc_pos(t: str) -> dict[int, np.ndarray]:
@@ -376,7 +386,14 @@ def _phrase_freqs(per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarra
             if p is None:
                 match = match[:0]
                 break
-            match = match[np.isin(match, p - off, assume_unique=True)]
+            if slop == 0:
+                match = match[np.isin(match, p - off, assume_unique=True)]
+            else:
+                targets = match + off
+                j = np.searchsorted(p, targets)
+                left = np.abs(targets - p[np.maximum(j - 1, 0)])
+                right = np.abs(p[np.minimum(j, p.size - 1)] - targets)
+                match = match[np.minimum(left, right) <= slop]
             if match.size == 0:
                 break
         pf[ci] = match.size
@@ -484,7 +501,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             cand = np.flatnonzero(mask) + base
             if cand.size == 0:
                 return _EMPTY
-            pf = _phrase_freqs(per_term, phrase, cand)
+            pf = _phrase_freqs(per_term, phrase, cand, slop=spec.slop)
             keep = pf > 0
             cand, pf = cand[keep], pf[keep]
             if cand.size == 0:

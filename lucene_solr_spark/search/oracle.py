@@ -119,13 +119,21 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             if sum(1 for t in set(should) if d in idx.postings.get(t, {})) >= msm
         }
     if phrase:
+        slop = getattr(spec, "slop", 0)
         pf_map = {}
         for d in sorted(cand):
             base_t, base_off = phrase[0]
             match = [p - base_off for p in idx.positions[base_t].get(d, [])]
             for t, off in phrase[1:]:
-                pset = {p - off for p in idx.positions[t].get(d, [])}
-                match = [p for p in match if p in pset]
+                plist = idx.positions[t].get(d, [])
+                if slop == 0:
+                    pset = {p - off for p in plist}
+                    match = [p for p in match if p in pset]
+                else:
+                    match = [
+                        p for p in match
+                        if any(abs(q - (p + off)) <= slop for q in plist)
+                    ]
                 if not match:
                     break
             if match:

@@ -79,6 +79,21 @@ def test_phrase_rank_identity(built, q):
     _assert_identical(got, expected, ("phrase", q))
 
 
+@pytest.mark.parametrize("slop", [1, 3])
+def test_sloppy_phrase_rank_identity(built, slop):
+    searcher, oidx = built
+    spec = phrase_spec("parse merge", slop=slop)
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk_phrase("parse merge", k=10, slop=slop).collect()
+    ]
+    _assert_identical(got, expected, ("sloppy", slop))
+    # sloppy is a superset of exact matches
+    exact = oracle_topk_spec(oidx, phrase_spec("parse merge"), k=1000)
+    assert {d for d, _ in exact} <= {d for d, _ in oracle_topk_spec(oidx, spec, k=1000)}
+
+
 def test_phrase_with_filter(built):
     """Mixed spec: phrase + MUST_NOT (two-phase + exclusion compose)."""
     searcher, oidx = built
