@@ -112,10 +112,12 @@ class IndexSearcher:
         self.doc_count = int(row["doc_count"])
         self.sum_ttf = int(row["sum_ttf"])
         self.avgdl = avgdl_f32(self.sum_ttf, self.doc_count)
+        with open(self.paths.manifest("postings")) as f:
+            pm = json.load(f)
         if n_term_buckets is None:
-            with open(self.paths.manifest("postings")) as f:
-                n_term_buckets = int(json.load(f).get("n_term_buckets", DEFAULT_TERM_BUCKETS))
+            n_term_buckets = int(pm.get("n_term_buckets", DEFAULT_TERM_BUCKETS))
         self.n_term_buckets = n_term_buckets
+        self._range_size = int(pm.get("range_size", 8192))
         # explicit schema: readable even for a generation-0 (empty) index
         postings_schema = T.StructType(
             list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
@@ -164,7 +166,7 @@ class IndexSearcher:
 
     # ---------------- top-k entry points ----------------
 
-    def topk(self, query: str, k: int = 10, mode: str = "or", prune: bool = True,
+    def topk(self, query: str, k: int = 10, mode: str = "or", prune: bool | None = None,
              first_wave_ranges: int = 8) -> DataFrame:
         terms = tuple(analyze(query))
         spec = BooleanSpec(must=terms) if mode == "and" else BooleanSpec(should=terms)
@@ -233,10 +235,13 @@ class IndexSearcher:
             .limit(k)
         )
 
-    def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool = True,
+    def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool | None = None,
                   first_wave_ranges: int = 8) -> DataFrame:
         """-> DataFrame(doc_id long, score float): k best rows ordered
-        score DESC, doc_id ASC (HitQueue/TopDocs.merge tie-break)."""
+        score DESC, doc_id ASC (HitQueue/TopDocs.merge tie-break).
+
+        prune: None = auto (WAND only when the range count justifies two
+        extra driver round trips), True = force, False = never."""
         if not spec.scoring_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         weights = self.term_weights(list(spec.all_terms))
@@ -262,6 +267,12 @@ class IndexSearcher:
             not spec.must and not spec.must_not and not spec.phrase
             and not spec.dismax and spec.min_should_match <= 1
         )
+        # WAND's two-wave plan costs two extra driver round trips; it only
+        # pays when there are enough doc ranges to prune. Estimate from
+        # corpus stats (free) — at 10^12-file scale this is always true.
+        if prune is None:
+            est_ranges = max(1, -(-self.doc_count // self._range_size))
+            prune = est_ranges > 4 * first_wave_ranges
         if prune and pure_or:
             result = self._wand_pruned(
                 blocks, scan_cols, score_fn, weights, k, first_wave_ranges
@@ -275,7 +286,7 @@ class IndexSearcher:
 
         return result.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
-    def search(self, query: str, k: int = 10, mode: str = "or", prune: bool = True) -> DataFrame:
+    def search(self, query: str, k: int = 10, mode: str = "or", prune: bool | None = None) -> DataFrame:
         """topk + join back to docs for metadata & the sha256 row invariant
         (phase 2 GET_FIELDS of the distributed search, QueryComponent.java:767)."""
         hits = self.topk(query, k=k, mode=mode, prune=prune)
