@@ -271,8 +271,11 @@ class IndexSearcher:
         # pays when there are enough doc ranges to prune. Estimate from
         # corpus stats (free) — at 10^12-file scale this is always true.
         if prune is None:
+            # measured on a 3M-doc/366-range corpus: two-wave WAND costs
+            # more than it prunes below ~512 ranges (flat bounds); at true
+            # 10^12 scale (10^8+ ranges) pruning is mandatory
             est_ranges = max(1, -(-self.doc_count // self._range_size))
-            prune = est_ranges > 4 * first_wave_ranges
+            prune = est_ranges > 512
         if prune and pure_or:
             result = self._wand_pruned(
                 blocks, scan_cols, score_fn, weights, k, first_wave_ranges
