@@ -369,49 +369,60 @@ def _decode_group(g: pd.DataFrame, need_pos: bool):
     return d, tf, nb, pos
 
 
+_POS_SHIFT = np.int64(1) << np.int64(22)  # > max field position (maxTokenLength corpus)
+
+
+def _occurrence_keys(per_term, t: str) -> np.ndarray:
+    """Flat (doc << 22 | position) composite keys for every occurrence of
+    term t in the decoded range: one cumsum-with-reset pass, no per-doc
+    Python."""
+    d, tf, _nb, pos = per_term[t]
+    rep = np.repeat(d, tf)
+    # per-doc delta runs (first absolute) -> absolute positions
+    g = np.cumsum(pos.astype(np.int64))
+    run_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+    corr = np.repeat(g[run_starts] - pos[run_starts].astype(np.int64), tf)
+    pos_abs = g - corr
+    return rep * _POS_SHIFT + pos_abs
+
+
 def _phrase_freqs(
     per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray, slop: int = 0
 ) -> np.ndarray:
-    """Phrase frequency per candidate doc.
+    """Phrase frequency per candidate doc, fully vectorized over composite
+    (doc, position) keys.
 
     slop == 0 (ExactPhraseScorer analog): pf = |{p in pos0 :
     p + off_i in pos_i ∀i}|. slop > 0 (simplified SloppyPhraseScorer):
     pf = |{p in pos0 : ∀i ∃q in pos_i with |q − (p + off_i)| <= slop}| —
     match-counting only, not Lucene's 1/(distance+1)-weighted sloppyFreq;
     the control and SQL oracles share this exact definition."""
-    # per-doc position slices: doc -> positions (absolute, decoded from
-    # doc-local delta runs split by tf)
-    def doc_pos(t: str) -> dict[int, np.ndarray]:
-        d, tf, _nb, pos = per_term[t]
-        out = {}
-        bounds = np.concatenate(([0], np.cumsum(tf)))
-        for i in range(d.size):
-            raw = pos[bounds[i] : bounds[i + 1]]
-            out[int(d[i])] = np.cumsum(raw)  # delta (first absolute) -> absolute
-        return out
-
-    maps = {t: doc_pos(t) for t, _ in phrase}
     (t0, off0) = phrase[0]
-    pf = np.zeros(cand.size, dtype=np.int64)
-    for ci, doc in enumerate(cand):
-        match = maps[t0][int(doc)] - off0
-        for t, off in phrase[1:]:
-            p = maps[t].get(int(doc))
-            if p is None:
-                match = match[:0]
-                break
-            if slop == 0:
-                match = match[np.isin(match, p - off, assume_unique=True)]
-            else:
-                targets = match + off
-                j = np.searchsorted(p, targets)
-                left = np.abs(targets - p[np.maximum(j - 1, 0)])
-                right = np.abs(p[np.minimum(j, p.size - 1)] - targets)
-                match = match[np.minimum(left, right) <= slop]
-            if match.size == 0:
-                break
-        pf[ci] = match.size
-    return pf
+    keys0 = _occurrence_keys(per_term, t0) - off0  # lead anchors
+    cand_set_keys = np.asarray(sorted(cand), dtype=np.int64)
+    # restrict lead occurrences to candidate docs
+    lead_docs = keys0 // _POS_SHIFT
+    keep = np.isin(lead_docs, cand_set_keys)
+    keys0 = keys0[keep]
+    for t, off in phrase[1:]:
+        ki = _occurrence_keys(per_term, t) - off
+        if slop == 0:
+            keys0 = keys0[np.isin(keys0, ki)]
+        else:
+            m = np.zeros(keys0.size, dtype=bool)
+            for s in range(-slop, slop + 1):
+                m |= np.isin(keys0 + s, ki)
+            keys0 = keys0[m]
+        if keys0.size == 0:
+            break
+    counts = np.zeros(cand.size, dtype=np.int64)
+    if keys0.size:
+        match_docs = keys0 // _POS_SHIFT
+        order = np.argsort(cand, kind="mergesort")
+        sorted_cand = cand[order]
+        idx = np.searchsorted(sorted_cand, match_docs)
+        np.add.at(counts, order[idx], 1)
+    return counts
 
 
 def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int, k: int):
