@@ -1,0 +1,72 @@
+"""Compaction: re-merge accumulated segment generations into full blocks.
+
+TieredMergePolicy analog (index/TieredMergePolicy.java:75-86): incremental
+appends (streaming/indexer.py) leave under-filled posting blocks per
+(term, range); compaction replays every block through the same k-way merge
+used at build time, producing one maximally-packed block sequence per
+group — a single shuffle + vectorized merge + atomic directory swap, no
+source re-tokenization. df/ttf are invariant, so term/corpus stats are
+untouched; queries before/after are identical (tested)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .builder import (
+    BLOCK_SCHEMA,
+    IndexPaths,
+    _merge_fragments_stream_fn,
+    _write_manifest,
+)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    paths = IndexPaths(index_dir)
+    with open(paths.manifest("postings")) as f:
+        pm = json.load(f)
+    n_term_buckets = int(pm["n_term_buckets"])
+
+    postings_schema = T.StructType(
+        list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+    blocks = spark.read.schema(postings_schema).parquet(paths.postings)
+    n_before = blocks.count()
+
+    # a block row has the exact shape the merge expects of a fragment
+    frag_like = blocks.select(
+        "term", "range_id", "first_doc", "last_doc", "n_docs", "sum_tf",
+        "max_tf", "max_norm", "docs_buf", "tfs_buf", "norms_buf", "pos_buf",
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    merged = frag_like.repartition(n_shuffle, "term", "range_id").mapInPandas(
+        _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA
+    )
+    tmp_out = paths.postings + "__compact"
+    (
+        merged.withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_term_buckets)).cast("int"),
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("term", "range_id", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_out)
+    )
+    n_after = spark.read.schema(postings_schema).parquet(tmp_out).count()
+
+    # atomic-ish swap (readers resolve files at planning time; open a new
+    # IndexSearcher after compaction)
+    shutil.rmtree(paths.postings)
+    os.replace(tmp_out, paths.postings)
+
+    pm.update({"compacted_at": int(time.time() * 1000), "fingerprint": pm.get("fingerprint", "")})
+    _write_manifest(paths, "postings", {k: v for k, v in pm.items() if k not in ("stage", "schema", "generation")})
+    return {"blocks_before": n_before, "blocks_after": n_after}

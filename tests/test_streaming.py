@@ -104,6 +104,29 @@ def test_topic_and_daemon_stream(spark, tmp_root, corpus):
     assert topic2.watermark == 119
 
 
+def test_compaction_preserves_results(spark, tmp_root, corpus):
+    """TieredMergePolicy analog: many small generations -> compact ->
+    fewer blocks, identical stats and top-k, CheckIndex green."""
+    from lucene_solr_spark.index.check import verify_index
+    from lucene_solr_spark.index.compact import compact_index
+
+    d = os.path.join(tmp_root, "idx_compact")
+    init_empty_index(spark, d, meta_cols=["repo", "path"], range_size=64)
+    kw = dict(content_col="content", doc_id_col="doc_id", meta_cols=["repo", "path"])
+    for lo, hi in [(0, 30), (30, 90), (90, 150), (150, 240)]:
+        apply_increment(
+            spark, d, spark.createDataFrame(corpus[(corpus.doc_id >= lo) & (corpus.doc_id < hi)]),
+            batch_id=f"c{lo}", **kw,
+        )
+    before = _topk_all(IndexSearcher(spark, d))
+    out = compact_index(spark, d)
+    assert out["blocks_after"] < out["blocks_before"]
+    s2 = IndexSearcher(spark, d)
+    assert _topk_all(s2) == before
+    assert s2.doc_count == N_DOCS
+    verify_index(spark, d)
+
+
 def test_index_stream_foreachbatch(spark, tmp_root, corpus):
     src_dir = os.path.join(tmp_root, "stream_src")
     idx_dir = os.path.join(tmp_root, "idx_stream")
