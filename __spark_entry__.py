@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from lucene_solr_spark.index.builder import build_index
 from lucene_solr_spark.ops.bm25_sql import (
     bm25_boolean_sql,
+    bm25_boosted_sql,
     bm25_dismax_sql,
     bm25_mlt_sql,
     bm25_phrase_sql,
@@ -58,6 +59,7 @@ PHRASE_QUERIES = {
 SYNONYM_QUERIES = {"bm25_synonym": "fast quick rapid"}
 RESCORE_QUERIES = {"bm25_rescore": ("merge sort", "spark", 50, 2.0)}
 MLT_QUERIES = {"bm25_mlt": (0, 5)}  # (seed_doc_id, n_query_terms)
+BOOST_QUERIES = {"bm25_boost": {"spark": 2.0, "merge": 0.5, "vector": 1.0}}
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
@@ -124,6 +126,13 @@ def _phrase_query_fn(query: str, slop: int) -> Callable[[SparkSession, str], Dat
 def _synonym_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_synonym(query, k=10))
+
+    return run
+
+
+def _boost_query_fn(boosts: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_boosted(boosts, k=10))
 
     return run
 
@@ -202,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _rescore_query_fn(q1, q2, n, w)
     for name, (seed, nt) in MLT_QUERIES.items():
         out[name] = _mlt_query_fn(seed, nt)
+    for name, boosts in BOOST_QUERIES.items():
+        out[name] = _boost_query_fn(boosts)
     for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
@@ -223,6 +234,8 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_rescore_sql(q1, q2, first_n=n, weight=w, k=10)
     for name, (seed, nt) in MLT_QUERIES.items():
         out[name] = bm25_mlt_sql(seed_doc_id=seed, n_terms=nt, k=10)
+    for name, boosts in BOOST_QUERIES.items():
+        out[name] = bm25_boosted_sql(boosts, k=10)
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql

@@ -267,6 +267,55 @@ LIMIT {k}
 """
 
 
+def bm25_boosted_sql(boosts: dict[str, float], k: int = 10) -> str:
+    """BoostQuery: per-clause multiplicative boost on the BM25 weight."""
+    terms = sorted(boosts)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    boost_vals = ",".join(f"('{t}',{float(b)!r})" for t, b in sorted(boosts.items()))
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+boosts(term, boost) AS (VALUES {boost_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * b.boost * ({K1} + 1)
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN boosts b USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_synonym_sql(query: str, k: int = 10) -> str:
     """SynonymQuery: tf summed across synonym terms, one weight from
     df = max of the terms' docFreqs (SynonymQuery.java)."""

@@ -603,6 +603,52 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def function_query(spark, sf):
+    """Function queries / ValueSources (lucene/queries/.../function/
+    valuesource/, 46 files: TFValueSource, IDFValueSource, SumFloatFunction,
+    ...): rank docs by a custom per-doc expression combining index stats —
+    here score = sqrt(tf('vector')) * ln(N/df('vector')) * (1 + n_chars/1000),
+    the index-stat accessors expressed as joins/aggregates."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = (
+        tok.filter(F.col("term") == "vector")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = d.count()
+    df_ = tf.count()
+    return (
+        tf.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.sqrt(F.col("tf").cast("double"))
+                * F.log(F.lit(float(n)) / F.lit(float(df_)))
+                * (F.lit(1.0) + F.col("n_chars") / F.lit(1000.0)),
+                6,
+            ).alias("fscore"),
+        )
+        .orderBy(F.col("fscore").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+FUNCTION_QUERY_SQL = """
+WITH tf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term = 'vector' GROUP BY doc_id
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf)
+SELECT tf.doc_id,
+       round(sqrt(tf.tf) * ln(n.n / dfv.df) * (1 + d.n_chars / 1000.0), 6) AS fscore
+FROM tf JOIN documents d USING (doc_id) CROSS JOIN n CROSS JOIN dfv
+ORDER BY fscore DESC, tf.doc_id ASC LIMIT 20
+"""
+
+
 # SQLHandler (solr/core/.../handler/SQLHandler.java:80-130): the reference
 # parses SQL with Presto and compiles to streaming expressions; here the
 # layer IS spark.sql — the SAME ANSI string runs on Spark and the DuckDB
@@ -656,4 +702,5 @@ OPS: dict[str, tuple] = {
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
     "sql_handler_q1": (sql_handler_q1, SQL_HANDLER_Q1),
+    "function_query": (function_query, FUNCTION_QUERY_SQL),
 }

@@ -189,6 +189,34 @@ class IndexSearcher:
     def topk_phrase(self, query: str, k: int = 10, slop: int = 0) -> DataFrame:
         return self.topk_spec(phrase_spec(query, slop=slop), k=k)
 
+    def topk_boosted(self, boosts: dict[str, float], k: int = 10) -> DataFrame:
+        """BoostQuery (search/BoostQuery.java): per-clause multiplicative
+        boost — weightValue = idf * boost * (k1+1); terms given as
+        {analyzed_term: boost}."""
+        terms = tuple(sorted(boosts))
+        spec = BooleanSpec(should=terms)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        weights = self.term_weights(list(terms))
+        for t, b in boosts.items():
+            weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
+        present = [t for t in terms if weights[t]["df"] > 0]
+        if not present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        blocks = self._blocks_for(present)
+        scan_cols = [
+            "term", "range_id", "first_doc", "last_doc",
+            "docs_buf", "tfs_buf", "norms_buf",
+        ]
+        score_fn = _make_range_scorer(spec, weights, float(self.avgdl), self.doc_count, k)
+        return (
+            blocks.select(scan_cols)
+            .groupBy("range_id")
+            .applyInPandas(score_fn, schema=TOPK_SCHEMA)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def topk_synonym(self, query: str, k: int = 10) -> DataFrame:
         """SynonymQuery (search/SynonymQuery.java): all terms score as ONE
         pseudo-term — tf summed across synonyms per doc, one similarity
