@@ -54,6 +54,11 @@ DEFAULT_TERM_BUCKETS = 64  # output file partitions by term hash (query-side
 # pruning granularity AND final-write parallelism — must exceed cluster width)
 N_LAYOUT_BUCKETS = 256  # fixed layout constant for doc_id assignment
 INDEX_SCHEMA_VERSION = 3  # v3: crc32 term buckets (driver-computable), bucketed term_stats
+MAX_FIELD_POSITION = (1 << 22) - 1  # engine packs (doc << 22 | position)
+# composite keys for phrase/span matching (engine._POS_SHIFT); the build
+# enforces the invariant the query engine relies on (IndexWriter's
+# IllegalArgumentException on position overflow is the reference analog,
+# lucene/core/.../index/DefaultIndexingChain.java "position overflows")
 
 
 FRAGMENT_SCHEMA = T.StructType(
@@ -245,6 +250,12 @@ def _make_fragments_fn(content_col: str, range_size: int):
             if table is None:
                 continue
             uniq, c2, drep, p2, flens = table
+            if p2.size and int(p2.max()) > MAX_FIELD_POSITION:
+                raise ValueError(
+                    f"field position {int(p2.max())} exceeds MAX_FIELD_POSITION "
+                    f"{MAX_FIELD_POSITION} (~4.19M tokens/doc); truncate the "
+                    "document or raise the engine's position width"
+                )
             norms = encode_norm(flens)
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
             d2 = doc_ids[drep]
@@ -473,6 +484,13 @@ def build_index(
 ) -> IndexPaths:
     """Build the full index. Resumable: completed stages (matching manifest
     fingerprint) are skipped — kill the job at any stage boundary and re-run."""
+    if not fingerprint:
+        # an empty fingerprint would compare equal to any prior ""-manifest
+        # and silently serve a stale index for a different source
+        raise ValueError(
+            "build_index requires a non-empty fingerprint identifying the "
+            "source (e.g. a path + snapshot id) for checkpoint-resume safety"
+        )
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     meta_cols = list(meta_cols or [])

@@ -27,8 +27,23 @@ from .builder import (
 )
 
 
+def recover_postings(paths: IndexPaths) -> bool:
+    """Crash recovery for directory swaps (compaction / incremental stats):
+    if a crash happened between renaming a live dir aside and moving the
+    new one in, restore the old generation. Returns True if any recovery
+    was performed."""
+    recovered = False
+    for live in (paths.postings, paths.term_stats, paths.corpus_stats):
+        old = live + "__old"
+        if not os.path.exists(live) and os.path.exists(old):
+            os.replace(old, live)
+            recovered = True
+    return recovered
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     paths = IndexPaths(index_dir)
+    recover_postings(paths)
     with open(paths.manifest("postings")) as f:
         pm = json.load(f)
     n_term_buckets = int(pm["n_term_buckets"])
@@ -62,10 +77,17 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     )
     n_after = spark.read.schema(postings_schema).parquet(tmp_out).count()
 
-    # atomic-ish swap (readers resolve files at planning time; open a new
-    # IndexSearcher after compaction)
-    shutil.rmtree(paths.postings)
+    # crash-safe swap: rename the live generation ASIDE first, move the
+    # compacted output in, only then delete the old one. A crash in any
+    # window leaves either the old or the new postings recoverable
+    # (recover_postings above; readers resolve files at planning time —
+    # open a new IndexSearcher after compaction).
+    old = paths.postings + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(paths.postings, old)
     os.replace(tmp_out, paths.postings)
+    shutil.rmtree(old)
 
     pm.update({"compacted_at": int(time.time() * 1000), "fingerprint": pm.get("fingerprint", "")})
     _write_manifest(paths, "postings", {k: v for k, v in pm.items() if k not in ("stage", "schema", "generation")})

@@ -108,6 +108,9 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str, n_term_buckets: int | None = None):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        from ..index.compact import recover_postings
+
+        recover_postings(self.paths)  # heal a crashed compaction swap
         row = spark.read.parquet(self.paths.corpus_stats).collect()[0]
         self.doc_count = int(row["doc_count"])
         self.sum_ttf = int(row["sum_ttf"])

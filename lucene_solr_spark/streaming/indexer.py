@@ -8,12 +8,25 @@ by first_doc (SURVEY.md §2.2 SegmentMerger; engine._decode_group).
 
 Two consumption styles:
   * apply_increment(): batch append of new docs — idempotent per batch_id
-    (a commit marker written AFTER all writes makes retries skip; the
-    Solr UpdateLog replay pattern, UpdateLog.java:815-839).
+    via a STAGED two-phase commit (the Solr UpdateLog replay pattern,
+    UpdateLog.java:815-839): the batch's docs and postings are first
+    written to a private staging dir, sealed with a staged.json manifest,
+    then moved file-by-file (atomic renames, deterministic target names)
+    into the live index and finished with the marker. A retry after a
+    crash at ANY point either rebuilds staging from scratch (no live
+    writes happened), resumes the remaining renames (already-moved files
+    are simply absent from staging), or skips entirely (marker present) —
+    never a duplicated doc or posting.
   * index_stream(): Structured Streaming foreachBatch over a file source
     with a checkpointLocation — Spark's batchId feeds the idempotency
     marker, giving effectively-once indexing of a growing directory
     (TopicStream checkpoints at cluster scale).
+
+Stats are merged INCREMENTALLY: df/ttf are additive, so each increment
+aggregates only its own staged blocks (O(increment) input) and folds the
+deltas into the existing term_stats/corpus_stats (O(vocabulary), never
+O(all postings)). The rare resumed-commit path falls back to a full
+metadata recompute for safety.
 
 Compaction note: at 10^12 files many small generations would accumulate;
 rerunning the normal build (or a per-(term,range) re-merge of blocks, the
@@ -84,15 +97,36 @@ def init_empty_index(
     return paths
 
 
-def _write_stats(spark: SparkSession, paths: IndexPaths) -> None:
-    """Recompute term/corpus stats from block METADATA (column-pruned scan
-    of n_docs/sum_tf — never touches the binary posting payloads)."""
+def _swap_dir(live: str, new_dir: str) -> None:
+    """Crash-safe directory swap: rename live aside, move new in, delete
+    old. compact.recover_postings restores `__old` if a crash lands in
+    the middle window."""
+    import shutil
+
+    old = live + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live):
+        os.replace(live, old)
+    os.replace(new_dir, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _postings_schema():
     from pyspark.sql import types as T
 
-    postings_schema = T.StructType(
+    return T.StructType(
         list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
     )
-    blocks = spark.read.schema(postings_schema).parquet(paths.postings)
+
+
+def _write_stats(spark: SparkSession, paths: IndexPaths) -> None:
+    """FULL recompute of term/corpus stats from block METADATA (column-
+    pruned scan of n_docs/sum_tf — never touches the binary posting
+    payloads). Used at init and on the rare resumed-commit path; the
+    normal increment path uses _merge_stats_incremental."""
+    blocks = spark.read.schema(_postings_schema()).parquet(paths.postings)
     (
         blocks.groupBy("term", "bucket")
         .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
@@ -109,13 +143,67 @@ def _write_stats(spark: SparkSession, paths: IndexPaths) -> None:
         .write.mode("overwrite")
         .parquet(paths.corpus_stats + "_next")
     )
-    # atomic-ish swap (readers resolve the directory at query planning time)
-    for p in (paths.term_stats, paths.corpus_stats):
-        import shutil
+    _swap_dir(paths.term_stats, paths.term_stats + "_next")
+    _swap_dir(paths.corpus_stats, paths.corpus_stats + "_next")
 
-        if os.path.exists(p):
-            shutil.rmtree(p)
-        os.replace(p + "_next", p)
+
+def _merge_stats_incremental(
+    spark: SparkSession, paths: IndexPaths, staged_postings: str,
+    n_new: int, sum_flen_new: int,
+) -> None:
+    """Fold the increment's stats deltas into the existing tables.
+
+    df/ttf are additive per term, so the job reads ONLY the staged blocks
+    (O(increment)) plus the current term_stats (O(vocabulary)) — never the
+    live postings. Corpus stats are two scalars, updated driver-side."""
+    delta = (
+        spark.read.schema(_postings_schema())
+        .parquet(staged_postings)
+        .groupBy("term", "bucket")
+        .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
+    )
+    existing = spark.read.schema(
+        "term string, df long, ttf long, bucket int"
+    ).parquet(paths.term_stats)
+    (
+        existing.select("term", "df", "ttf", "bucket")
+        .unionByName(delta)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.term_stats + "_next")
+    )
+    row = spark.read.parquet(paths.corpus_stats).collect()[0]
+    spark.createDataFrame(
+        [(int(row["doc_count"]) + n_new, int(row["sum_ttf"]) + sum_flen_new)],
+        "doc_count long, sum_ttf long",
+    ).write.mode("overwrite").parquet(paths.corpus_stats + "_next")
+    _swap_dir(paths.term_stats, paths.term_stats + "_next")
+    _swap_dir(paths.corpus_stats, paths.corpus_stats + "_next")
+
+
+def _move_staged_files(src_dir: str, dst_dir: str, prefix: str) -> int:
+    """Move a staged parquet write into a live parquet dir (recursing into
+    partition subdirs) with atomic per-file renames and DETERMINISTIC
+    target names — a crashed move is resumable because files already moved
+    are simply absent from staging, and re-moving can never collide."""
+    moved = 0
+    for root, _dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        tgt = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+        made = False
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            if not made:
+                os.makedirs(tgt, exist_ok=True)
+                made = True
+            os.replace(os.path.join(root, fn), os.path.join(tgt, prefix + fn))
+            moved += 1
+    return moved
 
 
 def apply_increment(
@@ -129,8 +217,11 @@ def apply_increment(
     batch_id: int | str = None,
 ) -> dict:
     """Append one segment generation for `new_docs`. Idempotent per
-    batch_id; enforces the monotone doc-id invariant (new ids must exceed
-    the committed watermark)."""
+    batch_id (staged two-phase commit, see module docstring); enforces the
+    monotone doc-id invariant (new ids must exceed the committed
+    watermark)."""
+    import shutil
+
     paths = IndexPaths(index_dir)
     pm = _read_manifest(paths, "postings")
     lineage = _read_manifest(paths, "lineage")
@@ -139,61 +230,112 @@ def apply_increment(
 
     marker_dir = os.path.join(paths.manifest_dir, "increments")
     os.makedirs(marker_dir, exist_ok=True)
-    marker = os.path.join(marker_dir, f"batch_{batch_id}.json")
+    sid = str(batch_id) if batch_id is not None else f"adhoc_{int(time.time() * 1e6)}"
+    marker = os.path.join(marker_dir, f"batch_{sid}.json")
     if batch_id is not None and os.path.exists(marker):
         return {"skipped": True, "batch_id": batch_id}
 
-    base = new_docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-    stats = base.agg(
-        F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("mx")
-    ).collect()[0]
-    n_new = int(stats["n"])
-    if n_new == 0:
-        return {"skipped": True, "reason": "empty"}
-    watermark = int(lineage.get("watermark", -1))
-    if int(stats["lo"]) <= watermark:
-        raise ValueError(
-            f"increment doc_ids must exceed committed watermark {watermark}; got {stats['lo']}"
+    stage_root = os.path.join(paths.root, "_staging", f"batch_{sid}")
+    st_docs = os.path.join(stage_root, "docs")
+    st_postings = os.path.join(stage_root, "postings")
+    staged_manifest = os.path.join(stage_root, "staged.json")
+
+    resumed_commit = os.path.exists(staged_manifest)
+    if not resumed_commit:
+        # ---- phase 1: stage (no live writes; a crash here is a no-op) ----
+        base = new_docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+        stats = base.agg(
+            F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("mx")
+        ).collect()[0]
+        n_new = int(stats["n"])
+        if n_new == 0:
+            return {"skipped": True, "reason": "empty"}
+        watermark = int(lineage.get("watermark", -1))
+        if int(stats["lo"]) <= watermark:
+            raise ValueError(
+                f"increment doc_ids must exceed committed watermark {watermark}; got {stats['lo']}"
+            )
+        if os.path.exists(stage_root):
+            shutil.rmtree(stage_root)  # partial stage from a prior crash
+
+        mc = [c for c in meta_cols if c != doc_id_col]
+        build_docs_table(base, content_col, mc).write.mode("overwrite").parquet(st_docs)
+
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        fragments = base.select("doc_id", content_col).mapInPandas(
+            _make_fragments_fn(content_col, range_size), schema=FRAGMENT_SCHEMA
         )
-
-    mc = [c for c in meta_cols if c != doc_id_col]
-    build_docs_table(base, content_col, mc).write.mode("append").parquet(paths.docs)
-
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    fragments = base.select("doc_id", content_col).mapInPandas(
-        _make_fragments_fn(content_col, range_size), schema=FRAGMENT_SCHEMA
-    )
-    blocks = fragments.repartition(n_shuffle, "term", "range_id").mapInPandas(
-        _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA
-    )
-    (
-        blocks.withColumn(
-            "bucket",
-            F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_term_buckets)).cast("int"),
+        blocks = fragments.repartition(n_shuffle, "term", "range_id").mapInPandas(
+            _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA
         )
-        .repartition("bucket")
-        .sortWithinPartitions("term", "range_id", "block_no")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(paths.postings)
-    )
-    _write_stats(spark, paths)
-
-    gen_no = int(lineage.get("generation_no", 0)) + 1
-    lineage.update(
-        {
-            "generation_no": gen_no,
-            "generation": int(time.time() * 1000),
-            "watermark": int(stats["mx"]),
-            "doc_count": int(lineage.get("doc_count", 0)) + n_new,
+        (
+            blocks.withColumn(
+                "bucket",
+                F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n_term_buckets)).cast("int"),
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("term", "range_id", "block_no")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(st_postings)
+        )
+        sum_flen = int(
+            spark.read.parquet(st_docs)
+            .agg(F.coalesce(F.sum("field_len"), F.lit(0))).collect()[0][0]
+        )
+        payload = {
+            "batch_id": sid, "rows": n_new, "lo": int(stats["lo"]),
+            "watermark": int(stats["mx"]), "sum_field_len": sum_flen,
         }
-    )
-    with open(paths.manifest("lineage"), "w") as f:
-        json.dump(lineage, f, indent=2, default=str)
+        tmp = staged_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, staged_manifest)  # seals the stage atomically
+    with open(staged_manifest) as f:
+        staged = json.load(f)
+
+    # ---- phase 2: commit (atomic per-file renames; resumable) ----
+    if resumed_commit:
+        # a prior run may have died anywhere in commit — the incremental
+        # delta can no longer be applied exactly-once, so move what's left
+        # and recompute stats from live metadata (still column-pruned,
+        # never posting payloads)
+        _move_staged_files(st_docs, paths.docs, f"inc_{sid}_")
+        _move_staged_files(st_postings, paths.postings, f"inc_{sid}_")
+        _write_stats(spark, paths)
+    else:
+        # stats delta reads the STAGED blocks, so merge before the renames
+        # consume staging; readers see new postings only at the next
+        # IndexSearcher open (Lucene's segment-reopen visibility model)
+        _merge_stats_incremental(
+            spark, paths, st_postings, staged["rows"], staged["sum_field_len"]
+        )
+        _move_staged_files(st_docs, paths.docs, f"inc_{sid}_")
+        _move_staged_files(st_postings, paths.postings, f"inc_{sid}_")
+
+    new_wm = int(staged["watermark"])
+    if int(lineage.get("watermark", -1)) < new_wm:
+        lineage.update(
+            {
+                "generation_no": int(lineage.get("generation_no", 0)) + 1,
+                "generation": int(time.time() * 1000),
+                "watermark": new_wm,
+                "doc_count": int(lineage.get("doc_count", 0)) + int(staged["rows"]),
+            }
+        )
+        with open(paths.manifest("lineage"), "w") as f:
+            json.dump(lineage, f, indent=2, default=str)
     if batch_id is not None:
-        with open(marker, "w") as f:
-            json.dump({"batch_id": str(batch_id), "rows": n_new, "watermark": int(stats["mx"])}, f)
-    return {"generation_no": gen_no, "rows": n_new, "watermark": int(stats["mx"])}
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": sid, "rows": staged["rows"], "watermark": new_wm}, f)
+        os.replace(tmp, marker)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return {
+        "generation_no": int(lineage.get("generation_no", 0)),
+        "rows": int(staged["rows"]),
+        "watermark": new_wm,
+    }
 
 
 def index_stream(
