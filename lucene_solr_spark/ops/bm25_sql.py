@@ -189,11 +189,18 @@ LIMIT {k}
 
 
 def bm25_phrase_sql(query: str, k: int = 10, slop: int = 0) -> str:
-    """PhraseQuery (position gaps from stop removal preserved):
-    pf = aligned-position count (slop=0 exact; slop>0 simplified sloppy —
-    lead positions with every clause within +-slop of its offset, matching
-    engine._phrase_freqs exactly); weight = (sum of term idfs) * (k1+1)
-    (PhraseWeight); score = weight * pf / (pf + k1*((1-b)+b*dl/avgdl))."""
+    """PhraseQuery (position gaps from stop removal preserved).
+
+    slop=0 (ExactPhraseScorer): pf = aligned-position count via chained
+    positional self-joins. slop>0 (SloppyPhraseScorer, two distinct
+    clauses): Lucene-exact weighted pf via the LEAPFROG-CHAIN closed
+    form of SloppyPhraseScorer.phraseFreq (search/sloppy.py
+    sloppy_freq_chain2, property-tested float32-identical to the state
+    machine): uppers u0 = greatest(first adjusted keys) (tie: larger
+    offset), u_{k+1} = min(other clause > u_k) as a recursive CTE; each
+    upper emits 1/(u - max(other <= u) + 1) when within slop.
+    weight = (sum of term idfs) * (k1+1) (PhraseWeight);
+    score = weight * pf / (pf + k1*((1-b)+b*dl/avgdl))."""
     from ..search.engine import phrase_spec
 
     phrase = phrase_spec(query).phrase
@@ -201,22 +208,75 @@ def bm25_phrase_sql(query: str, k: int = 10, slop: int = 0) -> str:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
     uniq = sorted({t for t, _ in phrase})
     terms_in = ",".join(f"'{t}'" for t in uniq)
-    # chained positional self-joins: p{i}.pos = p0.pos + off_i
     t0, off0 = phrase[0]
-    joins = []
-    for i, (t, off) in enumerate(phrase[1:], start=1):
-        cond = (
-            f"p{i}.pos = p0.pos + {off - off0}"
-            if slop == 0
-            else f"abs(p{i}.pos - (p0.pos + {off - off0})) <= {slop}"
-        )
-        joins.append(
-            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
-            f"AND {cond} AND p{i}.term = '{t}'"
-        )
-    join_sql = "\n  ".join(joins)
+    if slop == 0:
+        # chained positional self-joins: p{i}.pos = p0.pos + off_i
+        joins = []
+        for i, (t, off) in enumerate(phrase[1:], start=1):
+            joins.append(
+                f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+                f"AND p{i}.pos = p0.pos + {off - off0} AND p{i}.term = '{t}'"
+            )
+        join_sql = "\n  ".join(joins)
+        pf_sql = f"""
+pf AS (
+  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS pf
+  FROM tokpos p0
+  {join_sql}
+  WHERE p0.term = '{t0}'
+  GROUP BY p0.doc_id
+)"""
+    else:
+        if len(phrase) != 2 or phrase[0][0] == phrase[1][0]:
+            raise ValueError(
+                "the SQL sloppy-phrase oracle covers exactly two distinct "
+                "clauses (the engine's general path is gated by the "
+                "control oracle instead)"
+            )
+        t1, off1 = phrase[1]
+        u0_tie_side = 0 if off0 > off1 else 1
+        pf_sql = f"""
+occ AS (
+  SELECT doc_id, pos - {off0} AS k, 0 AS s FROM tokpos WHERE term = '{t0}'
+  UNION ALL
+  SELECT doc_id, pos - {off1} AS k, 1 AS s FROM tokpos WHERE term = '{t1}'
+),
+nxt AS (
+  SELECT a.doc_id, a.k, a.s, min(b.k) AS nk
+  FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k > a.k
+  GROUP BY 1, 2, 3
+),
+prv AS (
+  SELECT a.doc_id, a.k, a.s, max(b.k) AS pk
+  FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k <= a.k
+  GROUP BY 1, 2, 3
+),
+firsts AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           min(CASE WHEN s = 0 THEN k END) AS a0,
+           min(CASE WHEN s = 1 THEN k END) AS b0
+    FROM occ GROUP BY doc_id)
+  WHERE a0 IS NOT NULL AND b0 IS NOT NULL
+),
+chain AS (
+  SELECT doc_id, greatest(a0, b0) AS u,
+         CASE WHEN a0 > b0 THEN 0 WHEN b0 > a0 THEN 1 ELSE {u0_tie_side} END AS s
+  FROM firsts
+  UNION ALL
+  SELECT n.doc_id, n.nk AS u, 1 - c.s AS s
+  FROM chain c JOIN nxt n ON n.doc_id = c.doc_id AND n.s = c.s AND n.k = c.u
+),
+pf AS (
+  SELECT c.doc_id,
+         CAST(sum(CASE WHEN c.u - p.pk <= {slop}
+                       THEN 1.0 / (c.u - p.pk + 1) END) AS DOUBLE) AS pf
+  FROM chain c JOIN prv p ON p.doc_id = c.doc_id AND p.s = c.s AND p.k = c.u
+  GROUP BY c.doc_id
+)"""
+    with_kw = "WITH RECURSIVE" if slop > 0 else "WITH"
     return f"""
-WITH toks AS (
+{with_kw} toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
 ),
 tokpos AS (
@@ -242,13 +302,7 @@ idfsum AS (
   SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
   FROM dfs CROSS JOIN stats s
 ),
-pf AS (
-  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS pf
-  FROM tokpos p0
-  {join_sql}
-  WHERE p0.term = '{t0}'
-  GROUP BY p0.doc_id
-),
+{pf_sql.strip()},
 scored AS (
   SELECT pf.doc_id,
          i.w * ({K1} + 1) * pf.pf

@@ -77,9 +77,9 @@ class BooleanSpec:
     dismax: bool = False  # score SHOULD clauses as DisjunctionMax
     tiebreak: float = 0.0
     phrase: tuple[tuple[str, int], ...] = ()  # [(term, position offset)]
-    slop: int = 0  # 0 = exact phrase; >0 = simplified sloppy match (see
-    # _phrase_freqs; SloppyPhraseScorer's weighted sloppyFreq is NOT
-    # replicated — both engine and oracles share this definition)
+    slop: int = 0  # 0 = exact phrase (ExactPhraseScorer); >0 = Lucene-exact
+    # sloppy scoring: weighted phrase freq Σ 1/(matchLength+1) over
+    # SloppyPhraseScorer's minimal match windows (see search/sloppy.py)
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:
@@ -400,34 +400,34 @@ def _decode_group(g: pd.DataFrame, need_pos: bool):
     return d, tf, nb, pos
 
 
-_POS_SHIFT = np.int64(1) << np.int64(22)  # > max field position (maxTokenLength corpus)
+_POS_SHIFT = np.int64(1) << np.int64(22)  # > max field position (builder
+# enforces MAX_FIELD_POSITION = 2^22-1 at index time)
+
+
+def _abs_positions(per_term, t: str):
+    """Decode term t's position stream in the range: (docs, tf, run_starts,
+    pos_abs) where pos_abs holds ascending absolute positions per doc in
+    one cumsum-with-reset pass, no per-doc Python."""
+    d, tf, _nb, pos = per_term[t]
+    g = np.cumsum(pos.astype(np.int64))
+    run_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+    corr = np.repeat(g[run_starts] - pos[run_starts].astype(np.int64), tf)
+    return d, tf, run_starts, g - corr
 
 
 def _occurrence_keys(per_term, t: str) -> np.ndarray:
     """Flat (doc << 22 | position) composite keys for every occurrence of
-    term t in the decoded range: one cumsum-with-reset pass, no per-doc
-    Python."""
-    d, tf, _nb, pos = per_term[t]
-    rep = np.repeat(d, tf)
-    # per-doc delta runs (first absolute) -> absolute positions
-    g = np.cumsum(pos.astype(np.int64))
-    run_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
-    corr = np.repeat(g[run_starts] - pos[run_starts].astype(np.int64), tf)
-    pos_abs = g - corr
-    return rep * _POS_SHIFT + pos_abs
+    term t in the decoded range."""
+    d, tf, _run_starts, pos_abs = _abs_positions(per_term, t)
+    return np.repeat(d, tf) * _POS_SHIFT + pos_abs
 
 
 def _phrase_freqs(
-    per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray, slop: int = 0
+    per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray
 ) -> np.ndarray:
-    """Phrase frequency per candidate doc, fully vectorized over composite
-    (doc, position) keys.
-
-    slop == 0 (ExactPhraseScorer analog): pf = |{p in pos0 :
-    p + off_i in pos_i ∀i}|. slop > 0 (simplified SloppyPhraseScorer):
-    pf = |{p in pos0 : ∀i ∃q in pos_i with |q − (p + off_i)| <= slop}| —
-    match-counting only, not Lucene's 1/(distance+1)-weighted sloppyFreq;
-    the control and SQL oracles share this exact definition."""
+    """EXACT phrase frequency per candidate doc (ExactPhraseScorer analog),
+    fully vectorized over composite (doc, position) keys:
+    pf = |{p in pos0 : p + off_i in pos_i ∀i}|."""
     (t0, off0) = phrase[0]
     keys0 = _occurrence_keys(per_term, t0) - off0  # lead anchors
     cand_set_keys = np.asarray(sorted(cand), dtype=np.int64)
@@ -437,13 +437,7 @@ def _phrase_freqs(
     keys0 = keys0[keep]
     for t, off in phrase[1:]:
         ki = _occurrence_keys(per_term, t) - off
-        if slop == 0:
-            keys0 = keys0[np.isin(keys0, ki)]
-        else:
-            m = np.zeros(keys0.size, dtype=bool)
-            for s in range(-slop, slop + 1):
-                m |= np.isin(keys0 + s, ki)
-            keys0 = keys0[m]
+        keys0 = keys0[np.isin(keys0, ki)]
         if keys0.size == 0:
             break
     counts = np.zeros(cand.size, dtype=np.int64)
@@ -454,6 +448,42 @@ def _phrase_freqs(
         idx = np.searchsorted(sorted_cand, match_docs)
         np.add.at(counts, order[idx], 1)
     return counts
+
+
+def _sloppy_phrase_freqs(
+    per_term, phrase: tuple[tuple[str, int], ...], cand: np.ndarray, slop: int
+) -> np.ndarray:
+    """Lucene-exact weighted sloppy phrase freq per candidate doc
+    (SloppyPhraseScorer.phraseFreq + BM25Similarity.sloppyFreq 1/(d+1);
+    see search/sloppy.py). Per-doc sequential walk — the same cost model
+    as Lucene's own scorer, run distributed per doc range."""
+    from .sloppy import sloppy_freq
+
+    terms = [t for t, _ in phrase]
+    if len(set(terms)) != len(terms):
+        raise NotImplementedError(
+            "sloppy phrase with repeated terms (Lucene's advanceRpts path) "
+            "is not supported; use slop=0 or distinct terms"
+        )
+    clause_data = []
+    for t, off in phrase:
+        d, tf, run_starts, pos_abs = _abs_positions(per_term, t)
+        clause_data.append((d, tf, run_starts, pos_abs, off))
+    freqs = np.zeros(cand.size, dtype=np.float32)
+    for ci, c in enumerate(cand):
+        plists, offs = [], []
+        ok = True
+        for d, tf, run_starts, pos_abs, off in clause_data:
+            j = int(np.searchsorted(d, c))
+            if j >= d.size or d[j] != c:
+                ok = False
+                break
+            s = int(run_starts[j])
+            plists.append(pos_abs[s : s + int(tf[j])].tolist())
+            offs.append(off)
+        if ok:
+            freqs[ci] = sloppy_freq(plists, offs, slop)
+    return freqs
 
 
 def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int, k: int):
@@ -557,7 +587,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             cand = np.flatnonzero(mask) + base
             if cand.size == 0:
                 return _EMPTY
-            pf = _phrase_freqs(per_term, phrase, cand, slop=spec.slop)
+            if spec.slop > 0:
+                pf = _sloppy_phrase_freqs(per_term, phrase, cand, spec.slop)
+            else:
+                pf = _phrase_freqs(per_term, phrase, cand)
             keep = pf > 0
             cand, pf = cand[keep], pf[keep]
             if cand.size == 0:

@@ -121,23 +121,28 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     if phrase:
         slop = getattr(spec, "slop", 0)
         pf_map = {}
-        for d in sorted(cand):
-            base_t, base_off = phrase[0]
-            match = [p - base_off for p in idx.positions[base_t].get(d, [])]
-            for t, off in phrase[1:]:
-                plist = idx.positions[t].get(d, [])
-                if slop == 0:
-                    pset = {p - off for p in plist}
+        if slop > 0:
+            # Lucene-exact SloppyPhraseScorer semantics (search/sloppy.py)
+            from .sloppy import sloppy_freq
+
+            for d in sorted(cand):
+                plists = [idx.positions[t].get(d, []) for t, _ in phrase]
+                if any(not p for p in plists):
+                    continue
+                f = sloppy_freq(plists, [off for _, off in phrase], slop)
+                if f > 0:
+                    pf_map[d] = f
+        else:
+            for d in sorted(cand):
+                base_t, base_off = phrase[0]
+                match = [p - base_off for p in idx.positions[base_t].get(d, [])]
+                for t, off in phrase[1:]:
+                    pset = {p - off for p in idx.positions[t].get(d, [])}
                     match = [p for p in match if p in pset]
-                else:
-                    match = [
-                        p for p in match
-                        if any(abs(q - (p + off)) <= slop for q in plist)
-                    ]
-                if not match:
-                    break
-            if match:
-                pf_map[d] = len(match)
+                    if not match:
+                        break
+                if match:
+                    pf_map[d] = len(match)
         cand = set(pf_map)
     if not cand:
         return []
