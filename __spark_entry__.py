@@ -10,7 +10,6 @@ sf0.001 documents and run a BM25 top-k search through the full engine
 
 from __future__ import annotations
 
-import hashlib
 import os
 from collections.abc import Callable
 
@@ -18,22 +17,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from lucene_solr_spark.index.builder import build_index
 from lucene_solr_spark.ops.bm25_sql import (
     bm25_boolean_sql,
     bm25_boosted_sql,
     bm25_dismax_sql,
     bm25_mlt_sql,
+    bm25_multi_phrase_sql,
     bm25_phrase_sql,
+    bm25_regexp_sql,
     bm25_rescore_sql,
+    bm25_span_first_sql,
+    bm25_span_near_sql,
     bm25_synonym_sql,
     bm25_topk_sql,
 )
+from lucene_solr_spark.ops.index_access import searcher_for as _searcher
 from lucene_solr_spark.ops.pipeline import OPS as PIPELINE_OPS
 from lucene_solr_spark.ops.relational import OPS as RELATIONAL_OPS
-from lucene_solr_spark.search.engine import IndexSearcher
-
-_SEARCHERS: dict[str, IndexSearcher] = {}
+from lucene_solr_spark.search.queryparser import parse_and_search
 
 # (name, query string, mode)
 BM25_QUERIES = [
@@ -60,32 +61,25 @@ SYNONYM_QUERIES = {"bm25_synonym": "fast quick rapid"}
 RESCORE_QUERIES = {"bm25_rescore": ("merge sort", "spark", 50, 2.0)}
 MLT_QUERIES = {"bm25_mlt": (0, 5)}  # (seed_doc_id, n_query_terms)
 BOOST_QUERIES = {"bm25_boost": {"spark": 2.0, "merge": 0.5, "vector": 1.0}}
-
-
-def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
-    """Build-or-reuse the index for a testdata dir (manifest-fingerprint
-    resume makes repeat calls a metadata no-op)."""
-    key = os.path.abspath(sf_dir)
-    if key in _SEARCHERS:
-        return _SEARCHERS[key]
-    idx_dir = os.path.join(
-        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
-        hashlib.md5(key.encode()).hexdigest()[:12],
-    )
-    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    build_index(
-        spark,
-        src,
-        out_dir=idx_dir,
-        content_col="text",
-        doc_id_col="doc_id",
-        meta_cols=["lang", "source"],
-        range_size=512,
-        fingerprint=key,
-    )
-    s = IndexSearcher(spark, idx_dir)
-    _SEARCHERS[key] = s
-    return s
+# name -> (clause terms, slop, in_order)
+SPAN_QUERIES = {
+    "bm25_span_near": (["fast", "merge"], 2, True),
+    "bm25_span_unordered": (["sort", "merge"], 3, False),
+}
+SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
+MULTI_PHRASE_QUERIES = {
+    "bm25_multi_phrase": [["fast", "quick"], ["merge", "sort"]],
+}
+REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
+# query strings through the classic parser (QueryParserBase.parse); the
+# oracle renders the equivalent hand-built query
+PARSER_QUERIES = {
+    "parser_boolean": ("+merge fast -dup", lambda: bm25_boolean_sql(
+        should="fast", must="merge", must_not="dup", k=10)),
+    "parser_phrase": ('"fast sort"~3', lambda: bm25_phrase_sql("fast sort", k=10, slop=3)),
+    "parser_boost": ("spark^2 merge^0.5 vector", lambda: bm25_boosted_sql(
+        {"spark": 2.0, "merge": 0.5, "vector": 1.0}, k=10)),
+}
 
 
 def _ranked(hits: DataFrame) -> DataFrame:
@@ -133,6 +127,43 @@ def _synonym_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
 def _boost_query_fn(boosts: dict) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_boosted(boosts, k=10))
+
+    return run
+
+
+def _span_query_fn(terms: list, slop: int, in_order: bool):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(
+            _searcher(spark, sf_dir).topk_span_near(terms, slop=slop, in_order=in_order, k=10)
+        )
+
+    return run
+
+
+def _span_first_query_fn(term: str, end: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_span_first(term, end, k=10))
+
+    return run
+
+
+def _multi_phrase_query_fn(positions: list):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_multi_phrase(positions, k=10))
+
+    return run
+
+
+def _regexp_query_fn(pattern: str, cap: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_regexp(pattern, max_terms=cap, k=10))
+
+    return run
+
+
+def _parser_query_fn(qstr: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(parse_and_search(_searcher(spark, sf_dir), qstr, k=10))
 
     return run
 
@@ -213,6 +244,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mlt_query_fn(seed, nt)
     for name, boosts in BOOST_QUERIES.items():
         out[name] = _boost_query_fn(boosts)
+    for name, (terms, slop, in_order) in SPAN_QUERIES.items():
+        out[name] = _span_query_fn(terms, slop, in_order)
+    for name, (term, end) in SPAN_FIRST_QUERIES.items():
+        out[name] = _span_first_query_fn(term, end)
+    for name, positions in MULTI_PHRASE_QUERIES.items():
+        out[name] = _multi_phrase_query_fn(positions)
+    for name, (pat, cap) in REGEXP_QUERIES.items():
+        out[name] = _regexp_query_fn(pat, cap)
+    for name, (qstr, _sql_fn) in PARSER_QUERIES.items():
+        out[name] = _parser_query_fn(qstr)
     for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
@@ -236,6 +277,16 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_mlt_sql(seed_doc_id=seed, n_terms=nt, k=10)
     for name, boosts in BOOST_QUERIES.items():
         out[name] = bm25_boosted_sql(boosts, k=10)
+    for name, (terms, slop, in_order) in SPAN_QUERIES.items():
+        out[name] = bm25_span_near_sql(terms, slop, in_order, k=10)
+    for name, (term, end) in SPAN_FIRST_QUERIES.items():
+        out[name] = bm25_span_first_sql(term, end, k=10)
+    for name, positions in MULTI_PHRASE_QUERIES.items():
+        out[name] = bm25_multi_phrase_sql(positions, k=10)
+    for name, (pat, cap) in REGEXP_QUERIES.items():
+        out[name] = bm25_regexp_sql(pat, max_terms=cap, k=10)
+    for name, (_qstr, sql_fn) in PARSER_QUERIES.items():
+        out[name] = sql_fn()
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql

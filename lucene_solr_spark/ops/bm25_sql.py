@@ -321,6 +321,213 @@ LIMIT {k}
 """
 
 
+_TOKPOS_CTES = """toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, t[pos] AS term, pos
+  FROM toks, unnest(generate_series(1, len(t))) AS g(pos)
+  WHERE t[pos] NOT IN {stoplist}
+),
+tok AS (SELECT doc_id, term FROM tokpos),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut})"""
+
+
+def _positional_score_sql(pf_cte: str, idfw_cte: str, k: int) -> str:
+    """Assemble a positional BM25 query: a `pf(doc_id, pf)` CTE + an
+    `idfw(w)` CTE (the summed-idf weight) -> ranked (doc_id, rank)."""
+    scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
+    return f"""
+WITH {scaffold},
+{idfw_cte},
+{pf_cte}
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM (
+  SELECT pf.doc_id,
+         i.w * ({K1} + 1) * pf.pf
+         / (pf.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS score
+  FROM pf
+  JOIN dl ON pf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  CROSS JOIN idfw i
+  WHERE pf.pf > 0
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _idfw_from_data(terms: list[str]) -> str:
+    """idfw = sum of idfs of `terms`, dfs computed from the corpus
+    (terms absent from the corpus contribute idf(df=0))."""
+    vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  FROM qterms q LEFT JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) c USING (term)
+),
+idfw AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats s
+)"""
+
+
+def bm25_span_near_sql(terms: list[str], slop: int, ordered: bool, k: int = 10) -> str:
+    """SpanNearQuery oracle (spans/NearSpansOrdered.java:60-120,
+    NearSpansUnordered.java:150-268, SpanScorer.java:84-118).
+
+    ordered: the persistent-cursor walk == the greedy chain
+    t_i = min(pos_i > t_{i-1}); width = t_last - t_0 - (n-1);
+    pf = sum 1/(width+1) over matches with width <= slop.
+    unordered (two clauses): merge-walk prefix rule — config (x, y) is
+    visited iff lag_a(x) < y and lag_b(y) < x; width = |x - y|; matches
+    when width - 1 <= slop (width() = max_start - min_start and
+    totalSpanLength = 2 for term spans).
+    Weight: idf summed over DISTINCT clause terms (SpanWeight map)."""
+    n = len(terms)
+    idfw = _idfw_from_data(terms)
+    if ordered:
+        occ = ",\n".join(
+            f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
+            for i, t in enumerate(terms)
+        )
+        chain = ["m0 AS (SELECT doc_id, pos AS p0, pos AS prev FROM occ0)"]
+        for i in range(1, n):
+            chain.append(
+                f"m{i} AS (SELECT m.doc_id, m.p0,\n"
+                f"  (SELECT min(o.pos) FROM occ{i} o WHERE o.doc_id = m.doc_id "
+                f"AND o.pos > m.prev) AS prev\n"
+                f"  FROM m{i-1} m WHERE m.prev IS NOT NULL)"
+            )
+        chain_sql = ",\n".join(chain)
+        pf_cte = f"""{occ},
+{chain_sql},
+matches AS (
+  SELECT doc_id, prev - p0 - {n - 1} AS width
+  FROM m{n - 1} WHERE prev IS NOT NULL
+),
+pf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN width <= {slop} THEN 1.0 / (width + 1) END) AS DOUBLE) AS pf
+  FROM matches GROUP BY doc_id
+)"""
+    else:
+        if n != 2:
+            raise ValueError("the SQL unordered-span oracle covers exactly two clauses")
+        ta, tb = terms
+        pf_cte = f"""occa AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+  FROM tokpos WHERE term = '{ta}'
+),
+occb AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+  FROM tokpos WHERE term = '{tb}'
+),
+cfg AS (
+  SELECT a.doc_id, greatest(a.pos, b.pos) AS hi, least(a.pos, b.pos) AS lo
+  FROM occa a JOIN occb b ON a.doc_id = b.doc_id
+  WHERE (a.prv IS NULL OR a.prv < b.pos) AND (b.prv IS NULL OR b.prv < a.pos)
+),
+pf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN hi - lo - 1 <= {slop} THEN 1.0 / (hi - lo + 1) END) AS DOUBLE) AS pf
+  FROM cfg GROUP BY doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_span_first_sql(term: str, end: int, k: int = 10) -> str:
+    """SpanFirstQuery oracle: freq = occurrences with end position <= end
+    (tokpos is 1-based, engine positions 0-based, so pos <= end); each
+    accepted span has width 0. Weight: the single term's idf."""
+    idfw = _idfw_from_data([term])
+    pf_cte = f"""pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM tokpos WHERE term = '{term}' AND pos <= {end}
+  GROUP BY doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_multi_phrase_sql(positions: list[list[str]], k: int = 10) -> str:
+    """MultiPhraseQuery oracle (search/MultiPhraseQuery.java:49): each
+    position accepts any of its alternative terms; pf = count of aligned
+    lead positions over the unioned occurrence sets; weight = idf summed
+    over EVERY alternative (absent terms contribute idf(df=0), as
+    TermContext.build yields docFreq 0)."""
+    all_terms = [t for alts in positions for t in alts]
+    idfw = _idfw_from_data(all_terms)
+    occ = []
+    for i, alts in enumerate(positions):
+        alts_in = ",".join(f"'{t}'" for t in sorted(set(alts)))
+        occ.append(
+            f"occ{i} AS (SELECT doc_id, pos - {i} AS k FROM tokpos "
+            f"WHERE term IN ({alts_in}))"
+        )
+    joins = "\n  ".join(
+        f"JOIN occ{i} ON occ{i}.doc_id = occ0.doc_id AND occ{i}.k = occ0.k"
+        for i in range(1, len(positions))
+    )
+    occ_sql = ",\n".join(occ)
+    pf_cte = f"""{occ_sql},
+pf AS (
+  SELECT occ0.doc_id, CAST(count(DISTINCT occ0.k) AS DOUBLE) AS pf
+  FROM occ0
+  {joins}
+  GROUP BY occ0.doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_regexp_sql(anchored_pattern: str, max_terms: int = 16, k: int = 10) -> str:
+    """RegexpQuery oracle: whole-term regexp expansion over the (stop-
+    filtered) term dictionary, TopTerms(N) cap = lexicographically
+    smallest N terms (MultiTermQuery.java:44-94 ScoreTermQueue tie on
+    equal boosts), scored as a SHOULD BooleanQuery."""
+    scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
+    return f"""
+WITH {scaffold},
+capped AS (
+  SELECT DISTINCT term FROM tok
+  WHERE regexp_matches(term, '{anchored_pattern}')
+  ORDER BY term LIMIT {max_terms}
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN (SELECT term FROM capped) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_boosted_sql(boosts: dict[str, float], k: int = 10) -> str:
     """BoostQuery: per-clause multiplicative boost on the BM25 weight."""
     terms = sorted(boosts)

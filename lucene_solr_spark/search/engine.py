@@ -80,10 +80,32 @@ class BooleanSpec:
     slop: int = 0  # 0 = exact phrase (ExactPhraseScorer); >0 = Lucene-exact
     # sloppy scoring: weighted phrase freq Σ 1/(matchLength+1) over
     # SloppyPhraseScorer's minimal match windows (see search/sloppy.py)
+    # MultiPhraseQuery (search/MultiPhraseQuery.java:49): per-position
+    # alternative terms [(offset, (t1, t2, ...))]; exact alignment only
+    multi_phrase: tuple[tuple[int, tuple[str, ...]], ...] = ()
+    # SpanNearQuery clauses in query order (spans/SpanNearQuery.java);
+    # scored via search/spans.py walks with Σ 1/(width+1)
+    span: tuple[str, ...] = ()
+    span_slop: int = 0
+    span_ordered: bool = True
+    # SpanFirstQuery: (term, end) — occurrences with pos+1 <= end
+    span_first: tuple[str, int] | None = None
+    # BoostQuery per-term multiplicative boosts ((term, boost), ...):
+    # weightValue = idf * boost * (k1+1) (search/BoostQuery.java)
+    boosts: tuple[tuple[str, float], ...] = ()
+
+    @property
+    def positional_terms(self) -> tuple[str, ...]:
+        out = tuple(t for t, _ in self.phrase) + tuple(self.span)
+        for _off, alts in self.multi_phrase:
+            out += tuple(alts)
+        if self.span_first is not None:
+            out += (self.span_first[0],)
+        return out
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:
-        return tuple(self.should) + tuple(self.must) + tuple(t for t, _ in self.phrase)
+        return tuple(self.should) + tuple(self.must) + self.positional_terms
 
     @property
     def all_terms(self) -> tuple[str, ...]:
@@ -192,6 +214,81 @@ class IndexSearcher:
     def topk_phrase(self, query: str, k: int = 10, slop: int = 0) -> DataFrame:
         return self.topk_spec(phrase_spec(query, slop=slop), k=k)
 
+    def topk_span_near(
+        self, terms: list[str], slop: int = 0, in_order: bool = True, k: int = 10
+    ) -> DataFrame:
+        """SpanNearQuery over term clauses (spans/SpanNearQuery.java):
+        ordered or unordered proximity with slop, scored Σ 1/(width+1)."""
+        clauses = tuple(analyze(" ".join(terms)))
+        return self.topk_spec(
+            BooleanSpec(span=clauses, span_slop=slop, span_ordered=in_order), k=k
+        )
+
+    def topk_span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
+        """SpanFirstQuery (spans/SpanFirstQuery.java): occurrences whose
+        end position is <= end."""
+        toks = analyze(term)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk_spec(BooleanSpec(span_first=(toks[0], end)), k=k)
+
+    def topk_multi_phrase(self, positions: list[list[str]], k: int = 10) -> DataFrame:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java:49): a phrase
+        where each position accepts any of several terms (e.g. synonym-
+        expanded phrases). Exact alignment; offsets are consecutive."""
+        mp = tuple(
+            (i, tuple(sorted({t for alt in alts for t in analyze(alt)})))
+            for i, alts in enumerate(positions)
+        )
+        if any(not alts for _i, alts in mp):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk_spec(BooleanSpec(multi_phrase=mp), k=k)
+
+    def expand_terms(
+        self,
+        *,
+        prefix: str | None = None,
+        like: str | None = None,
+        regexp: str | None = None,
+        fuzzy: str | None = None,
+        max_edits: int = 2,
+        max_terms: int | None = None,
+    ) -> list[str]:
+        """MultiTermQuery expansion over the term DICTIONARY (term_stats —
+        a metadata-only scan, never the corpus; cf. Terms.intersect over
+        the FST). The TopTermsRewrite cap (search/MultiTermQuery.java:44-94,
+        TopTermsRewrite ScoreTermQueue) keeps, on equal boosts, the
+        lexicographically smallest max_terms terms; FuzzyQuery boosts by
+        similarity, so fuzzy expansion orders by edit distance first."""
+        df = self._term_stats.select("term")
+        if prefix is not None:
+            df = df.filter(F.col("term").startswith(prefix))
+        if like is not None:
+            df = df.filter(F.col("term").like(like))
+        if regexp is not None:
+            df = df.filter(F.col("term").rlike(regexp))
+        if fuzzy is not None:
+            df = df.filter(F.levenshtein(F.col("term"), F.lit(fuzzy)) <= max_edits)
+            df = df.orderBy(
+                F.levenshtein(F.col("term"), F.lit(fuzzy)).asc(), F.col("term").asc()
+            )
+        else:
+            df = df.orderBy(F.col("term").asc())
+        if max_terms is not None:
+            df = df.limit(max_terms)
+        return [r["term"] for r in df.collect()]
+
+    def topk_regexp(self, pattern: str, max_terms: int = 16, k: int = 10) -> DataFrame:
+        """RegexpQuery (search/RegexpQuery.java) with the TopTerms(N)
+        scoring rewrite: expand the (whole-term) pattern over the term
+        dictionary, cap at max_terms, score as a SHOULD BooleanQuery
+        (TopTermsScoringBooleanQueryRewrite)."""
+        anchored = pattern if pattern.startswith("^") else f"^(?:{pattern})$"
+        terms = self.expand_terms(regexp=anchored, max_terms=max_terms)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk_spec(BooleanSpec(should=tuple(sorted(terms))), k=k)
+
     def topk_boosted(self, boosts: dict[str, float], k: int = 10) -> DataFrame:
         """BoostQuery (search/BoostQuery.java): per-clause multiplicative
         boost — weightValue = idf * boost * (k1+1); terms given as
@@ -276,8 +373,19 @@ class IndexSearcher:
         if not spec.scoring_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         weights = self.term_weights(list(spec.all_terms))
-        required = set(spec.must) | {t for t, _ in spec.phrase}
+        for t, b in spec.boosts:
+            if t in weights:
+                weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
+        required = set(spec.must) | {t for t, _ in spec.phrase} | set(spec.span)
+        if spec.span_first is not None:
+            required.add(spec.span_first[0])
         if any(weights[t]["df"] == 0 for t in required):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # MultiPhraseQuery: each position needs at least one live alternative
+        if any(
+            all(weights[t]["df"] == 0 for t in alts)
+            for _off, alts in spec.multi_phrase
+        ):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         # absent SHOULD/NOT terms are dropped (rewrite-to-fixpoint analog)
         present = [t for t in set(spec.all_terms) if weights[t]["df"] > 0]
@@ -291,11 +399,11 @@ class IndexSearcher:
         scan_cols = [
             "term", "range_id", "first_doc", "last_doc",
             "docs_buf", "tfs_buf", "norms_buf",
-        ] + (["pos_buf"] if spec.phrase else [])
+        ] + (["pos_buf"] if spec.positional_terms else [])
         score_fn = _make_range_scorer(spec, weights, float(self.avgdl), self.doc_count, k)
 
         pure_or = (
-            not spec.must and not spec.must_not and not spec.phrase
+            not spec.must and not spec.must_not and not spec.positional_terms
             and not spec.dismax and spec.min_should_match <= 1
         )
         # WAND's two-wave plan costs two extra driver round trips; it only
@@ -486,6 +594,84 @@ def _sloppy_phrase_freqs(
     return freqs
 
 
+def _multi_phrase_freqs(
+    per_term, mphrase: tuple[tuple[int, tuple[str, ...]], ...], cand: np.ndarray
+) -> np.ndarray:
+    """MultiPhraseQuery exact alignment (search/MultiPhraseQuery.java:49,
+    UnionPostingsEnum): each position's occurrence set is the UNION of its
+    alternatives' occurrences; pf = count of lead positions aligning
+    through every position."""
+    cand_sorted = np.asarray(sorted(cand), dtype=np.int64)
+    keys = None
+    for idx, (off, alts) in enumerate(mphrase):
+        parts = [
+            _occurrence_keys(per_term, t) - off for t in alts if t in per_term
+        ]
+        ki = (
+            np.concatenate(parts)
+            if parts
+            else np.array([], dtype=np.int64)
+        )
+        if idx == 0:
+            lead_docs = ki // _POS_SHIFT
+            keys = ki[np.isin(lead_docs, cand_sorted)]
+        else:
+            keys = keys[np.isin(keys, ki)]
+        if keys.size == 0:
+            break
+    counts = np.zeros(cand.size, dtype=np.int64)
+    if keys is not None and keys.size:
+        match_docs = keys // _POS_SHIFT
+        order = np.argsort(cand, kind="mergesort")
+        sorted_cand = cand[order]
+        idx2 = np.searchsorted(sorted_cand, match_docs)
+        np.add.at(counts, order[idx2], 1)
+    return counts
+
+
+def _span_near_freqs(
+    per_term, span: tuple[str, ...], slop: int, ordered: bool, cand: np.ndarray
+) -> np.ndarray:
+    """SpanNearQuery freq per candidate doc via the reference walks
+    (search/spans.py); per-doc sequential like Lucene's own spans."""
+    from .spans import span_ordered_freq, span_unordered_freq
+
+    data = {t: _abs_positions(per_term, t) for t in set(span)}
+    fn = span_ordered_freq if ordered else span_unordered_freq
+    freqs = np.zeros(cand.size, dtype=np.float32)
+    for ci, c in enumerate(cand):
+        plists = []
+        ok = True
+        for t in span:  # query order; repeated terms reuse the same list
+            d, tf, run_starts, pos_abs = data[t]
+            j = int(np.searchsorted(d, c))
+            if j >= d.size or d[j] != c:
+                ok = False
+                break
+            s = int(run_starts[j])
+            plists.append(pos_abs[s : s + int(tf[j])].tolist())
+        if ok:
+            freqs[ci] = fn(plists, slop)
+    return freqs
+
+
+def _span_first_freqs(per_term, span_first: tuple[str, int], cand: np.ndarray) -> np.ndarray:
+    """SpanFirstQuery freq: occurrences with pos+1 <= end, vectorized
+    (one reduceat over the term's position runs)."""
+    t, end = span_first
+    d, _tf, run_starts, pos_abs = _abs_positions(per_term, t)
+    if pos_abs.size == 0:
+        return np.zeros(cand.size, dtype=np.float32)
+    hits = (pos_abs + 1 <= end).astype(np.int64)
+    per_doc = np.add.reduceat(hits, run_starts)
+    freqs = np.zeros(cand.size, dtype=np.float32)
+    j = np.searchsorted(d, cand)
+    j_cl = np.minimum(j, d.size - 1)
+    valid = d[j_cl] == cand
+    freqs[valid] = per_doc[j_cl[valid]]
+    return freqs
+
+
 def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int, k: int):
     """Per-(doc-range) scorer for applyInPandas. One group == one 'segment'."""
     should_terms = sorted({t for t in spec.should if weights[t]["df"] > 0})
@@ -495,21 +681,49 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     not_terms = sorted({t for t in spec.must_not if weights[t]["df"] > 0})
     phrase = spec.phrase
     phrase_terms = sorted({t for t, _ in phrase})
-    required = sorted(set(must_terms) | set(phrase_terms))
-    msm = max(spec.min_should_match, 0 if (must_terms or phrase) else 1)
+    multi_phrase = spec.multi_phrase
+    span = spec.span
+    span_first = spec.span_first
+    positional = bool(phrase or multi_phrase or span or span_first)
+    # positional terms that exist in the index (dead multi-phrase
+    # alternatives are skipped at decode; dead required terms were
+    # rejected in topk_spec)
+    pos_terms = sorted({t for t in spec.positional_terms if weights[t]["df"] > 0})
+    required = sorted(
+        set(must_terms) | set(phrase_terms) | set(span)
+        | ({span_first[0]} if span_first is not None else set())
+    )
+    msm = max(spec.min_should_match, 0 if (must_terms or positional) else 1)
     dfs = {t: weights[t]["df"] for t in weights}
     wvs = {t: np.float32(weights[t]["weight_value"]) for t in weights}
     cache = norm_cache(np.float32(avgdl))  # identical to the global 256-float cache
     if phrase:
-        # PhraseWeight: one weight from summed term idfs
+        # PhraseWeight: one weight from summed term idfs (repeats count)
         idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in phrase_terms))
-        phrase_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    elif multi_phrase:
+        # MultiPhraseQuery weight: every alternative's idf summed (df=0
+        # alternatives still contribute idf(0), as TermContext.build does)
+        idf_sum = np.float32(
+            sum(idf_f32(dfs[t], doc_count) for _off, alts in multi_phrase for t in alts)
+        )
+        pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    elif span:
+        # SpanWeight.buildSimWeight: term->context MAP, so DISTINCT terms
+        idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span))))
+        pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    elif span_first is not None:
+        pos_wv = np.float32(idf_f32(dfs[span_first[0]], doc_count) * (K1 + np.float32(1.0)))
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         present = set(pdf["term"])
         if any(t not in present for t in required):
             return _EMPTY
-        if not any(t in present for t in should_terms) and not required:
+        if any(
+            not any(t in present for t in alts) for _off, alts in multi_phrase
+        ):
+            return _EMPTY
+        if not any(t in present for t in should_terms) and not required and not multi_phrase:
             return _EMPTY
 
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -523,16 +737,16 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         per_term = {}
         for t in sorted(present):
             g = groups[t].sort_values("first_doc", kind="mergesort")
-            if lead_span is not None and t not in phrase_terms:
-                # block skip outside the lead's span (phrase terms keep all
-                # blocks: position streams must stay doc-aligned per decode)
+            if lead_span is not None and t not in pos_terms:
+                # block skip outside the lead's span (positional terms keep
+                # all blocks: position streams must stay doc-aligned)
                 m = (g["last_doc"] >= lead_span[0]) & (g["first_doc"] <= lead_span[1])
                 g = g[m]
                 if g.empty:
                     if t in required:
                         return _EMPTY
                     continue
-            per_term[t] = _decode_group(g, need_pos=t in phrase_terms)
+            per_term[t] = _decode_group(g, need_pos=t in pos_terms)
 
         if not per_term:
             return _EMPTY
@@ -574,11 +788,24 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         if msm > 0:
             mask &= should_hits >= msm
 
-        if phrase:
+        if positional:
             # conjunction on docs first (two-phase: cheap approximation),
             # then position verify (expensive) on survivors only
-            phrase_docsets = [set(per_term[t][0].tolist()) for t in phrase_terms]
-            cand_set = set.intersection(*phrase_docsets)
+            if phrase:
+                cand_sets = [set(per_term[t][0].tolist()) for t in phrase_terms]
+            elif multi_phrase:
+                cand_sets = []
+                for _off, alts in multi_phrase:
+                    u: set = set()
+                    for t in alts:
+                        if t in per_term:
+                            u |= set(per_term[t][0].tolist())
+                    cand_sets.append(u)
+            elif span:
+                cand_sets = [set(per_term[t][0].tolist()) for t in sorted(set(span))]
+            else:
+                cand_sets = [set(per_term[span_first[0]][0].tolist())]
+            cand_set = set.intersection(*cand_sets) if cand_sets else set()
             cand_mask = np.zeros(width, dtype=bool)
             if cand_set:
                 cidx = np.fromiter(cand_set, dtype=np.int64) - base
@@ -587,21 +814,32 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             cand = np.flatnonzero(mask) + base
             if cand.size == 0:
                 return _EMPTY
-            if spec.slop > 0:
-                pf = _sloppy_phrase_freqs(per_term, phrase, cand, spec.slop)
+            if phrase:
+                if spec.slop > 0:
+                    pf = _sloppy_phrase_freqs(per_term, phrase, cand, spec.slop)
+                else:
+                    pf = _phrase_freqs(per_term, phrase, cand)
+            elif multi_phrase:
+                pf = _multi_phrase_freqs(per_term, multi_phrase, cand)
+            elif span:
+                pf = _span_near_freqs(
+                    per_term, span, spec.span_slop, spec.span_ordered, cand
+                )
             else:
-                pf = _phrase_freqs(per_term, phrase, cand)
+                pf = _span_first_freqs(per_term, span_first, cand)
             keep = pf > 0
             cand, pf = cand[keep], pf[keep]
             if cand.size == 0:
                 return _EMPTY
-            # norms for phrase docs from any phrase term's stream
-            t0 = phrase_terms[0]
-            d0, _tf0, nb0, _ = per_term[t0]
-            nb_map = dict(zip(d0.tolist(), nb0.tolist()))
+            # norms for matched docs from any positional stream present
+            nb_map: dict = {}
+            for t in pos_terms:
+                if t in per_term:
+                    d0, _tf0, nb0, _ = per_term[t]
+                    nb_map.update(zip(d0.tolist(), nb0.tolist()))
             nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
             freq = pf.astype(np.float32)
-            ps = (phrase_wv * freq / (freq + cache[nbv])).astype(np.float32)
+            ps = (pos_wv * freq / (freq + cache[nbv])).astype(np.float32)
             acc[cand - base] += ps.astype(np.float64)
             mask = np.zeros(width, dtype=bool)
             mask[cand - base] = True

@@ -93,26 +93,45 @@ def oracle_topk(
 
 def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.float32]]:
     """Control for BooleanSpec queries (engine.BooleanSpec): MUST/SHOULD/
-    MUST_NOT/minShouldMatch, DisjunctionMax, exact PhraseQuery."""
+    MUST_NOT/minShouldMatch, DisjunctionMax, exact/sloppy PhraseQuery,
+    MultiPhraseQuery, SpanNear (ordered/unordered), SpanFirst."""
     should = [t for t in spec.should if t in idx.postings]
     must = list(spec.must)
     phrase = list(spec.phrase)
     phrase_terms = sorted({t for t, _ in phrase})
-    required = sorted(set(must) | set(phrase_terms))
+    multi_phrase = list(getattr(spec, "multi_phrase", ()) or ())
+    span = tuple(getattr(spec, "span", ()) or ())
+    span_first = getattr(spec, "span_first", None)
+    positional = bool(phrase or multi_phrase or span or span_first)
+    required = sorted(set(must) | set(phrase_terms) | set(span)
+                      | ({span_first[0]} if span_first else set()))
     if any(t not in idx.postings for t in required):
         return []
+    if any(all(t not in idx.postings for t in alts) for _off, alts in multi_phrase):
+        return []
+    pos_terms = set(phrase_terms) | set(span) | (
+        {span_first[0]} if span_first else set()
+    ) | {t for _off, alts in multi_phrase for t in alts}
     weights = {
         t: make_term_weight(t, len(idx.postings.get(t, {})), idx.doc_count, idx.avgdl)
-        for t in set(should) | set(must) | set(phrase_terms)
+        for t in set(should) | set(must) | pos_terms
     }
     # candidates
     if required:
         cand = set.intersection(*[set(idx.postings[t]) for t in required])
+    elif multi_phrase:
+        cand = set.intersection(*[
+            set.union(*[set(idx.postings.get(t, {})) for t in alts])
+            for _off, alts in multi_phrase
+        ])
     else:
         cand = set.union(*[set(idx.postings[t]) for t in set(should)]) if should else set()
+    if multi_phrase and required:
+        for _off, alts in multi_phrase:
+            cand &= set.union(*[set(idx.postings.get(t, {})) for t in alts])
     for t in set(spec.must_not):
         cand -= set(idx.postings.get(t, {}))
-    msm = max(spec.min_should_match, 0 if required else 1)
+    msm = max(spec.min_should_match, 0 if (required or positional) else 1)
     if msm > 0:
         cand = {
             d for d in cand
@@ -144,6 +163,47 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 if match:
                     pf_map[d] = len(match)
         cand = set(pf_map)
+    elif multi_phrase:
+        pf_map = {}
+        for d in sorted(cand):
+            base_off = multi_phrase[0][0]
+            match = {
+                p - base_off
+                for t in multi_phrase[0][1]
+                for p in idx.positions.get(t, {}).get(d, [])
+            }
+            for off, alts in multi_phrase[1:]:
+                pset = {
+                    p - off for t in alts for p in idx.positions.get(t, {}).get(d, [])
+                }
+                match &= pset
+                if not match:
+                    break
+            if match:
+                pf_map[d] = len(match)
+        cand = set(pf_map)
+    elif span:
+        from .spans import span_ordered_freq, span_unordered_freq
+
+        fn = span_ordered_freq if getattr(spec, "span_ordered", True) else span_unordered_freq
+        slop = getattr(spec, "span_slop", 0)
+        pf_map = {}
+        for d in sorted(cand):
+            plists = [idx.positions[t].get(d, []) for t in span]
+            f = fn(plists, slop)
+            if f > 0:
+                pf_map[d] = f
+        cand = set(pf_map)
+    elif span_first:
+        from .spans import span_first_freq
+
+        t0, end0 = span_first
+        pf_map = {}
+        for d in sorted(cand):
+            f = span_first_freq(idx.positions[t0].get(d, []), end0)
+            if f > 0:
+                pf_map[d] = f
+        cand = set(pf_map)
     if not cand:
         return []
     docs = np.array(sorted(cand), dtype=np.int64)
@@ -157,12 +217,27 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         s = weights[t].score(tf, norm)
         s[tf == 0] = np.float32(0.0)
         per_clause.append(s)
-    if phrase:
-        idf_sum = np.float32(
-            sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in phrase_terms)
-        )
+    if positional:
+        if phrase:
+            idf_sum = np.float32(
+                sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in phrase_terms)
+            )
+        elif multi_phrase:
+            idf_sum = np.float32(
+                sum(
+                    idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
+                    for _off, alts in multi_phrase
+                    for t in alts
+                )
+            )
+        elif span:
+            idf_sum = np.float32(
+                sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in sorted(set(span)))
+            )
+        else:
+            idf_sum = np.float32(idf_f32(len(idx.postings[span_first[0]]), idx.doc_count))
         wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
-        cache = weights[phrase_terms[0]].cache
+        cache = weights[sorted(pos_terms & set(idx.postings))[0]].cache
         pf = np.array([pf_map[int(d)] for d in docs], dtype=np.float32)
         per_clause.append((wv * pf / (pf + cache[norm])).astype(np.float32))
     if not per_clause:

@@ -1,0 +1,161 @@
+"""Span queries (SpanNearQuery ordered/unordered, SpanFirstQuery) and
+MultiPhraseQuery: walk-level unit/property tests plus engine-vs-control
+rank identity on the synthetic corpus.
+
+References: spans/NearSpansOrdered.java:60-120,
+spans/NearSpansUnordered.java:150-268, spans/SpanFirstQuery.java:30-44,
+spans/SpanScorer.java:84-118, search/MultiPhraseQuery.java:49.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_spark.search.spans import (
+    span_first_freq,
+    span_ordered_freq,
+    span_unordered_freq,
+    span_unordered_freq_2,
+)
+
+
+def f(x):
+    return np.float32(x)
+
+
+class TestOrderedWalk:
+    def test_javadoc_double_match(self):
+        # NearSpansOrdered javadoc: "t1 t2 t1 t3 t2 t3" vs (t1 t2 t3):
+        # matches twice with slop >= 1 (t1 t2 .. t3 / t1 .. t2 t3)
+        t1, t2, t3 = [0, 2], [1, 4], [3, 5]
+        assert span_ordered_freq([t1, t2, t3], 0) == f(0.0)
+        assert span_ordered_freq([t1, t2, t3], 1) == f(0.5 + 0.5)
+
+    def test_adjacent(self):
+        assert span_ordered_freq([[0], [1]], 0) == f(1.0)
+        # reversed order never matches the ordered variant
+        assert span_ordered_freq([[1], [0]], 10) == f(0.0)
+
+    def test_gap_width(self):
+        # "a x x b": gap 2 -> width 2 -> 1/3 at slop >= 2
+        assert span_ordered_freq([[0], [3]], 1) == f(0.0)
+        assert span_ordered_freq([[0], [3]], 2) == f(1.0 / 3.0)
+
+
+def scratch_greedy_freq(plists, slop):
+    """From-scratch greedy chain: t_i = min(pos_i > t_{i-1}) — what the
+    SQL oracle computes; must equal the persistent-cursor walk."""
+    import bisect
+
+    freq = np.float32(0.0)
+    for p0 in plists[0]:
+        prev = p0
+        ok = True
+        for pl in plists[1:]:
+            j = bisect.bisect_right(pl, prev)
+            if j >= len(pl):
+                ok = False
+                break
+            prev = pl[j]
+        if not ok:
+            continue
+        width = prev - p0 - (len(plists) - 1)
+        if width <= slop:
+            freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+    return freq
+
+
+@st.composite
+def clause_lists(draw, n_min=2, n_max=3):
+    n = draw(st.integers(n_min, n_max))
+    return [
+        sorted(draw(st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True)))
+        for _ in range(n)
+    ], draw(st.integers(0, 8))
+
+
+@settings(max_examples=300, deadline=None)
+@given(clause_lists())
+def test_ordered_scratch_equals_cursor_walk(case):
+    plists, slop = case
+    assert span_ordered_freq(plists, slop) == scratch_greedy_freq(plists, slop)
+
+
+@settings(max_examples=400, deadline=None)
+@given(clause_lists(n_min=2, n_max=2))
+def test_unordered_closed_form_equals_queue_walk(case):
+    (a, b), slop = case
+    # distinct positions across clauses (one token per position)
+    b = [x for x in b if x not in set(a)]
+    if not b:
+        b = [max(a) + 1]
+    assert span_unordered_freq_2(a, b, slop) == span_unordered_freq([a, b], slop)
+
+
+class TestUnorderedWalk:
+    def test_order_free(self):
+        # NearSpansUnordered.width() = max_start - min_start, so an
+        # ADJACENT pair has width 1 (unlike the ordered gap-sum width 0)
+        assert span_unordered_freq([[1], [0]], 0) == f(0.5)
+        assert span_unordered_freq([[0], [1]], 0) == f(0.5)
+
+    def test_three_clause(self):
+        # "a b c" any order within window: width = max-min, slop test is
+        # maxend - minstart - n <= slop
+        assert span_unordered_freq([[2], [0], [1]], 0) == f(1.0 / 3.0)
+        assert span_unordered_freq([[4], [0], [2]], 1) == f(0.0)
+        assert span_unordered_freq([[4], [0], [2]], 2) == f(1.0 / 5.0)
+
+
+def test_span_first():
+    assert span_first_freq([0, 3, 9], 4) == f(2.0)
+    assert span_first_freq([5], 4) == f(0.0)
+    assert span_first_freq([], 4) == f(0.0)
+
+
+# ---------------------------------------------------------------- end-to-end
+
+from lucene_solr_spark.corpus import make_corpus  # noqa: E402
+from lucene_solr_spark.index.builder import build_index  # noqa: E402
+from lucene_solr_spark.search.engine import BooleanSpec, IndexSearcher  # noqa: E402
+from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    pdf = make_corpus(220, seed=11)
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    src = spark.createDataFrame(pdf)
+    out = os.path.join(tmp_root, "idx_spans")
+    build_index(
+        spark, src, out_dir=out, content_col="content", doc_id_col="doc_id",
+        meta_cols=["repo", "path"], range_size=64, fingerprint="spans220",
+    )
+    oidx = build_oracle_index(list(zip(pdf.doc_id, pdf.content)))
+    return IndexSearcher(spark, out), oidx
+
+
+SPAN_SPECS = [
+    BooleanSpec(span=("parse", "index"), span_slop=0, span_ordered=True),
+    BooleanSpec(span=("parse", "index"), span_slop=3, span_ordered=True),
+    BooleanSpec(span=("index", "parse"), span_slop=3, span_ordered=False),
+    BooleanSpec(span=("parse", "merge", "token"), span_slop=6, span_ordered=True),
+    BooleanSpec(span=("merge", "token", "parse"), span_slop=6, span_ordered=False),
+    BooleanSpec(span_first=("parse", 8)),
+    BooleanSpec(multi_phrase=((0, ("parse", "merge")), (1, ("index", "token")))),
+    BooleanSpec(multi_phrase=((0, ("parse",)), (1, ("index", "zzz_missing")))),
+]
+
+
+@pytest.mark.parametrize("spec", SPAN_SPECS, ids=[str(i) for i in range(len(SPAN_SPECS))])
+def test_span_rank_identity(built, spec):
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    assert len(got) == len(expected), (spec, got, expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed and np.float32(gs) == es, (spec, got, expected)
