@@ -198,14 +198,24 @@ def _mlt_query_fn(seed: int, n_terms: int):
 
 def _rescore_query_fn(q1: str, q2: str, first_n: int, weight: float):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """QueryRescorer: re-rank the top first_n of q1 by adding
-        weight * score(q2). q2 is scored over all its matches here (small
-        SFs); at scale the candidate set is pushed into the q2 block scan."""
+        """QueryRescorer (search/QueryRescorer.java:60-80): re-rank the top
+        first_n of q1 by adding weight * score(q2). The q1 candidate set is
+        PUSHED INTO the q2 scan (block ranges pruned + scorer doc mask) —
+        the rescorer only ever scores first_n docs, never q2's full match
+        set (a stopword-scale q2 stays O(candidates) instead of a
+        full-corpus sort)."""
+        from lucene_solr_spark.analysis.tokenizer import analyze
+        from lucene_solr_spark.search.engine import BooleanSpec
+
         s = _searcher(spark, sf_dir)
-        first = s.topk(q1, k=first_n).select("doc_id", F.col("score").alias("s1"))
-        second = s.topk(q2, k=1_000_000, prune=False).select(
-            "doc_id", F.col("score").alias("s2")
+        rows = s.topk(q1, k=first_n).collect()  # the cursor the client holds
+        cand_ids = [int(r["doc_id"]) for r in rows]
+        first = spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows], "doc_id long, s1 double"
         )
+        second = s.topk_spec(
+            BooleanSpec(should=tuple(analyze(q2))), k=first_n, candidates=cand_ids
+        ).select("doc_id", F.col("score").alias("s2"))
         combined = (
             first.join(second, "doc_id", "left")
             .withColumn("final", F.col("s1") + F.lit(weight) * F.coalesce("s2", F.lit(0.0)))

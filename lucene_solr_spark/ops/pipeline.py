@@ -138,20 +138,6 @@ SELECT doc_id, keeper_id FROM keyed WHERE doc_id <> keeper_id ORDER BY doc_id
 """
 
 
-def _minhash_sig(df: DataFrame) -> DataFrame:
-    """(doc_id, h0..h7): hk = min over shingles of sha256(shingle || '#k').
-
-    One groupBy(doc_id) shuffle computes all K mins (map-side partial agg);
-    min-of-sha256-hex is a valid MinHash family (uniform permutation of the
-    shingle space per salt) and is reproducible in ANSI SQL."""
-    sh = _with_shingles(df).select("doc_id", F.explode("sh").alias("s"))
-    aggs = [
-        F.min(F.sha2(F.concat(F.col("s"), F.lit(f"#{k}")), 256)).alias(f"h{k}")
-        for k in range(MINHASH_K)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -161,7 +147,17 @@ def dedup_minhash_lsh(spark, sf):
     The oracle runs the identical algorithm, so the candidate set matches
     by construction."""
     d = _docs(spark, sf)
-    sig = _minhash_sig(d)
+    # ONE shingle explosion feeds both the signature agg and the exact-
+    # Jaccard verify join (it appeared twice in the r1 plan — the single
+    # most expensive recomputation in the bench); persisted because three
+    # downstream subtrees consume it
+    sh_all = _with_shingles(d).select("doc_id", F.explode("sh").alias("s")).persist()
+    sig = sh_all.groupBy("doc_id").agg(
+        *[
+            F.min(F.sha2(F.concat(F.col("s"), F.lit(f"#{k}")), 256)).alias(f"h{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
     n_bands = MINHASH_K // MINHASH_BAND_R
     band_structs = [
         F.struct(
@@ -181,7 +177,7 @@ def dedup_minhash_lsh(spark, sf):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    shd = _with_shingles(d).select("doc_id", F.explode("sh").alias("s")).distinct()
+    shd = sh_all.distinct()
     sz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(shd.alias("x"), F.col("a_id") == F.col("x.doc_id"))
@@ -860,6 +856,9 @@ def graph_bfs(spark, sf):
         .filter(F.col("dst").isNotNull())
         .select(F.col("event_type").alias("src"), "dst")
         .distinct()
+        .persist()  # the window+distinct derivation appeared 4x in the
+        # r1 DAG (once per hop + final); persist makes each hop a join
+        # against the cached (tiny) edge list
     )
     frontier = spark.createDataFrame([("error", 0)], "node string, d int")
     reached = frontier

@@ -364,12 +364,19 @@ class IndexSearcher:
         )
 
     def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool | None = None,
-                  first_wave_ranges: int = 8) -> DataFrame:
+                  first_wave_ranges: int = 8,
+                  candidates: list[int] | None = None) -> DataFrame:
         """-> DataFrame(doc_id long, score float): k best rows ordered
         score DESC, doc_id ASC (HitQueue/TopDocs.merge tie-break).
 
         prune: None = auto (WAND only when the range count justifies two
-        extra driver round trips), True = force, False = never."""
+        extra driver round trips), True = force, False = never.
+
+        candidates: restrict scoring to these doc ids (QueryRescorer.java
+        only ever scores the first-pass candidate set). The block scan is
+        pruned to the candidates' doc ranges and the scorer masks to the
+        exact set — per-doc BM25 is independent of other docs, so scores
+        are identical to an unrestricted run."""
         if not spec.scoring_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         weights = self.term_weights(list(spec.all_terms))
@@ -393,6 +400,15 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
         blocks = self._blocks_for(present)
+        cand_arr = None
+        if candidates is not None:
+            cand_arr = np.asarray(sorted({int(c) for c in candidates}), dtype=np.int64)
+            if cand_arr.size == 0:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            cand_ranges = sorted({int(c) // self._range_size for c in cand_arr})
+            blocks = blocks.filter(F.col("range_id").isin(cand_ranges))
+            prune = False
+            k = max(k, int(cand_arr.size))
         # column-prune the scorer's scan: pos_buf (the widest column) is only
         # read for phrase queries; block metadata the scorer never touches is
         # dropped so the parquet ReadSchema stays minimal
@@ -400,7 +416,9 @@ class IndexSearcher:
             "term", "range_id", "first_doc", "last_doc",
             "docs_buf", "tfs_buf", "norms_buf",
         ] + (["pos_buf"] if spec.positional_terms else [])
-        score_fn = _make_range_scorer(spec, weights, float(self.avgdl), self.doc_count, k)
+        score_fn = _make_range_scorer(
+            spec, weights, float(self.avgdl), self.doc_count, k, candidates=cand_arr
+        )
 
         pure_or = (
             not spec.must and not spec.must_not and not spec.positional_terms
@@ -672,8 +690,10 @@ def _span_first_freqs(per_term, span_first: tuple[str, int], cand: np.ndarray) -
     return freqs
 
 
-def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int, k: int):
-    """Per-(doc-range) scorer for applyInPandas. One group == one 'segment'."""
+def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int,
+                       k: int, candidates: np.ndarray | None = None):
+    """Per-(doc-range) scorer for applyInPandas. One group == one 'segment'.
+    candidates: sorted doc ids to restrict scoring to (rescore pushdown)."""
     should_terms = sorted({t for t in spec.should if weights[t]["df"] > 0})
     should_count = {t: spec.should.count(t) for t in should_terms}
     must_terms = sorted(set(spec.must))
@@ -843,6 +863,13 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             acc[cand - base] += ps.astype(np.float64)
             mask = np.zeros(width, dtype=bool)
             mask[cand - base] = True
+
+        if candidates is not None:
+            lo = np.searchsorted(candidates, base)
+            hi = np.searchsorted(candidates, base + width)
+            cmask = np.zeros(width, dtype=bool)
+            cmask[candidates[lo:hi] - base] = True
+            mask &= cmask
 
         idx = np.flatnonzero(mask)
         if idx.size == 0:

@@ -1,0 +1,83 @@
+"""Plan-shape regression tests for the r1 scale-killers (VERDICT):
+the fixes must HOLD in the physical plan, not just return green rows.
+
+- search_after: keyset paging = TakeOrderedAndProject stages, never a
+  row_number window over the whole table;
+- terms_component / suggest_prefix: term-dict browse reads term_stats
+  metadata, never the documents corpus;
+- min_should_match / function_query: posting-list access, no per-query
+  re-tokenization (no split/explode of text in the plan);
+- rescore candidate pushdown: topk_spec(candidates=...) returns scores
+  identical to the unrestricted run, with the block scan pruned to the
+  candidates' ranges.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.ops import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_search_after_keyset_plan(spark):
+    df = R.search_after(spark, SF)
+    plan = _plan(df)
+    # the page comes from a bounded top-k (TakeOrderedAndProject subsumes
+    # the limit), the keyset predicate is pushed to the parquet scan, and
+    # the only window sits above the 10-row page
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [Or(LessThan(o_totalprice" in plan
+
+
+def test_terms_component_reads_term_stats_only(spark):
+    plan = _plan(R.terms_component(spark, SF))
+    assert "term_stats" in plan
+    assert "documents" not in plan
+
+
+def test_suggest_prefix_reads_term_stats_only(spark):
+    plan = _plan(R.suggest_prefix(spark, SF))
+    assert "term_stats" in plan
+    assert "documents" not in plan
+    assert "StartsWith" in plan  # prefix filter pushed to the scan
+
+
+def test_min_should_match_uses_postings(spark):
+    plan = _plan(R.min_should_match(spark, SF))
+    assert "postings" in plan
+    assert "split" not in plan and "explode" not in plan.lower()
+
+
+def test_function_query_no_retokenize(spark):
+    plan = _plan(R.function_query(spark, SF))
+    assert "postings" in plan
+    assert "split" not in plan and "explode" not in plan.lower()
+    # the documents scan is column-pruned to the stored fields it needs
+    assert "text" not in plan.split("ReadSchema")[-1] or "n_chars" in plan
+
+
+def test_rescore_candidates_identical_and_pruned(spark):
+    from lucene_solr_spark.ops.index_access import searcher_for
+    from lucene_solr_spark.search.engine import BooleanSpec
+
+    s = searcher_for(spark, SF)
+    spec = BooleanSpec(should=("spark",))
+    full = {
+        int(r["doc_id"]): r["score"]
+        for r in s.topk_spec(spec, k=50, prune=False).collect()
+    }
+    cand = sorted(full)[:7]
+    got = {
+        int(r["doc_id"]): r["score"]
+        for r in s.topk_spec(spec, k=7, candidates=cand).collect()
+    }
+    assert set(got) <= set(cand)
+    for d, sc in got.items():
+        assert sc == full[d]  # per-doc BM25 unchanged under restriction
+    # non-matching candidates simply don't appear
+    assert set(got) == {d for d in cand if d in full}
