@@ -892,6 +892,88 @@ SELECT node, CAST(min(d) AS INTEGER) AS hops FROM r GROUP BY node ORDER BY node
 """
 
 
+# The raw event-type transition graph is complete at any realistic SF
+# (every pair co-occurs), so shortest paths are trivially 1 hop. The
+# allowlist below models a funnel TOPOLOGY; an observed transition
+# becomes a graph edge only if the funnel permits it. Deterministic and
+# SF-independent, giving two distinct 3-hop shortest paths.
+_FUNNEL_EDGES = [
+    ("error", "click"), ("error", "signup"),
+    ("click", "view"), ("signup", "view"),
+    ("view", "purchase"),
+]
+
+
+def shortest_path(spark, sf, src: str = "error", dst: str = "purchase", max_depth: int = 4):
+    """ShortestPathStream (solr/solrj/.../io/graph/ShortestPathStream.java:55):
+    BFS between two endpoints returning the ACTUAL minimal paths (not
+    just hop counts — the r1 gap). Level-synchronous joins against the
+    persisted edge list, cycle-pruned via array_contains; stops at the
+    first depth that reaches the target and returns every distinct
+    shortest path."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    allow = spark.createDataFrame(_FUNNEL_EDGES, "src string, dst string")
+    edges = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+        .distinct()
+        .join(F.broadcast(allow), ["src", "dst"], "left_semi")
+        .persist()
+    )
+    frontier = spark.createDataFrame([(src, [src])], "node string, path array<string>")
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(F.col("dst").alias("node"), F.concat("path", F.array("dst")).alias("path"))
+            .distinct()
+        )
+        hits = frontier.filter(F.col("node") == dst)
+        if hits.limit(1).count() > 0:  # level-synchronous: first depth wins
+            return (
+                hits.select(
+                    F.concat_ws("->", "path").alias("path"),
+                    F.lit(depth).cast("int").alias("hops"),
+                )
+                .distinct()
+                .orderBy("path")
+            )
+    return spark.createDataFrame([], "path string, hops int")
+
+
+def _shortest_path_sql(src: str = "error", dst: str = "purchase", max_depth: int = 4) -> str:
+    allow = ", ".join(f"('{s}', '{d}')" for s, d in _FUNNEL_EDGES)
+    return f"""
+WITH RECURSIVE allow(src, dst) AS (VALUES {allow}),
+edges AS (
+  SELECT DISTINCT t.src, t.dst FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+    FROM events
+  ) t JOIN allow a ON a.src = t.src AND a.dst = t.dst
+),
+p(node, path, d) AS (
+  SELECT '{src}', ['{src}'], 0
+  UNION ALL
+  SELECT e.dst, list_append(p.path, e.dst), p.d + 1
+  FROM p JOIN edges e ON e.src = p.node
+  WHERE p.d < {max_depth} AND NOT list_contains(p.path, e.dst)
+),
+hits AS (
+  SELECT array_to_string(path, '->') AS path, d AS hops FROM p WHERE node = '{dst}'
+),
+m AS (SELECT min(hops) AS mh FROM hits)
+SELECT DISTINCT path, CAST(hops AS INTEGER) AS hops
+FROM hits, m WHERE hops = m.mh
+ORDER BY path
+"""
+
+
+SHORTEST_PATH_SQL = _shortest_path_sql()
+
+
 def sessionize(spark, sf):
     """Sessionization: a new session starts after a >30-minute gap per user
     (stateful streaming's session window, expressed as the batch prefix-sum
@@ -949,5 +1031,6 @@ OPS: dict[str, tuple] = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
     "graph_bfs": (graph_bfs, GRAPH_BFS_SQL),
+    "shortest_path": (shortest_path, SHORTEST_PATH_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
 }

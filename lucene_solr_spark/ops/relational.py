@@ -281,6 +281,94 @@ ORDER BY o_custkey
 
 # ------------------------------------------------------ grouping/collapse
 
+def expand_component(spark, sf):
+    """ExpandComponent (solr/core/.../component/ExpandComponent.java):
+    after collapsing on a field (one head doc per group), return the
+    collapsed group MEMBERS alongside — here up to 3 runners-up per
+    customer, ranked like the collapse sort. One window + a self-join of
+    heads to members; both sides shuffle on the same group key so the
+    join co-locates."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.withColumn("rn", F.row_number().over(w))
+    heads = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderkey").alias("head_orderkey")
+    )
+    members = ranked.filter((F.col("rn") >= 2) & (F.col("rn") <= 4)).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("exp_orderkey"),
+        (F.col("rn") - 1).cast("int").alias("exp_rank"),
+    )
+    return (
+        heads.join(members, "o_custkey")
+        .select("o_custkey", "head_orderkey", "exp_rank", "exp_orderkey")
+        .orderBy("o_custkey", "exp_rank")
+    )
+
+
+EXPAND_COMPONENT_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT h.o_custkey, h.o_orderkey AS head_orderkey,
+       CAST(m.rn - 1 AS INTEGER) AS exp_rank, m.o_orderkey AS exp_orderkey
+FROM r h JOIN r m ON m.o_custkey = h.o_custkey AND m.rn BETWEEN 2 AND 4
+WHERE h.rn = 1
+ORDER BY h.o_custkey, exp_rank
+"""
+
+
+def reduce_stream(spark, sf):
+    """ReducerStream (solrj/io/stream/ReducerStream.java:246 with a
+    GroupOperation): adjacent-group reduce over a stream sorted by the
+    group key — per customer: first/last order (by date, then key),
+    count, and sum. The sort-adjacent-reduce collapses to ONE hash
+    aggregate with map-side partial aggregation (min/max of a
+    lexicographic struct replaces the ordered-group scan)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.struct("o_orderdate", "o_orderkey")).alias("f"),
+            F.max(F.struct("o_orderdate", "o_orderkey")).alias("l"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_custkey",
+            F.col("f.o_orderkey").alias("first_order"),
+            F.col("l.o_orderkey").alias("last_order"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+REDUCE_STREAM_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS ra,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+  FROM orders GROUP BY 1
+)
+SELECT a.o_custkey, fa.o_orderkey AS first_order, fd.o_orderkey AS last_order,
+       a.n_orders, a.sum_price
+FROM agg a
+JOIN r fa ON fa.o_custkey = a.o_custkey AND fa.ra = 1
+JOIN r fd ON fd.o_custkey = a.o_custkey AND fd.rd = 1
+ORDER BY a.o_custkey
+"""
+
+
 def grouping_collapse(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
@@ -757,6 +845,8 @@ OPS: dict[str, tuple] = {
     "intersect_stream": (intersect_stream, INTERSECT_STREAM_SQL),
     "complement_stream": (complement_stream, COMPLEMENT_STREAM_SQL),
     "grouping_collapse": (grouping_collapse, GROUPING_COLLAPSE_SQL),
+    "expand_component": (expand_component, EXPAND_COMPONENT_SQL),
+    "reduce_stream": (reduce_stream, REDUCE_STREAM_SQL),
     "group_topk": (group_topk, GROUP_TOPK_SQL),
     "search_after": (search_after, SEARCH_AFTER_SQL),
     "term_range_query": (term_range_query, TERM_RANGE_QUERY_SQL),
