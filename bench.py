@@ -112,6 +112,17 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         queries[name] = round(time.time() - t, 4)
 
+    # ---- ANN recall vs the exact baseline (the accuracy half of the
+    # approximate ops; BENCH reports it next to their latency) ----
+    def _pairs(df):
+        return {(int(r["query_id"]), int(r["neighbor_id"])) for r in df.collect()}
+
+    brute = _pairs(PIPE_OPS["ann_cosine_topk"][0](spark, sf_dir))
+    ann_recall = {
+        name: round(len(_pairs(PIPE_OPS[name][0](spark, sf_dir)) & brute) / max(len(brute), 1), 4)
+        for name in ("ann_ivf_topk", "ann_ivf_multiprobe")
+    }
+
     total = round(sum(queries.values()), 4)
     out = {
         "metric": "index-build + BM25 top-10 + pipeline ops wall time",
@@ -122,6 +133,7 @@ def main() -> None:
         "parallelism": args.parallelism,
         "n_docs": n_docs,
         "index_files_per_sec": round(n_docs / build_s, 2) if not args.skip_build else None,
+        "ann_recall_at_10": ann_recall,
     }
     print(json.dumps(out))
     spark.stop()

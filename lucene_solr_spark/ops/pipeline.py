@@ -40,9 +40,33 @@ MINHASH_BAND_R = 2  # rows per band -> 4 bands
 SHINGLE_K = 3  # word shingle width
 JACCARD_THRESHOLD = 0.5
 SIMHASH_HAMMING_MAX = 6
+# SimHash blocking: 8 chunks x 8 bits, candidate tables = all C(8,2)=28
+# chunk PAIRS (16-bit keys). Pigeonhole: <= SIMHASH_HAMMING_MAX (=6)
+# differing bits touch <= 6 chunks, leaving >= 2 clean chunks, so every
+# true pair shares at least one clean chunk-pair table — EXACT recall at
+# the verify threshold (the r1 4x16-bit scheme only guaranteed
+# hamming <= 3 and went quadratic past 10^9 docs; pair space here is
+# 28 * sum_b n_b^2 over 65536-value buckets per table).
+SIMHASH_N_CHUNKS = 8
 COSINE_DUP_THRESHOLD = 0.4
+# Embedding near-dup blocking: BANDED sign-LSH (random-hyperplane family
+# using the native dims as hyperplanes): 8 bands x 8 sign bits each over
+# the 64 dims; a pair is a candidate iff ALL 8 signs of SOME band agree,
+# then exact cosine verifies. Per-hyperplane agreement P = 1 - theta/pi,
+# so per-band recall = P^8 and overall = 1-(1-P^8)^8: ~93% at a
+# production near-dup threshold cos 0.9, intentionally low at weakly-
+# similar pairs. Pair space = 8 * sum_b n_b^2 over 256-value bands
+# (measured ~3% of all pairs on this corpus vs r1's single 256-cell
+# table, which was both lower-recall and quadratic in the hot cell).
+EMB_BANDS = 8
+EMB_BAND_BITS = 8
 ANN_K = 10
 ANN_N_QUERIES = 5
+# IVF: 10 sign bits -> 1024 cells; nprobe = 1 + 10 Hamming-1 probes.
+# At 100 TB the corpus table is STORED partitioned by this bucket, so a
+# probe is a partition-pruned scan (the query below filters the scan to
+# the probe buckets before the join for exactly that shape).
+ANN_IVF_BITS = 10
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -337,26 +361,37 @@ def simhash_fingerprints(df: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark, sf):
-    """SimHash near-dup pairs: block on any equal 16-bit chunk (4 chunks ==
-    hamming<=6 guarantee via pigeonhole over 64 bits... chunks of 16; any
-    pair with hamming <= 3 shares a chunk; we verify <= 6 so blocking is a
-    recall heuristic exactly mirrored by the oracle), verify via popcount of
-    xor."""
+    """SimHash near-dup pairs with chunk-PAIR blocking (see the constants
+    note: 8x8-bit chunks, 28 pair tables, EXACT recall for hamming <=
+    SIMHASH_HAMMING_MAX by pigeonhole), verified via popcount of xor.
+    The oracle runs the identical blocking, so candidates match by
+    construction."""
     d = _docs(spark, sf)
     fp = simhash_fingerprints(d)
+    # 8-bit chunks c0..c3 from lo, c4..c7 from hi (integer arithmetic so
+    # the SQL mirror is exact)
+    half = SIMHASH_N_CHUNKS // 2
+    for i in range(half):
+        fp = fp.withColumn(
+            f"c{i}", (F.floor(F.col("simhash_lo") / (256 ** i)) % 256).cast("int")
+        ).withColumn(
+            f"c{i + half}", (F.floor(F.col("simhash_hi") / (256 ** i)) % 256).cast("int")
+        )
+    pair_structs = [
+        F.struct(
+            F.lit(i * SIMHASH_N_CHUNKS + j).alias("cno"),
+            (F.col(f"c{i}") * 256 + F.col(f"c{j}")).alias("cv"),
+        )
+        for i in range(SIMHASH_N_CHUNKS)
+        for j in range(i + 1, SIMHASH_N_CHUNKS)
+    ]
     chunks = fp.select(
-        "doc_id",
-        "simhash_lo",
-        "simhash_hi",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("cno"), (F.col("simhash_lo") % 65536).alias("cv")),
-                F.struct(F.lit(1).alias("cno"), (F.floor(F.col("simhash_lo") / 65536)).alias("cv")),
-                F.struct(F.lit(2).alias("cno"), (F.col("simhash_hi") % 65536).alias("cv")),
-                F.struct(F.lit(3).alias("cno"), (F.floor(F.col("simhash_hi") / 65536)).alias("cv")),
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash_lo", "simhash_hi", F.col("c.cno").alias("cno"), F.col("c.cv").alias("cv"))
+        "doc_id", "simhash_lo", "simhash_hi",
+        F.explode(F.array(*pair_structs)).alias("c"),
+    ).select(
+        "doc_id", "simhash_lo", "simhash_hi",
+        F.col("c.cno").alias("cno"), F.col("c.cv").alias("cv"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(
         F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
@@ -401,15 +436,27 @@ fp AS (
 )
 """
 
+_SIMHASH_PAIR_ROWS = ",".join(
+    f"({i * SIMHASH_N_CHUNKS + j}, {i}, {j})"
+    for i in range(SIMHASH_N_CHUNKS)
+    for j in range(i + 1, SIMHASH_N_CHUNKS)
+)
+
 DEDUP_SIMHASH_SQL = f"""
 WITH {_SIMHASH_SQL_CTE.strip()},
+c8 AS (
+  SELECT doc_id, simhash_lo, simhash_hi, ci,
+         CASE WHEN ci < 4 THEN (simhash_lo // power(256, ci)::BIGINT) % 256
+              ELSE (simhash_hi // power(256, ci - 4)::BIGINT) % 256 END AS cval
+  FROM fp, unnest(generate_series(0, {SIMHASH_N_CHUNKS - 1})) AS g(ci)
+),
+pairs(cno, i, j) AS (VALUES {_SIMHASH_PAIR_ROWS}),
 chunks AS (
-  SELECT doc_id, simhash_lo, simhash_hi, cno,
-         CASE cno WHEN 0 THEN simhash_lo % 65536
-                  WHEN 1 THEN simhash_lo // 65536
-                  WHEN 2 THEN simhash_hi % 65536
-                  ELSE simhash_hi // 65536 END AS cv
-  FROM fp, unnest(generate_series(0, 3)) AS g(cno)
+  SELECT x.doc_id, x.simhash_lo, x.simhash_hi, p.cno,
+         x.cval * 256 + y.cval AS cv
+  FROM pairs p
+  JOIN c8 x ON x.ci = p.i
+  JOIN c8 y ON y.ci = p.j AND y.doc_id = x.doc_id
 )
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
@@ -439,57 +486,98 @@ def _cos_expr(a: str, b: str) -> str:
     )
 
 
-_SQL_SIGN_BUCKET = (
-    "("
-    + " + ".join(f"(CASE WHEN emb[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(8))
-    + ")"
-)
+def _sql_sign_bucket(bits: int) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN emb[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(bits)
+        )
+        + ")"
+    )
 
 
-def _with_sign_bucket(df: DataFrame) -> DataFrame:
-    """Coarse IVF cell: 8 sign bits of the first 8 dims -> 256 buckets.
-    A deterministic, SQL-reproducible stand-in for trained IVF centroids;
-    at scale this is the partition key that keeps ANN probes local."""
+def _with_sign_bucket(df: DataFrame, bits: int) -> DataFrame:
+    """Coarse IVF cell: sign bits of the first `bits` dims -> 2^bits
+    buckets. A deterministic, SQL-reproducible stand-in for trained IVF
+    centroids; at scale this is the STORAGE partition key that keeps ANN
+    probes partition-local (see ANN_IVF_BITS note)."""
     bucket = None
-    for d in range(8):
+    for d in range(bits):
         bit = F.when(F.element_at("demb", d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn("bucket", bucket.cast("int"))
 
 
 def dedup_embedding_cosine(spark, sf):
-    """Embedding near-dup pairs: block on the 256-cell sign bucket (near-
-    identical vectors share all sign bits), verify cosine >= threshold
-    within the cell. Pair space is sum of per-bucket squares, not n^2."""
-    e = _with_sign_bucket(_with_demb(_emb(spark, sf)))
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.expr(_cos_expr("a.demb", "b.demb"))
+    """Embedding near-dup pairs via banded sign-LSH (see EMB_BANDS note):
+    band-bucket self-join generates candidates, exact cosine >= threshold
+    verifies. The oracle runs the identical banding, so candidates match
+    by construction."""
+    e = _with_demb(_emb(spark, sf))
+    band_structs = []
+    for bnd in range(EMB_BANDS):
+        bits = None
+        for d in range(EMB_BAND_BITS):
+            dim = bnd * EMB_BAND_BITS + d
+            bit = F.when(F.element_at("demb", dim + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        band_structs.append(F.struct(F.lit(bnd).alias("band"), bits.alias("bv")))
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bx")
+    ).select("vec_id", F.col("bx.band").alias("band"), F.col("bx.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("a_id"), F.col("demb").alias("ea"))
+    vb = e.select(F.col("vec_id").alias("b_id"), F.col("demb").alias("eb"))
+    cos = F.expr(_cos_expr("ea", "eb"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round("cosine", 4).alias("cosine"),
-        )
+        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
 
 
-_SQL_EMB = f"""
+def _sql_emb(bits: int) -> str:
+    return f"""
 v AS (
-  SELECT vec_id, emb, {_SQL_SIGN_BUCKET} AS bucket
+  SELECT vec_id, emb, {_sql_sign_bucket(bits)} AS bucket
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 )
 """
 
+
+def _emb_bands_sql() -> str:
+    selects = []
+    for bnd in range(EMB_BANDS):
+        key = " + ".join(
+            f"(CASE WHEN emb[{bnd * EMB_BAND_BITS + d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+            for d in range(EMB_BAND_BITS)
+        )
+        selects.append(f"SELECT vec_id, {bnd} AS band, ({key}) AS bv FROM v")
+    return " UNION ALL ".join(selects)
+
+
 DEDUP_EMB_COS_SQL = f"""
-WITH {_SQL_EMB.strip()}
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.emb, b.emb) >= {COSINE_DUP_THRESHOLD}
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bands AS ({_emb_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round(list_cosine_similarity(x.emb, y.emb), 4) AS cosine
+FROM cand c
+JOIN v x ON x.vec_id = c.a_id
+JOIN v y ON y.vec_id = c.b_id
+WHERE list_cosine_similarity(x.emb, y.emb) >= {COSINE_DUP_THRESHOLD}
 ORDER BY a_id, b_id
 """
 
@@ -533,19 +621,25 @@ ORDER BY query_id, rank
 
 
 def ann_ivf_topk(spark, sf):
-    """IVF-style ANN: probe only the query's sign-bucket cell (nprobe=1).
-    The scale path — each probe touches 1/256 of the corpus, co-partitioned
-    by bucket so the join is local after one repartition."""
-    e = _with_sign_bucket(_with_demb(_emb(spark, sf)))
+    """IVF-style ANN: probe only the query's sign-bucket cell (nprobe=1)
+    over 2^ANN_IVF_BITS = 1024 cells. The probe buckets are resolved
+    first (tiny driver action over the broadcast query side) and pushed
+    into the corpus scan as a partition filter — at 100 TB, with the
+    table stored partitioned by bucket, each query reads ~0.1% of the
+    corpus instead of scanning everything (r1's 256 cells = 0.4%/probe
+    was flagged as 400 GB/query)."""
+    e = _with_sign_bucket(_with_demb(_emb(spark, sf)), ANN_IVF_BITS)
     q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("demb").alias("qemb"),
         F.col("bucket").alias("qbucket"),
     )
+    probe_buckets = sorted({int(r["qbucket"]) for r in q.select("qbucket").collect()})
     cos = F.expr(_cos_expr("qemb", "demb"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        e.filter(F.col("bucket").isin(probe_buckets))  # partition prune
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -556,7 +650,7 @@ def ann_ivf_topk(spark, sf):
 
 
 ANN_IVF_SQL = f"""
-WITH {_SQL_EMB.strip()},
+WITH {_sql_emb(ANN_IVF_BITS).strip()},
 q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < {ANN_N_QUERIES}),
 scored AS (
   SELECT q.query_id, v.vec_id,
@@ -573,23 +667,34 @@ ORDER BY query_id, rank
 
 
 def ann_ivf_multiprobe(spark, sf):
-    """Multi-probe IVF: probe the query's sign-bucket plus the 8 buckets at
-    Hamming distance 1 (one flipped sign bit) — the standard recall/cost
-    dial: nprobe=9 of 256 cells touches ~3.5% of the corpus instead of
-    ~0.4%, recovering neighbors whose first dims sit near a sign boundary."""
-    e = _with_sign_bucket(_with_demb(_emb(spark, sf)))
+    """Multi-probe IVF: probe the query's sign-bucket plus the
+    ANN_IVF_BITS buckets at Hamming distance 1 (one flipped sign bit) —
+    the standard recall/cost dial: nprobe=11 of 1024 cells touches ~1%
+    of the corpus, recovering neighbors whose leading dims sit near a
+    sign boundary. Probe buckets are pushed into the corpus scan as a
+    partition filter like ann_ivf_topk."""
+    e = _with_sign_bucket(_with_demb(_emb(spark, sf)), ANN_IVF_BITS)
     q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("demb").alias("qemb"),
         F.col("bucket").alias("qbucket"),
     )
+    probe_buckets = sorted(
+        {
+            int(r["qbucket"]) ^ m
+            for r in q.select("qbucket").collect()
+            for m in [0] + [1 << b for b in range(ANN_IVF_BITS)]
+        }
+    )
     probes = F.array(
-        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(8)]
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(ANN_IVF_BITS)],
     )
     cos = F.expr(_cos_expr("qemb", "demb"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        e.join(F.broadcast(q), F.array_contains(probes, F.col("bucket")))
+        e.filter(F.col("bucket").isin(probe_buckets))  # partition prune
+        .join(F.broadcast(q), F.array_contains(probes, F.col("bucket")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -599,10 +704,12 @@ def ann_ivf_multiprobe(spark, sf):
     )
 
 
-_SQL_PROBES = ", ".join(["q.qbucket"] + [f"xor(q.qbucket, {1 << b})" for b in range(8)])
+_SQL_PROBES = ", ".join(
+    ["q.qbucket"] + [f"xor(q.qbucket, {1 << b})" for b in range(ANN_IVF_BITS)]
+)
 
 ANN_MULTIPROBE_SQL = f"""
-WITH {_SQL_EMB.strip()},
+WITH {_sql_emb(ANN_IVF_BITS).strip()},
 q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < {ANN_N_QUERIES}),
 scored AS (
   SELECT q.query_id, v.vec_id,
