@@ -236,34 +236,80 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---- gate consolidation -------------------------------------------------
+# The driver records CORRECTNESS rows for the first 50 queries() entries.
+# Every bm25-family query returns the same (doc_id, rank) schema, so the
+# families are gated as THREE tagged unions — the driver still
+# value-checks every sub-operator (each variant's rows carry its tag),
+# and the whole surface (3 + 29 relational + 17 pipeline = 49 entries)
+# fits inside the cap. Individual callables remain available above.
+
+def _variant_union(parts: list) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from functools import reduce
+
+        dfs = [
+            fn(spark, sf_dir).select(F.lit(v).alias("variant"), "doc_id", "rank")
+            for v, fn, _sql in parts
+        ]
+        return reduce(DataFrame.unionByName, dfs).orderBy("variant", "rank")
+
+    return run
+
+
+def _variant_union_sql(parts: list) -> str:
+    inner = "\nUNION ALL\n".join(
+        f"SELECT '{v}' AS variant, doc_id, rank FROM ({sql})" for v, _fn, sql in parts
+    )
+    return f"SELECT * FROM (\n{inner}\n) ORDER BY variant, rank"
+
+
+def _bm25_groups() -> dict[str, list]:
+    """group -> [(variant, spark_fn, oracle_sql)]"""
+    scoring, positional, derived = [], [], []
+    for name, q, mode in BM25_QUERIES:
+        scoring.append((name, _bm25_query_fn(q, mode), bm25_topk_sql(q, k=10, mode=mode)))
+    for name, kwargs in BOOL_QUERIES.items():
+        scoring.append((name, _bool_query_fn(kwargs), bm25_boolean_sql(k=10, **kwargs)))
+    for name, (q, tb) in DISMAX_QUERIES.items():
+        scoring.append((name, _dismax_query_fn(q, tb), bm25_dismax_sql(q, k=10, tiebreak=tb)))
+    for name, q in SYNONYM_QUERIES.items():
+        scoring.append((name, _synonym_query_fn(q), bm25_synonym_sql(q, k=10)))
+    for name, boosts in BOOST_QUERIES.items():
+        scoring.append((name, _boost_query_fn(boosts), bm25_boosted_sql(boosts, k=10)))
+    for name, (q, slop) in PHRASE_QUERIES.items():
+        positional.append((name, _phrase_query_fn(q, slop), bm25_phrase_sql(q, k=10, slop=slop)))
+    for name, (terms, slop, in_order) in SPAN_QUERIES.items():
+        positional.append(
+            (name, _span_query_fn(terms, slop, in_order), bm25_span_near_sql(terms, slop, in_order, k=10))
+        )
+    for name, (term, end) in SPAN_FIRST_QUERIES.items():
+        positional.append((name, _span_first_query_fn(term, end), bm25_span_first_sql(term, end, k=10)))
+    for name, positions in MULTI_PHRASE_QUERIES.items():
+        positional.append(
+            (name, _multi_phrase_query_fn(positions), bm25_multi_phrase_sql(positions, k=10))
+        )
+    for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
+        derived.append(
+            (name, _rescore_query_fn(q1, q2, n, w), bm25_rescore_sql(q1, q2, first_n=n, weight=w, k=10))
+        )
+    for name, (seed, nt) in MLT_QUERIES.items():
+        derived.append((name, _mlt_query_fn(seed, nt), bm25_mlt_sql(seed_doc_id=seed, n_terms=nt, k=10)))
+    for name, (pat, cap) in REGEXP_QUERIES.items():
+        derived.append((name, _regexp_query_fn(pat, cap), bm25_regexp_sql(pat, max_terms=cap, k=10)))
+    for name, (qstr, sql_fn) in PARSER_QUERIES.items():
+        derived.append((name, _parser_query_fn(qstr), sql_fn()))
+    return {
+        "bm25_scoring": scoring,
+        "bm25_positional": positional,
+        "bm25_derived": derived,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, q, mode in BM25_QUERIES:
-        out[name] = _bm25_query_fn(q, mode)
-    for name, kwargs in BOOL_QUERIES.items():
-        out[name] = _bool_query_fn(kwargs)
-    for name, (q, tb) in DISMAX_QUERIES.items():
-        out[name] = _dismax_query_fn(q, tb)
-    for name, (q, slop) in PHRASE_QUERIES.items():
-        out[name] = _phrase_query_fn(q, slop)
-    for name, q in SYNONYM_QUERIES.items():
-        out[name] = _synonym_query_fn(q)
-    for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
-        out[name] = _rescore_query_fn(q1, q2, n, w)
-    for name, (seed, nt) in MLT_QUERIES.items():
-        out[name] = _mlt_query_fn(seed, nt)
-    for name, boosts in BOOST_QUERIES.items():
-        out[name] = _boost_query_fn(boosts)
-    for name, (terms, slop, in_order) in SPAN_QUERIES.items():
-        out[name] = _span_query_fn(terms, slop, in_order)
-    for name, (term, end) in SPAN_FIRST_QUERIES.items():
-        out[name] = _span_first_query_fn(term, end)
-    for name, positions in MULTI_PHRASE_QUERIES.items():
-        out[name] = _multi_phrase_query_fn(positions)
-    for name, (pat, cap) in REGEXP_QUERIES.items():
-        out[name] = _regexp_query_fn(pat, cap)
-    for name, (qstr, _sql_fn) in PARSER_QUERIES.items():
-        out[name] = _parser_query_fn(qstr)
+    for group, parts in _bm25_groups().items():
+        out[group] = _variant_union(parts)
     for name, (fn, _sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         out[name] = fn
     return out
@@ -271,32 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for name, q, mode in BM25_QUERIES:
-        out[name] = bm25_topk_sql(q, k=10, mode=mode)
-    for name, kwargs in BOOL_QUERIES.items():
-        out[name] = bm25_boolean_sql(k=10, **kwargs)
-    for name, (q, tb) in DISMAX_QUERIES.items():
-        out[name] = bm25_dismax_sql(q, k=10, tiebreak=tb)
-    for name, (q, slop) in PHRASE_QUERIES.items():
-        out[name] = bm25_phrase_sql(q, k=10, slop=slop)
-    for name, q in SYNONYM_QUERIES.items():
-        out[name] = bm25_synonym_sql(q, k=10)
-    for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
-        out[name] = bm25_rescore_sql(q1, q2, first_n=n, weight=w, k=10)
-    for name, (seed, nt) in MLT_QUERIES.items():
-        out[name] = bm25_mlt_sql(seed_doc_id=seed, n_terms=nt, k=10)
-    for name, boosts in BOOST_QUERIES.items():
-        out[name] = bm25_boosted_sql(boosts, k=10)
-    for name, (terms, slop, in_order) in SPAN_QUERIES.items():
-        out[name] = bm25_span_near_sql(terms, slop, in_order, k=10)
-    for name, (term, end) in SPAN_FIRST_QUERIES.items():
-        out[name] = bm25_span_first_sql(term, end, k=10)
-    for name, positions in MULTI_PHRASE_QUERIES.items():
-        out[name] = bm25_multi_phrase_sql(positions, k=10)
-    for name, (pat, cap) in REGEXP_QUERIES.items():
-        out[name] = bm25_regexp_sql(pat, max_terms=cap, k=10)
-    for name, (_qstr, sql_fn) in PARSER_QUERIES.items():
-        out[name] = sql_fn()
+    for group, parts in _bm25_groups().items():
+        out[group] = _variant_union_sql(parts)
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
         if sql is not None:
             out[name] = sql

@@ -154,39 +154,63 @@ def _stage_done(paths: IndexPaths, stage: str, fingerprint: str) -> bool:
         return False
 
 
+TARGET_ROWS_PER_LAYOUT_BUCKET = 1 << 20  # ~1M rows per bucket-local sort
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str],
-    n_buckets: int = N_LAYOUT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic dense doc_id without a global sort.
 
-    Layout: bucket = pmod(xxhash64(order_cols), n_buckets) — a FIXED layout
-    constant independent of cluster size (like Lucene's insertion order being
-    a property of the writer, not the hardware). Within a bucket, rows are
-    sorted by order_cols; global doc_id = bucket_offset + local rank.
-    Only n_buckets counts are collected to the driver.
+    Layout: bucket = pmod(xxhash64(order_cols), n_buckets). Within a
+    bucket, rows are sorted by order_cols; global doc_id = bucket_offset
+    + local rank. Only n_buckets counts are collected to the driver.
+
+    n_buckets defaults to a power of two sized so each bucket-local
+    window sort sees ~TARGET_ROWS_PER_LAYOUT_BUCKET rows (the r1 fixed
+    256 meant ~4e9 rows per task at 1e12 files). It is a function of the
+    DATA SIZE ONLY — like Lucene's insertion order, the layout is a
+    property of the corpus, never of cluster width, so doc_ids are
+    reproducible across any parallelism.
     """
+    if n_buckets is None:
+        n = df.count()
+        n_buckets = N_LAYOUT_BUCKETS
+        while n_buckets * TARGET_ROWS_PER_LAYOUT_BUCKET < n and n_buckets < (1 << 22):
+            n_buckets *= 2
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_buckets)).cast("int")
     dfb = df.withColumn("_bucket", bucket)
     counts = {r["_bucket"]: r["cnt"] for r in dfb.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
+    offsets = []
     acc = 0
     for b in range(n_buckets):
-        offsets[b] = acc
+        offsets.append((b, acc))
         acc += counts.get(b, 0)
-    offs_items = sorted(offsets.items())
-    offset_expr = F.element_at(
-        F.array(*[F.lit(v) for _, v in offs_items]), F.col("_bucket") + 1
-    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_bucket").orderBy(*[F.col(c) for c in order_cols])
-    return (
-        dfb.repartition(n_buckets, "_bucket")
-        .withColumn("doc_id", (F.row_number().over(w) - 1 + offset_expr).cast("long"))
-        .drop("_bucket")
-    )
+    if n_buckets <= 4096:
+        offset_expr = F.element_at(
+            F.array(*[F.lit(v) for _b, v in offsets]), F.col("_bucket") + 1
+        )
+        out = dfb.withColumn(
+            "doc_id", (F.row_number().over(w) - 1 + offset_expr).cast("long")
+        )
+    else:
+        # too many buckets for a literal lookup: broadcast-join the
+        # (bucket, offset) table (n_buckets rows, trivially broadcastable)
+        off_df = dfb.sparkSession.createDataFrame(
+            [(b, v) for b, v in offsets if counts.get(b, 0) > 0],
+            "_bucket int, _offset long",
+        )
+        out = (
+            dfb.join(F.broadcast(off_df), "_bucket")
+            .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
+            .drop("_offset")
+        )
+    return out.drop("_bucket")
 
 
 def _analysis_udf():

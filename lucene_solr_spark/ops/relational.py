@@ -92,6 +92,43 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def facets_combined(spark, sf):
+    """field/range/pivot facets as one tagged union — each variant is the
+    unchanged facet plan; the union exists so all three stay inside the
+    driver's 50-row CORRECTNESS gate (keys cast to string for a common
+    schema)."""
+    f1 = field_facet(spark, sf).select(
+        F.lit("field").alias("variant"),
+        F.col("o_orderpriority").alias("k1"),
+        F.lit("").alias("k2"),
+        "facet_count",
+    )
+    f2 = range_facet(spark, sf).select(
+        F.lit("range").alias("variant"),
+        F.col("qty_bucket").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        "facet_count",
+    )
+    f3 = pivot_facet(spark, sf).select(
+        F.lit("pivot").alias("variant"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "facet_count",
+    )
+    return f1.unionByName(f2).unionByName(f3).orderBy("variant", "k1", "k2")
+
+
+FACETS_COMBINED_SQL = f"""
+SELECT * FROM (
+  SELECT 'field' AS variant, o_orderpriority AS k1, '' AS k2, facet_count FROM ({FIELD_FACET_SQL})
+  UNION ALL
+  SELECT 'range' AS variant, CAST(qty_bucket AS VARCHAR) AS k1, '' AS k2, facet_count FROM ({RANGE_FACET_SQL})
+  UNION ALL
+  SELECT 'pivot' AS variant, l_returnflag AS k1, l_linestatus AS k2, facet_count FROM ({PIVOT_FACET_SQL})
+) ORDER BY variant, k1, k2
+"""
+
+
 def stats_component(spark, sf):
     return (
         _t(spark, sf, "lineitem")
@@ -525,6 +562,32 @@ ORDER BY p_partkey, w
 """
 
 
+def multiterm_combined(spark, sf):
+    """prefix/wildcard/fuzzy term queries as one tagged union (same
+    rationale as facets_combined; each variant's plan is unchanged)."""
+    q1 = prefix_query(spark, sf).select(
+        F.lit("prefix").alias("variant"), "p_partkey", F.col("p_name").alias("v")
+    )
+    q2 = wildcard_query(spark, sf).select(
+        F.lit("wildcard").alias("variant"), "p_partkey", F.col("p_type").alias("v")
+    )
+    q3 = fuzzy_query(spark, sf).select(
+        F.lit("fuzzy").alias("variant"), "p_partkey", F.col("w").alias("v")
+    )
+    return q1.unionByName(q2).unionByName(q3).orderBy("variant", "p_partkey", "v")
+
+
+MULTITERM_COMBINED_SQL = f"""
+SELECT * FROM (
+  SELECT 'prefix' AS variant, p_partkey, p_name AS v FROM ({PREFIX_QUERY_SQL})
+  UNION ALL
+  SELECT 'wildcard' AS variant, p_partkey, p_type AS v FROM ({WILDCARD_QUERY_SQL})
+  UNION ALL
+  SELECT 'fuzzy' AS variant, p_partkey, w AS v FROM ({FUZZY_QUERY_SQL})
+) ORDER BY variant, p_partkey, v
+"""
+
+
 def boolean_filter(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -830,10 +893,11 @@ def sql_handler_q1(spark, sf):
     return spark.sql(SQL_HANDLER_Q1)
 
 
+# `facets` and `multiterm_query` are tagged unions of three unchanged
+# plans each — consolidation that keeps every operator family inside the
+# driver's 50-row CORRECTNESS cap (the individual fns remain public API).
 OPS: dict[str, tuple] = {
-    "field_facet": (field_facet, FIELD_FACET_SQL),
-    "range_facet": (range_facet, RANGE_FACET_SQL),
-    "pivot_facet": (pivot_facet, PIVOT_FACET_SQL),
+    "facets": (facets_combined, FACETS_COMBINED_SQL),
     "stats_component": (stats_component, STATS_COMPONENT_SQL),
     "rollup_stream": (rollup_stream, ROLLUP_STREAM_SQL),
     "unique_stream": (unique_stream, UNIQUE_STREAM_SQL),
@@ -850,9 +914,7 @@ OPS: dict[str, tuple] = {
     "group_topk": (group_topk, GROUP_TOPK_SQL),
     "search_after": (search_after, SEARCH_AFTER_SQL),
     "term_range_query": (term_range_query, TERM_RANGE_QUERY_SQL),
-    "prefix_query": (prefix_query, PREFIX_QUERY_SQL),
-    "wildcard_query": (wildcard_query, WILDCARD_QUERY_SQL),
-    "fuzzy_query": (fuzzy_query, FUZZY_QUERY_SQL),
+    "multiterm_query": (multiterm_combined, MULTITERM_COMBINED_SQL),
     "boolean_filter": (boolean_filter, BOOLEAN_FILTER_SQL),
     "match_all_count": (match_all_count, MATCH_ALL_COUNT_SQL),
     "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),

@@ -23,15 +23,18 @@ def test_entry_returns_rows(spark):
     assert set(df.columns) >= {"doc_id", "score", "sha256"}
 
 
-def test_queries_have_oracles_or_are_flagged(spark):
+def test_queries_have_oracles_and_fit_the_gate(spark):
     qs = e.queries()
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 25
+    # the driver records CORRECTNESS for the first 50 entries only — the
+    # whole surface must fit so every operator family stays gated
+    assert len(qs) <= 50
+    assert len(qs) >= 45
 
 
-@pytest.mark.parametrize("name", [n for n, _, _ in e.BM25_QUERIES])
-def test_bm25_queries_match_duckdb_oracle(spark, name):
+@pytest.mark.parametrize("name", ["bm25_scoring", "bm25_positional", "bm25_derived"])
+def test_bm25_groups_match_duckdb_oracle(spark, name):
     qs = e.queries()
     oracles = e.oracle_sql()
     con = duckdb.connect()
@@ -40,3 +43,8 @@ def test_bm25_queries_match_duckdb_oracle(spark, name):
     got = sorted(tuple(r) for r in qs[name](spark, SF).collect())
     want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
     assert got == want
+    # every variant contributed rows (no silently-empty sub-operator);
+    # absent-term multi_phrase legitimately returns 10 rows still
+    variants_got = {r[0] for r in got}
+    expected = {v for v, _fn, _sql in e._bm25_groups()[name]}
+    assert variants_got == expected, (variants_got, expected)
