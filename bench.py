@@ -99,7 +99,7 @@ def main() -> None:
     from lucene_solr_spark.ops.relational import OPS as REL_OPS
     from lucene_solr_spark.ops.pipeline import OPS as PIPE_OPS
 
-    headliners = ["rollup_stream", "hash_join_stream", "group_topk", "field_facet"]
+    headliners = ["rollup_stream", "hash_join_stream", "group_topk", "facets"]
     for name in headliners:
         fn = REL_OPS[name][0]
         t = time.time()
@@ -120,7 +120,7 @@ def main() -> None:
     brute = _pairs(PIPE_OPS["ann_cosine_topk"][0](spark, sf_dir))
     ann_recall = {
         name: round(len(_pairs(PIPE_OPS[name][0](spark, sf_dir)) & brute) / max(len(brute), 1), 4)
-        for name in ("ann_ivf_topk", "ann_ivf_multiprobe")
+        for name in ("ann_ivf_topk", "ann_ivf_multiprobe", "ann_ivf_kmeans")
     }
 
     total = round(sum(queries.values()), 4)
