@@ -7,7 +7,8 @@ input: local[N] vs local[4N], each in its own fresh JVM (fresh executor
 pool, no warm caches). Efficiency = (thr_4N / thr_N) / 4.
 
 Usage: python tools/bench_scaling.py [--n-docs 200000] [--pairs 2:8,8:32]
-Writes BENCH.md and prints one JSON line.
+Writes BENCH_SCALING.md (raw numbers; BENCH.md is curated by hand) and
+prints one JSON line.
 """
 
 from __future__ import annotations
@@ -128,7 +129,7 @@ def _write_bench_md(out: dict) -> None:
         "executor pool until input splits or shuffle partitions become the",
         "constraint (64 input splits / 2N shuffle partitions here).",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
