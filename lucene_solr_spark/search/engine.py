@@ -581,20 +581,14 @@ def _sloppy_phrase_freqs(
 ) -> np.ndarray:
     """Lucene-exact weighted sloppy phrase freq per candidate doc
     (SloppyPhraseScorer.phraseFreq + BM25Similarity.sloppyFreq 1/(d+1);
-    see search/sloppy.py). Per-doc sequential walk — the same cost model
-    as Lucene's own scorer, run distributed per doc range."""
+    see search/sloppy.py, including the repeated-term initComplex/
+    advanceRpts path). Per-doc sequential walk — the same cost model as
+    Lucene's own scorer, run distributed per doc range."""
     from .sloppy import sloppy_freq
 
     terms = [t for t, _ in phrase]
-    if len(set(terms)) != len(terms):
-        raise NotImplementedError(
-            "sloppy phrase with repeated terms (Lucene's advanceRpts path) "
-            "is not supported; use slop=0 or distinct terms"
-        )
-    clause_data = []
-    for t, off in phrase:
-        d, tf, run_starts, pos_abs = _abs_positions(per_term, t)
-        clause_data.append((d, tf, run_starts, pos_abs, off))
+    abs_cache = {t: _abs_positions(per_term, t) for t in set(terms)}
+    clause_data = [(*abs_cache[t], off) for t, off in phrase]
     freqs = np.zeros(cand.size, dtype=np.float32)
     for ci, c in enumerate(cand):
         plists, offs = [], []
@@ -608,7 +602,7 @@ def _sloppy_phrase_freqs(
             plists.append(pos_abs[s : s + int(tf[j])].tolist())
             offs.append(off)
         if ok:
-            freqs[ci] = sloppy_freq(plists, offs, slop)
+            freqs[ci] = sloppy_freq(plists, offs, slop, terms=terms)
     return freqs
 
 

@@ -148,7 +148,10 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 plists = [idx.positions[t].get(d, []) for t, _ in phrase]
                 if any(not p for p in plists):
                     continue
-                f = sloppy_freq(plists, [off for _, off in phrase], slop)
+                f = sloppy_freq(
+                    plists, [off for _, off in phrase], slop,
+                    terms=[t for t, _ in phrase],
+                )
                 if f > 0:
                     pf_map[d] = f
         else:

@@ -30,10 +30,15 @@ Two implementations, verified equivalent by property test
   upper keeps minimizing inside the same run; the property test in
   tests/test_sloppy.py checks chain == state machine exhaustively.)
 
-Phrases whose clause terms REPEAT (same term at two phrase positions)
-take Lucene's repeats path (SloppyPhraseScorer.advanceRpts), which is
-not implemented — sloppy_freq raises for those; exact (slop=0) phrases
-with repeats are handled by the engine's aligned-key path.
+Phrases whose clause terms REPEAT (same term at multiple phrase
+positions, e.g. "A A A") take the repeats path
+(SloppyPhraseScorer.initComplex / advanceRepeatGroups / advanceRpts):
+repeat-group members are offset-sorted, the j-th member starts j
+positions in (so no two sit on the same occurrence), and whenever an
+advance makes two members collide on the same token position (tpPos),
+the lesser of the two advances until the group is collision-free.
+Pass `terms` to identify which clauses repeat; Lucene's multi-TERM
+repeat postings (MultiPhrase-within-sloppy) are out of scope.
 """
 
 from __future__ import annotations
@@ -43,12 +48,126 @@ import heapq
 import numpy as np
 
 
-def sloppy_freq(plists: list[list[int]], offsets: list[int], slop: int) -> np.float32:
+class _PP:
+    """PhrasePositions: a cursor over one clause's positions."""
+
+    __slots__ = ("plist", "off", "ord", "cursor", "position", "rpt_group", "rpt_ind")
+
+    def __init__(self, plist: list[int], off: int, ord_: int):
+        self.plist = plist
+        self.off = off
+        self.ord = ord_
+        self.cursor = 0
+        self.position = plist[0] - off
+        self.rpt_group = -1
+        self.rpt_ind = 0
+
+    def key(self):
+        return (self.position, self.off, self.ord)
+
+    def tp_pos(self) -> int:
+        return self.position + self.off  # the actual token position
+
+    def advance(self) -> bool:
+        self.cursor += 1
+        if self.cursor >= len(self.plist):
+            return False
+        self.position = self.plist[self.cursor] - self.off
+        return True
+
+
+def _sloppy_freq_repeats(
+    plists: list[list[int]], offsets: list[int], slop: int, terms: list
+) -> np.float32:
+    """The repeats state machine (initComplex + advanceRpts), faithful to
+    SloppyPhraseScorer.java:147-320 for plain-term clauses. The queue is
+    a min-by-(position, offset, ord) selection — equivalent to Lucene's
+    PhraseQueue after its collision requeue dance."""
+    n = len(offsets)
+    pps = [_PP(plists[i], offsets[i], i) for i in range(n)]
+    # repeat groups: clauses sharing a term, members in offset order
+    by_term: dict = {}
+    for pp, t in zip(pps, terms):
+        by_term.setdefault(t, []).append(pp)
+    rpt_groups = [g for g in by_term.values() if len(g) > 1]
+    for gi, g in enumerate(rpt_groups):
+        g.sort(key=lambda pp: pp.off)
+        for j, pp in enumerate(g):
+            pp.rpt_group, pp.rpt_ind = gi, j
+
+    # advanceRepeatGroups (no multi-term repeats): the j-th member starts
+    # j occurrences in, so the group begins collision-free
+    for g in rpt_groups:
+        for j in range(1, len(g)):
+            for _ in range(j):
+                if not g[j].advance():
+                    return np.float32(0.0)  # PPs exhausted -> no match
+
+    end = max(pp.position for pp in pps)
+    queue = list(pps)
+
+    def pop_min() -> _PP:
+        m = min(queue, key=_PP.key)
+        queue.remove(m)
+        return m
+
+    def collide(pp: _PP) -> _PP | None:
+        tp = pp.tp_pos()
+        for other in rpt_groups[pp.rpt_group]:
+            if other is not pp and other.tp_pos() == tp:
+                return other
+        return None
+
+    freq = np.float32(0.0)
+    pp = pop_min()
+    match_length = end - pp.position
+    next_pos = min(queue, key=_PP.key).position
+    while True:
+        # advancePP
+        if not pp.advance():
+            break
+        if pp.position > end:
+            end = pp.position
+        # advanceRpts: resolve (chains of) collisions — the LESSER of the
+        # two colliding members advances and becomes the new collision
+        # subject (SloppyPhraseScorer.advanceRpts reassigns its local pp)
+        if pp.rpt_group >= 0:
+            dead = False
+            subject = pp
+            while (other := collide(subject)) is not None:
+                subject = subject if subject.key()[:2] < other.key()[:2] else other
+                if not subject.advance():
+                    dead = True
+                    break
+                if subject.position > end:
+                    end = subject.position
+            if dead:
+                break  # pps exhausted -> final emit below
+        if pp.position > next_pos:  # done minimizing current match window
+            if match_length <= slop:
+                freq = np.float32(freq + np.float32(1.0) / np.float32(match_length + 1))
+            queue.append(pp)
+            pp = pop_min()
+            next_pos = min(queue, key=_PP.key).position
+            match_length = end - pp.position
+        else:
+            ml2 = end - pp.position
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = np.float32(freq + np.float32(1.0) / np.float32(match_length + 1))
+    return freq
+
+
+def sloppy_freq(
+    plists: list[list[int]], offsets: list[int], slop: int, terms: list | None = None
+) -> np.float32:
     """Weighted sloppy phrase freq for ONE document.
 
     plists[i]: ascending absolute positions of clause i's term in the doc
-    (all non-empty); offsets[i]: the clause's phrase position. Clause
-    terms must be pairwise distinct (no repeats).
+    (all non-empty); offsets[i]: the clause's phrase position. `terms`
+    identifies clauses of the SAME term (the repeats path); None means
+    all clauses are distinct terms.
     """
     n = len(offsets)
     if any(len(p) == 0 for p in plists):
@@ -57,6 +176,8 @@ def sloppy_freq(plists: list[list[int]], offsets: list[int], slop: int) -> np.fl
         # single-clause phrase rewrites to a term query: every occurrence
         # is a zero-length match
         return np.float32(len(plists[0]))
+    if terms is not None and len(set(terms)) != len(terms):
+        return _sloppy_freq_repeats(plists, offsets, slop, list(terms))
 
     cursors = [0] * n
     heap: list[tuple[int, int, int]] = []
