@@ -28,6 +28,8 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_rescore_sql,
     bm25_span_first_sql,
     bm25_span_near_sql,
+    bm25_span_not_sql,
+    bm25_span_or_sql,
     bm25_synonym_sql,
     bm25_topk_sql,
 )
@@ -67,6 +69,9 @@ SPAN_QUERIES = {
     "bm25_span_unordered": (["sort", "merge"], 3, False),
 }
 SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
+SPAN_OR_QUERIES = {"bm25_span_or": ["fast", "quick", "rapid"]}
+# name -> (include terms, exclude term, slop)
+SPAN_NOT_QUERIES = {"bm25_span_not": (["merge", "sort"], "dup", 3)}
 MULTI_PHRASE_QUERIES = {
     "bm25_multi_phrase": [["fast", "quick"], ["merge", "sort"]],
 }
@@ -143,6 +148,22 @@ def _span_query_fn(terms: list, slop: int, in_order: bool):
 def _span_first_query_fn(term: str, end: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_span_first(term, end, k=10))
+
+    return run
+
+
+def _span_or_query_fn(terms: list):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_span_or(terms, k=10))
+
+    return run
+
+
+def _span_not_query_fn(include: list, exclude: str, slop: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(
+            _searcher(spark, sf_dir).topk_span_not(include, exclude, slop=slop, k=10)
+        )
 
     return run
 
@@ -285,6 +306,12 @@ def _bm25_groups() -> dict[str, list]:
         )
     for name, (term, end) in SPAN_FIRST_QUERIES.items():
         positional.append((name, _span_first_query_fn(term, end), bm25_span_first_sql(term, end, k=10)))
+    for name, terms in SPAN_OR_QUERIES.items():
+        positional.append((name, _span_or_query_fn(terms), bm25_span_or_sql(terms, k=10)))
+    for name, (inc, exc, slop) in SPAN_NOT_QUERIES.items():
+        positional.append(
+            (name, _span_not_query_fn(inc, exc, slop), bm25_span_not_sql(inc, exc, slop, k=10))
+        )
     for name, positions in MULTI_PHRASE_QUERIES.items():
         positional.append(
             (name, _multi_phrase_query_fn(positions), bm25_multi_phrase_sql(positions, k=10))

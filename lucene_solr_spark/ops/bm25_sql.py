@@ -447,6 +447,59 @@ pf AS (
     return _positional_score_sql(pf_cte, idfw, k)
 
 
+def bm25_span_or_sql(terms: list[str], k: int = 10) -> str:
+    """SpanOrQuery oracle (spans/SpanOrQuery.java:122-128): merged term
+    sub-spans each have width 0, so freq = total occurrences across the
+    clauses; weight = idf summed over the distinct clause terms (absent
+    terms contribute idf(df=0))."""
+    ts = sorted(set(terms))
+    terms_in = ",".join(f"'{t}'" for t in ts)
+    idfw = _idfw_from_data(ts)
+    pf_cte = f"""pf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_span_not_sql(include: list[str], exclude: str, slop: int, k: int = 10) -> str:
+    """SpanNotQuery oracle (spans/SpanNotQuery.java, pre=post=0): ordered
+    SpanNear include spans minus those whose [start, end) contains an
+    exclude occurrence; weight sums idfs of include AND exclude terms
+    (getTermContexts(includeWeight, excludeWeight))."""
+    n = len(include)
+    idfw = _idfw_from_data(list(include) + [exclude])
+    occ = ",\n".join(
+        f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
+        for i, t in enumerate(include)
+    )
+    chain = ["m0 AS (SELECT doc_id, pos AS p0, pos AS prev FROM occ0)"]
+    for i in range(1, n):
+        chain.append(
+            f"m{i} AS (SELECT m.doc_id, m.p0,\n"
+            f"  (SELECT min(o.pos) FROM occ{i} o WHERE o.doc_id = m.doc_id "
+            f"AND o.pos > m.prev) AS prev\n"
+            f"  FROM m{i-1} m WHERE m.prev IS NOT NULL)"
+        )
+    chain_sql = ",\n".join(chain)
+    pf_cte = f"""{occ},
+occx AS (SELECT doc_id, pos FROM tokpos WHERE term = '{exclude}'),
+{chain_sql},
+matches AS (
+  SELECT doc_id, p0, prev, prev - p0 - {n - 1} AS width
+  FROM m{n - 1} WHERE prev IS NOT NULL
+),
+pf AS (
+  SELECT m.doc_id,
+         CAST(sum(CASE WHEN m.width <= {slop} AND NOT EXISTS (
+                SELECT 1 FROM occx x
+                WHERE x.doc_id = m.doc_id AND x.pos BETWEEN m.p0 AND m.prev)
+              THEN 1.0 / (m.width + 1) END) AS DOUBLE) AS pf
+  FROM matches m GROUP BY m.doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)
+
+
 def bm25_span_first_sql(term: str, end: int, k: int = 10) -> str:
     """SpanFirstQuery oracle: freq = occurrences with end position <= end
     (tokpos is 1-based, engine positions 0-based, so pos <= end); each

@@ -88,6 +88,9 @@ class BooleanSpec:
     span: tuple[str, ...] = ()
     span_slop: int = 0
     span_ordered: bool = True
+    # SpanNotQuery excludes: drop ordered-near spans overlapping any of
+    # these terms' occurrences (spans/SpanNotQuery.java, pre=post=0)
+    span_not: tuple[str, ...] = ()
     # SpanFirstQuery: (term, end) — occurrences with pos+1 <= end
     span_first: tuple[str, int] | None = None
     # BoostQuery per-term multiplicative boosts ((term, boost), ...):
@@ -96,7 +99,7 @@ class BooleanSpec:
 
     @property
     def positional_terms(self) -> tuple[str, ...]:
-        out = tuple(t for t, _ in self.phrase) + tuple(self.span)
+        out = tuple(t for t, _ in self.phrase) + tuple(self.span) + tuple(self.span_not)
         for _off, alts in self.multi_phrase:
             out += tuple(alts)
         if self.span_first is not None:
@@ -317,20 +320,10 @@ class IndexSearcher:
             .limit(k)
         )
 
-    def topk_synonym(self, query: str, k: int = 10) -> DataFrame:
-        """SynonymQuery (search/SynonymQuery.java): all terms score as ONE
-        pseudo-term — tf summed across synonyms per doc, one similarity
-        weight built from df = max over the terms' docFreqs."""
-        terms = sorted(set(analyze(query)))
-        if not terms:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
-        weights = self.term_weights(terms)
-        present = [t for t in terms if weights[t]["df"] > 0]
-        if not present:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
-        df_max = max(weights[t]["df"] for t in present)
-        tw = make_term_weight("__syn__", df_max, self.doc_count, self.avgdl)
-        wv = np.float32(tw.weight_value)
+    def _topk_sum_tf(self, present: list[str], wv: np.float32, k: int) -> DataFrame:
+        """Shared scorer for 'union of term occurrences as one pseudo-term'
+        queries (SynonymQuery, SpanOrQuery of term clauses): tf summed
+        across the terms per doc, one similarity weight."""
         cache = norm_cache(np.float32(float(self.avgdl)))
         blocks = self._blocks_for(present)
 
@@ -361,6 +354,51 @@ class IndexSearcher:
             .applyInPandas(score_range, schema=TOPK_SCHEMA)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
+        )
+
+    def topk_synonym(self, query: str, k: int = 10) -> DataFrame:
+        """SynonymQuery (search/SynonymQuery.java): all terms score as ONE
+        pseudo-term — tf summed across synonyms per doc, one similarity
+        weight built from df = max over the terms' docFreqs."""
+        terms = sorted(set(analyze(query)))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        weights = self.term_weights(terms)
+        present = [t for t in terms if weights[t]["df"] > 0]
+        if not present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        df_max = max(weights[t]["df"] for t in present)
+        tw = make_term_weight("__syn__", df_max, self.doc_count, self.avgdl)
+        return self._topk_sum_tf(present, np.float32(tw.weight_value), k)
+
+    def topk_span_or(self, terms: list[str], k: int = 10) -> DataFrame:
+        """SpanOrQuery over term clauses (spans/SpanOrQuery.java:122-128):
+        merged sub-spans; every term span has width 0, so the span freq
+        is the TOTAL occurrence count across the clauses; the weight sums
+        the idfs of the clause terms (getTermContexts map — distinct,
+        absent terms still contribute idf(df=0))."""
+        ts = sorted(set(analyze(" ".join(terms))))
+        if not ts:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        weights = self.term_weights(ts)
+        present = [t for t in ts if weights[t]["df"] > 0]
+        if not present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        idf_sum = np.float32(
+            sum(idf_f32(weights[t]["df"], self.doc_count) for t in ts)
+        )
+        wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        return self._topk_sum_tf(present, wv, k)
+
+    def topk_span_not(
+        self, include: list[str], exclude: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """SpanNotQuery (spans/SpanNotQuery.java): ordered SpanNear include
+        minus spans overlapping the exclude term's occurrences."""
+        inc = tuple(analyze(" ".join(include)))
+        exc = tuple(analyze(exclude))
+        return self.topk_spec(
+            BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_not=exc), k=k
         )
 
     def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool | None = None,
@@ -642,28 +680,49 @@ def _multi_phrase_freqs(
 
 
 def _span_near_freqs(
-    per_term, span: tuple[str, ...], slop: int, ordered: bool, cand: np.ndarray
+    per_term, span: tuple[str, ...], slop: int, ordered: bool, cand: np.ndarray,
+    exclude_terms: tuple[str, ...] = (),
 ) -> np.ndarray:
-    """SpanNearQuery freq per candidate doc via the reference walks
-    (search/spans.py); per-doc sequential like Lucene's own spans."""
-    from .spans import span_ordered_freq, span_unordered_freq
+    """SpanNearQuery / SpanNotQuery freq per candidate doc via the
+    reference walks (search/spans.py); per-doc sequential like Lucene's
+    own spans. exclude_terms: SpanNot — drop spans overlapping those
+    terms' occurrences (ordered include only)."""
+    from .spans import span_not_freq, span_ordered_freq, span_unordered_freq
 
     data = {t: _abs_positions(per_term, t) for t in set(span)}
-    fn = span_ordered_freq if ordered else span_unordered_freq
+    excl_data = {t: _abs_positions(per_term, t) for t in set(exclude_terms) if t in per_term}
+
+    def _doc_slice(entry, c):
+        d, tf, run_starts, pos_abs = entry
+        j = int(np.searchsorted(d, c))
+        if j >= d.size or d[j] != c:
+            return None
+        s = int(run_starts[j])
+        return pos_abs[s : s + int(tf[j])].tolist()
+
     freqs = np.zeros(cand.size, dtype=np.float32)
     for ci, c in enumerate(cand):
         plists = []
         ok = True
         for t in span:  # query order; repeated terms reuse the same list
-            d, tf, run_starts, pos_abs = data[t]
-            j = int(np.searchsorted(d, c))
-            if j >= d.size or d[j] != c:
+            sl = _doc_slice(data[t], c)
+            if sl is None:
                 ok = False
                 break
-            s = int(run_starts[j])
-            plists.append(pos_abs[s : s + int(tf[j])].tolist())
-        if ok:
-            freqs[ci] = fn(plists, slop)
+            plists.append(sl)
+        if not ok:
+            continue
+        if exclude_terms:
+            excl: list[int] = []
+            for t in excl_data:
+                sl = _doc_slice(excl_data[t], c)
+                if sl:
+                    excl.extend(sl)
+            freqs[ci] = span_not_freq(plists, slop, sorted(excl))
+        elif ordered:
+            freqs[ci] = span_ordered_freq(plists, slop)
+        else:
+            freqs[ci] = span_unordered_freq(plists, slop)
     return freqs
 
 
@@ -723,8 +782,12 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span:
-        # SpanWeight.buildSimWeight: term->context MAP, so DISTINCT terms
-        idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span))))
+        # SpanWeight.buildSimWeight: term->context MAP, so DISTINCT terms;
+        # SpanNotQuery's map includes BOTH include and exclude contexts
+        # (SpanNotQuery.java:96-100 getTermContexts(include, exclude))
+        idf_sum = np.float32(
+            sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span) | set(spec.span_not)))
+        )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span_first is not None:
         pos_wv = np.float32(idf_f32(dfs[span_first[0]], doc_count) * (K1 + np.float32(1.0)))
@@ -837,7 +900,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 pf = _multi_phrase_freqs(per_term, multi_phrase, cand)
             elif span:
                 pf = _span_near_freqs(
-                    per_term, span, spec.span_slop, spec.span_ordered, cand
+                    per_term, span, spec.span_slop, spec.span_ordered, cand,
+                    exclude_terms=spec.span_not,
                 )
             else:
                 pf = _span_first_freqs(per_term, span_first, cand)

@@ -186,14 +186,23 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 pf_map[d] = len(match)
         cand = set(pf_map)
     elif span:
-        from .spans import span_ordered_freq, span_unordered_freq
+        from .spans import span_not_freq, span_ordered_freq, span_unordered_freq
 
-        fn = span_ordered_freq if getattr(spec, "span_ordered", True) else span_unordered_freq
+        span_not = tuple(getattr(spec, "span_not", ()) or ())
         slop = getattr(spec, "span_slop", 0)
+        ordered = getattr(spec, "span_ordered", True)
         pf_map = {}
         for d in sorted(cand):
             plists = [idx.positions[t].get(d, []) for t in span]
-            f = fn(plists, slop)
+            if span_not:
+                excl = sorted(
+                    p for t in set(span_not) for p in idx.positions.get(t, {}).get(d, [])
+                )
+                f = span_not_freq(plists, slop, excl)
+            elif ordered:
+                f = span_ordered_freq(plists, slop)
+            else:
+                f = span_unordered_freq(plists, slop)
             if f > 0:
                 pf_map[d] = f
         cand = set(pf_map)
@@ -234,8 +243,13 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 )
             )
         elif span:
+            # SpanNot's context map includes the exclude terms too
+            sn = set(getattr(spec, "span_not", ()) or ())
             idf_sum = np.float32(
-                sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in sorted(set(span)))
+                sum(
+                    idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
+                    for t in sorted(set(span) | sn)
+                )
             )
         else:
             idf_sum = np.float32(idf_f32(len(idx.postings[span_first[0]]), idx.doc_count))

@@ -35,16 +35,18 @@ import heapq
 import numpy as np
 
 
-def span_ordered_freq(plists: list[list[int]], slop: int) -> np.float32:
-    """NearSpansOrdered freq for one doc over term clauses (in query
-    order; repeated terms simply reuse the same position list)."""
+def span_ordered_matches(plists: list[list[int]], slop: int):
+    """NearSpansOrdered matches for one doc over term clauses (in query
+    order; repeated terms simply reuse the same position list):
+    yields (start, end, width) per emitted span."""
     n = len(plists)
     if any(len(p) == 0 for p in plists):
-        return np.float32(0.0)
+        return
     if n == 1:
-        return np.float32(len(plists[0]))
+        for p in plists[0]:
+            yield (p, p + 1, 0)
+        return
     cursors = [0] * n
-    freq = np.float32(0.0)
     for p0 in plists[0]:
         prev_end = p0 + 1
         width = 0
@@ -61,9 +63,35 @@ def span_ordered_freq(plists: list[list[int]], slop: int) -> np.float32:
             width += pl[c] - prev_end
             prev_end = pl[c] + 1
         if dead:
-            break  # oneExhaustedInCurrentDoc: no later p0 can complete
+            return  # oneExhaustedInCurrentDoc: no later p0 can complete
         if width <= slop:
-            freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+            yield (p0, prev_end, width)
+
+
+def span_ordered_freq(plists: list[list[int]], slop: int) -> np.float32:
+    """NearSpansOrdered freq: Σ 1/(width+1) over emitted spans."""
+    freq = np.float32(0.0)
+    for _s, _e, width in span_ordered_matches(plists, slop):
+        freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+    return freq
+
+
+def span_not_freq(
+    plists: list[list[int]], slop: int, exclude: list[int]
+) -> np.float32:
+    """SpanNotQuery (spans/SpanNotQuery.java, pre=post=0) over an ordered
+    SpanNear include and a term exclude: accept include spans whose
+    [start, end) does not contain an exclude occurrence; freq over the
+    accepted spans only (FilterSpans drops rejected spans before the
+    scorer sees them)."""
+    import bisect
+
+    freq = np.float32(0.0)
+    for s, e, width in span_ordered_matches(plists, slop):
+        j = bisect.bisect_left(exclude, s)
+        if j < len(exclude) and exclude[j] < e:
+            continue  # an exclude occurrence overlaps the span
+        freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
     return freq
 
 

@@ -116,6 +116,19 @@ def test_span_first():
     assert span_first_freq([], 4) == f(0.0)
 
 
+def test_span_not():
+    from lucene_solr_spark.search.spans import span_not_freq
+
+    # include "a b"~1: doc "a b ... a x b": second span [3,6) blocked by x@4
+    a, b = [0, 3], [1, 5]
+    assert span_not_freq([a, b], 1, []) == f(1.0 + 1.0 / 2.0)
+    assert span_not_freq([a, b], 1, [4]) == f(1.0)
+    # exclude outside every span changes nothing
+    assert span_not_freq([a, b], 1, [9]) == f(1.0 + 1.0 / 2.0)
+    # exclude ON the span start blocks it
+    assert span_not_freq([a, b], 1, [0]) == f(1.0 / 2.0)
+
+
 # ---------------------------------------------------------------- end-to-end
 
 from lucene_solr_spark.corpus import make_corpus  # noqa: E402
@@ -146,6 +159,10 @@ SPAN_SPECS = [
     BooleanSpec(span=("parse", "merge", "token"), span_slop=6, span_ordered=True),
     BooleanSpec(span=("merge", "token", "parse"), span_slop=6, span_ordered=False),
     BooleanSpec(span_first=("parse", 8)),
+    BooleanSpec(span=("parse", "index"), span_slop=4, span_ordered=True,
+                span_not=("merge",)),
+    BooleanSpec(span=("parse", "index"), span_slop=4, span_ordered=True,
+                span_not=("zzz_missing",)),
     BooleanSpec(multi_phrase=((0, ("parse", "merge")), (1, ("index", "token")))),
     BooleanSpec(multi_phrase=((0, ("parse",)), (1, ("index", "zzz_missing")))),
 ]
