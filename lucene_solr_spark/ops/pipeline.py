@@ -1014,6 +1014,9 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 
 # -------------------------------------------------------------- multimodal
 
+MM_TARGET_W = 224  # resize target (edge cap, aspect preserved)
+MM_FRAME_STRIDE = 4  # sample every 4th frame
+
 MM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -1021,16 +1024,22 @@ MM_SCHEMA = T.StructType(
         T.StructField("header_byte", T.IntegerType(), False),
         T.StructField("est_frames", T.LongType(), False),
         T.StructField("width", T.IntegerType(), False),
+        # resize stage: cap the long edge at MM_TARGET_W (aspect kept)
+        T.StructField("resized_w", T.IntegerType(), False),
+        # frame-sample stage: every MM_FRAME_STRIDE-th frame
+        T.StructField("sampled_frames", T.LongType(), False),
     ]
 )
 
 
-def _decode_media_batch(payloads: list[bytes]) -> list[tuple[int, int, int, int]]:
-    """Deterministic fake decoder. A real deployment swaps this for
-    PIL/av/librosa over the same binary column; those libs are absent in
-    this container, so the decode is a documented deterministic stand-in
-    (the Spark-side plumbing — binary column, Arrow batches, schema — is
-    the real thing)."""
+def _decode_media_batch(payloads: list[bytes]) -> list[tuple]:
+    """Deterministic fake decoder + feature pipeline. A real deployment
+    swaps this for PIL/av/librosa over the same binary column; those
+    libs are absent in this container, so decode/resize/frame-sample are
+    documented deterministic stand-ins (the Spark-side plumbing —
+    binary column, Arrow batches, schema, partitioning — is the real
+    thing): width from the payload, resized width = min(width, target),
+    sampled frames = ceil(est_frames / stride)."""
     try:  # pragma: no cover - real decoder path, lib not installed here
         import PIL.Image  # noqa: F401
 
@@ -1040,7 +1049,18 @@ def _decode_media_batch(payloads: list[bytes]) -> list[tuple[int, int, int, int]
     out = []
     for p in payloads:
         n = len(p)
-        out.append((n, p[0] if n else 0, n // 256 + 1, 1 + (n % 640)))
+        est_frames = n // 256 + 1
+        width = 1 + (n % 640)
+        out.append(
+            (
+                n,
+                p[0] if n else 0,
+                est_frames,
+                width,
+                min(width, MM_TARGET_W),
+                (est_frames + MM_FRAME_STRIDE - 1) // MM_FRAME_STRIDE,
+            )
+        )
     return out
 
 
@@ -1054,25 +1074,31 @@ def _mm_map(iterator):
                 "header_byte": pd.Series([d[1] for d in decoded], dtype="int32"),
                 "est_frames": [d[2] for d in decoded],
                 "width": pd.Series([d[3] for d in decoded], dtype="int32"),
+                "resized_w": pd.Series([d[4] for d in decoded], dtype="int32"),
+                "sampled_frames": [d[5] for d in decoded],
             }
         )
 
 
 def multimodal_decode(spark, sf):
-    """Multimodal plumbing: treat content as an opaque binary payload column
-    and run a decode/feature-extract stage as Arrow-batched mapInPandas.
-    Partitioning, schema, and batch shape are production-real; the decode
-    itself is a deterministic stub (see _decode_media_batch)."""
+    """Multimodal plumbing: treat content as an opaque binary payload
+    column and run decode -> feature-extract -> resize -> frame-sample
+    as ONE Arrow-batched mapInPandas stage (the brief's image/audio/
+    video pipeline shape). Partitioning, schema, and batch shape are
+    production-real; the decoders are deterministic stubs (see
+    _decode_media_batch)."""
     d = _docs(spark, sf).select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return d.mapInPandas(_mm_map, schema=MM_SCHEMA).orderBy("doc_id")
 
 
-MULTIMODAL_SQL = """
+MULTIMODAL_SQL = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS header_byte,
        CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS est_frames,
-       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width
+       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST(least(1 + octet_length(encode(text)) % 640, {MM_TARGET_W}) AS INTEGER) AS resized_w,
+       CAST((octet_length(encode(text)) // 256 + 1 + {MM_FRAME_STRIDE - 1}) // {MM_FRAME_STRIDE} AS BIGINT) AS sampled_frames
 FROM documents ORDER BY doc_id
 """
 
