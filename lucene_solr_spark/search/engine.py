@@ -154,6 +154,8 @@ class IndexSearcher:
         self._term_stats = spark.read.schema(
             "term string, df long, ttf long, bucket int"
         ).parquet(self.paths.term_stats)
+        # per-snapshot term-stats cache (df is immutable for this reader)
+        self._tw_cache: dict[str, dict] = {}
 
     # ---------------- Weight stage ----------------
 
@@ -166,22 +168,28 @@ class IndexSearcher:
 
     def term_weights(self, terms: list[str]) -> dict[str, dict]:
         """Global-exact per-term stats + float32 weightValue (idf*boost*(k1+1)).
-        The stats scan is pruned to the terms' bucket partitions."""
+        The stats scan is pruned to the terms' bucket partitions, and
+        results are cached per searcher (the LRUQueryCache/TermContext
+        reuse analog: an index snapshot's df never changes, so repeated
+        or overlapping queries skip the Spark job entirely)."""
         uniq = sorted(set(terms))
-        rows = (
-            self._term_stats.filter(
-                F.col("bucket").isin(self._buckets_of(uniq)) & F.col("term").isin(uniq)
+        missing = [t for t in uniq if t not in self._tw_cache]
+        if missing:
+            rows = (
+                self._term_stats.filter(
+                    F.col("bucket").isin(self._buckets_of(missing))
+                    & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
             )
-            .select("term", "df")
-            .collect()
-        )
-        stats = {r["term"]: int(r["df"]) for r in rows}
-        out = {}
-        for t in uniq:
-            df_ = stats.get(t, 0)
-            tw = make_term_weight(t, df_, self.doc_count, self.avgdl)
-            out[t] = {"df": df_, "weight_value": float(tw.weight_value)}
-        return out
+            stats = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                df_ = stats.get(t, 0)
+                tw = make_term_weight(t, df_, self.doc_count, self.avgdl)
+                self._tw_cache[t] = {"df": df_, "weight_value": float(tw.weight_value)}
+        # copies: callers (boosts) mutate their view
+        return {t: dict(self._tw_cache[t]) for t in uniq}
 
     # ---------------- pruned posting scan ----------------
 

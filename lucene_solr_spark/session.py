@@ -20,6 +20,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE skew-join split: stopword-scale join keys get split at
+        # runtime on a real cluster (build-side skew is already handled
+        # structurally by the doc-range salt)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 128 MB scan splits: at 100 TB this yields ~800k input tasks —
+        # >= 4 waves on a 1000-executor/8-core cluster, bounding
+        # straggler cost; spills stay bounded per task
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
