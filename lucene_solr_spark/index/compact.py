@@ -41,7 +41,15 @@ def recover_postings(paths: IndexPaths) -> bool:
     return recovered
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> dict:
+    """tiered=True (TieredMergePolicy selection): only FRAGMENTED
+    (term, range) groups — more than one under-filled block, i.e. blocks
+    from multiple appended generations — are re-merged; maximally-packed
+    groups pass through byte-identical without decode/re-encode. A
+    second compaction right after a first is therefore a near-no-op, and
+    steady-state cost tracks the increment volume, not the index size
+    (TieredMergePolicy.java:75-86 merges only the under-sized tier).
+    tiered=False re-merges everything (the r1 behavior)."""
     paths = IndexPaths(index_dir)
     recover_postings(paths)
     with open(paths.manifest("postings")) as f:
@@ -54,8 +62,26 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     blocks = spark.read.schema(postings_schema).parquet(paths.postings)
     n_before = blocks.count()
 
+    if tiered:
+        from .builder import BLOCK_SIZE
+
+        frag_keys = (
+            blocks.groupBy("term", "range_id")
+            .agg(
+                F.sum((F.col("n_docs") < BLOCK_SIZE).cast("int")).alias("n_partial")
+            )
+            .filter(F.col("n_partial") > 1)
+            .select("term", "range_id")
+        )
+        to_merge = blocks.join(frag_keys, ["term", "range_id"], "left_semi")
+        packed = blocks.join(frag_keys, ["term", "range_id"], "left_anti")
+        n_rewritten = to_merge.count()
+    else:
+        to_merge, packed = blocks, None
+        n_rewritten = n_before
+
     # a block row has the exact shape the merge expects of a fragment
-    frag_like = blocks.select(
+    frag_like = to_merge.select(
         "term", "range_id", "first_doc", "last_doc", "n_docs", "sum_tf",
         "max_tf", "max_norm", "docs_buf", "tfs_buf", "norms_buf", "pos_buf",
     )
@@ -63,6 +89,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     merged = frag_like.repartition(n_shuffle, "term", "range_id").mapInPandas(
         _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA
     )
+    if packed is not None:
+        merged = merged.unionByName(packed.drop("bucket"))
     tmp_out = paths.postings + "__compact"
     (
         merged.withColumn(
@@ -91,4 +119,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     pm.update({"compacted_at": int(time.time() * 1000), "fingerprint": pm.get("fingerprint", "")})
     _write_manifest(paths, "postings", {k: v for k, v in pm.items() if k not in ("stage", "schema", "generation")})
-    return {"blocks_before": n_before, "blocks_after": n_after}
+    return {
+        "blocks_before": n_before,
+        "blocks_after": n_after,
+        "blocks_rewritten": n_rewritten,
+    }

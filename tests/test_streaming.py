@@ -233,6 +233,13 @@ def test_compaction_preserves_results(spark, tmp_root, corpus):
     assert _topk_all(s2) == before
     assert s2.doc_count == N_DOCS
     verify_index(spark, d)
+    # tiered selection: an immediate re-compaction finds no fragmented
+    # groups and rewrites nothing (TieredMergePolicy steady state)
+    out2 = compact_index(spark, d)
+    assert out2["blocks_rewritten"] == 0
+    assert out2["blocks_after"] == out["blocks_after"]
+    s3 = IndexSearcher(spark, d)
+    assert _topk_all(s3) == before
 
 
 def test_index_stream_foreachbatch(spark, tmp_root, corpus):
