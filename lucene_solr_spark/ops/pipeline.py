@@ -301,6 +301,102 @@ ORDER BY a_id, b_id
 """
 
 
+def dedup_minhash_clusters(spark, sf):
+    """Cluster collapse over the MinHash near-dup PAIRS: connected
+    components via iterative min-label propagation (each iteration one
+    join + min-agg; label space halves superlinearly, converging in
+    O(log diameter) rounds — the driver only checks a changed-count per
+    round). keeper = min doc_id of the component; one row per clustered
+    doc. This is the step a real dedup pipeline runs after pair
+    generation: drop every member except the keeper."""
+    pairs = dedup_minhash_lsh(spark, sf).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    while True:
+        prop = (
+            edges.join(labels, edges.a_id == labels.node)
+            .groupBy(F.col("b_id").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper_id"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_sql_cte().strip()},
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sz sa ON sa.doc_id = a_id
+  JOIN sz sb ON sb.doc_id = b_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT node AS doc_id, min(r) AS keeper_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def dedup_exact_family(spark, sf):
+    """Exact-dedup family + cluster collapse as one tagged union (gate
+    consolidation like ops.relational.facets_combined): byte-exact
+    keepers, order-insensitive bag-of-words keepers, and MinHash
+    near-dup cluster keepers, all as (variant, doc_id, keeper_id)."""
+    d1 = dedup_exact(spark, sf).select(
+        F.lit("exact").alias("variant"), "doc_id", "keeper_id"
+    )
+    d2 = dedup_bag_of_words(spark, sf).select(
+        F.lit("bag").alias("variant"), "doc_id", "keeper_id"
+    )
+    d3 = dedup_minhash_clusters(spark, sf).select(
+        F.lit("cluster").alias("variant"), "doc_id", "keeper_id"
+    )
+    return d1.unionByName(d2).unionByName(d3).orderBy("variant", "doc_id")
+
+
+DEDUP_EXACT_FAMILY_SQL = f"""
+SELECT * FROM (
+  SELECT 'exact' AS variant, doc_id, keeper_id FROM ({DEDUP_EXACT_SQL})
+  UNION ALL
+  SELECT 'bag' AS variant, doc_id, keeper_id FROM ({DEDUP_BAG_SQL})
+  UNION ALL
+  SELECT 'cluster' AS variant, doc_id, keeper_id FROM ({DEDUP_CLUSTERS_SQL})
+) ORDER BY variant, doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf):
     """Exact shingle-Jaccard pairs via shared-shingle join — the ground
     truth for dedup_minhash_lsh. Pair generation is blocked on sharing at
@@ -1279,9 +1375,10 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+# `dedup_exact_family` unions exact/bag-of-words/minhash-cluster keepers
+# (gate consolidation; individual fns remain public API)
 OPS: dict[str, tuple] = {
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_bag_of_words": (dedup_bag_of_words, DEDUP_BAG_SQL),
+    "dedup_exact_family": (dedup_exact_family, DEDUP_EXACT_FAMILY_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

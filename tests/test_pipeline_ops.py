@@ -17,7 +17,7 @@ from lucene_solr_spark.ops.pipeline import OPS
 SF_DIR = "/root/testdata/sf0.001"
 
 SUBSET = [
-    "dedup_exact",
+    "dedup_exact_family",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
