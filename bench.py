@@ -95,6 +95,22 @@ def main() -> None:
         searcher.topk(q, k=10, mode=mode).collect()
         queries[name] = round(time.time() - t, 4)
 
+    # positional / derived operators added in r2
+    t = time.time()
+    searcher.topk_phrase("fast sort", k=10, slop=3).collect()
+    queries["q_sloppy_phrase"] = round(time.time() - t, 4)
+    t = time.time()
+    searcher.topk_span_near(["fast", "merge"], slop=2, in_order=True, k=10).collect()
+    queries["q_span_near"] = round(time.time() - t, 4)
+    t = time.time()
+    searcher.topk_regexp("^(?:mer[a-z]*)$", max_terms=16, k=10).collect()
+    queries["q_regexp"] = round(time.time() - t, 4)
+    t = time.time()
+    from lucene_solr_spark.search.queryparser import parse_and_search
+
+    parse_and_search(searcher, '+merge fast -dup "fast sort"~2', k=10).collect()
+    queries["q_parser"] = round(time.time() - t, 4)
+
     # ---- relational / pipeline headliners ----
     from lucene_solr_spark.ops.relational import OPS as REL_OPS
     from lucene_solr_spark.ops.pipeline import OPS as PIPE_OPS
