@@ -135,6 +135,11 @@ def test_increment_crash_resume(spark, tmp_root, corpus):
     s_full = IndexSearcher(spark, full_dir)
     assert s.sum_ttf == s_full.sum_ttf
     assert _topk_all(s) == _topk_all(s_full)
+    # full CheckIndex: the resumed commit left no stats drift, duplicate
+    # postings, or broken blocks
+    from lucene_solr_spark.index.check import verify_index
+
+    verify_index(spark, d)
 
 
 def test_incremental_stats_reads_only_increment(spark, tmp_root, corpus):
