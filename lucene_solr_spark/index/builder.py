@@ -119,6 +119,14 @@ class IndexPaths:
         return os.path.join(self.root, "corpus_stats")
 
     @property
+    def deletes(self) -> str:
+        """Tombstone table (doc_id long) — the liveDocs analog: deleted
+        docs are masked at query time with STALE corpus/term stats
+        (exactly Lucene's semantics: deletes don't touch df until a
+        merge reclaims them; compact_index purges tombstones)."""
+        return os.path.join(self.root, "deletes")
+
+    @property
     def manifest_dir(self) -> str:
         return os.path.join(self.root, "_manifest")
 
@@ -356,7 +364,7 @@ def _make_fragments_fn(content_col: str, range_size: int):
     return fragments
 
 
-def _merge_fragments_stream_fn():
+def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
     """SegmentMerger analog, fully vectorized per shuffle partition.
 
     The fragment shuffle is hash-partitioned on (term, range_id); one
@@ -365,7 +373,11 @@ def _merge_fragments_stream_fn():
     singleton groups). Fragments are individually doc-sorted; interleaved
     doc spans across segments are k-way merged by one vectorized lexsort
     within groups — the whole merge is bounds arithmetic + reduceat + one
-    batched vbyte encode per stream."""
+    batched vbyte encode per stream.
+
+    drop_docs (sorted doc ids): postings of these docs are PURGED during
+    the merge — the merge-reclaims-deletes path (compact_index with
+    tombstones); None keeps the normal path untouched."""
     from .codec import vbyte_decode_batch, vbyte_encode_batch
 
     def merge(iterator):
@@ -440,6 +452,40 @@ def _merge_fragments_stream_fn():
                     f"duplicate doc id in postings merge (doc {D[i]} -> {D[i+1]})"
                 )
 
+        grp_terms = terms[grp_frag_starts]
+        grp_rids = rids[grp_frag_starts]
+
+        if drop_docs is not None and drop_docs.size and total:
+            # purge tombstoned docs: mask postings, gather their position
+            # runs out, and drop groups that became empty
+            j = np.minimum(np.searchsorted(drop_docs, D), drop_docs.size - 1)
+            keep = drop_docs[j] != D
+            if not keep.all():
+                grp_sizes0 = grp_val_ends - grp_val_starts
+                grp_of_val = np.repeat(np.arange(grp_val_starts.size), grp_sizes0)
+                sel = np.flatnonzero(keep)
+                run_starts = np.concatenate(([0], np.cumsum(TF)))[:-1]
+                new_lens = TF[sel]
+                cum_new = np.concatenate(([0], np.cumsum(new_lens)))
+                pos_idx = (
+                    np.repeat(run_starts[sel], new_lens)
+                    + np.arange(int(cum_new[-1]))
+                    - np.repeat(cum_new[:-1], new_lens)
+                )
+                D, TF, NB, POS = D[sel], new_lens, NB[sel], POS[pos_idx]
+                sizes = np.bincount(
+                    grp_of_val[sel], minlength=grp_val_starts.size
+                )
+                keep_grp = sizes > 0
+                grp_terms = grp_terms[keep_grp]
+                grp_rids = grp_rids[keep_grp]
+                sizes_k = sizes[keep_grp]
+                grp_val_ends = np.cumsum(sizes_k)
+                grp_val_starts = grp_val_ends - sizes_k
+                total = int(D.size)
+                if total == 0:
+                    return
+
         # blocks: tile each group in BLOCK_SIZE chunks
         blk_starts_list = [
             np.arange(s, e, BLOCK_SIZE, dtype=np.int64)
@@ -473,8 +519,8 @@ def _merge_fragments_stream_fn():
 
         yield pd.DataFrame(
             {
-                "term": np.repeat(terms[grp_frag_starts], blocks_per_grp),
-                "range_id": np.repeat(rids[grp_frag_starts], blocks_per_grp),
+                "term": np.repeat(grp_terms, blocks_per_grp),
+                "range_id": np.repeat(grp_rids, blocks_per_grp),
                 "block_no": blk_no,
                 "first_doc": D[blk_starts],
                 "last_doc": D[blk_ends - 1],

@@ -33,7 +33,7 @@ def recover_postings(paths: IndexPaths) -> bool:
     new one in, restore the old generation. Returns True if any recovery
     was performed."""
     recovered = False
-    for live in (paths.postings, paths.term_stats, paths.corpus_stats):
+    for live in (paths.postings, paths.term_stats, paths.corpus_stats, paths.docs):
         old = live + "__old"
         if not os.path.exists(live) and os.path.exists(old):
             os.replace(old, live)
@@ -41,7 +41,10 @@ def recover_postings(paths: IndexPaths) -> bool:
     return recovered
 
 
-def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> dict:
+def compact_index(
+    spark: SparkSession, index_dir: str, tiered: bool = True,
+    purge_deletes: bool = True,
+) -> dict:
     """tiered=True (TieredMergePolicy selection): only FRAGMENTED
     (term, range) groups — more than one under-filled block, i.e. blocks
     from multiple appended generations — are re-merged; maximally-packed
@@ -49,7 +52,17 @@ def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> d
     second compaction right after a first is therefore a near-no-op, and
     steady-state cost tracks the increment volume, not the index size
     (TieredMergePolicy.java:75-86 merges only the under-sized tier).
-    tiered=False re-merges everything (the r1 behavior)."""
+    tiered=False re-merges everything (the r1 behavior).
+
+    purge_deletes=True reclaims tombstones (index/deletes.py): groups
+    containing a deleted doc join the re-merge set with the tombstones
+    dropped inside the merge, the docs table is filtered, stats are
+    recomputed (df/ttf finally shrink — the Lucene merge-reclaims-
+    deletes semantics), and the tombstone table is cleared."""
+    import numpy as np
+
+    from .deletes import load_deleted
+
     paths = IndexPaths(index_dir)
     recover_postings(paths)
     with open(paths.manifest("postings")) as f:
@@ -62,6 +75,8 @@ def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> d
     blocks = spark.read.schema(postings_schema).parquet(paths.postings)
     n_before = blocks.count()
 
+    deleted = load_deleted(spark, paths) if purge_deletes else np.array([], dtype=np.int64)
+
     if tiered:
         from .builder import BLOCK_SIZE
 
@@ -73,6 +88,18 @@ def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> d
             .filter(F.col("n_partial") > 1)
             .select("term", "range_id")
         )
+        if deleted.size:
+            del_df = spark.createDataFrame([(int(d),) for d in deleted], "doc_id long")
+            del_keys = (
+                blocks.join(
+                    F.broadcast(del_df),
+                    (F.col("doc_id") >= F.col("first_doc"))
+                    & (F.col("doc_id") <= F.col("last_doc")),
+                )
+                .select("term", "range_id")
+                .distinct()
+            )
+            frag_keys = frag_keys.unionByName(del_keys).distinct()
         to_merge = blocks.join(frag_keys, ["term", "range_id"], "left_semi")
         packed = blocks.join(frag_keys, ["term", "range_id"], "left_anti")
         n_rewritten = to_merge.count()
@@ -87,7 +114,8 @@ def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> d
     )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     merged = frag_like.repartition(n_shuffle, "term", "range_id").mapInPandas(
-        _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA
+        _merge_fragments_stream_fn(drop_docs=deleted if deleted.size else None),
+        schema=BLOCK_SCHEMA,
     )
     if packed is not None:
         merged = merged.unionByName(packed.drop("bucket"))
@@ -117,10 +145,27 @@ def compact_index(spark: SparkSession, index_dir: str, tiered: bool = True) -> d
     os.replace(tmp_out, paths.postings)
     shutil.rmtree(old)
 
+    n_purged = 0
+    if deleted.size:
+        # docs table drops the tombstoned rows; stats recomputed from the
+        # purged blocks (df/ttf shrink NOW — merge reclaimed the deletes)
+        from ..streaming.indexer import _swap_dir, _write_stats
+
+        del_df = spark.createDataFrame([(int(d),) for d in deleted], "doc_id long")
+        docs = spark.read.parquet(paths.docs)
+        docs.join(F.broadcast(del_df), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(paths.docs + "_next")
+        _swap_dir(paths.docs, paths.docs + "_next")
+        _write_stats(spark, paths)
+        shutil.rmtree(paths.deletes, ignore_errors=True)
+        n_purged = int(deleted.size)
+
     pm.update({"compacted_at": int(time.time() * 1000), "fingerprint": pm.get("fingerprint", "")})
     _write_manifest(paths, "postings", {k: v for k, v in pm.items() if k not in ("stage", "schema", "generation")})
     return {
         "blocks_before": n_before,
         "blocks_after": n_after,
         "blocks_rewritten": n_rewritten,
+        "docs_purged": n_purged,
     }

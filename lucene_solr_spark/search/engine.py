@@ -156,6 +156,11 @@ class IndexSearcher:
         ).parquet(self.paths.term_stats)
         # per-snapshot term-stats cache (df is immutable for this reader)
         self._tw_cache: dict[str, dict] = {}
+        # liveDocs: tombstoned docs are masked at scoring time with STALE
+        # stats (Lucene deletes semantics; compact purges them)
+        from ..index.deletes import load_deleted
+
+        self.deleted = load_deleted(spark, self.paths)
 
     # ---------------- Weight stage ----------------
 
@@ -319,7 +324,9 @@ class IndexSearcher:
             "term", "range_id", "first_doc", "last_doc",
             "docs_buf", "tfs_buf", "norms_buf",
         ]
-        score_fn = _make_range_scorer(spec, weights, float(self.avgdl), self.doc_count, k)
+        score_fn = _make_range_scorer(
+            spec, weights, float(self.avgdl), self.doc_count, k, deleted=self.deleted
+        )
         return (
             blocks.select(scan_cols)
             .groupBy("range_id")
@@ -334,6 +341,7 @@ class IndexSearcher:
         across the terms per doc, one similarity weight."""
         cache = norm_cache(np.float32(float(self.avgdl)))
         blocks = self._blocks_for(present)
+        deleted = self.deleted
 
         def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
             per_term = {
@@ -348,6 +356,10 @@ class IndexSearcher:
             for d, tf, nb, _ in per_term.values():
                 tf_acc[d - base] += tf
                 nb_acc[d - base] = nb
+            if deleted.size:  # liveDocs mask (stats stay stale)
+                lo = np.searchsorted(deleted, base)
+                hi = np.searchsorted(deleted, base + width)
+                tf_acc[deleted[lo:hi] - base] = 0
             idx = np.flatnonzero(tf_acc)
             freq = tf_acc[idx].astype(np.float32)
             sc = (wv * freq / (freq + cache[nb_acc[idx]])).astype(np.float32)
@@ -463,7 +475,8 @@ class IndexSearcher:
             "docs_buf", "tfs_buf", "norms_buf",
         ] + (["pos_buf"] if spec.positional_terms else [])
         score_fn = _make_range_scorer(
-            spec, weights, float(self.avgdl), self.doc_count, k, candidates=cand_arr
+            spec, weights, float(self.avgdl), self.doc_count, k,
+            candidates=cand_arr, deleted=self.deleted,
         )
 
         pure_or = (
@@ -752,9 +765,11 @@ def _span_first_freqs(per_term, span_first: tuple[str, int], cand: np.ndarray) -
 
 
 def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int,
-                       k: int, candidates: np.ndarray | None = None):
+                       k: int, candidates: np.ndarray | None = None,
+                       deleted: np.ndarray | None = None):
     """Per-(doc-range) scorer for applyInPandas. One group == one 'segment'.
-    candidates: sorted doc ids to restrict scoring to (rescore pushdown)."""
+    candidates: sorted doc ids to restrict scoring to (rescore pushdown).
+    deleted: sorted tombstoned doc ids masked out (liveDocs)."""
     should_terms = sorted({t for t in spec.should if weights[t]["df"] > 0})
     should_count = {t: spec.should.count(t) for t in should_terms}
     must_terms = sorted(set(spec.must))
@@ -936,6 +951,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             cmask = np.zeros(width, dtype=bool)
             cmask[candidates[lo:hi] - base] = True
             mask &= cmask
+        if deleted is not None and deleted.size:
+            lo = np.searchsorted(deleted, base)
+            hi = np.searchsorted(deleted, base + width)
+            mask[deleted[lo:hi] - base] = False
 
         idx = np.flatnonzero(mask)
         if idx.size == 0:
