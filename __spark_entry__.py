@@ -28,8 +28,10 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_rescore_sql,
     bm25_span_first_sql,
     bm25_span_near_sql,
+    bm25_span_containing_sql,
     bm25_span_not_sql,
     bm25_span_or_sql,
+    bm25_span_within_sql,
     bm25_synonym_sql,
     bm25_topk_sql,
 )
@@ -72,6 +74,11 @@ SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
 SPAN_OR_QUERIES = {"bm25_span_or": ["fast", "quick", "rapid"]}
 # name -> (include terms, exclude term, slop)
 SPAN_NOT_QUERIES = {"bm25_span_not": (["merge", "sort"], "dup", 3)}
+# name -> (big terms, little term, slop, mode)
+SPAN_CONTAIN_QUERIES = {
+    "bm25_span_containing": (["merge", "sort"], "fast", 4, "containing"),
+    "bm25_span_within": (["merge", "sort"], "fast", 4, "within"),
+}
 MULTI_PHRASE_QUERIES = {
     "bm25_multi_phrase": [["fast", "quick"], ["merge", "sort"]],
 }
@@ -164,6 +171,16 @@ def _span_not_query_fn(include: list, exclude: str, slop: int):
         return _ranked(
             _searcher(spark, sf_dir).topk_span_not(include, exclude, slop=slop, k=10)
         )
+
+    return run
+
+
+def _span_contain_query_fn(big: list, little: str, slop: int, mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _searcher(spark, sf_dir)
+        if mode == "containing":
+            return _ranked(s.topk_span_containing(big, little, slop=slop, k=10))
+        return _ranked(s.topk_span_within(big, little, slop=slop, k=10))
 
     return run
 
@@ -311,6 +328,11 @@ def _bm25_groups() -> dict[str, list]:
     for name, (inc, exc, slop) in SPAN_NOT_QUERIES.items():
         positional.append(
             (name, _span_not_query_fn(inc, exc, slop), bm25_span_not_sql(inc, exc, slop, k=10))
+        )
+    for name, (big, little, slop, mode) in SPAN_CONTAIN_QUERIES.items():
+        sql_fn = bm25_span_containing_sql if mode == "containing" else bm25_span_within_sql
+        positional.append(
+            (name, _span_contain_query_fn(big, little, slop, mode), sql_fn(big, little, slop, k=10))
         )
     for name, positions in MULTI_PHRASE_QUERIES.items():
         positional.append(

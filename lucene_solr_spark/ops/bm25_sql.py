@@ -462,13 +462,15 @@ def bm25_span_or_sql(terms: list[str], k: int = 10) -> str:
     return _positional_score_sql(pf_cte, idfw, k)
 
 
-def bm25_span_not_sql(include: list[str], exclude: str, slop: int, k: int = 10) -> str:
-    """SpanNotQuery oracle (spans/SpanNotQuery.java, pre=post=0): ordered
-    SpanNear include spans minus those whose [start, end) contains an
-    exclude occurrence; weight sums idfs of include AND exclude terms
-    (getTermContexts(includeWeight, excludeWeight))."""
+def _span_filtered_sql(include: list[str], other: str, slop: int, mode: str, k: int) -> str:
+    """Shared oracle for SpanNot / SpanContaining / SpanWithin over an
+    ordered SpanNear include (the greedy chain) and a term `other`:
+      not        — big spans with NO other-occurrence inside, big widths
+      containing — big spans WITH an other-occurrence inside, big widths
+      within     — other-occurrences inside some big span, width 0 each
+    Weights sum idfs of BOTH sides (getTermContexts(big, little))."""
     n = len(include)
-    idfw = _idfw_from_data(list(include) + [exclude])
+    idfw = _idfw_from_data(list(include) + [other])
     occ = ",\n".join(
         f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
         for i, t in enumerate(include)
@@ -482,22 +484,50 @@ def bm25_span_not_sql(include: list[str], exclude: str, slop: int, k: int = 10) 
             f"  FROM m{i-1} m WHERE m.prev IS NOT NULL)"
         )
     chain_sql = ",\n".join(chain)
+    overlap = (
+        "SELECT 1 FROM occx x WHERE x.doc_id = m.doc_id "
+        "AND x.pos BETWEEN m.p0 AND m.prev"
+    )
+    if mode == "within":
+        pf = f"""pf AS (
+  SELECT x.doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM occx x WHERE EXISTS (
+    SELECT 1 FROM matches m WHERE m.doc_id = x.doc_id AND m.width <= {slop}
+    AND x.pos BETWEEN m.p0 AND m.prev)
+  GROUP BY x.doc_id
+)"""
+    else:
+        cond = "NOT EXISTS" if mode == "not" else "EXISTS"
+        pf = f"""pf AS (
+  SELECT m.doc_id,
+         CAST(sum(CASE WHEN m.width <= {slop} AND {cond} ({overlap})
+              THEN 1.0 / (m.width + 1) END) AS DOUBLE) AS pf
+  FROM matches m GROUP BY m.doc_id
+)"""
     pf_cte = f"""{occ},
-occx AS (SELECT doc_id, pos FROM tokpos WHERE term = '{exclude}'),
+occx AS (SELECT doc_id, pos FROM tokpos WHERE term = '{other}'),
 {chain_sql},
 matches AS (
   SELECT doc_id, p0, prev, prev - p0 - {n - 1} AS width
   FROM m{n - 1} WHERE prev IS NOT NULL
 ),
-pf AS (
-  SELECT m.doc_id,
-         CAST(sum(CASE WHEN m.width <= {slop} AND NOT EXISTS (
-                SELECT 1 FROM occx x
-                WHERE x.doc_id = m.doc_id AND x.pos BETWEEN m.p0 AND m.prev)
-              THEN 1.0 / (m.width + 1) END) AS DOUBLE) AS pf
-  FROM matches m GROUP BY m.doc_id
-)"""
+{pf}"""
     return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_span_not_sql(include: list[str], exclude: str, slop: int, k: int = 10) -> str:
+    """SpanNotQuery oracle (spans/SpanNotQuery.java, pre=post=0)."""
+    return _span_filtered_sql(include, exclude, slop, "not", k)
+
+
+def bm25_span_containing_sql(big: list[str], little: str, slop: int, k: int = 10) -> str:
+    """SpanContainingQuery oracle (spans/SpanContainingQuery.java)."""
+    return _span_filtered_sql(big, little, slop, "containing", k)
+
+
+def bm25_span_within_sql(big: list[str], little: str, slop: int, k: int = 10) -> str:
+    """SpanWithinQuery oracle (spans/SpanWithinQuery.java)."""
+    return _span_filtered_sql(big, little, slop, "within", k)
 
 
 def bm25_span_first_sql(term: str, end: int, k: int = 10) -> str:

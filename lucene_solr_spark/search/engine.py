@@ -91,6 +91,12 @@ class BooleanSpec:
     # SpanNotQuery excludes: drop ordered-near spans overlapping any of
     # these terms' occurrences (spans/SpanNotQuery.java, pre=post=0)
     span_not: tuple[str, ...] = ()
+    # SpanContainingQuery: keep only big (ordered-near) spans containing
+    # one of these terms' occurrences (spans/SpanContainingQuery.java)
+    span_contain: tuple[str, ...] = ()
+    # SpanWithinQuery: score these terms' occurrences lying WITHIN some
+    # big span (width 0 each; spans/SpanWithinQuery.java)
+    span_within: tuple[str, ...] = ()
     # SpanFirstQuery: (term, end) — occurrences with pos+1 <= end
     span_first: tuple[str, int] | None = None
     # BoostQuery per-term multiplicative boosts ((term, boost), ...):
@@ -99,7 +105,10 @@ class BooleanSpec:
 
     @property
     def positional_terms(self) -> tuple[str, ...]:
-        out = tuple(t for t, _ in self.phrase) + tuple(self.span) + tuple(self.span_not)
+        out = (
+            tuple(t for t, _ in self.phrase) + tuple(self.span)
+            + tuple(self.span_not) + tuple(self.span_contain) + tuple(self.span_within)
+        )
         for _off, alts in self.multi_phrase:
             out += tuple(alts)
         if self.span_first is not None:
@@ -304,6 +313,28 @@ class IndexSearcher:
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(BooleanSpec(should=tuple(sorted(terms))), k=k)
+
+    def topk_span_containing(
+        self, big: list[str], little: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """SpanContainingQuery (spans/SpanContainingQuery.java): big
+        ordered-near spans that contain an occurrence of `little`."""
+        inc = tuple(analyze(" ".join(big)))
+        lit = tuple(analyze(little))
+        return self.topk_spec(
+            BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_contain=lit), k=k
+        )
+
+    def topk_span_within(
+        self, big: list[str], little: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """SpanWithinQuery (spans/SpanWithinQuery.java): occurrences of
+        `little` lying within some big ordered-near span."""
+        inc = tuple(analyze(" ".join(big)))
+        lit = tuple(analyze(little))
+        return self.topk_spec(
+            BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_within=lit), k=k
+        )
 
     def topk_boosted(self, boosts: dict[str, float], k: int = 10) -> DataFrame:
         """BoostQuery (search/BoostQuery.java): per-clause multiplicative
@@ -703,15 +734,24 @@ def _multi_phrase_freqs(
 def _span_near_freqs(
     per_term, span: tuple[str, ...], slop: int, ordered: bool, cand: np.ndarray,
     exclude_terms: tuple[str, ...] = (),
+    contain_terms: tuple[str, ...] = (),
+    within_terms: tuple[str, ...] = (),
 ) -> np.ndarray:
-    """SpanNearQuery / SpanNotQuery freq per candidate doc via the
-    reference walks (search/spans.py); per-doc sequential like Lucene's
-    own spans. exclude_terms: SpanNot — drop spans overlapping those
-    terms' occurrences (ordered include only)."""
-    from .spans import span_not_freq, span_ordered_freq, span_unordered_freq
+    """SpanNear / SpanNot / SpanContaining / SpanWithin freq per candidate
+    doc via the reference walks (search/spans.py); per-doc sequential
+    like Lucene's own spans. exclude/contain/within terms filter or
+    re-anchor the ordered big spans."""
+    from .spans import (
+        span_containing_freq,
+        span_not_freq,
+        span_ordered_freq,
+        span_unordered_freq,
+        span_within_freq,
+    )
 
+    aux_terms = set(exclude_terms) | set(contain_terms) | set(within_terms)
     data = {t: _abs_positions(per_term, t) for t in set(span)}
-    excl_data = {t: _abs_positions(per_term, t) for t in set(exclude_terms) if t in per_term}
+    aux_data = {t: _abs_positions(per_term, t) for t in aux_terms if t in per_term}
 
     def _doc_slice(entry, c):
         d, tf, run_starts, pos_abs = entry
@@ -720,6 +760,15 @@ def _span_near_freqs(
             return None
         s = int(run_starts[j])
         return pos_abs[s : s + int(tf[j])].tolist()
+
+    def _aux_positions(terms, c):
+        out: list[int] = []
+        for t in terms:
+            if t in aux_data:
+                sl = _doc_slice(aux_data[t], c)
+                if sl:
+                    out.extend(sl)
+        return sorted(out)
 
     freqs = np.zeros(cand.size, dtype=np.float32)
     for ci, c in enumerate(cand):
@@ -734,12 +783,11 @@ def _span_near_freqs(
         if not ok:
             continue
         if exclude_terms:
-            excl: list[int] = []
-            for t in excl_data:
-                sl = _doc_slice(excl_data[t], c)
-                if sl:
-                    excl.extend(sl)
-            freqs[ci] = span_not_freq(plists, slop, sorted(excl))
+            freqs[ci] = span_not_freq(plists, slop, _aux_positions(exclude_terms, c))
+        elif contain_terms:
+            freqs[ci] = span_containing_freq(plists, slop, _aux_positions(contain_terms, c))
+        elif within_terms:
+            freqs[ci] = span_within_freq(plists, slop, _aux_positions(within_terms, c))
         elif ordered:
             freqs[ci] = span_ordered_freq(plists, slop)
         else:
@@ -806,10 +854,11 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span:
         # SpanWeight.buildSimWeight: term->context MAP, so DISTINCT terms;
-        # SpanNotQuery's map includes BOTH include and exclude contexts
-        # (SpanNotQuery.java:96-100 getTermContexts(include, exclude))
+        # SpanNot/Containing/Within maps include BOTH sides' contexts
+        # (getTermContexts(bigWeight, littleWeight))
+        aux = set(spec.span_not) | set(spec.span_contain) | set(spec.span_within)
         idf_sum = np.float32(
-            sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span) | set(spec.span_not)))
+            sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span) | aux))
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span_first is not None:
@@ -925,6 +974,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 pf = _span_near_freqs(
                     per_term, span, spec.span_slop, spec.span_ordered, cand,
                     exclude_terms=spec.span_not,
+                    contain_terms=spec.span_contain,
+                    within_terms=spec.span_within,
                 )
             else:
                 pf = _span_first_freqs(per_term, span_first, cand)

@@ -186,19 +186,34 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 pf_map[d] = len(match)
         cand = set(pf_map)
     elif span:
-        from .spans import span_not_freq, span_ordered_freq, span_unordered_freq
+        from .spans import (
+            span_containing_freq,
+            span_not_freq,
+            span_ordered_freq,
+            span_unordered_freq,
+            span_within_freq,
+        )
 
         span_not = tuple(getattr(spec, "span_not", ()) or ())
+        span_contain = tuple(getattr(spec, "span_contain", ()) or ())
+        span_within = tuple(getattr(spec, "span_within", ()) or ())
         slop = getattr(spec, "span_slop", 0)
         ordered = getattr(spec, "span_ordered", True)
+
+        def _aux(terms, d):
+            return sorted(
+                p for t in set(terms) for p in idx.positions.get(t, {}).get(d, [])
+            )
+
         pf_map = {}
         for d in sorted(cand):
             plists = [idx.positions[t].get(d, []) for t in span]
             if span_not:
-                excl = sorted(
-                    p for t in set(span_not) for p in idx.positions.get(t, {}).get(d, [])
-                )
-                f = span_not_freq(plists, slop, excl)
+                f = span_not_freq(plists, slop, _aux(span_not, d))
+            elif span_contain:
+                f = span_containing_freq(plists, slop, _aux(span_contain, d))
+            elif span_within:
+                f = span_within_freq(plists, slop, _aux(span_within, d))
             elif ordered:
                 f = span_ordered_freq(plists, slop)
             else:
@@ -243,8 +258,12 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 )
             )
         elif span:
-            # SpanNot's context map includes the exclude terms too
-            sn = set(getattr(spec, "span_not", ()) or ())
+            # SpanNot/Containing/Within maps include both sides' contexts
+            sn = (
+                set(getattr(spec, "span_not", ()) or ())
+                | set(getattr(spec, "span_contain", ()) or ())
+                | set(getattr(spec, "span_within", ()) or ())
+            )
             idf_sum = np.float32(
                 sum(
                     idf_f32(len(idx.postings.get(t, {})), idx.doc_count)

@@ -95,6 +95,40 @@ def span_not_freq(
     return freq
 
 
+def span_containing_freq(
+    plists: list[list[int]], slop: int, little: list[int]
+) -> np.float32:
+    """SpanContainingQuery (spans/SpanContainingQuery.java): BIG spans
+    (the ordered near over plists) that CONTAIN an occurrence of the
+    little term; each accepted big span scores with its own width
+    (ContainSpans emits the big side)."""
+    import bisect
+
+    freq = np.float32(0.0)
+    for s, e, width in span_ordered_matches(plists, slop):
+        j = bisect.bisect_left(little, s)
+        if j < len(little) and little[j] < e:
+            freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+    return freq
+
+
+def span_within_freq(
+    plists: list[list[int]], slop: int, little: list[int]
+) -> np.float32:
+    """SpanWithinQuery (spans/SpanWithinQuery.java): LITTLE term
+    occurrences that lie within some big (ordered near) span; each
+    accepted little span has width 0 (ContainSpans emits the little
+    side), so freq = count of contained occurrences."""
+    spans = list(span_ordered_matches(plists, slop))
+    if not spans:
+        return np.float32(0.0)
+    freq = np.float32(0.0)
+    for p in little:
+        if any(s <= p < e for s, e, _w in spans):
+            freq = np.float32(freq + np.float32(1.0))
+    return freq
+
+
 def span_unordered_freq(plists: list[list[int]], slop: int) -> np.float32:
     """NearSpansUnordered freq for one doc over term clauses (queue walk,
     any clause count). Term spans all have length 1, so

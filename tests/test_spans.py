@@ -129,6 +129,23 @@ def test_span_not():
     assert span_not_freq([a, b], 1, [0]) == f(1.0 / 2.0)
 
 
+def test_span_containing_and_within():
+    from lucene_solr_spark.search.spans import span_containing_freq, span_within_freq
+
+    # big spans of (a ... b)~2: [0,2) width 0 and [3,7) width 2
+    a, b = [0, 3], [1, 6]
+    # little at 4: inside the second span only -> containing keeps span 2
+    assert span_containing_freq([a, b], 2, [4]) == f(1.0 / 3.0)
+    # little at 1: inside the first span -> width 0 contribution
+    assert span_containing_freq([a, b], 2, [1]) == f(1.0)
+    assert span_containing_freq([a, b], 2, [9]) == f(0.0)
+    # within: each contained little occurrence scores 1.0 (width 0)
+    assert span_within_freq([a, b], 2, [4, 5]) == f(2.0)
+    assert span_within_freq([a, b], 2, [9]) == f(0.0)
+    # an occurrence inside two overlapping bigs still counts once
+    assert span_within_freq([a, b], 2, [1]) == f(1.0)
+
+
 # ---------------------------------------------------------------- end-to-end
 
 from lucene_solr_spark.corpus import make_corpus  # noqa: E402
@@ -163,6 +180,10 @@ SPAN_SPECS = [
                 span_not=("merge",)),
     BooleanSpec(span=("parse", "index"), span_slop=4, span_ordered=True,
                 span_not=("zzz_missing",)),
+    BooleanSpec(span=("parse", "index"), span_slop=5, span_ordered=True,
+                span_contain=("merge",)),
+    BooleanSpec(span=("parse", "index"), span_slop=5, span_ordered=True,
+                span_within=("merge",)),
     BooleanSpec(multi_phrase=((0, ("parse", "merge")), (1, ("index", "token")))),
     BooleanSpec(multi_phrase=((0, ("parse",)), (1, ("index", "zzz_missing")))),
 ]
