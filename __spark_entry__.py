@@ -30,6 +30,7 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_span_near_sql,
     bm25_span_containing_sql,
     bm25_span_not_sql,
+    bm25_span_position_range_sql,
     bm25_span_or_sql,
     bm25_span_within_sql,
     bm25_synonym_sql,
@@ -71,6 +72,7 @@ SPAN_QUERIES = {
     "bm25_span_unordered": (["sort", "merge"], 3, False),
 }
 SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
+SPAN_POSRANGE_QUERIES = {"bm25_span_posrange": ("merge", 3, 20)}  # (term, lo, hi)
 SPAN_OR_QUERIES = {"bm25_span_or": ["fast", "quick", "rapid"]}
 # name -> (include terms, exclude term, slop)
 SPAN_NOT_QUERIES = {"bm25_span_not": (["merge", "sort"], "dup", 3)}
@@ -323,6 +325,16 @@ def _bm25_groups() -> dict[str, list]:
         )
     for name, (term, end) in SPAN_FIRST_QUERIES.items():
         positional.append((name, _span_first_query_fn(term, end), bm25_span_first_sql(term, end, k=10)))
+    for name, (term, lo, hi) in SPAN_POSRANGE_QUERIES.items():
+        positional.append(
+            (
+                name,
+                lambda spark, sf_dir, t=term, l=lo, h=hi: _ranked(
+                    _searcher(spark, sf_dir).topk_span_position_range(t, l, h, k=10)
+                ),
+                bm25_span_position_range_sql(term, lo, hi, k=10),
+            )
+        )
     for name, terms in SPAN_OR_QUERIES.items():
         positional.append((name, _span_or_query_fn(terms), bm25_span_or_sql(terms, k=10)))
     for name, (inc, exc, slop) in SPAN_NOT_QUERIES.items():

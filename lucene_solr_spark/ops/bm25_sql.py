@@ -530,17 +530,24 @@ def bm25_span_within_sql(big: list[str], little: str, slop: int, k: int = 10) ->
     return _span_filtered_sql(big, little, slop, "within", k)
 
 
-def bm25_span_first_sql(term: str, end: int, k: int = 10) -> str:
-    """SpanFirstQuery oracle: freq = occurrences with end position <= end
-    (tokpos is 1-based, engine positions 0-based, so pos <= end); each
-    accepted span has width 0. Weight: the single term's idf."""
+def bm25_span_position_range_sql(term: str, lo: int, hi: int, k: int = 10) -> str:
+    """SpanPositionRangeQuery oracle: occurrences with lo <= start and
+    end <= hi; tokpos is 1-based vs the engine's 0-based positions, so
+    the bounds shift to pos >= lo+1 and pos <= hi. Width 0 each;
+    weight: the single term's idf."""
     idfw = _idfw_from_data([term])
     pf_cte = f"""pf AS (
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
-  FROM tokpos WHERE term = '{term}' AND pos <= {end}
+  FROM tokpos WHERE term = '{term}' AND pos >= {lo + 1} AND pos <= {hi}
   GROUP BY doc_id
 )"""
     return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_span_first_sql(term: str, end: int, k: int = 10) -> str:
+    """SpanFirstQuery oracle = SpanPositionRange with lo 0
+    (SpanFirstQuery.java:34)."""
+    return bm25_span_position_range_sql(term, 0, end, k=k)
 
 
 def bm25_multi_phrase_sql(positions: list[list[str]], k: int = 10) -> str:

@@ -99,6 +99,8 @@ class BooleanSpec:
     span_within: tuple[str, ...] = ()
     # SpanFirstQuery: (term, end) — occurrences with pos+1 <= end
     span_first: tuple[str, int] | None = None
+    # SpanPositionRangeQuery: (term, lo, hi) — lo <= pos and pos+1 <= hi
+    span_position_range: tuple[str, int, int] | None = None
     # BoostQuery per-term multiplicative boosts ((term, boost), ...):
     # weightValue = idf * boost * (k1+1) (search/BoostQuery.java)
     boosts: tuple[tuple[str, float], ...] = ()
@@ -113,6 +115,8 @@ class BooleanSpec:
             out += tuple(alts)
         if self.span_first is not None:
             out += (self.span_first[0],)
+        if self.span_position_range is not None:
+            out += (self.span_position_range[0],)
         return out
 
     @property
@@ -314,6 +318,18 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(BooleanSpec(should=tuple(sorted(terms))), k=k)
 
+    def topk_span_position_range(
+        self, term: str, lo: int, hi: int, k: int = 10
+    ) -> DataFrame:
+        """SpanPositionRangeQuery (spans/SpanPositionRangeQuery.java):
+        occurrences with lo <= start and end <= hi (SpanFirst = lo 0)."""
+        toks = analyze(term)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk_spec(
+            BooleanSpec(span_position_range=(toks[0], lo, hi)), k=k
+        )
+
     def topk_span_containing(
         self, big: list[str], little: str, slop: int = 0, k: int = 10
     ) -> DataFrame:
@@ -475,6 +491,8 @@ class IndexSearcher:
         required = set(spec.must) | {t for t, _ in spec.phrase} | set(spec.span)
         if spec.span_first is not None:
             required.add(spec.span_first[0])
+        if spec.span_position_range is not None:
+            required.add(spec.span_position_range[0])
         if any(weights[t]["df"] == 0 for t in required):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         # MultiPhraseQuery: each position needs at least one live alternative
@@ -795,14 +813,15 @@ def _span_near_freqs(
     return freqs
 
 
-def _span_first_freqs(per_term, span_first: tuple[str, int], cand: np.ndarray) -> np.ndarray:
-    """SpanFirstQuery freq: occurrences with pos+1 <= end, vectorized
-    (one reduceat over the term's position runs)."""
-    t, end = span_first
+def _span_posrange_freqs(per_term, span_posrange: tuple[str, int, int], cand: np.ndarray) -> np.ndarray:
+    """SpanPositionRangeQuery freq (SpanFirst = lo 0): occurrences with
+    lo <= pos and pos+1 <= hi, vectorized (one reduceat over the term's
+    position runs)."""
+    t, lo_b, hi_b = span_posrange
     d, _tf, run_starts, pos_abs = _abs_positions(per_term, t)
     if pos_abs.size == 0:
         return np.zeros(cand.size, dtype=np.float32)
-    hits = (pos_abs + 1 <= end).astype(np.int64)
+    hits = ((pos_abs >= lo_b) & (pos_abs + 1 <= hi_b)).astype(np.int64)
     per_doc = np.add.reduceat(hits, run_starts)
     freqs = np.zeros(cand.size, dtype=np.float32)
     j = np.searchsorted(d, cand)
@@ -828,14 +847,18 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     multi_phrase = spec.multi_phrase
     span = spec.span
     span_first = spec.span_first
-    positional = bool(phrase or multi_phrase or span or span_first)
+    # SpanFirst is SpanPositionRange(lo=0) (SpanFirstQuery.java:34)
+    span_posrange = spec.span_position_range or (
+        (span_first[0], 0, span_first[1]) if span_first is not None else None
+    )
+    positional = bool(phrase or multi_phrase or span or span_posrange)
     # positional terms that exist in the index (dead multi-phrase
     # alternatives are skipped at decode; dead required terms were
     # rejected in topk_spec)
     pos_terms = sorted({t for t in spec.positional_terms if weights[t]["df"] > 0})
     required = sorted(
         set(must_terms) | set(phrase_terms) | set(span)
-        | ({span_first[0]} if span_first is not None else set())
+        | ({span_posrange[0]} if span_posrange is not None else set())
     )
     msm = max(spec.min_should_match, 0 if (must_terms or positional) else 1)
     dfs = {t: weights[t]["df"] for t in weights}
@@ -861,8 +884,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span) | aux))
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
-    elif span_first is not None:
-        pos_wv = np.float32(idf_f32(dfs[span_first[0]], doc_count) * (K1 + np.float32(1.0)))
+    elif span_posrange is not None:
+        pos_wv = np.float32(
+            idf_f32(dfs[span_posrange[0]], doc_count) * (K1 + np.float32(1.0))
+        )
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         present = set(pdf["term"])
@@ -953,7 +978,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             elif span:
                 cand_sets = [set(per_term[t][0].tolist()) for t in sorted(set(span))]
             else:
-                cand_sets = [set(per_term[span_first[0]][0].tolist())]
+                cand_sets = [set(per_term[span_posrange[0]][0].tolist())]
             cand_set = set.intersection(*cand_sets) if cand_sets else set()
             cand_mask = np.zeros(width, dtype=bool)
             if cand_set:
@@ -978,7 +1003,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                     within_terms=spec.span_within,
                 )
             else:
-                pf = _span_first_freqs(per_term, span_first, cand)
+                pf = _span_posrange_freqs(per_term, span_posrange, cand)
             keep = pf > 0
             cand, pf = cand[keep], pf[keep]
             if cand.size == 0:

@@ -203,7 +203,14 @@ def span_unordered_freq_2(a: list[int], b: list[int], slop: int) -> np.float32:
     return freq
 
 
+def span_position_range_freq(plist: list[int], lo: int, hi: int) -> np.float32:
+    """SpanPositionRangeQuery over a term clause
+    (spans/SpanPositionRangeQuery.java): accept occurrences with
+    startPosition >= lo and endPosition (pos+1) <= hi; width 0 each."""
+    return np.float32(sum(1 for p in plist if p >= lo and p + 1 <= hi))
+
+
 def span_first_freq(plist: list[int], end: int) -> np.float32:
-    """SpanFirstQuery over a term clause: freq = count of occurrences
-    with endPosition (pos+1) <= end; each has width 0."""
-    return np.float32(sum(1 for p in plist if p + 1 <= end))
+    """SpanFirstQuery over a term clause: the lo=0 special case of
+    SpanPositionRangeQuery (SpanFirstQuery.java:34 super(match, 0, end))."""
+    return span_position_range_freq(plist, 0, end)
