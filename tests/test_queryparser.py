@@ -1,4 +1,5 @@
-"""Classic query parser: grammar unit tests (no JVM) + spec mapping."""
+"""Classic query parser: grammar unit tests (no JVM) + spec mapping +
+end-to-end expansion through the engine."""
 
 from lucene_solr_spark.search.queryparser import parse
 
@@ -55,3 +56,30 @@ def test_field_prefix_stripped():
 def test_analysis_applied():
     p = parse("The SPARK")  # stopword dropped, lowercased
     assert p.should == ["spark"]
+
+
+def test_parser_expansions_end_to_end(spark):
+    """String -> wildcard/fuzzy term-dict expansion -> engine must equal
+    the hand-built expansion (QueryParser rewrite fidelity)."""
+    from lucene_solr_spark.ops.index_access import searcher_for
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.queryparser import parse_and_search
+
+    s = searcher_for(spark, "/root/testdata/sf0.001")
+
+    got = [(r["doc_id"], r["score"]) for r in parse_and_search(s, "mer*", k=10).collect()]
+    manual_terms = tuple(sorted(set(s.expand_terms(like="mer%", max_terms=16))))
+    assert manual_terms  # the corpus has mer* terms
+    want = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_spec(BooleanSpec(should=manual_terms), k=10).collect()
+    ]
+    assert got == want
+
+    got_f = [(r["doc_id"], r["score"]) for r in parse_and_search(s, "spork~1", k=10).collect()]
+    fz = tuple(sorted(set(s.expand_terms(fuzzy="spork", max_edits=1, max_terms=16))))
+    want_f = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_spec(BooleanSpec(should=fz), k=10).collect()
+    ] if fz else []
+    assert got_f == want_f
