@@ -381,6 +381,11 @@ def oracle_sql() -> dict[str, str]:
     for group, parts in _bm25_groups().items():
         out[group] = _variant_union_sql(parts)
     for name, (_fn, sql) in {**RELATIONAL_OPS, **PIPELINE_OPS}.items():
+        if callable(sql):
+            # lazy oracle: SQL embeds data-dependent literals (e.g. the
+            # deterministic k-means centroids), resolved against the
+            # gate's sf dir (SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01)
+            sql = sql()
         if sql is not None:
             out[name] = sql
     return out

@@ -130,13 +130,15 @@ def main() -> None:
 
     # ---- ANN recall vs the exact baseline (the accuracy half of the
     # approximate ops; BENCH reports it next to their latency) ----
+    from lucene_solr_spark.ops.pipeline import ann_cosine_topk, ann_ivf_kmeans
+
     def _pairs(df):
         return {(int(r["query_id"]), int(r["neighbor_id"])) for r in df.collect()}
 
-    brute = _pairs(PIPE_OPS["ann_cosine_topk"][0](spark, sf_dir))
+    brute = _pairs(ann_cosine_topk(spark, sf_dir))
     ann_recall = {
-        name: round(len(_pairs(PIPE_OPS[name][0](spark, sf_dir)) & brute) / max(len(brute), 1), 4)
-        for name in ("ann_ivf_topk", "ann_ivf_multiprobe", "ann_ivf_kmeans")
+        name: round(len(_pairs(ann_ivf_kmeans(spark, sf_dir, nprobe=np_)) & brute) / max(len(brute), 1), 4)
+        for name, np_ in (("ann_ivf_nprobe1", 1), ("ann_ivf_nprobe4", 4))
     }
 
     total = round(sum(queries.values()), 4)

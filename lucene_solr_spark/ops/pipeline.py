@@ -4,7 +4,7 @@
 These extend the reference's surface with the operations a 100 TB
 pre-training corpus pipeline needs: deduplication (exact, bag-of-words,
 MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-cosine), approximate
-nearest-neighbor search (brute-force + sign-bucket IVF), text analysis
+nearest-neighbor search (brute-force + trained-centroid IVF), text analysis
 (language ID, quality scoring, token counting, fingerprinting), multimodal
 binary-column plumbing, graph BFS, and sessionization.
 
@@ -62,18 +62,17 @@ EMB_BANDS = 8
 EMB_BAND_BITS = 8
 ANN_K = 10
 ANN_N_QUERIES = 5
-# IVF: 10 sign bits -> 1024 cells; nprobe = 1 + 10 Hamming-1 probes.
-# At 100 TB the corpus table is STORED partitioned by this bucket, so a
-# probe is a partition-pruned scan (the query below filters the scan to
-# the probe buckets before the join for exactly that shape).
-# Honest recall note (measured on this corpus, BENCH ann_recall_at_10):
-# sign-bucket IVF is the SQL-EXACT gated variant, but on isotropic
-# embeddings its recall decays with cell count (0.22 / 0.08 / 0.02 at
-# 64 / 256 / 1024 cells) — hyperplanes through the origin don't follow
-# the data. The production recall path is ann_ivf_kmeans below: TRAINED
-# centroids (k ~ sqrt(n) cells at scale), measured 0.82 recall probing
-# ~12% of this corpus. It is iteratively fitted, hence rows-only gated.
-ANN_IVF_BITS = 10
+# IVF over TRAINED spherical-k-means centroids (the production recall
+# path; r2 measured sign-of-leading-dims cells at recall 0.00-0.02 on
+# isotropic data — hyperplanes through the origin don't follow the data,
+# so those variants were deleted, not demoted). k ~ sqrt(n) cells at
+# scale; nprobe is the recall/cost dial (nprobe=1 cells touch ~1/k of
+# the corpus, nprobe=4 ~4/k). At 100 TB the corpus table is STORED
+# partitioned by the centroid cell, so a probe is a partition-pruned
+# scan. The fit is DETERMINISTIC (bounded lowest-vec_id sample, first-k
+# init, fixed Lloyd iterations), which lets the DuckDB oracle embed the
+# fitted centroids as a VALUES literal table and replay assignment +
+# probing + scoring exactly (argmax cosine, ties to the lowest cell).
 ANN_KMEANS_K = 32
 ANN_KMEANS_NPROBE = 4
 ANN_KMEANS_ITERS = 10
@@ -618,28 +617,6 @@ def _cos_expr(a: str, b: str) -> str:
     )
 
 
-def _sql_sign_bucket(bits: int) -> str:
-    return (
-        "("
-        + " + ".join(
-            f"(CASE WHEN emb[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(bits)
-        )
-        + ")"
-    )
-
-
-def _with_sign_bucket(df: DataFrame, bits: int) -> DataFrame:
-    """Coarse IVF cell: sign bits of the first `bits` dims -> 2^bits
-    buckets. A deterministic, SQL-reproducible stand-in for trained IVF
-    centroids; at scale this is the STORAGE partition key that keeps ANN
-    probes partition-local (see ANN_IVF_BITS note)."""
-    bucket = None
-    for d in range(bits):
-        bit = F.when(F.element_at("demb", d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("int"))
-
-
 def dedup_embedding_cosine(spark, sf):
     """Embedding near-dup pairs via banded sign-LSH (see EMB_BANDS note):
     band-bucket self-join generates candidates, exact cosine >= threshold
@@ -681,15 +658,6 @@ def dedup_embedding_cosine(spark, sf):
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
-
-
-def _sql_emb(bits: int) -> str:
-    return f"""
-v AS (
-  SELECT vec_id, emb, {_sql_sign_bucket(bits)} AS bucket
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-)
-"""
 
 
 def _emb_bands_sql() -> str:
@@ -758,127 +726,13 @@ ORDER BY query_id, rank
 """
 
 
-def ann_ivf_topk(spark, sf):
-    """IVF-style ANN: probe only the query's sign-bucket cell (nprobe=1)
-    over 2^ANN_IVF_BITS = 1024 cells. The probe buckets are resolved
-    first (tiny driver action over the broadcast query side) and pushed
-    into the corpus scan as a partition filter — at 100 TB, with the
-    table stored partitioned by bucket, each query reads ~0.1% of the
-    corpus instead of scanning everything (r1's 256 cells = 0.4%/probe
-    was flagged as 400 GB/query)."""
-    e = _with_sign_bucket(_with_demb(_emb(spark, sf)), ANN_IVF_BITS)
-    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("demb").alias("qemb"),
-        F.col("bucket").alias("qbucket"),
-    )
-    probe_buckets = sorted({int(r["qbucket"]) for r in q.select("qbucket").collect()})
-    cos = F.expr(_cos_expr("qemb", "demb"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        e.filter(F.col("bucket").isin(probe_buckets))  # partition prune
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= ANN_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
-        .orderBy("query_id", "rank")
-    )
-
-
-ANN_IVF_SQL = f"""
-WITH {_sql_emb(ANN_IVF_BITS).strip()},
-q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < {ANN_N_QUERIES}),
-scored AS (
-  SELECT q.query_id, v.vec_id,
-         list_cosine_similarity(q.qemb, v.emb) AS cosine
-  FROM v JOIN q ON v.bucket = q.qbucket WHERE v.vec_id <> q.query_id
-)
-SELECT query_id,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
-       vec_id AS neighbor_id
-FROM scored
-QUALIFY rank <= {ANN_K}
-ORDER BY query_id, rank
-"""
-
-
-def ann_ivf_multiprobe(spark, sf):
-    """Multi-probe IVF: probe the query's sign-bucket plus the
-    ANN_IVF_BITS buckets at Hamming distance 1 (one flipped sign bit) —
-    the standard recall/cost dial: nprobe=11 of 1024 cells touches ~1%
-    of the corpus, recovering neighbors whose leading dims sit near a
-    sign boundary. Probe buckets are pushed into the corpus scan as a
-    partition filter like ann_ivf_topk."""
-    e = _with_sign_bucket(_with_demb(_emb(spark, sf)), ANN_IVF_BITS)
-    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("demb").alias("qemb"),
-        F.col("bucket").alias("qbucket"),
-    )
-    probe_buckets = sorted(
-        {
-            int(r["qbucket"]) ^ m
-            for r in q.select("qbucket").collect()
-            for m in [0] + [1 << b for b in range(ANN_IVF_BITS)]
-        }
-    )
-    probes = F.array(
-        F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(ANN_IVF_BITS)],
-    )
-    cos = F.expr(_cos_expr("qemb", "demb"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        e.filter(F.col("bucket").isin(probe_buckets))  # partition prune
-        .join(F.broadcast(q), F.array_contains(probes, F.col("bucket")))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= ANN_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
-        .orderBy("query_id", "rank")
-    )
-
-
-_SQL_PROBES = ", ".join(
-    ["q.qbucket"] + [f"xor(q.qbucket, {1 << b})" for b in range(ANN_IVF_BITS)]
-)
-
-ANN_MULTIPROBE_SQL = f"""
-WITH {_sql_emb(ANN_IVF_BITS).strip()},
-q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < {ANN_N_QUERIES}),
-scored AS (
-  SELECT q.query_id, v.vec_id,
-         list_cosine_similarity(q.qemb, v.emb) AS cosine
-  FROM v JOIN q ON v.bucket IN ({_SQL_PROBES})
-  WHERE v.vec_id <> q.query_id
-)
-SELECT query_id,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
-       vec_id AS neighbor_id
-FROM scored
-QUALIFY rank <= {ANN_K}
-ORDER BY query_id, rank
-"""
-
-
-def _fit_centroids(spark, sf) -> "np.ndarray":
-    """Deterministic spherical k-means fit on a bounded sample (the
-    ANN_KMEANS_SAMPLE lowest vec_ids — at 100 TB this is a tiny sampled
-    read, the centroids broadcast everywhere). Init = first k sample
-    vectors; ANN_KMEANS_ITERS Lloyd iterations; unit-normalized
-    centroids so assignment is argmax dot."""
-    rows = (
-        _emb(spark, sf)
-        .orderBy("vec_id")
-        .limit(ANN_KMEANS_SAMPLE)
-        .select("embedding")
-        .collect()
-    )
-    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+def _kmeans_fit(V: "np.ndarray") -> "np.ndarray":
+    """Deterministic spherical k-means on row vectors V (float64): unit-
+    normalize, init = first k rows, ANN_KMEANS_ITERS Lloyd iterations,
+    unit-normalized centroids so assignment is argmax dot (= argmax
+    cosine). Shared verbatim by the Spark fit and the DuckDB oracle fit
+    so both sides hold bit-identical centroids."""
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     C = V[:ANN_KMEANS_K].copy()
     for _ in range(ANN_KMEANS_ITERS):
         a = np.argmax(V @ C.T, axis=1)
@@ -890,41 +744,71 @@ def _fit_centroids(spark, sf) -> "np.ndarray":
     return C
 
 
-def ann_ivf_kmeans(spark, sf):
-    """Trained-centroid IVF ANN (the production recall path; see the
-    ANN_KMEANS note): spherical k-means centroids fitted driver-side on
-    a deterministic sample, broadcast into an Arrow-batched assignment
-    UDF; queries probe their ANN_KMEANS_NPROBE nearest cells. At scale
-    the corpus is stored partitioned by the centroid cell, so a probe is
-    a partition-pruned scan exactly like the sign-bucket variant."""
-    C = _fit_centroids(spark, sf)
+def _fit_centroids(spark, sf) -> "np.ndarray":
+    """Fit sample = the ANN_KMEANS_SAMPLE lowest vec_ids. vec_id is dense
+    from 0 (TESTDATA contract), so the sample is a PUSHED-DOWN filter
+    scan + tiny sort, not a full-table TakeOrdered — at 100 TB this
+    reads a handful of partitions; the centroids broadcast everywhere."""
+    rows = (
+        _emb(spark, sf)
+        .filter(F.col("vec_id") < ANN_KMEANS_SAMPLE)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return _kmeans_fit(np.array([r["embedding"] for r in rows], dtype=np.float64))
+
+
+def _oracle_fit_centroids(sf_dir: str) -> "np.ndarray":
+    """The oracle-side replay of _fit_centroids: same rows (lowest
+    vec_ids, vec_id order), same float32->float64 widening, same
+    _kmeans_fit — no Spark involved, so oracle_sql() can embed the
+    resulting centroids as literals."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = t.to_pandas()
+    pdf = pdf[pdf["vec_id"] < ANN_KMEANS_SAMPLE].sort_values("vec_id")
+    return _kmeans_fit(np.stack(pdf["embedding"].values).astype(np.float64))
+
+
+def _assigned_emb(spark, sf, C: "np.ndarray") -> DataFrame:
+    """ONE pass over embeddings attaching the centroid cell: the Arrow
+    batch computes the argmax-dot bucket and passes embedding through,
+    so no second scan / self-join is needed (r2 scanned twice and
+    shuffled a full-table join to attach buckets)."""
     Cb = spark.sparkContext.broadcast(C)
 
     def assign(it):
         for pdf in it:
             V = np.stack(pdf["embedding"].values).astype(np.float64)
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "bucket": np.argmax(V @ Cb.value.T, axis=1).astype("int32"),
-                }
-            )
+            yield pdf.assign(bucket=np.argmax(V @ Cb.value.T, axis=1).astype("int32"))
 
-    e = _with_demb(_emb(spark, sf))
-    assigned = e.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, bucket int"
-    )
-    e = e.join(assigned, "vec_id")
-    q_rows = (
-        e.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return _with_demb(
+        _emb(spark, sf)
         .select("vec_id", "embedding")
-        .collect()
+        .mapInPandas(assign, "vec_id long, embedding array<float>, bucket int")
+    )
+
+
+def ann_ivf_kmeans(spark, sf, nprobe: int = ANN_KMEANS_NPROBE):
+    """Trained-centroid IVF ANN (the production recall path; see the
+    ANN_KMEANS note): spherical k-means centroids fitted driver-side on
+    a deterministic sample, broadcast into a single Arrow-batched
+    assign-and-carry pass; queries probe their `nprobe` nearest cells.
+    At scale the corpus is stored partitioned by the centroid cell, so a
+    probe is a partition-pruned scan."""
+    C = _fit_centroids(spark, sf)
+    e = _assigned_emb(spark, sf, C)
+    q_rows = sorted(
+        _emb(spark, sf).filter(F.col("vec_id") < ANN_N_QUERIES).collect(),
+        key=lambda r: int(r["vec_id"]),
     )
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probe_map = {
-        int(r["vec_id"]): [int(x) for x in np.argsort(-(Q[i] @ C.T))[:ANN_KMEANS_NPROBE]]
+        int(r["vec_id"]): [int(x) for x in np.argsort(-(Q[i] @ C.T), kind="stable")[:nprobe]]
         for i, r in enumerate(q_rows)
     }
     probes_df = spark.createDataFrame(
@@ -949,6 +833,99 @@ def ann_ivf_kmeans(spark, sf):
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
         .orderBy("query_id", "rank")
     )
+
+
+def ann_family(spark, sf):
+    """ANN as one tagged union (gate consolidation): `exact` brute-force
+    baseline, `ivf` trained-centroid IVF at nprobe=1, `ivf_probe` at
+    nprobe=ANN_KMEANS_NPROBE (the recall/cost dial). All three variants
+    are value-checked against the DuckDB oracle, which refits the same
+    deterministic k-means and replays assignment + probing in SQL."""
+    parts = [
+        ("exact", ann_cosine_topk(spark, sf)),
+        ("ivf", ann_ivf_kmeans(spark, sf, nprobe=1)),
+        ("ivf_probe", ann_ivf_kmeans(spark, sf, nprobe=ANN_KMEANS_NPROBE)),
+    ]
+    from functools import reduce
+
+    dfs = [d.select(F.lit(v).alias("variant"), "query_id", "rank", "neighbor_id") for v, d in parts]
+    return reduce(DataFrame.unionByName, dfs).orderBy("variant", "query_id", "rank")
+
+
+def _centroid_values_sql(C: "np.ndarray") -> str:
+    rows = ",\n".join(
+        "({}, [{}])".format(j, ",".join(repr(float(x)) for x in C[j]))
+        for j in range(C.shape[0])
+    )
+    return f"(VALUES {rows})"
+
+
+def _ann_kmeans_sql(C: "np.ndarray", nprobe: int) -> str:
+    """Replay of ann_ivf_kmeans in DuckDB given the fitted centroids as
+    literals: assignment = best cell by cosine (ties -> lowest cell,
+    matching numpy argmax), probes = the query's nprobe best cells,
+    candidates = probed cells, exact cosine rank <= K."""
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent(cell, c) AS (SELECT * FROM {_centroid_values_sql(C)}),
+asg AS (
+  SELECT vec_id, cell AS bucket FROM (
+    SELECT v.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.emb, cent.c) DESC, cent.cell ASC
+           ) AS rn
+    FROM v CROSS JOIN cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {ANN_N_QUERIES}),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qemb, cent.c) DESC, cent.cell ASC
+           ) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, v.vec_id, list_cosine_similarity(q.qemb, v.emb) AS cosine
+  FROM v
+  JOIN asg USING (vec_id)
+  JOIN qprobe p ON p.cell = asg.bucket
+  JOIN q ON q.query_id = p.query_id
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id AS neighbor_id
+FROM scored
+QUALIFY rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_family_sql(sf_dir: str | None = None) -> str:
+    """Lazy oracle (resolved by __spark_entry__.oracle_sql / the parity
+    tool): the centroids depend on the data, so the SQL is built against
+    the gate's sf dir (env SPARK_GRAFT_ORACLE_SF_DIR, default the
+    driver's sf0.01) by refitting the deterministic k-means and
+    embedding the result as literals."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    C = _oracle_fit_centroids(sf_dir)
+    parts = [
+        ("exact", ANN_BRUTE_SQL),
+        ("ivf", _ann_kmeans_sql(C, nprobe=1)),
+        ("ivf_probe", _ann_kmeans_sql(C, nprobe=ANN_KMEANS_NPROBE)),
+    ]
+    inner = "\nUNION ALL\n".join(
+        f"SELECT '{v}' AS variant, query_id, rank, neighbor_id FROM ({sql})"
+        for v, sql in parts
+    )
+    return f"SELECT * FROM (\n{inner}\n) ORDER BY variant, query_id, rank"
 
 
 # ----------------------------------------------------------- text analysis
@@ -1383,11 +1360,9 @@ OPS: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
-    "ann_cosine_topk": (ann_cosine_topk, ANN_BRUTE_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
-    "ann_ivf_multiprobe": (ann_ivf_multiprobe, ANN_MULTIPROBE_SQL),
-    # iterative k-means fit => not SQL-expressible; rows-only driver check
-    "ann_ivf_kmeans": (ann_ivf_kmeans, None),
+    # exact + trained-IVF variants as one tagged union; the oracle is a
+    # LAZY callable (centroids are data-dependent literals)
+    "ann_family": (ann_family, ann_family_sql),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

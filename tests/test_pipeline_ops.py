@@ -21,8 +21,7 @@ SUBSET = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
+    "ann_family",
     "quality_score",
     "doc_fingerprint",
     "multimodal_decode",
@@ -59,6 +58,8 @@ def duck():
 @pytest.mark.parametrize("name", SUBSET)
 def test_pipeline_op_matches_oracle(spark, duck, name):
     fn, sql = OPS[name]
+    if callable(sql):
+        sql = sql(SF_DIR)  # lazy oracle: data-dependent literals
     sdf = fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     res = duck.execute(sql)

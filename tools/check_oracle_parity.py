@@ -43,6 +43,11 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    # lazy oracles (data-dependent literals) must resolve against the
+    # same dir the views point at
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark("parity", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
