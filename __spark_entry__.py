@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from lucene_solr_spark.ops.bm25_sql import (
     bm25_boolean_sql,
     bm25_boosted_sql,
+    bm25_compound_sql,
     bm25_dismax_sql,
     bm25_mlt_sql,
     bm25_multi_phrase_sql,
@@ -93,6 +94,28 @@ PARSER_QUERIES = {
     "parser_phrase": ('"fast sort"~3', lambda: bm25_phrase_sql("fast sort", k=10, slop=3)),
     "parser_boost": ("spark^2 merge^0.5 vector", lambda: bm25_boosted_sql(
         {"spark": 2.0, "merge": 0.5, "vector": 1.0}, k=10)),
+    # infix operators / parens / ranges (QueryParser.jj grammar; the
+    # oracle hand-builds the equivalent query so a parser bug cannot
+    # cancel out against itself)
+    "parser_infix_and": ("spark AND merge", lambda: bm25_compound_sql(
+        must=["spark", "merge"], k=10)),
+    "parser_infix_or_not": ("spark OR merge NOT dup", lambda: bm25_compound_sql(
+        should=["spark", "merge"], must_not=["dup"], k=10)),
+    "parser_group_and": ("(spark OR vector) AND merge", lambda: bm25_compound_sql(
+        must=["merge"], groups=[("+", ["spark", "vector"])], k=10)),
+    "parser_group_neg": ("merge -(dup vector)", lambda: bm25_compound_sql(
+        should=["merge"], groups=[("-", ["dup", "vector"])], k=10)),
+    # '"World Bank"^2 AND Nigeria' shape (ReutersQueryMaker.java:47)
+    "parser_phrase_boost_and": ('"fast sort"^2 AND spark', lambda: bm25_compound_sql(
+        must=["spark"], phrase="fast sort", phrase_boost=2.0, k=10)),
+    # optional SHOULD phrase ('"World Bank" Nigeria' default-OR shape)
+    "parser_optional_phrase": ('"fast sort" spark', lambda: bm25_compound_sql(
+        should=["spark"], phrase="fast sort", phrase_required=False, k=10)),
+    # '"World Bank" -Nigeria' shape (ReutersQueryMaker.java:48)
+    "parser_phrase_not": ('"fast sort" -spark', lambda: bm25_compound_sql(
+        phrase="fast sort", phrase_required=False, must_not=["spark"], k=10)),
+    "parser_range": ("[mer TO met]", lambda: bm25_compound_sql(
+        term_range=("mer", "met", True, True, 16), k=10)),
 }
 
 

@@ -75,7 +75,14 @@ def compact_index(
     blocks = spark.read.schema(postings_schema).parquet(paths.postings)
     n_before = blocks.count()
 
-    deleted = load_deleted(spark, paths) if purge_deletes else np.array([], dtype=np.int64)
+    # compaction rewrites the affected blocks anyway, so the tombstone
+    # set is force-collected here regardless of size (the query-path
+    # cogroup mode in deletes.py is the no-driver-materialization path)
+    deleted = (
+        load_deleted(spark, paths, max_driver=1 << 62)[0]
+        if purge_deletes
+        else np.array([], dtype=np.int64)
+    )
 
     if tiered:
         from .builder import BLOCK_SIZE

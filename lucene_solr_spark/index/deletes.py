@@ -36,13 +36,29 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: Iterable[int]) -> 
     return {"deleted": len(ids)}
 
 
-def load_deleted(spark: SparkSession, paths: IndexPaths) -> np.ndarray:
-    """Sorted tombstoned doc_ids (empty if none). Collected driver-side
-    and shipped inside the scorer closures — the in-memory liveDocs
-    bitset analog; a corpus-scale delete set would instead stay a table
-    and anti-join, but per-segment bitsets are exactly what the
-    reference holds in RAM too."""
+#: delete sets up to this size ride in scorer closures as a sorted array
+#: (the reference's in-RAM per-segment liveDocs bitset analog); beyond it
+#: the set stays a DataFrame and reaches each doc-range scorer through a
+#: range_id COGROUP — never materialized on the driver.
+DELETES_DRIVER_MAX = 100_000
+
+
+def load_deleted(
+    spark: SparkSession, paths: IndexPaths, max_driver: int | None = None
+):
+    """-> (sorted np.ndarray | None, DataFrame | None): exactly one is
+    non-None (array for small sets, distributed frame for corpus-scale
+    sets); (empty array, None) when there are no tombstones."""
+    if max_driver is None:
+        max_driver = DELETES_DRIVER_MAX
     if not os.path.exists(paths.deletes):
-        return np.array([], dtype=np.int64)
-    rows = spark.read.parquet(paths.deletes).select("doc_id").distinct().collect()
-    return np.array(sorted(int(r["doc_id"]) for r in rows), dtype=np.int64)
+        return np.array([], dtype=np.int64), None
+    df = spark.read.parquet(paths.deletes).select("doc_id").distinct()
+    n = df.count()
+    if n <= max_driver:
+        rows = df.collect()
+        return (
+            np.array(sorted(int(r["doc_id"]) for r in rows), dtype=np.int64),
+            None,
+        )
+    return None, df

@@ -208,6 +208,16 @@ def bm25_phrase_sql(query: str, k: int = 10, slop: int = 0) -> str:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
     uniq = sorted({t for t, _ in phrase})
     terms_in = ",".join(f"'{t}'" for t in uniq)
+    pf_sql = _phrase_pf_cte(phrase, slop)
+    with_kw = "WITH RECURSIVE" if slop > 0 else "WITH"
+    return _PHRASE_SQL_TAIL(with_kw, terms_in, pf_sql, k)
+
+
+def _phrase_pf_cte(phrase, slop: int) -> str:
+    """pf(doc_id, pf) CTE text for a PhraseQuery over the `tokpos`
+    scaffold (ExactPhraseScorer chained self-joins for slop=0; the
+    two-clause leapfrog-chain closed form for slop>0 — see
+    bm25_phrase_sql). Callers must open with WITH RECURSIVE if slop>0."""
     t0, off0 = phrase[0]
     if slop == 0:
         # chained positional self-joins: p{i}.pos = p0.pos + off_i
@@ -274,7 +284,10 @@ pf AS (
   FROM chain c JOIN prv p ON p.doc_id = c.doc_id AND p.s = c.s AND p.k = c.u
   GROUP BY c.doc_id
 )"""
-    with_kw = "WITH RECURSIVE" if slop > 0 else "WITH"
+    return pf_sql
+
+
+def _PHRASE_SQL_TAIL(with_kw: str, terms_in: str, pf_sql: str, k: int) -> str:
     return f"""
 {with_kw} toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
@@ -885,6 +898,212 @@ scored AS (
 )
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
 FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_compound_sql(
+    *,
+    should: list[str] | tuple = (),
+    must: list[str] | tuple = (),
+    must_not: list[str] | tuple = (),
+    term_boosts: dict[str, float] | None = None,
+    groups: list[tuple[str, list[str]]] | tuple = (),
+    phrase: str | None = None,
+    phrase_slop: int = 0,
+    phrase_boost: float = 1.0,
+    phrase_required: bool = True,
+    term_range: tuple[str, str, bool, bool, int] | None = None,
+    k: int = 10,
+) -> str:
+    """General BooleanQuery oracle: any mix of MUST/SHOULD/MUST_NOT term
+    clauses (with BoostQuery boosts), one-level nested SHOULD-only groups
+    ((occur, [analyzed terms]) — the classic parser's paren groups), one
+    PhraseQuery clause (required or optional SHOULD, slop, boost), and a
+    TermRangeQuery dictionary expansion added as SHOULD clauses
+    (term_range = (lo, hi, include_lo, include_hi, max_terms)).
+
+    Semantics mirror BooleanWeight.java:375-533 with nested clauses:
+    score = sum over matching clauses (a group's score = sum of its
+    matching members; the phrase scores PhraseWeight with summed idfs x
+    boost); matching = all MUST terms + every '+' group (>=1 member) +
+    the phrase when required + no MUST_NOT/'-'-group member; with no
+    required clause at all, >= max(1, msm) SHOULD clauses (distinct
+    should terms, '' groups, the optional phrase) must match.
+    Terms are pre-analyzed; rank-only output like the other builders."""
+    term_boosts = term_boosts or {}
+    should = list(should)
+    must = list(must)
+    not_t = sorted(set(must_not))
+    groups = [(occ, list(ts)) for occ, ts in groups]
+    phrase_pairs = ()
+    if phrase is not None:
+        from ..search.engine import phrase_spec
+
+        phrase_pairs = phrase_spec(phrase).phrase
+
+    # clause table rows: (term, mult, cls) — mult = dup-count x boost
+    rows = []
+    uniq_should = sorted(set(should))
+    for t in uniq_should:
+        rows.append((t, should.count(t) * float(term_boosts.get(t, 1.0)), "s"))
+    uniq_must = sorted(set(must))
+    for t in uniq_must:
+        rows.append((t, must.count(t) * float(term_boosts.get(t, 1.0)), "m"))
+    gmust_ids, gshould_ids = [], []
+    for i, (occ, ts) in enumerate(groups):
+        cid = f"g{i}"
+        if occ == "-":
+            continue  # handled as exclusion below
+        (gmust_ids if occ == "+" else gshould_ids).append(cid)
+        for t in sorted(set(ts)):
+            rows.append((t, float(term_boosts.get(t, 1.0)), cid))
+    neg_group_terms = sorted(
+        {t for occ, ts in groups if occ == "-" for t in ts} | set(not_t)
+    )
+
+    if not rows and not phrase_pairs and term_range is None:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+
+    scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
+    ctes = [scaffold]
+
+    qt_vals = ",".join(f"('{t}',{m!r},'{c}')" for t, m, c in rows) or "(NULL,NULL,NULL)"
+    qt = f"qt(term, mult, cls) AS (SELECT * FROM (VALUES {qt_vals}) v(a,b,c) WHERE a IS NOT NULL)"
+    if term_range is not None:
+        lo, hi, inc_lo, inc_hi, cap = term_range
+        lo_cmp = ">=" if inc_lo else ">"
+        hi_cmp = "<=" if inc_hi else "<"
+        bounds = []
+        if lo != "*":
+            bounds.append(f"term {lo_cmp} '{lo}'")
+        if hi != "*":
+            bounds.append(f"term {hi_cmp} '{hi}'")
+        where = (" WHERE " + " AND ".join(bounds)) if bounds else ""
+        ctes.append(
+            f"rng AS (SELECT DISTINCT term FROM tok{where} ORDER BY term LIMIT {cap})"
+        )
+        qt = (
+            f"qt(term, mult, cls) AS (SELECT * FROM (VALUES {qt_vals}) v(a,b,c) "
+            f"WHERE a IS NOT NULL UNION ALL SELECT term, 1.0, 's' FROM rng)"
+        )
+    ctes.append(qt)
+    ctes.append(
+        """tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+)"""
+    )
+    ctes.append(
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)"
+    )
+    ctes.append(
+        f"""base AS (
+  SELECT tf.doc_id, q.cls, q.term,
+         ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * q.mult * ({K1} + 1)
+         * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS sc
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN qt q USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+)"""
+    )
+    gmust_in = ",".join(f"'{c}'" for c in gmust_ids) or "''"
+    gshould_in = ",".join(f"'{c}'" for c in gshould_ids) or "''"
+    ctes.append(
+        f"""agg AS (
+  SELECT doc_id,
+         sum(sc) AS score,
+         count(DISTINCT CASE WHEN cls = 'm' THEN term END) AS mhits,
+         count(DISTINCT CASE WHEN cls = 's' THEN term END) AS shits,
+         count(DISTINCT CASE WHEN cls IN ({gmust_in}) THEN cls END) AS gmust,
+         count(DISTINCT CASE WHEN cls IN ({gshould_in}) THEN cls END) AS gshould
+  FROM base GROUP BY doc_id
+)"""
+    )
+    recursive = False
+    if phrase_pairs:
+        recursive = phrase_slop > 0
+        puniq = sorted({t for t, _ in phrase_pairs})
+        pvals = ",".join(f"('{t}')" for t in puniq)
+        ctes.append(
+            f"""pqt(term) AS (VALUES {pvals}),
+pdfs AS (
+  SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  FROM pqt q LEFT JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) c USING (term)
+),
+pidfw AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM pdfs CROSS JOIN stats s
+)"""
+        )
+        ctes.append(_phrase_pf_cte(list(phrase_pairs), phrase_slop).strip())
+        ctes.append(
+            f"""pscore AS (
+  SELECT pf.doc_id,
+         {float(phrase_boost)!r} * i.w * ({K1} + 1) * pf.pf
+         / (pf.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS sc
+  FROM pf
+  JOIN dl ON pf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  CROSS JOIN pidfw i
+  WHERE pf.pf > 0
+)"""
+        )
+        combined = """combined AS (
+  SELECT COALESCE(a.doc_id, p.doc_id) AS doc_id,
+         COALESCE(a.score, 0) + COALESCE(p.sc, 0) AS score,
+         COALESCE(a.mhits, 0) AS mhits,
+         COALESCE(a.shits, 0) + COALESCE(a.gshould, 0)
+           + (CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS shits_opt,
+         COALESCE(a.shits, 0) + COALESCE(a.gshould, 0) AS shits_plain,
+         COALESCE(a.gmust, 0) AS gmust,
+         (p.doc_id IS NOT NULL) AS phit
+  FROM agg a FULL OUTER JOIN pscore p USING (doc_id)
+)"""
+    else:
+        combined = """combined AS (
+  SELECT doc_id, score, mhits,
+         shits + gshould AS shits_opt, shits + gshould AS shits_plain,
+         gmust, FALSE AS phit
+  FROM agg
+)"""
+    ctes.append(combined)
+
+    n_must = len(uniq_must)
+    n_gmust = len(gmust_ids)
+    has_required = bool(
+        n_must or n_gmust or (phrase_pairs and phrase_required)
+    )
+    msm = 0 if has_required else 1
+    conds = ["1=1"]
+    if n_must:
+        conds.append(f"mhits = {n_must}")
+    if n_gmust:
+        conds.append(f"gmust = {n_gmust}")
+    if phrase_pairs and phrase_required:
+        conds.append("phit")
+    if msm > 0:
+        col = "shits_opt" if (phrase_pairs and not phrase_required) else "shits_plain"
+        conds.append(f"{col} >= {msm}")
+    if neg_group_terms:
+        excl_in = ",".join(f"'{t}'" for t in neg_group_terms)
+        conds.append(
+            f"doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_in}))"
+        )
+    with_kw = "WITH RECURSIVE" if recursive else "WITH"
+    cte_sql = ",\n".join(ctes)
+    return f"""
+{with_kw} {cte_sql}
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM combined
+WHERE {" AND ".join(conds)}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """

@@ -77,6 +77,11 @@ class BooleanSpec:
     dismax: bool = False  # score SHOULD clauses as DisjunctionMax
     tiebreak: float = 0.0
     phrase: tuple[tuple[str, int], ...] = ()  # [(term, position offset)]
+    # '+' = the phrase is a required clause (the only form r2 supported);
+    # '' = optional SHOULD clause: docs may match via other clauses and
+    # the phrase adds score + counts toward minShouldMatch when present
+    # (BooleanQuery with a SHOULD PhraseQuery clause)
+    phrase_occur: str = "+"
     slop: int = 0  # 0 = exact phrase (ExactPhraseScorer); >0 = Lucene-exact
     # sloppy scoring: weighted phrase freq Σ 1/(matchLength+1) over
     # SloppyPhraseScorer's minimal match windows (see search/sloppy.py)
@@ -104,6 +109,15 @@ class BooleanSpec:
     # BoostQuery per-term multiplicative boosts ((term, boost), ...):
     # weightValue = idf * boost * (k1+1) (search/BoostQuery.java)
     boosts: tuple[tuple[str, float], ...] = ()
+    # one-level nested boolean groups ((occur, (term, ...)), ...) with
+    # occur in {'', '+', '-'} — a parenthesized SHOULD-only BooleanQuery
+    # clause from the classic QueryParser: it matches when >=1 member
+    # matches and scores as the sum of matching members' BM25 scores
+    # (BooleanQuery.Builder nested clause; BooleanWeight sums sub-scorers)
+    groups: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    # BoostQuery wrapping the phrase clause ('"..."^2'): multiplies the
+    # phrase weightValue (search/BoostQuery.java over PhraseQuery)
+    phrase_boost: float = 1.0
 
     @property
     def positional_terms(self) -> tuple[str, ...]:
@@ -121,11 +135,19 @@ class BooleanSpec:
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:
-        return tuple(self.should) + tuple(self.must) + self.positional_terms
+        out = tuple(self.should) + tuple(self.must) + self.positional_terms
+        for occ, ts in self.groups:
+            if occ != "-":
+                out += tuple(ts)
+        return out
 
     @property
     def all_terms(self) -> tuple[str, ...]:
-        return self.scoring_terms + tuple(self.must_not)
+        out = self.scoring_terms + tuple(self.must_not)
+        for occ, ts in self.groups:
+            if occ == "-":
+                out += tuple(ts)
+        return out
 
 
 def phrase_spec(query: str, slop: int = 0) -> BooleanSpec:
@@ -170,10 +192,13 @@ class IndexSearcher:
         # per-snapshot term-stats cache (df is immutable for this reader)
         self._tw_cache: dict[str, dict] = {}
         # liveDocs: tombstoned docs are masked at scoring time with STALE
-        # stats (Lucene deletes semantics; compact purges them)
+        # stats (Lucene deletes semantics; compact purges them). Small
+        # sets ride in scorer closures as a sorted array; corpus-scale
+        # sets stay a DataFrame and reach each doc-range scorer via a
+        # range_id cogroup (never materialized on the driver).
         from ..index.deletes import load_deleted
 
-        self.deleted = load_deleted(spark, self.paths)
+        self.deleted, self.deleted_df = load_deleted(spark, self.paths)
 
     # ---------------- Weight stage ----------------
 
@@ -280,6 +305,10 @@ class IndexSearcher:
         like: str | None = None,
         regexp: str | None = None,
         fuzzy: str | None = None,
+        lower: str | None = None,
+        upper: str | None = None,
+        include_lower: bool = True,
+        include_upper: bool = True,
         max_edits: int = 2,
         max_terms: int | None = None,
     ) -> list[str]:
@@ -296,6 +325,16 @@ class IndexSearcher:
             df = df.filter(F.col("term").like(like))
         if regexp is not None:
             df = df.filter(F.col("term").rlike(regexp))
+        # TermRangeQuery bounds (search/TermRangeQuery.java: BytesRef
+        # comparison == codepoint order for our lowercased ASCII terms)
+        if lower is not None:
+            df = df.filter(
+                F.col("term") >= lower if include_lower else F.col("term") > lower
+            )
+        if upper is not None:
+            df = df.filter(
+                F.col("term") <= upper if include_upper else F.col("term") < upper
+            )
         if fuzzy is not None:
             df = df.filter(F.levenshtein(F.col("term"), F.lit(fuzzy)) <= max_edits)
             df = df.orderBy(
@@ -375,11 +414,25 @@ class IndexSearcher:
             spec, weights, float(self.avgdl), self.doc_count, k, deleted=self.deleted
         )
         return (
-            blocks.select(scan_cols)
-            .groupBy("range_id")
-            .applyInPandas(score_fn, schema=TOPK_SCHEMA)
+            self._apply_range_scorer(blocks, scan_cols, score_fn)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
+        )
+
+    def _apply_range_scorer(self, blocks: DataFrame, scan_cols: list, score_fn) -> DataFrame:
+        """Run a per-range scorer over the pruned block scan. With a
+        corpus-scale delete set (deleted_df mode) the tombstones are
+        cogrouped in by range_id so each range scorer masks its own
+        liveDocs — the per-segment .del file analog, with zero driver
+        materialization (index/deletes.py DELETES_DRIVER_MAX)."""
+        grouped = blocks.select(scan_cols).groupBy("range_id")
+        if self.deleted_df is None:
+            return grouped.applyInPandas(score_fn, schema=TOPK_SCHEMA)
+        dels = self.deleted_df.withColumn(
+            "range_id", F.floor(F.col("doc_id") / F.lit(self._range_size)).cast("long")
+        )
+        return grouped.cogroup(dels.groupBy("range_id")).applyInPandas(
+            score_fn.cogroup, schema=TOPK_SCHEMA
         )
 
     def _topk_sum_tf(self, present: list[str], wv: np.float32, k: int) -> DataFrame:
@@ -390,7 +443,10 @@ class IndexSearcher:
         blocks = self._blocks_for(present)
         deleted = self.deleted
 
-        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _score_impl(key, pdf: pd.DataFrame, deleted_local=None) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY
+            d_arr = deleted_local if deleted_local is not None else deleted
             per_term = {
                 t: _decode_group(g.sort_values("first_doc", kind="mergesort"), False)
                 for t, g in pdf.groupby("term", sort=False)
@@ -403,10 +459,10 @@ class IndexSearcher:
             for d, tf, nb, _ in per_term.values():
                 tf_acc[d - base] += tf
                 nb_acc[d - base] = nb
-            if deleted.size:  # liveDocs mask (stats stay stale)
-                lo = np.searchsorted(deleted, base)
-                hi = np.searchsorted(deleted, base + width)
-                tf_acc[deleted[lo:hi] - base] = 0
+            if d_arr is not None and d_arr.size:  # liveDocs mask (stats stay stale)
+                lo = np.searchsorted(d_arr, base)
+                hi = np.searchsorted(d_arr, base + width)
+                tf_acc[d_arr[lo:hi] - base] = 0
             idx = np.flatnonzero(tf_acc)
             freq = tf_acc[idx].astype(np.float32)
             sc = (wv * freq / (freq + cache[nb_acc[idx]])).astype(np.float32)
@@ -416,9 +472,14 @@ class IndexSearcher:
                 {"doc_id": docs_out[order].astype(np.int64), "score": sc[order]}
             )
 
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_impl(key, pdf)
+
+        score_range.cogroup = _cogroup_wrapper(_score_impl)
+        scan_cols = ["term", "range_id", "first_doc", "last_doc",
+                     "docs_buf", "tfs_buf", "norms_buf"]
         return (
-            blocks.groupBy("range_id")
-            .applyInPandas(score_range, schema=TOPK_SCHEMA)
+            self._apply_range_scorer(blocks, scan_cols, score_range)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
@@ -488,7 +549,9 @@ class IndexSearcher:
         for t, b in spec.boosts:
             if t in weights:
                 weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
-        required = set(spec.must) | {t for t, _ in spec.phrase} | set(spec.span)
+        required = set(spec.must) | set(spec.span)
+        if spec.phrase and spec.phrase_occur == "+":
+            required |= {t for t, _ in spec.phrase}
         if spec.span_first is not None:
             required.add(spec.span_first[0])
         if spec.span_position_range is not None:
@@ -499,6 +562,12 @@ class IndexSearcher:
         if any(
             all(weights[t]["df"] == 0 for t in alts)
             for _off, alts in spec.multi_phrase
+        ):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # a required (+) group needs at least one live member
+        if any(
+            occ == "+" and all(weights[t]["df"] == 0 for t in ts)
+            for occ, ts in spec.groups
         ):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         # absent SHOULD/NOT terms are dropped (rewrite-to-fixpoint analog)
@@ -531,6 +600,7 @@ class IndexSearcher:
         pure_or = (
             not spec.must and not spec.must_not and not spec.positional_terms
             and not spec.dismax and spec.min_should_match <= 1
+            and not spec.groups
         )
         # WAND's two-wave plan costs two extra driver round trips; it only
         # pays when there are enough doc ranges to prune. Estimate from
@@ -541,16 +611,17 @@ class IndexSearcher:
             # 10^12 scale (10^8+ ranges) pruning is mandatory
             est_ranges = max(1, -(-self.doc_count // self._range_size))
             prune = est_ranges > 512
+        if self.deleted_df is not None:
+            # corpus-scale delete sets pause WAND (its two-wave bounds
+            # would need per-range tombstone counts); sets that large
+            # imply an imminent compact which purges them anyway
+            prune = False
         if prune and pure_or:
             result = self._wand_pruned(
                 blocks, scan_cols, score_fn, weights, k, first_wave_ranges
             )
         else:
-            result = (
-                blocks.select(scan_cols)
-                .groupBy("range_id")
-                .applyInPandas(score_fn, schema=TOPK_SCHEMA)
-            )
+            result = self._apply_range_scorer(blocks, scan_cols, score_fn)
 
         return result.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -831,6 +902,21 @@ def _span_posrange_freqs(per_term, span_posrange: tuple[str, int, int], cand: np
     return freqs
 
 
+def _cogroup_wrapper(score_fn):
+    """Adapt a (key, blocks_pdf, deleted_local=None) range scorer to the
+    cogroup applyInPandas signature: the right side is this range's slice
+    of the tombstone table (corpus-scale deletes path)."""
+    def cg(key, pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _EMPTY
+        loc = None
+        if len(del_pdf):
+            loc = np.unique(del_pdf["doc_id"].to_numpy(np.int64))
+        return score_fn(key, pdf, loc)
+
+    return cg
+
+
 def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count: int,
                        k: int, candidates: np.ndarray | None = None,
                        deleted: np.ndarray | None = None):
@@ -843,6 +929,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     must_count = {t: spec.must.count(t) for t in must_terms}
     not_terms = sorted({t for t in spec.must_not if weights[t]["df"] > 0})
     phrase = spec.phrase
+    phrase_required = spec.phrase_occur == "+"
     phrase_terms = sorted({t for t, _ in phrase})
     multi_phrase = spec.multi_phrase
     span = spec.span
@@ -856,18 +943,37 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     # alternatives are skipped at decode; dead required terms were
     # rejected in topk_spec)
     pos_terms = sorted({t for t in spec.positional_terms if weights[t]["df"] > 0})
+    # an optional phrase is a SHOULD clause, not a match requirement
+    required_positional = positional and not (phrase and not phrase_required)
     required = sorted(
-        set(must_terms) | set(phrase_terms) | set(span)
+        set(must_terms)
+        | (set(phrase_terms) if (phrase and phrase_required) else set())
+        | set(span)
         | ({span_posrange[0]} if span_posrange is not None else set())
     )
-    msm = max(spec.min_should_match, 0 if (must_terms or positional) else 1)
+    # nested groups with dead members dropped; '' / '-' groups with no
+    # live members vanish ('+' all-dead was rejected in topk_spec)
+    bool_groups = [
+        (occ, tuple(sorted({t for t in ts if weights[t]["df"] > 0})))
+        for occ, ts in spec.groups
+    ]
+    bool_groups = [(occ, ts) for occ, ts in bool_groups if ts]
+    n_plus_groups = sum(1 for occ, _ts in bool_groups if occ == "+")
+    msm = max(
+        spec.min_should_match,
+        0 if (must_terms or required_positional or n_plus_groups) else 1,
+    )
     dfs = {t: weights[t]["df"] for t in weights}
     wvs = {t: np.float32(weights[t]["weight_value"]) for t in weights}
     cache = norm_cache(np.float32(avgdl))  # identical to the global 256-float cache
     if phrase:
-        # PhraseWeight: one weight from summed term idfs (repeats count)
+        # PhraseWeight: one weight from summed term idfs (repeats count);
+        # BoostQuery wrapping multiplies the weightValue (BoostQuery.java)
         idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in phrase_terms))
-        pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        pos_wv = np.float32(
+            np.float32(idf_sum * (K1 + np.float32(1.0)))
+            * np.float32(spec.phrase_boost)
+        )
     elif multi_phrase:
         # MultiPhraseQuery weight: every alternative's idf summed (df=0
         # alternatives still contribute idf(0), as TermContext.build does)
@@ -889,7 +995,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             idf_f32(dfs[span_posrange[0]], doc_count) * (K1 + np.float32(1.0))
         )
 
-    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_impl(key, pdf: pd.DataFrame, deleted_local=None) -> pd.DataFrame:
+        d_arr = deleted_local if deleted_local is not None else deleted
         present = set(pdf["term"])
         if any(t not in present for t in required):
             return _EMPTY
@@ -897,7 +1004,21 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             not any(t in present for t in alts) for _off, alts in multi_phrase
         ):
             return _EMPTY
-        if not any(t in present for t in should_terms) and not required and not multi_phrase:
+        if any(
+            occ == "+" and not any(t in present for t in ts)
+            for occ, ts in bool_groups
+        ):
+            return _EMPTY
+        scoring_present = any(t in present for t in should_terms) or any(
+            occ != "-" and any(t in present for t in ts) for occ, ts in bool_groups
+        )
+        # an optional phrase can be the only scoring clause in the range
+        opt_phrase_possible = bool(
+            phrase and not phrase_required
+            and all(t in present for t in phrase_terms)
+        )
+        if (not scoring_present and not required and not multi_phrase
+                and not opt_phrase_possible):
             return _EMPTY
 
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -956,17 +1077,50 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             if t in must_count:
                 must_hits[idxs] += 1
 
+        # nested groups: hit = any live member matched; score = sum of
+        # matching members (BooleanWeight over the inner SHOULD clauses)
+        gmust_hits = np.zeros(width, dtype=np.int32) if n_plus_groups else None
+        for occ, ts in bool_groups:
+            ghit = np.zeros(width, dtype=bool)
+            gsc = np.zeros(width, dtype=np.float64)
+            for t in ts:
+                if t not in per_term:
+                    continue
+                d, tf, nb, _pos = per_term[t]
+                idxs = d - base
+                freq = tf.astype(np.float32)
+                s = (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
+                gsc[idxs] += s.astype(np.float64)
+                ghit[idxs] = True
+            if occ == "-":
+                excluded |= ghit
+                continue
+            acc += np.where(ghit, gsc, 0.0)
+            if occ == "+":
+                gmust_hits += ghit
+            else:
+                should_hits += ghit
+
+        # hard constraints (MUST / MUST_NOT / required groups); the msm
+        # cut is deferred when an optional phrase can still add its
+        # SHOULD hit
+        optional_phrase = bool(phrase) and not phrase_required
         mask = ~excluded
         if must_terms:
             mask &= must_hits >= len(must_terms)
-        if msm > 0:
+        if gmust_hits is not None:
+            mask &= gmust_hits >= n_plus_groups
+        if msm > 0 and not optional_phrase:
             mask &= should_hits >= msm
 
         if positional:
             # conjunction on docs first (two-phase: cheap approximation),
             # then position verify (expensive) on survivors only
             if phrase:
-                cand_sets = [set(per_term[t][0].tolist()) for t in phrase_terms]
+                if any(t not in per_term for t in phrase_terms):
+                    cand_sets = [set()]
+                else:
+                    cand_sets = [set(per_term[t][0].tolist()) for t in phrase_terms]
             elif multi_phrase:
                 cand_sets = []
                 for _off, alts in multi_phrase:
@@ -984,11 +1138,20 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             if cand_set:
                 cidx = np.fromiter(cand_set, dtype=np.int64) - base
                 cand_mask[cidx] = True
-            mask &= cand_mask
-            cand = np.flatnonzero(mask) + base
+            pre = mask & cand_mask
+            cand = np.flatnonzero(pre) + base
             if cand.size == 0:
-                return _EMPTY
-            if phrase:
+                if optional_phrase:
+                    # no phrase hits in this range; docs may still match
+                    # via the other SHOULD clauses
+                    if msm > 0:
+                        mask &= should_hits >= msm
+                    cand = None
+                else:
+                    return _EMPTY
+            if cand is None:
+                pass
+            elif phrase:
                 if spec.slop > 0:
                     pf = _sloppy_phrase_freqs(per_term, phrase, cand, spec.slop)
                 else:
@@ -1004,22 +1167,32 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 )
             else:
                 pf = _span_posrange_freqs(per_term, span_posrange, cand)
-            keep = pf > 0
-            cand, pf = cand[keep], pf[keep]
-            if cand.size == 0:
-                return _EMPTY
-            # norms for matched docs from any positional stream present
-            nb_map: dict = {}
-            for t in pos_terms:
-                if t in per_term:
-                    d0, _tf0, nb0, _ = per_term[t]
-                    nb_map.update(zip(d0.tolist(), nb0.tolist()))
-            nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
-            freq = pf.astype(np.float32)
-            ps = (pos_wv * freq / (freq + cache[nbv])).astype(np.float32)
-            acc[cand - base] += ps.astype(np.float64)
-            mask = np.zeros(width, dtype=bool)
-            mask[cand - base] = True
+            if cand is not None:
+                keep = pf > 0
+                cand, pf = cand[keep], pf[keep]
+                if cand.size == 0 and not optional_phrase:
+                    return _EMPTY
+                if cand.size:
+                    # norms for matched docs from any positional stream
+                    nb_map: dict = {}
+                    for t in pos_terms:
+                        if t in per_term:
+                            d0, _tf0, nb0, _ = per_term[t]
+                            nb_map.update(zip(d0.tolist(), nb0.tolist()))
+                    nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
+                    freq = pf.astype(np.float32)
+                    ps = (pos_wv * freq / (freq + cache[nbv])).astype(np.float32)
+                    acc[cand - base] += ps.astype(np.float64)
+                if optional_phrase:
+                    # the phrase is one SHOULD clause: count its hit and
+                    # apply the deferred msm cut
+                    if cand.size:
+                        should_hits[cand - base] += 1
+                    if msm > 0:
+                        mask &= should_hits >= msm
+                else:
+                    mask = np.zeros(width, dtype=bool)
+                    mask[cand - base] = True
 
         if candidates is not None:
             lo = np.searchsorted(candidates, base)
@@ -1027,10 +1200,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             cmask = np.zeros(width, dtype=bool)
             cmask[candidates[lo:hi] - base] = True
             mask &= cmask
-        if deleted is not None and deleted.size:
-            lo = np.searchsorted(deleted, base)
-            hi = np.searchsorted(deleted, base + width)
-            mask[deleted[lo:hi] - base] = False
+        if d_arr is not None and d_arr.size:
+            lo = np.searchsorted(d_arr, base)
+            hi = np.searchsorted(d_arr, base + width)
+            mask[d_arr[lo:hi] - base] = False
 
         idx = np.flatnonzero(mask)
         if idx.size == 0:
@@ -1046,4 +1219,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             {"doc_id": docs_out[order].astype(np.int64), "score": sc[order]}
         )
 
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_impl(key, pdf)
+
+    score_range.cogroup = _cogroup_wrapper(_score_impl)
     return score_range

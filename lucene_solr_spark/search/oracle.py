@@ -98,12 +98,24 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     should = [t for t in spec.should if t in idx.postings]
     must = list(spec.must)
     phrase = list(spec.phrase)
+    phrase_required = getattr(spec, "phrase_occur", "+") == "+"
+    phrase_boost = float(getattr(spec, "phrase_boost", 1.0))
+    groups = [
+        (occ, tuple(t for t in ts if t in idx.postings))
+        for occ, ts in (getattr(spec, "groups", ()) or ())
+    ]
+    if any(occ == "+" and not ts for occ, ts in groups):
+        return []
+    groups = [(occ, ts) for occ, ts in groups if ts]
     phrase_terms = sorted({t for t, _ in phrase})
     multi_phrase = list(getattr(spec, "multi_phrase", ()) or ())
     span = tuple(getattr(spec, "span", ()) or ())
     span_first = getattr(spec, "span_first", None)
     positional = bool(phrase or multi_phrase or span or span_first)
-    required = sorted(set(must) | set(phrase_terms) | set(span)
+    optional_phrase = bool(phrase) and not phrase_required
+    required = sorted(set(must)
+                      | (set(phrase_terms) if (phrase and phrase_required) else set())
+                      | set(span)
                       | ({span_first[0]} if span_first else set()))
     if any(t not in idx.postings for t in required):
         return []
@@ -112,11 +124,17 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     pos_terms = set(phrase_terms) | set(span) | (
         {span_first[0]} if span_first else set()
     ) | {t for _off, alts in multi_phrase for t in alts}
+    group_terms = {t for _occ, ts in groups for t in ts}
     weights = {
         t: make_term_weight(t, len(idx.postings.get(t, {})), idx.doc_count, idx.avgdl)
-        for t in set(should) | set(must) | pos_terms
+        for t in set(should) | set(must) | pos_terms | group_terms
     }
+
+    def _gdocs(ts):
+        return set.union(*[set(idx.postings.get(t, {})) for t in ts]) if ts else set()
+
     # candidates
+    pos_group_docs = [_gdocs(ts) for occ, ts in groups if occ != "-"]
     if required:
         cand = set.intersection(*[set(idx.postings[t]) for t in required])
     elif multi_phrase:
@@ -125,22 +143,34 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             for _off, alts in multi_phrase
         ])
     else:
-        cand = set.union(*[set(idx.postings[t]) for t in set(should)]) if should else set()
+        cand = set()
+        if should:
+            cand |= set.union(*[set(idx.postings[t]) for t in set(should)])
+        for gd in pos_group_docs:
+            cand |= gd
+        if optional_phrase and all(t in idx.postings for t in phrase_terms):
+            cand |= set.intersection(*[set(idx.postings[t]) for t in phrase_terms]) \
+                if phrase_terms else set()
     if multi_phrase and required:
         for _off, alts in multi_phrase:
             cand &= set.union(*[set(idx.postings.get(t, {})) for t in alts])
+    for occ, ts in groups:
+        if occ == "+":
+            cand &= _gdocs(ts)
+        elif occ == "-":
+            cand -= _gdocs(ts)
     for t in set(spec.must_not):
         cand -= set(idx.postings.get(t, {}))
-    msm = max(spec.min_should_match, 0 if (required or positional) else 1)
-    if msm > 0:
-        cand = {
-            d for d in cand
-            if sum(1 for t in set(should) if d in idx.postings.get(t, {})) >= msm
-        }
+    n_plus_groups = sum(1 for occ, _ts in groups if occ == "+")
+    required_positional = positional and not optional_phrase
+    msm = max(spec.min_should_match,
+              0 if (required or required_positional or n_plus_groups) else 1)
     if phrase:
         slop = getattr(spec, "slop", 0)
         pf_map = {}
-        if slop > 0:
+        if any(t not in idx.positions for t in phrase_terms):
+            cand = cand if not phrase_required else set()
+        elif slop > 0:
             # Lucene-exact SloppyPhraseScorer semantics (search/sloppy.py)
             from .sloppy import sloppy_freq
 
@@ -165,7 +195,8 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                         break
                 if match:
                     pf_map[d] = len(match)
-        cand = set(pf_map)
+        if phrase_required:
+            cand = set(pf_map)
     elif multi_phrase:
         pf_map = {}
         for d in sorted(cand):
@@ -231,6 +262,17 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             if f > 0:
                 pf_map[d] = f
         cand = set(pf_map)
+    if msm > 0:
+        def _should_hits(d):
+            h = sum(1 for t in set(should) if d in idx.postings.get(t, {}))
+            h += sum(
+                1 for occ, ts in groups
+                if occ == "" and any(d in idx.postings.get(t, {}) for t in ts)
+            )
+            if optional_phrase and d in pf_map:
+                h += 1
+            return h
+        cand = {d for d in cand if _should_hits(d) >= msm}
     if not cand:
         return []
     docs = np.array(sorted(cand), dtype=np.int64)
@@ -244,7 +286,16 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         s = weights[t].score(tf, norm)
         s[tf == 0] = np.float32(0.0)
         per_clause.append(s)
-    if positional:
+    for occ, ts in groups:
+        if occ == "-":
+            continue
+        for t in ts:
+            post = idx.postings.get(t, {})
+            tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+            s = weights[t].score(tf, norm)
+            s[tf == 0] = np.float32(0.0)
+            per_clause.append(s)
+    if positional and (pos_terms & set(idx.postings)):
         if phrase:
             idf_sum = np.float32(
                 sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in phrase_terms)
@@ -273,9 +324,15 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         else:
             idf_sum = np.float32(idf_f32(len(idx.postings[span_first[0]]), idx.doc_count))
         wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        if phrase:
+            # BoostQuery around the phrase (identical float32 order to
+            # _make_range_scorer)
+            wv = np.float32(wv * np.float32(phrase_boost))
         cache = weights[sorted(pos_terms & set(idx.postings))[0]].cache
-        pf = np.array([pf_map[int(d)] for d in docs], dtype=np.float32)
-        per_clause.append((wv * pf / (pf + cache[norm])).astype(np.float32))
+        pf = np.array([pf_map.get(int(d), 0) for d in docs], dtype=np.float32)
+        ps = (wv * pf / (pf + cache[norm])).astype(np.float32)
+        ps[pf == 0] = np.float32(0.0)
+        per_clause.append(ps)
     if not per_clause:
         return []
     if spec.dismax:

@@ -1,21 +1,44 @@
 """Classic query parser: string -> BooleanSpec -> IndexSearcher.
 
-Covers the core of the reference grammar
+Covers the reference grammar's core
 (lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/
-QueryParser.jj; QueryParserBase.java:113 parse(); used as the primary
-entry point in demo/SearchFiles.java and ReutersQueryMaker.java:42-65):
+QueryParser.jj; QueryParserBase.java:113 parse(); primary entry point in
+demo/SearchFiles.java and the benchmark query set
+ReutersQueryMaker.java:42-55):
 
   term                    -> SHOULD TermQuery (analyzed)
-  +term / -term           -> MUST / MUST_NOT
+  +term / -term           -> MUST / MUST_NOT (Modifiers production)
+  X AND Y / X && Y        -> infix conjunction: promotes BOTH sides to
+                             MUST (QueryParserBase.addClause: CONJ_AND
+                             retroactively upgrades the previous clause
+                             unless it is prohibited)
+  X OR Y / X || Y         -> explicit SHOULD (default operator is OR)
+  NOT Y / !Y              -> MUST_NOT
+  (a b) / (a OR b)        -> grouped clause: a nested SHOULD-only
+                             BooleanQuery; +(...)/AND (...) makes the
+                             group required, -(...)/NOT (...) prohibited
   "a phrase"              -> PhraseQuery (analysis positions kept)
   "a phrase"~N            -> sloppy phrase, slop N
-  term^2.5                -> BoostQuery on the clause
-  wild* / wi?d            -> WildcardQuery -> term-dict expansion (SHOULD)
+  "a phrase"^F            -> BoostQuery around the phrase
+  term^2.5                -> BoostQuery on the term clause
+  wild* / wi?d            -> WildcardQuery -> term-dict expansion
   fuzzy~ / fuzzy~1        -> FuzzyQuery (edit distance, default 2)
+  [a TO b] / {a TO b}     -> TermRangeQuery over the term dictionary
+                             ([ ] inclusive, { } exclusive; mixed ok)
   field:term              -> single-field engine: field name stripped
 
-Out of scope (documented): grouping parens, ranges, AND/OR/NOT infix
-operators (the +/- unary forms cover the same semantics), escaping.
+Operator keywords are case-sensitive uppercase, as in the reference
+grammar — lowercase "and"/"or"/"not" are ordinary terms (and fall to the
+stop filter). r2's parser treated ALL of AND/OR/NOT as terms, so
+`X AND Y` silently executed as `X OR Y`; that trap is gone.
+
+Engine-model restrictions (documented, raise ValueError):
+ - one phrase clause per query; an unmarked phrase is an OPTIONAL
+   SHOULD clause (BooleanSpec.phrase_occur=''): docs matching the other
+   clauses but not the phrase still match, exactly Lucene's default-OR
+   semantics. A prohibited (-) phrase is rejected.
+ - groups are one level deep and SHOULD-only inside (covers the classic
+   `(a OR b) AND c` shape); nested parens / +/- inside a group raise.
 """
 
 from __future__ import annotations
@@ -26,18 +49,22 @@ from dataclasses import dataclass, field
 from ..analysis.tokenizer import analyze
 from .engine import BooleanSpec, IndexSearcher, phrase_spec
 
-_TOKEN = re.compile(
+_LEXER = re.compile(
     r"""
-    (?P<occur>[+-]?)
-    (?:(?P<field>[A-Za-z_][\w]*):)?
-    (?:
-        "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
-      | (?P<word>[^\s^]+)
-    )
-    (?:\^(?P<boost>\d+(?:\.\d+)?))?
+    (?P<lparen>\() | (?P<rparen>\))
+  | (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!)
+  | (?P<plus>\+) | (?P<minus>-)
+  | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+  | (?:(?P<rfield>[A-Za-z_]\w*):)?
+    (?P<lb>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<rb>[\]}])
+  | (?:(?P<field>[A-Za-z_]\w*):)?
+    (?P<word>[^\s^()]+?)(?:\^(?P<boost>\d+(?:\.\d+)?))?(?=[\s()]|$)
     """,
     re.VERBOSE,
 )
+
+#: wildcard/range bound sentinels
+_OPEN = "*"
 
 
 @dataclass
@@ -45,78 +72,250 @@ class ParsedQuery:
     should: list[str] = field(default_factory=list)
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
-    phrase: tuple = ()  # ((term, offset), ...) from the FIRST phrase clause
+    phrase: tuple = ()  # ((term, offset), ...) from the phrase clause
     slop: int = 0
+    phrase_boost: float = 1.0
+    # '' = optional SHOULD phrase clause, '+' = required (see
+    # BooleanSpec.phrase_occur)
+    phrase_occur: str = "+"
     boosts: dict[str, float] = field(default_factory=dict)
-    # unexpanded multi-term clauses: [(kind, payload, occur)]
-    expansions: list[tuple[str, str, str]] = field(default_factory=list)
+    # unexpanded multi-term clauses: [(kind, payload, occur)];
+    # kind 'wildcard'/'fuzzy' carry a string payload, 'range' carries
+    # (lo, hi, include_lo, include_hi)
+    expansions: list[tuple] = field(default_factory=list)
+    # paren groups: [(occur, [terms], [expansions])] — one nesting level,
+    # SHOULD-only inside
+    groups: list[tuple[str, list[str], list[tuple]]] = field(default_factory=list)
+
+
+def _lex(query: str):
+    """Token stream: ('(', ')', 'AND', 'OR', 'NOT', '+', '-') markers or
+    ('clause', nodedict)."""
+    for m in _LEXER.finditer(query or ""):
+        if m.group("lparen"):
+            yield ("(", None)
+        elif m.group("rparen"):
+            yield (")", None)
+        elif m.group("and"):
+            yield ("AND", None)
+        elif m.group("or"):
+            yield ("OR", None)
+        elif m.group("not"):
+            yield ("NOT", None)
+        elif m.group("plus"):
+            yield ("+", None)
+        elif m.group("minus"):
+            yield ("-", None)
+        elif m.group("phrase") is not None:
+            yield (
+                "clause",
+                {
+                    "kind": "phrase",
+                    "text": m.group("phrase"),
+                    "slop": int(m.group("slop") or 0),
+                    "boost": float(m.group("pboost")) if m.group("pboost") else None,
+                },
+            )
+        elif m.group("lo") is not None:
+            yield (
+                "clause",
+                {
+                    "kind": "range",
+                    "lo": m.group("lo"),
+                    "hi": m.group("hi"),
+                    "inc_lo": m.group("lb") == "[",
+                    "inc_hi": m.group("rb") == "]",
+                },
+            )
+        else:
+            word = m.group("word")
+            if not word:
+                continue
+            boost = float(m.group("boost")) if m.group("boost") else None
+            yield ("clause", {"kind": "word", "text": word, "boost": boost})
+
+
+def _collect_clauses(tokens, depth: int = 0):
+    """The Query/Clause productions: returns [(conj, mods, node)] where
+    node is a clause dict or ('group', inner_list). Classic addClause
+    occur resolution happens in the caller."""
+    out = []
+    conj = None
+    mods = ""
+    for kind, val in tokens:
+        if kind == "(":
+            inner = _collect_clauses(tokens, depth + 1)
+            out.append((conj, mods, ("group", inner)))
+            conj, mods = None, ""
+        elif kind == ")":
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query")
+            return out
+        elif kind in ("AND", "OR"):
+            conj = kind
+        elif kind == "NOT":
+            mods = "-"
+        elif kind in ("+", "-"):
+            mods = kind
+        else:
+            out.append((conj, mods, ("clause", val)))
+            conj, mods = None, ""
+    if depth > 0:
+        raise ValueError("unbalanced '(' in query")
+    return out
+
+
+def _resolve_occurs(clauses):
+    """QueryParserBase.addClause semantics, default operator OR:
+    occur = MUST_NOT for -/NOT, MUST for + or a preceding AND, else
+    SHOULD; AND also retroactively promotes the PREVIOUS clause to MUST
+    unless it is prohibited."""
+    resolved = []  # [(occur, node)]
+    for conj, mods, node in clauses:
+        if conj == "AND" and resolved and resolved[-1][0] != "-":
+            resolved[-1] = ("+", resolved[-1][1])
+        if mods == "-":
+            occur = "-"
+        elif mods == "+" or conj == "AND":
+            occur = "+"
+        else:
+            occur = ""
+        resolved.append((occur, node))
+    return resolved
+
+
+def _word_node(word: str, occur: str, out_terms, out_expansions, boosts=None, boost=None):
+    """Classify a bare word: wildcard / fuzzy / analyzed term."""
+    if "*" in word or "?" in word:
+        out_expansions.append(("wildcard", word, occur))
+        return
+    fz = re.fullmatch(r"(.+?)~(\d?)", word)
+    if fz:
+        out_expansions.append(("fuzzy", f"{fz.group(1)}:{fz.group(2) or 2}", occur))
+        return
+    terms = analyze(word)
+    if not terms:
+        return
+    t = terms[0]
+    if boost is not None and boosts is not None:
+        boosts[t] = boost
+    out_terms.append(t)
 
 
 def parse(query: str) -> ParsedQuery:
     out = ParsedQuery()
-    for m in _TOKEN.finditer(query or ""):
-        occur = m.group("occur") or ""
-        boost = float(m.group("boost")) if m.group("boost") else None
-        if m.group("phrase") is not None:
+    resolved = _resolve_occurs(_collect_clauses(iter(_lex(query))))
+    for occur, node in resolved:
+        tag, val = node
+        if tag == "group":
+            g_terms: list[str] = []
+            g_exp: list[tuple] = []
+            for g_occ, g_node in _resolve_occurs(val):
+                g_tag, g_val = g_node
+                if g_tag == "group":
+                    raise ValueError("parser supports one level of grouping")
+                if g_occ != "":
+                    raise ValueError(
+                        "groups are SHOULD-only inside (use +(...)/-(...)"
+                        " or AND/NOT before the group to set its occur)"
+                    )
+                if g_val["kind"] == "phrase":
+                    raise ValueError("phrase inside a group is not supported")
+                if g_val["kind"] == "range":
+                    g_exp.append(
+                        ("range",
+                         (g_val["lo"], g_val["hi"], g_val["inc_lo"], g_val["inc_hi"]),
+                         "")
+                    )
+                else:
+                    _word_node(g_val["text"], "", g_terms, g_exp)
+            if g_terms or g_exp:
+                out.groups.append((occur, g_terms, g_exp))
+            continue
+        kind = val["kind"]
+        if kind == "phrase":
+            spec = phrase_spec(val["text"], slop=val["slop"])
+            if not spec.phrase:
+                continue
             if out.phrase:
                 raise ValueError("parser supports one phrase clause per query")
-            spec = phrase_spec(m.group("phrase"), slop=int(m.group("slop") or 0))
+            if occur == "-":
+                raise ValueError("prohibited (-) phrase clause is not supported")
             out.phrase, out.slop = spec.phrase, spec.slop
+            if val["boost"] is not None:
+                out.phrase_boost = val["boost"]
+            out.phrase_occur = occur
             continue
-        word = m.group("word")
-        if not word:
-            continue
-        if "*" in word or "?" in word:
-            out.expansions.append(("wildcard", word, occur))
-            continue
-        fz = re.fullmatch(r"(.+?)~(\d?)", word)
-        if fz:
+        if kind == "range":
             out.expansions.append(
-                ("fuzzy", f"{fz.group(1)}:{fz.group(2) or 2}", occur)
+                ("range", (val["lo"], val["hi"], val["inc_lo"], val["inc_hi"]), occur)
             )
             continue
-        terms = analyze(word)
-        if not terms:
-            continue
-        t = terms[0]
-        if boost is not None:
-            out.boosts[t] = boost
-        (out.must_not if occur == "-" else out.must if occur == "+" else out.should).append(t)
+        tgt = out.must_not if occur == "-" else out.must if occur == "+" else out.should
+        _word_node(val["text"], occur, tgt, out.expansions, out.boosts, val["boost"])
     return out
 
 
 def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -> BooleanSpec:
     """Resolve multi-term clauses against the term dictionary and build
-    the final BooleanSpec (the QueryParser's rewrite step)."""
+    the final BooleanSpec (the QueryParser's rewrite step:
+    TopTermsScoringBooleanQueryRewrite caps each expansion at max_terms;
+    the rewritten SHOULD-of-terms keeps its clause occur by nesting —
+    a '+' expansion becomes a required GROUP, i.e. at least one expanded
+    term must match and matching terms' scores sum, exactly
+    BooleanQuery-wrapping-the-rewrite semantics)."""
+
+    def _expand(kind: str, payload) -> list[str]:
+        if kind == "wildcard":
+            like = payload.replace("*", "%").replace("?", "_")
+            return searcher.expand_terms(like=like, max_terms=max_terms)
+        if kind == "range":
+            lo, hi, inc_lo, inc_hi = payload
+            return searcher.expand_terms(
+                lower=None if lo == _OPEN else analyze(lo)[0] if analyze(lo) else lo,
+                upper=None if hi == _OPEN else analyze(hi)[0] if analyze(hi) else hi,
+                include_lower=inc_lo,
+                include_upper=inc_hi,
+                max_terms=max_terms,
+            )
+        base, _sep, edits = payload.partition(":")
+        return searcher.expand_terms(
+            fuzzy=base, max_edits=int(edits), max_terms=max_terms
+        )
+
     should = list(parsed.should)
     must = list(parsed.must)
     must_not = list(parsed.must_not)
+    groups: list[tuple[str, tuple[str, ...]]] = []
+    for occ, g_terms, g_exp in parsed.groups:
+        terms = list(g_terms)
+        for kind, payload, _occ in g_exp:
+            terms.extend(sorted(set(_expand(kind, payload))))
+        if terms:
+            groups.append((occ, tuple(terms)))
     for kind, payload, occur in parsed.expansions:
-        if kind == "wildcard":
-            like = payload.replace("*", "%").replace("?", "_")
-            terms = searcher.expand_terms(like=like, max_terms=max_terms)
+        terms = sorted(set(_expand(kind, payload)))
+        if occur == "-":
+            must_not.extend(terms)
+        elif occur == "+":
+            # required multi-term clause: >=1 expanded term must match
+            if terms:
+                groups.append(("+", tuple(terms)))
+            else:
+                # required expansion with zero index terms matches nothing
+                groups.append(("+", ("\x00<no-term>",)))
         else:
-            base, _sep, edits = payload.partition(":")
-            terms = searcher.expand_terms(
-                fuzzy=base, max_edits=int(edits), max_terms=max_terms
-            )
-        tgt = must_not if occur == "-" else must if occur == "+" else should
-        # expanded clauses are SHOULD-of-expansion even under +/- in
-        # Lucene's rewrite; approximate MUST as at-least-one via should
-        # when occur == '+', matching ConstantScore semantics closely
-        # enough for a single-field engine: keep it simple and document.
-        if occur == "+" and terms:
-            # require at least one expansion: model as min_should_match
-            # handled by caller; here we add to should
-            tgt = should
-        tgt.extend(sorted(set(terms)))
+            should.extend(terms)
     return BooleanSpec(
         should=tuple(should),
         must=tuple(must),
         must_not=tuple(must_not),
         phrase=parsed.phrase,
+        phrase_occur=parsed.phrase_occur,
         slop=parsed.slop,
+        phrase_boost=parsed.phrase_boost,
         boosts=tuple(sorted(parsed.boosts.items())),
+        groups=tuple(groups),
     )
 
 

@@ -102,3 +102,73 @@ def test_phrase_with_filter(built):
     expected = oracle_topk_spec(oidx, spec, k=10)
     got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
     _assert_identical(got, expected, "phrase+not")
+
+
+GROUP_CASES = [
+    # (a OR b) AND c
+    BooleanSpec(must=("parse",), groups=(("+", ("index", "merge")),)),
+    # should-group + should term, msm via either
+    BooleanSpec(should=("token",), groups=(("", ("parse", "merge")),)),
+    # negative group
+    BooleanSpec(should=("parse",), groups=(("-", ("hotcommon",)),)),
+    # two groups, one required one optional
+    BooleanSpec(groups=(("+", ("parse", "index")), ("", ("merge", "token")))),
+    # group with an absent member
+    BooleanSpec(groups=(("+", ("parse", "zzz_missing")),)),
+    # required group entirely absent -> empty
+    BooleanSpec(should=("parse",), groups=(("+", ("zzz_missing",)),)),
+]
+
+
+@pytest.mark.parametrize("spec", GROUP_CASES, ids=[str(i) for i in range(len(GROUP_CASES))])
+def test_group_rank_identity(built, spec):
+    """Nested SHOULD-group clauses (classic parser parens): engine ==
+    control oracle rank+score."""
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, ("group", spec))
+
+
+OPTIONAL_PHRASE_CASES = [
+    # optional phrase + should term: docs matching either clause match
+    ("parse index", 0, 1.0, ("merge",)),
+    # optional sloppy phrase + should term
+    ("parse merge", 2, 1.0, ("token",)),
+    # boosted optional phrase
+    ("index merge", 0, 2.5, ("parse",)),
+]
+
+
+@pytest.mark.parametrize("q,slop,boost,should", OPTIONAL_PHRASE_CASES)
+def test_optional_phrase_rank_identity(built, q, slop, boost, should):
+    """phrase_occur='': the phrase is one SHOULD clause among others
+    (BooleanQuery default-OR), not a filter."""
+    searcher, oidx = built
+    base = phrase_spec(q, slop=slop)
+    spec = BooleanSpec(
+        phrase=base.phrase, slop=base.slop, phrase_occur="",
+        phrase_boost=boost, should=should,
+    )
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, ("opt-phrase", q, slop, boost))
+    # the optional phrase must be a strict superset of the required one
+    req = BooleanSpec(phrase=base.phrase, slop=base.slop, should=should)
+    req_docs = {d for d, _ in oracle_topk_spec(oidx, req, k=1000)}
+    opt_docs = {d for d, _ in oracle_topk_spec(oidx, spec, k=1000)}
+    assert req_docs <= opt_docs
+
+
+def test_phrase_boost_rank_identity(built):
+    """'"..."^2' (BoostQuery around PhraseQuery): boosted weightValue,
+    float32-identical to the control oracle."""
+    searcher, oidx = built
+    base = phrase_spec("parse index")
+    spec = BooleanSpec(phrase=base.phrase, phrase_boost=2.0)
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, "phrase-boost")
+    # boost must not change the matched set, only scores
+    plain = oracle_topk_spec(oidx, phrase_spec("parse index"), k=1000)
+    assert {d for d, _ in expected} <= {d for d, _ in plain}

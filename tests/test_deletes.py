@@ -84,3 +84,37 @@ def test_deletes_mask_with_stale_stats_then_purge(spark, tmp_root, corpus):
     s_fresh = IndexSearcher(spark, fresh_dir)
     assert s2.sum_ttf == s_fresh.sum_ttf
     assert _hits(s2) == _hits(s_fresh)  # rank- AND score-identical
+
+
+def test_corpus_scale_deletes_cogroup_no_driver_bitset(spark, tmp_root, corpus, monkeypatch):
+    """When the tombstone set exceeds DELETES_DRIVER_MAX the reader keeps
+    it as a DataFrame and cogroups it into each doc-range scorer by
+    range_id — no driver materialization — with results identical to the
+    in-closure bitset mode."""
+    from lucene_solr_spark.index import deletes as deletes_mod
+
+    d = os.path.join(tmp_root, "idx_del_big")
+    build_index(
+        spark, spark.createDataFrame(corpus), out_dir=d, content_col="content",
+        doc_id_col="doc_id", meta_cols=["repo", "path"], range_size=64,
+        fingerprint="delbig240",
+    )
+    delete_docs(spark, d, {1, 2, 3, 64, 65, 130})
+
+    s_small = IndexSearcher(spark, d)  # array mode (6 <= default max)
+    assert s_small.deleted is not None and s_small.deleted_df is None
+
+    monkeypatch.setattr(deletes_mod, "DELETES_DRIVER_MAX", 2)
+    s_big = IndexSearcher(spark, d)  # forced DataFrame mode
+    assert s_big.deleted is None and s_big.deleted_df is not None
+
+    for q, m in QUERIES:
+        want = [(r["doc_id"], r["score"]) for r in s_small.topk(q, k=20, mode=m).collect()]
+        hits_df = s_big.topk(q, k=20, mode=m)
+        got = [(r["doc_id"], r["score"]) for r in hits_df.collect()]
+        assert got == want, (q, m)
+        assert all(doc not in {1, 2, 3, 64, 65, 130} for doc, _ in got)
+
+    # plan shape: tombstones flow through a cogroup, not a collected bitset
+    plan = s_big.topk("parse index", k=10, mode="or")._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" in plan

@@ -83,3 +83,171 @@ def test_parser_expansions_end_to_end(spark):
         for r in s.topk_spec(BooleanSpec(should=fz), k=10).collect()
     ] if fz else []
     assert got_f == want_f
+
+
+# ---------------------------------------------------------------- infix ops
+
+def test_infix_and_promotes_both_sides():
+    p = parse("merge AND fast")
+    assert p.must == ["merge", "fast"]
+    assert not p.should
+
+
+def test_infix_mixed_and_or_not():
+    # QueryParserBase.addClause, default operator OR:
+    # merge AND fast -> both MUST; sort -> SHOULD; NOT dup -> MUST_NOT
+    p = parse("merge AND fast sort NOT dup")
+    assert p.must == ["merge", "fast"]
+    assert p.should == ["sort"]
+    assert p.must_not == ["dup"]
+
+
+def test_infix_or_is_should():
+    p = parse("merge OR fast")
+    assert p.should == ["merge", "fast"]
+    assert not p.must
+
+
+def test_and_symbols():
+    p = parse("merge && fast")
+    assert p.must == ["merge", "fast"]
+    p = parse("merge || fast")
+    assert p.should == ["merge", "fast"]
+    p = parse("merge !dup")
+    assert p.should == ["merge"] and p.must_not == ["dup"]
+
+
+def test_lowercase_and_is_a_term_not_an_operator():
+    # 'and' is analyzed (and stop-filtered) — the r2 trap where
+    # uppercase AND ALSO fell through to the stop filter is gone
+    p = parse("spark and merge")
+    assert p.should == ["spark", "merge"]
+    assert not p.must
+
+
+def test_and_not_combination():
+    p = parse("merge AND NOT dup")
+    assert p.must == ["merge"]
+    assert p.must_not == ["dup"]
+
+
+# ---------------------------------------------------------------- groups
+
+def test_paren_group_with_and():
+    p = parse("(spark OR vector) AND merge")
+    assert p.groups == [("+", ["spark", "vector"], [])]
+    assert p.must == ["merge"]
+
+
+def test_paren_group_should():
+    p = parse("(spark vector) merge")
+    assert p.groups == [("", ["spark", "vector"], [])]
+    assert p.should == ["merge"]
+
+
+def test_paren_group_negated():
+    p = parse("merge -(spark vector)")
+    assert p.groups == [("-", ["spark", "vector"], [])]
+    assert p.should == ["merge"]
+
+
+def test_group_with_wildcard_member():
+    p = parse("(mer* fast) AND sort")
+    assert p.groups == [("+", ["fast"], [("wildcard", "mer*", "")])]
+    assert p.must == ["sort"]
+
+
+def test_nested_groups_raise():
+    import pytest
+    with pytest.raises(ValueError):
+        parse("((a b) c) d")
+
+
+def test_unbalanced_parens_raise():
+    import pytest
+    with pytest.raises(ValueError):
+        parse("(a b")
+    with pytest.raises(ValueError):
+        parse("a b)")
+
+
+# ---------------------------------------------------------------- ranges
+
+def test_term_range_inclusive():
+    p = parse("[mer TO met]")
+    assert p.expansions == [("range", ("mer", "met", True, True), "")]
+
+
+def test_term_range_exclusive_and_field():
+    p = parse("text:{mer TO met}")
+    assert p.expansions == [("range", ("mer", "met", False, False), "")]
+
+
+def test_term_range_open_ended():
+    p = parse("[merge TO *]")
+    assert p.expansions == [("range", ("merge", "*", True, True), "")]
+
+
+# ---------------------------------------------------------------- phrases
+
+def test_phrase_boost_and_occur():
+    p = parse('"fast sort"^2 AND spark')
+    assert p.phrase_boost == 2.0
+    assert p.phrase_occur == "+"  # AND-promoted
+    assert p.must == ["spark"]
+
+
+def test_optional_phrase_occur():
+    p = parse('"fast sort" spark')
+    assert p.phrase_occur == ""
+    assert p.should == ["spark"]
+
+
+def test_prohibited_phrase_raises():
+    import pytest
+    with pytest.raises(ValueError):
+        parse('-"fast sort" spark')
+
+
+# ------------------------------------------------------- the Reuters set
+
+REUTERS_QUERIES = [
+    # ReutersQueryMaker.java:42-55 STANDARD_QUERIES, verbatim
+    "Salomon", "Comex", "night trading", "Japan Sony",
+    '"Sony Japan"', '"food needs"~3',
+    '"World Bank"^2 AND Nigeria', '"World Bank" -Nigeria',
+    '"Ford Credit"~5',
+    "airline Europe Canada destination",
+    "Long term pressure by trade ministers is necessary if the current "
+    "Uruguay round of talks on the General Agreement on Trade and Tariffs "
+    "(GATT) is to succeed",
+]
+
+
+def test_reuters_query_set_parses():
+    for q in REUTERS_QUERIES:
+        parse(q)  # must not raise
+
+
+def test_reuters_world_bank_and():
+    p = parse('"World Bank"^2 AND Nigeria')
+    assert [t for t, _ in p.phrase] == ["world", "bank"]
+    assert p.phrase_boost == 2.0
+    assert p.phrase_occur == "+"
+    assert p.must == ["nigeria"]
+
+
+def test_reuters_world_bank_minus():
+    p = parse('"World Bank" -Nigeria')
+    assert [t for t, _ in p.phrase] == ["world", "bank"]
+    assert p.phrase_occur == ""
+    assert p.must_not == ["nigeria"]
+
+
+def test_reuters_gatt_long_query():
+    p = parse(REUTERS_QUERIES[-1])
+    # stopwords dropped; 'trade' appears twice = duplicate SHOULD clauses
+    assert p.should.count("trade") == 2
+    # '(GATT)' parses as a one-term group
+    assert ("", ["gatt"], []) in p.groups
+    assert not p.must and not p.must_not
