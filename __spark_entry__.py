@@ -36,6 +36,7 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_span_within_sql,
     bm25_synonym_sql,
     bm25_topk_sql,
+    classic_tfidf_sql,
 )
 from lucene_solr_spark.ops.index_access import searcher_for as _searcher
 from lucene_solr_spark.ops.pipeline import OPS as PIPELINE_OPS
@@ -86,6 +87,8 @@ MULTI_PHRASE_QUERIES = {
     "bm25_multi_phrase": [["fast", "quick"], ["merge", "sort"]],
 }
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
+# second Similarity through the same scorer (setSimilarity plug point)
+CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
 # query strings through the classic parser (QueryParserBase.parse); the
 # oracle renders the equivalent hand-built query
 PARSER_QUERIES = {
@@ -224,6 +227,21 @@ def _regexp_query_fn(pattern: str, cap: int):
     return run
 
 
+def _classic_query_fn(query: str):
+    """ClassicSimilarity (TF-IDF) through the SAME scorer path — the
+    IndexSearcher.setSimilarity plug point (§2.10), second score model
+    (similarities/ClassicSimilarity.java)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.analysis.tokenizer import analyze
+        from lucene_solr_spark.search.engine import BooleanSpec
+
+        s = _searcher(spark, sf_dir)
+        spec = BooleanSpec(should=tuple(analyze(query)), similarity="classic")
+        return _ranked(s.topk_spec(spec, k=10))
+
+    return run
+
+
 def _parser_query_fn(qstr: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(parse_and_search(_searcher(spark, sf_dir), qstr, k=10))
@@ -340,6 +358,8 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _synonym_query_fn(q), bm25_synonym_sql(q, k=10)))
     for name, boosts in BOOST_QUERIES.items():
         scoring.append((name, _boost_query_fn(boosts), bm25_boosted_sql(boosts, k=10)))
+    for name, q in CLASSIC_QUERIES.items():
+        scoring.append((name, _classic_query_fn(q), classic_tfidf_sql(q, k=10)))
     for name, (q, slop) in PHRASE_QUERIES.items():
         positional.append((name, _phrase_query_fn(q, slop), bm25_phrase_sql(q, k=10, slop=slop)))
     for name, (terms, slop, in_order) in SPAN_QUERIES.items():

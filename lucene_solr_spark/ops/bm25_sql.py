@@ -32,20 +32,40 @@ B = 0.75
 MAX_DL = 1 << 20
 
 
-@lru_cache(maxsize=1)
-def norm_lut_rows() -> list[tuple[int, int, float]]:
-    """(dl_lo, dl_hi, decoded_norm) ranges covering dl in [0, MAX_DL]."""
+def _lut_rows(values_of_byte: np.ndarray) -> list[tuple[int, int, float]]:
+    """(dl_lo, dl_hi, value) ranges covering dl in [0, MAX_DL] for any
+    per-norm-byte value table (the byte is a monotone step fn of dl)."""
     dl = np.arange(0, MAX_DL + 1, dtype=np.int64)
     bytes_ = encode_norm(dl)
-    dnorm = NORM_TABLE[bytes_].astype(np.float64)
+    vals = values_of_byte[bytes_].astype(np.float64)
     cuts = np.flatnonzero(np.diff(bytes_.astype(np.int32))) + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts - 1, [MAX_DL]))
-    return [(int(s), int(e), float(dnorm[s])) for s, e in zip(starts, ends)]
+    return [(int(s), int(e), float(vals[s])) for s, e in zip(starts, ends)]
+
+
+@lru_cache(maxsize=1)
+def norm_lut_rows() -> list[tuple[int, int, float]]:
+    """BM25 decode: (dl_lo, dl_hi, reconstructed dl) ranges."""
+    return _lut_rows(NORM_TABLE)
 
 
 def norm_lut_values_sql() -> str:
     rows = ",".join(f"({lo},{hi},{v!r})" for lo, hi, v in norm_lut_rows())
+    return f"(VALUES {rows})"
+
+
+@lru_cache(maxsize=1)
+def classic_norm_lut_rows() -> list[tuple[int, int, float]]:
+    """ClassicSimilarity decode: (dl_lo, dl_hi, byte315ToFloat(byte)) —
+    the raw decoded lengthNorm, NOT BM25's reconstructed dl."""
+    from ..analysis.smallfloat import byte315_to_float
+
+    return _lut_rows(byte315_to_float(np.arange(256, dtype=np.uint8)))
+
+
+def classic_norm_lut_values_sql() -> str:
+    rows = ",".join(f"({lo},{hi},{v!r})" for lo, hi, v in classic_norm_lut_rows())
     return f"(VALUES {rows})"
 
 
@@ -1104,6 +1124,54 @@ pidfw AS (
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
 FROM combined
 WHERE {" AND ".join(conds)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def classic_tfidf_sql(query: str, k: int = 10) -> str:
+    """ClassicSimilarity (TF-IDF) oracle: per matching term clause
+    sqrt(tf) * idf^2 * decodedLengthNorm with idf = ln((N+1)/(df+1)) + 1
+    (similarities/ClassicSimilarity.java tf:120 idf:138 lengthNorm:109;
+    TFIDFSimilarity score = tf * weightValue * decodeNorm). Rank-only."""
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+cnorm_lut(dl_lo, dl_hi, cnorm) AS (SELECT * FROM {classic_norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           sqrt(tf.tf)
+           * pow(ln((s.n + 1) / (dfs.df + 1)) + 1.0, 2)
+           * lut.cnorm
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN cnorm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """

@@ -1178,10 +1178,12 @@ MM_FRAME_STRIDE = 4  # sample every 4th frame
 MM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("header_byte", T.IntegerType(), False),
-        T.StructField("est_frames", T.LongType(), False),
         T.StructField("width", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        # decoded content statistic: mean pixel value (bmp) / PCM RMS (wav)
+        T.StructField("feat", T.DoubleType(), False),
         # resize stage: cap the long edge at MM_TARGET_W (aspect kept)
         T.StructField("resized_w", T.IntegerType(), False),
         # frame-sample stage: every MM_FRAME_STRIDE-th frame
@@ -1190,74 +1192,199 @@ MM_SCHEMA = T.StructType(
 )
 
 
-def _decode_media_batch(payloads: list[bytes]) -> list[tuple]:
-    """Deterministic fake decoder + feature pipeline. A real deployment
-    swaps this for PIL/av/librosa over the same binary column; those
-    libs are absent in this container, so decode/resize/frame-sample are
-    documented deterministic stand-ins (the Spark-side plumbing —
-    binary column, Arrow batches, schema, partitioning — is the real
-    thing): width from the payload, resized width = min(width, target),
-    sampled frames = ceil(est_frames / stride)."""
-    try:  # pragma: no cover - real decoder path, lib not installed here
-        import PIL.Image  # noqa: F401
+def _synth_media_batch(doc_ids) -> list[bytes]:
+    """Deterministic media corpus: even doc_ids get a REAL 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + padded bottom-up pixel rows),
+    odd ones a REAL RIFF/WAVE PCM s16 mono file. Dimensions and content
+    derive from doc_id alone so the DuckDB oracle can recompute every
+    decoded field arithmetically without parsing binary."""
+    import struct
 
-        raise NotImplementedError("real image decode not wired in this sandbox")
-    except ImportError:
-        pass
+    out = []
+    for did in doc_ids:
+        did = int(did)
+        if did % 2 == 0:
+            w = 4 + did % 13
+            h = 3 + did % 7
+            seed = (did * 31) % 256
+            stride = ((w * 3 + 3) // 4) * 4
+            px = ((seed + np.arange(w * h * 3, dtype=np.int64) * 7) % 256).astype(np.uint8)
+            rows = px.reshape(h, w * 3)
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = rows
+            data = padded[::-1].tobytes()  # bottom-up row order
+            size = 54 + len(data)
+            hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+            out.append(hdr + info + data)
+        else:
+            n = 2000 + did % 500
+            sr = 8000
+            samples = (((did * 17 + np.arange(n, dtype=np.int64) * 5) % 201) - 100).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+                + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16)
+                + struct.pack("<4sI", b"data", len(data))
+            )
+            out.append(hdr + data)
+    return out
+
+
+def _decode_bmp(payload: bytes) -> tuple:
+    """Pure-numpy BMP decoder: validates the 'BM' magic, reads the pixel
+    array offset, BITMAPINFOHEADER dims/bpp, un-pads the bottom-up rows,
+    and computes the mean pixel value over the REAL decoded pixels."""
+    import struct
+
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    stride = ((w * 3 + 3) // 4) * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h), offset=offset)
+    rows = raw.reshape(abs(h), stride)[:, : w * 3]
+    if h > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    mean_px = float(rows.astype(np.float64).mean())
+    return ("bmp", w, abs(h), mean_px)
+
+
+def _decode_wav(payload: bytes) -> tuple:
+    """Pure-numpy RIFF/WAVE decoder: walks the chunk list, parses the
+    fmt chunk (PCM s16 mono), decodes the data chunk samples, and
+    computes the PCM RMS."""
+    import struct
+
+    riff, _sz, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            _fmt, channels, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if sr is None or data is None or bits != 16 or channels != 1:
+        raise ValueError("unsupported WAV variant")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
+    return ("wav", sr, samples.size, rms)
+
+
+def _decode_media_batch(payloads: list[bytes]) -> list[tuple]:
+    """Container sniff + real decode (the r2 deterministic stand-in and
+    its NotImplementedError path are gone): BMP -> (w, h, mean pixel),
+    WAV -> (sample_rate, n_samples, rms). Feature/resize/frame-sample
+    stages derive from the decoded values."""
     out = []
     for p in payloads:
-        n = len(p)
-        est_frames = n // 256 + 1
-        width = 1 + (n % 640)
+        if p[:2] == b"BM":
+            modality, width, frames, feat = _decode_bmp(p)
+        else:
+            modality, width, frames, feat = _decode_wav(p)
         out.append(
             (
-                n,
-                p[0] if n else 0,
-                est_frames,
+                modality,
+                len(p),
                 width,
+                frames,
+                round(feat, 4),
                 min(width, MM_TARGET_W),
-                (est_frames + MM_FRAME_STRIDE - 1) // MM_FRAME_STRIDE,
+                (frames + MM_FRAME_STRIDE - 1) // MM_FRAME_STRIDE,
             )
         )
     return out
 
 
-def _mm_map(iterator):
+def _mm_synth_map(iterator):
+    for pdf in iterator:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": _synth_media_batch(pdf["doc_id"]),
+            }
+        )
+
+
+def _mm_decode_map(iterator):
     for pdf in iterator:
         decoded = _decode_media_batch([bytes(x) for x in pdf["payload"]])
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": [d[0] for d in decoded],
-                "header_byte": pd.Series([d[1] for d in decoded], dtype="int32"),
-                "est_frames": [d[2] for d in decoded],
-                "width": pd.Series([d[3] for d in decoded], dtype="int32"),
-                "resized_w": pd.Series([d[4] for d in decoded], dtype="int32"),
-                "sampled_frames": [d[5] for d in decoded],
+                "modality": [d[0] for d in decoded],
+                "n_bytes": [d[1] for d in decoded],
+                "width": pd.Series([d[2] for d in decoded], dtype="int32"),
+                "n_frames": [d[3] for d in decoded],
+                "feat": pd.Series([d[4] for d in decoded], dtype="float64"),
+                "resized_w": pd.Series([d[5] for d in decoded], dtype="int32"),
+                "sampled_frames": [d[6] for d in decoded],
             }
         )
 
 
 def multimodal_decode(spark, sf):
-    """Multimodal plumbing: treat content as an opaque binary payload
-    column and run decode -> feature-extract -> resize -> frame-sample
-    as ONE Arrow-batched mapInPandas stage (the brief's image/audio/
-    video pipeline shape). Partitioning, schema, and batch shape are
-    production-real; the decoders are deterministic stubs (see
-    _decode_media_batch)."""
-    d = _docs(spark, sf).select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return d.mapInPandas(_mm_map, schema=MM_SCHEMA).orderBy("doc_id")
+    """Multimodal pipeline over an opaque binary column: synthesize a
+    deterministic media corpus (REAL BMP/WAV containers keyed by doc_id)
+    as one Arrow stage, then decode -> feature-extract -> resize ->
+    frame-sample as a second Arrow-batched mapInPandas stage whose
+    decoders genuinely parse the binary (headers, padding, chunk walks —
+    see _decode_bmp/_decode_wav). Zero shuffle end-to-end; the oracle
+    recomputes every decoded field arithmetically from doc_id."""
+    d = _docs(spark, sf).select("doc_id")
+    payloads = d.mapInPandas(_mm_synth_map, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(_mm_decode_map, schema=MM_SCHEMA).orderBy("doc_id")
 
 
 MULTIMODAL_SQL = f"""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS header_byte,
-       CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS est_frames,
-       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
-       CAST(least(1 + octet_length(encode(text)) % 640, {MM_TARGET_W}) AS INTEGER) AS resized_w,
-       CAST((octet_length(encode(text)) // 256 + 1 + {MM_FRAME_STRIDE - 1}) // {MM_FRAME_STRIDE} AS BIGINT) AS sampled_frames
-FROM documents ORDER BY doc_id
+WITH bmp AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         (doc_id * 31) % 256 AS seed
+  FROM documents WHERE doc_id % 2 = 0
+),
+bmp_px AS (
+  SELECT b.doc_id, avg(CAST((b.seed + (g.i - 1) * 7) % 256 AS DOUBLE)) AS mean_px
+  FROM bmp b, unnest(generate_series(1, b.w * b.h * 3)) AS g(i)
+  GROUP BY b.doc_id
+),
+bmp_rows AS (
+  SELECT b.doc_id, 'bmp' AS modality,
+         CAST(54 + ((b.w * 3 + 3) // 4) * 4 * b.h AS BIGINT) AS n_bytes,
+         CAST(b.w AS INTEGER) AS width,
+         CAST(b.h AS BIGINT) AS n_frames,
+         round(p.mean_px, 4) AS feat,
+         CAST(least(b.w, {MM_TARGET_W}) AS INTEGER) AS resized_w,
+         CAST((b.h + {MM_FRAME_STRIDE - 1}) // {MM_FRAME_STRIDE} AS BIGINT) AS sampled_frames
+  FROM bmp b JOIN bmp_px p USING (doc_id)
+),
+wav AS (
+  SELECT doc_id, 2000 + doc_id % 500 AS n FROM documents WHERE doc_id % 2 = 1
+),
+wav_rms AS (
+  SELECT w.doc_id,
+         sqrt(avg(pow(CAST((w.doc_id * 17 + (g.i - 1) * 5) % 201 - 100 AS DOUBLE), 2))) AS rms
+  FROM wav w, unnest(generate_series(1, w.n)) AS g(i)
+  GROUP BY w.doc_id
+),
+wav_rows AS (
+  SELECT w.doc_id, 'wav' AS modality,
+         CAST(44 + w.n * 2 AS BIGINT) AS n_bytes,
+         CAST(8000 AS INTEGER) AS width,
+         CAST(w.n AS BIGINT) AS n_frames,
+         round(r.rms, 4) AS feat,
+         CAST(least(8000, {MM_TARGET_W}) AS INTEGER) AS resized_w,
+         CAST((w.n + {MM_FRAME_STRIDE - 1}) // {MM_FRAME_STRIDE} AS BIGINT) AS sampled_frames
+  FROM wav w JOIN wav_rms r USING (doc_id)
+)
+SELECT * FROM bmp_rows UNION ALL SELECT * FROM wav_rows ORDER BY doc_id
 """
 
 

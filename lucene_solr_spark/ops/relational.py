@@ -871,6 +871,134 @@ ORDER BY fscore DESC, tf.doc_id ASC LIMIT 20
 """
 
 
+# ------------------------------------------- block join (parent/child)
+
+def block_join_parent(spark, sf):
+    """ToParentBlockJoinQuery (lucene/join/src/java/org/apache/lucene/
+    search/join/ToParentBlockJoinQuery.java; ScoreMode None/Max/Total/
+    Avg in BlockJoinScorer.score): score child hits (lineitem rows
+    matching the child query), aggregate to the parent (orders) per
+    ScoreMode, return ranked parents with their matched-child counts.
+
+    The reference co-locates each parent block with its children at
+    index time (addDocuments block indexing) so the rollup is a
+    per-block walk; the TPC-H layout keys children by l_orderkey
+    instead, so here it is one child-side shuffle + an orderkey join —
+    with doc-block (bucketed-by-parent) layout this collapses to a
+    zero-shuffle mapPartitions. All four score modes ship as a tagged
+    union."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    ch = li.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cs"),
+    )
+    agg = ch.groupBy("l_orderkey").agg(
+        F.max("cs").alias("mx"),
+        F.sum("cs").alias("tot"),
+        F.avg("cs").alias("av"),
+        F.count(F.lit(1)).alias("n_children"),
+    )
+    parents = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    j = agg.join(parents, agg["l_orderkey"] == parents["o_orderkey"])
+    out = None
+    for mode, col in [("avg", "av"), ("max", "mx"), ("none", None), ("total", "tot")]:
+        score = F.round(F.col(col), 2) if col else F.lit(0.0)
+        order = (
+            [F.col(col).desc(), F.col("o_orderkey").asc()]
+            if col
+            else [F.col("o_orderkey").asc()]
+        )
+        q = (
+            j.orderBy(*order)
+            .limit(10)
+            .select(
+                F.lit(mode).alias("score_mode"),
+                "o_orderkey",
+                "o_orderstatus",
+                score.alias("score"),
+                "n_children",
+            )
+        )
+        out = q if out is None else out.unionByName(q)
+    return out.orderBy("score_mode", F.col("score").desc(), "o_orderkey")
+
+
+BLOCK_JOIN_PARENT_SQL = """
+WITH agg AS (
+  SELECT l_orderkey,
+         max(l_extendedprice * (1 - l_discount)) AS mx,
+         sum(l_extendedprice * (1 - l_discount)) AS tot,
+         avg(l_extendedprice * (1 - l_discount)) AS av,
+         count(*) AS n_children
+  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, o.o_orderstatus, a.mx, a.tot, a.av, a.n_children
+  FROM agg a JOIN orders o ON a.l_orderkey = o.o_orderkey
+),
+u AS (
+  SELECT * FROM (
+    SELECT 'avg' AS score_mode, o_orderkey, o_orderstatus,
+           round(av, 2) AS score, n_children
+    FROM j ORDER BY av DESC, o_orderkey ASC LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'max', o_orderkey, o_orderstatus, round(mx, 2), n_children
+    FROM j ORDER BY mx DESC, o_orderkey ASC LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'none', o_orderkey, o_orderstatus, 0.0, n_children
+    FROM j ORDER BY o_orderkey ASC LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'total', o_orderkey, o_orderstatus, round(tot, 2), n_children
+    FROM j ORDER BY tot DESC, o_orderkey ASC LIMIT 10)
+)
+SELECT * FROM u ORDER BY score_mode, score DESC, o_orderkey
+"""
+
+
+# --------------------------------- PointInSetQuery / FieldValueQuery
+
+def point_set_field_value(spark, sf):
+    """PointInSetQuery (search/PointInSetQuery.java: BKD point field in a
+    sorted value set == isin over the points column, pushed to the scan)
+    + FieldValueQuery (search/FieldValueQuery.java: match docs that HAVE
+    a value for a field == isNotNull over doc values). The corpus has no
+    native nulls, so the FieldValue demo first derives a sparse numeric
+    field (value > 90 else null) and then filters on existence — the
+    operator under test is the isNotNull plan. Tagged union."""
+    part = _t(spark, sf, "part")
+    pis = (
+        part.filter(F.col("p_size").isin(5, 15, 25))
+        .groupBy(F.col("p_size").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("point_in_set").alias("variant"), "key", "n")
+    )
+    ev = _t(spark, sf, "events").withColumn(
+        "big_value", F.when(F.col("value") > 90, F.col("value"))
+    )
+    fv = (
+        ev.filter(F.col("big_value").isNotNull())
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("field_value").alias("variant"), "key", "n")
+    )
+    return pis.unionByName(fv).orderBy("variant", "key")
+
+
+POINT_SET_FIELD_VALUE_SQL = """
+SELECT 'point_in_set' AS variant, CAST(p_size AS VARCHAR) AS key, count(*) AS n
+FROM part WHERE p_size IN (5, 15, 25) GROUP BY p_size
+UNION ALL
+SELECT 'field_value', event_type, count(*)
+FROM (SELECT event_type, CASE WHEN value > 90 THEN value END AS big_value
+      FROM events)
+WHERE big_value IS NOT NULL GROUP BY event_type
+ORDER BY variant, key
+"""
+
+
 # SQLHandler (solr/core/.../handler/SQLHandler.java:80-130): the reference
 # parses SQL with Presto and compiles to streaming expressions; here the
 # layer IS spark.sql — the SAME ANSI string runs on Spark and the DuckDB
@@ -926,4 +1054,6 @@ OPS: dict[str, tuple] = {
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
     "sql_handler_q1": (sql_handler_q1, SQL_HANDLER_Q1),
     "function_query": (function_query, FUNCTION_QUERY_SQL),
+    "block_join_parent": (block_join_parent, BLOCK_JOIN_PARENT_SQL),
+    "point_set_field_value": (point_set_field_value, POINT_SET_FIELD_VALUE_SQL),
 }

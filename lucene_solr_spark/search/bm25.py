@@ -88,3 +88,31 @@ def combine_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
     for s in per_term_scores:
         acc += s.astype(np.float64)
     return acc.astype(np.float32)
+
+
+# ------------------------------------------------- ClassicSimilarity
+
+def classic_idf_f32(df: int, doc_count: int) -> np.float32:
+    """ClassicSimilarity.idf (similarities/ClassicSimilarity.java:138):
+    (float)(log((docCount+1)/(docFreq+1)) + 1.0) — double log, one cast."""
+    return np.float32(np.log((float(doc_count) + 1.0) / (float(df) + 1.0)) + 1.0)
+
+
+def classic_weight_value(df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    """TFIDFSimilarity.IDFStats: queryWeight = (float)(idf * boost);
+    value = queryWeight * idf — i.e. boost * idf^2 in float32 op order."""
+    idf = classic_idf_f32(df, doc_count)
+    qw = np.float32(idf * np.float32(boost))
+    return np.float32(qw * idf)
+
+
+def _build_classic_decode() -> np.ndarray:
+    """ClassicSimilarity.NORM_TABLE: decodeNormValue(byte) =
+    byte315ToFloat — the raw decoded lengthNorm 1/sqrt(numTerms)
+    (ClassicSimilarity.java:103-107), NOT BM25's reconstructed dl."""
+    from ..analysis.smallfloat import byte315_to_float
+
+    return byte315_to_float(np.arange(256, dtype=np.uint8))
+
+
+CLASSIC_DECODE: np.ndarray = _build_classic_decode()

@@ -118,6 +118,11 @@ class BooleanSpec:
     # BoostQuery wrapping the phrase clause ('"..."^2'): multiplies the
     # phrase weightValue (search/BoostQuery.java over PhraseQuery)
     phrase_boost: float = 1.0
+    # Similarity plug point (§2.10; IndexSearcher.setSimilarity):
+    # 'bm25' (default) or 'classic' (TF-IDF, ClassicSimilarity.java —
+    # sqrt(tf) * idf^2 * decodedLengthNorm per term clause). Classic
+    # covers boolean TERM clauses; positional clauses stay BM25-only.
+    similarity: str = "bm25"
 
     @property
     def positional_terms(self) -> tuple[str, ...]:
@@ -546,9 +551,24 @@ class IndexSearcher:
         if not spec.scoring_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         weights = self.term_weights(list(spec.all_terms))
-        for t, b in spec.boosts:
-            if t in weights:
-                weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
+        if spec.similarity == "classic":
+            # Similarity plug point: swap the per-term weightValue for
+            # ClassicSimilarity's boost * idf^2 (same stats, same scorer)
+            if spec.positional_terms:
+                raise ValueError("classic similarity covers term clauses only")
+            from .bm25 import classic_weight_value
+
+            boost_map = dict(spec.boosts)
+            for t in weights:
+                weights[t]["weight_value"] = float(
+                    classic_weight_value(
+                        weights[t]["df"], self.doc_count, boost_map.get(t, 1.0)
+                    )
+                )
+        else:
+            for t, b in spec.boosts:
+                if t in weights:
+                    weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
         required = set(spec.must) | set(spec.span)
         if spec.phrase and spec.phrase_occur == "+":
             required |= {t for t, _ in spec.phrase}
@@ -600,7 +620,7 @@ class IndexSearcher:
         pure_or = (
             not spec.must and not spec.must_not and not spec.positional_terms
             and not spec.dismax and spec.min_should_match <= 1
-            and not spec.groups
+            and not spec.groups and spec.similarity == "bm25"
         )
         # WAND's two-wave plan costs two extra driver round trips; it only
         # pays when there are enough doc ranges to prune. Estimate from
@@ -966,6 +986,17 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     dfs = {t: weights[t]["df"] for t in weights}
     wvs = {t: np.float32(weights[t]["weight_value"]) for t in weights}
     cache = norm_cache(np.float32(avgdl))  # identical to the global 256-float cache
+    classic = spec.similarity == "classic"
+    if classic:
+        from .bm25 import CLASSIC_DECODE
+
+    def _term_score(t: str, freq: np.ndarray, nb: np.ndarray) -> np.ndarray:
+        """Per-clause Similarity (the setSimilarity plug point): BM25's
+        saturating tf, or ClassicSimilarity's sqrt(tf) * idf^2 *
+        decodedLengthNorm (TFIDFSimilarity.TFIDFSimScorer.score)."""
+        if classic:
+            return (np.sqrt(freq) * wvs[t] * CLASSIC_DECODE[nb]).astype(np.float32)
+        return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
     if phrase:
         # PhraseWeight: one weight from summed term idfs (repeats count);
         # BoostQuery wrapping multiplies the weightValue (BoostQuery.java)
@@ -1067,7 +1098,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             n_clauses = should_count.get(t, 0) + must_count.get(t, 0)
             if n_clauses > 0:
                 freq = tf.astype(np.float32)
-                s = (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
+                s = _term_score(t, freq, nb)
                 sd = s.astype(np.float64)
                 acc[idxs] += sd * n_clauses
                 if mx is not None:
@@ -1089,7 +1120,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 d, tf, nb, _pos = per_term[t]
                 idxs = d - base
                 freq = tf.astype(np.float32)
-                s = (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
+                s = _term_score(t, freq, nb)
                 gsc[idxs] += s.astype(np.float64)
                 ghit[idxs] = True
             if occ == "-":

@@ -70,3 +70,39 @@ def test_pipeline_op_matches_oracle(spark, duck, name):
     assert sc == oc
     assert len(sn) == len(on)
     assert sn == on
+
+
+def test_media_decoders_parse_real_containers():
+    """The BMP/WAV decoders genuinely parse the binary (magic, header
+    fields, row padding, chunk walk) — not doc_id arithmetic."""
+    import numpy as np
+    import pytest
+
+    from lucene_solr_spark.ops.pipeline import (
+        _decode_bmp,
+        _decode_wav,
+        _synth_media_batch,
+    )
+
+    bmp = _synth_media_batch([10])[0]
+    assert bmp[:2] == b"BM"
+    modality, w, h, mean_px = _decode_bmp(bmp)
+    assert (modality, w, h) == ("bmp", 4 + 10 % 13, 3 + 10 % 7)
+    # decoded mean equals the synthesis formula mean (padding excluded)
+    n = w * h * 3
+    want = float(np.mean(((10 * 31) % 256 + np.arange(n) * 7) % 256))
+    assert abs(mean_px - want) < 1e-9
+
+    wav = _synth_media_batch([11])[0]
+    modality, sr, n_samp, rms = _decode_wav(wav)
+    assert (modality, sr, n_samp) == ("wav", 8000, 2000 + 11 % 500)
+    samp = ((11 * 17 + np.arange(n_samp) * 5) % 201) - 100
+    assert abs(rms - float(np.sqrt(np.mean(samp.astype(float) ** 2)))) < 1e-9
+
+    with pytest.raises(ValueError):
+        _decode_bmp(b"XX" + bmp[2:])
+    with pytest.raises(ValueError):
+        _decode_wav(b"JUNK" + wav[4:])
+    # truncated-header BMP must not silently succeed
+    with pytest.raises(Exception):
+        _decode_bmp(bmp[:20])
