@@ -86,6 +86,8 @@ SPAN_CONTAIN_QUERIES = {
 MULTI_PHRASE_QUERIES = {
     "bm25_multi_phrase": [["fast", "quick"], ["merge", "sort"]],
 }
+# NGramPhraseQuery.rewrite demo: 4-gram chain, n=2 keeps terms 0,2,3
+NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
@@ -223,6 +225,24 @@ def _multi_phrase_query_fn(positions: list):
 def _regexp_query_fn(pattern: str, cap: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_regexp(pattern, max_terms=cap, k=10))
+
+    return run
+
+
+def _ngram_phrase_query_fn(query: str, n: int):
+    """NGramPhraseQuery: rewrite the exact phrase to every-n-th-term +
+    last (search/NGramPhraseQuery.java) and execute the REWRITTEN
+    phrase — ~1/n of the postings touched."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.search.engine import (
+            BooleanSpec,
+            ngram_phrase_rewrite,
+            phrase_spec,
+        )
+
+        s = _searcher(spark, sf_dir)
+        pairs = ngram_phrase_rewrite(phrase_spec(query).phrase, n)
+        return _ranked(s.topk_spec(BooleanSpec(phrase=pairs), k=10))
 
     return run
 
@@ -392,6 +412,14 @@ def _bm25_groups() -> dict[str, list]:
     for name, positions in MULTI_PHRASE_QUERIES.items():
         positional.append(
             (name, _multi_phrase_query_fn(positions), bm25_multi_phrase_sql(positions, k=10))
+        )
+    for name, (q, n) in NGRAM_PHRASE_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_phrase_pairs_sql
+        from lucene_solr_spark.search.engine import ngram_phrase_rewrite, phrase_spec
+
+        pairs = ngram_phrase_rewrite(phrase_spec(q).phrase, n)
+        positional.append(
+            (name, _ngram_phrase_query_fn(q, n), bm25_phrase_pairs_sql(pairs, k=10))
         )
     for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
         derived.append(

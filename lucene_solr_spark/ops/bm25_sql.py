@@ -1175,3 +1175,16 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_phrase_pairs_sql(pairs, k: int = 10) -> str:
+    """PhraseQuery oracle for explicit (term, position-offset) pairs —
+    e.g. the output of NGramPhraseQuery.rewrite, whose kept terms sit at
+    non-consecutive offsets. Exact (slop=0) only."""
+    pairs = list(pairs)
+    if not pairs:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    uniq = sorted({t for t, _ in pairs})
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    pf_sql = _phrase_pf_cte(pairs, 0)
+    return _PHRASE_SQL_TAIL("WITH", terms_in, pf_sql, k)

@@ -745,24 +745,124 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+#: passage highlighter query + window geometry
+HL_TERMS = ["merge", "sort", "vector"]
+HL_W = 8  # tokens per passage window
+
+
 def highlight_snippet(spark, sf):
-    """Highlighter (lucene/highlighter): snippet = up to 3 words of context
-    around the first 'vector' match (RE2-safe pattern, identical in both
-    engines)."""
-    pat = r"(\S+ ){0,3}vector( \S+){0,3}"
+    """Passage-scoring highlighter (lucene/highlighter
+    PostingsHighlighter/UnifiedHighlighter PassageScorer): the document
+    is segmented into fixed-W token passages (the reference uses
+    BreakIterator sentences; this corpus has no sentence punctuation),
+    each passage scores SUM over query-term occurrences of the term's
+    BM25 idf (PassageScorer.weight), and the best-scoring passage per
+    doc (tie -> earliest) is returned as the snippet. Multi-term,
+    density-ranked — r2's single-term regex window is gone.
+
+    The score is a FIXED-ORDER expression over per-term counts
+    (c1*idf1 + c2*idf2 + ...) so Spark and the oracle agree bit-for-bit
+    on ties. Pure Catalyst: one posexplode + two aggregations."""
     d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("pos", "tk"),
+    )
+    hits = toks.filter(F.col("tk").isin(HL_TERMS))
+    dfs = {
+        r["tk"]: r["df"]
+        for r in hits.groupBy("tk").agg(F.countDistinct("doc_id").alias("df")).collect()
+    }
+    import math
+
+    idf = {
+        t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in HL_TERMS
+    }
+    win = hits.withColumn("win", (F.col("pos") / HL_W).cast("long"))
+    counts = win.groupBy("doc_id", "win").agg(
+        *[
+            F.sum((F.col("tk") == t).cast("long")).alias(f"c{i}")
+            for i, t in enumerate(HL_TERMS)
+        ]
+    )
+    score = None
+    for i, t in enumerate(HL_TERMS):
+        part = F.col(f"c{i}") * F.lit(idf[t])
+        score = part if score is None else score + part
+    scored = counts.withColumn("pscore", score)
+    rn = Window.partitionBy("doc_id").orderBy(
+        F.col("pscore").desc(), F.col("win").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(rn)).filter(F.col("rn") == 1)
     return (
-        d.filter(F.col("text").rlike(r"\bvector\b"))
-        .select("doc_id", F.regexp_extract(F.col("text"), pat, 0).alias("snippet"))
+        best.join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.round("pscore", 4).alias("pscore"),
+            F.array_join(
+                F.slice(
+                    F.expr("filter(split(text, ' '), x -> x <> '')"),
+                    (F.col("win") * HL_W + 1).cast("int"),
+                    HL_W,
+                ),
+                " ",
+            ).alias("snippet"),
+        )
         .orderBy("doc_id")
     )
 
 
-HIGHLIGHT_SQL = r"""
-SELECT doc_id, regexp_extract(text, '(\S+ ){0,3}vector( \S+){0,3}') AS snippet
-FROM documents WHERE regexp_matches(text, '\bvector\b')
-ORDER BY doc_id
+def _highlight_sql() -> str:
+    terms_in = ",".join(f"'{t}'" for t in HL_TERMS)
+    cnt_cols = ",\n         ".join(
+        f"sum(CASE WHEN tk = '{t}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, t in enumerate(HL_TERMS)
+    )
+    score_expr = " + ".join(
+        f"c{i} * ln(1.0 + (s.n - COALESCE(d{i}.df, 0) + 0.5) / (COALESCE(d{i}.df, 0) + 0.5))"
+        for i in range(len(HL_TERMS))
+    )
+    df_joins = "\n".join(
+        f"LEFT JOIN dfs d{i} ON d{i}.tk = '{t}'" for i, t in enumerate(HL_TERMS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, g.i - 1 AS pos, t[g.i] AS tk
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+hits AS (SELECT doc_id, pos, tk FROM tok WHERE tk IN ({terms_in})),
+dfs AS (SELECT tk, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM hits GROUP BY tk),
+counts AS (
+  SELECT doc_id, pos // {HL_W} AS win,
+         {cnt_cols}
+  FROM hits GROUP BY doc_id, pos // {HL_W}
+),
+scored AS (
+  SELECT c.doc_id, c.win, ({score_expr}) AS pscore
+  FROM counts c
+  {df_joins}
+  CROSS JOIN s
+),
+best AS (
+  SELECT doc_id, win, pscore,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pscore DESC, win ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id, round(b.pscore, 4) AS pscore,
+       array_to_string(t.t[b.win * {HL_W} + 1 : b.win * {HL_W} + {HL_W}], ' ') AS snippet
+FROM best b JOIN toks t USING (doc_id)
+WHERE b.rn = 1
+ORDER BY b.doc_id
 """
+
+
+HIGHLIGHT_SQL = _highlight_sql()
 
 
 def gather_nodes(spark, sf):

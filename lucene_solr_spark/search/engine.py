@@ -155,6 +155,31 @@ class BooleanSpec:
         return out
 
 
+def ngram_phrase_rewrite(
+    phrase: tuple[tuple[str, int], ...], n: int
+) -> tuple[tuple[str, int], ...]:
+    """NGramPhraseQuery.rewrite (search/NGramPhraseQuery.java:34-58):
+    for an exact phrase of >= 3 consecutive-position n-gram terms
+    (n >= 2), keep only every n-th term plus the last, positions
+    preserved — the overlapping grams in between are implied, so the
+    match set is identical on a true n-gram field while touching
+    ~1/n of the postings. Non-optimizable shapes return unchanged."""
+    terms = [t for t, _ in phrase]
+    pos = [p for _, p in phrase]
+    optimizable = (
+        n >= 2
+        and len(terms) >= 3
+        and all(pos[i] == pos[i - 1] + 1 for i in range(1, len(pos)))
+    )
+    if not optimizable:
+        return tuple(phrase)
+    return tuple(
+        (terms[i], pos[i])
+        for i in range(len(terms))
+        if i % n == 0 or i == len(terms) - 1
+    )
+
+
 def phrase_spec(query: str, slop: int = 0) -> BooleanSpec:
     """Analyze a phrase query preserving position gaps left by the stop
     filter (QueryParser builds PhraseQuery with analysis positions)."""

@@ -172,3 +172,38 @@ def test_phrase_boost_rank_identity(built):
     # boost must not change the matched set, only scores
     plain = oracle_topk_spec(oidx, phrase_spec("parse index"), k=1000)
     assert {d for d, _ in expected} <= {d for d, _ in plain}
+
+
+def test_ngram_phrase_rewrite_rule():
+    """NGramPhraseQuery.rewrite: every n-th term + last, positions kept;
+    non-optimizable shapes (slop, <3 terms, gaps, n<2) unchanged."""
+    from lucene_solr_spark.search.engine import ngram_phrase_rewrite
+
+    p4 = (("ab", 0), ("bc", 1), ("cd", 2), ("de", 3))
+    assert ngram_phrase_rewrite(p4, 2) == (("ab", 0), ("cd", 2), ("de", 3))
+    assert ngram_phrase_rewrite(p4, 3) == (("ab", 0), ("de", 3))
+    # < 3 terms: unchanged
+    assert ngram_phrase_rewrite(p4[:2], 2) == p4[:2]
+    # position gap (stopword hole): unchanged
+    gap = (("ab", 0), ("bc", 2), ("cd", 3))
+    assert ngram_phrase_rewrite(gap, 2) == gap
+    # n < 2: unchanged
+    assert ngram_phrase_rewrite(p4, 1) == p4
+
+
+def test_ngram_phrase_rewrite_superset(built):
+    """The rewritten phrase relaxes the middle constraints, so its match
+    set must contain every original match (equal on true n-gram fields)."""
+    from lucene_solr_spark.search.engine import ngram_phrase_rewrite
+
+    full = phrase_spec("parse index merge").phrase
+    if len(full) < 3:
+        return
+    red = ngram_phrase_rewrite(full, 2)
+    searcher, oidx = built
+    full_docs = {d for d, _ in oracle_topk_spec(oidx, BooleanSpec(phrase=full), k=1000)}
+    got = {
+        r["doc_id"]
+        for r in searcher.topk_spec(BooleanSpec(phrase=red), k=1000).collect()
+    }
+    assert full_docs <= got
