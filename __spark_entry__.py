@@ -91,6 +91,8 @@ NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
+# BlendedTermQuery: max-df stat blending + DisjunctionMaxRewrite
+BLENDED_QUERIES = {"bm25_blended": ("spark vector rapid", 0.01)}
 # query strings through the classic parser (QueryParserBase.parse); the
 # oracle renders the equivalent hand-built query
 PARSER_QUERIES = {
@@ -247,6 +249,13 @@ def _ngram_phrase_query_fn(query: str, n: int):
     return run
 
 
+def _blended_query_fn(query: str, tiebreak: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_blended(query, k=10, tiebreak=tiebreak))
+
+    return run
+
+
 def _classic_query_fn(query: str):
     """ClassicSimilarity (TF-IDF) through the SAME scorer path — the
     IndexSearcher.setSimilarity plug point (§2.10), second score model
@@ -380,6 +389,10 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _boost_query_fn(boosts), bm25_boosted_sql(boosts, k=10)))
     for name, q in CLASSIC_QUERIES.items():
         scoring.append((name, _classic_query_fn(q), classic_tfidf_sql(q, k=10)))
+    for name, (q, tb) in BLENDED_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import blended_term_sql
+
+        scoring.append((name, _blended_query_fn(q, tb), blended_term_sql(q, k=10, tiebreak=tb)))
     for name, (q, slop) in PHRASE_QUERIES.items():
         positional.append((name, _phrase_query_fn(q, slop), bm25_phrase_sql(q, k=10, slop=slop)))
     for name, (terms, slop, in_order) in SPAN_QUERIES.items():

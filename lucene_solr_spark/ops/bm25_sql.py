@@ -1188,3 +1188,55 @@ def bm25_phrase_pairs_sql(pairs, k: int = 10) -> str:
     terms_in = ",".join(f"'{t}'" for t in uniq)
     pf_sql = _phrase_pf_cte(pairs, 0)
     return _PHRASE_SQL_TAIL("WITH", terms_in, pf_sql, k)
+
+
+def blended_term_sql(query: str, k: int = 10, tiebreak: float = 0.01) -> str:
+    """BlendedTermQuery oracle (search/BlendedTermQuery.java:276-289 +
+    DisjunctionMaxRewrite): every clause scores with the MAX docFreq
+    across the blended terms (adjustFrequencies), combined as
+    DisjunctionMax with the rewrite tiebreaker."""
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+mdf AS (SELECT CAST(max(df) AS DOUBLE) AS df FROM (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)),
+per_clause AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - m.df + 0.5) / (m.df + 0.5)) * ({K1} + 1)
+         * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS s
+  FROM tf
+  CROSS JOIN mdf m
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, max(s) + {tiebreak} * (sum(s) - max(s)) AS score
+  FROM per_clause GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

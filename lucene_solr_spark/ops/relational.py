@@ -722,6 +722,31 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 """
 
 
+def spellcheck_suggest(spark, sf):
+    """DirectSpellChecker (lucene/suggest/.../spell/DirectSpellChecker.java
+    suggestSimilar): suggestions from the term DICTIONARY within 2 edits
+    of the (misspelled) input, ranked by edit distance ASC, docFreq DESC,
+    term ASC (SuggestWordFrequencyComparator + tie rule) — a
+    metadata-only term_stats scan, never the corpus."""
+    from .index_access import searcher_for
+
+    return searcher_for(spark, sf).spellcheck("dat", max_edits=2, n=5)
+
+
+SPELLCHECK_SQL = f"""
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(levenshtein(term, 'dat') AS INTEGER) AS distance
+FROM (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' AND term NOT IN {_stoplist_in()}
+  GROUP BY term
+)
+WHERE levenshtein(term, 'dat') <= 2 AND term <> 'dat'
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+"""
+
+
 def suggest_prefix(spark, sf):
     """Suggest/autocomplete (lucene/suggest FSTs): prefix lookup over the
     term dictionary ranked by docFreq — the FST is replaced by a
@@ -1156,4 +1181,5 @@ OPS: dict[str, tuple] = {
     "function_query": (function_query, FUNCTION_QUERY_SQL),
     "block_join_parent": (block_join_parent, BLOCK_JOIN_PARENT_SQL),
     "point_set_field_value": (point_set_field_value, POINT_SET_FIELD_VALUE_SQL),
+    "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
 }

@@ -421,6 +421,55 @@ class IndexSearcher:
             BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_within=lit), k=k
         )
 
+    def topk_blended(self, query: str, k: int = 10, tiebreak: float = 0.01) -> DataFrame:
+        """BlendedTermQuery (search/BlendedTermQuery.java:276-289 +
+        DisjunctionMaxRewrite): every term's docFreq is ADJUSTED to the
+        max df across the blended terms (so cross-field/synonym variants
+        score on equal idf footing), then the clauses score as
+        DisjunctionMax with the rewrite's tiebreaker."""
+        terms = tuple(sorted(set(analyze(query))))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        spec = BooleanSpec(should=terms, dismax=True, tiebreak=tiebreak)
+        weights = self.term_weights(list(terms))
+        present = [t for t in terms if weights[t]["df"] > 0]
+        if not present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        max_df = max(weights[t]["df"] for t in terms)
+        blended_wv = float(
+            np.float32(idf_f32(max_df, self.doc_count) * (K1 + np.float32(1.0)))
+        )
+        for t in weights:
+            weights[t]["weight_value"] = blended_wv
+        blocks = self._blocks_for(present)
+        scan_cols = [
+            "term", "range_id", "first_doc", "last_doc",
+            "docs_buf", "tfs_buf", "norms_buf",
+        ]
+        score_fn = _make_range_scorer(
+            spec, weights, float(self.avgdl), self.doc_count, k, deleted=self.deleted
+        )
+        return (
+            self._apply_range_scorer(blocks, scan_cols, score_fn)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def spellcheck(self, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
+        """DirectSpellChecker (lucene/suggest/.../spell/DirectSpellChecker.java):
+        candidate suggestions from the term DICTIONARY within max_edits,
+        ranked by edit distance ASC, then docFreq DESC, then term ASC
+        (SuggestWord.compareTo) — a metadata-only term_stats scan, never
+        the corpus."""
+        return (
+            self._term_stats.select("term", "df")
+            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)).cast("int"))
+            .filter(F.col("distance") <= max_edits)
+            .filter(F.col("term") != word)
+            .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("term").asc())
+            .limit(n)
+        )
+
     def topk_boosted(self, boosts: dict[str, float], k: int = 10) -> DataFrame:
         """BoostQuery (search/BoostQuery.java): per-clause multiplicative
         boost — weightValue = idf * boost * (k1+1); terms given as

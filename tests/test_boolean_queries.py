@@ -207,3 +207,37 @@ def test_ngram_phrase_rewrite_superset(built):
         for r in searcher.topk_spec(BooleanSpec(phrase=red), k=1000).collect()
     }
     assert full_docs <= got
+
+
+def test_blended_term_rank_identity(built):
+    """BlendedTermQuery: every clause scores with the MAX df across the
+    blended terms, combined as DisjunctionMax(tiebreak=0.01)."""
+    import numpy as np
+
+    from lucene_solr_spark.search.bm25 import K1, idf_f32, make_term_weight
+
+    searcher, oidx = built
+    terms = ("parse", "token")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk_blended("parse token", k=10, tiebreak=0.01).collect()
+    ]
+    # control: rebuild the blended weights by hand over the oracle index
+    max_df = max(len(oidx.postings.get(t, {})) for t in terms)
+    wv = np.float32(idf_f32(max_df, oidx.doc_count) * (K1 + np.float32(1.0)))
+    docs = sorted(set().union(*[set(oidx.postings.get(t, {})) for t in terms]))
+    rows = []
+    for d in docs:
+        nb = oidx.norm_bytes[d]
+        ss = []
+        for t in terms:
+            tf = oidx.postings.get(t, {}).get(d, 0)
+            if tf:
+                w = make_term_weight(t, max_df, oidx.doc_count, oidx.avgdl)
+                s = w.score(np.array([tf], dtype=np.float32), np.array([nb], dtype=np.uint8))[0]
+                ss.append(np.float64(s))
+        if ss:
+            mx = max(ss)
+            rows.append((d, np.float32(mx + 0.01 * (sum(ss) - mx))))
+    rows.sort(key=lambda x: (-np.float64(x[1]), x[0]))
+    _assert_identical(got, rows[:10], "blended")
