@@ -1582,6 +1582,128 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def classification_nb(spark, sf):
+    """SimpleNaiveBayesClassifier (lucene/classification/src/java/org/
+    apache/lucene/classification/SimpleNaiveBayesClassifier.java):
+    classify every document's text against the per-class statistics the
+    index already holds, reproducing the reference formula exactly:
+
+      prior(c)       = log(docFreq(c)) - log(docsWithClass)      (:271)
+      P(w|c)         = (hits(w,c) + 1) / (avgUniqueTermsPerDoc
+                        * docFreq(c) + docsWithClass)            (:208-227)
+      hits(w,c)      = # docs of class c containing w            (:255)
+      avgUnique      = sumDocFreq / docCount                     (:236-244)
+      score(d,c)     = prior(c) + SUM over d's token OCCURRENCES
+                        of log(P(w|c))
+
+    assigned class = argmax (ties -> lexicographically first class,
+    the reference's term-dict iteration order). The occurrence sum is
+    regrouped as SUM tf*log(hits+1) - dl*log(den) so missing (w,c)
+    pairs need no outer join. Class field = `lang`. Pure Catalyst:
+    one token explode, three aggregations, a 5-row class broadcast."""
+    from .bm25_sql import stoplist_sql as _sl  # noqa: F401 (oracle symmetry)
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    d = _docs(spark, sf)
+    n_docs = d.count()
+    stop = sorted(ENGLISH_STOP_WORDS)
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+        )
+        .filter(~F.col("w").isin(stop))
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dt = tok.select("doc_id", "lang", "w").distinct()
+    sum_doc_freq = dt.count()
+    avg_unique = float(sum_doc_freq) / float(n_docs)
+    nc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nc"))
+    classes = (
+        nc.select(
+            F.col("lang").alias("cls"),
+            (F.log(F.col("nc").cast("double")) - F.lit(float(np.log(n_docs)))).alias("prior"),
+            F.log(
+                F.lit(avg_unique) * F.col("nc").cast("double") + F.lit(float(n_docs))
+            ).alias("log_den"),
+        )
+    )
+    wc = dt.groupBy("w", F.col("lang").alias("cls")).agg(F.count(F.lit(1)).alias("wc"))
+    contrib = (
+        tf.join(wc, "w")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("tf") * F.log(F.col("wc") + F.lit(1.0))).alias("s1"))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(classes))
+        .join(contrib, ["doc_id", "cls"], "left")
+        .withColumn(
+            "score",
+            F.col("prior")
+            + F.coalesce(F.col("s1"), F.lit(0.0))
+            - F.col("dl") * F.col("log_den"),
+        )
+    )
+    rn = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("cls").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("assigned_lang"), F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+def _classification_sql() -> str:
+    from .bm25_sql import stoplist_sql
+
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, d.lang, t.tok AS w
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, w),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+dt AS (SELECT DISTINCT doc_id, lang, w FROM tok),
+avgu AS (SELECT CAST(count(*) AS DOUBLE) / n.n AS v FROM dt CROSS JOIN n GROUP BY n.n),
+nc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nc FROM documents GROUP BY lang),
+classes AS (
+  SELECT nc.lang AS cls,
+         ln(nc.nc) - ln(n.n) AS prior,
+         ln(avgu.v * nc.nc + n.n) AS log_den
+  FROM nc CROSS JOIN n CROSS JOIN avgu
+),
+wc AS (SELECT w, lang AS cls, CAST(count(*) AS DOUBLE) AS wc FROM dt GROUP BY w, lang),
+contrib AS (
+  SELECT tf.doc_id, wc.cls, sum(tf.tf * ln(wc.wc + 1.0)) AS s1
+  FROM tf JOIN wc USING (w) GROUP BY tf.doc_id, wc.cls
+),
+scored AS (
+  SELECT dl.doc_id, c.cls,
+         c.prior + COALESCE(ct.s1, 0.0) - dl.dl * c.log_den AS score
+  FROM dl CROSS JOIN classes c
+  LEFT JOIN contrib ct ON ct.doc_id = dl.doc_id AND ct.cls = c.cls
+)
+SELECT doc_id, cls AS assigned_lang, round(score, 4) AS score
+FROM (
+  SELECT doc_id, cls, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls ASC
+         ) AS rn
+  FROM scored
+)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+CLASSIFICATION_SQL = _classification_sql()
+
+
 # `dedup_exact_family` unions exact/bag-of-words/minhash-cluster keepers
 # (gate consolidation; individual fns remain public API)
 OPS: dict[str, tuple] = {
@@ -1601,4 +1723,5 @@ OPS: dict[str, tuple] = {
     "graph_bfs": (graph_bfs, GRAPH_BFS_SQL),
     "shortest_path": (shortest_path, SHORTEST_PATH_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "classification_nb": (classification_nb, CLASSIFICATION_SQL),
 }
