@@ -123,6 +123,14 @@ PARSER_QUERIES = {
         phrase="fast sort", phrase_required=False, must_not=["spark"], k=10)),
     "parser_range": ("[mer TO met]", lambda: bm25_compound_sql(
         term_range=("mer", "met", True, True, 16), k=10)),
+    # multiple phrase clauses in one BooleanQuery (both AND-promoted)
+    "parser_two_phrases": ('"fast sort" AND "merge sort" spark', lambda: bm25_compound_sql(
+        phrase="fast sort", phrases=[("merge sort", 0, 1.0, True)],
+        should=["spark"], k=10)),
+    # two OPTIONAL phrases (one sloppy+boosted) + a should term
+    "parser_opt_phrases": ('"fast sort" "merge sort"~2^2 spark', lambda: bm25_compound_sql(
+        phrase="fast sort", phrase_required=False,
+        phrases=[("merge sort", 2, 2.0, False)], should=["spark"], k=10)),
 }
 
 

@@ -233,12 +233,15 @@ def bm25_phrase_sql(query: str, k: int = 10, slop: int = 0) -> str:
     return _PHRASE_SQL_TAIL(with_kw, terms_in, pf_sql, k)
 
 
-def _phrase_pf_cte(phrase, slop: int) -> str:
-    """pf(doc_id, pf) CTE text for a PhraseQuery over the `tokpos`
-    scaffold (ExactPhraseScorer chained self-joins for slop=0; the
-    two-clause leapfrog-chain closed form for slop>0 — see
-    bm25_phrase_sql). Callers must open with WITH RECURSIVE if slop>0."""
+def _phrase_pf_cte(phrase, slop: int, suffix: str = "") -> str:
+    """pf{suffix}(doc_id, pf) CTE text for a PhraseQuery over the
+    `tokpos` scaffold (ExactPhraseScorer chained self-joins for slop=0;
+    the two-clause leapfrog-chain closed form for slop>0 — see
+    bm25_phrase_sql). Callers must open with WITH RECURSIVE if slop>0;
+    `suffix` namespaces the CTEs so several phrase clauses coexist in
+    one query (bm25_compound_sql with multiple phrases)."""
     t0, off0 = phrase[0]
+    x = suffix
     if slop == 0:
         # chained positional self-joins: p{i}.pos = p0.pos + off_i
         joins = []
@@ -249,7 +252,7 @@ def _phrase_pf_cte(phrase, slop: int) -> str:
             )
         join_sql = "\n  ".join(joins)
         pf_sql = f"""
-pf AS (
+pf{x} AS (
   SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS pf
   FROM tokpos p0
   {join_sql}
@@ -266,42 +269,42 @@ pf AS (
         t1, off1 = phrase[1]
         u0_tie_side = 0 if off0 > off1 else 1
         pf_sql = f"""
-occ AS (
+occ{x} AS (
   SELECT doc_id, pos - {off0} AS k, 0 AS s FROM tokpos WHERE term = '{t0}'
   UNION ALL
   SELECT doc_id, pos - {off1} AS k, 1 AS s FROM tokpos WHERE term = '{t1}'
 ),
-nxt AS (
+nxt{x} AS (
   SELECT a.doc_id, a.k, a.s, min(b.k) AS nk
-  FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k > a.k
+  FROM occ{x} a JOIN occ{x} b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k > a.k
   GROUP BY 1, 2, 3
 ),
-prv AS (
+prv{x} AS (
   SELECT a.doc_id, a.k, a.s, max(b.k) AS pk
-  FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k <= a.k
+  FROM occ{x} a JOIN occ{x} b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k <= a.k
   GROUP BY 1, 2, 3
 ),
-firsts AS (
+firsts{x} AS (
   SELECT * FROM (
     SELECT doc_id,
            min(CASE WHEN s = 0 THEN k END) AS a0,
            min(CASE WHEN s = 1 THEN k END) AS b0
-    FROM occ GROUP BY doc_id)
+    FROM occ{x} GROUP BY doc_id)
   WHERE a0 IS NOT NULL AND b0 IS NOT NULL
 ),
-chain AS (
+chain{x} AS (
   SELECT doc_id, greatest(a0, b0) AS u,
          CASE WHEN a0 > b0 THEN 0 WHEN b0 > a0 THEN 1 ELSE {u0_tie_side} END AS s
-  FROM firsts
+  FROM firsts{x}
   UNION ALL
   SELECT n.doc_id, n.nk AS u, 1 - c.s AS s
-  FROM chain c JOIN nxt n ON n.doc_id = c.doc_id AND n.s = c.s AND n.k = c.u
+  FROM chain{x} c JOIN nxt{x} n ON n.doc_id = c.doc_id AND n.s = c.s AND n.k = c.u
 ),
-pf AS (
+pf{x} AS (
   SELECT c.doc_id,
          CAST(sum(CASE WHEN c.u - p.pk <= {slop}
                        THEN 1.0 / (c.u - p.pk + 1) END) AS DOUBLE) AS pf
-  FROM chain c JOIN prv p ON p.doc_id = c.doc_id AND p.s = c.s AND p.k = c.u
+  FROM chain{x} c JOIN prv{x} p ON p.doc_id = c.doc_id AND p.s = c.s AND p.k = c.u
   GROUP BY c.doc_id
 )"""
     return pf_sql
@@ -934,13 +937,16 @@ def bm25_compound_sql(
     phrase_slop: int = 0,
     phrase_boost: float = 1.0,
     phrase_required: bool = True,
+    phrases: list[tuple] | tuple = (),
     term_range: tuple[str, str, bool, bool, int] | None = None,
     k: int = 10,
 ) -> str:
     """General BooleanQuery oracle: any mix of MUST/SHOULD/MUST_NOT term
     clauses (with BoostQuery boosts), one-level nested SHOULD-only groups
-    ((occur, [analyzed terms]) — the classic parser's paren groups), one
-    PhraseQuery clause (required or optional SHOULD, slop, boost), and a
+    ((occur, [analyzed terms]) — the classic parser's paren groups), any
+    number of PhraseQuery clauses (the phrase_* kwargs describe the
+    first; `phrases` = [(text, slop, boost, required), ...] the rest —
+    each required or an optional SHOULD), and a
     TermRangeQuery dictionary expansion added as SHOULD clauses
     (term_range = (lo, hi, include_lo, include_hi, max_terms)).
 
@@ -957,11 +963,17 @@ def bm25_compound_sql(
     must = list(must)
     not_t = sorted(set(must_not))
     groups = [(occ, list(ts)) for occ, ts in groups]
-    phrase_pairs = ()
-    if phrase is not None:
+    # normalize 0..N phrase clauses to [(pairs, slop, boost, required)]
+    phrase_clauses = []
+    raw_phrases = ([(phrase, phrase_slop, phrase_boost, phrase_required)]
+                   if phrase is not None else []) + [tuple(pc) for pc in phrases]
+    if raw_phrases:
         from ..search.engine import phrase_spec
 
-        phrase_pairs = phrase_spec(phrase).phrase
+        for text, slop_i, boost_i, req_i in raw_phrases:
+            pairs = phrase_spec(text).phrase
+            if pairs:
+                phrase_clauses.append((pairs, int(slop_i), float(boost_i), bool(req_i)))
 
     # clause table rows: (term, mult, cls) — mult = dup-count x boost
     rows = []
@@ -983,7 +995,7 @@ def bm25_compound_sql(
         {t for occ, ts in groups if occ == "-" for t in ts} | set(not_t)
     )
 
-    if not rows and not phrase_pairs and term_range is None:
+    if not rows and not phrase_clauses and term_range is None:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
 
     scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
@@ -1045,72 +1057,94 @@ def bm25_compound_sql(
 )"""
     )
     recursive = False
-    if phrase_pairs:
-        recursive = phrase_slop > 0
-        puniq = sorted({t for t, _ in phrase_pairs})
-        pvals = ",".join(f"('{t}')" for t in puniq)
-        ctes.append(
-            f"""pqt(term) AS (VALUES {pvals}),
-pdfs AS (
+    if phrase_clauses:
+        recursive = any(slop_i > 0 for _p, slop_i, _b, _r in phrase_clauses)
+        pc_sql_rows = []
+        for i, (pairs, slop_i, boost_i, _req_i) in enumerate(phrase_clauses):
+            x = str(i)
+            puniq = sorted({t for t, _ in pairs})
+            pvals = ",".join(f"('{t}')" for t in puniq)
+            ctes.append(
+                f"""pqt{x}(term) AS (VALUES {pvals}),
+pdfs{x} AS (
   SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
-  FROM pqt q LEFT JOIN (
+  FROM pqt{x} q LEFT JOIN (
     SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
   ) c USING (term)
 ),
-pidfw AS (
+pidfw{x} AS (
   SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
-  FROM pdfs CROSS JOIN stats s
+  FROM pdfs{x} CROSS JOIN stats s
 )"""
-        )
-        ctes.append(_phrase_pf_cte(list(phrase_pairs), phrase_slop).strip())
-        ctes.append(
-            f"""pscore AS (
-  SELECT pf.doc_id,
-         {float(phrase_boost)!r} * i.w * ({K1} + 1) * pf.pf
-         / (pf.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS sc
-  FROM pf
-  JOIN dl ON pf.doc_id = dl.doc_id
+            )
+            ctes.append(_phrase_pf_cte(list(pairs), slop_i, suffix=x).strip())
+            ctes.append(
+                f"""pscore{x} AS (
+  SELECT pf{x}.doc_id,
+         {float(boost_i)!r} * i.w * ({K1} + 1) * pf{x}.pf
+         / (pf{x}.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS sc
+  FROM pf{x}
+  JOIN dl ON pf{x}.doc_id = dl.doc_id
   JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
   CROSS JOIN stats s
-  CROSS JOIN pidfw i
-  WHERE pf.pf > 0
+  CROSS JOIN pidfw{x} i
+  WHERE pf{x}.pf > 0
+)"""
+            )
+            pc_sql_rows.append(f"SELECT doc_id, sc, 'p{x}' AS pcid FROM pscore{x}")
+        req_ids = ",".join(
+            f"'p{i}'" for i, (_p, _s, _b, r) in enumerate(phrase_clauses) if r
+        ) or "''"
+        opt_ids = ",".join(
+            f"'p{i}'" for i, (_p, _s, _b, r) in enumerate(phrase_clauses) if not r
+        ) or "''"
+        pc_union = "\n  UNION ALL\n  ".join(pc_sql_rows)
+        ctes.append(
+            f"""pc_all AS (
+  {pc_union}
+),
+pagg AS (
+  SELECT doc_id, sum(sc) AS psc,
+         count(DISTINCT CASE WHEN pcid IN ({req_ids}) THEN pcid END) AS p_req_hits,
+         count(DISTINCT CASE WHEN pcid IN ({opt_ids}) THEN pcid END) AS p_opt_hits
+  FROM pc_all GROUP BY doc_id
 )"""
         )
         combined = """combined AS (
   SELECT COALESCE(a.doc_id, p.doc_id) AS doc_id,
-         COALESCE(a.score, 0) + COALESCE(p.sc, 0) AS score,
+         COALESCE(a.score, 0) + COALESCE(p.psc, 0) AS score,
          COALESCE(a.mhits, 0) AS mhits,
          COALESCE(a.shits, 0) + COALESCE(a.gshould, 0)
-           + (CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS shits_opt,
+           + COALESCE(p.p_opt_hits, 0) AS shits_opt,
          COALESCE(a.shits, 0) + COALESCE(a.gshould, 0) AS shits_plain,
          COALESCE(a.gmust, 0) AS gmust,
-         (p.doc_id IS NOT NULL) AS phit
-  FROM agg a FULL OUTER JOIN pscore p USING (doc_id)
+         COALESCE(p.p_req_hits, 0) AS p_req_hits
+  FROM agg a FULL OUTER JOIN pagg p USING (doc_id)
 )"""
     else:
         combined = """combined AS (
   SELECT doc_id, score, mhits,
          shits + gshould AS shits_opt, shits + gshould AS shits_plain,
-         gmust, FALSE AS phit
+         gmust, 0 AS p_req_hits
   FROM agg
 )"""
     ctes.append(combined)
 
     n_must = len(uniq_must)
     n_gmust = len(gmust_ids)
-    has_required = bool(
-        n_must or n_gmust or (phrase_pairs and phrase_required)
-    )
+    n_req_phrases = sum(1 for _p, _s, _b, r in phrase_clauses if r)
+    n_opt_phrases = len(phrase_clauses) - n_req_phrases
+    has_required = bool(n_must or n_gmust or n_req_phrases)
     msm = 0 if has_required else 1
     conds = ["1=1"]
     if n_must:
         conds.append(f"mhits = {n_must}")
     if n_gmust:
         conds.append(f"gmust = {n_gmust}")
-    if phrase_pairs and phrase_required:
-        conds.append("phit")
+    if n_req_phrases:
+        conds.append(f"p_req_hits = {n_req_phrases}")
     if msm > 0:
-        col = "shits_opt" if (phrase_pairs and not phrase_required) else "shits_plain"
+        col = "shits_opt" if n_opt_phrases else "shits_plain"
         conds.append(f"{col} >= {msm}")
     if neg_group_terms:
         excl_in = ",".join(f"'{t}'" for t in neg_group_terms)

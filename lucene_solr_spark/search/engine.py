@@ -123,6 +123,22 @@ class BooleanSpec:
     # sqrt(tf) * idf^2 * decodedLengthNorm per term clause). Classic
     # covers boolean TERM clauses; positional clauses stay BM25-only.
     similarity: str = "bm25"
+    # ADDITIONAL PhraseQuery clauses beyond the primary phrase fields:
+    # ((pairs, slop, occur, boost), ...) with pairs = ((term, offset), ...)
+    # and occur in {'+', ''} — a BooleanQuery may hold any number of
+    # phrase clauses; the primary phrase/slop/phrase_occur/phrase_boost
+    # fields describe clause 0 and these describe clauses 1..N.
+    phrases: tuple[tuple, ...] = ()
+
+    @property
+    def phrase_clauses(self) -> tuple[tuple, ...]:
+        """All phrase clauses normalized to (pairs, slop, occur, boost) —
+        the primary phrase fields first, then `phrases`."""
+        out = ()
+        if self.phrase:
+            out += ((tuple(self.phrase), self.slop, self.phrase_occur, self.phrase_boost),)
+        out += tuple(tuple(pc) for pc in self.phrases)
+        return out
 
     @property
     def positional_terms(self) -> tuple[str, ...]:
@@ -130,6 +146,8 @@ class BooleanSpec:
             tuple(t for t, _ in self.phrase) + tuple(self.span)
             + tuple(self.span_not) + tuple(self.span_contain) + tuple(self.span_within)
         )
+        for pairs, _slop, _occ, _b in self.phrases:
+            out += tuple(t for t, _ in pairs)
         for _off, alts in self.multi_phrase:
             out += tuple(alts)
         if self.span_first is not None:
@@ -644,8 +662,9 @@ class IndexSearcher:
                 if t in weights:
                     weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
         required = set(spec.must) | set(spec.span)
-        if spec.phrase and spec.phrase_occur == "+":
-            required |= {t for t, _ in spec.phrase}
+        for pairs, _slop, occ, _b in spec.phrase_clauses:
+            if occ == "+":
+                required |= {t for t, _ in pairs}
         if spec.span_first is not None:
             required.add(spec.span_first[0])
         if spec.span_position_range is not None:
@@ -1022,9 +1041,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     must_terms = sorted(set(spec.must))
     must_count = {t: spec.must.count(t) for t in must_terms}
     not_terms = sorted({t for t in spec.must_not if weights[t]["df"] > 0})
-    phrase = spec.phrase
-    phrase_required = spec.phrase_occur == "+"
-    phrase_terms = sorted({t for t, _ in phrase})
+    # 0..N PhraseQuery clauses: [(pairs, slop, occur, boost)]
+    phrase_clauses = list(spec.phrase_clauses)
     multi_phrase = spec.multi_phrase
     span = spec.span
     span_first = spec.span_first
@@ -1032,16 +1050,23 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     span_posrange = spec.span_position_range or (
         (span_first[0], 0, span_first[1]) if span_first is not None else None
     )
-    positional = bool(phrase or multi_phrase or span or span_posrange)
+    if phrase_clauses and (multi_phrase or span or span_posrange):
+        raise ValueError("phrase clauses cannot mix with span/multi-phrase specs")
+    # span/multi-phrase/posrange: the original single-positional machinery
+    positional = bool(multi_phrase or span or span_posrange)
     # positional terms that exist in the index (dead multi-phrase
     # alternatives are skipped at decode; dead required terms were
     # rejected in topk_spec)
     pos_terms = sorted({t for t in spec.positional_terms if weights[t]["df"] > 0})
+    req_phrase_terms = {
+        t for pairs, _s, occ, _b in phrase_clauses if occ == "+" for t, _ in pairs
+    }
+    has_opt_phrase = any(occ == "" for _p, _s, occ, _b in phrase_clauses)
     # an optional phrase is a SHOULD clause, not a match requirement
-    required_positional = positional and not (phrase and not phrase_required)
+    required_positional = positional or bool(req_phrase_terms)
     required = sorted(
         set(must_terms)
-        | (set(phrase_terms) if (phrase and phrase_required) else set())
+        | req_phrase_terms
         | set(span)
         | ({span_posrange[0]} if span_posrange is not None else set())
     )
@@ -1071,15 +1096,19 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         if classic:
             return (np.sqrt(freq) * wvs[t] * CLASSIC_DECODE[nb]).astype(np.float32)
         return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
-    if phrase:
-        # PhraseWeight: one weight from summed term idfs (repeats count);
-        # BoostQuery wrapping multiplies the weightValue (BoostQuery.java)
-        idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in phrase_terms))
-        pos_wv = np.float32(
-            np.float32(idf_sum * (K1 + np.float32(1.0)))
-            * np.float32(spec.phrase_boost)
+    # PhraseWeight per clause: one weight from summed term idfs (repeats
+    # count once, i.e. DISTINCT terms); BoostQuery wrapping multiplies
+    # the weightValue (BoostQuery.java)
+    pc_wvs = []
+    for pairs, _s, _occ, boost in phrase_clauses:
+        pterms = sorted({t for t, _ in pairs})
+        idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in pterms))
+        pc_wvs.append(
+            np.float32(
+                np.float32(idf_sum * (K1 + np.float32(1.0))) * np.float32(boost)
+            )
         )
-    elif multi_phrase:
+    if multi_phrase:
         # MultiPhraseQuery weight: every alternative's idf summed (df=0
         # alternatives still contribute idf(0), as TermContext.build does)
         idf_sum = np.float32(
@@ -1118,9 +1147,9 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             occ != "-" and any(t in present for t in ts) for occ, ts in bool_groups
         )
         # an optional phrase can be the only scoring clause in the range
-        opt_phrase_possible = bool(
-            phrase and not phrase_required
-            and all(t in present for t in phrase_terms)
+        opt_phrase_possible = any(
+            occ == "" and all(t in present for t, _ in pairs)
+            for pairs, _s, occ, _b in phrase_clauses
         )
         if (not scoring_present and not required and not multi_phrase
                 and not opt_phrase_possible):
@@ -1209,24 +1238,66 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         # hard constraints (MUST / MUST_NOT / required groups); the msm
         # cut is deferred when an optional phrase can still add its
         # SHOULD hit
-        optional_phrase = bool(phrase) and not phrase_required
         mask = ~excluded
         if must_terms:
             mask &= must_hits >= len(must_terms)
         if gmust_hits is not None:
             mask &= gmust_hits >= n_plus_groups
-        if msm > 0 and not optional_phrase:
+        # the msm cut is deferred while optional phrase clauses can
+        # still add their SHOULD hits
+        if msm > 0 and not has_opt_phrase:
             mask &= should_hits >= msm
 
-        if positional:
+        if phrase_clauses:
+            # 1..N PhraseQuery clauses: per clause, conjunction on docs
+            # first (two-phase), then position verify on survivors
+            req_ok = np.ones(width, dtype=bool) if req_phrase_terms else None
+            for (pairs, slop, occ, _boost), wv in zip(phrase_clauses, pc_wvs):
+                pterms = sorted({t for t, _ in pairs})
+                if any(t not in per_term for t in pterms):
+                    if occ == "+":
+                        return _EMPTY
+                    continue  # optional phrase can't match in this range
+                cand_set = set.intersection(
+                    *[set(per_term[t][0].tolist()) for t in pterms]
+                )
+                cand_mask = np.zeros(width, dtype=bool)
+                if cand_set:
+                    cand_mask[np.fromiter(cand_set, dtype=np.int64) - base] = True
+                cand = np.flatnonzero(mask & cand_mask) + base
+                if cand.size:
+                    if slop > 0:
+                        pf = _sloppy_phrase_freqs(per_term, pairs, cand, slop)
+                    else:
+                        pf = _phrase_freqs(per_term, pairs, cand)
+                    keep = pf > 0
+                    cand, pf = cand[keep], pf[keep]
+                if cand.size:
+                    nb_map: dict = {}
+                    for t in pterms:
+                        d0, _tf0, nb0, _ = per_term[t]
+                        nb_map.update(zip(d0.tolist(), nb0.tolist()))
+                    nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
+                    freq = pf.astype(np.float32)
+                    ps = (wv * freq / (freq + cache[nbv])).astype(np.float32)
+                    acc[cand - base] += ps.astype(np.float64)
+                if occ == "+":
+                    m = np.zeros(width, dtype=bool)
+                    if cand.size:
+                        m[cand - base] = True
+                    req_ok &= m
+                    if not req_ok.any():
+                        return _EMPTY
+                elif cand.size:
+                    should_hits[cand - base] += 1
+            if req_ok is not None:
+                mask &= req_ok
+            if msm > 0 and has_opt_phrase:
+                mask &= should_hits >= msm
+        elif positional:
             # conjunction on docs first (two-phase: cheap approximation),
             # then position verify (expensive) on survivors only
-            if phrase:
-                if any(t not in per_term for t in phrase_terms):
-                    cand_sets = [set()]
-                else:
-                    cand_sets = [set(per_term[t][0].tolist()) for t in phrase_terms]
-            elif multi_phrase:
+            if multi_phrase:
                 cand_sets = []
                 for _off, alts in multi_phrase:
                     u: set = set()
@@ -1246,22 +1317,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             pre = mask & cand_mask
             cand = np.flatnonzero(pre) + base
             if cand.size == 0:
-                if optional_phrase:
-                    # no phrase hits in this range; docs may still match
-                    # via the other SHOULD clauses
-                    if msm > 0:
-                        mask &= should_hits >= msm
-                    cand = None
-                else:
-                    return _EMPTY
-            if cand is None:
-                pass
-            elif phrase:
-                if spec.slop > 0:
-                    pf = _sloppy_phrase_freqs(per_term, phrase, cand, spec.slop)
-                else:
-                    pf = _phrase_freqs(per_term, phrase, cand)
-            elif multi_phrase:
+                return _EMPTY
+            if multi_phrase:
                 pf = _multi_phrase_freqs(per_term, multi_phrase, cand)
             elif span:
                 pf = _span_near_freqs(
@@ -1272,32 +1329,22 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 )
             else:
                 pf = _span_posrange_freqs(per_term, span_posrange, cand)
-            if cand is not None:
-                keep = pf > 0
-                cand, pf = cand[keep], pf[keep]
-                if cand.size == 0 and not optional_phrase:
-                    return _EMPTY
-                if cand.size:
-                    # norms for matched docs from any positional stream
-                    nb_map: dict = {}
-                    for t in pos_terms:
-                        if t in per_term:
-                            d0, _tf0, nb0, _ = per_term[t]
-                            nb_map.update(zip(d0.tolist(), nb0.tolist()))
-                    nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
-                    freq = pf.astype(np.float32)
-                    ps = (pos_wv * freq / (freq + cache[nbv])).astype(np.float32)
-                    acc[cand - base] += ps.astype(np.float64)
-                if optional_phrase:
-                    # the phrase is one SHOULD clause: count its hit and
-                    # apply the deferred msm cut
-                    if cand.size:
-                        should_hits[cand - base] += 1
-                    if msm > 0:
-                        mask &= should_hits >= msm
-                else:
-                    mask = np.zeros(width, dtype=bool)
-                    mask[cand - base] = True
+            keep = pf > 0
+            cand, pf = cand[keep], pf[keep]
+            if cand.size == 0:
+                return _EMPTY
+            # norms for matched docs from any positional stream
+            nb_map2: dict = {}
+            for t in pos_terms:
+                if t in per_term:
+                    d0, _tf0, nb0, _ = per_term[t]
+                    nb_map2.update(zip(d0.tolist(), nb0.tolist()))
+            nbv = np.array([nb_map2[int(c)] for c in cand], dtype=np.uint8)
+            freq = pf.astype(np.float32)
+            ps = (pos_wv * freq / (freq + cache[nbv])).astype(np.float32)
+            acc[cand - base] += ps.astype(np.float64)
+            mask = np.zeros(width, dtype=bool)
+            mask[cand - base] = True
 
         if candidates is not None:
             lo = np.searchsorted(candidates, base)

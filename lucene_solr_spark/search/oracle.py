@@ -97,9 +97,8 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     MultiPhraseQuery, SpanNear (ordered/unordered), SpanFirst."""
     should = [t for t in spec.should if t in idx.postings]
     must = list(spec.must)
-    phrase = list(spec.phrase)
-    phrase_required = getattr(spec, "phrase_occur", "+") == "+"
-    phrase_boost = float(getattr(spec, "phrase_boost", 1.0))
+    # 0..N PhraseQuery clauses [(pairs, slop, occur, boost)]
+    phrase_clauses = [tuple(pc) for pc in (getattr(spec, "phrase_clauses", ()) or ())]
     groups = [
         (occ, tuple(t for t in ts if t in idx.postings))
         for occ, ts in (getattr(spec, "groups", ()) or ())
@@ -107,21 +106,24 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     if any(occ == "+" and not ts for occ, ts in groups):
         return []
     groups = [(occ, ts) for occ, ts in groups if ts]
-    phrase_terms = sorted({t for t, _ in phrase})
+    all_phrase_terms = {t for pairs, _s, _o, _b in phrase_clauses for t, _ in pairs}
+    req_pc_terms = {
+        t for pairs, _s, occ, _b in phrase_clauses if occ == "+" for t, _ in pairs
+    }
+    opt_pc = [pc for pc in phrase_clauses if pc[2] == ""]
     multi_phrase = list(getattr(spec, "multi_phrase", ()) or ())
     span = tuple(getattr(spec, "span", ()) or ())
     span_first = getattr(spec, "span_first", None)
-    positional = bool(phrase or multi_phrase or span or span_first)
-    optional_phrase = bool(phrase) and not phrase_required
+    positional = bool(phrase_clauses or multi_phrase or span or span_first)
     required = sorted(set(must)
-                      | (set(phrase_terms) if (phrase and phrase_required) else set())
+                      | req_pc_terms
                       | set(span)
                       | ({span_first[0]} if span_first else set()))
     if any(t not in idx.postings for t in required):
         return []
     if any(all(t not in idx.postings for t in alts) for _off, alts in multi_phrase):
         return []
-    pos_terms = set(phrase_terms) | set(span) | (
+    pos_terms = all_phrase_terms | set(span) | (
         {span_first[0]} if span_first else set()
     ) | {t for _off, alts in multi_phrase for t in alts}
     group_terms = {t for _occ, ts in groups for t in ts}
@@ -148,9 +150,10 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             cand |= set.union(*[set(idx.postings[t]) for t in set(should)])
         for gd in pos_group_docs:
             cand |= gd
-        if optional_phrase and all(t in idx.postings for t in phrase_terms):
-            cand |= set.intersection(*[set(idx.postings[t]) for t in phrase_terms]) \
-                if phrase_terms else set()
+        for pairs, _s, _occ, _b in opt_pc:
+            pt = sorted({t for t, _ in pairs})
+            if pt and all(t in idx.postings for t in pt):
+                cand |= set.intersection(*[set(idx.postings[t]) for t in pt])
     if multi_phrase and required:
         for _off, alts in multi_phrase:
             cand &= set.union(*[set(idx.postings.get(t, {})) for t in alts])
@@ -162,42 +165,53 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     for t in set(spec.must_not):
         cand -= set(idx.postings.get(t, {}))
     n_plus_groups = sum(1 for occ, _ts in groups if occ == "+")
-    required_positional = positional and not optional_phrase
+    required_positional = (
+        bool(multi_phrase or span or span_first) or bool(req_pc_terms)
+    )
     msm = max(spec.min_should_match,
               0 if (required or required_positional or n_plus_groups) else 1)
-    if phrase:
-        slop = getattr(spec, "slop", 0)
-        pf_map = {}
-        if any(t not in idx.positions for t in phrase_terms):
-            cand = cand if not phrase_required else set()
-        elif slop > 0:
+
+    def _phrase_pf(pairs, slop, docs):
+        """pf per doc for one PhraseQuery clause over `docs`."""
+        pterms = sorted({t for t, _ in pairs})
+        out: dict = {}
+        if any(t not in idx.positions for t in pterms):
+            return out
+        if slop > 0:
             # Lucene-exact SloppyPhraseScorer semantics (search/sloppy.py)
             from .sloppy import sloppy_freq
 
-            for d in sorted(cand):
-                plists = [idx.positions[t].get(d, []) for t, _ in phrase]
+            for d in sorted(docs):
+                plists = [idx.positions[t].get(d, []) for t, _ in pairs]
                 if any(not p for p in plists):
                     continue
                 f = sloppy_freq(
-                    plists, [off for _, off in phrase], slop,
-                    terms=[t for t, _ in phrase],
+                    plists, [off for _, off in pairs], slop,
+                    terms=[t for t, _ in pairs],
                 )
                 if f > 0:
-                    pf_map[d] = f
+                    out[d] = f
         else:
-            for d in sorted(cand):
-                base_t, base_off = phrase[0]
+            for d in sorted(docs):
+                base_t, base_off = pairs[0]
                 match = [p - base_off for p in idx.positions[base_t].get(d, [])]
-                for t, off in phrase[1:]:
+                for t, off in pairs[1:]:
                     pset = {p - off for p in idx.positions[t].get(d, [])}
                     match = [p for p in match if p in pset]
                     if not match:
                         break
                 if match:
-                    pf_map[d] = len(match)
-        if phrase_required:
-            cand = set(pf_map)
-    elif multi_phrase:
+                    out[d] = len(match)
+        return out
+
+    pc_maps = []
+    if phrase_clauses:
+        for pairs, slop, occ, _b in phrase_clauses:
+            m = _phrase_pf(pairs, slop, cand)
+            pc_maps.append(m)
+            if occ == "+":
+                cand = set(m)
+    if multi_phrase:
         pf_map = {}
         for d in sorted(cand):
             base_off = multi_phrase[0][0]
@@ -269,8 +283,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 1 for occ, ts in groups
                 if occ == "" and any(d in idx.postings.get(t, {}) for t in ts)
             )
-            if optional_phrase and d in pf_map:
-                h += 1
+            for pc, m in zip(phrase_clauses, pc_maps):
+                if pc[2] == "" and d in m:
+                    h += 1
             return h
         cand = {d for d in cand if _should_hits(d) >= msm}
     if not cand:
@@ -295,12 +310,26 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             s = weights[t].score(tf, norm)
             s[tf == 0] = np.float32(0.0)
             per_clause.append(s)
-    if positional and (pos_terms & set(idx.postings)):
-        if phrase:
+    # phrase clauses: one score array each (float32 order identical to
+    # _make_range_scorer: wv = f32(f32(idf_sum*(k1+1)) * f32(boost)))
+    if phrase_clauses and (pos_terms & set(idx.postings)):
+        cache = weights[sorted(pos_terms & set(idx.postings))[0]].cache
+        for (pairs, _s, _occ, boost), m in zip(phrase_clauses, pc_maps):
+            pterms = sorted({t for t, _ in pairs})
+            if any(t not in idx.postings for t in pterms):
+                continue
             idf_sum = np.float32(
-                sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in phrase_terms)
+                sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in pterms)
             )
-        elif multi_phrase:
+            wv = np.float32(
+                np.float32(idf_sum * (K1 + np.float32(1.0))) * np.float32(boost)
+            )
+            pf = np.array([m.get(int(d), 0) for d in docs], dtype=np.float32)
+            ps = (wv * pf / (pf + cache[norm])).astype(np.float32)
+            ps[pf == 0] = np.float32(0.0)
+            per_clause.append(ps)
+    if positional and not phrase_clauses and (pos_terms & set(idx.postings)):
+        if multi_phrase:
             idf_sum = np.float32(
                 sum(
                     idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
@@ -324,10 +353,6 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         else:
             idf_sum = np.float32(idf_f32(len(idx.postings[span_first[0]]), idx.doc_count))
         wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
-        if phrase:
-            # BoostQuery around the phrase (identical float32 order to
-            # _make_range_scorer)
-            wv = np.float32(wv * np.float32(phrase_boost))
         cache = weights[sorted(pos_terms & set(idx.postings))[0]].cache
         pf = np.array([pf_map.get(int(d), 0) for d in docs], dtype=np.float32)
         ps = (wv * pf / (pf + cache[norm])).astype(np.float32)

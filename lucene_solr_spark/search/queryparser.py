@@ -33,10 +33,10 @@ stop filter). r2's parser treated ALL of AND/OR/NOT as terms, so
 `X AND Y` silently executed as `X OR Y`; that trap is gone.
 
 Engine-model restrictions (documented, raise ValueError):
- - one phrase clause per query; an unmarked phrase is an OPTIONAL
-   SHOULD clause (BooleanSpec.phrase_occur=''): docs matching the other
-   clauses but not the phrase still match, exactly Lucene's default-OR
-   semantics. A prohibited (-) phrase is rejected.
+ - any number of phrase clauses per query (each +required or optional
+   SHOULD per its occur — an unmarked phrase keeps Lucene's default-OR
+   semantics: docs matching other clauses but not the phrase still
+   match). A prohibited (-) phrase is rejected.
  - groups are one level deep and SHOULD-only inside (covers the classic
    `(a OR b) AND c` shape); nested parens / +/- inside a group raise.
 """
@@ -78,6 +78,9 @@ class ParsedQuery:
     # '' = optional SHOULD phrase clause, '+' = required (see
     # BooleanSpec.phrase_occur)
     phrase_occur: str = "+"
+    # additional phrase clauses beyond the first:
+    # [(pairs, slop, occur, boost)] (BooleanSpec.phrases)
+    phrases: list = field(default_factory=list)
     boosts: dict[str, float] = field(default_factory=dict)
     # unexpanded multi-term clauses: [(kind, payload, occur)];
     # kind 'wildcard'/'fuzzy' carry a string payload, 'range' carries
@@ -237,13 +240,15 @@ def parse(query: str) -> ParsedQuery:
             spec = phrase_spec(val["text"], slop=val["slop"])
             if not spec.phrase:
                 continue
-            if out.phrase:
-                raise ValueError("parser supports one phrase clause per query")
             if occur == "-":
                 raise ValueError("prohibited (-) phrase clause is not supported")
+            boost = val["boost"] if val["boost"] is not None else 1.0
+            if out.phrase:
+                # 2nd..Nth phrase clause (BooleanQuery holds any number)
+                out.phrases.append((spec.phrase, spec.slop, occur, float(boost)))
+                continue
             out.phrase, out.slop = spec.phrase, spec.slop
-            if val["boost"] is not None:
-                out.phrase_boost = val["boost"]
+            out.phrase_boost = float(boost)
             out.phrase_occur = occur
             continue
         if kind == "range":
@@ -314,6 +319,7 @@ def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -
         phrase_occur=parsed.phrase_occur,
         slop=parsed.slop,
         phrase_boost=parsed.phrase_boost,
+        phrases=tuple(parsed.phrases),
         boosts=tuple(sorted(parsed.boosts.items())),
         groups=tuple(groups),
     )

@@ -241,3 +241,42 @@ def test_blended_term_rank_identity(built):
             rows.append((d, np.float32(mx + 0.01 * (sum(ss) - mx))))
     rows.sort(key=lambda x: (-np.float64(x[1]), x[0]))
     _assert_identical(got, rows[:10], "blended")
+
+
+MULTI_CLAUSE_PHRASES = [
+    # two required phrases
+    ((("parse index", 0, "+", 1.0), ("index merge", 0, "+", 1.0)), ()),
+    # required + optional (sloppy, boosted)
+    ((("parse index", 0, "+", 1.0), ("parse merge", 2, "", 2.0)), ()),
+    # two optional phrases + a should term (msm via any clause)
+    ((("parse index", 0, "", 1.0), ("index merge", 0, "", 1.0)), ("token",)),
+]
+
+
+@pytest.mark.parametrize("pcs,should", MULTI_CLAUSE_PHRASES)
+def test_multi_phrase_clauses_rank_identity(built, pcs, should):
+    """A BooleanQuery with SEVERAL PhraseQuery clauses: engine == control
+    oracle rank+score (each clause keeps its own slop/boost/occur)."""
+    searcher, oidx = built
+    first_text, first_slop, first_occ, first_boost = pcs[0]
+    base = phrase_spec(first_text, slop=first_slop)
+    extra = tuple(
+        (phrase_spec(t, slop=s).phrase, s, occ, b) for t, s, occ, b in pcs[1:]
+    )
+    spec = BooleanSpec(
+        phrase=base.phrase, slop=base.slop, phrase_occur=first_occ,
+        phrase_boost=first_boost, phrases=extra, should=should,
+    )
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, ("multi-phrase", pcs))
+    # two required phrases: result set == intersection of the singles
+    if all(occ == "+" for _t, _s, occ, _b in pcs) and not should:
+        singles = []
+        for t, s, _occ, b in pcs:
+            ps = phrase_spec(t, slop=s)
+            singles.append({
+                d for d, _ in oracle_topk_spec(
+                    oidx, BooleanSpec(phrase=ps.phrase, slop=ps.slop, phrase_boost=b), k=1000)
+            })
+        assert {d for d, _ in oracle_topk_spec(oidx, spec, k=1000)} == set.intersection(*singles)

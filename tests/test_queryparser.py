@@ -251,3 +251,14 @@ def test_reuters_gatt_long_query():
     # '(GATT)' parses as a one-term group
     assert ("", ["gatt"], []) in p.groups
     assert not p.must and not p.must_not
+
+
+def test_multiple_phrase_clauses():
+    p = parse('"fast sort" AND "merge sort"~2^3 spark')
+    assert [t for t, _ in p.phrase] == ["fast", "sort"]
+    assert p.phrase_occur == "+"  # AND-promoted
+    assert len(p.phrases) == 1
+    pairs, slop, occ, boost = p.phrases[0]
+    assert [t for t, _ in pairs] == ["merge", "sort"]
+    assert (slop, occ, boost) == (2, "+", 3.0)
+    assert p.should == ["spark"]
