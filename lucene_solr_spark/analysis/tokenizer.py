@@ -84,6 +84,57 @@ def analyze(text: str) -> list[str]:
     return [t for t in _tokenize_lowered(text) if t not in stop]
 
 
+# ------------------------------------------------- analyzer plug point
+# The reference's Analyzer abstraction (analysis/common): every analyzer
+# is a raw-tokenize function + which of the standard filters apply.
+# token_table/analyze_as dispatch on the name, so the index build, the
+# query side, and the control oracle share one registry.
+
+import re as _re
+
+_LETTER_RE = _re.compile(r"[^\W\d_]+")  # LetterTokenizer: maximal letter runs
+
+
+def _ws_tokens(t: str) -> list[str]:
+    """WhitespaceTokenizer (analysis/core/WhitespaceTokenizer.java):
+    split on whitespace, NO case folding, NO stop filter."""
+    return t.split()
+
+
+def _simple_tokens(t: str) -> list[str]:
+    """SimpleAnalyzer = LetterTokenizer + LowerCaseFilter
+    (analysis/core/SimpleAnalyzer.java)."""
+    return _LETTER_RE.findall(t.lower())
+
+
+def _keyword_tokens(t: str) -> list[str]:
+    """KeywordAnalyzer: the whole input is ONE token
+    (analysis/core/KeywordAnalyzer.java)."""
+    return [t] if t else []
+
+
+#: name -> (tokenize_fn, apply_stop_filter, apply_len/alnum_filter)
+ANALYZERS: dict = {
+    "standard": (_tokenize_lowered, True, False),  # filters already inside
+    "whitespace": (_ws_tokens, False, True),
+    "simple": (_simple_tokens, False, True),
+    "keyword": (_keyword_tokens, False, False),
+}
+
+
+def analyze_as(analyzer: str, text: str) -> list[str]:
+    """Query-side analysis through a named analyzer (must match the
+    index's build analyzer — IndexWriterConfig carries the Analyzer in
+    the reference; the index manifest carries the name here)."""
+    tok_fn, stop, lenf = ANALYZERS[analyzer]
+    toks = tok_fn(text) if text else []
+    if lenf:
+        toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
+    if stop:
+        toks = [t for t in toks if t not in ENGLISH_STOP_WORDS]
+    return toks
+
+
 def analyze_with_positions(text: str) -> tuple[dict[str, list[int]], int]:
     """-> (term -> ascending position list, field_len).
 
@@ -123,8 +174,14 @@ def analyze_batch(texts) -> tuple[list[dict[str, int]], np.ndarray]:
     return counts, lens
 
 
-def token_table(texts) -> tuple | None:
+def token_table(texts, analyzer: str = "standard") -> tuple | None:
     """Fully vectorized batch analysis for the index build hot path.
+
+    `analyzer` selects the chain (ANALYZERS registry — the reference's
+    IndexWriterConfig(Analyzer) plug point): 'standard' (default) is the
+    full tokenize/lowercase/stop chain; 'whitespace'/'simple'/'keyword'
+    apply their Lucene semantics (no stop filter, analyzer-specific
+    tokenization and case handling).
 
     Per-token Python (dict/list ops per posting) saturates memory bandwidth
     long before 32 cores; here the ONLY Python loops are the per-doc regex
@@ -141,8 +198,17 @@ def token_table(texts) -> tuple | None:
     n_docs = len(texts)
     parts: list[list[str]] = []
     counts = np.empty(n_docs, dtype=np.int64)
+    if analyzer == "standard":
+        raw_fn = None  # inline fast path below
+    else:
+        raw_fn = ANALYZERS[analyzer][0]
     for i, t in enumerate(texts):
-        toks = TOKEN_RE.findall(_java_lower(t)) if (t and isinstance(t, str)) else []
+        if not (t and isinstance(t, str)):
+            toks = []
+        elif raw_fn is None:
+            toks = TOKEN_RE.findall(_java_lower(t))
+        else:
+            toks = raw_fn(t)
         parts.append(toks)
         counts[i] = len(toks)
     total = int(counts.sum())
@@ -157,10 +223,17 @@ def token_table(texts) -> tuple | None:
     uniq = np.asarray(uniq, dtype=object)
     # vocabulary-sized attribute vectors (vocab << tokens)
     nv = len(uniq)
-    keep1 = np.fromiter(
-        (len(u) <= MAX_TOKEN_LENGTH and bool(u.strip("_")) for u in uniq), bool, nv
-    )
-    stopm = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniq), bool, nv)
+    if analyzer == "standard":
+        keep1 = np.fromiter(
+            (len(u) <= MAX_TOKEN_LENGTH and bool(u.strip("_")) for u in uniq), bool, nv
+        )
+        stopm = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniq), bool, nv)
+    elif analyzer == "keyword":
+        keep1 = np.ones(nv, dtype=bool)
+        stopm = np.zeros(nv, dtype=bool)
+    else:  # whitespace / simple: length cap only, no stop filter
+        keep1 = np.fromiter((len(u) <= MAX_TOKEN_LENGTH for u in uniq), bool, nv)
+        stopm = np.zeros(nv, dtype=bool)
     k1 = keep1[codes]  # token kept by the TOKENIZER (defines positions)
     doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
     ck = np.concatenate(([0], np.cumsum(k1)))  # exclusive prefix of kept

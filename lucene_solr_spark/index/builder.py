@@ -221,13 +221,13 @@ def assign_doc_ids(
     return out.drop("_bucket")
 
 
-def _analysis_udf():
+def _analysis_udf(analyzer: str = "standard"):
     @F.pandas_udf("field_len int, norm_byte int")
     def analysis(content: pd.Series) -> pd.DataFrame:
         from ..analysis.tokenizer import token_table
 
         texts = content.tolist()
-        table = token_table(texts)
+        table = token_table(texts, analyzer=analyzer)
         lens = (
             np.zeros(len(texts), dtype=np.int32) if table is None else table[4]
         )
@@ -239,7 +239,7 @@ def _analysis_udf():
 
 
 def build_docs_table(
-    df: DataFrame, content_col: str, meta_cols: list[str]
+    df: DataFrame, content_col: str, meta_cols: list[str], analyzer: str = "standard"
 ) -> DataFrame:
     """docs: (doc_id, *meta, sha256, field_len, norm_byte).
 
@@ -249,14 +249,14 @@ def build_docs_table(
     return (
         df.select("doc_id", *meta_cols, F.col(content_col).alias("_content"))
         .withColumn("sha256", F.sha2(F.col("_content"), 256))
-        .withColumn("_a", _analysis_udf()(F.col("_content")))
+        .withColumn("_a", _analysis_udf(analyzer)(F.col("_content")))
         .withColumn("field_len", F.col("_a.field_len"))
         .withColumn("norm_byte", F.col("_a.norm_byte"))
         .drop("_content", "_a")
     )
 
 
-def _make_fragments_fn(content_col: str, range_size: int):
+def _make_fragments_fn(content_col: str, range_size: int, analyzer: str = "standard"):
     def fragments(iterator):
         """DWPT analog, fully vectorized: each Arrow batch becomes one set of
         sorted posting fragments (term, doc-range) -> delta+VByte streams.
@@ -278,7 +278,7 @@ def _make_fragments_fn(content_col: str, range_size: int):
         seg_id = TaskContext.get().partitionId() if TaskContext.get() else -1
 
         for pdf in iterator:
-            table = token_table(pdf[content_col].tolist())
+            table = token_table(pdf[content_col].tolist(), analyzer=analyzer)
             if table is None:
                 continue
             uniq, c2, drep, p2, flens = table
@@ -551,9 +551,16 @@ def build_index(
     n_term_buckets: int = DEFAULT_TERM_BUCKETS,
     fingerprint: str = "",
     overwrite: bool = False,
+    analyzer: str = "standard",
 ) -> IndexPaths:
     """Build the full index. Resumable: completed stages (matching manifest
-    fingerprint) are skipped — kill the job at any stage boundary and re-run."""
+    fingerprint) are skipped — kill the job at any stage boundary and re-run.
+
+    `analyzer` is the IndexWriterConfig(Analyzer) plug point (the
+    reference passes the Analyzer into the writer config): 'standard'
+    (default) / 'whitespace' / 'simple' / 'keyword' per the
+    analysis.tokenizer.ANALYZERS registry. The name is recorded in the
+    postings manifest so readers analyze queries with the SAME chain."""
     if not fingerprint:
         # an empty fingerprint would compare equal to any prior ""-manifest
         # and silently serve a stale index for a different source
@@ -584,7 +591,7 @@ def build_index(
         # no exchange after the analysis UDF: a repartitionByRange here would
         # EXECUTE THE UDF TWICE (range sampling runs the child plan) and cap
         # write parallelism; base partitions are written as-is
-        docs = build_docs_table(base, content_col, meta_cols)
+        docs = build_docs_table(base, content_col, meta_cols, analyzer=analyzer)
         docs.write.mode("overwrite").parquet(paths.docs)
         n_docs = spark.read.parquet(paths.docs).count()
         _write_manifest(
@@ -598,7 +605,7 @@ def build_index(
         # the merge k-way-sorts interleaved doc spans, any layout is fine)
         seg_src = base.select("doc_id", content_col)
         fragments = seg_src.mapInPandas(
-            _make_fragments_fn(content_col, range_size), schema=FRAGMENT_SCHEMA
+            _make_fragments_fn(content_col, range_size, analyzer), schema=FRAGMENT_SCHEMA
         )
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         blocks = (
@@ -622,7 +629,8 @@ def build_index(
             paths,
             "postings",
             {"fingerprint": fingerprint, "wall_s": time.time() - t, "range_size": range_size,
-             "n_term_buckets": n_term_buckets, "block_size": BLOCK_SIZE},
+             "n_term_buckets": n_term_buckets, "block_size": BLOCK_SIZE,
+             "analyzer": analyzer},
         )
 
     # ---- stage: stats (ExactStatsCache analog: global df/ttf) ----

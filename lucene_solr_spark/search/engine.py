@@ -228,6 +228,9 @@ class IndexSearcher:
         if n_term_buckets is None:
             n_term_buckets = int(pm.get("n_term_buckets", DEFAULT_TERM_BUCKETS))
         self.n_term_buckets = n_term_buckets
+        # the index's analysis chain (IndexWriterConfig(Analyzer) analog):
+        # query strings MUST be analyzed with the same chain
+        self.analyzer = pm.get("analyzer", "standard")
         self._range_size = int(pm.get("range_size", 8192))
         # explicit schema: readable even for a generation-0 (empty) index
         postings_schema = T.StructType(
@@ -249,6 +252,16 @@ class IndexSearcher:
         self.deleted, self.deleted_df = load_deleted(spark, self.paths)
 
     # ---------------- Weight stage ----------------
+
+    def _analyze(self, text: str) -> list[str]:
+        """Query analysis with the index's OWN chain (the manifest-carried
+        analyzer name) — mixed chains would search lowercased terms in a
+        case-preserving index and silently miss."""
+        if self.analyzer == "standard":
+            return analyze(text)
+        from ..analysis.tokenizer import analyze_as
+
+        return analyze_as(self.analyzer, text)
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
         """crc32 term bucket ids, computed driver-side (no Spark job) —
@@ -295,22 +308,22 @@ class IndexSearcher:
 
     def topk(self, query: str, k: int = 10, mode: str = "or", prune: bool | None = None,
              first_wave_ranges: int = 8) -> DataFrame:
-        terms = tuple(analyze(query))
+        terms = tuple(self._analyze(query))
         spec = BooleanSpec(must=terms) if mode == "and" else BooleanSpec(should=terms)
         return self.topk_spec(spec, k=k, prune=prune, first_wave_ranges=first_wave_ranges)
 
     def topk_boolean(self, *, should: str = "", must: str = "", must_not: str = "",
                      min_should_match: int = 0, k: int = 10) -> DataFrame:
         spec = BooleanSpec(
-            should=tuple(analyze(should)),
-            must=tuple(analyze(must)),
-            must_not=tuple(analyze(must_not)),
+            should=tuple(self._analyze(should)),
+            must=tuple(self._analyze(must)),
+            must_not=tuple(self._analyze(must_not)),
             min_should_match=min_should_match,
         )
         return self.topk_spec(spec, k=k)
 
     def topk_dismax(self, query: str, k: int = 10, tiebreak: float = 0.0) -> DataFrame:
-        spec = BooleanSpec(should=tuple(analyze(query)), dismax=True, tiebreak=tiebreak)
+        spec = BooleanSpec(should=tuple(self._analyze(query)), dismax=True, tiebreak=tiebreak)
         return self.topk_spec(spec, k=k, prune=False)
 
     def topk_phrase(self, query: str, k: int = 10, slop: int = 0) -> DataFrame:
