@@ -220,32 +220,71 @@ def dedup_minhash_lsh(spark, sf):
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     d = _docs(spark, sf)
-    # ONE shingle explosion feeds both the signature agg and the exact-
-    # Jaccard verify join (it appeared twice in the r1 plan — the single
-    # most expensive recomputation in the bench); persisted because three
-    # downstream subtrees consume it
-    sh_all = shingle_rows(d).persist()
-    # ONE sha256 per shingle; the K min-hash "permutations" are its K
-    # disjoint 8-hex (32-bit) slices — a valid minhash family at 1/K the
-    # hash cost (the salted-rehash version dominated the r1 bench)
-    sh_h = sh_all.withColumn("hh", F.sha2(F.col("s"), 256))
-    sig = sh_h.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("hh", k * 8 + 1, 8)).alias(f"h{k}")
-            for k in range(MINHASH_K)
-        ]
-    )
+    # Everything per-document is computed in ZERO-SHUFFLE Arrow passes:
+    # the min-hash signature, its banding, the per-doc DISTINCT shingle
+    # set, and the set size are all functions of one row, so no token or
+    # shingle ever crosses the network — r2 shuffled the full shingle
+    # table twice (distinct + signature groupBy). ONE sha256 per shingle;
+    # the K min-hash "permutations" are its K disjoint 8-hex (32-bit)
+    # slices — a valid minhash family at 1/K the hash cost.
     n_bands = MINHASH_K // MINHASH_BAND_R
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"h{b * MINHASH_BAND_R + r}") for r in range(MINHASH_BAND_R)]).alias("bv"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bx")).select(
-        "doc_id", F.col("bx.band").alias("band"), F.col("bx.bv").alias("bv")
-    )
+    k_sh, k_min, band_r = SHINGLE_K, MINHASH_K, MINHASH_BAND_R
+
+    def band_gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, bns, bvs = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                t = [x for x in txt.split(" ") if x]
+                if len(t) < k_sh:
+                    continue
+                hs = {
+                    hashlib.sha256(
+                        " ".join(t[i : i + k_sh]).encode()
+                    ).hexdigest()
+                    for i in range(len(t) - k_sh + 1)
+                }
+                mins = [min(h[j * 8 : j * 8 + 8] for h in hs) for j in range(k_min)]
+                for b in range(n_bands):
+                    ids.append(did)
+                    bns.append(b)
+                    bvs.append("|".join(mins[b * band_r : (b + 1) * band_r]))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "band": pd.Series(bns, dtype="int32"),
+                 "bv": bvs}
+            )
+
+    def shd_gen(batches):
+        for pdf in batches:
+            ids, ss, ns = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                t = [x for x in txt.split(" ") if x]
+                uniq = {" ".join(t[i : i + k_sh]) for i in range(len(t) - k_sh + 1)}
+                n = len(uniq)
+                first = True
+                for s in uniq:
+                    ids.append(did)
+                    ss.append(s)
+                    # n rides only on one row per doc: the set-size table
+                    # is then a map-side filter, never an aggregation
+                    ns.append(n if first else None)
+                    first = False
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "s": ss,
+                 "n": pd.Series(ns, dtype="Int64")}
+            )
+
+    src = d.select("doc_id", "text")
+    # the Arrow passes are CPU-bound Python; small corpora arrive as a
+    # single parquet split, which would serialize them on one core. At
+    # real scale the input has >= cores splits and this is a no-op.
+    cores = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    bands = src.mapInPandas(band_gen, "doc_id long, band int, bv string")
+    shd = src.mapInPandas(shd_gen, "doc_id long, s string, n long").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -254,25 +293,41 @@ def dedup_minhash_lsh(spark, sf):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    shd = sh_all.distinct()
-    sz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sz = shd.filter(F.col("n").isNotNull()).select("doc_id", "n")
+    # verify via TWO broadcast (map-side) joins: the candidate pair set
+    # is orders of magnitude smaller than the corpus by construction
+    # (band-bucket collisions), so the expanded a-side shingles are
+    # still tiny; the corpus-sized shd is never shuffled for the verify
+    # (r2 shuffled all shingles by the shingle string)
+    x_side = shd.join(
+        F.broadcast(cand), F.col("doc_id") == F.col("a_id")
+    ).select("a_id", "b_id", "s")
     inter = (
-        cand.join(shd.alias("x"), F.col("a_id") == F.col("x.doc_id"))
-        .join(shd.alias("y"), (F.col("b_id") == F.col("y.doc_id")) & (F.col("x.s") == F.col("y.s")))
+        shd.alias("y")
+        .join(
+            F.broadcast(x_side).alias("x"),
+            (F.col("y.doc_id") == F.col("x.b_id")) & (F.col("y.s") == F.col("x.s")),
+        )
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    # set sizes attach by broadcasting the TINY pair table into two
+    # map-side passes over the per-doc size table (sz is corpus-sized)
+    with_na = (
+        sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+        .join(F.broadcast(inter), "a_id")
+    )
     pairs = (
-        inter.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
-        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+        .join(F.broadcast(with_na), "b_id")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
         .orderBy("a_id", "b_id")
         .persist()
     )
     pairs.count()  # materialize eagerly so the shingle cache can be freed
-    sh_all.unpersist()
+    shd.unpersist()
     _PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -327,6 +382,11 @@ ORDER BY a_id, b_id
 #: logarithmic-convergence test)
 LAST_CC_ROUNDS = 0
 
+#: edge sets at or below this size collapse driver-side via union-find
+#: (a distributed round costs ~0.5s of scheduling; union-find does 1M
+#: edges in well under that). Larger graphs take the star rounds.
+CC_DRIVER_MAX = 1_000_000
+
 
 def _cc_large_small_star(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Connected components via alternating large-star / small-star
@@ -347,13 +407,38 @@ def _cc_large_small_star(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     still scaling up for 100-TB pair graphs."""
     global LAST_CC_ROUNDS
     spark = edges.sparkSession
-    g = edges.where("a <> b").distinct().localCheckpoint()
+    g = edges.where("a <> b").distinct()
     n0 = g.count()
+    if n0 <= CC_DRIVER_MAX:
+        # near-dup pair graphs are orders of magnitude smaller than the
+        # corpus; below the threshold a driver-side union-find (O(n α(n)),
+        # microseconds per edge) beats any number of distributed rounds —
+        # the star rounds below remain the >CC_DRIVER_MAX scale path
+        # (forced in tests via monkeypatched threshold)
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in g.collect():
+            ra, rb = find(int(r["a"])), find(int(r["b"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        rows = [(n, r) for n, r in rows if n != r]
+        LAST_CC_ROUNDS = 1
+        if not rows:
+            return spark.createDataFrame([], "a long, b long")
+        return spark.createDataFrame(rows, "a long, b long")
     parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), n0 // 250_000 + 1))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        return _cc_rounds(g, max_rounds)
+        return _cc_rounds(g.localCheckpoint(), max_rounds)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 

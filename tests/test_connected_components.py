@@ -11,18 +11,26 @@ import random
 import lucene_solr_spark.ops.pipeline as P
 
 
-def _keepers(spark, edges):
+def _keepers(spark, edges, force_distributed=True):
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(edges, "a long, b long")
-    stars = P._cc_large_small_star(df)
-    nodes = df.select("a").unionByName(df.select(F.col("b").alias("a"))).distinct()
-    lbl = stars.groupBy("a").agg(F.min("b").alias("k"))
-    rows = (
-        nodes.join(lbl, "a", "left")
-        .select("a", F.coalesce("k", F.col("a")).alias("k"))
-        .collect()
-    )
+    if force_distributed:
+        # exercise the large-star/small-star scale path, not the
+        # small-graph driver union-find fallback
+        saved, P.CC_DRIVER_MAX = P.CC_DRIVER_MAX, -1
+    try:
+        df = spark.createDataFrame(edges, "a long, b long")
+        stars = P._cc_large_small_star(df)
+        nodes = df.select("a").unionByName(df.select(F.col("b").alias("a"))).distinct()
+        lbl = stars.groupBy("a").agg(F.min("b").alias("k"))
+        rows = (
+            nodes.join(lbl, "a", "left")
+            .select("a", F.coalesce("k", F.col("a")).alias("k"))
+            .collect()
+        )
+    finally:
+        if force_distributed:
+            P.CC_DRIVER_MAX = saved
     return {int(r["a"]): int(r["k"]) for r in rows}
 
 
@@ -75,3 +83,17 @@ def test_random_graph_matches_union_find(spark):
 
 def test_empty_and_singleton_pairs(spark):
     assert _keepers(spark, [(5, 5)]) == {5: 5}
+
+
+def test_driver_fallback_matches_distributed(spark):
+    """Below CC_DRIVER_MAX the collapse runs driver-side union-find —
+    results must be identical to the distributed star rounds."""
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(0, 300, 2))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = _keepers(spark, edges, force_distributed=False)
+    slow = _keepers(spark, edges, force_distributed=True)
+    assert fast == slow == _union_find(edges)
