@@ -215,11 +215,14 @@ def apply_increment(
     doc_id_col: str,
     meta_cols: list[str],
     batch_id: int | str = None,
+    stage_only: bool = False,
 ) -> dict:
     """Append one segment generation for `new_docs`. Idempotent per
     batch_id (staged two-phase commit, see module docstring); enforces the
     monotone doc-id invariant (new ids must exceed the committed
-    watermark)."""
+    watermark). stage_only=True seals phase 1 and stops — the Solr tlog
+    state: realtime_get() already serves the docs, searches do not see
+    them; re-calling with the same batch_id commits."""
     import shutil
 
     paths = IndexPaths(index_dir)
@@ -291,6 +294,11 @@ def apply_increment(
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, staged_manifest)  # seals the stage atomically
+    if stage_only:
+        # the tlog state: sealed but uncommitted — visible to
+        # realtime_get, invisible to searches; a later call with the
+        # same batch_id resumes the commit (crash-resume machinery)
+        return {"staged": True, "batch_id": sid, "rows": None}
     with open(staged_manifest) as f:
         staged = json.load(f)
 
@@ -374,3 +382,69 @@ def index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def realtime_get(spark: SparkSession, index_dir: str, doc_ids: list) -> DataFrame:
+    """RealTimeGet (solr/core/.../component/RealTimeGetComponent.java):
+    fetch docs BY ID seeing uncommitted state — Solr consults the
+    transaction log before the last open searcher; here the tlog is the
+    sealed-but-uncommitted staging area, so the lookup unions the
+    committed docs table with every staged docs dir and drops
+    tombstoned ids. Searches keep segment-reopen visibility (staged
+    docs stay invisible to them until commit)."""
+    import glob as _glob
+
+    from ..index.deletes import load_deleted
+
+    paths = IndexPaths(index_dir)
+    ids = sorted({int(d) for d in doc_ids})
+    out = spark.read.parquet(paths.docs).filter(F.col("doc_id").isin(ids))
+    staged = sorted(_glob.glob(os.path.join(paths.root, "_staging", "batch_*", "docs")))
+    for st in staged:
+        # staged generations carry ids above the committed watermark, so
+        # a plain union cannot duplicate a committed doc
+        sdf = spark.read.parquet(st).filter(F.col("doc_id").isin(ids))
+        out = out.unionByName(sdf, allowMissingColumns=True)
+    deleted, ddf = load_deleted(spark, paths)
+    if ddf is not None:
+        out = out.join(ddf, "doc_id", "left_anti")
+    elif deleted is not None and deleted.size:
+        out = out.filter(~F.col("doc_id").isin([int(x) for x in deleted]))
+    return out.orderBy("doc_id")
+
+
+def update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    *,
+    key_cols: list[str],
+    content_col: str,
+    doc_id_col: str,
+    meta_cols: list[str],
+    batch_id: int | str = None,
+) -> dict:
+    """IndexWriter.updateDocument (index/IndexWriter.java:1503): an
+    atomic delete-by-term + add. Old versions matching `key_cols` are
+    tombstoned (masked immediately with stale stats, reclaimed at the
+    next merge — Lucene's exact update visibility) and the new versions
+    append as a fresh segment generation with new monotone doc ids."""
+    from ..index.deletes import delete_docs
+
+    paths = IndexPaths(index_dir)
+    committed = spark.read.parquet(paths.docs).select("doc_id", *key_cols)
+    old_ids = [
+        int(r["doc_id"])
+        for r in committed.join(
+            F.broadcast(new_docs.select(*key_cols).distinct()), key_cols
+        ).select("doc_id").collect()
+    ]
+    res = apply_increment(
+        spark, index_dir, new_docs,
+        content_col=content_col, doc_id_col=doc_id_col,
+        meta_cols=meta_cols, batch_id=batch_id,
+    )
+    if old_ids:
+        delete_docs(spark, index_dir, old_ids)
+    res["updated"] = len(old_ids)
+    return res

@@ -285,3 +285,66 @@ def test_index_stream_foreachbatch(spark, tmp_root, corpus):
     )
     s_full = IndexSearcher(spark, full_dir)
     assert _topk_all(s) == _topk_all(s_full)
+
+
+def test_realtime_get_sees_staged_uncommitted(spark, tmp_root, corpus):
+    """RealTimeGetComponent semantics: get-by-id consults the 'tlog'
+    (sealed-but-uncommitted staging) — searches keep segment-reopen
+    visibility until the commit lands."""
+    from lucene_solr_spark.streaming.indexer import realtime_get
+
+    d = os.path.join(tmp_root, "idx_rtg")
+    init_empty_index(spark, d, meta_cols=["repo", "path"], range_size=64)
+    kw = dict(content_col="content", doc_id_col="doc_id", meta_cols=["repo", "path"])
+    first = spark.createDataFrame(corpus.iloc[:100])
+    apply_increment(spark, d, first, batch_id="g1", **kw)
+
+    second = spark.createDataFrame(corpus.iloc[100:140])
+    r = apply_increment(spark, d, second, batch_id="g2", stage_only=True, **kw)
+    assert r["staged"]
+
+    # realtime get: committed id AND staged id both resolve
+    got = {row["doc_id"] for row in realtime_get(spark, d, [5, 110]).collect()}
+    assert got == {5, 110}
+    # search does NOT see the staged generation yet
+    s = IndexSearcher(spark, d)
+    assert s.doc_count == 100
+    # committing the same batch_id resumes phase 2; search now sees it
+    apply_increment(spark, d, second, batch_id="g2", **kw)
+    s2 = IndexSearcher(spark, d)
+    assert s2.doc_count == 140
+    assert {row["doc_id"] for row in realtime_get(spark, d, [110]).collect()} == {110}
+
+
+def test_update_documents_delete_then_add(spark, tmp_root, corpus):
+    """IndexWriter.updateDocument: atomic delete-by-key + add — the old
+    version vanishes from results immediately (stale stats), the new
+    version is searchable under fresh monotone ids, and realtime_get
+    stops serving the tombstoned id."""
+    from lucene_solr_spark.streaming.indexer import realtime_get, update_documents
+
+    d = os.path.join(tmp_root, "idx_upd")
+    init_empty_index(spark, d, meta_cols=["repo", "path"], range_size=64)
+    kw = dict(content_col="content", doc_id_col="doc_id", meta_cols=["repo", "path"])
+    base = corpus.iloc[:120].copy()
+    apply_increment(spark, d, spark.createDataFrame(base), batch_id="u0", **kw)
+
+    victim = base.iloc[7]
+    updated = base.iloc[[7]].copy()
+    updated["doc_id"] = 500  # fresh id above the watermark
+    updated["content"] = "zzupdated marker content only here"
+    res = update_documents(
+        spark, d, spark.createDataFrame(updated),
+        key_cols=["repo", "path"], batch_id="u1", **kw,
+    )
+    assert res["updated"] == 1
+
+    s = IndexSearcher(spark, d)
+    # the new content finds ONLY the new version
+    hits = [r["doc_id"] for r in s.topk("zzupdated", k=10).collect()]
+    assert hits == [500]
+    # the old internal id is masked everywhere
+    old_id = int(victim["doc_id"])
+    all_ids = {r["doc_id"] for r in s.topk("parse index", k=200, mode="or").collect()}
+    assert old_id not in all_ids
+    assert {r["doc_id"] for r in realtime_get(spark, d, [old_id, 500]).collect()} == {500}
