@@ -81,3 +81,34 @@ def test_rescore_candidates_identical_and_pruned(spark):
         assert sc == full[d]  # per-doc BM25 unchanged under restriction
     # non-matching candidates simply don't appear
     assert set(got) == {d for d in cand if d in full}
+
+
+def test_spellcheck_reads_term_stats_only(spark):
+    """DirectSpellChecker browses the term DICTIONARY — a corpus scan in
+    the plan would mean re-deriving the dictionary per query."""
+    plan = _plan(R.spellcheck_suggest(spark, SF))
+    assert "term_stats" in plan
+    assert "documents" not in plan
+
+
+def test_blended_term_no_retokenize(spark):
+    """BlendedTermQuery reads postings + stats; no split/explode of raw
+    text may appear in the plan."""
+    from lucene_solr_spark.ops.index_access import searcher_for
+
+    s = searcher_for(spark, SF)
+    plan = _plan(s.topk_blended("spark vector", k=10))
+    assert "split(" not in plan and "explode" not in plan.lower()
+
+
+def test_block_join_child_side_aggregates_before_join(spark):
+    """ToParentBlockJoin: the child rollup must aggregate lineitem BEFORE
+    joining orders (never join raw children to parents first)."""
+    plan = _plan(R.block_join_parent(spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # physical plans print top-down: the join consumes the aggregate,
+    # so the aggregate appears BELOW (after) the join operator line
+    assert "l_quantity" in plan  # child filter pushed into the scan
+    assert "PushedFilters" in plan
