@@ -1700,9 +1700,12 @@ def classification_nb(spark, sf):
         )
         .filter(~F.col("w").isin(stop))
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dt = tok.select("doc_id", "lang", "w").distinct()
+    # ONE aggregation of the token explode; everything else (doc length,
+    # doc-term pairs, sumDocFreq, per-class word doc-counts) derives from
+    # it — the naive layout re-exploded the text three times
+    tf = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dt = tf.select("doc_id", "lang", "w")
     sum_doc_freq = dt.count()
     avg_unique = float(sum_doc_freq) / float(n_docs)
     nc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nc"))
