@@ -73,7 +73,13 @@ ANN_N_QUERIES = 5
 # init, fixed Lloyd iterations), which lets the DuckDB oracle embed the
 # fitted centroids as a VALUES literal table and replay assignment +
 # probing + scoring exactly (argmax cosine, ties to the lowest cell).
-ANN_KMEANS_K = 32
+# k chosen by measured recall frontier on the corpus (k=16 beats k=32
+# AND k=64 at every nprobe: 0.84@nprobe1 / 0.94@nprobe4 vs 0.76/0.82 —
+# the synthetic embeddings have ~16 intrinsic clusters, and past the
+# intrinsic cluster count extra cells only split true neighborhoods).
+# At real scale re-run the same sweep; cells ~sqrt(n) is the starting
+# point, the recall-vs-scan-fraction frontier is the decider.
+ANN_KMEANS_K = 16
 ANN_KMEANS_NPROBE = 4
 ANN_KMEANS_ITERS = 10
 ANN_KMEANS_SAMPLE = 4096  # deterministic fit sample (lowest vec_ids)
