@@ -91,6 +91,12 @@ NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
+# SimilarityBase LM models through the same plug point: collection-
+# probability stats (ttf/sumTotalTermFreq) + SimilarityBase norm decode
+LM_QUERIES = {
+    "lm_dirichlet": ("spark merge vector", "lm_dirichlet"),
+    "lm_jelinek_mercer": ("spark merge vector", "lm_jelinek_mercer"),
+}
 # BlendedTermQuery: max-df stat blending + DisjunctionMaxRewrite
 BLENDED_QUERIES = {"bm25_blended": ("spark vector rapid", 0.01)}
 # query strings through the classic parser (QueryParserBase.parse); the
@@ -264,16 +270,16 @@ def _blended_query_fn(query: str, tiebreak: float):
     return run
 
 
-def _classic_query_fn(query: str):
-    """ClassicSimilarity (TF-IDF) through the SAME scorer path — the
-    IndexSearcher.setSimilarity plug point (§2.10), second score model
-    (similarities/ClassicSimilarity.java)."""
+def _classic_query_fn(query: str, similarity: str = "classic"):
+    """A non-default Similarity through the SAME scorer path — the
+    IndexSearcher.setSimilarity plug point (§2.10): ClassicSimilarity
+    (TF-IDF), LMDirichletSimilarity, or LMJelinekMercerSimilarity."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_solr_spark.analysis.tokenizer import analyze
         from lucene_solr_spark.search.engine import BooleanSpec
 
         s = _searcher(spark, sf_dir)
-        spec = BooleanSpec(should=tuple(analyze(query)), similarity="classic")
+        spec = BooleanSpec(should=tuple(analyze(query)), similarity=similarity)
         return _ranked(s.topk_spec(spec, k=10))
 
     return run
@@ -397,6 +403,14 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _boost_query_fn(boosts), bm25_boosted_sql(boosts, k=10)))
     for name, q in CLASSIC_QUERIES.items():
         scoring.append((name, _classic_query_fn(q), classic_tfidf_sql(q, k=10)))
+    for name, (q, sim) in LM_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import (
+            lm_dirichlet_sql,
+            lm_jelinek_mercer_sql,
+        )
+
+        lm_sql = lm_dirichlet_sql if sim == "lm_dirichlet" else lm_jelinek_mercer_sql
+        scoring.append((name, _classic_query_fn(q, sim), lm_sql(q, k=10)))
     for name, (q, tb) in BLENDED_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import blended_term_sql
 

@@ -64,6 +64,20 @@ def classic_norm_lut_rows() -> list[tuple[int, int, float]]:
     return _lut_rows(byte315_to_float(np.arange(256, dtype=np.uint8)))
 
 
+def simbase_norm_lut_rows() -> list[tuple[int, int, float]]:
+    """SimilarityBase decode (SimilarityBase.java:220-228): docLen =
+    1/byte315ToFloat(byte)^2 — the reconstructed document length used by
+    the LM similarities."""
+    from ..search.bm25 import SIMBASE_DECODE
+
+    return _lut_rows(SIMBASE_DECODE)
+
+
+def simbase_norm_lut_values_sql() -> str:
+    rows = ",".join(f"({lo},{hi},{v!r})" for lo, hi, v in simbase_norm_lut_rows())
+    return f"(VALUES {rows})"
+
+
 def classic_norm_lut_values_sql() -> str:
     rows = ",".join(f"({lo},{hi},{v!r})" for lo, hi, v in classic_norm_lut_rows())
     return f"(VALUES {rows})"
@@ -1209,6 +1223,72 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def _lm_sql(query: str, k: int, clause_score: str) -> str:
+    """Shared LM-similarity oracle scaffold: tok/dl/collection-stats CTEs
+    plus a per-clause score expression over (tf, dld docLen, p collection
+    probability). Rank-only output like the other similarity oracles."""
+    terms = analyze(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    uniq = sorted(set(terms))
+    clause_vals = ",".join(f"('{t}',{terms.count(t)})" for t in uniq)
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+coll AS (SELECT CAST(count(*) AS DOUBLE) AS sum_ttf FROM tok),
+snorm_lut(dl_lo, dl_hi, dld) AS (SELECT * FROM {simbase_norm_lut_values_sql()}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+ttfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS ttf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term),
+probs AS (
+  SELECT term, (ttf + 1.0) / (coll.sum_ttf + 1.0) AS p FROM ttfs CROSS JOIN coll
+),
+scored AS (
+  SELECT tf.doc_id, sum(({clause_score}) * c.clause_n) AS score
+  FROM tf
+  JOIN probs USING (term)
+  JOIN clauses c USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN snorm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def lm_dirichlet_sql(query: str, k: int = 10, mu: float = 2000.0) -> str:
+    """LMDirichletSimilarity oracle (LMDirichletSimilarity.java:66-70):
+    per clause greatest(ln(1 + tf/(mu*p)) + ln(mu/(docLen+mu)), 0)."""
+    expr = (
+        f"greatest(ln(1 + tf.tf / ({mu} * probs.p))"
+        f" + ln({mu} / (lut.dld + {mu})), 0)"
+    )
+    return _lm_sql(query, k, expr)
+
+
+def lm_jelinek_mercer_sql(query: str, k: int = 10, lam: float = 0.7) -> str:
+    """LMJelinekMercerSimilarity oracle (LMJelinekMercerSimilarity.java:54-59):
+    per clause ln(1 + ((1-lambda)*tf/docLen) / (lambda*p))."""
+    expr = f"ln(1 + ((1 - {lam}) * tf.tf / lut.dld) / ({lam} * probs.p))"
+    return _lm_sql(query, k, expr)
 
 
 def bm25_phrase_pairs_sql(pairs, k: int = 10) -> str:

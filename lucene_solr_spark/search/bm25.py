@@ -116,3 +116,69 @@ def _build_classic_decode() -> np.ndarray:
 
 
 CLASSIC_DECODE: np.ndarray = _build_classic_decode()
+
+
+# ------------------------------------- SimilarityBase LM models
+
+def _build_simbase_decode() -> np.ndarray:
+    """SimilarityBase.NORM_TABLE (similarities/SimilarityBase.java:220-228):
+    docLen(byte) = 1 / byte315ToFloat(byte)^2 for bytes 1..255 (float32 op
+    order: reciprocal of the float square), byte 0 = 1/NORM_TABLE[255]."""
+    from ..analysis.smallfloat import byte315_to_float
+
+    dec = byte315_to_float(np.arange(256, dtype=np.uint8)).astype(np.float32)
+    out = (np.float32(1.0) / (dec * dec)).astype(np.float32)
+    out[0] = np.float32(np.float32(1.0) / out[255])
+    return out
+
+
+SIMBASE_DECODE: np.ndarray = _build_simbase_decode()
+
+LMDIR_MU = np.float32(2000.0)
+LMJM_LAMBDA = np.float32(0.7)
+
+
+def collection_probability_f32(ttf: int, sum_ttf: int) -> np.float32:
+    """LMSimilarity.DefaultCollectionModel.computeProbability
+    (similarities/LMSimilarity.java:154-156): float32
+    (totalTermFreq + 1F) / (numberOfFieldTokens + 1F)."""
+    return np.float32(
+        (np.float32(ttf) + np.float32(1.0)) / (np.float32(sum_ttf) + np.float32(1.0))
+    )
+
+
+def lm_dirichlet_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    p: np.float32,
+    boost: float = 1.0,
+    mu: np.float32 = LMDIR_MU,
+) -> np.ndarray:
+    """LMDirichletSimilarity.score (similarities/LMDirichletSimilarity.java:66-70):
+    boost * (float)(log(1 + freq/(mu*p)) + log(mu/(docLen+mu))), clamped
+    below at 0, with p = collection_probability_f32(ttf, sum_ttf). Inner
+    arithmetic is float32 (Java float expressions), the two logs and
+    their sum are double, one cast to float, float multiply."""
+    f = np.asarray(freq, dtype=np.float32)
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    inner1 = np.float32(1.0) + f / np.float32(mu * p)
+    inner2 = np.float32(mu) / (dl + np.float32(mu))
+    s = np.log(inner1.astype(np.float64)) + np.log(inner2.astype(np.float64))
+    s = (np.float32(boost) * s.astype(np.float32)).astype(np.float32)
+    return np.maximum(s, np.float32(0.0))
+
+
+def lm_jelinek_mercer_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    p: np.float32,
+    boost: float = 1.0,
+    lam: np.float32 = LMJM_LAMBDA,
+) -> np.ndarray:
+    """LMJelinekMercerSimilarity.score (LMJelinekMercerSimilarity.java:54-59):
+    boost * (float)log(1 + ((1-lambda)*freq/docLen) / (lambda*p))."""
+    f = np.asarray(freq, dtype=np.float32)
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    inner = np.float32(1.0) + ((np.float32(1.0) - lam) * f / dl) / np.float32(lam * p)
+    s = np.log(inner.astype(np.float64)).astype(np.float32)
+    return (np.float32(boost) * s).astype(np.float32)

@@ -284,14 +284,16 @@ class IndexSearcher:
                     F.col("bucket").isin(self._buckets_of(missing))
                     & F.col("term").isin(missing)
                 )
-                .select("term", "df")
+                .select("term", "df", "ttf")
                 .collect()
             )
-            stats = {r["term"]: int(r["df"]) for r in rows}
+            stats = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
             for t in missing:
-                df_ = stats.get(t, 0)
+                df_, ttf_ = stats.get(t, (0, 0))
                 tw = make_term_weight(t, df_, self.doc_count, self.avgdl)
-                self._tw_cache[t] = {"df": df_, "weight_value": float(tw.weight_value)}
+                self._tw_cache[t] = {
+                    "df": df_, "ttf": ttf_, "weight_value": float(tw.weight_value),
+                }
         # copies: callers (boosts) mutate their view
         return {t: dict(self._tw_cache[t]) for t in uniq}
 
@@ -670,6 +672,20 @@ class IndexSearcher:
                         weights[t]["df"], self.doc_count, boost_map.get(t, 1.0)
                     )
                 )
+        elif spec.similarity in ("lm_dirichlet", "lm_jelinek_mercer"):
+            # SimilarityBase LM models (LMDirichletSimilarity.java /
+            # LMJelinekMercerSimilarity.java): per-term collection
+            # probability p(w|C) from the same global-exact stats
+            if spec.positional_terms:
+                raise ValueError("LM similarities cover term clauses only")
+            from .bm25 import collection_probability_f32
+
+            boost_map = dict(spec.boosts)
+            for t in weights:
+                weights[t]["lm_p"] = float(
+                    collection_probability_f32(weights[t]["ttf"], self.sum_ttf)
+                )
+                weights[t]["boost"] = float(boost_map.get(t, 1.0))
         else:
             for t, b in spec.boosts:
                 if t in weights:
@@ -1101,13 +1117,23 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     classic = spec.similarity == "classic"
     if classic:
         from .bm25 import CLASSIC_DECODE
+    lm = spec.similarity if spec.similarity.startswith("lm_") else None
+    if lm:
+        from .bm25 import lm_dirichlet_scores, lm_jelinek_mercer_scores
+
+        lm_fn = lm_dirichlet_scores if lm == "lm_dirichlet" else lm_jelinek_mercer_scores
+        lm_ps = {t: np.float32(weights[t]["lm_p"]) for t in weights if "lm_p" in weights[t]}
+        lm_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
 
     def _term_score(t: str, freq: np.ndarray, nb: np.ndarray) -> np.ndarray:
         """Per-clause Similarity (the setSimilarity plug point): BM25's
-        saturating tf, or ClassicSimilarity's sqrt(tf) * idf^2 *
-        decodedLengthNorm (TFIDFSimilarity.TFIDFSimScorer.score)."""
+        saturating tf, ClassicSimilarity's sqrt(tf) * idf^2 *
+        decodedLengthNorm (TFIDFSimilarity.TFIDFSimScorer.score), or a
+        SimilarityBase LM model (LMDirichlet / LMJelinekMercer)."""
         if classic:
             return (np.sqrt(freq) * wvs[t] * CLASSIC_DECODE[nb]).astype(np.float32)
+        if lm:
+            return lm_fn(freq, nb, lm_ps[t], boost=lm_boosts[t])
         return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
     # PhraseWeight per clause: one weight from summed term idfs (repeats
     # count once, i.e. DISTINCT terms); BoostQuery wrapping multiplies

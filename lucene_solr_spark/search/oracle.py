@@ -91,6 +91,45 @@ def oracle_topk(
     return [(int(docs[i]), np.float32(scores[i])) for i in top]
 
 
+def oracle_lm_topk(
+    idx: OracleIndex,
+    query: str,
+    similarity: str,
+    k: int = 10,
+) -> list[tuple[int, np.float32]]:
+    """Control for the SimilarityBase LM models (LMDirichletSimilarity /
+    LMJelinekMercerSimilarity): SHOULD-sum over analyzed clauses, each
+    clause scored by the LM formula over (tf, norm byte, p(w|C))."""
+    from .bm25 import (
+        collection_probability_f32,
+        lm_dirichlet_scores,
+        lm_jelinek_mercer_scores,
+    )
+
+    lm_fn = lm_dirichlet_scores if similarity == "lm_dirichlet" else lm_jelinek_mercer_scores
+    terms = analyze(query)
+    if not terms:
+        return []
+    cand = set.union(*[set(idx.postings.get(t, {})) for t in set(terms)])
+    if not cand:
+        return []
+    docs = np.array(sorted(cand), dtype=np.int64)
+    norm = np.array([idx.norm_bytes[d] for d in docs], dtype=np.uint8)
+    per_term = []
+    for t in terms:  # duplicates = duplicate clauses
+        post = idx.postings.get(t, {})
+        ttf = sum(post.values())
+        p = collection_probability_f32(ttf, idx.sum_ttf)
+        tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+        s = lm_fn(tf, norm, p)
+        s[tf == 0] = np.float32(0.0)
+        per_term.append(s)
+    scores = combine_scores(per_term)
+    order = np.lexsort((docs, -scores.astype(np.float64)))
+    top = order[:k]
+    return [(int(docs[i]), np.float32(scores[i])) for i in top]
+
+
 def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.float32]]:
     """Control for BooleanSpec queries (engine.BooleanSpec): MUST/SHOULD/
     MUST_NOT/minShouldMatch, DisjunctionMax, exact/sloppy PhraseQuery,

@@ -280,3 +280,42 @@ def test_multi_phrase_clauses_rank_identity(built, pcs, should):
                     oidx, BooleanSpec(phrase=ps.phrase, slop=ps.slop, phrase_boost=b), k=1000)
             })
         assert {d for d, _ in oracle_topk_spec(oidx, spec, k=1000)} == set.intersection(*singles)
+
+
+@pytest.mark.parametrize("similarity", ["lm_dirichlet", "lm_jelinek_mercer"])
+@pytest.mark.parametrize("query", ["parse index", "merge token parse", "hotcommon parse_30 parse_30"])
+def test_lm_similarity_rank_identity(built, similarity, query):
+    """SimilarityBase LM models through the setSimilarity plug point:
+    engine == control oracle rank+score (LMDirichletSimilarity.java:66-70,
+    LMJelinekMercerSimilarity.java:54-59; duplicate terms = duplicate
+    clauses)."""
+    from lucene_solr_spark.analysis.tokenizer import analyze
+    from lucene_solr_spark.search.oracle import oracle_lm_topk
+
+    searcher, oidx = built
+    spec = BooleanSpec(should=tuple(analyze(query)), similarity=similarity)
+    expected = oracle_lm_topk(oidx, query, similarity, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, (similarity, query))
+
+
+def test_lm_dirichlet_clamps_at_zero():
+    """A term occurring LESS often in the doc than the collection model
+    predicts scores 0, not negative (LMDirichletSimilarity javadoc +
+    the `score > 0.0f ? score : 0.0f` clamp)."""
+    from lucene_solr_spark.analysis.smallfloat import encode_norm
+    from lucene_solr_spark.search.bm25 import (
+        collection_probability_f32,
+        lm_dirichlet_scores,
+    )
+
+    # hot term: appears everywhere (p near 1), tf=1 in a long doc -> clamped
+    nb = np.array([int(encode_norm(np.array([1000]))[0])], dtype=np.uint8)
+    p = collection_probability_f32(900, 1000)
+    s = lm_dirichlet_scores(np.array([1.0], dtype=np.float32), nb, p)
+    assert s[0] == np.float32(0.0)
+    # rare term in a short doc scores positive
+    nb2 = np.array([int(encode_norm(np.array([10]))[0])], dtype=np.uint8)
+    p2 = collection_probability_f32(3, 1000)
+    s2 = lm_dirichlet_scores(np.array([2.0], dtype=np.float32), nb2, p2)
+    assert s2[0] > np.float32(0.0)
