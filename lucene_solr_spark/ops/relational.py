@@ -91,11 +91,79 @@ SELECT l_returnflag, l_linestatus, count(*) AS facet_count
 FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# Heatmap facet (SpatialHeatmapFacets.java:77 getHeatmapForField →
+# HeatmapFacetCounter.calcFacets, lucene/spatial-extras/.../prefix/
+# HeatmapFacetCounter.java:86): 2D spatial grid counts over a query
+# region at a fixed grid level, returned as a DENSE columns×rows count
+# array (zero cells included — Heatmap.counts is int[columns*rows]).
+#
+# The TPC-H tables carry no geo columns, so points are DERIVED
+# deterministically from c_custkey in hundredth-degree integers (the
+# same integer expressions run on both engines, so no float-boundary
+# ambiguity at cell edges):
+#   lon100 = (c_custkey*9301 + 49297) mod 36000   → [-180.00, 180.00)
+#   lat100 = (c_custkey*6619 +   293) mod 18000   → [ -90.00,  90.00)
+# Grid level 4 of a quad tree over the world → 16×16 world cells of
+# 22.50°×11.25° (2250×1125 hundredths). The query region
+# [-90,90)×[-45,45) is cell-aligned and covers cells x,y ∈ [4, 12).
+_HM = dict(cw=2250, ch=1125, x0=4, x1=12, y0=4, y1=12)
+
+
+def heatmap_facet(spark, sf):
+    h = _HM
+    pts = (
+        _t(spark, sf, "customer")
+        .withColumn("lon100", (F.col("c_custkey") * 9301 + 49297) % 36000)
+        .withColumn("lat100", (F.col("c_custkey") * 6619 + 293) % 18000)
+        .withColumn("cell_x", F.floor(F.col("lon100") / h["cw"]))
+        .withColumn("cell_y", F.floor(F.col("lat100") / h["ch"]))
+        .filter(
+            (F.col("cell_x") >= h["x0"]) & (F.col("cell_x") < h["x1"])
+            & (F.col("cell_y") >= h["y0"]) & (F.col("cell_y") < h["y1"])
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        spark.range(h["x0"], h["x1"]).select(F.col("id").alias("cell_x"))
+        .crossJoin(spark.range(h["y0"], h["y1"]).select(F.col("id").alias("cell_y")))
+    )
+    return (
+        grid.join(pts, ["cell_x", "cell_y"], "left")
+        .select(
+            "cell_x",
+            "cell_y",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("facet_count"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+HEATMAP_FACET_SQL = f"""
+WITH pts AS (
+  SELECT CAST(floor(((c_custkey*9301 + 49297) % 36000) / {_HM['cw']}) AS BIGINT) AS cell_x,
+         CAST(floor(((c_custkey*6619 + 293) % 18000) / {_HM['ch']}) AS BIGINT) AS cell_y
+  FROM customer
+), cells AS (
+  SELECT cell_x, cell_y, count(*) AS cnt FROM pts
+  WHERE cell_x >= {_HM['x0']} AND cell_x < {_HM['x1']}
+    AND cell_y >= {_HM['y0']} AND cell_y < {_HM['y1']}
+  GROUP BY 1, 2
+), grid AS (
+  SELECT gx.range AS cell_x, gy.range AS cell_y
+  FROM range({_HM['x0']}, {_HM['x1']}) gx, range({_HM['y0']}, {_HM['y1']}) gy
+)
+SELECT g.cell_x, g.cell_y,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS facet_count
+FROM grid g LEFT JOIN cells c USING (cell_x, cell_y)
+ORDER BY 1, 2
+"""
+
 
 def facets_combined(spark, sf):
-    """field/range/pivot facets as one tagged union — each variant is the
-    unchanged facet plan; the union exists so all three stay inside the
-    driver's 50-row CORRECTNESS gate (keys cast to string for a common
+    """field/range/pivot/heatmap facets as one tagged union — each variant
+    is the unchanged facet plan; the union exists so all four stay inside
+    the driver's 50-row CORRECTNESS gate (keys cast to string for a common
     schema)."""
     f1 = field_facet(spark, sf).select(
         F.lit("field").alias("variant"),
@@ -115,7 +183,16 @@ def facets_combined(spark, sf):
         F.col("l_linestatus").alias("k2"),
         "facet_count",
     )
-    return f1.unionByName(f2).unionByName(f3).orderBy("variant", "k1", "k2")
+    f4 = heatmap_facet(spark, sf).select(
+        F.lit("heatmap").alias("variant"),
+        F.format_string("%02d", F.col("cell_x")).alias("k1"),
+        F.format_string("%02d", F.col("cell_y")).alias("k2"),
+        "facet_count",
+    )
+    return (
+        f1.unionByName(f2).unionByName(f3).unionByName(f4)
+        .orderBy("variant", "k1", "k2")
+    )
 
 
 FACETS_COMBINED_SQL = f"""
@@ -125,6 +202,9 @@ SELECT * FROM (
   SELECT 'range' AS variant, CAST(qty_bucket AS VARCHAR) AS k1, '' AS k2, facet_count FROM ({RANGE_FACET_SQL})
   UNION ALL
   SELECT 'pivot' AS variant, l_returnflag AS k1, l_linestatus AS k2, facet_count FROM ({PIVOT_FACET_SQL})
+  UNION ALL
+  SELECT 'heatmap' AS variant, printf('%02d', cell_x) AS k1, printf('%02d', cell_y) AS k2, facet_count
+  FROM ({HEATMAP_FACET_SQL})
 ) ORDER BY variant, k1, k2
 """
 
