@@ -1,0 +1,80 @@
+"""Token filters beyond the standard chain (analysis/common):
+
+  ascii_fold      ASCIIFoldingFilter.java (foldToASCII): fold Latin
+                  diacritics/ligatures to their ASCII equivalents.
+  strip_possessive EnglishPossessiveFilter.java: drop trailing 's / ’s.
+  shingles        ShingleFilter.java: token n-grams joined by a filler.
+  edge_ngrams     EdgeNGramTokenFilter.java: leading-edge grams.
+  ngrams          NGramTokenFilter.java: all grams of len [lo, hi].
+
+All are pure per-token / per-stream functions so they compose into the
+ANALYZERS registry (tokenizer.py) and run inside the index build's
+Arrow-batched analysis UDF.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# ligatures/specials NFKD cannot decompose (ASCIIFoldingFilter handles
+# them in its big switch; this is the Latin-1..Extended-A subset that can
+# actually appear after \w tokenization)
+_FOLD_SPECIALS = str.maketrans({
+    "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ĸ": "k", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
+})
+
+
+def ascii_fold(token: str) -> str:
+    """ASCIIFoldingFilter.foldToASCII: NFKD-decompose, drop combining
+    marks, then map the non-decomposable specials."""
+    if token.isascii():
+        return token
+    folded = "".join(
+        ch
+        for ch in unicodedata.normalize("NFKD", token)
+        if not unicodedata.combining(ch)
+    )
+    return folded.translate(_FOLD_SPECIALS)
+
+
+def strip_possessive(token: str) -> str:
+    """EnglishPossessiveFilter: remove trailing 's (apostrophe variants
+    U+0027 / U+2019 / U+FF07), matching the reference's incrementToken."""
+    if len(token) >= 2 and token[-1] in "sS" and token[-2] in "'’＇":
+        return token[:-2]
+    return token
+
+
+def shingles(
+    tokens: list[str], min_n: int = 2, max_n: int = 2, sep: str = "_",
+    output_unigrams: bool = False,
+) -> list[str]:
+    """ShingleFilter: emit word n-grams for n in [min_n, max_n], joined by
+    `sep` (tokenSeparator). With output_unigrams the original tokens are
+    interleaved first at each position (posInc-0 stacking flattened into
+    stream order — position arrays downstream index the OUTPUT stream)."""
+    out: list[str] = []
+    n_tok = len(tokens)
+    for i in range(n_tok):
+        if output_unigrams:
+            out.append(tokens[i])
+        for n in range(min_n, max_n + 1):
+            if i + n <= n_tok:
+                out.append(sep.join(tokens[i : i + n]))
+    return out
+
+
+def edge_ngrams(token: str, lo: int = 2, hi: int = 5) -> list[str]:
+    """EdgeNGramTokenFilter (Side.FRONT): leading grams of len [lo, hi]."""
+    return [token[:n] for n in range(lo, min(hi, len(token)) + 1)]
+
+
+def ngrams(token: str, lo: int = 2, hi: int = 3) -> list[str]:
+    """NGramTokenFilter: every gram of len [lo, hi], front-to-back."""
+    out = []
+    for n in range(lo, hi + 1):
+        out.extend(token[i : i + n] for i in range(len(token) - n + 1))
+    return out

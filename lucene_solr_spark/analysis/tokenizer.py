@@ -113,12 +113,58 @@ def _keyword_tokens(t: str) -> list[str]:
     return [t] if t else []
 
 
-#: name -> (tokenize_fn, apply_stop_filter, apply_len/alnum_filter)
+def _english_raw(t: str) -> list[str]:
+    """EnglishAnalyzer pre-stop stream (analysis/en/EnglishAnalyzer.java
+    createComponents): StandardTokenizer -> EnglishPossessiveFilter ->
+    LowerCaseFilter. The StopFilter + PorterStemFilter tail comes from
+    the registry flags (stem runs AFTER stop, as a vocab-level term map)."""
+    from lucene_solr_spark.analysis.filters import strip_possessive
+
+    return [strip_possessive(x) for x in _tokenize_lowered(t)]
+
+
+def _folding_raw(t: str) -> list[str]:
+    """standard chain + ASCIIFoldingFilter (analysis/miscellaneous/
+    ASCIIFoldingFilter.java) applied after lowercasing."""
+    from lucene_solr_spark.analysis.filters import ascii_fold
+
+    return [ascii_fold(x) for x in _tokenize_lowered(t)]
+
+
+def _shingle_raw(t: str) -> list[str]:
+    """standard chain + ShingleFilter(2,2) (analysis/shingle/
+    ShingleFilter.java): stop-filtered positions become the '_' filler
+    token, word bigrams are joined by '_', and all-filler shingles are
+    not emitted. Positions index the shingle OUTPUT stream."""
+    from lucene_solr_spark.analysis.filters import shingles
+
+    stream = [
+        tok if tok not in ENGLISH_STOP_WORDS else "_"
+        for tok in _tokenize_lowered(t)
+    ]
+    return [s for s in shingles(stream, 2, 2, "_") if s.strip("_")]
+
+
+def _porter_map(term: str) -> str:
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    return porter_stem(term)
+
+
+#: name -> (tokenize_fn, apply_stop_filter, apply_len/alnum_filter,
+#:          post-stop per-term map | None)
+#: The term map is 1:1 per token (PorterStemFilter shape), so the index
+#: build applies it to the factorized VOCABULARY, not per occurrence.
 ANALYZERS: dict = {
-    "standard": (_tokenize_lowered, True, False),  # filters already inside
-    "whitespace": (_ws_tokens, False, True),
-    "simple": (_simple_tokens, False, True),
-    "keyword": (_keyword_tokens, False, False),
+    "standard": (_tokenize_lowered, True, False, None),  # filters inside
+    "whitespace": (_ws_tokens, False, True, None),
+    "simple": (_simple_tokens, False, True, None),
+    "keyword": (_keyword_tokens, False, False, None),
+    # EnglishAnalyzer: possessive+lower inside tok_fn (len/alnum filters
+    # applied there too), stop from the flag, Porter stem as the map
+    "english": (_english_raw, True, False, _porter_map),
+    "folding": (_folding_raw, True, False, None),
+    "shingle": (_shingle_raw, False, False, None),
 }
 
 
@@ -126,12 +172,14 @@ def analyze_as(analyzer: str, text: str) -> list[str]:
     """Query-side analysis through a named analyzer (must match the
     index's build analyzer — IndexWriterConfig carries the Analyzer in
     the reference; the index manifest carries the name here)."""
-    tok_fn, stop, lenf = ANALYZERS[analyzer]
+    tok_fn, stop, lenf, term_map = ANALYZERS[analyzer]
     toks = tok_fn(text) if text else []
     if lenf:
         toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
     if stop:
         toks = [t for t in toks if t not in ENGLISH_STOP_WORDS]
+    if term_map is not None:
+        toks = [term_map(t) for t in toks]
     return toks
 
 
@@ -223,17 +271,22 @@ def token_table(texts, analyzer: str = "standard") -> tuple | None:
     uniq = np.asarray(uniq, dtype=object)
     # vocabulary-sized attribute vectors (vocab << tokens)
     nv = len(uniq)
+    term_map = None
     if analyzer == "standard":
         keep1 = np.fromiter(
             (len(u) <= MAX_TOKEN_LENGTH and bool(u.strip("_")) for u in uniq), bool, nv
         )
         stopm = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniq), bool, nv)
-    elif analyzer == "keyword":
-        keep1 = np.ones(nv, dtype=bool)
-        stopm = np.zeros(nv, dtype=bool)
-    else:  # whitespace / simple: length cap only, no stop filter
-        keep1 = np.fromiter((len(u) <= MAX_TOKEN_LENGTH for u in uniq), bool, nv)
-        stopm = np.zeros(nv, dtype=bool)
+    else:  # registry-flag-driven (tok_fn may pre-apply len/alnum itself)
+        _, stop_f, len_f, term_map = ANALYZERS[analyzer]
+        if len_f:
+            keep1 = np.fromiter((len(u) <= MAX_TOKEN_LENGTH for u in uniq), bool, nv)
+        else:
+            keep1 = np.ones(nv, dtype=bool)
+        if stop_f:
+            stopm = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniq), bool, nv)
+        else:
+            stopm = np.zeros(nv, dtype=bool)
     k1 = keep1[codes]  # token kept by the TOKENIZER (defines positions)
     doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
     ck = np.concatenate(([0], np.cumsum(k1)))  # exclusive prefix of kept
@@ -241,4 +294,12 @@ def token_table(texts, analyzer: str = "standard") -> tuple | None:
     pos = ck[:-1] - ck[doc_starts][doc_rep]  # 0-based position among kept
     post = k1 & ~stopm[codes]  # survives the STOP filter too -> a posting
     field_len = np.bincount(doc_rep[post], minlength=n_docs).astype(np.int32)
+    if term_map is not None:
+        # 1:1 per-term map (PorterStemFilter shape): applied to the
+        # VOCABULARY (nv entries), never per occurrence; stems that
+        # collide re-factorize to one term code (positions unchanged)
+        mapped = np.fromiter((term_map(u) for u in uniq), object, nv)
+        mcodes, muniq = pd.factorize(mapped, sort=False)
+        uniq = np.asarray(muniq, dtype=object)
+        codes = mcodes[codes]
     return uniq, codes[post], doc_rep[post], pos[post], field_len

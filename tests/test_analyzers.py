@@ -68,3 +68,84 @@ def test_standard_index_unchanged(spark, tmp_root):
     s = _build(spark, tmp_root, "standard")
     hits = [r["doc_id"] for r in s.topk("BROWN", k=10).collect()]
     assert set(hits) == {0, 1}  # lowercased: both brown docs, either case
+
+
+def test_english_index_stems_match_across_inflections(spark, tmp_root):
+    """EnglishAnalyzer (analysis/en/EnglishAnalyzer.java): 'running',
+    'runs' and a query for 'run' all meet at the stem."""
+    d = os.path.join(tmp_root, "idx_english")
+    src = spark.createDataFrame(
+        [
+            (0, "the dogs were running fast"),
+            (1, "he runs a marathon"),
+            (2, "a run in the park"),
+            (3, "nothing related here"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-english",
+        analyzer="english",
+    )
+    s = IndexSearcher(spark, d)
+    assert s.analyzer == "english"
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    assert "run" in terms and "running" not in terms and "runs" not in terms
+    for q in ("run", "running", "runs"):
+        hits = {r["doc_id"] for r in s.topk(q, k=10).collect()}
+        assert hits == {0, 1, 2}, q
+
+
+def test_english_index_stem_collision_tf(spark, tmp_root):
+    """Two surface forms in ONE doc merge into a single posting whose tf
+    is the sum (ttf check through term stats)."""
+    d = os.path.join(tmp_root, "idx_english_tf")
+    src = spark.createDataFrame(
+        [(0, "running runs runner"), (1, "walked walking")],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-english-tf",
+        analyzer="english",
+    )
+    s = IndexSearcher(spark, d)
+    stats = {r["term"]: (r["df"], r["ttf"]) for r in s._term_stats.collect()}
+    assert stats["run"] == (1, 2)  # running+runs merged, one doc
+    assert stats["walk"] == (1, 2)
+
+
+def test_folding_index_matches_unaccented_query(spark, tmp_root):
+    d = os.path.join(tmp_root, "idx_folding")
+    src = spark.createDataFrame(
+        [(0, "crème brûlée recipe"), (1, "creme brulee recipe"), (2, "unrelated")],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-folding",
+        analyzer="folding",
+    )
+    s = IndexSearcher(spark, d)
+    hits = {r["doc_id"] for r in s.topk("creme", k=10).collect()}
+    assert hits == {0, 1}
+
+
+def test_shingle_index_bigram_terms(spark, tmp_root):
+    d = os.path.join(tmp_root, "idx_shingle")
+    src = spark.createDataFrame(
+        [(0, "quick brown fox"), (1, "brown quick fox"), (2, "quick red fox")],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-shingle",
+        analyzer="shingle",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    assert "quick_brown" in terms and "brown_fox" in terms
+    # a shingled query is adjacency-sensitive: only doc 0 has the bigram
+    hits = [r["doc_id"] for r in s.topk("quick brown", k=10).collect()]
+    assert hits == [0]
