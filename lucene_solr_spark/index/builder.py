@@ -630,7 +630,12 @@ def build_index(
             "postings",
             {"fingerprint": fingerprint, "wall_s": time.time() - t, "range_size": range_size,
              "n_term_buckets": n_term_buckets, "block_size": BLOCK_SIZE,
-             "analyzer": analyzer},
+             "analyzer": analyzer,
+             # IndexWriterConfig.setIndexSort analog: with assign_doc_ids
+             # every segment (bucket partition) is written sorted by
+             # order_cols, which EarlyTerminatingSortingCollector needs;
+             # an explicit doc_id_col keeps source order (no index sort)
+             "index_sort": [] if doc_id_col else list(order_cols or ["repo", "path", "commit"])},
         )
 
     # ---- stage: stats (ExactStatsCache analog: global df/ttf) ----

@@ -198,6 +198,58 @@ def ngram_phrase_rewrite(
     )
 
 
+def _segment_heads_fn(sort_cols: list[str], n: int, deleted):
+    """mapInPandas fn for EarlyTerminatingSortingCollector's candidate
+    pass: emit the first n live rows of every sorted run of every file
+    (`_seg` column). A docs file is sorted by (layout bucket, index
+    sort), so runs are detected by the sort key lexicographically
+    DECREASING between consecutive rows; per-file (last key, rows taken
+    in current run) state survives Arrow batch splits. Vectorized —
+    no per-row Python."""
+
+    def heads(batches):
+        state: dict[str, tuple] = {}
+        for pdf in batches:
+            if deleted is not None and deleted.size:
+                pdf = pdf[~pdf["doc_id"].isin(deleted)]
+                if not len(pdf):
+                    continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for seg, sub in pdf.groupby("_seg", sort=False):
+                last_key, carry = state.get(seg, (None, 0))
+                m = len(sub)
+                # lexicographic descent vs previous row marks a new run
+                lt = np.zeros(m, dtype=bool)
+                eq = np.ones(m, dtype=bool)
+                for c in sort_cols:
+                    v = sub[c].to_numpy()
+                    pv = np.concatenate(([v[0]], v[:-1]))
+                    lt |= eq & (v < pv)
+                    eq &= v == pv
+                if last_key is None:
+                    lt[0] = False
+                    carry = 0
+                else:
+                    lt[0] = tuple(sub[c].iloc[0] for c in sort_cols) < last_key
+                    if lt[0]:
+                        carry = 0
+                idx = np.arange(m)
+                run = np.cumsum(lt)
+                pos = idx - np.maximum.accumulate(np.where(lt, idx, 0))
+                total = pos + np.where(run == 0, carry, 0)
+                keep[sub.index.to_numpy()] = total < n
+                state[seg] = (
+                    tuple(sub[c].iloc[-1] for c in sort_cols),
+                    int(total[-1]) + 1,
+                )
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return heads
+
+
 def phrase_spec(query: str, slop: int = 0) -> BooleanSpec:
     """Analyze a phrase query preserving position gaps left by the stop
     filter (QueryParser builds PhraseQuery with analysis positions)."""
@@ -232,6 +284,9 @@ class IndexSearcher:
         # query strings MUST be analyzed with the same chain
         self.analyzer = pm.get("analyzer", "standard")
         self._range_size = int(pm.get("range_size", 8192))
+        # IndexWriterConfig.setIndexSort analog (see builder): non-empty
+        # means every segment file is sorted by these columns
+        self.index_sort: list[str] = list(pm.get("index_sort", []))
         # explicit schema: readable even for a generation-0 (empty) index
         postings_schema = T.StructType(
             list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
@@ -643,7 +698,8 @@ class IndexSearcher:
 
     def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool | None = None,
                   first_wave_ranges: int = 8,
-                  candidates: list[int] | None = None) -> DataFrame:
+                  candidates: list[int] | None = None,
+                  range_ids: list[int] | None = None) -> DataFrame:
         """-> DataFrame(doc_id long, score float): k best rows ordered
         score DESC, doc_id ASC (HitQueue/TopDocs.merge tie-break).
 
@@ -718,6 +774,14 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
         blocks = self._blocks_for(present)
+        if range_ids is not None:
+            # TimeLimitingCollector slice: score only these doc ranges.
+            # Per-doc scores use GLOBAL stats, so a slice's rows are
+            # bit-identical to the same docs in an unrestricted run.
+            blocks = blocks.filter(
+                F.col("range_id").isin([int(r) for r in range_ids])
+            )
+            prune = False
         cand_arr = None
         if candidates is not None:
             cand_arr = np.asarray(sorted({int(c) for c in candidates}), dtype=np.int64)
@@ -776,6 +840,107 @@ class IndexSearcher:
             hits.join(docs, "doc_id", "inner")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
+
+    # ---------------- sorted / time-bounded collectors ----------------
+
+    def _early_candidates(self, n: int, sort_cols: list[str]) -> DataFrame:
+        """EarlyTerminatingSortingCollector candidate pass
+        (lucene/core/.../search/EarlyTerminatingSortingCollector.java):
+        when every segment is sorted by the index sort, the global top-n
+        needs only the FIRST n docs of each segment — collection past n
+        throws CollectionTerminatedException per leaf.
+
+        Here 'segment' = one sorted RUN inside a docs parquet file. The
+        doc-id layout window sorts each file by (_bucket, index_sort), so
+        a file holds one sorted run PER LAYOUT BUCKET, not one run total
+        — taking just each file's head would miss later buckets whose
+        keys sort lower. An Arrow stage streams each file in order,
+        detects run boundaries (the sort key lexicographically
+        decreasing) and emits only the first n live rows of every run,
+        so ≤ n_layout_buckets·n rows (not the corpus) reach the final
+        merge — a bound that is a property of the corpus layout, never
+        of cluster width. Per-file state survives Arrow batch splits."""
+        if not self.index_sort:
+            raise ValueError(
+                "early termination requires an index sort "
+                "(build with order_cols, not an explicit doc_id_col)"
+            )
+        if list(sort_cols) != self.index_sort[: len(sort_cols)]:
+            raise ValueError(
+                f"query sort {sort_cols} is not a prefix of the index "
+                f"sort {self.index_sort}"
+            )
+        if self.deleted_df is not None:
+            raise ValueError(
+                "corpus-scale delete set pending compaction — early "
+                "termination would need per-segment live counts"
+            )
+        docs = self.spark.read.parquet(self.paths.docs)
+        missing = [c for c in sort_cols if c not in docs.columns]
+        if missing:
+            raise ValueError(f"sort columns not stored in docs table: {missing}")
+        with_seg = docs.withColumn("_seg", F.input_file_name())
+        out_schema = with_seg.schema
+        deleted = self.deleted
+
+        return with_seg.mapInPandas(
+            _segment_heads_fn(list(sort_cols), n, deleted), schema=out_schema
+        ).drop("_seg")
+
+    def early_terminating_topn(
+        self, n: int, sort_cols: list[str] | None = None
+    ) -> DataFrame:
+        """Top-n docs by the index sort via per-segment early termination;
+        identical rows to a full ORDER BY ... LIMIT n, but the merge input
+        is bounded by sorted-runs·n instead of the corpus size."""
+        sort_cols = list(sort_cols or self.index_sort)
+        cand = self._early_candidates(n, sort_cols)
+        order = [F.col(c).asc() for c in sort_cols] + [F.col("doc_id").asc()]
+        return cand.orderBy(*order).limit(n)
+
+    def topk_time_limited(
+        self,
+        query: str,
+        k: int = 10,
+        budget_s: float = 1.0,
+        mode: str = "or",
+        ranges_per_slice: int = 256,
+    ) -> tuple[DataFrame, bool, int]:
+        """TimeLimitingCollector (lucene/core/.../search/
+        TimeLimitingCollector.java): stop collecting when the wall-clock
+        budget is exhausted and return the hits gathered so far plus a
+        timed-out flag (TimeExceededException carries partial results).
+
+        The doc-range space is processed in slices — each slice is one
+        pruned distributed scoring job; the budget is checked between
+        slices (the reference checks per collected doc; per-slice is the
+        distributed analog of its granularity). Scores use global stats,
+        so partial results are bit-identical to the same docs in a full
+        run. Returns (topk_df, timed_out, ranges_visited)."""
+        import time as _time
+
+        spec = (
+            BooleanSpec(must=tuple(self._analyze(query)))
+            if mode == "and"
+            else BooleanSpec(should=tuple(self._analyze(query)))
+        )
+        n_ranges = max(1, -(-self.doc_count // self._range_size))
+        t0 = _time.monotonic()
+        rows: list = []
+        visited = 0
+        timed_out = False
+        for start in range(0, n_ranges, ranges_per_slice):
+            if _time.monotonic() - t0 >= budget_s:
+                timed_out = True
+                break
+            sl = list(range(start, min(start + ranges_per_slice, n_ranges)))
+            rows.extend(self.topk_spec(spec, k=k, range_ids=sl).collect())
+            visited += len(sl)
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        out = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows[:k]], TOPK_SCHEMA
+        )
+        return out, timed_out, visited
 
     def _wand_pruned(
         self, blocks: DataFrame, scan_cols: list[str], score_fn, weights: dict,
