@@ -46,3 +46,36 @@ def searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     s = IndexSearcher(spark, idx_dir)
     _SEARCHERS[key] = s
     return s
+
+
+def ordered_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Secondary index over documents built WITH an index sort
+    (IndexWriterConfig.setIndexSort analog): order_cols define both the
+    doc-id layout and the per-segment sort that
+    EarlyTerminatingSortingCollector needs. The source doc_id is renamed
+    to src_doc_id because the builder assigns its own doc_id when an
+    index sort is requested."""
+    key = os.path.abspath(sf_dir) + "#ordered"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("doc_id", "src_doc_id")
+    )
+    build_index(
+        spark,
+        src,
+        out_dir=idx_dir,
+        content_col="text",
+        order_cols=["lang", "source", "src_doc_id"],
+        meta_cols=["lang", "source", "src_doc_id", "n_chars"],
+        range_size=512,
+        fingerprint=key,
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _SEARCHERS[key] = s
+    return s

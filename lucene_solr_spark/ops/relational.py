@@ -721,16 +721,75 @@ SELECT doc_id, matched FROM (
 
 
 def export_sorted(spark, sf):
-    return (
+    """Sorted-collection family as one tagged union (shared schema
+    variant/id/name/num):
+
+    - export: ExportQParserPlugin full sorted dump (ORDER BY, no limit).
+    - early_topn: EarlyTerminatingSortingCollector — top-n by the INDEX
+      SORT over an order_cols-built documents index; only the first n
+      rows of each sorted segment run reach the merge
+      (IndexSearcher.early_terminating_topn), yet the rows are identical
+      to a plain ORDER BY ... LIMIT n.
+    - time_sliced: TimeLimitingCollector slice loop at an unexhausted
+      budget — the union of per-slice pruned scoring jobs must equal the
+      one-shot top-k (slice scores use global stats).
+    """
+    from .index_access import ordered_searcher_for, searcher_for
+
+    export = (
         _t(spark, sf, "supplier")
-        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("bal"))
-        .orderBy(F.col("bal").desc(), F.col("s_suppkey").asc())
+        .select(
+            F.lit("export").alias("variant"),
+            F.col("s_suppkey").cast("long").alias("id"),
+            F.col("s_name").alias("name"),
+            F.round("s_acctbal", 2).cast("double").alias("num"),
+        )
     )
+    early = (
+        ordered_searcher_for(spark, sf)
+        .early_terminating_topn(25)
+        .select(
+            F.lit("early_topn").alias("variant"),
+            F.col("src_doc_id").cast("long").alias("id"),
+            F.concat_ws("/", "lang", "source").alias("name"),
+            F.col("n_chars").cast("double").alias("num"),
+        )
+    )
+    sliced_df, timed_out, _ = searcher_for(spark, sf).topk_time_limited(
+        "fast merge sort", k=10, budget_s=1e9, ranges_per_slice=4
+    )
+    assert not timed_out
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    sliced = (
+        sliced_df.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.lit("time_sliced").alias("variant"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.lit("").alias("name"),
+            F.col("rank").cast("double").alias("num"),
+        )
+    )
+    return export.unionByName(early).unionByName(sliced).orderBy("variant", "id")
 
 
-EXPORT_SORTED_SQL = """
-SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
-FROM supplier ORDER BY bal DESC, s_suppkey ASC
+def _export_sorted_sql() -> str:
+    from .bm25_sql import bm25_topk_sql
+
+    topk = bm25_topk_sql("fast merge sort", k=10, mode="or")
+    return f"""
+SELECT * FROM (
+  SELECT 'export' AS variant, CAST(s_suppkey AS BIGINT) AS id,
+         s_name AS name, CAST(round(s_acctbal, 2) AS DOUBLE) AS num
+  FROM supplier
+  UNION ALL
+  SELECT 'early_topn' AS variant, CAST(doc_id AS BIGINT) AS id,
+         lang || '/' || source AS name, CAST(n_chars AS DOUBLE) AS num
+  FROM (SELECT * FROM documents ORDER BY lang, source, doc_id LIMIT 25)
+  UNION ALL
+  SELECT 'time_sliced' AS variant, CAST(doc_id AS BIGINT) AS id,
+         '' AS name, CAST(rank AS DOUBLE) AS num
+  FROM ({topk})
+) ORDER BY variant, id
 """
 
 
@@ -1251,7 +1310,7 @@ OPS: dict[str, tuple] = {
     "boolean_filter": (boolean_filter, BOOLEAN_FILTER_SQL),
     "match_all_count": (match_all_count, MATCH_ALL_COUNT_SQL),
     "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),
-    "export_sorted": (export_sorted, EXPORT_SORTED_SQL),
+    "export_sorted": (export_sorted, _export_sorted_sql),
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "suggest_prefix": (suggest_prefix, SUGGEST_PREFIX_SQL),
     "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
