@@ -198,6 +198,54 @@ def ngram_phrase_rewrite(
     )
 
 
+class FilterCache:
+    """LRUQueryCache + UsageTrackingQueryCachingPolicy analog
+    (search/LRUQueryCache.java, search/UsageTrackingQueryCachingPolicy.java):
+    caches a FILTER clause's matching doc-id set, but only once the same
+    filter has been seen `min_frequency` times in the recent-history ring
+    buffer (FrequencyTrackingRingBuffer — one-shot filters never pollute
+    the cache), with LRU eviction at `max_entries` and a per-entry doc
+    cap (`max_docs`, the maxRamBytesUsed analog: a filter matching half
+    the corpus is cheaper to re-run than to pin in memory)."""
+
+    def __init__(self, max_entries: int = 32, min_frequency: int = 2,
+                 history: int = 256, max_docs: int = 1 << 20):
+        from collections import OrderedDict, deque
+
+        self.max_entries = max_entries
+        self.min_frequency = min_frequency
+        self.max_docs = max_docs
+        self._cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._history: "deque[tuple]" = deque(maxlen=history)
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def _frequency(self, key: tuple) -> int:
+        return sum(1 for k in self._history if k == key)
+
+    def get(self, key: tuple) -> "np.ndarray | None":
+        self._history.append(key)
+        got = self._cache.get(key)
+        if got is not None:
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return got
+        self.misses += 1
+        return None
+
+    def put(self, key: tuple, docs: "np.ndarray") -> bool:
+        """Store iff the policy says this filter is worth caching."""
+        if docs.size > self.max_docs or self._frequency(key) < self.min_frequency:
+            return False
+        self._cache[key] = docs
+        self._cache.move_to_end(key)
+        while len(self._cache) > self.max_entries:
+            self._cache.popitem(last=False)
+            self.evictions += 1
+        return True
+
+
 def _segment_heads_fn(sort_cols: list[str], n: int, deleted):
     """mapInPandas fn for EarlyTerminatingSortingCollector's candidate
     pass: emit the first n live rows of every sorted run of every file
@@ -287,6 +335,11 @@ class IndexSearcher:
         # IndexWriterConfig.setIndexSort analog (see builder): non-empty
         # means every segment file is sorted by these columns
         self.index_sort: list[str] = list(pm.get("index_sort", []))
+        # LRUQueryCache analog: FILTER-clause doc-id sets cached per
+        # searcher snapshot (a snapshot's postings never change, so the
+        # cache needs no invalidation — reopening = a new searcher, the
+        # reader-close semantics of the reference cache)
+        self.query_cache = FilterCache()
         # explicit schema: readable even for a generation-0 (empty) index
         postings_schema = T.StructType(
             list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
@@ -840,6 +893,95 @@ class IndexSearcher:
             hits.join(docs, "doc_id", "inner")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
+
+    # ---------------- filter cache (LRUQueryCache) ----------------
+
+    def _posting_doc_ids(self, terms: list[str]) -> DataFrame:
+        """DataFrame(term, doc_id) decoded from the pruned posting blocks
+        of `terms` — the unscored DISI the filter path walks."""
+        blocks = self._blocks_for(sorted(set(terms))).select(
+            "term", "first_doc", "docs_buf"
+        )
+
+        def decode(it):
+            from ..index.codec import delta_decode, vbyte_decode
+
+            for pdf in it:
+                outs = []
+                for term, fd, db in zip(pdf["term"], pdf["first_doc"], pdf["docs_buf"]):
+                    docs = delta_decode(vbyte_decode(db), int(fd))
+                    outs.append(
+                        pd.DataFrame({"term": term, "doc_id": docs.astype("int64")})
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return blocks.mapInPandas(decode, "term string, doc_id long")
+
+    def filter_docs(self, *, must: str = "", should: str = "",
+                    must_not: str = "") -> np.ndarray:
+        """Matching doc ids of a FILTER query (BooleanClause.Occur.FILTER:
+        matches like MUST, contributes NO score), served through the
+        LRUQueryCache: repeated filters skip the postings walk entirely.
+        Terms are analyzed with the index chain; deletes are masked."""
+        m = tuple(sorted(self._analyze(must)))
+        s = tuple(sorted(self._analyze(should)))
+        n = tuple(sorted(self._analyze(must_not)))
+        key = (m, s, n)
+        cached = self.query_cache.get(key)
+        if cached is not None:
+            return cached
+        docs = self._filter_docs_uncached(m, s, n)
+        self.query_cache.put(key, docs)
+        return docs
+
+    def _filter_docs_uncached(self, m: tuple, s: tuple, n: tuple) -> np.ndarray:
+        """MUST = intersect, SHOULD-only = union (with MUST present the
+        SHOULD clauses are optional, per BooleanQuery), MUST_NOT = anti."""
+        weights = self.term_weights(list(m + s + n))
+        present = {t for t, w in weights.items() if w["df"] > 0}
+        mu = tuple(sorted(set(m)))
+        if (mu and any(t not in present for t in mu)) or not (mu or s):
+            return np.empty(0, dtype=np.int64)
+        terms = [t for t in set(m + s + n) if t in present]
+        pd_docs = self._posting_doc_ids(terms)
+        if mu:
+            hit = (
+                pd_docs.filter(F.col("term").isin(list(mu)))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nm"))
+                .filter(F.col("nm") == len(mu))
+                .select("doc_id")
+            )
+        else:
+            hit = pd_docs.filter(F.col("term").isin(list(s))).select("doc_id").distinct()
+        if n:
+            excl = pd_docs.filter(F.col("term").isin(list(n))).select("doc_id").distinct()
+            hit = hit.join(excl, "doc_id", "left_anti")
+        arr = np.asarray(
+            sorted(r["doc_id"] for r in hit.collect()), dtype=np.int64
+        )
+        if self.deleted is not None and self.deleted.size:
+            arr = arr[~np.isin(arr, self.deleted)]
+        return arr
+
+    def topk_filtered(self, query: str, k: int = 10, mode: str = "or",
+                      **filter_kwargs) -> DataFrame:
+        """BooleanQuery with FILTER clauses: hits must satisfy the filter
+        but only `query` contributes score (IndexSearcher + FILTER occur).
+        The filter's doc set comes from the query cache and is pushed into
+        the scorer as a candidate mask (block ranges pruned to it)."""
+        docs = self.filter_docs(**filter_kwargs)
+        if not docs.size:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        spec = (
+            BooleanSpec(must=tuple(self._analyze(query)))
+            if mode == "and"
+            else BooleanSpec(should=tuple(self._analyze(query)))
+        )
+        # the candidates path scores EVERY candidate (rescore semantics),
+        # so the filter query re-applies its own k
+        return self.topk_spec(spec, k=k, candidates=[int(d) for d in docs]).limit(k)
 
     # ---------------- sorted / time-bounded collectors ----------------
 
