@@ -96,6 +96,11 @@ CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
 LM_QUERIES = {
     "lm_dirichlet": ("spark merge vector", "lm_dirichlet"),
     "lm_jelinek_mercer": ("spark merge vector", "lm_jelinek_mercer"),
+    # DFR InL2 and IB LL through the same plug (DFRSimilarity.java /
+    # IBSimilarity.java with NormalizationH2): per-term df + the
+    # SimilarityBase float32 avgFieldLength
+    "dfr_inl2": ("spark merge vector", "dfr_inl2"),
+    "ib_ll": ("spark merge vector", "ib_ll"),
 }
 # BlendedTermQuery: max-df stat blending + DisjunctionMaxRewrite
 BLENDED_QUERIES = {"bm25_blended": ("spark vector rapid", 0.01)}
@@ -405,12 +410,19 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _classic_query_fn(q), classic_tfidf_sql(q, k=10)))
     for name, (q, sim) in LM_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import (
+            dfr_inl2_sql,
+            ib_ll_sql,
             lm_dirichlet_sql,
             lm_jelinek_mercer_sql,
         )
 
-        lm_sql = lm_dirichlet_sql if sim == "lm_dirichlet" else lm_jelinek_mercer_sql
-        scoring.append((name, _classic_query_fn(q, sim), lm_sql(q, k=10)))
+        sim_sql = {
+            "lm_dirichlet": lm_dirichlet_sql,
+            "lm_jelinek_mercer": lm_jelinek_mercer_sql,
+            "dfr_inl2": dfr_inl2_sql,
+            "ib_ll": ib_ll_sql,
+        }[sim]
+        scoring.append((name, _classic_query_fn(q, sim), sim_sql(q, k=10)))
     for name, (q, tb) in BLENDED_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import blended_term_sql
 

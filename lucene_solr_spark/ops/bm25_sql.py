@@ -1291,6 +1291,75 @@ def lm_jelinek_mercer_sql(query: str, k: int = 10, lam: float = 0.7) -> str:
     return _lm_sql(query, k, expr)
 
 
+def _simbase_dfr_sql(query: str, k: int, clause_score: str) -> str:
+    """DFR/IB oracle scaffold: the LM scaffold's CTEs plus per-term df,
+    corpus doc count (st.n) and avgFieldLength (av.avgdl) — everything
+    SimilarityBase.fillBasicStats provides. Rank-only output; double
+    arithmetic (the engine's float32 op order agrees on these ranks)."""
+    terms = analyze(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    uniq = sorted(set(terms))
+    clause_vals = ",".join(f"('{t}',{terms.count(t)})" for t in uniq)
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+coll AS (SELECT CAST(count(*) AS DOUBLE) AS sum_ttf FROM tok),
+av AS (SELECT coll.sum_ttf / st.n AS avgdl FROM coll CROSS JOIN st),
+snorm_lut(dl_lo, dl_hi, dld) AS (SELECT * FROM {simbase_norm_lut_values_sql()}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, sum(({clause_score}) * c.clause_n) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN clauses c USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN snorm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN st CROSS JOIN av
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+_TFN_H2 = "(tf.tf * log2(1 + av.avgdl / lut.dld))"
+
+
+def dfr_inl2_sql(query: str, k: int = 10) -> str:
+    """DFR InL2 oracle (DFRSimilarity + BasicModelIn.java:36 +
+    AfterEffectL.java:33 + NormalizationH2.java:50, c=1):
+    tfn*log2((N+1)/(df+0.5)) / (tfn+1)."""
+    expr = f"({_TFN_H2} * log2((st.n + 1) / (dfs.df + 0.5)) * (1 / ({_TFN_H2} + 1)))"
+    return _simbase_dfr_sql(query, k, expr)
+
+
+def ib_ll_sql(query: str, k: int = 10) -> str:
+    """IB LL oracle (IBSimilarity + LambdaDF.java:32 +
+    DistributionLL.java:34): -ln(lambda/(tfn+lambda)),
+    lambda=(df+1)/(N+1)."""
+    lam = "((dfs.df + 1) / (st.n + 1))"
+    expr = f"(-ln({lam} / ({_TFN_H2} + {lam})))"
+    return _simbase_dfr_sql(query, k, expr)
+
+
 def bm25_phrase_pairs_sql(pairs, k: int = 10) -> str:
     """PhraseQuery oracle for explicit (term, position-offset) pairs —
     e.g. the output of NGramPhraseQuery.rewrite, whose kept terms sit at

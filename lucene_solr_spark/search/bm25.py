@@ -182,3 +182,74 @@ def lm_jelinek_mercer_scores(
     inner = np.float32(1.0) + ((np.float32(1.0) - lam) * f / dl) / np.float32(lam * p)
     s = np.log(inner.astype(np.float64)).astype(np.float32)
     return (np.float32(boost) * s).astype(np.float32)
+
+
+# ------------------------------------- SimilarityBase DFR / IB models
+
+_LN2 = np.float64(np.log(2.0))
+
+
+def simbase_avgdl_f32(sum_ttf: int, doc_count: int) -> np.float32:
+    """SimilarityBase.fillBasicStats (SimilarityBase.java:126-129):
+    avgFieldLength = (float)numberOfFieldTokens / numberOfDocuments —
+    the long is cast to FLOAT first, then float32 division (BM25Similarity
+    instead divides in double and casts the quotient)."""
+    if sum_ttf <= 0:
+        return np.float32(1.0)
+    return np.float32(np.float32(sum_ttf) / np.float32(doc_count))
+
+
+def _tfn_h2(freq: np.ndarray, norm_byte: np.ndarray, avgdl32: np.float32) -> np.ndarray:
+    """NormalizationH2.tfn with the default c=1 (NormalizationH2.java:47-53):
+    (float)(tf * log2(1 + c * avgFieldLength / docLen)). The inner
+    1 + c*avg/len is all-float32 arithmetic; log2 and the tf product run
+    in double, then one cast to float."""
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    inner = np.float32(1.0) + (np.float32(1.0) * np.float32(avgdl32)) / dl
+    t = np.asarray(freq, dtype=np.float32).astype(np.float64) * (
+        np.log(inner.astype(np.float64)) / _LN2
+    )
+    return t.astype(np.float32)
+
+
+def dfr_inl2_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    df: int,
+    doc_count: int,
+    avgdl32: np.float32,
+    boost: float = 1.0,
+) -> np.ndarray:
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2()) —
+    the classic InL2 model. DFRSimilarity.score: boost * basicModel *
+    afterEffect; BasicModelIn.java:36: tfn * (float)log2((N+1)/(n+0.5));
+    AfterEffectL.java:33: 1/(tfn+1)."""
+    tfn = _tfn_h2(freq, norm_byte, avgdl32)
+    bmlog = np.float32(
+        np.log((np.float64(doc_count) + 1.0) / (np.float64(df) + 0.5)) / _LN2
+    )
+    bm = (tfn * bmlog).astype(np.float32)
+    ae = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+    return ((np.float32(boost) * bm) * ae).astype(np.float32)
+
+
+def ib_ll_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    df: int,
+    doc_count: int,
+    avgdl32: np.float32,
+    boost: float = 1.0,
+) -> np.ndarray:
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2()).
+    IBSimilarity.score: boost * distribution(tfn, lambda);
+    LambdaDF.java:32: (docFreq+1F)/(numberOfDocuments+1F), float32;
+    DistributionLL.java:34: (float)-Math.log(lambda/(tfn+lambda)) — the
+    ratio is float32 division, the log is natural and double."""
+    tfn = _tfn_h2(freq, norm_byte, avgdl32)
+    lam = np.float32(
+        (np.float32(df) + np.float32(1.0)) / (np.float32(doc_count) + np.float32(1.0))
+    )
+    ratio = (lam / (tfn + lam)).astype(np.float32)
+    dist = (-np.log(ratio.astype(np.float64))).astype(np.float32)
+    return (np.float32(boost) * dist).astype(np.float32)

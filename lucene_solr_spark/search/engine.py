@@ -795,6 +795,20 @@ class IndexSearcher:
                     collection_probability_f32(weights[t]["ttf"], self.sum_ttf)
                 )
                 weights[t]["boost"] = float(boost_map.get(t, 1.0))
+        elif spec.similarity in ("dfr_inl2", "ib_ll"):
+            # SimilarityBase DFR/IB models (DFRSimilarity.java /
+            # IBSimilarity.java): need SimilarityBase's own float32
+            # avgFieldLength cast order plus the per-term df already in
+            # the weights
+            if spec.positional_terms:
+                raise ValueError("DFR/IB similarities cover term clauses only")
+            from .bm25 import simbase_avgdl_f32
+
+            boost_map = dict(spec.boosts)
+            av = float(simbase_avgdl_f32(self.sum_ttf, self.doc_count))
+            for t in weights:
+                weights[t]["simbase_avgdl"] = av
+                weights[t]["boost"] = float(boost_map.get(t, 1.0))
         else:
             for t, b in spec.boosts:
                 if t in weights:
@@ -1431,6 +1445,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         lm_fn = lm_dirichlet_scores if lm == "lm_dirichlet" else lm_jelinek_mercer_scores
         lm_ps = {t: np.float32(weights[t]["lm_p"]) for t in weights if "lm_p" in weights[t]}
         lm_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
+    dfr = spec.similarity if spec.similarity in ("dfr_inl2", "ib_ll") else None
+    if dfr:
+        from .bm25 import dfr_inl2_scores, ib_ll_scores
+
+        dfr_fn = dfr_inl2_scores if dfr == "dfr_inl2" else ib_ll_scores
+        dfr_av = np.float32(
+            next(w["simbase_avgdl"] for w in weights.values() if "simbase_avgdl" in w)
+        )
+        dfr_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
 
     def _term_score(t: str, freq: np.ndarray, nb: np.ndarray) -> np.ndarray:
         """Per-clause Similarity (the setSimilarity plug point): BM25's
@@ -1441,6 +1464,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             return (np.sqrt(freq) * wvs[t] * CLASSIC_DECODE[nb]).astype(np.float32)
         if lm:
             return lm_fn(freq, nb, lm_ps[t], boost=lm_boosts[t])
+        if dfr:
+            return dfr_fn(
+                freq, nb, dfs[t], doc_count, dfr_av, boost=dfr_boosts[t]
+            )
         return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
     # PhraseWeight per clause: one weight from summed term idfs (repeats
     # count once, i.e. DISTINCT terms); BoostQuery wrapping multiplies

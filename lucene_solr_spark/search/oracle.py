@@ -97,16 +97,19 @@ def oracle_lm_topk(
     similarity: str,
     k: int = 10,
 ) -> list[tuple[int, np.float32]]:
-    """Control for the SimilarityBase LM models (LMDirichletSimilarity /
-    LMJelinekMercerSimilarity): SHOULD-sum over analyzed clauses, each
-    clause scored by the LM formula over (tf, norm byte, p(w|C))."""
+    """Control for the SimilarityBase models (LMDirichletSimilarity /
+    LMJelinekMercerSimilarity / DFR InL2 / IB LL): SHOULD-sum over
+    analyzed clauses, each clause scored by the model's formula over
+    (tf, norm byte, collection stats)."""
     from .bm25 import (
         collection_probability_f32,
+        dfr_inl2_scores,
+        ib_ll_scores,
         lm_dirichlet_scores,
         lm_jelinek_mercer_scores,
+        simbase_avgdl_f32,
     )
 
-    lm_fn = lm_dirichlet_scores if similarity == "lm_dirichlet" else lm_jelinek_mercer_scores
     terms = analyze(query)
     if not terms:
         return []
@@ -115,13 +118,23 @@ def oracle_lm_topk(
         return []
     docs = np.array(sorted(cand), dtype=np.int64)
     norm = np.array([idx.norm_bytes[d] for d in docs], dtype=np.uint8)
+    av32 = simbase_avgdl_f32(idx.sum_ttf, idx.doc_count)
     per_term = []
     for t in terms:  # duplicates = duplicate clauses
         post = idx.postings.get(t, {})
-        ttf = sum(post.values())
-        p = collection_probability_f32(ttf, idx.sum_ttf)
         tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
-        s = lm_fn(tf, norm, p)
+        if similarity in ("dfr_inl2", "ib_ll"):
+            fn = dfr_inl2_scores if similarity == "dfr_inl2" else ib_ll_scores
+            s = fn(tf, norm, len(post), idx.doc_count, av32)
+        else:
+            lm_fn = (
+                lm_dirichlet_scores
+                if similarity == "lm_dirichlet"
+                else lm_jelinek_mercer_scores
+            )
+            ttf = sum(post.values())
+            p = collection_probability_f32(ttf, idx.sum_ttf)
+            s = lm_fn(tf, norm, p)
         s[tf == 0] = np.float32(0.0)
         per_term.append(s)
     scores = combine_scores(per_term)

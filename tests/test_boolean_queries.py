@@ -282,13 +282,15 @@ def test_multi_phrase_clauses_rank_identity(built, pcs, should):
         assert {d for d, _ in oracle_topk_spec(oidx, spec, k=1000)} == set.intersection(*singles)
 
 
-@pytest.mark.parametrize("similarity", ["lm_dirichlet", "lm_jelinek_mercer"])
+@pytest.mark.parametrize(
+    "similarity", ["lm_dirichlet", "lm_jelinek_mercer", "dfr_inl2", "ib_ll"]
+)
 @pytest.mark.parametrize("query", ["parse index", "merge token parse", "hotcommon parse_30 parse_30"])
 def test_lm_similarity_rank_identity(built, similarity, query):
-    """SimilarityBase LM models through the setSimilarity plug point:
+    """SimilarityBase models through the setSimilarity plug point:
     engine == control oracle rank+score (LMDirichletSimilarity.java:66-70,
-    LMJelinekMercerSimilarity.java:54-59; duplicate terms = duplicate
-    clauses)."""
+    LMJelinekMercerSimilarity.java:54-59, DFRSimilarity InL2,
+    IBSimilarity LL; duplicate terms = duplicate clauses)."""
     from lucene_solr_spark.analysis.tokenizer import analyze
     from lucene_solr_spark.search.oracle import oracle_lm_topk
 
