@@ -1035,7 +1035,13 @@ class IndexSearcher:
         missing = [c for c in sort_cols if c not in docs.columns]
         if missing:
             raise ValueError(f"sort columns not stored in docs table: {missing}")
-        with_seg = docs.withColumn("_seg", F.input_file_name())
+        # the candidate pass ships ONLY (sort cols, doc_id) through Arrow
+        # — the parquet scan column-prunes to them; stored fields of the
+        # n winners are fetched afterwards by early_terminating_topn's
+        # semi-join (like Lucene collecting doc ids first and loading
+        # stored fields for the final page only)
+        slim_cols = list(dict.fromkeys([*sort_cols, "doc_id"]))
+        with_seg = docs.select(*slim_cols).withColumn("_seg", F.input_file_name())
         out_schema = with_seg.schema
         deleted = self.deleted
 
@@ -1048,11 +1054,14 @@ class IndexSearcher:
     ) -> DataFrame:
         """Top-n docs by the index sort via per-segment early termination;
         identical rows to a full ORDER BY ... LIMIT n, but the merge input
-        is bounded by sorted-runs·n instead of the corpus size."""
+        is bounded by sorted-runs·n instead of the corpus size, and only
+        the final n winners' stored fields are ever read."""
         sort_cols = list(sort_cols or self.index_sort)
         cand = self._early_candidates(n, sort_cols)
         order = [F.col(c).asc() for c in sort_cols] + [F.col("doc_id").asc()]
-        return cand.orderBy(*order).limit(n)
+        winners = cand.orderBy(*order).limit(n).select("doc_id")
+        docs = self.spark.read.parquet(self.paths.docs)
+        return docs.join(F.broadcast(winners), "doc_id", "inner").orderBy(*order)
 
     def topk_time_limited(
         self,

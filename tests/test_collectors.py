@@ -168,6 +168,21 @@ def test_early_candidates_are_exactly_run_heads(spark, sorted_idx):
     assert got < N_DOCS  # strictly fewer rows than the corpus reach the merge
 
 
+def test_early_candidate_scan_prunes_to_sort_cols(sorted_idx):
+    """The candidate pass must column-prune the docs scan to
+    (sort cols, doc_id): stored fields (content sha, lang, ...) are read
+    only for the n winners via the final semi-join."""
+    plan = (
+        sorted_idx._early_candidates(5, ["repo", "path", "commit"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    read = plan.split("ReadSchema")[-1]
+    assert "sha256" not in read and "lang" not in read
+    assert "repo" in read and "doc_id" in read
+
+
 def test_early_termination_requires_index_sort(spark, tmp_root):
     pdf = make_corpus(60, seed=9)
     pdf = pdf.assign(doc_id=range(len(pdf)))
