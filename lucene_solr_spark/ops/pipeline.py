@@ -1798,6 +1798,221 @@ WHERE rn = 1 ORDER BY doc_id
 CLASSIFICATION_SQL = _classification_sql()
 
 
+#: kNN classifier geometry (KNearestNeighborClassifier defaults are
+#: maxQueryTerms=25/k=10; smaller here so the 500-doc gate corpus keeps
+#: >1 candidate class per doc)
+KNN_N_TERMS = 5
+KNN_K = 5
+
+
+def classification_knn(spark, sf):
+    """KNearestNeighborClassifier (lucene/classification/src/java/org/
+    apache/lucene/classification/KNearestNeighborClassifier.java):
+    classify a doc by majority class among its top-k BM25 neighbors,
+    where the neighbor query is the doc's MoreLikeThis term selection
+    (:169-183 mlt.like -> searcher top-k -> classifyFromTopDocs class
+    counts). Every document is classified in ONE distributed pass —
+    the per-doc "run an MLT query" loop becomes a sparse term
+    self-join:
+
+      qterms  = per doc, top KNN_N_TERMS terms by tf*ln(N/df)
+                (MoreLikeThis.createQueue score order, ties term ASC)
+      cand    = qterms JOIN tf ON term, candidate != query doc
+      score   = SUM BM25(term, candidate)   [same formula as the
+                engine: idf*(k1+1)*tf/(tf+k1*(1-b+b*dnorm/avgdl)),
+                candidate length norm through the floatToByte315 LUT]
+      vote    = among top KNN_K neighbors per query doc: class with
+                the highest count; ties -> higher summed neighbor
+                score, then class ASC (classifyFromTopDocs counts +
+                a deterministic total order)
+
+    Scale shape: MLT keeps only high-idf (rare) terms, so the join
+    fan-out per query doc is SUM df(rare term) — bounded, never the
+    all-pairs product; the two window ranks are partitioned by doc.
+    Class field = `lang`; score column = vote count (double), so the
+    gate value-checks the full vote, not a float sum."""
+    from .bm25_sql import K1, B, norm_lut_rows
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    d = _docs(spark, sf)
+    n_docs = d.count()
+    stop = sorted(ENGLISH_STOP_WORDS)
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+        )
+        .filter(~F.col("w").isin(stop))
+    )
+    tf = (
+        tok.groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
+    )
+    dfr = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.sum("dl")).collect()[0][0]) / float(n_docs)
+    lut = spark.createDataFrame(
+        norm_lut_rows(), "dl_lo long, dl_hi long, dnorm double"
+    )
+    dnorm = dl.join(
+        F.broadcast(lut),
+        (F.col("dl") >= F.col("dl_lo")) & (F.col("dl") <= F.col("dl_hi")),
+    ).select("doc_id", "dnorm")
+
+    wq = Window.partitionBy("qdoc").orderBy(
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).desc(), F.col("w").asc()
+    )
+    qterms = (
+        tf.select(F.col("doc_id").alias("qdoc"), "w", "tf")
+        .join(dfr, "w")
+        .withColumn("tr", F.row_number().over(wq))
+        .filter(F.col("tr") <= KNN_N_TERMS)
+        .select("qdoc", "w")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    cand = (
+        qterms.join(
+            tf.select(F.col("doc_id").alias("cdoc"), F.col("lang").alias("clang"), "w", "tf"),
+            "w",
+        )
+        .filter(F.col("cdoc") != F.col("qdoc"))
+        .join(dfr, "w")
+        .join(dnorm.withColumnRenamed("doc_id", "cdoc"), "cdoc")
+        .withColumn(
+            "tscore",
+            idf
+            * F.lit(K1 + 1.0)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dnorm") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("qdoc", "cdoc", "clang")
+        .agg(F.sum("tscore").alias("nscore"))
+    )
+    wn = Window.partitionBy("qdoc").orderBy(
+        F.round(F.col("nscore"), 6).desc(), F.col("cdoc").asc()
+    )
+    nbrs = cand.withColumn("nr", F.row_number().over(wn)).filter(F.col("nr") <= KNN_K)
+    votes = nbrs.groupBy("qdoc", "clang").agg(
+        F.count(F.lit(1)).cast("double").alias("votes"),
+        F.sum("nscore").alias("ssum"),
+    )
+    wv = Window.partitionBy("qdoc").orderBy(
+        F.col("votes").desc(), F.round(F.col("ssum"), 6).desc(), F.col("clang").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qdoc").alias("doc_id"),
+            F.col("clang").alias("assigned_lang"),
+            F.col("votes").alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _classification_knn_sql() -> str:
+    from .bm25_sql import K1, B, norm_lut_values_sql, stoplist_sql
+
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, d.lang, t.tok AS w
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+tf AS (SELECT doc_id, lang, w, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, lang, w),
+dfr AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) / n.n AS avgdl FROM dl CROSS JOIN n GROUP BY n.n),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+dn AS (
+  SELECT dl.doc_id, lut.dnorm FROM dl
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+),
+qterms AS (
+  SELECT qdoc, w FROM (
+    SELECT tf.doc_id AS qdoc, tf.w,
+           row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(n.n / dfr.df) DESC, tf.w ASC
+           ) AS tr
+    FROM tf JOIN dfr USING (w) CROSS JOIN n
+  ) WHERE tr <= {KNN_N_TERMS}
+),
+cand AS (
+  SELECT q.qdoc, c.doc_id AS cdoc, c.lang AS clang,
+         sum(ln(1 + (n.n - dfr.df + 0.5) / (dfr.df + 0.5)) * ({K1} + 1)
+             * c.tf / (c.tf + {K1} * ((1 - {B}) + {B} * dn.dnorm / s.avgdl))) AS nscore
+  FROM qterms q
+  JOIN tf c USING (w)
+  JOIN dfr USING (w)
+  JOIN dn ON dn.doc_id = c.doc_id
+  CROSS JOIN n CROSS JOIN stats s
+  WHERE c.doc_id <> q.qdoc
+  GROUP BY q.qdoc, c.doc_id, c.lang
+),
+nbrs AS (
+  SELECT * FROM (
+    SELECT qdoc, cdoc, clang, nscore,
+           row_number() OVER (
+             PARTITION BY qdoc ORDER BY round(nscore, 6) DESC, cdoc ASC
+           ) AS nr
+    FROM cand
+  ) WHERE nr <= {KNN_K}
+),
+votes AS (
+  SELECT qdoc, clang, CAST(count(*) AS DOUBLE) AS votes, sum(nscore) AS ssum
+  FROM nbrs GROUP BY qdoc, clang
+)
+SELECT doc_id, assigned_lang, score FROM (
+  SELECT qdoc AS doc_id, clang AS assigned_lang, votes AS score,
+         row_number() OVER (
+           PARTITION BY qdoc ORDER BY votes DESC, round(ssum, 6) DESC, clang ASC
+         ) AS vr
+  FROM votes
+) WHERE vr = 1 ORDER BY doc_id
+"""
+
+
+CLASSIFICATION_KNN_SQL = _classification_knn_sql()
+
+
+def classification_combined(spark, sf):
+    """SimpleNaiveBayes + KNearestNeighbor classifiers as one tagged
+    union (lucene/classification/): same 50-row-gate consolidation as
+    `facets` — both variants keep their value-checked score column
+    (NB: rounded log-likelihood, kNN: vote count)."""
+    c1 = classification_nb(spark, sf).select(
+        F.lit("nb").alias("variant"), "doc_id", "assigned_lang",
+        F.col("score").cast("double").alias("score"),
+    )
+    c2 = classification_knn(spark, sf).select(
+        F.lit("knn").alias("variant"), "doc_id", "assigned_lang", "score",
+    )
+    return c1.unionByName(c2).orderBy("variant", "doc_id")
+
+
+CLASSIFICATION_COMBINED_SQL = f"""
+SELECT * FROM (
+  SELECT 'nb' AS variant, doc_id, assigned_lang, CAST(score AS DOUBLE) AS score
+  FROM ({CLASSIFICATION_SQL})
+  UNION ALL
+  SELECT 'knn' AS variant, doc_id, assigned_lang, score
+  FROM ({CLASSIFICATION_KNN_SQL})
+) ORDER BY variant, doc_id
+"""
+
+
 # `dedup_exact_family` unions exact/bag-of-words/minhash-cluster keepers
 # (gate consolidation; individual fns remain public API)
 OPS: dict[str, tuple] = {
@@ -1817,5 +2032,6 @@ OPS: dict[str, tuple] = {
     "graph_bfs": (graph_bfs, GRAPH_BFS_SQL),
     "shortest_path": (shortest_path, SHORTEST_PATH_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
-    "classification_nb": (classification_nb, CLASSIFICATION_SQL),
+    # nb + knn as one tagged union (both variants value-checked)
+    "classification": (classification_combined, CLASSIFICATION_COMBINED_SQL),
 }

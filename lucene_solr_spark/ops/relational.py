@@ -160,11 +160,51 @@ ORDER BY 1, 2
 """
 
 
+def taxonomy_facet(spark, sf):
+    """Taxonomy facets (lucene/facet/src/java/org/apache/lucene/facet/
+    taxonomy/FastTaxonomyFacetCounts.java + TaxonomyReader ordinal tree):
+    hierarchical dimension counts for the docs matching a query — the
+    count at every internal node is the number of matching docs under
+    that path (rollup, not just leaf counts), which is what
+    getTopChildren(dim) / drill-down returns at each level.
+
+    The dim here is the 2-level path type/brand over `part`, filtered by
+    a query (p_size < 15). One aggregation with grouping sets replaces
+    the taxonomy ordinal arrays: Catalyst's partial aggregation gives the
+    same one-pass rollup the reference gets from its int[] ordinal
+    counters, and at 100 TB it is a single shuffle keyed by the (few)
+    path prefixes."""
+    lvl = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") < 15)
+        .rollup("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        # rollup emits (type, brand), (type, NULL), (NULL, NULL); the
+        # taxonomy has no root row in getTopChildren output
+        .filter(F.col("p_type").isNotNull())
+    )
+    return lvl.select(
+        "p_type",
+        F.coalesce(F.col("p_brand"), F.lit("")).alias("p_brand"),
+        "facet_count",
+    ).orderBy("p_type", "p_brand")
+
+
+TAXONOMY_FACET_SQL = """
+SELECT * FROM (
+  SELECT p_type, coalesce(p_brand, '') AS p_brand, count(*) AS facet_count
+  FROM part WHERE p_size < 15
+  GROUP BY ROLLUP (p_type, p_brand)
+) WHERE p_type IS NOT NULL
+ORDER BY p_type, p_brand
+"""
+
+
 def facets_combined(spark, sf):
-    """field/range/pivot/heatmap facets as one tagged union — each variant
-    is the unchanged facet plan; the union exists so all four stay inside
-    the driver's 50-row CORRECTNESS gate (keys cast to string for a common
-    schema)."""
+    """field/range/pivot/heatmap/taxonomy facets as one tagged union —
+    each variant is the unchanged facet plan; the union exists so all
+    five stay inside the driver's 50-row CORRECTNESS gate (keys cast to
+    string for a common schema)."""
     f1 = field_facet(spark, sf).select(
         F.lit("field").alias("variant"),
         F.col("o_orderpriority").alias("k1"),
@@ -189,8 +229,14 @@ def facets_combined(spark, sf):
         F.format_string("%02d", F.col("cell_y")).alias("k2"),
         "facet_count",
     )
+    f5 = taxonomy_facet(spark, sf).select(
+        F.lit("taxonomy").alias("variant"),
+        F.col("p_type").alias("k1"),
+        F.col("p_brand").alias("k2"),
+        "facet_count",
+    )
     return (
-        f1.unionByName(f2).unionByName(f3).unionByName(f4)
+        f1.unionByName(f2).unionByName(f3).unionByName(f4).unionByName(f5)
         .orderBy("variant", "k1", "k2")
     )
 
@@ -205,6 +251,8 @@ SELECT * FROM (
   UNION ALL
   SELECT 'heatmap' AS variant, printf('%02d', cell_x) AS k1, printf('%02d', cell_y) AS k2, facet_count
   FROM ({HEATMAP_FACET_SQL})
+  UNION ALL
+  SELECT 'taxonomy' AS variant, p_type AS k1, p_brand AS k2, facet_count FROM ({TAXONOMY_FACET_SQL})
 ) ORDER BY variant, k1, k2
 """
 
@@ -861,6 +909,96 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 """
 
 
+#: docs whose term vectors the gate fetches (TermVectorComponent `docIds`)
+TV_DOC_IDS = (0, 1, 2, 3, 4)
+
+
+def term_vectors(spark, sf):
+    """TermVectorComponent (solr/core/src/java/org/apache/solr/handler/
+    component/TermVectorComponent.java): per-document term vectors —
+    (term, tf, positions) for each requested doc. The reference reads
+    stored per-doc vectors (Lucene term vectors are a per-doc mini
+    inverted index, IndexReader.getTermVector); here the row store IS
+    the documents table, so the vector is re-derived by the same
+    analysis chain the index used. Positions are the INDEXED positions:
+    the counter advances over stopwords (StopFilter
+    enablePositionIncrements, SURVEY §2.1), so phrase-style gaps are
+    visible in the output exactly as the postings store them.
+
+    Scale shape: the doc-id filter is pushed into the parquet scan
+    (row-group pruning on doc_id); one posexplode + one aggregation,
+    no shuffle wider than the requested doc set."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id").isin(list(TV_DOC_IDS)))
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("pos", "term"),
+    ).filter(~F.col("term").isin(sorted(ENGLISH_STOP_WORDS)))
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("pos").cast("int")))).alias("positions"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def _term_vectors_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE doc_id IN ({ids})
+),
+pos AS (
+  SELECT doc_id, t[g.pos] AS term, g.pos - 1 AS p
+  FROM toks, unnest(generate_series(1, len(t))) AS g(pos)
+)
+SELECT doc_id, term, count(*) AS tf,
+       array_to_string(list_sort(list(CAST(p AS INTEGER))), ',') AS positions
+FROM pos WHERE term NOT IN {_stoplist_in()}
+GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+
+
+TERM_VECTORS_SQL = _term_vectors_sql()
+
+
+def terms_combined(spark, sf):
+    """TermsComponent (corpus-wide term-dict browse) + TermVectorComponent
+    (per-doc vectors) as one tagged union — same 50-row-gate consolidation
+    as `facets`; the individual fns remain public API."""
+    t1 = terms_component(spark, sf).select(
+        F.lit("dict").alias("variant"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        "term",
+        F.col("df").cast("long").alias("freq"),
+        F.lit("").alias("positions"),
+    )
+    t2 = term_vectors(spark, sf).select(
+        F.lit("vector").alias("variant"),
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("freq"),
+        "positions",
+    )
+    return t1.unionByName(t2).orderBy("variant", "doc_id", "term")
+
+
+TERMS_COMBINED_SQL = f"""
+SELECT * FROM (
+  SELECT 'dict' AS variant, CAST(-1 AS BIGINT) AS doc_id, term,
+         CAST(df AS BIGINT) AS freq, '' AS positions
+  FROM ({TERMS_COMPONENT_SQL})
+  UNION ALL
+  SELECT 'vector' AS variant, doc_id, term, CAST(tf AS BIGINT) AS freq, positions
+  FROM ({TERM_VECTORS_SQL})
+) ORDER BY variant, doc_id, term
+"""
+
+
 def spellcheck_suggest(spark, sf):
     """DirectSpellChecker (lucene/suggest/.../spell/DirectSpellChecker.java
     suggestSimilar): suggestions from the term DICTIONARY within 2 edits
@@ -1311,7 +1449,7 @@ OPS: dict[str, tuple] = {
     "match_all_count": (match_all_count, MATCH_ALL_COUNT_SQL),
     "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),
     "export_sorted": (export_sorted, _export_sorted_sql),
-    "terms_component": (terms_component, TERMS_COMPONENT_SQL),
+    "terms_component": (terms_combined, TERMS_COMBINED_SQL),
     "suggest_prefix": (suggest_prefix, SUGGEST_PREFIX_SQL),
     "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
