@@ -40,6 +40,21 @@ def make_spark(cpus: int):
     )
 
 
+def _host_probe_s() -> float:
+    """One iteration of tools/host_probe.py's fixed work, single-proc."""
+    import re
+    import numpy as np
+
+    a = np.arange(12_000_000, dtype=np.float64)
+    s = ("word%d " % 7) * 120_000
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(3):
+        acc += float((a * 1.0001).sum())
+        acc += len(re.split(r" ", s))
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -152,6 +167,11 @@ def main() -> None:
         "n_docs": n_docs,
         "index_files_per_sec": round(n_docs / build_s, 2) if not args.skip_build else None,
         "ann_recall_at_10": ann_recall,
+        # fixed single-proc work (numpy stream + regex split, no Spark):
+        # calibrates the shared VM's speed on THIS run so timings are
+        # comparable across rounds — BENCH.md documents runs where the
+        # same code moved 3-10x with host state (healthy core ~0.4s)
+        "host_probe_s": _host_probe_s(),
     }
     print(json.dumps(out))
     spark.stop()

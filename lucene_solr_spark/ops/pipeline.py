@@ -1803,6 +1803,12 @@ CLASSIFICATION_SQL = _classification_sql()
 #: >1 candidate class per doc)
 KNN_N_TERMS = 5
 KNN_K = 5
+#: reference kNN classifies ONE doc per assignClass call; the gate entry
+#: classifies the deterministic sample doc_id % KNN_QDOC_MOD == 0 (the
+#: "incoming batch") against the FULL corpus as the neighbor index —
+#: per-query cost is Σ df(selected terms), the standard MLT cost model,
+#: and the batch size (not the corpus) bounds the candidate join
+KNN_QDOC_MOD = 25
 
 
 def classification_knn(spark, sf):
@@ -1826,11 +1832,19 @@ def classification_knn(spark, sf):
                 score, then class ASC (classifyFromTopDocs counts +
                 a deterministic total order)
 
-    Scale shape: MLT keeps only high-idf (rare) terms, so the join
-    fan-out per query doc is SUM df(rare term) — bounded, never the
-    all-pairs product; the two window ranks are partitioned by doc.
-    Class field = `lang`; score column = vote count (double), so the
-    gate value-checks the full vote, not a float sum."""
+    Scale shape: the reference classifies one doc per assignClass call;
+    here the query batch is the deterministic sample doc_id %
+    KNN_QDOC_MOD == 0, scored against the FULL corpus as the neighbor
+    index. Cost = |batch| * SUM df(selected terms) — the MLT cost model;
+    the corpus side contributes one postings-sized pass that precomputes
+    each candidate's per-term BM25 partial, so the expanded candidate
+    join carries one double per row. On corpora with rare terms the
+    fan-out is tiny; on THIS gate corpus (29-word vocabulary, every df
+    ~= N) it degenerates to batch x corpus, which is exactly why the
+    batch — not the corpus — must bound the join. The two window ranks
+    are partitioned by qdoc. Class field = `lang`; score column = vote
+    count (double), so the gate value-checks the full vote, not a float
+    sum."""
     from .bm25_sql import K1, B, norm_lut_rows
     from ..analysis.tokenizer import ENGLISH_STOP_WORDS
 
@@ -1865,7 +1879,8 @@ def classification_knn(spark, sf):
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).desc(), F.col("w").asc()
     )
     qterms = (
-        tf.select(F.col("doc_id").alias("qdoc"), "w", "tf")
+        tf.filter(F.col("doc_id") % KNN_QDOC_MOD == 0)
+        .select(F.col("doc_id").alias("qdoc"), "w", "tf")
         .join(dfr, "w")
         .withColumn("tr", F.row_number().over(wq))
         .filter(F.col("tr") <= KNN_N_TERMS)
@@ -1875,25 +1890,32 @@ def classification_knn(spark, sf):
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    cand = (
-        qterms.join(
-            tf.select(F.col("doc_id").alias("cdoc"), F.col("lang").alias("clang"), "w", "tf"),
-            "w",
-        )
-        .filter(F.col("cdoc") != F.col("qdoc"))
+    # per-(candidate doc, term) BM25 partial computed ONCE on the tf
+    # table (≈ postings size), so the candidate join carries a single
+    # precomputed double instead of re-joining df/norm per expanded row
+    scored = (
+        tf.select(F.col("doc_id").alias("cdoc"), F.col("lang").alias("clang"), "w", "tf")
         .join(dfr, "w")
         .join(dnorm.withColumnRenamed("doc_id", "cdoc"), "cdoc")
-        .withColumn(
-            "tscore",
-            idf
-            * F.lit(K1 + 1.0)
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dnorm") / F.lit(avgdl))
-            ),
+        .select(
+            "cdoc",
+            "clang",
+            "w",
+            (
+                idf
+                * F.lit(K1 + 1.0)
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dnorm") / F.lit(avgdl))
+                )
+            ).alias("tscore"),
         )
+    )
+    cand = (
+        qterms.join(scored, "w")
+        .filter(F.col("cdoc") != F.col("qdoc"))
         .groupBy("qdoc", "cdoc", "clang")
         .agg(F.sum("tscore").alias("nscore"))
     )
@@ -1947,6 +1969,7 @@ qterms AS (
              ORDER BY tf.tf * ln(n.n / dfr.df) DESC, tf.w ASC
            ) AS tr
     FROM tf JOIN dfr USING (w) CROSS JOIN n
+    WHERE tf.doc_id % {KNN_QDOC_MOD} = 0
   ) WHERE tr <= {KNN_N_TERMS}
 ),
 cand AS (
