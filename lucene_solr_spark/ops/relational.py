@@ -1047,6 +1047,127 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+def suggest_combined(spark, sf):
+    """Prefix suggest + DirectSpellChecker as one tagged union — both
+    read only the term dictionary; same 50-row-gate consolidation as
+    `facets` (the individual fns remain public API). distance = -1 for
+    the prefix variant (no edit distance involved)."""
+    s1 = suggest_prefix(spark, sf).select(
+        F.lit("prefix").alias("variant"),
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
+    s2 = spellcheck_suggest(spark, sf).select(
+        F.lit("spell").alias("variant"),
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+    return s1.unionByName(s2).orderBy("variant", "term")
+
+
+SUGGEST_COMBINED_SQL = f"""
+SELECT * FROM (
+  SELECT 'prefix' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_PREFIX_SQL})
+  UNION ALL
+  SELECT 'spell' AS variant, term, CAST(df AS BIGINT) AS df, distance
+  FROM ({SPELLCHECK_SQL})
+) ORDER BY variant, term
+"""
+
+
+#: LatLonPoint demo geometry. Coordinates are DERIVED deterministically
+#: from c_custkey (the TPC-H tables carry no geo columns): two coprime
+#: multipliers spread keys quasi-uniformly over the globe, exactly
+#: reproducible in integer math on both engines.
+SPATIAL_CENTER_LAT = 0.0
+SPATIAL_CENTER_LON = 0.0
+SPATIAL_RADIUS_KM = 3000.0
+SPATIAL_K = 15
+EARTH_MEAN_RADIUS_KM = 6371.0087714  # SloppyMath.haversinMeters' mean radius
+
+
+def spatial_knn(spark, sf):
+    """LatLonPoint distance query + distance sort (lucene/core/src/java/
+    org/apache/lucene/document/LatLonPoint.java newDistanceQuery,
+    LatLonDocValuesField.newDistanceSort; distance math =
+    util/SloppyMath.java haversinMeters): the k nearest points to a
+    center within a radius, ordered by great-circle distance.
+
+    Two-phase exactly like the reference: LatLonPointDistanceQuery
+    visits the BKD tree with a BOUNDING-BOX approximation first and
+    only runs the exact haversine on survivors — here the bbox is a
+    sargable lat/lon BETWEEN prefilter (parquet min/max row-group
+    pruning; at 100 TB this is what keeps the trig off the full scan),
+    then the exact haversine filters and ranks. Distance is rounded to
+    3 decimals (~1m) before ordering/output so the two engines' libm
+    ULP differences can't flip a rank; ties break on c_custkey ASC."""
+    deg_km_lat = 111.195  # one degree of latitude, mean-radius sphere
+    pad = 1.05  # bbox guard band; exact haversine re-checks survivors
+    dlat = SPATIAL_RADIUS_KM / deg_km_lat * pad
+    # center is on the equator, so the longitude span needs no cos(lat)
+    # widening beyond the guard band
+    dlon = SPATIAL_RADIUS_KM / deg_km_lat * pad
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    boxed = c.filter(
+        F.col("lat").between(SPATIAL_CENTER_LAT - dlat, SPATIAL_CENTER_LAT + dlat)
+        & F.col("lon").between(SPATIAL_CENTER_LON - dlon, SPATIAL_CENTER_LON + dlon)
+    )
+    rlat1 = F.radians(F.lit(SPATIAL_CENTER_LAT))
+    rlat2 = F.radians(F.col("lat"))
+    half_dlat = (rlat2 - rlat1) / 2.0
+    half_dlon = (F.radians(F.col("lon")) - F.radians(F.lit(SPATIAL_CENTER_LON))) / 2.0
+    h = (
+        F.sin(half_dlat) * F.sin(half_dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(half_dlon) * F.sin(half_dlon)
+    )
+    dist = F.round(
+        F.lit(2.0 * EARTH_MEAN_RADIUS_KM) * F.asin(F.sqrt(h)), 3
+    ).alias("dist_km")
+    return (
+        boxed.select("c_custkey", F.round("lat", 2).alias("lat"),
+                     F.round("lon", 2).alias("lon"), dist)
+        .filter(F.col("dist_km") <= SPATIAL_RADIUS_KM)
+        .orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+        .limit(SPATIAL_K)
+    )
+
+
+SPATIAL_KNN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+boxed AS (
+  SELECT * FROM pts
+  WHERE lat BETWEEN {SPATIAL_CENTER_LAT} - {SPATIAL_RADIUS_KM} / 111.195 * 1.05
+                AND {SPATIAL_CENTER_LAT} + {SPATIAL_RADIUS_KM} / 111.195 * 1.05
+    AND lon BETWEEN {SPATIAL_CENTER_LON} - {SPATIAL_RADIUS_KM} / 111.195 * 1.05
+                AND {SPATIAL_CENTER_LON} + {SPATIAL_RADIUS_KM} / 111.195 * 1.05
+),
+scored AS (
+  SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon,
+         round(2 * {EARTH_MEAN_RADIUS_KM} * asin(sqrt(
+           pow(sin((radians(lat) - radians({SPATIAL_CENTER_LAT})) / 2), 2)
+           + cos(radians({SPATIAL_CENTER_LAT})) * cos(radians(lat))
+             * pow(sin((radians(lon) - radians({SPATIAL_CENTER_LON})) / 2), 2)
+         )), 3) AS dist_km
+  FROM boxed
+)
+SELECT * FROM scored WHERE dist_km <= {SPATIAL_RADIUS_KM}
+ORDER BY dist_km ASC, c_custkey ASC LIMIT {SPATIAL_K}
+"""
+
+
 #: passage highlighter query + window geometry
 HL_TERMS = ["merge", "sort", "vector"]
 HL_W = 8  # tokens per passage window
@@ -1450,7 +1571,9 @@ OPS: dict[str, tuple] = {
     "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),
     "export_sorted": (export_sorted, _export_sorted_sql),
     "terms_component": (terms_combined, TERMS_COMBINED_SQL),
-    "suggest_prefix": (suggest_prefix, SUGGEST_PREFIX_SQL),
+    # prefix + spell as one tagged union (both term-dict-only)
+    "suggest": (suggest_combined, SUGGEST_COMBINED_SQL),
+    "spatial_knn": (spatial_knn, SPATIAL_KNN_SQL),
     "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
@@ -1458,5 +1581,4 @@ OPS: dict[str, tuple] = {
     "function_query": (function_query, FUNCTION_QUERY_SQL),
     "block_join_parent": (block_join_parent, BLOCK_JOIN_PARENT_SQL),
     "point_set_field_value": (point_set_field_value, POINT_SET_FIELD_VALUE_SQL),
-    "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
 }

