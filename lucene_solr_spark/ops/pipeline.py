@@ -211,6 +211,13 @@ SELECT doc_id, keeper_id FROM keyed WHERE doc_id <> keeper_id ORDER BY doc_id
 #: every downstream consumer (cluster collapse, keeper selection, audits)
 #: reads the materialized table — mirroring the search side's per-snapshot
 #: term-stats cache. Keyed by sf dir; the persisted plan is deterministic.
+def _session_key(spark) -> str:
+    """Cache key that cannot alias across sessions: a stopped session's
+    CPython id() can be reused by a new SparkSession object, which would
+    hand out persisted DataFrames bound to a dead SparkContext."""
+    return spark.sparkContext.applicationId
+
+
 _PAIRS_CACHE: dict = {}
 
 
@@ -222,7 +229,7 @@ def dedup_minhash_lsh(spark, sf):
     occupancy, never all-pairs) -> exact shingle-Jaccard >= 0.5 verify.
     The oracle runs the identical algorithm, so the candidate set matches
     by construction."""
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     d = _docs(spark, sf)
@@ -932,7 +939,7 @@ def _fit_centroids(spark, sf) -> "np.ndarray":
     from 0 (TESTDATA contract), so the sample is a PUSHED-DOWN filter
     scan + tiny sort, not a full-table TakeOrdered — at 100 TB this
     reads a handful of partitions; the centroids broadcast everywhere."""
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key in _ANN_FIT_CACHE:
         return _ANN_FIT_CACHE[key]
     rows = (
@@ -966,7 +973,7 @@ def _assigned_emb(spark, sf, C: "np.ndarray") -> DataFrame:
     so no second scan / self-join is needed (r2 scanned twice and
     shuffled a full-table join to attach buckets). Persisted per
     (JVM, corpus): every nprobe variant probes the same assignment."""
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key in _ANN_ASSIGN_CACHE:
         return _ANN_ASSIGN_CACHE[key]
     Cb = spark.sparkContext.broadcast(C)

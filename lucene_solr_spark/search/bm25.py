@@ -127,7 +127,8 @@ def _build_simbase_decode() -> np.ndarray:
     from ..analysis.smallfloat import byte315_to_float
 
     dec = byte315_to_float(np.arange(256, dtype=np.uint8)).astype(np.float32)
-    out = (np.float32(1.0) / (dec * dec)).astype(np.float32)
+    with np.errstate(divide="ignore"):  # dec[0]=0 -> inf, overwritten below
+        out = (np.float32(1.0) / (dec * dec)).astype(np.float32)
     out[0] = np.float32(np.float32(1.0) / out[255])
     return out
 

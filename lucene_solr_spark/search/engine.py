@@ -64,6 +64,10 @@ _EMPTY = pd.DataFrame(
     {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float32")}
 )
 
+#: widest doc-id set the filter cache may materialize on the driver
+#: (the same boundary DELETES_DRIVER_MAX draws for tombstones)
+FILTER_DRIVER_MAX = 1_000_000
+
 
 @dataclass(frozen=True)
 class BooleanSpec:
@@ -444,7 +448,7 @@ class IndexSearcher:
     ) -> DataFrame:
         """SpanNearQuery over term clauses (spans/SpanNearQuery.java):
         ordered or unordered proximity with slop, scored Σ 1/(width+1)."""
-        clauses = tuple(analyze(" ".join(terms)))
+        clauses = tuple(self._analyze(" ".join(terms)))
         return self.topk_spec(
             BooleanSpec(span=clauses, span_slop=slop, span_ordered=in_order), k=k
         )
@@ -452,7 +456,7 @@ class IndexSearcher:
     def topk_span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
         """SpanFirstQuery (spans/SpanFirstQuery.java): occurrences whose
         end position is <= end."""
-        toks = analyze(term)
+        toks = self._analyze(term)
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(BooleanSpec(span_first=(toks[0], end)), k=k)
@@ -462,7 +466,7 @@ class IndexSearcher:
         where each position accepts any of several terms (e.g. synonym-
         expanded phrases). Exact alignment; offsets are consecutive."""
         mp = tuple(
-            (i, tuple(sorted({t for alt in alts for t in analyze(alt)})))
+            (i, tuple(sorted({t for alt in alts for t in self._analyze(alt)})))
             for i, alts in enumerate(positions)
         )
         if any(not alts for _i, alts in mp):
@@ -533,7 +537,7 @@ class IndexSearcher:
     ) -> DataFrame:
         """SpanPositionRangeQuery (spans/SpanPositionRangeQuery.java):
         occurrences with lo <= start and end <= hi (SpanFirst = lo 0)."""
-        toks = analyze(term)
+        toks = self._analyze(term)
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(
@@ -545,8 +549,8 @@ class IndexSearcher:
     ) -> DataFrame:
         """SpanContainingQuery (spans/SpanContainingQuery.java): big
         ordered-near spans that contain an occurrence of `little`."""
-        inc = tuple(analyze(" ".join(big)))
-        lit = tuple(analyze(little))
+        inc = tuple(self._analyze(" ".join(big)))
+        lit = tuple(self._analyze(little))
         return self.topk_spec(
             BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_contain=lit), k=k
         )
@@ -556,8 +560,8 @@ class IndexSearcher:
     ) -> DataFrame:
         """SpanWithinQuery (spans/SpanWithinQuery.java): occurrences of
         `little` lying within some big ordered-near span."""
-        inc = tuple(analyze(" ".join(big)))
-        lit = tuple(analyze(little))
+        inc = tuple(self._analyze(" ".join(big)))
+        lit = tuple(self._analyze(little))
         return self.topk_spec(
             BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_within=lit), k=k
         )
@@ -568,7 +572,7 @@ class IndexSearcher:
         max df across the blended terms (so cross-field/synonym variants
         score on equal idf footing), then the clauses score as
         DisjunctionMax with the rewrite's tiebreaker."""
-        terms = tuple(sorted(set(analyze(query))))
+        terms = tuple(sorted(set(self._analyze(query))))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         spec = BooleanSpec(should=terms, dismax=True, tiebreak=tiebreak)
@@ -708,7 +712,7 @@ class IndexSearcher:
         """SynonymQuery (search/SynonymQuery.java): all terms score as ONE
         pseudo-term — tf summed across synonyms per doc, one similarity
         weight built from df = max over the terms' docFreqs."""
-        terms = sorted(set(analyze(query)))
+        terms = sorted(set(self._analyze(query)))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         weights = self.term_weights(terms)
@@ -725,7 +729,7 @@ class IndexSearcher:
         is the TOTAL occurrence count across the clauses; the weight sums
         the idfs of the clause terms (getTermContexts map — distinct,
         absent terms still contribute idf(df=0))."""
-        ts = sorted(set(analyze(" ".join(terms))))
+        ts = sorted(set(self._analyze(" ".join(terms))))
         if not ts:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         weights = self.term_weights(ts)
@@ -743,8 +747,8 @@ class IndexSearcher:
     ) -> DataFrame:
         """SpanNotQuery (spans/SpanNotQuery.java): ordered SpanNear include
         minus spans overlapping the exclude term's occurrences."""
-        inc = tuple(analyze(" ".join(include)))
-        exc = tuple(analyze(exclude))
+        inc = tuple(self._analyze(" ".join(include)))
+        exc = tuple(self._analyze(exclude))
         return self.topk_spec(
             BooleanSpec(span=inc, span_slop=slop, span_ordered=True, span_not=exc), k=k
         )
@@ -972,9 +976,22 @@ class IndexSearcher:
         if n:
             excl = pd_docs.filter(F.col("term").isin(list(n))).select("doc_id").distinct()
             hit = hit.join(excl, "doc_id", "left_anti")
-        arr = np.asarray(
-            sorted(r["doc_id"] for r in hit.collect()), dtype=np.int64
-        )
+        if self.deleted_df is not None:
+            # corpus-scale delete set: mask distributed, BEFORE any rows
+            # reach the driver (the numpy bitset below only exists in the
+            # small-delete-set mode)
+            hit = hit.join(self.deleted_df.select("doc_id"), "doc_id", "left_anti")
+        # the filter-cache contract is a driver-side doc-id set (Lucene's
+        # cached BitSet is also bounded by maxDoc) — cap what may cross
+        # to the driver; a filter wider than the cap must run as a plain
+        # boolean FILTER clause (topk_boolean), not through the cache
+        rows = hit.limit(FILTER_DRIVER_MAX + 1).collect()
+        if len(rows) > FILTER_DRIVER_MAX:
+            raise ValueError(
+                f"filter matches more than FILTER_DRIVER_MAX={FILTER_DRIVER_MAX} docs; "
+                "run it as a scored boolean FILTER clause instead of the cached doc-set path"
+            )
+        arr = np.asarray(sorted(r["doc_id"] for r in rows), dtype=np.int64)
         if self.deleted is not None and self.deleted.size:
             arr = arr[~np.isin(arr, self.deleted)]
         return arr

@@ -76,13 +76,10 @@ def percolate(
         for pdf in batches:
             ids, names, scores = [], [], []
             for did, txt in zip(pdf[id_col], pdf[content_col]):
-                mi = MemoryIndex(txt)
-                for name, spec in items:
-                    hits = oracle_topk_spec(mi._idx, spec, k=1)
-                    if hits:
-                        ids.append(did)
-                        names.append(name)
-                        scores.append(float(hits[0][1]))
+                for name, score in MemoryIndex(txt).percolate(dict(items)).items():
+                    ids.append(did)
+                    names.append(name)
+                    scores.append(score)
             yield pd.DataFrame({id_col: ids, "query": names, "score": scores})
 
     return df.select(id_col, content_col).mapInPandas(

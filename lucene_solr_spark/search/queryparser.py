@@ -54,7 +54,8 @@ _LEXER = re.compile(
     (?P<lparen>\() | (?P<rparen>\))
   | (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!)
   | (?P<plus>\+) | (?P<minus>-)
-  | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+  | (?:(?P<pfield>[A-Za-z_]\w*):)?
+    "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
   | (?:(?P<rfield>[A-Za-z_]\w*):)?
     (?P<lb>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<rb>[\]}])
   | (?:(?P<field>[A-Za-z_]\w*):)?
@@ -298,6 +299,11 @@ def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -
             terms.extend(sorted(set(_expand(kind, payload))))
         if terms:
             groups.append((occ, tuple(terms)))
+        elif occ == "+":
+            # a REQUIRED group whose members all expanded to zero index
+            # terms rewrites to MatchNoDocsQuery (same sentinel as the
+            # bare required expansion below)
+            groups.append(("+", ("\x00<no-term>",)))
     for kind, payload, occur in parsed.expansions:
         terms = sorted(set(_expand(kind, payload)))
         if occur == "-":

@@ -235,10 +235,13 @@ def apply_increment(
     os.makedirs(marker_dir, exist_ok=True)
     sid = str(batch_id) if batch_id is not None else f"adhoc_{int(time.time() * 1e6)}"
     marker = os.path.join(marker_dir, f"batch_{sid}.json")
-    if batch_id is not None and os.path.exists(marker):
-        return {"skipped": True, "batch_id": batch_id}
-
     stage_root = os.path.join(paths.root, "_staging", f"batch_{sid}")
+    if batch_id is not None and os.path.exists(marker):
+        # a crash between the marker write and staging cleanup leaves a
+        # committed batch's stage behind — reclaim it here so tlog reads
+        # (realtime_get) can never see the batch twice
+        shutil.rmtree(stage_root, ignore_errors=True)
+        return {"skipped": True, "batch_id": batch_id}
     st_docs = os.path.join(stage_root, "docs")
     st_postings = os.path.join(stage_root, "postings")
     staged_manifest = os.path.join(stage_root, "staged.json")
@@ -262,11 +265,17 @@ def apply_increment(
             shutil.rmtree(stage_root)  # partial stage from a prior crash
 
         mc = [c for c in meta_cols if c != doc_id_col]
-        build_docs_table(base, content_col, mc).write.mode("overwrite").parquet(st_docs)
+        # segments must use the INDEX's analysis chain (IndexWriterConfig
+        # is fixed for the index lifetime) — a 'standard' default here
+        # would silently mix chains on non-standard indexes
+        analyzer = pm.get("analyzer", "standard")
+        build_docs_table(base, content_col, mc, analyzer=analyzer).write.mode(
+            "overwrite"
+        ).parquet(st_docs)
 
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         fragments = base.select("doc_id", content_col).mapInPandas(
-            _make_fragments_fn(content_col, range_size), schema=FRAGMENT_SCHEMA
+            _make_fragments_fn(content_col, range_size, analyzer), schema=FRAGMENT_SCHEMA
         )
         blocks = fragments.repartition(n_shuffle, "term", "range_id").mapInPandas(
             _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA
@@ -401,7 +410,13 @@ def realtime_get(spark: SparkSession, index_dir: str, doc_ids: list) -> DataFram
     out = spark.read.parquet(paths.docs).filter(F.col("doc_id").isin(ids))
     staged = sorted(_glob.glob(os.path.join(paths.root, "_staging", "batch_*", "docs")))
     for st in staged:
-        # staged generations carry ids above the committed watermark, so
+        # skip stages whose batch already committed (a crash between the
+        # commit marker and staging cleanup leaves both copies on disk —
+        # the committed docs table is the authority then)
+        bname = os.path.basename(os.path.dirname(st))
+        if os.path.exists(os.path.join(paths.manifest_dir, "increments", f"{bname}.json")):
+            continue
+        # uncommitted stages carry ids above the committed watermark, so
         # a plain union cannot duplicate a committed doc
         sdf = spark.read.parquet(st).filter(F.col("doc_id").isin(ids))
         out = out.unionByName(sdf, allowMissingColumns=True)
@@ -433,11 +448,19 @@ def update_documents(
 
     paths = IndexPaths(index_dir)
     committed = spark.read.parquet(paths.docs).select("doc_id", *key_cols)
+    # "old versions" = committed docs matching the keys MINUS the batch's
+    # own doc ids — on a crash-resume/idempotent retry the new versions
+    # are already committed, and without the anti-join they would be
+    # tombstoned, deleting the update itself
+    new_ids = new_docs.select(F.col(doc_id_col).cast("long").alias("doc_id")).distinct()
     old_ids = [
         int(r["doc_id"])
         for r in committed.join(
             F.broadcast(new_docs.select(*key_cols).distinct()), key_cols
-        ).select("doc_id").collect()
+        )
+        .join(F.broadcast(new_ids), "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
     ]
     res = apply_increment(
         spark, index_dir, new_docs,
