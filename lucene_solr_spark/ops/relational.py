@@ -1544,6 +1544,56 @@ def sql_handler_q1(spark, sf):
     return spark.sql(SQL_HANDLER_Q1)
 
 
+# ------------------------------------------------------------ JDBC stream
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def jdbc_load(spark, sf, db_dir: str, table: str = "nation") -> str:
+    """Load one corpus table into an embedded Apache Derby database and
+    return its JDBC URL. Derby ships inside Spark's JVM, so the demo needs
+    no external RDBMS; `jdbc_stream` below is generic over any URL/driver."""
+    url = f"jdbc:derby:{db_dir};create=true"
+    _t(spark, sf, table).write.jdbc(
+        url, table, mode="overwrite", properties={"driver": _DERBY_DRIVER}
+    )
+    return url
+
+
+def jdbc_stream(
+    spark,
+    url: str,
+    table: str,
+    *,
+    driver: str = _DERBY_DRIVER,
+    partition_column: str | None = None,
+    num_partitions: int = 4,
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """JDBCStream (solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    JDBCStream.java:75 — pulls an external RDBMS ResultSet into the
+    streaming API) == `spark.read.jdbc`. Scale path: when a numeric
+    `partition_column` + bounds are given, Spark issues `num_partitions`
+    range-predicated queries in parallel (one per executor slot) instead of
+    a single-connection scan; filters and projections are pushed into the
+    remote SQL by the JDBC source (visible as PushedFilters in the plan)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        lo, hi = bounds
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lo))
+            .option("upperBound", str(hi))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 # `facets` and `multiterm_query` are tagged unions of three unchanged
 # plans each — consolidation that keeps every operator family inside the
 # driver's 50-row CORRECTNESS cap (the individual fns remain public API).
