@@ -130,7 +130,7 @@ def main() -> None:
     from lucene_solr_spark.ops.relational import OPS as REL_OPS
     from lucene_solr_spark.ops.pipeline import OPS as PIPE_OPS
 
-    headliners = ["rollup_stream", "hash_join_stream", "group_topk", "facets"]
+    headliners = ["decorator_streams", "join_streams", "group_topk", "facets"]
     for name in headliners:
         fn = REL_OPS[name][0]
         t = time.time()

@@ -1259,6 +1259,132 @@ FROM documents ORDER BY doc_id
 """
 
 
+def quality_gopher(spark, sf):
+    """Gopher/RefinedWeb-style repetition filters (Rae et al. 2021 §A1.1),
+    the standard pre-training quality gate alongside `quality_score`:
+
+      top_bigram_frac  — fraction of document characters covered by the
+                         most frequent word 2-gram (ties resolved toward
+                         the larger character mass so both engines agree);
+      dup_trigram_frac — fraction of 3-gram-instance characters whose
+                         3-gram occurs more than once;
+      gopher_keep      — 1 iff top_bigram_frac <= 0.20 (the published
+                         2-gram threshold) and dup_trigram_frac <= 0.60.
+
+    All signals are per-row higher-order-function arithmetic over the
+    token array — zero shuffle, no UDF; the per-doc n-gram loops are
+    O(words^2) on <=1k-word bodies and run inside the scan stage, so the
+    op scales linearly with the corpus like any other projection."""
+    d = _with_tokens(_docs(spark, sf))
+    bg = "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"
+    tg = (
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
+    )
+    d = (
+        d.filter(F.size("toks") >= 3)
+        .withColumn("bg", F.expr(bg))
+        .withColumn("tg", F.expr(tg))
+    )
+    top_bg_chars = F.expr(
+        "array_max(transform(bg, x -> size(filter(bg, y -> y = x)) * length(x)))"
+    ).cast("double")
+    dup_tg_chars = F.expr(
+        "aggregate(tg, CAST(0 AS BIGINT), (acc, x) -> acc + "
+        "CASE WHEN size(filter(tg, y -> y = x)) >= 2 THEN length(x) ELSE CAST(0 AS BIGINT) END)"
+    ).cast("double")
+    all_tg_chars = F.expr(
+        "aggregate(tg, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+    ).cast("double")
+    return (
+        d.withColumn("top_bigram_frac", F.round(top_bg_chars / F.length("text"), 6))
+        .withColumn("dup_trigram_frac", F.round(dup_tg_chars / all_tg_chars, 6))
+        .select(
+            "doc_id",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            F.when(
+                (F.col("top_bigram_frac") <= 0.20) & (F.col("dup_trigram_frac") <= 0.60), 1
+            ).otherwise(0).cast("int").alias("gopher_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tg
+  FROM t WHERE len(toks) >= 3
+),
+m AS (
+  SELECT doc_id,
+         round(CAST(list_max(list_transform(bg,
+                 x -> len(list_filter(bg, y -> y = x)) * length(x))) AS DOUBLE)
+               / length(text), 6) AS top_bigram_frac,
+         round(CAST(list_sum(list_transform(tg,
+                 x -> CASE WHEN len(list_filter(tg, y -> y = x)) >= 2
+                           THEN length(x) ELSE 0 END)) AS DOUBLE)
+               / CAST(list_sum(list_transform(tg, x -> length(x))) AS DOUBLE),
+               6) AS dup_trigram_frac
+  FROM g
+)
+SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+       CAST(CASE WHEN top_bigram_frac <= 0.20 AND dup_trigram_frac <= 0.60
+                 THEN 1 ELSE 0 END AS INTEGER) AS gopher_keep
+FROM m ORDER BY doc_id
+"""
+
+
+def data_splits(spark, sf):
+    """Deterministic train/val/test assignment for a training-data
+    pipeline: split = first hex nibble of sha256(salt # doc_id) — '0'-'b'
+    train (12/16), 'c'-'d' val, 'e'-'f' test. Pure projection (the hash
+    IS the assignment; no sampling state, no shuffle to assign), then one
+    partial-aggregating rollup per (lang, split) to audit the strata.
+    Rerunning at any scale or cluster size yields byte-identical splits,
+    which is the property that matters when 100 TB is re-sharded."""
+    d = _docs(spark, sf)
+    nib = F.substring(
+        F.sha2(F.concat(F.lit("split-salt-1#"), F.col("doc_id").cast("string")), 256), 1, 1
+    )
+    split = (
+        F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+DATA_SPLITS_SQL = """
+WITH a AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN substr(sha256('split-salt-1#' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+              THEN 'train'
+              WHEN substr(sha256('split-salt-1#' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM a GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def doc_fingerprint(spark, sf):
     """Winnowing-style document fingerprint: min & max sha256 over word
     5-gram shingles (window = whole doc; the per-window generalization is
@@ -2056,6 +2182,8 @@ OPS: dict[str, tuple] = {
     "ann_family": (ann_family, ann_family_sql),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
+    "quality_gopher": (quality_gopher, QUALITY_GOPHER_SQL),
+    "data_splits": (data_splits, DATA_SPLITS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),

@@ -19,6 +19,9 @@ Reference mapping (SURVEY.md §2.3, §2.5-2.7):
   left_outer_join    LeftOuterJoinStream                 -> left join
   intersect_stream   IntersectStream                     -> left_semi join
   complement_stream  ComplementStream                    -> left_anti join
+  outer_hash_join    OuterHashJoinStream build-right     -> broadcast left join
+  random_stream      RandomStream seeded sample          -> ORDER BY sha2 LIMIT
+  diversified_topk   DiversifiedTopDocsCollector         -> per-key window + top-k
   grouping_collapse  CollapsingQParserPlugin / grouping  -> Window rn=1
   group_topk         SecondPassGroupingCollector         -> Window rn<=k
   search_after       searchAfter/CursorMark deep paging  -> keyset predicate
@@ -429,7 +432,7 @@ def complement_stream(spark, sf):
     c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"))
     o = (
         _t(spark, sf, "orders")
-        .filter(F.col("o_totalprice") > 100000)
+        .filter(F.col("o_totalprice") > 300000)
         .select("o_custkey")
         .distinct()
     )
@@ -439,8 +442,214 @@ def complement_stream(spark, sf):
 COMPLEMENT_STREAM_SQL = """
 SELECT c_custkey AS o_custkey FROM customer
 EXCEPT
-SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
 ORDER BY o_custkey
+"""
+
+
+def outer_hash_join_stream(spark, sf):
+    """OuterHashJoinStream (solr/solrj/.../io/stream/OuterHashJoinStream.java:
+    left-outer with the RIGHT side built into a hash table) == broadcast
+    left join. Nation (25 rows) is the build side; customers whose nation
+    is outside region 2 keep NULL and surface as '(none)'."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").filter(F.col("n_regionkey") == 2).select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.coalesce("n_name", F.lit("(none)")).alias("nation"))
+        .agg(F.count("*").alias("cust_count"))
+        .orderBy("nation")
+    )
+
+
+OUTER_HASH_JOIN_STREAM_SQL = """
+SELECT coalesce(n_name, '(none)') AS nation, count(*) AS cust_count
+FROM customer LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2) n
+  ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def join_streams(spark, sf):
+    """inner/hash/leftOuter/outerHash/intersect/complement join streams as
+    one tagged union — each variant is the unchanged join plan (the
+    individual fns stay public API); the union keeps all six inside the
+    driver's 50-row CORRECTNESS gate. Common schema: every key is cast
+    to string (lexicographic order is identical in Spark and DuckDB for
+    ASCII digits) and the one numeric measure rides in `num`."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    v1 = inner_join_stream(spark, sf).select(
+        F.lit("inner").alias("variant"), s("o_orderkey").alias("k1"),
+        F.col("c_mktsegment").alias("k2"), F.col("c_custkey").cast("double").alias("num"),
+    )
+    v2 = hash_join_stream(spark, sf).select(
+        F.lit("hash").alias("variant"), F.col("p_brand").alias("k1"),
+        F.lit("").alias("k2"), F.col("sum_qty").cast("double").alias("num"),
+    )
+    v3 = left_outer_join_stream(spark, sf).select(
+        F.lit("left_outer").alias("variant"), s("c_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.col("big_orders").cast("double").alias("num"),
+    )
+    v4 = outer_hash_join_stream(spark, sf).select(
+        F.lit("outer_hash").alias("variant"), F.col("nation").alias("k1"),
+        F.lit("").alias("k2"), F.col("cust_count").cast("double").alias("num"),
+    )
+    v5 = intersect_stream(spark, sf).select(
+        F.lit("intersect").alias("variant"), s("o_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.lit(0.0).alias("num"),
+    )
+    v6 = complement_stream(spark, sf).select(
+        F.lit("complement").alias("variant"), s("o_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.lit(0.0).alias("num"),
+    )
+    out = v1
+    for v in (v2, v3, v4, v5, v6):
+        out = out.unionByName(v)
+    return out.orderBy("variant", "k1", "k2")
+
+
+JOIN_STREAMS_SQL = f"""
+SELECT * FROM (
+  SELECT 'inner' AS variant, CAST(o_orderkey AS VARCHAR) AS k1, c_mktsegment AS k2,
+         CAST(c_custkey AS DOUBLE) AS num FROM ({INNER_JOIN_STREAM_SQL})
+  UNION ALL
+  SELECT 'hash', p_brand, '', CAST(sum_qty AS DOUBLE) FROM ({HASH_JOIN_STREAM_SQL})
+  UNION ALL
+  SELECT 'left_outer', CAST(c_custkey AS VARCHAR), '', CAST(big_orders AS DOUBLE)
+  FROM ({LEFT_OUTER_JOIN_STREAM_SQL})
+  UNION ALL
+  SELECT 'outer_hash', nation, '', CAST(cust_count AS DOUBLE) FROM ({OUTER_HASH_JOIN_STREAM_SQL})
+  UNION ALL
+  SELECT 'intersect', CAST(o_custkey AS VARCHAR), '', 0.0 FROM ({INTERSECT_STREAM_SQL})
+  UNION ALL
+  SELECT 'complement', CAST(o_custkey AS VARCHAR), '', 0.0 FROM ({COMPLEMENT_STREAM_SQL})
+) ORDER BY variant, k1, k2
+"""
+
+
+def random_stream(spark, sf):
+    """RandomStream (solr/solrj/.../io/stream/RandomStream.java: pseudo-
+    random sample of a query's results via Solr's seeded random sort
+    field) == ORDER BY a keyed cryptographic hash, LIMIT n. The seed is
+    part of the hashed string so the sample is deterministic, and at
+    scale this is a TakeOrdered over a projection — no shuffle of the
+    full table, no driver-side RNG state."""
+    h = F.sha2(F.concat(F.lit("random-stream-seed-42#"), F.col("o_orderkey").cast("string")), 256)
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", h.alias("hkey"))
+        .orderBy("hkey")
+        .limit(15)
+        .select("o_orderkey")
+    )
+
+
+RANDOM_STREAM_SQL = """
+SELECT o_orderkey FROM (
+  SELECT o_orderkey, sha256('random-stream-seed-42#' || CAST(o_orderkey AS VARCHAR)) AS hkey
+  FROM orders ORDER BY hkey LIMIT 15
+)
+"""
+
+
+def decorator_streams(spark, sf):
+    """merge/rank(top)/unique/rollup/random decorator streams as one
+    tagged union (same 50-row-gate consolidation as `join_streams`).
+    Rollup's three measures are melted to one row per (group, measure)
+    so every aggregated value stays under the hash check."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    v1 = merge_stream(spark, sf).select(
+        F.lit("merge").alias("variant"), s("o_orderkey").alias("k1"),
+        F.lit("").alias("k2"), F.lit(0.0).alias("num"),
+    )
+    v2 = top_stream(spark, sf).select(
+        F.lit("top").alias("variant"), s("o_orderkey").alias("k1"),
+        F.lit("").alias("k2"), F.col("price").cast("double").alias("num"),
+    )
+    v3 = unique_stream(spark, sf).select(
+        F.lit("unique").alias("variant"), s("o_custkey").alias("k1"),
+        s("o_orderkey").alias("k2"), F.lit(0.0).alias("num"),
+    )
+    r = rollup_stream(spark, sf)
+    v4 = r.select(
+        F.lit("rollup").alias("variant"),
+        F.concat("l_returnflag", F.lit("/"), "l_linestatus").alias("k1"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("sum_qty"), F.lit("mean_disc"), F.lit("cnt")),
+                F.array(F.col("sum_qty").cast("double"), F.col("mean_disc").cast("double"),
+                        F.col("cnt").cast("double")),
+            )
+        ).alias("k2", "num"),
+    )
+    v5 = random_stream(spark, sf).select(
+        F.lit("random").alias("variant"), s("o_orderkey").alias("k1"),
+        F.lit("").alias("k2"), F.lit(0.0).alias("num"),
+    )
+    out = v1
+    for v in (v2, v3, v4, v5):
+        out = out.unionByName(v)
+    return out.orderBy("variant", "k1", "k2")
+
+
+DECORATOR_STREAMS_SQL = f"""
+SELECT * FROM (
+  SELECT 'merge' AS variant, CAST(o_orderkey AS VARCHAR) AS k1, '' AS k2, 0.0 AS num
+  FROM ({MERGE_STREAM_SQL})
+  UNION ALL
+  SELECT 'top', CAST(o_orderkey AS VARCHAR), '', CAST(price AS DOUBLE) FROM ({TOP_STREAM_SQL})
+  UNION ALL
+  SELECT 'unique', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), 0.0
+  FROM ({UNIQUE_STREAM_SQL})
+  UNION ALL
+  SELECT 'rollup', l_returnflag || '/' || l_linestatus, m.k2, m.num
+  FROM ({ROLLUP_STREAM_SQL}) r,
+       LATERAL (VALUES ('sum_qty', CAST(r.sum_qty AS DOUBLE)),
+                       ('mean_disc', CAST(r.mean_disc AS DOUBLE)),
+                       ('cnt', CAST(r.cnt AS DOUBLE))) m(k2, num)
+  UNION ALL
+  SELECT 'random', CAST(o_orderkey AS VARCHAR), '', 0.0 FROM ({RANDOM_STREAM_SQL})
+) ORDER BY variant, k1, k2
+"""
+
+
+def diversified_topk(spark, sf):
+    """DiversifiedTopDocsCollector (lucene/misc/src/java/org/apache/lucene/
+    search/DiversifiedTopDocsCollector.java:61 — global top-k with no more
+    than maxHitsPerKey results per source key). The greedy collector
+    accepts a doc iff fewer than maxHitsPerKey better-ranked docs share
+    its key, so the result is exactly: per-key rank <= maxHitsPerKey,
+    then global top-k — two bounded window/TakeOrdered passes, both
+    partial-aggregating map-side; no per-key state on the driver."""
+    per_key = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("key_rank", F.row_number().over(per_key))
+        .filter(F.col("key_rank") <= 2)  # maxHitsPerKey
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("key_rank").cast("int").alias("key_rank"),
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+    )
+
+
+DIVERSIFIED_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+       CAST(key_rank AS INTEGER) AS key_rank
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS key_rank
+  FROM orders
+) WHERE key_rank <= 2
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
 """
 
 
@@ -1047,11 +1256,38 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+def suggest_infix(spark, sf):
+    """AnalyzingInfixSuggester (lucene/suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/AnalyzingInfixSuggester.java — matches the
+    query ANYWHERE inside the suggestion, ranked by weight): the
+    suggester's internal Lucene index is replaced by the term_stats
+    metadata table; weight = docFreq. An infix LIKE can't prune on the
+    term min/max stats (unlike the prefix variant), which mirrors the
+    reference trading its FST for a full suggester-index scan."""
+    from .index_access import searcher_for
+
+    s = searcher_for(spark, sf)
+    return (
+        s._term_stats.filter(F.col("term").contains("or"))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+SUGGEST_INFIX_SQL = f"""
+SELECT term, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term LIKE '%or%' AND term NOT IN {_stoplist_in()}
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
 def suggest_combined(spark, sf):
-    """Prefix suggest + DirectSpellChecker as one tagged union — both
-    read only the term dictionary; same 50-row-gate consolidation as
-    `facets` (the individual fns remain public API). distance = -1 for
-    the prefix variant (no edit distance involved)."""
+    """Prefix suggest + infix suggest + DirectSpellChecker as one tagged
+    union — all three read only the term dictionary; same 50-row-gate
+    consolidation as `facets` (the individual fns remain public API).
+    distance = -1 for the non-spell variants (no edit distance)."""
     s1 = suggest_prefix(spark, sf).select(
         F.lit("prefix").alias("variant"),
         "term",
@@ -1064,7 +1300,13 @@ def suggest_combined(spark, sf):
         F.col("df").cast("long").alias("df"),
         F.col("distance").cast("int").alias("distance"),
     )
-    return s1.unionByName(s2).orderBy("variant", "term")
+    s3 = suggest_infix(spark, sf).select(
+        F.lit("infix").alias("variant"),
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
+    return s1.unionByName(s2).unionByName(s3).orderBy("variant", "term")
 
 
 SUGGEST_COMBINED_SQL = f"""
@@ -1074,6 +1316,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'spell' AS variant, term, CAST(df AS BIGINT) AS df, distance
   FROM ({SPELLCHECK_SQL})
+  UNION ALL
+  SELECT 'infix' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_INFIX_SQL})
 ) ORDER BY variant, term
 """
 
@@ -1600,15 +1845,12 @@ def jdbc_stream(
 OPS: dict[str, tuple] = {
     "facets": (facets_combined, FACETS_COMBINED_SQL),
     "stats_component": (stats_component, STATS_COMPONENT_SQL),
-    "rollup_stream": (rollup_stream, ROLLUP_STREAM_SQL),
-    "unique_stream": (unique_stream, UNIQUE_STREAM_SQL),
-    "top_stream": (top_stream, TOP_STREAM_SQL),
-    "merge_stream": (merge_stream, MERGE_STREAM_SQL),
-    "inner_join_stream": (inner_join_stream, INNER_JOIN_STREAM_SQL),
-    "hash_join_stream": (hash_join_stream, HASH_JOIN_STREAM_SQL),
-    "left_outer_join_stream": (left_outer_join_stream, LEFT_OUTER_JOIN_STREAM_SQL),
-    "intersect_stream": (intersect_stream, INTERSECT_STREAM_SQL),
-    "complement_stream": (complement_stream, COMPLEMENT_STREAM_SQL),
+    # rollup/unique/top/merge/random and the six join kinds are tagged
+    # unions (same consolidation as `facets`); the individual fns stay
+    # public API and are exercised by the union + tests
+    "decorator_streams": (decorator_streams, DECORATOR_STREAMS_SQL),
+    "join_streams": (join_streams, JOIN_STREAMS_SQL),
+    "diversified_topk": (diversified_topk, DIVERSIFIED_TOPK_SQL),
     "grouping_collapse": (grouping_collapse, GROUPING_COLLAPSE_SQL),
     "expand_component": (expand_component, EXPAND_COMPONENT_SQL),
     "reduce_stream": (reduce_stream, REDUCE_STREAM_SQL),

@@ -1,0 +1,141 @@
+"""Round-3 additions: consolidated stream unions (join/decorator incl. the
+new OuterHashJoinStream + RandomStream variants), DiversifiedTopDocsCollector,
+and the training-data ops (Gopher repetition filters, deterministic splits).
+
+References:
+  solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/OuterHashJoinStream.java
+  solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/RandomStream.java
+  lucene/misc/src/java/org/apache/lucene/search/DiversifiedTopDocsCollector.java:61
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.ops.pipeline import data_splits, quality_gopher
+from lucene_solr_spark.ops.relational import (
+    DECORATOR_STREAMS_SQL,
+    DIVERSIFIED_TOPK_SQL,
+    JOIN_STREAMS_SQL,
+    decorator_streams,
+    diversified_topk,
+    join_streams,
+    random_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["orders", "customer", "lineitem", "part", "nation", "documents"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize(
+    "fn,sql,variants",
+    [
+        (join_streams, JOIN_STREAMS_SQL,
+         {"inner", "hash", "left_outer", "outer_hash", "intersect", "complement"}),
+        (decorator_streams, DECORATOR_STREAMS_SQL,
+         {"merge", "top", "unique", "rollup", "random"}),
+    ],
+)
+def test_stream_unions_match_duckdb(spark, con, fn, sql, variants):
+    got = [tuple(r) for r in fn(spark, SF).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
+    assert {r[0] for r in got} == variants  # no silently-empty variant
+
+
+def test_random_stream_is_deterministic_sample(spark):
+    a = [r.o_orderkey for r in random_stream(spark, SF).collect()]
+    b = [r.o_orderkey for r in random_stream(spark, SF).collect()]
+    assert a == b and len(a) == 15
+    all_keys = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey").collect()
+    }
+    assert set(a) <= all_keys
+    # a seeded hash sample is not a head/tail of the key space
+    assert sorted(a) != sorted(all_keys)[:15]
+
+
+def test_diversified_topk_equals_greedy_collector(spark, con):
+    """The window formulation must equal DiversifiedTopDocsCollector's
+    greedy pass: walk docs in score order, accept while the key has
+    fewer than maxHitsPerKey accepted docs, stop at k."""
+    rows = con.execute(
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS p FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC"
+    ).fetchall()
+    taken, per_key = [], {}
+    for ok, ck, p in rows:
+        if per_key.get(ck, 0) < 2:
+            per_key[ck] = per_key.get(ck, 0) + 1
+            taken.append((ok, ck, p, per_key[ck]))
+        if len(taken) == 15:
+            break
+    got = [(r.o_orderkey, r.o_custkey, r.price, r.key_rank)
+           for r in diversified_topk(spark, SF).collect()]
+    assert got == taken
+    assert got == [tuple(r) for r in con.execute(DIVERSIFIED_TOPK_SQL).fetchall()]
+    # diversity bound holds
+    from collections import Counter
+
+    assert max(Counter(ck for _, ck, _, _ in got).values()) <= 2
+
+
+def test_quality_gopher_hand_check(spark):
+    df = quality_gopher(spark, SF)
+    rows = {r.doc_id: r for r in df.collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    }
+    for doc_id in list(rows)[:20]:
+        toks = [t for t in docs[doc_id].split(" ") if t]
+        bg = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        tg = [f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)]
+        top_bg = max(bg.count(x) * len(x) for x in bg) / len(docs[doc_id])
+        dup_tg = sum(len(x) for x in tg if tg.count(x) >= 2) / sum(len(x) for x in tg)
+        assert rows[doc_id].top_bigram_frac == pytest.approx(round(top_bg, 6), abs=1e-9)
+        assert rows[doc_id].dup_trigram_frac == pytest.approx(round(dup_tg, 6), abs=1e-9)
+        keep = 1 if round(top_bg, 6) <= 0.20 and round(dup_tg, 6) <= 0.60 else 0
+        assert rows[doc_id].gopher_keep == keep
+
+
+def test_data_splits_deterministic_and_proportional(spark):
+    a = [tuple(r) for r in data_splits(spark, SF).collect()]
+    b = [tuple(r) for r in data_splits(spark, SF).collect()]
+    assert a == b
+    totals = {}
+    for _lang, split, cnt, *_ in a:
+        totals[split] = totals.get(split, 0) + cnt
+    n = sum(totals.values())
+    assert n == spark.read.parquet(f"{SF}/documents.parquet").count()
+    # 12/2/2 sixteenths with slack for a 500-doc corpus
+    assert 0.60 < totals["train"] / n < 0.90
+    assert totals["val"] / n < 0.25 and totals["test"] / n < 0.25
+
+
+def test_data_splits_stable_under_repartition(spark):
+    """The hash IS the assignment: re-sharding the corpus must not move
+    any document across splits (the 100-TB re-shard property)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").repartition(7, "lang")
+    nib = F.substring(
+        F.sha2(F.concat(F.lit("split-salt-1#"), F.col("doc_id").cast("string")), 256), 1, 1
+    )
+    split = F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+    re_counts = {
+        (r.lang, r.split): r.cnt
+        for r in d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    base = {(r.lang, r.split): r.cnt for r in data_splits(spark, SF).collect()}
+    assert re_counts == base
