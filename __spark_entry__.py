@@ -66,6 +66,10 @@ PHRASE_QUERIES = {
 }
 SYNONYM_QUERIES = {"bm25_synonym": "fast quick rapid"}
 RESCORE_QUERIES = {"bm25_rescore": ("merge sort", "spark", 50, 2.0)}
+# QueryElevationComponent (solr/core/.../component/QueryElevationComponent
+# .java): editorially elevated doc ids are forced to the top IN CONFIG
+# ORDER (forceElevation semantics), organic hits follow re-ranked.
+ELEVATION_QUERIES = {"bm25_elevation": ("merge sort", [42, 7])}
 MLT_QUERIES = {"bm25_mlt": (0, 5)}  # (seed_doc_id, n_query_terms)
 BOOST_QUERIES = {"bm25_boost": {"spark": 2.0, "merge": 0.5, "vector": 1.0}}
 # name -> (clause terms, slop, in_order)
@@ -104,6 +108,15 @@ LM_QUERIES = {
 }
 # BlendedTermQuery: max-df stat blending + DisjunctionMaxRewrite
 BLENDED_QUERIES = {"bm25_blended": ("spark vector rapid", 0.01)}
+# CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java): df-split
+# rewrite. The corpus's bimodal df distribution (29-word vocab: 'dup'
+# df=25, everything else df≈390/500) makes the split scale-stable, so
+# the oracle can classify terms once. Second entry exercises the
+# all-high-freq conjunction rewrite (:213).
+COMMON_TERMS_QUERIES = {
+    "bm25_common_terms": ("dup table value", 0.4),
+    "bm25_common_terms_conj": ("table value", 0.4),
+}
 # query strings through the classic parser (QueryParserBase.parse); the
 # oracle renders the equivalent hand-built query
 PARSER_QUERIES = {
@@ -275,6 +288,79 @@ def _blended_query_fn(query: str, tiebreak: float):
     return run
 
 
+def _elevation_query_fn(query: str, elevated: list[int]):
+    """QueryElevationComponent (solr/core/src/java/org/apache/solr/handler/
+    component/QueryElevationComponent.java, forceElevation): the editorial
+    map pins `elevated` to ranks 1..n in config order whether or not they
+    match; organic hits (minus the pinned set) follow. The pinned list is
+    a tiny literal — at scale it rides the driver->executor closure, never
+    a join."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        n = len(elevated)
+        organic = _ranked(_searcher(spark, sf_dir).topk(query, k=10 + n))
+        org = (
+            organic.filter(~F.col("doc_id").isin(elevated))
+            .withColumn("rank", (F.row_number().over(Window.orderBy("rank")) + n).cast("int"))
+        )
+        elev = spark.createDataFrame(
+            [(int(d), i + 1) for i, d in enumerate(elevated)], "doc_id long, rank int"
+        )
+        return elev.unionByName(org).orderBy("rank").limit(10)
+
+    return run
+
+
+def _elevation_sql(query: str, elevated: list[int]) -> str:
+    n = len(elevated)
+    vals = ",".join(f"(CAST({d} AS BIGINT), CAST({i + 1} AS INTEGER))"
+                    for i, d in enumerate(elevated))
+    ids = ",".join(str(d) for d in elevated)
+    return f"""
+WITH organic AS ({bm25_topk_sql(query, k=10 + n)}),
+org2 AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY rank) + {n} AS INTEGER) AS rank
+  FROM organic WHERE doc_id NOT IN ({ids})
+)
+SELECT doc_id, rank FROM (
+  SELECT * FROM (VALUES {vals}) e(doc_id, rank)
+  UNION ALL SELECT doc_id, rank FROM org2
+) ORDER BY rank LIMIT 10
+"""
+
+
+def _common_terms_query_fn(query: str, max_tf: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(
+            _searcher(spark, sf_dir).topk_common_terms(query, max_term_frequency=max_tf, k=10)
+        )
+
+    return run
+
+
+def _common_terms_oracle_split(query: str, max_tf: float) -> tuple[list, list]:
+    """Oracle-side replay of CommonTermsQuery's df classification: same
+    analyzer, df from the Lucene-faithful control index over the gate
+    corpus (env SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01). The engine
+    classifies independently from ITS index — if the two splits ever
+    disagreed, the value gate would catch it."""
+    import math
+
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.tokenizer import analyze
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    idx = build_oracle_index(list(zip(pdf.doc_id, pdf.text)))
+    cutoff = math.ceil(max_tf * idx.doc_count)
+    terms = analyze(query)
+    low = [t for t in terms if len(idx.postings.get(t, {})) <= cutoff]
+    high = [t for t in terms if len(idx.postings.get(t, {})) > cutoff]
+    return low, high
+
+
 def _classic_query_fn(query: str, similarity: str = "classic"):
     """A non-default Similarity through the SAME scorer path — the
     IndexSearcher.setSimilarity plug point (§2.10): ClassicSimilarity
@@ -427,6 +513,15 @@ def _bm25_groups() -> dict[str, list]:
         from lucene_solr_spark.ops.bm25_sql import blended_term_sql
 
         scoring.append((name, _blended_query_fn(q, tb), blended_term_sql(q, k=10, tiebreak=tb)))
+    for name, (q, mtf) in COMMON_TERMS_QUERIES.items():
+        low, high = _common_terms_oracle_split(q, mtf)
+        if not low:
+            sql = bm25_compound_sql(must=high, k=10)  # conjunction rewrite
+        elif not high:
+            sql = bm25_compound_sql(groups=[("+", low)], k=10)
+        else:
+            sql = bm25_compound_sql(should=high, groups=[("+", low)], k=10)
+        scoring.append((name, _common_terms_query_fn(q, mtf), sql))
     for name, (q, slop) in PHRASE_QUERIES.items():
         positional.append((name, _phrase_query_fn(q, slop), bm25_phrase_sql(q, k=10, slop=slop)))
     for name, (terms, slop, in_order) in SPAN_QUERIES.items():
@@ -474,6 +569,8 @@ def _bm25_groups() -> dict[str, list]:
         )
     for name, (seed, nt) in MLT_QUERIES.items():
         derived.append((name, _mlt_query_fn(seed, nt), bm25_mlt_sql(seed_doc_id=seed, n_terms=nt, k=10)))
+    for name, (q, elev) in ELEVATION_QUERIES.items():
+        derived.append((name, _elevation_query_fn(q, elev), _elevation_sql(q, elev)))
     for name, (pat, cap) in REGEXP_QUERIES.items():
         derived.append((name, _regexp_query_fn(pat, cap), bm25_regexp_sql(pat, max_terms=cap, k=10)))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():

@@ -1342,6 +1342,63 @@ FROM m ORDER BY doc_id
 """
 
 
+def significant_terms(spark, sf):
+    """Significant-terms extraction (the Solr 6.5+ SignificantTermsStream /
+    ES significant_terms shape; scored with the JLH heuristic): terms
+    overrepresented in a FOREGROUND slice (lang='de') vs the whole corpus.
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct) over per-doc-distinct
+    term frequencies. One distinct + one aggregation: tokens explode to
+    (doc_id, term) pairs, dedup per doc, then a single groupBy(term)
+    computes fg and bg docFreq together (fg = conditional sum, no second
+    pass, no join of two aggregates). Whitespace tokens, stopwords kept —
+    this is a corpus-analysis op, not an index query."""
+    d = _with_tokens(_docs(spark, sf))
+    pairs = (
+        d.select("doc_id", "lang", F.explode(F.array_distinct("toks")).alias("term"))
+        .withColumn("is_fg", (F.col("lang") == "de").cast("long"))
+    )
+    n_docs = _docs(spark, sf).count()
+    n_fg = _docs(spark, sf).filter(F.col("lang") == "de").count()
+    agg = pairs.groupBy("term").agg(
+        F.count("*").alias("bg_df"), F.sum("is_fg").alias("fg_df")
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_docs))
+    return (
+        agg.filter(F.col("fg_df") > 0)
+        .withColumn("jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+        .select("term", "fg_df", "bg_df", "jlh")
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(15)
+    )
+
+
+SIGNIFICANT_TERMS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, lang, term FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  )
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(count(*) FILTER (WHERE lang = 'de') AS DOUBLE) AS n_fg
+  FROM documents
+),
+agg AS (
+  SELECT term, count(*) AS bg_df,
+         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df
+  FROM pairs GROUP BY term
+)
+SELECT term, fg_df, bg_df,
+       round((fg_df / n_fg - bg_df / n_docs) * ((fg_df / n_fg) / (bg_df / n_docs)), 6) AS jlh
+FROM agg CROSS JOIN tot
+WHERE fg_df > 0
+ORDER BY jlh DESC, term ASC LIMIT 15
+"""
+
+
 def data_splits(spark, sf):
     """Deterministic train/val/test assignment for a training-data
     pipeline: split = first hex nibble of sha256(salt # doc_id) — '0'-'b'
@@ -1382,6 +1439,56 @@ WITH a AS (
 SELECT lang, split, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM a GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def domain_mixture(spark, sf):
+    """Deterministic domain-mixture downsampling (the data-mixing step of
+    a pre-training pipeline: per-domain target rates, e.g. upweight code
+    and reference text, downsample crawl): keep a doc iff the first 16
+    bits of sha256(salt # doc_id), read as a fraction via hex-string
+    comparison, fall below the domain's rate. Rates here key off the
+    source id's numeric suffix (suffix%4==0 -> 1.0, 1 or 2 -> 0.5,
+    3 -> 0.125). Like `data_splits`, the hash IS the decision — no RNG
+    state, no shuffle to sample, identical keeps under any re-shard or
+    cluster size; the audit rollup is the only aggregation."""
+    d = _docs(spark, sf)
+    sfx = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    rate = (
+        F.when(sfx == 0, 1.0).when(sfx.isin(1, 2), 0.5).otherwise(0.125).alias("rate")
+    )
+    thresh = (
+        F.when(sfx == 0, "ffff").when(sfx.isin(1, 2), "8000").otherwise("2000")
+    )
+    nib4 = F.substring(
+        F.sha2(F.concat(F.lit("mix-salt-1#"), F.col("doc_id").cast("string")), 256), 1, 4
+    )
+    kept = (nib4 < thresh) | (thresh == "ffff")
+    return (
+        d.select("doc_id", "source", rate, kept.cast("long").alias("kept"))
+        .groupBy("source", "rate")
+        .agg(F.count("*").alias("total"), F.sum("kept").alias("kept"))
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIXTURE_SQL = """
+WITH a AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INTEGER) % 4 AS sfx,
+         substr(sha256('mix-salt-1#' || CAST(doc_id AS VARCHAR)), 1, 4) AS nib4
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN sfx = 0 THEN 1.0 WHEN sfx IN (1, 2) THEN 0.5 ELSE 0.125 END AS DOUBLE) AS rate,
+         CASE WHEN sfx = 0 THEN 'ffff' WHEN sfx IN (1, 2) THEN '8000' ELSE '2000' END AS thresh,
+         nib4
+  FROM a
+)
+SELECT source, rate, count(*) AS total,
+       CAST(sum(CASE WHEN nib4 < thresh OR thresh = 'ffff' THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM b GROUP BY source, rate ORDER BY source
 """
 
 
@@ -2184,6 +2291,8 @@ OPS: dict[str, tuple] = {
     "quality_score": (quality_score, QUALITY_SQL),
     "quality_gopher": (quality_gopher, QUALITY_GOPHER_SQL),
     "data_splits": (data_splits, DATA_SPLITS_SQL),
+    "significant_terms": (significant_terms, SIGNIFICANT_TERMS_SQL),
+    "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),

@@ -1688,7 +1688,36 @@ def block_join_parent(spark, sf):
             )
         )
         out = q if out is None else out.unionByName(q)
-    return out.orderBy("score_mode", F.col("score").desc(), "o_orderkey")
+    # ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java): the inverse
+    # direction — a PARENT query's score propagates to every child in the
+    # block. Parent score here = a deterministic function score; children
+    # of the 10 best parents ride out with it. In the union's shared
+    # schema the n_children column carries l_linenumber (the child's
+    # ordinal inside its block) for this variant.
+    p10 = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") / 1000.0, 2).alias("pscore"),
+        )
+        .orderBy(F.col("pscore").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    children = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    to_child = (
+        children.join(F.broadcast(p10), children["l_orderkey"] == p10["o_orderkey"])
+        .select(
+            F.lit("to_child").alias("score_mode"),
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("pscore").alias("score"),
+            F.col("l_linenumber").cast("long").alias("n_children"),
+        )
+    )
+    return out.unionByName(to_child).orderBy(
+        "score_mode", F.col("score").desc(), "o_orderkey", "n_children"
+    )
 
 
 BLOCK_JOIN_PARENT_SQL = """
@@ -1721,8 +1750,16 @@ u AS (
   SELECT * FROM (
     SELECT 'total', o_orderkey, o_orderstatus, round(tot, 2), n_children
     FROM j ORDER BY tot DESC, o_orderkey ASC LIMIT 10)
+  UNION ALL
+  SELECT 'to_child', p.o_orderkey, p.o_orderstatus, p.pscore,
+         CAST(c.l_linenumber AS BIGINT)
+  FROM (
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice / 1000.0, 2) AS pscore
+    FROM orders WHERE o_totalprice > 300000
+    ORDER BY pscore DESC, o_orderkey ASC LIMIT 10
+  ) p JOIN lineitem c ON c.l_orderkey = p.o_orderkey
 )
-SELECT * FROM u ORDER BY score_mode, score DESC, o_orderkey
+SELECT * FROM u ORDER BY score_mode, score DESC, o_orderkey, n_children
 """
 
 

@@ -40,6 +40,7 @@ Block-max pruning (our extension; results MUST be identical):
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -434,6 +435,34 @@ class IndexSearcher:
             must_not=tuple(self._analyze(must_not)),
             min_should_match=min_should_match,
         )
+        return self.topk_spec(spec, k=k)
+
+    def topk_common_terms(
+        self, query: str, max_term_frequency: float = 0.4, k: int = 10
+    ) -> DataFrame:
+        """CommonTermsQuery (lucene/queries/src/java/org/apache/lucene/
+        queries/CommonTermsQuery.java:178 buildQuery, default SHOULD/SHOULD
+        occurs, no minimumShouldMatch): terms whose docFreq exceeds
+        ceil(maxTermFrequency * maxDoc) become an OPTIONAL high-freq
+        clause; the rest form a REQUIRED low-freq group (>=1 must match).
+        With lowFreq empty the high-freq terms rewrite to a conjunction
+        (:213 — "prevent slow queries"). The df split reuses the cached
+        TermContext stats, so classification costs no extra Spark job;
+        the rewritten query runs through the same range scorer, meaning
+        WAND pruning still sees the high-df terms as optional — at scale
+        this is the whole point of the query: the stopword-scale postings
+        never gate candidate generation."""
+        terms = tuple(self._analyze(query))
+        weights = self.term_weights(list(terms))
+        cutoff = math.ceil(max_term_frequency * self.doc_count)
+        low = tuple(t for t in terms if weights[t]["df"] <= cutoff)
+        high = tuple(t for t in terms if weights[t]["df"] > cutoff)
+        if not low:
+            spec = BooleanSpec(must=high)
+        elif not high:
+            spec = BooleanSpec(groups=(("+", low),))
+        else:
+            spec = BooleanSpec(should=high, groups=(("+", low),))
         return self.topk_spec(spec, k=k)
 
     def topk_dismax(self, query: str, k: int = 10, tiebreak: float = 0.0) -> DataFrame:
