@@ -763,6 +763,58 @@ LIMIT {k}
 """
 
 
+def custom_score_sql(query: str, first_n: int = 50, k: int = 20) -> str:
+    """CustomScoreQuery (lucene/queries/src/java/org/apache/lucene/queries/
+    CustomScoreQuery.java; CustomScoreProvider.customScore multiplies the
+    subquery score by the ValueSource): top-first_n BM25 candidates,
+    final = score * (1 + n_chars/1000), re-ranked top k. Rank-only
+    output (doc_id, crank) like the other scoring oracles."""
+    inner = bm25_topk_sql(query, k=first_n, mode="or").replace("rank", "rank1")
+    terms = sorted(set(analyze(query)))
+    t_in = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH first_pass AS ({inner}),
+tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf1 AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({t_in}) GROUP BY doc_id, term
+),
+dfs1 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf1 GROUP BY term),
+s1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1 + (s.n - dfs1.df + 0.5) / (dfs1.df + 0.5)) * ({K1} + 1)
+             * tf1.tf / (tf1.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))) AS score1
+  FROM tf1 JOIN dfs1 USING (term)
+  JOIN dl ON tf1.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s GROUP BY tf1.doc_id
+),
+combined AS (
+  SELECT fp.doc_id, s1.score1 * (1 + d.n_chars / 1000.0) AS final
+  FROM first_pass fp
+  JOIN s1 ON s1.doc_id = fp.doc_id
+  JOIN documents d ON d.doc_id = fp.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INTEGER) AS crank
+FROM combined
+ORDER BY final DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_rescore_sql(query1: str, query2: str, first_n: int = 50, weight: float = 2.0,
                      k: int = 10) -> str:
     """QueryRescorer (search/QueryRescorer.java): take the top first_n of

@@ -1639,6 +1639,60 @@ ORDER BY fscore DESC, tf.doc_id ASC LIMIT 20
 """
 
 
+def custom_score_query(spark, sf):
+    """CustomScoreQuery (lucene/queries/src/java/org/apache/lucene/queries/
+    CustomScoreQuery.java, CustomScoreProvider.customScore: subquery score
+    MULTIPLIED by the ValueSource, vs QueryRescorer's additive combine):
+    top-50 BM25 candidates for 'merge sort', each rescored by
+    score * (1 + n_chars/1000), re-ranked, top 20. Rank-only output (the
+    engine multiplies an f32 BM25 score; the oracle replays in f64 —
+    ranks are the contract, like every bm25 gate entry). The candidate
+    set bounds the documents join to 50 rows (broadcast)."""
+    from .index_access import searcher_for
+
+    s = searcher_for(spark, sf)
+    first = s.topk("merge sort", k=50).select("doc_id", "score")
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(
+        (F.col("score") * (F.lit(1.0) + F.col("n_chars") / F.lit(1000.0))).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        F.broadcast(first)
+        .join(d, "doc_id")
+        .withColumn("crank", F.row_number().over(w).cast("int"))
+        .filter(F.col("crank") <= 20)
+        .select("doc_id", "crank")
+        .orderBy("crank")
+    )
+
+
+def function_query_combined(spark, sf):
+    """ValueSource function query + CustomScoreQuery as one tagged union
+    (same 50-row-gate consolidation as `facets`). The valuesource
+    variant's val is the exact f64 fscore; custom_score's val is its
+    RANK (its score mixes f32 and f64 — see custom_score_query)."""
+    v1 = function_query(spark, sf).select(
+        F.lit("valuesource").alias("variant"), "doc_id", F.col("fscore").alias("val")
+    )
+    v2 = custom_score_query(spark, sf).select(
+        F.lit("custom_score").alias("variant"), "doc_id", F.col("crank").cast("double").alias("val")
+    )
+    return v1.unionByName(v2).orderBy("variant", F.col("val").desc(), "doc_id")
+
+
+def _function_query_combined_sql() -> str:
+    from .bm25_sql import custom_score_sql
+
+    return f"""
+SELECT * FROM (
+  SELECT 'valuesource' AS variant, doc_id, fscore AS val FROM ({FUNCTION_QUERY_SQL})
+  UNION ALL
+  SELECT 'custom_score', doc_id, CAST(crank AS DOUBLE) FROM ({custom_score_sql("merge sort", first_n=50, k=20)})
+) ORDER BY variant, val DESC, doc_id
+"""
+
+
 # ------------------------------------------- block join (parent/child)
 
 def block_join_parent(spark, sf):
@@ -1907,7 +1961,8 @@ OPS: dict[str, tuple] = {
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
     "sql_handler_q1": (sql_handler_q1, SQL_HANDLER_Q1),
-    "function_query": (function_query, FUNCTION_QUERY_SQL),
+    # valuesource + CustomScoreQuery as one tagged union
+    "function_query": (function_query_combined, _function_query_combined_sql()),
     "block_join_parent": (block_join_parent, BLOCK_JOIN_PARENT_SQL),
     "point_set_field_value": (point_set_field_value, POINT_SET_FIELD_VALUE_SQL),
 }
