@@ -163,6 +163,46 @@ ORDER BY 1, 2
 """
 
 
+def drill_sideways_facet(spark, sf):
+    """DrillSideways (lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:59 + DrillSidewaysScorer): for a drill-down query
+    (base ∧ dim filters), each dimension's facet counts are computed
+    with THAT dimension's own filter removed and every other filter
+    kept — the counts a UI shows so users can still pivot the dimension
+    they just drilled into. Base = p_size <= 25, drill-down =
+    type=PROMO ∧ brand=Brand#13; sideways(type) counts p_type under
+    brand-only, sideways(brand) counts p_brand under type-only.
+
+    The reference's scorer does this in one doc walk by tracking which
+    single dim missed; here it is two aggregations over one filtered
+    scan — Catalyst reuses the base subtree (AQE exchange reuse), and
+    each agg shuffles only (few-valued dim, count) partials."""
+    base = _t(spark, sf, "part").filter(F.col("p_size") <= 25)
+    t = (
+        base.filter(F.col("p_brand") == "Brand#13")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .select(F.lit("type").alias("dim"), F.col("p_type").alias("value"), "facet_count")
+    )
+    b = (
+        base.filter(F.col("p_type") == "PROMO")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .select(F.lit("brand").alias("dim"), F.col("p_brand").alias("value"), "facet_count")
+    )
+    return t.unionByName(b).orderBy("dim", "value")
+
+
+DRILL_SIDEWAYS_SQL = """
+SELECT 'type' AS dim, p_type AS value, count(*) AS facet_count
+FROM part WHERE p_size <= 25 AND p_brand = 'Brand#13' GROUP BY p_type
+UNION ALL
+SELECT 'brand', p_brand, count(*)
+FROM part WHERE p_size <= 25 AND p_type = 'PROMO' GROUP BY p_brand
+ORDER BY dim, value
+"""
+
+
 def taxonomy_facet(spark, sf):
     """Taxonomy facets (lucene/facet/src/java/org/apache/lucene/facet/
     taxonomy/FastTaxonomyFacetCounts.java + TaxonomyReader ordinal tree):
@@ -238,8 +278,15 @@ def facets_combined(spark, sf):
         F.col("p_brand").alias("k2"),
         "facet_count",
     )
+    f6 = drill_sideways_facet(spark, sf).select(
+        F.lit("drill_sideways").alias("variant"),
+        F.col("dim").alias("k1"),
+        F.col("value").alias("k2"),
+        "facet_count",
+    )
     return (
         f1.unionByName(f2).unionByName(f3).unionByName(f4).unionByName(f5)
+        .unionByName(f6)
         .orderBy("variant", "k1", "k2")
     )
 
@@ -256,6 +303,8 @@ SELECT * FROM (
   FROM ({HEATMAP_FACET_SQL})
   UNION ALL
   SELECT 'taxonomy' AS variant, p_type AS k1, p_brand AS k2, facet_count FROM ({TAXONOMY_FACET_SQL})
+  UNION ALL
+  SELECT 'drill_sideways' AS variant, dim AS k1, value AS k2, facet_count FROM ({DRILL_SIDEWAYS_SQL})
 ) ORDER BY variant, k1, k2
 """
 
