@@ -203,6 +203,56 @@ ORDER BY dim, value
 """
 
 
+#: IntervalFacets intervals over o_totalprice — deliberately OVERLAPPING
+#: (what distinguishes them from range_facet's disjoint buckets) and with
+#: mixed open/closed bounds, like the reference's [a,b) / (a,b] syntax
+INTERVAL_FACETS = [
+    ("[0,50000]", 0.0, 50000.0, True, True),
+    ("(25000,150000]", 25000.0, 150000.0, False, True),
+    ("[100000,*)", 100000.0, None, True, False),
+]
+
+
+def interval_facet(spark, sf):
+    """IntervalFacets (solr/core/src/java/org/apache/solr/request/
+    IntervalFacets.java): counts for an arbitrary user-given interval
+    list — unlike range facets the intervals may OVERLAP and mix
+    open/closed bounds, so each doc can contribute to several rows.
+    One scan, one conditional-sum aggregation (no per-interval pass:
+    the reference walks doc values once accumulating all intervals,
+    and the single-projection sum is the same one-pass shape)."""
+    o = _t(spark, sf, "orders")
+    aggs = []
+    for name, lo, hi, lo_inc, hi_inc in INTERVAL_FACETS:
+        c = F.col("o_totalprice") >= lo if lo_inc else F.col("o_totalprice") > lo
+        if hi is not None:
+            c = c & (F.col("o_totalprice") <= hi if hi_inc else F.col("o_totalprice") < hi)
+        aggs.append(F.sum(c.cast("long")).alias(name))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n, *_ in INTERVAL_FACETS)
+    return (
+        wide.select(
+            F.expr(f"stack({len(INTERVAL_FACETS)}, {stack}) AS (interval, facet_count)")
+        )
+        .orderBy("interval")
+    )
+
+
+def _interval_sql_pred(lo, hi, lo_inc, hi_inc) -> str:
+    p = f"o_totalprice >{'=' if lo_inc else ''} {lo}"
+    if hi is not None:
+        p += f" AND o_totalprice <{'=' if hi_inc else ''} {hi}"
+    return p
+
+
+INTERVAL_FACET_SQL = "SELECT interval, facet_count FROM (\n" + "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS interval, "
+    f"CAST(sum(CASE WHEN {_interval_sql_pred(lo, hi, lo_inc, hi_inc)} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS facet_count FROM orders"
+    for name, lo, hi, lo_inc, hi_inc in INTERVAL_FACETS
+) + "\n) ORDER BY interval"
+
+
 def taxonomy_facet(spark, sf):
     """Taxonomy facets (lucene/facet/src/java/org/apache/lucene/facet/
     taxonomy/FastTaxonomyFacetCounts.java + TaxonomyReader ordinal tree):
@@ -284,9 +334,15 @@ def facets_combined(spark, sf):
         F.col("value").alias("k2"),
         "facet_count",
     )
+    f7 = interval_facet(spark, sf).select(
+        F.lit("interval").alias("variant"),
+        F.col("interval").alias("k1"),
+        F.lit("").alias("k2"),
+        "facet_count",
+    )
     return (
         f1.unionByName(f2).unionByName(f3).unionByName(f4).unionByName(f5)
-        .unionByName(f6)
+        .unionByName(f6).unionByName(f7)
         .orderBy("variant", "k1", "k2")
     )
 
@@ -305,6 +361,8 @@ SELECT * FROM (
   SELECT 'taxonomy' AS variant, p_type AS k1, p_brand AS k2, facet_count FROM ({TAXONOMY_FACET_SQL})
   UNION ALL
   SELECT 'drill_sideways' AS variant, dim AS k1, value AS k2, facet_count FROM ({DRILL_SIDEWAYS_SQL})
+  UNION ALL
+  SELECT 'interval' AS variant, interval AS k1, '' AS k2, facet_count FROM ({INTERVAL_FACET_SQL})
 ) ORDER BY variant, k1, k2
 """
 
