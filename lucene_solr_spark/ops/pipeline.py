@@ -1376,8 +1376,12 @@ def significant_terms(spark, sf):
         d.select("doc_id", "lang", F.explode(F.array_distinct("toks")).alias("term"))
         .withColumn("is_fg", (F.col("lang") == "de").cast("long"))
     )
-    n_docs = _docs(spark, sf).count()
-    n_fg = _docs(spark, sf).filter(F.col("lang") == "de").count()
+    # one metadata-light job for both corpus constants (not two counts)
+    row = _docs(spark, sf).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == "de").cast("long")).alias("nfg"),
+    ).first()
+    n_docs, n_fg = int(row["n"]), int(row["nfg"])
     agg = pairs.groupBy("term").agg(
         F.count("*").alias("bg_df"), F.sum("is_fg").alias("fg_df")
     )
