@@ -2299,6 +2299,158 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrub + benchmark decontamination — the two remaining first-class
+# training-data pipeline stages (redaction before training; eval-set
+# contamination measurement before mixing).
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax subset where Java regex (Spark) and
+# RE2 (DuckDB) agree exactly: ASCII \d, ASCII \b, bounded classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _pii_augmented(d: DataFrame):
+    """Deterministically plant PII in a subset of docs (the corpus text is
+    a clean synthetic vocabulary, so without planting, every count is 0 and
+    the gate would not exercise the regexes). Same construction in the
+    DuckDB oracle: doc_id%3==0 gets an email, %5==0 an IPv4, %7==0 a
+    phone — overlapping moduli give docs with 0-3 distinct PII kinds."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact dev"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise("")
+    ipv4 = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" host 10."), (did % 200).cast("string"),
+            F.lit(".0."), (did % 250).cast("string"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" tel 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise("")
+    return F.concat(F.col("text"), email, ipv4, phone)
+
+
+def pii_scrub(spark, sf):
+    """PII detection + redaction (the scrub stage every pre-training
+    pipeline runs before tokenization): per-doc counts of emails / IPv4
+    literals / phone-shaped numbers plus a fingerprint of the redacted
+    text (emails -> <EMAIL>, IPs -> <IP>, phones -> <PHONE>, applied in
+    that fixed order so overlapping matches resolve identically in both
+    engines). Pure Catalyst projection — regexp_count/regexp_replace are
+    whole-stage-codegen'd JVM expressions, zero shuffle, and the op
+    composes with any scan: at 100 TB this is a map-only pass whose cost
+    is bounded by the text scan itself. The redacted fingerprint (not the
+    redacted text) is returned so the gate hash stays small while still
+    value-checking every replacement byte."""
+    d = _docs(spark, sf)
+    aug = _pii_augmented(d)
+    red = F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+            F.regexp_count(aug, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+            F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+            F.substring(F.sha2(red, 256), 1, 16).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact dev' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+PII_SCRUB_SQL = f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents),
+r AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM a
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(aug, '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+       substr(sha256(red), 1, 16) AS redacted_fp
+FROM r ORDER BY doc_id
+"""
+
+
+CONTAM_EVAL_MOD = 37  # doc_id % 37 == 0 -> held-out "benchmark" doc
+CONTAM_K = 5  # word n-gram width for the overlap test
+
+
+def contamination_check(spark, sf):
+    """Benchmark decontamination (the eval-overlap stage of a training
+    pipeline: before mixing, measure how much of each training document's
+    n-gram mass appears verbatim in the held-out eval set). Eval set =
+    doc_id % 37 == 0 (deterministic, same in the oracle). Per train doc:
+    distinct word 5-grams, how many occur in ANY eval doc, and the
+    contaminated fraction.
+
+    Scale shape: the eval set is tiny relative to the corpus (benchmarks
+    are KBs against 100 TB), so its distinct-gram table is broadcast and
+    the whole op is one map-side semi-join over the zero-shuffle shingle
+    stream — no shuffle of the training corpus; the only exchange is the
+    per-doc aggregate (map-side combined)."""
+    sh = shingle_rows(_docs(spark, sf), k=CONTAM_K)
+    ev = (
+        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        .select("s").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = (
+        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        .select("doc_id", "s").distinct()
+    )
+    return (
+        train.join(F.broadcast(ev), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{CONTAM_K - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {CONTAM_K - 1}, 0))) AS g(i)
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0)
+SELECT t.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contam_frac
+FROM train t LEFT JOIN ev e ON t.s = e.s
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 # `dedup_exact_family` unions exact/bag-of-words/minhash-cluster keepers
 # (gate consolidation; individual fns remain public API)
 OPS: dict[str, tuple] = {
@@ -2311,6 +2463,8 @@ OPS: dict[str, tuple] = {
     # LAZY callable (centroids are data-dependent literals)
     "ann_family": (ann_family, ann_family_sql),
     "lang_id": (lang_id, LANG_ID_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "quality_gopher": (quality_gopher, QUALITY_GOPHER_SQL),
     "data_splits": (data_splits, DATA_SPLITS_SQL),

@@ -27,6 +27,8 @@ SUBSET = [
     "multimodal_decode",
     "graph_bfs",
     "sessionize",
+    "pii_scrub",
+    "contamination_check",
 ]
 
 
@@ -106,3 +108,83 @@ def test_media_decoders_parse_real_containers():
     # truncated-header BMP must not silently succeed
     with pytest.raises(Exception):
         _decode_bmp(bmp[:20])
+
+
+def test_pii_scrub_hand_check(spark):
+    """Recompute counts + redaction in pure Python `re` for a sample of
+    docs; the Spark/Catalyst regexes must agree byte-for-byte."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    got = {r["doc_id"]: r for r in (x.asDict() for x in pii_scrub(spark, SF_DIR).collect())}
+    checked = 0
+    for _, row in docs.head(60).iterrows():
+        did, text = int(row.doc_id), row.text
+        aug = text
+        if did % 3 == 0:
+            aug += f" contact dev{did}@example.com"
+        if did % 5 == 0:
+            aug += f" host 10.{did % 200}.0.{did % 250}"
+        if did % 7 == 0:
+            aug += f" tel 555-{did % 10000:04d}"
+        red = re.sub(PII_EMAIL_RE, "<EMAIL>", aug)
+        red = re.sub(PII_IPV4_RE, "<IP>", red)
+        red = re.sub(PII_PHONE_RE, "<PHONE>", red)
+        g = got[did]
+        assert g["n_email"] == len(re.findall(PII_EMAIL_RE, aug))
+        assert g["n_ipv4"] == len(re.findall(PII_IPV4_RE, aug))
+        assert g["n_phone"] == len(re.findall(PII_PHONE_RE, aug))
+        assert g["redacted_fp"] == hashlib.sha256(red.encode()).hexdigest()[:16]
+        checked += 1
+    assert checked == 60
+    # the planting moduli actually exercise every pattern
+    assert sum(g["n_email"] for g in got.values()) > 0
+    assert sum(g["n_ipv4"] for g in got.values()) > 0
+    assert sum(g["n_phone"] for g in got.values()) > 0
+
+
+def test_contamination_hand_check(spark):
+    """Pure-Python set recompute of the eval-overlap fractions."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import (
+        CONTAM_EVAL_MOD,
+        CONTAM_K,
+        contamination_check,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+
+    def grams(text):
+        t = [w for w in text.split(" ") if w]
+        return {" ".join(t[i : i + CONTAM_K]) for i in range(len(t) - CONTAM_K + 1)}
+
+    ev = set()
+    for _, row in docs.iterrows():
+        if int(row.doc_id) % CONTAM_EVAL_MOD == 0:
+            ev |= grams(row.text)
+    want = {}
+    for _, row in docs.iterrows():
+        did = int(row.doc_id)
+        if did % CONTAM_EVAL_MOD == 0:
+            continue
+        g = grams(row.text)
+        if g:
+            want[did] = (len(g), len(g & ev))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in (x.asDict() for x in contamination_check(spark, SF_DIR).collect())
+    }
+    assert got == want
+    # eval docs never appear; an exact-dup of an eval doc would be 1.0
+    assert all(d % CONTAM_EVAL_MOD != 0 for d in got)
