@@ -659,9 +659,122 @@ SELECT o_orderkey FROM (
 """
 
 
+def timeseries_stream(spark, sf):
+    """TimeSeriesStream (solr/solrj/src/java/org/apache/solr/client/solrj/
+    io/stream/TimeSeriesStream.java: bucketed date-range aggregation with a
+    fixed gap). Buckets are 7-day windows computed as integer arithmetic on
+    epoch microseconds (Solr's `gap=+7DAYS` semantics; integer epoch math
+    is timezone-proof so Spark and the DuckDB oracle agree bit-for-bit).
+    One partial-aggregating groupBy — the facet-range shape, map-side
+    combined, no sort until the bounded bucket list."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wk = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / (7 * 86_400_000_000))
+    return (
+        ev.groupBy(wk.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+TIMESERIES_STREAM_SQL = """
+SELECT CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS bucket,
+       count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def fetch_stream(spark, sf):
+    """FetchStream (solr/solrj/.../io/stream/FetchStream.java: enrich the
+    tuples of an underlying stream with extra fields batch-fetched by key).
+    The underlying stream is the top-12 orders by price; the fetch is a
+    broadcast hash join against customer on the fetch key — Solr's
+    batchSize-ed lookup becomes one map-side join, no shuffle of either
+    the stream or (at scale) the corpus side of the lookup."""
+    o = (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(12)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        F.broadcast(o)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "price")
+        .orderBy("o_orderkey")
+    )
+
+
+FETCH_STREAM_SQL = """
+SELECT o_orderkey, c_name, c_mktsegment, price FROM (
+  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 12
+) o JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+def cartesian_product_stream(spark, sf):
+    """CartesianProductStream (solr/solrj/.../io/stream/
+    CartesianProductStream.java: emit one tuple per element of a
+    multi-valued field, cross-producted with the parent tuple). The
+    multi-valued field is o_orderpriority split on '-'; posexplode keeps
+    Solr's element order deterministic. Pure per-row expansion — no
+    shuffle, parallel at any width."""
+    o = (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_orderkey").asc())
+        .limit(5)
+        .select("o_orderkey", F.split("o_orderpriority", "-").alias("vals"))
+    )
+    return (
+        o.select("o_orderkey", F.posexplode("vals").alias("pos", "val"))
+        .select(
+            "o_orderkey",
+            F.concat(F.col("pos").cast("string"), F.lit(":"), F.col("val")).alias("elem"),
+        )
+        .orderBy("o_orderkey", "elem")
+    )
+
+
+CARTESIAN_STREAM_SQL = """
+SELECT o_orderkey, CAST(g.i - 1 AS VARCHAR) || ':' || v[g.i] AS elem
+FROM (
+  SELECT o_orderkey, string_split(o_orderpriority, '-') AS v
+  FROM orders ORDER BY o_orderkey ASC LIMIT 5
+), unnest(generate_series(1, len(v))) AS g(i)
+ORDER BY o_orderkey, elem
+"""
+
+
+def having_stream(spark, sf):
+    """HavingStream (solr/solrj/.../io/stream/HavingStream.java: boolean
+    predicate over the tuples of an aggregating inner stream). Inner =
+    rollup of order counts per customer; predicate = cnt >= 9. Catalyst
+    folds the filter into the aggregate's output — same plan a SQL HAVING
+    produces."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 9)
+        .orderBy("o_custkey")
+    )
+
+
+HAVING_STREAM_SQL = """
+SELECT o_custkey, count(*) AS cnt FROM orders
+GROUP BY o_custkey HAVING count(*) >= 9 ORDER BY o_custkey
+"""
+
+
 def decorator_streams(spark, sf):
-    """merge/rank(top)/unique/rollup/random decorator streams as one
-    tagged union (same 50-row-gate consolidation as `join_streams`).
+    """merge/rank(top)/unique/rollup/random/timeseries/fetch/cartesian/
+    having decorator streams as one tagged union (same 50-row-gate
+    consolidation as `join_streams`).
     Rollup's three measures are melted to one row per (group, measure)
     so every aggregated value stays under the hash check."""
     s = lambda c: F.col(c).cast("string")  # noqa: E731
@@ -693,8 +806,31 @@ def decorator_streams(spark, sf):
         F.lit("random").alias("variant"), s("o_orderkey").alias("k1"),
         F.lit("").alias("k2"), F.lit(0.0).alias("num"),
     )
+    t = timeseries_stream(spark, sf)
+    v6 = t.select(
+        F.lit("timeseries").alias("variant"), s("bucket").alias("k1"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("cnt"), F.lit("sum_value")),
+                F.array(F.col("cnt").cast("double"), F.col("sum_value").cast("double")),
+            )
+        ).alias("k2", "num"),
+    )
+    v7 = fetch_stream(spark, sf).select(
+        F.lit("fetch").alias("variant"), s("o_orderkey").alias("k1"),
+        F.concat("c_name", F.lit("/"), "c_mktsegment").alias("k2"),
+        F.col("price").cast("double").alias("num"),
+    )
+    v8 = cartesian_product_stream(spark, sf).select(
+        F.lit("cartesian").alias("variant"), s("o_orderkey").alias("k1"),
+        F.col("elem").alias("k2"), F.lit(0.0).alias("num"),
+    )
+    v9 = having_stream(spark, sf).select(
+        F.lit("having").alias("variant"), s("o_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.col("cnt").cast("double").alias("num"),
+    )
     out = v1
-    for v in (v2, v3, v4, v5):
+    for v in (v2, v3, v4, v5, v6, v7, v8, v9):
         out = out.unionByName(v)
     return out.orderBy("variant", "k1", "k2")
 
@@ -716,6 +852,18 @@ SELECT * FROM (
                        ('cnt', CAST(r.cnt AS DOUBLE))) m(k2, num)
   UNION ALL
   SELECT 'random', CAST(o_orderkey AS VARCHAR), '', 0.0 FROM ({RANDOM_STREAM_SQL})
+  UNION ALL
+  SELECT 'timeseries', CAST(bucket AS VARCHAR), m.k2, m.num
+  FROM ({TIMESERIES_STREAM_SQL}) t,
+       LATERAL (VALUES ('cnt', CAST(t.cnt AS DOUBLE)),
+                       ('sum_value', CAST(t.sum_value AS DOUBLE))) m(k2, num)
+  UNION ALL
+  SELECT 'fetch', CAST(o_orderkey AS VARCHAR), c_name || '/' || c_mktsegment,
+         CAST(price AS DOUBLE) FROM ({FETCH_STREAM_SQL})
+  UNION ALL
+  SELECT 'cartesian', CAST(o_orderkey AS VARCHAR), elem, 0.0 FROM ({CARTESIAN_STREAM_SQL})
+  UNION ALL
+  SELECT 'having', CAST(o_custkey AS VARCHAR), '', CAST(cnt AS DOUBLE) FROM ({HAVING_STREAM_SQL})
 ) ORDER BY variant, k1, k2
 """
 

@@ -24,7 +24,7 @@ from lucene_solr_spark.ops.relational import (
 )
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["orders", "customer", "lineitem", "part", "nation", "documents"]
+TABLES = ["orders", "customer", "lineitem", "part", "nation", "documents", "events"]
 
 
 @pytest.fixture(scope="module")
@@ -41,7 +41,8 @@ def con():
         (join_streams, JOIN_STREAMS_SQL,
          {"inner", "hash", "left_outer", "outer_hash", "intersect", "complement"}),
         (decorator_streams, DECORATOR_STREAMS_SQL,
-         {"merge", "top", "unique", "rollup", "random"}),
+         {"merge", "top", "unique", "rollup", "random",
+          "timeseries", "fetch", "cartesian", "having"}),
     ],
 )
 def test_stream_unions_match_duckdb(spark, con, fn, sql, variants):
