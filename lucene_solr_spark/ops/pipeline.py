@@ -116,7 +116,7 @@ def _with_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def shingle_rows(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+def shingle_rows(df: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> DataFrame:
     """(doc_id, s) word k-gram shingle rows via an Arrow-batched
     mapInPandas generator — ZERO shuffle: shingles are a per-row
     expansion, so each input split emits its own shingles and the plan
@@ -124,7 +124,12 @@ def shingle_rows(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     posexploded tokens through a doc_id window, i.e. shuffled+sorted
     every token in the corpus; measured 2x slower at sf0.1 and strictly
     worse at scale). HOF transform()+explode was 4-8x slower than either
-    (interpreted lambdas)."""
+    (interpreted lambdas).
+
+    distinct=True dedups WITHIN the generator (dict preserves first-seen
+    order): since every doc's shingles come from one input row, per-doc
+    distinct needs no shuffle — a downstream `.distinct()` on (doc_id, s)
+    would exchange every gram in the corpus for nothing."""
     import pandas as pd
 
     def gen(batches):
@@ -133,9 +138,12 @@ def shingle_rows(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             ss: list = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 t = [x for x in txt.split(" ") if x]
-                for i in range(len(t) - k + 1):
+                grams = (" ".join(t[i : i + k]) for i in range(len(t) - k + 1))
+                if distinct:
+                    grams = dict.fromkeys(grams)
+                for g in grams:
                     ids.append(did)
-                    ss.append(" ".join(t[i : i + k]))
+                    ss.append(g)
             yield pd.DataFrame({"doc_id": ids, "s": ss})
 
     return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, s string")
@@ -2407,18 +2415,17 @@ def contamination_check(spark, sf):
     Scale shape: the eval set is tiny relative to the corpus (benchmarks
     are KBs against 100 TB), so its distinct-gram table is broadcast and
     the whole op is one map-side semi-join over the zero-shuffle shingle
-    stream — no shuffle of the training corpus; the only exchange is the
-    per-doc aggregate (map-side combined)."""
-    sh = shingle_rows(_docs(spark, sf), k=CONTAM_K)
+    stream — no shuffle of the training corpus; per-doc distinct grams
+    are deduped INSIDE the shingle generator (a doc's grams never span
+    partitions), so the only exchange is the per-doc aggregate (map-side
+    combined to <=1 row per doc)."""
+    sh = shingle_rows(_docs(spark, sf), k=CONTAM_K, distinct=True)
     ev = (
         sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
         .select("s").distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = (
-        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-        .select("doc_id", "s").distinct()
-    )
+    train = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select("doc_id", "s")
     return (
         train.join(F.broadcast(ev), "s", "left")
         .groupBy("doc_id")

@@ -126,3 +126,30 @@ def test_spatial_knn_bbox_pushdown_and_bounded_topk(spark):
     # exact haversine runs on bbox survivors only: ASIN appears above a
     # Filter, not inside the scan
     assert "ASIN" in plan.upper()
+
+
+def test_contamination_no_gram_shuffle(spark):
+    """The training corpus's grams must never be exchanged: per-doc
+    distinct happens inside the shingle generator, the eval-gram join is
+    broadcast, and the only train-side exchange is the per-doc aggregate
+    (map-side combined). A hashpartitioning on (doc_id, s) would mean
+    every gram in the corpus crosses the network."""
+    import re
+
+    from lucene_solr_spark.ops import pipeline as P
+
+    plan = _plan(P.contamination_check(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any("doc_id" in e and "s#" in e for e in exchanges), exchanges
+
+
+def test_pii_scrub_single_scan_projection(spark):
+    """pii_scrub is a map-only pass: one parquet scan, no join, no
+    aggregate; the only exchange is the output ordering's range
+    partition."""
+    from lucene_solr_spark.ops import pipeline as P
+
+    plan = _plan(P.pii_scrub(spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "HashAggregate" not in plan
