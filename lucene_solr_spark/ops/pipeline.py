@@ -594,7 +594,9 @@ def dedup_ngram_jaccard(spark, sf):
     shingle still fans out; at 100 TB use dedup_minhash_lsh and keep this
     as the sampled-audit op."""
     d = _docs(spark, sf)
-    shd = shingle_rows(d).distinct()
+    # per-doc distinct inside the generator: no (doc_id, s) exchange; the
+    # only shuffle left is the shared-shingle join's own partitioning on s
+    shd = shingle_rows(d, distinct=True)
     sz = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         shd.alias("x")
