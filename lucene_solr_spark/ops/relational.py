@@ -64,6 +64,34 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def prefix_missing_facet(spark, sf):
+    """Solr facet.prefix + facet.missing + facet.sort=index
+    (solr/core/src/java/org/apache/solr/request/SimpleFacets.java:
+    getFacetTermEnumCounts walks only the term-dict range starting at the
+    prefix; `missing=true` appends the no-value bucket). The faceted
+    field is made sparse deterministically (every 10th part has no
+    brand) so the missing bucket is non-trivial; the prefix restriction
+    is a sargable LIKE the scan prunes on, and index order = the
+    bucket-key sort."""
+    p = _t(spark, sf, "part")
+    brand = F.when(F.col("p_partkey") % 10 != 0, F.col("p_brand"))
+    return (
+        p.select(brand.alias("brand"))
+        .filter(F.col("brand").startswith("Brand#1") | F.col("brand").isNull())
+        .groupBy(F.coalesce("brand", F.lit("(missing)")).alias("bucket"))
+        .agg(F.count("*").alias("facet_count"))
+        .orderBy("bucket")
+    )
+
+
+PREFIX_MISSING_FACET_SQL = """
+SELECT coalesce(brand, '(missing)') AS bucket, count(*) AS facet_count
+FROM (SELECT CASE WHEN p_partkey % 10 <> 0 THEN p_brand END AS brand FROM part)
+WHERE brand LIKE 'Brand#1%' OR brand IS NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def range_facet(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -340,9 +368,15 @@ def facets_combined(spark, sf):
         F.lit("").alias("k2"),
         "facet_count",
     )
+    f8 = prefix_missing_facet(spark, sf).select(
+        F.lit("prefix_missing").alias("variant"),
+        F.col("bucket").alias("k1"),
+        F.lit("").alias("k2"),
+        "facet_count",
+    )
     return (
         f1.unionByName(f2).unionByName(f3).unionByName(f4).unionByName(f5)
-        .unionByName(f6).unionByName(f7)
+        .unionByName(f6).unionByName(f7).unionByName(f8)
         .orderBy("variant", "k1", "k2")
     )
 
@@ -363,6 +397,9 @@ SELECT * FROM (
   SELECT 'drill_sideways' AS variant, dim AS k1, value AS k2, facet_count FROM ({DRILL_SIDEWAYS_SQL})
   UNION ALL
   SELECT 'interval' AS variant, interval AS k1, '' AS k2, facet_count FROM ({INTERVAL_FACET_SQL})
+  UNION ALL
+  SELECT 'prefix_missing' AS variant, bucket AS k1, '' AS k2, facet_count
+  FROM ({PREFIX_MISSING_FACET_SQL})
 ) ORDER BY variant, k1, k2
 """
 
@@ -1538,11 +1575,55 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+FUZZY_SUGGEST_Q = "sprk"  # typo'd prefix; completes to spark-prefixed terms
+
+
+def suggest_fuzzy(spark, sf):
+    """FuzzySuggester (lucene/suggest/src/java/org/apache/lucene/search/
+    suggest/analyzing/FuzzySuggester.java — completion where the TYPED
+    PREFIX may contain edits): a term matches iff some prefix of it is
+    within edit distance 1 of the query (prefix lengths len(q)±1 cover
+    the insertion/deletion cases, the reference's LevenshteinAutomata
+    over the FST's prefix paths), ranked by weight = docFreq. Term-dict
+    metadata scan only, like the other suggesters."""
+    from .index_access import searcher_for
+
+    q = FUZZY_SUGGEST_Q
+    s = searcher_for(spark, sf)
+    dist = F.least(
+        *[F.levenshtein(F.substring("term", 1, n), F.lit(q)) for n in
+          (len(q) - 1, len(q), len(q) + 1)]
+    )
+    return (
+        s._term_stats.select("term", "df", dist.alias("distance"))
+        .filter(F.col("distance") <= 1)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+SUGGEST_FUZZY_SQL = f"""
+SELECT term, df, distance FROM (
+  SELECT term, df,
+         least(levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q) - 1}), '{FUZZY_SUGGEST_Q}'),
+               levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q)}), '{FUZZY_SUGGEST_Q}'),
+               levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q) + 1}), '{FUZZY_SUGGEST_Q}')) AS distance
+  FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> '' AND term NOT IN {_stoplist_in()}
+    GROUP BY term
+  )
+)
+WHERE distance <= 1 ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
 def suggest_combined(spark, sf):
-    """Prefix suggest + infix suggest + DirectSpellChecker as one tagged
-    union — all three read only the term dictionary; same 50-row-gate
-    consolidation as `facets` (the individual fns remain public API).
-    distance = -1 for the non-spell variants (no edit distance)."""
+    """Prefix suggest + infix suggest + DirectSpellChecker + FuzzySuggester
+    as one tagged union — all four read only the term dictionary; same
+    50-row-gate consolidation as `facets` (the individual fns remain
+    public API). distance = -1 for variants with no edit distance."""
     s1 = suggest_prefix(spark, sf).select(
         F.lit("prefix").alias("variant"),
         "term",
@@ -1561,7 +1642,13 @@ def suggest_combined(spark, sf):
         F.col("df").cast("long").alias("df"),
         F.lit(-1).cast("int").alias("distance"),
     )
-    return s1.unionByName(s2).unionByName(s3).orderBy("variant", "term")
+    s4 = suggest_fuzzy(spark, sf).select(
+        F.lit("fuzzy").alias("variant"),
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+    return s1.unionByName(s2).unionByName(s3).unionByName(s4).orderBy("variant", "term")
 
 
 SUGGEST_COMBINED_SQL = f"""
@@ -1574,6 +1661,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'infix' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_INFIX_SQL})
+  UNION ALL
+  SELECT 'fuzzy' AS variant, term, CAST(df AS BIGINT) AS df, CAST(distance AS INTEGER) AS distance
+  FROM ({SUGGEST_FUZZY_SQL})
 ) ORDER BY variant, term
 """
 
