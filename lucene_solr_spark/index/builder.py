@@ -378,7 +378,7 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
     drop_docs (sorted doc ids): postings of these docs are PURGED during
     the merge — the merge-reclaims-deletes path (compact_index with
     tombstones); None keeps the normal path untouched."""
-    from .codec import vbyte_decode_batch, vbyte_encode_batch
+    from .codec import block_encode_batch, vbyte_decode_batch
 
     def merge(iterator):
         parts = list(iterator)  # whole shuffle partition (bounded by n_shuffle)
@@ -506,16 +506,19 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
         max_tf = np.maximum.reduceat(TF, blk_starts)
         max_norm = np.maximum.reduceat(NB.astype(np.int32), blk_starts)
 
-        # per-block doc deltas: global diff with block-start reset to 0
+        # per-block doc deltas: global diff with block-start reset to 0.
+        # Full 128-doc blocks bit-pack at the block max's width (ForUtil
+        # analog, Lucene50PostingsWriter.java:272-297); tails and all-equal
+        # blocks keep the vbyte/ALLEQ forms — readers dispatch per buffer.
         bdeltas = np.diff(D, prepend=np.int64(0))
         bdeltas[blk_starts] = 0
-        docs_bufs = vbyte_encode_batch(bdeltas.astype(np.uint64), blk_bounds)
-        tfs_bufs = vbyte_encode_batch(TF.astype(np.uint64), blk_bounds)
+        docs_bufs = block_encode_batch(bdeltas.astype(np.uint64), blk_bounds)
+        tfs_bufs = block_encode_batch(TF.astype(np.uint64), blk_bounds)
         nb_blob = NB.tobytes()
         norms_bufs = [nb_blob[s:e] for s, e in zip(blk_starts, blk_ends)]
         cum_tf = np.concatenate(([0], np.cumsum(TF)))
         pos_bounds = cum_tf[blk_bounds]
-        pos_bufs = vbyte_encode_batch(POS, pos_bounds)
+        pos_bufs = block_encode_batch(POS, pos_bounds)
 
         yield pd.DataFrame(
             {

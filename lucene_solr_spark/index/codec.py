@@ -14,10 +14,14 @@ from __future__ import annotations
 
 import numpy as np
 
-# Marker header for an all-equal run: 1 byte 0xFF + vbyte(count) + vbyte(value).
-# Normal payload starts with 0x00 header.
+# Block headers. PLAIN = vbyte payload; ALLEQ = collapsed all-equal run
+# (vbyte(count) + vbyte(value)); FOR = ForUtil-style fixed-width bit packing
+# ([width byte] + vbyte(count) + little-endian packed bits — the reference's
+# packed int blocks, ForUtil.java:157-205). Decoders dispatch on the header,
+# so the codecs coexist in one index and old indexes stay readable.
 _HDR_PLAIN = 0
 _HDR_ALLEQ = 1
+_HDR_FOR = 2
 
 
 def _vbyte_encode_raw(values: np.ndarray) -> np.ndarray:
@@ -88,7 +92,47 @@ def vbyte_decode(buf: bytes) -> np.ndarray:
     if b[0] == _HDR_ALLEQ:
         cnt_val = _vbyte_decode_raw(b[1:])
         return np.full(int(cnt_val[0]), cnt_val[1], dtype=np.uint64)
+    if b[0] == _HDR_FOR:
+        return _for_decode(b)
     return _vbyte_decode_raw(b[1:])
+
+
+def _read_vbyte_at(b: np.ndarray, i: int) -> tuple[int, int]:
+    """Read one vbyte starting at b[i] -> (value, next index)."""
+    n = 0
+    shift = 0
+    while True:
+        byte = int(b[i])
+        n |= (byte & 0x7F) << shift
+        shift += 7
+        i += 1
+        if byte < 128:
+            return n, i
+
+
+def for_encode(values: np.ndarray) -> bytes:
+    """Fixed-width bit-pack one block (ForUtil.java:157-205 analog): width =
+    bit length of the block max, little-endian bit order, count stored as a
+    vbyte after the width byte. All-equal blocks still collapse to the
+    ALLEQ form (ForUtil's all-same trick is strictly smaller)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return bytes([_HDR_PLAIN])
+    if v.size > 1 and (v == v[0]).all():
+        return vbyte_encode(v)
+    w = max(1, int(v.max()).bit_length())
+    bit_idx = np.arange(w, dtype=np.uint64)
+    bits = ((v[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    return bytes([_HDR_FOR, w]) + bytes(_vbyte_encode_raw(np.array([v.size], dtype=np.uint64))) + packed.tobytes()
+
+
+def _for_decode(b: np.ndarray) -> np.ndarray:
+    w = int(b[1])
+    n, i = _read_vbyte_at(b, 2)
+    bits = np.unpackbits(b[i:], bitorder="little")[: n * w].astype(np.uint64)
+    bits = bits.reshape(n, w) << np.arange(w, dtype=np.uint64)[None, :]
+    return bits.sum(axis=1, dtype=np.uint64)
 
 
 def _widths(v: np.ndarray) -> np.ndarray:
@@ -201,6 +245,112 @@ def delta_decode(deltas: np.ndarray, first_doc: int) -> np.ndarray:
         return d
     d[0] = np.uint64(first_doc)
     return np.cumsum(d, dtype=np.uint64)
+
+
+def _grouped_arange(sizes: np.ndarray) -> np.ndarray:
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    return np.arange(int(sizes.sum())) - np.repeat(starts, sizes)
+
+
+def _bit_widths(mx: np.ndarray) -> np.ndarray:
+    """Vectorized bit lengths (min 1) — same shift loop as _widths."""
+    w = np.ones(mx.size, dtype=np.int64)
+    tmp = mx >> np.uint64(1)
+    while tmp.any():
+        w += tmp > 0
+        tmp >>= np.uint64(1)
+    return w
+
+
+def block_encode_batch(values: np.ndarray, bounds: np.ndarray,
+                       block_size: int = 128) -> list[bytes]:
+    """vbyte_encode_batch + ForUtil packing: groups of exactly block_size
+    that are not all-equal bit-pack at the block max's width (Lucene packs
+    every FULL posting block with ForUtil and vbytes the tail —
+    Lucene50PostingsWriter.java:272-297). Vectorized per width class:
+    block_size*w bits is byte-aligned, so a width class stacks into a
+    single packbits call; tails and all-equal blocks keep the
+    vbyte/ALLEQ forms. Decoders dispatch per buffer, so outputs mix
+    freely with vbyte_encode_batch's."""
+    v = np.asarray(values, dtype=np.uint64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n = bounds.size - 1
+    sizes = np.diff(bounds)
+    out: list = [None] * n
+    f_idx = np.empty(0, dtype=np.int64)
+    full = np.flatnonzero(sizes == block_size)
+    if full.size:
+        mn = np.minimum.reduceat(v, bounds[full])
+        mx = np.maximum.reduceat(v, bounds[full])
+        f_idx = full[mn != mx]  # all-equal full blocks stay ALLEQ (smaller)
+    if f_idx.size:
+        mat = v[bounds[f_idx][:, None] + np.arange(block_size)]
+        widths = _bit_widths(mat.max(axis=1))
+        n_hdr = bytes(_vbyte_encode_raw(np.array([block_size], dtype=np.uint64)))
+        for w in np.unique(widths):
+            sel = np.flatnonzero(widths == w)
+            bit_idx = np.arange(int(w), dtype=np.uint64)
+            bits = ((mat[sel][:, :, None] >> bit_idx) & np.uint64(1)).astype(np.uint8)
+            packed = np.packbits(bits.reshape(sel.size, -1), axis=1, bitorder="little")
+            hdr = bytes([_HDR_FOR, int(w)]) + n_hdr
+            row_len = packed.shape[1]
+            rows = packed.tobytes()
+            for j, gi in enumerate(f_idx[sel]):
+                out[gi] = hdr + rows[j * row_len : (j + 1) * row_len]
+    rest = np.flatnonzero(np.array([o is None for o in out]))
+    if rest.size:
+        sub_sizes = sizes[rest]
+        idx = np.repeat(bounds[rest], sub_sizes) + _grouped_arange(sub_sizes)
+        sub_bufs = vbyte_encode_batch(v[idx], np.concatenate(([0], np.cumsum(sub_sizes))))
+        for j, gi in enumerate(rest):
+            out[gi] = sub_bufs[j]
+    return out
+
+
+def block_decode_batch(bufs) -> list[np.ndarray]:
+    """Decode a mixed PLAIN/ALLEQ/FOR buffer list. PLAIN payloads decode in
+    one concatenated pass (vbyte_decode_batch); FOR buffers vectorize per
+    (width, count, size) class with one unpackbits per class."""
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in bufs]
+    out: list = vbyte_decode_batch_arrs(arrs)
+    classes: dict = {}
+    for i, a in enumerate(arrs):
+        if out[i] is None:  # FOR buffers are left for us by the vbyte pass
+            w = int(a[1])
+            cnt, start = _read_vbyte_at(a, 2)
+            classes.setdefault((w, cnt, a.size, start), []).append(i)
+    for (w, cnt, size, start), ids in classes.items():
+        stack = np.stack([arrs[i][start:] for i in ids])
+        bits = np.unpackbits(stack, axis=1, bitorder="little")[:, : cnt * w]
+        bits = bits.reshape(len(ids), cnt, w).astype(np.uint64)
+        vals = (bits << np.arange(w, dtype=np.uint64)[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )
+        for j, i in enumerate(ids):
+            out[i] = vals[j]
+    return out
+
+
+def vbyte_decode_batch_arrs(arrs) -> list:
+    """vbyte_decode_batch's core over pre-parsed uint8 arrays; FOR buffers
+    come back as None for the caller's vectorized class pass."""
+    plain_ids = [i for i, a in enumerate(arrs) if a.size and a[0] == _HDR_PLAIN and a.size > 1]
+    out: list = [None] * len(arrs)
+    if plain_ids:
+        payloads = [arrs[i][1:] for i in plain_ids]
+        lens = np.fromiter((p.size for p in payloads), dtype=np.int64, count=len(payloads))
+        cat = np.concatenate(payloads)
+        vals = _vbyte_decode_raw(cat)
+        is_end_cum = np.concatenate(([0], np.cumsum(cat < 128)))
+        span = np.concatenate(([0], np.cumsum(lens)))
+        counts = is_end_cum[span[1:]] - is_end_cum[span[:-1]]
+        val_bounds = np.concatenate(([0], np.cumsum(counts)))
+        for j, i in enumerate(plain_ids):
+            out[i] = vals[val_bounds[j] : val_bounds[j + 1]]
+    for i, a in enumerate(arrs):
+        if out[i] is None and not (a.size > 1 and a[0] == _HDR_FOR):
+            out[i] = vbyte_decode(bytes(a))
+    return out
 
 
 def encode_doc_block(doc_ids: np.ndarray) -> bytes:

@@ -54,3 +54,47 @@ def test_doc_block_roundtrip(seed):
 def test_singleton_doc():
     docs = np.array([42], dtype=np.uint64)
     assert np.array_equal(decode_doc_block(encode_doc_block(docs), 42), docs)
+
+
+def test_for_encode_roundtrip_and_dispatch():
+    """ForUtil-analog fixed-width blocks: roundtrip via both the direct
+    decoder and the legacy vbyte_decode/vbyte_decode_batch reader path
+    (headers coexist in one index)."""
+    import numpy as np
+
+    from lucene_solr_spark.index.codec import (
+        block_decode_batch,
+        block_encode_batch,
+        for_encode,
+        vbyte_decode,
+        vbyte_decode_batch,
+        vbyte_encode_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        n = int(rng.integers(1, 300))
+        hi = int(rng.choice([2, 16, 2**10, 2**30, 2**62]))
+        v = rng.integers(0, hi, size=n).astype(np.uint64)
+        assert (vbyte_decode(for_encode(v)) == v).all()
+
+    sizes = [128, 128, 1, 0, 5, 128, 300, 128, 2, 128]
+    vals, bounds = [], [0]
+    for i, s in enumerate(sizes):
+        if s == 128 and i % 3 == 0:
+            g = np.full(128, 9, dtype=np.uint64)  # ALLEQ stays smaller
+        else:
+            g = rng.integers(0, 2 ** int(rng.integers(1, 40)), size=s).astype(np.uint64)
+        vals.append(g)
+        bounds.append(bounds[-1] + s)
+    v = np.concatenate(vals)
+    bufs = block_encode_batch(v, np.array(bounds))
+    for got in (block_decode_batch(bufs), vbyte_decode_batch(bufs)):
+        for g, d in zip(vals, got):
+            assert (np.asarray(d) == g).all()
+
+    # full non-equal blocks actually use the FOR header and beat vbyte
+    small = rng.integers(1, 128, size=128).astype(np.uint64)
+    fo = block_encode_batch(small, np.array([0, 128]))[0]
+    vb = vbyte_encode_batch(small, np.array([0, 128]))[0]
+    assert fo[0] == 2 and len(fo) < len(vb)
