@@ -17,11 +17,16 @@ import numpy as np
 # Block headers. PLAIN = vbyte payload; ALLEQ = collapsed all-equal run
 # (vbyte(count) + vbyte(value)); FOR = ForUtil-style fixed-width bit packing
 # ([width byte] + vbyte(count) + little-endian packed bits — the reference's
-# packed int blocks, ForUtil.java:157-205). Decoders dispatch on the header,
-# so the codecs coexist in one index and old indexes stay readable.
+# packed int blocks, ForUtil.java:157-205); PFOR = patched FoR ([width byte]
+# + vbyte(count) + vbyte(n_exceptions) + packed low bits + vbyte exception
+# (position, high-bits) pairs — PForDelta's exception patching for blocks
+# whose delta distribution is skewed by a few large gaps; used only when
+# strictly smaller than FOR). Decoders dispatch on the header, so the
+# codecs coexist in one index and old indexes stay readable.
 _HDR_PLAIN = 0
 _HDR_ALLEQ = 1
 _HDR_FOR = 2
+_HDR_PFOR = 3
 
 
 def _vbyte_encode_raw(values: np.ndarray) -> np.ndarray:
@@ -94,6 +99,8 @@ def vbyte_decode(buf: bytes) -> np.ndarray:
         return np.full(int(cnt_val[0]), cnt_val[1], dtype=np.uint64)
     if b[0] == _HDR_FOR:
         return _for_decode(b)
+    if b[0] == _HDR_PFOR:
+        return _pfor_decode(b)
     return _vbyte_decode_raw(b[1:])
 
 
@@ -133,6 +140,39 @@ def _for_decode(b: np.ndarray) -> np.ndarray:
     bits = np.unpackbits(b[i:], bitorder="little")[: n * w].astype(np.uint64)
     bits = bits.reshape(n, w) << np.arange(w, dtype=np.uint64)[None, :]
     return bits.sum(axis=1, dtype=np.uint64)
+
+
+def pfor_encode(values: np.ndarray, width: int, exc_pos: np.ndarray) -> bytes:
+    """Patched FoR: low `width` bits of every value bit-packed, the
+    exceptions' high bits appended as vbyte (position, value >> width)
+    pairs (PForDelta's patch list; Lucene 8.4 PForUtil shape)."""
+    v = np.asarray(values, dtype=np.uint64)
+    w = int(width)
+    bit_idx = np.arange(w, dtype=np.uint64)
+    low = v & np.uint64((1 << w) - 1)
+    bits = ((low[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    exc = np.empty(2 * exc_pos.size, dtype=np.uint64)
+    exc[0::2] = exc_pos.astype(np.uint64)
+    exc[1::2] = v[exc_pos] >> np.uint64(w)
+    head = _vbyte_encode_raw(np.array([v.size, exc_pos.size], dtype=np.uint64))
+    return bytes([_HDR_PFOR, w]) + bytes(head) + packed.tobytes() + bytes(_vbyte_encode_raw(exc))
+
+
+def _pfor_decode(b: np.ndarray) -> np.ndarray:
+    w = int(b[1])
+    n, i = _read_vbyte_at(b, 2)
+    n_exc, i = _read_vbyte_at(b, i)
+    nbytes = (n * w + 7) // 8
+    bits = np.unpackbits(b[i : i + nbytes], bitorder="little")[: n * w].astype(np.uint64)
+    vals = (bits.reshape(n, w) << np.arange(w, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    if n_exc:
+        exc = _vbyte_decode_raw(b[i + nbytes :])
+        pos = exc[0::2].astype(np.int64)
+        vals[pos] |= exc[1::2] << np.uint64(w)
+    return vals
 
 
 def _widths(v: np.ndarray) -> np.ndarray:
@@ -285,10 +325,40 @@ def block_encode_batch(values: np.ndarray, bounds: np.ndarray,
         f_idx = full[mn != mx]  # all-equal full blocks stay ALLEQ (smaller)
     if f_idx.size:
         mat = v[bounds[f_idx][:, None] + np.arange(block_size)]
-        widths = _bit_widths(mat.max(axis=1))
+        # per-value bit widths (vectorized shift loop like _bit_widths)
+        bw = np.ones(mat.shape, dtype=np.int64)
+        tmp = mat >> np.uint64(1)
+        while tmp.any():
+            bw += tmp > 0
+            tmp >>= np.uint64(1)
+        wmax = bw.max(axis=1)
+        # PForDelta candidate widths: allow ~3%/12%/25% exceptions (ranks
+        # block_size-4 / -16 / -32 of the sorted per-value widths). Charge
+        # each exception 1 byte position + ceil(high_bits/7) bytes value;
+        # pick patched form only when strictly smaller than plain FoR.
+        bw_sorted = np.sort(bw, axis=1)
+        n_pack_bytes = lambda w: (block_size * w + 7) // 8  # noqa: E731
+        best_w = wmax.copy()
+        best_cost = n_pack_bytes(wmax) + 0  # FoR payload bytes (headers equal)
+        for rank in (block_size - 4, block_size - 16, block_size - 32):
+            wc = np.maximum(bw_sorted[:, rank - 1], 1)
+            high = np.maximum(bw - wc[:, None], 0)
+            exc_bytes = np.where(high > 0, 1 + (high + 6) // 7, 0).sum(axis=1)
+            cost = n_pack_bytes(wc) + exc_bytes + 1  # +1 for the n_exc vbyte
+            better = (cost < best_cost) & (wc < wmax)
+            best_w = np.where(better, wc, best_w)
+            best_cost = np.where(better, cost, best_cost)
+        pfor_sel = np.flatnonzero(best_w < wmax)
+        for j in pfor_sel:
+            row = mat[j]
+            w = int(best_w[j])
+            exc_pos = np.flatnonzero(bw[j] > w)
+            out[f_idx[j]] = pfor_encode(row, w, exc_pos)
+        plain_for = np.flatnonzero(best_w == wmax)
+        widths = wmax[plain_for]
         n_hdr = bytes(_vbyte_encode_raw(np.array([block_size], dtype=np.uint64)))
         for w in np.unique(widths):
-            sel = np.flatnonzero(widths == w)
+            sel = plain_for[widths == w]
             bit_idx = np.arange(int(w), dtype=np.uint64)
             bits = ((mat[sel][:, :, None] >> bit_idx) & np.uint64(1)).astype(np.uint8)
             packed = np.packbits(bits.reshape(sel.size, -1), axis=1, bitorder="little")
