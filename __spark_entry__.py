@@ -93,6 +93,8 @@ MULTI_PHRASE_QUERIES = {
 # NGramPhraseQuery.rewrite demo: 4-gram chain, n=2 keeps terms 0,2,3
 NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
+# (typo'd query, max_edits, max_variants) — FuzzyLikeThisQuery rewrite
+FUZZY_LIKE_QUERIES = {"bm25_fuzzy_like_this": ("sprk merg", 1, 3)}
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
 # SimilarityBase LM models through the same plug point: collection-
@@ -573,6 +575,16 @@ def _bm25_groups() -> dict[str, list]:
         derived.append((name, _elevation_query_fn(q, elev), _elevation_sql(q, elev)))
     for name, (pat, cap) in REGEXP_QUERIES.items():
         derived.append((name, _regexp_query_fn(pat, cap), bm25_regexp_sql(pat, max_terms=cap, k=10)))
+    for name, (q, me, mv) in FUZZY_LIKE_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import fuzzy_like_this_sql
+
+        derived.append((
+            name,
+            lambda spark, sf_dir, q=q, me=me, mv=mv: _ranked(
+                _searcher(spark, sf_dir).topk_fuzzy_like_this(q, max_edits=me, max_variants=mv, k=10)
+            ),
+            fuzzy_like_this_sql(q, max_edits=me, max_variants=mv, k=10),
+        ))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():
         derived.append((name, _parser_query_fn(qstr), sql_fn()))
     return {

@@ -933,6 +933,74 @@ LIMIT {k}
 """
 
 
+def fuzzy_like_this_sql(
+    query: str, max_edits: int = 1, max_variants: int = 3, k: int = 10
+) -> str:
+    """FuzzyLikeThisQuery (lucene/sandbox/.../queries/FuzzyLikeThisQuery.java):
+    per input term, the top max_variants dictionary terms within max_edits
+    (ranked distance ASC, docFreq DESC, term ASC), each boosted by the
+    similarity factor 1 - distance/len(input); the rewrite is a boosted
+    disjunction, a variant reached from two inputs summing its boosts.
+    The expansion itself is computed IN SQL over the corpus term
+    dictionary, so the oracle shares no driver state with the engine."""
+    inputs = sorted(set(analyze(query)))
+    if not inputs:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    inputs_vals = ",".join(f"('{q}')" for q in inputs)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+all_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term
+),
+dict AS (SELECT term, CAST(count(*) AS DOUBLE) AS ddf FROM all_tf GROUP BY term),
+inputs(q) AS (VALUES {inputs_vals}),
+expanded AS (
+  SELECT q, term, levenshtein(term, q) AS dist,
+         row_number() OVER (
+           PARTITION BY q
+           ORDER BY levenshtein(term, q) ASC, ddf DESC, term ASC
+         ) AS rn
+  FROM dict CROSS JOIN inputs
+  WHERE levenshtein(term, q) <= {max_edits}
+),
+boosts AS (
+  SELECT term, sum(1.0 - CAST(dist AS DOUBLE) / length(q)) AS boost
+  FROM expanded WHERE rn <= {max_variants} GROUP BY term
+),
+tf AS (SELECT * FROM all_tf WHERE term IN (SELECT term FROM boosts)),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1) * b.boost
+             * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN boosts b USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(query: str, k: int = 10, mode: str = "or") -> str:
     """Full BM25 top-k as one SQL string over `documents(doc_id, text)`.
 

@@ -561,6 +561,38 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(BooleanSpec(should=tuple(sorted(terms))), k=k)
 
+    def topk_fuzzy_like_this(
+        self, query: str, max_edits: int = 1, max_variants: int = 3, k: int = 10
+    ) -> DataFrame:
+        """FuzzyLikeThisQuery (lucene/sandbox/src/java/org/apache/lucene/
+        sandbox/queries/FuzzyLikeThisQuery.java): each input term
+        "fuzzifies" into its top index-dictionary variants within
+        max_edits, ranked (edit distance ASC, docFreq DESC, term ASC) and
+        boosted by the reference's similarity factor 1 - distance/len(q);
+        the rewrite is a boosted disjunction (a variant reached from two
+        inputs sums its boosts). Expansion is a term-dict metadata scan;
+        scoring reuses the boosted range scorer."""
+        from ..analysis.tokenizer import analyze
+
+        boosts: dict[str, float] = {}
+        for q in sorted(set(analyze(query))):
+            rows = (
+                self._term_stats
+                .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+                .filter(F.col("dist") <= max_edits)
+                .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+                .limit(max_variants)
+                .select("term", "dist")
+                .collect()
+            )
+            for r in rows:
+                boosts[r["term"]] = (
+                    boosts.get(r["term"], 0.0) + 1.0 - float(r["dist"]) / len(q)
+                )
+        if not boosts:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk_boosted(boosts, k=k)
+
     def topk_span_position_range(
         self, term: str, lo: int, hi: int, k: int = 10
     ) -> DataFrame:
