@@ -153,3 +153,33 @@ def test_pii_scrub_single_scan_projection(spark):
     plan = _plan(P.pii_scrub(spark, SF))
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_suggest_fuzzy_reads_term_stats_only(spark):
+    """FuzzySuggester variant: completion candidates come from the term
+    dictionary metadata, never the corpus; the distance filter runs over
+    term_stats rows only."""
+    plan = _plan(R.suggest_fuzzy(spark, SF))
+    assert "term_stats" in plan
+    assert "documents" not in plan
+    assert "levenshtein" in plan
+
+
+def test_fuzzy_like_this_expansion_is_metadata_only(spark):
+    """FuzzyLikeThisQuery's expansion never scans the corpus: the variant
+    lookup is a term_stats metadata query; only the final boosted scorer
+    touches postings."""
+    from lucene_solr_spark.ops.index_access import searcher_for
+
+    s = searcher_for(spark, SF)
+    exp = (
+        s._term_stats
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit("sprk")))
+        .filter(F.col("dist") <= 1)
+    )
+    plan = exp._jdf.queryExecution().executedPlan().toString()
+    assert "term_stats" in plan and "documents" not in plan
+    hits = s.topk_fuzzy_like_this("sprk merg", k=10)
+    assert hits.count() > 0
+    plan2 = _plan(hits)
+    assert "postings" in plan2 and "documents" not in plan2
