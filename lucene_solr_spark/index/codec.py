@@ -145,9 +145,16 @@ def _for_decode(b: np.ndarray) -> np.ndarray:
 def pfor_encode(values: np.ndarray, width: int, exc_pos: np.ndarray) -> bytes:
     """Patched FoR: low `width` bits of every value bit-packed, the
     exceptions' high bits appended as vbyte (position, value >> width)
-    pairs (PForDelta's patch list; Lucene 8.4 PForUtil shape)."""
+    pairs (PForDelta's patch list; Lucene 8.4 PForUtil shape).
+
+    exc_pos MUST list every position whose value exceeds `width` bits —
+    an incomplete list would silently truncate those values, so it is
+    checked here (one vectorized comparison per block)."""
     v = np.asarray(values, dtype=np.uint64)
     w = int(width)
+    need = np.flatnonzero(v >> np.uint64(w))
+    if not np.isin(need, np.asarray(exc_pos, dtype=np.int64)).all():
+        raise ValueError("pfor_encode: exc_pos misses positions wider than width")
     bit_idx = np.arange(w, dtype=np.uint64)
     low = v & np.uint64((1 << w) - 1)
     bits = ((low[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.uint8)
