@@ -1003,15 +1003,10 @@ def _assigned_emb(spark, sf, C: "np.ndarray") -> DataFrame:
     return out
 
 
-def ann_ivf_kmeans(spark, sf, nprobe: int = ANN_KMEANS_NPROBE):
-    """Trained-centroid IVF ANN (the production recall path; see the
-    ANN_KMEANS note): spherical k-means centroids fitted driver-side on
-    a deterministic sample, broadcast into a single Arrow-batched
-    assign-and-carry pass; queries probe their `nprobe` nearest cells.
-    At scale the corpus is stored partitioned by the centroid cell, so a
-    probe is a partition-pruned scan."""
-    C = _fit_centroids(spark, sf)
-    e = _assigned_emb(spark, sf, C)
+def _ivf_probe(spark, sf, e: DataFrame, C: "np.ndarray", nprobe: int) -> DataFrame:
+    """Shared IVF probe: queries pick their nprobe nearest cells driver-side
+    (k centroids, tiny), the candidate side filters to those cells, and the
+    bounded query set broadcasts into the pruned scan."""
     q_rows = sorted(
         _emb(spark, sf).filter(F.col("vec_id") < ANN_N_QUERIES).collect(),
         key=lambda r: int(r["vec_id"]),
@@ -1044,6 +1039,42 @@ def ann_ivf_kmeans(spark, sf, nprobe: int = ANN_KMEANS_NPROBE):
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_kmeans(spark, sf, nprobe: int = ANN_KMEANS_NPROBE):
+    """Trained-centroid IVF ANN (the production recall path; see the
+    ANN_KMEANS note): spherical k-means centroids fitted driver-side on
+    a deterministic sample, broadcast into a single Arrow-batched
+    assign-and-carry pass; queries probe their `nprobe` nearest cells.
+    At scale the corpus is stored partitioned by the centroid cell
+    (build_ivf_index / ann_ivf_stored), so a probe is a partition-pruned
+    scan — plan-asserted in tests/test_plans.py."""
+    C = _fit_centroids(spark, sf)
+    return _ivf_probe(spark, sf, _assigned_emb(spark, sf, C), C, nprobe)
+
+
+def build_ivf_index(spark, sf, out_dir: str) -> "np.ndarray":
+    """Materialize the IVF layout the 100-TB deployment stores: the
+    embedding corpus written PARTITIONED BY its centroid cell, so a probe
+    becomes a partition-pruned scan (cells not probed are never opened).
+    Returns the centroids that define the layout."""
+    C = _fit_centroids(spark, sf)
+    (
+        _assigned_emb(spark, sf, C)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    return C
+
+
+def ann_ivf_stored(spark, sf, index_dir: str, nprobe: int = ANN_KMEANS_NPROBE):
+    """IVF probe over the STORED cell-partitioned layout: the bucket
+    filter is a partition filter (directory prune) rather than a row
+    predicate — identical results to ann_ivf_kmeans, but only the probed
+    cells' files are ever read."""
+    C = _fit_centroids(spark, sf)
+    return _ivf_probe(spark, sf, spark.read.parquet(index_dir), C, nprobe)
 
 
 def ann_family(spark, sf):

@@ -183,3 +183,20 @@ def test_fuzzy_like_this_expansion_is_metadata_only(spark):
     assert hits.count() > 0
     plan2 = _plan(hits)
     assert "postings" in plan2 and "documents" not in plan2
+
+
+def test_stored_ivf_probe_is_partition_pruned(spark, tmp_path):
+    """The 100-TB IVF layout claim, made real: the corpus stored
+    partitionBy(centroid cell) turns the probe's bucket filter into a
+    PartitionFilter (directory prune) — unprobed cells are never opened —
+    and results are identical to the in-memory assignment path."""
+    from lucene_solr_spark.ops import pipeline as P
+
+    idx = str(tmp_path / "ivf_idx")
+    P.build_ivf_index(spark, SF, idx)
+    got = P.ann_ivf_stored(spark, SF, idx, nprobe=2)
+    plan = _plan(got)
+    scan = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in scan  # the probe filter prunes partitions
+    want = [tuple(r) for r in P.ann_ivf_kmeans(spark, SF, nprobe=2).collect()]
+    assert [tuple(r) for r in got.collect()] == want
