@@ -101,21 +101,6 @@ def _with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
 
 
-def _with_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Word k-gram shingles as an array column (empty if < k tokens).
-    NOTE: higher-order-function lambdas run interpreted (no whole-stage
-    codegen) — prefer shingle_rows() for exploded shingles; this array
-    form is kept for callers that need the per-doc array."""
-    return _with_tokens(df).withColumn(
-        "sh",
-        F.expr(
-            f"CASE WHEN size(toks) >= {k} THEN "
-            f"transform(sequence(0, size(toks)-{k}), i -> concat_ws(' ', slice(toks, i+1, {k}))) "
-            f"ELSE array() END"
-        ),
-    )
-
-
 def shingle_rows(df: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> DataFrame:
     """(doc_id, s) word k-gram shingle rows via an Arrow-batched
     mapInPandas generator — ZERO shuffle: shingles are a per-row
