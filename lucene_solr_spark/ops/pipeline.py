@@ -544,11 +544,95 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+TEXT_PROFILE_QUANT_RATE = 0.01
+
+
+def text_profile_signatures(df: DataFrame, quant_rate: float = TEXT_PROFILE_QUANT_RATE) -> DataFrame:
+    """TextProfileSignature (solr/core/src/java/org/apache/solr/update/
+    processor/TextProfileSignature.java, Nutch lineage): a fuzzy content
+    signature from the QUANTIZED term-frequency profile — QUANT =
+    round(maxFreq·quantRate) clamped to 2 (1 when maxFreq==1), counts
+    rounded down to QUANT multiples, sub-QUANT terms dropped, profile
+    serialized (freq DESC, term ASC) and hashed. Insertions/reorderings
+    that don't move any quantized frequency produce the SAME signature.
+    Returns (doc_id, signature). Two shuffles: the (doc, term) count and
+    the per-doc profile rollup — both map-side combined."""
+    counts = (
+        df.select("doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wd = Window.partitionBy("doc_id")
+    q0 = F.floor(F.max("cnt").over(wd) * quant_rate + 0.5)
+    quant = (
+        F.when(q0 >= 2, q0).when(F.max("cnt").over(wd) > 1, F.lit(2)).otherwise(F.lit(1))
+    )
+    prof = (
+        counts.withColumn("qnt", quant)
+        .withColumn("q", (F.floor(F.col("cnt") / F.col("qnt")) * F.col("qnt")).cast("long"))
+        .filter(F.col("q") >= F.col("qnt"))
+    )
+    arr = F.sort_array(F.collect_list(F.struct((-F.col("q")).alias("nq"), F.col("w"), F.col("q"))))
+    sig = F.sha2(
+        F.array_join(F.expr("transform(prof, s -> concat(s.w, ':', cast(s.q as string)))"), " "),
+        256,
+    )
+    return (
+        prof.groupBy("doc_id")
+        .agg(arr.alias("prof"))
+        .select("doc_id", sig.alias("signature"))
+    )
+
+
+def dedup_text_profile(spark, sf):
+    """SignatureUpdateProcessor-style fuzzy dedup (solr/core/.../update/
+    processor/SignatureUpdateProcessorFactory.java with
+    TextProfileSignature): keeper = min doc_id per signature. The same
+    signature column drives INDEX-TIME overwrite semantics through
+    update_documents(key_cols=['signature']) — tested in
+    tests/test_streaming.py."""
+    sigs = text_profile_signatures(_docs(spark, sf))
+    w = Window.partitionBy("signature")
+    return (
+        sigs.withColumn("keeper_id", F.min("doc_id").over(w))
+        .select("doc_id", "keeper_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_TEXT_PROFILE_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, t.tok AS w, count(*) AS cnt
+  FROM documents d, unnest({_SQL_TOKS}) AS t(tok)
+  GROUP BY doc_id, t.tok
+),
+quantized AS (
+  SELECT doc_id, w, cnt,
+         CASE WHEN floor(max(cnt) OVER (PARTITION BY doc_id) * {TEXT_PROFILE_QUANT_RATE} + 0.5) >= 2
+              THEN CAST(floor(max(cnt) OVER (PARTITION BY doc_id) * {TEXT_PROFILE_QUANT_RATE} + 0.5) AS BIGINT)
+              WHEN max(cnt) OVER (PARTITION BY doc_id) > 1 THEN 2 ELSE 1 END AS qnt
+  FROM counts
+),
+prof AS (
+  SELECT doc_id, w, CAST(floor(cnt / qnt) * qnt AS BIGINT) AS q, qnt
+  FROM quantized WHERE CAST(floor(cnt / qnt) * qnt AS BIGINT) >= qnt
+),
+sigs AS (
+  SELECT doc_id,
+         sha256(string_agg(w || ':' || CAST(q AS VARCHAR), ' ' ORDER BY q DESC, w ASC)) AS signature
+  FROM prof GROUP BY doc_id
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY signature) AS keeper_id
+FROM sigs ORDER BY doc_id
+"""
+
+
 def dedup_exact_family(spark, sf):
     """Exact-dedup family + cluster collapse as one tagged union (gate
     consolidation like ops.relational.facets_combined): byte-exact
-    keepers, order-insensitive bag-of-words keepers, and MinHash
-    near-dup cluster keepers, all as (variant, doc_id, keeper_id)."""
+    keepers, order-insensitive bag-of-words keepers, MinHash near-dup
+    cluster keepers, and TextProfileSignature fuzzy keepers, all as
+    (variant, doc_id, keeper_id)."""
     d1 = dedup_exact(spark, sf).select(
         F.lit("exact").alias("variant"), "doc_id", "keeper_id"
     )
@@ -558,7 +642,10 @@ def dedup_exact_family(spark, sf):
     d3 = dedup_minhash_clusters(spark, sf).select(
         F.lit("cluster").alias("variant"), "doc_id", "keeper_id"
     )
-    return d1.unionByName(d2).unionByName(d3).orderBy("variant", "doc_id")
+    d4 = dedup_text_profile(spark, sf).select(
+        F.lit("profile").alias("variant"), "doc_id", "keeper_id"
+    )
+    return d1.unionByName(d2).unionByName(d3).unionByName(d4).orderBy("variant", "doc_id")
 
 
 DEDUP_EXACT_FAMILY_SQL = f"""
@@ -568,6 +655,8 @@ SELECT * FROM (
   SELECT 'bag' AS variant, doc_id, keeper_id FROM ({DEDUP_BAG_SQL})
   UNION ALL
   SELECT 'cluster' AS variant, doc_id, keeper_id FROM ({DEDUP_CLUSTERS_SQL})
+  UNION ALL
+  SELECT 'profile' AS variant, doc_id, keeper_id FROM ({DEDUP_TEXT_PROFILE_SQL})
 ) ORDER BY variant, doc_id
 """
 

@@ -348,3 +348,55 @@ def test_update_documents_delete_then_add(spark, tmp_root, corpus):
     all_ids = {r["doc_id"] for r in s.topk("parse index", k=200, mode="or").collect()}
     assert old_id not in all_ids
     assert {r["doc_id"] for r in realtime_get(spark, d, [old_id, 500]).collect()} == {500}
+
+
+def test_signature_update_processor_overwrites_fuzzy_dups(spark, tmp_root):
+    """SignatureUpdateProcessorFactory semantics (solr/core/.../update/
+    processor/SignatureUpdateProcessorFactory.java): documents are keyed
+    by their TextProfileSignature, so a later near-copy (same quantized
+    term profile) OVERWRITES the original instead of duplicating it,
+    while a genuinely different doc coexists."""
+    import os
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.ops.pipeline import text_profile_signatures
+    from lucene_solr_spark.streaming.indexer import update_documents
+
+    idx = os.path.join(tmp_root, "idx_sig_urp")
+    base = "merge sort spark " * 4
+    d0 = base.strip()
+    # same quantized profile as d0: every word freq 4 (identical multiset, reordered)
+    d0_shuffled = " ".join(reversed(d0.split(" ")))
+    other = "parse index vector column " * 4
+
+    first = spark.createDataFrame(
+        [(0, d0, "en", "s0"), (1, other.strip(), "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    sig1 = text_profile_signatures(first).orderBy("doc_id")
+    first_sig = first.join(sig1, "doc_id")
+    build_index(
+        spark, first_sig, out_dir=idx, content_col="text", doc_id_col="doc_id",
+        meta_cols=["lang", "source", "signature"], range_size=64, fingerprint="sig-urp",
+    )
+
+    second = spark.createDataFrame(
+        [(2, d0_shuffled, "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    second_sig = second.join(text_profile_signatures(second), "doc_id")
+    # the fuzzy dup carries doc 0's signature -> update, not insert
+    s0 = sig1.filter(F.col("doc_id") == 0).collect()[0]["signature"]
+    assert second_sig.collect()[0]["signature"] == s0
+
+    update_documents(
+        spark, idx, second_sig, key_cols=["signature"], content_col="text",
+        doc_id_col="doc_id", meta_cols=["lang", "source", "signature"], batch_id="sig1",
+    )
+
+    from lucene_solr_spark.search.engine import IndexSearcher
+
+    s = IndexSearcher(spark, idx)
+    hits = {int(r["doc_id"]) for r in s.topk("merge sort spark parse", k=10).collect()}
+    assert 0 not in hits  # overwritten by its fuzzy dup
+    assert {1, 2} <= hits  # the distinct doc and the new version both live
