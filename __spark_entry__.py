@@ -95,6 +95,13 @@ NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
 # (typo'd query, max_edits, max_variants) — FuzzyLikeThisQuery rewrite
 FUZZY_LIKE_QUERIES = {"bm25_fuzzy_like_this": ("sprk merg", 1, 3)}
+# TermAutomatonQuery: (transitions ((from, label, to); '' = ANY), accepts)
+TERM_AUTOMATON_QUERIES = {
+    # (fast|merge) sort — the union-of-phrases automaton
+    "span_automaton_union": (((0, "fast", 1), (0, "merge", 1), (1, "sort", 2)), (2,)),
+    # merge ANY sort — one arbitrary token (or stop gap) between
+    "span_automaton_any": (((0, "merge", 1), (1, "", 2), (2, "sort", 3)), (3,)),
+}
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
 # SimilarityBase LM models through the same plug point: collection-
@@ -565,6 +572,16 @@ def _bm25_groups() -> dict[str, list]:
         positional.append(
             (name, _ngram_phrase_query_fn(q, n), bm25_phrase_pairs_sql(pairs, k=10))
         )
+    for name, (trans, acc) in TERM_AUTOMATON_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_term_automaton_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, tr=trans, ac=acc: _ranked(
+                _searcher(spark, sf_dir).topk_term_automaton(tr, ac, k=10)
+            ),
+            bm25_term_automaton_sql(trans, acc, k=10),
+        ))
     for name, (q1, q2, n, w) in RESCORE_QUERIES.items():
         derived.append(
             (name, _rescore_query_fn(q1, q2, n, w), bm25_rescore_sql(q1, q2, first_n=n, weight=w, k=10))

@@ -933,6 +933,50 @@ LIMIT {k}
 """
 
 
+def bm25_term_automaton_sql(transitions, accepts, k: int = 10) -> str:
+    """TermAutomatonQuery oracle (sandbox/search/TermAutomatonScorer.java:
+    226-345): the per-position NFA walk as a recursive CTE. Arrivals are a
+    MULTISET (UNION ALL keeps duplicates — PosState.add never dedups);
+    fresh starts step state 0 at every query token (the anchor); term
+    arcs consume the token at the arrival position; ANY arcs ('' label)
+    consume a pseudo-move available at every position up to the doc's
+    last query token and never count an accept — matches must end on a
+    term arc. freq = accepting term-arc arrivals; weight = summed idf of
+    the distinct labels (absent labels contribute idf(0))."""
+    labels = sorted({lab for _f, lab, _t in transitions if lab})
+    idfw = _idfw_from_data(labels)
+    trans_vals = ",".join(f"({f},'{l}',{t})" for f, l, t in transitions)
+    acc_vals = ",".join(f"({a})" for a in accepts)
+    labels_in = ",".join(f"'{l}'" for l in labels)
+    pf_cte = f"""trans(frm, lab, tto) AS (VALUES {trans_vals}),
+acc_states(st) AS (VALUES {acc_vals}),
+qtok AS (SELECT doc_id, pos, term FROM tokpos WHERE term IN ({labels_in})),
+moves AS (
+  SELECT doc_id, pos, term AS lab FROM qtok
+  UNION ALL
+  SELECT mq.doc_id, g.p AS pos, '' AS lab
+  FROM (SELECT doc_id, max(pos) AS mp FROM qtok GROUP BY doc_id) mq,
+       unnest(generate_series(1, mq.mp - 1)) AS g(p)
+),
+arr AS (
+  WITH RECURSIVE walk(doc_id, pos, state, hit) AS (
+    SELECT q.doc_id, q.pos + 1, t.tto,
+           CASE WHEN t.tto IN (SELECT st FROM acc_states) THEN 1 ELSE 0 END
+    FROM qtok q JOIN trans t ON t.frm = 0 AND t.lab = q.term
+    UNION ALL
+    SELECT w.doc_id, w.pos + 1, t.tto,
+           CASE WHEN m.lab <> '' AND t.tto IN (SELECT st FROM acc_states)
+                THEN 1 ELSE 0 END
+    FROM walk w
+    JOIN moves m ON m.doc_id = w.doc_id AND m.pos = w.pos
+    JOIN trans t ON t.frm = w.state AND t.lab = m.lab
+  )
+  SELECT * FROM walk
+),
+pf AS (SELECT doc_id, CAST(sum(hit) AS DOUBLE) AS pf FROM arr GROUP BY doc_id)"""
+    return _positional_score_sql(pf_cte, idfw, k)
+
+
 def fuzzy_like_this_sql(
     query: str, max_edits: int = 1, max_variants: int = 3, k: int = 10
 ) -> str:

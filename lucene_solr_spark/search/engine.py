@@ -134,6 +134,17 @@ class BooleanSpec:
     # phrase clauses; the primary phrase/slop/phrase_occur/phrase_boost
     # fields describe clause 0 and these describe clauses 1..N.
     phrases: tuple[tuple, ...] = ()
+    # TermAutomatonQuery (lucene/sandbox/src/java/org/apache/lucene/
+    # search/TermAutomatonQuery.java): a determinized automaton whose
+    # transitions are terms — (transitions, accepts) with transitions =
+    # ((from_state, label, to_state), ...), label '' = the ANY arc, and
+    # start state 0. Candidate docs are the UNION of the labels' postings
+    # (the scorer "acts like a disjunction", per the reference javadoc);
+    # freq = accepting TERM-arc arrivals of the per-position NFA walk
+    # (TermAutomatonScorer.countMatches — ANY arcs advance state but an
+    # accept reached via ANY does not count, and state multisets are NOT
+    # deduplicated, both reproduced exactly).
+    term_automaton: tuple[tuple, tuple] | None = None
 
     @property
     def phrase_clauses(self) -> tuple[tuple, ...]:
@@ -159,6 +170,8 @@ class BooleanSpec:
             out += (self.span_first[0],)
         if self.span_position_range is not None:
             out += (self.span_position_range[0],)
+        if self.term_automaton is not None:
+            out += tuple(lab for _f, lab, _t in self.term_automaton[0] if lab)
         return out
 
     @property
@@ -592,6 +605,25 @@ class IndexSearcher:
         if not boosts:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_boosted(boosts, k=k)
+
+    def topk_term_automaton(
+        self, transitions, accepts, k: int = 10
+    ) -> DataFrame:
+        """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): a
+        proximity query whose transitions are terms — the generalization
+        of Phrase/MultiPhrase/SpanNear. transitions = [(from, label, to)]
+        with label '' as the ANY arc and start state 0; accepts = accept
+        state ids. The automaton must be deterministic over term labels
+        (the reference determinizes in finish()); tf = accepting term-arc
+        arrivals per countMatches, scored BM25 with the labels' summed
+        idf."""
+        spec = BooleanSpec(
+            term_automaton=(
+                tuple((int(f), str(l), int(t)) for f, l, t in transitions),
+                tuple(sorted(int(a) for a in accepts)),
+            )
+        )
+        return self.topk_spec(spec, k=k)
 
     def topk_span_position_range(
         self, term: str, lo: int, hi: int, k: int = 10
@@ -1335,6 +1367,67 @@ def _sloppy_phrase_freqs(
     return freqs
 
 
+def _term_automaton_freqs(per_term, auto, cand: np.ndarray) -> np.ndarray:
+    """TermAutomatonScorer.countMatches reimplemented (sandbox/search/
+    TermAutomatonScorer.java:226-345): per doc, walk the query terms'
+    positions in order; each token at position p steps every state held
+    at p (plus a fresh start from state 0) along its term arc into p+1,
+    counting a match whenever a TERM arc lands in an accept state. ANY
+    arcs ('' label) advance held states one position at a time between
+    consecutive query tokens WITHOUT accept counting, and peter out when
+    a gap position holds no states. State containers are multisets (the
+    reference's PosState.add never dedups), reproduced with lists."""
+    transitions, accepts = auto
+    step: dict = {}
+    any_step: dict = {}
+    for frm, lab, to in transitions:
+        if lab == "":
+            any_step.setdefault(frm, []).append(to)
+        else:
+            step.setdefault((frm, lab), []).append(to)
+    acc_set = set(accepts)
+    terms = sorted({lab for _f, lab, _t in transitions if lab})
+    abs_cache = {t: _abs_positions(per_term, t) for t in terms if t in per_term}
+    freqs = np.zeros(cand.size, dtype=np.int64)
+    for ci, c in enumerate(cand):
+        occ: list = []
+        for t, (d, tf, run_starts, pos_abs) in abs_cache.items():
+            j = int(np.searchsorted(d, c))
+            if j < d.size and d[j] == c:
+                s = int(run_starts[j])
+                occ.extend((int(p), t) for p in pos_abs[s : s + int(tf[j])])
+        if not occ:
+            continue
+        occ.sort()
+        freq = 0
+        held: dict[int, list[int]] = {}  # position -> multiset of states
+        last_pos = -1
+        for pos, t in occ:
+            if last_pos != -1 and any_step and last_pos < pos:
+                lp, start_lp = last_pos, last_pos
+                while lp < pos:
+                    states_here = held.get(lp, ())
+                    if not states_here and lp > start_lp:
+                        break  # petered out (countMatches:271-274)
+                    nxt = held.setdefault(lp + 1, [])
+                    for st in states_here:
+                        nxt.extend(any_step.get(st, ()))
+                    lp += 1
+            nxt = held.setdefault(pos + 1, [])
+            for st in held.get(pos, ()):
+                for to in step.get((st, t), ()):
+                    nxt.append(to)
+                    if to in acc_set:
+                        freq += 1
+            for to in step.get((0, t), ()):  # start a new match here
+                nxt.append(to)
+                if to in acc_set:
+                    freq += 1
+            last_pos = pos
+        freqs[ci] = freq
+    return freqs
+
+
 def _multi_phrase_freqs(
     per_term, mphrase: tuple[tuple[int, tuple[str, ...]], ...], cand: np.ndarray
 ) -> np.ndarray:
@@ -1487,10 +1580,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     span_posrange = spec.span_position_range or (
         (span_first[0], 0, span_first[1]) if span_first is not None else None
     )
-    if phrase_clauses and (multi_phrase or span or span_posrange):
+    term_automaton = spec.term_automaton
+    if phrase_clauses and (multi_phrase or span or span_posrange or term_automaton):
         raise ValueError("phrase clauses cannot mix with span/multi-phrase specs")
-    # span/multi-phrase/posrange: the original single-positional machinery
-    positional = bool(multi_phrase or span or span_posrange)
+    # span/multi-phrase/posrange/automaton: the single-positional machinery
+    positional = bool(multi_phrase or span or span_posrange or term_automaton)
+    auto_terms = (
+        sorted({lab for _f, lab, _t in term_automaton[0] if lab})
+        if term_automaton is not None else []
+    )
     # positional terms that exist in the index (dead multi-phrase
     # alternatives are skipped at decode; dead required terms were
     # rejected in topk_spec)
@@ -1588,6 +1686,14 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         pos_wv = np.float32(
             idf_f32(dfs[span_posrange[0]], doc_count) * (K1 + np.float32(1.0))
         )
+    elif term_automaton is not None:
+        # TermAutomatonWeight gathers every automaton term's stats
+        # (TermContext.build — df=0 labels still contribute idf(0),
+        # the MultiPhraseQuery convention)
+        idf_sum = np.float32(
+            sum(idf_f32(dfs[t], doc_count) for t in auto_terms)
+        )
+        pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
 
     def _score_impl(key, pdf: pd.DataFrame, deleted_local=None) -> pd.DataFrame:
         d_arr = deleted_local if deleted_local is not None else deleted
@@ -1612,7 +1718,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             for pairs, _s, occ, _b in phrase_clauses
         )
         if (not scoring_present and not required and not multi_phrase
-                and not opt_phrase_possible):
+                and not opt_phrase_possible and term_automaton is None):
             return _EMPTY
 
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -1757,7 +1863,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         elif positional:
             # conjunction on docs first (two-phase: cheap approximation),
             # then position verify (expensive) on survivors only
-            if multi_phrase:
+            if term_automaton is not None:
+                # disjunction: any doc holding ANY automaton term is a
+                # candidate (TermAutomatonScorer's DocIDQueue union)
+                ua: set = set()
+                for t in auto_terms:
+                    if t in per_term:
+                        ua |= set(per_term[t][0].tolist())
+                cand_sets = [ua]
+            elif multi_phrase:
                 cand_sets = []
                 for _off, alts in multi_phrase:
                     u: set = set()
@@ -1778,7 +1892,9 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             cand = np.flatnonzero(pre) + base
             if cand.size == 0:
                 return _EMPTY
-            if multi_phrase:
+            if term_automaton is not None:
+                pf = _term_automaton_freqs(per_term, term_automaton, cand)
+            elif multi_phrase:
                 pf = _multi_phrase_freqs(per_term, multi_phrase, cand)
             elif span:
                 pf = _span_near_freqs(
