@@ -200,3 +200,18 @@ def test_stored_ivf_probe_is_partition_pruned(spark, tmp_path):
     assert "bucket" in scan  # the probe filter prunes partitions
     want = [tuple(r) for r in P.ann_ivf_kmeans(spark, SF, nprobe=2).collect()]
     assert [tuple(r) for r in got.collect()] == want
+
+
+def test_term_automaton_scan_pruned_to_labels(spark):
+    """TermAutomatonQuery scans only its labels' posting blocks (term-hash
+    partition pruning like every other query), reads the position stream,
+    and never touches the documents corpus."""
+    from lucene_solr_spark.ops.index_access import searcher_for
+
+    s = searcher_for(spark, SF)
+    df = s.topk_term_automaton([(0, "merge", 1), (1, "", 2), (2, "sort", 3)], [3], k=10)
+    plan = _plan(df)
+    assert "postings" in plan and "documents" not in plan
+    assert "pos_buf" in plan  # the position stream is read
+    read = plan.split("ReadSchema")[-1]
+    assert "docs_buf" in read
