@@ -101,6 +101,12 @@ TERM_AUTOMATON_QUERIES = {
     "span_automaton_union": (((0, "fast", 1), (0, "merge", 1), (1, "sort", 2)), (2,)),
     # merge ANY sort — one arbitrary token (or stop gap) between
     "span_automaton_any": (((0, "merge", 1), (1, "", 2), (2, "sort", 3)), (3,)),
+    # synonym graph with unequal path lengths (the SynonymGraphFilter use
+    # case the reference javadoc targets): "mergesort" (df=0 here, still
+    # contributes idf(0)) | "merge sort"
+    "span_automaton_syngraph": (
+        ((0, "mergesort", 2), (0, "merge", 1), (1, "sort", 2)), (2,),
+    ),
 }
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
