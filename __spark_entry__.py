@@ -90,6 +90,13 @@ SPAN_CONTAIN_QUERIES = {
 MULTI_PHRASE_QUERIES = {
     "bm25_multi_phrase": [["fast", "quick"], ["merge", "sort"]],
 }
+# MultiPhraseQuery.Builder.setSlop: sloppy alignment over union postings.
+# The SQL oracle covers two DISJOINT positions (leapfrog-chain closed
+# form); overlapping alt-sets (multi-term repeats) are pytest-gated via
+# the SloppyPhraseScorer transliteration (tests/test_sloppy.py).
+MULTI_PHRASE_SLOPPY_QUERIES = {
+    "bm25_multi_phrase_sloppy": ([["fast", "quick"], ["sort", "merge"]], 2),
+}
 # NGramPhraseQuery.rewrite demo: 4-gram chain, n=2 keeps terms 0,2,3
 NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
@@ -264,9 +271,11 @@ def _span_contain_query_fn(big: list, little: str, slop: int, mode: str):
     return run
 
 
-def _multi_phrase_query_fn(positions: list):
+def _multi_phrase_query_fn(positions: list, slop: int = 0):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _ranked(_searcher(spark, sf_dir).topk_multi_phrase(positions, k=10))
+        return _ranked(
+            _searcher(spark, sf_dir).topk_multi_phrase(positions, k=10, slop=slop)
+        )
 
     return run
 
@@ -570,6 +579,14 @@ def _bm25_groups() -> dict[str, list]:
         positional.append(
             (name, _multi_phrase_query_fn(positions), bm25_multi_phrase_sql(positions, k=10))
         )
+    for name, (positions, mp_slop) in MULTI_PHRASE_SLOPPY_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_multi_phrase_sloppy_sql
+
+        positional.append((
+            name,
+            _multi_phrase_query_fn(positions, slop=mp_slop),
+            bm25_multi_phrase_sloppy_sql(positions, mp_slop, k=10),
+        ))
     for name, (q, n) in NGRAM_PHRASE_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import bm25_phrase_pairs_sql
         from lucene_solr_spark.search.engine import ngram_phrase_rewrite, phrase_spec

@@ -391,12 +391,15 @@ stats AS (
 norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut})"""
 
 
-def _positional_score_sql(pf_cte: str, idfw_cte: str, k: int) -> str:
+def _positional_score_sql(
+    pf_cte: str, idfw_cte: str, k: int, recursive: bool = False
+) -> str:
     """Assemble a positional BM25 query: a `pf(doc_id, pf)` CTE + an
     `idfw(w)` CTE (the summed-idf weight) -> ranked (doc_id, rank)."""
     scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
+    with_kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-WITH {scaffold},
+{with_kw} {scaffold},
 {idfw_cte},
 {pf_cte}
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
@@ -628,6 +631,76 @@ pf AS (
   GROUP BY occ0.doc_id
 )"""
     return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_multi_phrase_sloppy_sql(
+    positions: list[list[str]], slop: int, k: int = 10
+) -> str:
+    """Sloppy MultiPhraseQuery oracle (MultiPhraseQuery.Builder.setSlop):
+    each position's cursor walks the UNION of its alternatives'
+    occurrences (UnionPostingsEnum) through SloppyPhraseScorer. The SQL
+    covers exactly TWO positions with DISJOINT alternative sets — no
+    repeated terms, so the scorer is the two-cursor leapfrog chain
+    (search/sloppy.py sloppy_freq_chain2) over the union occurrence
+    sets, as a recursive CTE. Overlapping alternative sets (the
+    multi-term-repeats path) are gated by the control oracle +
+    transliteration property tests instead (tests/test_sloppy.py)."""
+    if len(positions) != 2:
+        raise ValueError("the SQL oracle covers exactly two positions")
+    a0 = sorted(set(positions[0]))
+    a1 = sorted(set(positions[1]))
+    if set(a0) & set(a1):
+        raise ValueError(
+            "alternative sets must be disjoint (no repeats) for the "
+            "chain closed form; the repeats path is pytest-gated"
+        )
+    off0, off1 = 0, 1
+    in0 = ",".join(f"'{t}'" for t in a0)
+    in1 = ",".join(f"'{t}'" for t in a1)
+    idfw = _idfw_from_data(a0 + a1)
+    # the leapfrog chain of _phrase_pf_cte(slop>0) with each side's
+    # occurrences unioned over its alternatives
+    u0_tie_side = 0 if off0 > off1 else 1
+    pf_sql = f"""
+occ AS (
+  SELECT doc_id, pos - {off0} AS k, 0 AS s FROM tokpos WHERE term IN ({in0})
+  UNION ALL
+  SELECT doc_id, pos - {off1} AS k, 1 AS s FROM tokpos WHERE term IN ({in1})
+),
+nxt AS (
+  SELECT a.doc_id, a.k, a.s, min(b.k) AS nk
+  FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k > a.k
+  GROUP BY 1, 2, 3
+),
+prv AS (
+  SELECT a.doc_id, a.k, a.s, max(b.k) AS pk
+  FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.s <> a.s AND b.k <= a.k
+  GROUP BY 1, 2, 3
+),
+firsts AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           min(CASE WHEN s = 0 THEN k END) AS a0,
+           min(CASE WHEN s = 1 THEN k END) AS b0
+    FROM occ GROUP BY doc_id)
+  WHERE a0 IS NOT NULL AND b0 IS NOT NULL
+),
+chain AS (
+  SELECT doc_id, greatest(a0, b0) AS u,
+         CASE WHEN a0 > b0 THEN 0 WHEN b0 > a0 THEN 1 ELSE {u0_tie_side} END AS s
+  FROM firsts
+  UNION ALL
+  SELECT n.doc_id, n.nk AS u, 1 - c.s AS s
+  FROM chain c JOIN nxt n ON n.doc_id = c.doc_id AND n.s = c.s AND n.k = c.u
+),
+pf AS (
+  SELECT c.doc_id,
+         CAST(sum(CASE WHEN c.u - p.pk <= {slop}
+                       THEN 1.0 / (c.u - p.pk + 1) END) AS DOUBLE) AS pf
+  FROM chain c JOIN prv p ON p.doc_id = c.doc_id AND p.s = c.s AND p.k = c.u
+  GROUP BY c.doc_id
+)"""
+    return _positional_score_sql(pf_sql, idfw, k, recursive=True)
 
 
 def bm25_regexp_sql(anchored_pattern: str, max_terms: int = 16, k: int = 10) -> str:

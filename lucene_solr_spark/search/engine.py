@@ -91,8 +91,12 @@ class BooleanSpec:
     # sloppy scoring: weighted phrase freq Σ 1/(matchLength+1) over
     # SloppyPhraseScorer's minimal match windows (see search/sloppy.py)
     # MultiPhraseQuery (search/MultiPhraseQuery.java:49): per-position
-    # alternative terms [(offset, (t1, t2, ...))]; exact alignment only
+    # alternative terms [(offset, (t1, t2, ...))]; multi_phrase_slop=0 is
+    # exact alignment, >0 runs SloppyPhraseScorer over per-position UNION
+    # postings — including the multi-term-repeats path (hasMultiTermRpts,
+    # overlapping alternative sets; see search/sloppy.py)
     multi_phrase: tuple[tuple[int, tuple[str, ...]], ...] = ()
+    multi_phrase_slop: int = 0
     # SpanNearQuery clauses in query order (spans/SpanNearQuery.java);
     # scored via search/spans.py walks with Σ 1/(width+1)
     span: tuple[str, ...] = ()
@@ -503,17 +507,25 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(BooleanSpec(span_first=(toks[0], end)), k=k)
 
-    def topk_multi_phrase(self, positions: list[list[str]], k: int = 10) -> DataFrame:
+    def topk_multi_phrase(
+        self, positions: list[list[str]], k: int = 10, slop: int = 0
+    ) -> DataFrame:
         """MultiPhraseQuery (search/MultiPhraseQuery.java:49): a phrase
         where each position accepts any of several terms (e.g. synonym-
-        expanded phrases). Exact alignment; offsets are consecutive."""
+        expanded phrases); offsets are consecutive. slop=0 is exact
+        alignment; slop>0 runs the Lucene-exact SloppyPhraseScorer over
+        per-position union postings, including the multi-term-repeats
+        path when alternative sets overlap (setSlop on
+        MultiPhraseQuery.Builder)."""
         mp = tuple(
             (i, tuple(sorted({t for alt in alts for t in self._analyze(alt)})))
             for i, alts in enumerate(positions)
         )
         if any(not alts for _i, alts in mp):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        return self.topk_spec(BooleanSpec(multi_phrase=mp), k=k)
+        return self.topk_spec(
+            BooleanSpec(multi_phrase=mp, multi_phrase_slop=slop), k=k
+        )
 
     def expand_terms(
         self,
@@ -1367,6 +1379,48 @@ def _sloppy_phrase_freqs(
     return freqs
 
 
+def _sloppy_multi_phrase_freqs(
+    per_term, mphrase: tuple[tuple[int, tuple[str, ...]], ...],
+    cand: np.ndarray, slop: int,
+) -> np.ndarray:
+    """Sloppy MultiPhraseQuery freq per candidate doc: each position's
+    cursor walks the UNION of its alternatives' occurrences
+    (MultiPhraseQuery.java UnionPostingsEnum) through the Lucene-exact
+    SloppyPhraseScorer machine — including multi-term repeats
+    (hasMultiTermRpts) when alternative sets overlap across positions
+    (see search/sloppy.py _sloppy_freq_multiterm)."""
+    from .sloppy import sloppy_freq
+
+    all_terms = sorted({t for _off, alts in mphrase for t in alts})
+    abs_cache = {
+        t: _abs_positions(per_term, t) for t in all_terms if t in per_term
+    }
+    term_sets = [tuple(alts) for _off, alts in mphrase]
+    freqs = np.zeros(cand.size, dtype=np.float32)
+    for ci, c in enumerate(cand):
+        plists, offs = [], []
+        ok = True
+        for off, alts in mphrase:
+            merged: list[int] = []
+            for t in alts:
+                if t not in abs_cache:
+                    continue
+                d, tf, run_starts, pos_abs = abs_cache[t]
+                j = int(np.searchsorted(d, c))
+                if j < d.size and d[j] == c:
+                    s = int(run_starts[j])
+                    merged.extend(pos_abs[s : s + int(tf[j])].tolist())
+            if not merged:
+                ok = False
+                break
+            merged.sort()
+            plists.append(merged)
+            offs.append(off)
+        if ok:
+            freqs[ci] = sloppy_freq(plists, offs, slop, terms=term_sets)
+    return freqs
+
+
 def _term_automaton_freqs(per_term, auto, cand: np.ndarray) -> np.ndarray:
     """TermAutomatonScorer.countMatches reimplemented (sandbox/search/
     TermAutomatonScorer.java:226-345): per doc, walk the query terms'
@@ -1895,7 +1949,12 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             if term_automaton is not None:
                 pf = _term_automaton_freqs(per_term, term_automaton, cand)
             elif multi_phrase:
-                pf = _multi_phrase_freqs(per_term, multi_phrase, cand)
+                if spec.multi_phrase_slop > 0:
+                    pf = _sloppy_multi_phrase_freqs(
+                        per_term, multi_phrase, cand, spec.multi_phrase_slop
+                    )
+                else:
+                    pf = _multi_phrase_freqs(per_term, multi_phrase, cand)
             elif span:
                 pf = _span_near_freqs(
                     per_term, span, spec.span_slop, spec.span_ordered, cand,

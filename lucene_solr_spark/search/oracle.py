@@ -264,23 +264,49 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             if occ == "+":
                 cand = set(m)
     if multi_phrase:
+        mp_slop = int(getattr(spec, "multi_phrase_slop", 0) or 0)
         pf_map = {}
-        for d in sorted(cand):
-            base_off = multi_phrase[0][0]
-            match = {
-                p - base_off
-                for t in multi_phrase[0][1]
-                for p in idx.positions.get(t, {}).get(d, [])
-            }
-            for off, alts in multi_phrase[1:]:
-                pset = {
-                    p - off for t in alts for p in idx.positions.get(t, {}).get(d, [])
+        if mp_slop > 0:
+            # SloppyPhraseScorer over per-position union postings,
+            # incl. multi-term repeats (search/sloppy.py)
+            from .sloppy import sloppy_freq
+
+            term_sets = [tuple(alts) for _off, alts in multi_phrase]
+            for d in sorted(cand):
+                plists, offs = [], []
+                ok = True
+                for off, alts in multi_phrase:
+                    merged = sorted(
+                        p
+                        for t in alts
+                        for p in idx.positions.get(t, {}).get(d, [])
+                    )
+                    if not merged:
+                        ok = False
+                        break
+                    plists.append(merged)
+                    offs.append(off)
+                if ok:
+                    fq = sloppy_freq(plists, offs, mp_slop, terms=term_sets)
+                    if fq > 0:
+                        pf_map[d] = fq
+        else:
+            for d in sorted(cand):
+                base_off = multi_phrase[0][0]
+                match = {
+                    p - base_off
+                    for t in multi_phrase[0][1]
+                    for p in idx.positions.get(t, {}).get(d, [])
                 }
-                match &= pset
-                if not match:
-                    break
-            if match:
-                pf_map[d] = len(match)
+                for off, alts in multi_phrase[1:]:
+                    pset = {
+                        p - off for t in alts for p in idx.positions.get(t, {}).get(d, [])
+                    }
+                    match &= pset
+                    if not match:
+                        break
+                if match:
+                    pf_map[d] = len(match)
         cand = set(pf_map)
     elif span:
         from .spans import (

@@ -37,8 +37,13 @@ repeat-group members are offset-sorted, the j-th member starts j
 positions in (so no two sit on the same occurrence), and whenever an
 advance makes two members collide on the same token position (tpPos),
 the lesser of the two advances until the group is collision-free.
-Pass `terms` to identify which clauses repeat; Lucene's multi-TERM
-repeat postings (MultiPhrase-within-sloppy) are out of scope.
+Pass `terms` to identify which clauses repeat. Lucene's multi-TERM
+repeat postings (MultiPhrase-within-sloppy, hasMultiTermRpts) are
+covered too: pass a TUPLE of alternatives as a clause's terms entry and
+the union of their positions as its plist — repeat groups become
+connected components of the clause/term bipartite graph
+(gatherRptGroups' bitset union), and init resolves collisions pairwise
+(advanceRepeatGroups' multi-term branch). See _sloppy_freq_multiterm.
 """
 
 from __future__ import annotations
@@ -103,6 +108,14 @@ def _sloppy_freq_repeats(
                 if not g[j].advance():
                     return np.float32(0.0)  # PPs exhausted -> no match
 
+    return _run_repeats_machine(pps, rpt_groups, slop)
+
+
+def _run_repeats_machine(
+    pps: list, rpt_groups: list, slop: int
+) -> np.float32:
+    """phraseFreq + advanceRpts over already-initialized (collision-free)
+    PPs with assigned repeat groups (SloppyPhraseScorer.java:101-185)."""
     end = max(pp.position for pp in pps)
     queue = list(pps)
 
@@ -159,6 +172,106 @@ def _sloppy_freq_repeats(
     return freq
 
 
+def _sloppy_freq_multiterm(
+    plists: list[list[int]], offsets: list[int], slop: int,
+    term_sets: list[tuple],
+) -> np.float32:
+    """The multi-term-repeats path (hasMultiTermRpts): MultiPhrase-within-
+    sloppy where alternative-term sets overlap across phrase positions
+    (SloppyPhraseScorer.java initFirstTime:326-354 + gatherRptGroups
+    else-branch:377-432 + advanceRepeatGroups multi-term branch:285-305).
+
+    plists[i] is the UNION of clause i's alternatives' positions in the
+    doc (UnionPostingsEnum); term_sets[i] the clause's full alternative
+    set (query terms, independent of which occur in the doc). Repeat
+    groups are connected components of the bipartite clause/term graph
+    over REPEATING terms (terms in >=2 clauses), per ppTermsBitSets +
+    unionTermGroups + termGroups; members sorted by query offset.
+    Collisions (same token position within a group) are resolved exactly
+    as in the single-term path — only the init differs: members cannot
+    be pre-advanced a fixed count (some may not collide), so collisions
+    are resolved pairwise, re-scanning earlier members when one of them
+    was moved (the reference's incr=0 redo)."""
+    n = len(offsets)
+    pps = [_PP(plists[i], offsets[i], i) for i in range(n)]
+
+    # repeatingTerms (:440-453): terms appearing in >= 2 clauses, ordinal
+    # assigned in the order each count reaches 2 (LinkedHashMap order)
+    tcnt: dict = {}
+    tord: dict = {}
+    for ts in term_sets:
+        for t in ts:
+            tcnt[t] = tcnt.get(t, 0) + 1
+            if tcnt[t] == 2:
+                tord[t] = len(tord)
+
+    # repeatingPPs (:456-468): clauses holding >= 1 repeating term
+    rpp = [pp for pp in pps if any(t in tord for t in term_sets[pp.ord])]
+    # ppTermsBitSets + unionTermGroups (:471-501): union intersecting
+    # term sets until disjoint, revisiting i after any merge
+    bb = [
+        {tord[t] for t in term_sets[pp.ord] if t in tord} for pp in rpp
+    ]
+    i = 0
+    while i < len(bb) - 1:
+        incr = 1
+        j = i + 1
+        while j < len(bb):
+            if bb[i] & bb[j]:
+                bb[i] |= bb[j]
+                del bb[j]
+                incr = 0
+            else:
+                j += 1
+        i += incr
+    tg = {}  # term ordinal -> group index (termGroups :504-514)
+    for gi, bits in enumerate(bb):
+        for o in bits:
+            tg[o] = gi
+    rpt_groups: list[list] = [[] for _ in bb]
+    for pp in rpp:
+        gs = {tg[tord[t]] for t in term_sets[pp.ord] if t in tord}
+        # by construction of unionTermGroups a pp's repeating terms live
+        # in exactly one component (gatherRptGroups asserts this)
+        g = gs.pop()
+        rpt_groups[g].append(pp)
+        pp.rpt_group = g
+    # sortRptGroups (:358-374): by query offset (ord tiebreak for
+    # determinism; Lucene's MultiPhraseQuery has one pp per offset)
+    for g in rpt_groups:
+        g.sort(key=lambda pp: (pp.off, pp.ord))
+        for j, pp in enumerate(g):
+            pp.rpt_ind = j
+
+    def collide_idx(pp, rg) -> int:
+        tp = pp.tp_pos()
+        for k, other in enumerate(rg):
+            if other is not pp and other.tp_pos() == tp:
+                return k
+        return -1
+
+    # advanceRepeatGroups, multi-term branch (:285-305): resolve pairwise,
+    # advancing the lesser; if a member BEFORE i moved, redo index i
+    for rg in rpt_groups:
+        i = 0
+        while i < len(rg):
+            incr = 1
+            pp = rg[i]
+            while True:
+                k = collide_idx(pp, rg)
+                if k < 0:
+                    break
+                pp2 = pp if pp.key()[:2] < rg[k].key()[:2] else rg[k]
+                if not pp2.advance():
+                    return np.float32(0.0)  # PPs exhausted
+                if pp2.rpt_ind < i:
+                    incr = 0
+                    break
+            i += incr
+
+    return _run_repeats_machine(pps, rpt_groups, slop)
+
+
 def sloppy_freq(
     plists: list[list[int]], offsets: list[int], slop: int, terms: list | None = None
 ) -> np.float32:
@@ -167,7 +280,11 @@ def sloppy_freq(
     plists[i]: ascending absolute positions of clause i's term in the doc
     (all non-empty); offsets[i]: the clause's phrase position. `terms`
     identifies clauses of the SAME term (the repeats path); None means
-    all clauses are distinct terms.
+    all clauses are distinct terms. A terms entry may also be a TUPLE of
+    alternative terms (a MultiPhraseQuery position; plists[i] is then the
+    union of the alternatives' positions): when alternative sets overlap
+    across positions the multi-term-repeats path runs
+    (_sloppy_freq_multiterm, SloppyPhraseScorer.hasMultiTermRpts).
     """
     n = len(offsets)
     if any(len(p) == 0 for p in plists):
@@ -176,8 +293,22 @@ def sloppy_freq(
         # single-clause phrase rewrites to a term query: every occurrence
         # is a zero-length match
         return np.float32(len(plists[0]))
-    if terms is not None and len(set(terms)) != len(terms):
-        return _sloppy_freq_repeats(plists, offsets, slop, list(terms))
+    if terms is not None:
+        term_sets = [
+            (t,) if isinstance(t, str) else tuple(t) for t in terms
+        ]
+        tcnt: dict = {}
+        for ts in term_sets:
+            for t in ts:
+                tcnt[t] = tcnt.get(t, 0) + 1
+        rpt = {t for t, c in tcnt.items() if c >= 2}
+        if rpt:
+            # hasMultiTermRpts: a REPEATING pp with > 1 alternative
+            if any(
+                len(ts) > 1 and any(t in rpt for t in ts) for ts in term_sets
+            ):
+                return _sloppy_freq_multiterm(plists, offsets, slop, term_sets)
+            return _sloppy_freq_repeats(plists, offsets, slop, list(terms))
 
     cursors = [0] * n
     heap: list[tuple[int, int, int]] = []
