@@ -1,0 +1,124 @@
+"""Validate sloppy/exact phrase scoring against the COMPILED reference.
+
+tools/lucene_ground_truth.py builds /root/reference's own lucene-core
+with javac and scores each case with the real SloppyPhraseScorer /
+ExactPhraseScorer (freq extracted from IndexSearcher.explain). This is
+the strongest parity evidence available: not a port, not a
+transliteration — the reference binary itself.
+
+Covers the full clause-shape matrix over seeded random docs:
+  * distinct-term sloppy phrases (the simple queue path)
+  * single-term repeats ("A A A"~N, initComplex/advanceRpts)
+  * multi-term repeats (overlapping alternative sets, hasMultiTermRpts)
+  * exact MultiPhrase alignment (slop=0 union path)
+
+Skipped when javac or the reference tree is unavailable.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.sloppy import sloppy_freq
+
+gt = pytest.importorskip("tools.lucene_ground_truth")
+
+HAVE_GT = gt.build()
+pytestmark = pytest.mark.skipif(
+    not HAVE_GT, reason="javac / reference lucene-core unavailable"
+)
+
+ALPHABET = ["a", "b", "c", "d"]
+
+
+def _python_freq(doc: str, mphrase: list[tuple[int, tuple[str, ...]]], slop: int):
+    positions: dict = {}
+    for i, t in enumerate(doc.split()):
+        positions.setdefault(t, []).append(i)
+    plists, offs, tsets = [], [], []
+    for off, alts in mphrase:
+        merged = sorted(p for t in alts for p in positions.get(t, []))
+        plists.append(merged)
+        offs.append(off)
+        tsets.append(tuple(alts))
+    if any(not p for p in plists):
+        return np.float32(0.0)
+    if slop == 0:
+        # exact alignment: count of aligned lead keys over the unions
+        sets = [{p - off for p in pl} for pl, off in zip(plists, offs)]
+        match = sets[0]
+        for s_ in sets[1:]:
+            match &= s_
+        return np.float32(len(match))
+    return sloppy_freq(plists, offs, slop, terms=tsets)
+
+
+def _random_cases(seed: int, n: int):
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(n):
+        shape = rng.choice(["distinct", "rpt_single", "rpt_multi", "exact"])
+        n_pos = rng.randint(2, 4)
+        mphrase = []
+        off = 0
+        for _ in range(n_pos):
+            if shape == "distinct":
+                # sampled without replacement -> no repeats
+                pass
+            if shape == "rpt_single":
+                alts = (rng.choice(ALPHABET),)
+            elif shape == "rpt_multi":
+                depth = rng.randint(1, 3)
+                alts = tuple(sorted(rng.sample(ALPHABET, depth)))
+            else:
+                depth = rng.randint(1, 2)
+                alts = tuple(sorted(rng.sample(ALPHABET, depth)))
+            mphrase.append((off, alts))
+            off += rng.randint(1, 3)
+        if shape == "distinct":
+            terms = rng.sample(ALPHABET, n_pos)
+            mphrase = [
+                (sum(rng.randint(1, 3) for _ in range(i)), (t,))
+                for i, t in enumerate(terms)
+            ]
+        doc = " ".join(
+            rng.choice(ALPHABET + ["x"]) for _ in range(rng.randint(1, 24))
+        )
+        slop = 0 if shape == "exact" else rng.randint(0, 6)
+        cases.append((slop, mphrase, doc))
+    return cases
+
+
+def test_phrase_freq_matches_compiled_reference():
+    cases = _random_cases(seed=20260818, n=400)
+    # fixed regressions: the fork's ACTUAL behavior for the repeats init
+    # (its own testMultiSloppyWithRepeats expectation predates this
+    # code state; the compiled scorer returns no hit) + javadoc examples
+    cases.append((6, [(0, ("a", "b")), (1, ("a",))], "a b c d e f g h i k"))
+    cases.append((2, [(0, ("a",)), (1, ("b",))], "x a b a y"))
+    lines = [gt.case_line(slop, mp, doc) for slop, mp, doc in cases]
+    expected = gt.run_cases(lines)
+    assert len(expected) == len(cases)
+    n_checked = 0
+    for (slop, mp, doc), exp in zip(cases, expected):
+        got = _python_freq(doc, mp, slop)
+        want = np.float32(float(exp))
+        assert got == want, (slop, mp, doc, float(got), float(want))
+        n_checked += 1
+    assert n_checked == len(cases)
+
+
+def test_fork_repeats_init_regression_pinned():
+    """The fork's SloppyPhraseScorer exhausts a single-occurrence repeat
+    clause during multi-term group init (advanceRepeatGroups advances
+    the lesser = the higher-offset pp) -> no match. Pin OUR engine to
+    the fork's actual behavior, verified against the compiled binary."""
+    (exp,) = gt.run_cases(
+        [gt.case_line(6, [(0, ("a", "b")), (1, ("a",))], "a b c d e f g h i k")]
+    )
+    assert float(exp) == 0.0
+    got = _python_freq("a b c d e f g h i k", [(0, ("a", "b")), (1, ("a",))], 6)
+    assert got == np.float32(0.0)
