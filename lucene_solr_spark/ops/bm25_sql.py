@@ -240,11 +240,9 @@ def bm25_phrase_sql(query: str, k: int = 10, slop: int = 0) -> str:
     phrase = phrase_spec(query).phrase
     if not phrase:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
-    uniq = sorted({t for t, _ in phrase})
-    terms_in = ",".join(f"'{t}'" for t in uniq)
     pf_sql = _phrase_pf_cte(phrase, slop)
     with_kw = "WITH RECURSIVE" if slop > 0 else "WITH"
-    return _PHRASE_SQL_TAIL(with_kw, terms_in, pf_sql, k)
+    return _PHRASE_SQL_TAIL(with_kw, [t for t, _ in phrase], pf_sql, k)
 
 
 def _phrase_pf_cte(phrase, slop: int, suffix: str = "") -> str:
@@ -324,7 +322,15 @@ pf{x} AS (
     return pf_sql
 
 
-def _PHRASE_SQL_TAIL(with_kw: str, terms_in: str, pf_sql: str, k: int) -> str:
+def _PHRASE_SQL_TAIL(with_kw: str, qterm_occurrences: list[str], pf_sql: str, k: int) -> str:
+    """qterm_occurrences: the phrase's clause terms WITH duplicates —
+    PhraseWeight sums one idf per clause occurrence (one TermStatistics
+    per terms[i]), so "cc cc" weighs idf(cc) twice; pinned against the
+    compiled reference in tests/test_lucene_ground_truth.py."""
+    counts: dict[str, int] = {}
+    for t in qterm_occurrences:
+        counts[t] = counts.get(t, 0) + 1
+    qvals = ",".join(f"('{t}',{float(m)!r})" for t, m in sorted(counts.items()))
     return f"""
 {with_kw} toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
@@ -344,12 +350,15 @@ stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
 ),
 norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+qterms(term, mult) AS (SELECT * FROM (VALUES {qvals}) v(a, b)),
 dfs AS (
-  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+  SELECT q.term, q.mult, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  FROM qterms q LEFT JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) c USING (term)
 ),
 idfsum AS (
-  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  SELECT sum(mult * ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
   FROM dfs CROSS JOIN stats s
 ),
 {pf_sql.strip()},
@@ -420,18 +429,26 @@ LIMIT {k}
 
 
 def _idfw_from_data(terms: list[str]) -> str:
-    """idfw = sum of idfs of `terms`, dfs computed from the corpus
-    (terms absent from the corpus contribute idf(df=0))."""
-    vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
-    return f"""qterms(term) AS (VALUES {vals}),
+    """idfw = sum of idfs over term OCCURRENCES in `terms` (duplicates
+    count again — PhraseWeight/MultiPhraseWeight build one TermStatistics
+    per clause occurrence, so a repeated term contributes its idf once
+    per repeat; verified against the compiled reference in
+    tests/test_lucene_ground_truth.py). Callers whose reference weight
+    uses a term->context MAP (SpanWeight) must pass a deduplicated list.
+    Terms absent from the corpus contribute idf(df=0)."""
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    vals = ",".join(f"('{t}',{float(m)!r})" for t, m in sorted(counts.items()))
+    return f"""qterms(term, mult) AS (SELECT * FROM (VALUES {vals}) v(a, b)),
 dfs AS (
-  SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  SELECT q.term, q.mult, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
   FROM qterms q LEFT JOIN (
     SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
   ) c USING (term)
 ),
 idfw AS (
-  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  SELECT sum(mult * ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
   FROM dfs CROSS JOIN stats s
 )"""
 
@@ -449,7 +466,7 @@ def bm25_span_near_sql(terms: list[str], slop: int, ordered: bool, k: int = 10) 
     totalSpanLength = 2 for term spans).
     Weight: idf summed over DISTINCT clause terms (SpanWeight map)."""
     n = len(terms)
-    idfw = _idfw_from_data(terms)
+    idfw = _idfw_from_data(sorted(set(terms)))  # SpanWeight: DISTINCT map
     if ordered:
         occ = ",\n".join(
             f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
@@ -523,7 +540,7 @@ def _span_filtered_sql(include: list[str], other: str, slop: int, mode: str, k: 
       within     — other-occurrences inside some big span, width 0 each
     Weights sum idfs of BOTH sides (getTermContexts(big, little))."""
     n = len(include)
-    idfw = _idfw_from_data(list(include) + [other])
+    idfw = _idfw_from_data(sorted(set(include) | {other}))  # SpanWeight map
     occ = ",\n".join(
         f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
         for i, t in enumerate(include)
@@ -1313,18 +1330,24 @@ def bm25_compound_sql(
         pc_sql_rows = []
         for i, (pairs, slop_i, boost_i, _req_i) in enumerate(phrase_clauses):
             x = str(i)
-            puniq = sorted({t for t, _ in pairs})
-            pvals = ",".join(f"('{t}')" for t in puniq)
+            # PhraseWeight: one idf per clause OCCURRENCE (repeats count
+            # again; pinned vs the compiled reference)
+            pcounts: dict[str, int] = {}
+            for t, _off in pairs:
+                pcounts[t] = pcounts.get(t, 0) + 1
+            pvals = ",".join(
+                f"('{t}',{float(m)!r})" for t, m in sorted(pcounts.items())
+            )
             ctes.append(
-                f"""pqt{x}(term) AS (VALUES {pvals}),
+                f"""pqt{x}(term, mult) AS (SELECT * FROM (VALUES {pvals}) v(a, b)),
 pdfs{x} AS (
-  SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  SELECT q.term, q.mult, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
   FROM pqt{x} q LEFT JOIN (
     SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
   ) c USING (term)
 ),
 pidfw{x} AS (
-  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  SELECT sum(mult * ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
   FROM pdfs{x} CROSS JOIN stats s
 )"""
             )
@@ -1604,10 +1627,8 @@ def bm25_phrase_pairs_sql(pairs, k: int = 10) -> str:
     pairs = list(pairs)
     if not pairs:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
-    uniq = sorted({t for t, _ in pairs})
-    terms_in = ",".join(f"'{t}'" for t in uniq)
     pf_sql = _phrase_pf_cte(pairs, 0)
-    return _PHRASE_SQL_TAIL("WITH", terms_in, pf_sql, k)
+    return _PHRASE_SQL_TAIL("WITH", [t for t, _ in pairs], pf_sql, k)
 
 
 def blended_term_sql(query: str, k: int = 10, tiebreak: float = 0.01) -> str:

@@ -31,6 +31,19 @@ def idf_f32(df: int, doc_count: int) -> np.float32:
     return np.float32(np.log(x))
 
 
+def idf_sum_f32(idfs) -> np.float32:
+    """Multi-TermStatistics idf sum, accumulated in FLOAT32 in clause
+    order — BM25Similarity.idfExplain(collectionStats, termStats[]) in
+    this reference uses `float idf = 0.0f; idf += termIdf` (the sum-into-
+    a-double change is a later upstream fix), so the sum is order- and
+    precision-sensitive at the last ULP. Pinned against the compiled
+    reference in tests/test_lucene_ground_truth.py."""
+    acc = np.float32(0.0)
+    for v in idfs:
+        acc = np.float32(acc + np.float32(v))
+    return acc
+
+
 def avgdl_f32(sum_ttf: int, doc_count: int) -> np.float32:
     if sum_ttf <= 0:
         return np.float32(1.0)

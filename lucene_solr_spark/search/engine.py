@@ -52,7 +52,7 @@ from pyspark.sql import types as T
 from ..analysis.tokenizer import analyze, analyze_with_positions
 from ..index.builder import BLOCK_SCHEMA, DEFAULT_TERM_BUCKETS, IndexPaths
 from ..index.codec import delta_decode, vbyte_decode
-from .bm25 import B, K1, avgdl_f32, idf_f32, make_term_weight, norm_cache
+from .bm25 import B, K1, avgdl_f32, idf_f32, idf_sum_f32, make_term_weight, norm_cache
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -841,8 +841,8 @@ class IndexSearcher:
         present = [t for t in ts if weights[t]["df"] > 0]
         if not present:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        idf_sum = np.float32(
-            sum(idf_f32(weights[t]["df"], self.doc_count) for t in ts)
+        idf_sum = idf_sum_f32(
+            idf_f32(weights[t]["df"], self.doc_count) for t in ts
         )
         wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
         return self._topk_sum_tf(present, wv, k)
@@ -1708,13 +1708,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 freq, nb, dfs[t], doc_count, dfr_av, boost=dfr_boosts[t]
             )
         return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
-    # PhraseWeight per clause: one weight from summed term idfs (repeats
-    # count once, i.e. DISTINCT terms); BoostQuery wrapping multiplies
+    # PhraseWeight per clause: idfs summed over clause OCCURRENCES —
+    # PhraseQuery.PhraseWeight builds one TermStatistics per terms[i], so
+    # a repeated term contributes its idf once per repeat ("cc cc" weighs
+    # idf(cc) twice; pinned vs the compiled reference in
+    # tests/test_lucene_ground_truth.py). BoostQuery wrapping multiplies
     # the weightValue (BoostQuery.java)
     pc_wvs = []
     for pairs, _s, _occ, boost in phrase_clauses:
-        pterms = sorted({t for t, _ in pairs})
-        idf_sum = np.float32(sum(idf_f32(dfs[t], doc_count) for t in pterms))
+        idf_sum = idf_sum_f32(idf_f32(dfs[t], doc_count) for t, _ in pairs)
         pc_wvs.append(
             np.float32(
                 np.float32(idf_sum * (K1 + np.float32(1.0))) * np.float32(boost)
@@ -1723,8 +1725,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     if multi_phrase:
         # MultiPhraseQuery weight: every alternative's idf summed (df=0
         # alternatives still contribute idf(0), as TermContext.build does)
-        idf_sum = np.float32(
-            sum(idf_f32(dfs[t], doc_count) for _off, alts in multi_phrase for t in alts)
+        idf_sum = idf_sum_f32(
+            idf_f32(dfs[t], doc_count) for _off, alts in multi_phrase for t in alts
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span:
@@ -1732,8 +1734,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         # SpanNot/Containing/Within maps include BOTH sides' contexts
         # (getTermContexts(bigWeight, littleWeight))
         aux = set(spec.span_not) | set(spec.span_contain) | set(spec.span_within)
-        idf_sum = np.float32(
-            sum(idf_f32(dfs[t], doc_count) for t in sorted(set(span) | aux))
+        idf_sum = idf_sum_f32(
+            idf_f32(dfs[t], doc_count) for t in sorted(set(span) | aux)
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span_posrange is not None:
@@ -1744,8 +1746,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         # TermAutomatonWeight gathers every automaton term's stats
         # (TermContext.build — df=0 labels still contribute idf(0),
         # the MultiPhraseQuery convention)
-        idf_sum = np.float32(
-            sum(idf_f32(dfs[t], doc_count) for t in auto_terms)
+        idf_sum = idf_sum_f32(
+            idf_f32(dfs[t], doc_count) for t in auto_terms
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..analysis.smallfloat import encode_norm
 from ..analysis.tokenizer import analyze, analyze_to_counts, analyze_with_positions
-from .bm25 import K1, avgdl_f32, combine_scores, idf_f32, make_term_weight
+from .bm25 import K1, avgdl_f32, combine_scores, idf_f32, idf_sum_f32, make_term_weight
 
 
 @dataclass
@@ -396,8 +396,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             pterms = sorted({t for t, _ in pairs})
             if any(t not in idx.postings for t in pterms):
                 continue
-            idf_sum = np.float32(
-                sum(idf_f32(len(idx.postings[t]), idx.doc_count) for t in pterms)
+            # PhraseWeight: one idf per clause occurrence (repeats again)
+            idf_sum = idf_sum_f32(
+                idf_f32(len(idx.postings[t]), idx.doc_count) for t, _ in pairs
             )
             wv = np.float32(
                 np.float32(idf_sum * (K1 + np.float32(1.0))) * np.float32(boost)
@@ -408,12 +409,10 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             per_clause.append(ps)
     if positional and not phrase_clauses and (pos_terms & set(idx.postings)):
         if multi_phrase:
-            idf_sum = np.float32(
-                sum(
-                    idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
-                    for _off, alts in multi_phrase
-                    for t in alts
-                )
+            idf_sum = idf_sum_f32(
+                idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
+                for _off, alts in multi_phrase
+                for t in alts
             )
         elif span:
             # SpanNot/Containing/Within maps include both sides' contexts
@@ -422,11 +421,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 | set(getattr(spec, "span_contain", ()) or ())
                 | set(getattr(spec, "span_within", ()) or ())
             )
-            idf_sum = np.float32(
-                sum(
-                    idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
-                    for t in sorted(set(span) | sn)
-                )
+            idf_sum = idf_sum_f32(
+                idf_f32(len(idx.postings.get(t, {})), idx.doc_count)
+                for t in sorted(set(span) | sn)
             )
         else:
             idf_sum = np.float32(idf_f32(len(idx.postings[span_first[0]]), idx.doc_count))

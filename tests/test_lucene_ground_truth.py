@@ -122,3 +122,75 @@ def test_fork_repeats_init_regression_pinned():
     assert float(exp) == 0.0
     got = _python_freq("a b c d e f g h i k", [(0, ("a", "b")), (1, ("a",))], 6)
     assert got == np.float32(0.0)
+
+
+VOCAB = ["aa", "bb", "cc", "dd", "xx"]  # stopword-free, chain-invariant
+
+
+def test_topk_matches_compiled_reference():
+    """Control-oracle top-10 (docids AND float32 scores) == the compiled
+    reference's IndexSearcher over random corpora and the full boolean/
+    phrase query mix. The Spark engine is rank+score-identical to the
+    control oracle elsewhere in the suite, so this transitively pins the
+    engine to the reference binary."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import (
+        build_oracle_index, oracle_topk, oracle_topk_spec,
+    )
+
+    rng = random.Random(20260818)
+    for corpus_round in range(4):
+        n_docs = rng.randint(5, 30)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+
+        queries = []  # (spec line, python callable)
+        for _ in range(30):
+            kind = rng.choice(["term", "or", "and", "msm", "phrase", "mphrase"])
+            if kind == "term":
+                t = rng.choice(VOCAB)
+                queries.append((f"TERM {t}",
+                                lambda t=t: oracle_topk(idx, t, k=10, mode="or")))
+            elif kind in ("or", "and"):
+                ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 4))]
+                queries.append((f"{kind.upper()} {' '.join(ts)}",
+                                lambda ts=ts, kind=kind: oracle_topk(
+                                    idx, " ".join(ts), k=10, mode=kind)))
+            elif kind == "msm":
+                ts = rng.sample(VOCAB, rng.randint(2, 4))
+                n = rng.randint(1, len(ts))
+                queries.append((f"MSM {n} {' '.join(ts)}",
+                                lambda ts=ts, n=n: oracle_topk_spec(
+                                    idx, BooleanSpec(should=tuple(ts),
+                                                     min_should_match=n), k=10)))
+            elif kind == "phrase":
+                ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 3))]
+                slop = rng.randint(0, 4)
+                pairs = tuple((t, i) for i, t in enumerate(ts))
+                queries.append((f"PHRASE {slop} {' '.join(ts)}",
+                                lambda pairs=pairs, slop=slop: oracle_topk_spec(
+                                    idx, BooleanSpec(phrase=pairs, slop=slop), k=10)))
+            else:
+                n_pos = rng.randint(2, 3)
+                mp, off = [], 0
+                for _ in range(n_pos):
+                    alts = tuple(sorted(rng.sample(VOCAB, rng.randint(1, 2))))
+                    mp.append((off, alts))
+                    off += 1
+                slop = rng.randint(0, 4)
+                spec_str = " ".join(f"{o}:{','.join(a)}" for o, a in mp)
+                queries.append((f"MPHRASE {slop} {spec_str}",
+                                lambda mp=mp, slop=slop: oracle_topk_spec(
+                                    idx, BooleanSpec(multi_phrase=tuple(mp),
+                                                     multi_phrase_slop=slop), k=10)))
+
+        expected = gt.run_topk(docs, [q for q, _fn in queries])
+        assert len(expected) == len(queries)
+        for (qline, fn), exp in zip(queries, expected):
+            got = fn()
+            exp_pairs = [(d, np.float32(float(s))) for d, s in exp]
+            got_pairs = [(int(d), np.float32(s)) for d, s in got]
+            assert got_pairs == exp_pairs, (corpus_round, qline, got_pairs, exp_pairs)

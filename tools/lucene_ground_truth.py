@@ -128,6 +128,88 @@ public class GroundTruth {
 """
 
 
+TOPK_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+
+public class GroundTruthTopK {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    // one segment: global stats == per-leaf stats, same as the engine
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      Query q;
+      if (p[0].equals("TERM")) {
+        q = new TermQuery(new Term("body", p[1]));
+      } else if (p[0].equals("OR") || p[0].equals("AND")) {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 1; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])),
+                p[0].equals("AND") ? BooleanClause.Occur.MUST
+                                   : BooleanClause.Occur.SHOULD);
+        q = b.build();
+      } else if (p[0].equals("MSM")) {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        b.setMinimumNumberShouldMatch(Integer.parseInt(p[1]));
+        for (int i = 2; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        q = b.build();
+      } else if (p[0].equals("PHRASE")) {
+        int slop = Integer.parseInt(p[1]);
+        PhraseQuery.Builder b = new PhraseQuery.Builder();
+        b.setSlop(slop);
+        for (int i = 2; i < p.length; i++) b.add(new Term("body", p[i]), i - 2);
+        q = b.build();
+      } else if (p[0].equals("MPHRASE")) {
+        int slop = Integer.parseInt(p[1]);
+        MultiPhraseQuery.Builder b = new MultiPhraseQuery.Builder();
+        for (int i = 2; i < p.length; i++) {
+          String[] kv = p[i].split(":");
+          String[] alts = kv[1].split(",");
+          Term[] ts = new Term[alts.length];
+          for (int j = 0; j < alts.length; j++) ts[j] = new Term("body", alts[j]);
+          b.add(ts, Integer.parseInt(kv[0]));
+        }
+        b.setSlop(slop);
+        q = b.build();
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 def build() -> bool:
     """Compile lucene-core + harness (cached). False if javac missing."""
     import shutil
@@ -155,18 +237,19 @@ def build() -> bool:
         if os.path.isdir(meta):
             shutil.copytree(meta, os.path.join(CLASSES, "META-INF"), dirs_exist_ok=True)
     os.makedirs(HARNESS_DIR, exist_ok=True)
-    cls = os.path.join(HARNESS_DIR, "GroundTruth.class")
-    src = os.path.join(HARNESS_DIR, "GroundTruth.java")
-    if not os.path.exists(cls):
-        with open(src, "w") as f:
-            f.write(HARNESS_JAVA)
-        r = subprocess.run(
-            ["javac", "-cp", CLASSES, "-d", HARNESS_DIR, src],
-            capture_output=True, text=True, timeout=120,
-        )
-        if r.returncode != 0:
-            sys.stderr.write(r.stderr[-2000:])
-            return False
+    for name, code in (("GroundTruth", HARNESS_JAVA), ("GroundTruthTopK", TOPK_JAVA)):
+        cls = os.path.join(HARNESS_DIR, f"{name}.class")
+        src = os.path.join(HARNESS_DIR, f"{name}.java")
+        if not os.path.exists(cls):
+            with open(src, "w") as f:
+                f.write(code)
+            r = subprocess.run(
+                ["javac", "-cp", f"{CLASSES}:{HARNESS_DIR}", "-d", HARNESS_DIR, src],
+                capture_output=True, text=True, timeout=120,
+            )
+            if r.returncode != 0:
+                sys.stderr.write(r.stderr[-2000:])
+                return False
     return True
 
 
@@ -179,6 +262,34 @@ def run_cases(lines: list[str]) -> list[str]:
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return r.stdout.split()
+
+
+def run_topk(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+    """Index `docs` (whitespace analysis, one segment) and run each query
+    spec ('TERM t' / 'OR ...' / 'AND ...' / 'MSM n ...' / 'PHRASE slop ...'
+    / 'MPHRASE slop off:a,b ...') through the compiled reference's
+    IndexSearcher. Returns per query the top-10 [(docid, score_str)]."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthTopK"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        hits = []
+        for part in line.split(";"):
+            d, score = part.split(":")
+            hits.append((int(d), score))
+        out.append(hits)
+    return out
 
 
 def case_line(slop: int, mphrase: list[tuple[int, tuple[str, ...]]], doc: str) -> str:
