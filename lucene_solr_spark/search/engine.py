@@ -1808,13 +1808,28 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         base = min(int(v[0][0]) for v in per_term.values())
         top = max(int(v[0][-1]) for v in per_term.values())
         width = top - base + 1
-        acc = np.zeros(width, dtype=np.float64)  # double clause sum (DisjunctionSumScorer)
-        mx = np.zeros(width, dtype=np.float64) if spec.dismax else None
+        # DisjunctionSumScorer sums clauses in DOUBLE; DisjunctionMaxScorer
+        # keeps a FLOAT32 scoreSum (DisjunctionMaxScorer.java:50-59) --
+        # pinned vs the compiled reference in tests/test_lucene_ground_truth.py
+        acc_dtype = np.float32 if spec.dismax else np.float64
+        acc = np.zeros(width, dtype=acc_dtype)
+        mx = np.zeros(width, dtype=np.float32) if spec.dismax else None
         should_hits = np.zeros(width, dtype=np.int32)
         must_hits = np.zeros(width, dtype=np.int32)
         excluded = np.zeros(width, dtype=bool)
 
-        for t, (d, tf, nb, _pos) in per_term.items():
+        # iterate in clause order (spec.should then spec.must, first
+        # occurrence): under the dismax FLOAT32 accumulator the sum is
+        # order-sensitive, and the control oracle / reference accumulate
+        # per clause; for the double sum the order is immaterial
+        clause_pos = {
+            t: i
+            for i, t in enumerate(dict.fromkeys(tuple(spec.should) + tuple(spec.must)))
+        }
+        ordered_items = sorted(
+            per_term.items(), key=lambda kv: clause_pos.get(kv[0], len(clause_pos))
+        )
+        for t, (d, tf, nb, _pos) in ordered_items:
             idxs = d - base
             if t in not_terms:
                 excluded[idxs] = True
@@ -1824,10 +1839,14 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             if n_clauses > 0:
                 freq = tf.astype(np.float32)
                 s = _term_score(t, freq, nb)
-                sd = s.astype(np.float64)
-                acc[idxs] += sd * n_clauses
+                sd = s.astype(acc_dtype)
                 if mx is not None:
+                    # duplicate clauses add sequentially in float32
+                    for _ in range(n_clauses):
+                        acc[idxs] = (acc[idxs] + sd).astype(acc_dtype)
                     np.maximum.at(mx, idxs, sd)
+                else:
+                    acc[idxs] += sd * n_clauses
             if t in should_count:
                 should_hits[idxs] += 1
             if t in must_count:
@@ -1998,8 +2017,9 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         if idx.size == 0:
             return _EMPTY
         if mx is not None:
-            tb = float(spec.tiebreak)
-            sc = (mx[idx] + tb * (acc[idx] - mx[idx])).astype(np.float32)
+            # scoreMax + (scoreSum - scoreMax) * tie, each op in float32
+            tb = np.float32(spec.tiebreak)
+            sc = (mx[idx] + (acc[idx] - mx[idx]) * tb).astype(np.float32)
         else:
             sc = acc[idx].astype(np.float32)
         docs_out = idx + base

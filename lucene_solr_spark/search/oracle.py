@@ -436,10 +436,14 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     if not per_clause:
         return []
     if spec.dismax:
+        # DisjunctionMaxScorer.java:50-59: float32 scoreSum accumulation,
+        # then scoreMax + (scoreSum - scoreMax) * tie in float32 ops
         stack = np.stack(per_clause)
-        mx = stack.max(axis=0).astype(np.float64)
-        tot = stack.astype(np.float64).sum(axis=0)
-        scores = (mx + float(spec.tiebreak) * (tot - mx)).astype(np.float32)
+        mx = stack.max(axis=0).astype(np.float32)
+        tot = np.zeros_like(stack[0], dtype=np.float32)
+        for row in stack:
+            tot = (tot + row).astype(np.float32)
+        scores = (mx + (tot - mx) * np.float32(spec.tiebreak)).astype(np.float32)
     else:
         scores = combine_scores(per_clause)
     order = np.lexsort((docs, -scores.astype(np.float64)))

@@ -194,3 +194,93 @@ def test_topk_matches_compiled_reference():
             exp_pairs = [(d, np.float32(float(s))) for d, s in exp]
             got_pairs = [(int(d), np.float32(s)) for d, s in got]
             assert got_pairs == exp_pairs, (corpus_round, qline, got_pairs, exp_pairs)
+
+
+def _assert_topk_equal(got, exp, ctx, ulp_tolerant_scores=False):
+    exp_pairs = [(d, np.float32(float(s))) for d, s in exp]
+    got_pairs = [(int(d), np.float32(s)) for d, s in got]
+    if not ulp_tolerant_scores:
+        assert got_pairs == exp_pairs, (*ctx, got_pairs, exp_pairs)
+        return
+    # docids/ranks exact; scores within 1 float32 ULP — DisjunctionMax
+    # sums sub-scores in float32 in DisiPriorityQueue.topList's internal
+    # HEAP order (DisjunctionMaxScorer.java:50-59), which is not part of
+    # the query semantics; our defined clause-order accumulation can land
+    # on the neighboring float
+    assert [d for d, _ in got_pairs] == [d for d, _ in exp_pairs], (
+        *ctx, got_pairs, exp_pairs)
+    for (d, gs), (_d, es) in zip(got_pairs, exp_pairs):
+        if gs != es:
+            # bound: one rounding step per float32 add in the clause sum
+            ulp = np.float32(np.spacing(gs))
+            assert abs(float(gs) - float(es)) <= 4.0 * float(ulp), (
+                *ctx, d, float(gs), float(es))
+
+
+def test_topk_not_dismax_spans_match_compiled_reference():
+    """Ground-truth round 2: MUST_NOT, DisjunctionMax (tiebreak sweep),
+    SpanNear ordered/unordered, SpanFirst — control-oracle top-10 docids
+    + float32 scores == the compiled reference."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(40206)
+    for corpus_round in range(4):
+        n_docs = rng.randint(5, 30)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+
+        queries = []
+        for _ in range(30):
+            kind = rng.choice(["not", "dismax", "span", "spanfirst"])
+            if kind == "not":
+                ns = rng.randint(1, 3)
+                s_ts = [rng.choice(VOCAB) for _ in range(ns)]
+                m_ts = rng.sample([v for v in VOCAB if v not in s_ts],
+                                  rng.randint(1, 2))
+                queries.append((
+                    f"NOT {ns} {' '.join(s_ts)} {' '.join(m_ts)}",
+                    lambda s_ts=s_ts, m_ts=m_ts: oracle_topk_spec(
+                        idx, BooleanSpec(should=tuple(s_ts),
+                                         must_not=tuple(m_ts)), k=10),
+                ))
+            elif kind == "dismax":
+                ts = rng.sample(VOCAB, rng.randint(2, 4))
+                tie = rng.choice([0.0, 0.3, 1.0])
+                queries.append((
+                    f"DISMAX {tie} {' '.join(ts)}",
+                    lambda ts=ts, tie=tie: oracle_topk_spec(
+                        idx, BooleanSpec(should=tuple(ts), dismax=True,
+                                         tiebreak=tie), k=10),
+                ))
+            elif kind == "span":
+                ts = rng.sample(VOCAB, rng.randint(2, 3))
+                slop = rng.randint(0, 4)
+                ordered = rng.choice([True, False])
+                if not ordered and len(ts) > 2:
+                    ts = ts[:2]  # engine's unordered walk covers 2 clauses
+                queries.append((
+                    f"SPANNEAR {slop} {1 if ordered else 0} {' '.join(ts)}",
+                    lambda ts=ts, slop=slop, ordered=ordered: oracle_topk_spec(
+                        idx, BooleanSpec(span=tuple(ts), span_slop=slop,
+                                         span_ordered=ordered), k=10),
+                ))
+            else:
+                t = rng.choice(VOCAB)
+                end = rng.randint(1, 6)
+                queries.append((
+                    f"SPANFIRST {end} {t}",
+                    lambda t=t, end=end: oracle_topk_spec(
+                        idx, BooleanSpec(span_first=(t, end)), k=10),
+                ))
+
+        expected = gt.run_topk(docs, [q for q, _fn in queries])
+        assert len(expected) == len(queries)
+        for (qline, fn), exp in zip(queries, expected):
+            got = fn()
+            dismax_tie = qline.startswith("DISMAX") and float(qline.split()[1]) > 0
+            _assert_topk_equal(got, exp, (corpus_round, qline),
+                               ulp_tolerant_scores=dismax_tie)

@@ -181,6 +181,35 @@ public class GroundTruthTopK {
         b.setSlop(slop);
         for (int i = 2; i < p.length; i++) b.add(new Term("body", p[i]), i - 2);
         q = b.build();
+      } else if (p[0].equals("NOT")) {
+        // NOT <nShould> s1..sn m1..mk
+        int ns = Integer.parseInt(p[1]);
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 2; i < 2 + ns; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        for (int i = 2 + ns; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.MUST_NOT);
+        q = b.build();
+      } else if (p[0].equals("DISMAX")) {
+        float tie = Float.parseFloat(p[1]);
+        java.util.List<Query> subs = new java.util.ArrayList<>();
+        for (int i = 2; i < p.length; i++)
+          subs.add(new TermQuery(new Term("body", p[i])));
+        q = new DisjunctionMaxQuery(subs, tie);
+      } else if (p[0].equals("SPANNEAR")) {
+        int slop = Integer.parseInt(p[1]);
+        boolean ord = p[2].equals("1");
+        org.apache.lucene.search.spans.SpanQuery[] cls =
+            new org.apache.lucene.search.spans.SpanQuery[p.length - 3];
+        for (int i = 3; i < p.length; i++)
+          cls[i - 3] = new org.apache.lucene.search.spans.SpanTermQuery(
+              new Term("body", p[i]));
+        q = new org.apache.lucene.search.spans.SpanNearQuery(cls, slop, ord);
+      } else if (p[0].equals("SPANFIRST")) {
+        int end = Integer.parseInt(p[1]);
+        q = new org.apache.lucene.search.spans.SpanFirstQuery(
+            new org.apache.lucene.search.spans.SpanTermQuery(new Term("body", p[2])),
+            end);
       } else if (p[0].equals("MPHRASE")) {
         int slop = Integer.parseInt(p[1]);
         MultiPhraseQuery.Builder b = new MultiPhraseQuery.Builder();
