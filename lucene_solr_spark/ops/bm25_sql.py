@@ -1441,7 +1441,11 @@ def classic_tfidf_sql(query: str, k: int = 10) -> str:
     """ClassicSimilarity (TF-IDF) oracle: per matching term clause
     sqrt(tf) * idf^2 * decodedLengthNorm with idf = ln((N+1)/(df+1)) + 1
     (similarities/ClassicSimilarity.java tf:120 idf:138 lengthNorm:109;
-    TFIDFSimilarity score = tf * weightValue * decodeNorm). Rank-only."""
+    TFIDFSimilarity score = tf * weightValue * decodeNorm), times the
+    coord factor overlap/maxOverlap (ClassicSimilarity.coord:61-63 via
+    DisjunctionSumScorer `(float)score * coord[freq]` -- this reference
+    predates coord removal). queryNorm is a per-query constant and the
+    oracle is rank-only, so it is omitted. Rank-only."""
     terms = sorted(set(analyze(query)))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
@@ -1470,7 +1474,7 @@ scored AS (
            sqrt(tf.tf)
            * pow(ln((s.n + 1) / (dfs.df + 1)) + 1.0, 2)
            * lut.cnorm
-         ) AS score
+         ) * (CASE WHEN {len(terms)} > 1 THEN count(*) * 1.0 / {len(terms)} ELSE 1.0 END) AS score
   FROM tf
   JOIN dfs USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id

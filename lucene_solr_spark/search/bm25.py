@@ -111,11 +111,39 @@ def classic_idf_f32(df: int, doc_count: int) -> np.float32:
     return np.float32(np.log((float(doc_count) + 1.0) / (float(df) + 1.0)) + 1.0)
 
 
-def classic_weight_value(df: int, doc_count: int, boost: float = 1.0) -> np.float32:
-    """TFIDFSimilarity.IDFStats: queryWeight = (float)(idf * boost);
-    value = queryWeight * idf — i.e. boost * idf^2 in float32 op order."""
+def classic_query_norm(idf_boost_pairs) -> np.float32:
+    """ClassicSimilarity.queryNorm through this reference's
+    createNormalizedWeight (IndexSearcher.java:733-740 — queryNorm
+    predates its upstream removal): v = float32 running sum of each
+    scoring clause's squared queryWeight (IDFStats.getValueForNorm:
+    queryWeight*queryWeight with queryWeight = boost*idf after
+    BoostQuery's normalize(1f, boost)); queryNorm =
+    (float)(1.0/sqrt(v)), infinite/NaN -> 1. Pinned vs the compiled
+    reference in tests/test_lucene_ground_truth.py."""
+    import math
+
+    v = np.float32(0.0)
+    for idf, boost in idf_boost_pairs:
+        qw = np.float32(np.float32(np.float32(1.0) * np.float32(boost)) * np.float32(idf))
+        v = np.float32(v + np.float32(qw * qw))
+    if float(v) <= 0.0:
+        return np.float32(1.0)
+    qn = np.float32(1.0 / math.sqrt(float(v)))
+    if not np.isfinite(qn):
+        return np.float32(1.0)
+    return qn
+
+
+def classic_weight_value(
+    df: int, doc_count: int, boost: float = 1.0, query_norm: float = 1.0
+) -> np.float32:
+    """TFIDFSimilarity.IDFStats.normalize(queryNorm, boost):
+    queryWeight = queryNorm * boost * idf (float32, left-to-right);
+    value = queryWeight * idf."""
     idf = classic_idf_f32(df, doc_count)
-    qw = np.float32(idf * np.float32(boost))
+    qw = np.float32(
+        np.float32(np.float32(query_norm) * np.float32(boost)) * idf
+    )
     return np.float32(qw * idf)
 
 

@@ -878,16 +878,28 @@ class IndexSearcher:
         weights = self.term_weights(list(spec.all_terms))
         if spec.similarity == "classic":
             # Similarity plug point: swap the per-term weightValue for
-            # ClassicSimilarity's boost * idf^2 (same stats, same scorer)
+            # ClassicSimilarity's queryNorm * boost * idf^2 (same stats,
+            # same scorer). This reference still applies queryNorm
+            # (createNormalizedWeight predates its upstream removal):
+            # a per-query constant 1/sqrt(sum of squared clause weights)
+            # — rank-neutral, score-visible
             if spec.positional_terms:
                 raise ValueError("classic similarity covers term clauses only")
-            from .bm25 import classic_weight_value
+            from .bm25 import classic_idf_f32, classic_query_norm, classic_weight_value
 
             boost_map = dict(spec.boosts)
+            clause_terms = list(spec.should) + list(spec.must)
+            qn = classic_query_norm(
+                (classic_idf_f32(weights[t]["df"], self.doc_count),
+                 boost_map.get(t, 1.0))
+                for t in clause_terms
+                if t in weights
+            )
             for t in weights:
                 weights[t]["weight_value"] = float(
                     classic_weight_value(
-                        weights[t]["df"], self.doc_count, boost_map.get(t, 1.0)
+                        weights[t]["df"], self.doc_count,
+                        boost_map.get(t, 1.0), query_norm=float(qn),
                     )
                 )
         elif spec.similarity in ("lm_dirichlet", "lm_jelinek_mercer"):
@@ -1817,6 +1829,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         should_hits = np.zeros(width, dtype=np.int32)
         must_hits = np.zeros(width, dtype=np.int32)
         excluded = np.zeros(width, dtype=bool)
+        # ClassicSimilarity coord (BooleanWeight.coord + DisjunctionSum
+        # Scorer `(float)score * coord[freq]`): overlap counts matching
+        # SUB-SCORERS (duplicate clauses count again), maxOverlap = the
+        # query's scoring clause count; skipped when maxOverlap == 1
+        # (BQ rewrites itself away). BM25/SimilarityBase coord == 1.
+        coord_max = len(spec.should) + len(spec.must)
+        coord_hits = (
+            np.zeros(width, dtype=np.int32) if classic and coord_max > 1 else None
+        )
 
         # iterate in clause order (spec.should then spec.must, first
         # occurrence): under the dismax FLOAT32 accumulator the sum is
@@ -1847,6 +1868,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                     np.maximum.at(mx, idxs, sd)
                 else:
                     acc[idxs] += sd * n_clauses
+                if coord_hits is not None:
+                    coord_hits[idxs] += n_clauses
             if t in should_count:
                 should_hits[idxs] += 1
             if t in must_count:
@@ -2022,6 +2045,12 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             sc = (mx[idx] + (acc[idx] - mx[idx]) * tb).astype(np.float32)
         else:
             sc = acc[idx].astype(np.float32)
+            if coord_hits is not None:
+                coords = (
+                    np.arange(coord_max + 1, dtype=np.float32)
+                    / np.float32(coord_max)
+                ).astype(np.float32)
+                sc = (sc * coords[coord_hits[idx]]).astype(np.float32)
         docs_out = idx + base
         order = np.lexsort((docs_out, -sc.astype(np.float64)))[:k]
         return pd.DataFrame(

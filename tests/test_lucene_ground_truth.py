@@ -284,3 +284,81 @@ def test_topk_not_dismax_spans_match_compiled_reference():
             dismax_tie = qline.startswith("DISMAX") and float(qline.split()[1]) > 0
             _assert_topk_equal(got, exp, (corpus_round, qline),
                                ulp_tolerant_scores=dismax_tie)
+
+
+def _classic_topk(idx, terms: list[str], k: int = 10):
+    """ClassicSimilarity (TF-IDF) SHOULD-sum control: per clause
+    sqrt(tf) * (boost*idf^2) * decodedLengthNorm, double clause sum
+    (engine.py's classic path building blocks)."""
+    from lucene_solr_spark.search.bm25 import (
+        CLASSIC_DECODE, classic_idf_f32, classic_query_norm,
+        classic_weight_value, combine_scores,
+    )
+
+    cand = set()
+    for t in set(terms):
+        cand |= set(idx.postings.get(t, {}))
+    if not cand:
+        return []
+    docs = np.array(sorted(cand), dtype=np.int64)
+    nb = np.array([idx.norm_bytes[d] for d in docs], dtype=np.uint8)
+    qn = classic_query_norm(
+        (classic_idf_f32(len(idx.postings.get(t, {})), idx.doc_count), 1.0)
+        for t in terms
+    )
+    per_clause = []
+    overlap = np.zeros(docs.size, dtype=np.int32)
+    for t in terms:  # duplicates = duplicate clauses
+        post = idx.postings.get(t, {})
+        tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+        wv = classic_weight_value(len(post), idx.doc_count, query_norm=float(qn))
+        s = (np.sqrt(tf) * wv * CLASSIC_DECODE[nb]).astype(np.float32)
+        s[tf == 0] = np.float32(0.0)
+        overlap += (tf > 0).astype(np.int32)
+        per_clause.append(s)
+    scores = combine_scores(per_clause)
+    if len(terms) > 1:
+        # coord: (float)score * coord[freq] (DisjunctionSumScorer:46,
+        # ClassicSimilarity.coord = overlap/maxOverlap)
+        coords = (np.arange(len(terms) + 1, dtype=np.float32)
+                  / np.float32(len(terms))).astype(np.float32)
+        scores = (scores * coords[overlap]).astype(np.float32)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+
+@pytest.mark.parametrize(
+    "sim", ["classic", "lm_dirichlet", "lm_jelinek_mercer", "dfr_inl2", "ib_ll"]
+)
+def test_similarities_match_compiled_reference(sim):
+    """Every non-BM25 similarity model through the setSimilarity plug
+    point == the compiled reference binary (same model at index time
+    for norms and at search time for scoring), docids + float32 scores,
+    TERM and OR over random corpora."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_lm_topk
+
+    rng = random.Random(hash(sim) & 0xFFFF)
+    for corpus_round in range(3):
+        n_docs = rng.randint(5, 25)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        queries, fns = [], []
+        for _ in range(15):
+            if rng.random() < 0.4:
+                ts = [rng.choice(VOCAB)]
+                queries.append(f"TERM {ts[0]}")
+            else:
+                ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 4))]
+                queries.append(f"OR {' '.join(ts)}")
+            if sim == "classic":
+                fns.append(lambda ts=ts: _classic_topk(idx, ts, k=10))
+            else:
+                fns.append(lambda ts=ts: oracle_lm_topk(
+                    idx, " ".join(ts), sim, k=10))
+        expected = gt.run_topk(docs, queries, sim=sim)
+        assert len(expected) == len(queries)
+        for qline, fn, exp in zip(queries, fns, expected):
+            _assert_topk_equal(fn(), exp, (sim, corpus_round, qline))

@@ -136,14 +136,36 @@ import org.apache.lucene.search.*;
 import org.apache.lucene.store.*;
 
 public class GroundTruthTopK {
+  static org.apache.lucene.search.similarities.Similarity sim(String name) {
+    switch (name) {
+      case "bm25": return new org.apache.lucene.search.similarities.BM25Similarity();
+      case "classic": return new org.apache.lucene.search.similarities.ClassicSimilarity();
+      case "lm_dirichlet": return new org.apache.lucene.search.similarities.LMDirichletSimilarity();
+      case "lm_jelinek_mercer": return new org.apache.lucene.search.similarities.LMJelinekMercerSimilarity(0.7f);
+      case "dfr_inl2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelIn(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "ib_ll": return new org.apache.lucene.search.similarities.IBSimilarity(
+          new org.apache.lucene.search.similarities.DistributionLL(),
+          new org.apache.lucene.search.similarities.LambdaDF(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      default: throw new IllegalArgumentException(name);
+    }
+  }
+
   public static void main(String[] args) throws Exception {
+    org.apache.lucene.search.similarities.Similarity similarity =
+        sim(args.length > 0 ? args[0] : "bm25");
     java.io.BufferedReader in =
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
     int nDocs = Integer.parseInt(in.readLine().trim());
     Directory dir = new RAMDirectory();
     IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
-    // one segment: global stats == per-leaf stats, same as the engine
+    // one segment: global stats == per-leaf stats, same as the engine;
+    // similarity set at INDEX time too (computeNorm) as the engine does
     cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    cfg.setSimilarity(similarity);
     IndexWriter w = new IndexWriter(dir, cfg);
     FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
     for (int i = 0; i < nDocs; i++) {
@@ -155,6 +177,7 @@ public class GroundTruthTopK {
     w.close();
     IndexReader r = DirectoryReader.open(dir);
     IndexSearcher s = new IndexSearcher(r);
+    s.setSimilarity(similarity);
 
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
@@ -293,14 +316,19 @@ def run_cases(lines: list[str]) -> list[str]:
     return r.stdout.split()
 
 
-def run_topk(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+def run_topk(
+    docs: list[str], queries: list[str], sim: str = "bm25"
+) -> list[list[tuple[int, str]]]:
     """Index `docs` (whitespace analysis, one segment) and run each query
     spec ('TERM t' / 'OR ...' / 'AND ...' / 'MSM n ...' / 'PHRASE slop ...'
-    / 'MPHRASE slop off:a,b ...') through the compiled reference's
-    IndexSearcher. Returns per query the top-10 [(docid, score_str)]."""
+    / 'MPHRASE slop off:a,b ...' / 'NOT n ...' / 'DISMAX tie ...' /
+    'SPANNEAR slop ord ...' / 'SPANFIRST end t') through the compiled
+    reference's IndexSearcher under `sim` (bm25 / classic / lm_dirichlet /
+    lm_jelinek_mercer / dfr_inl2 / ib_ll — set at index AND search time).
+    Returns per query the top-10 [(docid, score_str)]."""
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
-        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthTopK"],
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthTopK", sim],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
