@@ -931,9 +931,17 @@ class IndexSearcher:
                 weights[t]["simbase_avgdl"] = av
                 weights[t]["boost"] = float(boost_map.get(t, 1.0))
         else:
+            # BM25Stats.normalize: weight = (float)(idf * boost), then
+            # BM25DocScorer: weightValue = (float)(weight * (k1+1)) --
+            # boost multiplies BEFORE (k1+1), all in float32 (pinned vs
+            # the compiled reference in tests/test_lucene_ground_truth.py)
             for t, b in spec.boosts:
                 if t in weights:
-                    weights[t]["weight_value"] = float(weights[t]["weight_value"]) * float(b)
+                    idf = idf_f32(weights[t]["df"], self.doc_count)
+                    w = np.float32(idf * np.float32(b))
+                    weights[t]["weight_value"] = float(
+                        np.float32(w * (K1 + np.float32(1.0)))
+                    )
         required = set(spec.must) | set(spec.span)
         for pairs, _slop, occ, _b in spec.phrase_clauses:
             if occ == "+":
@@ -1729,11 +1737,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     pc_wvs = []
     for pairs, _s, _occ, boost in phrase_clauses:
         idf_sum = idf_sum_f32(idf_f32(dfs[t], doc_count) for t, _ in pairs)
-        pc_wvs.append(
-            np.float32(
-                np.float32(idf_sum * (K1 + np.float32(1.0))) * np.float32(boost)
-            )
-        )
+        # BoostQuery -> normalize(norm, boost): weight = (float)(idf*boost),
+        # then weightValue = (float)(weight * (k1+1)) -- boost BEFORE (k1+1)
+        w = np.float32(idf_sum * np.float32(boost))
+        pc_wvs.append(np.float32(w * (K1 + np.float32(1.0))))
     if multi_phrase:
         # MultiPhraseQuery weight: every alternative's idf summed (df=0
         # alternatives still contribute idf(0), as TermContext.build does)

@@ -179,8 +179,12 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         {span_first[0]} if span_first else set()
     ) | {t for _off, alts in multi_phrase for t in alts}
     group_terms = {t for _occ, ts in groups for t in ts}
+    boost_map = dict(getattr(spec, "boosts", ()) or ())
     weights = {
-        t: make_term_weight(t, len(idx.postings.get(t, {})), idx.doc_count, idx.avgdl)
+        t: make_term_weight(
+            t, len(idx.postings.get(t, {})), idx.doc_count, idx.avgdl,
+            boost=float(boost_map.get(t, 1.0)),
+        )
         for t in set(should) | set(must) | pos_terms | group_terms
     }
 
@@ -400,9 +404,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             idf_sum = idf_sum_f32(
                 idf_f32(len(idx.postings[t]), idx.doc_count) for t, _ in pairs
             )
-            wv = np.float32(
-                np.float32(idf_sum * (K1 + np.float32(1.0))) * np.float32(boost)
-            )
+            # boost multiplies the idf sum BEFORE (k1+1) (BM25Stats.normalize)
+            w = np.float32(idf_sum * np.float32(boost))
+            wv = np.float32(w * (K1 + np.float32(1.0)))
             pf = np.array([m.get(int(d), 0) for d in docs], dtype=np.float32)
             ps = (wv * pf / (pf + cache[norm])).astype(np.float32)
             ps[pf == 0] = np.float32(0.0)

@@ -362,3 +362,46 @@ def test_similarities_match_compiled_reference(sim):
         assert len(expected) == len(queries)
         for qline, fn, exp in zip(queries, fns, expected):
             _assert_topk_equal(fn(), exp, (sim, corpus_round, qline))
+
+
+def test_boosts_match_compiled_reference():
+    """BoostQuery over terms (SHOULD-combined) and over a PhraseQuery:
+    weight = (float)(idf*boost) BEFORE the (k1+1) multiply
+    (BM25Stats.normalize + BM25DocScorer), non-dyadic boosts included so
+    a wrong multiply order or a float64 shortcut shows up."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(77013)
+    boost_pool = [0.3, 1.5, 2.0, 2.5, 7.3]
+    for corpus_round in range(3):
+        n_docs = rng.randint(5, 25)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        queries, fns = [], []
+        for _ in range(15):
+            if rng.random() < 0.5:
+                ts = rng.sample(VOCAB, rng.randint(1, 3))
+                bs = [rng.choice(boost_pool) for _ in ts]
+                spec_str = " ".join(f"{t}:{b}" for t, b in zip(ts, bs))
+                queries.append(f"BOOST {spec_str}")
+                fns.append(lambda ts=ts, bs=bs: oracle_topk_spec(
+                    idx, BooleanSpec(should=tuple(ts),
+                                     boosts=tuple(zip(ts, bs))), k=10))
+            else:
+                ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 3))]
+                boost = rng.choice(boost_pool)
+                slop = rng.randint(0, 3)
+                queries.append(f"BPHRASE {boost} {slop} {' '.join(ts)}")
+                pairs = tuple((t, i) for i, t in enumerate(ts))
+                fns.append(lambda pairs=pairs, slop=slop, boost=boost:
+                           oracle_topk_spec(idx, BooleanSpec(
+                               phrase=pairs, slop=slop,
+                               phrase_boost=boost), k=10))
+        expected = gt.run_topk(docs, queries)
+        assert len(expected) == len(queries)
+        for qline, fn, exp in zip(queries, fns, expected):
+            _assert_topk_equal(fn(), exp, (corpus_round, qline))

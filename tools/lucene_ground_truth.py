@@ -204,6 +204,24 @@ public class GroundTruthTopK {
         b.setSlop(slop);
         for (int i = 2; i < p.length; i++) b.add(new Term("body", p[i]), i - 2);
         q = b.build();
+      } else if (p[0].equals("BOOST")) {
+        // BOOST t1:b1 t2:b2 ... -> SHOULD of BoostQuery(TermQuery)
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 1; i < p.length; i++) {
+          String[] kv = p[i].split(":");
+          b.add(new BoostQuery(new TermQuery(new Term("body", kv[0])),
+                               Float.parseFloat(kv[1])),
+                BooleanClause.Occur.SHOULD);
+        }
+        q = b.build();
+      } else if (p[0].equals("BPHRASE")) {
+        // BPHRASE boost slop t1 t2 ... -> BoostQuery(PhraseQuery)
+        float boost = Float.parseFloat(p[1]);
+        int slop = Integer.parseInt(p[2]);
+        PhraseQuery.Builder b = new PhraseQuery.Builder();
+        b.setSlop(slop);
+        for (int i = 3; i < p.length; i++) b.add(new Term("body", p[i]), i - 3);
+        q = new BoostQuery(b.build(), boost);
       } else if (p[0].equals("NOT")) {
         // NOT <nShould> s1..sn m1..mk
         int ns = Integer.parseInt(p[1]);
