@@ -1831,7 +1831,14 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         # keeps a FLOAT32 scoreSum (DisjunctionMaxScorer.java:50-59) --
         # pinned vs the compiled reference in tests/test_lucene_ground_truth.py
         acc_dtype = np.float32 if spec.dismax else np.float64
+        # Boolean2ScorerSupplier's scorer TREE (pinned vs the compiled
+        # reference): required clauses double-sum inside ConjunctionScorer
+        # and cast to float32; optional clauses double-sum inside
+        # DisjunctionSumScorer and cast to float32; when both sides exist
+        # ReqOptSumScorer adds the two float32 sub-scores in FLOAT.
+        # acc = the optional side; acc_req = the required side.
         acc = np.zeros(width, dtype=acc_dtype)
+        acc_req = None if spec.dismax else np.zeros(width, dtype=np.float64)
         mx = np.zeros(width, dtype=np.float32) if spec.dismax else None
         should_hits = np.zeros(width, dtype=np.int32)
         must_hits = np.zeros(width, dtype=np.int32)
@@ -1874,7 +1881,12 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                         acc[idxs] = (acc[idxs] + sd).astype(acc_dtype)
                     np.maximum.at(mx, idxs, sd)
                 else:
-                    acc[idxs] += sd * n_clauses
+                    n_s = should_count.get(t, 0)
+                    n_m = must_count.get(t, 0)
+                    if n_s:
+                        acc[idxs] += sd * n_s
+                    if n_m:
+                        acc_req[idxs] += sd * n_m
                 if coord_hits is not None:
                     coord_hits[idxs] += n_clauses
             if t in should_count:
@@ -1900,7 +1912,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             if occ == "-":
                 excluded |= ghit
                 continue
-            acc += np.where(ghit, gsc, 0.0)
+            # the group is a nested BooleanQuery sub-scorer: its double
+            # clause sum is cast to FLOAT32 before the outer sum sees it
+            # (Scorer.score() returns float; pinned vs the compiled
+            # reference in tests/test_lucene_ground_truth.py)
+            g32 = np.where(ghit, gsc.astype(np.float32).astype(np.float64), 0.0)
+            if occ == "+" and acc_req is not None:
+                acc_req += g32
+            else:
+                acc += g32
             if occ == "+":
                 gmust_hits += ghit
             else:
@@ -1951,7 +1971,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                     nbv = np.array([nb_map[int(c)] for c in cand], dtype=np.uint8)
                     freq = pf.astype(np.float32)
                     ps = (wv * freq / (freq + cache[nbv])).astype(np.float32)
-                    acc[cand - base] += ps.astype(np.float64)
+                    if occ == "+" and acc_req is not None:
+                        acc_req[cand - base] += ps.astype(np.float64)
+                    else:
+                        acc[cand - base] += ps.astype(np.float64)
                 if occ == "+":
                     m = np.zeros(width, dtype=bool)
                     if cand.size:
@@ -2028,7 +2051,9 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             nbv = np.array([nb_map2[int(c)] for c in cand], dtype=np.uint8)
             freq = pf.astype(np.float32)
             ps = (pos_wv * freq / (freq + cache[nbv])).astype(np.float32)
-            acc[cand - base] += ps.astype(np.float64)
+            (acc if acc_req is None else acc_req)[cand - base] += ps.astype(
+                np.float64
+            )
             mask = np.zeros(width, dtype=bool)
             mask[cand - base] = True
 
@@ -2051,7 +2076,14 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             tb = np.float32(spec.tiebreak)
             sc = (mx[idx] + (acc[idx] - mx[idx]) * tb).astype(np.float32)
         else:
-            sc = acc[idx].astype(np.float32)
+            opt32 = acc[idx].astype(np.float32)
+            if acc_req is not None and acc_req.any():
+                # ReqOptSumScorer: float32(req) + float32(opt) in FLOAT;
+                # docs in the mask always satisfy the required side
+                req32 = acc_req[idx].astype(np.float32)
+                sc = np.where(opt32 > 0, req32 + opt32, req32).astype(np.float32)
+            else:
+                sc = opt32
             if coord_hits is not None:
                 coords = (
                     np.arange(coord_max + 1, dtype=np.float32)

@@ -374,24 +374,33 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         return []
     docs = np.array(sorted(cand), dtype=np.int64)
     norm = np.array([idx.norm_bytes[d] for d in docs], dtype=np.uint8)
-    per_clause = []
-    for t in list(spec.should) + list(spec.must):  # duplicates = duplicate clauses
+    # Boolean2ScorerSupplier tree: required clauses double-sum inside
+    # ConjunctionScorer -> float32; optional clauses double-sum inside
+    # DisjunctionSumScorer -> float32; ReqOptSumScorer adds the two
+    # float32 sub-scores in FLOAT (pinned vs the compiled reference)
+    per_clause = []   # optional side
+    req_clause = []   # required side
+    for is_must, t in [(False, t) for t in spec.should] + [(True, t) for t in spec.must]:
         if t not in weights:
             continue
         post = idx.postings.get(t, {})
         tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
         s = weights[t].score(tf, norm)
         s[tf == 0] = np.float32(0.0)
-        per_clause.append(s)
+        (req_clause if is_must else per_clause).append(s)
     for occ, ts in groups:
         if occ == "-":
             continue
+        # nested BooleanQuery: members double-sum, CAST TO FLOAT32, and
+        # the outer sum sees one float sub-score (Scorer.score contract)
+        gacc = np.zeros(docs.size, dtype=np.float64)
         for t in ts:
             post = idx.postings.get(t, {})
             tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
             s = weights[t].score(tf, norm)
             s[tf == 0] = np.float32(0.0)
-            per_clause.append(s)
+            gacc += s.astype(np.float64)
+        (req_clause if occ == "+" else per_clause).append(gacc.astype(np.float32))
     # phrase clauses: one score array each (float32 order identical to
     # _make_range_scorer: wv = f32(f32(idf_sum*(k1+1)) * f32(boost)))
     if phrase_clauses and (pos_terms & set(idx.postings)):
@@ -410,7 +419,7 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             pf = np.array([m.get(int(d), 0) for d in docs], dtype=np.float32)
             ps = (wv * pf / (pf + cache[norm])).astype(np.float32)
             ps[pf == 0] = np.float32(0.0)
-            per_clause.append(ps)
+            (req_clause if _occ == "+" else per_clause).append(ps)
     if positional and not phrase_clauses and (pos_terms & set(idx.postings)):
         if multi_phrase:
             idf_sum = idf_sum_f32(
@@ -436,8 +445,8 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         pf = np.array([pf_map.get(int(d), 0) for d in docs], dtype=np.float32)
         ps = (wv * pf / (pf + cache[norm])).astype(np.float32)
         ps[pf == 0] = np.float32(0.0)
-        per_clause.append(ps)
-    if not per_clause:
+        req_clause.append(ps)
+    if not per_clause and not req_clause:
         return []
     if spec.dismax:
         # DisjunctionMaxScorer.java:50-59: float32 scoreSum accumulation,
@@ -448,6 +457,13 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         for row in stack:
             tot = (tot + row).astype(np.float32)
         scores = (mx + (tot - mx) * np.float32(spec.tiebreak)).astype(np.float32)
+    elif req_clause and per_clause:
+        req32 = combine_scores(req_clause)
+        opt32 = combine_scores(per_clause)
+        # ReqOptSumScorer: float add; opt contributes only where matched
+        scores = np.where(opt32 > 0, (req32 + opt32).astype(np.float32), req32)
+    elif req_clause:
+        scores = combine_scores(req_clause)
     else:
         scores = combine_scores(per_clause)
     order = np.lexsort((docs, -scores.astype(np.float64)))

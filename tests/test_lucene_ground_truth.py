@@ -405,3 +405,53 @@ def test_boosts_match_compiled_reference():
         assert len(expected) == len(queries)
         for qline, fn, exp in zip(queries, fns, expected):
             _assert_topk_equal(fn(), exp, (corpus_round, qline))
+
+
+def test_queryparser_matches_compiled_reference():
+    """The classic-parser port vs the REAL QueryParser.jj grammar: raw
+    query strings parsed by the compiled reference's QueryParser and
+    searched, vs our parse() -> BooleanSpec -> control oracle. Covers
+    infix AND/OR/NOT, +/- prefixes, one-level parens, phrases with slop,
+    and term/phrase boosts (expansion syntax — wildcards/ranges/fuzzy —
+    needs a term dictionary and is exercised in the engine tests)."""
+    from lucene_solr_spark.search import queryparser as qp
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    class _NoExpand:
+        def expand_terms(self, **kw):  # pragma: no cover
+            raise AssertionError("expansion syntax not used in this test")
+
+    queries = [
+        "aa bb",
+        "aa AND bb",
+        "aa OR bb cc",
+        "aa NOT bb",
+        "+aa -bb cc",
+        "(aa OR cc) AND bb",
+        "bb -(aa cc)",
+        '"aa bb"',
+        '"aa bb"~2',
+        '"aa bb"~2^1.5 cc',
+        "aa^2.5 bb^0.3 cc",
+        '"cc dd" AND aa',
+        'xx "bb cc"~1 -dd',
+        "aa AND bb AND cc",
+        "aa OR bb AND cc",   # running-modifier quirk: AND binds the pair
+        "NOT aa bb",
+        "+aa +bb cc dd",
+        '"aa aa"~3',         # repeated-term phrase through the parser
+    ]
+    rng = random.Random(91511)
+    for corpus_round in range(3):
+        n_docs = rng.randint(8, 30)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        expected = gt.run_parser(docs, queries)
+        assert len(expected) == len(queries)
+        for qstr, exp in zip(queries, expected):
+            spec = qp.to_spec(_NoExpand(), qp.parse(qstr))
+            got = oracle_topk_spec(idx, spec, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, qstr))

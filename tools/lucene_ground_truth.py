@@ -280,6 +280,51 @@ public class GroundTruthTopK {
 """
 
 
+PARSER_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queryparser.classic.QueryParser;
+
+public class GroundTruthParser {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String qstr = in.readLine();
+      QueryParser qp = new QueryParser("body", new GroundTruth.WS());
+      Query q = qp.parse(qstr);
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 def build() -> bool:
     """Compile lucene-core + harness (cached). False if javac missing."""
     import shutil
@@ -306,8 +351,34 @@ def build() -> bool:
         meta = os.path.join(REF_RES, "META-INF")
         if os.path.isdir(meta):
             shutil.copytree(meta, os.path.join(CLASSES, "META-INF"), dirs_exist_ok=True)
+    # the classic queryparser package (lucene/queryparser module) depends
+    # only on core — compile it into the same classes dir
+    qp_marker = os.path.join(
+        CLASSES, "org/apache/lucene/queryparser/classic/QueryParser.class"
+    )
+    qp_src = "/root/reference/lucene/queryparser/src/java/org/apache/lucene/queryparser/classic"
+    if not os.path.exists(qp_marker) and os.path.isdir(qp_src):
+        qsrcs = [
+            os.path.join(qp_src, f) for f in os.listdir(qp_src) if f.endswith(".java")
+        ]
+        # QueryParserBase implements flexible.standard.CommonQueryParserConfiguration
+        flex = "/root/reference/lucene/queryparser/src/java/org/apache/lucene/queryparser/flexible/standard/CommonQueryParserConfiguration.java"
+        if os.path.exists(flex):
+            qsrcs.append(flex)
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + qsrcs,
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
-    for name, code in (("GroundTruth", HARNESS_JAVA), ("GroundTruthTopK", TOPK_JAVA)):
+    for name, code in (
+        ("GroundTruth", HARNESS_JAVA),
+        ("GroundTruthTopK", TOPK_JAVA),
+        ("GroundTruthParser", PARSER_JAVA),
+    ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
         if not os.path.exists(cls):
@@ -364,6 +435,31 @@ def run_topk(
             d, score = part.split(":")
             hits.append((int(d), score))
         out.append(hits)
+    return out
+
+
+def run_parser(docs: list[str], query_strings: list[str]) -> list[list[tuple[int, str]]]:
+    """Index `docs` and run each RAW query string through the compiled
+    reference's classic QueryParser (QueryParser.jj grammar) + search.
+    Returns per query the top-10 [(docid, score_str)]."""
+    payload = [str(len(docs))] + list(docs) + [str(len(query_strings))] + list(query_strings)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthParser"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
     return out
 
 
