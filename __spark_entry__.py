@@ -167,8 +167,18 @@ PARSER_QUERIES = {
     # '"World Bank" -Nigeria' shape (ReutersQueryMaker.java:48)
     "parser_phrase_not": ('"fast sort" -spark', lambda: bm25_compound_sql(
         phrase="fast sort", phrase_required=False, must_not=["spark"], k=10)),
-    "parser_range": ("[mer TO met]", lambda: bm25_compound_sql(
-        term_range=("mer", "met", True, True, 16), k=10)),
+    # CONSTANT_SCORE_REWRITE family (the reference parser's default for
+    # range/wildcard — QueryParserBase.java:67; score == boost for any
+    # doc with >=1 matching dictionary term, pinned vs the compiled
+    # binary in tests/test_lucene_ground_truth.py)
+    "parser_range": ("[mer TO met] fast", lambda: bm25_compound_sql(
+        term_range=("mer", "met", True, True), should=["fast"], k=10)),
+    "parser_wildcard": ("mer*^2 fast", lambda: bm25_compound_sql(
+        wildcards=[("", 2.0, "mer%")], should=["fast"], k=10)),
+    # FuzzyQuery -> TopTermsBlendedFreqScoringRewrite (blended max-df,
+    # similarity boosts; the oracle recomputes the expansion in SQL)
+    "parser_fuzzy": ("merge~1 AND fast", lambda: bm25_compound_sql(
+        fuzzies=[("+", 1.0, "merge", 1)], must=["fast"], k=10)),
     # multiple phrase clauses in one BooleanQuery (both AND-promoted)
     "parser_two_phrases": ('"fast sort" AND "merge sort" spark', lambda: bm25_compound_sql(
         phrase="fast sort", phrases=[("merge sort", 0, 1.0, True)],

@@ -1206,7 +1206,11 @@ def bm25_compound_sql(
     phrase_boost: float = 1.0,
     phrase_required: bool = True,
     phrases: list[tuple] | tuple = (),
-    term_range: tuple[str, str, bool, bool, int] | None = None,
+    term_range: tuple[str, str, bool, bool] | None = None,
+    range_occur: str = "",
+    range_boost: float = 1.0,
+    wildcards: list[tuple[str, float, str]] | tuple = (),
+    fuzzies: list[tuple[str, float, str, int]] | tuple = (),
     k: int = 10,
 ) -> str:
     """General BooleanQuery oracle: any mix of MUST/SHOULD/MUST_NOT term
@@ -1225,7 +1229,21 @@ def bm25_compound_sql(
     the phrase when required + no MUST_NOT/'-'-group member; with no
     required clause at all, >= max(1, msm) SHOULD clauses (distinct
     should terms, '' groups, the optional phrase) must match.
-    Terms are pre-analyzed; rank-only output like the other builders."""
+    Terms are pre-analyzed; rank-only output like the other builders.
+
+    Multi-term clauses follow the classic parser's REFERENCE rewrites
+    (pinned vs the compiled binary in tests/test_lucene_ground_truth):
+     - term_range=(lo, hi, inc_lo, inc_hi) + range_occur/range_boost and
+       wildcards=[(occur, boost, like_pattern)] are CONSTANT-SCORE
+       clauses (MultiTermQueryConstantScoreWrapper): any doc holding >=1
+       dictionary term matching the predicate scores `boost`, counted as
+       ONE clause for msm/required purposes; '-' excludes.
+     - fuzzies=[(occur, boost, base, max_edits)] reproduce FuzzyQuery's
+       TopTermsBlendedFreqScoringRewrite: expansion over the term
+       dictionary within max_edits (plain Levenshtein here — pick gate
+       terms without transposition neighbors), similarity boosts,
+       df adjusted to the blend max, summed as one nested clause.
+       The expansion is recomputed IN SQL, sharing no state with Spark."""
     term_boosts = term_boosts or {}
     should = list(should)
     must = list(must)
@@ -1263,7 +1281,23 @@ def bm25_compound_sql(
         {t for occ, ts in groups if occ == "-" for t in ts} | set(not_t)
     )
 
-    if not rows and not phrase_clauses and term_range is None:
+    # constant-score clauses: (occur, boost, SQL term predicate)
+    const_list: list[tuple[str, float, str]] = []
+    if term_range is not None:
+        lo, hi, inc_lo, inc_hi = term_range[:4]
+        bounds = []
+        if lo != "*":
+            bounds.append(f"term {'>=' if inc_lo else '>'} '{lo}'")
+        if hi != "*":
+            bounds.append(f"term {'<=' if inc_hi else '<'} '{hi}'")
+        const_list.append(
+            (range_occur, float(range_boost), " AND ".join(bounds) or "1=1")
+        )
+    for occ, b, pat in wildcards:
+        const_list.append((occ, float(b), f"term LIKE '{pat}'"))
+    fuzzies = [tuple(fz) for fz in fuzzies]
+
+    if not rows and not phrase_clauses and not const_list and not fuzzies:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
 
     scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
@@ -1271,23 +1305,6 @@ def bm25_compound_sql(
 
     qt_vals = ",".join(f"('{t}',{m!r},'{c}')" for t, m, c in rows) or "(NULL,NULL,NULL)"
     qt = f"qt(term, mult, cls) AS (SELECT * FROM (VALUES {qt_vals}) v(a,b,c) WHERE a IS NOT NULL)"
-    if term_range is not None:
-        lo, hi, inc_lo, inc_hi, cap = term_range
-        lo_cmp = ">=" if inc_lo else ">"
-        hi_cmp = "<=" if inc_hi else "<"
-        bounds = []
-        if lo != "*":
-            bounds.append(f"term {lo_cmp} '{lo}'")
-        if hi != "*":
-            bounds.append(f"term {hi_cmp} '{hi}'")
-        where = (" WHERE " + " AND ".join(bounds)) if bounds else ""
-        ctes.append(
-            f"rng AS (SELECT DISTINCT term FROM tok{where} ORDER BY term LIMIT {cap})"
-        )
-        qt = (
-            f"qt(term, mult, cls) AS (SELECT * FROM (VALUES {qt_vals}) v(a,b,c) "
-            f"WHERE a IS NOT NULL UNION ALL SELECT term, 1.0, 's' FROM rng)"
-        )
     ctes.append(qt)
     ctes.append(
         """tf AS (
@@ -1404,11 +1421,103 @@ pagg AS (
 )"""
     ctes.append(combined)
 
+    # extra (multi-term rewrite) clauses: constant-score wildcards/ranges
+    # + blended fuzzies, each one clause for hit counting
+    extra_must_ids: list[str] = []
+    extra_should_ids: list[str] = []
+    extra_rows: list[str] = []
+    excl_conds: list[str] = []
+    for i, (occ, boost, pred) in enumerate(const_list):
+        if occ == "-":
+            excl_conds.append(
+                f"doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE {pred})"
+            )
+            continue
+        cid = f"c{i}"
+        (extra_must_ids if occ == "+" else extra_should_ids).append(cid)
+        extra_rows.append(
+            f"SELECT DISTINCT doc_id, CAST({float(boost)!r} AS DOUBLE) AS sc,"
+            f" '{cid}' AS cid FROM tok WHERE {pred}"
+        )
+    for j, (occ, boost, base, me) in enumerate(fuzzies):
+        cid = f"f{j}"
+        blen = len(base)
+        ctes.append(
+            f"""f{j}exp AS (
+  SELECT term, df,
+         CASE WHEN term = '{base}' THEN 1.0
+              ELSE 1.0 - levenshtein(term, '{base}') * 1.0
+                   / least(length(term), {blen}) END AS fboost
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+  WHERE levenshtein(term, '{base}') <= {int(me)}
+    AND (term = '{base}'
+         OR levenshtein(term, '{base}') < least(length(term), {blen}))
+  ORDER BY fboost DESC, term ASC LIMIT 50
+),
+f{j}blend AS (SELECT max(df) AS dfb FROM f{j}exp),
+f{j}tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok t JOIN f{j}exp e ON t.term = e.term GROUP BY t.doc_id, t.term
+)"""
+        )
+        if occ == "-":
+            excl_conds.append(
+                f"doc_id NOT IN (SELECT DISTINCT doc_id FROM f{j}tf)"
+            )
+            continue
+        ctes.append(
+            f"""f{j}sc AS (
+  SELECT tf.doc_id,
+         sum({float(boost)!r} * e.fboost
+             * ln(1 + (s.n - b.dfb + 0.5) / (b.dfb + 0.5)) * ({K1} + 1)
+             * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS sc
+  FROM f{j}tf tf
+  JOIN f{j}exp e ON tf.term = e.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s CROSS JOIN f{j}blend b
+  GROUP BY tf.doc_id
+)"""
+        )
+        (extra_must_ids if occ == "+" else extra_should_ids).append(cid)
+        extra_rows.append(f"SELECT doc_id, sc, '{cid}' AS cid FROM f{j}sc")
+
+    final_from = "combined"
+    n_cmust = len(extra_must_ids)
+    if extra_rows:
+        m_in = ",".join(f"'{c}'" for c in extra_must_ids) or "''"
+        s_in = ",".join(f"'{c}'" for c in extra_should_ids) or "''"
+        union = "\n  UNION ALL\n  ".join(extra_rows)
+        ctes.append(f"c_all AS (\n  {union}\n)")
+        ctes.append(
+            f"""cagg AS (
+  SELECT doc_id, sum(sc) AS csc,
+         count(DISTINCT CASE WHEN cid IN ({m_in}) THEN cid END) AS cmust,
+         count(DISTINCT CASE WHEN cid IN ({s_in}) THEN cid END) AS cshould
+  FROM c_all GROUP BY doc_id
+)"""
+        )
+        ctes.append(
+            """combined2 AS (
+  SELECT COALESCE(c.doc_id, g.doc_id) AS doc_id,
+         COALESCE(c.score, 0) + COALESCE(g.csc, 0) AS score,
+         COALESCE(c.mhits, 0) AS mhits,
+         COALESCE(c.shits_opt, 0) + COALESCE(g.cshould, 0) AS shits_opt,
+         COALESCE(c.shits_plain, 0) + COALESCE(g.cshould, 0) AS shits_plain,
+         COALESCE(c.gmust, 0) AS gmust,
+         COALESCE(c.p_req_hits, 0) AS p_req_hits,
+         COALESCE(g.cmust, 0) AS cmust
+  FROM combined c FULL OUTER JOIN cagg g ON c.doc_id = g.doc_id
+)"""
+        )
+        final_from = "combined2"
+
     n_must = len(uniq_must)
     n_gmust = len(gmust_ids)
     n_req_phrases = sum(1 for _p, _s, _b, r in phrase_clauses if r)
     n_opt_phrases = len(phrase_clauses) - n_req_phrases
-    has_required = bool(n_must or n_gmust or n_req_phrases)
+    has_required = bool(n_must or n_gmust or n_req_phrases or n_cmust)
     msm = 0 if has_required else 1
     conds = ["1=1"]
     if n_must:
@@ -1417,6 +1526,8 @@ pagg AS (
         conds.append(f"gmust = {n_gmust}")
     if n_req_phrases:
         conds.append(f"p_req_hits = {n_req_phrases}")
+    if n_cmust:
+        conds.append(f"cmust = {n_cmust}")
     if msm > 0:
         col = "shits_opt" if n_opt_phrases else "shits_plain"
         conds.append(f"{col} >= {msm}")
@@ -1425,12 +1536,13 @@ pagg AS (
         conds.append(
             f"doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_in}))"
         )
+    conds.extend(excl_conds)
     with_kw = "WITH RECURSIVE" if recursive else "WITH"
     cte_sql = ",\n".join(ctes)
     return f"""
 {with_kw} {cte_sql}
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-FROM combined
+FROM {final_from}
 WHERE {" AND ".join(conds)}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}

@@ -149,6 +149,20 @@ class BooleanSpec:
     # accept reached via ANY does not count, and state multisets are NOT
     # deduplicated, both reproduced exactly).
     term_automaton: tuple[tuple, tuple] | None = None
+    # MultiTermQuery.CONSTANT_SCORE_REWRITE (MultiTermQueryConstantScore
+    # Wrapper — the classic QueryParser's DEFAULT rewrite for wildcard /
+    # prefix / regexp / range clauses, QueryParserBase.java:67):
+    # ((occur, boost, (term, ...)), ...) — the clause matches any doc
+    # containing >=1 member term and contributes a CONSTANT score =
+    # float32(boost); tf/norms/idf never enter.
+    const_clauses: tuple[tuple[str, float, tuple[str, ...]], ...] = ()
+    # Nested BooleanQuery clauses whose members carry EXPLICIT per-term
+    # BM25 weightValues ((occur, ((term, weight_value), ...)), ...) —
+    # the rewritten form of FuzzyQuery's TopTermsBlendedFreqScoringRewrite
+    # (MultiTermQuery.java:190, BlendedTermQuery.BOOLEAN_REWRITE): each
+    # member is a BoostQuery(TermQuery) with df adjusted to the max df
+    # across the blend, so its weightValue differs from the global one.
+    weighted_groups: tuple[tuple[str, tuple[tuple[str, float], ...]], ...] = ()
 
     @property
     def phrase_clauses(self) -> tuple[tuple, ...]:
@@ -184,6 +198,12 @@ class BooleanSpec:
         for occ, ts in self.groups:
             if occ != "-":
                 out += tuple(ts)
+        for occ, _b, ts in self.const_clauses:
+            if occ != "-":
+                out += tuple(ts)
+        for occ, members in self.weighted_groups:
+            if occ != "-":
+                out += tuple(t for t, _wv in members)
         return out
 
     @property
@@ -192,6 +212,12 @@ class BooleanSpec:
         for occ, ts in self.groups:
             if occ == "-":
                 out += tuple(ts)
+        for occ, _b, ts in self.const_clauses:
+            if occ == "-":
+                out += tuple(ts)
+        for occ, members in self.weighted_groups:
+            if occ == "-":
+                out += tuple(t for t, _wv in members)
         return out
 
 
@@ -574,6 +600,20 @@ class IndexSearcher:
         if max_terms is not None:
             df = df.limit(max_terms)
         return [r["term"] for r in df.collect()]
+
+    def fuzzy_dictionary(self, base: str, max_edits: int = 2) -> list[tuple[str, int]]:
+        """(term, df) candidates for FuzzyQuery expansion — a term-dict
+        metadata scan filtered at plain Levenshtein <= 2*max_edits (one
+        transposition costs <= 2 plain edits, so this is a SUPERSET of
+        the transposition-primitive ball the reference automaton
+        accepts); the caller refines with the exact Damerau distance
+        (search/fuzzy.py). Never touches the corpus."""
+        rows = (
+            self._term_stats.select("term", "df")
+            .filter(F.levenshtein(F.col("term"), F.lit(base)) <= 2 * max_edits)
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
 
     def topk_regexp(self, pattern: str, max_terms: int = 16, k: int = 10) -> DataFrame:
         """RegexpQuery (search/RegexpQuery.java) with the TopTerms(N)
@@ -964,6 +1004,16 @@ class IndexSearcher:
             for occ, ts in spec.groups
         ):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if any(
+            occ == "+" and all(weights[t]["df"] == 0 for t in ts)
+            for occ, _b, ts in spec.const_clauses
+        ):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if any(
+            occ == "+" and all(weights[t]["df"] == 0 for t, _wv in ms)
+            for occ, ms in spec.weighted_groups
+        ):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
         # absent SHOULD/NOT terms are dropped (rewrite-to-fixpoint analog)
         present = [t for t in set(spec.all_terms) if weights[t]["df"] > 0]
         if not any(t in present for t in spec.scoring_terms):
@@ -1003,6 +1053,7 @@ class IndexSearcher:
             not spec.must and not spec.must_not and not spec.positional_terms
             and not spec.dismax and spec.min_should_match <= 1
             and not spec.groups and spec.similarity == "bm25"
+            and not spec.const_clauses and not spec.weighted_groups
         )
         # WAND's two-wave plan costs two extra driver round trips; it only
         # pays when there are enough doc ranges to prune. Estimate from
@@ -1686,7 +1737,28 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         for occ, ts in spec.groups
     ]
     bool_groups = [(occ, ts) for occ, ts in bool_groups if ts]
-    n_plus_groups = sum(1 for occ, _ts in bool_groups if occ == "+")
+    # constant-score clauses (MultiTermQueryConstantScoreWrapper): dead
+    # members dropped; ''/'-' clauses with no live members vanish ('+'
+    # all-dead was rejected in topk_spec but keep the empty tuple so the
+    # scorer returns no rows)
+    const_list = [
+        (occ, np.float32(boost),
+         tuple(sorted({t for t in ts if weights[t]["df"] > 0})))
+        for occ, boost, ts in spec.const_clauses
+    ]
+    const_list = [(occ, b, ts) for occ, b, ts in const_list if ts or occ == "+"]
+    # blended-weight nested groups (per-member explicit weightValue)
+    w_groups = [
+        (occ, tuple((t, np.float32(wv)) for t, wv in members
+                    if weights[t]["df"] > 0))
+        for occ, members in spec.weighted_groups
+    ]
+    w_groups = [(occ, ms) for occ, ms in w_groups if ms or occ == "+"]
+    n_plus_groups = (
+        sum(1 for occ, _ts in bool_groups if occ == "+")
+        + sum(1 for occ, _b, _ts in const_list if occ == "+")
+        + sum(1 for occ, _ms in w_groups if occ == "+")
+    )
     msm = max(
         spec.min_should_match,
         0 if (must_terms or required_positional or n_plus_groups) else 1,
@@ -1784,8 +1856,30 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             for occ, ts in bool_groups
         ):
             return _EMPTY
-        scoring_present = any(t in present for t in should_terms) or any(
-            occ != "-" and any(t in present for t in ts) for occ, ts in bool_groups
+        if any(
+            occ == "+" and not any(t in present for t in ts)
+            for occ, _b, ts in const_list
+        ):
+            return _EMPTY
+        if any(
+            occ == "+" and not any(t in present for t, _wv in ms)
+            for occ, ms in w_groups
+        ):
+            return _EMPTY
+        scoring_present = (
+            any(t in present for t in should_terms)
+            or any(
+                occ != "-" and any(t in present for t in ts)
+                for occ, ts in bool_groups
+            )
+            or any(
+                occ != "-" and any(t in present for t in ts)
+                for occ, _b, ts in const_list
+            )
+            or any(
+                occ != "-" and any(t in present for t, _wv in ms)
+                for occ, ms in w_groups
+            )
         )
         # an optional phrase can be the only scoring clause in the range
         opt_phrase_possible = any(
@@ -1916,6 +2010,58 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             # clause sum is cast to FLOAT32 before the outer sum sees it
             # (Scorer.score() returns float; pinned vs the compiled
             # reference in tests/test_lucene_ground_truth.py)
+            g32 = np.where(ghit, gsc.astype(np.float32).astype(np.float64), 0.0)
+            if occ == "+" and acc_req is not None:
+                acc_req += g32
+            else:
+                acc += g32
+            if occ == "+":
+                gmust_hits += ghit
+            else:
+                should_hits += ghit
+
+        # constant-score clauses: hit = any member matches, score = the
+        # clause boost as one float32 sub-score (MultiTermQueryConstant
+        # ScoreWrapper's scorer returns score() == boost)
+        for occ, boost32, ts in const_list:
+            chit = np.zeros(width, dtype=bool)
+            for t in ts:
+                if t in per_term:
+                    chit[per_term[t][0] - base] = True
+            if occ == "-":
+                excluded |= chit
+                continue
+            c64 = np.where(chit, np.float64(boost32), 0.0)
+            if occ == "+" and acc_req is not None:
+                acc_req += c64
+            elif mx is not None:
+                acc[:] = (acc + c64.astype(np.float32)).astype(np.float32)
+                np.maximum.at(mx, np.flatnonzero(chit), boost32)
+            else:
+                acc += c64
+            if occ == "+":
+                gmust_hits += chit
+            else:
+                should_hits += chit
+
+        # blended-weight groups: like bool_groups but each member scores
+        # BM25 with its OWN weightValue (FuzzyQuery's blended rewrite —
+        # df adjusted to the blend max, per-term fuzzy boost)
+        for occ, ms in w_groups:
+            ghit = np.zeros(width, dtype=bool)
+            gsc = np.zeros(width, dtype=np.float64)
+            for t, wv in ms:
+                if t not in per_term:
+                    continue
+                d, tf, nb, _pos = per_term[t]
+                idxs = d - base
+                freq = tf.astype(np.float32)
+                s = (wv * freq / (freq + cache[nb])).astype(np.float32)
+                gsc[idxs] += s.astype(np.float64)
+                ghit[idxs] = True
+            if occ == "-":
+                excluded |= ghit
+                continue
             g32 = np.where(ghit, gsc.astype(np.float32).astype(np.float64), 0.0)
             if occ == "+" and acc_req is not None:
                 acc_req += g32

@@ -158,6 +158,23 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     if any(occ == "+" and not ts for occ, ts in groups):
         return []
     groups = [(occ, ts) for occ, ts in groups if ts]
+    # constant-score clauses (MultiTermQueryConstantScoreWrapper) and
+    # blended-weight groups (FuzzyQuery's TopTermsBlendedFreqScoring
+    # Rewrite) — same shapes as engine.BooleanSpec
+    const_clauses = [
+        (occ, np.float32(b), tuple(t for t in ts if t in idx.postings))
+        for occ, b, ts in (getattr(spec, "const_clauses", ()) or ())
+    ]
+    if any(occ == "+" and not ts for occ, _b, ts in const_clauses):
+        return []
+    const_clauses = [(o, b, ts) for o, b, ts in const_clauses if ts]
+    weighted_groups = [
+        (occ, tuple((t, np.float32(wv)) for t, wv in ms if t in idx.postings))
+        for occ, ms in (getattr(spec, "weighted_groups", ()) or ())
+    ]
+    if any(occ == "+" and not ms for occ, ms in weighted_groups):
+        return []
+    weighted_groups = [(o, ms) for o, ms in weighted_groups if ms]
     all_phrase_terms = {t for pairs, _s, _o, _b in phrase_clauses for t, _ in pairs}
     req_pc_terms = {
         t for pairs, _s, occ, _b in phrase_clauses if occ == "+" for t, _ in pairs
@@ -193,6 +210,12 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
 
     # candidates
     pos_group_docs = [_gdocs(ts) for occ, ts in groups if occ != "-"]
+    pos_group_docs += [
+        _gdocs(ts) for occ, _b, ts in const_clauses if occ != "-"
+    ]
+    pos_group_docs += [
+        _gdocs([t for t, _wv in ms]) for occ, ms in weighted_groups if occ != "-"
+    ]
     if required:
         cand = set.intersection(*[set(idx.postings[t]) for t in required])
     elif multi_phrase:
@@ -218,9 +241,23 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             cand &= _gdocs(ts)
         elif occ == "-":
             cand -= _gdocs(ts)
+    for occ, _b, ts in const_clauses:
+        if occ == "+":
+            cand &= _gdocs(ts)
+        elif occ == "-":
+            cand -= _gdocs(ts)
+    for occ, ms in weighted_groups:
+        if occ == "+":
+            cand &= _gdocs([t for t, _wv in ms])
+        elif occ == "-":
+            cand -= _gdocs([t for t, _wv in ms])
     for t in set(spec.must_not):
         cand -= set(idx.postings.get(t, {}))
-    n_plus_groups = sum(1 for occ, _ts in groups if occ == "+")
+    n_plus_groups = (
+        sum(1 for occ, _ts in groups if occ == "+")
+        + sum(1 for occ, _b, _ts in const_clauses if occ == "+")
+        + sum(1 for occ, _ms in weighted_groups if occ == "+")
+    )
     required_positional = (
         bool(multi_phrase or span or span_first) or bool(req_pc_terms)
     )
@@ -365,6 +402,15 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 1 for occ, ts in groups
                 if occ == "" and any(d in idx.postings.get(t, {}) for t in ts)
             )
+            h += sum(
+                1 for occ, _b, ts in const_clauses
+                if occ == "" and any(d in idx.postings.get(t, {}) for t in ts)
+            )
+            h += sum(
+                1 for occ, ms in weighted_groups
+                if occ == ""
+                and any(d in idx.postings.get(t, {}) for t, _wv in ms)
+            )
             for pc, m in zip(phrase_clauses, pc_maps):
                 if pc[2] == "" and d in m:
                     h += 1
@@ -398,6 +444,33 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             post = idx.postings.get(t, {})
             tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
             s = weights[t].score(tf, norm)
+            s[tf == 0] = np.float32(0.0)
+            gacc += s.astype(np.float64)
+        (req_clause if occ == "+" else per_clause).append(gacc.astype(np.float32))
+    for occ, b32, ts in const_clauses:
+        if occ == "-":
+            continue
+        # constant-score clause: one float32 sub-score == the boost for
+        # any doc matching >=1 member (MultiTermQueryConstantScoreWrapper)
+        hit = np.array(
+            [any(int(d) in idx.postings.get(t, {}) for t in ts) for d in docs]
+        )
+        arr = np.where(hit, b32, np.float32(0.0)).astype(np.float32)
+        (req_clause if occ == "+" else per_clause).append(arr)
+    for occ, ms in weighted_groups:
+        if occ == "-":
+            continue
+        # blended group: members score BM25 with their OWN weightValue
+        # (df adjusted to the blend max x fuzzy boost); double-sum then
+        # one float32 sub-score (BlendedTermQuery.BOOLEAN_REWRITE)
+        from .bm25 import norm_cache
+
+        cache = norm_cache(idx.avgdl)
+        gacc = np.zeros(docs.size, dtype=np.float64)
+        for t, wv in ms:
+            post = idx.postings.get(t, {})
+            tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+            s = (np.float32(wv) * tf / (tf + cache[norm])).astype(np.float32)
             s[tf == 0] = np.float32(0.0)
             gacc += s.astype(np.float64)
         (req_clause if occ == "+" else per_clause).append(gacc.astype(np.float32))

@@ -21,9 +21,14 @@ ReutersQueryMaker.java:42-55):
   "a phrase"~N            -> sloppy phrase, slop N
   "a phrase"^F            -> BoostQuery around the phrase
   term^2.5                -> BoostQuery on the term clause
-  wild* / wi?d            -> WildcardQuery -> term-dict expansion
-  fuzzy~ / fuzzy~1        -> FuzzyQuery (edit distance, default 2)
-  [a TO b] / {a TO b}     -> TermRangeQuery over the term dictionary
+  wild* / wi?d            -> WildcardQuery -> CONSTANT_SCORE_REWRITE
+                             (the reference parser default: score =
+                             boost for any doc matching >=1 dict term)
+  fuzzy~ / fuzzy~1        -> FuzzyQuery -> TopTermsBlendedFreqScoring
+                             Rewrite(50) (FuzzyQuery's own default:
+                             blended df, per-term similarity boosts)
+  [a TO b] / {a TO b}     -> TermRangeQuery over the term dictionary,
+                             CONSTANT_SCORE_REWRITE
                              ([ ] inclusive, { } exclusive; mixed ok)
   field:term              -> single-field engine: field name stripped
 
@@ -83,7 +88,7 @@ class ParsedQuery:
     # [(pairs, slop, occur, boost)] (BooleanSpec.phrases)
     phrases: list = field(default_factory=list)
     boosts: dict[str, float] = field(default_factory=dict)
-    # unexpanded multi-term clauses: [(kind, payload, occur)];
+    # unexpanded multi-term clauses: [(kind, payload, occur, boost)];
     # kind 'wildcard'/'fuzzy' carry a string payload, 'range' carries
     # (lo, hi, include_lo, include_hi)
     expansions: list[tuple] = field(default_factory=list)
@@ -189,13 +194,17 @@ def _resolve_occurs(clauses):
 
 
 def _word_node(word: str, occur: str, out_terms, out_expansions, boosts=None, boost=None):
-    """Classify a bare word: wildcard / fuzzy / analyzed term."""
+    """Classify a bare word: wildcard / fuzzy / analyzed term. Expansion
+    entries are (kind, payload, occur, boost) — the clause boost rides
+    along so BoostQuery(WildcardQuery)/BoostQuery(FuzzyQuery) keep it."""
     if "*" in word or "?" in word:
-        out_expansions.append(("wildcard", word, occur))
+        out_expansions.append(("wildcard", word, occur, boost or 1.0))
         return
     fz = re.fullmatch(r"(.+?)~(\d?)", word)
     if fz:
-        out_expansions.append(("fuzzy", f"{fz.group(1)}:{fz.group(2) or 2}", occur))
+        out_expansions.append(
+            ("fuzzy", f"{fz.group(1)}:{fz.group(2) or 2}", occur, boost or 1.0)
+        )
         return
     terms = analyze(word)
     if not terms:
@@ -229,7 +238,7 @@ def parse(query: str) -> ParsedQuery:
                     g_exp.append(
                         ("range",
                          (g_val["lo"], g_val["hi"], g_val["inc_lo"], g_val["inc_hi"]),
-                         "")
+                         "", 1.0)
                     )
                 else:
                     _word_node(g_val["text"], "", g_terms, g_exp)
@@ -254,7 +263,8 @@ def parse(query: str) -> ParsedQuery:
             continue
         if kind == "range":
             out.expansions.append(
-                ("range", (val["lo"], val["hi"], val["inc_lo"], val["inc_hi"]), occur)
+                ("range", (val["lo"], val["hi"], val["inc_lo"], val["inc_hi"]),
+                 occur, 1.0)
             )
             continue
         tgt = out.must_not if occur == "-" else out.must if occur == "+" else out.should
@@ -262,19 +272,44 @@ def parse(query: str) -> ParsedQuery:
     return out
 
 
-def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -> BooleanSpec:
+def to_spec(
+    searcher: IndexSearcher,
+    parsed: ParsedQuery,
+    max_terms: int = 16,
+    rewrite: str = "constant_score",
+) -> BooleanSpec:
     """Resolve multi-term clauses against the term dictionary and build
-    the final BooleanSpec (the QueryParser's rewrite step:
-    TopTermsScoringBooleanQueryRewrite caps each expansion at max_terms;
-    the rewritten SHOULD-of-terms keeps its clause occur by nesting —
-    a '+' expansion becomes a required GROUP, i.e. at least one expanded
-    term must match and matching terms' scores sum, exactly
-    BooleanQuery-wrapping-the-rewrite semantics)."""
+    the final BooleanSpec — the QueryParser's rewrite step.
+
+    rewrite='constant_score' (the reference DEFAULT —
+    QueryParserBase.java:67 sets multiTermRewriteMethod =
+    MultiTermQuery.CONSTANT_SCORE_REWRITE on every wildcard / prefix /
+    range clause): those clauses become CONSTANT-SCORE clauses — any doc
+    matching >=1 dictionary term scores float32(boost), with NO term cap
+    (MultiTermQueryConstantScoreWrapper walks all matching terms into a
+    doc bitset). Fuzzy clauses keep FuzzyQuery's OWN default rewrite,
+    TopTermsBlendedFreqScoringRewrite(50) (FuzzyQuery.java:100): the
+    top-50 accepted terms by (fuzzy boost DESC, term ASC), every
+    member's df adjusted to the blend MAX, each a BoostQuery(TermQuery)
+    under one nested SHOULD group (BlendedTermQuery.BOOLEAN_REWRITE) —
+    all pinned vs the compiled reference parser in
+    tests/test_lucene_ground_truth.py.
+
+    rewrite='top_terms' (setMultiTermRewriteMethod with the
+    SCORING_BOOLEAN rewrite): the r2 behavior — every expansion becomes
+    scored SHOULD term clauses capped at max_terms; a '+' expansion
+    becomes a required group."""
+    from .bm25 import K1, idf_f32
+    from .fuzzy import fuzzy_expand_vocab
+
+    import numpy as np
+
+    const_cap = None if rewrite == "constant_score" else max_terms
 
     def _expand(kind: str, payload) -> list[str]:
         if kind == "wildcard":
             like = payload.replace("*", "%").replace("?", "_")
-            return searcher.expand_terms(like=like, max_terms=max_terms)
+            return searcher.expand_terms(like=like, max_terms=const_cap)
         if kind == "range":
             lo, hi, inc_lo, inc_hi = payload
             return searcher.expand_terms(
@@ -282,20 +317,45 @@ def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -
                 upper=None if hi == _OPEN else analyze(hi)[0] if analyze(hi) else hi,
                 include_lower=inc_lo,
                 include_upper=inc_hi,
-                max_terms=max_terms,
+                max_terms=const_cap,
             )
         base, _sep, edits = payload.partition(":")
         return searcher.expand_terms(
             fuzzy=base, max_edits=int(edits), max_terms=max_terms
         )
 
+    def _blended_members(payload, boost: float):
+        """FuzzyQuery -> blended (term, weightValue) members."""
+        base, _sep, edits = payload.partition(":")
+        cands = searcher.fuzzy_dictionary(base, max_edits=int(edits))
+        picked = fuzzy_expand_vocab(base, cands, int(edits))
+        if not picked:
+            return ()
+        df_blend = max(df for _t, df, _b in picked)
+        idf = idf_f32(df_blend, searcher.doc_count)
+        members = []
+        for t, _df, b in picked:
+            # boosts multiply float32-stepwise down the Weight tree:
+            # BoostQuery(outer) -> BoostQuery(fuzzy b_i) -> BM25Stats.
+            # normalize weight = (float)(idf * boost), then
+            # weightValue = (float)(weight * (k1+1))
+            total_b = np.float32(np.float32(boost) * np.float32(b))
+            w = np.float32(idf * total_b)
+            members.append((t, float(np.float32(w * (K1 + np.float32(1.0))))))
+        return tuple(members)
+
     should = list(parsed.should)
     must = list(parsed.must)
     must_not = list(parsed.must_not)
     groups: list[tuple[str, tuple[str, ...]]] = []
+    const_clauses: list[tuple[str, float, tuple[str, ...]]] = []
+    weighted_groups: list[tuple[str, tuple]] = []
     for occ, g_terms, g_exp in parsed.groups:
         terms = list(g_terms)
-        for kind, payload, _occ in g_exp:
+        for kind, payload, _occ, _b in g_exp:
+            # inside a paren group every member is a scoring SHOULD
+            # clause; expansions stay term-rewritten there (the group is
+            # already a nested BooleanQuery)
             terms.extend(sorted(set(_expand(kind, payload))))
         if terms:
             groups.append((occ, tuple(terms)))
@@ -304,7 +364,21 @@ def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -
             # terms rewrites to MatchNoDocsQuery (same sentinel as the
             # bare required expansion below)
             groups.append(("+", ("\x00<no-term>",)))
-    for kind, payload, occur in parsed.expansions:
+    for kind, payload, occur, boost in parsed.expansions:
+        if rewrite == "constant_score" and kind == "fuzzy":
+            members = _blended_members(payload, boost)
+            if members:
+                weighted_groups.append((occur, members))
+            elif occur == "+":
+                const_clauses.append(("+", 1.0, ("\x00<no-term>",)))
+            continue
+        if rewrite == "constant_score":
+            terms = tuple(sorted(set(_expand(kind, payload))))
+            if terms:
+                const_clauses.append((occur, float(boost), terms))
+            elif occur == "+":
+                const_clauses.append(("+", float(boost), ("\x00<no-term>",)))
+            continue
         terms = sorted(set(_expand(kind, payload)))
         if occur == "-":
             must_not.extend(terms)
@@ -328,6 +402,8 @@ def to_spec(searcher: IndexSearcher, parsed: ParsedQuery, max_terms: int = 16) -
         phrases=tuple(parsed.phrases),
         boosts=tuple(sorted(parsed.boosts.items())),
         groups=tuple(groups),
+        const_clauses=tuple(const_clauses),
+        weighted_groups=tuple(weighted_groups),
     )
 
 

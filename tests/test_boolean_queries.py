@@ -321,3 +321,99 @@ def test_lm_dirichlet_clamps_at_zero():
     p2 = collection_probability_f32(3, 1000)
     s2 = lm_dirichlet_scores(np.array([2.0], dtype=np.float32), nb2, p2)
     assert s2[0] > np.float32(0.0)
+
+
+# ------------------------------------------------------- constant score
+
+CONST_CASES = [
+    # optional const clause + scored term (ReqOpt over DisjunctionSum)
+    BooleanSpec(should=("merge",), const_clauses=(("", 1.0, ("parse", "index")),)),
+    # pure const query (BooleanQuery rewrites to the wrapper itself)
+    BooleanSpec(const_clauses=(("", 2.5, ("parse", "index")),)),
+    # required const clause (ConjunctionScorer includes the constant)
+    BooleanSpec(should=("merge",), const_clauses=(("+", 1.0, ("parse",)),)),
+    # prohibited const clause (pure exclusion)
+    BooleanSpec(should=("merge",), const_clauses=(("-", 1.0, ("parse", "index")),)),
+    # dead member mixed with a live one; MUST term alongside
+    BooleanSpec(must=("merge",), const_clauses=(("", 0.3, ("zzz_missing", "parse")),)),
+    # two const clauses + minShouldMatch counting them as SHOULD hits
+    BooleanSpec(
+        const_clauses=(("", 1.0, ("parse",)), ("", 2.0, ("index", "merge"))),
+        min_should_match=2,
+    ),
+    # all-dead required const clause -> MatchNoDocs
+    BooleanSpec(should=("merge",), const_clauses=(("+", 1.0, ("zzz_missing",)),)),
+]
+
+
+@pytest.mark.parametrize(
+    "spec", CONST_CASES, ids=[str(i) for i in range(len(CONST_CASES))]
+)
+def test_const_clause_rank_identity(built, spec):
+    """MultiTermQueryConstantScoreWrapper clauses (the classic parser's
+    default wildcard/range rewrite — pinned vs the compiled reference in
+    tests/test_lucene_ground_truth.py): engine == control oracle,
+    rank AND float32 score."""
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, spec)
+
+
+WG_MEMBERS = (("parse", 3.25), ("index", 1.5), ("merge_0", 0.75))
+
+WG_CASES = [
+    BooleanSpec(weighted_groups=(("", WG_MEMBERS),)),
+    BooleanSpec(should=("token",), weighted_groups=(("", WG_MEMBERS),)),
+    BooleanSpec(must=("token",), weighted_groups=(("", WG_MEMBERS),)),
+    BooleanSpec(weighted_groups=(("+", WG_MEMBERS),), should=("token",)),
+    BooleanSpec(weighted_groups=(("-", WG_MEMBERS),), should=("token", "merge")),
+    BooleanSpec(
+        weighted_groups=(("", (("zzz_missing", 2.0), ("parse", 1.25))),),
+        should=("token",),
+    ),
+]
+
+
+@pytest.mark.parametrize("spec", WG_CASES, ids=[str(i) for i in range(len(WG_CASES))])
+def test_weighted_group_rank_identity(built, spec):
+    """Blended-weight nested groups (FuzzyQuery's TopTermsBlendedFreq
+    ScoringRewrite shape — per-member explicit weightValue): engine ==
+    control oracle, rank AND float32 score."""
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, spec)
+
+
+PARSER_EXPANSION_QUERIES = [
+    "par*",
+    "par* merge",
+    "+par* merge",
+    "merge AND par*",
+    "par*^2.5 merge",
+    "-par* merge token",
+    "[parse TO parse_2] merge",
+    "parse~1",
+    "parse~2 merge",
+    "parse~1^2 AND merge",
+    "tokem~1",
+]
+
+
+@pytest.mark.parametrize("q", PARSER_EXPANSION_QUERIES)
+def test_parser_expansion_engine_oracle_identity(built, q):
+    """Raw query strings with wildcard/range/fuzzy through the classic
+    parser: the SPARK engine's top-10 must be rank+score identical to
+    the control oracle evaluating the same BooleanSpec (the oracle side
+    is pinned to the compiled reference in test_lucene_ground_truth)."""
+    from lucene_solr_spark.search.queryparser import parse, parse_and_search, to_spec
+
+    searcher, oidx = built
+    spec = to_spec(searcher, parse(q))
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in parse_and_search(searcher, q, k=10).collect()
+    ]
+    _assert_identical(got, expected, q)

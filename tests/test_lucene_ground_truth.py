@@ -455,3 +455,92 @@ def test_queryparser_matches_compiled_reference():
             spec = qp.to_spec(_NoExpand(), qp.parse(qstr))
             got = oracle_topk_spec(idx, spec, k=10)
             _assert_topk_equal(got, exp, (corpus_round, qstr))
+
+
+class _DictSearcher:
+    """Term-dictionary-only stand-in for IndexSearcher: just enough
+    surface for queryparser.to_spec's rewrite step (expand_terms for
+    wildcard/range, fuzzy_dictionary for FuzzyQuery's blended rewrite),
+    backed by an OracleIndex."""
+
+    def __init__(self, idx):
+        self.idx = idx
+        self.doc_count = idx.doc_count
+
+    def expand_terms(self, *, like=None, lower=None, upper=None,
+                     include_lower=True, include_upper=True,
+                     fuzzy=None, max_edits=2, max_terms=None):
+        import re as _re
+
+        terms = sorted(self.idx.postings)
+        if like is not None:
+            rx = "".join(
+                ".*" if c == "%" else "." if c == "_" else _re.escape(c)
+                for c in like
+            )
+            terms = [t for t in terms if _re.fullmatch(rx, t)]
+        if lower is not None:
+            terms = [t for t in terms if (t >= lower if include_lower else t > lower)]
+        if upper is not None:
+            terms = [t for t in terms if (t <= upper if include_upper else t < upper)]
+        if max_terms is not None:
+            terms = terms[:max_terms]
+        return terms
+
+    def fuzzy_dictionary(self, base, max_edits=2):
+        return [(t, len(self.idx.postings[t])) for t in sorted(self.idx.postings)]
+
+
+def test_parser_expansions_match_compiled_reference():
+    """Ground-truth round 6 — the parser's MULTI-TERM rewrites vs the
+    compiled reference: wildcard/prefix/range (CONSTANT_SCORE_REWRITE,
+    QueryParserBase.java:67) and fuzzy (FuzzyQuery's
+    TopTermsBlendedFreqScoringRewrite(50): blended max-df, per-term
+    similarity boosts, transposition-primitive edit distance). Raw query
+    strings through the real QueryParser + IndexSearcher, bit-for-bit
+    against our parse() -> to_spec() -> control oracle."""
+    from lucene_solr_spark.search import queryparser as qp
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    # 3-4 char vocab: wildcard families, a transposition pair (abc/acb),
+    # and abcx ("cax"~2 separates unrestricted Damerau-Levenshtein ed=2
+    # from optimal-string-alignment ed=3 while similarity stays > 0)
+    fvocab = ["abc", "abd", "acb", "bac", "abcd", "bbc", "cab", "abcx", "xyz", "xya"]
+    queries = [
+        "ab*",
+        "a?c",
+        "ab* xyz",
+        "+ab* xyz",
+        "xyz AND ab*",
+        "-ab* xyz",
+        "ab*^2.5 xyz",
+        "a*c^0.3 xyz",
+        "[abc TO bbc] xyz",
+        "{abc TO cab} xyz",
+        "[bac TO *]",
+        "xyz AND [abc TO bbc]",
+        "abc~1",
+        "abc~2",
+        "abc~1 xyz",
+        "abc~2^2.5 xyz",
+        "acb~1",
+        "cax~2",
+        "abc~1 AND xyz",
+        "-abc~1 xya",
+        "xyz~",
+    ]
+    rng = random.Random(61617)
+    for corpus_round in range(3):
+        n_docs = rng.randint(8, 30)
+        docs = [
+            " ".join(rng.choice(fvocab) for _ in range(rng.randint(1, 15)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        expected = gt.run_parser(docs, queries)
+        assert len(expected) == len(queries)
+        s = _DictSearcher(idx)
+        for qstr, exp in zip(queries, expected):
+            spec = qp.to_spec(s, qp.parse(qstr))
+            got = oracle_topk_spec(idx, spec, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, qstr))

@@ -37,14 +37,14 @@ def test_boost():
 
 def test_wildcard_and_fuzzy_deferred():
     p = parse("mer* grean~1 exact")
-    assert ("wildcard", "mer*", "") in p.expansions
-    assert ("fuzzy", "grean:1", "") in p.expansions
+    assert ("wildcard", "mer*", "", 1.0) in p.expansions
+    assert ("fuzzy", "grean:1", "", 1.0) in p.expansions
     assert p.should == ["exact"]
 
 
 def test_fuzzy_default_edits():
     p = parse("grean~")
-    assert p.expansions == [("fuzzy", "grean:2", "")]
+    assert p.expansions == [("fuzzy", "grean:2", "", 1.0)]
 
 
 def test_field_prefix_stripped():
@@ -59,30 +59,37 @@ def test_analysis_applied():
 
 
 def test_parser_expansions_end_to_end(spark):
-    """String -> wildcard/fuzzy term-dict expansion -> engine must equal
-    the hand-built expansion (QueryParser rewrite fidelity)."""
+    """Wildcards through the parser are CONSTANT-SCORE by default (the
+    reference's multiTermRewriteMethod; exact float parity is pinned vs
+    the compiled binary in test_lucene_ground_truth and engine==oracle in
+    test_boolean_queries); rewrite='top_terms' keeps the scored-expansion
+    mode (setMultiTermRewriteMethod analog)."""
+    import numpy as np
+
     from lucene_solr_spark.ops.index_access import searcher_for
     from lucene_solr_spark.search.engine import BooleanSpec
-    from lucene_solr_spark.search.queryparser import parse_and_search
+    from lucene_solr_spark.search.queryparser import parse, parse_and_search, to_spec
 
     s = searcher_for(spark, "/root/testdata/sf0.001")
 
-    got = [(r["doc_id"], r["score"]) for r in parse_and_search(s, "mer*", k=10).collect()]
+    rows = parse_and_search(s, "mer*", k=10).collect()
+    assert rows and all(np.float32(r["score"]) == np.float32(1.0) for r in rows)
+    # the clause boost IS the constant score
+    rows2 = parse_and_search(s, "mer*^2.5", k=10).collect()
+    assert rows2 and all(np.float32(r["score"]) == np.float32(2.5) for r in rows2)
+    # same matching docs, tie-broken by doc_id, in both
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in rows2]
+
+    # legacy scored-expansion mode
+    spec = to_spec(s, parse("mer*"), rewrite="top_terms")
     manual_terms = tuple(sorted(set(s.expand_terms(like="mer%", max_terms=16))))
     assert manual_terms  # the corpus has mer* terms
     want = [
         (r["doc_id"], r["score"])
         for r in s.topk_spec(BooleanSpec(should=manual_terms), k=10).collect()
     ]
+    got = [(r["doc_id"], r["score"]) for r in s.topk_spec(spec, k=10).collect()]
     assert got == want
-
-    got_f = [(r["doc_id"], r["score"]) for r in parse_and_search(s, "spork~1", k=10).collect()]
-    fz = tuple(sorted(set(s.expand_terms(fuzzy="spork", max_edits=1, max_terms=16))))
-    want_f = [
-        (r["doc_id"], r["score"])
-        for r in s.topk_spec(BooleanSpec(should=fz), k=10).collect()
-    ] if fz else []
-    assert got_f == want_f
 
 
 # ---------------------------------------------------------------- infix ops
@@ -153,7 +160,7 @@ def test_paren_group_negated():
 
 def test_group_with_wildcard_member():
     p = parse("(mer* fast) AND sort")
-    assert p.groups == [("+", ["fast"], [("wildcard", "mer*", "")])]
+    assert p.groups == [("+", ["fast"], [("wildcard", "mer*", "", 1.0)])]
     assert p.must == ["sort"]
 
 
@@ -175,17 +182,17 @@ def test_unbalanced_parens_raise():
 
 def test_term_range_inclusive():
     p = parse("[mer TO met]")
-    assert p.expansions == [("range", ("mer", "met", True, True), "")]
+    assert p.expansions == [("range", ("mer", "met", True, True), "", 1.0)]
 
 
 def test_term_range_exclusive_and_field():
     p = parse("text:{mer TO met}")
-    assert p.expansions == [("range", ("mer", "met", False, False), "")]
+    assert p.expansions == [("range", ("mer", "met", False, False), "", 1.0)]
 
 
 def test_term_range_open_ended():
     p = parse("[merge TO *]")
-    assert p.expansions == [("range", ("merge", "*", True, True), "")]
+    assert p.expansions == [("range", ("merge", "*", True, True), "", 1.0)]
 
 
 # ---------------------------------------------------------------- phrases
