@@ -38,6 +38,7 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_topk_sql,
     classic_tfidf_sql,
 )
+from lucene_solr_spark.ops.index_access import payload_searcher_for as _payload_searcher
 from lucene_solr_spark.ops.index_access import searcher_for as _searcher
 from lucene_solr_spark.ops.pipeline import OPS as PIPELINE_OPS
 from lucene_solr_spark.ops.relational import OPS as RELATIONAL_OPS
@@ -78,6 +79,21 @@ SPAN_QUERIES = {
     "bm25_span_unordered": (["sort", "merge"], 3, False),
 }
 SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
+# PayloadScoreQuery / SpanPayloadCheckQuery over the payload FIELD (the
+# documents text annotated 'tok|w' by the deterministic rule in
+# ops/index_access.payload_searcher_for and re-derived independently by
+# the DuckDB oracle). name -> (terms, function, include_span, slop)
+PAYLOAD_SCORE_QUERIES = {
+    "payload_term_avg": (["value"], "avg", True, 0),
+    "payload_term_max_raw": (["table"], "max", False, 0),
+    "payload_near_min": (["table", "value"], "min", True, 3),
+    "payload_near_avg": (["fast", "merge"], "avg", True, 4),
+}
+# name -> (terms, expected payloads, slop)
+PAYLOAD_CHECK_QUERIES = {
+    "payload_check_pair": (["fast", "merge"], [0.5, 1.0], 6),
+    "payload_check_null": (["value"], [None], 0),
+}
 SPAN_POSRANGE_QUERIES = {"bm25_span_posrange": ("merge", 3, 20)}  # (term, lo, hi)
 SPAN_OR_QUERIES = {"bm25_span_or": ["fast", "quick", "rapid"]}
 # name -> (include terms, exclude term, slop)
@@ -564,6 +580,30 @@ def _bm25_groups() -> dict[str, list]:
         )
     for name, (term, end) in SPAN_FIRST_QUERIES.items():
         positional.append((name, _span_first_query_fn(term, end), bm25_span_first_sql(term, end, k=10)))
+    for name, (pterms, pfn, pinc, pslop) in PAYLOAD_SCORE_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import payload_score_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, t=pterms, f=pfn, i=pinc, sl=pslop: _ranked(
+                _payload_searcher(spark, sf_dir).topk_payload_score(
+                    t, f, include_span_score=i, slop=sl, k=10
+                )
+            ),
+            payload_score_sql(pterms, pfn, include_span_score=pinc, slop=pslop, k=10),
+        ))
+    for name, (pterms, pwant, pslop) in PAYLOAD_CHECK_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import span_payload_check_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, t=pterms, w=pwant, sl=pslop: _ranked(
+                _payload_searcher(spark, sf_dir).topk_span_payload_check(
+                    t, w, slop=sl, k=10
+                )
+            ),
+            span_payload_check_sql(pterms, pwant, slop=pslop, k=10),
+        ))
     for name, (term, lo, hi) in SPAN_POSRANGE_QUERIES.items():
         positional.append(
             (

@@ -151,6 +151,25 @@ def _porter_map(term: str) -> str:
     return porter_stem(term)
 
 
+#: DelimitedPayloadTokenFilter.DEFAULT_DELIMITER
+#: (analysis/payloads/DelimitedPayloadTokenFilter.java:40)
+PAYLOAD_DELIMITER = "|"
+
+
+def _strip_payload(term: str) -> str:
+    """DelimitedPayloadTokenFilter term part: characters before the FIRST
+    delimiter (the filter scans left-to-right and truncates at the first
+    hit — DelimitedPayloadTokenFilter.java:57-63); no delimiter keeps the
+    whole token (payload null)."""
+    return term.partition(PAYLOAD_DELIMITER)[0]
+
+
+#: analyzers whose chain contains DelimitedPayloadTokenFilter(FloatEncoder);
+#: token_table(with_payloads=True) emits a per-occurrence float32 payload
+#: for these (NaN = no delimiter = null payload)
+PAYLOAD_ANALYZERS = frozenset({"wspayload"})
+
+
 #: name -> (tokenize_fn, apply_stop_filter, apply_len/alnum_filter,
 #:          post-stop per-term map | None)
 #: The term map is 1:1 per token (PorterStemFilter shape), so the index
@@ -165,6 +184,12 @@ ANALYZERS: dict = {
     "english": (_english_raw, True, False, _porter_map),
     "folding": (_folding_raw, True, False, None),
     "shingle": (_shingle_raw, False, False, None),
+    # WhitespaceTokenizer + DelimitedPayloadTokenFilter(FloatEncoder):
+    # the canonical payload field chain (the filter requires a tokenizer
+    # that does not split on the delimiter). Term = before the first
+    # '|'; payload handled by token_table(with_payloads=True); this
+    # registry row's term map covers the payload-less query side.
+    "wspayload": (_ws_tokens, False, True, _strip_payload),
 }
 
 
@@ -222,7 +247,9 @@ def analyze_batch(texts) -> tuple[list[dict[str, int]], np.ndarray]:
     return counts, lens
 
 
-def token_table(texts, analyzer: str = "standard") -> tuple | None:
+def token_table(
+    texts, analyzer: str = "standard", with_payloads: bool = False
+) -> tuple | None:
     """Fully vectorized batch analysis for the index build hot path.
 
     `analyzer` selects the chain (ANALYZERS registry — the reference's
@@ -240,7 +267,14 @@ def token_table(texts, analyzer: str = "standard") -> tuple | None:
     position int64[], field_len int32[]) where the parallel arrays hold one
     entry per SURVIVING token occurrence (maxTokenLength + alnum + stop
     filters applied; positions keep stop-gap semantics), in document scan
-    order. None if the batch has no tokens."""
+    order. None if the batch has no tokens.
+
+    with_payloads=True (requires a PAYLOAD_ANALYZERS chain) appends a
+    6th element: float32 payload per surviving occurrence, decoded by
+    the DelimitedPayloadTokenFilter(FloatEncoder) split (NaN = token
+    carried no delimiter = null payload). The split runs at VOCABULARY
+    level (the same shape as the stem term map), so per-token cost stays
+    factorize/gather."""
     import pandas as pd
 
     n_docs = len(texts)
@@ -294,6 +328,28 @@ def token_table(texts, analyzer: str = "standard") -> tuple | None:
     pos = ck[:-1] - ck[doc_starts][doc_rep]  # 0-based position among kept
     post = k1 & ~stopm[codes]  # survives the STOP filter too -> a posting
     field_len = np.bincount(doc_rep[post], minlength=n_docs).astype(np.int32)
+    pay_occ = None
+    if with_payloads:
+        if analyzer not in PAYLOAD_ANALYZERS:
+            raise ValueError(
+                f"analyzer {analyzer!r} has no payload filter in its chain"
+            )
+        # DelimitedPayloadTokenFilter + FloatEncoder, at vocab level:
+        # identical (term|payload) strings share one code, so the split
+        # and Float.parseFloat run once per distinct token
+        vterm = np.empty(nv, dtype=object)
+        vpay = np.full(nv, np.nan, dtype=np.float32)
+        for vi, u in enumerate(uniq):
+            head, sep, tail = u.partition(PAYLOAD_DELIMITER)
+            vterm[vi] = head
+            if sep:
+                vpay[vi] = np.float32(float(tail))  # invalid float raises,
+                # like FloatEncoder's Float.parseFloat
+        pay_occ = vpay[codes]
+        mcodes, muniq = pd.factorize(vterm, sort=False)
+        uniq = np.asarray(muniq, dtype=object)
+        codes = mcodes[codes]
+        term_map = None  # the split above IS this chain's term map
     if term_map is not None:
         # 1:1 per-term map (PorterStemFilter shape): applied to the
         # VOCABULARY (nv entries), never per occurrence; stems that
@@ -302,4 +358,6 @@ def token_table(texts, analyzer: str = "standard") -> tuple | None:
         mcodes, muniq = pd.factorize(mapped, sort=False)
         uniq = np.asarray(muniq, dtype=object)
         codes = mcodes[codes]
+    if pay_occ is not None:
+        return uniq, codes[post], doc_rep[post], pos[post], field_len, pay_occ[post]
     return uniq, codes[post], doc_rep[post], pos[post], field_len

@@ -53,7 +53,7 @@ DEFAULT_RANGE_SIZE = 8192  # docs per range bucket (merge salt + query partition
 DEFAULT_TERM_BUCKETS = 64  # output file partitions by term hash (query-side
 # pruning granularity AND final-write parallelism — must exceed cluster width)
 N_LAYOUT_BUCKETS = 256  # fixed layout constant for doc_id assignment
-INDEX_SCHEMA_VERSION = 3  # v3: crc32 term buckets (driver-computable), bucketed term_stats
+INDEX_SCHEMA_VERSION = 4  # v4: pay_buf payload stream (.pay analog) next to pos_buf
 MAX_FIELD_POSITION = (1 << 22) - 1  # engine packs (doc << 22 | position)
 # composite keys for phrase/span matching (engine._POS_SHIFT); the build
 # enforces the invariant the query engine relies on (IndexWriter's
@@ -75,6 +75,10 @@ FRAGMENT_SCHEMA = T.StructType(
         T.StructField("tfs_buf", T.BinaryType(), False),
         T.StructField("norms_buf", T.BinaryType(), False),
         T.StructField("pos_buf", T.BinaryType(), False),
+        # payload stream (Lucene .pay analog): 4 bytes big-endian float32
+        # per token position, rides every gather pos_buf takes; b"" when
+        # the field's analyzer chain carries no payload filter
+        T.StructField("pay_buf", T.BinaryType(), False),
         T.StructField("seg_id", T.IntegerType(), False),
     ]
 )
@@ -94,6 +98,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("tfs_buf", T.BinaryType(), False),
         T.StructField("norms_buf", T.BinaryType(), False),
         T.StructField("pos_buf", T.BinaryType(), False),
+        T.StructField("pay_buf", T.BinaryType(), False),
     ]
 )
 
@@ -256,7 +261,12 @@ def build_docs_table(
     )
 
 
-def _make_fragments_fn(content_col: str, range_size: int, analyzer: str = "standard"):
+def _make_fragments_fn(
+    content_col: str,
+    range_size: int,
+    analyzer: str = "standard",
+    payloads: bool = False,
+):
     def fragments(iterator):
         """DWPT analog, fully vectorized: each Arrow batch becomes one set of
         sorted posting fragments (term, doc-range) -> delta+VByte streams.
@@ -278,10 +288,17 @@ def _make_fragments_fn(content_col: str, range_size: int, analyzer: str = "stand
         seg_id = TaskContext.get().partitionId() if TaskContext.get() else -1
 
         for pdf in iterator:
-            table = token_table(pdf[content_col].tolist(), analyzer=analyzer)
+            table = token_table(
+                pdf[content_col].tolist(), analyzer=analyzer,
+                with_payloads=payloads,
+            )
             if table is None:
                 continue
-            uniq, c2, drep, p2, flens = table
+            if payloads:
+                uniq, c2, drep, p2, flens, pay2 = table
+            else:
+                uniq, c2, drep, p2, flens = table
+                pay2 = None
             if p2.size and int(p2.max()) > MAX_FIELD_POSITION:
                 raise ValueError(
                     f"field position {int(p2.max())} exceeds MAX_FIELD_POSITION "
@@ -298,6 +315,8 @@ def _make_fragments_fn(content_col: str, range_size: int, analyzer: str = "stand
             # order by (term, doc, position)
             order = np.lexsort((p2, d2, c2))
             c2, d2, p2, nb2 = c2[order], d2[order], p2[order], nb2[order]
+            if pay2 is not None:
+                pay2 = pay2[order]
 
             # (term, doc) runs -> tf per posting
             new_run = np.ones(n, dtype=bool)
@@ -337,6 +356,17 @@ def _make_fragments_fn(content_col: str, range_size: int, analyzer: str = "stand
             # row bounds in run space and token space
             tok_row_bounds = run_bounds[row_bounds_r]
             nb_blob = rnb.tobytes()
+            if pay2 is not None:
+                # .pay analog: 4-byte big-endian float32 per position
+                # (PayloadHelper.encodeFloat byte order), aligned 1:1
+                # with the pos stream so every pos gather carries it
+                pay_blob = pay2.astype(">f4").tobytes()
+                pay_bufs = [
+                    pay_blob[4 * s : 4 * e]
+                    for s, e in zip(tok_row_bounds[:-1], tok_row_bounds[1:])
+                ]
+            else:
+                pay_bufs = [b""] * n_rows
             yield pd.DataFrame(
                 {
                     "term": uniq[rc[row_starts_r]],
@@ -357,6 +387,7 @@ def _make_fragments_fn(content_col: str, range_size: int, analyzer: str = "stand
                     "pos_buf": vbyte_encode_batch(
                         pdeltas.astype(np.uint64), tok_row_bounds
                     ),
+                    "pay_buf": pay_bufs,
                     "seg_id": np.full(n_rows, seg_id, dtype=np.int32),
                 }
             )
@@ -409,6 +440,18 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
             [np.frombuffer(b, dtype=np.uint8) for b in pdf["norms_buf"]]
         )
         POS = np.concatenate(vbyte_decode_batch(pdf["pos_buf"].tolist()))
+        # payload stream: fixed 4-byte rows aligned 1:1 with POS; a
+        # payload-less field carries b"" bufs and PAY stays None
+        pay_raw = pdf["pay_buf"].tolist()
+        if any(pay_raw):
+            PAY = np.frombuffer(b"".join(pay_raw), dtype=np.uint8).reshape(-1, 4)
+            if PAY.shape[0] != POS.size:
+                raise AssertionError(
+                    f"payload stream misaligned: {PAY.shape[0]} payloads "
+                    f"vs {POS.size} positions"
+                )
+        else:
+            PAY = None
 
         # group boundaries (term, range_id change)
         terms = pdf["term"].to_numpy()
@@ -442,6 +485,8 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
             TF = new_lens
             NB = NB[order]
             POS = POS[pos_idx]
+            if PAY is not None:
+                PAY = PAY[pos_idx]
         # invariant: strictly ascending docs within each group (a violation
         # now means duplicate doc ids — a real upstream bug)
         if total > 1:
@@ -473,6 +518,8 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
                     - np.repeat(cum_new[:-1], new_lens)
                 )
                 D, TF, NB, POS = D[sel], new_lens, NB[sel], POS[pos_idx]
+                if PAY is not None:
+                    PAY = PAY[pos_idx]
                 sizes = np.bincount(
                     grp_of_val[sel], minlength=grp_val_starts.size
                 )
@@ -519,6 +566,14 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
         cum_tf = np.concatenate(([0], np.cumsum(TF)))
         pos_bounds = cum_tf[blk_bounds]
         pos_bufs = block_encode_batch(POS, pos_bounds)
+        if PAY is not None:
+            pay_blob = PAY.tobytes()
+            pay_bufs = [
+                pay_blob[4 * s : 4 * e]
+                for s, e in zip(pos_bounds[:-1], pos_bounds[1:])
+            ]
+        else:
+            pay_bufs = [b""] * n_blocks
 
         yield pd.DataFrame(
             {
@@ -535,6 +590,7 @@ def _merge_fragments_stream_fn(drop_docs: np.ndarray | None = None):
                 "tfs_buf": tfs_bufs,
                 "norms_buf": norms_bufs,
                 "pos_buf": pos_bufs,
+                "pay_buf": pay_bufs,
             }
         )
 
@@ -607,8 +663,14 @@ def build_index(
         # DWPT analog: every base partition is one segment (no exchange —
         # the merge k-way-sorts interleaved doc spans, any layout is fine)
         seg_src = base.select("doc_id", content_col)
+        from ..analysis.tokenizer import PAYLOAD_ANALYZERS
+
         fragments = seg_src.mapInPandas(
-            _make_fragments_fn(content_col, range_size, analyzer), schema=FRAGMENT_SCHEMA
+            _make_fragments_fn(
+                content_col, range_size, analyzer,
+                payloads=analyzer in PAYLOAD_ANALYZERS,
+            ),
+            schema=FRAGMENT_SCHEMA,
         )
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         blocks = (

@@ -53,6 +53,8 @@ def _block_violations(iterator):
             ok = ok and int(tfs.max()) == row.max_tf and int(tfs.sum()) == row.sum_tf
             ok = ok and int(nbs.max()) == row.max_norm
             ok = ok and pos_l[i].size == int(tfs.sum())  # one position per occurrence
+            # payload stream: absent (b"") or exactly 4 bytes per position
+            ok = ok and len(row.pay_buf) in (0, 4 * int(tfs.sum()))
             if not ok:
                 bad += 1
         yield pd.DataFrame({"violations": [bad], "blocks": [len(pdf)]})
@@ -75,7 +77,7 @@ def verify_index(
     res = (
         blocks.select(
             "first_doc", "last_doc", "n_docs", "sum_tf", "max_tf", "max_norm",
-            "docs_buf", "tfs_buf", "norms_buf", "pos_buf",
+            "docs_buf", "tfs_buf", "norms_buf", "pos_buf", "pay_buf",
         )
         .mapInPandas(_block_violations, "violations long, blocks long")
         .agg(F.sum("violations").alias("v"), F.sum("blocks").alias("b"))

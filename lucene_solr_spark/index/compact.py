@@ -118,6 +118,7 @@ def compact_index(
     frag_like = to_merge.select(
         "term", "range_id", "first_doc", "last_doc", "n_docs", "sum_tf",
         "max_tf", "max_norm", "docs_buf", "tfs_buf", "norms_buf", "pos_buf",
+        "pay_buf",
     )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     merged = frag_like.repartition(n_shuffle, "term", "range_id").mapInPandas(

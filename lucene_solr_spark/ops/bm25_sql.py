@@ -1797,3 +1797,180 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------- payloads
+
+_PAYTOK_CTES = """ptoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+ptok AS (
+  SELECT doc_id, t[i] AS term, i - 1 AS pos,
+         CASE WHEN (i - 1) % 5 = 0 THEN NULL
+              ELSE CAST((((i - 1) % 7) + 1) * 0.25 AS DOUBLE) END AS pay
+  FROM ptoks, unnest(generate_series(1, len(t))) AS g(i)
+),
+pdl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ptok GROUP BY doc_id) c USING (doc_id)
+),
+pstats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM pdl
+),
+pnorm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut})"""
+
+
+def _payload_scaffold() -> str:
+    """CTEs for the payload FIELD (wspayload chain: whitespace split, no
+    stop filter, no case folding) with the deterministic annotation rule
+    of ops/index_access.payload_searcher_for: position p -> no payload at
+    p % 5 == 0, else ((p % 7) + 1) * 0.25. The oracle re-derives tokens,
+    positions, AND payloads from the raw text — no shared driver state."""
+    return _PAYTOK_CTES.format(norm_lut=norm_lut_values_sql())
+
+
+def _payload_idfw(terms: list[str]) -> str:
+    """idfw(w): BM25 idf summed over the DISTINCT clause terms, df from
+    the payload field (SpanWeight.buildSimWeight term->context map)."""
+    ts = sorted(set(terms))
+    terms_in = ",".join(f"'{t}'" for t in ts)
+    return f"""pdf AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM ptok WHERE term IN ({terms_in}) GROUP BY term
+),
+idfw AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM pdf CROSS JOIN pstats s
+)"""
+
+
+def _payload_matches_cte(terms: list[str], slop: int) -> str:
+    """matches(doc_id, width, p0[, p1]): ordered SpanNear greedy chain
+    over the payload field (1 or 2 clauses), positions kept so each
+    span's leaf payloads can be joined back."""
+    if len(terms) == 1:
+        return (
+            f"matches AS (SELECT doc_id, 0 AS width, pos AS p0 "
+            f"FROM ptok WHERE term = '{terms[0]}')"
+        )
+    if len(terms) != 2:
+        raise ValueError("the SQL payload-span oracle covers 1 or 2 clauses")
+    t0, t1 = terms
+    return f"""occ0 AS (SELECT doc_id, pos FROM ptok WHERE term = '{t0}'),
+occ1 AS (SELECT doc_id, pos FROM ptok WHERE term = '{t1}'),
+m1 AS (
+  SELECT m.doc_id, m.pos AS p0,
+         (SELECT min(o.pos) FROM occ1 o
+          WHERE o.doc_id = m.doc_id AND o.pos > m.pos) AS p1
+  FROM occ0 m
+),
+matches AS (
+  SELECT doc_id, p1 - p0 - 1 AS width, p0, p1
+  FROM m1 WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= {slop}
+)"""
+
+
+def payload_score_sql(
+    terms: list[str], function: str = "avg", *,
+    include_span_score: bool = True, slop: int = 0, k: int = 10,
+) -> str:
+    """PayloadScoreQuery oracle (queries/payloads/PayloadScoreQuery.java +
+    Min/Max/AveragePayloadFunction): ordered-span matches collect their
+    leaf payloads (per SPAN, so a position shared by two spans counts
+    twice — PayloadSpans.collectLeaf runs once per span per leaf); NULL
+    payloads are skipped; docScore = fold or 1.0 with none seen; final
+    score multiplies the span BM25 score when includeSpanScore.
+    Rank-only output (engine folds in float32; ranks agree)."""
+    pay_cols = {
+        "avg": "CASE WHEN pn > 0 THEN psum / pn ELSE 1.0 END",
+        "min": "CASE WHEN pn > 0 THEN pmin ELSE 1.0 END",
+        "max": "CASE WHEN pn > 0 THEN pmax ELSE 1.0 END",
+    }[function]
+    leaf_selects = ["SELECT m.doc_id, p.pay FROM matches m JOIN ptok p ON p.doc_id = m.doc_id AND p.pos = m.p0"]
+    if len(terms) == 2:
+        leaf_selects.append(
+            "SELECT m.doc_id, p.pay FROM matches m JOIN ptok p ON p.doc_id = m.doc_id AND p.pos = m.p1"
+        )
+    leafs = "\n    UNION ALL\n    ".join(leaf_selects)
+    span_score = (
+        f"i.w * ({K1} + 1) * f.pf / (f.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))"
+    )
+    final = f"({span_score}) * y.payscore" if include_span_score else "y.payscore"
+    return f"""
+WITH {_payload_scaffold()},
+{_payload_idfw(terms)},
+{_payload_matches_cte(terms, slop)},
+pf AS (
+  SELECT doc_id, CAST(sum(1.0 / (width + 1)) AS DOUBLE) AS pf
+  FROM matches GROUP BY doc_id
+),
+pays AS (
+  SELECT doc_id,
+         sum(pay) AS psum, count(pay) AS pn,
+         min(pay) AS pmin, max(pay) AS pmax
+  FROM (
+    {leafs}
+  ) GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM (
+  SELECT f.doc_id, {final} AS score
+  FROM pf f
+  JOIN (SELECT doc_id, {pay_cols} AS payscore FROM pays) y ON f.doc_id = y.doc_id
+  JOIN pdl ON f.doc_id = pdl.doc_id
+  JOIN pnorm_lut lut ON pdl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN pstats s
+  CROSS JOIN idfw i
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def span_payload_check_sql(
+    terms: list[str], payloads: list[float | None], *, slop: int = 0, k: int = 10,
+) -> str:
+    """SpanPayloadCheckQuery oracle: ordered spans survive only when each
+    clause position's payload equals the expected value (NULL expected
+    matches NULL payload); survivors score as the plain span query."""
+    if len(terms) != len(payloads):
+        raise ValueError("payloadToMatch length must equal clause count")
+    conds = []
+    for i, p in enumerate(payloads):
+        col = f"pay{i}"
+        conds.append(f"{col} IS NULL" if p is None else f"{col} = {float(p)!r}")
+    if len(terms) == 1:
+        annotated = f"""annotated AS (
+  SELECT m.doc_id, m.width, p.pay AS pay0
+  FROM matches m JOIN ptok p ON p.doc_id = m.doc_id AND p.pos = m.p0
+)"""
+    else:
+        annotated = f"""annotated AS (
+  SELECT m.doc_id, m.width, a.pay AS pay0, b.pay AS pay1
+  FROM matches m
+  JOIN ptok a ON a.doc_id = m.doc_id AND a.pos = m.p0
+  JOIN ptok b ON b.doc_id = m.doc_id AND b.pos = m.p1
+)"""
+    return f"""
+WITH {_payload_scaffold()},
+{_payload_idfw(terms)},
+{_payload_matches_cte(terms, slop)},
+{annotated},
+pf AS (
+  SELECT doc_id, CAST(sum(1.0 / (width + 1)) AS DOUBLE) AS pf
+  FROM annotated WHERE {" AND ".join(conds)} GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM (
+  SELECT f.doc_id,
+         i.w * ({K1} + 1) * f.pf / (f.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS score
+  FROM pf f
+  JOIN pdl ON f.doc_id = pdl.doc_id
+  JOIN pnorm_lut lut ON pdl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN pstats s
+  CROSS JOIN idfw i
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -79,3 +79,53 @@ def ordered_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     s = IndexSearcher(spark, idx_dir)
     _SEARCHERS[key] = s
     return s
+
+
+def payload_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Payload-field index over documents: the text is annotated with
+    deterministic float payloads ('tok|0.75') and indexed through the
+    wspayload chain (WhitespaceTokenizer + DelimitedPayloadTokenFilter
+    (FloatEncoder) — analysis/payloads/), so the pay_buf stream carries
+    real filter-parsed payloads.
+
+    Annotation rule (shared verbatim with the DuckDB oracle in
+    ops/bm25_sql.payload* builders): token at 0-based position p keeps
+    NO payload when p % 5 == 0, else payload ((p % 7) + 1) * 0.25."""
+    from pyspark.sql import functions as F
+
+    key = os.path.abspath(sf_dir) + "#payload"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    annotated = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when(i % 5 == 0, x).otherwise(
+                F.concat(
+                    x, F.lit("|"),
+                    ((i % 7 + 1) * F.lit(0.25)).cast("string"),
+                )
+            ),
+        ),
+        " ",
+    )
+    src = docs.select("doc_id", annotated.alias("ptext"))
+    build_index(
+        spark,
+        src,
+        out_dir=idx_dir,
+        content_col="ptext",
+        doc_id_col="doc_id",
+        meta_cols=[],
+        range_size=512,
+        fingerprint=key,
+        analyzer="wspayload",
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _SEARCHERS[key] = s
+    return s

@@ -533,6 +533,190 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_spec(BooleanSpec(span_first=(toks[0], end)), k=k)
 
+    def _topk_payload_walk(self, terms: list[str], slop: int, ordered: bool,
+                           k: int, per_doc_fn) -> DataFrame:
+        """Shared plan for the payload query family: pruned block scan of
+        the clause terms (positions + payload stream), one bounded-heap
+        scorer per doc range, global top-k merge. per_doc_fn(spans_iter,
+        paylists, wv, nb) -> float32 score or None (no hit); spans_iter
+        yields (width, idx_tuple) from payloads.span_match_positions."""
+        from .payloads import span_match_positions
+
+        clauses = tuple(terms)
+        weights = self.term_weights(sorted(set(clauses)))
+        if any(weights[t]["df"] == 0 for t in clauses):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # SpanWeight.buildSimWeight: DISTINCT terms (term->context map)
+        idf_sum = idf_sum_f32(
+            idf_f32(weights[t]["df"], self.doc_count) for t in sorted(set(clauses))
+        )
+        wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        cache = norm_cache(np.float32(float(self.avgdl)))
+        blocks = self._blocks_for(list(set(clauses)))
+        deleted = self.deleted
+
+        def _score_impl(key, pdf: pd.DataFrame, deleted_local=None) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY
+            d_arr = deleted_local if deleted_local is not None else deleted
+            present = set(pdf["term"])
+            if any(t not in present for t in clauses):
+                return _EMPTY
+            per_term = {
+                t: _decode_group_pay(g.sort_values("first_doc", kind="mergesort"))
+                for t, g in pdf.groupby("term", sort=False)
+            }
+            abs_data = {}
+            for t in set(clauses):
+                d, tf, nb, pos, pay = per_term[t]
+                g = np.cumsum(pos.astype(np.int64))
+                run_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+                corr = np.repeat(g[run_starts] - pos[run_starts].astype(np.int64), tf)
+                abs_data[t] = (d, tf, nb, run_starts, g - corr, pay)
+            # candidates: docs holding every clause term (ConjunctionDISI
+            # over the sub-spans)
+            cand = None
+            for t in set(clauses):
+                s = set(abs_data[t][0].tolist())
+                cand = s if cand is None else cand & s
+            if d_arr is not None and d_arr.size:
+                cand -= set(d_arr.tolist())
+            if not cand:
+                return _EMPTY
+            out_docs, out_scores = [], []
+            for c in sorted(cand):
+                plists, paylists = [], []
+                nb_c = 0
+                for t in clauses:
+                    d, tf, nb, run_starts, pos_abs, pay = abs_data[t]
+                    j = int(np.searchsorted(d, c))
+                    s = int(run_starts[j])
+                    e = s + int(tf[j])
+                    plists.append(pos_abs[s:e].tolist())
+                    paylists.append(pay[s:e])
+                    nb_c = int(nb[j])
+                score = per_doc_fn(
+                    span_match_positions(plists, slop, ordered), paylists,
+                    wv, cache[nb_c],
+                )
+                if score is not None:
+                    out_docs.append(int(c))
+                    out_scores.append(np.float32(score))
+            if not out_docs:
+                return _EMPTY
+            da = np.asarray(out_docs, dtype=np.int64)
+            sa = np.asarray(out_scores, dtype=np.float32)
+            order = np.lexsort((da, -sa.astype(np.float64)))[:k]
+            return pd.DataFrame({"doc_id": da[order], "score": sa[order]})
+
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_impl(key, pdf)
+
+        score_range.cogroup = _cogroup_wrapper(_score_impl)
+        scan_cols = ["term", "range_id", "first_doc", "last_doc",
+                     "docs_buf", "tfs_buf", "norms_buf", "pos_buf", "pay_buf"]
+        return (
+            self._apply_range_scorer(blocks, scan_cols, score_range)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def topk_payload_score(
+        self, terms: list[str], function: str = "avg", *, slop: int = 0,
+        ordered: bool = True, include_span_score: bool = True, k: int = 10,
+    ) -> DataFrame:
+        """PayloadScoreQuery(SpanQuery, PayloadFunction, includeSpanScore)
+        (queries/payloads/PayloadScoreQuery.java): the wrapped span query
+        is a SpanTermQuery (one term) or SpanNearQuery (ordered /
+        unordered, slop); every matching span's leaf payloads fold
+        through Min/Max/AveragePayloadFunction, and the doc scores
+        payloadScore (or spanScore * payloadScore, float32 product).
+        The payload factor decodes the pay stream's big-endian float32
+        (the DelimitedPayloadTokenFilter(FloatEncoder) pairing); null
+        payloads are skipped. A doc with no matching span is not a hit —
+        pinned vs the compiled reference in
+        tests/test_lucene_ground_truth.py."""
+        from .payloads import payload_doc_score
+
+        toks = self._analyze(" ".join(terms))
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        def per_doc(spans, paylists, wv, nb_cache) -> np.float32 | None:
+            freq = np.float32(0.0)
+            acc = np.float32(0.0)
+            seen = 0
+            matched = False
+            for width, idxs in spans:
+                matched = True
+                freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+                # the fold state carries ACROSS spans (one PayloadSpans
+                # per doc, reset only at doStartCurrentDoc)
+                for i, j in enumerate(idxs):
+                    f = paylists[i][j]
+                    if np.isnan(f):
+                        continue
+                    f = np.float32(f)
+                    if function == "avg":
+                        acc = np.float32(f + acc)
+                    elif function == "min":
+                        acc = f if seen == 0 else np.float32(min(f, acc))
+                    else:
+                        acc = f if seen == 0 else np.float32(max(f, acc))
+                    seen += 1
+            if not matched:
+                return None
+            pay_score = payload_doc_score(acc, seen, function)
+            if not include_span_score:
+                return pay_score
+            span_score = np.float32(wv * freq / (freq + nb_cache))
+            return np.float32(span_score * pay_score)
+
+        return self._topk_payload_walk(toks, slop, ordered, k, per_doc)
+
+    def topk_span_payload_check(
+        self, terms: list[str], payloads: list[float | None], *,
+        slop: int = 0, k: int = 10,
+    ) -> DataFrame:
+        """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery
+        .java): keep only (ordered) spans whose collected payload list
+        EQUALS `payloads` elementwise — float equality after decode, a
+        None entry matching a null payload — and score the surviving
+        spans exactly like the plain SpanNearQuery (Σ 1/(width+1) into
+        the span BM25 formula)."""
+        toks = self._analyze(" ".join(terms))
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if len(payloads) != len(toks):
+            raise ValueError("payloadToMatch length must equal clause count")
+        want = [None if p is None else np.float32(p) for p in payloads]
+
+        def per_doc(spans, paylists, wv, nb_cache) -> np.float32 | None:
+            freq = np.float32(0.0)
+            matched = False
+            for width, idxs in spans:
+                ok = True
+                for i, j in enumerate(idxs):
+                    f = paylists[i][j]
+                    if want[i] is None:
+                        ok = bool(np.isnan(f))
+                    else:
+                        # BytesRef.bytesEquals = BIT equality (so -0.0
+                        # does not match 0.0)
+                        ok = (not np.isnan(f)) and (
+                            np.float32(f).tobytes() == want[i].tobytes()
+                        )
+                    if not ok:
+                        break
+                if ok:
+                    matched = True
+                    freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+            if not matched:
+                return None
+            return np.float32(wv * freq / (freq + nb_cache))
+
+        return self._topk_payload_walk(toks, slop, True, k, per_doc)
+
     def topk_multi_phrase(
         self, positions: list[list[str]], k: int = 10, slop: int = 0
     ) -> DataFrame:
@@ -1368,6 +1552,32 @@ def _decode_group(g: pd.DataFrame, need_pos: bool):
     nb = np.concatenate(nb_l)
     pos = np.concatenate(pos_l) if need_pos else None
     return d, tf, nb, pos
+
+
+def _decode_group_pay(g: pd.DataFrame):
+    """_decode_group + the payload stream: (d, tf, nb, pos, pay) with pay
+    a float32 array aligned 1:1 with the decoded position stream (NaN =
+    null payload; all-NaN when the field was indexed without payloads so
+    payload queries on a plain field degrade to 'no payloads seen')."""
+    docs_l, tf_l, nb_l, pos_l, pay_l = [], [], [], [], []
+    for _, row in g.iterrows():
+        docs_l.append(delta_decode(vbyte_decode(row["docs_buf"]), int(row["first_doc"])))
+        tf_l.append(vbyte_decode(row["tfs_buf"]))
+        nb_l.append(np.frombuffer(row["norms_buf"], dtype=np.uint8))
+        pos = vbyte_decode(row["pos_buf"])
+        pos_l.append(pos)
+        buf = row["pay_buf"]
+        if buf:
+            pay_l.append(np.frombuffer(buf, dtype=">f4").astype(np.float32))
+        else:
+            pay_l.append(np.full(pos.size, np.nan, dtype=np.float32))
+    return (
+        np.concatenate(docs_l).astype(np.int64),
+        np.concatenate(tf_l).astype(np.int64),
+        np.concatenate(nb_l),
+        np.concatenate(pos_l),
+        np.concatenate(pay_l),
+    )
 
 
 _POS_SHIFT = np.int64(1) << np.int64(22)  # > max field position (builder

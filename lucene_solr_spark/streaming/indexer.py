@@ -274,8 +274,14 @@ def apply_increment(
         ).parquet(st_docs)
 
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        from ..analysis.tokenizer import PAYLOAD_ANALYZERS
+
         fragments = base.select("doc_id", content_col).mapInPandas(
-            _make_fragments_fn(content_col, range_size, analyzer), schema=FRAGMENT_SCHEMA
+            _make_fragments_fn(
+                content_col, range_size, analyzer,
+                payloads=analyzer in PAYLOAD_ANALYZERS,
+            ),
+            schema=FRAGMENT_SCHEMA,
         )
         blocks = fragments.repartition(n_shuffle, "term", "range_id").mapInPandas(
             _merge_fragments_stream_fn(), schema=BLOCK_SCHEMA

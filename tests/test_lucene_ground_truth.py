@@ -544,3 +544,73 @@ def test_parser_expansions_match_compiled_reference():
             spec = qp.to_spec(s, qp.parse(qstr))
             got = oracle_topk_spec(idx, spec, k=10)
             _assert_topk_equal(got, exp, (corpus_round, qstr))
+
+
+def test_payload_queries_match_compiled_reference():
+    """Ground-truth round 7 — PayloadScoreQuery / SpanPayloadCheckQuery
+    (lucene/queries/payloads/) vs the compiled reference: docs indexed
+    through the payload chain (whitespace + DelimitedPayloadTokenFilter
+    float semantics, BM25 computePayloadFactor = decodeFloat), the full
+    function x includeSpanScore x span-shape matrix, top-10 docids +
+    float32 scores bit-for-bit against our payload control oracle."""
+    from lucene_solr_spark.search.payloads import (
+        PayloadOracleIndex,
+        payload_topk,
+        span_payload_check_topk,
+    )
+
+    vocab = ["a", "b", "c", "d"]
+    pays = [None, 0.25, 0.5, 1.5, 2.0, 4.0, 8.0, 0.0]
+    rng = random.Random(70707)
+    for corpus_round in range(3):
+        n_docs = rng.randint(6, 25)
+        docs = []
+        for _ in range(n_docs):
+            toks = []
+            for _ in range(rng.randint(2, 18)):
+                t = rng.choice(vocab)
+                p = rng.choice(pays)
+                toks.append(t if p is None else f"{t}|{p}")
+            docs.append(" ".join(toks))
+        idx = PayloadOracleIndex(list(enumerate(docs)))
+
+        cases = []  # (binary query line, oracle callable)
+        for fn in ("avg", "min", "max"):
+            for inc in (1, 0):
+                cases.append((
+                    f"PAYSCORE {fn} {inc} 0 1 a",
+                    lambda fn=fn, inc=inc: payload_topk(
+                        idx, ["a"], fn, include_span_score=bool(inc)),
+                ))
+                for slop in (0, 2):
+                    for ord_ in (1, 0):
+                        cases.append((
+                            f"PAYSCORE {fn} {inc} {slop} {ord_} a b",
+                            lambda fn=fn, inc=inc, slop=slop, ord_=ord_:
+                            payload_topk(
+                                idx, ["a", "b"], fn,
+                                include_span_score=bool(inc), slop=slop,
+                                ordered=bool(ord_)),
+                        ))
+                cases.append((
+                    f"PAYSCORE {fn} {inc} 3 1 a b c",
+                    lambda fn=fn, inc=inc: payload_topk(
+                        idx, ["a", "b", "c"], fn,
+                        include_span_score=bool(inc), slop=3),
+                ))
+        for spec_q, spec_p in (
+            ("a:0.25", (["a"], [0.25])),
+            ("a:null", (["a"], [None])),
+            ("a:0.5 b:1.5", (["a", "b"], [0.5, 1.5])),
+            ("a:0.25 b:null", (["a", "b"], [0.25, None])),
+        ):
+            cases.append((
+                f"PAYCHECK 1 {spec_q}",
+                lambda spec_p=spec_p: span_payload_check_topk(
+                    idx, spec_p[0], spec_p[1], slop=1),
+            ))
+
+        expected = gt.run_payload(docs, [q for q, _ in cases])
+        assert len(expected) == len(cases)
+        for (qline, fn_call), exp in zip(cases, expected):
+            _assert_topk_equal(fn_call(), exp, (corpus_round, qline))

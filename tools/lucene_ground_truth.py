@@ -325,6 +325,163 @@ public class GroundTruthParser {
 """
 
 
+PAYLOAD_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.util.BytesRef;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queries.payloads.*;
+import org.apache.lucene.search.spans.*;
+
+public class GroundTruthPayload {
+  // WhitespaceTokenizer + DelimitedPayloadTokenFilter(FloatEncoder)
+  // behavior, inlined: term = before the first '|', payload = 4-byte
+  // big-endian float (PayloadHelper.encodeFloat); no '|' -> no payload
+  static final class PayloadWS extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new Tokenizer() {
+        final org.apache.lucene.analysis.tokenattributes.CharTermAttribute term =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.CharTermAttribute.class);
+        final org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute pi =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute.class);
+        final org.apache.lucene.analysis.tokenattributes.PayloadAttribute pay =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.PayloadAttribute.class);
+        java.util.List<String> toks; int i;
+        public boolean incrementToken() throws java.io.IOException {
+          if (toks == null) {
+            StringBuilder sb = new StringBuilder(); int c;
+            while ((c = input.read()) != -1) sb.append((char) c);
+            toks = new java.util.ArrayList<>();
+            for (String s : sb.toString().split("\\s+")) if (!s.isEmpty()) toks.add(s);
+            i = 0;
+          }
+          if (i >= toks.size()) return false;
+          clearAttributes(); pi.setPositionIncrement(1);
+          String tok = toks.get(i++);
+          int d = tok.indexOf('|');
+          if (d >= 0) {
+            float v = Float.parseFloat(tok.substring(d + 1));
+            int bits = Float.floatToIntBits(v);
+            byte[] b = new byte[]{(byte)(bits >>> 24), (byte)(bits >>> 16),
+                                  (byte)(bits >>> 8), (byte)bits};
+            pay.setPayload(new BytesRef(b));
+            term.append(tok, 0, d);
+          } else {
+            pay.setPayload(null);
+            term.append(tok);
+          }
+          return true;
+        }
+        public void reset() throws java.io.IOException { super.reset(); toks = null; }
+      };
+      return new TokenStreamComponents(t);
+    }
+  }
+
+  // BM25 with computePayloadFactor = PayloadHelper.decodeFloat (the
+  // float-payload pairing; BM25's own SimScorer returns 1)
+  static final class PayloadBM25 extends org.apache.lucene.search.similarities.Similarity {
+    final org.apache.lucene.search.similarities.BM25Similarity in =
+        new org.apache.lucene.search.similarities.BM25Similarity();
+    public long computeNorm(FieldInvertState s) { return in.computeNorm(s); }
+    public SimWeight computeWeight(CollectionStatistics cs, TermStatistics... ts) {
+      return in.computeWeight(cs, ts);
+    }
+    public SimScorer simScorer(SimWeight w, LeafReaderContext ctx)
+        throws java.io.IOException {
+      final SimScorer d = in.simScorer(w, ctx);
+      return new SimScorer() {
+        public float score(int doc, float freq) { return d.score(doc, freq); }
+        public float computeSlopFactor(int distance) { return d.computeSlopFactor(distance); }
+        public float computePayloadFactor(int doc, int start, int end, BytesRef p) {
+          return Float.intBitsToFloat(
+              ((p.bytes[p.offset] & 0xFF) << 24) | ((p.bytes[p.offset+1] & 0xFF) << 16)
+              | ((p.bytes[p.offset+2] & 0xFF) << 8) | (p.bytes[p.offset+3] & 0xFF));
+        }
+        public Explanation explain(int doc, Explanation freq) { return d.explain(doc, freq); }
+      };
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    org.apache.lucene.search.similarities.Similarity sim = new PayloadBM25();
+    IndexWriterConfig cfg = new IndexWriterConfig(new PayloadWS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    cfg.setSimilarity(sim);
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    s.setSimilarity(sim);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      Query q;
+      if (p[0].equals("PAYSCORE")) {
+        // PAYSCORE fn includeSpan slop ord t1 t2 ...
+        PayloadFunction fn = p[1].equals("avg") ? new AveragePayloadFunction()
+            : p[1].equals("min") ? new MinPayloadFunction() : new MaxPayloadFunction();
+        boolean inc = p[2].equals("1");
+        int slop = Integer.parseInt(p[3]);
+        boolean ord = p[4].equals("1");
+        SpanQuery sq;
+        if (p.length == 6) {
+          sq = new SpanTermQuery(new Term("body", p[5]));
+        } else {
+          SpanQuery[] cls = new SpanQuery[p.length - 5];
+          for (int i = 5; i < p.length; i++)
+            cls[i - 5] = new SpanTermQuery(new Term("body", p[i]));
+          sq = new SpanNearQuery(cls, slop, ord);
+        }
+        q = new PayloadScoreQuery(sq, fn, inc);
+      } else if (p[0].equals("PAYCHECK")) {
+        // PAYCHECK slop t1:f1 t2:f2 ... (f = float or 'null')
+        int slop = Integer.parseInt(p[1]);
+        java.util.List<BytesRef> want = new java.util.ArrayList<>();
+        SpanQuery[] cls = new SpanQuery[p.length - 2];
+        for (int i = 2; i < p.length; i++) {
+          String[] kv = p[i].split(":");
+          cls[i - 2] = new SpanTermQuery(new Term("body", kv[0]));
+          if (kv[1].equals("null")) { want.add(null); }
+          else {
+            int bits = Float.floatToIntBits(Float.parseFloat(kv[1]));
+            want.add(new BytesRef(new byte[]{(byte)(bits >>> 24), (byte)(bits >>> 16),
+                                             (byte)(bits >>> 8), (byte)bits}));
+          }
+        }
+        SpanQuery sq = cls.length == 1 ? cls[0] : new SpanNearQuery(cls, slop, true);
+        q = new SpanPayloadCheckQuery(sq, want);
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 def build() -> bool:
     """Compile lucene-core + harness (cached). False if javac missing."""
     import shutil
@@ -373,11 +530,33 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the queries module (PayloadScoreQuery, SpanPayloadCheckQuery, ...)
+    # depends only on core
+    pay_marker = os.path.join(
+        CLASSES, "org/apache/lucene/queries/payloads/PayloadScoreQuery.class"
+    )
+    q_root = "/root/reference/lucene/queries/src/java"
+    if not os.path.exists(pay_marker) and os.path.isdir(q_root):
+        qsrcs2 = os.path.join(BUILD, "qsrcs.txt")
+        with open(qsrcs2, "w") as f:
+            for root, _dirs, files in os.walk(q_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + qsrcs2],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
         ("GroundTruthTopK", TOPK_JAVA),
         ("GroundTruthParser", PARSER_JAVA),
+        ("GroundTruthPayload", PAYLOAD_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -445,6 +624,33 @@ def run_parser(docs: list[str], query_strings: list[str]) -> list[list[tuple[int
     payload = [str(len(docs))] + list(docs) + [str(len(query_strings))] + list(query_strings)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthParser"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
+
+
+def run_payload(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+    """Index `docs` through the payload chain (whitespace +
+    DelimitedPayloadTokenFilter(FloatEncoder) behavior: 'tok|1.5') with a
+    BM25 similarity whose computePayloadFactor decodes the float payload,
+    then run PAYSCORE / PAYCHECK query specs through the REAL
+    PayloadScoreQuery / SpanPayloadCheckQuery. Top-10 [(docid, score)]."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPayload"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
