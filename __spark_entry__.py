@@ -91,7 +91,7 @@ PAYLOAD_SCORE_QUERIES = {
 }
 # name -> (terms, expected payloads, slop)
 PAYLOAD_CHECK_QUERIES = {
-    "payload_check_pair": (["fast", "merge"], [0.5, 1.0], 6),
+    "payload_check_pair": (["fast", "merge"], [0.25, 0.5], 8),
     "payload_check_null": (["value"], [None], 0),
 }
 SPAN_POSRANGE_QUERIES = {"bm25_span_posrange": ("merge", 3, 20)}  # (term, lo, hi)
@@ -195,6 +195,12 @@ PARSER_QUERIES = {
     # similarity boosts; the oracle recomputes the expansion in SQL)
     "parser_fuzzy": ("merge~1 AND fast", lambda: bm25_compound_sql(
         fuzzies=[("+", 1.0, "merge", 1)], must=["fast"], k=10)),
+    # wildcard INSIDE a paren group: the nested BooleanQuery keeps the
+    # constant-score rewrite on its wildcard member (mixed_groups)
+    "parser_group_wild": ("(mer* fast) AND spark", lambda: bm25_compound_sql(
+        must=["spark"], mixed_groups=[("+", ["fast"], [(1.0, "mer%")])], k=10)),
+    "parser_group_wild_neg": ("spark -(wind* dup)", lambda: bm25_compound_sql(
+        should=["spark"], mixed_groups=[("-", ["dup"], [(1.0, "wind%")])], k=10)),
     # multiple phrase clauses in one BooleanQuery (both AND-promoted)
     "parser_two_phrases": ('"fast sort" AND "merge sort" spark', lambda: bm25_compound_sql(
         phrase="fast sort", phrases=[("merge sort", 0, 1.0, True)],

@@ -1211,6 +1211,7 @@ def bm25_compound_sql(
     range_boost: float = 1.0,
     wildcards: list[tuple[str, float, str]] | tuple = (),
     fuzzies: list[tuple[str, float, str, int]] | tuple = (),
+    mixed_groups: list[tuple[str, list[str], list[tuple[float, str]]]] | tuple = (),
     k: int = 10,
 ) -> str:
     """General BooleanQuery oracle: any mix of MUST/SHOULD/MUST_NOT term
@@ -1296,8 +1297,23 @@ def bm25_compound_sql(
     for occ, b, pat in wildcards:
         const_list.append((occ, float(b), f"term LIKE '{pat}'"))
     fuzzies = [tuple(fz) for fz in fuzzies]
+    # mixed paren groups: (occ, [scored term members], [(boost, LIKE
+    # pattern) const members]) — nested BooleanQuery whose wildcard
+    # members keep CONSTANT_SCORE_REWRITE (queryparser.to_spec
+    # mixed_groups); term members ride qt with cls 'x{i}' (excluded from
+    # the flat score sum) and the whole group enters as ONE extra clause
+    mixed_groups = [
+        (occ, sorted(set(ts)), [(float(b), p) for b, p in extras])
+        for occ, ts, extras in mixed_groups
+    ]
+    for i, (occ, ts, _extras) in enumerate(mixed_groups):
+        if occ == "-":
+            continue
+        for t in ts:
+            rows.append((t, float(term_boosts.get(t, 1.0)), f"x{i}"))
 
-    if not rows and not phrase_clauses and not const_list and not fuzzies:
+    if (not rows and not phrase_clauses and not const_list and not fuzzies
+            and not mixed_groups):
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
 
     scaffold = _TOKPOS_CTES.format(stoplist=stoplist_sql(), norm_lut=norm_lut_values_sql())
@@ -1333,7 +1349,7 @@ def bm25_compound_sql(
     ctes.append(
         f"""agg AS (
   SELECT doc_id,
-         sum(sc) AS score,
+         sum(CASE WHEN cls LIKE 'x%' THEN 0 ELSE sc END) AS score,
          count(DISTINCT CASE WHEN cls = 'm' THEN term END) AS mhits,
          count(DISTINCT CASE WHEN cls = 's' THEN term END) AS shits,
          count(DISTINCT CASE WHEN cls IN ({gmust_in}) THEN cls END) AS gmust,
@@ -1439,6 +1455,35 @@ pagg AS (
             f"SELECT DISTINCT doc_id, CAST({float(boost)!r} AS DOUBLE) AS sc,"
             f" '{cid}' AS cid FROM tok WHERE {pred}"
         )
+    for i, (occ, ts, extras) in enumerate(mixed_groups):
+        parts = []
+        if occ != "-" and ts:
+            parts.append(f"SELECT doc_id, sc FROM base WHERE cls = 'x{i}'")
+        for b, pat in extras:
+            parts.append(
+                f"SELECT DISTINCT doc_id, CAST({float(b)!r} AS DOUBLE) AS sc"
+                f" FROM tok WHERE term LIKE '{pat}'"
+            )
+        if occ == "-":
+            # prohibited group: any member (term or pattern) match excludes
+            mconds = [f"term IN ({','.join(chr(39)+t+chr(39) for t in ts)})"] if ts else []
+            mconds += [f"term LIKE '{pat}'" for _b, pat in extras]
+            excl_conds.append(
+                f"doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE {' OR '.join(mconds)})"
+            )
+            continue
+        cid = f"x{i}"
+        (extra_must_ids if occ == "+" else extra_should_ids).append(cid)
+        union_i = "\n    UNION ALL\n    ".join(parts)
+        ctes.append(
+            f"""x{i}score AS (
+  SELECT doc_id, sum(sc) AS sc FROM (
+    {union_i}
+  ) GROUP BY doc_id
+)"""
+        )
+        extra_rows.append(f"SELECT doc_id, sc, '{cid}' AS cid FROM x{i}score")
     for j, (occ, boost, base, me) in enumerate(fuzzies):
         cid = f"f{j}"
         blen = len(base)

@@ -163,6 +163,16 @@ class BooleanSpec:
     # member is a BoostQuery(TermQuery) with df adjusted to the max df
     # across the blend, so its weightValue differs from the global one.
     weighted_groups: tuple[tuple[str, tuple[tuple[str, float], ...]], ...] = ()
+    # Paren groups with HETEROGENEOUS members (the parser's nested
+    # BooleanQuery when a group contains multi-term clauses):
+    # ((occur, (member, ...)), ...) with member one of
+    #   ("t", term)                 — scored SHOULD TermQuery
+    #   ("c", boost, (term, ...))   — CONSTANT_SCORE multi-term rewrite
+    #                                 (wildcard/range inside the parens)
+    #   ("w", ((term, wv), ...))    — blended fuzzy members
+    # Group hit = any member matches; group score = float32(double sum of
+    # matching members' sub-scores) — one clause for msm/required.
+    mixed_groups: tuple[tuple[str, tuple[tuple, ...]], ...] = ()
 
     @property
     def phrase_clauses(self) -> tuple[tuple, ...]:
@@ -204,6 +214,9 @@ class BooleanSpec:
         for occ, members in self.weighted_groups:
             if occ != "-":
                 out += tuple(t for t, _wv in members)
+        for occ, members in self.mixed_groups:
+            if occ != "-":
+                out += _mixed_member_terms(members)
         return out
 
     @property
@@ -218,7 +231,23 @@ class BooleanSpec:
         for occ, members in self.weighted_groups:
             if occ == "-":
                 out += tuple(t for t, _wv in members)
+        for occ, members in self.mixed_groups:
+            if occ == "-":
+                out += _mixed_member_terms(members)
         return out
+
+
+def _mixed_member_terms(members) -> tuple[str, ...]:
+    """Every term a mixed-group member list touches."""
+    out: tuple[str, ...] = ()
+    for m in members:
+        if m[0] == "t":
+            out += (m[1],)
+        elif m[0] == "c":
+            out += tuple(m[2])
+        else:  # "w"
+            out += tuple(t for t, _wv in m[1])
+    return out
 
 
 def ngram_phrase_rewrite(
@@ -1198,6 +1227,12 @@ class IndexSearcher:
             for occ, ms in spec.weighted_groups
         ):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if any(
+            occ == "+"
+            and all(weights[t]["df"] == 0 for t in _mixed_member_terms(ms))
+            for occ, ms in spec.mixed_groups
+        ):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
         # absent SHOULD/NOT terms are dropped (rewrite-to-fixpoint analog)
         present = [t for t in set(spec.all_terms) if weights[t]["df"] > 0]
         if not any(t in present for t in spec.scoring_terms):
@@ -1238,6 +1273,7 @@ class IndexSearcher:
             and not spec.dismax and spec.min_should_match <= 1
             and not spec.groups and spec.similarity == "bm25"
             and not spec.const_clauses and not spec.weighted_groups
+            and not spec.mixed_groups
         )
         # WAND's two-wave plan costs two extra driver round trips; it only
         # pays when there are enough doc ranges to prune. Estimate from
@@ -1964,10 +2000,32 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         for occ, members in spec.weighted_groups
     ]
     w_groups = [(occ, ms) for occ, ms in w_groups if ms or occ == "+"]
+    # mixed groups: drop dead members per type; a member survives if any
+    # of its terms is live ('c' wrappers keep partial term sets)
+    mx_groups = []
+    for occ, members in spec.mixed_groups:
+        live = []
+        for m in members:
+            if m[0] == "t":
+                if weights[m[1]]["df"] > 0:
+                    live.append(m)
+            elif m[0] == "c":
+                ts = tuple(sorted({t for t in m[2] if weights[t]["df"] > 0}))
+                if ts:
+                    live.append(("c", np.float32(m[1]), ts))
+            else:
+                ws = tuple(
+                    (t, np.float32(wv)) for t, wv in m[1] if weights[t]["df"] > 0
+                )
+                if ws:
+                    live.append(("w", ws))
+        if live or occ == "+":
+            mx_groups.append((occ, tuple(live)))
     n_plus_groups = (
         sum(1 for occ, _ts in bool_groups if occ == "+")
         + sum(1 for occ, _b, _ts in const_list if occ == "+")
         + sum(1 for occ, _ms in w_groups if occ == "+")
+        + sum(1 for occ, _ms in mx_groups if occ == "+")
     )
     msm = max(
         spec.min_should_match,
@@ -2076,6 +2134,12 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             for occ, ms in w_groups
         ):
             return _EMPTY
+        if any(
+            occ == "+"
+            and not any(t in present for t in _mixed_member_terms(ms))
+            for occ, ms in mx_groups
+        ):
+            return _EMPTY
         scoring_present = (
             any(t in present for t in should_terms)
             or any(
@@ -2089,6 +2153,11 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             or any(
                 occ != "-" and any(t in present for t, _wv in ms)
                 for occ, ms in w_groups
+            )
+            or any(
+                occ != "-"
+                and any(t in present for t in _mixed_member_terms(ms))
+                for occ, ms in mx_groups
             )
         )
         # an optional phrase can be the only scoring clause in the range
@@ -2269,6 +2338,60 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 s = (wv * freq / (freq + cache[nb])).astype(np.float32)
                 gsc[idxs] += s.astype(np.float64)
                 ghit[idxs] = True
+            if occ == "-":
+                excluded |= ghit
+                continue
+            g32 = np.where(ghit, gsc.astype(np.float32).astype(np.float64), 0.0)
+            if occ == "+" and acc_req is not None:
+                acc_req += g32
+            else:
+                acc += g32
+            if occ == "+":
+                gmust_hits += ghit
+            else:
+                should_hits += ghit
+
+        # mixed groups (nested BooleanQuery with heterogeneous members):
+        # scored terms use the GLOBAL weight, 'c' members contribute the
+        # constant boost when any of their terms match, 'w' members are
+        # blended sub-sums cast f32 at their own scorer boundary; the
+        # group's double sum casts to f32 before the outer sum sees it
+        for occ, ms in mx_groups:
+            ghit = np.zeros(width, dtype=bool)
+            gsc = np.zeros(width, dtype=np.float64)
+            for m in ms:
+                if m[0] == "t":
+                    t = m[1]
+                    if t not in per_term:
+                        continue
+                    d, tf, nb, _pos = per_term[t]
+                    idxs = d - base
+                    s = _term_score(t, tf.astype(np.float32), nb)
+                    gsc[idxs] += s.astype(np.float64)
+                    ghit[idxs] = True
+                elif m[0] == "c":
+                    chit = np.zeros(width, dtype=bool)
+                    for t in m[2]:
+                        if t in per_term:
+                            chit[per_term[t][0] - base] = True
+                    gsc += np.where(chit, np.float64(m[1]), 0.0)
+                    ghit |= chit
+                else:  # "w": blended members, own f32 sub-scorer
+                    whit = np.zeros(width, dtype=bool)
+                    wsc = np.zeros(width, dtype=np.float64)
+                    for t, wv in m[1]:
+                        if t not in per_term:
+                            continue
+                        d, tf, nb, _pos = per_term[t]
+                        idxs = d - base
+                        freq = tf.astype(np.float32)
+                        s = (wv * freq / (freq + cache[nb])).astype(np.float32)
+                        wsc[idxs] += s.astype(np.float64)
+                        whit[idxs] = True
+                    gsc += np.where(
+                        whit, wsc.astype(np.float32).astype(np.float64), 0.0
+                    )
+                    ghit |= whit
             if occ == "-":
                 excluded |= ghit
                 continue

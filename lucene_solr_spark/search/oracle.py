@@ -175,6 +175,40 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     if any(occ == "+" and not ms for occ, ms in weighted_groups):
         return []
     weighted_groups = [(o, ms) for o, ms in weighted_groups if ms]
+    # mixed groups (typed members: scored term / const wrapper / blended)
+    mixed_groups = []
+    mx_dead_plus = False
+    for occ, members in (getattr(spec, "mixed_groups", ()) or ()):
+        live = []
+        for m in members:
+            if m[0] == "t":
+                if m[1] in idx.postings:
+                    live.append(m)
+            elif m[0] == "c":
+                ts = tuple(t for t in m[2] if t in idx.postings)
+                if ts:
+                    live.append(("c", np.float32(m[1]), ts))
+            else:
+                ws = tuple((t, np.float32(wv)) for t, wv in m[1] if t in idx.postings)
+                if ws:
+                    live.append(("w", ws))
+        if occ == "+" and not live:
+            mx_dead_plus = True
+        if live:
+            mixed_groups.append((occ, tuple(live)))
+    if mx_dead_plus:
+        return []
+
+    def _mx_terms(members):
+        out = []
+        for m in members:
+            if m[0] == "t":
+                out.append(m[1])
+            elif m[0] == "c":
+                out.extend(m[2])
+            else:
+                out.extend(t for t, _wv in m[1])
+        return out
     all_phrase_terms = {t for pairs, _s, _o, _b in phrase_clauses for t, _ in pairs}
     req_pc_terms = {
         t for pairs, _s, occ, _b in phrase_clauses if occ == "+" for t, _ in pairs
@@ -196,6 +230,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         {span_first[0]} if span_first else set()
     ) | {t for _off, alts in multi_phrase for t in alts}
     group_terms = {t for _occ, ts in groups for t in ts}
+    group_terms |= {
+        m[1] for _occ, ms in mixed_groups for m in ms if m[0] == "t"
+    }
     boost_map = dict(getattr(spec, "boosts", ()) or ())
     weights = {
         t: make_term_weight(
@@ -215,6 +252,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     ]
     pos_group_docs += [
         _gdocs([t for t, _wv in ms]) for occ, ms in weighted_groups if occ != "-"
+    ]
+    pos_group_docs += [
+        _gdocs(_mx_terms(ms)) for occ, ms in mixed_groups if occ != "-"
     ]
     if required:
         cand = set.intersection(*[set(idx.postings[t]) for t in required])
@@ -251,12 +291,18 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             cand &= _gdocs([t for t, _wv in ms])
         elif occ == "-":
             cand -= _gdocs([t for t, _wv in ms])
+    for occ, ms in mixed_groups:
+        if occ == "+":
+            cand &= _gdocs(_mx_terms(ms))
+        elif occ == "-":
+            cand -= _gdocs(_mx_terms(ms))
     for t in set(spec.must_not):
         cand -= set(idx.postings.get(t, {}))
     n_plus_groups = (
         sum(1 for occ, _ts in groups if occ == "+")
         + sum(1 for occ, _b, _ts in const_clauses if occ == "+")
         + sum(1 for occ, _ms in weighted_groups if occ == "+")
+        + sum(1 for occ, _ms in mixed_groups if occ == "+")
     )
     required_positional = (
         bool(multi_phrase or span or span_first) or bool(req_pc_terms)
@@ -411,6 +457,11 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 if occ == ""
                 and any(d in idx.postings.get(t, {}) for t, _wv in ms)
             )
+            h += sum(
+                1 for occ, ms in mixed_groups
+                if occ == ""
+                and any(d in idx.postings.get(t, {}) for t in _mx_terms(ms))
+            )
             for pc, m in zip(phrase_clauses, pc_maps):
                 if pc[2] == "" and d in m:
                     h += 1
@@ -473,6 +524,42 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             s = (np.float32(wv) * tf / (tf + cache[norm])).astype(np.float32)
             s[tf == 0] = np.float32(0.0)
             gacc += s.astype(np.float64)
+        (req_clause if occ == "+" else per_clause).append(gacc.astype(np.float32))
+    for occ, ms in mixed_groups:
+        if occ == "-":
+            continue
+        # mixed nested BooleanQuery: scored terms use the GLOBAL weight,
+        # 'c' members add their constant boost when any member term hits,
+        # 'w' members are blended sub-sums cast f32 at their boundary;
+        # the group double sum casts to f32 before the outer sum
+        from .bm25 import norm_cache
+
+        cache = norm_cache(idx.avgdl)
+        gacc = np.zeros(docs.size, dtype=np.float64)
+        for m in ms:
+            if m[0] == "t":
+                t = m[1]
+                post = idx.postings.get(t, {})
+                tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+                s = weights[t].score(tf, norm)
+                s[tf == 0] = np.float32(0.0)
+                gacc += s.astype(np.float64)
+            elif m[0] == "c":
+                hit = np.array(
+                    [any(int(d) in idx.postings.get(t, {}) for t in m[2]) for d in docs]
+                )
+                gacc += np.where(hit, np.float64(np.float32(m[1])), 0.0)
+            else:
+                wacc = np.zeros(docs.size, dtype=np.float64)
+                for t, wv in m[1]:
+                    post = idx.postings.get(t, {})
+                    tf = np.array(
+                        [post.get(int(d), 0) for d in docs], dtype=np.float32
+                    )
+                    s = (np.float32(wv) * tf / (tf + cache[norm])).astype(np.float32)
+                    s[tf == 0] = np.float32(0.0)
+                    wacc += s.astype(np.float64)
+                gacc += wacc.astype(np.float32).astype(np.float64)
         (req_clause if occ == "+" else per_clause).append(gacc.astype(np.float32))
     # phrase clauses: one score array each (float32 order identical to
     # _make_range_scorer: wv = f32(f32(idf_sum*(k1+1)) * f32(boost)))

@@ -350,12 +350,35 @@ def to_spec(
     groups: list[tuple[str, tuple[str, ...]]] = []
     const_clauses: list[tuple[str, float, tuple[str, ...]]] = []
     weighted_groups: list[tuple[str, tuple]] = []
+    mixed_groups: list[tuple[str, tuple]] = []
     for occ, g_terms, g_exp in parsed.groups:
+        if rewrite == "constant_score" and g_exp:
+            # a paren group with multi-term members is a nested
+            # BooleanQuery whose wildcard/range clauses STILL rewrite
+            # CONSTANT_SCORE and whose fuzzy clauses still blend — the
+            # parser sets the rewrite on the MultiTermQuery itself,
+            # regardless of nesting (QueryParserBase.newRangeQuery /
+            # newWildcardQuery); pinned vs the compiled binary in
+            # tests/test_lucene_ground_truth.py
+            members: list[tuple] = [("t", t) for t in g_terms]
+            for kind, payload, _occ, b in g_exp:
+                if kind == "fuzzy":
+                    ws = _blended_members(payload, b)
+                    if ws:
+                        members.append(("w", ws))
+                    continue
+                ts = tuple(sorted(set(_expand(kind, payload))))
+                if ts:
+                    members.append(("c", float(b), ts))
+            if members:
+                mixed_groups.append((occ, tuple(members)))
+            elif occ == "+":
+                groups.append(("+", ("\x00<no-term>",)))
+            continue
         terms = list(g_terms)
         for kind, payload, _occ, _b in g_exp:
-            # inside a paren group every member is a scoring SHOULD
-            # clause; expansions stay term-rewritten there (the group is
-            # already a nested BooleanQuery)
+            # top_terms mode: every expansion becomes scoring SHOULD
+            # members of the nested BooleanQuery
             terms.extend(sorted(set(_expand(kind, payload))))
         if terms:
             groups.append((occ, tuple(terms)))
@@ -404,6 +427,7 @@ def to_spec(
         groups=tuple(groups),
         const_clauses=tuple(const_clauses),
         weighted_groups=tuple(weighted_groups),
+        mixed_groups=tuple(mixed_groups),
     )
 
 

@@ -417,3 +417,50 @@ def test_parser_expansion_engine_oracle_identity(built, q):
         for r in parse_and_search(searcher, q, k=10).collect()
     ]
     _assert_identical(got, expected, q)
+
+
+# -------------------------------------------------------- mixed groups
+
+MX = lambda *ms: tuple(ms)  # noqa: E731
+
+MIXED_CASES = [
+    # scored term + const wildcard member inside one group
+    BooleanSpec(mixed_groups=(("", (("t", "merge"), ("c", 1.0, ("parse", "index")))),),
+                should=("token",)),
+    # required mixed group + outer must
+    BooleanSpec(mixed_groups=(("+", (("t", "merge"), ("c", 2.5, ("parse",)))),),
+                must=("token",)),
+    # prohibited mixed group
+    BooleanSpec(mixed_groups=(("-", (("t", "merge"), ("c", 1.0, ("parse",)))),),
+                should=("token", "index")),
+    # const-only group (pure wildcard parens)
+    BooleanSpec(mixed_groups=(("", (("c", 1.5, ("parse", "index")),)),),
+                should=("merge",)),
+    # blended member next to a scored term
+    BooleanSpec(mixed_groups=(
+        ("", (("t", "token"), ("w", (("parse", 3.25), ("index", 1.5))))),)),
+    # dead members mixed with live ones
+    BooleanSpec(mixed_groups=(
+        ("+", (("t", "zzz_missing"), ("c", 0.5, ("zzz_also", "merge")))),),
+        should=("token",)),
+    # two mixed groups, msm counts each as one SHOULD clause
+    BooleanSpec(mixed_groups=(
+        ("", (("t", "merge"), ("c", 1.0, ("parse",)))),
+        ("", (("c", 2.0, ("index", "token")),)),
+    ), min_should_match=2),
+]
+
+
+@pytest.mark.parametrize(
+    "spec", MIXED_CASES, ids=[str(i) for i in range(len(MIXED_CASES))]
+)
+def test_mixed_group_rank_identity(built, spec):
+    """Mixed paren groups (scored terms + constant-score multi-term
+    members + blended fuzzy members in one nested BooleanQuery — the
+    classic parser's group shape, pinned vs the compiled reference in
+    tests/test_lucene_ground_truth.py): engine == control oracle, rank
+    AND float32 score."""
+    searcher, oidx = built
+    expected = oracle_topk_spec(oidx, spec, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
+    _assert_identical(got, expected, spec)

@@ -528,6 +528,19 @@ def test_parser_expansions_match_compiled_reference():
         "abc~1 AND xyz",
         "-abc~1 xya",
         "xyz~",
+        # multi-term clauses INSIDE paren groups: the rewrite rides the
+        # MultiTermQuery, so the nested BooleanQuery holds constant-score
+        # wildcard/range members and blended fuzzy members next to
+        # scored terms (BooleanSpec.mixed_groups)
+        "(ab* xyz) AND xya",
+        "(ab* xya) xyz",
+        "xyz AND (abc ab*)",
+        "-(ab* cab) xyz",
+        "+(a?c xyz) bbc",
+        "([abc TO bac] xyz) AND cab",
+        "(abc~1 xyz) AND bbc",
+        "(ab* abc~1) xyz",
+        "(ab* [bac TO *]) xyz",
     ]
     rng = random.Random(61617)
     for corpus_round in range(3):
