@@ -439,13 +439,17 @@ def _parser_query_fn(qstr: str):
     return run
 
 
-def _mlt_query_fn(seed: int, n_terms: int):
+def _mlt_query_fn(seed: int, n_terms: int, min_tf: int = 2, min_df: int = 5):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """MoreLikeThis: seed doc's top-n terms by tf*idf as a SHOULD query,
-        seed excluded from the hits (MoreLikeThis.java:141)."""
-        import math
-
+        """MoreLikeThis (queries/mlt/MoreLikeThis.java): interesting
+        terms = the seed doc's top maxQueryTerms by tf x classic idf
+        (log(n/(df+1))+1) after the minTermFreq/minDocFreq filters,
+        run as unboosted SHOULD TermQueries under BM25 — the selection
+        is pinned vs the compiled MoreLikeThis in
+        tests/test_lucene_ground_truth.py (round 9). Seed excluded from
+        the hits (the Solr MLT handler behavior)."""
         from lucene_solr_spark.analysis.tokenizer import analyze_to_counts
+        from lucene_solr_spark.search.mlt import mlt_select_terms
 
         s = _searcher(spark, sf_dir)
         text = (
@@ -456,11 +460,10 @@ def _mlt_query_fn(seed: int, n_terms: int):
         )
         counts, _ = analyze_to_counts(text)
         weights = s.term_weights(list(counts))
-        ranked = sorted(
-            counts.items(),
-            key=lambda kv: (-kv[1] * math.log(s.doc_count / weights[kv[0]]["df"]), kv[0]),
-        )
-        terms = tuple(t for t, _ in ranked[:n_terms])
+        terms = tuple(mlt_select_terms(
+            counts, {t: w["df"] for t, w in weights.items()}, s.doc_count,
+            max_query_terms=n_terms, min_term_freq=min_tf, min_doc_freq=min_df,
+        ))
         hits = s.topk(" ".join(terms), k=11).filter(F.col("doc_id") != seed).limit(10)
         return _ranked(hits)
 

@@ -972,10 +972,14 @@ LIMIT {k}
 """
 
 
-def bm25_mlt_sql(seed_doc_id: int = 0, n_terms: int = 5, k: int = 10) -> str:
-    """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java:141): take the
-    seed doc's top n_terms terms by tf*idf (ties: term asc), run them as a
-    SHOULD query, excluding the seed doc itself from the hits."""
+def bm25_mlt_sql(seed_doc_id: int = 0, n_terms: int = 5, k: int = 10,
+                 min_tf: int = 2, min_df: int = 5) -> str:
+    """MoreLikeThis (lucene/queries/mlt/MoreLikeThis.java createQueue):
+    the seed doc's top n_terms terms by tf x classic idf
+    (ln(n/(df+1)) + 1) after the minTermFreq/minDocFreq filters (ties:
+    term asc), run as a SHOULD query under BM25, seed excluded from the
+    hits. Selection pinned vs the compiled MoreLikeThis in
+    tests/test_lucene_ground_truth.py (ground-truth round 9)."""
     return f"""
 WITH tok AS (
   SELECT d.doc_id, t.tok AS term
@@ -999,7 +1003,8 @@ qterms AS (
   SELECT t.term
   FROM all_tf t JOIN all_df USING (term) CROSS JOIN stats s
   WHERE t.doc_id = {seed_doc_id}
-  ORDER BY t.tf * ln(s.n / all_df.df) DESC, t.term ASC
+    AND t.tf >= {min_tf} AND all_df.df >= {min_df}
+  ORDER BY t.tf * (ln(s.n / (all_df.df + 1)) + 1) DESC, t.term ASC
   LIMIT {n_terms}
 ),
 tf AS (SELECT * FROM all_tf WHERE term IN (SELECT term FROM qterms)),

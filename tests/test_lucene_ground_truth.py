@@ -627,3 +627,106 @@ def test_payload_queries_match_compiled_reference():
         assert len(expected) == len(cases)
         for (qline, fn_call), exp in zip(cases, expected):
             _assert_topk_equal(fn_call(), exp, (corpus_round, qline))
+
+
+def test_common_terms_query_matches_compiled_reference():
+    """Ground-truth round 8 — CommonTermsQuery (lucene/queries/
+    CommonTermsQuery.java, SHOULD/SHOULD constructor) vs the compiled
+    reference: the df split (docFreq > ceil(mtf*maxDoc) -> high), the
+    low-freq REQUIRED nested query, the flat optional high side (same
+    float32 cast structure as the reference's single nested SHOULD
+    clause), and the all-high conjunction rewrite (:213). The engine's
+    topk_common_terms builds exactly these specs from cached stats."""
+    import math
+
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(8018)
+    vocab = ["hot", "warm", "cool", "rare", "gem", "x", "y"]
+    for corpus_round in range(3):
+        n = rng.randint(10, 25)
+        docs = []
+        for _ in range(n):
+            toks = ["hot"] if rng.random() < 0.9 else []
+            toks += ["warm"] * (rng.random() < 0.7)
+            toks += [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+            rng.shuffle(toks)
+            docs.append(" ".join(toks) or "x")
+        idx = build_oracle_index(list(enumerate(docs)))
+        cases = []
+        for mtf in (0.4, 0.6, 0.95):
+            for terms in (["hot", "rare", "gem"], ["hot", "warm"],
+                          ["rare", "gem"], ["hot", "warm", "cool", "rare"]):
+                cutoff = math.ceil(mtf * idx.doc_count)
+                low = tuple(
+                    t for t in terms if len(idx.postings.get(t, {})) <= cutoff
+                )
+                high = tuple(
+                    t for t in terms if len(idx.postings.get(t, {})) > cutoff
+                )
+                # the spec topk_common_terms builds (engine.py:~500)
+                if not low:
+                    spec = BooleanSpec(must=high)
+                elif not high:
+                    spec = BooleanSpec(groups=(("+", low),))
+                else:
+                    spec = BooleanSpec(should=high, groups=(("+", low),))
+                cases.append((f"CTQ {mtf} " + " ".join(terms), spec))
+        expected = gt.run_topk(docs, [q for q, _ in cases])
+        for (qline, spec), exp in zip(cases, expected):
+            got = oracle_topk_spec(idx, spec, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, qline))
+
+
+def test_more_like_this_matches_compiled_reference():
+    """Ground-truth round 9 — MoreLikeThis (lucene/queries/mlt/
+    MoreLikeThis.java) vs the compiled reference: term selection by
+    tf x classic idf (log(n/(df+1))+1) with the minTermFreq/minDocFreq
+    filters and the maxQueryTerms cutoff, executed as unboosted SHOULD
+    TermQueries under BM25. Cases avoid selection-cutoff score ties
+    (the reference's tie order is HashMap-iteration-dependent)."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.mlt import classic_idf_f32, mlt_select_terms
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(90901)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "xx"]
+    for corpus_round in range(3):
+        n = rng.randint(8, 20)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+            for _ in range(n)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        df = {t: len(p) for t, p in idx.postings.items()}
+
+        cases = []
+        for seed in range(0, n, 3):
+            doc_tf: dict = {}
+            for t in docs[seed].split():
+                doc_tf[t] = doc_tf.get(t, 0) + 1
+            for mqt, mtf_, mdf in ((25, 2, 2), (25, 1, 3), (2, 1, 1), (3, 2, 1)):
+                sel = mlt_select_terms(
+                    doc_tf, df, idx.doc_count, max_query_terms=mqt,
+                    min_term_freq=mtf_, min_doc_freq=mdf,
+                )
+                if not sel:
+                    continue
+                # skip cutoff ties (undefined order in the reference)
+                scores = sorted(
+                    (
+                        float(np.float32(np.float32(tf) * classic_idf_f32(df[t], idx.doc_count)))
+                        for t, tf in doc_tf.items()
+                        if tf >= mtf_ and df.get(t, 0) >= mdf
+                    ),
+                    reverse=True,
+                )
+                if len(scores) > mqt and scores[mqt - 1] == scores[mqt]:
+                    continue
+                cases.append((f"MLT {seed} {mqt} {mtf_} {mdf}", tuple(sel)))
+        expected = gt.run_mlt(docs, [q for q, _ in cases])
+        assert len(expected) == len(cases)
+        for (qline, sel), exp in zip(cases, expected):
+            got = oracle_topk_spec(idx, BooleanSpec(should=sel), k=10)
+            _assert_topk_equal(got, exp, (corpus_round, qline))

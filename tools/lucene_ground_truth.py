@@ -237,6 +237,14 @@ public class GroundTruthTopK {
         for (int i = 2; i < p.length; i++)
           subs.add(new TermQuery(new Term("body", p[i])));
         q = new DisjunctionMaxQuery(subs, tie);
+      } else if (p[0].equals("CTQ")) {
+        // CTQ <maxTermFrequency> t1 t2 ... -> CommonTermsQuery(SHOULD, SHOULD, mtf)
+        org.apache.lucene.queries.CommonTermsQuery c =
+            new org.apache.lucene.queries.CommonTermsQuery(
+                BooleanClause.Occur.SHOULD, BooleanClause.Occur.SHOULD,
+                Float.parseFloat(p[1]));
+        for (int i = 2; i < p.length; i++) c.add(new Term("body", p[i]));
+        q = c;
       } else if (p[0].equals("SPANNEAR")) {
         int slop = Integer.parseInt(p[1]);
         boolean ord = p[2].equals("1");
@@ -482,6 +490,58 @@ public class GroundTruthPayload {
 """
 
 
+MLT_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queries.mlt.MoreLikeThis;
+
+public class GroundTruthMLT {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_STORED);  // MLT re-analyzes
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // MLT <docid> <maxQueryTerms> <minTermFreq> <minDocFreq>
+      String[] p = in.readLine().trim().split(" ");
+      MoreLikeThis mlt = new MoreLikeThis(r);
+      mlt.setAnalyzer(new GroundTruth.WS());
+      mlt.setFieldNames(new String[]{"body"});
+      mlt.setMaxQueryTerms(Integer.parseInt(p[2]));
+      mlt.setMinTermFreq(Integer.parseInt(p[3]));
+      mlt.setMinDocFreq(Integer.parseInt(p[4]));
+      Query q = mlt.like(Integer.parseInt(p[1]));
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 def build() -> bool:
     """Compile lucene-core + harness (cached). False if javac missing."""
     import shutil
@@ -557,10 +617,15 @@ def build() -> bool:
         ("GroundTruthTopK", TOPK_JAVA),
         ("GroundTruthParser", PARSER_JAVA),
         ("GroundTruthPayload", PAYLOAD_JAVA),
+        ("GroundTruthMLT", MLT_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
-        if not os.path.exists(cls):
+        stale = True
+        if os.path.exists(cls) and os.path.exists(src):
+            with open(src) as f:
+                stale = f.read() != code  # recompile when the harness changed
+        if stale:
             with open(src, "w") as f:
                 f.write(code)
             r = subprocess.run(
@@ -665,6 +730,32 @@ def run_payload(docs: list[str], queries: list[str]) -> list[list[tuple[int, str
             continue
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
+
+
+def run_mlt(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+    """Index stored whitespace docs and run 'MLT <docid> <maxQueryTerms>
+    <minTermFreq> <minDocFreq>' through the REAL MoreLikeThis (term
+    selection by tf * classic idf with the min-freq filters) + BM25
+    search. Top-10 [(docid, score)]."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMLT"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(x.split(":")[0]), x.split(":")[1]) for x in line.split(";")
         ])
     return out
 
