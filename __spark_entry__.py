@@ -143,6 +143,9 @@ LM_QUERIES = {
     # SimilarityBase float32 avgFieldLength
     "dfr_inl2": ("spark merge vector", "dfr_inl2"),
     "ib_ll": ("spark merge vector", "ib_ll"),
+    # DFI (DFISimilarity.java, chi-squared independence): the 7th scoring
+    # model through the plug point — needs per-term ttf + sum_ttf
+    "dfi_chi_squared": ("spark merge vector", "dfi_chi_squared"),
 }
 # BlendedTermQuery: max-df stat blending + DisjunctionMaxRewrite
 BLENDED_QUERIES = {"bm25_blended": ("spark vector rapid", 0.01)}
@@ -555,6 +558,7 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _classic_query_fn(q), classic_tfidf_sql(q, k=10)))
     for name, (q, sim) in LM_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import (
+            dfi_sql,
             dfr_inl2_sql,
             ib_ll_sql,
             lm_dirichlet_sql,
@@ -566,6 +570,7 @@ def _bm25_groups() -> dict[str, list]:
             "lm_jelinek_mercer": lm_jelinek_mercer_sql,
             "dfr_inl2": dfr_inl2_sql,
             "ib_ll": ib_ll_sql,
+            "dfi_chi_squared": dfi_sql,
         }[sim]
         scoring.append((name, _classic_query_fn(q, sim), sim_sql(q, k=10)))
     for name, (q, tb) in BLENDED_QUERIES.items():

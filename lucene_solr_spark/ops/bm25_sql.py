@@ -1717,10 +1717,13 @@ def lm_jelinek_mercer_sql(query: str, k: int = 10, lam: float = 0.7) -> str:
     return _lm_sql(query, k, expr)
 
 
-def _simbase_dfr_sql(query: str, k: int, clause_score: str) -> str:
-    """DFR/IB oracle scaffold: the LM scaffold's CTEs plus per-term df,
+def _simbase_dfr_sql(query: str, k: int, clause_score: str,
+                     with_ttf: bool = False) -> str:
+    """DFR/IB/DFI oracle scaffold: the LM scaffold's CTEs plus per-term df,
     corpus doc count (st.n) and avgFieldLength (av.avgdl) — everything
-    SimilarityBase.fillBasicStats provides. Rank-only output; double
+    SimilarityBase.fillBasicStats provides; with_ttf adds per-term
+    totalTermFreq (ttfs.ttf) and the collection token count (coll.sum_ttf)
+    for DFI's expected-frequency model. Rank-only output; double
     arithmetic (the engine's float32 op order agrees on these ranks)."""
     terms = analyze(query)
     if not terms:
@@ -1728,6 +1731,12 @@ def _simbase_dfr_sql(query: str, k: int, clause_score: str) -> str:
     uniq = sorted(set(terms))
     clause_vals = ",".join(f"('{t}',{terms.count(t)})" for t in uniq)
     terms_in = ",".join(f"'{t}'" for t in uniq)
+    ttf_cte = (
+        "\nttfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS ttf"
+        f" FROM tok WHERE term IN ({terms_in}) GROUP BY term),"
+        if with_ttf else ""
+    )
+    ttf_join = "\n  JOIN ttfs USING (term)\n  CROSS JOIN coll" if with_ttf else ""
     return f"""
 WITH tok AS (
   SELECT d.doc_id, t.tok AS term
@@ -1743,7 +1752,7 @@ st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 coll AS (SELECT CAST(count(*) AS DOUBLE) AS sum_ttf FROM tok),
 av AS (SELECT coll.sum_ttf / st.n AS avgdl FROM coll CROSS JOIN st),
 snorm_lut(dl_lo, dl_hi, dld) AS (SELECT * FROM {simbase_norm_lut_values_sql()}),
-clauses(term, clause_n) AS (VALUES {clause_vals}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),{ttf_cte}
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
   FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
@@ -1756,7 +1765,7 @@ scored AS (
   JOIN clauses c USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
   JOIN snorm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
-  CROSS JOIN st CROSS JOIN av
+  CROSS JOIN st CROSS JOIN av{ttf_join}
   GROUP BY tf.doc_id
 )
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
@@ -1784,6 +1793,24 @@ def ib_ll_sql(query: str, k: int = 10) -> str:
     lam = "((dfs.df + 1) / (st.n + 1))"
     expr = f"(-ln({lam} / ({_TFN_H2} + {lam})))"
     return _simbase_dfr_sql(query, k, expr)
+
+
+_DFI_MEASURES = {
+    "chi_squared": "(((tf.tf - {e}) * (tf.tf - {e})) / {e})",
+    "standardized": "((tf.tf - {e}) / sqrt({e}))",
+    "saturated": "((tf.tf - {e}) / {e})",
+}
+
+
+def dfi_sql(query: str, k: int = 10, measure: str = "chi_squared") -> str:
+    """DFI oracle (DFISimilarity.java:54-64 +
+    Independence{{ChiSquared,Standardized,Saturated}}.java): expected =
+    (ttf+1)*docLen/(sumTtf+1); 0 when tf <= expected, else
+    log2(measure+1)."""
+    e = "((ttfs.ttf + 1) * lut.dld / (coll.sum_ttf + 1))"
+    m = _DFI_MEASURES[measure].format(e=e)
+    expr = f"(CASE WHEN tf.tf <= {e} THEN 0 ELSE log2({m} + 1) END)"
+    return _simbase_dfr_sql(query, k, expr, with_ttf=True)
 
 
 def bm25_phrase_pairs_sql(pairs, k: int = 10) -> str:

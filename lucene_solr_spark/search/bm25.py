@@ -295,3 +295,44 @@ def ib_ll_scores(
     ratio = (lam / (tfn + lam)).astype(np.float32)
     dist = (-np.log(ratio.astype(np.float64))).astype(np.float32)
     return (np.float32(boost) * dist).astype(np.float32)
+
+
+def dfi_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    ttf: int,
+    sum_ttf: int,
+    boost: float = 1.0,
+    measure: str = "chi_squared",
+) -> np.ndarray:
+    """DFISimilarity.score (similarities/DFISimilarity.java:54-64):
+    expected = (totalTermFreq+1) * docLen / (numberOfFieldTokens+1) —
+    Java long+1 converts to FLOAT, multiply then divide, each op float32;
+    score 0 when freq <= expected (hit kept, score zero), else
+    boost * (float)log2(measure(freq, expected) + 1) where the measure is
+    Independence{ChiSquared,Standardized,Saturated}.java:
+    chi² (f-e)²/e · standardized (f-e)/(float)sqrt(e) · saturated (f-e)/e,
+    every step float32, sqrt and log2 in double."""
+    f = np.asarray(freq, dtype=np.float32)
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    a = np.float32(ttf + 1)
+    b = np.float32(sum_ttf + 1)
+    expected = ((a * dl) / b).astype(np.float32)
+    diff = (f - expected).astype(np.float32)
+    if measure == "chi_squared":
+        m = ((diff * diff) / expected).astype(np.float32)
+    elif measure == "standardized":
+        root = np.sqrt(expected.astype(np.float64)).astype(np.float32)
+        m = (diff / root).astype(np.float32)
+    elif measure == "saturated":
+        m = (diff / expected).astype(np.float32)
+    else:
+        raise ValueError(f"unknown DFI independence measure: {measure}")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # lanes with freq <= expected can have measure+1 <= 0; they are
+        # masked to 0 below (the reference returns before the log)
+        s = (
+            np.log((m + np.float32(1.0)).astype(np.float64)) / _LN2
+        ).astype(np.float32)
+    s = (np.float32(boost) * s).astype(np.float32)
+    return np.where(f <= expected, np.float32(0.0), s).astype(np.float32)

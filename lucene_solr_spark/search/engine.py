@@ -1169,6 +1169,15 @@ class IndexSearcher:
                     collection_probability_f32(weights[t]["ttf"], self.sum_ttf)
                 )
                 weights[t]["boost"] = float(boost_map.get(t, 1.0))
+        elif spec.similarity.startswith("dfi_"):
+            # DFISimilarity (DFISimilarity.java): needs per-term ttf (already
+            # in the weights) plus numberOfFieldTokens = global sum_ttf
+            if spec.positional_terms:
+                raise ValueError("DFI similarities cover term clauses only")
+            boost_map = dict(spec.boosts)
+            for t in weights:
+                weights[t]["sum_ttf"] = int(self.sum_ttf)
+                weights[t]["boost"] = float(boost_map.get(t, 1.0))
         elif spec.similarity in ("dfr_inl2", "ib_ll"):
             # SimilarityBase DFR/IB models (DFRSimilarity.java /
             # IBSimilarity.java): need SimilarityBase's own float32
@@ -2053,6 +2062,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             next(w["simbase_avgdl"] for w in weights.values() if "simbase_avgdl" in w)
         )
         dfr_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
+    dfi = spec.similarity[len("dfi_"):] if spec.similarity.startswith("dfi_") else None
+    if dfi:
+        from .bm25 import dfi_scores
+
+        dfi_ttfs = {t: int(weights[t]["ttf"]) for t in weights}
+        dfi_sum_ttf = int(
+            next(w["sum_ttf"] for w in weights.values() if "sum_ttf" in w)
+        )
+        dfi_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
 
     def _term_score(t: str, freq: np.ndarray, nb: np.ndarray) -> np.ndarray:
         """Per-clause Similarity (the setSimilarity plug point): BM25's
@@ -2066,6 +2084,11 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         if dfr:
             return dfr_fn(
                 freq, nb, dfs[t], doc_count, dfr_av, boost=dfr_boosts[t]
+            )
+        if dfi:
+            return dfi_scores(
+                freq, nb, dfi_ttfs[t], dfi_sum_ttf,
+                boost=dfi_boosts[t], measure=dfi,
             )
         return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
     # PhraseWeight per clause: idfs summed over clause OCCURRENCES —

@@ -98,11 +98,12 @@ def oracle_lm_topk(
     k: int = 10,
 ) -> list[tuple[int, np.float32]]:
     """Control for the SimilarityBase models (LMDirichletSimilarity /
-    LMJelinekMercerSimilarity / DFR InL2 / IB LL): SHOULD-sum over
-    analyzed clauses, each clause scored by the model's formula over
-    (tf, norm byte, collection stats)."""
+    LMJelinekMercerSimilarity / DFR InL2 / IB LL / DFI ×3 independence
+    measures): SHOULD-sum over analyzed clauses, each clause scored by
+    the model's formula over (tf, norm byte, collection stats)."""
     from .bm25 import (
         collection_probability_f32,
+        dfi_scores,
         dfr_inl2_scores,
         ib_ll_scores,
         lm_dirichlet_scores,
@@ -126,6 +127,11 @@ def oracle_lm_topk(
         if similarity in ("dfr_inl2", "ib_ll"):
             fn = dfr_inl2_scores if similarity == "dfr_inl2" else ib_ll_scores
             s = fn(tf, norm, len(post), idx.doc_count, av32)
+        elif similarity.startswith("dfi_"):
+            s = dfi_scores(
+                tf, norm, sum(post.values()), idx.sum_ttf,
+                measure=similarity[len("dfi_"):],
+            )
         else:
             lm_fn = (
                 lm_dirichlet_scores

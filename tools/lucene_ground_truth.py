@@ -150,6 +150,12 @@ public class GroundTruthTopK {
           new org.apache.lucene.search.similarities.DistributionLL(),
           new org.apache.lucene.search.similarities.LambdaDF(),
           new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfi_chi_squared": return new org.apache.lucene.search.similarities.DFISimilarity(
+          new org.apache.lucene.search.similarities.IndependenceChiSquared());
+      case "dfi_standardized": return new org.apache.lucene.search.similarities.DFISimilarity(
+          new org.apache.lucene.search.similarities.IndependenceStandardized());
+      case "dfi_saturated": return new org.apache.lucene.search.similarities.DFISimilarity(
+          new org.apache.lucene.search.similarities.IndependenceSaturated());
       default: throw new IllegalArgumentException(name);
     }
   }
