@@ -101,6 +101,20 @@ def _with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """CPU-bound Arrow stages need >= cores input splits: a small test
+    corpus arrives as ONE parquet split, which would serialize the whole
+    Python stage on a single core. Round-robin the INPUT rows (one row
+    per doc — never the expanded grams/chunks) when the scan is narrower
+    than the cluster; at real scale the scan already has >= cores splits
+    and this is a no-op with no exchange added."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def shingle_rows(df: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> DataFrame:
     """(doc_id, s) word k-gram shingle rows via an Arrow-batched
     mapInPandas generator — ZERO shuffle: shingles are a per-row
@@ -131,7 +145,9 @@ def shingle_rows(df: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> D
                     ss.append(g)
             yield pd.DataFrame({"doc_id": ids, "s": ss})
 
-    return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, s string")
+    return _spread(df.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, s string"
+    )
 
 
 # SQL fragments shared by several oracles (DuckDB dialect).
@@ -282,13 +298,7 @@ def dedup_minhash_lsh(spark, sf):
                  "n": pd.Series(ns, dtype="Int64")}
             )
 
-    src = d.select("doc_id", "text")
-    # the Arrow passes are CPU-bound Python; small corpora arrive as a
-    # single parquet split, which would serialize them on one core. At
-    # real scale the input has >= cores splits and this is a no-op.
-    cores = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        src = src.repartition(cores)
+    src = _spread(d.select("doc_id", "text"))
     bands = src.mapInPandas(band_gen, "doc_id long, band int, bv string")
     shd = src.mapInPandas(shd_gen, "doc_id long, s string, n long").persist()
     a = bands.alias("a")
@@ -755,7 +765,9 @@ def simhash_fingerprints(df: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas with a per-batch word-hash cache (vocabulary
     is tiny relative to tokens, so the numpy inner loop is per-WORD, not
     per-token)."""
-    return df.select("doc_id", "text").mapInPandas(_simhash_map, schema=SIMHASH_SCHEMA)
+    return _spread(df.select("doc_id", "text")).mapInPandas(
+        _simhash_map, schema=SIMHASH_SCHEMA
+    )
 
 
 def dedup_simhash(spark, sf):
@@ -765,7 +777,11 @@ def dedup_simhash(spark, sf):
     The oracle runs the identical blocking, so candidates match by
     construction."""
     d = _docs(spark, sf)
-    fp = simhash_fingerprints(d)
+    # persist: the blocking self-join reads the fingerprints twice, and
+    # without a cache each side re-runs the Arrow fingerprinting stage
+    # over the full corpus. The cached table is doc_id + two longs —
+    # ~16 bytes/doc, negligible next to the corpus at any scale
+    fp = simhash_fingerprints(d).persist()
     # 8-bit chunks c0..c3 from lo, c4..c7 from hi (integer arithmetic so
     # the SQL mirror is exact)
     half = SIMHASH_N_CHUNKS // 2
@@ -1069,8 +1085,7 @@ def _assigned_emb(spark, sf, C: "np.ndarray") -> DataFrame:
             yield pdf.assign(bucket=np.argmax(V @ Cb.value.T, axis=1).astype("int32"))
 
     out = _with_demb(
-        _emb(spark, sf)
-        .select("vec_id", "embedding")
+        _spread(_emb(spark, sf).select("vec_id", "embedding"))
         .mapInPandas(assign, "vec_id long, embedding array<float>, bucket int")
     ).persist()
     _ANN_ASSIGN_CACHE[key] = out
@@ -1824,7 +1839,7 @@ def multimodal_decode(spark, sf):
     decoders genuinely parse the binary (headers, padding, chunk walks —
     see _decode_bmp/_decode_wav). Zero shuffle end-to-end; the oracle
     recomputes every decoded field arithmetically from doc_id."""
-    d = _docs(spark, sf).select("doc_id")
+    d = _spread(_docs(spark, sf).select("doc_id"))
     payloads = d.mapInPandas(_mm_synth_map, schema="doc_id long, payload binary")
     return payloads.mapInPandas(_mm_decode_map, schema=MM_SCHEMA).orderBy("doc_id")
 
