@@ -1619,11 +1619,135 @@ WHERE distance <= 1 ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+#: WordBreakSpellChecker demo inputs: misspelled run-together words that
+#: split into dictionary terms ("bigdata" -> big data), one with a
+#: stopword-absorbed piece ("apart" -> a|part; 'a' is stopped out of the
+#: dictionary, so no suggestion — the df>=minSuggestionFrequency rule),
+#: and one already IN the index ("spark" — SUGGEST_WHEN_NOT_IN_INDEX
+#: returns nothing for it).
+WORDBREAK_TERMS = ["bigdata", "hashjoin", "sortkey", "apart", "spark"]
+#: suggestWordCombinations input sequence: adjacent pairs concatenate;
+#: val+ue and win+dow land in the dictionary, ue+win does not.
+WORDCOMBINE_TERMS = ["val", "ue", "win", "dow"]
+
+
+def suggest_wordbreak(spark, sf):
+    """WordBreakSpellChecker (lucene/suggest/src/java/org/apache/lucene/
+    search/spell/WordBreakSpellChecker.java). Break direction =
+    suggestWordBreaks (:93-130, :257-306): maxChanges=1 -> a single split
+    point i in 1..len-1 (minBreakWordLength=1), BOTH pieces must be
+    dictionary terms with df >= minSuggestionFrequency(=1), and
+    SUGGEST_WHEN_NOT_IN_INDEX drops query terms that are already indexed
+    (:113-115); suggestion score = number of breaks, ranked fewest words
+    then max piece frequency (LengthThenMaxFreqComparator :445-457).
+    Combine direction = suggestWordCombinations (:160-245): ADJACENT
+    input terms concatenate (maxChanges=1 -> pairs); the combined term
+    must be indexed and at least one component absent (minFreq==0).
+    Everything is a term-dictionary metadata scan joined against a
+    broadcast literal of the bounded split/pair candidates — the corpus
+    is never read. PQ ties are insertion-order in the reference
+    (unspecified); canonicalized here as term ASC."""
+    from .index_access import searcher_for
+
+    ts = searcher_for(spark, sf)._term_stats.select("term", "df")
+    split_rows = [
+        (q, q[:i], q[i:])
+        for q in WORDBREAK_TERMS
+        for i in range(1, len(q))
+    ]
+    splits = spark.createDataFrame(
+        split_rows, "qterm string, lpiece string, rpiece string"
+    )
+    lstats = ts.select(F.col("term").alias("lpiece"), F.col("df").alias("df_l"))
+    rstats = ts.select(F.col("term").alias("rpiece"), F.col("df").alias("df_r"))
+    breaks = (
+        lstats.join(F.broadcast(splits), "lpiece")
+        .join(F.broadcast(rstats), "rpiece")
+        .join(
+            ts.select(F.col("term").alias("qterm")), "qterm", "left_anti"
+        )  # SUGGEST_WHEN_NOT_IN_INDEX
+        .select(
+            F.lit("wordbreak").alias("variant"),
+            F.concat_ws(" ", "lpiece", "rpiece").alias("term"),
+            F.greatest("df_l", "df_r").cast("long").alias("df"),  # freqMax
+            F.lit(1).cast("int").alias("distance"),  # number of breaks
+        )
+    )
+    pair_rows = [
+        (a, b, a + b)
+        for a, b in zip(WORDCOMBINE_TERMS, WORDCOMBINE_TERMS[1:])
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows, "cleft string, cright string, combined string"
+    )
+    cstats = ts.select(F.col("term").alias("combined"), F.col("df").alias("df_c"))
+    lpres = ts.select(F.col("term").alias("cleft"), F.lit(1).alias("l_in"))
+    rpres = ts.select(F.col("term").alias("cright"), F.lit(1).alias("r_in"))
+    combines = (
+        cstats.join(F.broadcast(pairs), "combined")
+        .join(F.broadcast(lpres), "cleft", "left")
+        .join(F.broadcast(rpres), "cright", "left")
+        .filter(F.col("l_in").isNull() | F.col("r_in").isNull())  # minFreq==0
+        .select(
+            F.lit("wordcombine").alias("variant"),
+            F.col("combined").alias("term"),
+            F.col("df_c").cast("long").alias("df"),
+            F.lit(1).cast("int").alias("distance"),  # numCombinations-1
+        )
+    )
+    return breaks.unionByName(combines).orderBy("variant", "term")
+
+
+def _wb_splits_values() -> str:
+    return ",".join(
+        f"('{q}','{q[:i]}','{q[i:]}')"
+        for q in WORDBREAK_TERMS
+        for i in range(1, len(q))
+    )
+
+
+def _wb_pairs_values() -> str:
+    return ",".join(
+        f"('{a}','{b}','{a}{b}')"
+        for a, b in zip(WORDCOMBINE_TERMS, WORDCOMBINE_TERMS[1:])
+    )
+
+
+SUGGEST_WORDBREAK_SQL = f"""
+WITH dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' AND term NOT IN {_stoplist_in()}
+  GROUP BY term
+),
+splits(qterm, lpiece, rpiece) AS (VALUES {{wb_splits}}),
+pairs(cleft, cright, combined) AS (VALUES {{wb_pairs}})
+SELECT 'wordbreak' AS variant,
+       s.lpiece || ' ' || s.rpiece AS term,
+       CAST(greatest(l.df, r.df) AS BIGINT) AS df,
+       CAST(1 AS INTEGER) AS distance
+FROM splits s
+JOIN dict l ON l.term = s.lpiece
+JOIN dict r ON r.term = s.rpiece
+WHERE NOT EXISTS (SELECT 1 FROM dict q WHERE q.term = s.qterm)
+UNION ALL
+SELECT 'wordcombine' AS variant, p.combined AS term,
+       CAST(c.df AS BIGINT) AS df, CAST(1 AS INTEGER) AS distance
+FROM pairs p
+JOIN dict c ON c.term = p.combined
+WHERE NOT EXISTS (SELECT 1 FROM dict x WHERE x.term = p.cleft)
+   OR NOT EXISTS (SELECT 1 FROM dict y WHERE y.term = p.cright)
+""".replace("{wb_splits}", _wb_splits_values()).replace(
+    "{wb_pairs}", _wb_pairs_values()
+)
+
+
 def suggest_combined(spark, sf):
     """Prefix suggest + infix suggest + DirectSpellChecker + FuzzySuggester
-    as one tagged union — all four read only the term dictionary; same
-    50-row-gate consolidation as `facets` (the individual fns remain
-    public API). distance = -1 for variants with no edit distance."""
+    + WordBreakSpellChecker (break + combine directions) as one tagged
+    union — all read only the term dictionary; same 50-row-gate
+    consolidation as `facets` (the individual fns remain public API).
+    distance = -1 for variants with no edit distance."""
     s1 = suggest_prefix(spark, sf).select(
         F.lit("prefix").alias("variant"),
         "term",
@@ -1648,7 +1772,11 @@ def suggest_combined(spark, sf):
         F.col("df").cast("long").alias("df"),
         F.col("distance").cast("int").alias("distance"),
     )
-    return s1.unionByName(s2).unionByName(s3).unionByName(s4).orderBy("variant", "term")
+    s5 = suggest_wordbreak(spark, sf)
+    return (
+        s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+        .orderBy("variant", "term")
+    )
 
 
 SUGGEST_COMBINED_SQL = f"""
@@ -1664,6 +1792,8 @@ SELECT * FROM (
   UNION ALL
   SELECT 'fuzzy' AS variant, term, CAST(df AS BIGINT) AS df, CAST(distance AS INTEGER) AS distance
   FROM ({SUGGEST_FUZZY_SQL})
+  UNION ALL
+  SELECT * FROM ({SUGGEST_WORDBREAK_SQL})
 ) ORDER BY variant, term
 """
 

@@ -165,6 +165,29 @@ def test_suggest_fuzzy_reads_term_stats_only(spark):
     assert "levenshtein" in plan
 
 
+def test_suggest_wordbreak_semantics_and_plan(spark):
+    """WordBreakSpellChecker variant: (a) term-dict-only — the corpus is
+    never scanned, the literal split/pair candidates are broadcast; (b)
+    semantics — run-together words split into dictionary pieces, terms
+    already in the index are skipped (SUGGEST_WHEN_NOT_IN_INDEX), splits
+    with a stopped-out piece are dropped (df >= minSuggestionFrequency),
+    adjacent-term combinations must land in the dictionary with at least
+    one absent component."""
+    df = R.suggest_wordbreak(spark, SF)
+    plan = _plan(df)
+    assert "term_stats" in plan
+    assert "documents" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = {(r["variant"], r["term"]) for r in df.collect()}
+    breaks = {t for v, t in rows if v == "wordbreak"}
+    combos = {t for v, t in rows if v == "wordcombine"}
+    assert breaks == {"big data", "hash join", "sort key"}
+    assert combos == {"value", "window"}
+    # 'spark' is indexed -> suggestWordBreaks returns nothing for it;
+    # 'apart' splits to a|part but 'a' is stopped out of the dictionary
+    assert not any(t.startswith("spark") or t == "a part" for t in breaks)
+
+
 def test_fuzzy_like_this_expansion_is_metadata_only(spark):
     """FuzzyLikeThisQuery's expansion never scans the corpus: the variant
     lookup is a term_stats metadata query; only the final boosted scorer
