@@ -133,6 +133,9 @@ TERM_AUTOMATON_QUERIES = {
 }
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
+# SweetSpotSimilarity (lucene/misc): BOTH halves of setSimilarity — the
+# index-time plateau lengthNorm (its own secondary index) + baselineTf
+SWEETSPOT_QUERIES = {"sweetspot_tfidf": "spark merge vector"}
 # SimilarityBase LM models through the same plug point: collection-
 # probability stats (ttf/sumTotalTermFreq) + SimilarityBase norm decode
 LM_QUERIES = {
@@ -420,6 +423,22 @@ def _common_terms_oracle_split(query: str, max_tf: float) -> tuple[list, list]:
     return low, high
 
 
+def _sweetspot_query_fn(query: str):
+    """SweetSpotSimilarity end-to-end: the query runs against the
+    secondary index whose norms the plateau lengthNorm wrote (index-time
+    half), scored with baselineTf/idf^2/coord (search-time half)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.analysis.tokenizer import analyze
+        from lucene_solr_spark.ops.index_access import sweetspot_searcher_for
+        from lucene_solr_spark.search.engine import BooleanSpec
+
+        s = sweetspot_searcher_for(spark, sf_dir)
+        spec = BooleanSpec(should=tuple(analyze(query)), similarity="sweetspot")
+        return _ranked(s.topk_spec(spec, k=10))
+
+    return run
+
+
 def _classic_query_fn(query: str, similarity: str = "classic"):
     """A non-default Similarity through the SAME scorer path — the
     IndexSearcher.setSimilarity plug point (§2.10): ClassicSimilarity
@@ -556,6 +575,10 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _boost_query_fn(boosts), bm25_boosted_sql(boosts, k=10)))
     for name, q in CLASSIC_QUERIES.items():
         scoring.append((name, _classic_query_fn(q), classic_tfidf_sql(q, k=10)))
+    for name, q in SWEETSPOT_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import sweetspot_tfidf_sql
+
+        scoring.append((name, _sweetspot_query_fn(q), sweetspot_tfidf_sql(q, k=10)))
     for name, (q, sim) in LM_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import (
             dfi_sql,

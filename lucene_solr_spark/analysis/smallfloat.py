@@ -61,3 +61,45 @@ def encode_norm(field_len: np.ndarray) -> np.ndarray:
     with np.errstate(divide="ignore"):
         v = (np.float32(1.0) / np.sqrt(fl).astype(np.float32)).astype(np.float32)
     return float_to_byte315(v)
+
+
+#: SweetSpotSimilarity demo parameters (setLengthNormFactors): the
+#: plateau of "equally good" field lengths. Recorded in the index
+#: manifest under norm='sweetspot'.
+SWEETSPOT_LN_MIN = 3
+SWEETSPOT_LN_MAX = 10
+SWEETSPOT_LN_STEEP = 0.5
+
+
+def sweetspot_encode_norm(
+    field_len: np.ndarray,
+    ln_min: int = SWEETSPOT_LN_MIN,
+    ln_max: int = SWEETSPOT_LN_MAX,
+    steep: float = SWEETSPOT_LN_STEEP,
+) -> np.ndarray:
+    """SweetSpotSimilarity.computeLengthNorm + encodeNormValue
+    (lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java:136-152):
+    (float)(1.0f / sqrt(s * (float)(|x-l| + |x-h| - (h-l)) + 1.0f)) — the
+    abs sum is INT arithmetic cast to float, the multiply/add are
+    float32, the sqrt is double, one final cast to float — then
+    floatToByte315 (TFIDFSimilarity.encodeNormValue). Index-time: this
+    IS the norm byte written when the writer's similarity is SweetSpot."""
+    x = np.asarray(field_len, dtype=np.int64)
+    intpart = (np.abs(x - ln_min) + np.abs(x - ln_max) - (ln_max - ln_min)).astype(
+        np.float32
+    )
+    inner = (np.float32(steep) * intpart + np.float32(1.0)).astype(np.float32)
+    v = (
+        np.float64(1.0) / np.sqrt(inner.astype(np.float64))
+    ).astype(np.float32)
+    return float_to_byte315(v)
+
+
+#: IndexWriterConfig.setSimilarity norm plug: similarity name -> the
+#: index-time norm-byte encoder (TFIDFSimilarity.computeNorm). 'bm25'
+#: doubles for every search-time model that shares the 1/sqrt(len)
+#: encoding (classic / LM / DFR / IB / DFI in this reference version).
+NORM_ENCODERS = {
+    "bm25": encode_norm,
+    "sweetspot": sweetspot_encode_norm,
+}

@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis.smallfloat import encode_norm
 from ..analysis.tokenizer import analyze_batch
 from .codec import delta_encode, vbyte_encode
 
@@ -226,25 +225,28 @@ def assign_doc_ids(
     return out.drop("_bucket")
 
 
-def _analysis_udf(analyzer: str = "standard"):
+def _analysis_udf(analyzer: str = "standard", norm: str = "bm25"):
     @F.pandas_udf("field_len int, norm_byte int")
     def analysis(content: pd.Series) -> pd.DataFrame:
+        from ..analysis.smallfloat import NORM_ENCODERS
         from ..analysis.tokenizer import token_table
 
+        encoder = NORM_ENCODERS[norm]
         texts = content.tolist()
         table = token_table(texts, analyzer=analyzer)
         lens = (
             np.zeros(len(texts), dtype=np.int32) if table is None else table[4]
         )
         return pd.DataFrame(
-            {"field_len": lens, "norm_byte": encode_norm(lens).astype(np.int32)}
+            {"field_len": lens, "norm_byte": encoder(lens).astype(np.int32)}
         )
 
     return analysis
 
 
 def build_docs_table(
-    df: DataFrame, content_col: str, meta_cols: list[str], analyzer: str = "standard"
+    df: DataFrame, content_col: str, meta_cols: list[str],
+    analyzer: str = "standard", norm: str = "bm25",
 ) -> DataFrame:
     """docs: (doc_id, *meta, sha256, field_len, norm_byte).
 
@@ -254,7 +256,7 @@ def build_docs_table(
     return (
         df.select("doc_id", *meta_cols, F.col(content_col).alias("_content"))
         .withColumn("sha256", F.sha2(F.col("_content"), 256))
-        .withColumn("_a", _analysis_udf(analyzer)(F.col("_content")))
+        .withColumn("_a", _analysis_udf(analyzer, norm)(F.col("_content")))
         .withColumn("field_len", F.col("_a.field_len"))
         .withColumn("norm_byte", F.col("_a.norm_byte"))
         .drop("_content", "_a")
@@ -266,6 +268,7 @@ def _make_fragments_fn(
     range_size: int,
     analyzer: str = "standard",
     payloads: bool = False,
+    norm: str = "bm25",
 ):
     def fragments(iterator):
         """DWPT analog, fully vectorized: each Arrow batch becomes one set of
@@ -305,7 +308,9 @@ def _make_fragments_fn(
                     f"{MAX_FIELD_POSITION} (~4.19M tokens/doc); truncate the "
                     "document or raise the engine's position width"
                 )
-            norms = encode_norm(flens)
+            from ..analysis.smallfloat import NORM_ENCODERS
+
+            norms = NORM_ENCODERS[norm](flens)
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
             d2 = doc_ids[drep]
             nb2 = norms[drep]
@@ -611,6 +616,7 @@ def build_index(
     fingerprint: str = "",
     overwrite: bool = False,
     analyzer: str = "standard",
+    norm: str = "bm25",
 ) -> IndexPaths:
     """Build the full index. Resumable: completed stages (matching manifest
     fingerprint) are skipped — kill the job at any stage boundary and re-run.
@@ -619,7 +625,16 @@ def build_index(
     reference passes the Analyzer into the writer config): 'standard'
     (default) / 'whitespace' / 'simple' / 'keyword' per the
     analysis.tokenizer.ANALYZERS registry. The name is recorded in the
-    postings manifest so readers analyze queries with the SAME chain."""
+    postings manifest so readers analyze queries with the SAME chain.
+
+    `norm` is the IndexWriterConfig.setSimilarity INDEX-TIME half of the
+    similarity plug point (TFIDFSimilarity.computeNorm writes the norm
+    byte at index time): 'bm25' (1/sqrt(len), shared by every model in
+    this reference that encodes 1/sqrt) or 'sweetspot'
+    (SweetSpotSimilarity.computeLengthNorm's plateau). Recorded in the
+    manifest; the searcher refuses a query-time similarity whose norms
+    don't match the index, mirroring the Lucene rule that index- and
+    search-time Similarity must agree."""
     if not fingerprint:
         # an empty fingerprint would compare equal to any prior ""-manifest
         # and silently serve a stale index for a different source
@@ -650,7 +665,9 @@ def build_index(
         # no exchange after the analysis UDF: a repartitionByRange here would
         # EXECUTE THE UDF TWICE (range sampling runs the child plan) and cap
         # write parallelism; base partitions are written as-is
-        docs = build_docs_table(base, content_col, meta_cols, analyzer=analyzer)
+        docs = build_docs_table(
+            base, content_col, meta_cols, analyzer=analyzer, norm=norm
+        )
         docs.write.mode("overwrite").parquet(paths.docs)
         n_docs = spark.read.parquet(paths.docs).count()
         _write_manifest(
@@ -669,6 +686,7 @@ def build_index(
             _make_fragments_fn(
                 content_col, range_size, analyzer,
                 payloads=analyzer in PAYLOAD_ANALYZERS,
+                norm=norm,
             ),
             schema=FRAGMENT_SCHEMA,
         )
@@ -696,6 +714,7 @@ def build_index(
             {"fingerprint": fingerprint, "wall_s": time.time() - t, "range_size": range_size,
              "n_term_buckets": n_term_buckets, "block_size": BLOCK_SIZE,
              "analyzer": analyzer,
+             "norm": norm,
              # IndexWriterConfig.setIndexSort analog: with assign_doc_ids
              # every segment (bucket partition) is written sorted by
              # order_cols, which EarlyTerminatingSortingCollector needs;

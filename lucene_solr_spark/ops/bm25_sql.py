@@ -32,11 +32,13 @@ B = 0.75
 MAX_DL = 1 << 20
 
 
-def _lut_rows(values_of_byte: np.ndarray) -> list[tuple[int, int, float]]:
+def _lut_rows(values_of_byte: np.ndarray, encoder=encode_norm) -> list[tuple[int, int, float]]:
     """(dl_lo, dl_hi, value) ranges covering dl in [0, MAX_DL] for any
-    per-norm-byte value table (the byte is a monotone step fn of dl)."""
+    per-norm-byte value table under any norm-byte encoder (cuts at every
+    byte change, so non-monotone encoders like the sweetspot plateau work
+    too)."""
     dl = np.arange(0, MAX_DL + 1, dtype=np.int64)
-    bytes_ = encode_norm(dl)
+    bytes_ = encoder(dl)
     vals = values_of_byte[bytes_].astype(np.float64)
     cuts = np.flatnonzero(np.diff(bytes_.astype(np.int32))) + 1
     starts = np.concatenate(([0], cuts))
@@ -80,6 +82,25 @@ def simbase_norm_lut_values_sql() -> str:
 
 def classic_norm_lut_values_sql() -> str:
     rows = ",".join(f"({lo},{hi},{v!r})" for lo, hi, v in classic_norm_lut_rows())
+    return f"(VALUES {rows})"
+
+
+@lru_cache(maxsize=1)
+def sweetspot_norm_lut_rows() -> list[tuple[int, int, float]]:
+    """SweetSpot decode: norm byte written by the plateau
+    computeLengthNorm encoder, decoded with byte315ToFloat (SweetSpot
+    extends ClassicSimilarity). NOT monotone in dl: the plateau [3,10]
+    holds norm 1.0 with falloff on both sides."""
+    from ..analysis.smallfloat import byte315_to_float, sweetspot_encode_norm
+
+    return _lut_rows(
+        byte315_to_float(np.arange(256, dtype=np.uint8)),
+        encoder=sweetspot_encode_norm,
+    )
+
+
+def sweetspot_norm_lut_values_sql() -> str:
+    rows = ",".join(f"({lo},{hi},{v!r})" for lo, hi, v in sweetspot_norm_lut_rows())
     return f"(VALUES {rows})"
 
 
@@ -1641,6 +1662,57 @@ scored AS (
   JOIN dfs USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
   JOIN cnorm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def sweetspot_tfidf_sql(query: str, k: int = 10) -> str:
+    """SweetSpotSimilarity oracle (lucene/misc/SweetSpotSimilarity.java):
+    ClassicSimilarity's idf^2 and coord, baselineTf in place of sqrt(tf)
+    (tf<=2 -> 1.5, else sqrt(tf + 1.5^2 - 2); :176-184), and a length
+    norm decoded from bytes the PLATEAU computeLengthNorm wrote at index
+    time (setLengthNormFactors(3,10,0.5); :136-152). queryNorm is a
+    per-query constant — rank-only, omitted."""
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    baseline_tf = "(CASE WHEN tf.tf <= 2.0 THEN 1.5 ELSE sqrt(tf.tf + 2.25 - 2.0) END)"
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+ssnorm_lut(dl_lo, dl_hi, ssnorm) AS (SELECT * FROM {sweetspot_norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           {baseline_tf}
+           * pow(ln((s.n + 1) / (dfs.df + 1)) + 1.0, 2)
+           * lut.ssnorm
+         ) * (CASE WHEN {len(terms)} > 1 THEN count(*) * 1.0 / {len(terms)} ELSE 1.0 END) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN ssnorm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
   CROSS JOIN stats s
   GROUP BY tf.doc_id
 )

@@ -81,6 +81,37 @@ def ordered_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def sweetspot_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Secondary index whose norm bytes were written by
+    SweetSpotSimilarity's plateau computeLengthNorm (the INDEX-TIME half
+    of IndexWriterConfig.setSimilarity — norms are an index artifact, so
+    a different lengthNorm means a different index, exactly as in
+    Lucene). Queries against it must use similarity='sweetspot'; the
+    searcher enforces the match."""
+    key = os.path.abspath(sf_dir) + "#sweetspot"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark,
+        src,
+        out_dir=idx_dir,
+        content_col="text",
+        doc_id_col="doc_id",
+        meta_cols=["lang", "source"],
+        range_size=512,
+        fingerprint=key,
+        norm="sweetspot",
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _SEARCHERS[key] = s
+    return s
+
+
 def payload_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Payload-field index over documents: the text is annotated with
     deterministic float payloads ('tok|0.75') and indexed through the

@@ -297,6 +297,30 @@ def ib_ll_scores(
     return (np.float32(boost) * dist).astype(np.float32)
 
 
+#: SweetSpotSimilarity.setBaselineTfFactors demo parameters.
+SWEETSPOT_TF_BASE = np.float32(1.5)
+SWEETSPOT_TF_MIN = np.float32(2.0)
+
+
+def sweetspot_baseline_tf(
+    freq: np.ndarray,
+    base: np.float32 = SWEETSPOT_TF_BASE,
+    tf_min: np.float32 = SWEETSPOT_TF_MIN,
+) -> np.ndarray:
+    """SweetSpotSimilarity.baselineTf (SweetSpotSimilarity.java:176-184):
+    0 at freq==0; base when freq <= min; else
+    (float)sqrt(freq + base*base - min) — the inner sum is float32
+    arithmetic, the sqrt double, one cast back."""
+    f = np.asarray(freq, dtype=np.float32)
+    inner = ((f + np.float32(base) * np.float32(base)) - np.float32(tf_min)).astype(
+        np.float32
+    )
+    with np.errstate(invalid="ignore"):
+        out = np.sqrt(inner.astype(np.float64)).astype(np.float32)
+    out = np.where(f <= np.float32(tf_min), np.float32(base), out)
+    return np.where(f == np.float32(0.0), np.float32(0.0), out).astype(np.float32)
+
+
 def dfi_scores(
     freq: np.ndarray,
     norm_byte: np.ndarray,

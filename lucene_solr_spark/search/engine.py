@@ -408,6 +408,11 @@ class IndexSearcher:
         # the index's analysis chain (IndexWriterConfig(Analyzer) analog):
         # query strings MUST be analyzed with the same chain
         self.analyzer = pm.get("analyzer", "standard")
+        # IndexWriterConfig.setSimilarity's index-time half: which norm
+        # encoder wrote this index's norm bytes ('bm25' = 1/sqrt(len),
+        # 'sweetspot' = the plateau lengthNorm). Query-time similarity
+        # must agree — see _check_norm_compatible
+        self.norm = pm.get("norm", "bm25")
         self._range_size = int(pm.get("range_size", 8192))
         # IndexWriterConfig.setIndexSort analog (see builder): non-empty
         # means every segment file is sorted by these columns
@@ -1128,8 +1133,18 @@ class IndexSearcher:
         are identical to an unrestricted run."""
         if not spec.scoring_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # index-time/search-time similarity agreement (Lucene requires the
+        # SAME Similarity at IndexWriterConfig and IndexSearcher): an index
+        # whose norm bytes encode SweetSpot's plateau cannot be scored by a
+        # 1/sqrt(len) model, and vice versa — fail loudly, never mis-score
+        want = "sweetspot" if spec.similarity == "sweetspot" else "bm25"
+        if self.norm != want:
+            raise ValueError(
+                f"index norms were written with norm='{self.norm}' but the "
+                f"query similarity '{spec.similarity}' expects '{want}'"
+            )
         weights = self.term_weights(list(spec.all_terms))
-        if spec.similarity == "classic":
+        if spec.similarity in ("classic", "sweetspot"):
             # Similarity plug point: swap the per-term weightValue for
             # ClassicSimilarity's queryNorm * boost * idf^2 (same stats,
             # same scorer). This reference still applies queryNorm
@@ -2043,9 +2058,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     dfs = {t: weights[t]["df"] for t in weights}
     wvs = {t: np.float32(weights[t]["weight_value"]) for t in weights}
     cache = norm_cache(np.float32(avgdl))  # identical to the global 256-float cache
-    classic = spec.similarity == "classic"
+    # SweetSpotSimilarity extends ClassicSimilarity: same weights
+    # (queryNorm * boost * idf^2), same decode table, same coord — only
+    # the tf function (baselineTf) and the INDEX-TIME norm byte differ
+    classic = spec.similarity in ("classic", "sweetspot")
+    sweetspot = spec.similarity == "sweetspot"
     if classic:
         from .bm25 import CLASSIC_DECODE
+    if sweetspot:
+        from .bm25 import sweetspot_baseline_tf
     lm = spec.similarity if spec.similarity.startswith("lm_") else None
     if lm:
         from .bm25 import lm_dirichlet_scores, lm_jelinek_mercer_scores
@@ -2078,7 +2099,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         decodedLengthNorm (TFIDFSimilarity.TFIDFSimScorer.score), or a
         SimilarityBase LM model (LMDirichlet / LMJelinekMercer)."""
         if classic:
-            return (np.sqrt(freq) * wvs[t] * CLASSIC_DECODE[nb]).astype(np.float32)
+            tf_vals = sweetspot_baseline_tf(freq) if sweetspot else np.sqrt(freq)
+            return (tf_vals * wvs[t] * CLASSIC_DECODE[nb]).astype(np.float32)
         if lm:
             return lm_fn(freq, nb, lm_ps[t], boost=lm_boosts[t])
         if dfr:

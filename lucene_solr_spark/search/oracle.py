@@ -37,15 +37,20 @@ class OracleIndex:
         return avgdl_f32(self.sum_ttf, self.doc_count)
 
 
-def build_oracle_index(docs: list[tuple[int, str]]) -> OracleIndex:
-    """docs: [(doc_id, content)] with deterministic, dense-ish doc_ids."""
+def build_oracle_index(docs: list[tuple[int, str]], norm: str = "bm25") -> OracleIndex:
+    """docs: [(doc_id, content)] with deterministic, dense-ish doc_ids.
+    `norm` picks the index-time norm encoder (setSimilarity's computeNorm
+    half): 'bm25' 1/sqrt(len) or 'sweetspot' plateau lengthNorm."""
+    from ..analysis.smallfloat import NORM_ENCODERS
+
+    encoder = NORM_ENCODERS[norm]
     idx = OracleIndex()
     for doc_id, content in docs:
         pos_map, flen = analyze_with_positions(content or "")
         idx.doc_count += 1
         idx.sum_ttf += flen
         idx.field_len[doc_id] = flen
-        idx.norm_bytes[doc_id] = int(encode_norm(np.array([flen]))[0])
+        idx.norm_bytes[doc_id] = int(encoder(np.array([flen]))[0])
         for term, plist in pos_map.items():
             idx.postings.setdefault(term, {})[doc_id] = len(plist)
             idx.positions.setdefault(term, {})[doc_id] = plist
@@ -147,6 +152,56 @@ def oracle_lm_topk(
     order = np.lexsort((docs, -scores.astype(np.float64)))
     top = order[:k]
     return [(int(docs[i]), np.float32(scores[i])) for i in top]
+
+
+def oracle_sweetspot_topk(
+    idx: OracleIndex, query: str, k: int = 10
+) -> list[tuple[int, np.float32]]:
+    """Control for SweetSpotSimilarity (lucene/misc/SweetSpotSimilarity.java):
+    ClassicSimilarity scoring — queryNorm * boost * idf^2 weights, coord —
+    with baselineTf in place of sqrt(tf) and norm bytes that were WRITTEN
+    by the sweetspot plateau lengthNorm (build_oracle_index(norm=
+    'sweetspot')); duplicate query terms = duplicate clauses."""
+    from .bm25 import (
+        CLASSIC_DECODE,
+        classic_idf_f32,
+        classic_query_norm,
+        classic_weight_value,
+        sweetspot_baseline_tf,
+    )
+
+    terms = analyze(query)
+    if not terms:
+        return []
+    cand = set.union(*[set(idx.postings.get(t, {})) for t in set(terms)])
+    if not cand:
+        return []
+    docs = np.array(sorted(cand), dtype=np.int64)
+    nb = np.array([idx.norm_bytes[d] for d in docs], dtype=np.uint8)
+    qn = classic_query_norm(
+        (classic_idf_f32(len(idx.postings.get(t, {})), idx.doc_count), 1.0)
+        for t in terms
+    )
+    per_clause = []
+    overlap = np.zeros(docs.size, dtype=np.int32)
+    for t in terms:
+        post = idx.postings.get(t, {})
+        tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
+        wv = classic_weight_value(
+            len(post), idx.doc_count, query_norm=float(qn)
+        )
+        s = (sweetspot_baseline_tf(tf) * wv * CLASSIC_DECODE[nb]).astype(np.float32)
+        s[tf == 0] = np.float32(0.0)
+        overlap += (tf > 0).astype(np.int32)
+        per_clause.append(s)
+    scores = combine_scores(per_clause)
+    if len(terms) > 1:
+        coords = (
+            np.arange(len(terms) + 1, dtype=np.float32) / np.float32(len(terms))
+        ).astype(np.float32)
+        scores = (scores * coords[overlap]).astype(np.float32)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(int(docs[i]), np.float32(scores[i])) for i in order]
 
 
 def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.float32]]:

@@ -269,9 +269,10 @@ def apply_increment(
         # is fixed for the index lifetime) — a 'standard' default here
         # would silently mix chains on non-standard indexes
         analyzer = pm.get("analyzer", "standard")
-        build_docs_table(base, content_col, mc, analyzer=analyzer).write.mode(
-            "overwrite"
-        ).parquet(st_docs)
+        norm = pm.get("norm", "bm25")  # setSimilarity is index-lifetime too
+        build_docs_table(
+            base, content_col, mc, analyzer=analyzer, norm=norm
+        ).write.mode("overwrite").parquet(st_docs)
 
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from ..analysis.tokenizer import PAYLOAD_ANALYZERS
@@ -280,6 +281,7 @@ def apply_increment(
             _make_fragments_fn(
                 content_col, range_size, analyzer,
                 payloads=analyzer in PAYLOAD_ANALYZERS,
+                norm=norm,
             ),
             schema=FRAGMENT_SCHEMA,
         )

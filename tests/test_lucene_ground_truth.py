@@ -365,6 +365,42 @@ def test_similarities_match_compiled_reference(sim):
             _assert_topk_equal(fn(), exp, (sim, corpus_round, qline))
 
 
+def test_sweetspot_matches_compiled_reference():
+    """SweetSpotSimilarity (lucene/misc) through BOTH halves of the plug
+    point: index-time norms written by the plateau computeLengthNorm
+    (setLengthNormFactors(3,10,0.5)) and search-time baselineTf scoring
+    (setBaselineTfFactors(1.5,2)) — the compiled binary indexes and
+    searches with the same SweetSpot instance; our control oracle builds
+    its index with norm='sweetspot' and must match docids + float32
+    scores bit-for-bit (TERM and OR, coord + queryNorm included)."""
+    from lucene_solr_spark.search.oracle import (
+        build_oracle_index,
+        oracle_sweetspot_topk,
+    )
+
+    rng = random.Random(0x55E7)
+    for corpus_round in range(3):
+        n_docs = rng.randint(5, 25)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)), norm="sweetspot")
+        queries, fns = [], []
+        for _ in range(15):
+            if rng.random() < 0.4:
+                ts = [rng.choice(VOCAB)]
+                queries.append(f"TERM {ts[0]}")
+            else:
+                ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 4))]
+                queries.append(f"OR {' '.join(ts)}")
+            fns.append(lambda ts=ts: oracle_sweetspot_topk(idx, " ".join(ts), k=10))
+        expected = gt.run_topk(docs, queries, sim="sweetspot")
+        assert len(expected) == len(queries)
+        for qline, fn, exp in zip(queries, fns, expected):
+            _assert_topk_equal(fn(), exp, ("sweetspot", corpus_round, qline))
+
+
 def test_boosts_match_compiled_reference():
     """BoostQuery over terms (SHOULD-combined) and over a PhraseQuery:
     weight = (float)(idf*boost) BEFORE the (k1+1) multiply

@@ -156,6 +156,13 @@ public class GroundTruthTopK {
           new org.apache.lucene.search.similarities.IndependenceStandardized());
       case "dfi_saturated": return new org.apache.lucene.search.similarities.DFISimilarity(
           new org.apache.lucene.search.similarities.IndependenceSaturated());
+      case "sweetspot": {
+        org.apache.lucene.misc.SweetSpotSimilarity ss =
+            new org.apache.lucene.misc.SweetSpotSimilarity();
+        ss.setLengthNormFactors(3, 10, 0.5f, false);
+        ss.setBaselineTfFactors(1.5f, 2.0f);
+        return ss;
+      }
       default: throw new IllegalArgumentException(name);
     }
   }
@@ -613,6 +620,23 @@ def build() -> bool:
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
              "-d", CLASSES, "@" + qsrcs2],
             capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+    # SweetSpotSimilarity (lucene/misc) depends only on core
+    ss_marker = os.path.join(
+        CLASSES, "org/apache/lucene/misc/SweetSpotSimilarity.class"
+    )
+    ss_src = (
+        "/root/reference/lucene/misc/src/java/org/apache/lucene/misc/"
+        "SweetSpotSimilarity.java"
+    )
+    if not os.path.exists(ss_marker) and os.path.exists(ss_src):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, ss_src],
+            capture_output=True, text=True, timeout=120,
         )
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
