@@ -98,39 +98,15 @@ def main() -> None:
 
 
 def _write_bench_md(out: dict) -> None:
-    lines = [
-        "# BENCH — index-build throughput scaling (north_rule evidence)",
-        "",
-        "`BASELINE.json` requires >= 0.8 indexing-throughput scaling efficiency",
-        "from N to 4N executors. No multi-node cluster exists in this sandbox, so",
-        "the two cluster sizes are evidenced as two parallelism levels of the SAME",
-        "job on the SAME input (deterministic synthetic source-code corpus,",
-        f"{out['n_docs']:,} files), each measurement in its own fresh JVM.",
-        "",
-        "| parallelism | wall (s) | throughput (files/sec) |",
-        "|---|---|---|",
-    ]
-    for cpus, r in sorted(out["levels"].items(), key=lambda kv: int(kv[0])):
-        lines.append(f"| local[{cpus}] | {r['wall_s']} | {r['files_per_sec']} |")
-    lines += ["", "| N | 4N | speedup | scaling efficiency |", "|---|---|---|---|"]
-    for p in out["pairs"]:
-        lines.append(
-            f"| local[{p['n']}] | local[{p['four_n']}] | {p['speedup']}x | **{p['efficiency']}** |"
-        )
-    lines += [
-        "",
-        "Reproduce: `python tools/bench_scaling.py --n-docs "
-        f"{out['n_docs']} --pairs "
-        + ",".join(f"{p['n']}:{p['four_n']}" for p in out["pairs"])
-        + "`",
-        "",
-        "The build has no driver-side per-doc work (only 64 layout-bucket counts",
-        "and stage manifests reach the driver), so throughput scales with the",
-        "executor pool until input splits or shuffle partitions become the",
-        "constraint (64 input splits / 2N shuffle partitions here).",
-    ]
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    """Append the run to a machine log next to the curated report.
+
+    BENCH_SCALING.md is a hand-maintained multi-run narrative (it keeps
+    every run plus host-state context); overwriting it from here once
+    clobbered that history, so the tool now only appends one JSON line
+    per run to BENCH_SCALING_RUNS.jsonl and leaves the report to be
+    edited deliberately."""
+    with open(os.path.join(REPO, "BENCH_SCALING_RUNS.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
