@@ -1316,17 +1316,55 @@ LANG_ID_SQL = _lang_sql()
 _STOP10 = "'the','a','and','of','to','is','in','that','it','for'"
 
 
+#: C4-style cleaning (Raffel et al. 2020 §2.2) over the synthetic corpus:
+#: the corpus has no newlines or punctuation, so page structure is
+#: DERIVED deterministically (documented, replayed verbatim by the
+#: oracle): a "line" is a run of C4_LINE_W words; line i of doc d ends in
+#: terminal punctuation iff (d + i) % 3 != 0; docs with doc_id % 97 == 0
+#: get a literal ' lorem ipsum' planted so the phrase filter has real
+#: positives to catch. The RULES are C4's: keep a line iff it ends in
+#: terminal punctuation and has >= C4_MIN_LINE_WORDS words; keep the page
+#: iff >= C4_MIN_LINES lines survive and it does not contain
+#: 'lorem ipsum'.
+C4_LINE_W = 8
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+
+
 def quality_score(spark, sf):
     """Document quality heuristics: token count, distinct-token ratio,
     stopword ratio, mean token length; composite linear score. All
-    double arithmetic with identical literals on both sides -> bit-equal."""
+    double arithmetic with identical literals on both sides -> bit-equal.
+
+    Plus C4-style page cleaning signals (see the C4_* constants note):
+    kept-line counting is CLOSED-FORM integer arithmetic — full lines of
+    W words all pass the >=5-word rule, and the count of terminal lines
+    among i in [0, m) is m - (floor((d+m+2)/3) - floor((d+2)/3)) — so the
+    whole filter is one whole-stage-codegen projection, no lambdas, no
+    shuffle, O(1) per document regardless of page length."""
     d = _with_tokens(_docs(spark, sf))
     n_tok = F.size("toks").cast("double")
     n_dist = F.size(F.array_distinct("toks")).cast("double")
     n_stop = F.expr(f"size(filter(toks, x -> x IN ({_STOP10})))").cast("double")
     sum_len = F.expr("aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))").cast("double")
+    w, mw, ml = C4_LINE_W, C4_MIN_LINE_WORDS, C4_MIN_LINES
+    page = F.when(
+        F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" lorem ipsum"))
+    ).otherwise(F.col("text"))
+    n_tok_i = F.size("toks")
+    full = F.floor(n_tok_i / w)  # lines with exactly w (>= mw) words
+    r = n_tok_i % w
+    terminal_full = full - (
+        F.floor((F.col("doc_id") + full + 2) / 3) - F.floor((F.col("doc_id") + 2) / 3)
+    )
+    partial_kept = (
+        (r >= mw) & (((F.col("doc_id") + full) % 3) != 0)
+    ).cast("long")
+    c4_kept = (terminal_full + partial_kept).cast("long")
+    has_lorem = F.col("_page").contains("lorem ipsum")
     return (
-        d.withColumn("n_tokens", n_tok)
+        d.withColumn("_page", page)
+        .withColumn("n_tokens", n_tok)
         .withColumn("distinct_ratio", n_dist / n_tok)
         .withColumn("stop_ratio", n_stop / n_tok)
         .withColumn("mean_tok_len", sum_len / n_tok)
@@ -1341,6 +1379,10 @@ def quality_score(spark, sf):
                 + F.col("n_tokens") * 0.002,
                 6,
             ).alias("quality"),
+            (full + (r > 0).cast("long")).cast("long").alias("c4_lines"),
+            c4_kept.alias("c4_kept_lines"),
+            has_lorem.cast("int").alias("c4_has_lorem"),
+            ((c4_kept >= ml) & ~has_lorem).cast("int").alias("c4_keep"),
         )
         .orderBy("doc_id")
     )
@@ -1348,23 +1390,44 @@ def quality_score(spark, sf):
 
 QUALITY_SQL = f"""
 WITH t AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' lorem ipsum' ELSE text END AS page
+  FROM documents
 ),
 m AS (
   SELECT doc_id,
          CAST(len(toks) AS DOUBLE) AS n_tok,
          CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
          CAST(len(list_filter(toks, x -> x IN ({_STOP10}))) AS DOUBLE) AS n_stop,
-         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sum_len
+         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sum_len,
+         len(toks) // {C4_LINE_W} AS full_lines,
+         len(toks) % {C4_LINE_W} AS part_words,
+         contains(page, 'lorem ipsum') AS has_lorem
   FROM t
+),
+c4 AS (
+  SELECT doc_id,
+         full_lines + CASE WHEN part_words > 0 THEN 1 ELSE 0 END AS c4_lines,
+         (full_lines
+          - ((doc_id + full_lines + 2) // 3 - (doc_id + 2) // 3)
+          + CASE WHEN part_words >= {C4_MIN_LINE_WORDS}
+                  AND (doc_id + full_lines) % 3 <> 0 THEN 1 ELSE 0 END
+         ) AS c4_kept_lines,
+         has_lorem
+  FROM m
 )
-SELECT doc_id,
+SELECT m.doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
        round(n_dist / n_tok, 6) AS distinct_ratio,
        round(n_stop / n_tok, 6) AS stop_ratio,
        round(sum_len / n_tok, 6) AS mean_tok_len,
-       round((n_dist / n_tok) * 2.0 - (n_stop / n_tok) * 3.0 + n_tok * 0.002, 6) AS quality
-FROM m ORDER BY doc_id
+       round((n_dist / n_tok) * 2.0 - (n_stop / n_tok) * 3.0 + n_tok * 0.002, 6) AS quality,
+       CAST(c4.c4_lines AS BIGINT) AS c4_lines,
+       CAST(c4.c4_kept_lines AS BIGINT) AS c4_kept_lines,
+       CAST(CASE WHEN c4.has_lorem THEN 1 ELSE 0 END AS INTEGER) AS c4_has_lorem,
+       CAST(CASE WHEN c4.c4_kept_lines >= {C4_MIN_LINES} AND NOT c4.has_lorem
+                 THEN 1 ELSE 0 END AS INTEGER) AS c4_keep
+FROM m JOIN c4 USING (doc_id) ORDER BY m.doc_id
 """
 
 

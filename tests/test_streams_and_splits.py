@@ -109,6 +109,52 @@ def test_quality_gopher_hand_check(spark):
         assert rows[doc_id].gopher_keep == keep
 
 
+def test_quality_c4_hand_check(spark):
+    """The closed-form kept-line arithmetic equals a naive Python replay
+    of the C4 rules over the derived page structure (lines of C4_LINE_W
+    words; line i terminal iff (doc_id+i)%3 != 0; keep a line iff
+    terminal and >= C4_MIN_LINE_WORDS words; keep the page iff >=
+    C4_MIN_LINES kept lines and no 'lorem ipsum')."""
+    from lucene_solr_spark.ops.pipeline import (
+        C4_LINE_W,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES,
+        quality_score,
+    )
+
+    df = quality_score(spark, SF)
+    rows = {r.doc_id: r for r in df.collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    checked = 0
+    for doc_id, text in docs.items():
+        toks = [t for t in text.split(" ") if t]
+        lines = [
+            toks[i : i + C4_LINE_W] for i in range(0, len(toks), C4_LINE_W)
+        ]
+        kept = sum(
+            1
+            for i, ln in enumerate(lines)
+            if (doc_id + i) % 3 != 0 and len(ln) >= C4_MIN_LINE_WORDS
+        )
+        has_lorem = doc_id % 97 == 0
+        r = rows[doc_id]
+        assert r.c4_lines == len(lines), doc_id
+        assert r.c4_kept_lines == kept, doc_id
+        assert r.c4_has_lorem == int(has_lorem), doc_id
+        assert r.c4_keep == int(kept >= C4_MIN_LINES and not has_lorem), doc_id
+        checked += 1
+    assert checked == len(rows)
+    # the planted phrase and the line filters both actually fire
+    assert any(r.c4_has_lorem for r in rows.values())
+    assert any(r.c4_keep == 0 for r in rows.values())
+    assert any(r.c4_keep == 1 for r in rows.values())
+
+
 def test_data_splits_deterministic_and_proportional(spark):
     a = [tuple(r) for r in data_splits(spark, SF).collect()]
     b = [tuple(r) for r in data_splits(spark, SF).collect()]
