@@ -149,6 +149,8 @@ LM_QUERIES = {
     # DFI (DFISimilarity.java, chi-squared independence): the 7th scoring
     # model through the plug point — needs per-term ttf + sum_ttf
     "dfi_chi_squared": ("spark merge vector", "dfi_chi_squared"),
+    # MultiSimilarity (CombSUM over [BM25, Classic]) — the composite plug
+    "multi_similarity": ("spark merge vector", "multi_bm25_classic"),
 }
 # BlendedTermQuery: max-df stat blending + DisjunctionMaxRewrite
 BLENDED_QUERIES = {"bm25_blended": ("spark vector rapid", 0.01)}
@@ -586,6 +588,7 @@ def _bm25_groups() -> dict[str, list]:
             ib_ll_sql,
             lm_dirichlet_sql,
             lm_jelinek_mercer_sql,
+            multi_bm25_classic_sql,
         )
 
         sim_sql = {
@@ -594,6 +597,7 @@ def _bm25_groups() -> dict[str, list]:
             "dfr_inl2": dfr_inl2_sql,
             "ib_ll": ib_ll_sql,
             "dfi_chi_squared": dfi_sql,
+            "multi_bm25_classic": multi_bm25_classic_sql,
         }[sim]
         scoring.append((name, _classic_query_fn(q, sim), sim_sql(q, k=10)))
     for name, (q, tb) in BLENDED_QUERIES.items():

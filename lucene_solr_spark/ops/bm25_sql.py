@@ -1672,6 +1672,66 @@ LIMIT {k}
 """
 
 
+def multi_bm25_classic_sql(query: str, k: int = 10) -> str:
+    """MultiSimilarity([BM25, Classic]) oracle (MultiSimilarity.java —
+    CombSUM): per matching clause, BM25 score + Classic score with
+    queryNorm=1 and NO coord (MultiSimilarity inherits the defaults);
+    norms decode with BM25's table for the BM25 half and byte315ToFloat
+    for the Classic half (sims[0] wrote the byte). Rank-only."""
+    terms = analyze(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    uniq = sorted(set(terms))
+    clause_vals = ",".join(f"('{t}',{terms.count(t)})" for t in uniq)
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+cnorm_lut(dl_lo, dl_hi, cnorm) AS (SELECT * FROM {classic_norm_lut_values_sql()}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum((
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+           + sqrt(tf.tf) * pow(ln((s.n + 1) / (dfs.df + 1)) + 1.0, 2) * clut.cnorm
+         ) * c.clause_n) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN clauses c USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  JOIN cnorm_lut clut ON dl.dl BETWEEN clut.dl_lo AND clut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+-- rank on the FLOAT32 score: twin docs (same tf profile and norm byte)
+-- tie exactly in the engine's float32 chain but differ at double
+-- precision, flipping the HitQueue doc-ASC tie-break at the k boundary
+SELECT doc_id, CAST(row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY CAST(score AS REAL) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def sweetspot_tfidf_sql(query: str, k: int = 10) -> str:
     """SweetSpotSimilarity oracle (lucene/misc/SweetSpotSimilarity.java):
     ClassicSimilarity's idf^2 and coord, baselineTf in place of sqrt(tf)

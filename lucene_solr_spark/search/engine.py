@@ -1184,6 +1184,31 @@ class IndexSearcher:
                     collection_probability_f32(weights[t]["ttf"], self.sum_ttf)
                 )
                 weights[t]["boost"] = float(boost_map.get(t, 1.0))
+        elif spec.similarity == "multi_bm25_classic":
+            # MultiSimilarity (similarities/MultiSimilarity.java — CombSUM,
+            # Shaw & Fox 1993) over [BM25, Classic]: norms come from
+            # sims[0] (BM25's byte — this index's default), the score is a
+            # float32 running SUM of sub-scores, queryNorm = 1
+            # (MultiSimilarity inherits Similarity.queryNorm) and coord = 1
+            # (only ClassicSimilarity AS THE SEARCHER similarity enables it)
+            if spec.positional_terms:
+                raise ValueError("multi similarity covers term clauses only")
+            from .bm25 import classic_weight_value
+
+            boost_map = dict(spec.boosts)
+            for t in weights:
+                b = float(boost_map.get(t, 1.0))
+                if b != 1.0:
+                    idf = idf_f32(weights[t]["df"], self.doc_count)
+                    w = np.float32(idf * np.float32(b))
+                    weights[t]["weight_value"] = float(
+                        np.float32(w * (K1 + np.float32(1.0)))
+                    )
+                weights[t]["classic_wv"] = float(
+                    classic_weight_value(
+                        weights[t]["df"], self.doc_count, b, query_norm=1.0
+                    )
+                )
         elif spec.similarity.startswith("dfi_"):
             # DFISimilarity (DFISimilarity.java): needs per-term ttf (already
             # in the weights) plus numberOfFieldTokens = global sum_ttf
@@ -2083,6 +2108,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             next(w["simbase_avgdl"] for w in weights.values() if "simbase_avgdl" in w)
         )
         dfr_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
+    multi = spec.similarity == "multi_bm25_classic"
+    if multi:
+        from .bm25 import CLASSIC_DECODE as _MULTI_DECODE
+
+        multi_cwvs = {
+            t: np.float32(weights[t]["classic_wv"])
+            for t in weights
+            if "classic_wv" in weights[t]
+        }
     dfi = spec.similarity[len("dfi_"):] if spec.similarity.startswith("dfi_") else None
     if dfi:
         from .bm25 import dfi_scores
@@ -2112,6 +2146,13 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                 freq, nb, dfi_ttfs[t], dfi_sum_ttf,
                 boost=dfi_boosts[t], measure=dfi,
             )
+        if multi:
+            # MultiSimScorer.score: float sum accumulated in sims order
+            s1 = (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
+            s2 = (
+                np.sqrt(freq) * multi_cwvs[t] * _MULTI_DECODE[nb]
+            ).astype(np.float32)
+            return (s1 + s2).astype(np.float32)
         return (wvs[t] * freq / (freq + cache[nb])).astype(np.float32)
     # PhraseWeight per clause: idfs summed over clause OCCURRENCES —
     # PhraseQuery.PhraseWeight builds one TermStatistics per terms[i], so

@@ -132,6 +132,21 @@ def oracle_lm_topk(
         if similarity in ("dfr_inl2", "ib_ll"):
             fn = dfr_inl2_scores if similarity == "dfr_inl2" else ib_ll_scores
             s = fn(tf, norm, len(post), idx.doc_count, av32)
+        elif similarity == "multi_bm25_classic":
+            # MultiSimilarity CombSUM: float32 running sum of BM25 and
+            # Classic(queryNorm=1) sub-scores, BM25 norms (sims[0])
+            from .bm25 import CLASSIC_DECODE, classic_weight_value, norm_cache
+
+            tw = make_term_weight(t, len(post), idx.doc_count, idx.avgdl)
+            cache = norm_cache(np.float32(idx.avgdl))
+            s1 = (
+                np.float32(tw.weight_value) * tf / (tf + cache[norm])
+            ).astype(np.float32)
+            cwv = classic_weight_value(
+                len(post), idx.doc_count, query_norm=1.0
+            )
+            s2 = (np.sqrt(tf) * cwv * CLASSIC_DECODE[norm]).astype(np.float32)
+            s = (s1 + s2).astype(np.float32)
         elif similarity.startswith("dfi_"):
             s = dfi_scores(
                 tf, norm, sum(post.values()), idx.sum_ttf,

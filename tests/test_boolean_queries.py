@@ -284,7 +284,8 @@ def test_multi_phrase_clauses_rank_identity(built, pcs, should):
 
 @pytest.mark.parametrize(
     "similarity", ["lm_dirichlet", "lm_jelinek_mercer", "dfr_inl2", "ib_ll",
-                   "dfi_chi_squared", "dfi_standardized", "dfi_saturated"]
+                   "dfi_chi_squared", "dfi_standardized", "dfi_saturated",
+                   "multi_bm25_classic"]
 )
 @pytest.mark.parametrize("query", ["parse index", "merge token parse", "hotcommon parse_30 parse_30"])
 def test_lm_similarity_rank_identity(built, similarity, query):

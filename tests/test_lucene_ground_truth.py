@@ -329,7 +329,8 @@ def _classic_topk(idx, terms: list[str], k: int = 10):
 
 @pytest.mark.parametrize(
     "sim", ["classic", "lm_dirichlet", "lm_jelinek_mercer", "dfr_inl2", "ib_ll",
-            "dfi_chi_squared", "dfi_standardized", "dfi_saturated"]
+            "dfi_chi_squared", "dfi_standardized", "dfi_saturated",
+            "multi_bm25_classic"]
 )
 def test_similarities_match_compiled_reference(sim):
     """Every non-BM25 similarity model through the setSimilarity plug

@@ -156,6 +156,10 @@ public class GroundTruthTopK {
           new org.apache.lucene.search.similarities.IndependenceStandardized());
       case "dfi_saturated": return new org.apache.lucene.search.similarities.DFISimilarity(
           new org.apache.lucene.search.similarities.IndependenceSaturated());
+      case "multi_bm25_classic": return new org.apache.lucene.search.similarities.MultiSimilarity(
+          new org.apache.lucene.search.similarities.Similarity[] {
+              new org.apache.lucene.search.similarities.BM25Similarity(),
+              new org.apache.lucene.search.similarities.ClassicSimilarity()});
       case "sweetspot": {
         org.apache.lucene.misc.SweetSpotSimilarity ss =
             new org.apache.lucene.misc.SweetSpotSimilarity();
