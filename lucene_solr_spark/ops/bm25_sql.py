@@ -926,6 +926,29 @@ LIMIT {k}
 """
 
 
+def recency_boost_sql(query: str, now_ms: int, base_ms: int, m: float,
+                      first_n: int = 50, k: int = 20) -> str:
+    """Solr recency boost oracle ({{!boost b=recip(ms(NOW,date),m,1,1)}}):
+    top-first_n BM25 candidates, final = score / (m*age_ms + 1) with
+    age_ms = now_ms - (base_ms + doc_id*86400000) — NOW frozen and the
+    per-doc date synthetic/deterministic, identical on both engines.
+    Rank-only (doc_id, rrank)."""
+    custom = custom_score_sql(query, first_n=first_n, k=k)
+    boosted = (
+        "SELECT fp.doc_id, s1.score1 * (1.0 / ("
+        f"{m!r} * ({float(now_ms)!r} - ({float(base_ms)!r} + fp.doc_id * 86400000.0)) + 1.0"
+        ")) AS final"
+    )
+    custom = custom.replace(
+        "SELECT fp.doc_id, s1.score1 * (1 + d.n_chars / 1000.0) AS final",
+        boosted,
+    ).replace(
+        "\n  JOIN documents d ON d.doc_id = fp.doc_id", ""
+    ).replace("AS crank", "AS rrank")
+    assert "final" in custom and "n_chars" not in custom
+    return custom
+
+
 def bm25_rescore_sql(query1: str, query2: str, first_n: int = 50, weight: float = 2.0,
                      k: int = 10) -> str:
     """QueryRescorer (search/QueryRescorer.java): take the top first_n of

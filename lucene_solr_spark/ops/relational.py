@@ -2142,28 +2142,76 @@ def custom_score_query(spark, sf):
     )
 
 
+#: Solr recency boost (`{!boost b=recip(ms(NOW,date),3.16e-11,1,1)}` —
+#: the boost function documented in Solr's FunctionQParser/date-boost
+#: guide): NOW is frozen to a documented constant and each document gets
+#: a deterministic synthetic timestamp (the corpus has no date column;
+#: same derivation pattern as the spatial coordinates), both replayed
+#: verbatim by the oracle.
+RECENCY_NOW_MS = 1_500_000_000_000  # 2017-07-14T02:40:00Z, fixed
+RECENCY_BASE_MS = 946_684_800_000  # 2000-01-01T00:00:00Z
+RECENCY_M = 3.16e-11  # ~1/ms-per-year: score halves each year of age
+
+
+def recency_boost_query(spark, sf):
+    """Solr date-recency boosting: organic BM25 top-50 for 'merge sort',
+    each multiplied by recip(ms(NOW,doc_date),3.16e-11,1,1) =
+    1/(m*age_ms+1), re-ranked, top 20. doc_date is the deterministic
+    synthetic timestamp BASE + doc_id days. Rank-only (f32 BM25 times an
+    f64 boost; ranks are the contract). Candidate-bounded like
+    custom_score_query: the boost join touches 50 rows, never the corpus."""
+    from .index_access import searcher_for
+
+    s = searcher_for(spark, sf)
+    first = s.topk("merge sort", k=50).select("doc_id", "score")
+    age_ms = F.lit(float(RECENCY_NOW_MS)) - (
+        F.lit(float(RECENCY_BASE_MS)) + F.col("doc_id").cast("double") * 86400000.0
+    )
+    boost = F.lit(1.0) / (F.lit(RECENCY_M) * age_ms + F.lit(1.0))
+    w = Window.orderBy((F.col("score") * boost).desc(), F.col("doc_id").asc())
+    return (
+        first.withColumn("rrank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rrank") <= 20)
+        .select("doc_id", "rrank")
+        .orderBy("rrank")
+    )
+
+
 def function_query_combined(spark, sf):
-    """ValueSource function query + CustomScoreQuery as one tagged union
-    (same 50-row-gate consolidation as `facets`). The valuesource
-    variant's val is the exact f64 fscore; custom_score's val is its
-    RANK (its score mixes f32 and f64 — see custom_score_query)."""
+    """ValueSource function query + CustomScoreQuery + Solr recency boost
+    as one tagged union (same 50-row-gate consolidation as `facets`).
+    The valuesource variant's val is the exact f64 fscore; custom_score
+    and recency_boost carry their RANK (scores mix f32 and f64 — see
+    custom_score_query)."""
     v1 = function_query(spark, sf).select(
         F.lit("valuesource").alias("variant"), "doc_id", F.col("fscore").alias("val")
     )
     v2 = custom_score_query(spark, sf).select(
         F.lit("custom_score").alias("variant"), "doc_id", F.col("crank").cast("double").alias("val")
     )
-    return v1.unionByName(v2).orderBy("variant", F.col("val").desc(), "doc_id")
+    v3 = recency_boost_query(spark, sf).select(
+        F.lit("recency_boost").alias("variant"), "doc_id", F.col("rrank").cast("double").alias("val")
+    )
+    return (
+        v1.unionByName(v2).unionByName(v3)
+        .orderBy("variant", F.col("val").desc(), "doc_id")
+    )
 
 
 def _function_query_combined_sql() -> str:
-    from .bm25_sql import custom_score_sql
+    from .bm25_sql import custom_score_sql, recency_boost_sql
 
+    recency = recency_boost_sql(
+        "merge sort", RECENCY_NOW_MS, RECENCY_BASE_MS, RECENCY_M,
+        first_n=50, k=20,
+    )
     return f"""
 SELECT * FROM (
   SELECT 'valuesource' AS variant, doc_id, fscore AS val FROM ({FUNCTION_QUERY_SQL})
   UNION ALL
   SELECT 'custom_score', doc_id, CAST(crank AS DOUBLE) FROM ({custom_score_sql("merge sort", first_n=50, k=20)})
+  UNION ALL
+  SELECT 'recency_boost', doc_id, CAST(rrank AS DOUBLE) FROM ({recency})
 ) ORDER BY variant, val DESC, doc_id
 """
 
