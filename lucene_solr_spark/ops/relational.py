@@ -1742,6 +1742,108 @@ WHERE NOT EXISTS (SELECT 1 FROM dict x WHERE x.term = p.cleft)
 )
 
 
+#: FreeTextSuggester demo lookup: context word + prefix of the next word.
+FREETEXT_CONTEXT = "merge"
+FREETEXT_PREFIX = "s"
+
+
+def suggest_freetext(spark, sf):
+    """FreeTextSuggester (lucene/suggest/src/java/org/apache/lucene/search/
+    suggest/analyzing/FreeTextSuggester.java — DEFAULT_GRAMS=2 n-gram
+    language model with STUPID BACKOFF smoothing, ALPHA=0.4 :129-134):
+    given the context word and a prefix of the next word, rank candidate
+    completions by score(w|c) = count(c w)/count(c) when the bigram
+    exists, else ALPHA * count(w)/total (Brants et al. 2007, the model
+    the reference javadoc cites). The n-gram tables are two map-side-
+    combined aggregations over the corpus (count tables replace the FST);
+    the lookup touches only prefix-matching rows. The returned weight is
+    the score scaled to an integer — the reference does the same when it
+    packs the backoff score into the FST's long weight."""
+    from .pipeline import _with_tokens
+
+    d = _with_tokens(_t(spark, sf, "documents"))
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS c, toks[i + 1] AS w))"
+                )
+            ).alias("g")
+        )
+        .select("g.c", "g.w")
+        .groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # two scalar stats (collection totals) — driver-cached constants, the
+    # same pattern as function_query's df/N
+    total = int(uni.agg(F.sum("cnt")).collect()[0][0])
+    ctx_rows = uni.filter(F.col("w") == FREETEXT_CONTEXT).collect()
+    ctx_cnt = int(ctx_rows[0]["cnt"]) if ctx_rows else 0
+    if ctx_cnt:
+        cand_bi = (
+            bi.filter(
+                (F.col("c") == FREETEXT_CONTEXT)
+                & F.col("w").startswith(FREETEXT_PREFIX)
+            )
+            .select(
+                "w",
+                (F.col("cnt").cast("double") / F.lit(float(ctx_cnt))).alias("s"),
+            )
+        )
+    else:
+        cand_bi = spark.createDataFrame([], "w string, s double")
+    cand_uni = (
+        uni.filter(F.col("w").startswith(FREETEXT_PREFIX))
+        .join(cand_bi.select("w"), "w", "left_anti")  # backoff only when no bigram
+        .select(
+            "w",
+            (F.lit(0.4) * F.col("cnt").cast("double") / F.lit(float(total))).alias("s"),
+        )
+    )
+    return (
+        cand_bi.unionByName(cand_uni)
+        .select("w", F.round(F.col("s") * 1e9).cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("w").asc())
+        .limit(10)
+    )
+
+
+SUGGEST_FREETEXT_SQL = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+uni AS (
+  SELECT u.w AS w, count(*) AS cnt
+  FROM t, unnest(t.toks) AS u(w) GROUP BY u.w
+),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+bi AS (
+  SELECT g.x.c AS c, g.x.w AS w, count(*) AS cnt
+  FROM t, unnest(list_transform(range(1, len(t.toks)),
+                 i -> struct_pack(c := t.toks[i], w := t.toks[i + 1]))) AS g(x)
+  GROUP BY g.x.c, g.x.w
+),
+ctx AS (SELECT CAST(cnt AS DOUBLE) AS c FROM uni WHERE w = '{FREETEXT_CONTEXT}'),
+cand_bi AS (
+  SELECT bi.w, bi.cnt / ctx.c AS s
+  FROM bi CROSS JOIN ctx
+  WHERE bi.c = '{FREETEXT_CONTEXT}' AND bi.w LIKE '{FREETEXT_PREFIX}%'
+),
+cand_uni AS (
+  SELECT uni.w, 0.4 * uni.cnt / total.n AS s
+  FROM uni CROSS JOIN total
+  WHERE uni.w LIKE '{FREETEXT_PREFIX}%'
+    AND uni.w NOT IN (SELECT w FROM cand_bi)
+)
+SELECT w, CAST(round(s * 1e9) AS BIGINT) AS weight FROM (
+  SELECT * FROM cand_bi UNION ALL SELECT * FROM cand_uni
+) ORDER BY weight DESC, w ASC LIMIT 10
+"""
+
+
 def suggest_combined(spark, sf):
     """Prefix suggest + infix suggest + DirectSpellChecker + FuzzySuggester
     + WordBreakSpellChecker (break + combine directions) as one tagged
@@ -1773,8 +1875,15 @@ def suggest_combined(spark, sf):
         F.col("distance").cast("int").alias("distance"),
     )
     s5 = suggest_wordbreak(spark, sf)
+    s6 = suggest_freetext(spark, sf).select(
+        F.lit("freetext").alias("variant"),
+        F.col("w").alias("term"),
+        F.col("weight").cast("long").alias("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
     return (
         s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+        .unionByName(s6)
         .orderBy("variant", "term")
     )
 
@@ -1794,6 +1903,9 @@ SELECT * FROM (
   FROM ({SUGGEST_FUZZY_SQL})
   UNION ALL
   SELECT * FROM ({SUGGEST_WORDBREAK_SQL})
+  UNION ALL
+  SELECT 'freetext' AS variant, w AS term, weight AS df, CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_FREETEXT_SQL})
 ) ORDER BY variant, term
 """
 
