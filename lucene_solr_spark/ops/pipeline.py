@@ -1658,6 +1658,146 @@ FROM a GROUP BY lang, split ORDER BY lang, split
 """
 
 
+#: GPT-style token-stream packing: documents concatenate within a shard
+#: and split into fixed SEQ_LEN-token training sequences (documents cross
+#: sequence boundaries — the GPT-2/3 continuous-packing recipe). Shards
+#: are a pure function of doc_id, so packing is byte-identical under any
+#: re-shard or cluster size; within a shard the token stream is ordered
+#: by doc_id. At 100 TB the shard count scales with the corpus and each
+#: shard's cumsum is one window over its own partition.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def sequence_packing(spark, sf):
+    """Per-doc packing assignment: shard, token offset in the shard's
+    stream, first/last sequence index, boundary-crossing flag — all from
+    ONE cumulative-sum window per shard (partitionBy shard, orderBy
+    doc_id). Everything downstream of the tokenizer count is integer
+    arithmetic in whole-stage codegen."""
+    d = _with_tokens(_docs(spark, sf))
+    n_tok = F.size("toks").cast("long")
+    shard = (F.col("doc_id") % PACK_SHARDS).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = d.select("doc_id", shard.alias("shard"), n_tok.alias("n_tok"))
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        base.withColumn("start_tok", cum)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tok",
+            "start_tok",
+            F.floor(F.col("start_tok") / PACK_SEQ_LEN).cast("long").alias("seq_first"),
+            F.floor(
+                (F.col("start_tok") + F.col("n_tok") - 1) / PACK_SEQ_LEN
+            ).cast("long").alias("seq_last"),
+        )
+        .withColumn(
+            "crosses", (F.col("seq_last") > F.col("seq_first")).cast("int")
+        )
+    )
+
+
+def packing_audit(spark, sf):
+    """Per-shard packing rollup: documents, total tokens, sequence count
+    ceil(tokens/SEQ_LEN), fill ratio of the last-padded stream, and how
+    many documents cross a sequence boundary."""
+    p = sequence_packing(spark, sf)
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("crosses").alias("n_crossing"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.ceil(F.col("n_tokens") / PACK_SEQ_LEN).cast("long").alias("n_seqs"),
+            F.round(
+                F.col("n_tokens")
+                / (F.ceil(F.col("n_tokens") / PACK_SEQ_LEN) * PACK_SEQ_LEN),
+                6,
+            ).alias("fill_ratio"),
+            "n_crossing",
+        )
+        .orderBy("shard")
+    )
+
+
+def splits_family(spark, sf):
+    """data_splits + sequence-packing audit as one tagged union (the
+    deterministic-assignment pair of a training-data pipeline: which
+    split a doc lands in, and where it lands in the packed token
+    stream)."""
+    s = data_splits(spark, sf).select(
+        F.lit("splits").alias("variant"),
+        F.col("lang").alias("key"),
+        F.col("split").alias("subkey"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("avg_chars").cast("double").alias("metric"),
+        F.col("min_doc").cast("long").alias("lo"),
+        F.col("max_doc").cast("long").alias("hi"),
+    )
+    p = packing_audit(spark, sf).select(
+        F.lit("packing").alias("variant"),
+        F.col("shard").cast("string").alias("key"),
+        F.lit("").alias("subkey"),
+        F.col("n_docs").cast("long").alias("cnt"),
+        F.col("fill_ratio").cast("double").alias("metric"),
+        F.col("n_seqs").cast("long").alias("lo"),
+        F.col("n_crossing").cast("long").alias("hi"),
+    )
+    return s.unionByName(p).orderBy("variant", "key", "subkey")
+
+
+SPLITS_FAMILY_SQL = """
+WITH a AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN substr(sha256('split-salt-1#' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+              THEN 'train'
+              WHEN substr(sha256('split-salt-1#' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(doc_id % {shards} AS INTEGER) AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tok,
+         COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks
+),
+psh AS (
+  SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         sum(CASE WHEN (start_tok + n_tok - 1) // {seq} > start_tok // {seq}
+                  THEN 1 ELSE 0 END) AS n_crossing
+  FROM packed GROUP BY shard
+)
+SELECT * FROM (
+  SELECT 'splits' AS variant, lang AS key, split AS subkey,
+         count(*) AS cnt, round(avg(n_chars), 4) AS metric,
+         CAST(min(doc_id) AS BIGINT) AS lo, CAST(max(doc_id) AS BIGINT) AS hi
+  FROM a GROUP BY lang, split
+  UNION ALL
+  SELECT 'packing', CAST(shard AS VARCHAR), '',
+         n_docs, round(n_tokens * 1.0 / (ceil(n_tokens * 1.0 / {seq}) * {seq}), 6),
+         CAST(ceil(n_tokens * 1.0 / {seq}) AS BIGINT),
+         CAST(n_crossing AS BIGINT)
+  FROM psh
+) ORDER BY variant, key, subkey
+""".format(shards=PACK_SHARDS, seq=PACK_SEQ_LEN)
+
+
 def domain_mixture(spark, sf):
     """Deterministic domain-mixture downsampling (the data-mixing step of
     a pre-training pipeline: per-domain target rates, e.g. upweight code
@@ -2659,7 +2799,7 @@ OPS: dict[str, tuple] = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "quality_gopher": (quality_gopher, QUALITY_GOPHER_SQL),
-    "data_splits": (data_splits, DATA_SPLITS_SQL),
+    "data_splits": (splits_family, SPLITS_FAMILY_SQL),
     "significant_terms": (significant_terms, SIGNIFICANT_TERMS_SQL),
     "domain_mixture": (domain_mixture, DOMAIN_MIXTURE_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

@@ -155,6 +155,38 @@ def test_quality_c4_hand_check(spark):
     assert any(r.c4_keep == 1 for r in rows.values())
 
 
+def test_sequence_packing_invariants(spark):
+    """GPT-style continuous packing: within each shard the doc offsets
+    tile the token stream exactly (no gap, no overlap, doc_id order),
+    sequence indexes are floor(offset/SEQ_LEN), the crossing flag matches
+    a naive replay, and the assignment is a pure function of doc_id (the
+    re-shard-stability property data_splits also guarantees)."""
+    from lucene_solr_spark.ops.pipeline import (
+        PACK_SEQ_LEN,
+        PACK_SHARDS,
+        sequence_packing,
+    )
+
+    rows = sequence_packing(spark, SF).collect()
+    by_shard = {}
+    for r in rows:
+        assert r.shard == r.doc_id % PACK_SHARDS
+        assert r.seq_first == r.start_tok // PACK_SEQ_LEN
+        assert r.seq_last == (r.start_tok + r.n_tok - 1) // PACK_SEQ_LEN
+        assert r.crosses == int(r.seq_last > r.seq_first)
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.start_tok == cum, (shard, r.doc_id)
+            cum += r.n_tok
+    # the crossing flag actually fires somewhere (docs are ~100 tokens,
+    # sequences 512 -> roughly 1 in 5 docs straddles a boundary)
+    assert any(r.crosses for r in rows)
+    assert not all(r.crosses for r in rows)
+
+
 def test_data_splits_deterministic_and_proportional(spark):
     a = [tuple(r) for r in data_splits(spark, SF).collect()]
     b = [tuple(r) for r in data_splits(spark, SF).collect()]
