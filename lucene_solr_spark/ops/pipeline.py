@@ -2044,7 +2044,12 @@ def multimodal_decode(spark, sf):
     recomputes every decoded field arithmetically from doc_id."""
     d = _spread(_docs(spark, sf).select("doc_id"))
     payloads = d.mapInPandas(_mm_synth_map, schema="doc_id long, payload binary")
-    return payloads.mapInPandas(_mm_decode_map, schema=MM_SCHEMA).orderBy("doc_id")
+    decoded = payloads.mapInPandas(_mm_decode_map, schema=MM_SCHEMA)
+    # the global sort's range-partitioner runs a SAMPLING job over its
+    # child first — persist the decoded rows so the synth+decode Python
+    # stages execute once, not twice (the decoded table is narrow; the
+    # binary payloads are already dropped)
+    return decoded.persist().orderBy("doc_id")
 
 
 MULTIMODAL_SQL = f"""
@@ -2269,7 +2274,36 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
-def classification_nb(spark, sf):
+def _classification_base(spark, sf):
+    """Shared corpus pass for both classifiers: ONE token explode +
+    ONE (doc, class, term) aggregation, the doc-length rollup derived
+    from it, and the two scalar corpus stats fetched in a single
+    action. Both classifiers consume exactly these inputs, so the
+    combined gate entry tokenizes the corpus once instead of twice."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    d = _docs(spark, sf)
+    stop = sorted(ENGLISH_STOP_WORDS)
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+        )
+        .filter(~F.col("w").isin(stop))
+    )
+    tf = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = d.count()
+    # sumDocFreq (distinct (doc,term) pairs) and the total token count
+    # in one aggregate over the persisted tf table
+    row = tf.agg(
+        F.count(F.lit(1)).alias("sum_doc_freq"), F.sum("tf").alias("total_len")
+    ).collect()[0]
+    return d, tf, dl, n_docs, int(row["sum_doc_freq"]), float(row["total_len"])
+
+
+def classification_nb(spark, sf, base=None):
     """SimpleNaiveBayesClassifier (lucene/classification/src/java/org/
     apache/lucene/classification/SimpleNaiveBayesClassifier.java):
     classify every document's text against the per-class statistics the
@@ -2289,26 +2323,9 @@ def classification_nb(spark, sf):
     pairs need no outer join. Class field = `lang`. Pure Catalyst:
     one token explode, three aggregations, a 5-row class broadcast."""
     from .bm25_sql import stoplist_sql as _sl  # noqa: F401 (oracle symmetry)
-    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
 
-    d = _docs(spark, sf)
-    n_docs = d.count()
-    stop = sorted(ENGLISH_STOP_WORDS)
-    tok = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
-        )
-        .filter(~F.col("w").isin(stop))
-    )
-    # ONE aggregation of the token explode; everything else (doc length,
-    # doc-term pairs, sumDocFreq, per-class word doc-counts) derives from
-    # it — the naive layout re-exploded the text three times
-    tf = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    d, tf, dl, n_docs, sum_doc_freq, _ = base or _classification_base(spark, sf)
     dt = tf.select("doc_id", "lang", "w")
-    sum_doc_freq = dt.count()
     avg_unique = float(sum_doc_freq) / float(n_docs)
     nc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nc"))
     classes = (
@@ -2407,7 +2424,7 @@ KNN_K = 5
 KNN_QDOC_MOD = 25
 
 
-def classification_knn(spark, sf):
+def classification_knn(spark, sf, base=None):
     """KNearestNeighborClassifier (lucene/classification/src/java/org/
     apache/lucene/classification/KNearestNeighborClassifier.java):
     classify a doc by majority class among its top-k BM25 neighbors,
@@ -2442,27 +2459,14 @@ def classification_knn(spark, sf):
     count (double), so the gate value-checks the full vote, not a float
     sum."""
     from .bm25_sql import K1, B, norm_lut_rows
-    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
 
-    d = _docs(spark, sf)
-    n_docs = d.count()
-    stop = sorted(ENGLISH_STOP_WORDS)
-    tok = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
-        )
-        .filter(~F.col("w").isin(stop))
-    )
-    tf = (
-        tok.groupBy("doc_id", "lang", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .persist()
+    _, tf_raw, dl_raw, n_docs, _, total_len = base or _classification_base(spark, sf)
+    tf = tf_raw.select(
+        "doc_id", "lang", "w", F.col("tf").cast("double").alias("tf")
     )
     dfr = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = float(dl.agg(F.sum("dl")).collect()[0][0]) / float(n_docs)
+    dl = dl_raw.select("doc_id", F.col("dl").cast("double").alias("dl"))
+    avgdl = total_len / float(n_docs)
     lut = spark.createDataFrame(
         norm_lut_rows(), "dl_lo long, dl_hi long, dnorm double"
     )
@@ -2610,12 +2614,15 @@ def classification_combined(spark, sf):
     """SimpleNaiveBayes + KNearestNeighbor classifiers as one tagged
     union (lucene/classification/): same 50-row-gate consolidation as
     `facets` — both variants keep their value-checked score column
-    (NB: rounded log-likelihood, kNN: vote count)."""
-    c1 = classification_nb(spark, sf).select(
+    (NB: rounded log-likelihood, kNN: vote count). The corpus is
+    tokenized/aggregated ONCE (`_classification_base`) and both
+    classifiers read the shared persisted tf table."""
+    base = _classification_base(spark, sf)
+    c1 = classification_nb(spark, sf, base=base).select(
         F.lit("nb").alias("variant"), "doc_id", "assigned_lang",
         F.col("score").cast("double").alias("score"),
     )
-    c2 = classification_knn(spark, sf).select(
+    c2 = classification_knn(spark, sf, base=base).select(
         F.lit("knn").alias("variant"), "doc_id", "assigned_lang", "score",
     )
     return c1.unionByName(c2).orderBy("variant", "doc_id")
