@@ -768,3 +768,202 @@ def test_more_like_this_matches_compiled_reference():
         for (qline, sel), exp in zip(cases, expected):
             got = oracle_topk_spec(idx, BooleanSpec(should=sel), k=10)
             _assert_topk_equal(got, exp, (corpus_round, qline))
+
+
+def _sum_tf_topk(idx, present, wv, k=10):
+    """Engine `_topk_sum_tf` control: tf summed across the clause terms
+    per doc as ONE pseudo-term, score = wv * f / (f + cache[norm])."""
+    from lucene_solr_spark.search.bm25 import norm_cache
+
+    cache = norm_cache(np.float32(float(idx.avgdl)))
+    tf_map: dict = {}
+    for t in present:
+        for d, tf in idx.postings.get(t, {}).items():
+            tf_map[d] = tf_map.get(d, 0) + tf
+    hits = []
+    for d, f in tf_map.items():
+        f32 = np.float32(f)
+        s = np.float32(wv * f32 / (f32 + cache[idx.norm_bytes[d]]))
+        hits.append((d, s))
+    hits.sort(key=lambda p: (-float(p[1]), p[0]))
+    return hits[:k]
+
+
+def _synonym_topk(idx, terms, k=10):
+    """SynonymQuery control (SynonymQuery.java SynonymWeight/SynonymScorer):
+    pseudo-stats df = max over the terms' docFreqs, tf summed per doc."""
+    from lucene_solr_spark.search.bm25 import make_term_weight
+
+    ts = sorted(set(terms))
+    present = [t for t in ts if idx.postings.get(t)]
+    if not present:
+        return []
+    df_max = max(len(idx.postings[t]) for t in present)
+    tw = make_term_weight("__syn__", df_max, idx.doc_count, idx.avgdl)
+    return _sum_tf_topk(idx, present, np.float32(tw.weight_value), k)
+
+
+def _span_or_topk(idx, terms, k=10):
+    """SpanOrQuery control (spans/SpanOrQuery.java): merged sub-spans of
+    width 0 -> freq = total occurrences; weight sums the clause terms'
+    idfs (absent terms still contribute idf(df=0) via getTermContexts)."""
+    from lucene_solr_spark.search.bm25 import K1, idf_f32, idf_sum_f32
+
+    ts = sorted(set(terms))
+    present = [t for t in ts if idx.postings.get(t)]
+    if not present:
+        return []
+    idf_sum = idf_sum_f32(
+        idf_f32(len(idx.postings.get(t, {})), idx.doc_count) for t in ts
+    )
+    wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    return _sum_tf_topk(idx, present, wv, k)
+
+
+def _blended_topk(idx, terms, tie, k=10):
+    """BlendedTermQuery control (BlendedTermQuery.java:266-289 +
+    DisjunctionMaxRewrite): every clause's df adjusted to the max df
+    across the blend, then DisjunctionMax over the TermQuery clauses."""
+    from lucene_solr_spark.search.bm25 import K1, idf_f32, norm_cache
+
+    ts = sorted(set(terms))
+    present = [t for t in ts if idx.postings.get(t)]
+    if not present:
+        return []
+    max_df = max(len(idx.postings.get(t, {})) for t in ts)
+    wv = np.float32(idf_f32(max_df, idx.doc_count) * (K1 + np.float32(1.0)))
+    cache = norm_cache(np.float32(float(idx.avgdl)))
+    cand = sorted({d for t in present for d in idx.postings[t]})
+    hits = []
+    for d in cand:
+        subs = []
+        for t in present:
+            tf = idx.postings[t].get(d, 0)
+            if tf:
+                f32 = np.float32(tf)
+                subs.append(np.float32(wv * f32 / (f32 + cache[idx.norm_bytes[d]])))
+        # DisjunctionMaxScorer.java:50-59: float32 scoreSum accumulation,
+        # then max + (sum - max) * tie in float32 ops
+        ssum = np.float32(0.0)
+        for s in subs:
+            ssum = np.float32(ssum + s)
+        smax = max(subs)
+        score = np.float32(smax + np.float32(ssum - smax) * np.float32(tie))
+        hits.append((d, score))
+    hits.sort(key=lambda p: (-float(p[1]), p[0]))
+    return hits[:k]
+
+
+def _posrange_topk(idx, term, lo, hi, k=10):
+    """SpanPositionRangeQuery control: freq = Σ 1/(1+width) over the
+    term's occurrences with lo <= pos and pos+1 <= hi (width 0 spans),
+    weight = the single term's idf."""
+    from lucene_solr_spark.search.bm25 import K1, idf_f32, norm_cache
+    from lucene_solr_spark.search.spans import span_position_range_freq
+
+    post = idx.postings.get(term)
+    if not post:
+        return []
+    wv = np.float32(idf_f32(len(post), idx.doc_count) * (K1 + np.float32(1.0)))
+    cache = norm_cache(np.float32(float(idx.avgdl)))
+    hits = []
+    for d in sorted(post):
+        f = span_position_range_freq(idx.positions[term].get(d, []), lo, hi)
+        if f > 0:
+            s = np.float32(wv * f / (f + cache[idx.norm_bytes[d]]))
+            hits.append((d, s))
+    hits.sort(key=lambda p: (-float(p[1]), p[0]))
+    return hits[:k]
+
+
+def test_syn_blend_const_span_family_match_compiled_reference():
+    """Ground-truth round 10: SynonymQuery, BlendedTermQuery
+    (DisjunctionMaxRewrite), ConstantScoreQuery clauses, SpanOr, SpanNot,
+    SpanContaining, SpanWithin, SpanPositionRange — control top-10 docids
+    + float32 scores == the compiled reference binary."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(100818)
+    for corpus_round in range(4):
+        n_docs = rng.randint(5, 30)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+
+        queries = []
+        for _ in range(40):
+            kind = rng.choice(
+                ["syn", "blend", "const", "spanor",
+                 "spannot", "spancontain", "spanwithin", "posrange"]
+            )
+            if kind == "syn":
+                ts = rng.sample(VOCAB + ["zz"], rng.randint(2, 3))
+                queries.append((
+                    f"SYN {' '.join(sorted(set(ts)))}",
+                    lambda ts=ts: _synonym_topk(idx, ts),
+                    False,
+                ))
+            elif kind == "blend":
+                ts = rng.sample(VOCAB + ["zz"], rng.randint(2, 3))
+                tie = rng.choice([0.0, 0.01, 0.5])
+                queries.append((
+                    f"BLEND {tie} {' '.join(sorted(set(ts)))}",
+                    lambda ts=ts, tie=tie: _blended_topk(idx, ts, tie),
+                    tie > 0,
+                ))
+            elif kind == "const":
+                cts = rng.sample(VOCAB, rng.randint(1, 2))
+                sts = rng.sample([v for v in VOCAB if v not in cts], rng.randint(1, 2))
+                boost = rng.choice([0.25, 1.0, 1.7])
+                queries.append((
+                    f"CONST {boost} {len(cts)} {' '.join(cts)} {' '.join(sts)}",
+                    lambda cts=cts, sts=sts, boost=boost: oracle_topk_spec(
+                        idx,
+                        BooleanSpec(
+                            should=tuple(sts),
+                            const_clauses=(("", boost, tuple(cts)),),
+                        ), k=10),
+                    False,
+                ))
+            elif kind == "spanor":
+                ts = rng.sample(VOCAB, rng.randint(2, 3))
+                queries.append((
+                    f"SPANOR {' '.join(sorted(set(ts)))}",
+                    lambda ts=ts: _span_or_topk(idx, ts),
+                    False,
+                ))
+            elif kind in ("spannot", "spancontain", "spanwithin"):
+                inc = rng.sample(VOCAB, 2)
+                exc = rng.sample([v for v in VOCAB if v not in inc], rng.randint(1, 2))
+                slop = rng.randint(0, 4)
+                op = {"spannot": "SPANNOT", "spancontain": "SPANCONTAIN",
+                      "spanwithin": "SPANWITHIN"}[kind]
+                field = {"spannot": "span_not", "spancontain": "span_contain",
+                         "spanwithin": "span_within"}[kind]
+                queries.append((
+                    f"{op} {slop} {len(inc)} {' '.join(inc)} {' '.join(exc)}",
+                    lambda inc=inc, exc=exc, slop=slop, field=field: oracle_topk_spec(
+                        idx,
+                        BooleanSpec(span=tuple(inc), span_slop=slop,
+                                    span_ordered=True,
+                                    **{field: tuple(exc)}), k=10),
+                    False,
+                ))
+            else:
+                t = rng.choice(VOCAB)
+                lo = rng.randint(0, 4)
+                hi = lo + rng.randint(1, 6)
+                queries.append((
+                    f"SPANPOSRANGE {lo} {hi} {t}",
+                    lambda t=t, lo=lo, hi=hi: _posrange_topk(idx, t, lo, hi),
+                    False,
+                ))
+
+        expected = gt.run_topk(docs, [q for q, _fn, _u in queries])
+        assert len(expected) == len(queries)
+        for (qline, fn, ulp), exp in zip(queries, expected):
+            _assert_topk_equal(fn(), exp, (corpus_round, qline),
+                               ulp_tolerant_scores=ulp)

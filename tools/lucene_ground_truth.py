@@ -288,6 +288,72 @@ public class GroundTruthTopK {
         }
         b.setSlop(slop);
         q = b.build();
+      } else if (p[0].equals("SYN")) {
+        Term[] ts = new Term[p.length - 1];
+        for (int i = 1; i < p.length; i++) ts[i - 1] = new Term("body", p[i]);
+        q = new SynonymQuery(ts);
+      } else if (p[0].equals("BLEND")) {
+        // BLEND tie t1 t2 ... -> BlendedTermQuery + DisjunctionMaxRewrite
+        float tie = Float.parseFloat(p[1]);
+        BlendedTermQuery.Builder b = new BlendedTermQuery.Builder()
+            .setRewriteMethod(new BlendedTermQuery.DisjunctionMaxRewrite(tie));
+        for (int i = 2; i < p.length; i++) b.add(new Term("body", p[i]));
+        q = b.build();
+      } else if (p[0].equals("CONST")) {
+        // CONST boost nConst c1..cn s1..sk ->
+        //   SHOULD[BoostQuery(ConstantScoreQuery(OR(c..)), boost), Term(s)..]
+        float boost = Float.parseFloat(p[1]);
+        int nc = Integer.parseInt(p[2]);
+        BooleanQuery.Builder inner = new BooleanQuery.Builder();
+        for (int i = 3; i < 3 + nc; i++)
+          inner.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        BooleanQuery.Builder outer = new BooleanQuery.Builder();
+        outer.add(new BoostQuery(new ConstantScoreQuery(inner.build()), boost),
+                  BooleanClause.Occur.SHOULD);
+        for (int i = 3 + nc; i < p.length; i++)
+          outer.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        q = outer.build();
+      } else if (p[0].equals("SPANOR")) {
+        org.apache.lucene.search.spans.SpanQuery[] cls =
+            new org.apache.lucene.search.spans.SpanQuery[p.length - 1];
+        for (int i = 1; i < p.length; i++)
+          cls[i - 1] = new org.apache.lucene.search.spans.SpanTermQuery(
+              new Term("body", p[i]));
+        q = new org.apache.lucene.search.spans.SpanOrQuery(cls);
+      } else if (p[0].equals("SPANNOT") || p[0].equals("SPANCONTAIN")
+                 || p[0].equals("SPANWITHIN")) {
+        // <OP> slop nInc i1..in e1..ek: include/big = ordered SpanNear
+        // over i*, other side = SpanOr over e* (single term stays a
+        // SpanTermQuery, the engine/oracle shape)
+        int slop = Integer.parseInt(p[1]);
+        int ni = Integer.parseInt(p[2]);
+        org.apache.lucene.search.spans.SpanQuery[] inc =
+            new org.apache.lucene.search.spans.SpanQuery[ni];
+        for (int i = 3; i < 3 + ni; i++)
+          inc[i - 3] = new org.apache.lucene.search.spans.SpanTermQuery(
+              new Term("body", p[i]));
+        org.apache.lucene.search.spans.SpanQuery big = inc.length == 1
+            ? inc[0]
+            : new org.apache.lucene.search.spans.SpanNearQuery(inc, slop, true);
+        org.apache.lucene.search.spans.SpanQuery[] exc =
+            new org.apache.lucene.search.spans.SpanQuery[p.length - 3 - ni];
+        for (int i = 3 + ni; i < p.length; i++)
+          exc[i - 3 - ni] = new org.apache.lucene.search.spans.SpanTermQuery(
+              new Term("body", p[i]));
+        org.apache.lucene.search.spans.SpanQuery other = exc.length == 1
+            ? exc[0] : new org.apache.lucene.search.spans.SpanOrQuery(exc);
+        if (p[0].equals("SPANNOT")) {
+          q = new org.apache.lucene.search.spans.SpanNotQuery(big, other);
+        } else if (p[0].equals("SPANCONTAIN")) {
+          q = new org.apache.lucene.search.spans.SpanContainingQuery(big, other);
+        } else {
+          q = new org.apache.lucene.search.spans.SpanWithinQuery(big, other);
+        }
+      } else if (p[0].equals("SPANPOSRANGE")) {
+        // SPANPOSRANGE lo hi t
+        q = new org.apache.lucene.search.spans.SpanPositionRangeQuery(
+            new org.apache.lucene.search.spans.SpanTermQuery(new Term("body", p[3])),
+            Integer.parseInt(p[1]), Integer.parseInt(p[2]));
       } else {
         throw new IllegalArgumentException(p[0]);
       }
