@@ -967,3 +967,59 @@ def test_syn_blend_const_span_family_match_compiled_reference():
         for (qline, fn, ulp), exp in zip(queries, expected):
             _assert_topk_equal(fn(), exp, (corpus_round, qline),
                                ulp_tolerant_scores=ulp)
+
+
+def test_query_rescorer_matches_compiled_reference():
+    """Ground-truth round 11: QueryRescorer.rescore (the static sugar,
+    QueryRescorer.java:167) — first pass = OR top-firstN, second pass =
+    OR or PHRASE; combined score = float32(first + weight * second) with
+    the double-product compound assignment, re-sorted score DESC / doc
+    ASC, truncated to topN. Control == the compiled binary bit-for-bit."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(110818)
+    for corpus_round in range(4):
+        n_docs = rng.randint(8, 30)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+
+        cases = []
+        for _ in range(25):
+            q1 = rng.sample(VOCAB, rng.randint(1, 3))
+            weight = rng.choice([0.5, 1.0, 2.0, 2.7])
+            first_n = rng.randint(3, 12)
+            top_n = rng.randint(2, first_n)
+            if rng.random() < 0.5:
+                q2_terms = rng.sample(VOCAB, rng.randint(1, 2))
+                qline = (f"RESCORE {weight} {first_n} {top_n} {len(q1)} "
+                         f"{' '.join(q1)} OR {' '.join(q2_terms)}")
+                spec2 = BooleanSpec(should=tuple(q2_terms))
+            else:
+                p_terms = [rng.choice(VOCAB) for _ in range(2)]
+                slop = rng.randint(0, 3)
+                qline = (f"RESCORE {weight} {first_n} {top_n} {len(q1)} "
+                         f"{' '.join(q1)} PHRASE {slop} {' '.join(p_terms)}")
+                spec2 = BooleanSpec(
+                    phrase=tuple((t, i) for i, t in enumerate(p_terms)),
+                    slop=slop,
+                )
+            cases.append((qline, q1, weight, first_n, top_n, spec2))
+
+        expected = gt.run_topk(docs, [c[0] for c in cases])
+        assert len(expected) == len(cases)
+        for (qline, q1, weight, first_n, top_n, spec2), exp in zip(cases, expected):
+            first = oracle_topk_spec(idx, BooleanSpec(should=tuple(q1)), k=first_n)
+            second = dict(oracle_topk_spec(idx, spec2, k=n_docs))
+            combined = []
+            for d, s1 in first:
+                if d in second:
+                    s = np.float32(np.float64(s1) + weight * np.float64(second[d]))
+                else:
+                    s = np.float32(s1)
+                combined.append((d, s))
+            combined.sort(key=lambda p: (-float(p[1]), p[0]))
+            _assert_topk_equal(combined[:top_n], exp, (corpus_round, qline))

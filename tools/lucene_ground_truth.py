@@ -354,6 +354,41 @@ public class GroundTruthTopK {
         q = new org.apache.lucene.search.spans.SpanPositionRangeQuery(
             new org.apache.lucene.search.spans.SpanTermQuery(new Term("body", p[3])),
             Integer.parseInt(p[1]), Integer.parseInt(p[2]));
+      } else if (p[0].equals("RESCORE")) {
+        // RESCORE weight firstN topN n1 q1t.. (OR t.. | PHRASE slop t..)
+        // -> QueryRescorer.rescore(searcher, search(OR(q1), firstN), q2,
+        //    weight, topN)   (QueryRescorer.java:167 static sugar)
+        double wgt = Double.parseDouble(p[1]);
+        int firstN = Integer.parseInt(p[2]);
+        int topN = Integer.parseInt(p[3]);
+        int n1 = Integer.parseInt(p[4]);
+        BooleanQuery.Builder b1 = new BooleanQuery.Builder();
+        for (int i = 5; i < 5 + n1; i++)
+          b1.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        Query q2;
+        int at = 5 + n1;
+        if (p[at].equals("PHRASE")) {
+          int slop = Integer.parseInt(p[at + 1]);
+          PhraseQuery.Builder pb = new PhraseQuery.Builder();
+          pb.setSlop(slop);
+          for (int i = at + 2; i < p.length; i++)
+            pb.add(new Term("body", p[i]), i - at - 2);
+          q2 = pb.build();
+        } else {
+          BooleanQuery.Builder b2 = new BooleanQuery.Builder();
+          for (int i = at + 1; i < p.length; i++)
+            b2.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+          q2 = b2.build();
+        }
+        TopDocs first = s.search(b1.build(), firstN);
+        TopDocs td2 = QueryRescorer.rescore(s, first, q2, wgt, topN);
+        StringBuilder out2 = new StringBuilder();
+        for (ScoreDoc sd : td2.scoreDocs) {
+          if (out2.length() > 0) out2.append(";");
+          out2.append(sd.doc).append(":").append(Float.toString(sd.score));
+        }
+        System.out.println(out2.length() == 0 ? "-" : out2.toString());
+        continue;
       } else {
         throw new IllegalArgumentException(p[0]);
       }
