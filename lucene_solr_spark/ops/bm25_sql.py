@@ -1080,9 +1080,16 @@ def bm25_term_automaton_sql(transitions, accepts, k: int = 10) -> str:
     arcs consume the token at the arrival position; ANY arcs ('' label)
     consume a pseudo-move available at every position up to the doc's
     last query token and never count an accept — matches must end on a
-    term arc. freq = accepting term-arc arrivals; weight = summed idf of
+    term arc. The walk runs over the finish()-determinized automaton
+    (TermAutomatonQuery.java:120-185 — ANY arcs expand to every term
+    symbol, so a query-term token under an ANY arc steps BOTH as a
+    scoring term arc and as a non-scoring ANY move; the union keeps both
+    copies). freq = accepting term-arc arrivals; weight = summed idf of
     the distinct labels (absent labels contribute idf(0))."""
+    from ..search.automaton import expand_determinize
+
     labels = sorted({lab for _f, lab, _t in transitions if lab})
+    transitions, accepts = expand_determinize(transitions, accepts)
     idfw = _idfw_from_data(labels)
     trans_vals = ",".join(f"({f},'{l}',{t})" for f, l, t in transitions)
     acc_vals = ",".join(f"({a})" for a in accepts)

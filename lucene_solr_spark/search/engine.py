@@ -883,16 +883,15 @@ class IndexSearcher:
         proximity query whose transitions are terms — the generalization
         of Phrase/MultiPhrase/SpanNear. transitions = [(from, label, to)]
         with label '' as the ANY arc and start state 0; accepts = accept
-        state ids. The automaton must be deterministic over term labels
-        (the reference determinizes in finish()); tf = accepting term-arc
-        arrivals per countMatches, scored BM25 with the labels' summed
-        idf."""
-        spec = BooleanSpec(
-            term_automaton=(
-                tuple((int(f), str(l), int(t)) for f, l, t in transitions),
-                tuple(sorted(int(a) for a in accepts)),
-            )
-        )
+        state ids. The automaton is ANY-expanded and determinized exactly
+        as finish() does (TermAutomatonQuery.java:120-185 — ANY arcs match
+        every term symbol, so a query-term token under an ANY arc steps
+        twice: a scoring term step plus a non-scoring ANY step); tf =
+        accepting term-arc arrivals per countMatches, scored BM25 with the
+        labels' summed idf."""
+        from .automaton import expand_determinize
+
+        spec = BooleanSpec(term_automaton=expand_determinize(transitions, accepts))
         return self.topk_spec(spec, k=k)
 
     def topk_span_position_range(

@@ -219,6 +219,94 @@ def oracle_sweetspot_topk(
     return [(int(docs[i]), np.float32(scores[i])) for i in order]
 
 
+def _automaton_path_freq(occ_map: dict[int, str], dfa_trans, dfa_accepts) -> int:
+    """Independent TermAutomatonScorer.countMatches reference (sandbox/
+    search/TermAutomatonScorer.java:226-345) by path enumeration over the
+    DETERMINIZED automaton: every held state steps BOTH on the current
+    token's term symbol (counting accepts) and on the ANY symbol (never
+    counting — and never past the doc's last query token); each route is
+    its own path because PosState.add never dedups. Structurally
+    different from the engine's forward multiset walk."""
+    qpos = sorted(occ_map)
+    if not qpos:
+        return 0
+    max_qpos = qpos[-1]
+    acc = set(dfa_accepts)
+    dstep: dict[tuple[int, str], int] = {}
+    astep: dict[int, int] = {}
+    for f, lab, t in dfa_trans:
+        if lab == "":
+            astep[f] = t
+        else:
+            dstep[(f, lab)] = t
+    hits = 0
+
+    def dfs(state: int, pos: int) -> None:
+        nonlocal hits
+        if pos > max_qpos:
+            return
+        t = occ_map.get(pos)
+        if t is not None:
+            nxt = dstep.get((state, t))
+            if nxt is not None:
+                if nxt in acc:
+                    hits += 1
+                dfs(nxt, pos + 1)
+        if pos < max_qpos:
+            nxt = astep.get(state)
+            if nxt is not None:
+                dfs(nxt, pos + 1)
+
+    for p in qpos:
+        st = dstep.get((0, occ_map[p]))
+        if st is not None:
+            if st in acc:
+                hits += 1
+            dfs(st, p + 1)
+    return hits
+
+
+def oracle_term_automaton_topk(
+    idx: OracleIndex, transitions, accepts, k: int = 10
+) -> list[tuple[int, np.float32]]:
+    """Control for TermAutomatonQuery (sandbox/search/TermAutomatonQuery
+    .java): candidates are docs holding ANY automaton term (the scorer's
+    DocIDQueue union), freq = countMatches via independent path
+    enumeration over the finish()-determinized automaton, weight = BM25
+    with idf summed float32 over every term label's stats
+    (TermAutomatonWeight gathers TermContext per term; absent terms
+    contribute idf(df=0))."""
+    from .automaton import expand_determinize
+    from .bm25 import norm_cache
+
+    dfa_trans, dfa_accepts = expand_determinize(transitions, accepts)
+    labels = sorted({lab for _f, lab, _t in transitions if lab})
+    cand: set[int] = set()
+    for t in labels:
+        cand |= set(idx.postings.get(t, {}))
+    if not cand:
+        return []
+    idf_sum = idf_sum_f32(
+        idf_f32(len(idx.postings.get(t, {})), idx.doc_count) for t in labels
+    )
+    wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    cache = norm_cache(idx.avgdl)
+    scored: list[tuple[int, np.float32]] = []
+    for d in sorted(cand):
+        occ_map: dict[int, str] = {}
+        for t in labels:
+            for p in idx.positions.get(t, {}).get(d, []):
+                occ_map[p] = t
+        f = _automaton_path_freq(occ_map, dfa_trans, dfa_accepts)
+        if f <= 0:
+            continue
+        pf = np.float32(f)
+        s = np.float32(wv * pf / (pf + cache[idx.norm_bytes[d]]))
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-float(x[1]), x[0]))
+    return scored[:k]
+
+
 def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.float32]]:
     """Control for BooleanSpec queries (engine.BooleanSpec): MUST/SHOULD/
     MUST_NOT/minShouldMatch, DisjunctionMax, exact/sloppy PhraseQuery,

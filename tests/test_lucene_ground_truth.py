@@ -1023,3 +1023,72 @@ def test_query_rescorer_matches_compiled_reference():
                 combined.append((d, s))
             combined.sort(key=lambda p: (-float(p[1]), p[0]))
             _assert_topk_equal(combined[:top_n], exp, (corpus_round, qline))
+
+
+def _auto_line(trans, accepts):
+    parts = ["AUTO", str(len(accepts))] + [str(a) for a in accepts]
+    parts.append(str(len(trans)))
+    for f, lab, t in trans:
+        parts += [str(f), lab if lab else "_ANY_", str(t)]
+    return " ".join(parts)
+
+
+def test_term_automaton_matches_compiled_reference():
+    """Ground-truth round 12: TermAutomatonQuery (lucene/sandbox) — the
+    oracle's finish()-determinized path walk == the REAL compiled
+    TermAutomatonQuery/-Scorer, docids and float32 scores bit-for-bit.
+    Shapes cover exact phrase, per-position unions, ANY gaps (where
+    finish()'s ANY-to-every-symbol expansion makes a query-term token
+    step twice — the parity quirk this round pinned), ANY and term
+    self-loops, mid-path accepts, nondeterministic inputs (subset
+    construction), and a df=0 label (TermContext stats still counted)."""
+    from lucene_solr_spark.search.oracle import (
+        build_oracle_index, oracle_term_automaton_topk,
+    )
+
+    rng = random.Random(20260819)
+    shapes = [
+        # label slots filled per round from VOCAB (L0..L3 distinct)
+        lambda L: ([(0, L[0], 1), (1, L[1], 2)], [2]),
+        lambda L: ([(0, L[0], 1), (1, L[1], 2), (2, L[2], 3)], [3]),
+        lambda L: ([(0, L[0], 1), (0, L[1], 1), (1, L[2], 2)], [2]),
+        lambda L: ([(0, L[0], 1), (1, "", 2), (2, L[1], 3)], [3]),
+        lambda L: ([(0, L[0], 1), (1, "", 1), (1, L[1], 2)], [2]),
+        lambda L: ([(0, L[0], 1), (1, L[0], 1), (1, L[1], 2)], [2]),
+        lambda L: ([(0, L[0], 1), (1, L[1], 2), (2, L[2], 3)], [2, 3]),
+        # union of phrases with unequal lengths (synonym-graph shape)
+        lambda L: ([(0, L[0], 2), (0, L[1], 1), (1, L[2], 2)], [2]),
+        # nondeterministic: two same-label arcs from the start state
+        lambda L: ([(0, L[0], 1), (0, L[0], 2), (1, L[1], 3), (2, L[2], 3)], [3]),
+        # ANY gap of length 2
+        lambda L: ([(0, L[0], 1), (1, "", 2), (2, "", 3), (3, L[1], 4)], [4]),
+        # df=0 label alternative: zz never occurs but contributes idf(0)
+        lambda L: ([(0, "zz", 1), (0, L[0], 1), (1, L[1], 2)], [2]),
+    ]
+    for corpus_round in range(4):
+        n_docs = rng.randint(5, 25)
+        docs = [
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 16)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        cases = []
+        for shape in shapes:
+            for _ in range(3):
+                labels = rng.sample(VOCAB, 3)
+                cases.append(shape(labels))
+        expected = gt.run_topk(docs, [_auto_line(t, a) for t, a in cases])
+        assert len(expected) == len(cases)
+        for (trans, accepts), exp in zip(cases, expected):
+            got = oracle_term_automaton_topk(idx, trans, accepts, k=10)
+            # TermAutomatonWeight sums the labels' idfs iterating a
+            # HashMap<BytesRef,Integer> (TermAutomatonQuery.java:191-197)
+            # whose order depends on StringHelper.GOOD_FAST_HASH_SEED —
+            # time-seeded (StringHelper.java:162), so with >=3 distinct
+            # labels the reference's own float32 sum order is not
+            # reproducible run-to-run; compare ULP-bounded there (the
+            # DisjunctionMax heap-order precedent). <=2 labels: one IEEE
+            # sum order — exact.
+            n_labels = len({lab for _f, lab, _t in trans if lab})
+            _assert_topk_equal(got, exp, (corpus_round, trans, accepts),
+                               ulp_tolerant_scores=n_labels >= 3)

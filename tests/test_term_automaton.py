@@ -1,52 +1,30 @@
 """TermAutomatonQuery semantics (sandbox/search/TermAutomatonScorer.java):
 
-freq = number of transition paths that start with a term arc from state 0
-at some query-token position and end with a term arc into an accept state
-(mid-path accepts count their own prefix; ANY arcs consume one position,
-never count, and may not move past the doc's last query token). The
-property test checks the engine's multiset position-walk against an
-independent brute-force path enumeration; the Spark test pins the
-automaton == PhraseQuery equivalence rank- and score-identically.
-"""
+finish() expands ANY arcs to match EVERY term symbol and determinizes
+(TermAutomatonQuery.java:120-185), so countMatches steps each held state
+both on the token's term symbol (counting accepts) and on the ANY symbol
+(never counting); each route is a separate multiset copy. The property
+test checks the engine's forward multiset walk against the oracle's
+independent path-enumeration DFS over the same determinized automaton;
+the Spark test pins the automaton == PhraseQuery equivalence rank- and
+score-identically. Both are pinned to the compiled reference binary in
+tests/test_lucene_ground_truth.py."""
 
 import numpy as np
 import pytest
 
+from lucene_solr_spark.search.automaton import expand_determinize
 from lucene_solr_spark.search.engine import _term_automaton_freqs
+from lucene_solr_spark.search.oracle import _automaton_path_freq
 
 SF = "/root/testdata/sf0.001"
 
 
 def _brute_freq(tokens: dict, trans, accepts, labels):
-    """Independent reference: DFS over transition paths."""
-    qpos = sorted(p for p, t in tokens.items() if t in labels)
-    if not qpos:
-        return 0
-    max_qpos = qpos[-1]
-    acc = set(accepts)
-    hits = 0
-
-    def dfs(state, pos):
-        nonlocal hits
-        tok = tokens.get(pos)
-        for f, lab, t in trans:
-            if f != state:
-                continue
-            if lab == "":
-                if pos < max_qpos:  # ANY may not move past the last query token
-                    dfs(t, pos + 1)
-            elif tok == lab:
-                if t in acc:
-                    hits += 1
-                dfs(t, pos + 1)
-
-    for p in qpos:
-        for f, lab, t in trans:
-            if f == 0 and lab == tokens[p]:
-                if t in acc:
-                    hits += 1
-                dfs(t, p + 1)
-    return hits
+    """Independent reference: path DFS over the determinized automaton."""
+    dfa_trans, dfa_acc = expand_determinize(trans, accepts)
+    occ_map = {p: t for p, t in tokens.items() if t in labels}
+    return _automaton_path_freq(occ_map, dfa_trans, dfa_acc)
 
 
 def _per_term_for(doc_id: int, tokens: dict, labels):
@@ -101,7 +79,7 @@ def test_walk_matches_brute_force_paths(trans, accepts):
         if not per_term:
             assert want == 0
             continue
-        got = int(_term_automaton_freqs(per_term, (tuple(trans), tuple(accepts)),
+        got = int(_term_automaton_freqs(per_term, expand_determinize(trans, accepts),
                                         np.array([5]))[0])
         assert got == want, (trial, tokens)
 

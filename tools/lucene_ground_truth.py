@@ -354,6 +354,34 @@ public class GroundTruthTopK {
         q = new org.apache.lucene.search.spans.SpanPositionRangeQuery(
             new org.apache.lucene.search.spans.SpanTermQuery(new Term("body", p[3])),
             Integer.parseInt(p[1]), Integer.parseInt(p[2]));
+      } else if (p[0].equals("AUTO")) {
+        // AUTO <nAcc> a.. <nArcs> (<from> <label|_ANY_> <to>)*
+        org.apache.lucene.search.TermAutomatonQuery aq =
+            new org.apache.lucene.search.TermAutomatonQuery("body");
+        int at = 1;
+        int nAcc = Integer.parseInt(p[at++]);
+        int[] accs = new int[nAcc];
+        for (int i = 0; i < nAcc; i++) accs[i] = Integer.parseInt(p[at++]);
+        int nArcs = Integer.parseInt(p[at++]);
+        int[] fs = new int[nArcs];
+        int[] tos = new int[nArcs];
+        String[] labs = new String[nArcs];
+        int maxState = 0;
+        for (int i = 0; i < nArcs; i++) {
+          fs[i] = Integer.parseInt(p[at++]);
+          labs[i] = p[at++];
+          tos[i] = Integer.parseInt(p[at++]);
+          maxState = Math.max(maxState, Math.max(fs[i], tos[i]));
+        }
+        for (int i = 0; i < nAcc; i++) maxState = Math.max(maxState, accs[i]);
+        for (int i = 0; i <= maxState; i++) aq.createState();
+        for (int i = 0; i < nArcs; i++) {
+          if (labs[i].equals("_ANY_")) aq.addAnyTransition(fs[i], tos[i]);
+          else aq.addTransition(fs[i], tos[i], labs[i]);
+        }
+        for (int i = 0; i < nAcc; i++) aq.setAccept(accs[i], true);
+        aq.finish();
+        q = aq;
       } else if (p[0].equals("RESCORE")) {
         // RESCORE weight firstN topN n1 q1t.. (OR t.. | PHRASE slop t..)
         // -> QueryRescorer.rescore(searcher, search(OR(q1), firstN), q2,
@@ -741,6 +769,26 @@ def build() -> bool:
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
              "-d", CLASSES, ss_src],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+    # TermAutomatonQuery/-Scorer (lucene/sandbox) depend only on core
+    ta_marker = os.path.join(
+        CLASSES, "org/apache/lucene/search/TermAutomatonQuery.class"
+    )
+    ta_dir = (
+        "/root/reference/lucene/sandbox/src/java/org/apache/lucene/search"
+    )
+    if not os.path.exists(ta_marker) and os.path.isdir(ta_dir):
+        tsrcs = [
+            os.path.join(ta_dir, f)
+            for f in ("TermAutomatonQuery.java", "TermAutomatonScorer.java")
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + tsrcs,
             capture_output=True, text=True, timeout=120,
         )
         if r.returncode != 0:
