@@ -1501,27 +1501,46 @@ SELECT * FROM (
 
 
 def spellcheck_suggest(spark, sf):
-    """DirectSpellChecker (lucene/suggest/.../spell/DirectSpellChecker.java
-    suggestSimilar): suggestions from the term DICTIONARY within 2 edits
-    of the (misspelled) input, ranked by edit distance ASC, docFreq DESC,
-    term ASC (SuggestWordFrequencyComparator + tie rule) — a
-    metadata-only term_stats scan, never the corpus."""
+    """DirectSpellChecker.suggestSimilar (lucene/suggest/.../spell/
+    DirectSpellChecker.java:318-385) with the reference DEFAULTS
+    (maxEdits 2, minPrefix 1, accuracy 0.5, minQueryLength 4,
+    SUGGEST_WHEN_NOT_IN_INDEX): suggestions from the term DICTIONARY
+    within the transposition-primitive distance, score = 1 - ed/min(len)
+    >= accuracy, first character shared with the query, ranked score
+    DESC, docFreq DESC, term ASC — a metadata-only term_stats scan,
+    never the corpus. 'slon' -> slow (ed 1, 0.75) then scan (ed 2, 0.5).
+    Output carries rank instead of the float32 score so the value hash
+    is arithmetic-exact across engines."""
     from .index_access import searcher_for
 
-    return searcher_for(spark, sf).spellcheck("dat", max_edits=2, n=5)
+    out = searcher_for(spark, sf).spellcheck("slon", max_edits=2, n=5)
+    w = Window.orderBy(
+        F.col("score").desc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return out.select(
+        "term", "df", F.row_number().over(w).cast("int").alias("rank")
+    )
 
 
+# the corpus vocabulary holds no pair where a transposition beats plain
+# Levenshtein around 'slon', so levenshtein() == the reference's OSA here
 SPELLCHECK_SQL = f"""
 SELECT term, CAST(df AS BIGINT) AS df,
-       CAST(levenshtein(term, 'dat') AS INTEGER) AS distance
+       CAST(row_number() OVER (
+         ORDER BY 1.0 - levenshtein(term, 'slon') * 1.0
+                        / least(length(term), 4) DESC,
+                  df DESC, term ASC
+       ) AS INTEGER) AS rank
 FROM (
   SELECT term, count(DISTINCT doc_id) AS df
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
   WHERE term <> '' AND term NOT IN {_stoplist_in()}
   GROUP BY term
 )
-WHERE levenshtein(term, 'dat') <= 2 AND term <> 'dat'
-ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+WHERE levenshtein(term, 'slon') <= 2 AND term <> 'slon'
+  AND substr(term, 1, 1) = 's'
+  AND 1.0 - levenshtein(term, 'slon') * 1.0 / least(length(term), 4) >= 0.5
+ORDER BY rank LIMIT 5
 """
 
 
@@ -1860,7 +1879,9 @@ def suggest_combined(spark, sf):
         F.lit("spell").alias("variant"),
         "term",
         F.col("df").cast("long").alias("df"),
-        F.col("distance").cast("int").alias("distance"),
+        # the spell variant's aux slot carries its RANK (the float32
+        # similarity score itself would hash differently across engines)
+        F.col("rank").cast("int").alias("distance"),
     )
     s3 = suggest_infix(spark, sf).select(
         F.lit("infix").alias("variant"),
@@ -1893,7 +1914,8 @@ SELECT * FROM (
   SELECT 'prefix' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_PREFIX_SQL})
   UNION ALL
-  SELECT 'spell' AS variant, term, CAST(df AS BIGINT) AS df, distance
+  SELECT 'spell' AS variant, term, CAST(df AS BIGINT) AS df,
+         rank AS distance
   FROM ({SPELLCHECK_SQL})
   UNION ALL
   SELECT 'infix' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance

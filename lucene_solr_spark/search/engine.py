@@ -962,19 +962,69 @@ class IndexSearcher:
             .limit(k)
         )
 
-    def spellcheck(self, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
-        """DirectSpellChecker (lucene/suggest/.../spell/DirectSpellChecker.java):
-        candidate suggestions from the term DICTIONARY within max_edits,
-        ranked by edit distance ASC, then docFreq DESC, then term ASC
-        (SuggestWord.compareTo) — a metadata-only term_stats scan, never
-        the corpus."""
+    def spellcheck(
+        self,
+        word: str,
+        max_edits: int = 2,
+        n: int = 5,
+        min_prefix: int = 1,
+        accuracy: float = 0.5,
+        min_query_length: int = 4,
+        max_inspections: int = 5,
+    ) -> DataFrame:
+        """DirectSpellChecker.suggestSimilar (lucene/suggest/.../spell/
+        DirectSpellChecker.java:318-385), SUGGEST_WHEN_NOT_IN_INDEX, full
+        reference semantics — pinned against the compiled binary in
+        tests/test_lucene_ground_truth.py: query gates (minQueryLength,
+        in-index query returns nothing), candidates from the term
+        DICTIONARY within the transposition-primitive OSA distance,
+        score = 1 - ed/min(len) (float32) filtered at `accuracy`, the
+        ed=1-then-ed<=maxEdits pass structure with per-pass prefix
+        max(minPrefix, ed-1) and the numSug*maxInspections PriorityQueue
+        truncation, ranked score DESC, docFreq DESC, term ASC
+        (SuggestWordScoreComparator). Output: (term, score, df).
+
+        Scale shape: a metadata-only term_stats scan — prefix prune
+        (pushdown) + plain-Levenshtein <= 2*maxEdits superset prefilter
+        (one transposition costs <= 2 plain edits), with the exact OSA /
+        PQ finalize over the surviving dictionary NEIGHBORHOOD (bounded
+        by the ball around one word, not the corpus) in one Arrow stage."""
+        from .fuzzy import direct_spell_suggest
+
+        out_schema = "term string, score float, df long"
+        if len(word) < min_query_length:
+            return self.spark.createDataFrame([], out_schema)
+        qdf = (
+            self._term_stats.filter(F.col("term") == word)
+            .agg(F.sum("df")).collect()[0][0]
+        )
+        if int(qdf or 0) > 0:  # SUGGEST_WHEN_NOT_IN_INDEX (:330-332)
+            return self.spark.createDataFrame([], out_schema)
+        pmin = min(max(min_prefix, 0), max(min_prefix, max_edits - 1))
+        base = self._term_stats.select("term", "df").filter(F.col("term") != word)
+        if pmin > 0:
+            base = base.filter(F.col("term").startswith(word[:pmin]))
+        base = base.filter(
+            F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits
+        )
+
+        def _finalize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cands = sorted(zip(pdf["term"], pdf["df"].astype(int)))
+            out = direct_spell_suggest(
+                cands, word, num_sug=n, max_edits=max_edits,
+                min_prefix=min_prefix, accuracy=accuracy,
+                max_inspections=max_inspections,
+            )
+            return pd.DataFrame({
+                "term": [t for t, _s, _d in out],
+                "score": np.array([s for _t, s, _d in out], dtype=np.float32),
+                "df": np.array([d for _t, _s, d in out], dtype=np.int64),
+            })
+
         return (
-            self._term_stats.select("term", "df")
-            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)).cast("int"))
-            .filter(F.col("distance") <= max_edits)
-            .filter(F.col("term") != word)
-            .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("term").asc())
-            .limit(n)
+            base.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(_finalize, schema=out_schema)
+            .orderBy(F.col("score").desc(), F.col("df").desc(), F.col("term").asc())
         )
 
     def topk_boosted(self, boosts: dict[str, float], k: int = 10) -> DataFrame:

@@ -127,3 +127,80 @@ def fuzzy_expand_vocab(
             out.append((t, df, fuzzy_boost(query, t, ed)))
     out.sort(key=lambda x: (-float(x[2]), x[0]))
     return out[:max_expansions]
+
+
+def direct_spell_suggest(
+    cands: list[tuple[str, int]],
+    word: str,
+    num_sug: int = 5,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    accuracy: float = 0.5,
+    max_inspections: int = 5,
+    docfreq: int = 0,
+) -> list[tuple[str, np.float32, int]]:
+    """DirectSpellChecker.suggestSimilar core over a (term, df) dictionary
+    (suggest/spell/DirectSpellChecker.java:318-385, 403-463). The caller
+    is responsible for the query-term gates (minQueryLength, suggest
+    mode, maxQueryFrequency) and for handing in a SUPERSET of the
+    candidate ball (plain Levenshtein <= 2*max_edits prefilter is safe —
+    one transposition costs <= 2 plain edits).
+
+    Faithful structure: an ed<=1 pass with prefix max(minPrefix, 0), then
+    — only if it kept fewer than numSug*maxInspections candidates — an
+    ed<=maxEdits pass with prefix max(minPrefix, maxEdits-1), each pass a
+    bounded PriorityQueue over term-dictionary iteration order (byte
+    order): once full, a candidate whose boost <= the queue minimum is
+    SKIPPED (ties lose to first-comers, DirectSpellChecker.java:421-423);
+    an offered candidate evicts the minimum, ties broken by evicting the
+    lexicographically LARGEST term (ScoreTerm.compareTo:505-509 inverts
+    term order). Pass results union by term (HashSet<ScoreTerm> equality
+    is term equality), then sort score DESC, freq DESC, term ASC
+    (SuggestWordScoreComparator) and trim to numSug. Boost == score ==
+    1 - ed/min(len) for the internal distance (scale undone at :441)."""
+    import heapq
+
+    class _RevStr(str):
+        def __lt__(self, other):  # inverted term order inside the PQ
+            return str.__gt__(self, other)
+
+    inspections = num_sug * max_inspections
+    ordered = sorted(cands)
+
+    def _pass(edit_distance: int, prefix: int) -> dict[str, tuple[np.float32, int]]:
+        kept: dict[str, tuple[np.float32, int]] = {}
+        heap: list[tuple[np.float32, _RevStr]] = []
+        pfx = word[:prefix]
+        for term, df in ordered:
+            if term == word or not term.startswith(pfx):
+                continue
+            ed = osa_distance(word, term)
+            if ed == 0 or ed > edit_distance:
+                continue
+            sim = np.float32(
+                np.float32(1.0) - np.float32(ed) / np.float32(min(len(term), len(word)))
+            )
+            if not sim > np.float32(0.0):  # FuzzyTermsEnum accept: sim > minSim(=0)
+                continue
+            boost = sim
+            if len(heap) >= inspections and boost <= heap[0][0]:
+                continue  # uncompetitive (checked before df/accuracy)
+            if int(df) <= docfreq:
+                continue
+            score = boost  # INTERNAL_LEVENSHTEIN: boost/scale + minSim
+            if score < np.float32(accuracy):
+                continue
+            heapq.heappush(heap, (boost, _RevStr(term)))
+            kept[term] = (score, int(df))
+            if len(heap) > inspections:
+                _b, evicted = heapq.heappop(heap)
+                del kept[str(evicted)]
+        return kept
+
+    merged = _pass(1, max(min_prefix, 0))
+    if max_edits > 1 and len(merged) < inspections:
+        for term, v in _pass(max_edits, max(min_prefix, max_edits - 1)).items():
+            merged.setdefault(term, v)
+    out = [(t, s, df) for t, (s, df) in merged.items()]
+    out.sort(key=lambda x: (-float(x[1]), -x[2], x[0]))
+    return out[:num_sug]

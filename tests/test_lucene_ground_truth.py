@@ -1092,3 +1092,153 @@ def test_term_automaton_matches_compiled_reference():
             n_labels = len({lab for _f, lab, _t in trans if lab})
             _assert_topk_equal(got, exp, (corpus_round, trans, accepts),
                                ulp_tolerant_scores=n_labels >= 3)
+
+
+def test_direct_spell_checker_matches_compiled_reference():
+    """Ground-truth round 13a: DirectSpellChecker — the engine's
+    suggestion core (search/fuzzy.py::direct_spell_suggest) == the REAL
+    compiled DirectSpellChecker.suggestSimilar: same candidates, same
+    float32 scores (1 - OSA/min(len), transposition-primitive distance),
+    same (score DESC, freq DESC, term ASC) order, same query gates
+    (minQueryLength, SUGGEST_WHEN_NOT_IN_INDEX), the two-pass ed=1/ed<=2
+    structure with per-pass prefix max(minPrefix, ed-1), and the
+    numSug*5 inspections PriorityQueue truncation (iteration-order
+    dependent tie handling included)."""
+    from lucene_solr_spark.search.fuzzy import direct_spell_suggest
+
+    rng = random.Random(20260820)
+    alpha = "mnop"
+    for corpus_round in range(4):
+        vocab = sorted({
+            "m" + "".join(rng.choice(alpha) for _ in range(rng.randint(3, 5)))
+            for _ in range(rng.randint(8, 40))
+        })
+        n_docs = rng.randint(6, 20)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            for _ in range(n_docs)
+        ]
+        dfs: dict[str, int] = {}
+        for d in docs:
+            for t in set(d.split()):
+                dfs[t] = dfs.get(t, 0) + 1
+        cands = sorted(dfs.items())
+
+        queries = []
+        for _ in range(25):
+            word = "m" + "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+            num_sug = rng.choice([1, 2, 5])          # 1 -> inspections cap = 5
+            max_edits = rng.choice([1, 2])
+            min_prefix = rng.choice([0, 1, 2])
+            accuracy = rng.choice([0.0, 0.3, 0.5, 0.7])
+            min_qlen = rng.choice([1, 4])
+            queries.append((word, num_sug, max_edits, min_prefix, accuracy, min_qlen))
+
+        lines = [
+            f"DS {w} {n} {me} {mp} {acc} {mql} 0.01"
+            for w, n, me, mp, acc, mql in queries
+        ]
+        expected = gt.run_spell(docs, lines)
+        assert len(expected) == len(queries)
+        for (word, n, me, mp, acc, mql), exp in zip(queries, expected):
+            # query gates (DirectSpellChecker.java:318-341)
+            if len(word) < mql or dfs.get(word, 0) > 0:
+                got = []
+            else:
+                got = direct_spell_suggest(
+                    cands, word, num_sug=n, max_edits=me, min_prefix=mp,
+                    accuracy=acc,
+                )
+            exp_rows = [] if exp == "-" else [
+                (p.split(":")[0], np.float32(float(p.split(":")[1])),
+                 int(p.split(":")[2]))
+                for p in exp.split(";")
+            ]
+            got_rows = [(t, np.float32(s), int(df)) for t, s, df in got]
+            assert got_rows == exp_rows, (
+                corpus_round, word, n, me, mp, acc, mql, got_rows, exp_rows)
+
+
+def test_word_break_spell_checker_matches_compiled_reference():
+    """Ground-truth round 13b: WordBreakSpellChecker, both directions
+    (suggest/spell/WordBreakSpellChecker.java). Breaks (maxChanges=1):
+    every split point with BOTH pieces at df >= minSuggestionFrequency,
+    query dropped when indexed (SUGGEST_WHEN_NOT_IN_INDEX), ranked
+    fewest-words then freqMax DESC (LengthThenMaxFreqComparator :445).
+    Combinations (maxChanges=1): adjacent pairs whose concatenation is
+    indexed at df >= minSuggestionFrequency with at least one component
+    ABSENT (minFreq == 0 gate, :225-227), ranked freq DESC. PQ ties are
+    heap-sift order (reference-unspecified) — the test compares the
+    suggestion SETS exactly and the ordering via its sort keys."""
+    rng = random.Random(20260821)
+    alpha = "st"
+    for corpus_round in range(4):
+        vocab = sorted({
+            "".join(rng.choice(alpha) for _ in range(rng.randint(2, 4)))
+            for _ in range(rng.randint(4, 12))
+        })
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(5, 15))
+        ]
+        dfs: dict[str, int] = {}
+        for d in docs:
+            for t in set(d.split()):
+                dfs[t] = dfs.get(t, 0) + 1
+
+        # --- breaks ---
+        bqueries = []
+        for _ in range(12):
+            q = rng.choice(vocab) + rng.choice(vocab)
+            msf = rng.choice([1, 2])
+            bqueries.append((q, msf))
+        blines = [f"WBB {q} 1 1 1000 {msf}" for q, msf in bqueries]
+        # --- combinations ---
+        cqueries = []
+        for _ in range(8):
+            terms = [
+                "".join(rng.choice(alpha) for _ in range(rng.randint(2, 4)))
+                for _ in range(rng.randint(2, 4))
+            ]
+            cqueries.append(terms)
+        clines = [f"WBC 1 1 1000 {' '.join(ts)}" for ts in cqueries]
+
+        res = gt.run_spell(docs, blines + clines)
+        bres, cres = res[:len(bqueries)], res[len(bqueries):]
+
+        for (q, msf), exp in zip(bqueries, bres):
+            if dfs.get(q, 0) > 0:
+                want = []
+            else:
+                want = [
+                    ((q[:i], dfs.get(q[:i], 0)), (q[i:], dfs.get(q[i:], 0)))
+                    for i in range(1, len(q))
+                    if dfs.get(q[:i], 0) >= msf and dfs.get(q[i:], 0) >= msf
+                ]
+            got = [] if exp == "-" else [
+                tuple((p.split(":")[0], int(p.split(":")[1]))
+                      for p in sug.split(","))
+                for sug in exp.split(";")
+            ]
+            assert sorted(got) == sorted(want), (corpus_round, q, msf, got, want)
+            # best-first by freqMax DESC (all suggestions are 2 words)
+            fmaxes = [max(f for _t, f in sug) for sug in got]
+            assert fmaxes == sorted(fmaxes, reverse=True), (q, got)
+
+        for terms, exp in zip(cqueries, cres):
+            want = []
+            for i in range(len(terms) - 1):
+                comb = terms[i] + terms[i + 1]
+                if (
+                    min(dfs.get(terms[i], 0), dfs.get(terms[i + 1], 0)) == 0
+                    and dfs.get(comb, 0) >= 1
+                ):
+                    want.append((comb, dfs[comb], (i, i + 1)))
+            got = [] if exp == "-" else [
+                (p.split(":")[0], int(p.split(":")[1]),
+                 tuple(int(x) for x in p.split(":")[2].split(",")))
+                for p in exp.split(";")
+            ]
+            assert sorted(got) == sorted(want), (corpus_round, terms, got, want)
+            freqs = [f for _c, f, _ix in got]
+            assert freqs == sorted(freqs, reverse=True), (terms, got)

@@ -636,6 +636,102 @@ public class GroundTruthPayload {
 """
 
 
+SPELL_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.spell.*;
+
+public class GroundTruthSpell {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      StringBuilder out = new StringBuilder();
+      if (p[0].equals("DS")) {
+        // DS word numSug maxEdits minPrefix accuracy minQueryLength maxQueryFrequency
+        DirectSpellChecker ds = new DirectSpellChecker();
+        ds.setMaxEdits(Integer.parseInt(p[3]));
+        ds.setMinPrefix(Integer.parseInt(p[4]));
+        ds.setAccuracy(Float.parseFloat(p[5]));
+        ds.setMinQueryLength(Integer.parseInt(p[6]));
+        ds.setMaxQueryFrequency(Float.parseFloat(p[7]));
+        SuggestWord[] sw = ds.suggestSimilar(
+            new org.apache.lucene.index.Term("body", p[1]),
+            Integer.parseInt(p[2]),
+            r, SuggestMode.SUGGEST_WHEN_NOT_IN_INDEX);
+        for (SuggestWord s : sw) {
+          if (out.length() > 0) out.append(";");
+          out.append(s.string).append(":")
+             .append(Float.toString(s.score)).append(":").append(s.freq);
+        }
+      } else if (p[0].equals("WBB")) {
+        // WBB word maxChanges minBreakLength maxEvaluations minSuggestionFrequency
+        WordBreakSpellChecker wb = new WordBreakSpellChecker();
+        wb.setMaxChanges(Integer.parseInt(p[2]));
+        wb.setMinBreakWordLength(Integer.parseInt(p[3]));
+        wb.setMaxEvaluations(Integer.parseInt(p[4]));
+        wb.setMinSuggestionFrequency(Integer.parseInt(p[5]));
+        SuggestWord[][] res = wb.suggestWordBreaks(
+            new org.apache.lucene.index.Term("body", p[1]), 10, r,
+            SuggestMode.SUGGEST_WHEN_NOT_IN_INDEX,
+            WordBreakSpellChecker.BreakSuggestionSortMethod.NUM_CHANGES_THEN_MAX_FREQUENCY);
+        for (SuggestWord[] br : res) {
+          if (out.length() > 0) out.append(";");
+          for (int i = 0; i < br.length; i++) {
+            if (i > 0) out.append(",");
+            out.append(br[i].string).append(":").append(br[i].freq);
+          }
+        }
+      } else if (p[0].equals("WBC")) {
+        // WBC maxChanges minSuggestionFrequency maxEvaluations t1 t2 ...
+        WordBreakSpellChecker wb = new WordBreakSpellChecker();
+        wb.setMaxChanges(Integer.parseInt(p[1]));
+        wb.setMinSuggestionFrequency(Integer.parseInt(p[2]));
+        wb.setMaxEvaluations(Integer.parseInt(p[3]));
+        org.apache.lucene.index.Term[] terms =
+            new org.apache.lucene.index.Term[p.length - 4];
+        for (int i = 4; i < p.length; i++)
+          terms[i - 4] = new org.apache.lucene.index.Term("body", p[i]);
+        CombineSuggestion[] res = wb.suggestWordCombinations(
+            terms, 10, r, SuggestMode.SUGGEST_WHEN_NOT_IN_INDEX);
+        for (CombineSuggestion cs : res) {
+          if (out.length() > 0) out.append(";");
+          out.append(cs.suggestion.string).append(":")
+             .append(cs.suggestion.freq).append(":");
+          for (int i = 0; i < cs.originalTermIndexes.length; i++) {
+            if (i > 0) out.append(",");
+            out.append(cs.originalTermIndexes[i]);
+          }
+        }
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 MLT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -774,6 +870,48 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the spell package (lucene/suggest) depends only on core
+    sp_marker = os.path.join(
+        CLASSES, "org/apache/lucene/search/spell/DirectSpellChecker.class"
+    )
+    sp_dir = (
+        "/root/reference/lucene/suggest/src/java/org/apache/lucene/search/spell"
+    )
+    if not os.path.exists(sp_marker) and os.path.isdir(sp_dir):
+        # only the checker classes — the Dictionary family pulls in the
+        # suggest package's InputIterator (FST surface), not needed here
+        spell_files = [
+            "DirectSpellChecker.java", "WordBreakSpellChecker.java",
+            "CombineSuggestion.java", "SuggestWord.java",
+            "SuggestWordQueue.java", "SuggestMode.java",
+            "SuggestWordScoreComparator.java",
+            "SuggestWordFrequencyComparator.java", "StringDistance.java",
+            "LevensteinDistance.java", "LuceneLevenshteinDistance.java",
+            "JaroWinklerDistance.java", "NGramDistance.java",
+            "SpellChecker.java", "Dictionary.java",
+        ]
+        ssrcs = [os.path.join(sp_dir, f) for f in spell_files]
+        # Dictionary's InputIterator lives one package over (suggest/).
+        # Its 4 `// javadocs`-only imports pull the whole FST suggester
+        # tree — compile a copy with those import LINES stripped (a build
+        # shim; no code changes).
+        ii_src = os.path.join(sp_dir, "..", "suggest", "InputIterator.java")
+        ii_tmp = os.path.join(BUILD, "InputIterator.java")
+        with open(ii_src) as f:
+            ii_code = "".join(
+                ln for ln in f if not ("import " in ln and "// javadocs" in ln)
+            )
+        with open(ii_tmp, "w") as f:
+            f.write(ii_code)
+        ssrcs.append(ii_tmp)
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + ssrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # TermAutomatonQuery/-Scorer (lucene/sandbox) depend only on core
     ta_marker = os.path.join(
         CLASSES, "org/apache/lucene/search/TermAutomatonQuery.class"
@@ -801,6 +939,7 @@ def build() -> bool:
         ("GroundTruthParser", PARSER_JAVA),
         ("GroundTruthPayload", PAYLOAD_JAVA),
         ("GroundTruthMLT", MLT_JAVA),
+        ("GroundTruthSpell", SPELL_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -941,6 +1080,25 @@ def run_mlt(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
             (int(x.split(":")[0]), x.split(":")[1]) for x in line.split(";")
         ])
     return out
+
+
+def run_spell(docs: list[str], queries: list[str]) -> list[str]:
+    """Index whitespace docs and run 'DS word numSug maxEdits minPrefix
+    accuracy minQueryLength maxQueryFrequency' through the REAL
+    DirectSpellChecker, 'WBB word maxChanges minBreakLength
+    maxEvaluations minSuggestionFrequency' through suggestWordBreaks, or
+    'WBC maxChanges minSuggFreq maxEvaluations t1 t2..' through
+    suggestWordCombinations. Returns the raw result line per query
+    (DS: 'term:score:freq;...', WBB: 'w1:f1,w2:f2;...',
+    WBC: 'combined:freq:i,j;...', '-' when empty)."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSpell"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
 
 
 def case_line(slop: int, mphrase: list[tuple[int, tuple[str, ...]]], doc: str) -> str:
