@@ -1020,7 +1020,8 @@ def bm25_mlt_sql(seed_doc_id: int = 0, n_terms: int = 5, k: int = 10,
                  min_tf: int = 2, min_df: int = 5) -> str:
     """MoreLikeThis (lucene/queries/mlt/MoreLikeThis.java createQueue):
     the seed doc's top n_terms terms by tf x classic idf
-    (ln(n/(df+1)) + 1) after the minTermFreq/minDocFreq filters (ties:
+    (ln((n+1)/(df+1)) + 1 — MoreLikeThis(ir) defaults to
+    ClassicSimilarity) after the minTermFreq/minDocFreq filters (ties:
     term asc), run as a SHOULD query under BM25, seed excluded from the
     hits. Selection pinned vs the compiled MoreLikeThis in
     tests/test_lucene_ground_truth.py (ground-truth round 9)."""
@@ -1048,7 +1049,7 @@ qterms AS (
   FROM all_tf t JOIN all_df USING (term) CROSS JOIN stats s
   WHERE t.doc_id = {seed_doc_id}
     AND t.tf >= {min_tf} AND all_df.df >= {min_df}
-  ORDER BY t.tf * (ln(s.n / (all_df.df + 1)) + 1) DESC, t.term ASC
+  ORDER BY t.tf * (ln((s.n + 1) / (all_df.df + 1)) + 1) DESC, t.term ASC
   LIMIT {n_terms}
 ),
 tf AS (SELECT * FROM all_tf WHERE term IN (SELECT term FROM qterms)),

@@ -2434,8 +2434,9 @@ def classification_knn(spark, sf, base=None):
     the per-doc "run an MLT query" loop becomes a sparse term
     self-join:
 
-      qterms  = per doc, top KNN_N_TERMS terms by tf*ln(N/df)
-                (MoreLikeThis.createQueue score order, ties term ASC)
+      qterms  = per doc, top KNN_N_TERMS terms by tf*(ln((N+1)/(df+1))+1)
+                (MoreLikeThis.createQueue score order under its default
+                ClassicSimilarity idf; ties term ASC)
       cand    = qterms JOIN tf ON term, candidate != query doc
       score   = SUM BM25(term, candidate)   [same formula as the
                 engine: idf*(k1+1)*tf/(tf+k1*(1-b+b*dnorm/avgdl)),
@@ -2476,7 +2477,11 @@ def classification_knn(spark, sf, base=None):
     ).select("doc_id", "dnorm")
 
     wq = Window.partitionBy("qdoc").orderBy(
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).desc(), F.col("w").asc()
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).desc(),
+        F.col("w").asc()
     )
     qterms = (
         tf.filter(F.col("doc_id") % KNN_QDOC_MOD == 0)
@@ -2566,7 +2571,7 @@ qterms AS (
     SELECT tf.doc_id AS qdoc, tf.w,
            row_number() OVER (
              PARTITION BY tf.doc_id
-             ORDER BY tf.tf * ln(n.n / dfr.df) DESC, tf.w ASC
+             ORDER BY tf.tf * (ln((n.n + 1) / (dfr.df + 1)) + 1) DESC, tf.w ASC
            ) AS tr
     FROM tf JOIN dfr USING (w) CROSS JOIN n
     WHERE tf.doc_id % {KNN_QDOC_MOD} = 0

@@ -28,9 +28,15 @@ import numpy as np
 
 
 def classic_idf_f32(df: int, num_docs: int) -> np.float32:
-    """TFIDFSimilarity.idf (similarities/TFIDFSimilarity.java:516):
-    (float)(log(numDocs / (double)(docFreq + 1)) + 1.0)."""
-    return np.float32(math.log(num_docs / float(df + 1)) + 1.0)
+    """ClassicSimilarity.idf (similarities/ClassicSimilarity.java:138):
+    (float)(log((docCount+1)/(docFreq+1)) + 1.0). MoreLikeThis(ir)
+    defaults its idf source to `new ClassicSimilarity()`
+    (MoreLikeThis.java:315-317) — NOT the TFIDFSimilarity javadoc's
+    log(numDocs/(docFreq+1))+1, which ranks the same under a fixed tf
+    but yields different SCORES; the difference is invisible to
+    round 9's selection-order pinning and was exposed by ground-truth
+    round 14b's boosted KNN queries (setBoost(true) divides scores)."""
+    return np.float32(math.log((num_docs + 1.0) / float(df + 1)) + 1.0)
 
 
 def mlt_select_terms(

@@ -1242,3 +1242,204 @@ def test_word_break_spell_checker_matches_compiled_reference():
             assert sorted(got) == sorted(want), (corpus_round, terms, got, want)
             freqs = [f for _c, f, _ix in got]
             assert freqs == sorted(freqs, reverse=True), (terms, got)
+
+
+def test_naive_bayes_matches_compiled_reference():
+    """Ground-truth round 14a: SimpleNaiveBayesClassifier (lucene/
+    classification compiled with the grouping module) — assigned class
+    EXACT and the normalized score (logsumexp over the per-class
+    log-prior + add-one-smoothed log-likelihood,
+    SimpleNaiveBayesClassifier.java:208-311) matching to libm tolerance
+    over random corpora and inputs, including out-of-vocabulary tokens
+    (hits=0 smoothing) and single-class corpora."""
+    import math
+
+    rng = random.Random(20260822)
+    vocab = ["cat", "dog", "sat", "chat", "chien", "hund", "katze", "the"]
+    for corpus_round in range(4):
+        n_classes = rng.randint(1, 3)
+        class_names = ["en", "fr", "de"][:n_classes]
+        docs = []
+        for _ in range(rng.randint(4, 15)):
+            cls = rng.choice(class_names)
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+            docs.append((cls, toks))
+        doc_lines = [f"{c} {' '.join(t)}" for c, t in docs]
+
+        texts = [
+            [rng.choice(vocab + ["zzz"]) for _ in range(rng.randint(1, 6))]
+            for _ in range(10)
+        ]
+        expected = gt.run_classify(doc_lines, ["NB " + " ".join(t) for t in texts])
+        assert len(expected) == len(texts)
+
+        n = len(docs)  # docCount of the class field == every doc
+        classes = sorted(set(c for c, _ in docs))
+        sum_doc_freq = sum(len(set(t)) for _c, t in docs)
+        avg_unique = sum_doc_freq / n  # body docCount == every doc here
+
+        for text, exp in zip(texts, expected):
+            scored = []
+            for c in classes:  # class terms enumerate in lex order
+                nc = sum(1 for cl, _t in docs if cl == c)
+                prior = math.log(nc) - math.log(n)
+                den = avg_unique * nc + n
+                ll = 0.0
+                for w in text:  # calculateLogLikelihood token order
+                    hits = sum(1 for cl, t in docs if cl == c and w in t)
+                    ll += math.log((hits + 1) / den)
+                scored.append((c, prior + ll))
+            # Collections.sort desc by score, stable (enum order on ties)
+            scored.sort(key=lambda x: -x[1])
+            smax = scored[0][1]
+            loga = smax + math.log(sum(math.exp(s - smax) for _c, s in scored))
+            best_cls, best = scored[0][0], math.exp(scored[0][1] - loga)
+            exp_cls, exp_score = exp.rsplit(":", 1)
+            assert best_cls == exp_cls, (corpus_round, text, scored, exp)
+            assert abs(best - float(exp_score)) <= 1e-9 * max(1.0, abs(best)), (
+                corpus_round, text, best, exp_score)
+
+
+def test_knn_classifier_matches_compiled_reference():
+    """Ground-truth round 14b: KNearestNeighborClassifier
+    (lucene/classification/KNearestNeighborClassifier.java) — the full
+    chain vs the compiled binary: MLT term selection (round 9's pinned
+    formula) with setBoost(true) boosts normalized to the LEAST kept
+    score (createQuery pops the PriorityQueue ascending, so 'bestScore'
+    is the minimum — MoreLikeThis.java:616-629), the wildcard class
+    filter as a required constant-score 1.0f clause under
+    ReqOptSumScorer float addition, top-k by (score DESC, doc ASC), and
+    classifyFromTopDocs' per-class boost sums (score/maxScore in float,
+    then double accumulation, count*(sum/count)/k with the k/sumdoc
+    correction — :193-228). Assigned class exact, score to libm
+    tolerance; tie cases skipped (HashMap-order dependent)."""
+    from lucene_solr_spark.search.bm25 import (
+        CLASSIC_DECODE,
+        classic_query_norm,
+        classic_weight_value,
+        combine_scores,
+    )
+    from lucene_solr_spark.search.mlt import classic_idf_f32
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = random.Random(20260823)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    class_names = ["en", "fr", "de"]
+    for corpus_round in range(4):
+        docs = []
+        for _ in range(rng.randint(6, 18)):
+            cls = rng.choice(class_names)
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+            docs.append((cls, toks))
+        doc_lines = [f"{c} {' '.join(t)}" for c, t in docs]
+        idx = build_oracle_index(
+            [(i, " ".join(t)) for i, (_c, t) in enumerate(docs)]
+        )
+        dfm = {t: len(p) for t, p in idx.postings.items()}
+        n = idx.doc_count
+
+        cases = []
+        for _ in range(12):
+            text = [rng.choice(vocab) for _ in range(rng.randint(1, 6))]
+            k = rng.choice([1, 3, 5])
+            mdf = rng.choice([1, 2])
+            mtf = rng.choice([1, 2])
+            cases.append((text, k, mdf, mtf))
+        expected = gt.run_classify(
+            doc_lines,
+            [f"KNN {k} {mdf} {mtf} # {' '.join(t)}" for t, k, mdf, mtf in cases],
+        )
+        assert len(expected) == len(cases)
+
+        for (text, k, mdf, mtf), exp in zip(cases, expected):
+            doc_tf: dict = {}
+            for t in text:
+                doc_tf[t] = doc_tf.get(t, 0) + 1
+            sel = [
+                (t, np.float32(np.float32(tf) * classic_idf_f32(dfm[t], n)))
+                for t, tf in doc_tf.items()
+                if tf >= mtf and dfm.get(t, 0) >= mdf
+            ]
+            if len({float(s) for _t, s in sel}) != len(sel):
+                continue  # PQ pop tie order is reference-unspecified
+            docs_arr = np.arange(n, dtype=np.int64)
+            if sel:
+                sel.sort(key=lambda x: float(x[1]))  # pop order: least first
+                low = sel[0][1]
+                boosts = {
+                    t: float(np.float32(np.float32(np.float32(1.0) * s) / low))
+                    for t, s in sel
+                }
+                # ClassicSimilarity (similarity==null -> new
+                # ClassicSimilarity(), KNearestNeighborClassifier.java:
+                # 106-109): queryNorm over [term clauses in pop order,
+                # wildcard const clause with queryWeight = boost = 1]
+                qn = classic_query_norm(
+                    [(classic_idf_f32(dfm[t], n), boosts[t]) for t, _s in sel]
+                    + [(np.float32(1.0), 1.0)]
+                )
+                norm = np.array(
+                    [idx.norm_bytes[d] for d in range(n)], dtype=np.uint8
+                )
+                per_term = []
+                matched = np.zeros(n, dtype=np.int32)
+                for t, _s in sel:
+                    post = idx.postings[t]
+                    tf_arr = np.array(
+                        [post.get(d, 0) for d in range(n)], dtype=np.float32
+                    )
+                    cwv = classic_weight_value(
+                        dfm[t], n, boost=boosts[t], query_norm=float(qn)
+                    )
+                    s_arr = (
+                        np.sqrt(tf_arr) * cwv * CLASSIC_DECODE[norm]
+                    ).astype(np.float32)
+                    s_arr[tf_arr == 0] = np.float32(0.0)
+                    matched += (tf_arr > 0).astype(np.int32)
+                    per_term.append(s_arr)
+                inner = combine_scores(per_term)
+                if len(sel) > 1:  # the mlt BooleanQuery's own coord
+                    ic = (
+                        np.arange(len(sel) + 1, dtype=np.float32)
+                        / np.float32(len(sel))
+                    ).astype(np.float32)
+                    inner = (inner * ic[matched]).astype(np.float32)
+                # outer BooleanQuery: MUST wildcard (score = boost *
+                # queryNorm) + SHOULD mlt, coord(overlap, 2)
+                req = np.float32(np.float32(1.0) * qn)
+                total = np.where(
+                    inner > 0,
+                    (req + inner).astype(np.float32),
+                    np.float32(req * np.float32(0.5)),
+                )
+            else:
+                # no selected terms: constant score for every doc — the
+                # per-doc boosts are all 1, so only class counts matter
+                total = np.full(n, np.float32(1.0), dtype=np.float32)
+            order = np.lexsort((docs_arr, -total.astype(np.float64)))[:k]
+            max_score = float(np.float32(total[order[0]]))
+            counts: dict = {}
+            sums: dict = {}
+            for d in order:
+                c = docs[int(d)][0]
+                counts[c] = counts.get(c, 0) + 1
+                sums[c] = sums.get(c, 0.0) + float(
+                    np.float32(np.float32(total[d]) / np.float32(max_score))
+                )
+            sumdoc = len(order)
+            scored = {}
+            for c, cnt in counts.items():
+                s = (cnt * (sums[c] / cnt)) / float(k)
+                if sumdoc < k:
+                    s = s * k / sumdoc
+                scored[c] = s
+            best = max(scored.values())
+            ties = [c for c, s in scored.items() if s == best]
+            if len(ties) > 1:
+                continue  # HashMap-order-dependent winner
+            exp_cls, exp_score = exp.rsplit(":", 1)
+            assert ties[0] == exp_cls, (corpus_round, text, k, scored, exp)
+            # 1e-6: Math.log/sqrt vs numpy differ by ULPs that round
+            # differently through the float32 queryNorm
+            assert abs(best - float(exp_score)) <= 1e-6 * max(1.0, abs(best)), (
+                corpus_round, text, k, best, exp_score)

@@ -732,6 +732,69 @@ public class GroundTruthSpell {
 """
 
 
+CLASSIFY_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.classification.*;
+
+public class GroundTruthClassify {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType bodyFt = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      // line = "<class> <body tokens...>"
+      String line = in.readLine();
+      int sp = line.indexOf(' ');
+      Document d = new Document();
+      d.add(new StringField("cls", line.substring(0, sp), Field.Store.YES));
+      d.add(new Field("body", line.substring(sp + 1), bodyFt));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    DirectoryReader r = DirectoryReader.open(dir);
+    LeafReader lr = r.leaves().get(0).reader();
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String line = in.readLine().trim();
+      ClassificationResult<org.apache.lucene.util.BytesRef> res;
+      if (line.startsWith("NB ")) {
+        SimpleNaiveBayesClassifier nb = new SimpleNaiveBayesClassifier(
+            lr, new GroundTruth.WS(), null, "cls", "body");
+        res = nb.assignClass(line.substring(3));
+      } else if (line.startsWith("KNN ")) {
+        // KNN k minDocFreq minTermFreq # text...
+        String[] head = line.split("#", 2);
+        String[] p = head[0].trim().split(" ");
+        KNearestNeighborClassifier knn = new KNearestNeighborClassifier(
+            lr, null, new GroundTruth.WS(), null,
+            Integer.parseInt(p[1]), Integer.parseInt(p[2]),
+            Integer.parseInt(p[3]), "cls", "body");
+        res = knn.assignClass(head[1].trim());
+      } else {
+        throw new IllegalArgumentException(line);
+      }
+      if (res == null) {
+        System.out.println("-");
+      } else {
+        System.out.println(res.getAssignedClass().utf8ToString() + ":"
+            + Double.toString(res.getScore()));
+      }
+    }
+    r.close();
+  }
+}
+"""
+
+
 MLT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -912,6 +975,46 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # lucene/grouping depends only on core
+    gr_marker = os.path.join(
+        CLASSES, "org/apache/lucene/search/grouping/GroupingSearch.class"
+    )
+    gr_root = "/root/reference/lucene/grouping/src/java"
+    if not os.path.exists(gr_marker) and os.path.isdir(gr_root):
+        gsrcs = os.path.join(BUILD, "gsrcs.txt")
+        with open(gsrcs, "w") as f:
+            for root, _dirs, files in os.walk(gr_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + gsrcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+    # lucene/classification depends on core + queries (both above)
+    cl_marker = os.path.join(
+        CLASSES, "org/apache/lucene/classification/SimpleNaiveBayesClassifier.class"
+    )
+    cl_root = "/root/reference/lucene/classification/src/java"
+    if not os.path.exists(cl_marker) and os.path.isdir(cl_root):
+        csrcs = os.path.join(BUILD, "csrcs.txt")
+        with open(csrcs, "w") as f:
+            for root, _dirs, files in os.walk(cl_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + csrcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # TermAutomatonQuery/-Scorer (lucene/sandbox) depend only on core
     ta_marker = os.path.join(
         CLASSES, "org/apache/lucene/search/TermAutomatonQuery.class"
@@ -940,6 +1043,7 @@ def build() -> bool:
         ("GroundTruthPayload", PAYLOAD_JAVA),
         ("GroundTruthMLT", MLT_JAVA),
         ("GroundTruthSpell", SPELL_JAVA),
+        ("GroundTruthClassify", CLASSIFY_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1094,6 +1198,22 @@ def run_spell(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSpell"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_classify(docs: list[str], queries: list[str]) -> list[str]:
+    """Index docs given as '<class> <body tokens...>' (class = StringField
+    'cls', body = whitespace TextField) and run 'NB <text>' through the
+    REAL SimpleNaiveBayesClassifier.assignClass or 'KNN k minDocFreq
+    minTermFreq # <text>' through KNearestNeighborClassifier.assignClass.
+    Returns '<class>:<Double.toString(normalized score)>' per query."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthClassify"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
