@@ -1443,3 +1443,80 @@ def test_knn_classifier_matches_compiled_reference():
             # differently through the float32 queryNorm
             assert abs(best - float(exp_score)) <= 1e-6 * max(1.0, abs(best)), (
                 corpus_round, text, k, best, exp_score)
+
+
+def test_grouping_and_diversified_match_compiled_reference():
+    """Ground-truth round 15: the grouping module + lucene/misc's
+    DiversifiedTopDocsCollector vs the compiled binary. GROUP =
+    GroupingSearch over sorted doc-values (TermFirstPassGroupingCollector
+    relevance sort -> top nGroups by each group's best hit, ties by
+    earliest doc; TermSecondPassGroupingCollector top nWithin per group
+    by score DESC / doc ASC; per-group maxScore) — all docids AND float32
+    scores exact. DIV = the diversified collector's greedy semantics:
+    scan hits best-first, accept while the key's accepted count <
+    maxHitsPerKey, stop at k — the equivalence our gate test proves is
+    here pinned against the real collector."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+    rng = random.Random(20260824)
+    for corpus_round in range(4):
+        n_docs = rng.randint(6, 24)
+        docs, lines = [], []
+        for i in range(n_docs):
+            grp = f"g{rng.randint(1, 4)}"
+            key = rng.randint(1, 5)  # diversity key, deliberately coarse
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 10))]
+            docs.append((grp, key, toks))
+            lines.append(f"{grp} {key} {' '.join(toks)}")
+        idx = build_oracle_index(
+            [(i, " ".join(t)) for i, (_g, _k, t) in enumerate(docs)]
+        )
+
+        cases = []
+        for _ in range(10):
+            ts = rng.sample(VOCAB, rng.randint(1, 3))
+            if rng.random() < 0.5:
+                cases.append(("GROUP", rng.randint(1, 3), rng.randint(1, 3), ts))
+            else:
+                cases.append(("DIV", rng.randint(1, 6), rng.randint(1, 2), ts))
+        expected = gt.run_group(
+            lines, [f"{k} {a} {b} {' '.join(ts)}" for k, a, b, ts in cases]
+        )
+        assert len(expected) == len(cases)
+
+        for (kind, a, b, ts), exp in zip(cases, expected):
+            hits = oracle_topk(idx, " ".join(ts), k=n_docs, mode="or")
+            if kind == "GROUP":
+                n_groups, n_within = a, b
+                by_grp: dict = {}
+                for d, s in hits:  # already score DESC, doc ASC
+                    by_grp.setdefault(docs[d][0], []).append((d, s))
+                ranked = sorted(
+                    by_grp.items(),
+                    key=lambda kv: (-float(kv[1][0][1]), kv[1][0][0]),
+                )[:n_groups]
+                want = ";".join(
+                    g + "|" + _fmt_f32(max(s for _d, s in ds)) + "|"
+                    + ",".join(f"{d}:{_fmt_f32(s)}" for d, s in ds[:n_within])
+                    for g, ds in ranked
+                )
+            else:
+                k, max_per_key = a, b
+                taken, per_key = [], {}
+                for d, s in hits:
+                    key = docs[d][1]
+                    if per_key.get(key, 0) >= max_per_key:
+                        continue
+                    per_key[key] = per_key.get(key, 0) + 1
+                    taken.append((d, s))
+                    if len(taken) >= k:
+                        break
+                want = ";".join(f"{d}:{_fmt_f32(s)}" for d, s in taken)
+            assert (want or "-") == exp, (corpus_round, kind, a, b, ts, want, exp)
+
+
+def _fmt_f32(s) -> str:
+    """Float.toString(float) analog: the shortest decimal that
+    round-trips to the float32 (matches Java for this suite's
+    non-exponent score magnitudes)."""
+    return np.format_float_positional(np.float32(s), unique=True, trim="0")

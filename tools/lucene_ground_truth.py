@@ -795,6 +795,100 @@ public class GroundTruthClassify {
 """
 
 
+GROUP_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.search.grouping.*;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthGroup {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      // line = "<group> <key> <body tokens...>"
+      String[] parts = in.readLine().split(" ", 3);
+      Document d = new Document();
+      d.add(new SortedDocValuesField("grp", new BytesRef(parts[0])));
+      d.add(new NumericDocValuesField("key", Long.parseLong(parts[1])));
+      d.add(new Field("body", parts[2], ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      StringBuilder out = new StringBuilder();
+      if (p[0].equals("GROUP")) {
+        // GROUP nGroups nWithin t1 t2 ... (OR query, relevance sorts)
+        int nGroups = Integer.parseInt(p[1]);
+        int nWithin = Integer.parseInt(p[2]);
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 3; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        GroupingSearch gs = new GroupingSearch("grp");
+        gs.setGroupDocsLimit(nWithin);
+        gs.setIncludeScores(true);
+        gs.setIncludeMaxScore(true);
+        TopGroups<BytesRef> tg = gs.search(s, b.build(), 0, nGroups);
+        for (GroupDocs<BytesRef> g : tg.groups) {
+          if (out.length() > 0) out.append(";");
+          out.append(g.groupValue == null ? "_" : g.groupValue.utf8ToString());
+          out.append("|").append(Float.toString(g.maxScore)).append("|");
+          for (int i = 0; i < g.scoreDocs.length; i++) {
+            if (i > 0) out.append(",");
+            out.append(g.scoreDocs[i].doc).append(":")
+               .append(Float.toString(g.scoreDocs[i].score));
+          }
+        }
+      } else if (p[0].equals("DIV")) {
+        // DIV k maxPerKey t1 t2 ... (OR query)
+        int k = Integer.parseInt(p[1]);
+        int maxPerKey = Integer.parseInt(p[2]);
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 3; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        DiversifiedTopDocsCollector c =
+            new DiversifiedTopDocsCollector(k, maxPerKey) {
+          @Override
+          protected NumericDocValues getKeys(
+              org.apache.lucene.index.LeafReaderContext context) {
+            try {
+              return DocValues.getNumeric(context.reader(), "key");
+            } catch (java.io.IOException e) {
+              throw new RuntimeException(e);
+            }
+          }
+        };
+        s.search(b.build(), c);
+        TopDocs td = c.topDocs();
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc).append(":").append(Float.toString(sd.score));
+        }
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 MLT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1035,6 +1129,23 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # DiversifiedTopDocsCollector (lucene/misc) depends only on core
+    dv_marker = os.path.join(
+        CLASSES, "org/apache/lucene/search/DiversifiedTopDocsCollector.class"
+    )
+    dv_src = (
+        "/root/reference/lucene/misc/src/java/org/apache/lucene/search/"
+        "DiversifiedTopDocsCollector.java"
+    )
+    if not os.path.exists(dv_marker) and os.path.exists(dv_src):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, dv_src],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -1044,6 +1155,7 @@ def build() -> bool:
         ("GroundTruthMLT", MLT_JAVA),
         ("GroundTruthSpell", SPELL_JAVA),
         ("GroundTruthClassify", CLASSIFY_JAVA),
+        ("GroundTruthGroup", GROUP_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1198,6 +1310,24 @@ def run_spell(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSpell"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_group(docs: list[str], queries: list[str]) -> list[str]:
+    """Index docs given as '<group> <key> <body...>' (group = sorted
+    doc-values, key = numeric doc-values) and run 'GROUP nGroups nWithin
+    t1 t2..' through the REAL GroupingSearch (TermFirst/SecondPass
+    collectors, relevance sorts) or 'DIV k maxPerKey t1 t2..' through
+    DiversifiedTopDocsCollector keyed on 'key'. GROUP result lines:
+    'grp|maxScore|doc:score,..;...' best group first; DIV:
+    'doc:score;...'."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGroup"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
