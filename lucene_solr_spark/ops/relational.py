@@ -2142,6 +2142,118 @@ ORDER BY b.doc_id
 HIGHLIGHT_SQL = _highlight_sql()
 
 
+def highlight_unified(spark, sf):
+    """The REAL PostingsHighlighter chain (search/highlight.py — pinned
+    bit-for-bit against the compiled reference in ground-truth round 16)
+    over every document: this corpus has no sentence punctuation, so the
+    whole document is one passage; the snippet is the formatter's
+    <b>term</b>-wrapped text and pscore the passage's float32
+    weight*tf*norm score (rounded for cross-engine hashing). One
+    zero-shuffle Arrow stage over the stored text."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    terms = list(HL_TERMS)
+
+    def gen(it):
+        import math
+
+        import pandas as pd
+
+        from ..search.highlight import highlight_doc
+
+        for pdf in it:
+            snips, scores = [], []
+            for t in pdf["text"]:
+                s, _sc32 = highlight_doc(t, terms, max_passages=1)
+                snips.append(s)
+                # the float32 score is pinned vs the binary in the GT
+                # test; the HASHED column recomputes it in doubles so
+                # both engines land on the same rounded value
+                toks = t.split(" ")
+                ln = float(len(t))
+                sc = 0.0
+                any_hit = False
+                for q in terms:
+                    c = toks.count(q)
+                    if c > 0:
+                        any_hit = True
+                        w = 2.2 * math.log(1 + ((1 + ln / 87.0) + 0.5) / (c + 0.5))
+                        tfv = c / (c + 1.2 * (0.25 + 0.75 * (ln / 87.0)))
+                        sc += w * tfv
+                sc = (1 + 1 / math.log(87.0)) * sc if any_hit else 0.0
+                scores.append(round(sc, 4))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pscore": scores, "snippet": snips}
+            )
+
+    return d.mapInPandas(
+        gen, "doc_id long, pscore double, snippet string"
+    ).orderBy("doc_id")
+
+
+def highlight_combined(spark, sf):
+    """Window-density snippet + the reference PostingsHighlighter chain
+    as one tagged union (same 50-slot consolidation as `facets`)."""
+    h1 = highlight_snippet(spark, sf).select(
+        F.lit("window").alias("variant"), "doc_id", "pscore", "snippet"
+    )
+    h2 = highlight_unified(spark, sf).select(
+        F.lit("unified").alias("variant"), "doc_id", "pscore", "snippet"
+    )
+    return h1.unionByName(h2).orderBy("variant", "doc_id")
+
+
+def _highlight_unified_sql() -> str:
+    """DuckDB oracle for the unified variant: the whole document is one
+    passage (no '. ' in this corpus), so snippet = every query-term
+    occurrence wrapped in <b>..</b> (word-boundary regex; tokens are
+    space-separated alnum words) and pscore = norm(0) * SUM over present
+    terms of weight(len, c) * tf(c, len) with PassageScorer's k1/b/pivot
+    (double arithmetic; both engines round to 4 decimals)."""
+    pat = "|".join(HL_TERMS)
+    term_score = " + ".join(
+        f"""CASE WHEN c{i} > 0 THEN
+        (1.2 + 1) * ln(1 + ((1 + L / 87.0) + 0.5) / (c{i} + 0.5))
+        * c{i} / (c{i} + 1.2 * ((1 - 0.75) + 0.75 * (L / 87.0)))
+        ELSE 0 END"""
+        for i in range(len(HL_TERMS))
+    )
+    cnt_aggs = ",\n         ".join(
+        f"sum(CASE WHEN tk = '{t}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, t in enumerate(HL_TERMS)
+    )
+    return f"""
+SELECT d.doc_id,
+       CASE WHEN COALESCE(h.hits, 0) > 0
+            THEN round((1 + 1 / ln(87.0)) * ({term_score}), 4)
+            ELSE 0.0 END AS pscore,
+       regexp_replace(d.text, '\\b({pat})\\b', '<b>\\1</b>', 'g') AS snippet
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS hits,
+         {cnt_aggs}
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+    FROM documents
+  )
+  WHERE tk IN ({", ".join(f"'{t}'" for t in HL_TERMS)})
+  GROUP BY doc_id
+) h USING (doc_id)
+JOIN (SELECT doc_id, CAST(length(text) AS DOUBLE) AS L FROM documents) dl
+  USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+HIGHLIGHT_COMBINED_SQL = f"""
+SELECT * FROM (
+  SELECT 'window' AS variant, doc_id, pscore, snippet FROM ({HIGHLIGHT_SQL})
+  UNION ALL
+  SELECT 'unified' AS variant, doc_id, pscore, snippet
+  FROM ({_highlight_unified_sql()})
+) ORDER BY variant, doc_id
+"""
+
+
 def gather_nodes(spark, sf):
     """GatherNodesStream (solrj/io/graph/GatherNodesStream.java:54): expand
     from root nodes across edges, aggregating at each hop — roots are
@@ -2614,7 +2726,7 @@ OPS: dict[str, tuple] = {
     # prefix + spell as one tagged union (both term-dict-only)
     "suggest": (suggest_combined, SUGGEST_COMBINED_SQL),
     "spatial_knn": (spatial_knn, SPATIAL_KNN_SQL),
-    "highlight_snippet": (highlight_snippet, HIGHLIGHT_SQL),
+    "highlight_snippet": (highlight_combined, HIGHLIGHT_COMBINED_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
     "sql_handler_q1": (sql_handler_q1, SQL_HANDLER_Q1),

@@ -1520,3 +1520,42 @@ def _fmt_f32(s) -> str:
     round-trips to the float32 (matches Java for this suite's
     non-exponent score magnitudes)."""
     return np.format_float_positional(np.float32(s), unique=True, trim="0")
+
+
+def test_postings_highlighter_matches_compiled_reference():
+    """Ground-truth round 16: PostingsHighlighter (lucene/highlighter/
+    postingshighlight) vs search/highlight.py — the FORMATTED SNIPPET
+    string exact, over random sentence-structured docs: sentence
+    passages (JDK BreakIterator: '. ' + capitalized next sentence),
+    PassageScorer weight/tf/norm float32 arithmetic, the bounded passage
+    queue with its evict-earliest-on-tie rule, per-(passage, term) batch
+    scoring, document-order re-sort, <b>/</b> + '... ' formatting, and
+    the no-hit first-sentences fallback."""
+    from lucene_solr_spark.search.highlight import highlight_doc
+
+    rng = random.Random(20260825)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for corpus_round in range(4):
+        docs = []
+        for _ in range(rng.randint(3, 10)):
+            sents = []
+            for _s in range(rng.randint(1, 6)):
+                toks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+                toks[0] = toks[0].capitalize()
+                sents.append(" ".join(toks) + ".")
+            docs.append(" ".join(sents))
+        cases = []
+        for _ in range(10):
+            ts = rng.sample(vocab, rng.randint(1, 3))
+            cases.append((rng.randint(1, 3), ts))
+        expected = gt.run_highlight(
+            docs, [f"HL {mp} {' '.join(ts)}" for mp, ts in cases]
+        )
+        assert len(expected) == len(cases)
+        n_checked = 0
+        for (mp, ts), per_doc in zip(cases, expected):
+            for d, snip in per_doc.items():
+                got, _score = highlight_doc(docs[d], ts, max_passages=mp)
+                assert got == snip, (corpus_round, d, mp, ts, docs[d], got, snip)
+                n_checked += 1
+        assert n_checked > 0

@@ -795,6 +795,95 @@ public class GroundTruthClassify {
 """
 
 
+HIGHLIGHT_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.search.postingshighlight.PostingsHighlighter;
+
+public class GroundTruthHighlight {
+  // alnum-run tokenizer WITH offsets (StandardTokenizer subset for the
+  // [a-z0-9 .] texts this harness indexes)
+  static final class AlnumOffsets extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new Tokenizer() {
+        final org.apache.lucene.analysis.tokenattributes.CharTermAttribute term =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.CharTermAttribute.class);
+        final org.apache.lucene.analysis.tokenattributes.OffsetAttribute off =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.OffsetAttribute.class);
+        String text; int i;
+        public boolean incrementToken() throws java.io.IOException {
+          if (text == null) {
+            StringBuilder sb = new StringBuilder(); int c;
+            while ((c = input.read()) != -1) sb.append((char) c);
+            text = sb.toString(); i = 0;
+          }
+          while (i < text.length() && !Character.isLetterOrDigit(text.charAt(i))) i++;
+          if (i >= text.length()) return false;
+          int start = i;
+          while (i < text.length() && Character.isLetterOrDigit(text.charAt(i))) i++;
+          clearAttributes();
+          term.append(text.substring(start, i).toLowerCase(java.util.Locale.ROOT));
+          off.setOffset(start, i);
+          return true;
+        }
+        public void reset() throws java.io.IOException { super.reset(); text = null; }
+      };
+      return new TokenStreamComponents(t);
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new AlnumOffsets());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_STORED);
+    ft.setIndexOptions(IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS);
+    for (int i = 0; i < nDocs; i++) {
+      // doc text arrives URL-encoded (may contain '. ' sentence breaks)
+      String text = java.net.URLDecoder.decode(in.readLine(), "UTF-8");
+      Document d = new Document();
+      d.add(new Field("body", text, ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // HL <maxPassages> t1 t2 ...
+      String[] p = in.readLine().trim().split(" ");
+      int maxPassages = Integer.parseInt(p[1]);
+      BooleanQuery.Builder b = new BooleanQuery.Builder();
+      for (int i = 2; i < p.length; i++)
+        b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+      Query q = b.build();
+      TopDocs td = s.search(q, Math.max(1, r.maxDoc()));
+      PostingsHighlighter ph = new PostingsHighlighter();
+      String[] snips = ph.highlight("body", q, s, td, maxPassages);
+      StringBuilder out = new StringBuilder();
+      for (int i = 0; i < td.scoreDocs.length; i++) {
+        if (out.length() > 0) out.append(";");
+        out.append(td.scoreDocs[i].doc).append(":")
+           .append(java.net.URLEncoder.encode(
+               snips[i] == null ? "" : snips[i], "UTF-8"));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 GROUP_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1129,6 +1218,28 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the postings highlighter package (lucene/highlighter) needs core only
+    hl_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/search/postingshighlight/PostingsHighlighter.class",
+    )
+    hl_dir = (
+        "/root/reference/lucene/highlighter/src/java/org/apache/lucene/"
+        "search/postingshighlight"
+    )
+    if not os.path.exists(hl_marker) and os.path.isdir(hl_dir):
+        hsrcs = [
+            os.path.join(hl_dir, f) for f in os.listdir(hl_dir)
+            if f.endswith(".java")
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + hsrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # DiversifiedTopDocsCollector (lucene/misc) depends only on core
     dv_marker = os.path.join(
         CLASSES, "org/apache/lucene/search/DiversifiedTopDocsCollector.class"
@@ -1156,6 +1267,7 @@ def build() -> bool:
         ("GroundTruthSpell", SPELL_JAVA),
         ("GroundTruthClassify", CLASSIFY_JAVA),
         ("GroundTruthGroup", GROUP_JAVA),
+        ("GroundTruthHighlight", HIGHLIGHT_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1333,6 +1445,38 @@ def run_group(docs: list[str], queries: list[str]) -> list[str]:
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_highlight(docs: list[str], queries: list[str]) -> list[dict[int, str]]:
+    """Index StandardAnalyzer docs (stored + offsets) and run
+    'HL <maxPassages> t1 t2..' through the REAL PostingsHighlighter over
+    the query's full hit list. Returns per query {docid: snippet}."""
+    from urllib.parse import quote, unquote_plus
+
+    payload = (
+        [str(len(docs))] + [quote(d) for d in docs]
+        + [str(len(queries))] + list(queries)
+    )
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthHighlight"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append({})
+            continue
+        m = {}
+        for part in ln.split(";"):
+            d, snip = part.split(":", 1)
+            m[int(d)] = unquote_plus(snip)
+        out.append(m)
+    return out
 
 
 def run_classify(docs: list[str], queries: list[str]) -> list[str]:
