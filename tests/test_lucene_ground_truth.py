@@ -1559,3 +1559,107 @@ def test_postings_highlighter_matches_compiled_reference():
                 assert got == snip, (corpus_round, d, mp, ts, docs[d], got, snip)
                 n_checked += 1
         assert n_checked > 0
+
+
+def test_memory_index_matches_compiled_reference():
+    """Ground-truth round 17: MemoryIndex (lucene/memory) — the
+    percolation engine's single-doc RAM index scores (search/memory.py)
+    == the REAL MemoryIndex.search float32, including non-matches (0.0),
+    over random docs and TERM/OR/AND/exact+sloppy-PHRASE queries. Pins
+    the single-document stats path (docCount=1, the doc's own norms) the
+    distributed percolate() stage relies on."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.memory import MemoryIndex
+
+    rng = random.Random(20260826)
+    cases = []  # (case line, python callable)
+    for _ in range(120):
+        doc = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 15)))
+        mi = MemoryIndex(doc)
+        kind = rng.choice(["term", "or", "and", "phrase"])
+        if kind == "term":
+            t = rng.choice(VOCAB)
+            cases.append((f"TERM {t}#{doc}", lambda mi=mi, t=t: mi.search(t)))
+        elif kind in ("or", "and"):
+            ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 4))]
+            cases.append((
+                f"{kind.upper()} {' '.join(ts)}#{doc}",
+                lambda mi=mi, ts=ts, kind=kind: mi.search(" ".join(ts), mode=kind),
+            ))
+        else:
+            ts = [rng.choice(VOCAB) for _ in range(rng.randint(2, 3))]
+            slop = rng.randint(0, 3)
+            spec = BooleanSpec(
+                phrase=tuple((t, i) for i, t in enumerate(ts)), slop=slop
+            )
+            cases.append((
+                f"PHRASE {slop} {' '.join(ts)}#{doc}",
+                lambda mi=mi, spec=spec: mi.score(spec),
+            ))
+    expected = gt.run_memory([c for c, _ in cases])
+    assert len(expected) == len(cases)
+    for (cline, fn), exp in zip(cases, expected):
+        got = np.float32(fn())
+        want = np.float32(float(exp))
+        assert got == want, (cline, float(got), float(want))
+
+
+def test_lat_lon_point_matches_compiled_reference():
+    """Ground-truth round 17b: LatLonPoint.newDistanceQuery +
+    LatLonDocValuesField.newDistanceSort (lucene/sandbox document
+    package) vs the engine's spatial math (ops/relational.py
+    spatial_knn: exact haversine on SloppyMath's 6371.0087714 km mean
+    radius). SloppyMath's table-based cos/asin carries <=40cm error, so
+    cases where any point sits within 5 m of the radius boundary or two
+    kept distances sit within 5 m of each other are skipped; surviving
+    cases must agree on the doc SET, the distance ORDER, and every
+    distance to 1 m."""
+    import math
+
+    rng = random.Random(20260827)
+    R = 6371.0087714e3  # EARTH_MEAN_RADIUS_KM * 1000 (relational.py)
+
+    def hav(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * R * math.asin(min(1.0, math.sqrt(h)))
+
+    for corpus_round in range(3):
+        pts = [
+            (rng.uniform(-80, 80), rng.uniform(-170, 170))
+            for _ in range(rng.randint(8, 40))
+        ]
+        queries, want = [], []
+        attempts = 0
+        while len(queries) < 8 and attempts < 200:
+            attempts += 1
+            qlat, qlon = rng.uniform(-80, 80), rng.uniform(-170, 170)
+            radius = rng.uniform(5e5, 8e6)
+            k = rng.randint(1, 10)
+            dists = sorted(
+                (hav(qlat, qlon, la, lo), i) for i, (la, lo) in enumerate(pts)
+            )
+            if any(abs(d - radius) < 5.0 for d, _i in dists):
+                continue
+            kept = [(d, i) for d, i in dists if d < radius][:k]
+            if any(
+                b[0] - a[0] < 5.0 for a, b in zip(kept, kept[1:])
+            ):
+                continue
+            queries.append(f"DIST {qlat!r} {qlon!r} {radius!r} {k}")
+            want.append(kept)
+        expected = gt.run_spatial(pts, queries)
+        assert len(expected) == len(queries)
+        for qline, kept, exp in zip(queries, want, expected):
+            got = [] if exp == "-" else [
+                (int(p.split(":")[0]), float(p.split(":")[1]))
+                for p in exp.split(";")
+            ]
+            assert [i for _d, i in kept] == [d for d, _m in got], (
+                corpus_round, qline, kept, got)
+            for (d_mine, _i), (_doc, d_ref) in zip(kept, got):
+                assert abs(d_mine - d_ref) <= 1.0, (qline, d_mine, d_ref)

@@ -884,6 +884,106 @@ public class GroundTruthHighlight {
 """
 
 
+SPATIAL_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+
+public class GroundTruthSpatial {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    for (int i = 0; i < nDocs; i++) {
+      String[] p = in.readLine().trim().split(" ");
+      double lat = Double.parseDouble(p[0]);
+      double lon = Double.parseDouble(p[1]);
+      Document d = new Document();
+      d.add(new LatLonPoint("pt", lat, lon));
+      d.add(new LatLonDocValuesField("pt", lat, lon));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // DIST lat lon radiusMeters k
+      String[] p = in.readLine().trim().split(" ");
+      double lat = Double.parseDouble(p[1]);
+      double lon = Double.parseDouble(p[2]);
+      double radius = Double.parseDouble(p[3]);
+      int k = Integer.parseInt(p[4]);
+      Query q = LatLonPoint.newDistanceQuery("pt", lat, lon, radius);
+      Sort sort = new Sort(LatLonDocValuesField.newDistanceSort("pt", lat, lon));
+      TopFieldDocs td = s.search(q, k, sort);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        FieldDoc fd = (FieldDoc) sd;
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":")
+           .append(Double.toString((Double) fd.fields[0]));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
+MEMORY_JAVA = r"""
+import org.apache.lucene.index.*;
+import org.apache.lucene.index.memory.MemoryIndex;
+import org.apache.lucene.search.*;
+
+public class GroundTruthMemory {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // line = "<spec>#<doc text>"; spec = TERM t | OR t.. | AND t.. |
+      // PHRASE slop t.. (same shapes as the TOPK harness)
+      String line = in.readLine();
+      int hash = line.indexOf('#');
+      String[] p = line.substring(0, hash).trim().split(" ");
+      String doc = line.substring(hash + 1);
+      MemoryIndex mi = new MemoryIndex();
+      mi.addField("body", doc, new GroundTruth.WS());
+      Query q;
+      if (p[0].equals("TERM")) {
+        q = new TermQuery(new Term("body", p[1]));
+      } else if (p[0].equals("OR") || p[0].equals("AND")) {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 1; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])),
+                p[0].equals("AND") ? BooleanClause.Occur.MUST
+                                   : BooleanClause.Occur.SHOULD);
+        q = b.build();
+      } else if (p[0].equals("PHRASE")) {
+        int slop = Integer.parseInt(p[1]);
+        PhraseQuery.Builder b = new PhraseQuery.Builder();
+        b.setSlop(slop);
+        for (int i = 2; i < p.length; i++) b.add(new Term("body", p[i]), i - 2);
+        q = b.build();
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      System.out.println(Float.toString(mi.search(q)));
+    }
+  }
+}
+"""
+
+
 GROUP_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1218,6 +1318,26 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # lucene/memory (MemoryIndex) depends only on core
+    mi_marker = os.path.join(
+        CLASSES, "org/apache/lucene/index/memory/MemoryIndex.class"
+    )
+    mi_dir = (
+        "/root/reference/lucene/memory/src/java/org/apache/lucene/index/memory"
+    )
+    if not os.path.exists(mi_marker) and os.path.isdir(mi_dir):
+        msrcs = [
+            os.path.join(mi_dir, f) for f in os.listdir(mi_dir)
+            if f.endswith(".java")
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + msrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the postings highlighter package (lucene/highlighter) needs core only
     hl_marker = os.path.join(
         CLASSES,
@@ -1257,6 +1377,32 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # LatLonPoint and friends (lucene/sandbox document package; core deps)
+    ll_marker = os.path.join(
+        CLASSES, "org/apache/lucene/document/LatLonPoint.class"
+    )
+    ll_dir = (
+        "/root/reference/lucene/sandbox/src/java/org/apache/lucene/document"
+    )
+    if not os.path.exists(ll_marker) and os.path.isdir(ll_dir):
+        lsrcs = [
+            os.path.join(ll_dir, f)
+            for f in (
+                "LatLonPoint.java", "LatLonDocValuesField.java",
+                "LatLonPointBoxQuery.java", "LatLonPointDistanceQuery.java",
+                "LatLonPointDistanceComparator.java",
+                "LatLonPointSortField.java", "MatchingPoints.java",
+                "NearestNeighbor.java", "LatLonPointInPolygonQuery.java",
+            )
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + lsrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -1268,6 +1414,8 @@ def build() -> bool:
         ("GroundTruthClassify", CLASSIFY_JAVA),
         ("GroundTruthGroup", GROUP_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
+        ("GroundTruthMemory", MEMORY_JAVA),
+        ("GroundTruthSpatial", SPATIAL_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1477,6 +1625,39 @@ def run_highlight(docs: list[str], queries: list[str]) -> list[dict[int, str]]:
             m[int(d)] = unquote_plus(snip)
         out.append(m)
     return out
+
+
+def run_memory(cases: list[str]) -> list[str]:
+    """Run '<spec>#<doc text>' cases (TERM/OR/AND/PHRASE spec shapes)
+    through the REAL MemoryIndex.search — one single-doc RAM index per
+    case. Returns Float.toString(score) per case ('0.0' = no match)."""
+    payload = [str(len(cases))] + list(cases)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMemory"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_spatial(points: list[tuple[float, float]], queries: list[str]) -> list[str]:
+    """Index (lat, lon) points as LatLonPoint + LatLonDocValuesField and
+    run 'DIST lat lon radiusMeters k' through LatLonPoint.newDistanceQuery
+    + LatLonDocValuesField.newDistanceSort. Returns 'doc:meters;...' per
+    query in sort order (SloppyMath distances)."""
+    payload = (
+        [str(len(points))]
+        + [f"{la!r} {lo!r}" for la, lo in points]
+        + [str(len(queries))] + list(queries)
+    )
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSpatial"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
 
 
 def run_classify(docs: list[str], queries: list[str]) -> list[str]:
