@@ -1663,3 +1663,42 @@ def test_lat_lon_point_matches_compiled_reference():
                 corpus_round, qline, kept, got)
             for (d_mine, _i), (_doc, d_ref) in zip(kept, got):
                 assert abs(d_mine - d_ref) <= 1.0, (qline, d_mine, d_ref)
+
+
+def test_custom_score_query_matches_compiled_reference():
+    """Ground-truth round 18: CustomScoreQuery(subQuery, FunctionQuery(
+    LongFieldSource)) — the multiplicative subquery x ValueSource combine
+    (CustomScoreProvider.customScore:108-110, qWeight=1 under BM25 since
+    normalize() deliberately drops boosts, CustomScoreQuery.java:210-216)
+    — docids and float32 scores exact. Pins the semantics behind the
+    function_query gate's custom_score variant."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+    rng = random.Random(20260828)
+    for corpus_round in range(4):
+        n = rng.randint(5, 25)
+        docs, lines, keys = [], [], []
+        for i in range(n):
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 10))]
+            key = rng.randint(1, 1000)
+            docs.append(" ".join(toks))
+            keys.append(key)
+            lines.append(f"g{i % 3} {key} {' '.join(toks)}")
+        idx = build_oracle_index(list(enumerate(docs)))
+        cases = [rng.sample(VOCAB, rng.randint(1, 3)) for _ in range(8)]
+        expected = gt.run_group(lines, [f"CUSTOM {' '.join(ts)}" for ts in cases])
+        assert len(expected) == len(cases)
+        for ts, exp in zip(cases, expected):
+            hits = oracle_topk(idx, " ".join(ts), k=n, mode="or")
+            scored = [
+                (d, np.float32(np.float32(s) * np.float32(keys[d])))
+                for d, s in hits
+            ]
+            scored.sort(key=lambda x: (-float(x[1]), x[0]))
+            got = scored[:10]
+            exp_pairs = [] if exp == "-" else [
+                (int(p.split(":")[0]), np.float32(float(p.split(":")[1])))
+                for p in exp.split(";")
+            ]
+            assert [(d, s) for d, s in got] == exp_pairs, (
+                corpus_round, ts, got, exp_pairs)

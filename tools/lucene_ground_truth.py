@@ -1042,6 +1042,23 @@ public class GroundTruthGroup {
                .append(Float.toString(g.scoreDocs[i].score));
           }
         }
+      } else if (p[0].equals("CUSTOM")) {
+        // CUSTOM t1 t2 ... -> CustomScoreQuery(OR(terms),
+        //   FunctionQuery(LongFieldSource("key"))) top-10
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 1; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        org.apache.lucene.queries.CustomScoreQuery cq =
+            new org.apache.lucene.queries.CustomScoreQuery(
+                b.build(),
+                new org.apache.lucene.queries.function.FunctionQuery(
+                    new org.apache.lucene.queries.function.valuesource
+                        .LongFieldSource("key")));
+        TopDocs td = s.search(cq, 10);
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc).append(":").append(Float.toString(sd.score));
+        }
       } else if (p[0].equals("DIV")) {
         // DIV k maxPerKey t1 t2 ... (OR query)
         int k = Integer.parseInt(p[1]);
