@@ -1702,3 +1702,96 @@ def test_custom_score_query_matches_compiled_reference():
             ]
             assert [(d, s) for d, s in got] == exp_pairs, (
                 corpus_round, ts, got, exp_pairs)
+
+
+def test_block_join_matches_compiled_reference():
+    """Ground-truth round 19: ToParentBlockJoinQuery (all four ScoreModes)
+    + ToChildBlockJoinQuery (lucene/join) vs the compiled binary over
+    addDocuments blocks: child BM25 scores aggregate to the parent with a
+    float32 running total (ToParentBlockJoinQuery.java:312-360 — avg =
+    total/matchedChildren in float), None mode scores 0 ranked by docid,
+    and ToChild hands each block child its parent's exact score. Docids
+    and float32 scores exact. Pins the semantics behind the
+    block_join_parent gate's score-mode union."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+    rng = random.Random(20260829)
+    pvocab = ["pp", "qq", "rr"]
+    for corpus_round in range(4):
+        blocks = []
+        for _ in range(rng.randint(3, 8)):
+            children = [
+                " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 4))
+            ]
+            parent = " ".join(
+                rng.choice(pvocab) for _ in range(rng.randint(1, 3))
+            )
+            blocks.append((children, parent))
+        # docid layout: children then parent per block (addDocuments)
+        seq, parent_of, parent_ids = [], {}, []
+        for children, parent in blocks:
+            kids = []
+            for c in children:
+                kids.append(len(seq))
+                seq.append(c)
+            pid = len(seq)
+            seq.append(parent)
+            parent_ids.append(pid)
+            for kid in kids:
+                parent_of[kid] = pid
+        idx = build_oracle_index(list(enumerate(seq)))
+
+        cases = []
+        for _ in range(10):
+            if rng.random() < 0.75:
+                mode = rng.choice(["none", "avg", "max", "total"])
+                ts = rng.sample(VOCAB, rng.randint(1, 3))
+                cases.append(("TOPARENT", mode, ts))
+            else:
+                ts = rng.sample(pvocab, rng.randint(1, 2))
+                cases.append(("TOCHILD", "_", ts))
+        expected = gt.run_join(
+            blocks, [f"{k} {m} {' '.join(ts)}" for k, m, ts in cases]
+        )
+        assert len(expected) == len(cases)
+
+        for (kind, mode, ts), exp in zip(cases, expected):
+            hits = dict(oracle_topk(idx, " ".join(ts), k=len(seq), mode="or"))
+            scored = []
+            if kind == "TOPARENT":
+                for (children, _p), pid in zip(blocks, parent_ids):
+                    kids = [
+                        d for d in sorted(parent_of)
+                        if parent_of[d] == pid and d in hits
+                    ]
+                    if not kids:
+                        continue
+                    total = np.float32(0.0)
+                    mx = np.float32(-np.inf)
+                    for d in kids:  # child docid order
+                        cs = np.float32(hits[d])
+                        total = np.float32(total + cs)
+                        mx = max(mx, cs)
+                    if mode == "total":
+                        sc = total
+                    elif mode == "max":
+                        sc = mx
+                    elif mode == "avg":
+                        sc = np.float32(total / np.float32(len(kids)))
+                    else:
+                        sc = np.float32(0.0)
+                    scored.append((pid, sc))
+            else:
+                for (children, _p), pid in zip(blocks, parent_ids):
+                    if pid in hits:
+                        ps = np.float32(hits[pid])
+                        for d in sorted(d for d in parent_of if parent_of[d] == pid):
+                            scored.append((d, ps))
+            scored.sort(key=lambda x: (-float(x[1]), x[0]))
+            got = scored[:10]
+            exp_pairs = [] if exp == "-" else [
+                (int(p.split(":")[0]), np.float32(float(p.split(":")[1])))
+                for p in exp.split(";")
+            ]
+            assert got == exp_pairs, (corpus_round, kind, mode, ts, got, exp_pairs)

@@ -939,6 +939,75 @@ public class GroundTruthSpatial {
 """
 
 
+JOIN_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.search.join.*;
+
+public class GroundTruthJoin {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nBlocks = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(1000000);
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int bi = 0; bi < nBlocks; bi++) {
+      int nChildren = Integer.parseInt(in.readLine().trim());
+      java.util.List<Document> block = new java.util.ArrayList<>();
+      for (int ci = 0; ci < nChildren; ci++) {
+        Document c = new Document();
+        c.add(new Field("body", in.readLine(), ft));
+        block.add(c);
+      }
+      Document p = new Document();  // parent LAST (addDocuments contract)
+      p.add(new StringField("type", "p", Field.Store.NO));
+      p.add(new Field("body", in.readLine(), ft));
+      block.add(p);
+      w.addDocuments(block);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    BitSetProducer parents =
+        new QueryBitSetProducer(new TermQuery(new Term("type", "p")));
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      Query q;
+      BooleanQuery.Builder b = new BooleanQuery.Builder();
+      for (int i = 2; i < p.length; i++)
+        b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+      if (p[0].equals("TOPARENT")) {
+        // TOPARENT <none|avg|max|total> t1 t2 ...
+        ScoreMode sm = ScoreMode.valueOf(
+            p[1].substring(0, 1).toUpperCase() + p[1].substring(1));
+        q = new ToParentBlockJoinQuery(b.build(), parents, sm);
+      } else if (p[0].equals("TOCHILD")) {
+        q = new ToChildBlockJoinQuery(b.build(), parents);
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 MEMORY_JAVA = r"""
 import org.apache.lucene.index.*;
 import org.apache.lucene.index.memory.MemoryIndex;
@@ -1394,6 +1463,26 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # lucene/join depends only on core
+    jn_marker = os.path.join(
+        CLASSES, "org/apache/lucene/search/join/ToParentBlockJoinQuery.class"
+    )
+    jn_root = "/root/reference/lucene/join/src/java"
+    if not os.path.exists(jn_marker) and os.path.isdir(jn_root):
+        jsrcs = os.path.join(BUILD, "jsrcs.txt")
+        with open(jsrcs, "w") as f:
+            for root, _dirs, files in os.walk(jn_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + jsrcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # LatLonPoint and friends (lucene/sandbox document package; core deps)
     ll_marker = os.path.join(
         CLASSES, "org/apache/lucene/document/LatLonPoint.class"
@@ -1433,6 +1522,7 @@ def build() -> bool:
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthMemory", MEMORY_JAVA),
         ("GroundTruthSpatial", SPATIAL_JAVA),
+        ("GroundTruthJoin", JOIN_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1642,6 +1732,26 @@ def run_highlight(docs: list[str], queries: list[str]) -> list[dict[int, str]]:
             m[int(d)] = unquote_plus(snip)
         out.append(m)
     return out
+
+
+def run_join(blocks: list[tuple[list[str], str]], queries: list[str]) -> list[str]:
+    """Index parent/child BLOCKS via addDocuments (children first, parent
+    last, type:p marker) and run 'TOPARENT <none|avg|max|total> t..'
+    through ToParentBlockJoinQuery or 'TOCHILD _ t..' through
+    ToChildBlockJoinQuery. Returns 'doc:score;...' per query."""
+    payload = [str(len(blocks))]
+    for children, parent in blocks:
+        payload.append(str(len(children)))
+        payload.extend(children)
+        payload.append(parent)
+    payload += [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthJoin"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
 
 
 def run_memory(cases: list[str]) -> list[str]:
