@@ -1795,3 +1795,68 @@ def test_block_join_matches_compiled_reference():
                 for p in exp.split(";")
             ]
             assert got == exp_pairs, (corpus_round, kind, mode, ts, got, exp_pairs)
+
+
+def test_join_util_matches_compiled_reference():
+    """Ground-truth round 20: JoinUtil.createJoinQuery (lucene/join —
+    the query-time join): from-side hits aggregate per join value with
+    the TermsWithScoreCollector float32 rules (Total running float sum,
+    Max, Avg = float sum / count at getScoresPerTerm, None = the
+    constant-score TermsQuery), and every to-side doc holding the value
+    scores exactly that aggregate (TermsIncludingScoreQuery). Docids and
+    float32 scores exact over randomized self-join corpora."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+    rng = random.Random(20260830)
+    for corpus_round in range(4):
+        n = rng.randint(5, 25)
+        grps, lines, texts = [], [], []
+        for i in range(n):
+            g = f"g{rng.randint(1, 4)}"
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 8))]
+            grps.append(g)
+            texts.append(" ".join(toks))
+            lines.append(f"{g} {rng.randint(1, 9)} {' '.join(toks)}")
+        idx = build_oracle_index(list(enumerate(texts)))
+        cases = [
+            (rng.choice(["none", "avg", "max", "total"]),
+             rng.sample(VOCAB, rng.randint(1, 3)))
+            for _ in range(10)
+        ]
+        expected = gt.run_group(
+            lines, [f"JOINQ {m} {' '.join(ts)}" for m, ts in cases]
+        )
+        assert len(expected) == len(cases)
+        for (mode, ts), exp in zip(cases, expected):
+            hits = oracle_topk(idx, " ".join(ts), k=n, mode="or")
+            agg: dict = {}  # group -> (sum f32, max f32, count)
+            for d, s in sorted(hits):  # from-side collect in docid order
+                g = grps[d]
+                s32 = np.float32(s)
+                if g in agg:
+                    tot, mx, c = agg[g]
+                    agg[g] = (np.float32(tot + s32), max(mx, s32), c + 1)
+                else:
+                    agg[g] = (s32, s32, 1)
+            scored = []
+            for d in range(n):
+                g = grps[d]
+                if g not in agg:
+                    continue
+                tot, mx, c = agg[g]
+                if mode == "total":
+                    sc = tot
+                elif mode == "max":
+                    sc = mx
+                elif mode == "avg":
+                    sc = np.float32(tot / np.float32(c))
+                else:
+                    sc = np.float32(1.0)
+                scored.append((d, sc))
+            scored.sort(key=lambda x: (-float(x[1]), x[0]))
+            got = scored[:10]
+            exp_pairs = [] if exp == "-" else [
+                (int(p.split(":")[0]), np.float32(float(p.split(":")[1])))
+                for p in exp.split(";")
+            ]
+            assert got == exp_pairs, (corpus_round, mode, ts, got, exp_pairs)

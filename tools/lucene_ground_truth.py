@@ -1076,6 +1076,7 @@ public class GroundTruthGroup {
       String[] parts = in.readLine().split(" ", 3);
       Document d = new Document();
       d.add(new SortedDocValuesField("grp", new BytesRef(parts[0])));
+      d.add(new StringField("grpt", parts[0], Field.Store.NO));
       d.add(new NumericDocValuesField("key", Long.parseLong(parts[1])));
       d.add(new Field("body", parts[2], ft));
       w.addDocument(d);
@@ -1110,6 +1111,22 @@ public class GroundTruthGroup {
             out.append(g.scoreDocs[i].doc).append(":")
                .append(Float.toString(g.scoreDocs[i].score));
           }
+        }
+      } else if (p[0].equals("JOINQ")) {
+        // JOINQ <none|avg|max|total> t1 t2 ... -> JoinUtil.createJoinQuery
+        //   (from grp sorted-dv, to grpt indexed term; self-join)
+        org.apache.lucene.search.join.ScoreMode sm =
+            org.apache.lucene.search.join.ScoreMode.valueOf(
+                p[1].substring(0, 1).toUpperCase() + p[1].substring(1));
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 2; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        Query jq = org.apache.lucene.search.join.JoinUtil.createJoinQuery(
+            "grp", false, "grpt", b.build(), s, sm);
+        TopDocs td = s.search(jq, 10);
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc).append(":").append(Float.toString(sd.score));
         }
       } else if (p[0].equals("CUSTOM")) {
         // CUSTOM t1 t2 ... -> CustomScoreQuery(OR(terms),
