@@ -2422,6 +2422,12 @@ KNN_K = 5
 #: per-query cost is Σ df(selected terms), the standard MLT cost model,
 #: and the batch size (not the corpus) bounds the candidate join
 KNN_QDOC_MOD = 25
+#: cap the batch at a FIXED query count so the gate's cost is
+#: corpus-size-independent (doc_id % 25 == 0 alone grows the batch
+#: linearly with the corpus; on this 29-word-vocabulary corpus every MLT
+#: term has df ~= N, so batch x Σdf would scale quadratically). 20 =
+#: exactly the sf0.01 batch, so gate results are unchanged there.
+KNN_BATCH_MAX = 20
 
 
 def classification_knn(spark, sf, base=None):
@@ -2484,7 +2490,10 @@ def classification_knn(spark, sf, base=None):
         F.col("w").asc()
     )
     qterms = (
-        tf.filter(F.col("doc_id") % KNN_QDOC_MOD == 0)
+        tf.filter(
+            (F.col("doc_id") % KNN_QDOC_MOD == 0)
+            & (F.col("doc_id") < KNN_QDOC_MOD * KNN_BATCH_MAX)
+        )
         .select(F.col("doc_id").alias("qdoc"), "w", "tf")
         .join(dfr, "w")
         .withColumn("tr", F.row_number().over(wq))
@@ -2575,6 +2584,7 @@ qterms AS (
            ) AS tr
     FROM tf JOIN dfr USING (w) CROSS JOIN n
     WHERE tf.doc_id % {KNN_QDOC_MOD} = 0
+      AND tf.doc_id < {KNN_QDOC_MOD * KNN_BATCH_MAX}
   ) WHERE tr <= {KNN_N_TERMS}
 ),
 cand AS (

@@ -238,3 +238,28 @@ def test_term_automaton_scan_pruned_to_labels(spark):
     assert "pos_buf" in plan  # the position stream is read
     read = plan.split("ReadSchema")[-1]
     assert "docs_buf" in read
+
+
+def test_highlight_unified_zero_shuffle(spark):
+    """The unified PostingsHighlighter variant is one Arrow stage over
+    the stored text — a shuffle before the final presentation sort would
+    mean per-doc work crossed the network."""
+    df = R.highlight_unified(spark, SF)
+    plan = _plan(df)
+    before_sort = plan.split("Sort", 1)[0]
+    assert "Exchange" not in before_sort or "rangepartitioning" in before_sort
+    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_spellcheck_neighborhood_only_arrow_stage(spark):
+    """DirectSpellChecker's exact OSA/PQ finalize runs over the pruned
+    dictionary NEIGHBORHOOD: the plan must show the term_stats scan with
+    the Levenshtein prefilter BELOW the Arrow stage — never a corpus
+    read."""
+    from lucene_solr_spark.ops.index_access import searcher_for
+
+    df = searcher_for(spark, SF).spellcheck("slon")
+    plan = _plan(df)
+    assert "term_stats" in plan
+    assert "documents" not in plan
+    assert "levenshtein" in plan.lower()
