@@ -1860,3 +1860,28 @@ def test_join_util_matches_compiled_reference():
                 for p in exp.split(";")
             ]
             assert got == exp_pairs, (corpus_round, mode, ts, got, exp_pairs)
+
+
+def test_porter_stemmer_matches_compiled_reference():
+    """Ground-truth round 21: the Porter stemmer (analysis/common
+    PorterStemFilter) vs analysis/porter.py over random letter strings —
+    every fuzzed token's stem identical to the compiled filter (the
+    golden vocabulary test covers real words; this sweeps the rule-edge
+    space: short tokens, y/vowel boundaries, double consonants,
+    -ed/-ing/-ate/-ize tails)."""
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    rng = random.Random(20260831)
+    tails = ["ed", "ing", "ly", "ies", "es", "s", "ement", "ational",
+             "iveness", "ization", "icate", "ize", "ate", "ous", "e", ""]
+    words = []
+    for _ in range(800):
+        stem_len = rng.randint(1, 8)
+        base = "".join(rng.choice("abcdefgilmnoprstuy") for _ in range(stem_len))
+        words.append(base + rng.choice(tails))
+    lines = [" ".join(words[i:i + 20]) for i in range(0, len(words), 20)]
+    expected = gt.run_porter(lines)
+    assert len(expected) == len(lines)
+    for line, exp in zip(lines, expected):
+        got = " ".join(porter_stem(w) for w in line.split())
+        assert got == exp, (line, got, exp)

@@ -939,6 +939,51 @@ public class GroundTruthSpatial {
 """
 
 
+PORTER_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.analysis.en.PorterStemFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+
+public class GroundTruthPorter {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    while ((line = in.readLine()) != null) {
+      if (line.isEmpty()) continue;
+      Tokenizer t = new Tokenizer() {
+        final CharTermAttribute term = addAttribute(CharTermAttribute.class);
+        java.util.List<String> toks; int i;
+        public boolean incrementToken() throws java.io.IOException {
+          if (toks == null) {
+            StringBuilder sb = new StringBuilder(); int c;
+            while ((c = input.read()) != -1) sb.append((char) c);
+            toks = new java.util.ArrayList<>();
+            for (String s : sb.toString().split("\\s+")) if (!s.isEmpty()) toks.add(s);
+            i = 0;
+          }
+          if (i >= toks.size()) return false;
+          clearAttributes(); term.append(toks.get(i++)); return true;
+        }
+        public void reset() throws java.io.IOException { super.reset(); toks = null; }
+      };
+      t.setReader(new java.io.StringReader(line));
+      TokenStream ts = new PorterStemFilter(t);
+      CharTermAttribute term = ts.getAttribute(CharTermAttribute.class);
+      ts.reset();
+      StringBuilder out = new StringBuilder();
+      while (ts.incrementToken()) {
+        if (out.length() > 0) out.append(" ");
+        out.append(term.toString());
+      }
+      ts.end(); ts.close();
+      System.out.println(out.toString());
+    }
+  }
+}
+"""
+
+
 JOIN_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1480,6 +1525,25 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the Porter stemmer pair (analysis/common en package) needs core only
+    po_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/en/PorterStemFilter.class"
+    )
+    po_dir = (
+        "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/"
+        "analysis/en"
+    )
+    if not os.path.exists(po_marker) and os.path.isdir(po_dir):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             os.path.join(po_dir, "PorterStemmer.java"),
+             os.path.join(po_dir, "PorterStemFilter.java")],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/join depends only on core
     jn_marker = os.path.join(
         CLASSES, "org/apache/lucene/search/join/ToParentBlockJoinQuery.class"
@@ -1540,6 +1604,7 @@ def build() -> bool:
         ("GroundTruthMemory", MEMORY_JAVA),
         ("GroundTruthSpatial", SPATIAL_JAVA),
         ("GroundTruthJoin", JOIN_JAVA),
+        ("GroundTruthPorter", PORTER_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1769,6 +1834,18 @@ def run_join(blocks: list[tuple[list[str], str]], queries: list[str]) -> list[st
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_porter(lines: list[str]) -> list[str]:
+    """Run whitespace-token lines through the REAL PorterStemFilter
+    (analysis/common en); returns the stemmed line per input line."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPorter"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.rstrip("\n") for ln in r.stdout.splitlines()]
 
 
 def run_memory(cases: list[str]) -> list[str]:
