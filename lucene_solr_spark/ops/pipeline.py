@@ -893,6 +893,28 @@ def _with_demb(df: DataFrame) -> DataFrame:
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
+def _pair_dot_udf():
+    """Arrow-vectorized pairwise dot product with the SAME double
+    accumulation order as the _DOT higher-order expression (and DuckDB's
+    list aggregate): acc += a_d * b_d left-to-right over dimensions, so
+    the doubles are bit-identical to the interpreted zip_with/aggregate
+    lambdas it replaces on the verify's pair table. Built lazily — a
+    module-level pandas_udf would demand a SparkSession at import."""
+
+    @F.pandas_udf("double")
+    def _pair_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.array(ea.tolist(), dtype=np.float64)
+        b = np.array(eb.tolist(), dtype=np.float64)
+        acc = np.zeros(len(a), dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc += a[:, d] * b[:, d]
+        return pd.Series(acc)
+
+    return _pair_dot
+
+
 def _cos_expr(a: str, b: str) -> str:
     return (
         f"{_DOT.format(a=a, b=b)} / "
@@ -904,8 +926,12 @@ def dedup_embedding_cosine(spark, sf):
     """Embedding near-dup pairs via banded sign-LSH (see EMB_BANDS note):
     band-bucket self-join generates candidates, exact cosine >= threshold
     verifies. The oracle runs the identical banding, so candidates match
-    by construction."""
-    e = _with_demb(_emb(spark, sf))
+    by construction. The exact-cosine verify is interpreted
+    higher-order-function arithmetic (zip_with/aggregate lambdas are not
+    codegen'd), so the scan side must be spread across cores — a small
+    corpus arrives as one parquet split and would otherwise verify every
+    candidate pair on a single task."""
+    e = _with_demb(_spread(_emb(spark, sf)))
     band_structs = []
     for bnd in range(EMB_BANDS):
         bits = None
@@ -932,7 +958,7 @@ def dedup_embedding_cosine(spark, sf):
     vn = e.withColumn("nrm", nrm)
     va = vn.select(F.col("vec_id").alias("a_id"), F.col("demb").alias("ea"), F.col("nrm").alias("na"))
     vb = vn.select(F.col("vec_id").alias("b_id"), F.col("demb").alias("eb"), F.col("nrm").alias("nb"))
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    cos = _pair_dot_udf()(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
