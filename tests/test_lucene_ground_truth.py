@@ -1885,3 +1885,37 @@ def test_porter_stemmer_matches_compiled_reference():
     for line, exp in zip(lines, expected):
         got = " ".join(porter_stem(w) for w in line.split())
         assert got == exp, (line, got, exp)
+
+
+def test_sorted_set_facet_counts_match_compiled_reference():
+    """Ground-truth round 22: SortedSetDocValuesFacetCounts (lucene/
+    facet) — per-label counts under the query's FacetsCollector hits and
+    the top-children order (count DESC, then ordinal = label ASC) match
+    the compiled binary exactly, including the topN cutoff and the
+    no-hit null result. Pins the ordering convention the `facets` gate
+    union canonicalizes."""
+    rng = random.Random(20260901)
+    dims = ["red", "blue", "green", "amber"]
+    for corpus_round in range(4):
+        docs, lines = [], []
+        for _ in range(rng.randint(5, 30)):
+            dv = rng.choice(dims)
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 8))]
+            docs.append((dv, set(toks)))
+            lines.append(f"{dv} {' '.join(toks)}")
+        cases = [
+            (rng.randint(1, 5), rng.sample(VOCAB, rng.randint(1, 3)))
+            for _ in range(10)
+        ]
+        expected = gt.run_facet(
+            lines, [f"FACET {n} {' '.join(ts)}" for n, ts in cases]
+        )
+        assert len(expected) == len(cases)
+        for (topn, ts), exp in zip(cases, expected):
+            counts: dict = {}
+            for dv, toks in docs:
+                if any(t in toks for t in ts):
+                    counts[dv] = counts.get(dv, 0) + 1
+            want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+            want_s = ";".join(f"{l}:{c}" for l, c in want) or "-"
+            assert want_s == exp, (corpus_round, topn, ts, want_s, exp)

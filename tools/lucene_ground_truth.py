@@ -939,6 +939,67 @@ public class GroundTruthSpatial {
 """
 
 
+FACET_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.facet.*;
+import org.apache.lucene.facet.sortedset.*;
+
+public class GroundTruthFacet {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FacetsConfig fc = new FacetsConfig();
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      // line = "<dimvalue> <body tokens...>"
+      String[] parts = in.readLine().split(" ", 2);
+      Document d = new Document();
+      d.add(new SortedSetDocValuesFacetField("dim", parts[0]));
+      d.add(new Field("body", parts[1], ft));
+      w.addDocument(fc.build(d));
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    SortedSetDocValuesReaderState state =
+        new DefaultSortedSetDocValuesReaderState(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // FACET <topN> t1 t2 ...
+      String[] p = in.readLine().trim().split(" ");
+      int topN = Integer.parseInt(p[1]);
+      BooleanQuery.Builder b = new BooleanQuery.Builder();
+      for (int i = 2; i < p.length; i++)
+        b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+      FacetsCollector fcoll = new FacetsCollector();
+      FacetsCollector.search(s, b.build(), 10, fcoll);
+      Facets facets = new SortedSetDocValuesFacetCounts(state, fcoll);
+      FacetResult res = facets.getTopChildren(topN, "dim");
+      StringBuilder out = new StringBuilder();
+      if (res != null) {
+        for (LabelAndValue lv : res.labelValues) {
+          if (out.length() > 0) out.append(";");
+          out.append(lv.label).append(":").append(lv.value);
+        }
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 PORTER_JAVA = r"""
 import org.apache.lucene.analysis.*;
 import org.apache.lucene.analysis.en.PorterStemFilter;
@@ -1525,6 +1586,27 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # lucene/facet depends only on core
+    fc_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/facet/sortedset/SortedSetDocValuesFacetCounts.class",
+    )
+    fc_root = "/root/reference/lucene/facet/src/java"
+    if not os.path.exists(fc_marker) and os.path.isdir(fc_root):
+        fsrcs = os.path.join(BUILD, "fsrcs.txt")
+        with open(fsrcs, "w") as f:
+            for root, _dirs, files in os.walk(fc_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + fsrcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the Porter stemmer pair (analysis/common en package) needs core only
     po_marker = os.path.join(
         CLASSES, "org/apache/lucene/analysis/en/PorterStemFilter.class"
@@ -1605,6 +1687,7 @@ def build() -> bool:
         ("GroundTruthSpatial", SPATIAL_JAVA),
         ("GroundTruthJoin", JOIN_JAVA),
         ("GroundTruthPorter", PORTER_JAVA),
+        ("GroundTruthFacet", FACET_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1829,6 +1912,21 @@ def run_join(blocks: list[tuple[list[str], str]], queries: list[str]) -> list[st
     payload += [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthJoin"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_facet(docs: list[str], queries: list[str]) -> list[str]:
+    """Index '<dimvalue> <body...>' docs (SortedSetDocValuesFacetField)
+    and run 'FACET <topN> t1 t2..' through SortedSetDocValuesFacetCounts
+    .getTopChildren over the OR query's FacetsCollector hits. Returns
+    'label:count;...' per query in the reference's top-children order."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFacet"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
