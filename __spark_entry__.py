@@ -78,6 +78,20 @@ SPAN_QUERIES = {
     "bm25_span_near": (["fast", "merge"], 2, True),
     "bm25_span_unordered": (["sort", "merge"], 3, False),
 }
+# ComplexPhraseQueryParser quoted phrases (pinned vs the compiled parser
+# in ground-truth round 23): the raw phrase string and the clause SPECS
+# the SQL oracle re-derives independently ('terms' literal sets; 'like'
+# patterns expand over the corpus dictionary IN SQL)
+COMPLEX_PHRASE_QUERIES = {
+    "span_complex_phrase": (
+        '"(fast merge) sort"', 1,
+        [("terms", ["fast", "merge"]), ("terms", ["sort"])],
+    ),
+    "span_complex_wildcard": (
+        '"s* merge"', 2,
+        [("like", "s%"), ("terms", ["merge"])],
+    ),
+}
 SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
 # PayloadScoreQuery / SpanPayloadCheckQuery over the payload FIELD (the
 # documents text annotated 'tok|w' by the deterministic rule in
@@ -621,6 +635,18 @@ def _bm25_groups() -> dict[str, list]:
         )
     for name, (term, end) in SPAN_FIRST_QUERIES.items():
         positional.append((name, _span_first_query_fn(term, end), bm25_span_first_sql(term, end, k=10)))
+    for name, (phrase, slop, specs) in COMPLEX_PHRASE_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_complex_phrase_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, p=phrase, sl=slop: _ranked(
+                _searcher(spark, sf_dir).topk_complex_phrase(
+                    p.strip('"'), slop=sl, k=10
+                )
+            ),
+            bm25_complex_phrase_sql(specs, slop, k=10),
+        ))
     for name, (pterms, pfn, pinc, pslop) in PAYLOAD_SCORE_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import payload_score_sql
 

@@ -2214,3 +2214,72 @@ FROM (
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_complex_phrase_sql(clauses, slop: int, k: int = 10) -> str:
+    """ComplexPhraseQueryParser oracle (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java rewrite:253-345): an ordered SpanNear
+    whose clauses are SpanOr-of-term-span alternative sets. A clause is
+    ('terms', [t1, t2, ...]) for literal/paren elements or
+    ('like', 'fa%') for wildcard elements — the LIKE expansion runs IN
+    SQL over the corpus dictionary (SCORING_BOOLEAN_REWRITE over index
+    terms), so the oracle shares no driver state with the engine. Each
+    clause's sub-span positions union (one token per position); the
+    ordered chain walk and weight (idf summed over the DISTINCT union of
+    every clause's terms — SpanWeight's term->context map) follow
+    bm25_span_near_sql."""
+    occ_parts, qterm_parts = [], []
+    for i, (kind, val) in enumerate(clauses):
+        if kind == "terms":
+            in_list = ",".join(f"'{t}'" for t in val)
+            occ_parts.append(
+                f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term IN ({in_list}))"
+            )
+            qterm_parts.append(
+                "SELECT * FROM (VALUES "
+                + ",".join(f"('{t}')" for t in val) + ") v(term)"
+            )
+        else:
+            occ_parts.append(
+                f"occ{i} AS (SELECT doc_id, pos FROM tokpos WHERE term LIKE '{val}')"
+            )
+            qterm_parts.append(
+                f"SELECT DISTINCT term FROM tok WHERE term LIKE '{val}'"
+            )
+    n = len(clauses)
+    qterms_union = "\n  UNION\n  ".join(qterm_parts)  # UNION dedups (SpanWeight map)
+    idfw = f"""qterms(term) AS (
+  {qterms_union}
+),
+dfs AS (
+  SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  FROM qterms q LEFT JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) c USING (term)
+),
+idfw AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats s
+)"""
+    chain = ["m0 AS (SELECT doc_id, pos AS p0, pos AS prev FROM occ0)"]
+    for i in range(1, n):
+        chain.append(
+            f"m{i} AS (SELECT m.doc_id, m.p0,\n"
+            f"  (SELECT min(o.pos) FROM occ{i} o WHERE o.doc_id = m.doc_id "
+            f"AND o.pos > m.prev) AS prev\n"
+            f"  FROM m{i-1} m WHERE m.prev IS NOT NULL)"
+        )
+    chain_sql = ",\n".join(chain)
+    occ_sql = ",\n".join(occ_parts)
+    pf_cte = f"""{occ_sql},
+{chain_sql},
+matches AS (
+  SELECT doc_id, prev - p0 - {n - 1} AS width
+  FROM m{n - 1} WHERE prev IS NOT NULL
+),
+pf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN width <= {slop} THEN 1.0 / (width + 1) END) AS DOUBLE) AS pf
+  FROM matches GROUP BY doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)

@@ -98,8 +98,12 @@ class BooleanSpec:
     multi_phrase: tuple[tuple[int, tuple[str, ...]], ...] = ()
     multi_phrase_slop: int = 0
     # SpanNearQuery clauses in query order (spans/SpanNearQuery.java);
-    # scored via search/spans.py walks with Σ 1/(width+1)
-    span: tuple[str, ...] = ()
+    # scored via search/spans.py walks with Σ 1/(width+1). A clause is a
+    # term OR a tuple of alternative terms — a SpanOr of term spans
+    # (width-1 sub-spans union positions), the shape
+    # ComplexPhraseQueryParser's rewrite emits for wildcard/fuzzy/paren
+    # elements inside a quoted phrase
+    span: tuple = ()
     span_slop: int = 0
     span_ordered: bool = True
     # SpanNotQuery excludes: drop ordered-near spans overlapping any of
@@ -187,7 +191,8 @@ class BooleanSpec:
     @property
     def positional_terms(self) -> tuple[str, ...]:
         out = (
-            tuple(t for t, _ in self.phrase) + tuple(self.span)
+            tuple(t for t, _ in self.phrase)
+            + tuple(t for c in self.span for t in _span_alts(c))
             + tuple(self.span_not) + tuple(self.span_contain) + tuple(self.span_within)
         )
         for pairs, _slop, _occ, _b in self.phrases:
@@ -235,6 +240,12 @@ class BooleanSpec:
             if occ == "-":
                 out += _mixed_member_terms(members)
         return out
+
+
+def _span_alts(clause) -> tuple[str, ...]:
+    """Normalize a span clause to its alternative set: a bare term is a
+    1-tuple; a tuple is a SpanOr of term spans (union of positions)."""
+    return (clause,) if isinstance(clause, str) else tuple(clause)
 
 
 def _mixed_member_terms(members) -> tuple[str, ...]:
@@ -894,6 +905,73 @@ class IndexSearcher:
         spec = BooleanSpec(term_automaton=expand_determinize(transitions, accepts))
         return self.topk_spec(spec, k=k)
 
+    def topk_complex_phrase(
+        self, phrase: str, slop: int = 0, in_order: bool = True, k: int = 10
+    ) -> DataFrame:
+        """ComplexPhraseQueryParser's quoted-phrase mini-language
+        (queryparser/complexPhrase/ComplexPhraseQueryParser.java:253-345):
+        each whitespace element of the phrase becomes one SpanNear clause —
+        a bare term is a SpanTerm; a '(a b c)' group, a wildcard or a
+        fuzzy element rewrites to a SpanOr of term spans
+        (addComplexPhraseClause over the SCORING_BOOLEAN_REWRITE
+        expansion; FuzzyQuery keeps its own blended top-50 rewrite, whose
+        boosts the span conversion then IGNORES — span weights come from
+        term contexts only). An element with ZERO expansions inserts the
+        reference's match-nothing dummy clause (:294-296), so the whole
+        phrase matches nothing. Negation inside the phrase (SpanNot
+        sequences) is out of scope here. slop = slopFactor; inOrder
+        defaults true (the v2 parser default)."""
+        from .fuzzy import fuzzy_expand_vocab
+
+        elements: list[str] = []
+        buf, depth = [], 0
+        for ch in phrase:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch.isspace() and depth == 0:
+                if buf:
+                    elements.append("".join(buf))
+                    buf = []
+            else:
+                buf.append(ch)
+        if buf:
+            elements.append("".join(buf))
+
+        clauses: list = []
+        for el in elements:
+            if el.startswith("(") and el.endswith(")"):
+                alts: list[str] = []
+                for m in el[1:-1].split():
+                    alts.extend(self._analyze(m))
+                alts = sorted(set(alts))
+            elif "*" in el or "?" in el:
+                alts = sorted(self.expand_terms(
+                    like=el.lower().replace("*", "%").replace("?", "_")
+                ))
+            elif "~" in el:
+                base, _tilde, n = el.partition("~")
+                me = int(n) if n else 2
+                vocab = self.fuzzy_dictionary(base.lower(), max_edits=me)
+                alts = sorted(
+                    t for t, _df, _b in fuzzy_expand_vocab(base.lower(), vocab, me)
+                )
+            else:
+                alts = self._analyze(el)
+            if not alts:
+                # the reference's dummy must-match-nothing clause
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            clauses.append(alts[0] if len(alts) == 1 else tuple(alts))
+        if not clauses:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk_spec(
+            BooleanSpec(
+                span=tuple(clauses), span_slop=slop, span_ordered=in_order
+            ),
+            k=k,
+        )
+
     def topk_span_position_range(
         self, term: str, lo: int, hi: int, k: int = 10
     ) -> DataFrame:
@@ -1293,7 +1371,9 @@ class IndexSearcher:
                     weights[t]["weight_value"] = float(
                         np.float32(w * (K1 + np.float32(1.0)))
                     )
-        required = set(spec.must) | set(spec.span)
+        required = set(spec.must) | {
+            c for c in spec.span if isinstance(c, str)
+        }
         for pairs, _slop, occ, _b in spec.phrase_clauses:
             if occ == "+":
                 required |= {t for t, _ in pairs}
@@ -1302,6 +1382,12 @@ class IndexSearcher:
         if spec.span_position_range is not None:
             required.add(spec.span_position_range[0])
         if any(weights[t]["df"] == 0 for t in required):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # SpanOr clause (alternative tuple): needs >=1 live member
+        if any(
+            all(weights[t]["df"] == 0 for t in _span_alts(c))
+            for c in spec.span
+        ):
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         # MultiPhraseQuery: each position needs at least one live alternative
         if any(
@@ -1951,7 +2037,10 @@ def _span_near_freqs(
     )
 
     aux_terms = set(exclude_terms) | set(contain_terms) | set(within_terms)
-    data = {t: _abs_positions(per_term, t) for t in set(span)}
+    data = {
+        t: _abs_positions(per_term, t)
+        for c in span for t in _span_alts(c) if t in per_term
+    }
     aux_data = {t: _abs_positions(per_term, t) for t in aux_terms if t in per_term}
 
     def _doc_slice(entry, c):
@@ -1975,12 +2064,20 @@ def _span_near_freqs(
     for ci, c in enumerate(cand):
         plists = []
         ok = True
-        for t in span:  # query order; repeated terms reuse the same list
-            sl = _doc_slice(data[t], c)
-            if sl is None:
+        for cl in span:  # query order; repeated terms reuse the same list
+            alts = _span_alts(cl)
+            merged: list[int] = []
+            for t in alts:
+                if t in data:
+                    sl = _doc_slice(data[t], c)
+                    if sl:
+                        merged.extend(sl)
+            if not merged:
                 ok = False
                 break
-            plists.append(sl)
+            # SpanOr of term spans: sub-span positions union, sorted —
+            # one token per position, so no duplicates to dedup
+            plists.append(sorted(merged) if len(alts) > 1 else merged)
         if not ok:
             continue
         if exclude_terms:
@@ -2071,7 +2168,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     required = sorted(
         set(must_terms)
         | req_phrase_terms
-        | set(span)
+        | {c for c in span if isinstance(c, str)}
         | ({span_posrange[0]} if span_posrange is not None else set())
     )
     # nested groups with dead members dropped; '' / '-' groups with no
@@ -2224,12 +2321,14 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span:
-        # SpanWeight.buildSimWeight: term->context MAP, so DISTINCT terms;
+        # SpanWeight.buildSimWeight: term->context MAP, so DISTINCT terms
+        # (SpanOr alternatives all contribute their contexts);
         # SpanNot/Containing/Within maps include BOTH sides' contexts
         # (getTermContexts(bigWeight, littleWeight))
         aux = set(spec.span_not) | set(spec.span_contain) | set(spec.span_within)
+        span_terms = {t for c in span for t in _span_alts(c)}
         idf_sum = idf_sum_f32(
-            idf_f32(dfs[t], doc_count) for t in sorted(set(span) | aux)
+            idf_f32(dfs[t], doc_count) for t in sorted(span_terms | aux)
         )
         pos_wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
     elif span_posrange is not None:
@@ -2252,6 +2351,10 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             return _EMPTY
         if any(
             not any(t in present for t in alts) for _off, alts in multi_phrase
+        ):
+            return _EMPTY
+        if any(
+            not any(t in present for t in _span_alts(c)) for c in span
         ):
             return _EMPTY
         if any(
@@ -2301,6 +2404,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
             for pairs, _s, occ, _b in phrase_clauses
         )
         if (not scoring_present and not required and not multi_phrase
+                and not span  # all-SpanOr clause lists have no required term
                 and not opt_phrase_possible and term_automaton is None):
             return _EMPTY
 
@@ -2622,7 +2726,13 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                             u |= set(per_term[t][0].tolist())
                     cand_sets.append(u)
             elif span:
-                cand_sets = [set(per_term[t][0].tolist()) for t in sorted(set(span))]
+                cand_sets = []
+                for c in span:
+                    u: set = set()
+                    for t in _span_alts(c):
+                        if t in per_term:
+                            u |= set(per_term[t][0].tolist())
+                    cand_sets.append(u)
             else:
                 cand_sets = [set(per_term[span_posrange[0]][0].tolist())]
             cand_set = set.intersection(*cand_sets) if cand_sets else set()

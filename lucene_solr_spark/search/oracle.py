@@ -379,16 +379,25 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     }
     opt_pc = [pc for pc in phrase_clauses if pc[2] == ""]
     multi_phrase = list(getattr(spec, "multi_phrase", ()) or ())
-    span = tuple(getattr(spec, "span", ()) or ())
+    raw_span = tuple(getattr(spec, "span", ()) or ())
+    # span clauses may be alternative TUPLES (SpanOr of term spans —
+    # ComplexPhraseQueryParser elements); normalize for the walks
+    span_clauses = tuple(
+        (c,) if isinstance(c, str) else tuple(c) for c in raw_span
+    )
+    span = tuple(t for c in span_clauses for t in c)
     span_first = getattr(spec, "span_first", None)
     positional = bool(phrase_clauses or multi_phrase or span or span_first)
     required = sorted(set(must)
                       | req_pc_terms
-                      | set(span)
+                      | {c[0] for c in span_clauses if len(c) == 1}
                       | ({span_first[0]} if span_first else set()))
     if any(t not in idx.postings for t in required):
         return []
     if any(all(t not in idx.postings for t in alts) for _off, alts in multi_phrase):
+        return []
+    # a SpanOr clause needs >= 1 live alternative
+    if any(all(t not in idx.postings for t in c) for c in span_clauses):
         return []
     pos_terms = all_phrase_terms | set(span) | (
         {span_first[0]} if span_first else set()
@@ -420,8 +429,14 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     pos_group_docs += [
         _gdocs(_mx_terms(ms)) for occ, ms in mixed_groups if occ != "-"
     ]
+    alt_span = [c for c in span_clauses if len(c) > 1]
     if required:
         cand = set.intersection(*[set(idx.postings[t]) for t in required])
+    elif alt_span:
+        cand = set.intersection(*[
+            set.union(*[set(idx.postings.get(t, {})) for t in c])
+            for c in alt_span
+        ])
     elif multi_phrase:
         cand = set.intersection(*[
             set.union(*[set(idx.postings.get(t, {})) for t in alts])
@@ -440,6 +455,9 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
     if multi_phrase and required:
         for _off, alts in multi_phrase:
             cand &= set.union(*[set(idx.postings.get(t, {})) for t in alts])
+    if alt_span and (required or multi_phrase):
+        for c in alt_span:
+            cand &= set.union(*[set(idx.postings.get(t, {})) for t in c])
     for occ, ts in groups:
         if occ == "+":
             cand &= _gdocs(ts)
@@ -581,7 +599,14 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
 
         pf_map = {}
         for d in sorted(cand):
-            plists = [idx.positions[t].get(d, []) for t in span]
+            plists = [
+                sorted(
+                    p for t in c for p in idx.positions.get(t, {}).get(d, [])
+                )
+                for c in span_clauses
+            ]
+            if any(not pl for pl in plists):
+                continue
             if span_not:
                 f = span_not_freq(plists, slop, _aux(span_not, d))
             elif span_contain:

@@ -1919,3 +1919,81 @@ def test_sorted_set_facet_counts_match_compiled_reference():
             want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
             want_s = ";".join(f"{l}:{c}" for l, c in want) or "-"
             assert want_s == exp, (corpus_round, topn, ts, want_s, exp)
+
+
+def test_complex_phrase_parser_matches_compiled_reference():
+    """Ground-truth round 23: ComplexPhraseQueryParser (queryparser/
+    complexPhrase) — quoted phrases whose elements are bare terms,
+    '(a b)' alternative groups, wildcards, and fuzzies rewrite to
+    SpanNear over SpanOr-of-term-span clauses
+    (ComplexPhraseQuery.rewrite:253-345; wildcards expand under
+    SCORING_BOOLEAN_REWRITE over the index terms, fuzzies keep
+    FuzzyQuery's blended top-50 whose boosts the span conversion
+    ignores). The control oracle's new alternative-clause span walk must
+    match docids and float32 scores exactly, including empty-expansion
+    elements (the match-nothing dummy clause) and idf(df=0)
+    contributions from dead alternatives."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.fuzzy import fuzzy_expand_vocab
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(20260902)
+    vocab = ["aa", "aab", "aac", "bb", "bba", "cc", "ccd", "dd"]
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        corpus_terms = sorted(idx.postings)
+        dfs = {t: len(p) for t, p in idx.postings.items()}
+
+        cases = []
+        for _ in range(12):
+            n_el = rng.randint(2, 3)
+            parts, clauses = [], []
+            dead = False
+            for _ in range(n_el):
+                kind = rng.choice(["term", "group", "wild", "fuzzy"])
+                if kind == "term":
+                    t = rng.choice(vocab)
+                    parts.append(t)
+                    clauses.append((t,))
+                elif kind == "group":
+                    alts = rng.sample(vocab, rng.randint(2, 3))
+                    parts.append("(" + " ".join(alts) + ")")
+                    clauses.append(tuple(alts))
+                elif kind == "wild":
+                    pfx = rng.choice(["aa", "bb", "cc", "zz"])
+                    parts.append(pfx + "*")
+                    exp = tuple(t for t in corpus_terms if t.startswith(pfx))
+                    if not exp:
+                        dead = True
+                    clauses.append(exp)
+                else:
+                    base = rng.choice(vocab)
+                    parts.append(base + "~1")
+                    cands = [(t, dfs[t]) for t in corpus_terms]
+                    exp = tuple(sorted(
+                        t for t, _df, _b in fuzzy_expand_vocab(base, cands, 1)
+                    ))
+                    if not exp:
+                        dead = True
+                    clauses.append(exp)
+            slop = rng.randint(0, 3)
+            qs = '"' + " ".join(parts) + '"' + (f"~{slop}" if slop else "")
+            cases.append((qs, tuple(clauses), slop, dead))
+
+        expected = gt.run_complex(docs, [c[0] for c in cases])
+        assert len(expected) == len(cases)
+        for (qs, clauses, slop, dead), exp in zip(cases, expected):
+            if dead:
+                got = []
+            else:
+                span = tuple(c[0] if len(c) == 1 else c for c in clauses)
+                got = oracle_topk_spec(
+                    idx,
+                    BooleanSpec(span=span, span_slop=slop, span_ordered=True),
+                    k=10,
+                )
+            _assert_topk_equal(got, exp, (corpus_round, qs))

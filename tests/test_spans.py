@@ -186,6 +186,14 @@ SPAN_SPECS = [
                 span_within=("merge",)),
     BooleanSpec(multi_phrase=((0, ("parse", "merge")), (1, ("index", "token")))),
     BooleanSpec(multi_phrase=((0, ("parse",)), (1, ("index", "zzz_missing")))),
+    # SpanOr-of-terms clauses inside SpanNear (ComplexPhraseQueryParser
+    # elements; pinned vs the compiled binary in ground-truth round 23)
+    BooleanSpec(span=(("parse", "merge"), "index"), span_slop=1,
+                span_ordered=True),
+    BooleanSpec(span=(("parse", "merge"), ("index", "token")), span_slop=3,
+                span_ordered=False),
+    BooleanSpec(span=(("parse", "zzz_missing"), "index"), span_slop=2,
+                span_ordered=True),
 ]
 
 
@@ -197,3 +205,45 @@ def test_span_rank_identity(built, spec):
     assert len(got) == len(expected), (spec, got, expected)
     for (gd, gs), (ed, es) in zip(got, expected):
         assert gd == ed and np.float32(gs) == es, (spec, got, expected)
+
+
+def test_complex_phrase_api(built):
+    """topk_complex_phrase parses the ComplexPhraseQueryParser
+    mini-language — '(a b)' groups, wildcards, fuzzies — into the
+    alternative-clause span spec; results must equal the oracle run with
+    the same expansions, and an empty-expansion element (the reference's
+    match-nothing dummy clause) must return no hits."""
+    searcher, oidx = built
+    corpus_terms = sorted(oidx.postings)
+
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_complex_phrase(
+            "(parse merge) index", slop=1, k=10
+        ).collect()
+    ]
+    want = oracle_topk_spec(
+        oidx,
+        BooleanSpec(span=(("merge", "parse"), "index"), span_slop=1,
+                    span_ordered=True),
+        k=10,
+    )
+    assert got == [(d, s) for d, s in want] and got
+
+    # wildcard element expands over the index terms
+    exp = tuple(t for t in corpus_terms if t.startswith("pars"))
+    assert exp
+    got_w = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_complex_phrase("pars* index", slop=2, k=10).collect()
+    ]
+    want_w = oracle_topk_spec(
+        oidx,
+        BooleanSpec(span=(exp if len(exp) > 1 else exp[0], "index"),
+                    span_slop=2, span_ordered=True),
+        k=10,
+    )
+    assert got_w == [(d, s) for d, s in want_w]
+
+    # zero-expansion element = the dummy must-match-nothing clause
+    assert searcher.topk_complex_phrase("zzzqqq* index", k=10).count() == 0

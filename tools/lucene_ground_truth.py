@@ -939,6 +939,55 @@ public class GroundTruthSpatial {
 """
 
 
+COMPLEX_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.queryparser.complexPhrase.ComplexPhraseQueryParser;
+
+public class GroundTruthComplex {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // raw query string (URL-encoded; usually a quoted complex phrase)
+      String qs = java.net.URLDecoder.decode(in.readLine().trim(), "UTF-8");
+      ComplexPhraseQueryParser p =
+          new ComplexPhraseQueryParser("body", new GroundTruth.WS());
+      p.setInOrder(true);
+      Query q = p.parse(qs);
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 FACET_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1586,6 +1635,24 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the complexPhrase parser (queryparser module) needs classic + core
+    cx_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.class",
+    )
+    cx_src = (
+        "/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+        "queryparser/complexPhrase/ComplexPhraseQueryParser.java"
+    )
+    if not os.path.exists(cx_marker) and os.path.exists(cx_src):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, cx_src],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/facet depends only on core
     fc_marker = os.path.join(
         CLASSES,
@@ -1688,6 +1755,7 @@ def build() -> bool:
         ("GroundTruthJoin", JOIN_JAVA),
         ("GroundTruthPorter", PORTER_JAVA),
         ("GroundTruthFacet", FACET_JAVA),
+        ("GroundTruthComplex", COMPLEX_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -1932,6 +2000,36 @@ def run_facet(docs: list[str], queries: list[str]) -> list[str]:
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_complex(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+    """Index docs and run raw query strings (URL-encoded on the wire)
+    through the REAL ComplexPhraseQueryParser (inOrder=true) + search.
+    Returns per query the top-10 [(docid, score_str)]."""
+    from urllib.parse import quote
+
+    payload = (
+        [str(len(docs))] + list(docs)
+        + [str(len(queries))] + [quote(q) for q in queries]
+    )
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthComplex"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
 
 
 def run_porter(lines: list[str]) -> list[str]:
