@@ -92,6 +92,15 @@ COMPLEX_PHRASE_QUERIES = {
         [("like", "s%"), ("terms", ["merge"])],
     ),
 }
+# in-phrase negation: '"fast -big sort"~1' — include (fast, sort) at
+# slop 1+1, exclude (fast, big, sort) at slop 1, overlapping drops
+COMPLEX_PHRASE_NOT_QUERIES = {
+    "span_complex_negation": (
+        '"fast -big sort"', 1,
+        [("terms", ["fast"]), ("terms", ["big"]), ("terms", ["sort"])],
+        [False, True, False],
+    ),
+}
 SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
 # PayloadScoreQuery / SpanPayloadCheckQuery over the payload FIELD (the
 # documents text annotated 'tok|w' by the deterministic rule in
@@ -646,6 +655,18 @@ def _bm25_groups() -> dict[str, list]:
                 )
             ),
             bm25_complex_phrase_sql(specs, slop, k=10),
+        ))
+    for name, (phrase, slop, specs, negs) in COMPLEX_PHRASE_NOT_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_complex_phrase_not_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, p=phrase, sl=slop: _ranked(
+                _searcher(spark, sf_dir).topk_complex_phrase(
+                    p.strip('"'), slop=sl, k=10
+                )
+            ),
+            bm25_complex_phrase_not_sql(specs, negs, slop, k=10),
         ))
     for name, (pterms, pfn, pinc, pslop) in PAYLOAD_SCORE_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import payload_score_sql

@@ -2283,3 +2283,90 @@ pf AS (
   FROM matches GROUP BY doc_id
 )"""
     return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_complex_phrase_not_sql(clauses, negatives, slop: int, k: int = 10) -> str:
+    """ComplexPhraseQueryParser in-phrase negation oracle
+    (ComplexPhraseQueryParser.java:318-345): include = the ordered chain
+    over the POSITIVE clauses at slop + numNegatives; exclude = the
+    chain over ALL clauses at slop; include spans overlapping an exclude
+    span ([s,e) ranges intersect) are dropped. Weight = idf over the
+    DISTINCT union of every clause's terms (both sides share the
+    SpanNot weight's term map)."""
+    n_neg = sum(1 for x in negatives if x)
+    pos_clauses = [c for c, ng in zip(clauses, negatives) if not ng]
+
+    def _occ(i, spec, tag):
+        kind, val = spec
+        if kind == "terms":
+            in_list = ",".join(f"'{t}'" for t in val)
+            return (f"{tag}{i} AS (SELECT doc_id, pos FROM tokpos "
+                    f"WHERE term IN ({in_list}))")
+        return (f"{tag}{i} AS (SELECT doc_id, pos FROM tokpos "
+                f"WHERE term LIKE '{val}')")
+
+    def _chain(src_tag, n, out_tag):
+        rows = [f"{out_tag}0 AS (SELECT doc_id, pos AS p0, pos AS prev FROM {src_tag}0)"]
+        for i in range(1, n):
+            rows.append(
+                f"{out_tag}{i} AS (SELECT m.doc_id, m.p0,\n"
+                f"  (SELECT min(o.pos) FROM {src_tag}{i} o WHERE o.doc_id = m.doc_id "
+                f"AND o.pos > m.prev) AS prev\n"
+                f"  FROM {out_tag}{i-1} m WHERE m.prev IS NOT NULL)"
+            )
+        return ",\n".join(rows)
+
+    qterm_parts = []
+    for kind, val in clauses:
+        if kind == "terms":
+            qterm_parts.append(
+                "SELECT * FROM (VALUES "
+                + ",".join(f"('{t}')" for t in val) + ") v(term)"
+            )
+        else:
+            qterm_parts.append(
+                f"SELECT DISTINCT term FROM tok WHERE term LIKE '{val}'"
+            )
+    qterms_union = "\n  UNION\n  ".join(qterm_parts)
+    idfw = f"""qterms(term) AS (
+  {qterms_union}
+),
+dfs AS (
+  SELECT q.term, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  FROM qterms q LEFT JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) c USING (term)
+),
+idfw AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats s
+)"""
+    inc_occ = ",\n".join(_occ(i, c, "iocc") for i, c in enumerate(pos_clauses))
+    exc_occ = ",\n".join(_occ(i, c, "eocc") for i, c in enumerate(clauses))
+    ni, ne = len(pos_clauses), len(clauses)
+    pf_cte = f"""{inc_occ},
+{exc_occ},
+{_chain("iocc", ni, "im")},
+{_chain("eocc", ne, "em")},
+inc AS (
+  SELECT doc_id, p0 AS s, prev + 1 AS e, prev - p0 - {ni - 1} AS width
+  FROM im{ni - 1} WHERE prev IS NOT NULL
+    AND prev - p0 - {ni - 1} <= {slop + n_neg}
+),
+exc AS (
+  SELECT doc_id, p0 AS s, prev + 1 AS e
+  FROM em{ne - 1} WHERE prev IS NOT NULL
+    AND prev - p0 - {ne - 1} <= {slop}
+),
+kept AS (
+  SELECT i.doc_id, i.width FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM exc x
+    WHERE x.doc_id = i.doc_id AND x.s < i.e AND i.s < x.e
+  )
+),
+pf AS (
+  SELECT doc_id, CAST(sum(1.0 / (width + 1)) AS DOUBLE) AS pf
+  FROM kept GROUP BY doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k)

@@ -109,6 +109,13 @@ class BooleanSpec:
     # SpanNotQuery excludes: drop ordered-near spans overlapping any of
     # these terms' occurrences (spans/SpanNotQuery.java, pre=post=0)
     span_not: tuple[str, ...] = ()
+    # SpanNot over TWO ordered SpanNears — ComplexPhraseQueryParser's
+    # in-phrase negation (rewrite:318-345): `span` holds the POSITIVE
+    # clauses at slop = slopFactor + numNegatives; span_not_near holds
+    # ALL clauses in phrase order, matched at span_not_near_slop =
+    # slopFactor; include spans overlapping an exclude span are dropped
+    span_not_near: tuple = ()
+    span_not_near_slop: int = 0
     # SpanContainingQuery: keep only big (ordered-near) spans containing
     # one of these terms' occurrences (spans/SpanContainingQuery.java)
     span_contain: tuple[str, ...] = ()
@@ -193,6 +200,7 @@ class BooleanSpec:
         out = (
             tuple(t for t, _ in self.phrase)
             + tuple(t for c in self.span for t in _span_alts(c))
+            + tuple(t for c in self.span_not_near for t in _span_alts(c))
             + tuple(self.span_not) + tuple(self.span_contain) + tuple(self.span_within)
         )
         for pairs, _slop, _occ, _b in self.phrases:
@@ -918,9 +926,12 @@ class IndexSearcher:
         boosts the span conversion then IGNORES — span weights come from
         term contexts only). An element with ZERO expansions inserts the
         reference's match-nothing dummy clause (:294-296), so the whole
-        phrase matches nothing. Negation inside the phrase (SpanNot
-        sequences) is out of scope here. slop = slopFactor; inOrder
-        defaults true (the v2 parser default)."""
+        phrase matches nothing. A '-' element is in-phrase negation
+        (rewrite:318-345): include = the positive clauses at
+        slop + numNegatives, exclude = ALL clauses in phrase order at
+        slop, include spans overlapping an exclude span dropped (ordered
+        phrases only). slop = slopFactor; inOrder defaults true (the v2
+        parser default)."""
         from .fuzzy import fuzzy_expand_vocab
 
         elements: list[str] = []
@@ -940,7 +951,12 @@ class IndexSearcher:
             elements.append("".join(buf))
 
         clauses: list = []
+        negatives: list[bool] = []
         for el in elements:
+            neg = el.startswith("-") and len(el) > 1
+            if neg:
+                el = el[1:]
+            negatives.append(neg)
             if el.startswith("(") and el.endswith(")"):
                 alts: list[str] = []
                 for m in el[1:-1].split():
@@ -965,6 +981,25 @@ class IndexSearcher:
             clauses.append(alts[0] if len(alts) == 1 else tuple(alts))
         if not clauses:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n_neg = sum(negatives)
+        if n_neg:
+            if not in_order:
+                raise NotImplementedError(
+                    "in-phrase negation is implemented for ordered phrases"
+                )
+            positives = [c for c, neg in zip(clauses, negatives) if not neg]
+            if not positives:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.topk_spec(
+                BooleanSpec(
+                    span=tuple(positives),
+                    span_slop=slop + n_neg,
+                    span_ordered=True,
+                    span_not_near=tuple(clauses),
+                    span_not_near_slop=slop,
+                ),
+                k=k,
+            )
         return self.topk_spec(
             BooleanSpec(
                 span=tuple(clauses), span_slop=slop, span_ordered=in_order
@@ -2023,6 +2058,8 @@ def _span_near_freqs(
     exclude_terms: tuple[str, ...] = (),
     contain_terms: tuple[str, ...] = (),
     within_terms: tuple[str, ...] = (),
+    exclude_near: tuple = (),
+    exclude_near_slop: int = 0,
 ) -> np.ndarray:
     """SpanNear / SpanNot / SpanContaining / SpanWithin freq per candidate
     doc via the reference walks (search/spans.py); per-doc sequential
@@ -2039,7 +2076,8 @@ def _span_near_freqs(
     aux_terms = set(exclude_terms) | set(contain_terms) | set(within_terms)
     data = {
         t: _abs_positions(per_term, t)
-        for c in span for t in _span_alts(c) if t in per_term
+        for c in tuple(span) + tuple(exclude_near)
+        for t in _span_alts(c) if t in per_term
     }
     aux_data = {t: _abs_positions(per_term, t) for t in aux_terms if t in per_term}
 
@@ -2080,7 +2118,31 @@ def _span_near_freqs(
             plists.append(sorted(merged) if len(alts) > 1 else merged)
         if not ok:
             continue
-        if exclude_terms:
+        if exclude_near:
+            from .spans import span_not_span_freq
+
+            exc_plists = []
+            dead = False
+            for cl in exclude_near:
+                merged2: list[int] = []
+                for t in _span_alts(cl):
+                    if t in data:
+                        sl2 = _doc_slice(data[t], c)
+                        if sl2:
+                            merged2.extend(sl2)
+                if not merged2:
+                    dead = True  # exclude can't match: keep all includes
+                    break
+                exc_plists.append(sorted(merged2))
+            if dead:
+                from .spans import span_ordered_freq as _sof
+
+                freqs[ci] = _sof(plists, slop)
+            else:
+                freqs[ci] = span_not_span_freq(
+                    plists, slop, exc_plists, exclude_near_slop
+                )
+        elif exclude_terms:
             freqs[ci] = span_not_freq(plists, slop, _aux_positions(exclude_terms, c))
         elif contain_terms:
             freqs[ci] = span_containing_freq(plists, slop, _aux_positions(contain_terms, c))
@@ -2326,6 +2388,7 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         # SpanNot/Containing/Within maps include BOTH sides' contexts
         # (getTermContexts(bigWeight, littleWeight))
         aux = set(spec.span_not) | set(spec.span_contain) | set(spec.span_within)
+        aux |= {t for c in spec.span_not_near for t in _span_alts(c)}
         span_terms = {t for c in span for t in _span_alts(c)}
         idf_sum = idf_sum_f32(
             idf_f32(dfs[t], doc_count) for t in sorted(span_terms | aux)
@@ -2759,6 +2822,8 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
                     exclude_terms=spec.span_not,
                     contain_terms=spec.span_contain,
                     within_terms=spec.span_within,
+                    exclude_near=spec.span_not_near,
+                    exclude_near_slop=spec.span_not_near_slop,
                 )
             else:
                 pf = _span_posrange_freqs(per_term, span_posrange, cand)

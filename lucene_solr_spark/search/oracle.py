@@ -589,6 +589,11 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
         span_not = tuple(getattr(spec, "span_not", ()) or ())
         span_contain = tuple(getattr(spec, "span_contain", ()) or ())
         span_within = tuple(getattr(spec, "span_within", ()) or ())
+        not_near = tuple(
+            (c,) if isinstance(c, str) else tuple(c)
+            for c in (getattr(spec, "span_not_near", ()) or ())
+        )
+        not_near_slop = int(getattr(spec, "span_not_near_slop", 0) or 0)
         slop = getattr(spec, "span_slop", 0)
         ordered = getattr(spec, "span_ordered", True)
 
@@ -607,7 +612,20 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             ]
             if any(not pl for pl in plists):
                 continue
-            if span_not:
+            if not_near:
+                from .spans import span_not_span_freq, span_ordered_freq
+
+                exc_plists = [
+                    sorted(
+                        p for t in c for p in idx.positions.get(t, {}).get(d, [])
+                    )
+                    for c in not_near
+                ]
+                if any(not pl for pl in exc_plists):
+                    f = span_ordered_freq(plists, slop)
+                else:
+                    f = span_not_span_freq(plists, slop, exc_plists, not_near_slop)
+            elif span_not:
                 f = span_not_freq(plists, slop, _aux(span_not, d))
             elif span_contain:
                 f = span_containing_freq(plists, slop, _aux(span_contain, d))
@@ -782,6 +800,11 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                 set(getattr(spec, "span_not", ()) or ())
                 | set(getattr(spec, "span_contain", ()) or ())
                 | set(getattr(spec, "span_within", ()) or ())
+                | {
+                    t
+                    for c in (getattr(spec, "span_not_near", ()) or ())
+                    for t in ((c,) if isinstance(c, str) else tuple(c))
+                }
             )
             idf_sum = idf_sum_f32(
                 idf_f32(len(idx.postings.get(t, {})), idx.doc_count)

@@ -214,3 +214,24 @@ def span_first_freq(plist: list[int], end: int) -> np.float32:
     """SpanFirstQuery over a term clause: the lo=0 special case of
     SpanPositionRangeQuery (SpanFirstQuery.java:34 super(match, 0, end))."""
     return span_position_range_freq(plist, 0, end)
+
+
+def span_not_span_freq(
+    inc_plists: list[list[int]],
+    inc_slop: int,
+    exc_plists: list[list[int]],
+    exc_slop: int,
+) -> np.float32:
+    """SpanNotQuery over TWO ordered SpanNears — the
+    ComplexPhraseQueryParser negation shape
+    (ComplexPhraseQueryParser.java:318-345: include = the positive
+    clauses at slopFactor + numNegatives, exclude = ALL clauses in
+    sequence at slopFactor): accept include spans whose [start, end)
+    does not OVERLAP any exclude span; freq over accepted spans only."""
+    exc = list(span_ordered_matches(exc_plists, exc_slop))
+    freq = np.float32(0.0)
+    for s, e, width in span_ordered_matches(inc_plists, inc_slop):
+        if any(es < e and s < ee for es, ee, _w in exc):
+            continue
+        freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+    return freq

@@ -1997,3 +1997,60 @@ def test_complex_phrase_parser_matches_compiled_reference():
                     k=10,
                 )
             _assert_topk_equal(got, exp, (corpus_round, qs))
+
+
+def test_complex_phrase_negation_matches_compiled_reference():
+    """Ground-truth round 23b: in-phrase negation ('"aa -bb cc"') — the
+    reference builds SpanNot(include = SpanNear(positives,
+    slop + numNegatives, inOrder), exclude = SpanNear(ALL clauses, slop,
+    inOrder)) (ComplexPhraseQueryParser.java:318-345); include spans
+    overlapping an exclude span drop. The oracle's span_not_near walk
+    must match docids and float32 scores exactly."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(20260903)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        cases = []
+        for _ in range(10):
+            n_el = rng.randint(2, 4)
+            parts, clauses, negs = [], [], []
+            neg_positions = rng.sample(range(n_el), rng.randint(1, max(1, n_el - 1)))
+            for i in range(n_el):
+                if rng.random() < 0.3:
+                    alts = tuple(sorted(rng.sample(vocab, 2)))
+                    el = "(" + " ".join(alts) + ")"
+                else:
+                    t = rng.choice(vocab)
+                    alts, el = (t,), t
+                neg = i in neg_positions and len(neg_positions) < n_el
+                parts.append(("-" if neg else "") + el)
+                clauses.append(alts)
+                negs.append(neg)
+            if all(negs):
+                continue
+            slop = rng.randint(0, 2)
+            qs = '"' + " ".join(parts) + '"' + (f"~{slop}" if slop else "")
+            cases.append((qs, clauses, negs, slop))
+
+        expected = gt.run_complex(docs, [c[0] for c in cases])
+        assert len(expected) == len(cases)
+        for (qs, clauses, negs, slop), exp in zip(cases, expected):
+            n_neg = sum(negs)
+            span = tuple(
+                c[0] if len(c) == 1 else c
+                for c, ng in zip(clauses, negs) if not ng
+            )
+            allc = tuple(c[0] if len(c) == 1 else c for c in clauses)
+            spec = BooleanSpec(
+                span=span, span_slop=slop + n_neg, span_ordered=True,
+                span_not_near=allc, span_not_near_slop=slop,
+            )
+            got = oracle_topk_spec(idx, spec, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, qs))
