@@ -121,6 +121,9 @@ def main() -> None:
     searcher.topk_regexp("^(?:mer[a-z]*)$", max_terms=16, k=10).collect()
     queries["q_regexp"] = round(time.time() - t, 4)
     t = time.time()
+    searcher.topk_complex_phrase("(fast merge) s*", slop=2, k=10).collect()
+    queries["q_complex_phrase"] = round(time.time() - t, 4)
+    t = time.time()
     from lucene_solr_spark.search.queryparser import parse_and_search
 
     parse_and_search(searcher, '+merge fast -dup "fast sort"~2', k=10).collect()
