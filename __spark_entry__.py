@@ -92,6 +92,14 @@ COMPLEX_PHRASE_QUERIES = {
         [("like", "s%"), ("terms", ["merge"])],
     ),
 }
+# surround-language distance operator (GT round 24): 3W(mer*, sort) ->
+# SpanNear([SpanOr(mer-prefix terms), sort], 2, ordered); the SQL oracle
+# expands the prefix itself
+SURROUND_QUERIES = {
+    "span_surround": (
+        "3W(mer*, sort)", [("like", "mer%"), ("terms", ["sort"])], 2,
+    ),
+}
 # in-phrase negation: '"fast -big sort"~1' — include (fast, sort) at
 # slop 1+1, exclude (fast, big, sort) at slop 1, overlapping drops
 COMPLEX_PHRASE_NOT_QUERIES = {
@@ -653,6 +661,16 @@ def _bm25_groups() -> dict[str, list]:
                 _searcher(spark, sf_dir).topk_complex_phrase(
                     p.strip('"'), slop=sl, k=10
                 )
+            ),
+            bm25_complex_phrase_sql(specs, slop, k=10),
+        ))
+    for name, (sq, specs, slop) in SURROUND_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_complex_phrase_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, q=sq: _ranked(
+                _searcher(spark, sf_dir).topk_surround(q, k=10)
             ),
             bm25_complex_phrase_sql(specs, slop, k=10),
         ))

@@ -1007,6 +1007,69 @@ class IndexSearcher:
             k=k,
         )
 
+    def topk_surround(self, query: str, k: int = 10) -> DataFrame:
+        """The surround query language's distance operators
+        (queryparser/surround): prefix form `<n>W(arg, ...)` (ordered) /
+        `<n>N(arg, ...)` (unordered), n defaulting to 1, rewriting to
+        SpanNearQuery(clauses, n - 1, ordered)
+        (surround/query/DistanceQuery.java:97). Args in this subset are
+        bare terms, `pre*` prefixes (SpanNearClauseFactory's SpanOr over
+        the matching index terms), or `OR(a, b)` groups; nested distance
+        operators are out of scope. Pinned vs the compiled surround
+        parser in tests/test_lucene_ground_truth.py."""
+        import re as _re
+
+        m = _re.fullmatch(r"\s*(\d*)([WwNn])\((.*)\)\s*", query)
+        if not m:
+            raise ValueError(f"unsupported surround query: {query!r}")
+        dist = int(m.group(1) or 1)
+        ordered = m.group(2).lower() == "w"
+        args, buf, depth = [], [], 0
+        for ch in m.group(3):  # top-level commas only (or(...) nests)
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        if buf:
+            args.append("".join(buf).strip())
+        args = [a for a in args if a]
+        clauses: list = []
+        for a in args:
+            am = _re.fullmatch(r"[Oo][Rr]\((.*)\)", a)
+            if am:
+                alts = sorted({
+                    t for x in am.group(1).split(",") for t in self._analyze(x.strip())
+                })
+            elif a.endswith("*"):
+                alts = sorted(self.expand_terms(prefix=a[:-1].lower()))
+            else:
+                alts = self._analyze(a)
+            if not alts:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            clauses.append(alts[0] if len(alts) == 1 else tuple(alts))
+        if not ordered:
+            flat = [set(_span_alts(c)) for c in clauses]
+            if any(
+                a & b for i, a in enumerate(flat) for b in flat[i + 1:]
+            ):
+                # NearSpansUnordered's same-position repeats machinery —
+                # the unordered walk here covers disjoint clause sets
+                raise NotImplementedError(
+                    "unordered surround clauses with overlapping "
+                    "alternative sets are not supported"
+                )
+        return self.topk_spec(
+            BooleanSpec(
+                span=tuple(clauses), span_slop=dist - 1, span_ordered=ordered
+            ),
+            k=k,
+        )
+
     def topk_span_position_range(
         self, term: str, lo: int, hi: int, k: int = 10
     ) -> DataFrame:

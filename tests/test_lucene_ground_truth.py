@@ -2054,3 +2054,71 @@ def test_complex_phrase_negation_matches_compiled_reference():
             )
             got = oracle_topk_spec(idx, spec, k=10)
             _assert_topk_equal(got, exp, (corpus_round, qs))
+
+
+def test_surround_parser_matches_compiled_reference():
+    """Ground-truth round 24: the surround query language's distance
+    operators (queryparser/surround) — `<n>W(...)` ordered / `<n>N(...)`
+    unordered rewrite to SpanNearQuery(clauses, n-1, ordered)
+    (surround/query/DistanceQuery.java:97), args as bare terms, OR(...)
+    groups (SpanNearClauseFactory's SpanOr), and `pre*` prefixes
+    (>= 3 chars — the parser's truncation guard) expanded over the index
+    terms. Docids and float32 scores exact vs the compiled parser.
+    Unordered cases use two clauses (the oracle's unordered walk shape)."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(20260904)
+    vocab = ["merge", "merga", "mergz", "sort", "fast", "join"]
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        corpus_terms = sorted(idx.postings)
+
+        cases = []
+        for _ in range(12):
+            ordered = rng.random() < 0.6
+            n_args = rng.randint(2, 3) if ordered else 2
+            dist = rng.randint(1, 4)
+            parts, clauses = [], []
+            for _ in range(n_args):
+                kind = rng.choice(["term", "or", "prefix"])
+                if kind == "term":
+                    t = rng.choice(vocab)
+                    parts.append(t)
+                    clauses.append((t,))
+                elif kind == "or":
+                    alts = rng.sample(vocab, 2)
+                    parts.append(f"or({alts[0]}, {alts[1]})")
+                    clauses.append(tuple(alts))
+                else:
+                    parts.append("mer*")
+                    clauses.append(tuple(
+                        t for t in corpus_terms if t.startswith("mer")
+                    ))
+            if any(not c for c in clauses):
+                continue  # empty prefix expansion: parser-level no-match
+            if not ordered and set(clauses[0]) & set(clauses[1]):
+                # overlapping alternative sets under NearSpansUnordered
+                # hit its repeats machinery (same-position sub-spans) —
+                # the unordered walk here covers disjoint clause sets
+                continue
+            op = "W" if ordered else "N"
+            # the grammar's distance prefix starts at 2; plain W/N = 1
+            num = str(dist) if dist >= 2 else ""
+            qs = f"{num}{op}({', '.join(parts)})"
+            cases.append((qs, tuple(clauses), dist, ordered))
+
+        expected = gt.run_surround(docs, [c[0] for c in cases])
+        assert len(expected) == len(cases)
+        for (qs, clauses, dist, ordered), exp in zip(cases, expected):
+            span = tuple(c[0] if len(c) == 1 else c for c in clauses)
+            got = oracle_topk_spec(
+                idx,
+                BooleanSpec(span=span, span_slop=dist - 1, span_ordered=ordered),
+                k=10,
+            )
+            _assert_topk_equal(got, exp, (corpus_round, qs))

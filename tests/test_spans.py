@@ -247,3 +247,33 @@ def test_complex_phrase_api(built):
 
     # zero-expansion element = the dummy must-match-nothing clause
     assert searcher.topk_complex_phrase("zzzqqq* index", k=10).count() == 0
+
+
+def test_surround_api(built):
+    """topk_surround parses `<n>W/N(...)` distance operators into the
+    span spec (SpanNearQuery(clauses, n-1, ordered) —
+    surround/query/DistanceQuery.java:97; pinned vs the compiled parser
+    in ground-truth round 24)."""
+    searcher, oidx = built
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_surround("2W(or(parse, merge), index)", k=10).collect()
+    ]
+    want = oracle_topk_spec(
+        oidx,
+        BooleanSpec(span=(("merge", "parse"), "index"), span_slop=1,
+                    span_ordered=True),
+        k=10,
+    )
+    assert got == [(d, s) for d, s in want] and got
+
+    got_n = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_surround("3N(index, parse)", k=10).collect()
+    ]
+    want_n = oracle_topk_spec(
+        oidx,
+        BooleanSpec(span=("index", "parse"), span_slop=2, span_ordered=False),
+        k=10,
+    )
+    assert got_n == [(d, s) for d, s in want_n]

@@ -939,6 +939,53 @@ public class GroundTruthSpatial {
 """
 
 
+SURROUND_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+
+public class GroundTruthSurround {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String qs = java.net.URLDecoder.decode(in.readLine().trim(), "UTF-8");
+      org.apache.lucene.queryparser.surround.query.SrndQuery sq =
+          org.apache.lucene.queryparser.surround.parser.QueryParser.parse(qs);
+      Query q = sq.makeLuceneQueryField("body",
+          new org.apache.lucene.queryparser.surround.query.BasicQueryFactory(1024));
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 COMPLEX_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1674,6 +1721,30 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the surround parser (queryparser module) needs core only
+    sr_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/queryparser/surround/parser/QueryParser.class",
+    )
+    sr_root = (
+        "/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+        "queryparser/surround"
+    )
+    if not os.path.exists(sr_marker) and os.path.isdir(sr_root):
+        rsrcs = os.path.join(BUILD, "rsrcs.txt")
+        with open(rsrcs, "w") as f:
+            for root, _dirs, files in os.walk(sr_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + rsrcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the Porter stemmer pair (analysis/common en package) needs core only
     po_marker = os.path.join(
         CLASSES, "org/apache/lucene/analysis/en/PorterStemFilter.class"
@@ -1756,6 +1827,7 @@ def build() -> bool:
         ("GroundTruthPorter", PORTER_JAVA),
         ("GroundTruthFacet", FACET_JAVA),
         ("GroundTruthComplex", COMPLEX_JAVA),
+        ("GroundTruthSurround", SURROUND_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -2014,6 +2086,35 @@ def run_complex(docs: list[str], queries: list[str]) -> list[list[tuple[int, str
     )
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthComplex"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
+
+
+def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+    """Index docs and run raw surround-language strings through the REAL
+    surround QueryParser + makeLuceneQueryField. Top-10 [(docid, score)]."""
+    from urllib.parse import quote
+
+    payload = (
+        [str(len(docs))] + list(docs)
+        + [str(len(queries))] + [quote(q) for q in queries]
+    )
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSurround"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
