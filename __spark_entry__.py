@@ -100,6 +100,17 @@ SURROUND_QUERIES = {
         "3W(mer*, sort)", [("like", "mer%"), ("terms", ["sort"])], 2,
     ),
 }
+# unordered distance operator with OVERLAPPING alternative sets —
+# NearSpansUnordered's same-position repeats machinery (GT round 25):
+# the DuckDB oracle replays the reference PriorityQueue walk as a
+# recursive CTE. name -> (surround string, clause 0 alts, clause 1
+# alts, slop)
+SURROUND_UNORDERED_QUERIES = {
+    "span_surround_overlap": (
+        "4N(or(fast, merge), or(merge, sort))",
+        ["fast", "merge"], ["merge", "sort"], 3,
+    ),
+}
 # in-phrase negation: '"fast -big sort"~1' — include (fast, sort) at
 # slop 1+1, exclude (fast, big, sort) at slop 1, overlapping drops
 COMPLEX_PHRASE_NOT_QUERIES = {
@@ -673,6 +684,16 @@ def _bm25_groups() -> dict[str, list]:
                 _searcher(spark, sf_dir).topk_surround(q, k=10)
             ),
             bm25_complex_phrase_sql(specs, slop, k=10),
+        ))
+    for name, (sq, alts_a, alts_b, slop) in SURROUND_UNORDERED_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_span_unordered_cells_sql
+
+        positional.append((
+            name,
+            lambda spark, sf_dir, q=sq: _ranked(
+                _searcher(spark, sf_dir).topk_surround(q, k=10)
+            ),
+            bm25_span_unordered_cells_sql(alts_a, alts_b, slop, k=10),
         ))
     for name, (phrase, slop, specs, negs) in COMPLEX_PHRASE_NOT_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import bm25_complex_phrase_not_sql

@@ -538,6 +538,69 @@ pf AS (
     return _positional_score_sql(pf_cte, idfw, k)
 
 
+def bm25_span_unordered_cells_sql(
+    clause_a: list[str], clause_b: list[str], slop: int, k: int = 10
+) -> str:
+    """NearSpansUnordered oracle for TWO SpanOr-of-term clauses whose
+    alternative sets may OVERLAP (NearSpansUnordered.java:150-268 —
+    same-position repeats; pinned vs the compiled binary in ground-truth
+    round 25). When both cells hold the same occurrence the (start, end)
+    queue comparison ties both ways and the advance order falls to
+    util/PriorityQueue.java's sift layout; for two cells that reduces to
+    a deterministic rule the CTE replays literally: clause 0 takes the
+    root at an initial tie (query-order add, ties don't sift up), and
+    after an advance the OTHER cell takes the root only when STRICTLY
+    less (downHeap swaps on strict lessThan). One recursion step = one
+    advance of the root cell; every visited config with
+    maxEnd - minStart - 2 <= slop emits 1/(width+1), width =
+    maxEnd-1 - minStart. The walk stops when the root cell exhausts.
+    Weight: idf summed over the DISTINCT clause terms (SpanWeight map)."""
+    a = sorted(set(clause_a))
+    b = sorted(set(clause_b))
+    in_a = ",".join(f"'{t}'" for t in a)
+    in_b = ",".join(f"'{t}'" for t in b)
+    idfw = _idfw_from_data(sorted(set(a) | set(b)))
+    pf_cte = f"""occa AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS pa
+  FROM tokpos WHERE term IN ({in_a}) GROUP BY doc_id
+),
+occb AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS pb
+  FROM tokpos WHERE term IN ({in_b}) GROUP BY doc_id
+),
+lists AS (
+  SELECT a.doc_id, pa, pb, len(pa) AS la, len(pb) AS lb
+  FROM occa a JOIN occb b USING (doc_id)
+),
+walk AS (
+  SELECT doc_id, pa, pb, la, lb, 1 AS ia, 1 AS ib,
+         pa[1] AS va, pb[1] AS vb,
+         CASE WHEN pb[1] < pa[1] THEN 1 ELSE 0 END AS root,
+         greatest(pa[1], pb[1]) + 1 AS maxe
+  FROM lists
+  UNION ALL
+  SELECT doc_id, pa, pb, la, lb,
+         CASE WHEN root = 0 THEN ia + 1 ELSE ia END,
+         CASE WHEN root = 1 THEN ib + 1 ELSE ib END,
+         CASE WHEN root = 0 THEN pa[ia + 1] ELSE va END,
+         CASE WHEN root = 1 THEN pb[ib + 1] ELSE vb END,
+         CASE WHEN root = 0
+              THEN (CASE WHEN vb < pa[ia + 1] THEN 1 ELSE 0 END)
+              ELSE (CASE WHEN va < pb[ib + 1] THEN 0 ELSE 1 END) END,
+         CASE WHEN root = 0 THEN greatest(maxe, pa[ia + 1] + 1)
+              ELSE greatest(maxe, pb[ib + 1] + 1) END
+  FROM walk
+  WHERE (root = 0 AND ia + 1 <= la) OR (root = 1 AND ib + 1 <= lb)
+),
+pf AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN maxe - least(va, vb) - 2 <= {slop}
+                       THEN 1.0 / (maxe - least(va, vb)) END) AS DOUBLE) AS pf
+  FROM walk GROUP BY doc_id
+)"""
+    return _positional_score_sql(pf_cte, idfw, k, recursive=True)
+
+
 def bm25_span_or_sql(terms: list[str], k: int = 10) -> str:
     """SpanOrQuery oracle (spans/SpanOrQuery.java:122-128): merged term
     sub-spans each have width 0, so freq = total occurrences across the

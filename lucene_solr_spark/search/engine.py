@@ -929,9 +929,11 @@ class IndexSearcher:
         phrase matches nothing. A '-' element is in-phrase negation
         (rewrite:318-345): include = the positive clauses at
         slop + numNegatives, exclude = ALL clauses in phrase order at
-        slop, include spans overlapping an exclude span dropped (ordered
-        phrases only). slop = slopFactor; inOrder defaults true (the v2
-        parser default)."""
+        slop, BOTH SpanNears built with the parser's inOrder flag,
+        include spans overlapping an exclude span dropped. slop =
+        slopFactor; inOrder defaults true (the v2 parser default) and
+        setInOrder(false) routes through NearSpansUnordered's cells
+        walk, same-position repeats included."""
         from .fuzzy import fuzzy_expand_vocab
 
         elements: list[str] = []
@@ -983,10 +985,6 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         n_neg = sum(negatives)
         if n_neg:
-            if not in_order:
-                raise NotImplementedError(
-                    "in-phrase negation is implemented for ordered phrases"
-                )
             positives = [c for c, neg in zip(clauses, negatives) if not neg]
             if not positives:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -994,7 +992,7 @@ class IndexSearcher:
                 BooleanSpec(
                     span=tuple(positives),
                     span_slop=slop + n_neg,
-                    span_ordered=True,
+                    span_ordered=in_order,
                     span_not_near=tuple(clauses),
                     span_not_near_slop=slop,
                 ),
@@ -1052,17 +1050,6 @@ class IndexSearcher:
             if not alts:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
             clauses.append(alts[0] if len(alts) == 1 else tuple(alts))
-        if not ordered:
-            flat = [set(_span_alts(c)) for c in clauses]
-            if any(
-                a & b for i, a in enumerate(flat) for b in flat[i + 1:]
-            ):
-                # NearSpansUnordered's same-position repeats machinery —
-                # the unordered walk here covers disjoint clause sets
-                raise NotImplementedError(
-                    "unordered surround clauses with overlapping "
-                    "alternative sets are not supported"
-                )
         return self.topk_spec(
             BooleanSpec(
                 span=tuple(clauses), span_slop=dist - 1, span_ordered=ordered
@@ -2198,12 +2185,15 @@ def _span_near_freqs(
                     break
                 exc_plists.append(sorted(merged2))
             if dead:
-                from .spans import span_ordered_freq as _sof
-
-                freqs[ci] = _sof(plists, slop)
+                freqs[ci] = (
+                    span_ordered_freq(plists, slop)
+                    if ordered
+                    else span_unordered_freq(plists, slop)
+                )
             else:
                 freqs[ci] = span_not_span_freq(
-                    plists, slop, exc_plists, exclude_near_slop
+                    plists, slop, exc_plists, exclude_near_slop,
+                    ordered=ordered,
                 )
         elif exclude_terms:
             freqs[ci] = span_not_freq(plists, slop, _aux_positions(exclude_terms, c))

@@ -613,7 +613,7 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
             if any(not pl for pl in plists):
                 continue
             if not_near:
-                from .spans import span_not_span_freq, span_ordered_freq
+                from .spans import span_not_span_freq
 
                 exc_plists = [
                     sorted(
@@ -622,9 +622,16 @@ def oracle_topk_spec(idx: OracleIndex, spec, k: int = 10) -> list[tuple[int, np.
                     for c in not_near
                 ]
                 if any(not pl for pl in exc_plists):
-                    f = span_ordered_freq(plists, slop)
+                    f = (
+                        span_ordered_freq(plists, slop)
+                        if ordered
+                        else span_unordered_freq(plists, slop)
+                    )
                 else:
-                    f = span_not_span_freq(plists, slop, exc_plists, not_near_slop)
+                    f = span_not_span_freq(
+                        plists, slop, exc_plists, not_near_slop,
+                        ordered=ordered,
+                    )
             elif span_not:
                 f = span_not_freq(plists, slop, _aux(span_not, d))
             elif span_contain:

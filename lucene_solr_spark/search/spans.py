@@ -14,10 +14,15 @@ Reference semantics (lucene/core/src/java/org/apache/lucene/search/spans/):
   current spans ordered by (start, end); matches whenever
   max_end - min_start - totalSpanLength <= slop, emitting width =
   max_start - min_start after every single advance of the min cell.
-  For TWO term clauses the visited configurations are exactly the pairs
-  (x in A, y in B) with nextA(x) > y and nextB(y) > x (the classic
-  merge-walk frontier), giving `span_unordered_freq_2` — property-tested
-  against the queue walk `span_unordered_freq`.
+  `span_unordered_matches` reproduces the walk EXACTLY, including the
+  same-position repeats case (two clauses holding the same occurrence —
+  overlapping alternative sets / repeated clauses) where the (start,
+  end) tie falls to util/PriorityQueue.java's internal sift layout
+  (`_SpanPositionQueue`), deterministic given query-order insertion.
+  For TWO DISJOINT term clauses the visited configurations are exactly
+  the pairs (x in A, y in B) with nextA(x) > y and nextB(y) > x (the
+  classic merge-walk frontier), giving `span_unordered_freq_2` —
+  property-tested against the queue walks.
 * SpanFirstQuery.java:30-44 — accept spans with endPosition <= end; for
   a term clause freq = count of positions with pos+1 <= end (each
   accepted span has width 0).
@@ -129,10 +134,14 @@ def span_within_freq(
     return freq
 
 
-def span_unordered_freq(plists: list[list[int]], slop: int) -> np.float32:
-    """NearSpansUnordered freq for one doc over term clauses (queue walk,
-    any clause count). Term spans all have length 1, so
-    totalSpanLength == n and width = max_pos - min_pos."""
+def _span_unordered_freq_tiefree(
+    plists: list[list[int]], slop: int
+) -> np.float32:
+    """NearSpansUnordered freq via a plain heapq walk — valid only when
+    clause position lists are pairwise DISJOINT (no two cells can tie on
+    (start, end), so heap tie order never matters). Kept as the
+    independent cross-check for `span_unordered_matches` on disjoint
+    inputs (tests/test_spans.py)."""
     n = len(plists)
     if any(len(p) == 0 for p in plists):
         return np.float32(0.0)
@@ -173,6 +182,141 @@ def span_unordered_freq(plists: list[list[int]], slop: int) -> np.float32:
                 return freq
             if at_match():
                 break
+
+
+class _SpanPositionQueue:
+    """util/PriorityQueue.java's exact binary-heap sift (1-based array,
+    add/upHeap, updateTop/downHeap) under NearSpansUnordered's
+    SpanPositionQueue ordering: lessThan(a, b) = positionsOrdered =
+    start1 < start2, or equal starts and end1 < end2
+    (NearSpansUnordered.java:175-186). A FULL tie — same start AND end,
+    which happens exactly when two clauses share a term occurrence
+    (overlapping alternative sets / repeated clauses) — compares false
+    both ways, so which tied cell sits at the root is decided by the
+    heap LAYOUT: cells are added in query order and sift with the
+    reference's shift-chain up/down walks. Reproducing that layout is
+    what makes the same-position repeats case bit-reproducible."""
+
+    __slots__ = ("heap", "size")
+
+    def __init__(self, max_size: int):
+        self.heap: list = [None] * (max_size + 1)
+        self.size = 0
+
+    @staticmethod
+    def _less(a, b) -> bool:
+        # cells are [start, end, cursor, clause_idx]
+        if a[0] == b[0]:
+            return a[1] < b[1]
+        return a[0] < b[0]
+
+    def add(self, cell) -> None:
+        self.size += 1
+        h = self.heap
+        i = self.size
+        h[i] = cell
+        # upHeap: shift parents down the vacancy while node < parent
+        node = h[i]
+        j = i >> 1
+        while j > 0 and self._less(node, h[j]):
+            h[i] = h[j]
+            i = j
+            j = j >> 1
+        h[i] = node
+
+    def update_top(self) -> None:
+        # downHeap(1) with the reference's smaller-child selection:
+        # right child replaces left only when STRICTLY less.
+        h = self.heap
+        size = self.size
+        i = 1
+        node = h[1]
+        j = i << 1
+        k = j + 1
+        if k <= size and self._less(h[k], h[j]):
+            j = k
+        while j <= size and self._less(h[j], node):
+            h[i] = h[j]
+            i = j
+            j = i << 1
+            k = j + 1
+            if k <= size and self._less(h[k], h[j]):
+                j = k
+        h[i] = node
+
+    def top(self):
+        return self.heap[1]
+
+
+def span_unordered_matches(plists: list[list[int]], slop: int):
+    """NearSpansUnordered matches for one doc over term-span clauses
+    (each clause's list = the union of its alternatives' positions, the
+    SpanOr emission order), yielding (min_start, max_end, width) per
+    emitted span — including the same-position repeats case where two
+    clauses hold the same occurrence (overlapping alternative sets),
+    whose advance order follows the reference PriorityQueue layout.
+
+    Structure per NearSpansUnordered.java: cells seeded on their first
+    positions in query order (subSpanCellsToPositionQueue), two-phase
+    advance-min until atMatch (twoPhaseCurrentDocMatches), then one
+    match per single advance of the min cell while atMatch holds
+    (nextStartPosition). Term spans have length 1, so totalSpanLength
+    == n, maxEndPositionCell only grows, and width =
+    maxEnd-1 - minStart."""
+    n = len(plists)
+    if any(len(p) == 0 for p in plists):
+        return
+    if n == 1:
+        for p in plists[0]:
+            yield (p, p + 1, 0)
+        return
+    pq = _SpanPositionQueue(n)
+    max_end = -1
+    cells = []
+    for i, pl in enumerate(plists):  # query order, adjustMax per cell
+        cell = [pl[0], pl[0] + 1, 1, i]
+        cells.append(cell)
+        pq.add(cell)
+        if cell[1] > max_end:
+            max_end = cell[1]
+
+    def advance_min() -> bool:
+        nonlocal max_end
+        cell = pq.top()
+        pl = plists[cell[3]]
+        c = cell[2]
+        if c >= len(pl):
+            return False  # oneExhaustedInCurrentDoc
+        cell[0] = pl[c]
+        cell[1] = pl[c] + 1
+        cell[2] = c + 1
+        if cell[1] > max_end:
+            max_end = cell[1]
+        pq.update_top()
+        return True
+
+    def at_match() -> bool:
+        return max_end - pq.top()[0] - n <= slop
+
+    while not at_match():
+        if not advance_min():
+            return
+    while True:
+        yield (pq.top()[0], max_end, (max_end - 1) - pq.top()[0])
+        while True:
+            if not advance_min():
+                return
+            if at_match():
+                break
+
+
+def span_unordered_freq(plists: list[list[int]], slop: int) -> np.float32:
+    """NearSpansUnordered freq for one doc: Σ 1/(width+1) in float32
+    over the queue-walk matches (SpanScorer.setFreqCurrentDoc order)."""
+    freq = np.float32(0.0)
+    for _s, _e, width in span_unordered_matches(plists, slop):
+        freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+    return freq
 
 
 def span_unordered_freq_2(a: list[int], b: list[int], slop: int) -> np.float32:
@@ -221,16 +365,27 @@ def span_not_span_freq(
     inc_slop: int,
     exc_plists: list[list[int]],
     exc_slop: int,
+    ordered: bool = True,
 ) -> np.float32:
-    """SpanNotQuery over TWO ordered SpanNears — the
+    """SpanNotQuery over TWO SpanNears of the same in-order flag — the
     ComplexPhraseQueryParser negation shape
     (ComplexPhraseQueryParser.java:318-345: include = the positive
     clauses at slopFactor + numNegatives, exclude = ALL clauses in
-    sequence at slopFactor): accept include spans whose [start, end)
-    does not OVERLAP any exclude span; freq over accepted spans only."""
-    exc = list(span_ordered_matches(exc_plists, exc_slop))
+    sequence at slopFactor, BOTH built with the parser's inOrder flag):
+    accept include spans whose [start, end) does not OVERLAP any exclude
+    span; freq over the accepted spans only.
+
+    SpanNotQuery.accept's lazy exclude pointer (advance while
+    exclude.end <= candidate.start, reject iff exclude.start <
+    candidate.end) is equivalent to this full-enumeration overlap test
+    because both near walks emit matches with non-decreasing starts: a
+    passed-over exclude has end <= an earlier candidate's start <= this
+    candidate's start (no overlap), and once the current exclude starts
+    at/after candidate.end so does every later one."""
+    walk = span_ordered_matches if ordered else span_unordered_matches
+    exc = list(walk(exc_plists, exc_slop))
     freq = np.float32(0.0)
-    for s, e, width in span_ordered_matches(inc_plists, inc_slop):
+    for s, e, width in walk(inc_plists, inc_slop):
         if any(es < e and s < ee for es, ee, _w in exc):
             continue
         freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))

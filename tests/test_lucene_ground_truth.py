@@ -2081,7 +2081,7 @@ def test_surround_parser_matches_compiled_reference():
         cases = []
         for _ in range(12):
             ordered = rng.random() < 0.6
-            n_args = rng.randint(2, 3) if ordered else 2
+            n_args = rng.randint(2, 3)
             dist = rng.randint(1, 4)
             parts, clauses = [], []
             for _ in range(n_args):
@@ -2101,11 +2101,9 @@ def test_surround_parser_matches_compiled_reference():
                     ))
             if any(not c for c in clauses):
                 continue  # empty prefix expansion: parser-level no-match
-            if not ordered and set(clauses[0]) & set(clauses[1]):
-                # overlapping alternative sets under NearSpansUnordered
-                # hit its repeats machinery (same-position sub-spans) —
-                # the unordered walk here covers disjoint clause sets
-                continue
+            # overlapping alternative sets under NearSpansUnordered are
+            # kept since GT round 25: the cells walk reproduces the
+            # same-position repeats machinery
             op = "W" if ordered else "N"
             # the grammar's distance prefix starts at 2; plain W/N = 1
             num = str(dist) if dist >= 2 else ""
@@ -2121,4 +2119,134 @@ def test_surround_parser_matches_compiled_reference():
                 BooleanSpec(span=span, span_slop=dist - 1, span_ordered=ordered),
                 k=10,
             )
+            _assert_topk_equal(got, exp, (corpus_round, qs))
+
+
+def test_unordered_same_position_repeats_match_compiled_reference():
+    """Ground-truth round 25: NearSpansUnordered's same-position repeats
+    machinery. When two unordered clauses hold the SAME occurrence
+    (overlapping alternative sets, or the same clause repeated), the
+    (start, end) queue comparison ties both ways and the advance order
+    falls to util/PriorityQueue.java's internal sift layout —
+    deterministic given query-order insertion, and score-CHANGING
+    (emitted widths depend on which tied cell advances first).
+    `span_unordered_matches` reproduces the exact cells walk; docids and
+    float32 scores must equal the compiled binary over SpanNear
+    (unordered) queries of SpanOr-of-term clauses with deliberately
+    overlapping sets and repeated clauses."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(20260905)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 14)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+
+        cases = []
+        # pinned shapes: a repeated single-term clause pair (the classic
+        # "unordered near matches one occurrence against itself" quirk)
+        # and a fully-overlapping alternative-set pair
+        cases.append((("aa", "aa"), 0))
+        cases.append((("aa", "aa", "aa"), 2))
+        cases.append(((("aa", "bb"), ("aa", "cc")), 1))
+        for _ in range(14):
+            n_cl = rng.randint(2, 4)
+            clauses = []
+            for _ in range(n_cl):
+                if rng.random() < 0.5:
+                    clauses.append(rng.choice(vocab))
+                else:
+                    clauses.append(tuple(sorted(
+                        rng.sample(vocab, rng.randint(2, 3))
+                    )))
+            cases.append((tuple(clauses), rng.randint(0, 6)))
+
+        lines = []
+        for clauses, slop in cases:
+            parts = [
+                c if isinstance(c, str) else ",".join(c) for c in clauses
+            ]
+            lines.append(f"SPANNEARALT {slop} 0 " + " ".join(parts))
+        expected = gt.run_topk(docs, lines)
+        assert len(expected) == len(cases)
+        for (clauses, slop), exp in zip(cases, expected):
+            got = oracle_topk_spec(
+                idx,
+                BooleanSpec(
+                    span=tuple(clauses), span_slop=slop, span_ordered=False
+                ),
+                k=10,
+            )
+            _assert_topk_equal(got, exp, (corpus_round, clauses, slop))
+
+
+def test_complex_phrase_unordered_matches_compiled_reference():
+    """Ground-truth round 25b: ComplexPhraseQueryParser.setInOrder(false)
+    — the parser's unordered proximity mode builds SpanNearQuery(...,
+    inOrder=false) for the plain case and SpanNot over TWO unordered
+    nears for in-phrase negation (ComplexPhraseQueryParser.java:313-345,
+    both sides built with the parser's inOrder flag). Docids and float32
+    scores exact vs the compiled parser, overlapping groups included."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(20260906)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+
+        cases = []
+        for _ in range(12):
+            n_el = rng.randint(2, 4)
+            with_neg = rng.random() < 0.5
+            parts, clauses, negs = [], [], []
+            neg_positions = (
+                rng.sample(range(n_el), rng.randint(1, n_el - 1))
+                if with_neg else []
+            )
+            for i in range(n_el):
+                if rng.random() < 0.4:
+                    alts = tuple(sorted(rng.sample(vocab, 2)))
+                    el = "(" + " ".join(alts) + ")"
+                else:
+                    t = rng.choice(vocab)
+                    alts, el = (t,), t
+                neg = i in neg_positions
+                parts.append(("-" if neg else "") + el)
+                clauses.append(alts)
+                negs.append(neg)
+            slop = rng.randint(0, 3)
+            qs = '"' + " ".join(parts) + '"' + (f"~{slop}" if slop else "")
+            cases.append((qs, clauses, negs, slop))
+
+        expected = gt.run_complex(
+            docs, [c[0] for c in cases], in_order=False
+        )
+        assert len(expected) == len(cases)
+        for (qs, clauses, negs, slop), exp in zip(cases, expected):
+            n_neg = sum(negs)
+            if n_neg:
+                span = tuple(
+                    c[0] if len(c) == 1 else c
+                    for c, ng in zip(clauses, negs) if not ng
+                )
+                allc = tuple(c[0] if len(c) == 1 else c for c in clauses)
+                spec = BooleanSpec(
+                    span=span, span_slop=slop + n_neg, span_ordered=False,
+                    span_not_near=allc, span_not_near_slop=slop,
+                )
+            else:
+                span = tuple(c[0] if len(c) == 1 else c for c in clauses)
+                spec = BooleanSpec(
+                    span=span, span_slop=slop, span_ordered=False
+                )
+            got = oracle_topk_spec(idx, spec, k=10)
             _assert_topk_equal(got, exp, (corpus_round, qs))

@@ -109,6 +109,52 @@ class TestUnorderedWalk:
         assert span_unordered_freq([[4], [0], [2]], 1) == f(0.0)
         assert span_unordered_freq([[4], [0], [2]], 2) == f(1.0 / 5.0)
 
+    def test_same_position_repeats_walk(self):
+        # GT round 25 semantics: two clauses holding the SAME occurrence
+        # tie on (start, end); the advance order follows the reference
+        # PriorityQueue layout (query-order insertion, shift-chain sift).
+        from lucene_solr_spark.search.spans import span_unordered_matches
+
+        # A=[5,15], B=[5]: init both at 5 (clause 0 at the root — added
+        # first, the tied add does not sift up). Match w0; root advances
+        # to 15, B@5 takes the root (strictly less), match w10; B
+        # exhausts.
+        assert list(span_unordered_matches([[5, 15], [5]], 100)) == [
+            (5, 6, 0), (5, 16, 10)
+        ]
+        # the classic repeats quirk: N(aa, aa) matches each occurrence
+        # against ITSELF (width 0), once per occurrence
+        assert span_unordered_freq([[0, 3], [0, 3]], 0) == f(2.0)
+        # tie at the root after an advance keeps the advanced cell at
+        # the root (downHeap swaps only on STRICTLY less)
+        assert list(span_unordered_matches([[0, 1], [0, 4]], 100)) == [
+            (0, 1, 0),   # both at 0
+            (0, 2, 1),   # clause 0 advanced to 1, min is clause 1 at 0
+            (1, 5, 3),   # clause 1 advanced to 4, min is clause 0 at 1
+        ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(clause_lists(n_min=2, n_max=4))
+def test_cells_walk_equals_tiefree_walk_on_disjoint(case):
+    """On pairwise-disjoint clause lists no (start, end) tie can occur,
+    so the reference-PQ cells walk must equal the plain-heapq walk the
+    pre-round-25 GT rounds pinned."""
+    from lucene_solr_spark.search.spans import _span_unordered_freq_tiefree
+
+    plists, slop = case
+    seen: set = set()
+    disjoint = []
+    for pl in plists:
+        pl = [p for p in pl if p not in seen]
+        if not pl:
+            pl = [max(seen, default=0) + 31 + len(disjoint)]
+        seen.update(pl)
+        disjoint.append(sorted(pl))
+    assert span_unordered_freq(disjoint, slop) == _span_unordered_freq_tiefree(
+        disjoint, slop
+    )
+
 
 def test_span_first():
     assert span_first_freq([0, 3, 9], 4) == f(2.0)
@@ -194,6 +240,16 @@ SPAN_SPECS = [
                 span_ordered=False),
     BooleanSpec(span=(("parse", "zzz_missing"), "index"), span_slop=2,
                 span_ordered=True),
+    # unordered with OVERLAPPING alternative sets / repeated clauses —
+    # NearSpansUnordered's same-position repeats machinery (pinned vs
+    # the compiled binary in ground-truth round 25)
+    BooleanSpec(span=(("index", "parse"), ("merge", "parse")), span_slop=3,
+                span_ordered=False),
+    BooleanSpec(span=("parse", "parse"), span_slop=2, span_ordered=False),
+    # unordered in-phrase negation (CPQP setInOrder(false), GT round 25b)
+    BooleanSpec(span=("parse", "index"), span_slop=4, span_ordered=False,
+                span_not_near=("parse", "merge", "index"),
+                span_not_near_slop=3),
 ]
 
 
@@ -248,6 +304,38 @@ def test_complex_phrase_api(built):
     # zero-expansion element = the dummy must-match-nothing clause
     assert searcher.topk_complex_phrase("zzzqqq* index", k=10).count() == 0
 
+    # setInOrder(false): unordered near, including in-phrase negation
+    # over TWO unordered nears (GT round 25b)
+    got_u = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_complex_phrase(
+            "index (parse merge)", slop=2, in_order=False, k=10
+        ).collect()
+    ]
+    want_u = oracle_topk_spec(
+        oidx,
+        BooleanSpec(span=("index", ("merge", "parse")), span_slop=2,
+                    span_ordered=False),
+        k=10,
+    )
+    assert got_u == [(d, s) for d, s in want_u] and got_u
+
+    got_un = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_complex_phrase(
+            "parse -merge index", slop=3, in_order=False, k=10
+        ).collect()
+    ]
+    want_un = oracle_topk_spec(
+        oidx,
+        BooleanSpec(
+            span=("parse", "index"), span_slop=4, span_ordered=False,
+            span_not_near=("parse", "merge", "index"), span_not_near_slop=3,
+        ),
+        k=10,
+    )
+    assert got_un == [(d, s) for d, s in want_un]
+
 
 def test_surround_api(built):
     """topk_surround parses `<n>W/N(...)` distance operators into the
@@ -277,3 +365,19 @@ def test_surround_api(built):
         k=10,
     )
     assert got_n == [(d, s) for d, s in want_n]
+
+    # unordered with OVERLAPPING alternative sets — the pre-GT-round-25
+    # NotImplementedError boundary is gone: same-position repeats walk
+    got_o = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_surround(
+            "4N(or(parse, index), or(parse, merge))", k=10
+        ).collect()
+    ]
+    want_o = oracle_topk_spec(
+        oidx,
+        BooleanSpec(span=(("index", "parse"), ("merge", "parse")),
+                    span_slop=3, span_ordered=False),
+        k=10,
+    )
+    assert got_o == [(d, s) for d, s in want_o] and got_o

@@ -271,6 +271,29 @@ public class GroundTruthTopK {
           cls[i - 3] = new org.apache.lucene.search.spans.SpanTermQuery(
               new Term("body", p[i]));
         q = new org.apache.lucene.search.spans.SpanNearQuery(cls, slop, ord);
+      } else if (p[0].equals("SPANNEARALT")) {
+        // SPANNEARALT slop ord a,b c ... -> SpanNear over SpanOr-of-term
+        // clauses (single alternative stays a SpanTermQuery); alternative
+        // sets may OVERLAP across clauses (same-position repeats).
+        int slop = Integer.parseInt(p[1]);
+        boolean ord = p[2].equals("1");
+        org.apache.lucene.search.spans.SpanQuery[] cls =
+            new org.apache.lucene.search.spans.SpanQuery[p.length - 3];
+        for (int i = 3; i < p.length; i++) {
+          String[] alts = p[i].split(",");
+          if (alts.length == 1) {
+            cls[i - 3] = new org.apache.lucene.search.spans.SpanTermQuery(
+                new Term("body", alts[0]));
+          } else {
+            org.apache.lucene.search.spans.SpanQuery[] sub =
+                new org.apache.lucene.search.spans.SpanQuery[alts.length];
+            for (int j = 0; j < alts.length; j++)
+              sub[j] = new org.apache.lucene.search.spans.SpanTermQuery(
+                  new Term("body", alts[j]));
+            cls[i - 3] = new org.apache.lucene.search.spans.SpanOrQuery(sub);
+          }
+        }
+        q = new org.apache.lucene.search.spans.SpanNearQuery(cls, slop, ord);
       } else if (p[0].equals("SPANFIRST")) {
         int end = Integer.parseInt(p[1]);
         q = new org.apache.lucene.search.spans.SpanFirstQuery(
@@ -1015,11 +1038,16 @@ public class GroundTruthComplex {
 
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
-      // raw query string (URL-encoded; usually a quoted complex phrase)
-      String qs = java.net.URLDecoder.decode(in.readLine().trim(), "UTF-8");
+      // raw query string (URL-encoded; usually a quoted complex phrase).
+      // An "U " prefix BEFORE the encoded string selects
+      // setInOrder(false) — the parser's unordered proximity mode.
+      String raw = in.readLine().trim();
+      boolean inOrder = true;
+      if (raw.startsWith("U ")) { inOrder = false; raw = raw.substring(2); }
+      String qs = java.net.URLDecoder.decode(raw, "UTF-8");
       ComplexPhraseQueryParser p =
           new ComplexPhraseQueryParser("body", new GroundTruth.WS());
-      p.setInOrder(true);
+      p.setInOrder(inOrder);
       Query q = p.parse(qs);
       TopDocs td = s.search(q, 10);
       StringBuilder out = new StringBuilder();
@@ -2074,15 +2102,19 @@ def run_facet(docs: list[str], queries: list[str]) -> list[str]:
     return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
 
 
-def run_complex(docs: list[str], queries: list[str]) -> list[list[tuple[int, str]]]:
+def run_complex(
+    docs: list[str], queries: list[str], in_order: bool = True
+) -> list[list[tuple[int, str]]]:
     """Index docs and run raw query strings (URL-encoded on the wire)
-    through the REAL ComplexPhraseQueryParser (inOrder=true) + search.
+    through the REAL ComplexPhraseQueryParser + search. in_order=False
+    selects setInOrder(false) (a "U " wire prefix per query line).
     Returns per query the top-10 [(docid, score_str)]."""
     from urllib.parse import quote
 
+    pre = "" if in_order else "U "
     payload = (
         [str(len(docs))] + list(docs)
-        + [str(len(queries))] + [quote(q) for q in queries]
+        + [str(len(queries))] + [pre + quote(q) for q in queries]
     )
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthComplex"],
