@@ -1769,15 +1769,20 @@ FREETEXT_PREFIX = "s"
 def suggest_freetext(spark, sf):
     """FreeTextSuggester (lucene/suggest/src/java/org/apache/lucene/search/
     suggest/analyzing/FreeTextSuggester.java — DEFAULT_GRAMS=2 n-gram
-    language model with STUPID BACKOFF smoothing, ALPHA=0.4 :129-134):
-    given the context word and a prefix of the next word, rank candidate
-    completions by score(w|c) = count(c w)/count(c) when the bigram
-    exists, else ALPHA * count(w)/total (Brants et al. 2007, the model
-    the reference javadoc cites). The n-gram tables are two map-side-
-    combined aggregations over the corpus (count tables replace the FST);
-    the lookup touches only prefix-matching rows. The returned weight is
-    the score scaled to an integer — the reference does the same when it
-    packs the backoff score into the FST's long weight."""
+    language model with STUPID BACKOFF smoothing, ALPHA=0.4 :129-134),
+    reference-EXACT since ground-truth round 26 (search/freetext.py is
+    pinned bit-for-bit against the compiled suggester; this is the same
+    model as a Spark job): lookup key = context word + prefix of the
+    next word. The bigram model contributes first (top-num bigram
+    completions by count, score = (long)(Long.MAX_VALUE * count(c w) /
+    count(c)) in float64 truncated toward zero); the unigram model backs
+    off at ALPHA (score = (long)((Long.MAX_VALUE * 0.4) * count(w) /
+    totTokens)), skipping last tokens the bigram model already suggested
+    without consuming its budget; final order value DESC / key ASC
+    (key = 'c<0x1e>w' for bigram rows), truncated to num. The n-gram
+    tables are two map-side-combined aggregations over the corpus
+    (count tables replace the FST); the lookup touches only
+    prefix-matching rows."""
     from .pipeline import _with_tokens
 
     d = _with_tokens(_t(spark, sf, "documents"))
@@ -1803,6 +1808,9 @@ def suggest_freetext(spark, sf):
     total = int(uni.agg(F.sum("cnt")).collect()[0][0])
     ctx_rows = uni.filter(F.col("w") == FREETEXT_CONTEXT).collect()
     ctx_cnt = int(ctx_rows[0]["cnt"]) if ctx_rows else 0
+    max_d = float(2**63 - 1)  # (double) Long.MAX_VALUE == 2^63
+    long_max = 2**63 - 1
+    num = 10
     if ctx_cnt:
         cand_bi = (
             bi.filter(
@@ -1811,24 +1819,52 @@ def suggest_freetext(spark, sf):
             )
             .select(
                 "w",
-                (F.col("cnt").cast("double") / F.lit(float(ctx_cnt))).alias("s"),
+                # (long)(MAX_d * 1.0 * (double)cnt / ctx), trunc toward
+                # zero, saturating like Java's (long) cast at cnt == ctx
+                F.when(F.col("cnt") >= ctx_cnt, F.lit(long_max))
+                .otherwise(F.floor(
+                    F.lit(max_d) * F.col("cnt").cast("double")
+                    / F.lit(float(ctx_cnt))
+                ))
+                .cast("long").alias("weight"),
+                F.concat(
+                    F.lit(FREETEXT_CONTEXT + "\x1e"), F.col("w")
+                ).alias("k"),
+                "cnt",
             )
+            # per-model top-num by count, gram byte order on ties
+            # (TopNSearcher's weight-then-input comparator)
+            .orderBy(F.col("cnt").desc(), F.col("w").asc())
+            .limit(num)
         )
     else:
-        cand_bi = spark.createDataFrame([], "w string, s double")
+        cand_bi = spark.createDataFrame(
+            [], "w string, weight long, k string, cnt long"
+        )
     cand_uni = (
         uni.filter(F.col("w").startswith(FREETEXT_PREFIX))
-        .join(cand_bi.select("w"), "w", "left_anti")  # backoff only when no bigram
+        # a last token the bigram model ACCEPTED is skipped without
+        # consuming this model's budget (acceptResult + queue depth)
+        .join(cand_bi.select("w"), "w", "left_anti")
         .select(
             "w",
-            (F.lit(0.4) * F.col("cnt").cast("double") / F.lit(float(total))).alias("s"),
+            F.floor(
+                F.lit(max_d * 0.4) * F.col("cnt").cast("double")
+                / F.lit(float(total))
+            ).cast("long").alias("weight"),
+            F.col("w").alias("k"),
+            "cnt",
         )
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(num)
     )
     return (
         cand_bi.unionByName(cand_uni)
-        .select("w", F.round(F.col("s") * 1e9).cast("long").alias("weight"))
-        .orderBy(F.col("weight").desc(), F.col("w").asc())
-        .limit(10)
+        # LookupResult order: value DESC, key UTF16 ASC (bigram keys
+        # carry the 0x1e separator, exactly like the reference's)
+        .orderBy(F.col("weight").desc(), F.col("k").asc())
+        .limit(num)
+        .select("w", "weight")
     )
 
 
@@ -1845,21 +1881,30 @@ bi AS (
                  i -> struct_pack(c := t.toks[i], w := t.toks[i + 1]))) AS g(x)
   GROUP BY g.x.c, g.x.w
 ),
-ctx AS (SELECT CAST(cnt AS DOUBLE) AS c FROM uni WHERE w = '{FREETEXT_CONTEXT}'),
+ctx AS (SELECT cnt AS c FROM uni WHERE w = '{FREETEXT_CONTEXT}'),
 cand_bi AS (
-  SELECT bi.w, bi.cnt / ctx.c AS s
+  SELECT bi.w,
+         CASE WHEN bi.cnt >= ctx.c THEN 9223372036854775807
+              ELSE CAST(trunc({float(2**63 - 1)!r} * bi.cnt / ctx.c) AS BIGINT)
+         END AS weight,
+         '{FREETEXT_CONTEXT}' || chr(30) || bi.w AS k
   FROM bi CROSS JOIN ctx
   WHERE bi.c = '{FREETEXT_CONTEXT}' AND bi.w LIKE '{FREETEXT_PREFIX}%'
+  ORDER BY bi.cnt DESC, bi.w ASC LIMIT 10
 ),
 cand_uni AS (
-  SELECT uni.w, 0.4 * uni.cnt / total.n AS s
+  SELECT uni.w,
+         CAST(trunc({float(2**63 - 1) * 0.4!r} * uni.cnt / total.n) AS BIGINT)
+           AS weight,
+         uni.w AS k
   FROM uni CROSS JOIN total
   WHERE uni.w LIKE '{FREETEXT_PREFIX}%'
     AND uni.w NOT IN (SELECT w FROM cand_bi)
+  ORDER BY uni.cnt DESC, uni.w ASC LIMIT 10
 )
-SELECT w, CAST(round(s * 1e9) AS BIGINT) AS weight FROM (
+SELECT w, weight FROM (
   SELECT * FROM cand_bi UNION ALL SELECT * FROM cand_uni
-) ORDER BY weight DESC, w ASC LIMIT 10
+) ORDER BY weight DESC, k ASC LIMIT 10
 """
 
 

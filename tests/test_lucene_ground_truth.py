@@ -2250,3 +2250,81 @@ def test_complex_phrase_unordered_matches_compiled_reference():
                 )
             got = oracle_topk_spec(idx, spec, k=10)
             _assert_topk_equal(got, exp, (corpus_round, qs))
+
+
+def test_free_text_suggester_matches_compiled_reference():
+    """Ground-truth round 26: FreeTextSuggester (lucene/suggest/
+    analyzing) — the n-gram stupid-backoff language model behind
+    "type-ahead from the corpus itself". The compiled suggester
+    (grams=2, separator 0x1e, whitespace analysis, built from an
+    InputIterator over the docs) must match search/freetext.py's count-
+    table model EXACTLY: result keys (with separator bytes), long scores
+    ((long)(Long.MAX_VALUE * backoff * count / contextCount) per model
+    level), per-model top-num with seen-last-token rejection, the
+    trailing-space token upgrade, and the final value-DESC/key-ASC
+    order."""
+    from lucene_solr_spark.search.freetext import (
+        build_freetext_model,
+        freetext_lookup,
+    )
+
+    rng = random.Random(20260907)
+    vocab = ["so", "sort", "sorted", "merge", "mer", "fast", "join"]
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(4, 18))
+        ]
+        model = build_freetext_model([d.split() for d in docs])
+
+        lookups = []
+        for _ in range(16):
+            shape = rng.random()
+            if shape < 0.3:
+                key = rng.choice(["s", "so", "sor", "m", "mer", "f", "j"])
+            elif shape < 0.6:
+                key = rng.choice(vocab) + " " + rng.choice(["s", "so", "m", "f"])
+            elif shape < 0.8:
+                key = rng.choice(vocab) + " "  # trailing-space upgrade
+            else:
+                key = (
+                    rng.choice(vocab) + " " + rng.choice(vocab)
+                    + " " + rng.choice(["s", "mer"])
+                )
+            lookups.append((key, rng.choice([1, 2, 3, 10])))
+
+        expected = gt.run_freetext(docs, lookups)
+        assert len(expected) == len(lookups)
+        for (key, num), exp in zip(lookups, expected):
+            got = freetext_lookup(model, key, num)
+            assert got == exp, (corpus_round, key, num, got, exp)
+
+
+def test_suggest_freetext_gate_equals_pinned_model(spark):
+    """The Spark gate variant (ops/relational.suggest_freetext — count
+    tables + per-model top-num as DataFrame jobs) must return exactly
+    the binary-pinned pure model's lookup for the gate's key
+    ('<context> <prefix>', num=10) over the sf0.001 documents corpus."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.relational import (
+        FREETEXT_CONTEXT,
+        FREETEXT_PREFIX,
+        suggest_freetext,
+    )
+    from lucene_solr_spark.search.freetext import (
+        SEP,
+        build_freetext_model,
+        freetext_lookup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    model = build_freetext_model([t.split() for t in pdf.text])
+    want = freetext_lookup(model, f"{FREETEXT_CONTEXT} {FREETEXT_PREFIX}", 10)
+    got = [
+        (r["w"], r["weight"]) for r in suggest_freetext(spark, sf).collect()
+    ]
+    # the gate emits the completion word; the model's key carries the
+    # full gram (context<0x1e>word for bigram-model results)
+    assert got == [(k.split(SEP)[-1], v) for k, v in want] and got

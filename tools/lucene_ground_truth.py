@@ -1009,6 +1009,93 @@ public class GroundTruthSurround {
 """
 
 
+FREETEXT_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.search.suggest.InputIterator;
+import org.apache.lucene.search.suggest.Lookup;
+import org.apache.lucene.search.suggest.analyzing.FreeTextSuggester;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthFreeText {
+  // whitespace analyzer WITH offsets + end()-final-offset — the lookup
+  // path needs them for the trailing-space "lastTokenEnded" upgrade
+  // (FreeTextSuggester.java:527-546); GroundTruth.WS sets no offsets.
+  static final class WSOff extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new Tokenizer() {
+        final org.apache.lucene.analysis.tokenattributes.CharTermAttribute term =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.CharTermAttribute.class);
+        final org.apache.lucene.analysis.tokenattributes.OffsetAttribute off =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.OffsetAttribute.class);
+        String buf; int pos;
+        public boolean incrementToken() throws java.io.IOException {
+          if (buf == null) {
+            StringBuilder sb = new StringBuilder(); int c;
+            while ((c = input.read()) != -1) sb.append((char) c);
+            buf = sb.toString(); pos = 0;
+          }
+          while (pos < buf.length() && Character.isWhitespace(buf.charAt(pos))) pos++;
+          if (pos >= buf.length()) return false;
+          int start = pos;
+          while (pos < buf.length() && !Character.isWhitespace(buf.charAt(pos))) pos++;
+          clearAttributes();
+          term.append(buf, start, pos);
+          off.setOffset(correctOffset(start), correctOffset(pos));
+          return true;
+        }
+        public void end() throws java.io.IOException {
+          super.end();
+          int fin = correctOffset(buf == null ? 0 : buf.length());
+          off.setOffset(fin, fin);
+        }
+        public void reset() throws java.io.IOException { super.reset(); buf = null; }
+      };
+      return new TokenStreamComponents(t);
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    final java.util.List<String> docs = new java.util.ArrayList<>();
+    for (int i = 0; i < nDocs; i++) docs.add(in.readLine());
+    FreeTextSuggester sug =
+        new FreeTextSuggester(new WSOff(), new WSOff(), 2, (byte) 0x1e);
+    final java.util.Iterator<String> it = docs.iterator();
+    sug.build(new InputIterator() {
+      public BytesRef next() { return it.hasNext() ? new BytesRef(it.next()) : null; }
+      public long weight() { return 1; }
+      public BytesRef payload() { return null; }
+      public boolean hasPayloads() { return false; }
+      public java.util.Set<BytesRef> contexts() { return null; }
+      public boolean hasContexts() { return false; }
+    });
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // "num <url-encoded key>" (encoding preserves trailing spaces)
+      String[] p = in.readLine().trim().split(" ", 2);
+      int num = Integer.parseInt(p[0]);
+      String key = java.net.URLDecoder.decode(p[1], "UTF-8");
+      StringBuilder out = new StringBuilder();
+      try {
+        for (Lookup.LookupResult r : sug.lookup(key, num)) {
+          if (out.length() > 0) out.append(";");
+          // keys may contain the 0x1e separator byte — encode
+          out.append(java.net.URLEncoder.encode((String) r.key, "UTF-8"))
+             .append(":").append(r.value);
+        }
+      } catch (IllegalArgumentException e) {
+        out.append("!err");
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+  }
+}
+"""
+
+
 COMPLEX_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1838,6 +1925,30 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # FreeTextSuggester (suggest/analyzing) + its two cross-package deps:
+    # Lookup (suggest/) and ShingleFilter (analysis/common's shingle
+    # package — self-contained on core). InputIterator comes from the
+    # spell block's stripped copy above.
+    ft_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/search/suggest/analyzing/FreeTextSuggester.class",
+    )
+    sug_root = "/root/reference/lucene/suggest/src/java/org/apache/lucene/search/suggest"
+    if not os.path.exists(ft_marker) and os.path.isdir(sug_root):
+        fsrcs = [
+            "/root/reference/lucene/analysis/common/src/java/org/apache/"
+            "lucene/analysis/shingle/ShingleFilter.java",
+            os.path.join(sug_root, "Lookup.java"),
+            os.path.join(sug_root, "analyzing", "FreeTextSuggester.java"),
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + fsrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -1856,6 +1967,7 @@ def build() -> bool:
         ("GroundTruthFacet", FACET_JAVA),
         ("GroundTruthComplex", COMPLEX_JAVA),
         ("GroundTruthSurround", SURROUND_JAVA),
+        ("GroundTruthFreeText", FREETEXT_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -2132,6 +2244,48 @@ def run_complex(
             continue
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
+
+
+def run_freetext(
+    docs: list[str], lookups: list[tuple[str, int]]
+) -> list[list[tuple[str, int]]]:
+    """Build the REAL FreeTextSuggester (grams=2, separator 0x1e,
+    whitespace analysis) over docs and run each (key, num) lookup.
+    Returns per lookup [(result key incl. separator bytes, long score)];
+    a reference IllegalArgumentException (e.g. empty key) returns
+    [("!err", 0)]."""
+    from urllib.parse import quote, unquote
+
+    payload = (
+        [str(len(docs))] + list(docs)
+        + [str(len(lookups))]
+        + [f"{num} {quote(key)}" for key, num in lookups]
+    )
+    r = subprocess.run(
+        # the suggester builds its temp index through FSDirectory →
+        # MMapDirectory, whose unmap hack needs java.nio opened on 17+
+        ["java", "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+         "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFreeText"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        if line == "!err":
+            out.append([("!err", 0)])
+            continue
+        out.append([
+            (unquote(p.rsplit(":", 1)[0]), int(p.rsplit(":", 1)[1]))
+            for p in line.split(";")
         ])
     return out
 
