@@ -1597,44 +1597,139 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 FUZZY_SUGGEST_Q = "sprk"  # typo'd prefix; completes to spark-prefixed terms
 
 
+def _fuzzy_suggest_swaps(q1: str) -> list[str]:
+    """The one-adjacent-transposition variants of the fuzzy tail — the
+    OSA(=LevenshteinAutomata-with-transpositions) acceptances at
+    distance 1 that plain levenshtein misses (lev = 2 for a pure
+    swap)."""
+    return sorted(
+        {q1[:i] + q1[i + 1] + q1[i] + q1[i + 2:] for i in range(len(q1) - 1)}
+        - {q1}
+    )
+
+
 def suggest_fuzzy(spark, sf):
     """FuzzySuggester (lucene/suggest/src/java/org/apache/lucene/search/
     suggest/analyzing/FuzzySuggester.java — completion where the TYPED
-    PREFIX may contain edits): a term matches iff some prefix of it is
-    within edit distance 1 of the query (prefix lengths len(q)±1 cover
-    the insertion/deletion cases, the reference's LevenshteinAutomata
-    over the FST's prefix paths), ranked by weight = docFreq. Term-dict
+    PREFIX may contain edits), reference-EXACT since ground-truth round
+    27 (search/suggesters.py::analyzing_lookup(fuzzy=True) is pinned
+    bit-for-bit against the compiled FuzzySuggester): the first
+    DEFAULT_NON_FUZZY_PREFIX=1 character stays exact, the rest of some
+    prefix of the term (lengths len(q)±maxEdits) must be within OSA
+    distance 1 of the query tail (transpositions are a primitive edit —
+    LevenshteinAutomata(transpositions=true)), exact surface first
+    (EXACT_FIRST), then weight = docFreq DESC / term ASC. Term-dict
     metadata scan only, like the other suggesters."""
     from .index_access import searcher_for
 
     q = FUZZY_SUGGEST_Q
+    q0, q1 = q[0], q[1:]
     s = searcher_for(spark, sf)
     dist = F.least(
-        *[F.levenshtein(F.substring("term", 1, n), F.lit(q)) for n in
-          (len(q) - 1, len(q), len(q) + 1)]
+        *[F.levenshtein(F.expr(f"substring(term, 2, {n})"), F.lit(q1))
+          for n in (len(q1) - 1, len(q1), len(q1) + 1)]
+    )
+    swaps = _fuzzy_suggest_swaps(q1)
+    accept = (F.substring("term", 1, 1) == q0) & (
+        (dist <= 1) | F.expr(f"substring(term, 2, {len(q1)})").isin(swaps)
     )
     return (
-        s._term_stats.select("term", "df", dist.alias("distance"))
-        .filter(F.col("distance") <= 1)
-        .orderBy(F.col("df").desc(), F.col("term").asc())
+        s._term_stats.filter(accept)
+        .select("term", "df")
+        .orderBy(
+            (F.col("term") == q).desc(),  # exactFirst
+            F.col("df").desc(), F.col("term").asc(),
+        )
         .limit(10)
     )
 
 
+_FQ1 = FUZZY_SUGGEST_Q[1:]
+_FSWAPS_IN = "(" + ",".join(f"'{s}'" for s in _fuzzy_suggest_swaps(_FQ1)) + ")"
 SUGGEST_FUZZY_SQL = f"""
-SELECT term, df, distance FROM (
+SELECT term, df FROM (
   SELECT term, df,
-         least(levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q) - 1}), '{FUZZY_SUGGEST_Q}'),
-               levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q)}), '{FUZZY_SUGGEST_Q}'),
-               levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q) + 1}), '{FUZZY_SUGGEST_Q}')) AS distance
+         least(levenshtein(substr(term, 2, {len(_FQ1) - 1}), '{_FQ1}'),
+               levenshtein(substr(term, 2, {len(_FQ1)}), '{_FQ1}'),
+               levenshtein(substr(term, 2, {len(_FQ1) + 1}), '{_FQ1}')) AS lv
   FROM (
     SELECT term, count(DISTINCT doc_id) AS df
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
     WHERE term <> '' AND term NOT IN {_stoplist_in()}
     GROUP BY term
   )
+  WHERE substr(term, 1, 1) = '{FUZZY_SUGGEST_Q[0]}'
 )
-WHERE distance <= 1 ORDER BY df DESC, term ASC LIMIT 10
+WHERE lv <= 1 OR substr(term, 2, {len(_FQ1)}) IN {_FSWAPS_IN}
+ORDER BY (term = '{FUZZY_SUGGEST_Q}') DESC, df DESC, term ASC LIMIT 10
+"""
+
+
+#: FSTCompletionLookup gate lookup: prefix of the completion; 's' is not
+#: itself a corpus term, so the exact-match promotion (pinned in the GT
+#: round-27 test) is a deliberate no-op here and the weighted path is
+#: pure bucket-DESC / term-ASC.
+FST_BUCKET_PREFIX = "s"
+
+
+def suggest_fst_bucket(spark, sf):
+    """FSTCompletionLookup (lucene/suggest/fst/FSTCompletion*.java),
+    reference-EXACT since ground-truth round 27
+    (search/suggesters.py::fst_bucket_lookup pinned bit-for-bit): the
+    term dictionary's docFreqs are DISCRETIZED into 10 buckets at build
+    — entries sorted by (weight, key bytes), bucket = line*10/count with
+    equal weights keeping the previous line's bucket, which closed-form
+    is bucket(t) = (#terms with df < df(t)) * 10 / N — and the
+    onlyMorePopular lookup walks buckets highest-first, keys ascending
+    within a bucket. The returned value is the BUCKET, not the weight.
+    rank(df) = 1 + #terms with a strictly smaller df, so the only
+    global state needed is a cumulative count per DISTINCT df value —
+    a tiny aggregate (|distinct dfs| rows, not |terms|) broadcast back
+    onto the dictionary. No global window over the term dict itself;
+    corpus never rescanned."""
+    from pyspark.sql import Window
+
+    from .index_access import searcher_for
+
+    s = searcher_for(spark, sf)
+    dict_df = s._term_stats.select("term", "df")
+    n = dict_df.count()
+    below = F.coalesce(
+        F.sum("c").over(
+            Window.orderBy("df").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = (
+        dict_df.groupBy("df")
+        .agg(F.count("*").alias("c"))
+        .select("df", below.alias("below"))
+    )
+    return (
+        dict_df.filter(F.col("term").startswith(FST_BUCKET_PREFIX))
+        .join(F.broadcast(cum), "df")
+        .select(
+            "term", (F.col("below") * F.lit(10) / F.lit(n)).cast("long").alias("bucket")
+        )
+        .orderBy(F.col("bucket").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+SUGGEST_FST_BUCKET_SQL = f"""
+WITH dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' AND term NOT IN {_stoplist_in()}
+  GROUP BY term
+),
+bucketed AS (
+  SELECT term, ((rank() OVER (ORDER BY df) - 1) * 10) // (SELECT count(*) FROM dict) AS bucket
+  FROM dict
+)
+SELECT term, bucket FROM bucketed
+WHERE term LIKE '{FST_BUCKET_PREFIX}%'
+ORDER BY bucket DESC, term ASC LIMIT 10
 """
 
 
@@ -1938,7 +2033,7 @@ def suggest_combined(spark, sf):
         F.lit("fuzzy").alias("variant"),
         "term",
         F.col("df").cast("long").alias("df"),
-        F.col("distance").cast("int").alias("distance"),
+        F.lit(-1).cast("int").alias("distance"),
     )
     s5 = suggest_wordbreak(spark, sf)
     s6 = suggest_freetext(spark, sf).select(
@@ -1947,9 +2042,15 @@ def suggest_combined(spark, sf):
         F.col("weight").cast("long").alias("df"),
         F.lit(-1).cast("int").alias("distance"),
     )
+    s7 = suggest_fst_bucket(spark, sf).select(
+        F.lit("fst_bucket").alias("variant"),
+        "term",
+        F.col("bucket").cast("long").alias("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
     return (
         s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
-        .unionByName(s6)
+        .unionByName(s6).unionByName(s7)
         .orderBy("variant", "term")
     )
 
@@ -1966,13 +2067,16 @@ SELECT * FROM (
   SELECT 'infix' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_INFIX_SQL})
   UNION ALL
-  SELECT 'fuzzy' AS variant, term, CAST(df AS BIGINT) AS df, CAST(distance AS INTEGER) AS distance
+  SELECT 'fuzzy' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_FUZZY_SQL})
   UNION ALL
   SELECT * FROM ({SUGGEST_WORDBREAK_SQL})
   UNION ALL
   SELECT 'freetext' AS variant, w AS term, weight AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_FREETEXT_SQL})
+  UNION ALL
+  SELECT 'fst_bucket' AS variant, term, CAST(bucket AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_FST_BUCKET_SQL})
 ) ORDER BY variant, term
 """
 

@@ -73,27 +73,48 @@ def span_match_positions(plists, slop: int, ordered: bool):
             if width <= slop:
                 yield width, tuple(idxs)
         return
-    # unordered: the NearSpansUnordered queue walk (spans.py
-    # span_unordered_freq) with cursor tracking; total span length of
-    # term clauses is n (each width 1)
-    cursors = [0] * n
+    # unordered: NearSpansUnordered's exact cells walk (spans.py
+    # span_unordered_matches — the reference PriorityQueue sift, so
+    # same-position ties between clauses advance in the reference
+    # order); total span length of term clauses is n (each width 1).
+    # At each match the collected payload leaves are the cells' CURRENT
+    # positions in clause order (NearSpansUnordered.collect iterates
+    # subSpanCells in query order).
+    from .spans import _SpanPositionQueue
 
-    def at_match():
-        starts = [plists[i][cursors[i]] for i in range(n)]
-        ends = [s + 1 for s in starts]
-        return (max(ends) - min(starts) - n) <= slop, starts
+    pq = _SpanPositionQueue(n)
+    max_end = -1
+    cells = []
+    for i, pl in enumerate(plists):  # query order
+        cell = [pl[0], pl[0] + 1, 1, i]
+        cells.append(cell)
+        pq.add(cell)
+        if cell[1] > max_end:
+            max_end = cell[1]
+
+    def advance_min() -> bool:
+        nonlocal max_end
+        cell = pq.top()
+        pl = plists[cell[3]]
+        c = cell[2]
+        if c >= len(pl):
+            return False
+        cell[0] = pl[c]
+        cell[1] = pl[c] + 1
+        cell[2] = c + 1
+        if cell[1] > max_end:
+            max_end = cell[1]
+        pq.update_top()
+        return True
 
     while True:
-        ok, starts = at_match()
-        if ok:
-            # match width = max_start - min_start; collected in CLAUSE
-            # order (subSpanCells is built in clause order)
-            yield max(starts) - min(starts), tuple(cursors)
-        # advance the clause holding the minimum start (ties: first)
-        mi = min(range(n), key=lambda i: plists[i][cursors[i]])
-        if cursors[mi] + 1 >= len(plists[mi]):
+        if max_end - pq.top()[0] - n <= slop:
+            yield (
+                (max_end - 1) - pq.top()[0],
+                tuple(cell[2] - 1 for cell in cells),
+            )
+        if not advance_min():
             return
-        cursors[mi] += 1
 
 
 def payload_fold(factors, function: str) -> tuple[np.float32, int]:

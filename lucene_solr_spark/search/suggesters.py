@@ -1,0 +1,178 @@
+"""The FST completion-lookup family (lucene/suggest), reproduced over
+plain (key, weight) entry lists and pinned bit-for-bit against the
+compiled classes in tests/test_lucene_ground_truth.py (ground-truth
+round 27):
+
+* WFSTCompletionLookup (suggest/fst/WFSTCompletionLookup.java) —
+  cost = Integer.MAX_VALUE - weight packed in a WFST; top-num
+  completions by cost ascending (weight DESC), ties by suffix byte
+  order; exactFirst reserves the first slot for the exact key and
+  excludes the empty completion from the search (:187-196).
+* FSTCompletionLookup (suggest/fst/FSTCompletion*.java) — weights
+  DISCRETIZED into 10 buckets at build: entries sorted by (weight, key
+  bytes), bucket = line*buckets/count with equal weights keeping the
+  previous line's bucket; lookup walks bucket arcs HIGHEST first,
+  collecting completions in key order. The default lookup path
+  (onlyMorePopular=false → lookupSortedAlphabetically) collects with
+  collectAll=true — once `num` results exist every later bucket with
+  matches still contributes its FIRST completion (collect() adds before
+  checking, :265-268) — then sorts alphabetically and trims; the
+  onlyMorePopular path keeps weight order and promotes the exact match
+  to the front only when the result list FILLED (:276-291). Values are
+  bucket indexes, not weights.
+* AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java) —
+  entries analyzed (whitespace tokens joined by the 0x1f SEP_LABEL,
+  PRESERVE_SEP); a key matches entries whose analyzed form extends the
+  key's analyzed form; results by weight DESC (cost = Integer.MAX_VALUE
+  - weight), ties by analyzed byte order; exactFirst emits the entry
+  whose SURFACE equals the key first and excludes it from the main
+  search (sameSurfaceForm, :748-786).
+* FuzzySuggester (suggest/analyzing/FuzzySuggester.java) — same scoring
+  but the key automaton is fuzzed: accepted strings keep the first
+  DEFAULT_NON_FUZZY_PREFIX=1 byte exact and allow maxEdits=1
+  (transpositions primitive) on the rest, except keys shorter than
+  DEFAULT_MIN_FUZZY_LENGTH=3 which stay exact (:toLevenshteinAutomata).
+"""
+
+from __future__ import annotations
+
+from .fuzzy import osa_distance
+
+SEP = "\x1f"  # AnalyzingSuggester.SEP_LABEL
+
+
+def _analyzed(s: str) -> str:
+    return SEP.join(s.split())
+
+
+def wfst_lookup(entries, key: str, num: int, exact_first: bool = True):
+    """WFSTCompletionLookup.lookup. entries = [(key, weight)], unique
+    keys, weights in [0, Integer.MAX_VALUE]."""
+    matches = [(k, w) for k, w in entries if k.startswith(key)]
+    if not matches:
+        return []
+    results: list[tuple[str, int]] = []
+    exact = next(((k, w) for k, w in matches if k == key), None)
+    if exact_first and exact is not None:
+        results.append(exact)
+        num -= 1
+        if num == 0:
+            return results
+    pool = [
+        (k, w) for k, w in matches
+        if not (exact_first and exact is not None and k == key)
+    ]
+    pool.sort(key=lambda e: (-e[1], e[0].encode("utf-8")))
+    results.extend(pool[:num])
+    return results
+
+
+def _fst_buckets(entries, buckets: int = 10):
+    """FSTCompletionLookup.build bucket assignment: entries sorted by
+    (encoded weight int bytes, key bytes) — ascending weight — bucket =
+    line*buckets/count, equal weights keeping the previous bucket."""
+    lines = sorted(entries, key=lambda e: (e[1], e[0].encode("utf-8")))
+    count = len(lines)
+    out = {}
+    prev_w = prev_b = None
+    for line, (k, w) in enumerate(lines):
+        if line > 0 and w == prev_w:
+            b = prev_b
+        else:
+            b = line * buckets // count
+        out[k] = b
+        prev_w, prev_b = w, b
+    return out
+
+
+def fst_bucket_lookup(
+    entries, key: str, num: int, buckets: int = 10,
+    exact_first: bool = True, weighted: bool = False,
+):
+    """FSTCompletionLookup.lookup: weighted=False is the default
+    Lookup.lookup path (alphabetical result order via collectAll);
+    weighted=True is the onlyMorePopular path (bucket-desc order with
+    exact-match promotion). Values are BUCKETS."""
+    if not key:
+        return []
+    kb = _fst_buckets(entries, buckets)
+    per_bucket: dict[int, list[str]] = {}
+    for k, b in kb.items():
+        if k.startswith(key):
+            per_bucket.setdefault(b, []).append(k)
+    res: list[tuple[str, int]] = []
+    filled = False
+    for b in sorted(per_bucket, reverse=True):
+        terms = sorted(per_bucket[b], key=lambda t: t.encode("utf-8"))
+        if filled:
+            if not weighted:
+                # collectAll: collect() adds the bucket's first
+                # completion before noticing res is already full
+                res.append((terms[0], b))
+            continue
+        for t in terms:
+            res.append((t, b))
+            if len(res) >= num:
+                filled = True
+                break
+        if filled and weighted:
+            if exact_first:
+                ix = next((i for i, r in enumerate(res) if r[0] == key), None)
+                if ix is not None:
+                    res.insert(0, res.pop(ix))
+                elif key in kb:
+                    while len(res) >= num:
+                        res.pop()
+                    res.insert(0, (key, kb[key]))
+            break
+    if not weighted:
+        res.sort(key=lambda r: r[0].encode("utf-8"))
+        res = res[:num]
+    return res
+
+
+def analyzing_lookup(
+    entries, key: str, num: int, exact_first: bool = True,
+    fuzzy: bool = False, max_edits: int = 1, non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+):
+    """AnalyzingSuggester.lookup (fuzzy=True: FuzzySuggester defaults).
+    entries = [(surface, weight)], unique surfaces with unique analyzed
+    forms; whitespace analysis."""
+    ak = _analyzed(key)
+
+    if fuzzy and len(ak) > non_fuzzy_prefix and len(ak) >= min_fuzzy_length:
+        head, rest = ak[:non_fuzzy_prefix], ak[non_fuzzy_prefix:]
+
+        def accept(a: str) -> bool:
+            # some accepted string (head + t, osa(t, rest) <= max_edits)
+            # must be a prefix of the analyzed entry
+            lo = max(non_fuzzy_prefix, len(ak) - max_edits)
+            hi = min(len(a), len(ak) + max_edits)
+            for ln in range(lo, hi + 1):
+                p = a[:ln]
+                if p[:non_fuzzy_prefix] != head:
+                    continue
+                if osa_distance(p[non_fuzzy_prefix:], rest) <= max_edits:
+                    return True
+            return False
+    else:
+        def accept(a: str) -> bool:
+            return a.startswith(ak)
+
+    matches = [(k, w) for k, w in entries if accept(_analyzed(k))]
+    if not matches:
+        return []
+    results: list[tuple[str, int]] = []
+    exact = next(((k, w) for k, w in matches if k == key), None)
+    if exact_first and exact is not None:
+        results.append(exact)
+        if len(results) == num:
+            return results
+    pool = [
+        (k, w) for k, w in matches
+        if not (exact_first and exact is not None and k == key)
+    ]
+    pool.sort(key=lambda e: (-e[1], _analyzed(e[0]).encode("utf-8")))
+    results.extend(pool[: num - len(results)])
+    return results

@@ -649,6 +649,21 @@ def test_payload_queries_match_compiled_reference():
                         idx, ["a", "b", "c"], fn,
                         include_span_score=bool(inc), slop=3),
                 ))
+                # REPEATED clauses unordered: same-position cell ties —
+                # NearSpansUnordered's PriorityQueue advance order (GT
+                # round 25's cells walk, here through the payload path)
+                cases.append((
+                    f"PAYSCORE {fn} {inc} 1 0 a a",
+                    lambda fn=fn, inc=inc: payload_topk(
+                        idx, ["a", "a"], fn,
+                        include_span_score=bool(inc), slop=1, ordered=False),
+                ))
+                cases.append((
+                    f"PAYSCORE {fn} {inc} 3 0 a b a",
+                    lambda fn=fn, inc=inc: payload_topk(
+                        idx, ["a", "b", "a"], fn,
+                        include_span_score=bool(inc), slop=3, ordered=False),
+                ))
         for spec_q, spec_p in (
             ("a:0.25", (["a"], [0.25])),
             ("a:null", (["a"], [None])),
@@ -2328,3 +2343,72 @@ def test_suggest_freetext_gate_equals_pinned_model(spark):
     # the gate emits the completion word; the model's key carries the
     # full gram (context<0x1e>word for bigram-model results)
     assert got == [(k.split(SEP)[-1], v) for k, v in want] and got
+
+
+def test_completion_lookups_match_compiled_reference():
+    """Ground-truth round 27: the FST completion-lookup family —
+    WFSTCompletionLookup (both exactFirst modes), FSTCompletionLookup
+    (the alphabetical default path incl. its one-extra-per-lower-bucket
+    collect quirk, AND the onlyMorePopular weighted path with exact
+    promotion; values are BUCKETS), AnalyzingSuggester (both exactFirst
+    modes, preserveSep multi-token analysis), and FuzzySuggester
+    (maxEdits=1 with transpositions, nonFuzzyPrefix=1, minFuzzyLength=3)
+    — each pinned against the compiled classes over randomized weighted
+    entries: result keys, order, and long values all exact."""
+    from lucene_solr_spark.search.suggesters import (
+        analyzing_lookup,
+        fst_bucket_lookup,
+        wfst_lookup,
+    )
+
+    rng = random.Random(20260908)
+    words = ["so", "sort", "sorted", "sorter", "soup", "merge",
+             "mergesort", "fast", "fasten", "join"]
+    for corpus_round in range(4):
+        n = rng.randint(6, 14)
+        keys: set = set()
+        while len(keys) < n:
+            if rng.random() < 0.3:
+                keys.add(rng.choice(words) + " " + rng.choice(words))
+            else:
+                keys.add(rng.choice(words) + rng.choice(["", "x", "y"]))
+        entries = [(k, rng.randint(0, 50)) for k in sorted(keys)]
+
+        queries = []
+        for _ in range(20):
+            kind = rng.choice(
+                ["WFST", "WFSTNX", "FSTB", "FSTBW", "ANALYZING",
+                 "ANALYZINGNX", "FUZZY"]
+            )
+            base = rng.choice(list(keys))
+            r = rng.random()
+            if r < 0.3:
+                key = base[: rng.randint(1, len(base))]
+            elif r < 0.6:
+                key = base  # exact key — exercises exactFirst
+            elif r < 0.8:
+                key = rng.choice(["s", "so", "sor", "m", "f", "xq"])
+            else:
+                # a one-edit corruption for the fuzzy path
+                i = rng.randrange(1, max(2, len(base)))
+                key = base[:i] + rng.choice("az") + base[i + 1:]
+            queries.append((kind, rng.choice([1, 2, 3, 5, 10]), key))
+
+        expected = gt.run_suggesters(entries, queries)
+        assert len(expected) == len(queries)
+        for (kind, num, key), exp in zip(queries, expected):
+            if kind == "WFST":
+                got = wfst_lookup(entries, key, num, exact_first=True)
+            elif kind == "WFSTNX":
+                got = wfst_lookup(entries, key, num, exact_first=False)
+            elif kind == "FSTB":
+                got = fst_bucket_lookup(entries, key, num, weighted=False)
+            elif kind == "FSTBW":
+                got = fst_bucket_lookup(entries, key, num, weighted=True)
+            elif kind == "ANALYZING":
+                got = analyzing_lookup(entries, key, num, exact_first=True)
+            elif kind == "ANALYZINGNX":
+                got = analyzing_lookup(entries, key, num, exact_first=False)
+            else:
+                got = analyzing_lookup(entries, key, num, fuzzy=True)
+            assert got == exp, (corpus_round, kind, num, key, got, exp)

@@ -1096,6 +1096,99 @@ public class GroundTruthFreeText {
 """
 
 
+SUGGESTERS_JAVA = r"""
+import org.apache.lucene.search.suggest.InputIterator;
+import org.apache.lucene.search.suggest.Lookup;
+import org.apache.lucene.store.RAMDirectory;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthSuggesters {
+  static InputIterator iter(final java.util.List<String> keys,
+                            final java.util.List<Long> weights) {
+    return new InputIterator() {
+      int i = -1;
+      public BytesRef next() {
+        i++;
+        return i < keys.size() ? new BytesRef(keys.get(i)) : null;
+      }
+      public long weight() { return weights.get(i); }
+      public BytesRef payload() { return null; }
+      public boolean hasPayloads() { return false; }
+      public java.util.Set<BytesRef> contexts() { return null; }
+      public boolean hasContexts() { return false; }
+    };
+  }
+
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int n = Integer.parseInt(in.readLine().trim());
+    final java.util.List<String> keys = new java.util.ArrayList<>();
+    final java.util.List<Long> weights = new java.util.ArrayList<>();
+    for (int i = 0; i < n; i++) {
+      String[] p = in.readLine().trim().split(" ", 2);
+      weights.add(Long.parseLong(p[0]));
+      keys.add(java.net.URLDecoder.decode(p[1], "UTF-8"));
+    }
+    java.util.Map<String, Lookup> built = new java.util.HashMap<>();
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ", 3);
+      String kind = p[0];
+      int num = Integer.parseInt(p[1]);
+      String key = java.net.URLDecoder.decode(p[2], "UTF-8");
+      String family = kind.startsWith("FSTB") ? "FSTB"
+                    : kind.equals("WFSTNX") ? "WFSTNX"
+                    : kind.equals("ANALYZINGNX") ? "ANALYZINGNX" : kind;
+      Lookup lk = built.get(family);
+      if (lk == null) {
+        if (family.equals("WFST")) {
+          lk = new org.apache.lucene.search.suggest.fst.WFSTCompletionLookup(
+              new RAMDirectory(), "wfst", true);
+        } else if (family.equals("WFSTNX")) {
+          lk = new org.apache.lucene.search.suggest.fst.WFSTCompletionLookup(
+              new RAMDirectory(), "wfstnx", false);
+        } else if (family.equals("FSTB")) {
+          lk = new org.apache.lucene.search.suggest.fst.FSTCompletionLookup(
+              new RAMDirectory(), "fstb");
+        } else if (family.equals("ANALYZING")) {
+          lk = new org.apache.lucene.search.suggest.analyzing.AnalyzingSuggester(
+              new RAMDirectory(), "an",
+              new GroundTruthFreeText.WSOff(), new GroundTruthFreeText.WSOff());
+        } else if (family.equals("ANALYZINGNX")) {
+          // PRESERVE_SEP only (no EXACT_FIRST)
+          lk = new org.apache.lucene.search.suggest.analyzing.AnalyzingSuggester(
+              new RAMDirectory(), "annx",
+              new GroundTruthFreeText.WSOff(), new GroundTruthFreeText.WSOff(),
+              org.apache.lucene.search.suggest.analyzing.AnalyzingSuggester.PRESERVE_SEP,
+              256, -1, true);
+        } else if (family.equals("FUZZY")) {
+          lk = new org.apache.lucene.search.suggest.analyzing.FuzzySuggester(
+              new RAMDirectory(), "fz",
+              new GroundTruthFreeText.WSOff(), new GroundTruthFreeText.WSOff());
+        } else {
+          throw new IllegalArgumentException(kind);
+        }
+        lk.build(iter(keys, weights));
+        built.put(family, lk);
+      }
+      // FSTBW = onlyMorePopular=true (the weighted-order path);
+      // everything else uses the standard lookup
+      boolean omp = kind.equals("FSTBW");
+      StringBuilder out = new StringBuilder();
+      for (Lookup.LookupResult r : lk.lookup(key, omp, num)) {
+        if (out.length() > 0) out.append(";");
+        out.append(java.net.URLEncoder.encode((String) r.key, "UTF-8"))
+           .append(":").append(r.value);
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+  }
+}
+"""
+
+
 COMPLEX_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1949,6 +2042,47 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the FST completion-lookup family (suggest/fst + analyzing's
+    # Analyzing/Fuzzy suggesters); FSTUtil + the sorter plumbing and the
+    # tst/jaspell legacy lookups come along as compile deps
+    sg_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/search/suggest/analyzing/AnalyzingSuggester.class",
+    )
+    if not os.path.exists(sg_marker) and os.path.isdir(sug_root):
+        gsrcs = (
+            [os.path.join(sug_root, f) for f in (
+                "SortedInputIterator.java", "InMemorySorter.java",
+            )]
+            + [os.path.join(sug_root, "analyzing", "FSTUtil.java")]
+            + sorted(
+                os.path.join(sug_root, "tst", f)
+                for f in os.listdir(os.path.join(sug_root, "tst"))
+                if f.endswith(".java")
+            )
+            + sorted(
+                os.path.join(sug_root, "jaspell", f)
+                for f in os.listdir(os.path.join(sug_root, "jaspell"))
+                if f.endswith(".java")
+            )
+            + sorted(
+                os.path.join(sug_root, "fst", f)
+                for f in os.listdir(os.path.join(sug_root, "fst"))
+                if f.endswith(".java")
+            )
+            + [
+                os.path.join(sug_root, "analyzing", "AnalyzingSuggester.java"),
+                os.path.join(sug_root, "analyzing", "FuzzySuggester.java"),
+            ]
+        )
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + gsrcs,
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -1968,6 +2102,7 @@ def build() -> bool:
         ("GroundTruthComplex", COMPLEX_JAVA),
         ("GroundTruthSurround", SURROUND_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
+        ("GroundTruthSuggesters", SUGGESTERS_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -2282,6 +2417,48 @@ def run_freetext(
             continue
         if line == "!err":
             out.append([("!err", 0)])
+            continue
+        out.append([
+            (unquote(p.rsplit(":", 1)[0]), int(p.rsplit(":", 1)[1]))
+            for p in line.split(";")
+        ])
+    return out
+
+
+def run_suggesters(
+    entries: list[tuple[str, int]], queries: list[tuple[str, int, str]]
+) -> list[list[tuple[str, int]]]:
+    """Build the REAL completion lookups over weighted (key, weight)
+    entries and run each (KIND, num, key) query. KIND: WFST / WFSTNX
+    (WFSTCompletionLookup exactFirst on/off), FSTB (FSTCompletionLookup
+    default lookup — alphabetical order, 10 buckets) / FSTBW (its
+    onlyMorePopular weighted-order path), ANALYZING / ANALYZINGNX
+    (AnalyzingSuggester exactFirst on/off, preserveSep), FUZZY
+    (FuzzySuggester defaults). Returns per query
+    [(result key, long value)]."""
+    from urllib.parse import quote
+    from urllib.parse import unquote_plus as unquote  # URLEncoder: ' '->'+'
+
+    payload = (
+        [str(len(entries))]
+        + [f"{w} {quote(k)}" for k, w in entries]
+        + [str(len(queries))]
+        + [f"{kind} {num} {quote(key)}" for kind, num, key in queries]
+    )
+    r = subprocess.run(
+        ["java", "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+         "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSuggesters"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
             continue
         out.append([
             (unquote(p.rsplit(":", 1)[0]), int(p.rsplit(":", 1)[1]))
