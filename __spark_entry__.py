@@ -27,6 +27,7 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_phrase_sql,
     bm25_regexp_sql,
     bm25_rescore_sql,
+    bm25_simple_negation_sql,
     bm25_span_first_sql,
     bm25_span_near_sql,
     bm25_span_containing_sql,
@@ -259,6 +260,21 @@ PARSER_QUERIES = {
     "parser_opt_phrases": ('"fast sort" "merge sort"~2^2 spark', lambda: bm25_compound_sql(
         phrase="fast sort", phrase_required=False,
         phrases=[("merge sort", 2, 2.0, False)], should=["spark"], k=10)),
+}
+# query strings through SimpleQueryParser (queryparser/simple — the
+# never-erroring human syntax; GT round 28 pins parse + scoring to the
+# compiled reference). The oracle hand-builds the equivalent query.
+SIMPLE_QUERIES = {
+    # one alternation: `a | b + c` == BQ(MUST BQ(S a, S b), MUST c)
+    "simple_alternation": ("spark | merge + vector", lambda: bm25_compound_sql(
+        must=["vector"], groups=[("+", ["spark", "merge"])], k=10)),
+    # trailing-star prefix under '+': constant-score AND'd with a term
+    "simple_prefix_and": ("mer* + vector", lambda: bm25_compound_sql(
+        must=["vector"], wildcards=[("+", 1.0, "mer%")], k=10)),
+    # `-tok` = BQ(MUST_NOT tok, SHOULD MatchAllDocs): docs lacking the
+    # token earn +1.0; term-free docs still match (complement pass)
+    "simple_negation": ("merge -dup", lambda: bm25_simple_negation_sql(
+        "merge", "dup", k=10)),
 }
 
 
@@ -501,6 +517,13 @@ def _classic_query_fn(query: str, similarity: str = "classic"):
 def _parser_query_fn(qstr: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(parse_and_search(_searcher(spark, sf_dir), qstr, k=10))
+
+    return run
+
+
+def _simple_query_fn(qstr: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_simple(qstr, k=10))
 
     return run
 
@@ -804,6 +827,8 @@ def _bm25_groups() -> dict[str, list]:
         ))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():
         derived.append((name, _parser_query_fn(qstr), sql_fn()))
+    for name, (qstr, sql_fn) in SIMPLE_QUERIES.items():
+        derived.append((name, _simple_query_fn(qstr), sql_fn()))
     return {
         "bm25_scoring": scoring,
         "bm25_positional": positional,

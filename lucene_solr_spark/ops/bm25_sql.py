@@ -195,6 +195,62 @@ LIMIT {k}
 """
 
 
+def bm25_simple_negation_sql(pos: str, neg: str, k: int = 10) -> str:
+    """SimpleQueryParser `pos -neg` (simple/SimpleQueryParser.java:435-440):
+    the negation wraps as BQ(MUST_NOT neg, SHOULD MatchAllDocsQuery), an
+    OPTIONAL clause beside the scored term — so a doc matches when it
+    holds `pos` OR lacks `neg`, and every doc lacking `neg` earns a
+    constant +1.0 (ConstantScoreWeight under BM25's queryNorm == 1).
+    Rank-only contract (the float32 sum structure is pinned in the GT
+    tier); term-free docs tie at 1.0 and rank doc ASC."""
+    pos_t = analyze(pos)
+    neg_t = analyze(neg)
+    assert len(pos_t) == 1 and len(neg_t) == 1
+    p, n_ = pos_t[0], neg_t[0]
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term = '{p}' GROUP BY doc_id
+),
+dfs AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{n_}'),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(
+           ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * ({K1} + 1)
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)),
+           0.0
+         )
+         + CASE WHEN neg.doc_id IS NULL THEN 1.0 ELSE 0.0 END AS score,
+         (tf.doc_id IS NOT NULL OR neg.doc_id IS NULL) AS matched
+  FROM dl d
+  LEFT JOIN tf ON d.doc_id = tf.doc_id
+  LEFT JOIN neg ON d.doc_id = neg.doc_id
+  JOIN norm_lut lut ON d.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  CROSS JOIN dfs f
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored WHERE matched
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_dismax_sql(query: str, k: int = 10, tiebreak: float = 0.0) -> str:
     """DisjunctionMaxQuery: score = max clause + tiebreak * (sum - max)
     (DisjunctionMaxScorer). Rank-only output."""

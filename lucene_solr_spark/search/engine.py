@@ -1005,6 +1005,20 @@ class IndexSearcher:
             k=k,
         )
 
+    def topk_simple(self, query: str, k: int = 10,
+                    default_operator: str = "", flags: int = -1) -> DataFrame:
+        """SimpleQueryParser (queryparser/simple/SimpleQueryParser.java):
+        the never-erroring human syntax — `+` AND / `|` OR / `-` NOT /
+        quotes / trailing-`*` prefix / `~N` fuzzy-or-near / parens — with
+        the reference's right-to-left alternation trees and MatchAllDocs
+        negation wrapper, pinned bit-for-bit vs the compiled reference
+        (GT round 28). See search/simpleqp.py."""
+        from .simpleqp import spark_topk_simple
+
+        return spark_topk_simple(
+            self, query, k=k, default_operator=default_operator, flags=flags
+        )
+
     def topk_surround(self, query: str, k: int = 10) -> DataFrame:
         """The surround query language's distance operators
         (queryparser/surround): prefix form `<n>W(arg, ...)` (ordered) /

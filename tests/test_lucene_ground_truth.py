@@ -2412,3 +2412,105 @@ def test_completion_lookups_match_compiled_reference():
             else:
                 got = analyzing_lookup(entries, key, num, fuzzy=True)
             assert got == exp, (corpus_round, kind, num, key, got, exp)
+
+
+def test_simple_query_parser_matches_compiled_reference():
+    """Ground-truth round 28 — SimpleQueryParser (lucene/queryparser/
+    simple/SimpleQueryParser.java) vs the compiled reference: raw query
+    strings through the real parser + IndexSearcher over a whitespace
+    index, top-10 docids + float32 scores bit-for-bit against
+    search/simpleqp.py's parse + Boolean2ScorerSupplier tree evaluation.
+    Covers the right-to-left tree alternation, the MatchAllDocs negation
+    wrapper (term-free docs matching at 1.0), prefix CONSTANT_SCORE /
+    fuzzy blended rewrites, escapes, slop/fuzziness junk tolerance, the
+    null-branch pending-operator quirk, restricted flag masks, and the
+    MUST default operator."""
+    from lucene_solr_spark.search import simpleqp as sq
+    from lucene_solr_spark.search.simpleqp import (
+        build_ws_oracle_index,
+        simple_topk,
+    )
+
+    fixed = [
+        ("OR", -1, "aa bb"), ("OR", -1, "aa + bb"), ("OR", -1, "aa | bb + cc"),
+        ("OR", -1, "aa -bb"), ("OR", -1, "-bb"), ("OR", -1, '"bb cc"'),
+        ("OR", -1, '"aa bb"~2'), ("OR", -1, "a*"), ("OR", -1, "ab~1"),
+        ("AND", -1, "aa bb"), ("OR", -1, "aa + (bb | dd) cc"),
+        ("OR", -1, "--aa"), ("OR", -1, "aa~x"), ("OR", -1, "\\-bb"),
+        ("OR", -1, "aa + bb | cc + dd"),     # two alternations: depth-3 tree
+        ("OR", -1, "(aa bb"), ("OR", -1, "aa))"), ("OR", -1, "() aa"),
+        ("OR", -1, '"" aa'),
+        ("OR", -1, '"bb cc"~2+aa'),          # post-slop char swallowed
+        ("OR", -1, "aa~2 -dd"), ("OR", -1, '-"bb cc" dd'),
+        ("OR", -1, "-(bb | dd) aa"),
+        ("OR", -1, 'aa + ""~2 bb'),          # null branch keeps '+' pending
+        ("AND", -1, "aa | bb cc"), ("AND", -1, "-aa bb"),
+        ("OR", -1, "aa+bb|cc"), ("OR", -1, "ab*~1"),  # fuzzy wins over prefix
+        ("OR", -1, "a\\*"), ("OR", -1, "aa~-3"), ("OR", -1, "aa~9"),
+        # restricted flags: no NOT -> '-' is a term char; no PRECEDENCE ->
+        # parens are term chars; no FUZZY -> '~' is a term char
+        ("OR", sq.AND_OPERATOR | sq.OR_OPERATOR | sq.PHRASE_OPERATOR
+         | sq.WHITESPACE_OPERATOR, "-bb aa"),
+        ("OR", sq.AND_OPERATOR | sq.WHITESPACE_OPERATOR, "(aa bb) cc"),
+        ("OR", sq.WHITESPACE_OPERATOR | sq.NOT_OPERATOR, "aa~1 -bb"),
+        ("OR", sq.ALL_FLAGS & ~sq.ESCAPE_OPERATOR, "\\-bb"),
+    ]
+
+    vocab = ["aa", "ab", "abc", "bb", "bc", "cc", "cd", "dd", "-aa", "a*b"]
+    rng = random.Random(28282828)
+
+    def gen_query(depth: int = 0) -> str:
+        def unit() -> str:
+            r = rng.random()
+            if r < 0.42:
+                t = rng.choice(vocab)
+                r2 = rng.random()
+                if r2 < 0.12:
+                    return t[: max(1, len(t) - 1)] + "*"
+                if r2 < 0.24:
+                    return t + "~" + rng.choice(["1", "2", "3", "0", "x", ""])
+                if r2 < 0.30:
+                    return "\\" + t
+                return t
+            if r < 0.72:
+                toks = [rng.choice(vocab) for _ in range(rng.randint(1, 3))]
+                ph = '"' + " ".join(toks) + '"'
+                if rng.random() < 0.45:
+                    ph += "~" + rng.choice(["0", "1", "2", "5", ""])
+                return ph
+            if depth < 2:
+                return "(" + gen_query(depth + 1) + ")"
+            return rng.choice(vocab)
+
+        parts = []
+        for i in range(rng.randint(1, 5 if depth == 0 else 3)):
+            glue = rng.choice(["", "", "+", "|", "-", "+ ", "| ", "- ", "-- "])
+            if i == 0 and rng.random() < 0.7:
+                glue = "" if "-" not in glue else glue
+            parts.append(glue + unit())
+        q = " ".join(parts)
+        if depth == 0 and rng.random() < 0.12:
+            q += rng.choice([")", " (", ' "', " -"])
+        return q
+
+    for corpus_round in range(4):
+        n_docs = rng.randint(6, 25)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(n_docs)
+        ]
+        idx = build_ws_oracle_index(list(enumerate(docs)))
+        cases = list(fixed) if corpus_round == 0 else []
+        for _ in range(40):
+            q = gen_query()
+            assert "\t" not in q and "\n" not in q
+            cases.append((rng.choice(["OR", "OR", "OR", "AND"]), -1, q))
+        expected = gt.run_simpleqp(docs, cases)
+        assert len(expected) == len(cases)
+        for (op, flags, q), exp in zip(cases, expected):
+            got = simple_topk(
+                idx, q, k=10,
+                default_operator="+" if op == "AND" else "",
+                flags=flags,
+            )
+            _assert_topk_equal(got, exp, (corpus_round, op, flags, q))

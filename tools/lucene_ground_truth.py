@@ -457,6 +457,58 @@ public class GroundTruthTopK {
 """
 
 
+SIMPLE_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queryparser.simple.SimpleQueryParser;
+
+public class GroundTruthSimple {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    int nQ = Integer.parseInt(in.readLine().trim());
+    // case line: <AND|OR> \t <flags int> \t <raw query (may hold spaces)>
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] parts = in.readLine().split("\t", 3);
+      int flags = Integer.parseInt(parts[1]);
+      SimpleQueryParser sp = new SimpleQueryParser(
+          new GroundTruth.WS(),
+          java.util.Collections.singletonMap("body", 1.0f), flags);
+      sp.setDefaultOperator("AND".equals(parts[0])
+          ? org.apache.lucene.search.BooleanClause.Occur.MUST
+          : org.apache.lucene.search.BooleanClause.Occur.SHOULD);
+      Query q = sp.parse(parts[2]);
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 PARSER_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1908,6 +1960,24 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the simple parser (queryparser module) needs core only
+    sq_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/queryparser/simple/SimpleQueryParser.class",
+    )
+    sq_src = (
+        "/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+        "queryparser/simple/SimpleQueryParser.java"
+    )
+    if not os.path.exists(sq_marker) and os.path.exists(sq_src):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, sq_src],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/facet depends only on core
     fc_marker = os.path.join(
         CLASSES,
@@ -2088,6 +2158,7 @@ def build() -> bool:
         ("GroundTruth", HARNESS_JAVA),
         ("GroundTruthTopK", TOPK_JAVA),
         ("GroundTruthParser", PARSER_JAVA),
+        ("GroundTruthSimple", SIMPLE_JAVA),
         ("GroundTruthPayload", PAYLOAD_JAVA),
         ("GroundTruthMLT", MLT_JAVA),
         ("GroundTruthSpell", SPELL_JAVA),
@@ -2174,6 +2245,34 @@ def run_parser(docs: list[str], query_strings: list[str]) -> list[list[tuple[int
     payload = [str(len(docs))] + list(docs) + [str(len(query_strings))] + list(query_strings)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthParser"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
+
+
+def run_simpleqp(
+    docs: list[str], cases: list[tuple[str, int, str]]
+) -> list[list[tuple[int, str]]]:
+    """Index `docs` and run each (default_op 'OR'|'AND', flags, raw query)
+    through the compiled reference's SimpleQueryParser + search. Returns
+    per case the top-10 [(docid, score_str)]."""
+    lines = [f"{op}\t{flags}\t{q}" for op, flags, q in cases]
+    payload = [str(len(docs))] + list(docs) + [str(len(cases))] + lines
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSimple"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
