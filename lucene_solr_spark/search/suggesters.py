@@ -42,7 +42,15 @@ SEP = "\x1f"  # AnalyzingSuggester.SEP_LABEL
 
 
 def _analyzed(s: str) -> str:
-    return SEP.join(s.split())
+    a = SEP.join(s.split())
+    # TokenStreamToAutomaton.java:196-206: characters past the last
+    # token's endOffset (trailing whitespace) add ONE POS_SEP transition
+    # to a fresh end state — so "sort " analyzes to sort+SEP and only
+    # multi-token completions whose next token follows can match
+    # (pinned vs the compiled AnalyzingSuggester, GT round 27b)
+    if a and s != s.rstrip():
+        a += SEP
+    return a
 
 
 def wfst_lookup(entries, key: str, num: int, exact_first: bool = True):

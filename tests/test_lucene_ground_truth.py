@@ -2380,7 +2380,9 @@ def test_completion_lookups_match_compiled_reference():
                 ["WFST", "WFSTNX", "FSTB", "FSTBW", "ANALYZING",
                  "ANALYZINGNX", "FUZZY"]
             )
-            base = rng.choice(list(keys))
+            # sorted: set iteration order depends on PYTHONHASHSEED and
+            # would make the generated queries differ per process
+            base = rng.choice(sorted(keys))
             r = rng.random()
             if r < 0.3:
                 key = base[: rng.randint(1, len(base))]
@@ -2394,6 +2396,15 @@ def test_completion_lookups_match_compiled_reference():
                 key = base[:i] + rng.choice("az") + base[i + 1:]
             queries.append((kind, rng.choice([1, 2, 3, 5, 10]), key))
 
+        # trailing-whitespace keys: TokenStreamToAutomaton appends ONE
+        # POS_SEP for characters past the last token's endOffset
+        # (TokenStreamToAutomaton.java:196-206), so "sort " only matches
+        # multi-token completions — pinned after a PYTHONHASHSEED-random
+        # query draw exposed the miss (GT round 27b)
+        for base in sorted(keys)[:3]:
+            queries.append(("ANALYZING", 3, base.split(" ")[0] + " "))
+            queries.append(("ANALYZINGNX", 2, base + " "))
+            queries.append(("FUZZY", 3, base.split(" ")[0] + "  "))
         expected = gt.run_suggesters(entries, queries)
         assert len(expected) == len(queries)
         for (kind, num, key), exp in zip(queries, expected):
