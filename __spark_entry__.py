@@ -22,6 +22,7 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_boosted_sql,
     bm25_compound_sql,
     bm25_dismax_sql,
+    bm25_filter_clause_sql,
     bm25_mlt_sql,
     bm25_multi_phrase_sql,
     bm25_phrase_sql,
@@ -276,6 +277,30 @@ SIMPLE_QUERIES = {
     "simple_negation": ("merge -dup", lambda: bm25_simple_negation_sql(
         "merge", "dup", k=10)),
 }
+# XML query documents through CoreParser's element set (queryparser/xml;
+# GT round 29 pins the mapping to the compiled reference)
+XML_QUERIES = {
+    "xml_dismax": (
+        '<DisjunctionMaxQuery fieldName="text" tieBreaker="0.2">'
+        "<TermQuery>spark</TermQuery><TermQuery>merge</TermQuery>"
+        "<TermQuery>vector</TermQuery></DisjunctionMaxQuery>",
+        lambda: bm25_dismax_sql("spark merge vector", k=10, tiebreak=0.2),
+    ),
+    # FILTER occur: required for matching, contributes nothing to score
+    "xml_bool_filter": (
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="filter"><TermQuery>fast</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>spark</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+        "</BooleanQuery>",
+        lambda: bm25_filter_clause_sql("fast", "spark merge", k=10),
+    ),
+    "xml_span_near": (
+        '<SpanNear fieldName="text" slop="2" inOrder="true">'
+        "<SpanTerm>fast</SpanTerm><SpanTerm>sort</SpanTerm></SpanNear>",
+        lambda: bm25_span_near_sql(["fast", "sort"], slop=2, ordered=True, k=10),
+    ),
+}
 
 
 def _ranked(hits: DataFrame) -> DataFrame:
@@ -524,6 +549,13 @@ def _parser_query_fn(qstr: str):
 def _simple_query_fn(qstr: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_simple(qstr, k=10))
+
+    return run
+
+
+def _xml_query_fn(xmlq: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_xml(xmlq, k=10))
 
     return run
 
@@ -829,6 +861,8 @@ def _bm25_groups() -> dict[str, list]:
         derived.append((name, _parser_query_fn(qstr), sql_fn()))
     for name, (qstr, sql_fn) in SIMPLE_QUERIES.items():
         derived.append((name, _simple_query_fn(qstr), sql_fn()))
+    for name, (xmlq, sql_fn) in XML_QUERIES.items():
+        derived.append((name, _xml_query_fn(xmlq), sql_fn()))
     return {
         "bm25_scoring": scoring,
         "bm25_positional": positional,

@@ -251,6 +251,63 @@ LIMIT {k}
 """
 
 
+def bm25_filter_clause_sql(filter_term: str, should: str, k: int = 10) -> str:
+    """BooleanQuery with a FILTER clause (BooleanClause.Occur.FILTER —
+    xml/builders/BooleanQueryBuilder.java getOccursValue 'filter'):
+    required for matching, contributes NOTHING to the score. Docs must
+    hold `filter_term` and >= 1 should term; score = sum over matching
+    SHOULD clauses only. Rank-only contract."""
+    ft = analyze(filter_term)
+    should_t = analyze(should)
+    assert len(ft) == 1 and should_t
+    f = ft[0]
+    uniq = sorted(set(should_t))
+    clause_vals = ",".join(f"('{t}',{should_t.count(t)})" for t in uniq)
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+flt AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{f}'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1) * c.clause_n
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN clauses c USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM flt)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_dismax_sql(query: str, k: int = 10, tiebreak: float = 0.0) -> str:
     """DisjunctionMaxQuery: score = max clause + tiebreak * (sum - max)
     (DisjunctionMaxScorer). Rank-only output."""

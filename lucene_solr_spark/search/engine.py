@@ -1019,6 +1019,23 @@ class IndexSearcher:
             self, query, k=k, default_operator=default_operator, flags=flags
         )
 
+    def topk_xml(self, xml_string: str, k: int = 10,
+                 content_field: str = "text") -> DataFrame:
+        """The XML query parser (queryparser/xml/CoreParser.java):
+        TermQuery/TermsQuery/BooleanQuery (all four occurs incl. FILTER)/
+        RangeQuery/DisjunctionMaxQuery/ConstantScoreQuery/UserQuery/
+        span elements, mapped onto the shared tree evaluator — pinned
+        bit-for-bit vs the compiled CoreParser (GT round 29). See
+        search/xmlqp.py."""
+        from .simpleqp import _analyzer_with_positions, spark_topk_tree
+        from .xmlqp import parse_xml_query
+
+        tree = parse_xml_query(
+            xml_string, _analyzer_with_positions(self.analyzer),
+            content_field=content_field,
+        )
+        return spark_topk_tree(self, tree, k=k)
+
     def topk_surround(self, query: str, k: int = 10) -> DataFrame:
         """The surround query language's distance operators
         (queryparser/surround): prefix form `<n>W(arg, ...)` (ordered) /

@@ -95,6 +95,14 @@ class ParsedQuery:
     # paren groups: [(occur, [terms], [expansions])] — one nesting level,
     # SHOULD-only inside
     groups: list[tuple[str, list[str], list[tuple]]] = field(default_factory=list)
+    # every top-level bare-word clause IN ORDER as (occur, term, boost) —
+    # unlike `boosts` (a term-keyed dict) this keeps PER-OCCURRENCE
+    # boosts for duplicate terms ('bb bb^2' is two clauses with boosts
+    # 1 and 2 in the reference; the dict can only hold one). The flat
+    # spec path can't express per-occurrence weights (its scorer weighs
+    # each term once), so it keeps the dict semantics; tree-based
+    # consumers (search/xmlqp.py) use this for reference-exact scoring.
+    term_clauses: list[tuple[str, str, float]] = field(default_factory=list)
 
 
 def _lex(query: str):
@@ -268,7 +276,12 @@ def parse(query: str) -> ParsedQuery:
             )
             continue
         tgt = out.must_not if occur == "-" else out.must if occur == "+" else out.should
+        n_before = len(tgt)
         _word_node(val["text"], occur, tgt, out.expansions, out.boosts, val["boost"])
+        if len(tgt) > n_before:
+            out.term_clauses.append(
+                (occur, tgt[-1], float(val["boost"] or 1.0))
+            )
     return out
 
 

@@ -368,11 +368,36 @@ def resolve_tree(tree, searcher_like):
         members = []
         for t, _df, b in picked:
             w = np.float32(idf * np.float32(b))
-            members.append((t, float(np.float32(w * (K1 + np.float32(1.0))))))
-        return ("blend", tuple(members))
+            # (term, weightValue-at-boost-1, fuzzy boost): the third
+            # field lets an OUTER BoostQuery recompute the member weight
+            # with the reference's f32(B * b) total (GT round 6)
+            members.append((
+                t, float(np.float32(w * (K1 + np.float32(1.0)))), float(b)
+            ))
+        return ("blend", tuple(members), float(idf))
     if kind == "bool":
-        return ("bool", tuple((occ, resolve_tree(sub, searcher_like))
-                              for occ, sub in tree[1]))
+        out = ("bool", tuple((occ, resolve_tree(sub, searcher_like))
+                             for occ, sub in tree[1]))
+        if len(tree) > 2:
+            out = out + (tree[2],)
+        return out
+    if kind == "boosted":
+        return ("boosted", tree[1], resolve_tree(tree[2], searcher_like))
+    if kind == "const_q":
+        return ("const_q", resolve_tree(tree[1], searcher_like))
+    if kind == "dismax":
+        return ("dismax", tree[1],
+                tuple(resolve_tree(s, searcher_like) for s in tree[2]))
+    if kind == "term_range":
+        lo, hi, inc_lo, inc_hi = tree[1]
+        return ("const", tuple(searcher_like.expand_terms(
+            lower=lo, upper=hi, include_lower=inc_lo, include_upper=inc_hi,
+            max_terms=None,
+        )))
+    if kind == "wildcard":
+        like = tree[1].replace("*", "%").replace("?", "_")
+        return ("const", tuple(searcher_like.expand_terms(like=like,
+                                                          max_terms=None)))
     return tree
 
 
@@ -386,11 +411,25 @@ def tree_terms(tree) -> set[str]:
     if kind == "const":
         return set(tree[1])
     if kind == "blend":
-        return {t for t, _wv in tree[1]}
+        return {m[0] for m in tree[1]}
     if kind == "bool":
         out: set[str] = set()
         for _occ, sub in tree[1]:
             out |= tree_terms(sub)
+        return out
+    if kind == "boosted":
+        return tree_terms(tree[2])
+    if kind == "const_q":
+        return tree_terms(tree[1])
+    if kind == "dismax":
+        out = set()
+        for sub in tree[2]:
+            out |= tree_terms(sub)
+        return out
+    if kind == "span":
+        out = {t for c in tree[2] for t in c}
+        if tree[1] == "not":
+            out |= {t for c in tree[4] for t in c}
         return out
     return set()
 
@@ -405,24 +444,67 @@ def tree_phrases(tree) -> list[tuple[tuple[tuple[str, int], ...], int]]:
         for _occ, sub in tree[1]:
             out.extend(tree_phrases(sub))
         return out
+    if kind == "boosted":
+        return tree_phrases(tree[2])
+    if kind == "const_q":
+        return tree_phrases(tree[1])
+    if kind == "dismax":
+        out = []
+        for sub in tree[2]:
+            out.extend(tree_phrases(sub))
+        return out
     return []
+
+
+def tree_pos_terms(tree) -> set[str]:
+    """Terms whose POSITIONS the evaluator reads (phrase + span leaves)."""
+    kind = tree[0]
+    if kind == "phrase":
+        return {t for t, _off in tree[1]}
+    if kind == "span":
+        return tree_terms(tree)
+    if kind == "bool":
+        out: set[str] = set()
+        for _occ, sub in tree[1]:
+            out |= tree_pos_terms(sub)
+        return out
+    if kind == "boosted":
+        return tree_pos_terms(tree[2])
+    if kind == "const_q":
+        return tree_pos_terms(tree[1])
+    if kind == "dismax":
+        out = set()
+        for sub in tree[2]:
+            out |= tree_pos_terms(sub)
+        return out
+    return set()
 
 
 # ---------------------------------------------------------------------------
 # evaluation: the Boolean2ScorerSupplier float tree over dense arrays
 
 
-def eval_tree(tree, ctx):
+def eval_tree(tree, ctx, boost=np.float32(1.0)):
     """-> (match bool[n], score float32[n] zeroed where unmatched).
     ctx protocol: n, nb (uint8[n]), doc_count, cache (f32[256] norm
-    cache), tf(term)->f32[n], df(term)->int, wv(term)->f32 weightValue,
-    phrase_freq(pairs, slop)->f32[n]."""
+    cache), tf(term)->f32[n], df(term)->int,
+    phrase_freq(pairs, slop)->f32[n], span_freq(kind, clauses, slop,
+    extra)->f32[n] (only when span leaves occur).
+
+    `boost` is the BoostQuery product threaded down exactly as
+    createNormalizedWeight distributes it: each BoostQuery boundary
+    multiplies in float32 and leaves fold it into their weight at the
+    reference's cast points (BM25Stats.normalize weight = (float)(idf *
+    boost), then weightValue = (float)(weight * (k1+1)) — GT round 4;
+    ConstantScoreWeight.normalize queryWeight = queryNorm * boost)."""
     kind = tree[0]
     zero = np.float32(0.0)
     if kind == "term":
         tf = ctx.tf(tree[1])
         m = tf > 0
-        s = (ctx.wv(tree[1]) * tf / (tf + ctx.cache[ctx.nb])).astype(np.float32)
+        idf = idf_f32(ctx.df(tree[1]), ctx.doc_count)
+        wv = np.float32(np.float32(idf * boost) * (K1 + np.float32(1.0)))
+        s = (wv * tf / (tf + ctx.cache[ctx.nb])).astype(np.float32)
         return m, np.where(m, s, zero)
     if kind == "phrase":
         pairs, slop = tree[1], tree[2]
@@ -431,7 +513,24 @@ def eval_tree(tree, ctx):
         idf_sum = idf_sum_f32(
             idf_f32(ctx.df(t), ctx.doc_count) for t, _off in pairs
         )
-        wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        wv = np.float32(np.float32(idf_sum * boost) * (K1 + np.float32(1.0)))
+        m = pf > 0
+        s = (wv * pf / (pf + ctx.cache[ctx.nb])).astype(np.float32)
+        return m, np.where(m, s, zero)
+    if kind == "span":
+        # SpanWeight.buildSimWeight: one idf per DISTINCT term in the
+        # term-context map — SpanNot includes BOTH sides' contexts
+        _k, skind, clauses, slop, extra = (
+            tree[0], tree[1], tree[2], tree[3], tree[4]
+        )
+        terms = {t for c in clauses for t in c}
+        if skind == "not":
+            terms |= {t for c in extra for t in c}
+        idf_sum = idf_sum_f32(
+            idf_f32(ctx.df(t), ctx.doc_count) for t in sorted(terms)
+        )
+        wv = np.float32(np.float32(idf_sum * boost) * (K1 + np.float32(1.0)))
+        pf = ctx.span_freq(skind, clauses, slop, extra).astype(np.float32)
         m = pf > 0
         s = (wv * pf / (pf + ctx.cache[ctx.nb])).astype(np.float32)
         return m, np.where(m, s, zero)
@@ -439,35 +538,83 @@ def eval_tree(tree, ctx):
         m = np.zeros(ctx.n, dtype=bool)
         for t in tree[1]:
             m |= ctx.tf(t) > 0
-        return m, np.where(m, np.float32(1.0), zero)
+        return m, np.where(m, np.float32(boost), zero)
     if kind == "blend":
         m = np.zeros(ctx.n, dtype=bool)
         acc = np.zeros(ctx.n, dtype=np.float64)
-        for t, wv in tree[1]:
+        for member in tree[1]:
+            t, wv0 = member[0], member[1]
+            if boost != np.float32(1.0):
+                # recompute with the reference's total = f32(B * b)
+                if len(member) < 3 or len(tree) < 3:
+                    raise ValueError("boosted blend needs (t, wv, b) members")
+                tb = np.float32(boost * np.float32(member[2]))
+                w = np.float32(np.float32(tree[2]) * tb)
+                wv = np.float32(w * (K1 + np.float32(1.0)))
+            else:
+                wv = np.float32(wv0)
             tf = ctx.tf(t)
-            s = (np.float32(wv) * tf / (tf + ctx.cache[ctx.nb])).astype(np.float32)
+            s = (wv * tf / (tf + ctx.cache[ctx.nb])).astype(np.float32)
             hit = tf > 0
             m |= hit
             acc += np.where(hit, s, zero).astype(np.float64)
         return m, np.where(m, acc.astype(np.float32), zero)
     if kind == "matchall":
         return (np.ones(ctx.n, dtype=bool),
-                np.ones(ctx.n, dtype=np.float32))
+                np.full(ctx.n, np.float32(boost), dtype=np.float32))
+    if kind == "boosted":
+        # BoostQuery: boost multiplies in FLOAT32 at each wrapper
+        return eval_tree(tree[2], ctx, np.float32(boost * np.float32(tree[1])))
+    if kind == "const_q":
+        # ConstantScoreQuery(q): match = q's match; score = the threaded
+        # boost (the wrapped query's own scores are discarded)
+        mm, _ss = eval_tree(tree[1], ctx, np.float32(1.0))
+        return mm, np.where(mm, np.float32(boost), zero)
+    if kind == "dismax":
+        # DisjunctionMaxScorer: float32 scoreSum accumulated in clause
+        # order; score = max + (sum - max) * tie, float32 ops (GT round 2)
+        tie = np.float32(tree[1])
+        subs = [eval_tree(s, ctx, boost) for s in tree[2]]
+        m = np.zeros(ctx.n, dtype=bool)
+        for mm, _ss in subs:
+            m |= mm
+        mx = np.zeros(ctx.n, dtype=np.float32)
+        tot = np.zeros(ctx.n, dtype=np.float32)
+        for _mm, ss in subs:
+            np.maximum(mx, ss, out=mx)
+            tot = (tot + ss).astype(np.float32)
+        score = (mx + (tot - mx) * tie).astype(np.float32)
+        return m, np.where(m, score, zero)
     if kind != "bool":
         raise ValueError(f"unresolved node {kind!r} (call resolve_tree first)")
-    req, opt, proh = [], [], []
+    msm = int(tree[2]) if len(tree) > 2 else 0
+    req, opt, proh, filt = [], [], [], []
     for occ, sub in tree[1]:
-        mm, ss = eval_tree(sub, ctx)
+        if occ == "f":
+            # FILTER clause: required for matching, never scores —
+            # evaluate at boost 1 (needsScores false side)
+            filt.append(eval_tree(sub, ctx, np.float32(1.0)))
+            continue
+        mm, ss = eval_tree(sub, ctx, boost)
         (proh if occ == "-" else req if occ == "+" else opt).append((mm, ss))
-    if req:
-        match = req[0][0].copy()
-        for mm, _ss in req[1:]:
+    if msm > len(opt):
+        # Boolean2ScorerSupplier: more msm than optional clauses -> no hit
+        never = np.zeros(ctx.n, dtype=bool)
+        return never, np.zeros(ctx.n, dtype=np.float32)
+    required_masks = [mm for mm, _ss in req] + [mm for mm, _ss in filt]
+    if required_masks:
+        match = required_masks[0].copy()
+        for mm in required_masks[1:]:
             match &= mm
+        needed = msm
     else:
-        # pure-SHOULD BooleanQuery needs >= 1 optional match
-        match = np.zeros(ctx.n, dtype=bool)
+        match = np.ones(ctx.n, dtype=bool)
+        needed = max(1, msm)
+    if needed > 0:
+        hits = np.zeros(ctx.n, dtype=np.int32)
         for mm, _ss in opt:
-            match |= mm
+            hits += mm.astype(np.int32)
+        match &= hits >= needed
     for mm, _ss in proh:
         match &= ~mm
     req32 = opt32 = None
@@ -485,8 +632,11 @@ def eval_tree(tree, ctx):
         score = (req32 + opt32).astype(np.float32)
     elif req32 is not None:
         score = req32
-    else:
+    elif opt32 is not None:
         score = opt32
+    else:
+        # only FILTER/MUST_NOT clauses: matches score 0 (no scoring clause)
+        score = np.zeros(ctx.n, dtype=np.float32)
     return match, np.where(match, score, zero)
 
 
@@ -513,6 +663,9 @@ def matches_empty_doc(tree) -> tuple[bool, float]:
             return np.float32(1.0)
 
         def phrase_freq(self, _pairs, _slop):
+            return np.zeros(1, dtype=np.float32)
+
+        def span_freq(self, _kind, _clauses, _slop, _extra):
             return np.zeros(1, dtype=np.float32)
 
     m, s = eval_tree(tree, _EmptyCtx())
@@ -600,6 +753,45 @@ class _OracleCtx:
                     out[i] = len(match)
         return out
 
+    def _plist(self, alts, d: int) -> list[int]:
+        return sorted(
+            p for t in alts for p in self.idx.positions.get(t, {}).get(int(d), [])
+        )
+
+    def span_freq(self, kind: str, clauses, slop: int, extra) -> np.ndarray:
+        """Span leaf freq per doc via the reference walks (search/spans.py)
+        — mirrors oracle_topk_spec's span path clause conventions."""
+        from .spans import (
+            span_first_freq,
+            span_not_freq,
+            span_ordered_freq,
+            span_unordered_freq,
+        )
+
+        out = np.zeros(self.n, dtype=np.float32)
+        if kind == "or":
+            # merged term spans: freq = total occurrence count
+            for i, d in enumerate(self.docs):
+                out[i] = sum(
+                    len(self.idx.positions.get(t, {}).get(int(d), []))
+                    for c in clauses for t in c
+                )
+            return out
+        for i, d in enumerate(self.docs):
+            plists = [self._plist(c, d) for c in clauses]
+            if any(not pl for pl in plists):
+                continue
+            if kind == "first":
+                out[i] = span_first_freq(plists[0], int(extra))
+            elif kind == "not":
+                exc = self._plist(tuple(t for c in extra for t in c), d)
+                out[i] = span_not_freq(plists, slop, exc)
+            elif kind == "near_ord":
+                out[i] = span_ordered_freq(plists, slop)
+            else:
+                out[i] = span_unordered_freq(plists, slop)
+        return out
+
 
 class _OracleDict:
     """resolve_tree's searcher_like over an OracleIndex."""
@@ -608,23 +800,36 @@ class _OracleDict:
         self.idx = idx
         self.doc_count = idx.doc_count
 
-    def expand_terms(self, *, prefix: str, max_terms=None):
-        terms = sorted(t for t in self.idx.postings if t.startswith(prefix))
+    def expand_terms(self, *, prefix: str | None = None, like: str | None = None,
+                     lower: str | None = None, upper: str | None = None,
+                     include_lower: bool = True, include_upper: bool = True,
+                     max_terms=None):
+        import re as _re
+
+        terms = sorted(self.idx.postings)
+        if prefix is not None:
+            terms = [t for t in terms if t.startswith(prefix)]
+        if like is not None:
+            rx = "".join(
+                ".*" if c == "%" else "." if c == "_" else _re.escape(c)
+                for c in like
+            )
+            terms = [t for t in terms if _re.fullmatch(rx, t)]
+        if lower is not None:
+            terms = [t for t in terms
+                     if (t >= lower if include_lower else t > lower)]
+        if upper is not None:
+            terms = [t for t in terms
+                     if (t <= upper if include_upper else t < upper)]
         return terms if max_terms is None else terms[:max_terms]
 
     def fuzzy_dictionary(self, _base: str, max_edits: int = 2):
         return [(t, len(self.idx.postings[t])) for t in sorted(self.idx.postings)]
 
 
-def simple_topk(idx, query: str, k: int = 10, default_operator: str = "",
-                flags: int = ALL_FLAGS,
-                analyze_fn=None) -> list[tuple[int, np.float32]]:
-    """Control oracle: SimpleQueryParser parse + search over an
-    OracleIndex (whitespace analysis by default — the GT harness chain;
-    pass analyze_fn to mirror another index chain), top-k
-    (doc_id, float32 score), score DESC / doc ASC."""
-    tree = parse_simple(query, analyze_fn=analyze_fn, flags=flags,
-                        default_operator=default_operator)
+def oracle_topk_tree(idx, tree, k: int = 10) -> list[tuple[int, np.float32]]:
+    """Resolve + evaluate a query tree over an OracleIndex (all docs as
+    candidates): top-k (doc_id, float32 score), score DESC / doc ASC."""
     if tree is None:
         return []
     tree = resolve_tree(tree, _OracleDict(idx))
@@ -637,6 +842,18 @@ def simple_topk(idx, query: str, k: int = 10, default_operator: str = "",
         return []
     order = keep[np.lexsort((docs[keep], -s[keep].astype(np.float64)))]
     return [(int(docs[i]), np.float32(s[i])) for i in order[:k]]
+
+
+def simple_topk(idx, query: str, k: int = 10, default_operator: str = "",
+                flags: int = ALL_FLAGS,
+                analyze_fn=None) -> list[tuple[int, np.float32]]:
+    """Control oracle: SimpleQueryParser parse + search over an
+    OracleIndex (whitespace analysis by default — the GT harness chain;
+    pass analyze_fn to mirror another index chain), top-k
+    (doc_id, float32 score), score DESC / doc ASC."""
+    tree = parse_simple(query, analyze_fn=analyze_fn, flags=flags,
+                        default_operator=default_operator)
+    return oracle_topk_tree(idx, tree, k=k)
 
 
 # ---------------------------------------------------------------------------
@@ -717,13 +934,67 @@ class _RangeCtx:
             pf = _phrase_freqs(self.per_term, tuple(pairs), self.docs)
         return pf.astype(np.float32)
 
+    def span_freq(self, kind: str, clauses, slop: int, extra) -> np.ndarray:
+        """Span leaf freq over the range's decoded positions — per-doc
+        sequential like Lucene's own spans, via the reference walks."""
+        from .engine import _abs_positions
+        from .spans import (
+            span_first_freq,
+            span_not_freq,
+            span_ordered_freq,
+            span_unordered_freq,
+        )
+
+        out = np.zeros(self.n, dtype=np.float32)
+        if kind == "or":
+            for c in clauses:
+                for t in c:
+                    out += self.tf(t)
+            return out
+        data = {}
+        aux = list(extra) if kind == "not" else []
+        for c in list(clauses) + aux:
+            for t in c:
+                if t in self.per_term and t not in data:
+                    data[t] = _abs_positions(self.per_term, t)
+
+        def dslice(t: str, d: int) -> list[int]:
+            ent = data.get(t)
+            if ent is None:
+                return []
+            darr, tfv, run_starts, pos_abs = ent
+            j = int(np.searchsorted(darr, d))
+            if j >= darr.size or darr[j] != d:
+                return []
+            s = int(run_starts[j])
+            return pos_abs[s:s + int(tfv[j])].tolist()
+
+        for i, d in enumerate(self.docs):
+            plists = [
+                sorted(p for t in c for p in dslice(t, int(d))) for c in clauses
+            ]
+            if any(not pl for pl in plists):
+                continue
+            if kind == "first":
+                out[i] = span_first_freq(plists[0], int(extra))
+            elif kind == "not":
+                exc = sorted(
+                    p for c in extra for t in c for p in dslice(t, int(d))
+                )
+                out[i] = span_not_freq(plists, slop, exc)
+            elif kind == "near_ord":
+                out[i] = span_ordered_freq(plists, slop)
+            else:
+                out[i] = span_unordered_freq(plists, slop)
+        return out
+
 
 def _make_simple_tree_scorer(tree, weights: dict, avgdl: float,
                              doc_count: int, k: int, deleted=None):
     """Per-(doc-range) applyInPandas scorer evaluating the resolved
     SimpleQueryParser tree (the Boolean2ScorerSupplier recursion) over
     dense arrays; emits this range's k best (doc_id, score)."""
-    pos_terms = {t for pairs, _slop in tree_phrases(tree) for t, _off in pairs}
+    pos_terms = tree_pos_terms(tree)
 
     def _score_impl(key, pdf, deleted_local=None):
         import pandas as pd
@@ -771,14 +1042,21 @@ def spark_topk_simple(searcher, query: str, k: int = 10,
     the `-tok` MatchAllDocs wrapper) those docs all score one constant,
     served by an anti-join complement pass over the row store — no
     corpus-wide matchall scan unless the query's semantics demand one."""
-    from pyspark.sql import functions as F
-
-    from .engine import TOPK_SCHEMA
-
     tree = parse_simple(
         query, analyze_fn=_analyzer_with_positions(searcher.analyzer),
         flags=flags, default_operator=default_operator,
     )
+    return spark_topk_tree(searcher, tree, k=k)
+
+
+def spark_topk_tree(searcher, tree, k: int = 10):
+    """Execute any (unresolved) query tree on the engine: resolve against
+    the term dictionary, scan + tree-score per doc range, complement pass
+    for term-free matches, global merge."""
+    from pyspark.sql import functions as F
+
+    from .engine import TOPK_SCHEMA
+
     if tree is None:
         return searcher.spark.createDataFrame([], TOPK_SCHEMA)
     tree = resolve_tree(tree, searcher)
@@ -788,11 +1066,11 @@ def spark_topk_simple(searcher, query: str, k: int = 10,
     empty_match, c = matches_empty_doc(tree)
     parts = []
     if present:
-        has_phrase = bool(tree_phrases(tree))
+        needs_pos = bool(tree_pos_terms(tree))
         scan_cols = [
             "term", "range_id", "first_doc", "last_doc",
             "docs_buf", "tfs_buf", "norms_buf",
-        ] + (["pos_buf"] if has_phrase else [])
+        ] + (["pos_buf"] if needs_pos else [])
         score_fn = _make_simple_tree_scorer(
             tree, weights, float(searcher.avgdl), searcher.doc_count, k,
             deleted=searcher.deleted,

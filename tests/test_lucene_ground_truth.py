@@ -2525,3 +2525,126 @@ def test_simple_query_parser_matches_compiled_reference():
                 flags=flags,
             )
             _assert_topk_equal(got, exp, (corpus_round, op, flags, q))
+
+
+def test_xml_query_parser_matches_compiled_reference():
+    """Ground-truth round 29 — the XML query parser (queryparser/xml/
+    CoreParser.java + builders/) vs the compiled reference: randomized
+    single-line XML query documents through the real CoreParser +
+    IndexSearcher over a whitespace index, top-10 docids + float32
+    scores bit-for-bit against search/xmlqp.py's element mapping over
+    the shared tree evaluator. Covers TermQuery/TermsQuery (msm),
+    nested BooleanQuery with all four occurs (FILTER scores nothing),
+    boost threading through nested wrappers, RangeQuery's empty-string
+    bounds, DisjunctionMaxQuery, ConstantScoreQuery, UserQuery (classic
+    parser delegation), and the span element family."""
+    import numpy as np
+
+    from lucene_solr_spark.search.simpleqp import (
+        _ws_analyze,
+        build_ws_oracle_index,
+        oracle_topk_tree,
+    )
+    from lucene_solr_spark.search.xmlqp import parse_xml_query
+
+    vocab = ["aa", "ab", "bb", "bc", "cc", "cd", "dd", "ee", "ff"]
+    rng = random.Random(29292929)
+
+    def gen(depth: int = 0) -> str:
+        choices = ["term", "terms", "bool", "range", "dismax", "const",
+                   "user", "matchall", "span"]
+        kind = rng.choice(choices if depth < 2 else ["term", "terms", "range"])
+        boost = rng.choice(["", "", ' boost="2"', ' boost="0.5"', ' boost="3.25"'])
+        if kind == "term":
+            return f'<TermQuery fieldName="body"{boost}>{rng.choice(vocab)}</TermQuery>'
+        if kind == "terms":
+            toks = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+            msm = rng.choice(["", ' minimumNumberShouldMatch="2"'])
+            return f'<TermsQuery fieldName="body"{msm}{boost}>{toks}</TermsQuery>'
+        if kind == "bool":
+            n = rng.randint(1, 4)
+            occs = [rng.choice(["should", "should", "must", "mustNot", "filter"])
+                    for _ in range(n)]
+            if all(o == "mustNot" for o in occs):
+                occs[0] = "should"
+            kids = "".join(
+                f'<Clause occurs="{o}">{gen(depth + 1)}</Clause>' for o in occs
+            )
+            msm = rng.choice(["", ' minimumNumberShouldMatch="1"',
+                              ' minimumNumberShouldMatch="2"'])
+            return f'<BooleanQuery fieldName="body"{msm}{boost}>{kids}</BooleanQuery>'
+        if kind == "range":
+            lo, hi = sorted((rng.choice(vocab), rng.choice(vocab)))
+            il = rng.choice(["", ' includeLower="false"'])
+            iu = rng.choice(["", ' includeUpper="false"'])
+            parts = ""
+            if rng.random() < 0.9:
+                parts += f' lowerTerm="{lo}"'
+            if rng.random() < 0.9:
+                parts += f' upperTerm="{hi}"'
+            return f'<RangeQuery fieldName="body"{parts}{il}{iu}/>'
+        if kind == "dismax":
+            tie = rng.choice(["", ' tieBreaker="0.3"', ' tieBreaker="1.0"'])
+            kids = "".join(gen(depth + 1) for _ in range(rng.randint(1, 3)))
+            return f'<DisjunctionMaxQuery fieldName="body"{tie}{boost}>{kids}</DisjunctionMaxQuery>'
+        if kind == "const":
+            return f'<ConstantScoreQuery{boost}>{gen(depth + 1)}</ConstantScoreQuery>'
+        if kind == "user":
+            n = rng.randint(1, 3)
+            parts = []
+            for _ in range(n):
+                t = rng.choice(vocab)
+                parts.append(rng.choice([t, t, f"+{t}", f"-{t}", f"{t}^2"]))
+            qs = " ".join(parts)
+            if rng.random() < 0.3:
+                qs = f'"{rng.choice(vocab)} {rng.choice(vocab)}" ' + qs
+            return f'<UserQuery fieldName="body"{boost}>{qs}</UserQuery>'
+        if kind == "matchall":
+            return "<MatchAllDocsQuery/>"
+        # span family
+        sk = rng.choice(["term", "orterms", "near", "first", "not"])
+        if sk == "term":
+            return f'<SpanTerm fieldName="body"{boost}>{rng.choice(vocab)}</SpanTerm>'
+        if sk == "orterms":
+            toks = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+            return f'<SpanOrTerms fieldName="body"{boost}>{toks}</SpanOrTerms>'
+
+        def clause() -> str:
+            if rng.random() < 0.6:
+                return f"<SpanTerm>{rng.choice(vocab)}</SpanTerm>"
+            toks = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+            return f"<SpanOrTerms>{toks}</SpanOrTerms>"
+
+        if sk == "near":
+            slop = rng.randint(0, 3)
+            order = rng.choice(["", ' inOrder="true"'])
+            kids = "".join(clause() for _ in range(rng.randint(2, 3)))
+            return (f'<SpanNear fieldName="body" slop="{slop}"{order}{boost}>'
+                    f"{kids}</SpanNear>")
+        if sk == "first":
+            end = rng.choice(["", f' end="{rng.randint(1, 4)}"'])
+            return (f'<SpanFirst fieldName="body"{end}{boost}>{clause()}'
+                    f"</SpanFirst>")
+        inc = (f'<SpanNear slop="{rng.randint(0, 3)}" inOrder="true">'
+               f"{clause()}{clause()}</SpanNear>"
+               if rng.random() < 0.5 else clause())
+        return (f'<SpanNot fieldName="body"{boost}><Include>{inc}</Include>'
+                f"<Exclude>{clause()}</Exclude></SpanNot>")
+
+    for corpus_round in range(4):
+        n_docs = rng.randint(6, 25)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(n_docs)
+        ]
+        idx = build_ws_oracle_index(list(enumerate(docs)))
+        cases = [gen() for _ in range(40)]
+        for q in cases:
+            assert "\n" not in q
+        expected = gt.run_xml(docs, cases)
+        assert len(expected) == len(cases)
+        for xmlq, exp in zip(cases, expected):
+            assert not isinstance(exp, str), (corpus_round, xmlq, exp)
+            tree = parse_xml_query(xmlq, _ws_analyze)
+            got = oracle_topk_tree(idx, tree, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, xmlq))

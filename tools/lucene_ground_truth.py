@@ -457,6 +457,57 @@ public class GroundTruthTopK {
 """
 
 
+XML_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queryparser.xml.CoreParser;
+
+public class GroundTruthXml {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    int nQ = Integer.parseInt(in.readLine().trim());
+    // one single-line XML query per case; parse errors print "!<msg>"
+    for (int qi = 0; qi < nQ; qi++) {
+      String xml = in.readLine();
+      CoreParser cp = new CoreParser("body", new GroundTruth.WS());
+      try {
+        Query q = cp.parse(new java.io.ByteArrayInputStream(
+            xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)));
+        TopDocs td = s.search(q, 10);
+        StringBuilder out = new StringBuilder();
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc).append(":").append(Float.toString(sd.score));
+        }
+        System.out.println(out.length() == 0 ? "-" : out.toString());
+      } catch (Exception pe) {
+        System.out.println("!" + pe.getClass().getSimpleName());
+      }
+    }
+    r.close();
+  }
+}
+"""
+
+
 SIMPLE_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -1978,6 +2029,44 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the xml parser (queryparser module): CoreParser + its builder set
+    # (the CorePlus* extras need sandbox/queries builders we don't pin)
+    xq_marker = os.path.join(
+        CLASSES, "org/apache/lucene/queryparser/xml/CoreParser.class"
+    )
+    xq_root = (
+        "/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+        "queryparser/xml"
+    )
+    if not os.path.exists(xq_marker) and os.path.isdir(xq_root):
+        xq_files = [
+            "CoreParser.java", "DOMUtils.java", "ParserException.java",
+            "QueryBuilder.java", "QueryBuilderFactory.java",
+        ]
+        xq_builders = [
+            "TermQueryBuilder.java", "TermsQueryBuilder.java",
+            "MatchAllDocsQueryBuilder.java", "BooleanQueryBuilder.java",
+            "LegacyNumericRangeQueryBuilder.java",
+            "PointRangeQueryBuilder.java", "RangeQueryBuilder.java",
+            "DisjunctionMaxQueryBuilder.java", "UserInputQueryBuilder.java",
+            "ConstantScoreQueryBuilder.java", "SpanBuilderBase.java",
+            "SpanQueryBuilder.java", "SpanQueryBuilderFactory.java",
+            "SpanNearBuilder.java", "BoostingTermBuilder.java",
+            "SpanTermBuilder.java", "SpanOrBuilder.java",
+            "SpanOrTermsBuilder.java", "SpanFirstBuilder.java",
+            "SpanNotBuilder.java",
+        ]
+        xsrcs = [os.path.join(xq_root, f) for f in xq_files] + [
+            os.path.join(xq_root, "builders", f) for f in xq_builders
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + xsrcs,
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/facet depends only on core
     fc_marker = os.path.join(
         CLASSES,
@@ -2159,6 +2248,7 @@ def build() -> bool:
         ("GroundTruthTopK", TOPK_JAVA),
         ("GroundTruthParser", PARSER_JAVA),
         ("GroundTruthSimple", SIMPLE_JAVA),
+        ("GroundTruthXml", XML_JAVA),
         ("GroundTruthPayload", PAYLOAD_JAVA),
         ("GroundTruthMLT", MLT_JAVA),
         ("GroundTruthSpell", SPELL_JAVA),
@@ -2288,6 +2378,34 @@ def run_simpleqp(
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
         ])
+    return out
+
+
+def run_xml(docs: list[str], xml_queries: list[str]) -> list:
+    """Index `docs` and run each SINGLE-LINE XML query string through the
+    compiled reference's CoreParser + search. Per query: the top-10
+    [(docid, score_str)], or the string "!<ExceptionSimpleName>" when the
+    reference parser threw."""
+    payload = [str(len(docs))] + list(docs) + [str(len(xml_queries))] + list(xml_queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthXml"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+        elif line.startswith("!"):
+            out.append(line)
+        else:
+            out.append([
+                (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+            ])
     return out
 
 
