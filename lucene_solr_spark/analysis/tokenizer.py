@@ -27,9 +27,30 @@ from collections import Counter
 
 import numpy as np
 
-# UAX#29 subset: \w run, optionally extended by [.']\w+ (letter/digit context
-# approximation of MidNumLet+SQ) or ,digits when preceded by a digit (MidNum).
-TOKEN_RE = re.compile(r"\w+(?:[.']\w+|(?<=\d),\d+)*", re.UNICODE)
+# UAX#29 word-break (the reference grammar's Unicode 6.3-era tables,
+# pinned EMPIRICALLY against the compiled StandardTokenizer in GT round
+# 30 — every class below verified char-by-char):
+#   MidLetter  joins ALetter  x ALetter  (WB6/7):  : · ΅ ״ ‧ ︓ ﹕ ：
+#   MidNum     joins Numeric  x Numeric  (WB11/12): , ; ٬ ﹐ ﹔ ， ； ;
+#   MidNumLet + Single_Quote join BOTH same-type sides: . ' ‘ ’ ․ ﹒ ．
+#   mixed sides NEVER join ("ab.12" splits; "a1.2b" joins at 1.2),
+#   double joiners split, '_' (ExtendNumLet) rides inside \w runs.
+# Han + Hiragana ideographs are SINGLE-char tokens; Katakana forms runs;
+# Hangul is ALetter (rides in \w with the joiners).
+_MIDL = ":··״‧︓﹕："
+_MIDNUM = ",;٬﹐﹔，；;"
+_MIDNL = ".'‘’․﹒．"
+_CJK = "一-鿿㐀-䶿豈-﫿぀-ゟ"
+_KATA = "゠-ヿㇰ-ㇿ"
+_W = rf"[^\W{_CJK}{_KATA}]"        # \w minus Han/Hiragana/Katakana
+_WL = rf"[^\W\d_{_CJK}{_KATA}]"    # letter side for joiner adjacency
+TOKEN_RE = re.compile(
+    rf"[{_KATA}]+"
+    rf"|[{_CJK}]"
+    rf"|{_W}+(?:(?<={_WL})[{_MIDL}{_MIDNL}](?={_WL}){_W}+"
+    rf"|(?<=\d)[{_MIDNUM}{_MIDNL}](?=\d){_W}+)*",
+    re.UNICODE,
+)
 
 # Tokens must contain at least one letter/digit (a pure '_'/joiner run is not
 # an ALPHANUM/NUM segment and is never emitted by StandardTokenizer).
@@ -57,14 +78,45 @@ def _java_lower(text: str) -> str:
     return text.lower()
 
 
+def _split_overlong(t: str) -> list[str]:
+    """A maximal token longer than maxTokenLength: the reference's jflex
+    scanner buffer is sized to maxTokenLength (StandardTokenizer.java:
+    108-110 setBufferSize), so a longer run is SPLIT — each piece is the
+    longest grammar match within a 255-char window, window-leading
+    non-starters (a joiner the previous match stopped before) skipped.
+    Pinned vs the compiled chain in GT round 30 (256-char runs emit
+    255+1, never dropped)."""
+    out = []
+    i, n = 0, len(t)
+    while i < n:
+        m = TOKEN_RE.match(t[i:i + MAX_TOKEN_LENGTH])
+        if m is None:
+            i += 1
+            continue
+        out.append(m.group(0))
+        i += len(m.group(0))
+    return out
+
+
+def _findall_tokens(text: str) -> list[str]:
+    out = []
+    for t in TOKEN_RE.findall(text):
+        # a pure '_' run is not an ALPHANUM/NUM segment (strip-check is a
+        # fast equivalent of searching for a non-underscore \w char)
+        if not t.strip("_"):
+            continue
+        if len(t) <= MAX_TOKEN_LENGTH:
+            out.append(t)
+        else:
+            out.extend(p for p in _split_overlong(t) if p.strip("_"))
+    return out
+
+
 def tokenize(text: str) -> list[str]:
-    """StandardTokenizer + maxTokenLength drop (pre-filters)."""
+    """StandardTokenizer + maxTokenLength buffer-split (pre-filters)."""
     if not text:
         return []
-    toks = TOKEN_RE.findall(text)
-    # a pure '_' run is not an ALPHANUM/NUM segment (strip-check is a fast
-    # equivalent of searching for a non-underscore \w char inside a \w+ run)
-    return [t for t in toks if len(t) <= MAX_TOKEN_LENGTH and t.strip("_")]
+    return _findall_tokens(text)
 
 
 def _tokenize_lowered(text: str) -> list[str]:
@@ -73,8 +125,7 @@ def _tokenize_lowered(text: str) -> list[str]:
     equivalent to per-token _java_lower and much faster."""
     if not text:
         return []
-    toks = TOKEN_RE.findall(_java_lower(text))
-    return [t for t in toks if len(t) <= MAX_TOKEN_LENGTH and t.strip("_")]
+    return _findall_tokens(_java_lower(text))
 
 
 def analyze(text: str) -> list[str]:
@@ -296,13 +347,28 @@ def token_table(
     total = int(counts.sum())
     if total == 0:
         return None
-    flat = np.empty(total, dtype=object)
-    o = 0
-    for toks in parts:
-        flat[o : o + len(toks)] = toks
-        o += len(toks)
-    codes, uniq = pd.factorize(flat, sort=False)
-    uniq = np.asarray(uniq, dtype=object)
+
+    def _flatten(parts_, counts_):
+        flat_ = np.empty(int(counts_.sum()), dtype=object)
+        o_ = 0
+        for toks_ in parts_:
+            flat_[o_ : o_ + len(toks_)] = toks_
+            o_ += len(toks_)
+        c_, u_ = pd.factorize(flat_, sort=False)
+        return c_, np.asarray(u_, dtype=object)
+
+    codes, uniq = _flatten(parts, counts)
+    if analyzer == "standard" and any(len(u) > MAX_TOKEN_LENGTH for u in uniq):
+        # rare path: a >maxTokenLength token SPLITS into 255-char-window
+        # grammar matches (GT round 30 — the jflex buffer bound; never
+        # dropped), which changes its doc's position stream — redo those
+        # docs with the exact per-doc tokenizer
+        long_terms = {u for u in uniq if len(u) > MAX_TOKEN_LENGTH}
+        for i, toks in enumerate(parts):
+            if any(t in long_terms for t in toks):
+                parts[i] = _findall_tokens(_java_lower(texts[i]))
+                counts[i] = len(parts[i])
+        codes, uniq = _flatten(parts, counts)
     # vocabulary-sized attribute vectors (vocab << tokens)
     nv = len(uniq)
     term_map = None

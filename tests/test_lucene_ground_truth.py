@@ -2648,3 +2648,54 @@ def test_xml_query_parser_matches_compiled_reference():
             tree = parse_xml_query(xmlq, _ws_analyze)
             got = oracle_topk_tree(idx, tree, k=10)
             _assert_topk_equal(got, exp, (corpus_round, xmlq))
+
+
+def test_standard_analyzer_chain_matches_compiled_reference():
+    """Ground-truth round 30 — the StandardAnalyzer chain ITSELF
+    (analysis/common standard/StandardTokenizer + StandardFilter +
+    LowerCaseFilter + StopFilter(33)) vs the compiled reference: fuzzed
+    raw strings through the real chain, (position, token) streams exact
+    (stop-gap position increments included). Pins the UAX#29 joiner
+    tables empirically: MidLetter (':' et al, letter x letter only),
+    MidNum (','/';' et al, digit x digit only), MidNumLet + Single_Quote
+    (both same-type sides), mixed-side splits, '_' ExtendNumLet rides,
+    Han/Hiragana single-char tokens, Katakana runs, Hangul as ALetter."""
+    from lucene_solr_spark.analysis.tokenizer import analyze_with_positions
+
+    def ours(text):
+        pos, _fl = analyze_with_positions(text)
+        return sorted((p, t) for t, ps in pos.items() for p in ps)
+
+    fixed = [
+        "The Quick BROWN fox and the lazy dog",
+        "spark.sql.shuffle.partitions = 32",
+        "def foo_bar(x, y): return x+y  # comment",
+        "don't can't it's O'Brien",
+        "version 3.14 and 1,000 items",
+        "colon:separated a:b:c 1;2 1,2,3",
+        "ab.12 a1.2b 1a.b2 ab_.cd _ab.cd_",
+        "a''b a.,b 1.,2 ab:12",
+        "日本語 あいうえお カタカナ ラン 한국어",
+        "中文 words mixed 日本 a日b 1日2",
+        "MiXeD CaSe ÀÉÎÕÜ àéîõü İstanbul",
+        "ΕΛΛΗΝΙΚΑ κείμενο Русский текст",
+        "x" * 254 + " " + "y" * 255 + " " + "z" * 256,  # maxTokenLength 255
+        "z" * 600,                          # multi-window split
+        "a" * 253 + "." + "b" * 10,         # window boundary lands mid-token
+        "c" * 254 + "." + "d" * 10,         # boundary lands ON the joiner
+    ]
+    atoms = (
+        list("abc xyz 12 345 ") + ["the ", "and ", "a ", "to "]
+        + list(":;,.'") + ["‧", "·", "’", "․", "，", "："]
+        + ["_", "-", "(", ")", "!", "каб", "λόγος", "日", "本", "あ", "カタ",
+           "한국", "é", "ü", " ", " ", "\t"]
+    )
+    rng = random.Random(30303030)
+    cases = list(fixed)
+    for _ in range(120):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 14)))
+        cases.append(s.replace("\n", " "))
+    expected = gt.run_tokenize(cases)
+    assert len(expected) == len(cases)
+    for line, exp in zip(cases, expected):
+        assert ours(line) == exp, (line, ours(line), exp)

@@ -42,13 +42,18 @@ def test_comma_joins_digits_only():
     assert tokenize("1,000 a,b") == ["1,000", "a", "b"]
 
 
-def test_max_token_length_dropped():
+def test_max_token_length_splits():
+    """maxTokenLength: the reference's jflex scanner buffer is SIZED to
+    255, so a longer run SPLITS into 255-char-window grammar matches —
+    never dropped (pinned vs the compiled StandardAnalyzer, GT round 30:
+    'z'*256 emits 'z'*255 + 'z' at consecutive positions)."""
     long_tok = "x" * 256
     ok_tok = "y" * 255
     toks, flen = analyze_to_counts(f"{long_tok} hello {ok_tok}")
     assert long_tok not in toks
+    assert toks.get("x" * 255) == 1 and toks.get("x") == 1
     assert ok_tok in toks
-    assert flen == 2  # dropped token does not count toward field length
+    assert flen == 4  # both split chunks count toward field length
 
 
 def test_empty_and_punct_only():

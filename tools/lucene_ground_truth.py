@@ -457,6 +457,43 @@ public class GroundTruthTopK {
 """
 
 
+TOKENIZE_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.analysis.tokenattributes.*;
+
+public class GroundTruthTokenize {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in,
+            java.nio.charset.StandardCharsets.UTF_8));
+    java.io.PrintStream out = new java.io.PrintStream(
+        System.out, true, "UTF-8");
+    StandardAnalyzer a = new StandardAnalyzer();
+    int n = Integer.parseInt(in.readLine().trim());
+    for (int i = 0; i < n; i++) {
+      String line = in.readLine();
+      TokenStream ts = a.tokenStream("f", line);
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi =
+          ts.addAttribute(PositionIncrementAttribute.class);
+      ts.reset();
+      StringBuilder sb = new StringBuilder();
+      int pos = -1;
+      while (ts.incrementToken()) {
+        pos += pi.getPositionIncrement();
+        if (sb.length() > 0) sb.append(" ");
+        sb.append(pos).append("|").append(term.toString());
+      }
+      ts.end();
+      ts.close();
+      out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 XML_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -2067,6 +2104,37 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the REAL StandardAnalyzer chain (analysis/common standard package +
+    # its core/util deps) — the deepest tokenizer pin possible
+    st_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/standard/StandardAnalyzer.class"
+    )
+    ac_root = (
+        "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/"
+        "analysis"
+    )
+    if not os.path.exists(st_marker) and os.path.isdir(ac_root):
+        st_files = [
+            "standard/StandardTokenizer.java",
+            "standard/StandardTokenizerImpl.java",
+            "standard/StandardFilter.java", "standard/StandardAnalyzer.java",
+            "core/LowerCaseFilter.java", "core/StopFilter.java",
+            "core/StopAnalyzer.java", "core/WhitespaceTokenizer.java",
+            "core/LetterTokenizer.java", "core/LowerCaseTokenizer.java",
+            "core/UnicodeWhitespaceTokenizer.java",
+            "util/StopwordAnalyzerBase.java", "util/CharTokenizer.java",
+            "util/WordlistLoader.java", "util/CharArraySet.java",
+            "util/CharArrayMap.java", "util/CharacterUtils.java",
+            "util/FilteringTokenFilter.java", "util/UnicodeProps.java",
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + [os.path.join(ac_root, f) for f in st_files],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/facet depends only on core
     fc_marker = os.path.join(
         CLASSES,
@@ -2249,6 +2317,7 @@ def build() -> bool:
         ("GroundTruthParser", PARSER_JAVA),
         ("GroundTruthSimple", SIMPLE_JAVA),
         ("GroundTruthXml", XML_JAVA),
+        ("GroundTruthTokenize", TOKENIZE_JAVA),
         ("GroundTruthPayload", PAYLOAD_JAVA),
         ("GroundTruthMLT", MLT_JAVA),
         ("GroundTruthSpell", SPELL_JAVA),
@@ -2378,6 +2447,34 @@ def run_simpleqp(
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
         ])
+    return out
+
+
+def run_tokenize(lines: list[str]) -> list[list[tuple[int, str]]]:
+    """Run raw text lines through the compiled REAL StandardAnalyzer
+    chain (StandardTokenizer + StandardFilter + LowerCaseFilter +
+    StopFilter(33)). Per line: [(position, token)] with stop-gap
+    positions from the PositionIncrementAttribute."""
+    payload = [str(len(lines))] + list(lines)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthTokenize"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        encoding="utf-8", timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        if not line.strip():
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in line.split(" "):
+            p, _sep, t = part.partition("|")
+            toks.append((int(p), t))
+        out.append(toks)
     return out
 
 
