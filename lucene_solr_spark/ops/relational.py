@@ -2339,16 +2339,61 @@ def highlight_unified(spark, sf):
     ).orderBy("doc_id")
 
 
+def highlight_classic(spark, sf):
+    """The CLASSIC Highlighter chain (search/classic_highlight.py —
+    Highlighter + QueryScorer + SimpleFragmenter + SimpleHTMLFormatter,
+    pinned bit-for-bit against the compiled reference in ground-truth
+    round 31) over every document: query `merge^2 sort vector^0.5`
+    (QueryScorer weights = query boosts), fragment size larger than any
+    document so the whole text is ONE fragment whose score is the
+    float32 sum of the distinct matched terms' boosts ({2,1,0.5} sums
+    are exact in float32, so the double-typed hash column is safe).
+    Docs the reference returns NO fragments for (score 0) are emitted
+    as pscore 0.0 / snippet '' so the gate row stays full-corpus. One
+    zero-shuffle Arrow stage over the stored text."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(it):
+        import pandas as pd
+
+        from ..search.classic_highlight import best_text_fragments
+
+        for pdf in it:
+            snips, scores = [], []
+            for t in pdf["text"]:
+                frags = best_text_fragments(
+                    "merge^2 sort vector^0.5", t,
+                    fragment_size=100_000, max_num_fragments=1,
+                )
+                if frags:
+                    snips.append(frags[0][0])
+                    scores.append(float(frags[0][1]))
+                else:
+                    snips.append("")
+                    scores.append(0.0)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pscore": scores, "snippet": snips}
+            )
+
+    return d.mapInPandas(
+        gen, "doc_id long, pscore double, snippet string"
+    ).orderBy("doc_id")
+
+
 def highlight_combined(spark, sf):
     """Window-density snippet + the reference PostingsHighlighter chain
-    as one tagged union (same 50-slot consolidation as `facets`)."""
+    + the classic Highlighter chain as one tagged union (same 50-slot
+    consolidation as `facets`)."""
     h1 = highlight_snippet(spark, sf).select(
         F.lit("window").alias("variant"), "doc_id", "pscore", "snippet"
     )
     h2 = highlight_unified(spark, sf).select(
         F.lit("unified").alias("variant"), "doc_id", "pscore", "snippet"
     )
-    return h1.unionByName(h2).orderBy("variant", "doc_id")
+    h3 = highlight_classic(spark, sf).select(
+        F.lit("classic").alias("variant"), "doc_id", "pscore", "snippet"
+    )
+    return h1.unionByName(h2).unionByName(h3).orderBy("variant", "doc_id")
 
 
 def _highlight_unified_sql() -> str:
@@ -2393,12 +2438,40 @@ ORDER BY d.doc_id
 """
 
 
+def _highlight_classic_sql() -> str:
+    """DuckDB oracle for the classic variant: with the whole document as
+    one fragment, the chain reduces to wrapping every matched token in
+    <B>..</B> (SimpleHTMLFormatter) and scoring the fragment as the sum
+    of distinct present terms' boosts (QueryScorer's unique-term sum;
+    {2, 1, 0.5} sums are exact in both float32 and double). Recomputed
+    independently from the raw text — no shared driver state."""
+    boosts = {"merge": 2.0, "sort": 1.0, "vector": 0.5}
+    pat = "|".join(boosts)
+    score = " + ".join(
+        f"""CASE WHEN len(list_filter(string_split(text, ' '),
+                x -> x = '{t}')) > 0 THEN {b} ELSE 0 END"""
+        for t, b in boosts.items()
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN ({score}) > 0 THEN ({score}) ELSE 0.0 END AS pscore,
+       CASE WHEN ({score}) > 0
+            THEN regexp_replace(text, '\\b({pat})\\b', '<B>\\1</B>', 'g')
+            ELSE '' END AS snippet
+FROM documents
+ORDER BY doc_id
+"""
+
+
 HIGHLIGHT_COMBINED_SQL = f"""
 SELECT * FROM (
   SELECT 'window' AS variant, doc_id, pscore, snippet FROM ({HIGHLIGHT_SQL})
   UNION ALL
   SELECT 'unified' AS variant, doc_id, pscore, snippet
   FROM ({_highlight_unified_sql()})
+  UNION ALL
+  SELECT 'classic' AS variant, doc_id, pscore, snippet
+  FROM ({_highlight_classic_sql()})
 ) ORDER BY variant, doc_id
 """
 

@@ -2699,3 +2699,96 @@ def test_standard_analyzer_chain_matches_compiled_reference():
     assert len(expected) == len(cases)
     for line, exp in zip(cases, expected):
         assert ours(line) == exp, (line, ours(line), exp)
+
+
+def test_classic_highlighter_matches_compiled_reference():
+    """Ground-truth round 31 — the CLASSIC highlighter chain
+    (lucene/highlighter search/highlight: Highlighter + QueryScorer +
+    WeightedSpanTermExtractor + SimpleFragmenter + SimpleHTMLFormatter)
+    vs the compiled reference: raw classic-parser query strings over
+    random corpora, every returned fragment STRING and float32 score
+    equal, in order. Exercises term boosts, +/-/AND/OR/NOT, paren
+    groups, phrases with slop and stopword gaps (position-sensitive
+    spans from the doc's own postings), repeated-term phrases,
+    wildcard / fuzzy / range expansion against the DOC's own
+    vocabulary, fragment-queue ties, and contiguous-fragment merging."""
+    from lucene_solr_spark.search.classic_highlight import best_text_fragments
+
+    words = [
+        "merge", "merges", "merged", "sort", "sorted", "vector", "spark",
+        "join", "fox", "fix", "fax", "fast", "slow", "token", "tokens",
+        "index", "query", "shard", "12", "345",
+    ]
+    stop = ["the", "and", "of", "to", "a", "is", "in"]
+    rng = random.Random(31313131)
+
+    def mk_doc():
+        n = rng.randint(6, 26)
+        return " ".join(
+            rng.choice(stop) if rng.random() < 0.25 else rng.choice(words)
+            for _ in range(n)
+        )
+
+    def mk_query():
+        shape = rng.randrange(10)
+        t = lambda: rng.choice(words)
+        if shape == 0:
+            q = " ".join(t() for _ in range(rng.randint(1, 3)))
+        elif shape == 1:
+            q = f"{t()}^{rng.choice(['2', '0.5', '3'])} {t()}"
+        elif shape == 2:
+            q = f"+{t()} -{t()} {t()}"
+        elif shape == 3:
+            q = f"{t()} {rng.choice(['AND', 'OR'])} {t()}"
+        elif shape == 4:
+            body = " ".join(
+                rng.choice(stop) if rng.random() < 0.3 else t()
+                for _ in range(rng.randint(2, 4))
+            )
+            slop = rng.choice(["", "", "~1", "~2"])
+            boost = rng.choice(["", "", "^2"])
+            q = f'"{body}"{slop}{boost} {t()}'
+        elif shape == 5:
+            w = t()
+            q = f"{w[: max(1, len(w) - 2)]}* {t()}"
+        elif shape == 6:
+            q = f"{t()}~{rng.choice(['1', '2'])} {t()}"
+        elif shape == 7:
+            lo, hi = sorted((t(), t()))
+            lb, rb = rng.choice([("[", "]"), ("{", "}")])
+            q = f"{lb}{lo} TO {hi}{rb}"
+        elif shape == 8:
+            q = f"{rng.choice(['', '+', '-'])}({t()} {t()}) {t()}"
+        else:
+            q = f'"{t()} {t()}" "{t()} {t()}"~1'
+        return q
+
+    fixed_queries = [
+        (1000, 1, '"merge merge"'),          # repeated-term ordered near
+        (1000, 1, '"merge merge"~2'),        # repeated-term unordered cells
+        (1000, 2, '"the merge sort"'),       # leading stopword gap
+        (1000, 1, '"merge of sort"~1'),      # interior stopword gap
+        (25, 3, "merge sort vector"),        # fragment queue + merging
+        (15, 2, "merge^2 sort^0.5"),
+        (1000, 1, "mer* merge^3"),           # expansion then boosted put
+        (1000, 1, "merge^3 mer*"),           # put order: expansion last wins
+        (1000, 1, '"merge sort" merge^2'),   # sensitive then insensitive put
+        (1000, 1, 'merge^2 "merge sort"'),   # insensitive first: spans append
+    ]
+    for corpus_round in range(4):
+        docs = [mk_doc() for _ in range(rng.randint(8, 14))]
+        queries = list(fixed_queries) if corpus_round == 0 else []
+        while len(queries) < 24:
+            fs = rng.choice([15, 25, 40, 80, 1000])
+            mf = rng.choice([1, 2, 3])
+            queries.append((fs, mf, mk_query()))
+        expected = gt.run_classic_highlight(docs, queries)
+        assert len(expected) == len(queries)
+        for (fs, mf, q), per_doc in zip(queries, expected):
+            for di, (d, exp) in enumerate(zip(docs, per_doc)):
+                got = best_text_fragments(q, d, fs, mf)
+                got_cmp = [(s, np.float32(sc)) for s, sc in got]
+                exp_cmp = [(s, np.float32(float(sc))) for s, sc in exp]
+                assert got_cmp == exp_cmp, (
+                    corpus_round, (fs, mf, q), di, d, got_cmp, exp_cmp,
+                )

@@ -494,6 +494,57 @@ public class GroundTruthTokenize {
 """
 
 
+CLASSICHL_JAVA = r"""
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.queryparser.classic.QueryParser;
+import org.apache.lucene.search.Query;
+import org.apache.lucene.search.highlight.Highlighter;
+import org.apache.lucene.search.highlight.QueryScorer;
+import org.apache.lucene.search.highlight.SimpleFragmenter;
+import org.apache.lucene.search.highlight.TextFragment;
+
+public class GroundTruthClassicHL {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in,
+            java.nio.charset.StandardCharsets.UTF_8));
+    java.io.PrintStream out = new java.io.PrintStream(System.out, true, "UTF-8");
+    StandardAnalyzer analyzer = new StandardAnalyzer();
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    String[] docs = new String[nDocs];
+    for (int i = 0; i < nDocs; i++)
+      docs[i] = java.net.URLDecoder.decode(in.readLine(), "UTF-8");
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // HL <fragmentSize> <maxNumFragments> <url-encoded query string>
+      String[] p = in.readLine().trim().split(" ");
+      int fragSize = Integer.parseInt(p[1]);
+      int maxFrags = Integer.parseInt(p[2]);
+      Query q = new QueryParser("f", analyzer)
+          .parse(java.net.URLDecoder.decode(p[3], "UTF-8"));
+      for (int i = 0; i < nDocs; i++) {
+        // a fresh Highlighter per doc: QueryScorer caches the extracted
+        // weighted span terms against the DOC's own MemoryIndex
+        Highlighter h = new Highlighter(new QueryScorer(q, "f"));
+        h.setTextFragmenter(new SimpleFragmenter(fragSize));
+        TokenStream ts = analyzer.tokenStream("f", docs[i]);
+        TextFragment[] frags =
+            h.getBestTextFragments(ts, docs[i], true, maxFrags);
+        StringBuilder sb = new StringBuilder();
+        for (TextFragment fr : frags) {
+          if (sb.length() > 0) sb.append(";");
+          sb.append(java.net.URLEncoder.encode(fr.toString(), "UTF-8"))
+            .append("|").append(Float.toString(fr.getScore()));
+        }
+        out.println(sb.length() == 0 ? "-" : sb.toString());
+      }
+    }
+  }
+}
+"""
+
+
 XML_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -2310,6 +2361,32 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the classic highlight package (lucene/highlighter search/highlight)
+    # needs core + memory + queries + join (all compiled above)
+    chl_marker = os.path.join(
+        CLASSES, "org/apache/lucene/search/highlight/Highlighter.class"
+    )
+    chl_dir = (
+        "/root/reference/lucene/highlighter/src/java/org/apache/lucene/"
+        "search/highlight"
+    )
+    if not os.path.exists(chl_marker) and os.path.isdir(chl_dir):
+        csrcs = [
+            os.path.join(chl_dir, f) for f in os.listdir(chl_dir)
+            if f.endswith(".java")
+        ] + [
+            # TokenSources' one analysis/common dependency
+            "/root/reference/lucene/analysis/common/src/java/org/apache/"
+            "lucene/analysis/miscellaneous/LimitTokenOffsetFilter.java"
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + csrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -2324,6 +2401,7 @@ def build() -> bool:
         ("GroundTruthClassify", CLASSIFY_JAVA),
         ("GroundTruthGroup", GROUP_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
+        ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthMemory", MEMORY_JAVA),
         ("GroundTruthSpatial", SPATIAL_JAVA),
         ("GroundTruthJoin", JOIN_JAVA),
@@ -2475,6 +2553,47 @@ def run_tokenize(lines: list[str]) -> list[list[tuple[int, str]]]:
             p, _sep, t = part.partition("|")
             toks.append((int(p), t))
         out.append(toks)
+    return out
+
+
+def run_classic_highlight(
+    docs: list[str], queries: list[tuple[int, int, str]]
+) -> list[list[list[tuple[str, str]]]]:
+    """Run the REAL classic Highlighter (QueryScorer + SimpleFragmenter +
+    SimpleHTMLFormatter) over every (query, doc) pair. `queries` entries
+    are (fragment_size, max_num_fragments, classic_query_string).
+    Returns per query a list (per doc, in order) of
+    [(fragment_string, Float.toString(score))]."""
+    from urllib.parse import quote, unquote_plus
+
+    payload = [str(len(docs))] + [quote(d) for d in docs]
+    payload.append(str(len(queries)))
+    for fs, mf, q in queries:
+        payload.append(f"HL {fs} {mf} {quote(q)}")
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthClassicHL"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        encoding="utf-8", timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    lines = [ln for ln in r.stdout.splitlines()]
+    out = []
+    idx = 0
+    for _q in queries:
+        per_doc = []
+        for _d in docs:
+            line = lines[idx]
+            idx += 1
+            if line == "-":
+                per_doc.append([])
+                continue
+            frags = []
+            for part in line.split(";"):
+                enc, _sep, score = part.rpartition("|")
+                frags.append((unquote_plus(enc), score))
+            per_doc.append(frags)
+        out.append(per_doc)
     return out
 
 
