@@ -277,6 +277,23 @@ SIMPLE_QUERIES = {
     "simple_negation": ("merge -dup", lambda: bm25_simple_negation_sql(
         "merge", "dup", k=10)),
 }
+# query strings through the FLEXIBLE StandardQueryParser
+# (queryparser/flexible; GT round 32 pins parse + scoring to the
+# compiled reference). The oracle hand-builds the equivalent query.
+FLEXIBLE_QUERIES = {
+    # BooleanQuery2ModifierNodeProcessor drops precedence: the And
+    # children flatten into the root as MUST beside the bare SHOULD
+    "flex_flatten": ("spark AND merge OR fast", lambda: bm25_compound_sql(
+        must=["spark", "merge"], should=["fast"], k=10)),
+    # fractional fuzzy: ~0.5 on a 5-codepoint term = floatToEdits ->
+    # (1-0.5)*5 = 2 edits (the classic parser surface only takes ints)
+    "flex_fuzzy_frac": ("merge~0.5 AND fast", lambda: bm25_compound_sql(
+        fuzzies=[("+", 1.0, "merge", 2)], must=["fast"], k=10)),
+    # regexp term under CONSTANT_SCORE_REWRITE; /m.rge/ == LIKE 'm_rge'
+    # so the oracle reuses the wildcard (LIKE) expansion
+    "flex_regexp": ("/m.rge/ fast", lambda: bm25_compound_sql(
+        wildcards=[("", 1.0, "m_rge")], should=["fast"], k=10)),
+}
 # XML query documents through CoreParser's element set (queryparser/xml;
 # GT round 29 pins the mapping to the compiled reference)
 XML_QUERIES = {
@@ -556,6 +573,13 @@ def _simple_query_fn(qstr: str):
 def _xml_query_fn(xmlq: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_xml(xmlq, k=10))
+
+    return run
+
+
+def _flexible_query_fn(qstr: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_searcher(spark, sf_dir).topk_flexible(qstr, k=10))
 
     return run
 
@@ -863,6 +887,8 @@ def _bm25_groups() -> dict[str, list]:
         derived.append((name, _simple_query_fn(qstr), sql_fn()))
     for name, (xmlq, sql_fn) in XML_QUERIES.items():
         derived.append((name, _xml_query_fn(xmlq), sql_fn()))
+    for name, (qstr, sql_fn) in FLEXIBLE_QUERIES.items():
+        derived.append((name, _flexible_query_fn(qstr), sql_fn()))
     return {
         "bm25_scoring": scoring,
         "bm25_positional": positional,

@@ -1036,6 +1036,20 @@ class IndexSearcher:
         )
         return spark_topk_tree(self, tree, k=k)
 
+    def topk_flexible(self, query: str, k: int = 10) -> DataFrame:
+        """The FLEXIBLE query parser (queryparser/flexible
+        StandardQueryParser): the standard syntax with the
+        precedence-flattening BooleanQuery2Modifier semantics, group
+        boosts, fractional fuzzy similarities, regexp terms, and '*'
+        open range bounds — mapped onto the shared tree evaluator,
+        pinned bit-for-bit vs the compiled reference (GT round 32).
+        See search/flexibleqp.py."""
+        from .flexibleqp import parse_flexible
+        from .simpleqp import _analyzer_with_positions, spark_topk_tree
+
+        tree = parse_flexible(query, _analyzer_with_positions(self.analyzer))
+        return spark_topk_tree(self, tree, k=k)
+
     def topk_surround(self, query: str, k: int = 10) -> DataFrame:
         """The surround query language's distance operators
         (queryparser/surround): prefix form `<n>W(arg, ...)` (ordered) /

@@ -398,6 +398,15 @@ def resolve_tree(tree, searcher_like):
         like = tree[1].replace("*", "%").replace("?", "_")
         return ("const", tuple(searcher_like.expand_terms(like=like,
                                                           max_terms=None)))
+    if kind == "regexp":
+        # RegexpQuery under CONSTANT_SCORE_REWRITE: the automaton is
+        # ANCHORED (matches the whole term) — expand_terms' rlike/search
+        # backends are substring matchers, so anchor here. Callers
+        # restrict patterns to the RegExp-core ∩ re syntax subset
+        # (literals, . * + ? | () []), where the semantics coincide.
+        anchored = f"^(?:{tree[1]})$"
+        return ("const", tuple(searcher_like.expand_terms(regexp=anchored,
+                                                          max_terms=None)))
     return tree
 
 
@@ -801,6 +810,7 @@ class _OracleDict:
         self.doc_count = idx.doc_count
 
     def expand_terms(self, *, prefix: str | None = None, like: str | None = None,
+                     regexp: str | None = None,
                      lower: str | None = None, upper: str | None = None,
                      include_lower: bool = True, include_upper: bool = True,
                      max_terms=None):
@@ -815,6 +825,8 @@ class _OracleDict:
                 for c in like
             )
             terms = [t for t in terms if _re.fullmatch(rx, t)]
+        if regexp is not None:
+            terms = [t for t in terms if _re.fullmatch(regexp, t)]
         if lower is not None:
             terms = [t for t in terms
                      if (t >= lower if include_lower else t > lower)]

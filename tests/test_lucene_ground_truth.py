@@ -2792,3 +2792,133 @@ def test_classic_highlighter_matches_compiled_reference():
                 assert got_cmp == exp_cmp, (
                     corpus_round, (fs, mf, q), di, d, got_cmp, exp_cmp,
                 )
+
+
+def test_flexible_standard_query_parser_matches_compiled_reference():
+    """Ground-truth round 32 — the FLEXIBLE query parser
+    (queryparser/flexible StandardQueryParser: StandardSyntaxParser +
+    the StandardQueryNodeProcessorPipeline + StandardQueryTreeBuilder)
+    vs the compiled reference: raw query strings over whitespace
+    corpora, top-10 docids + float32 scores bit-for-bit through
+    search/flexibleqp.py's mapping onto the shared tree evaluator.
+    Covers the precedence-flattening BooleanQuery2ModifierNodeProcessor
+    (A AND B OR C AND D == +A +B +C +D; parens block the flatten),
+    +/-/NOT modifiers, pure-negation wrapping, group boosts, phrases
+    with slop/boost, fractional fuzzy similarities (floatToEdits),
+    boost-then-fuzzy and fuzzy-then-boost orders, wildcard / regexp /
+    term-range constant-score rewrites, '*' open range bounds, and
+    '*:*' MatchAllDocs."""
+    from lucene_solr_spark.search.flexibleqp import parse_flexible
+    from lucene_solr_spark.search.simpleqp import (
+        _ws_analyze,
+        build_ws_oracle_index,
+        oracle_topk_tree,
+    )
+
+    vocab = ["aa", "ab", "abc", "bb", "bc", "cc", "cd", "dd", "ee", "ff",
+             "12", "345"]
+    rng = random.Random(32323232)
+
+    def mk_doc():
+        return " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(3, 12))
+        )
+
+    def mk_term():
+        return rng.choice(vocab)
+
+    def mk_clause(depth):
+        shape = rng.randrange(12 if depth == 0 else 9)
+        if shape == 0:
+            return mk_term()
+        if shape == 1:
+            return f"{mk_term()}^{rng.choice(['2', '0.5', '3.25'])}"
+        if shape == 2:
+            sim = rng.choice(["", "1", "2", "0.5", "0.8", "0.3"])
+            return f"{mk_term()}~{sim}"
+        if shape == 3:
+            t = mk_term()
+            b = rng.choice(["2", "0.5"])
+            return rng.choice([f"{t}^{b}~1", f"{t}~1^{b}"])
+        if shape == 4:
+            body = " ".join(mk_term() for _ in range(rng.randint(1, 3)))
+            slop = rng.choice(["", "", "~1", "~2"])
+            boost = rng.choice(["", "", "^2", "^0.5"])
+            return f'"{body}"{slop}{boost}'
+        if shape == 5:
+            t = mk_term()
+            return rng.choice([f"{t[0]}*", f"{t[0]}?", f"{t[0]}*{t[-1]}"])
+        if shape == 6:
+            return rng.choice(["/a./", "/[ab]+/", "/a.*c/", "/(a|b)b/",
+                               "/d+d/", "/..?/"])
+        if shape == 7:
+            lo, hi = sorted((mk_term(), mk_term()))
+            lo = rng.choice([lo, lo, "*"])
+            hi = rng.choice([hi, hi, "*"])
+            lb, rb = rng.choice([("[", "]"), ("{", "}"), ("[", "}"),
+                                 ("{", "]")])
+            return f"{lb}{lo} TO {hi}{rb}"
+        if shape == 8:
+            return "*:*"
+        # depth-0 only: groups
+        inner = " ".join(
+            mk_mod_clause(depth + 1) for _ in range(rng.randint(1, 3))
+        )
+        boost = rng.choice(["", "", "^2", "^0.5"])
+        return f"({inner}){boost}"
+
+    def mk_mod_clause(depth):
+        mod = rng.choice(["", "", "", "+", "-", "NOT ", "!"])
+        return f"{mod}{mk_clause(depth)}"
+
+    def mk_query():
+        parts = [mk_mod_clause(0)]
+        while rng.random() < 0.6 and len(parts) < 5:
+            op = rng.choice(["", "", "AND", "OR", "&&", "||"])
+            if op:
+                parts.append(op)
+            parts.append(mk_mod_clause(0))
+        return " ".join(parts)
+
+    fixed = [
+        "aa AND bb OR cc AND dd",      # the no-precedence flatten
+        "aa OR bb AND cc",
+        "(aa AND bb) OR cc",           # parens BLOCK the flatten
+        "aa AND (bb OR cc)",
+        "-aa",                          # pure negation -> empty
+        "-aa *:*",                      # negation beside matchall
+        "+aa",                          # bare REQ at root
+        "(+aa -bb)^2 cc",
+        '"aa"~2',                       # 1-token phrase + slop
+        "aa~0.99",                      # (1-0.99)*2 -> 0 edits
+        "ab~0.5",                       # 1 edit
+        "abc~0.5",                      # (0.5*3) -> 1 edit
+        "abc~0.1",                      # capped at 2
+        "[aa TO aa]", "{aa TO aa}",     # degenerate ranges
+        "[* TO *]",
+        "aa AND bb cc",                 # And beside bare clause
+        "aa bb AND cc dd",
+        "NOT aa AND bb",
+        "aa && bb || cc && dd",
+    ]
+    for corpus_round in range(4):
+        docs = [mk_doc() for _ in range(rng.randint(6, 14))]
+        idx = build_ws_oracle_index(list(enumerate(docs)))
+        queries = list(fixed) if corpus_round == 0 else []
+        while len(queries) < 40:
+            queries.append(mk_query())
+        expected = gt.run_flexible(docs, queries)
+        assert len(expected) == len(queries)
+        for qstr, exp in zip(queries, expected):
+            if isinstance(exp, str):
+                # the reference parser rejected it — ours must too
+                from lucene_solr_spark.search.flexibleqp import (
+                    FlexibleParseError,
+                )
+
+                with pytest.raises(FlexibleParseError):
+                    parse_flexible(qstr, _ws_analyze)
+                continue
+            tree = parse_flexible(qstr, _ws_analyze)
+            got = oracle_topk_tree(idx, tree, 10) if tree is not None else []
+            _assert_topk_equal(got, exp, (corpus_round, qstr))

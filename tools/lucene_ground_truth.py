@@ -494,6 +494,57 @@ public class GroundTruthTokenize {
 """
 
 
+FLEXIBLE_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queryparser.flexible.standard.StandardQueryParser;
+
+public class GroundTruthFlexible {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String qstr = in.readLine();
+      StandardQueryParser qp = new StandardQueryParser(new GroundTruth.WS());
+      Query q;
+      try {
+        q = qp.parse(qstr, "body");
+      } catch (Exception e) {
+        System.out.println("PARSE_ERROR:" + e.getClass().getSimpleName());
+        continue;
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 CLASSICHL_JAVA = r"""
 import org.apache.lucene.analysis.TokenStream;
 import org.apache.lucene.analysis.standard.StandardAnalyzer;
@@ -2361,6 +2412,31 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the flexible query parser (queryparser/flexible — StandardQueryParser
+    # + its core framework) needs lucene-core only
+    fx_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/queryparser/flexible/standard/"
+        "StandardQueryParser.class",
+    )
+    fx_root = (
+        "/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+        "queryparser/flexible"
+    )
+    if not os.path.exists(fx_marker) and os.path.isdir(fx_root):
+        fsrcs = []
+        for dirpath, _dirs, files in os.walk(fx_root):
+            fsrcs.extend(
+                os.path.join(dirpath, f) for f in files if f.endswith(".java")
+            )
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + sorted(fsrcs),
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the classic highlight package (lucene/highlighter search/highlight)
     # needs core + memory + queries + join (all compiled above)
     chl_marker = os.path.join(
@@ -2402,6 +2478,7 @@ def build() -> bool:
         ("GroundTruthGroup", GROUP_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
+        ("GroundTruthFlexible", FLEXIBLE_JAVA),
         ("GroundTruthMemory", MEMORY_JAVA),
         ("GroundTruthSpatial", SPATIAL_JAVA),
         ("GroundTruthJoin", JOIN_JAVA),
@@ -2553,6 +2630,40 @@ def run_tokenize(lines: list[str]) -> list[list[tuple[int, str]]]:
             p, _sep, t = part.partition("|")
             toks.append((int(p), t))
         out.append(toks)
+    return out
+
+
+def run_flexible(docs: list[str], queries: list[str]) -> list:
+    """Top-10 (docid, Float.toString(score)) per query through the REAL
+    StandardQueryParser (queryparser/flexible) + IndexSearcher over a
+    whitespace index. A query the parser rejects returns the string
+    'PARSE_ERROR:<exception>'."""
+    payload = [str(len(docs))] + list(docs)
+    payload.append(str(len(queries)))
+    payload.extend(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFlexible"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("PARSE_ERROR:"):
+            out.append(line)
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        hits = []
+        for part in line.split(";"):
+            d, _sep, sc = part.partition(":")
+            hits.append((int(d), sc))
+        out.append(hits)
     return out
 
 
