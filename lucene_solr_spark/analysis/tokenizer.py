@@ -40,17 +40,174 @@ import numpy as np
 _MIDL = ":··״‧︓﹕："
 _MIDNUM = ",;٬﹐﹔，；;"
 _MIDNL = ".'‘’․﹒．"
-_CJK = "一-鿿㐀-䶿豈-﫿぀-ゟ"
-_KATA = "゠-ヿㇰ-ㇿ"
-_W = rf"[^\W{_CJK}{_KATA}]"        # \w minus Han/Hiragana/Katakana
-_WL = rf"[^\W\d_{_CJK}{_KATA}]"    # letter side for joiner adjacency
+# Han/Hiragana single-char tokens: BMP blocks + the 6.3-era astral
+# ideograph planes (CJK Ext B/C/D + compat supplement, Kana supplement)
+# — pinned single-char vs the compiled chain in GT round 30b
+# Hiragana splits around U+3099-309C: 3099-309A are combining voicing
+# marks (WB Extend), 309B-309C the FULL-width voicing marks (WB
+# Katakana! they run: "\u30ab\u309b" joins, "\u309b\u309c" is its own
+# token), 309D-309F iteration marks stay single-char. U+1B000 is
+# KATAKANA archaic E (runs); U+1B001 HIRAGANA archaic YE (single).
+_CJK = (
+    "\u4e00-\u9fff\u3400-\u4dbf\uf900-\ufaff\u3041-\u3096\u309d-\u309f"
+    "\U00020000-\U0002A6DF\U0002A700-\U0002B73F\U0002B740-\U0002B81F"
+    "\U0002F800-\U0002FA1F\U0001B001"
+)
+# Katakana (WB13 runs; bridged to \w runs by ExtendNumLet '_' per
+# WB13a/b): BMP + phonetic extensions + fullwidth voicing marks +
+# circled (32D0-32FE) + HALFWIDTH (FF66-FF9D; FF9E-FF9F are Extend) +
+# astral archaic E
+_KATA = (
+    "\u30a0-\u30ff\u31f0-\u31ff\u309b\u309c\u32d0-\u32fe"
+    "\uff66-\uff9d\U0001B000"
+)
+# ExtendNumLet (connector punctuation, WB13a/b): rides inside \w runs
+# AND bridges them to Katakana runs in BOTH directions ("\u30ab_ab",
+# "ab_\u30ab", "12_\u30ab" are ONE token each; Han/Hiragana do NOT
+# bridge) — pinned vs the compiled chain in GT round 30b
+_ENL = "_\u203f\u2040\u2054\ufe33\ufe34\ufe4d-\ufe4f\uff3f"
+_ENL_CHARS = "_\u203f\u2040\u2054\ufe33\ufe34\ufe4d\ufe4e\ufe4f\uff3f"
+# \w minus Han/Hiragana/Katakana, plus the non-'_' connector
+# punctuation (Python \w covers only '_' among Pc; the reference's
+# ExtendNumLet is the full Pc set)
+_W = rf"(?:[^\W{_CJK}{_KATA}]|[{_ENL}])"
+_WL = rf"[^\W\d{_ENL}{_CJK}{_KATA}]"  # letter side for joiner adjacency
+_JEXT = (
+    rf"(?:(?<={_WL})[{_MIDL}{_MIDNL}](?={_WL}){_W}+"
+    rf"|(?<=\d)[{_MIDNUM}{_MIDNL}](?=\d){_W}+)*"
+)
 TOKEN_RE = re.compile(
-    rf"[{_KATA}]+"
-    rf"|[{_CJK}]"
-    rf"|{_W}+(?:(?<={_WL})[{_MIDL}{_MIDNL}](?={_WL}){_W}+"
-    rf"|(?<=\d)[{_MIDNUM}{_MIDNL}](?=\d){_W}+)*",
+    rf"(?:[{_KATA}]+|{_W}+{_JEXT})"
+    rf"(?:(?<=[{_ENL}])[{_KATA}]+|(?<=[{_KATA}])[{_ENL}]{_W}*{_JEXT})*"
+    rf"|[{_CJK}]",
     re.UNICODE,
 )
+
+# UAX#29 WB4: Extend/Format chars (combining marks Mn/Mc/Me + format
+# controls Cf - ZWJ/ZWNJ/soft-hyphen/bidi marks) are TRANSPARENT token
+# extenders: they attach to the PRECEDING char (riding in the emitted
+# token text), never start a token, and the grammar's side classes look
+# through them ("ab\u0301:cd" is ONE token; "1,\u03012" joins with the
+# mark riding between ',' and '2') - pinned vs the compiled chain in GT
+# round 30b. Texts containing any such char leave the fast regex for
+# _scan_token_spans; stdlib `re` cannot express the variable-length
+# mark-transparent lookbehinds.
+from .uax29_ext import EXTEND_FORMAT_CLASS
+
+# + the HALFWIDTH katakana voicing marks FF9E-FF9F (category Lm, but WB
+# Extend in the reference tables: "a\uff9e" is ONE token)
+_E_CLASS = EXTEND_FORMAT_CLASS + "\uff9e\uff9f"
+
+_E_RE = re.compile(rf"[{_E_CLASS}]")
+_KATA_ONE = re.compile(rf"[{_KATA}]")
+_CJK_ONE = re.compile(rf"[{_CJK}]")
+_W_ONE = re.compile(_W)
+_WL_ONE = re.compile(_WL)
+_D_ONE = re.compile(r"\d")
+_J_LETTER = frozenset(_MIDL + _MIDNL)
+_J_DIGIT = frozenset(_MIDNUM + _MIDNL)
+
+
+def _scan_token_spans(text: str) -> list[tuple[str, int, int]]:
+    """The UAX#29 walk for texts carrying Extend/Format chars - same
+    grammar as TOKEN_RE plus the WB4 transparency rules. Returns
+    (token_text, start, end) spans; token_text INCLUDES the riding
+    extend/format chars (the reference emits them in the term)."""
+    out: list[tuple[str, int, int]] = []
+    n = len(text)
+    i = 0
+    start = -1
+    mode = ""   # 'w' | 'kata' | 'cjk'
+    eff = ""    # effective joiner side class in w mode: 'L' | 'D' | ''
+    last = ""   # last concrete (non-extend) char of the open token
+
+    def close(end: int) -> None:
+        nonlocal start, mode
+        if start >= 0:
+            out.append((text[start:end], start, end))
+        start = -1
+        mode = ""
+
+    while i < n:
+        c = text[i]
+        if _E_RE.match(c):
+            # extends the open token; an orphan extender (after sot /
+            # space / a failed joiner) is dropped
+            i += 1
+            continue
+        if _KATA_ONE.match(c):
+            if mode == "w" and last in _ENL_CHARS:
+                mode = "kata"   # WB13b: ExtendNumLet x Katakana bridges
+            elif mode != "kata":
+                close(i)
+                start = i
+                mode = "kata"
+            last = c
+            i += 1
+            continue
+        if _CJK_ONE.match(c):
+            close(i)
+            start = i
+            mode = "cjk"
+            last = c
+            i += 1
+            continue
+        if _W_ONE.match(c):
+            if mode == "kata" and c in _ENL_CHARS:
+                mode = "w"      # WB13a: Katakana x ExtendNumLet bridges
+            elif mode != "w":
+                close(i)
+                start = i
+                mode = "w"
+            eff = "D" if _D_ONE.match(c) else ("L" if _WL_ONE.match(c) else "")
+            last = c
+            i += 1
+            continue
+        if mode == "w" and (c in _J_LETTER or c in _J_DIGIT):
+            # mid-token joiner: side classes look THROUGH extenders
+            j = i + 1
+            while j < n and _E_RE.match(text[j]):
+                j += 1
+            nxt = text[j] if j < n else ""
+            ok = bool(nxt) and (
+                (eff == "L" and c in _J_LETTER and _WL_ONE.match(nxt))
+                or (eff == "D" and c in _J_DIGIT and _D_ONE.match(nxt))
+            )
+            if ok:
+                i = j  # joiner + riding extenders stay inside the token
+                continue
+            close(i)
+            i += 1
+            continue
+        close(i)
+        i += 1
+    close(n)
+    return out
+
+
+def _emittable(t: str) -> bool:
+    """ALPHANUM/NUM/KATAKANA check for scanner tokens: at least one
+    letter/digit or Katakana char (extenders, connector punctuation and
+    joiners alone don't make a token; a bare KATAKANA grammar token like
+    the double-hyphen or voicing marks IS emitted)."""
+    return any(ch.isalnum() for ch in t) or _KATA_ONE.search(t) is not None
+
+
+def _split_overlong_scan(t: str) -> list[str]:
+    """maxTokenLength window split on the scanner path (the extend/
+    format-bearing analog of _split_overlong)."""
+    out = []
+    i, n = 0, len(t)
+    while i < n:
+        spans = _scan_token_spans(t[i : i + MAX_TOKEN_LENGTH])
+        if not spans or spans[0][1] != 0:
+            i += 1
+            continue
+        tok, _s, e = spans[0]
+        out.append(tok)
+        i += e
+    return out
+
 
 # Tokens must contain at least one letter/digit (a pure '_'/joiner run is not
 # an ALPHANUM/NUM segment and is never emitted by StandardTokenizer).
@@ -72,9 +229,18 @@ ENGLISH_STOP_WORDS = frozenset(
 
 def _java_lower(text: str) -> str:
     """Per-codepoint lowercase matching Java Character.toLowerCase(int) on the
-    cases where Python's str.lower() diverges (dotted capital I expands)."""
+    cases where Python's str.lower() diverges: dotted capital I expands, and
+    str.lower()'s context-sensitive Final_Sigma rule maps a word-final 'Σ' to
+    'ς' while Java's per-codepoint map always gives 'σ' (a pre-existing 'ς'
+    stays 'ς' under both)."""
     if "İ" in text:
         text = text.replace("İ", "i")
+    if "Σ" in text:
+        lowered = list(text.lower())
+        for i, ch in enumerate(text):
+            if ch == "Σ":
+                lowered[i] = "σ"
+        return "".join(lowered)
     return text.lower()
 
 
@@ -99,16 +265,71 @@ def _split_overlong(t: str) -> list[str]:
 
 
 def _findall_tokens(text: str) -> list[str]:
+    if not text.isascii() and _E_RE.search(text):
+        # rare path: extend/format chars present (WB4 transparency)
+        out = []
+        for t, _s, _e in _scan_token_spans(text):
+            if not _emittable(t):
+                continue
+            if len(t) <= MAX_TOKEN_LENGTH:
+                out.append(t)
+            else:
+                out.extend(
+                    p for p in _split_overlong_scan(t) if _emittable(p)
+                )
+        return out
     out = []
     for t in TOKEN_RE.findall(text):
         # a pure '_' run is not an ALPHANUM/NUM segment (strip-check is a
         # fast equivalent of searching for a non-underscore \w char)
-        if not t.strip("_"):
+        if not t.strip(_ENL_CHARS):
             continue
         if len(t) <= MAX_TOKEN_LENGTH:
             out.append(t)
         else:
-            out.extend(p for p in _split_overlong(t) if p.strip("_"))
+            out.extend(p for p in _split_overlong(t) if p.strip(_ENL_CHARS))
+    return out
+
+
+def iter_token_spans(text: str) -> list[tuple[str, int, int]]:
+    """Tokenizer output WITH original-text offsets: [(token, start,
+    end)] — the OffsetAttribute stream (classic highlighter et al).
+    Over-long runs split into 255-char-window grammar matches, each
+    window piece at its own offset (GT round 30); extend/format-bearing
+    texts take the WB4 scanner (GT round 30b)."""
+    if not text.isascii() and _E_RE.search(text):
+        spans: list[tuple[str, int, int]] = []
+        for t, s, e in _scan_token_spans(text):
+            if not _emittable(t):
+                continue
+            if len(t) <= MAX_TOKEN_LENGTH:
+                spans.append((t, s, e))
+                continue
+            o = 0
+            for p in _split_overlong_scan(t):
+                o = t.index(p, o)
+                if _emittable(p):
+                    spans.append((p, s + o, s + o + len(p)))
+                o += len(p)
+        return spans
+    out: list[tuple[str, int, int]] = []
+    for m in TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if not tok.strip(_ENL_CHARS):
+            continue
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            out.append((tok, m.start(), m.end()))
+            continue
+        i, n = 0, len(tok)
+        while i < n:
+            sub = TOKEN_RE.match(tok[i : i + MAX_TOKEN_LENGTH])
+            if sub is None:
+                i += 1
+                continue
+            if sub.group(0).strip(_ENL_CHARS):
+                out.append((sub.group(0), m.start() + i,
+                            m.start() + i + len(sub.group(0))))
+            i += len(sub.group(0))
     return out
 
 

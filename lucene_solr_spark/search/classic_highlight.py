@@ -44,8 +44,6 @@ import numpy as np
 
 from ..analysis.tokenizer import (
     ENGLISH_STOP_WORDS,
-    MAX_TOKEN_LENGTH,
-    TOKEN_RE,
     _java_lower,
     analyze,
 )
@@ -61,33 +59,19 @@ def analyze_stream(text: str) -> list[tuple[int, int, int, str]]:
     """StandardAnalyzer chain WITH offsets: [(position, start, end,
     term)] — the original-text offsets the Java chain reports
     (tokenize original, then LowerCaseFilter per token, then StopFilter
-    leaving position gaps). Over-long runs split per the GT-round-30
-    jflex buffer semantics, each window piece at its own position."""
+    leaving position gaps). Tokenization (incl. the over-long window
+    split and WB4 extend/format transparency) is the shared
+    iter_token_spans."""
+    from ..analysis.tokenizer import iter_token_spans
+
     out = []
     pos = -1
-    for m in TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        if not tok.strip("_"):
+    for piece, s, e in iter_token_spans(text):
+        pos += 1
+        lt = _java_lower(piece)
+        if lt in ENGLISH_STOP_WORDS:
             continue
-        pieces: list[tuple[str, int]] = []
-        if len(tok) <= MAX_TOKEN_LENGTH:
-            pieces.append((tok, m.start()))
-        else:
-            i, n = 0, len(tok)
-            while i < n:
-                sub = TOKEN_RE.match(tok[i : i + MAX_TOKEN_LENGTH])
-                if sub is None:
-                    i += 1
-                    continue
-                if sub.group(0).strip("_"):
-                    pieces.append((sub.group(0), m.start() + i))
-                i += len(sub.group(0))
-        for piece, s in pieces:
-            pos += 1
-            lt = _java_lower(piece)
-            if lt in ENGLISH_STOP_WORDS:
-                continue
-            out.append((pos, s, s + len(piece), lt))
+        out.append((pos, s, e, lt))
     return out
 
 

@@ -2922,3 +2922,65 @@ def test_flexible_standard_query_parser_matches_compiled_reference():
             tree = parse_flexible(qstr, _ws_analyze)
             got = oracle_topk_tree(idx, tree, 10) if tree is not None else []
             _assert_topk_equal(got, exp, (corpus_round, qstr))
+
+
+def test_extend_format_chars_match_compiled_reference():
+    """Ground-truth round 30b — UAX#29 WB4 Extend/Format transparency
+    (the round-30 scope-out): combining marks (Mn/Mc/Me) and format
+    controls (Cf: ZWJ/ZWNJ/soft hyphen/bidi marks) attach to the
+    PRECEDING char, ride inside the emitted token text, never start a
+    token, and the mid-token joiner side classes look THROUGH them;
+    plus the 6.3-era astral planes (CJK Ext B single-char ideographs,
+    Kana supplement) and Java's per-codepoint lowercase (no
+    Final_Sigma context rule). Fuzzed (position, token) streams exact
+    vs the compiled StandardAnalyzer chain."""
+    from lucene_solr_spark.analysis.tokenizer import analyze_with_positions
+
+    def ours(text):
+        pos, _fl = analyze_with_positions(text)
+        return sorted((p, t) for t, ps in pos.items() for p in ps)
+
+    fixed = [
+        "café naivë áb",
+        "é̂x y‍z a­b",
+        "ab́.12 1́2 a.́1 ab́:cd 1́:b",
+        "1́,2 1,́2 ab.́cd a‍.b a.‍b",
+        "‍ab ­cd ́́ ‍‍ x",
+        "ab‍ cd́ ef­ ab‍12 ab́12",
+        "\U0001D400\U0001D401 \U0001D7CE\U0001D7CF",
+        "\U00020000\U00020001 ab \U0001B000 \U0001B001ab",
+        "日‍本 日́ カ́タ",
+        "à ́b ́ ab",
+        "אִ اَ",
+        "x‍‍y a‌b",
+        "а́б π͂ρ",
+        "ΣΑΣ Σ ΟΔΥΣΣΕΥΣ σας",          # Final_Sigma: Java gives σ, not ς
+        "İ̇stanbul İ",              # dotted capital I + extra mark
+        "á:b́:ć 1́,2́,3",
+    ]
+    fixed += [
+        "カ_ab ab_カ _カ カ_ 12_カ 日_ _日",     # WB13a/b ENL bridges
+        "ab‿カ カ‿12 ‿ ab‿ ‿カ ＿ab カ＿ab",  # non-'_' connectors
+        "カ́_ab ab_́カ 1́2_カ",                 # bridges through marks
+        "ｶﾅ ｦｱｶ ｶﾞ ﾞﾟ aﾞ 1ﾞ",                    # halfwidth kata + Extend marks
+        "カ゛ ゛゜ a゛ ㋐㋑ ㋐a ㋐_a ア㋐",       # fullwidth voicing, circled
+        "゠ カ゠カ ー カー ーカ",                 # double hyphen, prolonged mark
+        "𛀀𛀀 𛀁𛀁 𛀀カ カ㋐𛀀ｶ",             # astral kana classes
+    ]
+    atoms = (
+        ["ab ", "12 ", "the ", "é", "x", "1", " ", " "]
+        + ["́", "̈", "‍", "‌", "­", "֑",
+           "ً", "ﾞ"]
+        + list(":,.'") + ["・" if False else "‧", "，"]
+        + ["日", "カ", "ｶ", "㋐", "゠", "゛", "𛀀", "𠀀", "𝐀", "Σ", "ς",
+           "а́", "_", "‿"]
+    )
+    rng = random.Random(303030302)
+    cases = list(fixed)
+    for _ in range(200):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 12)))
+        cases.append(s.replace("\n", " "))
+    expected = gt.run_tokenize(cases)
+    assert len(expected) == len(cases)
+    for line, exp in zip(cases, expected):
+        assert ours(line) == exp, (line, ours(line), exp)
