@@ -67,18 +67,19 @@ _KATA = (
 # bridge) — pinned vs the compiled chain in GT round 30b
 _ENL = "_\u203f\u2040\u2054\ufe33\ufe34\ufe4d-\ufe4f\uff3f"
 _ENL_CHARS = "_\u203f\u2040\u2054\ufe33\ufe34\ufe4d\ufe4e\ufe4f\uff3f"
-# \w minus Han/Hiragana/Katakana, plus the non-'_' connector
-# punctuation (Python \w covers only '_' among Pc; the reference's
-# ExtendNumLet is the full Pc set)
-_W = rf"(?:[^\W{_CJK}{_KATA}]|[{_ENL}])"
-_WL = rf"[^\W\d{_ENL}{_CJK}{_KATA}]"  # letter side for joiner adjacency
+# \w minus Han/Hiragana/Katakana. Python \w covers only '_' among the
+# connector punctuation; texts carrying the EXOTIC Pc connectors
+# (\u203f et al) route to the scanner via _RARE_RE below, keeping this
+# hot-path class a single-character-class test.
+_W = rf"[^\W{_CJK}{_KATA}]"
+_WL = rf"[^\W\d_{_CJK}{_KATA}]"   # letter side for joiner adjacency
 _JEXT = (
     rf"(?:(?<={_WL})[{_MIDL}{_MIDNL}](?={_WL}){_W}+"
     rf"|(?<=\d)[{_MIDNUM}{_MIDNL}](?=\d){_W}+)*"
 )
 TOKEN_RE = re.compile(
-    rf"(?:[{_KATA}]+|{_W}+{_JEXT})"
-    rf"(?:(?<=[{_ENL}])[{_KATA}]+|(?<=[{_KATA}])[{_ENL}]{_W}*{_JEXT})*"
+    rf"(?:{_W}+{_JEXT}|[{_KATA}]+)"
+    rf"(?:(?<=_)[{_KATA}]+|(?<=[{_KATA}])_{_W}*{_JEXT})*"
     rf"|[{_CJK}]",
     re.UNICODE,
 )
@@ -99,6 +100,10 @@ from .uax29_ext import EXTEND_FORMAT_CLASS
 _E_CLASS = EXTEND_FORMAT_CLASS + "\uff9e\uff9f"
 
 _E_RE = re.compile(rf"[{_E_CLASS}]")
+# rare-path detector: extend/format chars OR the exotic (non-'_')
+# connector punctuation the fast regex does not model
+_RARE_RE = re.compile(rf"[{_E_CLASS}\u203f\u2040\u2054\ufe33\ufe34"
+                      rf"\ufe4d-\ufe4f\uff3f]")
 _KATA_ONE = re.compile(rf"[{_KATA}]")
 _CJK_ONE = re.compile(rf"[{_CJK}]")
 _W_ONE = re.compile(_W)
@@ -152,7 +157,9 @@ def _scan_token_spans(text: str) -> list[tuple[str, int, int]]:
             last = c
             i += 1
             continue
-        if _W_ONE.match(c):
+        if _W_ONE.match(c) or c in _ENL_CHARS:
+            # the exotic (non-'_') Pc connectors are not Python \w but
+            # ARE ExtendNumLet — word chars for the scanner
             if mode == "kata" and c in _ENL_CHARS:
                 mode = "w"      # WB13a: Katakana x ExtendNumLet bridges
             elif mode != "w":
@@ -265,7 +272,7 @@ def _split_overlong(t: str) -> list[str]:
 
 
 def _findall_tokens(text: str) -> list[str]:
-    if not text.isascii() and _E_RE.search(text):
+    if not text.isascii() and _RARE_RE.search(text):
         # rare path: extend/format chars present (WB4 transparency)
         out = []
         for t, _s, _e in _scan_token_spans(text):
@@ -297,7 +304,7 @@ def iter_token_spans(text: str) -> list[tuple[str, int, int]]:
     Over-long runs split into 255-char-window grammar matches, each
     window piece at its own offset (GT round 30); extend/format-bearing
     texts take the WB4 scanner (GT round 30b)."""
-    if not text.isascii() and _E_RE.search(text):
+    if not text.isascii() and _RARE_RE.search(text):
         spans: list[tuple[str, int, int]] = []
         for t, s, e in _scan_token_spans(text):
             if not _emittable(t):
