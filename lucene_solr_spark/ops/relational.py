@@ -1716,6 +1716,48 @@ def suggest_fst_bucket(spark, sf):
     )
 
 
+#: JaspellLookup demo prefix/num: 's' matches 6 dictionary terms and
+#: num=4 exercises sortKeysRecursion's mid-traversal cap (the
+#: exact-key-first rule is pinned in the GT round-33 tests; this
+#: corpus has no term that is both a key and a strict prefix)
+JASPELL_PREFIX = "s"
+JASPELL_NUM = 4
+
+
+def suggest_jaspell(spark, sf):
+    """JaspellLookup (lucene/suggest/jaspell/JaspellLookup.java),
+    reference-EXACT since ground-truth round 33
+    (search/suggesters.py::jaspell_lookup pinned vs the compiled
+    binary): matchPrefix returns the EXACT key first (when indexed),
+    then the ternary trie's in-order traversal under the prefix — for
+    a lowercase dictionary that is plain sorted order — capped at num;
+    values are the weights (docFreq here). Term-dictionary metadata
+    scan only; the corpus is never touched."""
+    from .index_access import searcher_for
+
+    s = searcher_for(spark, sf)
+    return (
+        s._term_stats.select("term", "df")
+        .filter(F.col("term").startswith(JASPELL_PREFIX))
+        .orderBy((F.col("term") != JASPELL_PREFIX).cast("int"), "term")
+        .limit(JASPELL_NUM)
+    )
+
+
+SUGGEST_JASPELL_SQL = f"""
+WITH dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' AND term NOT IN {_stoplist_in()}
+  GROUP BY term
+)
+SELECT term, df FROM dict
+WHERE term LIKE '{JASPELL_PREFIX}%'
+ORDER BY (term <> '{JASPELL_PREFIX}'), term
+LIMIT {JASPELL_NUM}
+"""
+
+
 SUGGEST_FST_BUCKET_SQL = f"""
 WITH dict AS (
   SELECT term, count(DISTINCT doc_id) AS df
@@ -2048,9 +2090,15 @@ def suggest_combined(spark, sf):
         F.col("bucket").cast("long").alias("df"),
         F.lit(-1).cast("int").alias("distance"),
     )
+    s8 = suggest_jaspell(spark, sf).select(
+        F.lit("jaspell").alias("variant"),
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
     return (
         s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
-        .unionByName(s6).unionByName(s7)
+        .unionByName(s6).unionByName(s7).unionByName(s8)
         .orderBy("variant", "term")
     )
 
@@ -2077,6 +2125,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'fst_bucket' AS variant, term, CAST(bucket AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_FST_BUCKET_SQL})
+  UNION ALL
+  SELECT 'jaspell' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_JASPELL_SQL})
 ) ORDER BY variant, term
 """
 

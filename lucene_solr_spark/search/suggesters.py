@@ -184,3 +184,197 @@ def analyzing_lookup(
     pool.sort(key=lambda e: (-e[1], _analyzed(e[0]).encode("utf-8")))
     results.extend(pool[: num - len(results)])
     return results
+
+
+# ---------------------------------------------------------------------------
+# TSTLookup + JaspellLookup (ground-truth round 33)
+
+
+class _TTN:
+    """TernaryTreeNode (suggest/tst/TernaryTreeNode.java)."""
+
+    __slots__ = ("c", "lo", "eq", "hi", "token", "val")
+
+    def __init__(self, c: str = "\0"):
+        self.c = c
+        self.lo = self.eq = self.hi = None
+        self.token = None
+        self.val = None
+
+
+def _tst_insert(cur, s: str, val, x: int):
+    """TSTAutocomplete.insert (suggest/tst/TSTAutocomplete.java:40-75),
+    including the quirk that the pre-made root node's splitchar is
+    '\\0' so the whole tree hangs off its hiKid."""
+    if cur is None:
+        cur = _TTN(s[x])
+        if x < len(s) - 1:
+            cur.eq = _tst_insert(cur.eq, s, val, x + 1)
+        else:
+            cur.token = s
+            cur.val = val
+        return cur
+    if cur.c > s[x]:
+        cur.lo = _tst_insert(cur.lo, s, val, x)
+    elif cur.c == s[x]:
+        if x < len(s) - 1:
+            cur.eq = _tst_insert(cur.eq, s, val, x + 1)
+        else:
+            cur.token = s
+            cur.val = val
+    else:
+        cur.hi = _tst_insert(cur.hi, s, val, x)
+    return cur
+
+
+def _tst_balanced(tokens, vals, lo: int, hi: int, root) -> None:
+    """TSTAutocomplete.balancedTree: middle-first insertion, so the
+    traversal order (and therefore the UNPOPULAR lookup's result order)
+    is a deterministic function of the sorted entry array."""
+    if lo > hi:
+        return
+    mid = (lo + hi) // 2
+    _tst_insert(root, tokens[mid], vals[mid], 0)
+    _tst_balanced(tokens, vals, lo, mid - 1, root)
+    _tst_balanced(tokens, vals, mid + 1, hi, root)
+
+
+def _tst_prefix_completion(root, s: str):
+    """TSTAutocomplete.prefixCompletion: descend to the prefix node,
+    then an explicit-STACK DFS (push eqKid, loKid, hiKid — so hiKid
+    pops first); the result order is this walk, not sorted order."""
+    p = root
+    x = 0
+    while p is not None:
+        if s[x] < p.c:
+            p = p.lo
+        elif s[x] == p.c:
+            if x == len(s) - 1:
+                break
+            x += 1
+            p = p.eq
+        else:
+            p = p.hi
+    if p is None:
+        return []
+    if p.eq is None and p.token is None:
+        return []
+    if p.eq is None:
+        return [p]
+    out = []
+    if p.token is not None:
+        out.append(p)
+    st = [p.eq]
+    while st:
+        top = st.pop()
+        if top.token is not None:
+            out.append(top)
+        if top.eq is not None:
+            st.append(top.eq)
+        if top.lo is not None:
+            st.append(top.lo)
+        if top.hi is not None:
+            st.append(top.hi)
+    return out
+
+
+def _lookup_pq_topn(items, num: int):
+    """LookupPriorityQueue (suggest/Lookup.java): the reference
+    PriorityQueue bounded at `num` with lessThan = value <, filled in
+    item order via insertWithOverflow; getResults pops ascending into
+    the array tail, returning weight-DESC with heap-layout tie order."""
+    heap = [None] * (num + 1)
+    size = 0
+
+    def less(a, b) -> bool:
+        return a[1] < b[1]
+
+    def up(i: int) -> None:
+        node = heap[i]
+        j = i >> 1
+        while j >= 1 and less(node, heap[j]):
+            heap[i] = heap[j]
+            i = j
+            j = j >> 1
+        heap[i] = node
+
+    def down(i: int) -> None:
+        node = heap[i]
+        j = i << 1
+        if j + 1 <= size and less(heap[j + 1], heap[j]):
+            j += 1
+        while j <= size and less(heap[j], node):
+            heap[i] = heap[j]
+            i = j
+            j = i << 1
+            if j + 1 <= size and less(heap[j + 1], heap[j]):
+                j += 1
+        heap[i] = node
+
+    for it in items:
+        if size < num:
+            size += 1
+            heap[size] = it
+            up(size)
+        elif size > 0 and not less(it, heap[1]):
+            heap[1] = it
+            down(1)
+    out = [None] * size
+    for i in range(size - 1, -1, -1):
+        out[i] = heap[1]
+        heap[1] = heap[size]
+        size -= 1
+        down(1)
+    return out
+
+
+def tst_lookup(entries, key: str, num: int, only_more_popular: bool = False):
+    """TSTLookup (suggest/tst/TSTLookup.java): entries sorted in UTF-16
+    code-unit order (the utf8SortedAsUTF16SortOrder comparator), built
+    middle-first into a ternary tree; the unpopular path returns the
+    FIRST num nodes in prefixCompletion's stack-DFS order, the popular
+    path the weight-DESC top num through LookupPriorityQueue. BMP keys
+    only (Java chars are UTF-16 units)."""
+    if not key:
+        return []
+    weights = dict(entries)
+    toks = sorted(weights, key=lambda s: s.encode("utf-16-be"))
+    root = _TTN()
+    _tst_balanced(toks, [weights[t] for t in toks], 0, len(toks) - 1, root)
+    nodes = _tst_prefix_completion(root, key)
+    if not nodes:
+        return []
+    if only_more_popular:
+        return _lookup_pq_topn([(n.token, n.val) for n in nodes], num)
+    return [(n.token, n.val) for n in nodes[: min(num, len(nodes))]]
+
+
+def jaspell_lookup(entries, key: str, num: int,
+                   only_more_popular: bool = False):
+    """JaspellLookup (suggest/jaspell/): matchPrefix = the exact key
+    first (when present), then the in-order traversal of the ternary
+    trie under the prefix — for lowercase entries the case-insensitive
+    comparator (compareCharsAlphabetically = toLowerCase difference)
+    degenerates to natural order, so the traversal IS sorted order,
+    capped at num (num*2 for onlyMorePopular, which then takes the
+    weight-DESC top num through LookupPriorityQueue). Restricted to
+    keys the comparator keeps distinct (lowercase in our corpora)."""
+    if not key:
+        return []
+    weights = dict(entries)
+    count = num * 2 if only_more_popular else num
+    keys: list[str] = []
+    if key in weights:
+        keys.append(key)
+    if any(k.startswith(key) for k in weights):
+        for k in sorted(weights):
+            if len(keys) >= count:
+                break
+            if k.startswith(key) and k != key:
+                keys.append(k)
+    if not keys:
+        return []
+    items = [(k, weights[k]) for k in keys]
+    if only_more_popular:
+        return _lookup_pq_topn(items, num)
+    return items[: min(num, len(items))]

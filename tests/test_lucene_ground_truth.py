@@ -2984,3 +2984,49 @@ def test_extend_format_chars_match_compiled_reference():
     assert len(expected) == len(cases)
     for line, exp in zip(cases, expected):
         assert ours(line) == exp, (line, ours(line), exp)
+
+
+def test_tst_jaspell_lookups_match_compiled_reference():
+    """Ground-truth round 33 — the two remaining Lookup implementations
+    (suggest/tst/TSTLookup, suggest/jaspell/JaspellLookup) vs the
+    compiled reference: randomized weighted entries, both the plain and
+    the onlyMorePopular paths. Pins TST's balanced middle-first build
+    over UTF-16-sorted entries + prefixCompletion's explicit-stack DFS
+    result order (the unpopular path returns the first `num` in WALK
+    order, not sorted order), Jaspell's exact-key-first in-order
+    traversal, and LookupPriorityQueue's weight-DESC order including
+    heap-layout tie behavior (duplicate weights on purpose)."""
+    from lucene_solr_spark.search.suggesters import jaspell_lookup, tst_lookup
+
+    rng = random.Random(33333333)
+    syll = ["me", "mer", "so", "sor", "ta", "tab", "ve", "x", "zz", "a"]
+    for corpus_round in range(4):
+        n = rng.randint(6, 24)
+        keys = set()
+        while len(keys) < n:
+            keys.add("".join(rng.choice(syll)
+                             for _ in range(rng.randint(1, 3))))
+        # duplicate weights on purpose: the PQ tie order is part of the pin
+        entries = [(k, rng.randint(1, 6)) for k in sorted(keys)]
+        rng.shuffle(entries)
+        queries = []
+        for _ in range(30):
+            kind = rng.choice(["TST", "TSTW", "JASPELL", "JASPELLW"])
+            num = rng.randint(1, 6)
+            base = rng.choice(entries)[0]
+            key = base[: rng.randint(1, len(base))]
+            if rng.random() < 0.15:
+                key = key + rng.choice(["q", "zz"])  # likely no match
+            queries.append((kind, num, key))
+        expected = gt.run_suggesters(entries, queries)
+        assert len(expected) == len(queries)
+        for (kind, num, key), exp in zip(queries, expected):
+            fn = tst_lookup if kind.startswith("TST") else jaspell_lookup
+            got = [
+                (k, int(w))
+                for k, w in fn(entries, key, num,
+                               only_more_popular=kind.endswith("W"))
+            ]
+            exp_pairs = [(k, int(v)) for k, v in exp]
+            assert got == exp_pairs, (corpus_round, kind, num, key,
+                                      got, exp_pairs)

@@ -1382,6 +1382,8 @@ public class GroundTruthSuggesters {
       String key = java.net.URLDecoder.decode(p[2], "UTF-8");
       String family = kind.startsWith("FSTB") ? "FSTB"
                     : kind.equals("WFSTNX") ? "WFSTNX"
+                    : kind.equals("TSTW") ? "TST"
+                    : kind.equals("JASPELLW") ? "JASPELL"
                     : kind.equals("ANALYZINGNX") ? "ANALYZINGNX" : kind;
       Lookup lk = built.get(family);
       if (lk == null) {
@@ -1405,6 +1407,11 @@ public class GroundTruthSuggesters {
               new GroundTruthFreeText.WSOff(), new GroundTruthFreeText.WSOff(),
               org.apache.lucene.search.suggest.analyzing.AnalyzingSuggester.PRESERVE_SEP,
               256, -1, true);
+        } else if (family.equals("TST")) {
+          lk = new org.apache.lucene.search.suggest.tst.TSTLookup(
+              new RAMDirectory(), "tst");
+        } else if (family.equals("JASPELL")) {
+          lk = new org.apache.lucene.search.suggest.jaspell.JaspellLookup();
         } else if (family.equals("FUZZY")) {
           lk = new org.apache.lucene.search.suggest.analyzing.FuzzySuggester(
               new RAMDirectory(), "fz",
@@ -1417,11 +1424,12 @@ public class GroundTruthSuggesters {
       }
       // FSTBW = onlyMorePopular=true (the weighted-order path);
       // everything else uses the standard lookup
-      boolean omp = kind.equals("FSTBW");
+      boolean omp = kind.equals("FSTBW") || kind.equals("TSTW")
+          || kind.equals("JASPELLW");
       StringBuilder out = new StringBuilder();
       for (Lookup.LookupResult r : lk.lookup(key, omp, num)) {
         if (out.length() > 0) out.append(";");
-        out.append(java.net.URLEncoder.encode((String) r.key, "UTF-8"))
+        out.append(java.net.URLEncoder.encode(r.key.toString(), "UTF-8"))
            .append(":").append(r.value);
       }
       System.out.println(out.length() == 0 ? "-" : out.toString());
