@@ -444,7 +444,77 @@ def to_spec(
     )
 
 
-def parse_and_search(searcher: IndexSearcher, query: str, k: int = 10):
+#: AnalyzingQueryParser's wildcardPattern (queryparser/analyzing/
+#: AnalyzingQueryParser.java:42): gobble escaped chars or find a
+#: wildcard-character RUN
+_AQP_WILDCARD = re.compile(r"(\\.)|([?*]+)")
+
+
+class AnalyzingParseError(ValueError):
+    """AnalyzingQueryParser.analyzeSingleChunk's ParseException: the
+    analyzer returned zero tokens (stop word) or more than one."""
+
+
+def _analyze_single_chunk(chunk: str) -> str:
+    toks = analyze(chunk)
+    if not toks:
+        raise AnalyzingParseError(f"Analyzer returned nothing for {chunk!r}")
+    if len(toks) > 1:
+        raise AnalyzingParseError(
+            f"Analyzer created multiple terms for {chunk!r}: {toks}"
+        )
+    return toks[0]
+
+
+def parse_analyzing(query: str) -> ParsedQuery:
+    """AnalyzingQueryParser (queryparser/analyzing/AnalyzingQueryParser
+    .java): the classic grammar, but wildcard / prefix / fuzzy / range
+    terms are passed THROUGH the analyzer — wildcard terms chunk-wise
+    around the '*'/'?' runs (:67-103), fuzzy and prefix terms whole
+    (:117-147), range bounds via setAnalyzeRangeTerms(true) (:46, the
+    path our classic `to_spec` already applies). A chunk the analyzer
+    drops (stop word) or splits raises, as analyzeSingleChunk does.
+    Pinned vs the compiled parser in ground-truth round 34."""
+    out = parse(query)
+
+    def _wild(payload: str) -> str:
+        sb = []
+        last = 0
+        for m in _AQP_WILDCARD.finditer(payload):
+            if m.group(1) is not None:
+                continue  # escaped char: chunk boundary not cut here
+            if m.start() > last:
+                sb.append(_analyze_single_chunk(payload[last:m.start()]))
+            sb.append(m.group(2))
+            last = m.end()
+        if last < len(payload):
+            sb.append(_analyze_single_chunk(payload[last:]))
+        return "".join(sb)
+
+    def _xform(exp: list[tuple]) -> list[tuple]:
+        new = []
+        for kind, payload, occur, boost in exp:
+            if kind == "wildcard":
+                payload = _wild(payload)
+            elif kind == "fuzzy":
+                base, _sep, ed = payload.partition(":")
+                payload = f"{_analyze_single_chunk(base)}:{ed}"
+            # range bounds are analyzed by to_spec's _expand already
+            new.append((kind, payload, occur, boost))
+        return new
+
+    out.expansions = _xform(out.expansions)
+    out.groups = [
+        (occ, terms, _xform(list(g_exp))) for occ, terms, g_exp in out.groups
+    ]
+    return out
+
+
+def parse_and_search(searcher: IndexSearcher, query: str, k: int = 10,
+                     analyzing: bool = False):
     """QueryParserBase.parse + IndexSearcher.search in one call — the
-    reference's demo/SearchFiles.java loop."""
-    return searcher.topk_spec(to_spec(searcher, parse(query)), k=k)
+    reference's demo/SearchFiles.java loop. analyzing=True routes the
+    string through AnalyzingQueryParser semantics (multi-term clauses
+    analyzed; GT round 34)."""
+    parsed = parse_analyzing(query) if analyzing else parse(query)
+    return searcher.topk_spec(to_spec(searcher, parsed), k=k)

@@ -3030,3 +3030,58 @@ def test_tst_jaspell_lookups_match_compiled_reference():
             exp_pairs = [(k, int(v)) for k, v in exp]
             assert got == exp_pairs, (corpus_round, kind, num, key,
                                       got, exp_pairs)
+
+
+def test_analyzing_query_parser_matches_compiled_reference():
+    """Ground-truth round 34 — AnalyzingQueryParser
+    (queryparser/analyzing): the classic grammar with wildcard / prefix
+    / fuzzy / range terms passed THROUGH the analyzer — wildcard terms
+    chunk-wise around the '*'/'?' runs, fuzzy and prefix terms whole,
+    range bounds analyzed (setAnalyzeRangeTerms(true) in the ctor).
+    Raw query strings over a STANDARD-analyzer index (mixed-case corpus
+    so the chunk analysis is observable) vs parse_analyzing ->
+    to_spec -> control oracle, top-10 docids + float32 scores exact;
+    a chunk the analyzer drops (stop word) or splits must raise on
+    both sides."""
+    from lucene_solr_spark.search import queryparser as qp
+    from lucene_solr_spark.search.oracle import (
+        build_oracle_index,
+        oracle_topk_spec,
+    )
+
+    vocab = ["Merge", "MERGED", "merges", "Mercy", "Sort", "sorted",
+             "Vector", "fast", "FAST", "abc", "Abd", "acb", "xyz"]
+    queries = [
+        "MER*",                      # prefix, uppercase chunk
+        "Mer*es",                    # two chunks around the star
+        "M?r*",                      # mixed wildcards
+        "MERGE~1 xyz",               # fuzzy analyzed whole
+        "Abc~1",
+        "[MERGE TO SORT] xyz",       # range bounds analyzed
+        "{Abc TO Xyz}",
+        "+SOR* xyz",
+        "xyz AND MER*",
+        "-MER* xyz fast",
+        "(MER* xyz) AND fast",       # expansion inside a group
+        "ABC*^2.5 xyz",
+        "the*",                      # stopword chunk -> ParseException
+        "so*ed xyz",
+    ]
+    rng = random.Random(34343434)
+    for corpus_round in range(3):
+        docs = [
+            " ".join(rng.choice(vocab + ["the", "and"])
+                     for _ in range(rng.randint(2, 12)))
+            for _ in range(rng.randint(8, 16))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        expected = gt.run_analyzing_qp(docs, queries)
+        assert len(expected) == len(queries)
+        for qstr, exp in zip(queries, expected):
+            if isinstance(exp, str):
+                with pytest.raises(qp.AnalyzingParseError):
+                    qp.parse_analyzing(qstr)
+                continue
+            spec = qp.to_spec(_DictSearcher(idx), qp.parse_analyzing(qstr))
+            got = oracle_topk_spec(idx, spec, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, qstr))

@@ -494,6 +494,60 @@ public class GroundTruthTokenize {
 """
 
 
+ANALYZINGQP_JAVA = r"""
+import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.queryparser.analyzing.AnalyzingQueryParser;
+
+public class GroundTruthAnalyzingQP {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in,
+            java.nio.charset.StandardCharsets.UTF_8));
+    StandardAnalyzer analyzer = new StandardAnalyzer();
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(analyzer);
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body",
+          java.net.URLDecoder.decode(in.readLine(), "UTF-8"), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String qstr = java.net.URLDecoder.decode(in.readLine(), "UTF-8");
+      Query q;
+      try {
+        q = new AnalyzingQueryParser("body", analyzer).parse(qstr);
+      } catch (Exception e) {
+        System.out.println("PARSE_ERROR:" + e.getClass().getSimpleName());
+        continue;
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 FLEXIBLE_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -2420,6 +2474,25 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # AnalyzingQueryParser (queryparser/analyzing) extends the classic
+    # parser (compiled above)
+    aq_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/queryparser/analyzing/AnalyzingQueryParser.class",
+    )
+    aq_src = (
+        "/root/reference/lucene/queryparser/src/java/org/apache/lucene/"
+        "queryparser/analyzing/AnalyzingQueryParser.java"
+    )
+    if not os.path.exists(aq_marker) and os.path.exists(aq_src):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, aq_src],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the flexible query parser (queryparser/flexible — StandardQueryParser
     # + its core framework) needs lucene-core only
     fx_marker = os.path.join(
@@ -2487,6 +2560,7 @@ def build() -> bool:
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
+        ("GroundTruthAnalyzingQP", ANALYZINGQP_JAVA),
         ("GroundTruthMemory", MEMORY_JAVA),
         ("GroundTruthSpatial", SPATIAL_JAVA),
         ("GroundTruthJoin", JOIN_JAVA),
@@ -2672,6 +2746,41 @@ def run_flexible(docs: list[str], queries: list[str]) -> list:
             d, _sep, sc = part.partition(":")
             hits.append((int(d), sc))
         out.append(hits)
+    return out
+
+
+def run_analyzing_qp(docs: list[str], queries: list[str]) -> list:
+    """Top-10 (docid, Float.toString(score)) per query through the REAL
+    AnalyzingQueryParser (queryparser/analyzing) + IndexSearcher over a
+    STANDARD-analyzer index (so the chunk analysis is observable).
+    Rejected queries return 'PARSE_ERROR:<exception>'."""
+    from urllib.parse import quote
+
+    payload = [str(len(docs))] + [quote(d) for d in docs]
+    payload.append(str(len(queries)))
+    payload.extend(quote(q) for q in queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthAnalyzingQP"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        encoding="utf-8", timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("PARSE_ERROR:"):
+            out.append(line)
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        out.append([
+            (int(d), sc) for d, _s, sc in
+            (part.partition(":") for part in line.split(";"))
+        ])
     return out
 
 
