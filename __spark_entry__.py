@@ -160,6 +160,9 @@ MULTI_PHRASE_SLOPPY_QUERIES = {
 # NGramPhraseQuery.rewrite demo: 4-gram chain, n=2 keeps terms 0,2,3
 NGRAM_PHRASE_QUERIES = {"bm25_ngram_phrase": ("line window group group", 2)}
 REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
+# BoostingQuery: (match, context, demotion boost) — context matches keep
+# matching but score *= boost (GT round 35 pins the semantics)
+BOOSTING_QUERIES = {"bm25_boosting": ("spark merge", "dup", 0.3)}
 # (typo'd query, max_edits, max_variants) — FuzzyLikeThisQuery rewrite
 FUZZY_LIKE_QUERIES = {"bm25_fuzzy_like_this": ("sprk merg", 1, 3)}
 # TermAutomatonQuery: (transitions ((from, label, to); '' = ANY), accepts)
@@ -880,6 +883,16 @@ def _bm25_groups() -> dict[str, list]:
                 _searcher(spark, sf_dir).topk_fuzzy_like_this(q, max_edits=me, max_variants=mv, k=10)
             ),
             fuzzy_like_this_sql(q, max_edits=me, max_variants=mv, k=10),
+        ))
+    for name, (mq, cq, bst) in BOOSTING_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_boosting_sql
+
+        derived.append((
+            name,
+            lambda spark, sf_dir, mq=mq, cq=cq, bst=bst: _ranked(
+                _searcher(spark, sf_dir).topk_boosting(mq, cq, bst, k=10)
+            ),
+            bm25_boosting_sql(mq, cq, bst, k=10),
         ))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():
         derived.append((name, _parser_query_fn(qstr), sql_fn()))

@@ -2546,3 +2546,58 @@ pf AS (
   FROM kept GROUP BY doc_id
 )"""
     return _positional_score_sql(pf_cte, idfw, k)
+
+
+def bm25_boosting_sql(match: str, context: str, boost: float, k: int = 10) -> str:
+    """BoostingQuery (queries/BoostingQuery.java): match = SHOULD terms
+    scored under BM25; docs also holding ANY context term have their
+    score multiplied by `boost` (they still match — unlike MUST_NOT).
+    Rank-only output."""
+    mterms = sorted(set(analyze(match)))
+    cterms = sorted(set(analyze(context)))
+    mt_in = ",".join(f"'{t}'" for t in mterms)
+    ct_in = ",".join(f"'{t}'" for t in cterms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({mt_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+per_clause AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+         * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS s
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+),
+ctx AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({ct_in})
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(p.s) * (CASE WHEN c.doc_id IS NOT NULL THEN {boost} ELSE 1.0 END) AS score
+  FROM per_clause p LEFT JOIN ctx c USING (doc_id)
+  GROUP BY p.doc_id, c.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

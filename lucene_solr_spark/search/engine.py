@@ -1036,6 +1036,25 @@ class IndexSearcher:
         )
         return spark_topk_tree(self, tree, k=k)
 
+    def topk_boosting(self, match: str, context: str, boost: float,
+                      k: int = 10) -> DataFrame:
+        """BoostingQuery (lucene/queries/BoostingQuery.java): matching
+        and scoring come from the MATCH query alone; docs that ALSO
+        match the context query have their score multiplied by `boost`
+        in float32 (a demotion when boost < 1 — unlike MUST_NOT the
+        doc still matches). Both sides parse with the classic parser;
+        pinned vs the compiled binary (GT round 35)."""
+        from .queryparser import parse
+        from .simpleqp import spark_topk_tree
+        from .xmlqp import classic_parsed_to_tree
+
+        tree = (
+            "boosting", float(boost),
+            classic_parsed_to_tree(parse(match)),
+            classic_parsed_to_tree(parse(context)),
+        )
+        return spark_topk_tree(self, tree, k=k)
+
     def topk_flexible(self, query: str, k: int = 10) -> DataFrame:
         """The FLEXIBLE query parser (queryparser/flexible
         StandardQueryParser): the standard syntax with the

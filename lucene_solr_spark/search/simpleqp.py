@@ -383,6 +383,10 @@ def resolve_tree(tree, searcher_like):
         return out
     if kind == "boosted":
         return ("boosted", tree[1], resolve_tree(tree[2], searcher_like))
+    if kind == "boosting":
+        return ("boosting", tree[1],
+                resolve_tree(tree[2], searcher_like),
+                resolve_tree(tree[3], searcher_like))
     if kind == "const_q":
         return ("const_q", resolve_tree(tree[1], searcher_like))
     if kind == "dismax":
@@ -428,6 +432,8 @@ def tree_terms(tree) -> set[str]:
         return out
     if kind == "boosted":
         return tree_terms(tree[2])
+    if kind == "boosting":
+        return tree_terms(tree[2]) | tree_terms(tree[3])
     if kind == "const_q":
         return tree_terms(tree[1])
     if kind == "dismax":
@@ -455,6 +461,8 @@ def tree_phrases(tree) -> list[tuple[tuple[tuple[str, int], ...], int]]:
         return out
     if kind == "boosted":
         return tree_phrases(tree[2])
+    if kind == "boosting":
+        return tree_phrases(tree[2]) + tree_phrases(tree[3])
     if kind == "const_q":
         return tree_phrases(tree[1])
     if kind == "dismax":
@@ -479,6 +487,8 @@ def tree_pos_terms(tree) -> set[str]:
         return out
     if kind == "boosted":
         return tree_pos_terms(tree[2])
+    if kind == "boosting":
+        return tree_pos_terms(tree[2]) | tree_pos_terms(tree[3])
     if kind == "const_q":
         return tree_pos_terms(tree[1])
     if kind == "dismax":
@@ -579,6 +589,17 @@ def eval_tree(tree, ctx, boost=np.float32(1.0)):
         # boost (the wrapped query's own scores are discarded)
         mm, _ss = eval_tree(tree[1], ctx, np.float32(1.0))
         return mm, np.where(mm, np.float32(boost), zero)
+    if kind == "boosting":
+        # BoostingQuery (queries/BoostingQuery.java): match's scorer
+        # drives matching and scoring; when the CONTEXT query also
+        # matches, the score is multiplied by the demotion boost in
+        # float32 (FilterScorer.score :117-124). The context weight is
+        # created with needsScores=false — its own score is discarded.
+        bq = np.float32(tree[1])
+        m, s = eval_tree(tree[2], ctx, boost)
+        cm, _cs = eval_tree(tree[3], ctx, np.float32(1.0))
+        s = np.where(cm, (s * bq).astype(np.float32), s)
+        return m, np.where(m, s, zero)
     if kind == "dismax":
         # DisjunctionMaxScorer: float32 scoreSum accumulated in clause
         # order; score = max + (sum - max) * tie, float32 ops (GT round 2)

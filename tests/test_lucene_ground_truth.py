@@ -3085,3 +3085,46 @@ def test_analyzing_query_parser_matches_compiled_reference():
             spec = qp.to_spec(_DictSearcher(idx), qp.parse_analyzing(qstr))
             got = oracle_topk_spec(idx, spec, k=10)
             _assert_topk_equal(got, exp, (corpus_round, qstr))
+
+
+def test_boosting_query_matches_compiled_reference():
+    """Ground-truth round 35 — BoostingQuery
+    (lucene/queries/BoostingQuery.java): matching and scoring come from
+    the MATCH query; a doc that also matches the CONTEXT query keeps
+    matching but its score is multiplied by the demotion boost in
+    float32 (the context weight is needsScores=false). Randomized
+    match/context term sets and boosts vs the compiled binary."""
+    from lucene_solr_spark.search.simpleqp import (
+        build_ws_oracle_index,
+        oracle_topk_tree,
+    )
+
+    rng = random.Random(35353535)
+    vocab = ["aa", "ab", "bb", "bc", "cc", "dd", "ee", "ff"]
+    for corpus_round in range(3):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10)))
+            for _ in range(rng.randint(8, 16))
+        ]
+        idx = build_ws_oracle_index(list(enumerate(docs)))
+        lines = []
+        trees = []
+        for _ in range(25):
+            nm = rng.randint(1, 3)
+            nc = rng.randint(1, 2)
+            mterms = [rng.choice(vocab) for _ in range(nm)]
+            cterms = [rng.choice(vocab) for _ in range(nc)]
+            boost = rng.choice(["0.1", "0.5", "0.25", "2.0", "1.0"])
+            lines.append(
+                f"BOOSTING {boost} {nm} {' '.join(mterms)} {' '.join(cterms)}"
+            )
+            trees.append((
+                "boosting", float(boost),
+                ("bool", tuple(("", ("term", t)) for t in mterms)),
+                ("bool", tuple(("", ("term", t)) for t in cterms)),
+            ))
+        expected = gt.run_topk(docs, lines)
+        assert len(expected) == len(lines)
+        for line, tree, exp in zip(lines, trees, expected):
+            got = oracle_topk_tree(idx, tree, 10)
+            _assert_topk_equal(got, exp, (corpus_round, line))

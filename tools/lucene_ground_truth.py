@@ -254,6 +254,18 @@ public class GroundTruthTopK {
         for (int i = 2; i < p.length; i++)
           subs.add(new TermQuery(new Term("body", p[i])));
         q = new DisjunctionMaxQuery(subs, tie);
+      } else if (p[0].equals("BOOSTING")) {
+        // BOOSTING <boost> <nMatch> m1..mn c1..ck ->
+        // BoostingQuery(OR(match), OR(context), boost)
+        float bst = Float.parseFloat(p[1]);
+        int nm = Integer.parseInt(p[2]);
+        BooleanQuery.Builder mb = new BooleanQuery.Builder();
+        for (int i = 3; i < 3 + nm; i++)
+          mb.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        BooleanQuery.Builder cb = new BooleanQuery.Builder();
+        for (int i = 3 + nm; i < p.length; i++)
+          cb.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        q = new org.apache.lucene.queries.BoostingQuery(mb.build(), cb.build(), bst);
       } else if (p[0].equals("CTQ")) {
         // CTQ <maxTermFrequency> t1 t2 ... -> CommonTermsQuery(SHOULD, SHOULD, mtf)
         org.apache.lucene.queries.CommonTermsQuery c =
