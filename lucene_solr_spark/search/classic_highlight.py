@@ -216,17 +216,58 @@ class _Frag:
         self.end = 0
 
 
+class _SpanFragmenter:
+    """SimpleSpanFragmenter (highlight/SimpleSpanFragmenter.java): same
+    size thresholds as SimpleFragmenter plus (a) never cut inside a
+    position span of the query (waitForPos holds fragmentation until
+    span end + 1), and (b) never leave a trailing fragment shorter than
+    fragmentSize/2. Faithfully QUIRKY: its position counter advances
+    only on isNewFragment() calls — i.e. on group FLUSHES, so it lags
+    the scorer's token position by the first token's increment (this is
+    the reference's own behavior, pinned in GT round 36)."""
+
+    def __init__(self, wst, fragment_size: int, text_size: int):
+        self.wst = wst
+        self.size = fragment_size
+        self.text_size = text_size
+        self.position = -1
+        self.wait_for = -1
+        self.count = 1
+
+    def is_new_fragment(self, term: str, pos_inc: int, end_offset: int) -> bool:
+        self.position += pos_inc
+        if self.wait_for <= self.position:
+            self.wait_for = -1
+        elif self.wait_for != -1:
+            return False
+        w = self.wst.get(term)
+        if w is not None:
+            for s, e in w.spans:
+                if s == self.position:
+                    self.wait_for = e + 1
+                    break
+        is_new = (
+            end_offset >= self.size * self.count
+            and (self.text_size - end_offset) >= (self.size >> 1)
+        )
+        if is_new:
+            self.count += 1
+        return is_new
+
+
 def best_text_fragments(
     query: str,
     text: str,
     fragment_size: int = 100,
     max_num_fragments: int = 1,
+    fragmenter: str = "simple",
 ) -> list[tuple[str, np.float32]]:
     """Highlighter.getBestTextFragments(tokenStream, text, true, n) with
-    QueryScorer(query) + SimpleFragmenter(fragment_size) +
-    SimpleHTMLFormatter — returns [(fragment_string, float32 score)] in
-    the reference's order (score DESC, fragment number ASC, contiguous
-    survivors merged, zero-score dropped)."""
+    QueryScorer(query) + SimpleFragmenter(fragment_size) (or
+    SimpleSpanFragmenter when fragmenter='span') + SimpleHTMLFormatter —
+    returns [(fragment_string, float32 score)] in the reference's order
+    (score DESC, fragment number ASC, contiguous survivors merged,
+    zero-score dropped)."""
     stream = analyze_stream(text)
     positions: dict[str, list[int]] = {}
     for p, _s, _e, t in stream:
@@ -247,6 +288,11 @@ def best_text_fragments(
     found: set[str] = set()
     total = np.float32(0.0)
     frag_count = 1  # SimpleFragmenter.currentNumFrags
+    span_frag = (
+        _SpanFragmenter(wst, fragment_size, len(text))
+        if fragmenter == "span" else None
+    )
+    prev_pos = -1
     last_end = 0
     # TokenGroup state (single group at a time)
     g_n = 0
@@ -284,15 +330,23 @@ def best_text_fragments(
             break
         if g_n > 0 and s >= g_end:  # TokenGroup.isDistinct
             _flush_group()
-            # SimpleFragmenter.isNewFragment (current token's endOffset)
-            if e >= fragment_size * frag_count:
-                frag_count += 1
+            # Fragmenter.isNewFragment (current token's attributes)
+            if span_frag is not None:
+                new_frag = span_frag.is_new_fragment(
+                    term, position - prev_pos, e
+                )
+            else:
+                new_frag = e >= fragment_size * frag_count
+                if new_frag:
+                    frag_count += 1
+            if new_frag:
                 cur.score = total
                 cur.end = ntlen
                 cur = _Frag(ntlen, len(frags))
                 found = set()
                 total = np.float32(0.0)
                 frags.append(cur)
+        prev_pos = position
         sc = _token_score(term, position)
         # TokenGroup.addToken
         if g_n == 0:

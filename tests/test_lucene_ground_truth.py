@@ -3128,3 +3128,57 @@ def test_boosting_query_matches_compiled_reference():
         for line, tree, exp in zip(lines, trees, expected):
             got = oracle_topk_tree(idx, tree, 10)
             _assert_topk_equal(got, exp, (corpus_round, line))
+
+
+def test_simple_span_fragmenter_matches_compiled_reference():
+    """Ground-truth round 36 — SimpleSpanFragmenter
+    (highlight/SimpleSpanFragmenter.java): the size-bounded fragmenter
+    that refuses to cut inside a query position span (waitForPos =
+    span end + 1) and never leaves a trailing fragment shorter than
+    fragmentSize/2 — including its reference quirk that the internal
+    position counter only advances on isNewFragment() calls (group
+    flushes), lagging the scorer's positions by the first token's
+    increment. Fragment strings + float32 scores exact vs the compiled
+    chain over phrase/term/boost queries and small fragment sizes."""
+    from lucene_solr_spark.search.classic_highlight import best_text_fragments
+
+    words = ["merge", "sort", "vector", "spark", "join", "fast", "slow",
+             "token", "index", "query", "shard", "scan"]
+    stop = ["the", "and", "of", "to", "a"]
+    rng = random.Random(36363636)
+
+    def mk_doc():
+        return " ".join(
+            rng.choice(stop) if rng.random() < 0.25 else rng.choice(words)
+            for _ in range(rng.randint(8, 30))
+        )
+
+    def mk_query():
+        shape = rng.randrange(5)
+        t = lambda: rng.choice(words)
+        if shape == 0:
+            return " ".join(t() for _ in range(rng.randint(1, 3)))
+        if shape == 1:
+            return f'"{t()} {t()}"~{rng.choice(["0", "1", "2"])}'
+        if shape == 2:
+            return f'"{t()} {rng.choice(stop)} {t()}" {t()}'
+        if shape == 3:
+            return f"{t()}^2 {t()}"
+        return f'"{t()} {t()}" "{t()} {t()}"~1'
+
+    for corpus_round in range(3):
+        docs = [mk_doc() for _ in range(rng.randint(6, 10))]
+        queries = [
+            (rng.choice([15, 20, 30, 50, 80]), rng.choice([1, 2, 3]),
+             "P", mk_query())
+            for _ in range(18)
+        ]
+        expected = gt.run_classic_highlight(docs, queries)
+        for (fs, mf, _p, q), per_doc in zip(queries, expected):
+            for di, (d, exp) in enumerate(zip(docs, per_doc)):
+                got = best_text_fragments(q, d, fs, mf, fragmenter="span")
+                got_cmp = [(s, np.float32(sc)) for s, sc in got]
+                exp_cmp = [(s, np.float32(float(sc))) for s, sc in exp]
+                assert got_cmp == exp_cmp, (
+                    corpus_round, (fs, mf, q), di, d, got_cmp, exp_cmp,
+                )

@@ -634,17 +634,22 @@ public class GroundTruthClassicHL {
       docs[i] = java.net.URLDecoder.decode(in.readLine(), "UTF-8");
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
-      // HL <fragmentSize> <maxNumFragments> <url-encoded query string>
+      // HL <fragmentSize> <maxNumFragments> <S|P> <url-encoded query>
+      // S = SimpleFragmenter, P = SimpleSpanFragmenter(queryScorer)
       String[] p = in.readLine().trim().split(" ");
       int fragSize = Integer.parseInt(p[1]);
       int maxFrags = Integer.parseInt(p[2]);
+      boolean spanFrag = p[3].equals("P");
       Query q = new QueryParser("f", analyzer)
-          .parse(java.net.URLDecoder.decode(p[3], "UTF-8"));
+          .parse(java.net.URLDecoder.decode(p[4], "UTF-8"));
       for (int i = 0; i < nDocs; i++) {
         // a fresh Highlighter per doc: QueryScorer caches the extracted
         // weighted span terms against the DOC's own MemoryIndex
-        Highlighter h = new Highlighter(new QueryScorer(q, "f"));
-        h.setTextFragmenter(new SimpleFragmenter(fragSize));
+        QueryScorer qs = new QueryScorer(q, "f");
+        Highlighter h = new Highlighter(qs);
+        h.setTextFragmenter(spanFrag
+            ? new org.apache.lucene.search.highlight.SimpleSpanFragmenter(qs, fragSize)
+            : new SimpleFragmenter(fragSize));
         TokenStream ts = analyzer.tokenStream("f", docs[i]);
         TextFragment[] frags =
             h.getBestTextFragments(ts, docs[i], true, maxFrags);
@@ -2801,15 +2806,19 @@ def run_classic_highlight(
 ) -> list[list[list[tuple[str, str]]]]:
     """Run the REAL classic Highlighter (QueryScorer + SimpleFragmenter +
     SimpleHTMLFormatter) over every (query, doc) pair. `queries` entries
-    are (fragment_size, max_num_fragments, classic_query_string).
+    are (fragment_size, max_num_fragments, classic_query_string) or
+    (fragment_size, max_num_fragments, 'S'|'P', query) — 'P' uses
+    SimpleSpanFragmenter(queryScorer) instead of SimpleFragmenter.
     Returns per query a list (per doc, in order) of
     [(fragment_string, Float.toString(score))]."""
     from urllib.parse import quote, unquote_plus
 
     payload = [str(len(docs))] + [quote(d) for d in docs]
     payload.append(str(len(queries)))
-    for fs, mf, q in queries:
-        payload.append(f"HL {fs} {mf} {quote(q)}")
+    for spec in queries:
+        fs, mf, q = spec[0], spec[1], spec[-1]
+        frag = spec[2] if len(spec) == 4 else "S"
+        payload.append(f"HL {fs} {mf} {frag} {quote(q)}")
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthClassicHL"],
         input="\n".join(payload) + "\n", capture_output=True, text=True,
