@@ -1036,6 +1036,62 @@ class IndexSearcher:
         )
         return spark_topk_tree(self, tree, k=k)
 
+    def explain(self, query: str, doc_id: int, mode: str = "or") -> dict:
+        """IndexSearcher.explain: the BM25 score-decomposition tree for
+        ONE document — TermWeight/BooleanWeight/BM25Similarity explain
+        structure with every node's float32 value pinned vs the compiled
+        reference (GT round 37; search/explain.py). Reads only the
+        posting blocks whose [first_doc, last_doc] covers doc_id for the
+        query's terms (a metadata-pruned scan) plus the cached term
+        stats — no corpus scan, no topk job."""
+        from .explain import explain_boolean, explain_term
+
+        terms = tuple(self._analyze(query))
+        if not terms:
+            from .explain import _node
+
+            return _node(False, 0.0, "no terms")
+        occur = "+" if mode == "and" else ""
+        weights = self.term_weights(list(terms))
+        tfs, nb = self._doc_postings(sorted(set(terms)), doc_id)
+        subs = [
+            (occur, explain_term(
+                t, doc_id, tfs.get(t, 0), weights[t]["df"], self.doc_count,
+                nb, self.avgdl,
+            ))
+            for t in terms
+        ]
+        if len(subs) == 1:
+            # a 1-clause BooleanQuery rewrites to its inner query
+            return subs[0][1]
+        return explain_boolean(subs)
+
+    def _doc_postings(self, terms: list[str], doc_id: int):
+        """(term -> tf, norm_byte) for one document: decode only the
+        blocks covering doc_id (parquet row-group pruning on
+        first_doc/last_doc min-max)."""
+        pdf = (
+            self._blocks_for(terms)
+            .filter(
+                (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+            )
+            .select("term", "first_doc", "docs_buf", "tfs_buf", "norms_buf")
+            .toPandas()
+        )
+        tfs: dict[str, int] = {}
+        nb = 0
+        for t, g in pdf.groupby("term", sort=False):
+            d, tf, nbs, _pos = _decode_group(
+                g.sort_values("first_doc", kind="mergesort"), False
+            )
+            hit = np.searchsorted(d, doc_id)
+            if hit < len(d) and d[hit] == doc_id:
+                if self.deleted is not None and np.isin(doc_id, self.deleted):
+                    continue  # liveDocs mask: a purged doc has no postings
+                tfs[t] = int(tf[hit])
+                nb = int(nbs[hit])
+        return tfs, nb
+
     def topk_boosting(self, match: str, context: str, boost: float,
                       k: int = 10) -> DataFrame:
         """BoostingQuery (lucene/queries/BoostingQuery.java): matching

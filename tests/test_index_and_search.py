@@ -162,3 +162,36 @@ def test_resume_skips_completed_stages(built, spark, tmp_root):
     )
     with open(paths.manifest("postings")) as f:
         assert json.load(f)["generation"] == gen_before  # stage skipped
+
+
+def test_explain_matches_topk_scores(built):
+    """IndexSearcher.explain (GT round 37 pins the node values vs the
+    compiled reference): the tree's ROOT value must equal the doc's
+    topk score bit-for-bit, matching docs only, and the tfNorm leaves
+    must carry the doc's true quantized field length."""
+    _, searcher, _ = built
+    for query, mode in [("parse index merge", "or"), ("parse index", "and"),
+                        ("hotcommon", "or")]:
+        hits = [(r["doc_id"], r["score"])
+                for r in searcher.topk(query, k=5, mode=mode).collect()]
+        assert hits
+        for doc_id, score in hits:
+            tree = searcher.explain(query, doc_id, mode=mode)
+            assert tree["match"] is True
+            # the REFERENCE's own explain differs from its scorer by
+            # design (both faithfully reproduced here, each pinned vs
+            # the binary on its own side): explainTFNorm recomputes
+            # (1-b) + (b*doclen)/avgdl while the scorer reads the
+            # k1*(1-b+b*decode/avgdl) norm CACHE (different float32
+            # association), and BooleanWeight.explain sums clause
+            # values in float32 while DisjunctionSumScorer accumulates
+            # in double — so explain sits within a rounding step of
+            # the hit score, not necessarily ON it
+            g, e = np.float32(tree["value"]), np.float32(score)
+            ulp = np.float32(np.spacing(e))
+            assert abs(float(g) - float(e)) <= 2.0 * float(ulp), (
+                query, doc_id, float(g), float(e))
+        # a doc that does NOT match: explain must say so
+        all_ids = {d for d, _ in hits}
+        miss = searcher.explain("zzz_missing", hits[0][0])
+        assert miss["match"] is False and miss["value"] == 0.0

@@ -3182,3 +3182,107 @@ def test_simple_span_fragmenter_matches_compiled_reference():
                 assert got_cmp == exp_cmp, (
                     corpus_round, (fs, mf, q), di, d, got_cmp, exp_cmp,
                 )
+
+
+def test_explain_trees_match_compiled_reference():
+    """Ground-truth round 37 — IndexSearcher.explain: the score
+    DECOMPOSITION tree (TermWeight.explain -> BM25Similarity
+    explainScore/explainTFNorm; PhraseWeight with summed per-occurrence
+    idf children; BooleanWeight.explain's float32 clause-order sum,
+    required/prohibited failure wrapping, the minimumNumberShouldMatch
+    noMatch, and the CONSTANT non-scoring inner node of a matched
+    prohibited clause) — every node's (match flag, float32 value,
+    child count) equal in pre-order vs the compiled reference."""
+    from lucene_solr_spark.search.bm25 import avgdl_f32
+    from lucene_solr_spark.search.explain import (
+        explain_boolean,
+        explain_nodes,
+        explain_phrase,
+        explain_term,
+    )
+    from lucene_solr_spark.search.simpleqp import build_ws_oracle_index
+
+    rng = random.Random(37373737)
+    vocab = ["aa", "ab", "bb", "bc", "cc", "dd", "ee"]
+    for corpus_round in range(3):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(5, 12))
+        ]
+        idx = build_ws_oracle_index(list(enumerate(docs)))
+        avgdl = avgdl_f32(idx.sum_ttf, idx.doc_count)
+
+        def term_tree(t, doc, boost=1.0):
+            return explain_term(
+                t, doc, idx.postings.get(t, {}).get(doc, 0),
+                len(idx.postings.get(t, {})), idx.doc_count,
+                idx.norm_bytes[doc], avgdl, boost,
+            )
+
+        def phrase_tree(terms, slop, doc):
+            pf = _python_freq(
+                docs[doc], [(i, (t,)) for i, t in enumerate(terms)], slop
+            )
+            return explain_phrase(
+                terms, doc, float(pf),
+                {t: len(idx.postings.get(t, {})) for t in terms},
+                idx.doc_count, idx.norm_bytes[doc], avgdl,
+                exact=(slop == 0),
+            )
+
+        lines, trees = [], []
+        for _ in range(40):
+            doc = rng.randrange(len(docs))
+            shape = rng.randrange(7)
+            # >= 2 DISTINCT clauses: a 1-clause BooleanQuery rewrites to
+            # its bare inner query and duplicate SHOULD clauses merge
+            # before explain (BooleanQuery.rewrite)
+            ts = rng.sample(vocab, rng.randint(2, 4))
+            if shape == 0:
+                lines.append(f"{doc} TERM {ts[0]}")
+                trees.append(term_tree(ts[0], doc))
+            elif shape == 1:
+                lines.append(f"{doc} OR {' '.join(ts)}")
+                trees.append(explain_boolean(
+                    [("", term_tree(t, doc)) for t in ts]))
+            elif shape == 2:
+                lines.append(f"{doc} AND {' '.join(ts)}")
+                trees.append(explain_boolean(
+                    [("+", term_tree(t, doc)) for t in ts]))
+            elif shape == 3:
+                msm = rng.randint(1, len(ts))
+                lines.append(f"{doc} MSM {msm} {' '.join(ts)}")
+                trees.append(explain_boolean(
+                    [("", term_tree(t, doc)) for t in ts],
+                    min_should_match=msm))
+            elif shape == 4:
+                bs = [rng.choice(["2.0", "0.5", "1.0", "3.25"]) for _ in ts]
+                lines.append(
+                    f"{doc} BOOST "
+                    + " ".join(f"{t}:{b}" for t, b in zip(ts, bs))
+                )
+                trees.append(explain_boolean(
+                    [("", term_tree(t, doc, float(b)))
+                     for t, b in zip(ts, bs)]))
+            elif shape == 5:
+                ns = max(1, len(ts) - 1)
+                lines.append(f"{doc} NOT {ns} {' '.join(ts)}")
+                trees.append(explain_boolean(
+                    [("", term_tree(t, doc)) for t in ts[:ns]]
+                    + [("-", term_tree(t, doc)) for t in ts[ns:]]))
+            else:
+                slop = rng.choice([0, 0, 1, 2])
+                pts = ts[: max(2, len(ts))][:3]
+                while len(pts) < 2:
+                    pts.append(rng.choice(vocab))
+                lines.append(f"{doc} PHRASE {slop} {' '.join(pts)}")
+                trees.append(phrase_tree(pts, slop, doc))
+        expected = gt.run_explain(docs, lines)
+        assert len(expected) == len(lines)
+        for line, tree, exp in zip(lines, trees, expected):
+            got = [
+                (m, v, nc) for m, v, nc in explain_nodes(tree)
+            ]
+            exp_t = [(m, np.float32(float(v)), nc) for m, v, nc in exp]
+            got_t = [(m, np.float32(v), nc) for m, v, nc in got]
+            assert got_t == exp_t, (corpus_round, line, got_t, exp_t)

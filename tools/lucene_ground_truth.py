@@ -506,6 +506,106 @@ public class GroundTruthTokenize {
 """
 
 
+EXPLAIN_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+
+public class GroundTruthExplain {
+  static void ser(Explanation e, StringBuilder sb) {
+    if (sb.length() > 0) sb.append(" ");
+    sb.append(e.isMatch() ? "M" : "N").append(":")
+      .append(Float.toString(e.getValue())).append(":")
+      .append(e.getDetails().length);
+    for (Explanation d : e.getDetails()) ser(d, sb);
+  }
+
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // <docid> <SHAPE...>: TERM t | OR t.. | AND t.. | MSM n t.. |
+      // BOOST t:b .. | NOT ns s.. m.. | MIX nm m.. s.. | PHRASE slop t..
+      String[] p = in.readLine().trim().split(" ");
+      int docid = Integer.parseInt(p[0]);
+      Query q;
+      if (p[1].equals("TERM")) {
+        q = new TermQuery(new Term("body", p[2]));
+      } else if (p[1].equals("OR") || p[1].equals("AND")) {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 2; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])),
+                p[1].equals("AND") ? BooleanClause.Occur.MUST
+                                   : BooleanClause.Occur.SHOULD);
+        q = b.build();
+      } else if (p[1].equals("MSM")) {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        b.setMinimumNumberShouldMatch(Integer.parseInt(p[2]));
+        for (int i = 3; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        q = b.build();
+      } else if (p[1].equals("BOOST")) {
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 2; i < p.length; i++) {
+          String[] kv = p[i].split(":");
+          b.add(new BoostQuery(new TermQuery(new Term("body", kv[0])),
+                               Float.parseFloat(kv[1])),
+                BooleanClause.Occur.SHOULD);
+        }
+        q = b.build();
+      } else if (p[1].equals("NOT")) {
+        int ns = Integer.parseInt(p[2]);
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 3; i < 3 + ns; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        for (int i = 3 + ns; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.MUST_NOT);
+        q = b.build();
+      } else if (p[1].equals("MIX")) {
+        // MUST clauses first, then SHOULD (clause order = add order)
+        int nm = Integer.parseInt(p[2]);
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        for (int i = 3; i < 3 + nm; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.MUST);
+        for (int i = 3 + nm; i < p.length; i++)
+          b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+        q = b.build();
+      } else if (p[1].equals("PHRASE")) {
+        int slop = Integer.parseInt(p[2]);
+        PhraseQuery.Builder b = new PhraseQuery.Builder();
+        b.setSlop(slop);
+        for (int i = 3; i < p.length; i++) b.add(new Term("body", p[i]), i - 3);
+        q = b.build();
+      } else {
+        throw new IllegalArgumentException(p[1]);
+      }
+      StringBuilder sb = new StringBuilder();
+      ser(s.explain(q, docid), sb);
+      System.out.println(sb.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 ANALYZINGQP_JAVA = r"""
 import org.apache.lucene.analysis.standard.StandardAnalyzer;
 import org.apache.lucene.document.*;
@@ -2578,6 +2678,7 @@ def build() -> bool:
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
         ("GroundTruthAnalyzingQP", ANALYZINGQP_JAVA),
+        ("GroundTruthExplain", EXPLAIN_JAVA),
         ("GroundTruthMemory", MEMORY_JAVA),
         ("GroundTruthSpatial", SPATIAL_JAVA),
         ("GroundTruthJoin", JOIN_JAVA),
@@ -2763,6 +2864,33 @@ def run_flexible(docs: list[str], queries: list[str]) -> list:
             d, _sep, sc = part.partition(":")
             hits.append((int(d), sc))
         out.append(hits)
+    return out
+
+
+def run_explain(docs: list[str], queries: list[str]) -> list[list[tuple]]:
+    """IndexSearcher.explain trees from the compiled reference over a
+    whitespace index. Each query line: '<docid> <SHAPE...>' (TERM / OR /
+    AND / MSM / BOOST / NOT / MIX / PHRASE). Returns per query the
+    PRE-ORDER serialization [(is_match, Float.toString(value),
+    n_children)]."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthExplain"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        nodes = []
+        for part in line.split(" "):
+            m, v, nc = part.split(":")
+            nodes.append((m == "M", v, int(nc)))
+        out.append(nodes)
     return out
 
 
