@@ -163,6 +163,13 @@ REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
 # BoostingQuery: (match, context, demotion boost) — context matches keep
 # matching but score *= boost (GT round 35 pins the semantics)
 BOOSTING_QUERIES = {"bm25_boosting": ("spark merge", "dup", 0.3)}
+# Solr's q.op=AND (GT round 38): "spark merge OR fast" = +spark with
+# merge retroactively demoted by the OR — must=[spark],
+# should=[merge, fast]
+ANDOP_QUERIES = {
+    "parser_and_op": ("spark merge OR fast", lambda: bm25_compound_sql(
+        must=["spark"], should=["merge", "fast"], k=10)),
+}
 # (typo'd query, max_edits, max_variants) — FuzzyLikeThisQuery rewrite
 FUZZY_LIKE_QUERIES = {"bm25_fuzzy_like_this": ("sprk merg", 1, 3)}
 # TermAutomatonQuery: (transitions ((from, label, to); '' = ANY), accepts)
@@ -896,6 +903,14 @@ def _bm25_groups() -> dict[str, list]:
         ))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():
         derived.append((name, _parser_query_fn(qstr), sql_fn()))
+    for name, (qstr, sql_fn) in ANDOP_QUERIES.items():
+        derived.append((
+            name,
+            lambda spark, sf_dir, qstr=qstr: _ranked(parse_and_search(
+                _searcher(spark, sf_dir), qstr, k=10, default_operator="and"
+            )),
+            sql_fn(),
+        ))
     for name, (qstr, sql_fn) in SIMPLE_QUERIES.items():
         derived.append((name, _simple_query_fn(qstr), sql_fn()))
     for name, (xmlq, sql_fn) in XML_QUERIES.items():

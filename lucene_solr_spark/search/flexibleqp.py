@@ -122,24 +122,29 @@ def _float_to_edits(fms: float, term_len: int) -> int:
     return min(int((1.0 - fms) * term_len), _MAX_EDITS)
 
 
-def parse_flexible(query: str, analyze_fn):
+def parse_flexible(query: str, analyze_fn, default_operator: str = "or"):
     """StandardQueryParser.parse(query, default_field) -> the shared
     tree-evaluator node vocabulary (resolve with resolve_tree before
-    eval). Returns None for a query that builds no clauses."""
+    eval). Returns None for a query that builds no clauses.
+    default_operator='and' sets ConfigurationKeys.DEFAULT_OPERATOR =
+    Operator.AND: BooleanQuery2ModifierNodeProcessor then promotes
+    every unmodified child of a PLAIN BooleanQueryNode (not Or/And) to
+    MUST (GT round 38)."""
+    using_and = default_operator.lower() == "and"
     p = _P(_lex(query))
-    tree = _query(p, analyze_fn)
+    tree = _query(p, analyze_fn, using_and=using_and)
     if p.peek() is not None:
         raise FlexibleParseError(f"garbage after query: {p.peek().group(0)!r}")
     return tree
 
 
-def _query(p: _P, analyze_fn, depth: int = 0):
+def _query(p: _P, analyze_fn, depth: int = 0, using_and: bool = False):
     clauses = []
     while True:
         k = p.kind()
         if k is None or k == "rparen":
             break
-        c = _disj_query(p, analyze_fn, depth)
+        c = _disj_query(p, analyze_fn, depth, using_and)
         if c is not None:
             clauses.append(c)
     if not clauses:
@@ -149,34 +154,34 @@ def _query(p: _P, analyze_fn, depth: int = 0):
         # a single pure-negation clause keeps its boolean wrapper
         # (Query :203-210); a bare REQ modifier builds as its child
         if first[0] == "mod" and first[1] == "-":
-            return _b2m(("bq", [first]))
-        return _b2m(first)
-    return _b2m(("bq", clauses))
+            return _b2m(("bq", [first]), using_and)
+        return _b2m(first, using_and)
+    return _b2m(("bq", clauses), using_and)
 
 
-def _disj_query(p: _P, analyze_fn, depth: int):
-    clauses = [_conj_query(p, analyze_fn, depth)]
+def _disj_query(p: _P, analyze_fn, depth: int, using_and: bool = False):
+    clauses = [_conj_query(p, analyze_fn, depth, using_and)]
     while p.kind() == "or":
         p.take()
-        clauses.append(_conj_query(p, analyze_fn, depth))
+        clauses.append(_conj_query(p, analyze_fn, depth, using_and))
     clauses = [c for c in clauses if c is not None]
     if not clauses:
         return None
     return clauses[0] if len(clauses) == 1 else ("or", clauses)
 
 
-def _conj_query(p: _P, analyze_fn, depth: int):
-    clauses = [_mod_clause(p, analyze_fn, depth)]
+def _conj_query(p: _P, analyze_fn, depth: int, using_and: bool = False):
+    clauses = [_mod_clause(p, analyze_fn, depth, using_and)]
     while p.kind() == "and":
         p.take()
-        clauses.append(_mod_clause(p, analyze_fn, depth))
+        clauses.append(_mod_clause(p, analyze_fn, depth, using_and))
     clauses = [c for c in clauses if c is not None]
     if not clauses:
         return None
     return clauses[0] if len(clauses) == 1 else ("and", clauses)
 
 
-def _mod_clause(p: _P, analyze_fn, depth: int):
+def _mod_clause(p: _P, analyze_fn, depth: int, using_and: bool = False):
     k = p.kind()
     mod = ""
     if k == "plus":
@@ -185,19 +190,19 @@ def _mod_clause(p: _P, analyze_fn, depth: int):
     elif k in ("minus", "not"):
         p.take()
         mod = "-"
-    c = _clause(p, analyze_fn, depth)
+    c = _clause(p, analyze_fn, depth, using_and)
     if c is None:
         return None
     return ("mod", mod, c) if mod else c
 
 
-def _clause(p: _P, analyze_fn, depth: int):
+def _clause(p: _P, analyze_fn, depth: int, using_and: bool = False):
     k = p.kind()
     if k is None:
         raise FlexibleParseError("unexpected end of query")
     if k == "lparen":
         p.take()
-        q = _query(p, analyze_fn, depth + 1)
+        q = _query(p, analyze_fn, depth + 1, using_and)
         if p.kind() != "rparen":
             raise FlexibleParseError("unbalanced '('")
         p.take()

@@ -182,17 +182,26 @@ def _collect_clauses(tokens, depth: int = 0):
     return out
 
 
-def _resolve_occurs(clauses):
-    """QueryParserBase.addClause semantics, default operator OR:
-    occur = MUST_NOT for -/NOT, MUST for + or a preceding AND, else
-    SHOULD; AND also retroactively promotes the PREVIOUS clause to MUST
-    unless it is prohibited."""
+def _resolve_occurs(clauses, default_and: bool = False):
+    """QueryParserBase.addClause semantics: occur = MUST_NOT for -/NOT,
+    MUST for + or a preceding AND, else SHOULD; AND retroactively
+    promotes the PREVIOUS clause to MUST unless prohibited. With the
+    AND default operator (Solr's q.op=AND; QueryParserBase.java
+    addClause :498-545): every non-prohibited clause is MUST unless
+    introduced by OR (which ALSO retroactively demotes the previous
+    non-prohibited clause to SHOULD), and a '+' after OR is IGNORED
+    (required = !prohibited && conj != OR — the reference's own
+    quirk)."""
     resolved = []  # [(occur, node)]
     for conj, mods, node in clauses:
         if conj == "AND" and resolved and resolved[-1][0] != "-":
             resolved[-1] = ("+", resolved[-1][1])
+        if default_and and conj == "OR" and resolved and resolved[-1][0] != "-":
+            resolved[-1] = ("", resolved[-1][1])
         if mods == "-":
             occur = "-"
+        elif default_and:
+            occur = "" if conj == "OR" else "+"
         elif mods == "+" or conj == "AND":
             occur = "+"
         else:
@@ -223,12 +232,21 @@ def _word_node(word: str, occur: str, out_terms, out_expansions, boosts=None, bo
     out_terms.append(t)
 
 
-def parse(query: str) -> ParsedQuery:
+def parse(query: str, default_operator: str = "or") -> ParsedQuery:
+    default_and = default_operator.lower() == "and"
     out = ParsedQuery()
-    resolved = _resolve_occurs(_collect_clauses(iter(_lex(query))))
+    resolved = _resolve_occurs(
+        _collect_clauses(iter(_lex(query))), default_and
+    )
     for occur, node in resolved:
         tag, val = node
         if tag == "group":
+            if default_and:
+                raise ValueError(
+                    "paren groups under the AND default operator produce"
+                    " required group members (a nested all-MUST"
+                    " BooleanQuery) — unsupported by the flat spec"
+                )
             g_terms: list[str] = []
             g_exp: list[tuple] = []
             for g_occ, g_node in _resolve_occurs(val):
@@ -511,10 +529,12 @@ def parse_analyzing(query: str) -> ParsedQuery:
 
 
 def parse_and_search(searcher: IndexSearcher, query: str, k: int = 10,
-                     analyzing: bool = False):
+                     analyzing: bool = False, default_operator: str = "or"):
     """QueryParserBase.parse + IndexSearcher.search in one call — the
     reference's demo/SearchFiles.java loop. analyzing=True routes the
     string through AnalyzingQueryParser semantics (multi-term clauses
-    analyzed; GT round 34)."""
-    parsed = parse_analyzing(query) if analyzing else parse(query)
+    analyzed; GT round 34); default_operator='and' is Solr's q.op=AND
+    (GT round 38)."""
+    parsed = (parse_analyzing(query) if analyzing
+              else parse(query, default_operator=default_operator))
     return searcher.topk_spec(to_spec(searcher, parsed), k=k)

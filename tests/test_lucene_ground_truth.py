@@ -3286,3 +3286,80 @@ def test_explain_trees_match_compiled_reference():
             exp_t = [(m, np.float32(float(v)), nc) for m, v, nc in exp]
             got_t = [(m, np.float32(v), nc) for m, v, nc in got]
             assert got_t == exp_t, (corpus_round, line, got_t, exp_t)
+
+
+def test_default_operator_and_matches_compiled_reference():
+    """Ground-truth round 38 — the AND default operator (Solr's
+    q.op=AND) on BOTH string parsers. Classic
+    (QueryParserBase.addClause :498-545): every non-prohibited clause
+    is MUST unless introduced by OR, which ALSO retroactively demotes
+    the previous non-prohibited clause — including an EXPLICIT '+'
+    ("+aa OR bb" goes fully optional). Flexible
+    (BooleanQuery2ModifierNodeProcessor usingAnd): unmodified children
+    of PLAIN BooleanQueryNodes become MUST, but an explicit modifier is
+    never overridden ("+aa OR bb" keeps the MUST) and paren groups
+    promote their own members. Top-10 docids + float32 scores exact."""
+    from lucene_solr_spark.search import queryparser as qp
+    from lucene_solr_spark.search.flexibleqp import parse_flexible
+    from lucene_solr_spark.search.oracle import (
+        build_oracle_index,
+        oracle_topk_spec,
+    )
+    from lucene_solr_spark.search.simpleqp import (
+        _ws_analyze,
+        build_ws_oracle_index,
+        oracle_topk_tree,
+    )
+
+    vocab = ["aa", "ab", "bb", "bc", "cc", "dd", "ee", "ff"]
+    rng = random.Random(38383838)
+
+    def mk_query(allow_groups):
+        parts = []
+        n = rng.randint(2, 5)
+        # DISTINCT terms per query: duplicate term clauses with distinct
+        # boosts are the flat spec's documented limitation (per-
+        # occurrence boosts live in term_clauses for tree consumers,
+        # pinned in GT round 29)
+        pool = rng.sample(vocab, min(n + 2, len(vocab)))
+        for i in range(n):
+            if i:
+                parts.append(rng.choice(["", "", "OR", "AND", "OR", ""]))
+            mod = rng.choice(["", "", "", "+", "-", "NOT "])
+            if allow_groups and rng.random() < 0.15:
+                parts.append(f"{mod}({pool[i]} {pool[i + 1]})")
+            else:
+                t = pool[i]
+                suffix = rng.choice(["", "", "", "^2", "~1", "*"])
+                if suffix == "*":
+                    t = t[0] + "*"
+                    suffix = ""
+                parts.append(f"{mod}{t}{suffix}")
+        return " ".join(x for x in parts if x != "")
+
+    for corpus_round in range(3):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10)))
+            for _ in range(rng.randint(8, 14))
+        ]
+        cidx = build_oracle_index(list(enumerate(docs)))
+        widx = build_ws_oracle_index(list(enumerate(docs)))
+        classic_qs = ["+aa OR bb", "aa AND bb OR cc", "aa OR bb cc"] + [
+            mk_query(allow_groups=False) for _ in range(20)
+        ]
+        flex_qs = ["+aa OR bb", "aa AND bb OR cc", "(aa bb) cc",
+                   "-(aa bb) cc"] + [mk_query(allow_groups=True)
+                                     for _ in range(20)]
+        exp_c = gt.run_parser(docs, [f"ANDOP {q}" for q in classic_qs])
+        for qstr, exp in zip(classic_qs, exp_c):
+            spec = qp.to_spec(
+                _DictSearcher(cidx), qp.parse(qstr, default_operator="and")
+            )
+            got = oracle_topk_spec(cidx, spec, k=10)
+            _assert_topk_equal(got, exp, (corpus_round, "classic", qstr))
+        exp_f = gt.run_flexible(docs, [f"ANDOP {q}" for q in flex_qs])
+        for qstr, exp in zip(flex_qs, exp_f):
+            assert not isinstance(exp, str), (corpus_round, qstr, exp)
+            tree = parse_flexible(qstr, _ws_analyze, default_operator="and")
+            got = oracle_topk_tree(widx, tree, 10) if tree is not None else []
+            _assert_topk_equal(got, exp, (corpus_round, "flexible", qstr))

@@ -690,6 +690,12 @@ public class GroundTruthFlexible {
     for (int qi = 0; qi < nQ; qi++) {
       String qstr = in.readLine();
       StandardQueryParser qp = new StandardQueryParser(new GroundTruth.WS());
+      if (qstr.startsWith("ANDOP ")) {
+        qp.setDefaultOperator(
+            org.apache.lucene.queryparser.flexible.standard.config
+                .StandardQueryConfigHandler.Operator.AND);
+        qstr = qstr.substring(6);
+      }
       Query q;
       try {
         q = qp.parse(qstr, "body");
@@ -900,6 +906,10 @@ public class GroundTruthParser {
     for (int qi = 0; qi < nQ; qi++) {
       String qstr = in.readLine();
       QueryParser qp = new QueryParser("body", new GroundTruth.WS());
+      if (qstr.startsWith("ANDOP ")) {
+        qp.setDefaultOperator(QueryParser.Operator.AND);
+        qstr = qstr.substring(6);
+      }
       Query q = qp.parse(qstr);
       TopDocs td = s.search(q, 10);
       StringBuilder out = new StringBuilder();
