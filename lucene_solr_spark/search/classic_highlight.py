@@ -100,11 +100,16 @@ class _WST:
 
 
 def extract_weighted_span_terms(
-    query: str, positions: dict[str, list[int]]
+    query: str, positions: dict[str, list[int]],
+    dfs: dict[str, int] | None = None, max_doc: int | None = None,
 ) -> dict[str, _WST]:
     """WeightedSpanTermExtractor.getWeightedSpanTerms (reader == null:
     weights are query boosts) against one document's analyzed term
-    positions. `positions`: term -> sorted positions in the doc."""
+    positions. `positions`: term -> sorted positions in the doc.
+    With dfs/max_doc (QueryScorer's reader mode,
+    getWeightedSpanTermsWithScores :528-557): every extracted term's
+    weight is multiplied — in float32 — by the CLASSIC idf
+    (float)(ln(maxDoc / (docFreq+1)) + 1) from the CORPUS index."""
     terms: dict[str, _WST] = {}
     vocab = sorted(positions)
 
@@ -197,6 +202,14 @@ def extract_weighted_span_terms(
                 existing.spans.extend(spans)
 
     _walk(_resolve_occurs(_collect_clauses(iter(_lex(query)))), np.float32(1.0))
+    if dfs is not None and max_doc is not None:
+        import math
+
+        for t, w in terms.items():
+            idf = np.float32(
+                math.log(max_doc / float(dfs.get(t, 0) + 1)) + 1.0
+            )
+            w.w = np.float32(w.w * idf)
     return terms
 
 
@@ -261,6 +274,8 @@ def best_text_fragments(
     fragment_size: int = 100,
     max_num_fragments: int = 1,
     fragmenter: str = "simple",
+    dfs: dict[str, int] | None = None,
+    max_doc: int | None = None,
 ) -> list[tuple[str, np.float32]]:
     """Highlighter.getBestTextFragments(tokenStream, text, true, n) with
     QueryScorer(query) + SimpleFragmenter(fragment_size) (or
@@ -272,7 +287,7 @@ def best_text_fragments(
     positions: dict[str, list[int]] = {}
     for p, _s, _e, t in stream:
         positions.setdefault(t, []).append(p)
-    wst = extract_weighted_span_terms(query, positions)
+    wst = extract_weighted_span_terms(query, positions, dfs, max_doc)
 
     pieces: list[str] = []
     ntlen = 0

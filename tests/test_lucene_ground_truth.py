@@ -3363,3 +3363,53 @@ def test_default_operator_and_matches_compiled_reference():
             tree = parse_flexible(qstr, _ws_analyze, default_operator="and")
             got = oracle_topk_tree(widx, tree, 10) if tree is not None else []
             _assert_topk_equal(got, exp, (corpus_round, "flexible", qstr))
+
+
+def test_classic_highlighter_reader_weights_match_compiled_reference():
+    """Ground-truth round 31b — QueryScorer's READER mode
+    (WeightedSpanTermExtractor.getWeightedSpanTermsWithScores): every
+    extracted term's weight is multiplied in float32 by the classic idf
+    ln(maxDoc/(df+1))+1 from the CORPUS index, so fragment scores become
+    idf-weighted unique-term sums (rare terms dominate fragment
+    selection). Fragment strings + float32 scores exact."""
+    from lucene_solr_spark.search.classic_highlight import best_text_fragments
+
+    words = ["merge", "sort", "vector", "spark", "join", "rareword",
+             "fast", "slow", "token"]
+    stop = ["the", "and", "of"]
+    rng = random.Random(31531531)
+    for corpus_round in range(3):
+        docs = [
+            " ".join(
+                rng.choice(stop) if rng.random() < 0.2 else rng.choice(words)
+                for _ in range(rng.randint(6, 24))
+            )
+            for _ in range(rng.randint(6, 10))
+        ]
+        # corpus dfs over the standard chain (what the reader reports)
+        from lucene_solr_spark.analysis.tokenizer import analyze
+
+        dfs: dict[str, int] = {}
+        for d in docs:
+            for t in set(analyze(d)):
+                dfs[t] = dfs.get(t, 0) + 1
+        queries = [
+            (rng.choice([20, 40, 1000]), rng.choice([1, 2]),
+             rng.choice(["SR", "PR"]),
+             " ".join(rng.choice(words) for _ in range(rng.randint(1, 3))))
+            for _ in range(14)
+        ] + [(1000, 1, "SR", '"merge sort" vector'),
+             (25, 2, "PR", "rareword merge^2")]
+        expected = gt.run_classic_highlight(docs, queries)
+        for (fs, mf, flag, q), per_doc in zip(queries, expected):
+            frag = "span" if flag.startswith("P") else "simple"
+            for di, (d, exp) in enumerate(zip(docs, per_doc)):
+                got = best_text_fragments(
+                    q, d, fs, mf, fragmenter=frag,
+                    dfs=dfs, max_doc=len(docs),
+                )
+                got_cmp = [(s, np.float32(sc)) for s, sc in got]
+                exp_cmp = [(s, np.float32(float(sc))) for s, sc in exp]
+                assert got_cmp == exp_cmp, (
+                    corpus_round, (fs, mf, flag, q), di, d, got_cmp, exp_cmp,
+                )

@@ -720,12 +720,15 @@ public class GroundTruthFlexible {
 CLASSICHL_JAVA = r"""
 import org.apache.lucene.analysis.TokenStream;
 import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
 import org.apache.lucene.queryparser.classic.QueryParser;
 import org.apache.lucene.search.Query;
 import org.apache.lucene.search.highlight.Highlighter;
 import org.apache.lucene.search.highlight.QueryScorer;
 import org.apache.lucene.search.highlight.SimpleFragmenter;
 import org.apache.lucene.search.highlight.TextFragment;
+import org.apache.lucene.store.RAMDirectory;
 
 public class GroundTruthClassicHL {
   public static void main(String[] args) throws Exception {
@@ -738,6 +741,21 @@ public class GroundTruthClassicHL {
     String[] docs = new String[nDocs];
     for (int i = 0; i < nDocs; i++)
       docs[i] = java.net.URLDecoder.decode(in.readLine(), "UTF-8");
+    // a corpus index for the reader-weighted mode
+    // (getWeightedSpanTermsWithScores: weight *= classic idf)
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(analyzer);
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("f", docs[i], ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader reader = DirectoryReader.open(dir);
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
       // HL <fragmentSize> <maxNumFragments> <S|P> <url-encoded query>
@@ -745,13 +763,15 @@ public class GroundTruthClassicHL {
       String[] p = in.readLine().trim().split(" ");
       int fragSize = Integer.parseInt(p[1]);
       int maxFrags = Integer.parseInt(p[2]);
-      boolean spanFrag = p[3].equals("P");
+      boolean spanFrag = p[3].startsWith("P");
+      boolean withReader = p[3].endsWith("R");
       Query q = new QueryParser("f", analyzer)
           .parse(java.net.URLDecoder.decode(p[4], "UTF-8"));
       for (int i = 0; i < nDocs; i++) {
         // a fresh Highlighter per doc: QueryScorer caches the extracted
         // weighted span terms against the DOC's own MemoryIndex
-        QueryScorer qs = new QueryScorer(q, "f");
+        QueryScorer qs = withReader
+            ? new QueryScorer(q, reader, "f") : new QueryScorer(q, "f");
         Highlighter h = new Highlighter(qs);
         h.setTextFragmenter(spanFrag
             ? new org.apache.lucene.search.highlight.SimpleSpanFragmenter(qs, fragSize)
