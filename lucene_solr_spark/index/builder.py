@@ -131,6 +131,14 @@ class IndexPaths:
         return os.path.join(self.root, "deletes")
 
     @property
+    def bloom(self) -> str:
+        """Opt-in per-bucket term-dictionary bloom filters (the
+        BloomFilteringPostingsFormat analog — see index/bloom.py). One
+        serialized FuzzySet per term_stats bucket partition; a query
+        term the bloom rejects skips the stats read entirely."""
+        return os.path.join(self.root, "bloom")
+
+    @property
     def manifest_dir(self) -> str:
         return os.path.join(self.root, "_manifest")
 
@@ -617,6 +625,7 @@ def build_index(
     overwrite: bool = False,
     analyzer: str = "standard",
     norm: str = "bm25",
+    bloom: bool = False,
 ) -> IndexPaths:
     """Build the full index. Resumable: completed stages (matching manifest
     fingerprint) are skipped — kill the job at any stage boundary and re-run.
@@ -746,6 +755,27 @@ def build_index(
         )
         _write_manifest(paths, "stats", {"fingerprint": fingerprint, "wall_s": time.time() - t})
 
+    # ---- stage: bloom (opt-in — the BloomFilteringPostingsFormat analog;
+    # like the reference codec it is NOT part of the default chain) ----
+    if bloom and (overwrite or not _stage_done(paths, "bloom", fingerprint)):
+        t = time.time()
+        from .bloom import build_bloom_table
+
+        n_docs = int(
+            spark.read.parquet(paths.corpus_stats).collect()[0]["doc_count"]
+        )
+        build_bloom_table(spark, paths.term_stats, paths.bloom, n_docs)
+        # generation pin: an increment adds terms the bloom has never
+        # seen — a stale bloom would be a FALSE NEGATIVE (wrong results),
+        # so the searcher only trusts a bloom stamped with the index's
+        # current generation_no (rebuild_bloom re-stamps after appends)
+        _write_manifest(
+            paths,
+            "bloom",
+            {"fingerprint": fingerprint, "generation_no": 0,
+             "wall_s": time.time() - t},
+        )
+
     base.unpersist()
 
     # ---- stage: lineage (per-segment metrics, UpdateLog/CheckIndex-lite) ----
@@ -763,3 +793,26 @@ def build_index(
             },
         )
     return paths
+
+
+def rebuild_bloom(spark: SparkSession, index_dir: str) -> None:
+    """Re-derive the per-bucket term blooms from the CURRENT term_stats
+    (which incremental appends keep up to date) and stamp them with the
+    index's current generation_no, re-arming the searcher's bloom fast
+    path after increments invalidated it. The Lucene analog: a new
+    segment gets its own .blm at flush — here the bucket is the
+    dictionary unit, so the whole table re-derives (a stats-sized job,
+    not a corpus-sized one)."""
+    import json as _json
+
+    from .bloom import build_bloom_table
+
+    paths = IndexPaths(index_dir)
+    n_docs = int(spark.read.parquet(paths.corpus_stats).collect()[0]["doc_count"])
+    build_bloom_table(spark, paths.term_stats, paths.bloom, n_docs)
+    gen = 0
+    lineage_p = paths.manifest("lineage")
+    if os.path.exists(lineage_p):
+        with open(lineage_p) as f:
+            gen = int(_json.load(f).get("generation_no", 0))
+    _write_manifest(paths, "bloom", {"generation_no": gen, "wall_s": 0.0})

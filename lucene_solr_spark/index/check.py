@@ -156,6 +156,39 @@ def verify_index(
             | (F.col("sha256") != F.col("sha_src"))
         ).count()
 
+    # 5. bloom no-false-negative invariant (when the opt-in bloom stage
+    # ran): every term in the dictionary must probe MAYBE in its bucket's
+    # FuzzySet — a NO for a present term is a wrong-answer trap, the one
+    # thing a bloom filter must never do. Retired (saturated) buckets
+    # store NULL and are always-MAYBE by construction.
+    import os as _os
+
+    if _os.path.isdir(paths.bloom):
+        import pandas as _pd
+
+        blooms = spark.read.parquet(paths.bloom).select("bucket", "bloom")
+
+        def _probe(key, terms_pdf: _pd.DataFrame, bloom_pdf: _pd.DataFrame) -> _pd.DataFrame:
+            from .bloom import FuzzySet
+
+            blob_rows = bloom_pdf["bloom"].dropna() if len(bloom_pdf) else _pd.Series([], dtype=object)
+            terms = terms_pdf["term"].dropna()
+            if blob_rows.empty or terms.empty:
+                return _pd.DataFrame({"violations": [0]})
+            fs = FuzzySet.deserialize(bytes(blob_rows.iloc[0]))
+            bad = sum(0 if fs.contains(t.encode("utf-8")) else 1 for t in terms)
+            return _pd.DataFrame({"violations": [bad]})
+
+        res = (
+            term_stats.select("term", "bucket")
+            .groupBy("bucket")
+            .cogroup(blooms.groupBy("bucket"))
+            .applyInPandas(_probe, "violations long")
+            .agg(F.sum("violations"))
+            .collect()[0][0]
+        )
+        out["bloom_false_negative_violations"] = int(res or 0)
+
     failures = {k: v for k, v in out.items() if k.endswith("violations") and v}
     if failures:
         raise CheckIndexError(f"index invariant violations: {failures}")

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -459,6 +460,23 @@ class IndexSearcher:
         from ..index.deletes import load_deleted
 
         self.deleted, self.deleted_df = load_deleted(spark, self.paths)
+        # Opt-in bloom-filtered term dictionary (index/bloom.py — the
+        # BloomFilteringPostingsFormat analog): trusted only when its
+        # manifest generation matches the index's current generation_no
+        # (an increment adds terms the bloom never saw; a stale bloom
+        # would be a FALSE-NEGATIVE wrong-answer trap, so it disarms).
+        self._blooms: dict[int, object] | None = None
+        self._bloom_armed = False
+        bm_p = self.paths.manifest("bloom")
+        if os.path.exists(bm_p):
+            with open(bm_p) as f:
+                bloom_gen = int(json.load(f).get("generation_no", -1))
+            gen = 0
+            ln_p = self.paths.manifest("lineage")
+            if os.path.exists(ln_p):
+                with open(ln_p) as f:
+                    gen = int(json.load(f).get("generation_no", 0))
+            self._bloom_armed = bloom_gen == gen
 
     # ---------------- Weight stage ----------------
 
@@ -479,6 +497,21 @@ class IndexSearcher:
 
         return sorted({zlib.crc32(t.encode("utf-8")) % self.n_term_buckets for t in terms})
 
+    def _bloom_maybe(self, term: str) -> bool:
+        """Probe the term's bucket bloom: False == definitely absent
+        (FuzzySet.ContainsResult.NO). Missing or retired (saturated)
+        bucket sets answer MAYBE, exactly like the reference's
+        delegate-through when no .blm set was saved. Blooms load lazily
+        once per searcher — a few KB per bucket, no Spark job after."""
+        import zlib
+
+        if self._blooms is None:
+            from ..index.bloom import load_blooms
+
+            self._blooms = load_blooms(self.spark, self.paths.bloom)
+        fs = self._blooms.get(zlib.crc32(term.encode("utf-8")) % self.n_term_buckets)
+        return True if fs is None else fs.contains(term.encode("utf-8"))
+
     def term_weights(self, terms: list[str]) -> dict[str, dict]:
         """Global-exact per-term stats + float32 weightValue (idf*boost*(k1+1)).
         The stats scan is pruned to the terms' bucket partitions, and
@@ -487,6 +520,20 @@ class IndexSearcher:
         or overlapping queries skip the Spark job entirely)."""
         uniq = sorted(set(terms))
         missing = [t for t in uniq if t not in self._tw_cache]
+        if missing and self._bloom_armed:
+            # the bloom term-miss fast path (BloomFilteringPostingsFormat
+            # .java:326-335: contains == NO -> no termsEnum seek): terms
+            # the bucket's FuzzySet rejects are DEFINITELY absent — cache
+            # df=0 stats without touching term_stats parquet at all
+            present, absent = [], []
+            for t in missing:
+                (present if self._bloom_maybe(t) else absent).append(t)
+            for t in absent:
+                tw = make_term_weight(t, 0, self.doc_count, self.avgdl)
+                self._tw_cache[t] = {
+                    "df": 0, "ttf": 0, "weight_value": float(tw.weight_value),
+                }
+            missing = present
         if missing:
             rows = (
                 self._term_stats.filter(

@@ -3413,3 +3413,66 @@ def test_classic_highlighter_reader_weights_match_compiled_reference():
                 assert got_cmp == exp_cmp, (
                     corpus_round, (fs, mf, flag, q), di, d, got_cmp, exp_cmp,
                 )
+
+
+def test_fuzzy_set_bloom_matches_compiled_reference():
+    """Ground-truth round 39 — the bloom codec's FuzzySet
+    (lucene/codecs/.../bloom/FuzzySet.java + MurmurHash2.java): serialized
+    bitset bytes, Float.toString saturation, estimated unique values,
+    per-probe MAYBE/NO bits, and the downsize(0.1) projection all equal
+    the compiled reference over fuzzed byte values (incl. empty values,
+    high/signed tail bytes, and values long enough to exercise the
+    4-byte word loop) across sizing regimes from tiny (heavy collisions)
+    to oversized-then-downsized (the DefaultBloomFilterFactory flow)."""
+    from lucene_solr_spark.index.bloom import (
+        FuzzySet,
+        murmurhash2,
+        murmurhash2_bulk,
+    )
+
+    rng = random.Random(3939)
+
+    def rand_value() -> bytes:
+        ln = rng.choice([0, 1, 2, 3, 4, 5, 7, 8, 11, 16, 33])
+        return bytes(rng.randrange(256) for _ in range(ln))
+
+    for max_doc, desired, target, n_add in [
+        (10, 0.10, 0.1, 6),        # tiny set, heavy collisions
+        (100, 0.10, 0.1, 40),
+        (5000, 0.10, 0.1, 300),    # oversized -> real downsize projection
+        (5000, 0.10, 0.5, 300),    # non-default target saturation
+        (100, 0.50, 0.1, 90),      # near-saturated original
+        (200000, 0.10, 0.1, 150),  # large set, sparse
+    ]:
+        added = [rand_value() for _ in range(n_add)] + [b"", b"\xff\x80\x7f"]
+        # probe a mix of present values and absent ones
+        queries = (
+            [rng.choice(added) for _ in range(20)]
+            + [rand_value() for _ in range(40)]
+        )
+        exp = gt.run_bloom(max_doc, desired, target, added, queries)
+
+        fs = FuzzySet.create_set_based_on_quality(max_doc, desired)
+        fs.add_many(added)
+        assert fs.serialize() == exp["orig"]
+        assert repr(np.float32(fs.get_saturation())) == repr(
+            np.float32(float(exp["sat"]))
+        )
+        assert fs.get_estimated_unique_values() == exp["est"]
+        got_bits = "".join("1" if fs.contains(q) else "0" for q in queries)
+        assert got_bits == exp["contains"]
+        down = fs.downsize(target)
+        if exp["down"] is None:
+            assert down is None
+        else:
+            assert down is not None and down.serialize() == exp["down"]
+            got_dbits = "".join(
+                "1" if down.contains(q) else "0" for q in queries
+            )
+            assert got_dbits == exp["downcontains"]
+
+    # the vectorized bulk hash is the scalar hash
+    vals = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+            for _ in range(500)]
+    bulk = murmurhash2_bulk(vals)
+    assert [int(x) for x in bulk] == [murmurhash2(v) for v in vals]

@@ -2094,6 +2094,67 @@ public class GroundTruthMLT {
 """
 
 
+BLOOM_JAVA = r"""
+import org.apache.lucene.codecs.bloom.FuzzySet;
+import org.apache.lucene.store.RAMOutputStream;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthBloom {
+  static String hex(FuzzySet set) throws Exception {
+    RAMOutputStream out = new RAMOutputStream();
+    set.serialize(out);
+    byte[] buf = new byte[(int) out.getFilePointer()];
+    out.writeTo(buf, 0);
+    StringBuilder sb = new StringBuilder();
+    for (byte b : buf) sb.append(String.format("%02x", b));
+    return sb.toString();
+  }
+  static BytesRef fromHex(String s) {
+    byte[] b = new byte[s.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16);
+    return new BytesRef(b);
+  }
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    // case: "maxDoc desiredSat targetSat" / nAdd / hex... / nQuery / hex...
+    String[] head = in.readLine().trim().split(" ");
+    FuzzySet set = FuzzySet.createSetBasedOnQuality(
+        Integer.parseInt(head[0]), Float.parseFloat(head[1]));
+    int nAdd = Integer.parseInt(in.readLine().trim());
+    BytesRef[] added = new BytesRef[nAdd];
+    for (int i = 0; i < nAdd; i++) {
+      added[i] = fromHex(in.readLine().trim());
+      set.addValue(added[i]);
+    }
+    int nQ = Integer.parseInt(in.readLine().trim());
+    BytesRef[] queries = new BytesRef[nQ];
+    StringBuilder c = new StringBuilder();
+    for (int i = 0; i < nQ; i++) {
+      queries[i] = fromHex(in.readLine().trim());
+      c.append(set.contains(queries[i]) == FuzzySet.ContainsResult.MAYBE ? '1' : '0');
+    }
+    System.out.println("sat " + Float.toString(set.getSaturation()));
+    System.out.println("est " + set.getEstimatedUniqueValues());
+    System.out.println("orig " + hex(set));
+    System.out.println("contains " + (nQ == 0 ? "-" : c.toString()));
+    FuzzySet down = set.downsize(Float.parseFloat(head[2]));
+    if (down == null) {
+      System.out.println("down null");
+      System.out.println("downcontains -");
+    } else {
+      System.out.println("down " + hex(down));
+      StringBuilder dc = new StringBuilder();
+      for (int i = 0; i < nQ; i++)
+        dc.append(down.contains(queries[i]) == FuzzySet.ContainsResult.MAYBE ? '1' : '0');
+      System.out.println("downcontains " + (nQ == 0 ? "-" : dc.toString()));
+    }
+  }
+}
+"""
+
+
 def build() -> bool:
     """Compile lucene-core + harness (cached). False if javac missing."""
     import shutil
@@ -2691,6 +2752,28 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the bloom codec trio (lucene/codecs bloom package) needs core only;
+    # BloomFilteringPostingsFormat itself stays uncompiled (SPI plumbing
+    # the FuzzySet pin doesn't need)
+    bl_marker = os.path.join(
+        CLASSES, "org/apache/lucene/codecs/bloom/FuzzySet.class"
+    )
+    bl_dir = (
+        "/root/reference/lucene/codecs/src/java/org/apache/lucene/codecs/bloom"
+    )
+    if not os.path.exists(bl_marker) and os.path.isdir(bl_dir):
+        bsrcs = [
+            os.path.join(bl_dir, f)
+            for f in ("FuzzySet.java", "HashFunction.java", "MurmurHash2.java")
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + bsrcs,
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -2718,6 +2801,7 @@ def build() -> bool:
         ("GroundTruthSurround", SURROUND_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
+        ("GroundTruthBloom", BLOOM_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3395,6 +3479,47 @@ def run_classify(docs: list[str], queries: list[str]) -> list[str]:
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_bloom(
+    max_doc: int,
+    desired_sat: float,
+    target_sat: float,
+    added: list[bytes],
+    queries: list[bytes],
+) -> dict:
+    """Build a FuzzySet via createSetBasedOnQuality(max_doc, desired_sat),
+    add `added`, probe `queries`, then downsize(target_sat). Returns the
+    compiled reference's saturation (Float.toString), estimated unique
+    values, serialized bytes, per-query MAYBE bits, and the downsized
+    set's bytes + bits (None when downsize returned null)."""
+    payload = (
+        [f"{max_doc} {desired_sat!r} {target_sat!r}", str(len(added))]
+        + [v.hex() for v in added]
+        + [str(len(queries))]
+        + [v.hex() for v in queries]
+    )
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthBloom"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out: dict = {}
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        key, _, val = ln.partition(" ")
+        if key in ("orig", "down"):
+            out[key] = None if val == "null" else bytes.fromhex(val)
+        elif key in ("contains", "downcontains"):
+            out[key] = None if val == "-" else val
+        elif key == "sat":
+            out[key] = val
+        elif key == "est":
+            out[key] = int(val)
+    return out
 
 
 def case_line(slop: int, mphrase: list[tuple[int, tuple[str, ...]]], doc: str) -> str:
