@@ -14,30 +14,20 @@ Arrow-batched analysis UDF.
 
 from __future__ import annotations
 
-import unicodedata
-
-# ligatures/specials NFKD cannot decompose (ASCIIFoldingFilter handles
-# them in its big switch; this is the Latin-1..Extended-A subset that can
-# actually appear after \w tokenization)
-_FOLD_SPECIALS = str.maketrans({
-    "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
-    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
-    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
-    "ı": "i", "ĸ": "k", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
-})
+from .fold_table import FOLD_TABLE
 
 
 def ascii_fold(token: str) -> str:
-    """ASCIIFoldingFilter.foldToASCII: NFKD-decompose, drop combining
-    marks, then map the non-decomposable specials."""
+    """ASCIIFoldingFilter.foldToASCII — the reference's EXACT per-char
+    mapping (fold_table.py, pinned against the compiled filter over
+    every BMP codepoint in ground-truth round 40). A previous NFKD-based
+    approximation over-folded ~15k chars the reference keeps (ª, ¼,
+    fullwidth forms, Greek/Cyrillic decompositions) and missed/diverged
+    on ~430 it folds (Ɖ→D, ĸ→q, «»→\"); the switch is behavior, not
+    derivable from Unicode properties."""
     if token.isascii():
         return token
-    folded = "".join(
-        ch
-        for ch in unicodedata.normalize("NFKD", token)
-        if not unicodedata.combining(ch)
-    )
-    return folded.translate(_FOLD_SPECIALS)
+    return token.translate(FOLD_TABLE)
 
 
 def strip_possessive(token: str) -> str:

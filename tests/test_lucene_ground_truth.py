@@ -3476,3 +3476,44 @@ def test_fuzzy_set_bloom_matches_compiled_reference():
             for _ in range(500)]
     bulk = murmurhash2_bulk(vals)
     assert [int(x) for x in bulk] == [murmurhash2(v) for v in vals]
+
+
+def test_ascii_folding_matches_compiled_reference():
+    """Ground-truth round 40 — ASCIIFoldingFilter.foldToASCII
+    (analysis/common miscellaneous): ascii_fold equals the compiled
+    static fold over EVERY BMP codepoint as a 1-char token (the full
+    switch: 1242 folding chars incl. the reference's own quirks like
+    kra 'ĸ'->'q' and guillemets->'\"', everything else identity), plus
+    fuzzed multi-char tokens mixing folding/non-folding/astral chars.
+    EnglishPossessiveFilter semantics are asserted against the
+    reference's literal condition (buffer[-2] in {', \\u2019, \\uFF07}
+    and buffer[-1] in {s, S})."""
+    from lucene_solr_spark.analysis.filters import ascii_fold, strip_possessive
+
+    chars = [chr(c) for c in range(0x20, 0x10000) if not (0xD800 <= c <= 0xDFFF)]
+    exp = gt.run_fold(chars)
+    bad = [(c, e, ascii_fold(c)) for c, e in zip(chars, exp) if ascii_fold(c) != e]
+    assert not bad, bad[:20]
+
+    rng = random.Random(4040)
+    pool = (
+        [chr(rng.randrange(0x20, 0x2FF)) for _ in range(40)]
+        + list("Æß«»ĸŉǄﬃ½")
+        + ["\U0001F600", "\U00010400"]  # astral: untouched surrogate pairs
+        + list("plain ascii")
+    )
+    toks = ["".join(rng.choice(pool) for _ in range(rng.randint(1, 12)))
+            for _ in range(300)]
+    exp2 = gt.run_fold(toks)
+    for t, e in zip(toks, exp2):
+        assert ascii_fold(t) == e, (repr(t), repr(e), repr(ascii_fold(t)))
+
+    # EnglishPossessiveFilter.incrementToken (analysis/en/
+    # EnglishPossessiveFilter.java:36-52)
+    cases = {
+        "john's": "john", "JOHN'S": "JOHN", "x’s": "x",
+        "y＇S": "y", "'s": "", "s": "s", "his'": "his'",
+        "a's's": "a's", "z‘s": "z‘s",  # left quote: NOT stripped
+    }
+    for tok, want in cases.items():
+        assert strip_possessive(tok) == want, (tok, want, strip_possessive(tok))

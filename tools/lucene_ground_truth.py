@@ -2094,6 +2094,36 @@ public class GroundTruthMLT {
 """
 
 
+FOLD_JAVA = r"""
+import org.apache.lucene.analysis.miscellaneous.ASCIIFoldingFilter;
+
+public class GroundTruthFold {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    // one hex-encoded UTF-16BE token per line -> folded hex (UTF-16BE)
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      line = line.trim();
+      if (line.isEmpty()) { System.out.println(); continue; }
+      byte[] b = new byte[line.length() / 2];
+      for (int i = 0; i < b.length; i++)
+        b[i] = (byte) Integer.parseInt(line.substring(2 * i, 2 * i + 2), 16);
+      String tok = new String(b, "UTF-16BE");
+      char[] inBuf = tok.toCharArray();
+      char[] outBuf = new char[inBuf.length * 4];
+      int n = ASCIIFoldingFilter.foldToASCII(inBuf, 0, outBuf, 0, inBuf.length);
+      byte[] ob = new String(outBuf, 0, n).getBytes("UTF-16BE");
+      sb.setLength(0);
+      for (byte x : ob) sb.append(String.format("%02x", x));
+      System.out.println(sb.toString());
+    }
+  }
+}
+"""
+
+
 BLOOM_JAVA = r"""
 import org.apache.lucene.codecs.bloom.FuzzySet;
 import org.apache.lucene.store.RAMOutputStream;
@@ -2774,6 +2804,28 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # ASCIIFoldingFilter + EnglishPossessiveFilter (analysis/common
+    # miscellaneous + en) need core only
+    af_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.class",
+    )
+    ac_root = (
+        "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
+    )
+    if not os.path.exists(af_marker) and os.path.isdir(ac_root):
+        asrcs = [
+            f"{ac_root}/miscellaneous/ASCIIFoldingFilter.java",
+            f"{ac_root}/en/EnglishPossessiveFilter.java",
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + asrcs,
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -2802,6 +2854,7 @@ def build() -> bool:
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
+        ("GroundTruthFold", FOLD_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3520,6 +3573,22 @@ def run_bloom(
         elif key == "est":
             out[key] = int(val)
     return out
+
+
+def run_fold(tokens: list[str]) -> list[str]:
+    """Run each token through the compiled ASCIIFoldingFilter.foldToASCII
+    (UTF-16BE hex wire format so any BMP/astral content survives)."""
+    payload = [t.encode("utf-16-be").hex() for t in tokens]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFold"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [
+        bytes.fromhex(ln.strip()).decode("utf-16-be")
+        for ln in r.stdout.splitlines()
+    ]
 
 
 def case_line(slop: int, mphrase: list[tuple[int, tuple[str, ...]]], doc: str) -> str:
