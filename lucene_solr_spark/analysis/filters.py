@@ -68,3 +68,24 @@ def ngrams(token: str, lo: int = 2, hi: int = 3) -> list[str]:
     for n in range(lo, hi + 1):
         out.extend(token[i : i + n] for i in range(len(token) - n + 1))
     return out
+
+
+def s_stem(token: str) -> str:
+    """EnglishMinimalStemmer.stem (analysis/en/EnglishMinimalStemmer
+    .java:28-45) — Harman's S-stemmer, ported branch-for-branch
+    (case-sensitive, like the reference char compares): '-ies' -> '-y'
+    unless preceded by a/e, keep '-us'/'-ss' and vowel+'es' forms,
+    otherwise strip the final 's'. Pinned vs the compiled stemmer in
+    ground-truth round 41."""
+    n = len(token)
+    if n < 3 or token[-1] != "s":
+        return token
+    c = token[-2]
+    if c in "us":
+        return token
+    if c == "e":
+        if n > 3 and token[-3] == "i" and token[-4] not in "ae":
+            return token[:-3] + "y"
+        if token[-3] in "iaoe":
+            return token
+    return token[:-1]

@@ -3517,3 +3517,32 @@ def test_ascii_folding_matches_compiled_reference():
     }
     for tok, want in cases.items():
         assert strip_possessive(tok) == want, (tok, want, strip_possessive(tok))
+
+
+def test_english_minimal_stemmer_matches_compiled_reference():
+    """Ground-truth round 41 — EnglishMinimalStemmer (Harman's
+    S-stemmer, analysis/en/EnglishMinimalStemmer.java): s_stem equals
+    the compiled stem() over every rule edge — '-ies'->'-y' vs the
+    a/e-guard, vowel+'es' keeps, '-us'/'-ss' keeps, bare '-s' strip,
+    len<3 gate, case-SENSITIVE compares (uppercase S untouched) — plus
+    fuzzed letter strings biased onto the suffix classes."""
+    from lucene_solr_spark.analysis.filters import s_stem
+
+    fixed = [
+        "ponies", "ties", "dies", "aies", "eies", "oies", "uies",
+        "dogs", "glass", "gas", "us", "bus", "is", "as", "ss", "s",
+        "goes", "shoes", "sees", "dishes", "axes", "boxes", "issues",
+        "Dogs", "dogS", "DOGS", "xs", "xys", "abcs", "que", "ques",
+    ]
+    rng = random.Random(4141)
+    suffixes = ["s", "es", "ies", "aies", "ss", "us", "os", "is",
+                "ys", "e", "", "S", "ies"]
+    fuzz = [
+        "".join(rng.choice("abcdeiouxyz") for _ in range(rng.randint(0, 6)))
+        + rng.choice(suffixes)
+        for _ in range(600)
+    ]
+    toks = [t for t in fixed + fuzz if t]
+    exp = gt.run_minstem(toks)
+    for t, e in zip(toks, exp):
+        assert s_stem(t) == e, (t, e, s_stem(t))

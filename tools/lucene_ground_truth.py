@@ -2124,6 +2124,25 @@ public class GroundTruthFold {
 """
 
 
+MINSTEM_JAVA = r"""
+import org.apache.lucene.analysis.en.EnglishMinimalStemmer;
+
+public class GroundTruthMinStem {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    EnglishMinimalStemmer st = new EnglishMinimalStemmer();
+    String line;
+    while ((line = in.readLine()) != null) {
+      char[] buf = line.toCharArray();
+      int n = st.stem(buf, buf.length);
+      System.out.println(new String(buf, 0, n));
+    }
+  }
+}
+"""
+
+
 BLOOM_JAVA = r"""
 import org.apache.lucene.codecs.bloom.FuzzySet;
 import org.apache.lucene.store.RAMOutputStream;
@@ -2808,7 +2827,7 @@ def build() -> bool:
     # miscellaneous + en) need core only
     af_marker = os.path.join(
         CLASSES,
-        "org/apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.class",
+        "org/apache/lucene/analysis/en/EnglishMinimalStemmer.class",
     )
     ac_root = (
         "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
@@ -2817,6 +2836,7 @@ def build() -> bool:
         asrcs = [
             f"{ac_root}/miscellaneous/ASCIIFoldingFilter.java",
             f"{ac_root}/en/EnglishPossessiveFilter.java",
+            f"{ac_root}/en/EnglishMinimalStemmer.java",
         ]
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
@@ -2855,6 +2875,7 @@ def build() -> bool:
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
         ("GroundTruthFold", FOLD_JAVA),
+        ("GroundTruthMinStem", MINSTEM_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3589,6 +3610,18 @@ def run_fold(tokens: list[str]) -> list[str]:
         bytes.fromhex(ln.strip()).decode("utf-16-be")
         for ln in r.stdout.splitlines()
     ]
+
+
+def run_minstem(tokens: list[str]) -> list[str]:
+    """Run each token (one per line, no newlines inside) through the
+    compiled EnglishMinimalStemmer.stem."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMinStem"],
+        input="\n".join(tokens) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return r.stdout.splitlines()
 
 
 def case_line(slop: int, mphrase: list[tuple[int, tuple[str, ...]]], doc: str) -> str:
