@@ -449,6 +449,18 @@ def _strip_payload(term: str) -> str:
 PAYLOAD_ANALYZERS = frozenset({"wspayload"})
 
 
+def _code_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.word_delimiter import code_tokens
+
+    return code_tokens(t)
+
+
+#: analyzers whose chain emits its OWN position increments (stacked /
+#: gapped tokens); token_table derives positions from the stream's
+#: posInc values instead of enumeration
+POSINC_ANALYZERS = frozenset({"code"})
+
+
 #: name -> (tokenize_fn, apply_stop_filter, apply_len/alnum_filter,
 #:          post-stop per-term map | None)
 #: The term map is 1:1 per token (PorterStemFilter shape), so the index
@@ -469,6 +481,14 @@ ANALYZERS: dict = {
     # '|'; payload handled by token_table(with_payloads=True); this
     # registry row's term map covers the payload-less query side.
     "wspayload": (_ws_tokens, False, True, _strip_payload),
+    # source-identifier chain: WhitespaceTokenizer + WordDelimiterFilter
+    # (DEFAULT_FLAGS — generate word+number parts, split on case/numeric
+    # transitions, stem possessives; WordDelimiterFilter.java:75-82
+    # recommends the whitespace tokenizer) + LowerCaseFilter as the
+    # vocab-level term map. The filter stream is pinned bit-for-bit vs
+    # the compiled reference (GT round 42, analysis/word_delimiter.py);
+    # its posInc gaps reach the index via POSINC_ANALYZERS
+    "code": (_code_tokens, False, False, _java_lower),
 }
 
 
@@ -507,6 +527,40 @@ def analyze_with_positions(text: str) -> tuple[dict[str, list[int]], int]:
             lst.append(i)
         flen += 1
     return pos, flen
+
+
+def analyze_with_positions_as(analyzer: str, text: str) -> list[tuple[str, int]]:
+    """Chain-aware positional analysis for PHRASE queries: (term, pos)
+    pairs in stream order, with the same position semantics the index
+    build (token_table) writes — len-filtered tokens don't occupy a
+    position, stop-filtered tokens leave a gap, POSINC chains (the WDF
+    'code' chain) use the filter's own increments, and the per-term map
+    (stem / lowercase / payload strip) applies last."""
+    if analyzer == "standard":
+        pos_map, _ = analyze_with_positions(text)
+        return sorted(
+            ((t, p) for t, plist in pos_map.items() for p in plist),
+            key=lambda x: (x[1], x[0]),
+        )
+    tok_fn, stop_f, len_f, term_map = ANALYZERS[analyzer]
+    out: list[tuple[str, int]] = []
+    if analyzer in POSINC_ANALYZERS:
+        from lucene_solr_spark.analysis.word_delimiter import code_stream
+
+        p = -1
+        for t, pinc in code_stream(text) if text else []:
+            p += pinc
+            out.append((term_map(t) if term_map else t, p))
+        return out
+    p = -1
+    for t in tok_fn(text) if text else []:
+        if len_f and len(t) > MAX_TOKEN_LENGTH:
+            continue  # not kept by the tokenizer: occupies no position
+        p += 1
+        if stop_f and t in ENGLISH_STOP_WORDS:
+            continue  # stop gap: position advances, no term
+        out.append((term_map(t) if term_map else t, p))
+    return out
 
 
 def analyze_to_counts(text: str) -> tuple[dict[str, int], int]:
@@ -559,13 +613,24 @@ def token_table(
     n_docs = len(texts)
     parts: list[list[str]] = []
     counts = np.empty(n_docs, dtype=np.int64)
+    posinc_parts: list[list[int]] | None = (
+        [] if analyzer in POSINC_ANALYZERS else None
+    )
     if analyzer == "standard":
         raw_fn = None  # inline fast path below
     else:
         raw_fn = ANALYZERS[analyzer][0]
+    if posinc_parts is not None:
+        from lucene_solr_spark.analysis.word_delimiter import code_stream
     for i, t in enumerate(texts):
         if not (t and isinstance(t, str)):
             toks = []
+            if posinc_parts is not None:
+                posinc_parts.append([])
+        elif posinc_parts is not None:
+            stream = code_stream(t)
+            toks = [x[0] for x in stream]
+            posinc_parts.append([x[1] for x in stream])
         elif raw_fn is None:
             toks = TOKEN_RE.findall(_java_lower(t))
         else:
@@ -620,6 +685,16 @@ def token_table(
     ck = np.concatenate(([0], np.cumsum(k1)))  # exclusive prefix of kept
     doc_rep = np.repeat(np.arange(n_docs), counts)
     pos = ck[:-1] - ck[doc_starts][doc_rep]  # 0-based position among kept
+    if posinc_parts is not None:
+        # the chain's OWN position increments (WDF gaps and quirks):
+        # position = -1 + running sum of posInc within the document
+        flat_pi = np.fromiter(
+            (p for lst in posinc_parts for p in lst), np.int64, total
+        )
+        cum = np.cumsum(flat_pi)
+        ds = np.minimum(doc_starts, total - 1)  # empty docs never indexed
+        base = cum[ds] - flat_pi[ds]
+        pos = cum - 1 - base[doc_rep]
     post = k1 & ~stopm[codes]  # survives the STOP filter too -> a posting
     field_len = np.bincount(doc_rep[post], minlength=n_docs).astype(np.int32)
     pay_occ = None

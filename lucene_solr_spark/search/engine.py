@@ -613,7 +613,21 @@ class IndexSearcher:
         return self.topk_spec(spec, k=k, prune=False)
 
     def topk_phrase(self, query: str, k: int = 10, slop: int = 0) -> DataFrame:
-        return self.topk_spec(phrase_spec(query, slop=slop), k=k)
+        if self.analyzer == "standard":
+            return self.topk_spec(phrase_spec(query, slop=slop), k=k)
+        # non-standard chains: phrase positions must come from the
+        # index's OWN analyzer (the WDF 'code' chain splits identifiers
+        # with its own posInc gaps; 'english' stems; stop gaps differ)
+        from ..analysis.tokenizer import analyze_with_positions_as
+
+        pairs = analyze_with_positions_as(self.analyzer, query)
+        if not pairs:
+            return self.topk_spec(BooleanSpec(), k=k)
+        base = pairs[0][1]
+        spec = BooleanSpec(
+            phrase=tuple((t, p - base) for t, p in pairs), slop=slop
+        )
+        return self.topk_spec(spec, k=k)
 
     def topk_span_near(
         self, terms: list[str], slop: int = 0, in_order: bool = True, k: int = 10

@@ -149,3 +149,45 @@ def test_shingle_index_bigram_terms(spark, tmp_root):
     # a shingled query is adjacency-sensitive: only doc 0 has the bigram
     hits = [r["doc_id"] for r in s.topk("quick brown", k=10).collect()]
     assert hits == [0]
+
+
+def test_code_index_splits_identifiers(spark, tmp_root):
+    """'code' chain: WhitespaceTokenizer + WordDelimiterFilter (pinned,
+    GT round 42) + lowercase term map. Identifier subwords are
+    position-adjacent (phrase across camelCase parts matches), the
+    filter's posInc GAPS reach the index (a dropped leading
+    all-delimiter token shifts positions), and the manifest round-trips
+    the chain so query analysis splits the same way."""
+    d = os.path.join(tmp_root, "idx_code")
+    src = spark.createDataFrame(
+        [
+            (0, "getHTTPResponse PowerShot-2000"),
+            (1, "--- PowerShot wifi"),
+            (2, "power shot assembled_elsewhere"),
+            (3, "unrelated token stream"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-code", analyzer="code",
+    )
+    s = IndexSearcher(spark, d)
+    assert s.analyzer == "code"
+    # query analysis uses the same chain: camelCase query splits
+    assert s._analyze("PowerShot") == ["power", "shot"]
+    # phrase across subwords: docs 0,1,2 all contain adjacent power,shot
+    rows = s.topk_phrase("PowerShot", k=10).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+    # the UPPER-run rule: HTTPResponse stays one (lowered) term
+    rows = s.topk("httpresponse", k=10).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    # snake_case parts searchable individually
+    rows = s.topk("elsewhere", k=10).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    # posInc gap: doc 1's 'power' sits at position 1 (dropped leading
+    # '---'), so its first TWO stream slots are (gap, power) — exact
+    # phrase "power shot" must still match via adjacency at (1, 2)
+    from lucene_solr_spark.analysis.word_delimiter import code_stream
+
+    assert code_stream("--- PowerShot wifi")[0] == ("Power", 2)

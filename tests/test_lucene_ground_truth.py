@@ -3546,3 +3546,89 @@ def test_english_minimal_stemmer_matches_compiled_reference():
     exp = gt.run_minstem(toks)
     for t, e in zip(toks, exp):
         assert s_stem(t) == e, (t, e, s_stem(t))
+
+
+def test_word_delimiter_filter_matches_compiled_reference():
+    """Ground-truth round 42 — WordDelimiterFilter (analysis/common
+    miscellaneous): the full emitted stream (term, posInc, startOffset,
+    endOffset) equals the compiled WhitespaceTokenizer+WDF chain over
+    fuzzed identifier corpora under a sweep of the flags matrix
+    (generate/catenate words+numbers, CATENATE_ALL's dedup against the
+    last flushed run, PRESERVE_ORIGINAL's forced posInc-0 follower,
+    case/numeric split toggles, possessive stripping) and protected
+    words — pinning the break matrix, the bounds-stripped delimiters,
+    the all-delimiter-token posInc accumulation quirk, the buffered
+    (startOffset asc, posInc desc) re-sort, and the position() state
+    machine's uncleared-accumulator paths."""
+    from lucene_solr_spark.analysis.word_delimiter import (
+        CATENATE_ALL,
+        CATENATE_NUMBERS,
+        CATENATE_WORDS,
+        DEFAULT_FLAGS,
+        GENERATE_NUMBER_PARTS,
+        GENERATE_WORD_PARTS,
+        PRESERVE_ORIGINAL,
+        SPLIT_ON_CASE_CHANGE,
+        SPLIT_ON_NUMERICS,
+        STEM_ENGLISH_POSSESSIVE,
+        whitespace_wdf_tokens,
+    )
+
+    rng = random.Random(4242)
+    frags = ["Power", "Shot", "XL", "500", "42", "wi", "fi", "j", "2", "se",
+             "O", "Neil", "http", "HTTP", "Api", "iOS", "v2", "X", "abc",
+             "ABC", "aB", "Ba", "9", "µ", "Ω", "ß", "ñ"]
+    seps = ["-", "_", "+", "'", ".", "", "--", "'s", "&", "/", "''", "!"]
+
+    def rand_word() -> str:
+        n = rng.randint(1, 5)
+        parts = []
+        for i in range(n):
+            parts.append(rng.choice(frags))
+            if i < n - 1 or rng.random() < 0.4:
+                parts.append(rng.choice(seps))
+        w = "".join(parts)
+        if rng.random() < 0.15:
+            w = rng.choice(seps) + w
+        if rng.random() < 0.1:
+            w = rng.choice(["...", "--", "'", "''"])  # all-delimiter token
+        return w or "-"
+
+    lines = [" ".join(rand_word() for _ in range(rng.randint(1, 6)))
+             for _ in range(120)]
+    lines += [
+        "PowerShot", "Super-Duper-XL500-42-AutoCoder!", "A's+B's&C's",
+        "wi-fi j2se O'Neil's", "--- ... ''", "'s 's's",
+        "snake_case_id __init__ XMLHttpRequest getHTTPResponse2",
+        "\U0001F600ab-cd \U00010400x",  # astral: surrogate halves never split
+    ]
+
+    base = GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS
+    flag_sweep = [
+        DEFAULT_FLAGS,
+        DEFAULT_FLAGS | CATENATE_WORDS,
+        DEFAULT_FLAGS | CATENATE_NUMBERS,
+        DEFAULT_FLAGS | CATENATE_WORDS | CATENATE_NUMBERS | CATENATE_ALL,
+        DEFAULT_FLAGS | PRESERVE_ORIGINAL,
+        DEFAULT_FLAGS | CATENATE_ALL | PRESERVE_ORIGINAL,
+        base,  # no case/numeric splits, no possessive stem
+        base | SPLIT_ON_CASE_CHANGE,
+        base | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE,
+        GENERATE_WORD_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS,
+        # no generation at all, only catenation (exercises the
+        # first-token posInc fix)
+        CATENATE_ALL | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS,
+        CATENATE_WORDS | CATENATE_NUMBERS,
+    ]
+    for flags in flag_sweep:
+        exp = gt.run_wdf(lines, flags)
+        for ln, e in zip(lines, exp):
+            got = whitespace_wdf_tokens(ln, flags)
+            assert got == e, (flags, repr(ln), got, e)
+
+    # protected words pass through unsplit
+    prot = ["wi-fi", "j2se"]
+    exp = gt.run_wdf(lines, DEFAULT_FLAGS, prot)
+    for ln, e in zip(lines, exp):
+        got = whitespace_wdf_tokens(ln, DEFAULT_FLAGS, frozenset(prot))
+        assert got == e, (repr(ln), got, e)

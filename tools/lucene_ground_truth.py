@@ -2124,6 +2124,53 @@ public class GroundTruthFold {
 """
 
 
+WDF_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.miscellaneous.WordDelimiterFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.util.CharArraySet;
+
+public class GroundTruthWDF {
+  public static void main(String[] args) throws Exception {
+    int flags = Integer.parseInt(args[0]);
+    CharArraySet prot = null;
+    if (args.length > 1 && !args[1].equals("-")) {
+      prot = new CharArraySet(java.util.Arrays.asList(args[1].split(",")), false);
+    }
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = new WordDelimiterFilter(tok, flags, prot);
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] b = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : b) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 MINSTEM_JAVA = r"""
 import org.apache.lucene.analysis.en.EnglishMinimalStemmer;
 
@@ -2827,7 +2874,7 @@ def build() -> bool:
     # miscellaneous + en) need core only
     af_marker = os.path.join(
         CLASSES,
-        "org/apache/lucene/analysis/en/EnglishMinimalStemmer.class",
+        "org/apache/lucene/analysis/miscellaneous/WordDelimiterFilter.class",
     )
     ac_root = (
         "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
@@ -2837,6 +2884,8 @@ def build() -> bool:
             f"{ac_root}/miscellaneous/ASCIIFoldingFilter.java",
             f"{ac_root}/en/EnglishPossessiveFilter.java",
             f"{ac_root}/en/EnglishMinimalStemmer.java",
+            f"{ac_root}/miscellaneous/WordDelimiterFilter.java",
+            f"{ac_root}/miscellaneous/WordDelimiterIterator.java",
         ]
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
@@ -2876,6 +2925,7 @@ def build() -> bool:
         ("GroundTruthBloom", BLOOM_JAVA),
         ("GroundTruthFold", FOLD_JAVA),
         ("GroundTruthMinStem", MINSTEM_JAVA),
+        ("GroundTruthWDF", WDF_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3610,6 +3660,43 @@ def run_fold(tokens: list[str]) -> list[str]:
         bytes.fromhex(ln.strip()).decode("utf-16-be")
         for ln in r.stdout.splitlines()
     ]
+
+
+def run_wdf(
+    lines: list[str], flags: int, prot: list[str] | None = None
+) -> list[list[tuple[str, int, int, int]]]:
+    """Run each line through WhitespaceTokenizer + the compiled
+    WordDelimiterFilter(flags, prot). Returns per line the emitted
+    (term, posInc, startOffset, endOffset) stream."""
+    # the compile marker predates WDF: force a rebuild of the analysis
+    # block if the class is missing
+    if not os.path.exists(os.path.join(
+        CLASSES, "org/apache/lucene/analysis/miscellaneous/WordDelimiterFilter.class"
+    )):
+        build()
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthWDF",
+         str(flags), ",".join(prot) if prot else "-"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, s, e, hx = part.split(":")
+            toks.append(
+                (bytes.fromhex(hx).decode("utf-16-be"), int(pi), int(s), int(e))
+            )
+        out.append(toks)
+    return out
 
 
 def run_minstem(tokens: list[str]) -> list[str]:
