@@ -455,10 +455,44 @@ def _code_tokens(t: str) -> list[str]:
     return code_tokens(t)
 
 
+def _code_posinc_stream(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.word_delimiter import code_stream
+
+    return code_stream(t)
+
+
 #: analyzers whose chain emits its OWN position increments (stacked /
-#: gapped tokens); token_table derives positions from the stream's
-#: posInc values instead of enumeration
-POSINC_ANALYZERS = frozenset({"code"})
+#: gapped tokens): name -> fn(text) -> [(token, posInc)]. token_table
+#: derives positions from these streams instead of enumeration.
+#: Mutable: synonym chains register here (analysis/synonyms.py) — like
+#: Lucene, the SynonymMap is an analyzer-side artifact the app supplies
+#: to BOTH the writer and the reader; the manifest records only the name
+POSINC_STREAMS: dict = {"code": _code_posinc_stream}
+POSINC_ANALYZERS = POSINC_STREAMS.keys()
+
+#: picklable specs for dynamically registered chains (synonym maps):
+#: Spark python workers import this module FRESH, so the index build
+#: captures the spec into its UDF closures and re-registers there
+#: (ensure_chain) — the engine analog of shipping the Analyzer object
+#: to the executors
+DYNAMIC_CHAINS: dict = {}
+
+
+def ensure_chain(name: str, spec) -> None:
+    """Re-register a dynamic chain on a Spark worker (no-op when the
+    name is already registered, e.g. driver-side)."""
+    if name in ANALYZERS or spec is None:
+        return
+    kind = spec[0]
+    if kind == "synonym":
+        from lucene_solr_spark.analysis.synonyms import register_synonym_analyzer
+
+        _k, trie, ignore_case, lowercase_after = spec
+        register_synonym_analyzer(
+            name, trie, ignore_case=ignore_case, lowercase_after=lowercase_after
+        )
+    else:  # pragma: no cover - future chain kinds
+        raise ValueError(f"unknown dynamic chain kind {kind!r}")
 
 
 #: name -> (tokenize_fn, apply_stop_filter, apply_len/alnum_filter,
@@ -545,10 +579,9 @@ def analyze_with_positions_as(analyzer: str, text: str) -> list[tuple[str, int]]
     tok_fn, stop_f, len_f, term_map = ANALYZERS[analyzer]
     out: list[tuple[str, int]] = []
     if analyzer in POSINC_ANALYZERS:
-        from lucene_solr_spark.analysis.word_delimiter import code_stream
-
+        stream_fn = POSINC_STREAMS[analyzer]
         p = -1
-        for t, pinc in code_stream(text) if text else []:
+        for t, pinc in stream_fn(text) if text else []:
             p += pinc
             out.append((term_map(t) if term_map else t, p))
         return out
@@ -620,15 +653,14 @@ def token_table(
         raw_fn = None  # inline fast path below
     else:
         raw_fn = ANALYZERS[analyzer][0]
-    if posinc_parts is not None:
-        from lucene_solr_spark.analysis.word_delimiter import code_stream
+    stream_fn = POSINC_STREAMS.get(analyzer)
     for i, t in enumerate(texts):
         if not (t and isinstance(t, str)):
             toks = []
             if posinc_parts is not None:
                 posinc_parts.append([])
         elif posinc_parts is not None:
-            stream = code_stream(t)
+            stream = stream_fn(t)
             toks = [x[0] for x in stream]
             posinc_parts.append([x[1] for x in stream])
         elif raw_fn is None:

@@ -234,11 +234,16 @@ def assign_doc_ids(
 
 
 def _analysis_udf(analyzer: str = "standard", norm: str = "bm25"):
+    from ..analysis.tokenizer import DYNAMIC_CHAINS
+
+    chain_spec = DYNAMIC_CHAINS.get(analyzer)
+
     @F.pandas_udf("field_len int, norm_byte int")
     def analysis(content: pd.Series) -> pd.DataFrame:
         from ..analysis.smallfloat import NORM_ENCODERS
-        from ..analysis.tokenizer import token_table
+        from ..analysis.tokenizer import ensure_chain, token_table
 
+        ensure_chain(analyzer, chain_spec)
         encoder = NORM_ENCODERS[norm]
         texts = content.tolist()
         table = token_table(texts, analyzer=analyzer)
@@ -278,6 +283,11 @@ def _make_fragments_fn(
     payloads: bool = False,
     norm: str = "bm25",
 ):
+    from ..analysis.tokenizer import DYNAMIC_CHAINS
+
+    # picklable spec rides in the closure so Spark workers can
+    # re-register a dynamic (synonym) chain (ensure_chain)
+    chain_spec = DYNAMIC_CHAINS.get(analyzer)
     def fragments(iterator):
         """DWPT analog, fully vectorized: each Arrow batch becomes one set of
         sorted posting fragments (term, doc-range) -> delta+VByte streams.
@@ -293,9 +303,10 @@ def _make_fragments_fn(
         (Lucene .pos analog, Lucene50PostingsWriter.java:323)."""
         from pyspark import TaskContext
 
-        from ..analysis.tokenizer import token_table
+        from ..analysis.tokenizer import ensure_chain, token_table
         from .codec import vbyte_encode_batch
 
+        ensure_chain(analyzer, chain_spec)
         seg_id = TaskContext.get().partitionId() if TaskContext.get() else -1
 
         for pdf in iterator:

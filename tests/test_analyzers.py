@@ -191,3 +191,48 @@ def test_code_index_splits_identifiers(spark, tmp_root):
     from lucene_solr_spark.analysis.word_delimiter import code_stream
 
     assert code_stream("--- PowerShot wifi")[0] == ("Power", 2)
+
+
+def test_synonym_index_stacks_outputs(spark, tmp_root):
+    """Registered synonym chain (analysis/synonyms.py, pinned GT round
+    43): index-time SynonymFilter stacks outputs at the match position
+    (posInc 0 -> same index position), multi-word outputs interleave
+    across the following positions (the reference's documented
+    flattened-graph behavior), and the searcher — with the same chain
+    registered, IndexWriterConfig(Analyzer) semantics — analyzes
+    queries identically."""
+    from lucene_solr_spark.analysis.synonyms import (
+        SynonymMapBuilder,
+        register_synonym_analyzer,
+    )
+
+    b = SynonymMapBuilder()
+    b.add(["wi", "fi"], ["wifi"], True)
+    b.add(["dns"], ["domain", "name", "service"], True)
+    register_synonym_analyzer("syn_e2e", b.build(), ignore_case=True)
+
+    d = os.path.join(tmp_root, "idx_syn")
+    src = spark.createDataFrame(
+        [
+            (0, "wi fi is fast"),
+            (1, "WiFi everywhere"),
+            (2, "dns lookup tables"),
+            (3, "plain words"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-syn", analyzer="syn_e2e",
+    )
+    s = IndexSearcher(spark, d)
+    # 'wifi' matches both the stacked synonym (doc 0) and the literal
+    # (doc 1, lowercased)
+    assert sorted(r["doc_id"] for r in s.topk("wifi", k=10).collect()) == [0, 1]
+    # single-word rule with multi-word output: every output word indexed
+    assert [r["doc_id"] for r in s.topk("service", k=10).collect()] == [2]
+    # phrase across the original tokens still exact
+    assert [r["doc_id"] for r in s.topk_phrase("wi fi", k=10).collect()] == [0]
+    # stacked token shares its position: phrase "wifi fi" ALSO matches
+    # doc 0 (the flattened-stream behavior Lucene documents)
+    assert [r["doc_id"] for r in s.topk_phrase("wifi fi", k=10).collect()] == [0]

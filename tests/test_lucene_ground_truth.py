@@ -3632,3 +3632,66 @@ def test_word_delimiter_filter_matches_compiled_reference():
     for ln, e in zip(lines, exp):
         got = whitespace_wdf_tokens(ln, DEFAULT_FLAGS, frozenset(prot))
         assert got == e, (repr(ln), got, e)
+
+
+def test_synonym_filter_matches_compiled_reference():
+    """Ground-truth round 43 — SynonymFilter + SynonymMap.Builder
+    (analysis/synonym): the full emitted stream (term, posInc, posLen,
+    startOffset, endOffset, type) equals the compiled
+    WhitespaceTokenizer+SynonymFilter over randomized rule sets
+    (multi-word inputs AND outputs, outputs longer than the match,
+    keepOrig mixes, duplicate adds exercising the Builder's
+    first-occurrence ord dedup + includeOrig OR-merge, overlapping
+    keys exercising greedy earliest-longest parsing) x randomized
+    small-vocab text, plus the ignoreCase codepoint fold."""
+    from lucene_solr_spark.analysis.synonyms import (
+        SynonymMapBuilder,
+        synonym_stream,
+    )
+
+    def ws(text):
+        parts, start = [], None
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, start, idx))
+                    start = None
+            elif start is None:
+                start = idx
+        return parts
+
+    rng = random.Random(4343)
+    vocab = ["a", "b", "c", "d", "e", "wi", "fi", "dns", "usa", "Big",
+             "apple", "ß"]
+    out_vocab = vocab + ["x", "y", "z", "long", "output", "chain"]
+
+    for round_i in range(12):
+        ignore_case = round_i % 3 == 2
+        n_rules = rng.randint(2, 10)
+        rules = []
+        for _ in range(n_rules):
+            inp = " ".join(
+                rng.choice(vocab).lower() if ignore_case else rng.choice(vocab)
+                for _ in range(rng.randint(1, 3))
+            )
+            outp = " ".join(
+                rng.choice(out_vocab) for _ in range(rng.randint(1, 4))
+            )
+            rules.append((inp, outp, rng.random() < 0.5))
+        # duplicate adds: same input, same/other output
+        if rng.random() < 0.6:
+            rules.append((rules[0][0], rules[0][1], rng.random() < 0.5))
+            rules.append((rules[0][0], " ".join([rng.choice(out_vocab)]),
+                          rng.random() < 0.5))
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(40)
+        ]
+        exp = gt.run_syn(rules, lines, ignore_case=ignore_case)
+        b = SynonymMapBuilder()
+        for i, o, keep in rules:
+            b.add(i.split(), o.split(), keep)
+        trie = b.build()
+        for ln, e in zip(lines, exp):
+            got = synonym_stream(ws(ln), trie, ignore_case=ignore_case)
+            assert got == e, (round_i, rules, repr(ln), got, e)

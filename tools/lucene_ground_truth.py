@@ -2171,6 +2171,66 @@ public class GroundTruthWDF {
 """
 
 
+SYN_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.synonym.SynonymFilter;
+import org.apache.lucene.analysis.synonym.SynonymMap;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionLengthAttribute;
+import org.apache.lucene.analysis.tokenattributes.TypeAttribute;
+import org.apache.lucene.util.CharsRef;
+
+public class GroundTruthSyn {
+  static CharsRef phrase(String spaceSep) {
+    return new CharsRef(spaceSep.replace(' ', (char) 0));
+  }
+  public static void main(String[] args) throws Exception {
+    boolean ignoreCase = args[0].equals("1");
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nRules = Integer.parseInt(in.readLine().trim());
+    SynonymMap.Builder b = new SynonymMap.Builder(true);
+    for (int i = 0; i < nRules; i++) {
+      String[] p = in.readLine().split("\\|");
+      b.add(phrase(p[0]), phrase(p[1]), p[2].equals("1"));
+    }
+    SynonymMap map = b.build();
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = new SynonymFilter(tok, map, ignoreCase);
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      PositionLengthAttribute pl = ts.addAttribute(PositionLengthAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      TypeAttribute type = ts.addAttribute(TypeAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(pl.getPositionLength()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":")
+          .append(type.type()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 MINSTEM_JAVA = r"""
 import org.apache.lucene.analysis.en.EnglishMinimalStemmer;
 
@@ -2874,7 +2934,7 @@ def build() -> bool:
     # miscellaneous + en) need core only
     af_marker = os.path.join(
         CLASSES,
-        "org/apache/lucene/analysis/miscellaneous/WordDelimiterFilter.class",
+        "org/apache/lucene/analysis/synonym/SynonymFilter.class",
     )
     ac_root = (
         "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
@@ -2886,6 +2946,8 @@ def build() -> bool:
             f"{ac_root}/en/EnglishMinimalStemmer.java",
             f"{ac_root}/miscellaneous/WordDelimiterFilter.java",
             f"{ac_root}/miscellaneous/WordDelimiterIterator.java",
+            f"{ac_root}/synonym/SynonymFilter.java",
+            f"{ac_root}/synonym/SynonymMap.java",
         ]
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
@@ -2926,6 +2988,7 @@ def build() -> bool:
         ("GroundTruthFold", FOLD_JAVA),
         ("GroundTruthMinStem", MINSTEM_JAVA),
         ("GroundTruthWDF", WDF_JAVA),
+        ("GroundTruthSyn", SYN_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3695,6 +3758,40 @@ def run_wdf(
             toks.append(
                 (bytes.fromhex(hx).decode("utf-16-be"), int(pi), int(s), int(e))
             )
+        out.append(toks)
+    return out
+
+
+def run_syn(
+    rules: list[tuple[str, str, bool]], lines: list[str], ignore_case: bool = False
+) -> list[list[tuple]]:
+    """Build a SynonymMap from (input phrase, output phrase, includeOrig)
+    rules (words space-separated) and run each line through the compiled
+    WhitespaceTokenizer + SynonymFilter. Returns per line the emitted
+    (term, posInc, posLen, startOffset, endOffset, type) stream."""
+    payload = [str(len(rules))] + [
+        f"{i}|{o}|{'1' if keep else '0'}" for i, o, keep in rules
+    ] + list(lines)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSyn",
+         "1" if ignore_case else "0"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, pl, s, e, typ, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(pl), int(s), int(e), typ))
         out.append(toks)
     return out
 
