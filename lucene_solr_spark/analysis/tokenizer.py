@@ -664,7 +664,16 @@ def token_table(
             toks = [x[0] for x in stream]
             posinc_parts.append([x[1] for x in stream])
         elif raw_fn is None:
-            toks = TOKEN_RE.findall(_java_lower(t))
+            lt = _java_lower(t)
+            if not lt.isascii() and _RARE_RE.search(lt):
+                # Extend/Format chars present: the WB4-transparent
+                # scanner path (GT round 30b) — the inline fast regex
+                # would mis-tokenize (e.g. drop a riding soft hyphen).
+                # Tokens come back pre-filtered, which matches keep1
+                # semantics (they'd all be kept)
+                toks = _findall_tokens(lt)
+            else:
+                toks = TOKEN_RE.findall(lt)
         else:
             toks = raw_fn(t)
         parts.append(toks)
