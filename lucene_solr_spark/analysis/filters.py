@@ -89,3 +89,135 @@ def s_stem(token: str) -> str:
         if token[-3] in "iaoe":
             return token
     return token[:-1]
+
+
+def shingle_stream(
+    tokens: list[tuple[str, int, int, int]],
+    min_n: int = 2,
+    max_n: int = 2,
+    output_unigrams: bool = True,
+    output_unigrams_if_no_shingles: bool = False,
+    sep: str = " ",
+    filler: str = "_",
+    end_pos_inc: int = 0,
+    final_offset: int | None = None,
+) -> list[tuple[str, int, int, int, int, str]]:
+    """ShingleFilter (analysis/shingle/ShingleFilter.java), ported
+    machine-for-machine: the sliding input window, the Circular gram-size
+    sequence {[1,] min..max} (:505-566), filler insertion for posInc>1
+    holes CAPPED at max_n-1 per hole (:378-381 — "each output shingle
+    must contain at least one input token"), trailing-hole fillers from
+    the stream's end() increment capped the same way (:415-427), the
+    all-filler gram-size advance (:332-337), the persistent gram builder
+    continuation (builtGramSize = previous value, :310-313), posInc
+    0-after-first-at-position stacking, offsets (window-head start,
+    gram-tail end; fillers are zero-width at their source offset) and
+    posLength = gram size. Pinned bit-for-bit vs the compiled filter in
+    ground-truth round 44.
+
+    `tokens` = (term, posInc, startOffset, endOffset) stream;
+    `end_pos_inc` = the end() position increment (trailing holes, e.g.
+    trailing stop words); `final_offset` = the stream's final offset
+    (defaults to the last token's endOffset)."""
+    if min_n < 2 or max_n < min_n:
+        raise ValueError("2 <= min_n <= max_n required")
+    if final_offset is None:
+        final_offset = tokens[-1][3] if tokens else 0
+
+    # ---- getNextToken: expands holes into capped filler runs ----
+    expanded: list[tuple[str, bool, int, int]] = []  # (term, isFiller, s, e)
+    for term, pinc, s, e in tokens:
+        if pinc > 1:
+            for _ in range(min(pinc - 1, max_n - 1)):
+                expanded.append((filler, True, s, s))
+        expanded.append((term, False, s, e))
+    for _ in range(min(end_pos_inc, max_n - 1)):
+        expanded.append((filler, True, final_offset, final_offset))
+
+    # ---- CircularSequence (:505-566) ----
+    min_value = 1 if output_unigrams else min_n
+
+    class _Seq:
+        def __init__(self):
+            self.min_value = min_value
+            self.reset()
+
+        def reset(self):
+            self.previous = self.value = self.min_value
+
+        def advance(self):
+            self.previous = self.value
+            if self.value == 1:
+                self.value = min_n
+            elif self.value == max_n:
+                self.reset()
+            else:
+                self.value += 1
+
+        def at_min(self):
+            return self.value == self.min_value
+
+    gram = _Seq()
+    out: list[tuple[str, int, int, int, int, str]] = []
+    window: list[tuple[str, bool, int, int]] = []
+    upto = 0  # next expanded token to pull
+    gram_builder = ""
+    is_output_here = False
+    no_shingle_output = True
+
+    while True:
+        built = 0
+        if gram.at_min() or len(window) < gram.value:
+            # shiftInputWindow (:446-481)
+            if window:
+                window.pop(0)
+            while len(window) < max_n and upto < len(expanded):
+                window.append(expanded[upto])
+                upto += 1
+            if (output_unigrams_if_no_shingles and no_shingle_output
+                    and gram.min_value > 1 and len(window) < min_n):
+                gram.min_value = 1
+            gram.reset()
+            is_output_here = False
+            gram_builder = ""
+        else:
+            built = gram.previous
+        emitted = False
+        if len(window) >= gram.value:
+            is_all_filler = True
+            next_tok = None
+            gram_num = 0
+            for tok in window:
+                gram_num += 1
+                if built >= gram.value:
+                    break
+                next_tok = tok
+                if built < gram_num:
+                    if built > 0:
+                        gram_builder += sep
+                    gram_builder += tok[0]
+                    built += 1
+                if is_all_filler and tok[1]:
+                    if gram_num == gram.value:
+                        gram.advance()
+                else:
+                    is_all_filler = False
+            if not is_all_filler and built == gram.value:
+                head = window[0]
+                out.append((
+                    gram_builder,
+                    0 if is_output_here else 1,
+                    built,
+                    head[2],
+                    next_tok[3],
+                    "shingle" if gram.value > 1 else "word",
+                ))
+                if gram.value > 1:
+                    no_shingle_output = False
+                is_output_here = True
+                gram.advance()
+                emitted = True
+        if not emitted:
+            # incrementToken returned false — in Lucene that ENDS the
+            # stream (consumers stop at the first false), so we do too
+            return out

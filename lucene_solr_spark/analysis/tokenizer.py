@@ -411,17 +411,26 @@ def _folding_raw(t: str) -> list[str]:
 
 
 def _shingle_raw(t: str) -> list[str]:
-    """standard chain + ShingleFilter(2,2) (analysis/shingle/
-    ShingleFilter.java): stop-filtered positions become the '_' filler
-    token, word bigrams are joined by '_', and all-filler shingles are
-    not emitted. Positions index the shingle OUTPUT stream."""
-    from lucene_solr_spark.analysis.filters import shingles
+    """standard chain + ShingleFilter(2,2, outputUnigrams=false,
+    separator '_') — the reference-EXACT stream machine (pinned GT
+    round 44: capped fillers per hole incl. trailing end() holes,
+    all-filler grams never emitted), joined by '_' so bigram terms stay
+    single index tokens. Positions index the shingle OUTPUT stream."""
+    from lucene_solr_spark.analysis.filters import shingle_stream
 
-    stream = [
-        tok if tok not in ENGLISH_STOP_WORDS else "_"
-        for tok in _tokenize_lowered(t)
+    toks, gap = [], 0
+    for i, tok in enumerate(_tokenize_lowered(t)):
+        if tok in ENGLISH_STOP_WORDS:
+            gap += 1
+            continue
+        toks.append((tok, 1 + gap, 0, 0))
+        gap = 0
+    return [
+        term
+        for term, _pi, _pl, _s, _e, _ty in shingle_stream(
+            toks, 2, 2, output_unigrams=False, sep="_", end_pos_inc=gap
+        )
     ]
-    return [s for s in shingles(stream, 2, 2, "_") if s.strip("_")]
 
 
 def _porter_map(term: str) -> str:

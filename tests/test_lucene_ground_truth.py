@@ -3695,3 +3695,72 @@ def test_synonym_filter_matches_compiled_reference():
         for ln, e in zip(lines, exp):
             got = synonym_stream(ws(ln), trie, ignore_case=ignore_case)
             assert got == e, (round_i, rules, repr(ln), got, e)
+
+
+def test_shingle_filter_matches_compiled_reference():
+    """Ground-truth round 44 — ShingleFilter (analysis/shingle): the
+    emitted stream (term, posInc, posLen, startOffset, endOffset, type)
+    equals the compiled WhitespaceTokenizer [+ StopFilter] +
+    ShingleFilter over fuzzed stopword-dense text for a knob sweep
+    (min/max gram sizes, outputUnigrams both ways,
+    outputUnigramsIfNoShingles, custom separator) — pinning the capped
+    filler insertion (min(posInc-1, max-1) per hole, trailing end()
+    holes the same), the all-filler gram-size advance, the circular
+    gram sequence with its persistent builder continuation, posInc
+    stacking, zero-width filler offsets, and the first-false-ends-the-
+    stream contract."""
+    from lucene_solr_spark.analysis.filters import shingle_stream
+    from lucene_solr_spark.analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    def ws(text):
+        parts, start = [], None
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, start, idx))
+                    start = None
+            elif start is None:
+                start = idx
+        return parts
+
+    def stopped(text):
+        toks, gap = [], 0
+        for term, _pi, s, e in ws(text):
+            if term in ENGLISH_STOP_WORDS:
+                gap += 1
+                continue
+            toks.append((term, 1 + gap, s, e))
+            gap = 0
+        return toks, gap
+
+    rng = random.Random(4444)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "x"]
+    stops = ["the", "and", "of", "to", "a", "is"]
+    lines = [
+        " ".join(
+            (rng.choice(stops) if rng.random() < 0.45 else rng.choice(words))
+            for _ in range(rng.randint(0, 12))
+        ).strip() or "the"
+        for _ in range(80)
+    ] + ["the the the", "w the the the z", "a an and are as at be but"]
+
+    for (mn, mx, uni, uninosh, use_stop, sep) in [
+        (2, 2, True, False, False, " "),
+        (2, 2, False, False, True, " "),
+        (2, 2, True, False, True, " "),
+        (2, 3, True, False, True, " "),
+        (3, 5, False, False, True, " "),
+        (2, 4, False, True, True, "_"),
+        (4, 4, False, True, False, " "),
+    ]:
+        exp = gt.run_shingle(lines, mn, mx, uni, uninosh, use_stop, sep)
+        for ln, e in zip(lines, exp):
+            if use_stop:
+                toks, endinc = stopped(ln)
+            else:
+                toks, endinc = ws(ln), 0
+            got = shingle_stream(
+                toks, mn, mx, uni, uninosh, sep, "_", endinc, len(ln)
+            )
+            assert got == e, ((mn, mx, uni, uninosh, use_stop, sep),
+                              repr(ln), got, e)

@@ -2231,6 +2231,67 @@ public class GroundTruthSyn {
 """
 
 
+SHINGLE_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.StopFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.shingle.ShingleFilter;
+import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionLengthAttribute;
+import org.apache.lucene.analysis.tokenattributes.TypeAttribute;
+
+public class GroundTruthShingle {
+  public static void main(String[] args) throws Exception {
+    int min = Integer.parseInt(args[0]);
+    int max = Integer.parseInt(args[1]);
+    boolean unigrams = args[2].equals("1");
+    boolean uniNoSh = args[3].equals("1");
+    boolean useStop = args[4].equals("1");
+    String sep = args.length > 5 ? args[5] : " ";
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = tok;
+      if (useStop) ts = new StopFilter(ts, StandardAnalyzer.STOP_WORDS_SET);
+      ShingleFilter sh = new ShingleFilter(ts, min, max);
+      sh.setOutputUnigrams(unigrams);
+      sh.setOutputUnigramsIfNoShingles(uniNoSh);
+      sh.setTokenSeparator(sep);
+      ts = sh;
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      PositionLengthAttribute pl = ts.addAttribute(PositionLengthAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      TypeAttribute type = ts.addAttribute(TypeAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(pl.getPositionLength()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":")
+          .append(type.type()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 MINSTEM_JAVA = r"""
 import org.apache.lucene.analysis.en.EnglishMinimalStemmer;
 
@@ -2989,6 +3050,7 @@ def build() -> bool:
         ("GroundTruthMinStem", MINSTEM_JAVA),
         ("GroundTruthWDF", WDF_JAVA),
         ("GroundTruthSyn", SYN_JAVA),
+        ("GroundTruthShingle", SHINGLE_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3776,6 +3838,41 @@ def run_syn(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSyn",
          "1" if ignore_case else "0"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, pl, s, e, typ, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(pl), int(s), int(e), typ))
+        out.append(toks)
+    return out
+
+
+def run_shingle(
+    lines: list[str], min_n: int, max_n: int, unigrams: bool,
+    unigrams_if_no_shingles: bool = False, use_stop: bool = False,
+    sep: str = " ",
+) -> list[list[tuple]]:
+    """Run each line through the compiled WhitespaceTokenizer
+    [+ StopFilter(33)] + ShingleFilter(min,max) with the given knobs.
+    Returns per line (term, posInc, posLen, startOffset, endOffset,
+    type) streams."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthShingle",
+         str(min_n), str(max_n), "1" if unigrams else "0",
+         "1" if unigrams_if_no_shingles else "0",
+         "1" if use_stop else "0", sep],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
