@@ -361,3 +361,99 @@ def register_synonym_analyzer(
     from .tokenizer import DYNAMIC_CHAINS
 
     DYNAMIC_CHAINS[name] = ("synonym", trie, ignore_case, lowercase_after)
+
+
+def _solr_split(s: str, separator: str) -> list[str]:
+    """SolrSynonymParser.split (:138-166): separator scan with
+    backslash keeping the escape AND the next char in the piece
+    (unescape strips them later)."""
+    out: list[str] = []
+    sb: list[str] = []
+    pos, end = 0, len(s)
+    while pos < end:
+        if s.startswith(separator, pos):
+            if sb:
+                out.append("".join(sb))
+                sb = []
+            pos += len(separator)
+            continue
+        ch = s[pos]
+        pos += 1
+        if ch == "\\":
+            sb.append(ch)
+            if pos >= end:
+                break
+            ch = s[pos]
+            pos += 1
+        sb.append(ch)
+    if sb:
+        out.append("".join(sb))
+    return out
+
+
+def _solr_unescape(s: str) -> str:
+    """SolrSynonymParser.unescape (:168-182)."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i < len(s) - 1:
+            i += 1
+            out.append(s[i])
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def parse_solr_synonyms(
+    text: str,
+    expand: bool = True,
+    dedup: bool = True,
+    analyze_fn=None,
+) -> SynonymMapBuilder:
+    """SolrSynonymParser.addInternal (:80-137): blank/# lines skipped,
+    'lhs, lhs => rhs, rhs' explicit mappings (all pairs, never
+    preserving the original, >1 '=>' is an error), comma lists under
+    the expand flag (all i!=j pairs keeping the original, or everything
+    -> first including first -> first, not keeping), entries analyzed
+    (default: whitespace split, the Parser's analyzer hook) after
+    unescape+trim. Pinned vs the compiled parser in ground-truth round
+    45. Returns the filled SynonymMapBuilder (call .build())."""
+    if analyze_fn is None:
+        analyze_fn = str.split
+    b = SynonymMapBuilder(dedup=dedup)
+
+    def entry(s: str) -> list[str]:
+        words = analyze_fn(_solr_unescape(s).strip())
+        if not words:
+            raise ValueError(f"synonym entry analyzed to zero tokens: {s!r}")
+        return words
+
+    for line in text.splitlines():
+        if not line or line[0] == "#":
+            continue
+        sides = _solr_split(line, "=>")
+        if len(sides) > 1:
+            if len(sides) != 2:
+                raise ValueError(
+                    "more than one explicit mapping specified on the same line"
+                )
+            inputs = [entry(x) for x in _solr_split(sides[0], ",")]
+            outputs = [entry(x) for x in _solr_split(sides[1], ",")]
+            for i in inputs:
+                for o in outputs:
+                    b.add(i, o, False)
+        else:
+            inputs = [entry(x) for x in _solr_split(line, ",")]
+            if expand:
+                for i, wi in enumerate(inputs):
+                    for j, wj in enumerate(inputs):
+                        if i != j:
+                            b.add(wi, wj, True)
+            else:
+                for wi in inputs:
+                    b.add(wi, inputs[0], False)
+    return b

@@ -3764,3 +3764,64 @@ def test_shingle_filter_matches_compiled_reference():
             )
             assert got == e, ((mn, mx, uni, uninosh, use_stop, sep),
                               repr(ln), got, e)
+
+
+def test_solr_synonym_parser_matches_compiled_reference():
+    """Ground-truth round 45 — SolrSynonymParser (analysis/synonym):
+    rules parsed by our port and by the compiled parser produce
+    identical FILTER OUTPUT over shared probe text, under both expand
+    modes — pinning the escape-preserving split/unescape pair, explicit
+    '=>' all-pairs mappings that never keep the original, the
+    expand=true i!=j pair expansion (keepOrig), the expand=false
+    everything->first mapping INCLUDING first->first (the legacy
+    type-change behavior), comment/blank skipping, and multi-line merge
+    order."""
+    from lucene_solr_spark.analysis.synonyms import (
+        parse_solr_synonyms,
+        synonym_stream,
+    )
+
+    def ws(text):
+        parts, start = [], None
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, start, idx))
+                    start = None
+            elif start is None:
+                start = idx
+        return parts
+
+    rules_text = [
+        "# comment line",
+        "",
+        "i-pod, i pod => ipod",
+        "ipod, i-pod, i pod",
+        "foo => foo bar",
+        "foo => baz",
+        "sea biscuit, sea biscit => seabiscuit",
+        "small => tiny,teeny,weeny",
+        "pixima => pixma",
+        "a\\,a => b\\,b",  # escaped comma inside entries
+        "usa, united states, united states of america",
+    ]
+    lines = [
+        "i-pod goes with i pod and ipod",
+        "foo sea biscuit foo",
+        "sea biscit small pixima",
+        "united states of america and usa",
+        "a,a plain",
+        "nothing here",
+    ]
+    rng = random.Random(4545)
+    vocab = ["foo", "bar", "baz", "ipod", "i-pod", "sea", "biscuit",
+             "small", "usa", "united", "states", "of", "america", "a,a"]
+    lines += [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+              for _ in range(40)]
+
+    for expand in (True, False):
+        exp = gt.run_syn([], lines, solr_rules=rules_text, expand=expand)
+        trie = parse_solr_synonyms("\n".join(rules_text), expand=expand).build()
+        for ln, e in zip(lines, exp):
+            got = synonym_stream(ws(ln), trie)
+            assert got == e, (expand, repr(ln), got, e)

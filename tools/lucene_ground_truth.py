@@ -2193,12 +2193,25 @@ public class GroundTruthSyn {
     java.io.BufferedReader in =
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
     int nRules = Integer.parseInt(in.readLine().trim());
-    SynonymMap.Builder b = new SynonymMap.Builder(true);
-    for (int i = 0; i < nRules; i++) {
-      String[] p = in.readLine().split("\\|");
-      b.add(phrase(p[0]), phrase(p[1]), p[2].equals("1"));
+    SynonymMap map;
+    if (args.length > 1 && args[1].startsWith("solr:")) {
+      // raw Solr rules format through the REAL SolrSynonymParser
+      boolean expand = args[1].equals("solr:1");
+      StringBuilder rules = new StringBuilder();
+      for (int i = 0; i < nRules; i++) rules.append(in.readLine()).append("\n");
+      org.apache.lucene.analysis.synonym.SolrSynonymParser p =
+          new org.apache.lucene.analysis.synonym.SolrSynonymParser(
+              true, expand, new GroundTruth.WS());
+      p.parse(new StringReader(rules.toString()));
+      map = p.build();
+    } else {
+      SynonymMap.Builder b = new SynonymMap.Builder(true);
+      for (int i = 0; i < nRules; i++) {
+        String[] p = in.readLine().split("\\|");
+        b.add(phrase(p[0]), phrase(p[1]), p[2].equals("1"));
+      }
+      map = b.build();
     }
-    SynonymMap map = b.build();
     String line;
     StringBuilder sb = new StringBuilder();
     while ((line = in.readLine()) != null) {
@@ -2995,7 +3008,7 @@ def build() -> bool:
     # miscellaneous + en) need core only
     af_marker = os.path.join(
         CLASSES,
-        "org/apache/lucene/analysis/synonym/SynonymFilter.class",
+        "org/apache/lucene/analysis/synonym/SolrSynonymParser.class",
     )
     ac_root = (
         "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
@@ -3009,6 +3022,7 @@ def build() -> bool:
             f"{ac_root}/miscellaneous/WordDelimiterIterator.java",
             f"{ac_root}/synonym/SynonymFilter.java",
             f"{ac_root}/synonym/SynonymMap.java",
+            f"{ac_root}/synonym/SolrSynonymParser.java",
         ]
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
@@ -3825,18 +3839,24 @@ def run_wdf(
 
 
 def run_syn(
-    rules: list[tuple[str, str, bool]], lines: list[str], ignore_case: bool = False
+    rules: list[tuple[str, str, bool]], lines: list[str], ignore_case: bool = False,
+    solr_rules: list[str] | None = None, expand: bool = True,
 ) -> list[list[tuple]]:
     """Build a SynonymMap from (input phrase, output phrase, includeOrig)
     rules (words space-separated) and run each line through the compiled
     WhitespaceTokenizer + SynonymFilter. Returns per line the emitted
     (term, posInc, posLen, startOffset, endOffset, type) stream."""
-    payload = [str(len(rules))] + [
-        f"{i}|{o}|{'1' if keep else '0'}" for i, o, keep in rules
-    ] + list(lines)
+    if solr_rules is not None:
+        payload = [str(len(solr_rules))] + list(solr_rules) + list(lines)
+        mode = [f"solr:{'1' if expand else '0'}"]
+    else:
+        payload = [str(len(rules))] + [
+            f"{i}|{o}|{'1' if keep else '0'}" for i, o, keep in rules
+        ] + list(lines)
+        mode = []
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSyn",
-         "1" if ignore_case else "0"],
+         "1" if ignore_case else "0"] + mode,
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
