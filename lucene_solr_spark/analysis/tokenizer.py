@@ -479,6 +479,19 @@ def _code_posinc_stream(t: str) -> list[tuple[str, int]]:
 POSINC_STREAMS: dict = {"code": _code_posinc_stream}
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
 
+
+def _code_posinc_batch(texts: list[str]):
+    from lucene_solr_spark.analysis.word_delimiter import code_stream_batch
+
+    return code_stream_batch(texts)
+
+
+#: optional BATCH form of a POSINC stream (fn(texts) -> (token_lists,
+#: posinc_lists)): runs the expensive filter once per DISTINCT token
+#: (vocabulary level) instead of per occurrence — the build hot path
+#: prefers it when present
+POSINC_BATCH_STREAMS: dict = {"code": _code_posinc_batch}
+
 #: picklable specs for dynamically registered chains (synonym maps):
 #: Spark python workers import this module FRESH, so the index build
 #: captures the spec into its UDF closures and re-registers there
@@ -663,11 +676,22 @@ def token_table(
     else:
         raw_fn = ANALYZERS[analyzer][0]
     stream_fn = POSINC_STREAMS.get(analyzer)
+    batch_fn = POSINC_BATCH_STREAMS.get(analyzer)
+    batch_toks = batch_pincs = None
+    if posinc_parts is not None and batch_fn is not None:
+        # vocabulary-level fast path: the filter runs once per distinct
+        # token across the whole Arrow batch
+        batch_toks, batch_pincs = batch_fn(
+            [t if (t and isinstance(t, str)) else "" for t in texts]
+        )
     for i, t in enumerate(texts):
         if not (t and isinstance(t, str)):
             toks = []
             if posinc_parts is not None:
                 posinc_parts.append([])
+        elif batch_toks is not None:
+            toks = batch_toks[i]
+            posinc_parts.append(batch_pincs[i])
         elif posinc_parts is not None:
             stream = stream_fn(t)
             toks = [x[0] for x in stream]

@@ -457,3 +457,59 @@ def code_tokens(text: str) -> list[str]:
     """Flat token list for the query side (positions come from the
     index; queries only need the analyzed term sequence)."""
     return [t for t, _p, _s, _e in whitespace_wdf_tokens(text, DEFAULT_FLAGS)]
+
+
+def code_stream_batch(texts: list[str]) -> tuple[list[list[str]], list[list[int]]]:
+    """Vocabulary-level 'code' chain for the BUILD hot path: the WDF
+    machine runs once per DISTINCT whitespace token; per-occurrence work
+    is a dict gather. Returns per doc (tokens, posIncs).
+
+    Exactness argument (DEFAULT_FLAGS only — asserted): with every input
+    posInc 1 and no PRESERVE_ORIGINAL, the filter's cross-token state
+    reduces to two facts. (1) A dropped all-delimiter token nets ZERO
+    accumulated increment once anything was emitted (`accum += 1` then
+    the :256-258 `accum -= 1` quirk), but +1 each while `first` is still
+    true (nothing emitted yet — the quirk is skipped). (2) Within a
+    token, the first emitted posInc is `accum` for a pass-through word
+    and max(1, accum) for generated parts (position(False) with
+    hasOutputToken=False, hasOutputFollowingOriginal=True) — both equal
+    1 + k where k is the number of LEADING dropped tokens of the doc,
+    and every later posInc is accum-independent. So: expand each
+    distinct token once at accum=1, then add the doc's leading-drop
+    count to its first emitted posInc. A property test pins this path
+    token-for-token against the per-token stream."""
+    token_lists = [t.split() if t else [] for t in texts]
+    expansions: dict[str, tuple[list[str], list[int]] | None] = {}
+    for toks in token_lists:
+        for tok in toks:
+            if tok in expansions:
+                continue
+            stream = word_delimiter_stream(
+                [(tok, 1, 0, len(tok))], DEFAULT_FLAGS
+            )
+            # None == dropped all-delimiter token
+            expansions[tok] = (
+                ([t for t, _p, _s, _e in stream],
+                 [p for _t, p, _s, _e in stream])
+                if stream else None
+            )
+    out_toks: list[list[str]] = []
+    out_pinc: list[list[int]] = []
+    for toks in token_lists:
+        dt: list[str] = []
+        dp: list[int] = []
+        leading_drops = 0
+        for tok in toks:
+            exp = expansions[tok]
+            if exp is None:
+                if not dt:
+                    leading_drops += 1
+                continue
+            start = len(dp)
+            dt.extend(exp[0])
+            dp.extend(exp[1])
+            if start == 0 and leading_drops:
+                dp[0] += leading_drops
+        out_toks.append(dt)
+        out_pinc.append(dp)
+    return out_toks, out_pinc

@@ -236,3 +236,29 @@ def test_synonym_index_stacks_outputs(spark, tmp_root):
     # stacked token shares its position: phrase "wifi fi" ALSO matches
     # doc 0 (the flattened-stream behavior Lucene documents)
     assert [r["doc_id"] for r in s.topk_phrase("wifi fi", k=10).collect()] == [0]
+
+
+def test_code_batch_path_equals_per_token_stream():
+    """The build hot path's vocabulary-level WDF (code_stream_batch —
+    filter once per DISTINCT token + the leading-drop posInc
+    adjustment) is token-for-token identical to the pinned per-token
+    stream, including dropped all-delimiter tokens at stream start and
+    mid-stream, repeated tokens, and empty docs."""
+    import random
+
+    from lucene_solr_spark.analysis.word_delimiter import (
+        code_stream,
+        code_stream_batch,
+    )
+
+    rng = random.Random(77)
+    frags = ["PowerShot", "XL500", "wi-fi", "O'Neil's", "--", "...", "'",
+             "getHTTPResponse2", "snake_case", "a", "''", "x9y", "_", "A"]
+    docs = ["", "--- --- ---"] + [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(0, 9)))
+        for _ in range(1500)
+    ]
+    bt, bp = code_stream_batch(docs)
+    for d, t, p in zip(docs, bt, bp):
+        ref = code_stream(d)
+        assert (t, p) == ([x for x, _ in ref], [x for _, x in ref]), d
