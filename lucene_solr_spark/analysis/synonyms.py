@@ -457,3 +457,49 @@ def parse_solr_synonyms(
                 for wi in inputs:
                     b.add(wi, inputs[0], False)
     return b
+
+
+def parse_wordnet_synonyms(
+    text: str,
+    expand: bool = True,
+    dedup: bool = True,
+    analyze_fn=None,
+) -> SynonymMapBuilder:
+    """WordnetSynonymParser (analysis/synonym/WordnetSynonymParser
+    .java): prolog s(synsetId,...,'word',...) lines grouped by the
+    synset id at chars [2,11); the quoted word ('' unescapes to ')
+    is analyzed; single-entry synsets are skipped; expand=true adds ALL
+    i,j pairs INCLUDING i==j (unlike the Solr parser's i!=j), else
+    everything -> first — includeOrig always false. Pinned vs the
+    compiled parser in ground-truth round 45b."""
+    if analyze_fn is None:
+        analyze_fn = str.split
+    b = SynonymMapBuilder(dedup=dedup)
+
+    def flush(synset: list[list[str]]) -> None:
+        if len(synset) <= 1:
+            return
+        if expand:
+            for wi in synset:
+                for wj in synset:
+                    b.add(wi, wj, False)
+        else:
+            for wi in synset:
+                b.add(wi, synset[0], False)
+
+    synset: list[list[str]] = []
+    last_id = ""
+    for line in text.splitlines():
+        syn_id = line[2:11]
+        if syn_id != last_id:
+            flush(synset)
+            synset = []
+        start = line.index("'") + 1
+        end = line.rindex("'")
+        words = analyze_fn(line[start:end].replace("''", "'"))
+        if not words:
+            raise ValueError(f"synonym entry analyzed to zero tokens: {line!r}")
+        synset.append(words)
+        last_id = syn_id
+    flush(synset)
+    return b

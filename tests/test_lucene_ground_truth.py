@@ -3825,3 +3825,51 @@ def test_solr_synonym_parser_matches_compiled_reference():
         for ln, e in zip(lines, exp):
             got = synonym_stream(ws(ln), trie)
             assert got == e, (expand, repr(ln), got, e)
+
+
+def test_wordnet_synonym_parser_matches_compiled_reference():
+    """Ground-truth round 45b — WordnetSynonymParser: prolog synset
+    lines grouped by the id at chars [2,11), '' -> ' unescape,
+    single-entry synsets skipped, expand=true ALL i,j pairs INCLUDING
+    i==j (unlike Solr's i!=j — pinned by the probe output), expand=false
+    everything->first; includeOrig always false. Both parsers' maps
+    produce identical filter output over probe text."""
+    from lucene_solr_spark.analysis.synonyms import (
+        parse_wordnet_synonyms,
+        synonym_stream,
+    )
+
+    def ws(text):
+        parts, start = [], None
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, start, idx))
+                    start = None
+            elif start is None:
+                start = idx
+        return parts
+
+    rules = [
+        "s(100000001,1,'woods',n,1,0).",
+        "s(100000001,2,'wood',n,1,0).",
+        "s(100000001,3,'forest',n,1,0).",
+        "s(100000002,1,'wolfish',a,1,0).",
+        "s(100000002,2,'wolflike',a,1,0).",
+        "s(100000003,1,'king''s evil',n,1,0).",
+        "s(100000003,2,'struma',n,1,0).",
+        "s(100000004,1,'lonely',a,1,0).",  # single-entry synset: skipped
+    ]
+    lines = [
+        "woods near the forest",
+        "wolfish and wolflike",
+        "king's evil or struma",
+        "lonely wood",
+        "nothing relevant",
+    ]
+    for expand in (True, False):
+        exp = gt.run_syn([], lines, wordnet_rules=rules, expand=expand)
+        trie = parse_wordnet_synonyms("\n".join(rules), expand=expand).build()
+        for ln, e in zip(lines, exp):
+            got = synonym_stream(ws(ln), trie)
+            assert got == e, (expand, repr(ln), got, e)

@@ -2194,7 +2194,16 @@ public class GroundTruthSyn {
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
     int nRules = Integer.parseInt(in.readLine().trim());
     SynonymMap map;
-    if (args.length > 1 && args[1].startsWith("solr:")) {
+    if (args.length > 1 && args[1].startsWith("wordnet:")) {
+      boolean expand = args[1].equals("wordnet:1");
+      StringBuilder rules = new StringBuilder();
+      for (int i = 0; i < nRules; i++) rules.append(in.readLine()).append("\n");
+      org.apache.lucene.analysis.synonym.WordnetSynonymParser p =
+          new org.apache.lucene.analysis.synonym.WordnetSynonymParser(
+              true, expand, new GroundTruth.WS());
+      p.parse(new StringReader(rules.toString()));
+      map = p.build();
+    } else if (args.length > 1 && args[1].startsWith("solr:")) {
       // raw Solr rules format through the REAL SolrSynonymParser
       boolean expand = args[1].equals("solr:1");
       StringBuilder rules = new StringBuilder();
@@ -3008,7 +3017,7 @@ def build() -> bool:
     # miscellaneous + en) need core only
     af_marker = os.path.join(
         CLASSES,
-        "org/apache/lucene/analysis/synonym/SolrSynonymParser.class",
+        "org/apache/lucene/analysis/synonym/WordnetSynonymParser.class",
     )
     ac_root = (
         "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
@@ -3023,6 +3032,7 @@ def build() -> bool:
             f"{ac_root}/synonym/SynonymFilter.java",
             f"{ac_root}/synonym/SynonymMap.java",
             f"{ac_root}/synonym/SolrSynonymParser.java",
+            f"{ac_root}/synonym/WordnetSynonymParser.java",
         ]
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
@@ -3841,6 +3851,7 @@ def run_wdf(
 def run_syn(
     rules: list[tuple[str, str, bool]], lines: list[str], ignore_case: bool = False,
     solr_rules: list[str] | None = None, expand: bool = True,
+    wordnet_rules: list[str] | None = None,
 ) -> list[list[tuple]]:
     """Build a SynonymMap from (input phrase, output phrase, includeOrig)
     rules (words space-separated) and run each line through the compiled
@@ -3849,6 +3860,9 @@ def run_syn(
     if solr_rules is not None:
         payload = [str(len(solr_rules))] + list(solr_rules) + list(lines)
         mode = [f"solr:{'1' if expand else '0'}"]
+    elif wordnet_rules is not None:
+        payload = [str(len(wordnet_rules))] + list(wordnet_rules) + list(lines)
+        mode = [f"wordnet:{'1' if expand else '0'}"]
     else:
         payload = [str(len(rules))] + [
             f"{i}|{o}|{'1' if keep else '0'}" for i, o, keep in rules
