@@ -3873,3 +3873,53 @@ def test_wordnet_synonym_parser_matches_compiled_reference():
         for ln, e in zip(lines, exp):
             got = synonym_stream(ws(ln), trie)
             assert got == e, (expand, repr(ln), got, e)
+
+
+def test_dictionary_compound_matches_compiled_reference():
+    """Ground-truth round 46 — DictionaryCompoundWordTokenFilter
+    (analysis/compound): original-then-stacked-subwords emission (every
+    subword at posInc 0 with the ORIGINAL token's offsets), brute-force
+    start x [minSubword, maxSubword] dictionary scan, longest-per-start
+    under onlyLongestMatch, the minWordSize gate — over fuzzed Germanic
+    compounds and size-knob combos."""
+    from lucene_solr_spark.analysis.filters import decompound_stream
+
+    def ws(text):
+        parts, start = [], None
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, start, idx))
+                    start = None
+            elif start is None:
+                start = idx
+        return parts
+
+    dictionary = ["donau", "dampf", "schiff", "fahrt", "amt", "rind",
+                  "fleisch", "über", "wachung", "auf", "gabe", "ufer",
+                  "damp", "au", "schi"]
+    rng = random.Random(4646)
+    lines = [
+        "donaudampfschiff donaudampfschifffahrt",
+        "rindfleischüberwachungsaufgabe",
+        "schiffsdampf kurz auf",
+        "amtamt dampfdampfdampf",
+        "nothing matches here",
+    ] + [
+        " ".join(
+            "".join(rng.choice(dictionary + ["xx", "s", ""]) for _ in range(rng.randint(1, 4)))
+            or "x"
+            for _ in range(rng.randint(1, 5))
+        )
+        for _ in range(60)
+    ]
+    for (mw, mns, mxs, longest) in [
+        (5, 2, 15, False), (5, 2, 15, True), (3, 2, 6, False),
+        (8, 4, 10, True), (5, 3, 15, False),
+    ]:
+        exp = gt.run_compound(dictionary, lines, mw, mns, mxs, longest)
+        for ln, e in zip(lines, exp):
+            got = decompound_stream(
+                ws(ln), frozenset(dictionary), mw, mns, mxs, longest
+            )
+            assert got == e, ((mw, mns, mxs, longest), repr(ln), got, e)

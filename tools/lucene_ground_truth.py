@@ -2314,6 +2314,58 @@ public class GroundTruthShingle {
 """
 
 
+COMPOUND_JAVA = r"""
+import java.io.StringReader;
+import java.util.Arrays;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.compound.DictionaryCompoundWordTokenFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.util.CharArraySet;
+
+public class GroundTruthCompound {
+  public static void main(String[] args) throws Exception {
+    int minWord = Integer.parseInt(args[0]);
+    int minSub = Integer.parseInt(args[1]);
+    int maxSub = Integer.parseInt(args[2]);
+    boolean longest = args[3].equals("1");
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDict = Integer.parseInt(in.readLine().trim());
+    java.util.List<String> words = new java.util.ArrayList<>();
+    for (int i = 0; i < nDict; i++) words.add(in.readLine());
+    CharArraySet dict = new CharArraySet(words, false);
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = new DictionaryCompoundWordTokenFilter(
+          tok, dict, minWord, minSub, maxSub, longest);
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 MINSTEM_JAVA = r"""
 import org.apache.lucene.analysis.en.EnglishMinimalStemmer;
 
@@ -3017,7 +3069,7 @@ def build() -> bool:
     # miscellaneous + en) need core only
     af_marker = os.path.join(
         CLASSES,
-        "org/apache/lucene/analysis/synonym/WordnetSynonymParser.class",
+        "org/apache/lucene/analysis/compound/DictionaryCompoundWordTokenFilter.class",
     )
     ac_root = (
         "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis"
@@ -3033,6 +3085,8 @@ def build() -> bool:
             f"{ac_root}/synonym/SynonymMap.java",
             f"{ac_root}/synonym/SolrSynonymParser.java",
             f"{ac_root}/synonym/WordnetSynonymParser.java",
+            f"{ac_root}/compound/CompoundWordTokenFilterBase.java",
+            f"{ac_root}/compound/DictionaryCompoundWordTokenFilter.java",
         ]
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
@@ -3075,6 +3129,7 @@ def build() -> bool:
         ("GroundTruthWDF", WDF_JAVA),
         ("GroundTruthSyn", SYN_JAVA),
         ("GroundTruthShingle", SHINGLE_JAVA),
+        ("GroundTruthCompound", COMPOUND_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -3923,6 +3978,39 @@ def run_shingle(
             pi, pl, s, e, typ, hx = part.split(":")
             toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
                          int(pl), int(s), int(e), typ))
+        out.append(toks)
+    return out
+
+
+def run_compound(
+    dictionary: list[str], lines: list[str], min_word: int = 5,
+    min_sub: int = 2, max_sub: int = 15, only_longest: bool = False,
+) -> list[list[tuple]]:
+    """Run lines through the compiled WhitespaceTokenizer +
+    DictionaryCompoundWordTokenFilter. Returns per line
+    (term, posInc, startOffset, endOffset) streams."""
+    payload = [str(len(dictionary))] + list(dictionary) + list(lines)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthCompound",
+         str(min_word), str(min_sub), str(max_sub),
+         "1" if only_longest else "0"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, st, e, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(st), int(e)))
         out.append(toks)
     return out
 
