@@ -358,8 +358,9 @@ def register_synonym_analyzer(
 
     ANALYZERS[name] = (flat, False, False, _java_lower if lowercase_after else None)
     POSINC_STREAMS[name] = stream
-    from .tokenizer import DYNAMIC_CHAINS
+    from .tokenizer import DYNAMIC_CHAINS, POSINC_BATCH_STREAMS
 
+    POSINC_BATCH_STREAMS[name] = synonym_batch_fn(trie, ignore_case)
     DYNAMIC_CHAINS[name] = ("synonym", trie, ignore_case, lowercase_after)
 
 
@@ -503,3 +504,57 @@ def parse_wordnet_synonyms(
         last_id = syn_id
     flush(synset)
     return b
+
+
+def synonym_batch_fn(trie: SynonymTrie, ignore_case: bool):
+    """Build-hot-path batch form (POSINC_BATCH_STREAMS): the stateful
+    filter machine only runs on documents that contain at least one
+    rule's FIRST word (root-key prefilter, computed at vocabulary level
+    over the batch via one factorize + one membership gather); every
+    other document is a pure pass-through (each token posInc 1 — the
+    machine is an identity there by construction: no root key, no match,
+    no drops). A property test pins batch == per-token stream."""
+    import numpy as np
+    import pandas as pd
+
+    roots = frozenset(k for k in trie.root if k)
+
+    def batch(texts: list[str]) -> tuple[list[list[str]], list[list[int]]]:
+        token_lists = [t.split() if t else [] for t in texts]
+        counts = np.fromiter((len(x) for x in token_lists), np.int64,
+                             len(token_lists))
+        total = int(counts.sum())
+        out_toks: list[list[str]] = []
+        out_pinc: list[list[int]] = []
+        if total:
+            flat = np.empty(total, dtype=object)
+            o = 0
+            for toks in token_lists:
+                flat[o : o + len(toks)] = toks
+                o += len(toks)
+            codes, uniq = pd.factorize(flat, sort=False)
+            is_root = np.fromiter(
+                (( _java_lower(u) if ignore_case else u) in roots for u in uniq),
+                bool, len(uniq),
+            )
+            doc_has_root = np.zeros(len(token_lists), dtype=bool)
+            np.logical_or.at(
+                doc_has_root,
+                np.repeat(np.arange(len(token_lists)), counts),
+                is_root[codes],
+            )
+        else:
+            doc_has_root = np.zeros(len(token_lists), dtype=bool)
+        for i, toks in enumerate(token_lists):
+            if doc_has_root[i]:
+                stream = synonym_stream(
+                    _ws_offset_tokens(texts[i]), trie, ignore_case
+                )
+                out_toks.append([t for t, *_ in stream])
+                out_pinc.append([p for _t, p, *_ in stream])
+            else:
+                out_toks.append(toks)
+                out_pinc.append([1] * len(toks))
+        return out_toks, out_pinc
+
+    return batch

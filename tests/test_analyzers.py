@@ -262,3 +262,38 @@ def test_code_batch_path_equals_per_token_stream():
     for d, t, p in zip(docs, bt, bp):
         ref = code_stream(d)
         assert (t, p) == ([x for x, _ in ref], [x for _, x in ref]), d
+
+
+def test_synonym_batch_path_equals_per_doc_stream():
+    """The synonym chain's build batch path (root-key prefilter: the
+    stateful machine only runs on docs containing a rule's first word;
+    the rest pass through) is token-for-token identical to the per-doc
+    stream — incl. ignoreCase folding of the prefilter itself."""
+    import random
+
+    from lucene_solr_spark.analysis.synonyms import (
+        SynonymMapBuilder,
+        _ws_offset_tokens,
+        synonym_batch_fn,
+        synonym_stream,
+    )
+
+    b = SynonymMapBuilder()
+    b.add(["wi", "fi"], ["wifi"], True)
+    b.add(["dns"], ["domain", "name", "service"], True)
+    b.add(["big", "apple"], ["nyc"], False)
+    trie = b.build()
+    rng = random.Random(99)
+    vocab = ["wi", "fi", "dns", "big", "apple", "WI", "DNS", "plain",
+             "words", "x"]
+    docs = ["", "plain words only"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
+        for _ in range(800)
+    ]
+    for ignore_case in (False, True):
+        batch = synonym_batch_fn(trie, ignore_case)
+        bt, bp = batch(docs)
+        for d, t, p in zip(docs, bt, bp):
+            ref = synonym_stream(_ws_offset_tokens(d), trie, ignore_case)
+            assert t == [x for x, *_ in ref], (ignore_case, d)
+            assert p == [x for _x, x, *_ in ref], (ignore_case, d)
