@@ -123,6 +123,19 @@ COMPLEX_PHRASE_NOT_QUERIES = {
     ),
 }
 SPAN_FIRST_QUERIES = {"bm25_span_first": ("spark", 6)}  # (term, end)
+# commongrams chain (GT round 47): phrase strings and their
+# CommonGramsQueryFilter rewrites written out LITERALLY — the oracle
+# (bm25_commongrams_phrase_sql) re-derives the index-side gram stream
+# itself, so an engine rewrite bug cannot cancel out. cg_bigram_term:
+# a common-word phrase collapses to ONE bigram term (the posting-list
+# shortcut that is this chain's reason to exist at 100 TB);
+# cg_mixed_phrase: bigram + unigrams aligned by stacked positions.
+COMMONGRAMS_QUERIES = {
+    "cg_bigram_term": ("the fast", [("the_fast", 0)]),
+    "cg_mixed_phrase": (
+        "a fast merge", [("a_fast", 0), ("fast", 1), ("merge", 2)],
+    ),
+}
 # PayloadScoreQuery / SpanPayloadCheckQuery over the payload FIELD (the
 # documents text annotated 'tok|w' by the deterministic rule in
 # ops/index_access.payload_searcher_for and re-derived independently by
@@ -361,6 +374,20 @@ def _dismax_query_fn(query: str, tiebreak: float) -> Callable[[SparkSession, str
 def _phrase_query_fn(query: str, slop: int) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_phrase(query, k=10, slop=slop))
+
+    return run
+
+
+def _commongrams_phrase_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Phrase through the commongrams secondary index: the query string
+    analyzes through CommonGramsQueryFilter (bigrams whenever possible),
+    so common-word positions ride the gram posting lists."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.ops.index_access import commongrams_searcher_for
+
+        return _ranked(
+            commongrams_searcher_for(spark, sf_dir).topk_phrase(query, k=10)
+        )
 
     return run
 
@@ -746,6 +773,17 @@ def _bm25_groups() -> dict[str, list]:
         scoring.append((name, _common_terms_query_fn(q, mtf), sql))
     for name, (q, slop) in PHRASE_QUERIES.items():
         positional.append((name, _phrase_query_fn(q, slop), bm25_phrase_sql(q, k=10, slop=slop)))
+    for name, (q, rewritten) in COMMONGRAMS_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import bm25_commongrams_phrase_sql
+        from lucene_solr_spark.ops.index_access import COMMONGRAMS_GATE_WORDS
+
+        positional.append((
+            name,
+            _commongrams_phrase_fn(q),
+            bm25_commongrams_phrase_sql(
+                rewritten, list(COMMONGRAMS_GATE_WORDS), k=10
+            ),
+        ))
     for name, (terms, slop, in_order) in SPAN_QUERIES.items():
         positional.append(
             (name, _span_query_fn(terms, slop, in_order), bm25_span_near_sql(terms, slop, in_order, k=10))

@@ -479,6 +479,14 @@ def _code_posinc_stream(t: str) -> list[tuple[str, int]]:
 POSINC_STREAMS: dict = {"code": _code_posinc_stream}
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
 
+#: QUERY-side posInc stream overrides: chains whose query analyzer
+#: stack differs from the index stack (Solr's separate <analyzer
+#: type="index"/"query"> stacks — today the commongrams chain, whose
+#: query side runs CommonGramsQueryFilter). analyze_as /
+#: analyze_with_positions_as consult this FIRST; absent names use the
+#: index chain on both sides, as before.
+QUERY_POSINC_STREAMS: dict = {}
+
 
 def _code_posinc_batch(texts: list[str]):
     from lucene_solr_spark.analysis.word_delimiter import code_stream_batch
@@ -513,6 +521,13 @@ def ensure_chain(name: str, spec) -> None:
         register_synonym_analyzer(
             name, trie, ignore_case=ignore_case, lowercase_after=lowercase_after
         )
+    elif kind == "commongrams":
+        from lucene_solr_spark.analysis.commongrams import (
+            register_commongrams_analyzer,
+        )
+
+        _k, words, lowercase = spec
+        register_commongrams_analyzer(name, words, lowercase=lowercase)
     else:  # pragma: no cover - future chain kinds
         raise ValueError(f"unknown dynamic chain kind {kind!r}")
 
@@ -553,7 +568,11 @@ def analyze_as(analyzer: str, text: str) -> list[str]:
     index's build analyzer — IndexWriterConfig carries the Analyzer in
     the reference; the index manifest carries the name here)."""
     tok_fn, stop, lenf, term_map = ANALYZERS[analyzer]
-    toks = tok_fn(text) if text else []
+    qstream = QUERY_POSINC_STREAMS.get(analyzer)
+    if qstream is not None:
+        toks = [t for t, _pi in qstream(text)] if text else []
+    else:
+        toks = tok_fn(text) if text else []
     if lenf:
         toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
     if stop:
@@ -600,8 +619,8 @@ def analyze_with_positions_as(analyzer: str, text: str) -> list[tuple[str, int]]
         )
     tok_fn, stop_f, len_f, term_map = ANALYZERS[analyzer]
     out: list[tuple[str, int]] = []
-    if analyzer in POSINC_ANALYZERS:
-        stream_fn = POSINC_STREAMS[analyzer]
+    stream_fn = QUERY_POSINC_STREAMS.get(analyzer) or POSINC_STREAMS.get(analyzer)
+    if stream_fn is not None:
         p = -1
         for t, pinc in stream_fn(text) if text else []:
             p += pinc

@@ -2601,3 +2601,92 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_commongrams_phrase_sql(
+    phrase: list[tuple[str, int]], common: list[str], k: int = 10
+) -> str:
+    """PhraseQuery over a commongrams-chain index (GT round 47,
+    analysis/commongrams): the oracle re-derives the INDEX-side token
+    stream itself — every whitespace token at its position plus a
+    '_'-joined bigram STACKED at the previous token's position whenever
+    either side is a common word (CommonGramsFilter.java:100-124) — so
+    dl counts unigrams AND grams exactly like the engine's POSINC build
+    path, df/idf come from the gram terms' own statistics, and the
+    phrase aligns by the stacked positions.  `phrase` is the QUERY-side
+    CommonGramsQueryFilter rewrite, written out literally by the gate
+    spec (a rewrite bug in the engine cannot cancel out)."""
+    common_in = ",".join(f"'{w}'" for w in sorted(common))
+    t0, off0 = phrase[0]
+    joins = []
+    for i, (t, off) in enumerate(phrase[1:], start=1):
+        joins.append(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {off - off0} AND p{i}.term = '{t}'"
+        )
+    join_sql = "\n  ".join(joins)
+    counts: dict[str, int] = {}
+    for t, _off in phrase:
+        counts[t] = counts.get(t, 0) + 1
+    qvals = ",".join(f"('{t}',{float(m)!r})" for t, m in sorted(counts.items()))
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, t[i] AS term, i AS pos,
+         CASE WHEN i > 1 THEN t[i-1] END AS prev
+  FROM base, unnest(generate_series(1, len(t))) AS g(i)
+),
+tokpos AS (
+  SELECT doc_id, term, pos FROM uni
+  UNION ALL
+  SELECT doc_id, prev || '_' || term AS term, pos - 1 AS pos
+  FROM uni
+  WHERE prev IS NOT NULL AND (term IN ({common_in}) OR prev IN ({common_in}))
+),
+tok AS (SELECT doc_id, term FROM tokpos),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+qterms(term, mult) AS (SELECT * FROM (VALUES {qvals}) v(a, b)),
+dfs AS (
+  SELECT q.term, q.mult, CAST(COALESCE(c.df, 0) AS DOUBLE) AS df
+  FROM qterms q LEFT JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) c USING (term)
+),
+idfsum AS (
+  SELECT sum(mult * ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats s
+),
+pf AS (
+  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS pf
+  FROM tokpos p0
+  {join_sql}
+  WHERE p0.term = '{t0}'
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         i.w * ({K1} + 1) * pf.pf
+         / (pf.pf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS score
+  FROM pf
+  JOIN dl ON pf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  CROSS JOIN idfsum i
+  WHERE pf.pf > 0
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -160,3 +160,44 @@ def payload_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     s = IndexSearcher(spark, idx_dir)
     _SEARCHERS[key] = s
     return s
+
+
+#: the gate's commongrams chain: lowercase + CommonGramsFilter over the
+#: corpus's two stopword-scale words (shared verbatim with the DuckDB
+#: oracle in ops/bm25_sql.bm25_commongrams_phrase_sql)
+COMMONGRAMS_GATE_WORDS = ("a", "the")
+
+
+def commongrams_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Secondary index through the commongrams chain (GT round 47 —
+    analysis/commongrams): unigrams plus '_'-bigrams stacked at the
+    previous token's position whenever either side is a common word.
+    Queries against it analyze through CommonGramsQueryFilter (the
+    QUERY_POSINC_STREAMS override), so a phrase containing a common
+    word executes on the bigram's own short posting list instead of the
+    stopword-scale unigram posting."""
+    from ..analysis.commongrams import register_commongrams_analyzer
+
+    register_commongrams_analyzer("cg_gate", COMMONGRAMS_GATE_WORDS)
+    key = os.path.abspath(sf_dir) + "#commongrams"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark,
+        src,
+        out_dir=idx_dir,
+        content_col="text",
+        doc_id_col="doc_id",
+        meta_cols=["lang", "source"],
+        range_size=512,
+        fingerprint=key,
+        analyzer="cg_gate",
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _SEARCHERS[key] = s
+    return s

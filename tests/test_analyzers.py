@@ -297,3 +297,63 @@ def test_synonym_batch_path_equals_per_doc_stream():
             ref = synonym_stream(_ws_offset_tokens(d), trie, ignore_case)
             assert t == [x for x, *_ in ref], (ignore_case, d)
             assert p == [x for _x, x, *_ in ref], (ignore_case, d)
+
+
+def test_commongrams_index_and_query_chain(spark, tmp_root):
+    """commongrams chain (GT round 47, analysis/commongrams): the INDEX
+    stack (whitespace -> lowercase -> CommonGramsFilter) writes unigrams
+    plus stacked '_'-bigrams at the previous token's position; the QUERY
+    stack (CommonGramsQueryFilter) turns a phrase containing a common
+    word into the bigram TERM — so "the fox" executes against the
+    bigram's own short posting list, never the stopword-scale 'the'
+    posting (the index-side complement of CommonTermsQuery)."""
+    from lucene_solr_spark.analysis.commongrams import (
+        register_commongrams_analyzer,
+    )
+    from lucene_solr_spark.analysis.tokenizer import (
+        analyze_as,
+        analyze_with_positions_as,
+    )
+
+    register_commongrams_analyzer("cgtest", {"the", "a", "of"})
+    d = os.path.join(tmp_root, "idx_commongrams")
+    src = spark.createDataFrame(
+        [
+            (0, "The fox jumped"),
+            (1, "a fox and the hound"),
+            (2, "fox of the year"),
+            (3, "unrelated words here"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-commongrams",
+        analyzer="cgtest",
+    )
+    s = IndexSearcher(spark, d)
+    assert s.analyzer == "cgtest"
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    # unigrams AND stacked bigrams, lowercased before the gram decision
+    assert {"the", "fox", "the_fox", "a_fox", "fox_of", "of_the", "the_year"} <= terms
+    # query-side analysis: bag and phrase both rewrite to the bigram
+    assert analyze_as("cgtest", "The fox") == ["the_fox"]
+    assert analyze_with_positions_as("cgtest", "The fox") == [("the_fox", 0)]
+    # the bigram term query hits only docs with the adjacency
+    hits = {r["doc_id"] for r in s.topk("The fox", k=10).collect()}
+    assert hits == {0}
+    # phrase path: "fox of the year" -> fox_of(0) of_the(1) the_year(2)
+    pairs = analyze_with_positions_as("cgtest", "fox of the year")
+    assert pairs == [("fox_of", 0), ("of_the", 1), ("the_year", 2)]
+    hits = [r["doc_id"] for r in s.topk_phrase("fox of the year", k=10).collect()]
+    assert hits == [2]
+    # a trailing common word still resolves to one bigram term
+    assert analyze_with_positions_as("cgtest", "the hound") == [("the_hound", 0)]
+    hits = [r["doc_id"] for r in s.topk_phrase("the hound", k=10).collect()]
+    assert hits == [1]
+    # mixed bigram+unigram phrase rides the STACKED index positions
+    # (gram at the first word's position): a_fox@0 fox@1 and@2 in doc 1
+    pairs = analyze_with_positions_as("cgtest", "a fox and")
+    assert pairs == [("a_fox", 0), ("fox", 1), ("and", 2)]
+    hits = [r["doc_id"] for r in s.topk_phrase("a fox and", k=10).collect()]
+    assert hits == [1]

@@ -3923,3 +3923,74 @@ def test_dictionary_compound_matches_compiled_reference():
                 ws(ln), frozenset(dictionary), mw, mns, mxs, longest
             )
             assert got == e, ((mw, mns, mxs, longest), repr(ln), got, e)
+
+
+def test_commongrams_filters_match_compiled_reference():
+    """Ground-truth round 47 — CommonGramsFilter + CommonGramsQueryFilter
+    (analysis/commongrams): the emitted streams (term, posInc, posLen,
+    startOffset, endOffset, type) equal the compiled
+    WhitespaceTokenizer [+ StopFilter] + CommonGramsFilter
+    [+ CommonGramsQueryFilter] over fuzzed common-word-dense text —
+    pinning the gram-before-unigram emission order at posInc 0 / posLen
+    2 with prev.start..cur.end offsets, gram formation ACROSS stop-gap
+    posInc holes (the filter never reads posInc), the query filter's
+    held-unigram replacement, its gram posInc force-to-1, and the
+    exhaustion rule that drops the final held token iff the LAST
+    EMITTED token was a gram — which means the class javadoc's
+    "the rain in spain falls mainly" example is WRONG about dropping
+    'spain' (the code emits it; the compiled binary is the witness)."""
+    from lucene_solr_spark.analysis.commongrams import (
+        common_grams_query_stream,
+        common_grams_stream,
+    )
+    from lucene_solr_spark.analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    def ws(text):
+        parts, start = [], None
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, 1, start, idx, "word"))
+                    start = None
+            elif start is None:
+                start = idx
+        return parts
+
+    def stopped(text):
+        toks, gap = [], 0
+        for term, _pi, _pl, s, e, typ in ws(text):
+            if term in ENGLISH_STOP_WORDS:
+                gap += 1
+                continue
+            toks.append((term, 1 + gap, 1, s, e, typ))
+            gap = 0
+        return toks
+
+    common = ["s", "a", "b", "c", "d", "the", "of"]
+    cset = frozenset(common)
+    rng = random.Random(4747)
+    words = ["quick", "brown", "fox", "rain", "spain", "n", "falls"]
+    lines = [
+        "the rain in spain falls mainly",  # the javadoc's own example
+        "How the s a brown s cow d like A B thing?",
+        "n n n", "n n s", "n s n", "n s s", "s n n", "s n s", "s s n",
+        "s s s", "the", "foo", "of the", "fox of", "the fox", "",
+        "man of the year",
+    ] + [
+        " ".join(
+            (rng.choice(common) if rng.random() < 0.5 else rng.choice(words))
+            for _ in range(rng.randint(0, 10))
+        ).strip()
+        for _ in range(120)
+    ]
+    # non-empty lines only: readLine()-driven harness can't carry blanks
+    lines = [ln if ln else "x" for ln in lines]
+
+    for query in (False, True):
+        for use_stop in (False, True):
+            exp = gt.run_commongrams(common, lines, query, use_stop)
+            fn = common_grams_query_stream if query else common_grams_stream
+            for ln, e in zip(lines, exp):
+                toks = stopped(ln) if use_stop else ws(ln)
+                got = fn(toks, cset)
+                assert got == e, ((query, use_stop), repr(ln), got, e)

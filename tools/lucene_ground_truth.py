@@ -2314,6 +2314,66 @@ public class GroundTruthShingle {
 """
 
 
+COMMONGRAMS_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.commongrams.CommonGramsFilter;
+import org.apache.lucene.analysis.commongrams.CommonGramsQueryFilter;
+import org.apache.lucene.analysis.core.StopFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionLengthAttribute;
+import org.apache.lucene.analysis.tokenattributes.TypeAttribute;
+import org.apache.lucene.analysis.util.CharArraySet;
+
+public class GroundTruthCommonGrams {
+  public static void main(String[] args) throws Exception {
+    boolean query = args[0].equals("query");
+    boolean useStop = args[1].equals("1");
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nWords = Integer.parseInt(in.readLine().trim());
+    java.util.List<String> words = new java.util.ArrayList<>();
+    for (int i = 0; i < nWords; i++) words.add(in.readLine());
+    CharArraySet common = new CharArraySet(words, false);
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = tok;
+      if (useStop) ts = new StopFilter(ts, StandardAnalyzer.STOP_WORDS_SET);
+      CommonGramsFilter cgf = new CommonGramsFilter(ts, common);
+      ts = query ? new CommonGramsQueryFilter(cgf) : cgf;
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      PositionLengthAttribute pl = ts.addAttribute(PositionLengthAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      TypeAttribute type = ts.addAttribute(TypeAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(pl.getPositionLength()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":")
+          .append(type.type()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3096,6 +3156,22 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # CommonGramsFilter pair (analysis/common commongrams) needs core +
+    # the already-compiled CharArraySet
+    cg_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/commongrams/CommonGramsFilter.class"
+    )
+    if not os.path.exists(cg_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             f"{ac_root}/commongrams/CommonGramsFilter.java",
+             f"{ac_root}/commongrams/CommonGramsQueryFilter.java"],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3130,6 +3206,7 @@ def build() -> bool:
         ("GroundTruthSyn", SYN_JAVA),
         ("GroundTruthShingle", SHINGLE_JAVA),
         ("GroundTruthCompound", COMPOUND_JAVA),
+        ("GroundTruthCommonGrams", COMMONGRAMS_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4011,6 +4088,39 @@ def run_compound(
             pi, st, e, hx = part.split(":")
             toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
                          int(st), int(e)))
+        out.append(toks)
+    return out
+
+
+def run_commongrams(
+    common_words: list[str], lines: list[str], query: bool = False,
+    use_stop: bool = False,
+) -> list[list[tuple]]:
+    """Run each line through the compiled WhitespaceTokenizer
+    [+ StopFilter(33)] + CommonGramsFilter(common_words)
+    [+ CommonGramsQueryFilter when query=True]. Returns per line
+    (term, posInc, posLen, startOffset, endOffset, type) streams."""
+    payload = [str(len(common_words))] + list(common_words) + list(lines)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthCommonGrams",
+         "query" if query else "index", "1" if use_stop else "0"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, pl, s, e, typ, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(pl), int(s), int(e), typ))
         out.append(toks)
     return out
 
