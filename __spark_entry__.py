@@ -198,6 +198,12 @@ TERM_AUTOMATON_QUERIES = {
         ((0, "mergesort", 2), (0, "merge", 1), (1, "sort", 2)), (2,),
     ),
 }
+# leading wildcard over the reversed-wildcard secondary index (GT
+# round 48 — solr ReversedWildcardFilter): shouldReverse routes '*up'
+# to a PREFIX-sargable scan of the reversed term dictionary; constant
+# score per matching doc (the parser's CONSTANT_SCORE_REWRITE, GT
+# round 6). The oracle recomputes membership from raw text by LIKE.
+REVWILD_QUERIES = {"revwild_leading": ("*up", "%up")}
 # second Similarity through the same scorer (setSimilarity plug point)
 CLASSIC_QUERIES = {"classic_tfidf": "spark merge vector"}
 # SweetSpotSimilarity (lucene/misc): BOTH halves of setSimilarity — the
@@ -395,6 +401,17 @@ def _commongrams_phrase_fn(query: str) -> Callable[[SparkSession, str], DataFram
 def _synonym_query_fn(query: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked(_searcher(spark, sf_dir).topk_synonym(query, k=10))
+
+    return run
+
+
+def _revwild_query_fn(pattern: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.analysis.revwildcard import leading_wildcard_topk
+        from lucene_solr_spark.ops.index_access import revwildcard_searcher_for
+
+        s = revwildcard_searcher_for(spark, sf_dir)
+        return _ranked(leading_wildcard_topk(s, pattern, k=10))
 
     return run
 
@@ -955,6 +972,14 @@ def _bm25_groups() -> dict[str, list]:
         derived.append((name, _xml_query_fn(xmlq), sql_fn()))
     for name, (qstr, sql_fn) in FLEXIBLE_QUERIES.items():
         derived.append((name, _flexible_query_fn(qstr), sql_fn()))
+    for name, (pattern, like_pat) in REVWILD_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import constant_wildcard_sql
+
+        derived.append((
+            name,
+            _revwild_query_fn(pattern),
+            constant_wildcard_sql(like_pat, k=10),
+        ))
     return {
         "bm25_scoring": scoring,
         "bm25_positional": positional,

@@ -528,6 +528,15 @@ def ensure_chain(name: str, spec) -> None:
 
         _k, words, lowercase = spec
         register_commongrams_analyzer(name, words, lowercase=lowercase)
+    elif kind == "revwildcard":
+        from lucene_solr_spark.analysis.revwildcard import (
+            register_reversed_wildcard_analyzer,
+        )
+
+        _k, with_original, marker = spec
+        register_reversed_wildcard_analyzer(
+            name, with_original=with_original, marker=marker
+        )
     else:  # pragma: no cover - future chain kinds
         raise ValueError(f"unknown dynamic chain kind {kind!r}")
 

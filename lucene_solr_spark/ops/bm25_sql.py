@@ -2690,3 +2690,23 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def constant_wildcard_sql(like_pattern: str, k: int = 10, boost: float = 1.0) -> str:
+    """CONSTANT_SCORE execution of a wildcard query (GT round 6 pins
+    score == float32(boost) per matching doc) — the oracle for the
+    reversed-wildcard index variant: the ENGINE answers from the
+    reversed term dictionary by a sargable prefix scan; the oracle
+    recomputes membership directly from the raw text, so the reversal
+    plumbing cannot cancel out. Equal scores tie-break doc ASC."""
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank
+FROM (
+  SELECT DISTINCT doc_id
+  FROM documents d, unnest(string_split(lower(d.text), ' ')) AS t(tok)
+  WHERE t.tok LIKE '{like_pattern}'
+)
+ORDER BY doc_id ASC
+LIMIT {k}
+"""

@@ -201,3 +201,36 @@ def commongrams_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     s = IndexSearcher(spark, idx_dir)
     _SEARCHERS[key] = s
     return s
+
+
+def revwildcard_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Secondary index through the reversed-wildcard chain (GT round 48
+    — solr ReversedWildcardFilter, withOriginal=true): every token is
+    indexed twice, original plus marker+reversed at the same position,
+    so leading-wildcard queries become PREFIX-sargable scans of the
+    term dictionary (analysis/revwildcard.leading_wildcard_topk)."""
+    from ..analysis.revwildcard import register_reversed_wildcard_analyzer
+
+    register_reversed_wildcard_analyzer("rw_gate")
+    key = os.path.abspath(sf_dir) + "#revwildcard"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/lss_index"),
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark,
+        src,
+        out_dir=idx_dir,
+        content_col="text",
+        doc_id_col="doc_id",
+        meta_cols=["lang", "source"],
+        range_size=512,
+        fingerprint=key,
+        analyzer="rw_gate",
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _SEARCHERS[key] = s
+    return s

@@ -357,3 +357,73 @@ def test_commongrams_index_and_query_chain(spark, tmp_root):
     assert pairs == [("a_fox", 0), ("fox", 1), ("and", 2)]
     hits = [r["doc_id"] for r in s.topk_phrase("a fox and", k=10).collect()]
     assert hits == [1]
+
+
+def test_reversed_wildcard_index_and_leading_query(spark, tmp_root):
+    """Reversed-wildcard chain (GT round 48, solr ReversedWildcardFilter):
+    the index holds each token twice (original + marker-reversed at the
+    same position); a leading wildcard answers from the reversed terms
+    via a PREFIX-sargable term-dictionary scan, and a non-reversed
+    pattern subtracts the marker-prefixed reversed twins."""
+    from lucene_solr_spark.analysis.revwildcard import (
+        MARKER,
+        expand_leading_wildcard,
+        leading_wildcard_topk,
+        register_reversed_wildcard_analyzer,
+        should_reverse,
+    )
+
+    register_reversed_wildcard_analyzer("rwtest")
+    d = os.path.join(tmp_root, "idx_revwild")
+    src = spark.createDataFrame(
+        [
+            (0, "running jumping"),
+            (1, "Sing a song"),
+            (2, "nothing here moves"),
+            (3, "plain words only"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-revwild",
+        analyzer="rwtest",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    assert "running" in terms and MARKER + "gninnur" in terms
+    # '*ing' reverses to a prefix scan on marker+'gni'
+    assert should_reverse("*ing")
+    cands, used_rev = expand_leading_wildcard(s, "*ing")
+    assert used_rev
+    assert set(cands) == {MARKER + "gninnur", MARKER + "gnipmuj",
+                          MARKER + "gnis", MARKER + "gnihton"}
+    hits = {r["doc_id"] for r in leading_wildcard_topk(s, "*ing", k=10).collect()}
+    assert hits == {0, 1, 2}
+    # UPPER-case query: lowercased like the chain
+    hits2 = {r["doc_id"] for r in leading_wildcard_topk(s, "*ING", k=10).collect()}
+    assert hits2 == hits
+    # trailing wildcard is NOT reversed and excludes the reversed twins
+    cands, used_rev = expand_leading_wildcard(s, "run*")
+    assert not used_rev and cands == ["running"]
+    # a non-reversed pattern that COULD match marker terms subtracts them:
+    # with minTrailing=3, '?ing' stays unreversed; '?' must not match the
+    # marker char of reversed twins like MARKER+'gnis'
+    cands, used_rev = expand_leading_wildcard(s, "?ing", min_trailing=5)
+    assert not used_rev and cands == ["sing"]
+    # scale posture: the reversed expansion pushes a sargable StartsWith
+    # into the term-stats scan (parquet min/max pruning); the naive
+    # leading-LIKE scan has no pushable prefix
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.revwildcard import (
+        concrete_prefix,
+        rewrite_reversed_pattern,
+    )
+
+    pat = rewrite_reversed_pattern("*ing")
+    pruned = s._term_stats.select("term").filter(
+        F.col("term").startswith(concrete_prefix(pat))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "StringStartsWith" in plan

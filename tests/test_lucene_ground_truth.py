@@ -3994,3 +3994,73 @@ def test_commongrams_filters_match_compiled_reference():
                 toks = stopped(ln) if use_stop else ws(ln)
                 got = fn(toks, cset)
                 assert got == e, ((query, use_stop), repr(ln), got, e)
+
+
+
+def test_reversed_wildcard_matches_compiled_reference():
+    """Ground-truth round 48 — ReversedWildcardFilter (solr/core
+    analysis) + ReverseStringFilter (analysis/reverse) + the factory's
+    shouldReverse: (term, posInc, offsets) streams equal the compiled
+    WhitespaceTokenizer + filter — pinning the reversed-marked-token-
+    FIRST order (reversed carries the ORIGINAL posInc, the original
+    follows at posInc 0), the reverse that keeps UTF-16 surrogate
+    pairs in order (== Python code-point reversal), marker placement
+    (appended then reversed = leading), and shouldReverse's 1-based
+    wildcard-position knobs over a 4-combo sweep."""
+    from lucene_solr_spark.analysis.revwildcard import (
+        reverse_stream,
+        reversed_wildcard_stream,
+        should_reverse,
+    )
+
+    def ws(text):
+        # offsets in UTF-16 code units (Java's OffsetAttribute convention;
+        # an astral char counts 2)
+        parts, start, u16, u16start = [], None, 0, 0
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, 1, u16start, u16, "word"))
+                    start = None
+            elif start is None:
+                start, u16start = idx, u16
+            u16 += 2 if ord(ch) > 0xFFFF else 1
+        return parts
+
+    rng = random.Random(4848)
+    words = ["country", "a", "ab", "mërge", "\U0001F600x", "x\U0001F600",
+             "\U0001F600", "sort", "b\U0001D11E\U0001D11Ec"]
+    lines = ["country of sort", "a", "\U0001F600 ab x\U0001F600"] + [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+        for _ in range(60)
+    ]
+
+    def quad(toks):
+        return [(t, pi, s, e) for t, pi, _pl, s, e, _ty in toks]
+
+    for with_orig in (True, False):
+        exp = gt.run_revwild_stream(lines, with_orig)
+        for ln, e in zip(lines, exp):
+            got = quad(reversed_wildcard_stream(ws(ln), with_orig, "\u0001"))
+            assert got == e, (with_orig, repr(ln), got, e)
+    for with_marker in (True, False):
+        exp = gt.run_reverse_filter(lines, with_marker)
+        for ln, e in zip(lines, exp):
+            got = quad(reverse_stream(ws(ln), "\u0001" if with_marker else None))
+            assert got == e, (with_marker, repr(ln), got, e)
+
+    pats = ["*ing", "?up", "??up", "a*b", "ab*", "abc*d", "*a", "*ab",
+            "?", "*", "a?", "plain", "a*bcdefgh", "*x", "ab*cdef",
+            "a?c*de", "ab?", "mer*", "*rge", "d?p"] + [
+        "".join(rng.choice("ab*?cde") for _ in range(rng.randint(1, 9)))
+        for _ in range(80)
+    ]
+    for knobs in [
+        dict(),
+        dict(max_pos_asterisk=1, max_pos_question=0),  # pure suffix only
+        dict(min_trailing=3),
+        dict(max_fraction_asterisk=0.5),
+    ]:
+        exp = gt.run_should_reverse(pats, **knobs)
+        got = [should_reverse(p, **knobs) for p in pats]
+        assert got == exp, (knobs, [(p, g, e) for p, g, e in zip(pats, got, exp) if g != e])

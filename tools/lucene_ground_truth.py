@@ -2374,6 +2374,76 @@ public class GroundTruthCommonGrams {
 """
 
 
+REVWILD_JAVA = r"""
+import java.io.StringReader;
+import java.util.HashMap;
+import java.util.Map;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.reverse.ReverseStringFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.solr.analysis.ReversedWildcardFilterFactory;
+
+public class GroundTruthRevWild {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];  // stream | should | reverse
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    if (mode.equals("should")) {
+      Map<String,String> fargs = new HashMap<>();
+      fargs.put("luceneMatchVersion", "7.0.0");
+      fargs.put("withOriginal", args[1]);
+      fargs.put("maxPosAsterisk", args[2]);
+      fargs.put("maxPosQuestion", args[3]);
+      fargs.put("minTrailing", args[4]);
+      fargs.put("maxFractionAsterisk", args[5]);
+      ReversedWildcardFilterFactory fac = new ReversedWildcardFilterFactory(fargs);
+      while ((line = in.readLine()) != null)
+        System.out.println(fac.shouldReverse(line) ? "1" : "0");
+      return;
+    }
+    boolean withOrig = args.length > 1 && args[1].equals("1");
+    boolean withMarker = args.length > 2 && args[2].equals("1");
+    Map<String,String> fargs = new HashMap<>();
+    fargs.put("luceneMatchVersion", "7.0.0");
+    fargs.put("withOriginal", withOrig ? "true" : "false");
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts;
+      if (mode.equals("reverse")) {
+        ts = withMarker
+            ? new ReverseStringFilter(tok, ReverseStringFilter.START_OF_HEADING_MARKER)
+            : new ReverseStringFilter(tok);
+      } else {
+        ts = new ReversedWildcardFilterFactory(new HashMap<>(fargs)).create(tok);
+      }
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3172,6 +3242,28 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # ReversedWildcardFilter(+Factory) live in solr/core but depend only
+    # on lucene core + analysis/common; -sourcepath lets javac pull the
+    # factory framework (AbstractAnalysisFactory, AnalysisSPILoader,
+    # ResourceLoader) transitively
+    rw_marker = os.path.join(
+        CLASSES, "org/apache/solr/analysis/ReversedWildcardFilterFactory.class"
+    )
+    solr_root = "/root/reference/solr/core/src/java"
+    if not os.path.exists(rw_marker) and os.path.isdir(solr_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             f"/root/reference/lucene/analysis/common/src/java:{solr_root}",
+             f"{solr_root}/org/apache/solr/analysis/ReversedWildcardFilter.java",
+             f"{solr_root}/org/apache/solr/analysis/ReversedWildcardFilterFactory.java",
+             f"{ac_root}/reverse/ReverseStringFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3207,6 +3299,7 @@ def build() -> bool:
         ("GroundTruthShingle", SHINGLE_JAVA),
         ("GroundTruthCompound", COMPOUND_JAVA),
         ("GroundTruthCommonGrams", COMMONGRAMS_JAVA),
+        ("GroundTruthRevWild", REVWILD_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4123,6 +4216,67 @@ def run_commongrams(
                          int(pl), int(s), int(e), typ))
         out.append(toks)
     return out
+
+
+def _parse_revwild_lines(stdout: str) -> list[list[tuple]]:
+    out = []
+    for ln in stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, s, e, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(s), int(e)))
+        out.append(toks)
+    return out
+
+
+def run_revwild_stream(
+    lines: list[str], with_original: bool = True,
+) -> list[list[tuple]]:
+    """WhitespaceTokenizer + ReversedWildcardFilter (via the real
+    factory, marker \\u0001) per line -> (term, posInc, start, end)."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthRevWild",
+         "stream", "1" if with_original else "0"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
+
+
+def run_reverse_filter(lines: list[str], with_marker: bool) -> list[list[tuple]]:
+    """WhitespaceTokenizer + ReverseStringFilter [marker \\u0001]."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthRevWild",
+         "reverse", "0", "1" if with_marker else "0"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
+
+
+def run_should_reverse(
+    tokens: list[str], max_pos_asterisk: int = 2, max_pos_question: int = 1,
+    min_trailing: int = 2, max_fraction_asterisk: float = 0.0,
+) -> list[bool]:
+    """ReversedWildcardFilterFactory.shouldReverse per token."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthRevWild",
+         "should", "true", str(max_pos_asterisk), str(max_pos_question),
+         str(min_trailing), repr(float(max_fraction_asterisk))],
+        input="\n".join(tokens) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [x.strip() == "1" for x in r.stdout.splitlines() if x.strip()]
 
 
 def run_minstem(tokens: list[str]) -> list[str]:
