@@ -476,7 +476,17 @@ def _code_posinc_stream(t: str) -> list[tuple[str, int]]:
 #: Mutable: synonym chains register here (analysis/synonyms.py) — like
 #: Lucene, the SynonymMap is an analyzer-side artifact the app supplies
 #: to BOTH the writer and the reader; the manifest records only the name
-POSINC_STREAMS: dict = {"code": _code_posinc_stream}
+def _cjk_posinc_stream(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.cjk import cjk_chain_stream
+
+    return cjk_chain_stream(t)
+
+
+def _cjk_tokens(t: str) -> list[str]:
+    return [x for x, _pi in _cjk_posinc_stream(t)]
+
+
+POSINC_STREAMS: dict = {"code": _code_posinc_stream, "cjk": _cjk_posinc_stream}
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
 
 #: QUERY-side posInc stream overrides: chains whose query analyzer
@@ -569,6 +579,11 @@ ANALYZERS: dict = {
     # the compiled reference (GT round 42, analysis/word_delimiter.py);
     # its posInc gaps reach the index via POSINC_ANALYZERS
     "code": (_code_tokens, False, False, _java_lower),
+    # CJKAnalyzer chain: StandardTokenizer + CJKWidthFilter + LowerCase
+    # + CJKBigramFilter (GT round 49, analysis/cjk.py). CJK runs index
+    # as sliding bigrams (phrase-selectivity df at term-query cost);
+    # non-CJK tokens pass through; posInc/stacking via POSINC_STREAMS
+    "cjk": (_cjk_tokens, False, False, None),
 }
 
 

@@ -427,3 +427,50 @@ def test_reversed_wildcard_index_and_leading_query(spark, tmp_root):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "StringStartsWith" in plan
+
+
+def test_cjk_index_bigram_retrieval(spark, tmp_root):
+    """'cjk' chain (GT round 49, analysis/cjk): CJK runs index as
+    sliding bigrams — a two-ideograph query is ONE bigram term whose df
+    has phrase selectivity, lone CJK chars index as unigrams, width
+    variants fold (fullwidth ASCII, halfwidth kana + voice-mark
+    composition), and non-CJK text retrieves unchanged."""
+    from lucene_solr_spark.analysis.tokenizer import analyze_as
+
+    # chain semantics before the index round-trip
+    assert analyze_as("cjk", "漢字の話") == ["漢字", "字の", "の話"]
+    assert analyze_as("cjk", "一") == ["一"]
+    assert analyze_as("cjk", "ＡＢＣ ｶﾞキ") == ["abc", "ガキ"]
+    assert analyze_as("cjk", "merge 漢字 sort") == ["merge", "漢字", "sort"]
+
+    d = os.path.join(tmp_root, "idx_cjk")
+    src = spark.createDataFrame(
+        [
+            (0, "漢字の勉強 merge"),
+            (1, "字の話"),
+            (2, "漢 字"),            # space-broken: unigrams only
+            (3, "ガキ sort"),
+            (4, "ｶﾞキ plain"),     # halfwidth folds to the same bigram
+            (5, "unrelated text"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-cjk", analyzer="cjk",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    assert {"漢字", "字の", "の話", "ガキ", "漢", "字"} <= terms
+    # the bigram query hits only true adjacencies, not the space-broken doc
+    hits = {r["doc_id"] for r in s.topk("漢字", k=10).collect()}
+    assert hits == {0}
+    # width variants meet at the folded bigram
+    hits = {r["doc_id"] for r in s.topk("ｶﾞキ", k=10).collect()}
+    assert hits == {3, 4}
+    # unigram query hits the lone chars (doc 2), not inside-run chars
+    hits = {r["doc_id"] for r in s.topk("漢", k=10).collect()}
+    assert hits == {2}
+    # phrase across the bigram positions: 漢字+字の adjacent in doc 0
+    hits = [r["doc_id"] for r in s.topk_phrase("漢字の", k=10).collect()]
+    assert hits == [0]

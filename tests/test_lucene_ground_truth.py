@@ -4064,3 +4064,127 @@ def test_reversed_wildcard_matches_compiled_reference():
         exp = gt.run_should_reverse(pats, **knobs)
         got = [should_reverse(p, **knobs) for p in pats]
         assert got == exp, (knobs, [(p, g, e) for p, g, e in zip(pats, got, exp) if g != e])
+
+
+
+def test_cjk_filters_match_compiled_reference():
+    """Ground-truth round 49 — CJKWidthFilter + CJKBigramFilter
+    (analysis/cjk): the width fold (fullwidth ASCII, halfwidth kana,
+    voice-mark COMPOSITION with the combining-mark fallback) and the
+    bigram machine (offset-adjacent CJK runs -> sliding <DOUBLE>
+    bigrams, true lone codepoints -> <SINGLE> unigrams, multi-char
+    runs dropping their trailing unigram, cross-script runs, the
+    unigram-interleaved outputUnigrams order with posInc-0/posLen-2
+    bigrams, per-script flag gating, and non-CJK pass-through) equal
+    the compiled filters over fuzzed mixed-script text.  The
+    StandardTokenizer TYPE classifier that feeds the engine chain is
+    pinned against the compiled TypeAttribute on the same corpus."""
+    from lucene_solr_spark.analysis.cjk import (
+        cjk_bigram_stream,
+        cjk_width_fold,
+        standard_token_type,
+    )
+    from lucene_solr_spark.analysis.tokenizer import iter_token_spans
+
+    rng = random.Random(4949)
+    han = "一二三漢字日本\U00020000"
+    hira = "あいうかき"
+    kata = "アイウカキー"
+    hangul = "가나다라한"
+    latin = ["abc", "x1", "the"]
+
+    def rand_cjk_word():
+        pool = rng.choice([han, hira, kata, hangul, han + hira + kata])
+        return "".join(rng.choice(pool) for _ in range(rng.randint(1, 5)))
+
+    lines = [
+        "漢字の話",               # han han hira han
+        "アイウ abc カ",           # katakana run, latin, lone kata
+        "一",                                   # lone han
+        "가나다",                       # hangul run
+        "a一b",                                 # han between latin
+        "漢 字",                            # space-broken han (unaligned)
+        "アあ一가",                 # cross-script adjacency
+        "\U00020000\U00020001x",                    # astral han pair
+    ] + [
+        " ".join(
+            rng.choice(latin) if rng.random() < 0.3 else rand_cjk_word()
+            for _ in range(rng.randint(1, 7))
+        )
+        for _ in range(100)
+    ]
+
+    def u16map(text):
+        # python cp offset -> utf-16 offset
+        offs = [0]
+        for ch in text:
+            offs.append(offs[-1] + (2 if ord(ch) > 0xFFFF else 1))
+        return offs
+
+    # 1) the type classifier vs the compiled TypeAttribute
+    exp_types = gt.run_cjk(lines, mode="types")
+    for ln, ets in zip(lines, exp_types):
+        toks = iter_token_spans(ln)
+        assert len(toks) == len(ets), (repr(ln), toks, ets)
+        for (tok, _s, _e), (jterm, _pi, _pl, _js, _je, jtype) in zip(toks, ets):
+            assert tok == jterm, (repr(ln), tok, jterm)
+            if jtype in ("<IDEOGRAPHIC>", "<HIRAGANA>", "<KATAKANA>", "<HANGUL>"):
+                assert standard_token_type(tok) == jtype, (repr(ln), tok, jtype)
+            else:
+                assert standard_token_type(tok) not in (
+                    "<IDEOGRAPHIC>", "<HIRAGANA>", "<KATAKANA>", "<HANGUL>",
+                ), (repr(ln), tok, jtype)
+
+    # 2) the width fold vs the compiled CJKWidthFilter
+    wlines = [
+        "ＡＢｃ １２",          # fullwidth ASCII
+        "ｶﾞﾋﾟｰ",           # halfwidth kana + voice marks
+        "ﾞﾞX･ｦ",                # marks with nothing to combine
+        "カﾞ ハﾟ ウﾞ",   # kana + halfwidth marks compose
+        "plain text",
+    ] + ["".join(rng.choice(
+        "ｶﾞﾟｰｦカハウaＡ～･"
+    ) for _ in range(rng.randint(1, 12))) for _ in range(80)]
+    for with_e in (False,):
+        exp = gt.run_cjk(wlines, mode="width")
+        for ln, e in zip(wlines, exp):
+            toks = []
+            i = 0
+            n = len(ln)
+            u = u16map(ln)
+            while i < n:
+                while i < n and ln[i].isspace():
+                    i += 1
+                if i >= n:
+                    break
+                j = i
+                while j < n and not ln[j].isspace():
+                    j += 1
+                toks.append((cjk_width_fold(ln[i:j]), 1, 1, u[i], u[j], "word"))
+                i = j
+            assert toks == e, (repr(ln), toks, e)
+
+    # 3) the bigram machine vs the compiled CJKBigramFilter (input
+    # types from the compiled tokenizer so pass-through tokens carry
+    # the exact TypeAttribute string; the classifier itself is pinned
+    # in part 1)
+    for flags, outuni in [(15, False), (15, True), (1, False), (4, False),
+                          (9, False), (6, True)]:
+        exp = gt.run_cjk(lines, mode="bigram", flags=flags,
+                         output_unigrams=outuni)
+        for ln, e, ets in zip(lines, exp, exp_types):
+            u = u16map(ln)
+            toks = [
+                (t, 1, 1, u[s], u[e_], jtype)
+                for (t, s, e_), (_jt, _pi, _pl, _js, _je, jtype)
+                in zip(iter_token_spans(ln), ets)
+            ]
+            got = cjk_bigram_stream(
+                toks,
+                han=bool(flags & 1), hiragana=bool(flags & 2),
+                katakana=bool(flags & 4), hangul=bool(flags & 8),
+                output_unigrams=outuni,
+            )
+            # the compiled filter reports the ORIGINAL type for
+            # pass-through tokens; ours does too — compare directly
+            assert got == e, ((flags, outuni), repr(ln), got, e)

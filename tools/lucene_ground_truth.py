@@ -2444,6 +2444,68 @@ public class GroundTruthRevWild {
 """
 
 
+CJK_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.cjk.CJKBigramFilter;
+import org.apache.lucene.analysis.cjk.CJKWidthFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.standard.StandardTokenizer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionLengthAttribute;
+import org.apache.lucene.analysis.tokenattributes.TypeAttribute;
+
+public class GroundTruthCJK {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];  // width | bigram | types
+    int flags = args.length > 1 ? Integer.parseInt(args[1])
+        : (CJKBigramFilter.HAN | CJKBigramFilter.HIRAGANA
+           | CJKBigramFilter.KATAKANA | CJKBigramFilter.HANGUL);
+    boolean outputUnigrams = args.length > 2 && args[2].equals("1");
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      TokenStream ts;
+      if (mode.equals("width")) {
+        WhitespaceTokenizer tok = new WhitespaceTokenizer();
+        tok.setReader(new StringReader(line));
+        ts = new CJKWidthFilter(tok);
+      } else {
+        StandardTokenizer tok = new StandardTokenizer();
+        tok.setReader(new StringReader(line));
+        ts = mode.equals("types") ? tok
+            : new CJKBigramFilter(tok, flags, outputUnigrams);
+      }
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      PositionLengthAttribute pl = ts.addAttribute(PositionLengthAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      TypeAttribute type = ts.addAttribute(TypeAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(pl.getPositionLength()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":")
+          .append(type.type()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3264,6 +3326,24 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # CJKWidthFilter + CJKBigramFilter (analysis/common cjk) — core +
+    # the standard tokenizer + StemmerUtil, all resolvable via sourcepath
+    cjk_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/cjk/CJKBigramFilter.class"
+    )
+    if not os.path.exists(cjk_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/cjk/CJKWidthFilter.java",
+             f"{ac_root}/cjk/CJKBigramFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3300,6 +3380,7 @@ def build() -> bool:
         ("GroundTruthCompound", COMPOUND_JAVA),
         ("GroundTruthCommonGrams", COMMONGRAMS_JAVA),
         ("GroundTruthRevWild", REVWILD_JAVA),
+        ("GroundTruthCJK", CJK_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4277,6 +4358,39 @@ def run_should_reverse(
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return [x.strip() == "1" for x in r.stdout.splitlines() if x.strip()]
+
+
+def run_cjk(
+    lines: list[str], mode: str = "bigram", flags: int = 15,
+    output_unigrams: bool = False,
+) -> list[list[tuple]]:
+    """mode='width': WhitespaceTokenizer + CJKWidthFilter;
+    mode='bigram': StandardTokenizer + CJKBigramFilter(flags,
+    outputUnigrams); mode='types': bare StandardTokenizer (for the
+    TypeAttribute). Returns per line (term, posInc, posLen, start, end,
+    type) streams."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthCJK",
+         mode, str(flags), "1" if output_unigrams else "0"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, pl, s, e, typ, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(pl), int(s), int(e), typ))
+        out.append(toks)
+    return out
 
 
 def run_minstem(tokens: list[str]) -> list[str]:
