@@ -547,6 +547,13 @@ def ensure_chain(name: str, spec) -> None:
         register_reversed_wildcard_analyzer(
             name, with_original=with_original, marker=marker
         )
+    elif kind == "mapping":
+        from lucene_solr_spark.analysis.charfilters import (
+            register_mapping_analyzer,
+        )
+
+        _k, rules, base = spec
+        register_mapping_analyzer(name, rules, base=base)
     else:  # pragma: no cover - future chain kinds
         raise ValueError(f"unknown dynamic chain kind {kind!r}")
 

@@ -474,3 +474,50 @@ def test_cjk_index_bigram_retrieval(spark, tmp_root):
     # phrase across the bigram positions: 漢字+字の adjacent in doc 0
     hits = [r["doc_id"] for r in s.topk_phrase("漢字の", k=10).collect()]
     assert hits == [0]
+
+
+def test_mapping_charfilter_chain(spark, tmp_root):
+    """Mapping char-filter chain (GT round 50): the pre-tokenizer
+    stage rewrites the CHARACTER stream, so replacements that contain
+    separators create real tokens ('&' -> ' and ') and grapheme
+    normalizations merge variants ('ph' -> 'f') before the tokenizer
+    ever runs — Analyzer.initReader semantics. The same registration
+    analyzes queries, and the chain spec rides to Spark workers like
+    the synonym chains."""
+    from lucene_solr_spark.analysis.charfilters import (
+        mapping_char_filter,
+        register_mapping_analyzer,
+    )
+
+    register_mapping_analyzer(
+        "maptest", {"&": " and ", "ph": "f"}, base="simple"
+    )
+    d = os.path.join(tmp_root, "idx_mapping")
+    src = spark.createDataFrame(
+        [
+            (0, "salt & pepper"),
+            (1, "salt and pepper"),
+            (2, "phantom loophole"),
+            (3, "fantom loofole"),
+            (4, "unrelated"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-mapping",
+        analyzer="maptest",
+    )
+    s = IndexSearcher(spark, d)
+    assert s.analyzer == "maptest"
+    hits = {r["doc_id"] for r in s.topk("and", k=10).collect()}
+    assert hits == {0, 1}
+    hits = {r["doc_id"] for r in s.topk("phantom", k=10).collect()}
+    assert hits == {2, 3}  # both sides meet at 'fantom'
+    hits = {r["doc_id"] for r in s.topk("loofole", k=10).collect()}
+    assert hits == {2, 3}
+    # offset correction maps filtered offsets back to original text
+    out, om = mapping_char_filter("salt & pepper", {"&": " and "})
+    assert out == "salt  and  pepper"
+    start = out.index("and")
+    assert om.correct(start) <= 5 <= om.correct(start + 3)

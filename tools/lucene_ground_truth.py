@@ -2506,6 +2506,68 @@ public class GroundTruthCJK {
 """
 
 
+CHARFILTER_JAVA = r"""
+import java.io.StringReader;
+import java.util.regex.Pattern;
+import org.apache.lucene.analysis.CharFilter;
+import org.apache.lucene.analysis.charfilter.MappingCharFilter;
+import org.apache.lucene.analysis.charfilter.NormalizeCharMap;
+import org.apache.lucene.analysis.pattern.PatternReplaceCharFilter;
+
+public class GroundTruthCharFilter {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];  // mapping | patrep
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    NormalizeCharMap map = null;
+    Pattern pat = null;
+    String repl = null;
+    if (mode.equals("mapping")) {
+      int n = Integer.parseInt(in.readLine().trim());
+      NormalizeCharMap.Builder b = new NormalizeCharMap.Builder();
+      for (int i = 0; i < n; i++) {
+        String[] parts = in.readLine().split("\t", -1);
+        b.add(unhex(parts[0]), unhex(parts[1]));
+      }
+      map = b.build();
+    } else {
+      pat = Pattern.compile(unhex(in.readLine().trim()));
+      repl = unhex(in.readLine().trim());
+    }
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      CharFilter cf = mode.equals("mapping")
+          ? new MappingCharFilter(map, new StringReader(text))
+          : new PatternReplaceCharFilter(pat, repl, new StringReader(text));
+      StringBuilder outText = new StringBuilder();
+      int c;
+      while ((c = cf.read()) != -1) outText.append((char) c);
+      sb.setLength(0);
+      byte[] bb = outText.toString().getBytes("UTF-16BE");
+      for (byte x : bb) sb.append(String.format("%02x", x));
+      sb.append("|");
+      for (int i = 0; i <= outText.length(); i++) {
+        if (i > 0) sb.append(",");
+        sb.append(cf.correctOffset(i));
+      }
+      cf.close();
+      System.out.println(sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3344,6 +3406,26 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # char filters (analysis/common charfilter + pattern packages) —
+    # FST/RollingCharBuffer deps resolve via sourcepath against core
+    cf_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/charfilter/MappingCharFilter.class"
+    )
+    if not os.path.exists(cf_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/charfilter/BaseCharFilter.java",
+             f"{ac_root}/charfilter/NormalizeCharMap.java",
+             f"{ac_root}/charfilter/MappingCharFilter.java",
+             f"{ac_root}/pattern/PatternReplaceCharFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3381,6 +3463,7 @@ def build() -> bool:
         ("GroundTruthCommonGrams", COMMONGRAMS_JAVA),
         ("GroundTruthRevWild", REVWILD_JAVA),
         ("GroundTruthCJK", CJK_JAVA),
+        ("GroundTruthCharFilter", CHARFILTER_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4390,6 +4473,45 @@ def run_cjk(
             toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
                          int(pl), int(s), int(e), typ))
         out.append(toks)
+    return out
+
+
+def _hex16(s: str) -> str:
+    return s.encode("utf-16-be").hex()
+
+
+def run_charfilter(
+    lines: list[str], mode: str = "mapping",
+    rules: dict | None = None, pattern: str = "", replacement: str = "",
+) -> list[tuple[str, list[int]]]:
+    """mode='mapping': MappingCharFilter(rules); mode='patrep':
+    PatternReplaceCharFilter(pattern, replacement). Returns per line
+    (filtered text, [correctOffset(i) for i in 0..len])."""
+    payload: list[str] = []
+    if mode == "mapping":
+        payload.append(str(len(rules)))
+        for k, v in rules.items():
+            payload.append(f"{_hex16(k)}\t{_hex16(v)}")
+    else:
+        payload.append(_hex16(pattern))
+        payload.append(_hex16(replacement))
+    payload += [_hex16(ln) for ln in lines]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthCharFilter", mode],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        hx, offs = ln.split("|")
+        out.append((
+            bytes.fromhex(hx).decode("utf-16-be") if hx else "",
+            [int(x) for x in offs.split(",")],
+        ))
     return out
 
 
