@@ -264,3 +264,39 @@ def decompound_stream(
             if only_longest_match and longest is not None:
                 out.append((longest, 0, s, e))
     return out
+
+
+def keyword_repeat_stem_stream(
+    tokens, stem_fn, protected=frozenset()
+) -> list[tuple[str, int]]:
+    """KeywordRepeatFilter -> [SetKeywordMarkerFilter(protected)] ->
+    PorterStemFilter -> RemoveDuplicatesTokenFilter over (term, posInc)
+    pairs — the "stemmed + original dual index" idiom (GT round 51).
+
+    KeywordRepeatFilter (miscellaneous/KeywordRepeatFilter.java:48-56)
+    emits the KEYWORD copy first with the original posInc, then the
+    non-keyword copy at posInc 0; the stemmer (which respects
+    KeywordAttribute) touches only the second; RemoveDuplicates
+    (RemoveDuplicatesTokenFilter.java:50-63) drops a same-position
+    same-term repeat, so unstemmable words emit once.  A protected word
+    (SetKeywordMarkerFilter after the repeat) keeps its second copy
+    keyword too — stem skipped, duplicate dropped."""
+    out: list[tuple[str, int]] = []
+    for term, pinc in tokens:
+        out.append((term, pinc))
+        stemmed = term if term in protected else stem_fn(term)
+        if stemmed != term:
+            out.append((stemmed, 0))
+    return out
+
+
+def keyword_marker_stem_stream(
+    tokens, stem_fn, protected
+) -> list[tuple[str, int]]:
+    """SetKeywordMarkerFilter(protected) -> PorterStemFilter: protected
+    words pass unstemmed (KeywordMarkerFilter.java:63-69 sets
+    KeywordAttribute; PorterStemFilter.java:48 skips keywords)."""
+    return [
+        (term if term in protected else stem_fn(term), pinc)
+        for term, pinc in tokens
+    ]

@@ -476,6 +476,34 @@ def _code_posinc_stream(t: str) -> list[tuple[str, int]]:
 #: Mutable: synonym chains register here (analysis/synonyms.py) — like
 #: Lucene, the SynonymMap is an analyzer-side artifact the app supplies
 #: to BOTH the writer and the reader; the manifest records only the name
+def _english_dual_posinc_stream(t: str) -> list[tuple[str, int]]:
+    """whitespace -> lowercase -> KeywordRepeatFilter -> PorterStem ->
+    RemoveDuplicates (GT round 51): every word indexes as its ORIGINAL
+    form plus, when different, its stem stacked at the same position —
+    exact-form queries stay precise while stem queries recall across
+    inflections."""
+    from lucene_solr_spark.analysis.filters import keyword_repeat_stem_stream
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    return keyword_repeat_stem_stream(
+        [(_java_lower(x), 1) for x in _ws_tokens(t)], porter_stem
+    )
+
+
+def _english_dual_tokens(t: str) -> list[str]:
+    return [x for x, _pi in _english_dual_posinc_stream(t)]
+
+
+def _english_dual_query_stream(t: str) -> list[tuple[str, int]]:
+    """QUERY side of the dual chain: lowercase only — no repeat, no
+    stem. The INDEX holds both forms, so the user's term picks the
+    semantics: an exact form ('running') matches only its own postings,
+    the stem ('run') meets every inflection (Solr pairs the
+    KeywordRepeat index stack with a plain query stack for exactly
+    this reason)."""
+    return [(_java_lower(x), 1) for x in _ws_tokens(t)]
+
+
 def _cjk_posinc_stream(t: str) -> list[tuple[str, int]]:
     from lucene_solr_spark.analysis.cjk import cjk_chain_stream
 
@@ -486,7 +514,11 @@ def _cjk_tokens(t: str) -> list[str]:
     return [x for x, _pi in _cjk_posinc_stream(t)]
 
 
-POSINC_STREAMS: dict = {"code": _code_posinc_stream, "cjk": _cjk_posinc_stream}
+POSINC_STREAMS: dict = {
+    "code": _code_posinc_stream,
+    "cjk": _cjk_posinc_stream,
+    "english_dual": _english_dual_posinc_stream,
+}
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
 
 #: QUERY-side posInc stream overrides: chains whose query analyzer
@@ -495,7 +527,7 @@ POSINC_ANALYZERS = POSINC_STREAMS.keys()
 #: query side runs CommonGramsQueryFilter). analyze_as /
 #: analyze_with_positions_as consult this FIRST; absent names use the
 #: index chain on both sides, as before.
-QUERY_POSINC_STREAMS: dict = {}
+QUERY_POSINC_STREAMS: dict = {"english_dual": _english_dual_query_stream}
 
 
 def _code_posinc_batch(texts: list[str]):
@@ -591,6 +623,9 @@ ANALYZERS: dict = {
     # as sliding bigrams (phrase-selectivity df at term-query cost);
     # non-CJK tokens pass through; posInc/stacking via POSINC_STREAMS
     "cjk": (_cjk_tokens, False, False, None),
+    # KeywordRepeat + PorterStem + RemoveDuplicates dual index (GT
+    # round 51): original + stem at the same position
+    "english_dual": (_english_dual_tokens, False, False, None),
 }
 
 

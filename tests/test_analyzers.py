@@ -521,3 +521,47 @@ def test_mapping_charfilter_chain(spark, tmp_root):
     assert out == "salt  and  pepper"
     start = out.index("and")
     assert om.correct(start) <= 5 <= om.correct(start + 3)
+
+
+def test_english_dual_index_exact_and_stemmed(spark, tmp_root):
+    """'english_dual' chain (GT round 51): every word indexes as its
+    original form plus its stem at the same position, so exact-form
+    queries stay precise while the stem meets across inflections —
+    Lucene's KeywordRepeatFilter + stemmer + RemoveDuplicates idiom."""
+    from lucene_solr_spark.analysis.tokenizer import analyze_with_positions_as
+
+    d = os.path.join(tmp_root, "idx_english_dual")
+    src = spark.createDataFrame(
+        [
+            (0, "the dogs were running fast"),
+            (1, "he runs a marathon"),
+            (2, "a run in the park"),
+            (3, "nothing related here"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-english-dual",
+        analyzer="english_dual",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    # originals AND stems coexist
+    assert {"running", "runs", "run", "dogs", "dog"} <= terms
+    # the stem meets across inflections
+    hits = {r["doc_id"] for r in s.topk("run", k=10).collect()}
+    assert hits == {0, 1, 2}
+    # the exact form stays precise
+    hits = {r["doc_id"] for r in s.topk("running", k=10).collect()}
+    assert hits == {0}
+    hits = {r["doc_id"] for r in s.topk("runs", k=10).collect()}
+    assert hits == {1}
+    # the QUERY side is the plain lowercase stack (no repeat/stem):
+    # the user's form picks the semantics
+    assert analyze_with_positions_as("english_dual", "Running fast") == [
+        ("running", 0), ("fast", 1),
+    ]
+    # stacked index positions: a stem phrase crosses the inflection
+    hits = [r["doc_id"] for r in s.topk_phrase("run fast", k=10).collect()]
+    assert hits == [0]

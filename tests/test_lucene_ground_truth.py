@@ -4258,3 +4258,46 @@ def test_char_filters_match_compiled_reference():
                 pattern_replace_correct(om, i) for i in range(len(got_text) + 1)
             ]
             assert got_offs == eoffs, ((pat, rep), repr(ln), got_offs, eoffs)
+
+
+def test_keyword_marker_cluster_matches_compiled_reference():
+    """Ground-truth round 51 — KeywordRepeatFilter +
+    SetKeywordMarkerFilter + RemoveDuplicatesTokenFilter around the
+    (already-pinned) PorterStemFilter: the dual stem+original chain and
+    the protected-word chain emit (term, posInc) streams equal to the
+    compiled filters — pinning the keyword-copy-first order (original
+    posInc; the stemmed copy stacks at posInc 0), the stemmer's
+    KeywordAttribute skip, the same-position duplicate drop for
+    unstemmable words, and protected words surviving unstemmed with
+    their duplicate dropped."""
+    from lucene_solr_spark.analysis.filters import (
+        keyword_marker_stem_stream,
+        keyword_repeat_stem_stream,
+    )
+    from lucene_solr_spark.analysis.porter import porter_stem
+    from lucene_solr_spark.analysis.tokenizer import _java_lower
+
+    rng = random.Random(5151)
+    words = ["running", "runs", "run", "jumped", "flies", "caresses",
+             "pony", "sky", "feed", "agreed", "plastered", "motoring",
+             "the", "xx", "Running", "GOES"]
+    lines = ["running runs run", "the sky flies", ""] + [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 9)))
+        for _ in range(100)
+    ]
+    lines = [ln if ln else "x" for ln in lines]
+
+    def ws_lower(text):
+        return [(_java_lower(t), 1) for t in text.split() if t]
+
+    for protected in ([], ["running", "flies"]):
+        pset = frozenset(protected)
+        exp = gt.run_kwmisc(lines, "repeat", protected)
+        for ln, e in zip(lines, exp):
+            got = keyword_repeat_stem_stream(ws_lower(ln), porter_stem, pset)
+            assert got == e, (protected, repr(ln), got, e)
+    exp = gt.run_kwmisc(lines, "marker", ["running", "flies", "agreed"])
+    pset = frozenset(["running", "flies", "agreed"])
+    for ln, e in zip(lines, exp):
+        got = keyword_marker_stem_stream(ws_lower(ln), porter_stem, pset)
+        assert got == e, (repr(ln), got, e)

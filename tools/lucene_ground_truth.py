@@ -2568,6 +2568,63 @@ public class GroundTruthCharFilter {
 """
 
 
+KWMISC_JAVA = r"""
+import java.io.StringReader;
+import java.util.Arrays;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.en.PorterStemFilter;
+import org.apache.lucene.analysis.miscellaneous.KeywordRepeatFilter;
+import org.apache.lucene.analysis.miscellaneous.RemoveDuplicatesTokenFilter;
+import org.apache.lucene.analysis.miscellaneous.SetKeywordMarkerFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.util.CharArraySet;
+
+public class GroundTruthKwMisc {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];  // repeat | marker
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nProt = Integer.parseInt(in.readLine().trim());
+    java.util.List<String> prot = new java.util.ArrayList<>();
+    for (int i = 0; i < nProt; i++) prot.add(in.readLine());
+    CharArraySet protSet = new CharArraySet(prot, false);
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = new LowerCaseFilter(tok);
+      if (mode.equals("repeat")) {
+        ts = new KeywordRepeatFilter(ts);
+        if (!prot.isEmpty()) ts = new SetKeywordMarkerFilter(ts, protSet);
+        ts = new PorterStemFilter(ts);
+        ts = new RemoveDuplicatesTokenFilter(ts);
+      } else {
+        ts = new SetKeywordMarkerFilter(ts, protSet);
+        ts = new PorterStemFilter(ts);
+      }
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3426,6 +3483,27 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # keyword-marker cluster (miscellaneous): KeywordRepeat +
+    # SetKeywordMarker + RemoveDuplicates — KeywordAttribute + the
+    # already-compiled PorterStemFilter
+    km_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/miscellaneous/KeywordRepeatFilter.class"
+    )
+    if not os.path.exists(km_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/miscellaneous/KeywordRepeatFilter.java",
+             f"{ac_root}/miscellaneous/KeywordMarkerFilter.java",
+             f"{ac_root}/miscellaneous/SetKeywordMarkerFilter.java",
+             f"{ac_root}/miscellaneous/RemoveDuplicatesTokenFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3464,6 +3542,7 @@ def build() -> bool:
         ("GroundTruthRevWild", REVWILD_JAVA),
         ("GroundTruthCJK", CJK_JAVA),
         ("GroundTruthCharFilter", CHARFILTER_JAVA),
+        ("GroundTruthKwMisc", KWMISC_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4512,6 +4591,38 @@ def run_charfilter(
             bytes.fromhex(hx).decode("utf-16-be") if hx else "",
             [int(x) for x in offs.split(",")],
         ))
+    return out
+
+
+def run_kwmisc(
+    lines: list[str], mode: str = "repeat", protected: list[str] | None = None,
+) -> list[list[tuple]]:
+    """mode='repeat': Whitespace + LowerCase + KeywordRepeatFilter
+    [+ SetKeywordMarkerFilter(protected)] + PorterStemFilter +
+    RemoveDuplicatesTokenFilter; mode='marker': Whitespace + LowerCase +
+    SetKeywordMarkerFilter(protected) + PorterStemFilter. Returns per
+    line (term, posInc) streams."""
+    protected = protected or []
+    payload = [str(len(protected))] + list(protected) + list(lines)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthKwMisc", mode],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi)))
+        out.append(toks)
     return out
 
 
