@@ -300,3 +300,97 @@ def keyword_marker_stem_stream(
         (term if term in protected else stem_fn(term), pinc)
         for term, pinc in tokens
     ]
+
+
+def ngram_filter_stream(
+    tokens, min_gram: int, max_gram: int
+) -> list[tuple[str, int, int, int, int]]:
+    """NGramTokenFilter (analysis/ngram/NGramTokenFilter.java, GT round
+    52) over (term, posInc, posLen, start, end) tuples: all n-grams of
+    sizes minGram..maxGram per token, ordered by offset in the token
+    then increasing length ('abc' -> a, ab, abc, b, bc, c with
+    minGram=1 maxGram=3); every gram keeps the WHOLE token's offsets
+    and posLen; the first gram carries the token's posInc, the rest 0.
+    Gram sizes count CODE POINTS (charUtils.offsetByCodePoints).  The
+    wrapping CodepointCountFilter drops tokens shorter than minGram
+    entirely, their increments accumulating onto the next kept token
+    (FilteringTokenFilter hole semantics)."""
+    out: list[tuple[str, int, int, int, int]] = []
+    gap = 0
+    for term, pinc, plen, s, e in tokens:
+        n = len(term)
+        if n < min_gram:
+            gap += pinc
+            continue
+        pinc += gap
+        gap = 0
+        first = True
+        for pos in range(n):
+            for size in range(min_gram, max_gram + 1):
+                if pos + size > n:
+                    break
+                out.append((term[pos:pos + size], pinc if first else 0, plen, s, e))
+                first = False
+    return out
+
+
+def edge_ngram_filter_stream(
+    tokens, min_gram: int, max_gram: int
+) -> list[tuple[str, int, int, int, int]]:
+    """EdgeNGramTokenFilter (analysis/ngram/EdgeNGramTokenFilter.java,
+    GT round 52): front-edge grams of sizes minGram..maxGram per token
+    (shorter tokens emit nothing, their increments accumulating onto
+    the next emitting token's FIRST gram — savePosIncr); whole-token
+    offsets; the first gram per token carries the accumulated posInc,
+    later grams 0."""
+    out: list[tuple[str, int, int, int, int]] = []
+    save_pinc = 0
+    for term, pinc, plen, s, e in tokens:
+        n = len(term)
+        save_pinc += pinc
+        for size in range(min_gram, max_gram + 1):
+            if size > n:
+                break
+            out.append((term[:size], save_pinc, plen, s, e))
+            save_pinc = 0
+    return out
+
+
+def register_edge_ngram_analyzer(
+    name: str, min_gram: int = 1, max_gram: int = 10
+) -> None:
+    """Register a 'WhitespaceTokenizer -> LowerCaseFilter ->
+    EdgeNGramTokenFilter(min,max)' INDEX chain with a plain lowercase
+    QUERY stack: a prefix query of length minGram..maxGram executes as
+    a single TERM query on the prefix gram's own posting list — the
+    classic index-fat/query-cheap prefix acceleration (no dictionary
+    range scan at all; at 100 TB the prefix postings are read exactly
+    like any term's)."""
+    from .tokenizer import (
+        ANALYZERS,
+        DYNAMIC_CHAINS,
+        POSINC_STREAMS,
+        QUERY_POSINC_STREAMS,
+        _java_lower,
+        _ws_tokens,
+    )
+
+    def stream(text: str) -> list[tuple[str, int]]:
+        toks = [(_java_lower(t), 1, 1, 0, 0) for t in _ws_tokens(text)]
+        return [
+            (t, pi)
+            for t, pi, _pl, _s, _e in edge_ngram_filter_stream(
+                toks, min_gram, max_gram
+            )
+        ]
+
+    def query_stream(text: str) -> list[tuple[str, int]]:
+        return [(_java_lower(t), 1) for t in _ws_tokens(text)]
+
+    def flat(text: str) -> list[str]:
+        return [t for t, _pi in stream(text)]
+
+    ANALYZERS[name] = (flat, False, False, None)
+    POSINC_STREAMS[name] = stream
+    QUERY_POSINC_STREAMS[name] = query_stream
+    DYNAMIC_CHAINS[name] = ("edgegram", min_gram, max_gram)

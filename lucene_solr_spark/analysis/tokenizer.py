@@ -586,6 +586,13 @@ def ensure_chain(name: str, spec) -> None:
 
         _k, rules, base = spec
         register_mapping_analyzer(name, rules, base=base)
+    elif kind == "edgegram":
+        from lucene_solr_spark.analysis.filters import (
+            register_edge_ngram_analyzer,
+        )
+
+        _k, min_gram, max_gram = spec
+        register_edge_ngram_analyzer(name, min_gram, max_gram)
     else:  # pragma: no cover - future chain kinds
         raise ValueError(f"unknown dynamic chain kind {kind!r}")
 

@@ -565,3 +565,42 @@ def test_english_dual_index_exact_and_stemmed(spark, tmp_root):
     # stacked index positions: a stem phrase crosses the inflection
     hits = [r["doc_id"] for r in s.topk_phrase("run fast", k=10).collect()]
     assert hits == [0]
+
+
+def test_edge_ngram_prefix_as_term(spark, tmp_root):
+    """edge-gram chain (GT round 52): prefixes of length min..max index
+    as their own terms, so a prefix query is ONE term lookup on the
+    gram's posting list — no term-dictionary range scan. Results match
+    the standard index's expand-then-score prefix path on doc sets."""
+    from lucene_solr_spark.analysis.filters import register_edge_ngram_analyzer
+
+    register_edge_ngram_analyzer("egtest", 1, 6)
+    d = os.path.join(tmp_root, "idx_edgegram")
+    src = spark.createDataFrame(
+        [
+            (0, "merge sort fast"),
+            (1, "merged table row"),
+            (2, "mercury rising"),
+            (3, "unrelated words"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-edgegram",
+        analyzer="egtest",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    assert {"m", "me", "mer", "merge", "merged", "mercur"} <= terms
+    # a prefix query IS a term query on the gram
+    hits = {r["doc_id"] for r in s.topk("mer", k=10).collect()}
+    assert hits == {0, 1, 2}
+    hits = {r["doc_id"] for r in s.topk("merge", k=10).collect()}
+    assert hits == {0, 1}  # 'merge' is a prefix of 'merged' too
+    hits = {r["doc_id"] for r in s.topk("mercu", k=10).collect()}
+    assert hits == {2}
+    # grams stack at the word's position: phrase 'mer sort' aligns with
+    # 'merge sort' (prefix gram at the same position as its word)
+    hits = [r["doc_id"] for r in s.topk_phrase("mer sort", k=10).collect()]
+    assert hits == [0]

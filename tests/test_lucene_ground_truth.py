@@ -4301,3 +4301,47 @@ def test_keyword_marker_cluster_matches_compiled_reference():
     for ln, e in zip(lines, exp):
         got = keyword_marker_stem_stream(ws_lower(ln), porter_stem, pset)
         assert got == e, (repr(ln), got, e)
+
+
+def test_ngram_filters_match_compiled_reference():
+    """Ground-truth round 52 — NGramTokenFilter + EdgeNGramTokenFilter
+    (analysis/ngram): (term, posInc, posLen, offsets) streams equal the
+    compiled filters — pinning the offset-then-length gram order with
+    the first-gram-only posInc, whole-token offsets on every gram,
+    code-point gram sizes (astral chars count one), the
+    CodepointCountFilter drop of sub-minGram tokens with their
+    increments accumulating as stop-style holes, and the edge filter's
+    savePosIncr accumulation across gram-less tokens."""
+    from lucene_solr_spark.analysis.filters import (
+        edge_ngram_filter_stream,
+        ngram_filter_stream,
+    )
+
+    rng = random.Random(5252)
+    words = ["a", "ab", "abc", "abcd", "merge", "x\U0001F600y",
+             "\U0001F600", "sort"]
+    lines = ["abc", "a abc", "abcd a a merge", "\U0001F600 x\U0001F600y"] + [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+        for _ in range(80)
+    ]
+
+    def ws(text):
+        # UTF-16 offsets (Java convention)
+        parts, start, u16, u16s = [], None, 0, 0
+        for idx, ch in enumerate(text + " "):
+            if ch == " ":
+                if start is not None:
+                    parts.append((text[start:idx], 1, 1, u16s, u16))
+                    start = None
+            elif start is None:
+                start, u16s = idx, u16
+            u16 += 2 if ord(ch) > 0xFFFF else 1
+        return parts
+
+    for mode, fn in (("ngram", ngram_filter_stream),
+                     ("edge", edge_ngram_filter_stream)):
+        for mn, mx in [(1, 2), (2, 3), (1, 4), (3, 3), (2, 5)]:
+            exp = gt.run_ngram(lines, mode, mn, mx)
+            for ln, e in zip(lines, exp):
+                got = fn(ws(ln), mn, mx)
+                assert got == e, ((mode, mn, mx), repr(ln), got, e)

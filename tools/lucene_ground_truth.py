@@ -2625,6 +2625,56 @@ public class GroundTruthKwMisc {
 """
 
 
+NGRAM_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.ngram.EdgeNGramTokenFilter;
+import org.apache.lucene.analysis.ngram.NGramTokenFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionLengthAttribute;
+
+public class GroundTruthNGram {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];  // ngram | edge
+    int min = Integer.parseInt(args[1]);
+    int max = Integer.parseInt(args[2]);
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(line));
+      TokenStream ts = mode.equals("edge")
+          ? new EdgeNGramTokenFilter(tok, min, max)
+          : new NGramTokenFilter(tok, min, max);
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      PositionLengthAttribute pl = ts.addAttribute(PositionLengthAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(pl.getPositionLength()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3504,6 +3554,24 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # ngram package (NGram/EdgeNGram token filters) — CodepointCount +
+    # CharacterUtils deps resolve via sourcepath
+    ng_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/ngram/NGramTokenFilter.class"
+    )
+    if not os.path.exists(ng_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/ngram/NGramTokenFilter.java",
+             f"{ac_root}/ngram/EdgeNGramTokenFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3543,6 +3611,7 @@ def build() -> bool:
         ("GroundTruthCJK", CJK_JAVA),
         ("GroundTruthCharFilter", CHARFILTER_JAVA),
         ("GroundTruthKwMisc", KWMISC_JAVA),
+        ("GroundTruthNGram", NGRAM_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4622,6 +4691,36 @@ def run_kwmisc(
         for part in ln.split(";"):
             pi, hx = part.split(":")
             toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi)))
+        out.append(toks)
+    return out
+
+
+def run_ngram(
+    lines: list[str], mode: str, min_gram: int, max_gram: int,
+) -> list[list[tuple]]:
+    """WhitespaceTokenizer + NGramTokenFilter (mode='ngram') or
+    EdgeNGramTokenFilter (mode='edge'). Returns per line
+    (term, posInc, posLen, start, end) streams."""
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthNGram",
+         mode, str(min_gram), str(max_gram)],
+        input="\n".join(lines) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, pl, s, e, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi),
+                         int(pl), int(s), int(e)))
         out.append(toks)
     return out
 
