@@ -593,6 +593,11 @@ def ensure_chain(name: str, spec) -> None:
 
         _k, min_gram, max_gram = spec
         register_edge_ngram_analyzer(name, min_gram, max_gram)
+    elif kind == "pattern":
+        from lucene_solr_spark.analysis.pattern import register_pattern_analyzer
+
+        _k, pattern, group, lowercase = spec
+        register_pattern_analyzer(name, pattern, group, lowercase)
     else:  # pragma: no cover - future chain kinds
         raise ValueError(f"unknown dynamic chain kind {kind!r}")
 

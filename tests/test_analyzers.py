@@ -604,3 +604,26 @@ def test_edge_ngram_prefix_as_term(spark, tmp_root):
     # 'merge sort' (prefix gram at the same position as its word)
     hits = [r["doc_id"] for r in s.topk_phrase("mer sort", k=10).collect()]
     assert hits == [0]
+
+
+def test_pattern_tokenizer_chain(spark, tmp_root):
+    """'pattern' chain (GT round 53): Solr's PatternTokenizerFactory
+    field type — a regex split tokenizer (here on CSV separators)."""
+    from lucene_solr_spark.analysis.pattern import register_pattern_analyzer
+
+    register_pattern_analyzer("csvtest", r"[,;\s]+")
+    d = os.path.join(tmp_root, "idx_pattern")
+    src = spark.createDataFrame(
+        [(0, "Alpha,beta;;GAMMA delta"), (1, "beta,epsilon"), (2, "unrelated")],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-pattern",
+        analyzer="csvtest",
+    )
+    s = IndexSearcher(spark, d)
+    hits = {r["doc_id"] for r in s.topk("beta", k=10).collect()}
+    assert hits == {0, 1}
+    hits = {r["doc_id"] for r in s.topk("gamma", k=10).collect()}
+    assert hits == {0}

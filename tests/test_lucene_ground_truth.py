@@ -4345,3 +4345,73 @@ def test_ngram_filters_match_compiled_reference():
             for ln, e in zip(lines, exp):
                 got = fn(ws(ln), mn, mx)
                 assert got == e, ((mode, mn, mx), repr(ln), got, e)
+
+
+def test_pattern_package_matches_compiled_reference():
+    """Ground-truth round 53 — PatternTokenizer +
+    PatternCaptureGroupTokenFilter (analysis/pattern): tokenizer output
+    in both modes (group >= 0 emits each match's group, zero-length
+    skipped; group = -1 is String.split with a trailing remainder) and
+    the capture filter's stream — min-start-offset interleaving across
+    matchers, group-index order within a match, zero-length and (under
+    preserveOriginal) whole-token capture skips, first-capture-replaces
+    vs original-first emission, no-capture pass-through — all equal the
+    compiled classes. Patterns stay in the Java∩Python regex subset."""
+    from lucene_solr_spark.analysis.pattern import (
+        pattern_capture_stream,
+        pattern_tokenize,
+    )
+
+    rng = random.Random(5353)
+
+    # tokenizer: both modes over fuzzed CSV-ish and quoted text
+    tok_cases = [
+        (r"[,;\s]+", -1),
+        (r"'([^']+)'", 1),
+        (r"'([^']+)'", 0),
+        (r"([a-z]+)([0-9]*)", 2),
+    ]
+    alphabet = "ab1 2,;'x'"
+    lines = ["aaa 'bbb' 'ccc'", "a,b;;c  d", "", "','", "abc123 x9"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 18)))
+        for _ in range(100)
+    ]
+    for pat, group in tok_cases:
+        exp = gt.run_pattern_tok(lines, pat, group)
+        for ln, e in zip(lines, exp):
+            got = [(t, 1, s, e_) for t, s, e_ in pattern_tokenize(ln, pat, group)]
+            # first token's posInc from the harness is 1; zip shapes
+            assert got == e, ((pat, group), repr(ln), got, e)
+
+    # capture filter: the javadoc's camelCase pattern set + fuzz
+    camel = [
+        r"([A-Z]{2,})",
+        r"(?<![A-Z])([A-Z][a-z]+)",
+        r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)",
+        r"([0-9]+)",
+    ]
+    pattern_sets = [
+        camel,
+        [r"(https?://([a-zA-Z\-_0-9.]+))"],
+        [r"(..)"],                       # every 2 chars, repeated find
+        [r"(a+)(b+)?", r"(b+)"],         # optional group + overlap
+    ]
+    words = ["camelCaseFilter", "http://www.foo.com/index", "abcdefghi",
+             "aabbb", "HTTPResponse", "x", "getHTTP2go", "aaa_bbb"]
+    clines = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 6)))
+              for _ in range(80)] + ["camelCaseFilter abcdefghi", "aabbb b"]
+    for pats in pattern_sets:
+        for preserve in (False, True):
+            exp = gt.run_pattern_capture(clines, pats, preserve)
+            for ln, e in zip(clines, exp):
+                toks = []
+                i = 0
+                while i < len(ln):
+                    if ln[i] == " ":
+                        i += 1
+                        continue
+                    j = ln.index(" ", i) if " " in ln[i:] else len(ln)
+                    toks.append((ln[i:j], 1, i, j))
+                    i = j
+                got = pattern_capture_stream(toks, pats, preserve)
+                assert got == e, ((pats, preserve), repr(ln), got, e)

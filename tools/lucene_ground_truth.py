@@ -2675,6 +2675,79 @@ public class GroundTruthNGram {
 """
 
 
+PATTERN_JAVA = r"""
+import java.io.StringReader;
+import java.util.regex.Pattern;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.pattern.PatternCaptureGroupTokenFilter;
+import org.apache.lucene.analysis.pattern.PatternTokenizer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+
+public class GroundTruthPattern {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];  // tok | capture
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int group = 0;
+    boolean preserve = false;
+    Pattern tokPat = null;
+    Pattern[] pats = null;
+    if (mode.equals("tok")) {
+      group = Integer.parseInt(args[1]);
+      tokPat = Pattern.compile(unhex(in.readLine().trim()));
+    } else {
+      preserve = args[1].equals("1");
+      int n = Integer.parseInt(in.readLine().trim());
+      pats = new Pattern[n];
+      for (int i = 0; i < n; i++) pats[i] = Pattern.compile(unhex(in.readLine().trim()));
+    }
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      TokenStream ts;
+      if (mode.equals("tok")) {
+        PatternTokenizer tok = new PatternTokenizer(tokPat, group);
+        tok.setReader(new StringReader(text));
+        ts = tok;
+      } else {
+        WhitespaceTokenizer tok = new WhitespaceTokenizer();
+        tok.setReader(new StringReader(text));
+        ts = new PatternCaptureGroupTokenFilter(tok, preserve, pats);
+      }
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3572,6 +3645,23 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # pattern package (PatternTokenizer + PatternCaptureGroupTokenFilter)
+    pt_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/pattern/PatternTokenizer.class"
+    )
+    if not os.path.exists(pt_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/pattern/PatternTokenizer.java",
+             f"{ac_root}/pattern/PatternCaptureGroupTokenFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3612,6 +3702,7 @@ def build() -> bool:
         ("GroundTruthCharFilter", CHARFILTER_JAVA),
         ("GroundTruthKwMisc", KWMISC_JAVA),
         ("GroundTruthNGram", NGRAM_JAVA),
+        ("GroundTruthPattern", PATTERN_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4723,6 +4814,39 @@ def run_ngram(
                          int(pl), int(s), int(e)))
         out.append(toks)
     return out
+
+
+def run_pattern_tok(
+    lines: list[str], pattern: str, group: int,
+) -> list[list[tuple]]:
+    """PatternTokenizer(pattern, group) per line ->
+    (term, posInc, start, end) streams."""
+    payload = [_hex16(pattern)] + [_hex16(ln) for ln in lines]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPattern",
+         "tok", str(group)],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
+
+
+def run_pattern_capture(
+    lines: list[str], patterns: list[str], preserve: bool,
+) -> list[list[tuple]]:
+    """WhitespaceTokenizer + PatternCaptureGroupTokenFilter(preserve,
+    patterns) per line -> (term, posInc, start, end) streams."""
+    payload = ([str(len(patterns))] + [_hex16(p) for p in patterns]
+               + [_hex16(ln) for ln in lines])
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPattern",
+         "capture", "1" if preserve else "0"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
 
 
 def run_minstem(tokens: list[str]) -> list[str]:
