@@ -598,6 +598,13 @@ def ensure_chain(name: str, spec) -> None:
 
         _k, pattern, group, lowercase = spec
         register_pattern_analyzer(name, pattern, group, lowercase)
+    elif kind == "path":
+        from lucene_solr_spark.analysis.path_hierarchy import (
+            register_path_analyzer,
+        )
+
+        _k, delimiter, replacement, skip, reverse = spec
+        register_path_analyzer(name, delimiter, replacement, skip, reverse)
     else:  # pragma: no cover - future chain kinds
         raise ValueError(f"unknown dynamic chain kind {kind!r}")
 

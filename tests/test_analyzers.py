@@ -627,3 +627,48 @@ def test_pattern_tokenizer_chain(spark, tmp_root):
     assert hits == {0, 1}
     hits = {r["doc_id"] for r in s.topk("gamma", k=10).collect()}
     assert hits == {0}
+
+
+def test_path_hierarchy_chain_directory_drilldown(spark, tmp_root):
+    """'path' chain (GT round 54): every ancestor prefix indexes as a
+    term at one position, so a DIRECTORY term query matches every file
+    under it — no prefix scan, just a posting-list read (the natural
+    field type for the source-code corpus's `path` column)."""
+    from lucene_solr_spark.analysis.path_hierarchy import register_path_analyzer
+
+    register_path_analyzer("pathtest")
+    register_path_analyzer("extest", reverse=True)
+    d = os.path.join(tmp_root, "idx_path")
+    src = spark.createDataFrame(
+        [
+            (0, "/src/main/app.py"),
+            (1, "/src/main/util.py"),
+            (2, "/src/test/test_app.py"),
+            (3, "/docs/index.md"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-path",
+        analyzer="pathtest",
+    )
+    s = IndexSearcher(spark, d)
+    hits = {r["doc_id"] for r in s.topk("/src/main", k=10).collect()}
+    assert hits == {0, 1}
+    hits = {r["doc_id"] for r in s.topk("/src", k=10).collect()}
+    assert hits == {0, 1, 2}
+    hits = {r["doc_id"] for r in s.topk("/src/main/app.py", k=10).collect()}
+    assert hits == {0}
+    # reverse chain: suffix terms (extension drill direction)
+    d2 = os.path.join(tmp_root, "idx_path_rev")
+    build_index(
+        spark, src, out_dir=d2, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-path-rev",
+        analyzer="extest",
+    )
+    s2 = IndexSearcher(spark, d2)
+    hits = {r["doc_id"] for r in s2.topk("app.py", k=10).collect()}
+    assert hits == {0}
+    hits = {r["doc_id"] for r in s2.topk("index.md", k=10).collect()}
+    assert hits == {3}

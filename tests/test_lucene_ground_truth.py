@@ -4415,3 +4415,39 @@ def test_pattern_package_matches_compiled_reference():
                     i = j
                 got = pattern_capture_stream(toks, pats, preserve)
                 assert got == e, ((pats, preserve), repr(ln), got, e)
+
+
+def test_path_hierarchy_matches_compiled_reference():
+    """Ground-truth round 54 — PathHierarchyTokenizer +
+    ReversePathHierarchyTokenizer (analysis/path): (term, posInc,
+    offsets) streams equal the compiled tokenizers over fuzzed paths —
+    pinning the ancestor-prefix emission at one position (first token
+    posInc 1, rest 0), delimiter->replacement mapping incl. a leading
+    delimiter, trailing-delimiter carry (endDelimiter), the skip
+    semantics on both ends (with the reference's first-char-counts-
+    toward-skipped quirk), and the reverse tokenizer's suffix list with
+    its delimiter-position bookkeeping."""
+    from lucene_solr_spark.analysis.path_hierarchy import (
+        path_hierarchy_tokenize,
+        reverse_path_hierarchy_tokenize,
+    )
+
+    rng = random.Random(5454)
+    segs = ["a", "bb", "src", "main", "x.py", "", "README"]
+    lines = ["/a/b/c", "a/b/c", "/a/b/c/", "a", "/", "//", "c:\\x\\y",
+             "src/main/app.py"] + [
+        ("/" if rng.random() < 0.5 else "")
+        + "/".join(rng.choice(segs) for _ in range(rng.randint(1, 6)))
+        + ("/" if rng.random() < 0.3 else "")
+        for _ in range(120)
+    ]
+    lines = [ln if ln else "/" for ln in lines]
+
+    for reverse, fn in ((False, path_hierarchy_tokenize),
+                        (True, reverse_path_hierarchy_tokenize)):
+        for delim, repl, skip in [("/", "/", 0), ("/", "/", 1), ("/", "/", 2),
+                                  ("/", "|", 0), ("\\", "/", 0)]:
+            exp = gt.run_path(lines, reverse, delim, repl, skip)
+            for ln, e in zip(lines, exp):
+                got = fn(ln, delim, repl, skip)
+                assert got == e, ((reverse, delim, repl, skip), repr(ln), got, e)

@@ -2748,6 +2748,61 @@ public class GroundTruthPattern {
 """
 
 
+PATH_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.path.PathHierarchyTokenizer;
+import org.apache.lucene.analysis.path.ReversePathHierarchyTokenizer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+
+public class GroundTruthPath {
+  public static void main(String[] args) throws Exception {
+    boolean reverse = args[0].equals("reverse");
+    char delim = args[1].charAt(0);
+    char repl = args[2].charAt(0);
+    int skip = Integer.parseInt(args[3]);
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      Tokenizer ts = reverse
+          ? new ReversePathHierarchyTokenizer(1024, delim, repl, skip)
+          : new PathHierarchyTokenizer(1024, delim, repl, skip);
+      ts.setReader(new StringReader(text));
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3662,6 +3717,21 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # path hierarchy tokenizers
+    ph_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/path/PathHierarchyTokenizer.class"
+    )
+    if not os.path.exists(ph_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             f"{ac_root}/path/PathHierarchyTokenizer.java",
+             f"{ac_root}/path/ReversePathHierarchyTokenizer.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -3703,6 +3773,7 @@ def build() -> bool:
         ("GroundTruthKwMisc", KWMISC_JAVA),
         ("GroundTruthNGram", NGRAM_JAVA),
         ("GroundTruthPattern", PATTERN_JAVA),
+        ("GroundTruthPath", PATH_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4842,6 +4913,23 @@ def run_pattern_capture(
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPattern",
          "capture", "1" if preserve else "0"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
+
+
+def run_path(
+    lines: list[str], reverse: bool = False, delimiter: str = "/",
+    replacement: str = "/", skip: int = 0,
+) -> list[list[tuple]]:
+    """PathHierarchyTokenizer / ReversePathHierarchyTokenizer per line
+    -> (term, posInc, start, end) streams."""
+    payload = [_hex16(ln) for ln in lines]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPath",
+         "reverse" if reverse else "forward", delimiter, replacement, str(skip)],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
