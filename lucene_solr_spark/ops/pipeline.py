@@ -637,11 +637,47 @@ FROM sigs ORDER BY doc_id
 """
 
 
+def dedup_fingerprint(spark, sf):
+    """FingerprintFilter (lucene/analysis/common/.../miscellaneous/
+    FingerprintFilter.java — pinned bit-for-bit vs the compiled filter in
+    GT round 55) as a dedup key, the Solr FingerprintUpdateProcessor
+    shape: the single output token = sorted DISTINCT tokens joined by
+    ' ' — SET semantics, one step fuzzier than the bag-of-words multiset
+    key (catches copies that repeat or drop duplicate words). Uncapped
+    maxOutputTokenSize (the factory's knob; the 1024 default would drop
+    long docs from dedup entirely). Keeper = min doc_id per fingerprint.
+    One window over one projection — no joins, skew-free at 100 TB (the
+    window key is the full fingerprint string; identical-content groups
+    are the only co-located rows)."""
+    d = _with_tokens(_docs(spark, sf))
+    key = F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks"))))
+    w = Window.partitionBy(key)
+    return (
+        d.withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", "keeper_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_FINGERPRINT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')
+         ) AS keeper_id
+  FROM documents
+)
+SELECT doc_id, keeper_id FROM keyed WHERE doc_id <> keeper_id ORDER BY doc_id
+"""
+
+
 def dedup_exact_family(spark, sf):
     """Exact-dedup family + cluster collapse as one tagged union (gate
     consolidation like ops.relational.facets_combined): byte-exact
     keepers, order-insensitive bag-of-words keepers, MinHash near-dup
-    cluster keepers, and TextProfileSignature fuzzy keepers, all as
+    cluster keepers, TextProfileSignature fuzzy keepers, and
+    FingerprintFilter set-semantics keepers, all as
     (variant, doc_id, keeper_id)."""
     d1 = dedup_exact(spark, sf).select(
         F.lit("exact").alias("variant"), "doc_id", "keeper_id"
@@ -655,7 +691,13 @@ def dedup_exact_family(spark, sf):
     d4 = dedup_text_profile(spark, sf).select(
         F.lit("profile").alias("variant"), "doc_id", "keeper_id"
     )
-    return d1.unionByName(d2).unionByName(d3).unionByName(d4).orderBy("variant", "doc_id")
+    d5 = dedup_fingerprint(spark, sf).select(
+        F.lit("fingerprint").alias("variant"), "doc_id", "keeper_id"
+    )
+    return (
+        d1.unionByName(d2).unionByName(d3).unionByName(d4).unionByName(d5)
+        .orderBy("variant", "doc_id")
+    )
 
 
 DEDUP_EXACT_FAMILY_SQL = f"""
@@ -667,6 +709,8 @@ SELECT * FROM (
   SELECT 'cluster' AS variant, doc_id, keeper_id FROM ({DEDUP_CLUSTERS_SQL})
   UNION ALL
   SELECT 'profile' AS variant, doc_id, keeper_id FROM ({DEDUP_TEXT_PROFILE_SQL})
+  UNION ALL
+  SELECT 'fingerprint' AS variant, doc_id, keeper_id FROM ({DEDUP_FINGERPRINT_SQL})
 ) ORDER BY variant, doc_id
 """
 

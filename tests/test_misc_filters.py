@@ -1,0 +1,258 @@
+"""GT round 55 — the miscellaneous filter pack pinned bit-for-bit
+against the COMPILED reference filters (tools/lucene_ground_truth.py
+run_misc): Trim, Length, Truncate(+KeywordMarker), Capitalization,
+KeepWord, HyphenatedWords, Fingerprint, CodepointCount, DecimalDigit,
+ScandinavianNormalization/Folding, LimitTokenCount/Offset/Position,
+UpperCase, Apostrophe.
+
+Every comparison is on the full (term, posInc, startOffset, endOffset)
+stream over fuzzed text that deliberately includes the hard characters:
+NBSP (Java-non-whitespace), U+2028/U+001C (Java-whitespace), astral
+emoji (surrogate pairs), ß/İ/ı (case-mapping quirks), Arabic-Indic and
+astral Osmanya digits, and >255-unit runs (CharTokenizer split).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from lucene_solr_spark.analysis.misc_filters import (
+    apostrophe_filter,
+    capitalization_filter,
+    codepoint_count_filter,
+    decimal_digit_filter,
+    fingerprint_filter,
+    hyphenated_words_filter,
+    keep_word_filter,
+    keyword_token,
+    length_filter,
+    limit_token_count_filter,
+    limit_token_offset_filter,
+    limit_token_position_filter,
+    scandinavian_folding_filter,
+    scandinavian_normalization_filter,
+    trim_filter,
+    truncate_filter,
+    u16_len,
+    upper_case_filter,
+    whitespace_tokens,
+)
+
+gt = pytest.importorskip("tools.lucene_ground_truth")
+
+HAVE_GT = gt.build()
+pytestmark = pytest.mark.skipif(
+    not HAVE_GT, reason="javac / reference lucene-core unavailable"
+)
+
+# fuzz alphabet: plain words, hyphens, case quirks, astral, digits,
+# java-whitespace-vs-python-whitespace edge chars
+WORDS = [
+    "merge", "sort", "MERGE", "Sort.it", "a", "ab", "ÅngStröm", "straße",
+    "ıİiI", "x-", "-", "one-", "two", "O'neil", "don’t", "can't've",
+    "aa", "ae", "oe", "AaEoO", "ÄÖØ", "æøå", "x😀y", "😀", "١٢٣",
+    "\U000104A0\U000104A9", "a1.2b", "z" * 260, "a" * 255 + "b" * 10,
+    "Σίσυφος", "ΣΑΣ",
+]
+SPACES = [" ", "  ", "\t", " ", " ", "", "　", "\n"]
+
+
+def _fuzz_lines(seed: int, n: int, k: int = 8) -> list[str]:
+    rng = random.Random(seed)
+    lines = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(0, k)):
+            parts.append(rng.choice(WORDS))
+            parts.append(rng.choice(SPACES))
+        lines.append("".join(parts))
+    lines += ["", " ", " ", "one- two- three four-", "x- -y", "-"]
+    return lines
+
+
+def _wire(term: str) -> str:
+    """Java getBytes("UTF-16BE") replaces UNPAIRED surrogates with
+    U+FFFD on the harness wire; the in-memory char[] keeps them (a
+    truncate can split a pair). Normalize ours the same way."""
+    out = []
+    units = list(term)
+    i = 0
+    while i < len(units):
+        c = units[i]
+        if 0xD800 <= ord(c) <= 0xDBFF:
+            if i + 1 < len(units) and 0xDC00 <= ord(units[i + 1]) <= 0xDFFF:
+                out.append(c)
+                out.append(units[i + 1])
+                i += 2
+                continue
+            out.append("�")
+        elif 0xDC00 <= ord(c) <= 0xDFFF:
+            out.append("�")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _check(mode_lines, exp, got_fn, ctx=""):
+    for ln, e in zip(mode_lines, exp):
+        got = [(_wire(t), pi, s, x) for t, pi, s, x in got_fn(ln)]
+        assert got == e, (ctx, repr(ln), got, e)
+
+
+def test_trim_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5501, 120)
+    exp = gt.run_misc(lines, "trim")
+    _check(lines, exp, lambda ln: trim_filter(keyword_token(ln)), "trim")
+
+
+def test_length_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5502, 120)
+    for mn, mx in [(0, 3), (2, 5), (1, 255), (3, 3)]:
+        exp = gt.run_misc(lines, "length", mn, mx)
+        _check(lines, exp,
+               lambda ln: length_filter(whitespace_tokens(ln), mn, mx),
+               f"length {mn}:{mx}")
+
+
+def test_truncate_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5503, 120)
+    prot = ["merge", "x😀y", "straße"]
+    for n in [1, 2, 3, 5]:
+        exp = gt.run_misc(lines, "truncate", n, words=prot)
+        _check(lines, exp,
+               lambda ln: truncate_filter(
+                   whitespace_tokens(ln), n, frozenset(prot)),
+               f"truncate {n}")
+
+
+def test_capitalization_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5504, 100, k=5) + [
+        "a  b", "hello world. next", "the. of and", ". .. a.b.c",
+        "MIXED case KEEP me", "mcdonald macy o'neil",
+    ]
+    keep = ["KEEP", "and"]
+    prefixes = ["mc", "o'"]
+    combos = [
+        dict(only_first_word=True, force_first_letter=True,
+             min_word_length=0, max_word_count=0x7FFFFFFF,
+             max_token_length=0x7FFFFFFF, keep=None, ok_prefix=None),
+        dict(only_first_word=False, force_first_letter=True,
+             min_word_length=0, max_word_count=0x7FFFFFFF,
+             max_token_length=0x7FFFFFFF, keep=frozenset(keep),
+             ok_prefix=prefixes),
+        dict(only_first_word=False, force_first_letter=False,
+             min_word_length=3, max_word_count=3,
+             max_token_length=0x7FFFFFFF, keep=frozenset(keep),
+             ok_prefix=None),
+        dict(only_first_word=True, force_first_letter=True,
+             min_word_length=0, max_word_count=0x7FFFFFFF,
+             max_token_length=12, keep=None, ok_prefix=None),
+    ]
+    for c in combos:
+        exp = gt.run_misc(
+            lines, "cap",
+            1 if c["only_first_word"] else 0,
+            1 if c["force_first_letter"] else 0,
+            c["min_word_length"], c["max_word_count"], c["max_token_length"],
+            words=sorted(c["keep"]) if c["keep"] else [],
+            prefixes=c["ok_prefix"] or [],
+        )
+        _check(lines, exp,
+               lambda ln: capitalization_filter(keyword_token(ln), **c),
+               f"cap {c}")
+
+
+def test_keep_word_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5505, 120)
+    words = ["merge", "sort", "two", "😀", "straße"]
+    exp = gt.run_misc(lines, "keep", words=words)
+    _check(lines, exp,
+           lambda ln: keep_word_filter(whitespace_tokens(ln), frozenset(words)),
+           "keep")
+
+
+def test_hyphenated_words_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5506, 150)
+    exp = gt.run_misc(lines, "hyphen")
+    _check(lines, exp,
+           lambda ln: hyphenated_words_filter(whitespace_tokens(ln)),
+           "hyphen")
+
+
+def test_fingerprint_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5507, 120)
+    for max_size, sep in [(1024, " "), (10, "_"), (3, "|"), (0, " ")]:
+        exp = gt.run_misc(lines, "fingerprint", max_size,
+                          sep.encode("utf-16-be").hex())
+        _check(lines, exp,
+               lambda ln: fingerprint_filter(
+                   whitespace_tokens(ln), u16_len(ln), max_size, sep),
+               f"fingerprint {max_size} {sep!r}")
+
+
+def test_codepoint_count_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5508, 120)
+    for mn, mx in [(1, 3), (2, 300), (0, 1)]:
+        exp = gt.run_misc(lines, "cpcount", mn, mx)
+        _check(lines, exp,
+               lambda ln: codepoint_count_filter(whitespace_tokens(ln), mn, mx),
+               f"cpcount {mn}:{mx}")
+
+
+def test_decimal_digit_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5509, 120) + ["٠١٢٣٤٥٦٧٨٩", "\U000104A0x\U000104A5",
+                                      "½ ² ³", "๕๖ ३४"]
+    exp = gt.run_misc(lines, "decimal")
+    _check(lines, exp,
+           lambda ln: decimal_digit_filter(whitespace_tokens(ln)), "decimal")
+
+
+def test_scandinavian_filters_match_compiled_reference():
+    extra = ["aaa aao aae aeo", "AAa AEe OOo Oee", "åäö ÅÄÖ æøÆØ",
+             "aaaaaa oeoeoe", "xaaax xoex"]
+    lines = _fuzz_lines(5510, 120) + extra
+    exp = gt.run_misc(lines, "scannorm")
+    _check(lines, exp,
+           lambda ln: scandinavian_normalization_filter(whitespace_tokens(ln)),
+           "scannorm")
+    exp = gt.run_misc(lines, "scanfold")
+    _check(lines, exp,
+           lambda ln: scandinavian_folding_filter(whitespace_tokens(ln)),
+           "scanfold")
+
+
+def test_limit_filters_match_compiled_reference():
+    lines = _fuzz_lines(5511, 100)
+    for n in [1, 2, 5]:
+        for consume in (0, 1):
+            exp = gt.run_misc(lines, "limitcount", n, consume)
+            _check(lines, exp,
+                   lambda ln: limit_token_count_filter(whitespace_tokens(ln), n),
+                   f"limitcount {n}")
+            exp = gt.run_misc(lines, "limitpos", n, consume)
+            _check(lines, exp,
+                   lambda ln: limit_token_position_filter(
+                       whitespace_tokens(ln), n),
+                   f"limitpos {n}")
+    for off in [0, 4, 30]:
+        exp = gt.run_misc(lines, "limitoffset", off, 0)
+        _check(lines, exp,
+               lambda ln: limit_token_offset_filter(whitespace_tokens(ln), off),
+               f"limitoffset {off}")
+
+
+def test_upper_case_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5512, 120) + ["ß ẞ ﬁﬂ ǅǆ", "ıi İI", "𐐨𐐩 𐑉"]
+    exp = gt.run_misc(lines, "upper")
+    _check(lines, exp,
+           lambda ln: upper_case_filter(whitespace_tokens(ln)), "upper")
+
+
+def test_apostrophe_filter_matches_compiled_reference():
+    lines = _fuzz_lines(5513, 120) + ["'' ’x x’ mid'dle'end"]
+    exp = gt.run_misc(lines, "apostrophe")
+    _check(lines, exp,
+           lambda ln: apostrophe_filter(whitespace_tokens(ln)), "apostrophe")

@@ -2803,6 +2803,132 @@ public class GroundTruthPath {
 """
 
 
+MISC_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.DecimalDigitFilter;
+import org.apache.lucene.analysis.core.KeywordTokenizer;
+import org.apache.lucene.analysis.core.UpperCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.miscellaneous.CapitalizationFilter;
+import org.apache.lucene.analysis.miscellaneous.CodepointCountFilter;
+import org.apache.lucene.analysis.miscellaneous.FingerprintFilter;
+import org.apache.lucene.analysis.miscellaneous.HyphenatedWordsFilter;
+import org.apache.lucene.analysis.miscellaneous.KeepWordFilter;
+import org.apache.lucene.analysis.miscellaneous.LengthFilter;
+import org.apache.lucene.analysis.miscellaneous.LimitTokenCountFilter;
+import org.apache.lucene.analysis.miscellaneous.LimitTokenOffsetFilter;
+import org.apache.lucene.analysis.miscellaneous.LimitTokenPositionFilter;
+import org.apache.lucene.analysis.miscellaneous.ScandinavianFoldingFilter;
+import org.apache.lucene.analysis.miscellaneous.ScandinavianNormalizationFilter;
+import org.apache.lucene.analysis.miscellaneous.SetKeywordMarkerFilter;
+import org.apache.lucene.analysis.miscellaneous.TrimFilter;
+import org.apache.lucene.analysis.miscellaneous.TruncateTokenFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tr.ApostropheFilter;
+import org.apache.lucene.analysis.util.CharArraySet;
+
+public class GroundTruthMisc {
+  public static void main(String[] args) throws Exception {
+    String mode = args[0];
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    java.util.List<String> words = new java.util.ArrayList<>();
+    java.util.List<char[]> prefixes = new java.util.ArrayList<>();
+    if (mode.equals("truncate") || mode.equals("keep") || mode.equals("cap")) {
+      int n = Integer.parseInt(in.readLine().trim());
+      for (int i = 0; i < n; i++) words.add(unhex(in.readLine()));
+      if (mode.equals("cap")) {
+        int m = Integer.parseInt(in.readLine().trim());
+        for (int i = 0; i < m; i++) prefixes.add(unhex(in.readLine()).toCharArray());
+      }
+    }
+    CharArraySet wset = new CharArraySet(words, false);
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      Tokenizer tok = (mode.equals("trim") || mode.equals("cap"))
+          ? new KeywordTokenizer() : new WhitespaceTokenizer();
+      tok.setReader(new StringReader(text));
+      TokenStream ts;
+      switch (mode) {
+        case "trim": ts = new TrimFilter(tok); break;
+        case "length":
+          ts = new LengthFilter(tok, Integer.parseInt(args[1]), Integer.parseInt(args[2]));
+          break;
+        case "truncate":
+          ts = new TruncateTokenFilter(
+              new SetKeywordMarkerFilter(tok, wset), Integer.parseInt(args[1]));
+          break;
+        case "cap":
+          ts = new CapitalizationFilter(tok, args[1].equals("1"),
+              words.isEmpty() ? null : wset, args[2].equals("1"),
+              prefixes.isEmpty() ? null : prefixes, Integer.parseInt(args[3]),
+              Integer.parseInt(args[4]), Integer.parseInt(args[5]));
+          break;
+        case "keep": ts = new KeepWordFilter(tok, wset); break;
+        case "hyphen": ts = new HyphenatedWordsFilter(tok); break;
+        case "fingerprint":
+          ts = new FingerprintFilter(tok, Integer.parseInt(args[1]),
+              unhex(args[2]).charAt(0));
+          break;
+        case "cpcount":
+          ts = new CodepointCountFilter(tok, Integer.parseInt(args[1]),
+              Integer.parseInt(args[2]));
+          break;
+        case "decimal": ts = new DecimalDigitFilter(tok); break;
+        case "scannorm": ts = new ScandinavianNormalizationFilter(tok); break;
+        case "scanfold": ts = new ScandinavianFoldingFilter(tok); break;
+        case "limitcount":
+          ts = new LimitTokenCountFilter(tok, Integer.parseInt(args[1]),
+              args[2].equals("1"));
+          break;
+        case "limitpos":
+          ts = new LimitTokenPositionFilter(tok, Integer.parseInt(args[1]),
+              args[2].equals("1"));
+          break;
+        case "limitoffset":
+          ts = new LimitTokenOffsetFilter(tok, Integer.parseInt(args[1]),
+              args[2].equals("1"));
+          break;
+        case "upper": ts = new UpperCaseFilter(tok); break;
+        case "apostrophe": ts = new ApostropheFilter(tok); break;
+        default: throw new IllegalArgumentException(mode);
+      }
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3661,6 +3787,42 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # miscellaneous filter pack (GT round 55) — Trim/Length/Truncate/
+    # Capitalization/KeepWord/Hyphenated/Fingerprint/CodepointCount/
+    # Decimal/Scandinavian/Limit*/UpperCase/Apostrophe; deps (CharArraySet,
+    # StemmerUtil, FilteringTokenFilter, CharacterUtils) resolve via
+    # sourcepath + the compiled core
+    misc_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/miscellaneous/FingerprintFilter.class"
+    )
+    if not os.path.exists(misc_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/miscellaneous/TrimFilter.java",
+             f"{ac_root}/miscellaneous/LengthFilter.java",
+             f"{ac_root}/miscellaneous/TruncateTokenFilter.java",
+             f"{ac_root}/miscellaneous/CapitalizationFilter.java",
+             f"{ac_root}/miscellaneous/KeepWordFilter.java",
+             f"{ac_root}/miscellaneous/HyphenatedWordsFilter.java",
+             f"{ac_root}/miscellaneous/FingerprintFilter.java",
+             f"{ac_root}/miscellaneous/CodepointCountFilter.java",
+             f"{ac_root}/miscellaneous/ScandinavianFoldingFilter.java",
+             f"{ac_root}/miscellaneous/ScandinavianNormalizationFilter.java",
+             f"{ac_root}/miscellaneous/LimitTokenCountFilter.java",
+             f"{ac_root}/miscellaneous/LimitTokenOffsetFilter.java",
+             f"{ac_root}/miscellaneous/LimitTokenPositionFilter.java",
+             f"{ac_root}/core/DecimalDigitFilter.java",
+             f"{ac_root}/core/KeywordTokenizer.java",
+             f"{ac_root}/core/UpperCaseFilter.java",
+             f"{ac_root}/tr/ApostropheFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # keyword-marker cluster (miscellaneous): KeywordRepeat +
     # SetKeywordMarker + RemoveDuplicates — KeywordAttribute + the
     # already-compiled PorterStemFilter
@@ -3774,6 +3936,7 @@ def build() -> bool:
         ("GroundTruthNGram", NGRAM_JAVA),
         ("GroundTruthPattern", PATTERN_JAVA),
         ("GroundTruthPath", PATH_JAVA),
+        ("GroundTruthMisc", MISC_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -4931,6 +5094,34 @@ def run_path(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPath",
          "reverse" if reverse else "forward", delimiter, replacement, str(skip)],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
+
+
+def run_misc(
+    lines: list[str], mode: str, *args: object,
+    words: list[str] | None = None, prefixes: list[str] | None = None,
+) -> list[list[tuple]]:
+    """GT round 55 — miscellaneous filter pack. `mode` selects the chain
+    (see GroundTruthMisc); inputs/word sets ride hex16. Returns per line
+    (term, posInc, start, end) streams."""
+    payload: list[str] = []
+    if mode in ("truncate", "keep", "cap"):
+        ws = words or []
+        payload.append(str(len(ws)))
+        payload.extend(_hex16(w) for w in ws)
+        if mode == "cap":
+            ps = prefixes or []
+            payload.append(str(len(ps)))
+            payload.extend(_hex16(p) for p in ps)
+    payload.extend(_hex16(ln) for ln in lines)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMisc",
+         mode, *[str(a) for a in args]],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
     )
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
