@@ -439,6 +439,12 @@ def _porter_map(term: str) -> str:
     return porter_stem(term)
 
 
+def _porter2_map(term: str) -> str:
+    from lucene_solr_spark.analysis.snowball_en import porter2_stem
+
+    return porter2_stem(term)
+
+
 #: DelimitedPayloadTokenFilter.DEFAULT_DELIMITER
 #: (analysis/payloads/DelimitedPayloadTokenFilter.java:40)
 PAYLOAD_DELIMITER = "|"
@@ -621,6 +627,11 @@ ANALYZERS: dict = {
     # EnglishAnalyzer: possessive+lower inside tok_fn (len/alnum filters
     # applied there too), stop from the flag, Porter stem as the map
     "english": (_english_raw, True, False, _porter_map),
+    # EnglishAnalyzer with SnowballFilter(English) instead of the Porter1
+    # tail — the SnowballPorterFilterFactory chain Solr schemas name
+    # language="English". Porter2 stem pinned vs the compiled
+    # org.tartarus.snowball machine (GT round 56, analysis/snowball_en.py)
+    "english_snowball": (_english_raw, True, False, _porter2_map),
     "folding": (_folding_raw, True, False, None),
     "shingle": (_shingle_raw, False, False, None),
     # WhitespaceTokenizer + DelimitedPayloadTokenFilter(FloatEncoder):

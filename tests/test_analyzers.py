@@ -672,3 +672,43 @@ def test_path_hierarchy_chain_directory_drilldown(spark, tmp_root):
     assert hits == {0}
     hits = {r["doc_id"] for r in s2.topk("index.md", k=10).collect()}
     assert hits == {3}
+
+
+def test_english_snowball_index_stems_meet(spark, tmp_root):
+    """'english_snowball' chain (GT round 56): EnglishAnalyzer shape with
+    the Snowball English (Porter2) tail — stems meet across inflections
+    where Porter1 and Porter2 AGREE, and the Porter2-specific forms
+    (exception list, short-word e-restore) index as pinned."""
+    from lucene_solr_spark.analysis.snowball_en import porter2_stem
+    from lucene_solr_spark.analysis.tokenizer import analyze_as
+
+    d = os.path.join(tmp_root, "idx_english_snowball")
+    src = spark.createDataFrame(
+        [
+            (0, "the dogs were running fast"),
+            (1, "he runs a marathon hoping to win"),
+            (2, "a run in the park while hopping"),
+            (3, "dying flies lying around"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-english-snowball",
+        analyzer="english_snowball",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    # Porter2 specifics: hoping->hope (e restored), hopping->hop
+    # (undoubled), dying->die (exception1), flies->fli, lying->lie
+    assert {"hope", "hop", "die", "fli", "lie", "run", "dog"} <= terms
+    assert "hoping" not in terms and "dying" not in terms
+    # the stem meets across inflections end-to-end
+    hits = {r["doc_id"] for r in s.topk("run", k=10).collect()}
+    assert hits == {0, 1, 2}
+    hits = {r["doc_id"] for r in s.topk("dies", k=10).collect()}
+    assert hits == {3}
+    # query side runs the same chain
+    assert analyze_as("english_snowball", "Hoping to Die") == ["hope", "die"]
+    # gener- R1-prefix rule: generalization keeps the gener stem region
+    assert porter2_stem("generalization") == "general"

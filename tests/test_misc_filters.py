@@ -256,3 +256,56 @@ def test_apostrophe_filter_matches_compiled_reference():
     exp = gt.run_misc(lines, "apostrophe")
     _check(lines, exp,
            lambda ln: apostrophe_filter(whitespace_tokens(ln)), "apostrophe")
+
+
+def test_snowball_english_matches_compiled_reference():
+    """GT round 56 — the Snowball English (Porter2) stemmer: fuzzed
+    tokens through Whitespace + LowerCase + SnowballFilter(English)
+    stem identically to the compiled org.tartarus.snowball machine —
+    pinning exception lists, the gener/commun/arsen R1 prefixes,
+    longest-match-blocks-shorter among semantics, apostrophe step 0,
+    the consonant-Y marking, and the short-word +e rule."""
+    from lucene_solr_spark.analysis.snowball_en import porter2_stem
+    from lucene_solr_spark.analysis.tokenizer import _java_lower
+
+    rng = random.Random(5656)
+    stems = ["run", "hop", "hope", "cry", "tie", "die", "free", "agree",
+             "consign", "gener", "generat", "commun", "communic", "arsen",
+             "nation", "rat", "ration", "sens", "abil", "brutal", "good",
+             "beauti", "bee", "tr", "y", "say", "enjoy", "toy", "by"]
+    sufs = ["", "s", "es", "ies", "ied", "ed", "ing", "ingly", "edly",
+            "eed", "eedly", "sses", "ss", "us", "'s", "'s'", "'",
+            "ational", "tional", "enci", "anci", "abli", "entli", "izer",
+            "ization", "ation", "ator", "alism", "aliti", "alli",
+            "fulness", "ousli", "ousness", "iveness", "iviti", "biliti",
+            "bli", "ogi", "fulli", "lessli", "li", "alize", "icate",
+            "iciti", "ical", "ful", "ness", "ative", "al", "ance", "ence",
+            "er", "ic", "able", "ible", "ant", "ement", "ment", "ent",
+            "ism", "ate", "iti", "ous", "ive", "ize", "ion", "e", "l",
+            "ll", "y", "Y"]
+    fixed = ["skis skies dying lying tying idly gently ugly early only",
+             "singly sky news howe atlas cosmos bias andes",
+             "inning outing canning herring earring proceed exceed succeed",
+             "innings proceeds 'twas y ye yes eye bye ''",
+             "generate generalization communicate arsenal arsenic",
+             "crying spraying sprayed pirating hopping hoppings",
+             "a ab abe ya ay '", "dry dried drying fly flies flying"]
+    lines = list(fixed)
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            w = rng.choice(stems) + rng.choice(sufs)
+            if rng.random() < 0.15:
+                w += rng.choice(sufs)
+            if rng.random() < 0.1:
+                w = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz'y")
+                            for _ in range(rng.randint(1, 7)))
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines)
+
+    def mine(ln):
+        return [(porter2_stem(_java_lower(t)), pi, s, e)
+                for t, pi, s, e in whitespace_tokens(ln)]
+
+    _check(lines, exp, mine, "snowball-en")

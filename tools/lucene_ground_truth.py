@@ -2929,6 +2929,58 @@ public class GroundTruthMisc {
 """
 
 
+SNOWBALL_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.snowball.SnowballFilter;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+
+public class GroundTruthSnowball {
+  public static void main(String[] args) throws Exception {
+    String lang = args.length > 0 ? args[0] : "English";
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      WhitespaceTokenizer tok = new WhitespaceTokenizer();
+      tok.setReader(new StringReader(text));
+      TokenStream ts = new SnowballFilter(new LowerCaseFilter(tok), lang);
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3823,6 +3875,27 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # snowball (GT round 56): org.tartarus.snowball program + the English
+    # (Porter2) generated stemmer + the SnowballFilter wrapper
+    sn_marker = os.path.join(
+        CLASSES, "org/tartarus/snowball/ext/EnglishStemmer.class"
+    )
+    if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
+        tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{tart}/Among.java",
+             f"{tart}/SnowballProgram.java",
+             f"{tart}/ext/EnglishStemmer.java",
+             f"{ac_root}/snowball/SnowballFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # keyword-marker cluster (miscellaneous): KeywordRepeat +
     # SetKeywordMarker + RemoveDuplicates — KeywordAttribute + the
     # already-compiled PorterStemFilter
@@ -3937,6 +4010,7 @@ def build() -> bool:
         ("GroundTruthPattern", PATTERN_JAVA),
         ("GroundTruthPath", PATH_JAVA),
         ("GroundTruthMisc", MISC_JAVA),
+        ("GroundTruthSnowball", SNOWBALL_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5120,6 +5194,20 @@ def run_misc(
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMisc",
          mode, *[str(a) for a in args]],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return _parse_revwild_lines(r.stdout)
+
+
+def run_snowball(lines: list[str], lang: str = "English") -> list[list[tuple]]:
+    """GT round 56 — Whitespace + LowerCase + SnowballFilter(lang).
+    Returns per line (term, posInc, start, end) streams."""
+    payload = [_hex16(ln) for ln in lines]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSnowball", lang],
         input="\n".join(payload) + "\n", capture_output=True, text=True,
         timeout=600,
     )
