@@ -2817,6 +2817,112 @@ FROM r ORDER BY doc_id
 """
 
 
+#: html_clean synth template pieces — the wrapped page exercises
+#: DOCTYPE removal, block/inline tags, attributes, entities, a script
+#: body holding a decoy close-quote, a comment, and <br>
+_HTML_PRE = '<!DOCTYPE html><html><body onload="init()"><p class="d'
+_HTML_MID = '">'
+_HTML_POST1 = '</p><br><script>var s="</script><!-- c'
+_HTML_POST2 = " --></body></html>"
+
+
+def html_clean(spark, sf):
+    """HTML boilerplate stripping — the FIRST stage of a web-scale
+    pre-training pipeline. Each document is wrapped in a deterministic
+    page (DOCTYPE + html/body/p with attributes + entity-escaped text +
+    br + a script whose body hides a decoy quote + a comment) and the
+    REAL HTMLStripCharFilter port (analysis/htmlstrip.py — pinned
+    bit-for-bit vs the compiled jflex scanner, GT round 57) strips it in
+    one zero-shuffle Arrow stage. Because strip(synthesize(text)) has a
+    closed form ('\\n'*3 + text + '\\n'*5), the DuckDB oracle value-checks
+    every byte the parser produced without running Python. At 100 TB
+    this is a map-only pass bounded by the text scan."""
+    from lucene_solr_spark.analysis.htmlstrip import html_strip
+
+    d = _docs(spark, sf)
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    page = F.concat(
+        F.lit(_HTML_PRE), F.col("doc_id").cast("string"), F.lit(_HTML_MID),
+        esc, F.lit(_HTML_POST1), F.col("doc_id").cast("string"),
+        F.lit(_HTML_POST2),
+    )
+    src = _spread(d.select("doc_id", page.alias("page")))
+
+    def strip_batch(it):
+        for pdf in it:
+            cleaned = [html_strip(p)[0] for p in pdf["page"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": [len(p) for p in pdf["page"]],
+                    "clean_len": [len(c) for c in cleaned],
+                    "clean_fp": [
+                        hashlib.sha256(c.encode()).hexdigest()[:16]
+                        for c in cleaned
+                    ],
+                }
+            )
+
+    out = src.mapInPandas(
+        strip_batch,
+        "doc_id long, raw_len long, clean_len long, clean_fp string",
+    )
+    return out.select(
+        "doc_id", "raw_len", "clean_len",
+        (F.col("raw_len") - F.col("clean_len")).alias("removed"),
+        "clean_fp",
+    ).orderBy("doc_id")
+
+
+HTML_CLEAN_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}'
+           || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           || '{_HTML_POST1}' || CAST(doc_id AS VARCHAR) || '{_HTML_POST2}'
+           AS page,
+         repeat(chr(10), 3) || text || repeat(chr(10), 5) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(page) AS BIGINT) AS raw_len,
+       CAST(len(clean) AS BIGINT) AS clean_len,
+       CAST(len(page) - len(clean) AS BIGINT) AS removed,
+       substr(sha256(clean), 1, 16) AS clean_fp
+FROM pages ORDER BY doc_id
+"""
+
+
+def scrub_clean(spark, sf):
+    """Scrub/clean family as one tagged union: PII redaction (pii_scrub)
+    + HTML boilerplate stripping (html_clean), melted onto a common
+    (variant, doc_id, c1, c2, c3, fp) schema."""
+    p = pii_scrub(spark, sf).select(
+        F.lit("pii").alias("variant"), "doc_id",
+        F.col("n_email").alias("c1"), F.col("n_ipv4").alias("c2"),
+        F.col("n_phone").alias("c3"), F.col("redacted_fp").alias("fp"),
+    )
+    h = html_clean(spark, sf).select(
+        F.lit("html").alias("variant"), "doc_id",
+        F.col("raw_len").alias("c1"), F.col("clean_len").alias("c2"),
+        F.col("removed").alias("c3"), F.col("clean_fp").alias("fp"),
+    )
+    return p.unionByName(h).orderBy("variant", "doc_id")
+
+
+SCRUB_CLEAN_SQL = f"""
+SELECT * FROM (
+  SELECT 'pii' AS variant, doc_id, n_email AS c1, n_ipv4 AS c2,
+         n_phone AS c3, redacted_fp AS fp FROM ({PII_SCRUB_SQL})
+  UNION ALL
+  SELECT 'html' AS variant, doc_id, raw_len AS c1, clean_len AS c2,
+         removed AS c3, clean_fp AS fp FROM ({HTML_CLEAN_SQL})
+) ORDER BY variant, doc_id
+"""
+
+
 CONTAM_EVAL_MOD = 37  # doc_id % 37 == 0 -> held-out "benchmark" doc
 CONTAM_K = 5  # word n-gram width for the overlap test
 
@@ -2887,7 +2993,8 @@ OPS: dict[str, tuple] = {
     # LAZY callable (centroids are data-dependent literals)
     "ann_family": (ann_family, ann_family_sql),
     "lang_id": (lang_id, LANG_ID_SQL),
-    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    # pii_scrub + html_clean melted into one scrub/clean union
+    "scrub_clean": (scrub_clean, SCRUB_CLEAN_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "quality_gopher": (quality_gopher, QUALITY_GOPHER_SQL),

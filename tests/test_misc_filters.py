@@ -309,3 +309,50 @@ def test_snowball_english_matches_compiled_reference():
                 for t, pi, s, e in whitespace_tokens(ln)]
 
     _check(lines, exp, mine, "snowball-en")
+
+
+def test_html_strip_matches_compiled_reference():
+    """GT round 57 — HTMLStripCharFilter: fuzzed HTML soup strips to the
+    identical text AND correctOffset map as the compiled jflex scanner —
+    pinning inline-vs-block tag treatment, br/script/style substitution,
+    comment/SSI/CDATA handling, the entity tables with their length caps
+    and surrogate-pair forms, and every fallback-to-literal path."""
+    from lucene_solr_spark.analysis.htmlstrip import html_strip
+    from lucene_solr_spark.analysis.misc_filters import u16_len
+
+    rng = random.Random(5757)
+    frags = [
+        "plain text ", "a<b", "x>y", "<p>", "</p>", "<P >", "< p>",
+        "<br>", "<BR/>", "<br >", "</br>", "</ br >", "<b>", "</b>",
+        "<span class='x'>", "</span>", "<div>", "</div>", "</div x>",
+        "<div a=1 b='2'>", "<div a=\"x>y\">", "<div onclick='a>b'>",
+        "<div onclick = \"c>d\" e=f>", "<img src='u'/>", "<input/>",
+        "&amp;", "&lt;", "&gt;", "&nbsp;", "&sup1;", "&supe;", "&sup",
+        "&bogus;", "&amp", "&AMP;", "&aMp;", "&#65;", "&#x41;", "&#65",
+        "&#xD835;&#xDD4A;", "&#55357;&#56832;", "&#55296;x", "&#xDEAD;",
+        "&#1114111;", "&#1114112;", "&#x10FFFF;", "&#12345678;", "&#", "&",
+        "<!-- comment -->", "<!--unterminated", "<!-- a <!--# b='-->' -->",
+        "<!DOCTYPE html>", "<!doctype", "<![CDATA[raw <b> &amp;]]>",
+        "<![CDATA[open", "<!a-->", "<!>",
+        "<script>var a='</script>';</script>", "<script>x</script>",
+        "<script a=b>y</script>", "<script><!-- '</script>' --></script>",
+        "<style>p{}</style>", "<style><!-- x --></style>",
+        "<?php echo '>'; ?>", "<?xml version='1.0'?>", "<? bogus >",
+        "<", ">", "</", "</>", "< >", "<5>", "<a", "<div ", "<div",
+        "<em>", "</em >", "<tt>", "<unknown>", "</unknown>",
+        "\n", "  ", "😀", "ß", "<ß>", "</ß>", "<名前>", "text&text",
+    ]
+    lines = []
+    for _ in range(150):
+        lines.append("".join(
+            rng.choice(frags) for _ in range(rng.randint(0, 10))))
+    lines += ["", "<", "&", "<!", "<!-", "<!--", "<script>", "<style>x",
+              "<b", "</b", "<b ", "</b ", "&#x", "&#"]
+
+    for escaped in (None, ["b", "DIV", "br", "script"]):
+        exp = gt.run_htmlstrip(lines, escaped)
+        for ln, (etext, eoffs) in zip(lines, exp):
+            got, om = html_strip(ln, escaped)
+            goffs = [om.correct(i) for i in range(u16_len(got) + 1)]
+            assert got == etext, (escaped, repr(ln), repr(got), repr(etext))
+            assert goffs == eoffs, (escaped, repr(ln), goffs, eoffs)

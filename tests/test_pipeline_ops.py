@@ -27,7 +27,7 @@ SUBSET = [
     "multimodal_decode",
     "graph_bfs",
     "sessionize",
-    "pii_scrub",
+    "scrub_clean",
     "contamination_check",
 ]
 

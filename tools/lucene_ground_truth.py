@@ -2981,6 +2981,54 @@ public class GroundTruthSnowball {
 """
 
 
+HTMLSTRIP_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.CharFilter;
+import org.apache.lucene.analysis.charfilter.HTMLStripCharFilter;
+
+public class GroundTruthHtmlStrip {
+  public static void main(String[] args) throws Exception {
+    java.util.Set<String> escaped = null;
+    if (args.length > 0 && !args[0].isEmpty()) {
+      escaped = new java.util.HashSet<>();
+      for (String t : args[0].split(",")) escaped.add(unhex(t));
+    }
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      CharFilter cf = escaped == null
+          ? new HTMLStripCharFilter(new StringReader(text))
+          : new HTMLStripCharFilter(new StringReader(text), escaped);
+      StringBuilder outText = new StringBuilder();
+      int c;
+      while ((c = cf.read()) != -1) outText.append((char) c);
+      sb.setLength(0);
+      byte[] bb = outText.toString().getBytes("UTF-16BE");
+      for (byte x : bb) sb.append(String.format("%02x", x));
+      sb.append("|");
+      for (int i = 0; i <= outText.length(); i++) {
+        if (i > 0) sb.append(",");
+        sb.append(cf.correctOffset(i));
+      }
+      cf.close();
+      System.out.println(sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3875,6 +3923,23 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # HTMLStripCharFilter (GT round 57) — the generated jflex scanner
+    # compiles against BaseCharFilter + OpenStringBuilder via sourcepath
+    hs_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.class"
+    )
+    if not os.path.exists(hs_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/charfilter/HTMLStripCharFilter.java"],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
@@ -4011,6 +4076,7 @@ def build() -> bool:
         ("GroundTruthPath", PATH_JAVA),
         ("GroundTruthMisc", MISC_JAVA),
         ("GroundTruthSnowball", SNOWBALL_JAVA),
+        ("GroundTruthHtmlStrip", HTMLSTRIP_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5200,6 +5266,31 @@ def run_misc(
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return _parse_revwild_lines(r.stdout)
+
+
+def run_htmlstrip(
+    lines: list[str], escaped_tags: list[str] | None = None,
+) -> list[tuple[str, list[int]]]:
+    """GT round 57 — HTMLStripCharFilter over each line. Returns per
+    line (stripped text, correctOffset for every output offset 0..len)."""
+    esc = ",".join(_hex16(t) for t in (escaped_tags or []))
+    payload = [_hex16(ln) for ln in lines]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthHtmlStrip", esc],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        hx, offs = ln.split("|")
+        text = bytes.fromhex(hx).decode("utf-16-be") if hx else ""
+        out.append((text, [int(x) for x in offs.split(",")]))
+    return out
 
 
 def run_snowball(lines: list[str], lang: str = "English") -> list[list[tuple]]:
