@@ -2696,12 +2696,64 @@ def recency_boost_query(spark, sf):
     )
 
 
+#: the gate's expression-language sort source (lucene/expressions):
+#: exercises functions, ?: with its d2i truthiness, %, & on longs, and
+#: min/floor — all exact IEEE ops, so Spark and DuckDB agree bit-for-bit
+EXPRESSION_SORT_SRC = (
+    "sqrt(n_chars) + ((n_chars % 7) < 3 ? 2.5 : 0.25) * abs(n_chars - 60)"
+    " + (doc_id & 0xF) - min(n_chars / 8, floor(doc_id / 100))"
+)
+
+
+def expression_sort_query(spark, sf):
+    """ExpressionSortField / ExpressionValueSource (lucene/expressions/
+    ExpressionSortField.java, SimpleBindings.java): rank documents by a
+    COMPILED JavaScript-language expression over bound per-doc values.
+    The expression compiles to one Catalyst Column (whole-stage codegen,
+    no UDF) via search/expressions.py — the Spark analog of
+    JavascriptCompiler's bytecode — and the oracle SQL is compiled from
+    the SAME parse tree for DuckDB."""
+    from lucene_solr_spark.search.expressions import (
+        parse_expression,
+        to_spark_column,
+    )
+
+    node = parse_expression(EXPRESSION_SORT_SRC)
+    d = _t(spark, sf, "documents")
+    col = to_spark_column(
+        node,
+        {"n_chars": F.col("n_chars"), "doc_id": F.col("doc_id")},
+    )
+    return (
+        d.select("doc_id", col.alias("escore"))
+        .orderBy(F.col("escore").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _expression_sort_sql() -> str:
+    from lucene_solr_spark.search.expressions import (
+        parse_expression,
+        to_duckdb_sql,
+    )
+
+    expr = to_duckdb_sql(
+        parse_expression(EXPRESSION_SORT_SRC),
+        {"n_chars": "n_chars", "doc_id": "doc_id"},
+    )
+    return (
+        f"SELECT doc_id, {expr} AS escore FROM documents "
+        "ORDER BY escore DESC, doc_id ASC LIMIT 20"
+    )
+
+
 def function_query_combined(spark, sf):
     """ValueSource function query + CustomScoreQuery + Solr recency boost
-    as one tagged union (same 50-row-gate consolidation as `facets`).
-    The valuesource variant's val is the exact f64 fscore; custom_score
-    and recency_boost carry their RANK (scores mix f32 and f64 — see
-    custom_score_query)."""
+    + the expressions module as one tagged union (same 50-row-gate
+    consolidation as `facets`). The valuesource variant's val is the
+    exact f64 fscore, expression's the exact f64 compiled-expression
+    value; custom_score and recency_boost carry their RANK (scores mix
+    f32 and f64 — see custom_score_query)."""
     v1 = function_query(spark, sf).select(
         F.lit("valuesource").alias("variant"), "doc_id", F.col("fscore").alias("val")
     )
@@ -2711,8 +2763,12 @@ def function_query_combined(spark, sf):
     v3 = recency_boost_query(spark, sf).select(
         F.lit("recency_boost").alias("variant"), "doc_id", F.col("rrank").cast("double").alias("val")
     )
+    v4 = expression_sort_query(spark, sf).select(
+        F.lit("expression").alias("variant"), "doc_id",
+        F.col("escore").alias("val"),
+    )
     return (
-        v1.unionByName(v2).unionByName(v3)
+        v1.unionByName(v2).unionByName(v3).unionByName(v4)
         .orderBy("variant", F.col("val").desc(), "doc_id")
     )
 
@@ -2731,6 +2787,8 @@ SELECT * FROM (
   SELECT 'custom_score', doc_id, CAST(crank AS DOUBLE) FROM ({custom_score_sql("merge sort", first_n=50, k=20)})
   UNION ALL
   SELECT 'recency_boost', doc_id, CAST(rrank AS DOUBLE) FROM ({recency})
+  UNION ALL
+  SELECT 'expression', doc_id, escore FROM ({_expression_sort_sql()})
 ) ORDER BY variant, val DESC, doc_id
 """
 

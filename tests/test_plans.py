@@ -263,3 +263,15 @@ def test_spellcheck_neighborhood_only_arrow_stage(spark):
     assert "term_stats" in plan
     assert "documents" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_expression_sort_pure_codegen(spark):
+    """The compiled JS-language expression (lucene/expressions analog)
+    must stay a JVM-side codegen projection — no Python UDF stage — and
+    top-k must be a bounded TakeOrderedAndProject, never a global sort
+    exchange."""
+    df = R.expression_sort_query(spark, SF)
+    plan = _plan(df)
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
