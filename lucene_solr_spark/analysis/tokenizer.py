@@ -402,6 +402,17 @@ def _english_raw(t: str) -> list[str]:
     return [strip_possessive(x) for x in _tokenize_lowered(t)]
 
 
+def _classic_raw(t: str) -> list[str]:
+    """ClassicAnalyzer pre-stop stream (standard/ClassicAnalyzer.java
+    createComponents): ClassicTokenizer -> ClassicFilter -> LowerCase.
+    Emails/hosts/acronyms/serials stay single tokens (GT round 58,
+    analysis/classic.py — pinned vs the compiled scanner). The StopFilter
+    tail comes from the registry flag."""
+    from lucene_solr_spark.analysis.classic import classic_tokens
+
+    return [_java_lower(term) for term, _ty, _pi, _s, _e in classic_tokens(t)]
+
+
 def _folding_raw(t: str) -> list[str]:
     """standard chain + ASCIIFoldingFilter (analysis/miscellaneous/
     ASCIIFoldingFilter.java) applied after lowercasing."""
@@ -633,6 +644,9 @@ ANALYZERS: dict = {
     # org.tartarus.snowball machine (GT round 56, analysis/snowball_en.py)
     "english_snowball": (_english_raw, True, False, _porter2_map),
     "folding": (_folding_raw, True, False, None),
+    # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
+    # serial numbers as single searchable terms (GT round 58)
+    "classic": (_classic_raw, True, False, None),
     "shingle": (_shingle_raw, False, False, None),
     # WhitespaceTokenizer + DelimitedPayloadTokenFilter(FloatEncoder):
     # the canonical payload field chain (the filter requires a tokenizer

@@ -712,3 +712,37 @@ def test_english_snowball_index_stems_meet(spark, tmp_root):
     assert analyze_as("english_snowball", "Hoping to Die") == ["hope", "die"]
     # gener- R1-prefix rule: generalization keeps the gener stem region
     assert porter2_stem("generalization") == "general"
+
+
+def test_classic_index_keeps_emails_and_hosts(spark, tmp_root):
+    """'classic' chain (GT round 58): the pre-3.1 grammar indexes
+    emails, hostnames, acronyms (dots stripped), and serial numbers as
+    SINGLE terms, so they are searchable exactly — the reason this
+    analyzer survives in identifier-heavy corpora."""
+    from lucene_solr_spark.analysis.tokenizer import analyze_as
+
+    d = os.path.join(tmp_root, "idx_classic")
+    src = spark.createDataFrame(
+        [
+            (0, "contact Dev@Example.COM about the U.S.A. release"),
+            (1, "host www.example.com runs build X99-12/34"),
+            (2, "plain words only here"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-classic",
+        analyzer="classic",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    assert {"dev@example.com", "usa", "www.example.com", "x99-12/34"} <= terms
+    hits = {r["doc_id"] for r in s.topk("dev@example.com", k=10).collect()}
+    assert hits == {0}
+    hits = {r["doc_id"] for r in s.topk("x99-12/34", k=10).collect()}
+    assert hits == {1}
+    # query side runs the same chain (stopwords removed by the tail)
+    assert analyze_as("classic", "The U.S.A. Dev@Example.COM") == [
+        "usa", "dev@example.com",
+    ]

@@ -356,3 +356,44 @@ def test_html_strip_matches_compiled_reference():
             goffs = [om.correct(i) for i in range(u16_len(got) + 1)]
             assert got == etext, (escaped, repr(ln), repr(got), repr(etext))
             assert goffs == eoffs, (escaped, repr(ln), goffs, eoffs)
+
+
+def test_classic_tokenizer_matches_compiled_reference():
+    """GT round 58 — ClassicTokenizer + ClassicFilter (the pre-3.1
+    standard grammar): fuzzed text streams match the compiled scanner on
+    (term, type, posInc, offsets) — pinning the EMAIL/HOST/NUM/ACRONYM/
+    COMPANY/APOSTROPHE longest-match interplay, the alternating
+    has-digit NUM families, CJ single-char tokens, ACRONYM_DEP's retype
+    to <HOST>, the 's / dot post-filter, and the skip-not-split
+    maxTokenLength rule."""
+    from lucene_solr_spark.analysis.classic import classic_scan, classic_tokens
+
+    rng = random.Random(5859)
+    frags = [
+        "word", "Word2", "O'Reilly's", "you're", "can't", "U.S.A.",
+        "I.B.M.", "AT&T", "Excite@Home", "a@b.c", "dev@example.com",
+        "a-b_c@my-host.co.uk", "x@y", "@", "&", "www.example.com",
+        "a.b", "a.b.", "ab.cd.ef", "3.1415", "192.168.0.1", "X99-12/34",
+        "2,5", "1-2-3", "a-1", "1-a", "a_1_b", "a.b-c", "x/y", "-",
+        "..", "'", "''", "a'", "'a", "1.", ".1", "a&", "&a", "a@",
+        "日本", "カナ", "ทดสอบ123", "mixed日本word", "ßtraße", "Σπ",
+        "x" * 260, "a" * 254 + ".b",
+    ]
+    lines = []
+    for _ in range(140):
+        lines.append(" ".join(
+            rng.choice(frags) for _ in range(rng.randint(0, 8))))
+    # no-space concatenations stress longest-match boundaries
+    for _ in range(60):
+        lines.append("".join(
+            rng.choice(frags) for _ in range(rng.randint(1, 4))))
+    for filt in (False, True):
+        exp = gt.run_classic_tok(lines, filter_=filt)
+        fn = classic_tokens if filt else classic_scan
+        for ln, e in zip(lines, exp):
+            got = [( _wire(t), ty, pi, s, x) for t, ty, pi, s, x in fn(ln)]
+            assert got == e, (filt, repr(ln), got[:6], e[:6])
+    # maxTokenLength skip (not split) + posInc bump
+    exp = gt.run_classic_tok(["aaa " + "x" * 300 + " bbb"], max_len=255)
+    assert exp[0][0][0] == "aaa" and exp[0][1][0] == "bbb"
+    assert exp[0][1][2] == 2  # skipped long token bumps posInc

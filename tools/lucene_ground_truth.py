@@ -3029,6 +3029,65 @@ public class GroundTruthHtmlStrip {
 """
 
 
+CLASSICTOK_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.standard.ClassicFilter;
+import org.apache.lucene.analysis.standard.ClassicTokenizer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.OffsetAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.analysis.tokenattributes.TypeAttribute;
+
+public class GroundTruthClassicTok {
+  public static void main(String[] args) throws Exception {
+    boolean filter = args.length > 0 && args[0].equals("1");
+    int maxLen = args.length > 1 ? Integer.parseInt(args[1]) : 255;
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      String text = unhex(line);
+      ClassicTokenizer tok = new ClassicTokenizer();
+      tok.setMaxTokenLength(maxLen);
+      tok.setReader(new StringReader(text));
+      TokenStream ts = filter ? new ClassicFilter(tok) : tok;
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      TypeAttribute type = ts.addAttribute(TypeAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        byte[] bb = term.toString().getBytes("UTF-16BE");
+        StringBuilder hx = new StringBuilder();
+        for (byte x : bb) hx.append(String.format("%02x", x));
+        byte[] tb = type.type().getBytes("UTF-16BE");
+        StringBuilder th = new StringBuilder();
+        for (byte x : tb) th.append(String.format("%02x", x));
+        sb.append(pi.getPositionIncrement()).append(":")
+          .append(off.startOffset()).append(":")
+          .append(off.endOffset()).append(":")
+          .append(th).append(":").append(hx);
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -3940,6 +3999,24 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # ClassicTokenizer (GT round 58) — the pre-3.1 standard grammar
+    ct_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/standard/ClassicTokenizer.class"
+    )
+    if not os.path.exists(ct_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/standard/ClassicTokenizer.java",
+             f"{ac_root}/standard/ClassicTokenizerImpl.java",
+             f"{ac_root}/standard/ClassicFilter.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
@@ -4077,6 +4154,7 @@ def build() -> bool:
         ("GroundTruthMisc", MISC_JAVA),
         ("GroundTruthSnowball", SNOWBALL_JAVA),
         ("GroundTruthHtmlStrip", HTMLSTRIP_JAVA),
+        ("GroundTruthClassicTok", CLASSICTOK_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5290,6 +5368,40 @@ def run_htmlstrip(
         hx, offs = ln.split("|")
         text = bytes.fromhex(hx).decode("utf-16-be") if hx else ""
         out.append((text, [int(x) for x in offs.split(",")]))
+    return out
+
+
+def run_classic_tok(
+    lines: list[str], filter_: bool = True, max_len: int = 255,
+) -> list[list[tuple]]:
+    """GT round 58 — ClassicTokenizer [+ ClassicFilter]. Returns per line
+    (term, type, posInc, start, end) streams."""
+    payload = [_hex16(ln) for ln in lines]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthClassicTok",
+         "1" if filter_ else "0", str(max_len)],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, s, e, th, hx = part.split(":")
+            toks.append((
+                bytes.fromhex(hx).decode("utf-16-be"),
+                bytes.fromhex(th).decode("utf-16-be"),
+                int(pi), int(s), int(e),
+            ))
+        out.append(toks)
     return out
 
 
