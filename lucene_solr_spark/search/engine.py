@@ -851,6 +851,52 @@ class IndexSearcher:
             BooleanSpec(multi_phrase=mp, multi_phrase_slop=slop), k=k
         )
 
+    def auto_stop_words(
+        self, max_percent: float = 0.4, max_doc_freq: int | None = None,
+    ) -> frozenset[str]:
+        """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
+        QueryAutoStopWordAnalyzer.java — pinned vs the compiled class, GT
+        round 59): terms whose docFreq STRICTLY exceeds maxDocFreq
+        (default (int)(numDocs * 0.4)) become query-time stopwords. A
+        term-stats METADATA scan — postings and corpus never touched; at
+        100 TB this is the same dictionary-scale read the suggesters
+        use, and the resulting set is KBs (only stopword-scale terms
+        qualify by construction)."""
+        limit = (
+            int(self.doc_count * max_percent)
+            if max_doc_freq is None else max_doc_freq
+        )
+        rows = (
+            self._term_stats.filter(F.col("df") > limit)
+            .select("term").collect()
+        )
+        return frozenset(r["term"] for r in rows)
+
+    def analyze_auto_stop(
+        self, text: str, max_percent: float = 0.4,
+        max_doc_freq: int | None = None,
+    ) -> list[tuple[str, int]]:
+        """The analyzer's query side: the index chain's stream with
+        auto-stopwords removed, their position increments accumulating
+        onto the next kept token (StopFilter semantics)."""
+        from lucene_solr_spark.analysis.tokenizer import (
+            analyze_with_positions_as,
+        )
+
+        stop = self.auto_stop_words(max_percent, max_doc_freq)
+        out: list[tuple[str, int]] = []
+        prev_pos = -1
+        skipped = 0
+        for term, pos in analyze_with_positions_as(self.analyzer, text):
+            inc = pos - prev_pos
+            prev_pos = pos
+            if term in stop:
+                skipped += inc
+                continue
+            out.append((term, inc + skipped))
+            skipped = 0
+        return out
+
     def expand_terms(
         self,
         *,

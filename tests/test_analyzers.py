@@ -746,3 +746,27 @@ def test_classic_index_keeps_emails_and_hosts(spark, tmp_root):
     assert analyze_as("classic", "The U.S.A. Dev@Example.COM") == [
         "usa", "dev@example.com",
     ]
+
+
+def test_auto_stop_words_from_index_stats(spark, tmp_root):
+    """IndexSearcher.auto_stop_words (GT round 59): the stop set derives
+    from the index's OWN term_stats df column with the reference's
+    strict-> threshold; analyze_auto_stop drops them with StopFilter
+    position gaps."""
+    d = os.path.join(tmp_root, "idx_autostop")
+    rows = [(i, ("common " if i % 2 == 0 else "") + f"uniq{i} filler")
+            for i in range(10)]
+    src = spark.createDataFrame(rows, "doc_id long, content string")
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-autostop",
+    )
+    s = IndexSearcher(spark, d)
+    # df: filler=10, common=5, uniq*=1 each; numDocs=10
+    assert s.auto_stop_words(0.4) == {"filler", "common"}
+    assert s.auto_stop_words(0.5) == {"filler"}  # 5 > 5 is false
+    assert s.auto_stop_words(max_doc_freq=0) == (
+        {"filler", "common"} | {f"uniq{i}" for i in range(10)}
+    )
+    # gaps accumulate across dropped stopwords
+    assert s.analyze_auto_stop("common filler uniq3", 0.4) == [("uniq3", 3)]

@@ -397,3 +397,46 @@ def test_classic_tokenizer_matches_compiled_reference():
     exp = gt.run_classic_tok(["aaa " + "x" * 300 + " bbb"], max_len=255)
     assert exp[0][0][0] == "aaa" and exp[0][1][0] == "bbb"
     assert exp[0][1][2] == 2  # skipped long token bumps posInc
+
+
+def test_query_auto_stop_word_analyzer_matches_compiled_reference():
+    """GT round 59 — QueryAutoStopWordAnalyzer: the df-derived stop set
+    (docFreq STRICTLY > (int)(numDocs*pct) or an absolute maxDocFreq)
+    and the wrapped query streams (StopFilter posInc accumulation) match
+    the compiled class over a randomized corpus."""
+    from lucene_solr_spark.analysis.tokenizer import _java_lower
+
+    rng = random.Random(5959)
+    vocab = ["the", "of", "fast", "merge", "sort", "spark", "rare1",
+             "rare2", "x", "üBer"]
+    docs = []
+    for _ in range(40):
+        docs.append(" ".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+    queries = ["the fast merge", "of the rare1 rare2", "sort sort the",
+               "üBer x the of", "", "nomatch the"]
+
+    def toks(text):
+        return [_java_lower(t) for t, _pi, _s, _e in whitespace_tokens(text)]
+
+    dfs: dict[str, int] = {}
+    for d in docs:
+        for t in set(toks(d)):
+            dfs[t] = dfs.get(t, 0) + 1
+
+    for mode, val in [("percent", 0.4), ("percent", 0.1), ("freq", 5.0)]:
+        limit = int(len(docs) * val) if mode == "percent" else int(val)
+        my_stop = sorted(t for t, df in dfs.items() if df > limit)
+        exp_stop, exp_streams = gt.run_autostop(docs, queries, mode, val)
+        assert my_stop == exp_stop, (mode, val, my_stop, exp_stop)
+        stop = set(my_stop)
+        for q, e in zip(queries, exp_streams):
+            got = []
+            skipped = 0
+            for t in toks(q):
+                if t in stop:
+                    skipped += 1
+                    continue
+                got.append((t, 1 + skipped))
+                skipped = 0
+            assert got == e, (mode, val, q, got, e)

@@ -3088,6 +3088,95 @@ public class GroundTruthClassicTok {
 """
 
 
+AUTOSTOP_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.analysis.query.QueryAutoStopWordAnalyzer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.document.Document;
+import org.apache.lucene.document.Field;
+import org.apache.lucene.document.FieldType;
+import org.apache.lucene.document.TextField;
+import org.apache.lucene.index.DirectoryReader;
+import org.apache.lucene.index.IndexWriter;
+import org.apache.lucene.index.IndexWriterConfig;
+import org.apache.lucene.store.RAMDirectory;
+
+public class GroundTruthAutoStop {
+  static final class WSLower extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new WhitespaceTokenizer();
+      return new TokenStreamComponents(t, new LowerCaseFilter(t));
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    // args: mode(percent|freq) value nDocs; stdin: nDocs doc lines
+    // (hex16), then query lines (hex16)
+    String mode = args[0];
+    float pct = Float.parseFloat(args[1]);
+    int nDocs = Integer.parseInt(args[2]);
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriter w = new IndexWriter(dir, new IndexWriterConfig(new WSLower()));
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", unhex(in.readLine()),
+            new FieldType(TextField.TYPE_NOT_STORED)));
+      w.addDocument(d);
+    }
+    w.close();
+    DirectoryReader r = DirectoryReader.open(dir);
+    QueryAutoStopWordAnalyzer a = mode.equals("percent")
+        ? new QueryAutoStopWordAnalyzer(new WSLower(), r, pct)
+        : new QueryAutoStopWordAnalyzer(new WSLower(), r, (int) pct);
+    String[] sw = a.getStopWords("body");
+    java.util.Arrays.sort(sw);
+    StringBuilder sb = new StringBuilder();
+    for (String s : sw) {
+      if (sb.length() > 0) sb.append(",");
+      sb.append(_hex(s));
+    }
+    System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    String line;
+    while ((line = in.readLine()) != null) {
+      TokenStream ts = a.tokenStream("body", unhex(line));
+      CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+      PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
+      ts.reset();
+      sb.setLength(0);
+      while (ts.incrementToken()) {
+        if (sb.length() > 0) sb.append(";");
+        sb.append(pi.getPositionIncrement()).append(":").append(_hex(term.toString()));
+      }
+      ts.end(); ts.close();
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String _hex(String s) throws Exception {
+    StringBuilder hx = new StringBuilder();
+    for (byte x : s.getBytes("UTF-16BE")) hx.append(String.format("%02x", x));
+    return hx.toString();
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -4017,6 +4106,22 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # QueryAutoStopWordAnalyzer (GT round 59)
+    qa_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/query/QueryAutoStopWordAnalyzer.class"
+    )
+    if not os.path.exists(qa_marker) and os.path.isdir(ac_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
+             f"{ac_root}/query/QueryAutoStopWordAnalyzer.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
@@ -4155,6 +4260,7 @@ def build() -> bool:
         ("GroundTruthSnowball", SNOWBALL_JAVA),
         ("GroundTruthHtmlStrip", HTMLSTRIP_JAVA),
         ("GroundTruthClassicTok", CLASSICTOK_JAVA),
+        ("GroundTruthAutoStop", AUTOSTOP_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5403,6 +5509,39 @@ def run_classic_tok(
             ))
         out.append(toks)
     return out
+
+
+def run_autostop(
+    docs: list[str], queries: list[str], mode: str = "percent",
+    value: float = 0.4,
+) -> tuple[list[str], list[list[tuple]]]:
+    """GT round 59 — QueryAutoStopWordAnalyzer over a whitespace+lower
+    index of `docs`. Returns (sorted stop words, per-query (term,
+    posInc) streams)."""
+    payload = [_hex16(d) for d in docs] + [_hex16(q) for q in queries]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthAutoStop",
+         mode, str(value), str(len(docs))],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    lines = [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+    sw = [] if lines[0] == "-" else [
+        bytes.fromhex(h).decode("utf-16-be") for h in lines[0].split(",")
+    ]
+    out = []
+    for ln in lines[1:]:
+        if ln == "-":
+            out.append([])
+            continue
+        toks = []
+        for part in ln.split(";"):
+            pi, hx = part.split(":")
+            toks.append((bytes.fromhex(hx).decode("utf-16-be"), int(pi)))
+        out.append(toks)
+    return sw, out
 
 
 def run_snowball(lines: list[str], lang: str = "English") -> list[list[tuple]]:
