@@ -770,3 +770,42 @@ def test_auto_stop_words_from_index_stats(spark, tmp_root):
     )
     # gaps accumulate across dropped stopwords
     assert s.analyze_auto_stop("common filler uniq3", 0.4) == [("uniq3", 3)]
+
+
+def test_quality_benchmark_over_engine(spark, tmp_root):
+    """search/quality.py over the REAL engine: IndexSearcher.topk ranks,
+    TREC qrels judge, QualityStats metrics come out — the relevance-
+    tuning loop's evaluation harness end-to-end."""
+    from lucene_solr_spark.search.quality import (
+        parse_trec_qrels,
+        quality_benchmark,
+    )
+
+    d = os.path.join(tmp_root, "idx_quality")
+    src = spark.createDataFrame(
+        [
+            (0, "merge sort fast"),
+            (1, "merge join slow"),
+            (2, "vector search fast"),
+            (3, "unrelated words"),
+        ],
+        "doc_id long, content string",
+    )
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=64, fingerprint="an-quality",
+    )
+    s = IndexSearcher(spark, d)
+    qrels = parse_trec_qrels([
+        "q1 0 d0 1", "q1 0 d1 1", "q2 0 d2 1", "q2 0 d0 0",
+    ])
+
+    def topk_names(text, k):
+        return [f"d{r['doc_id']}" for r in s.topk(text, k=k).collect()]
+
+    per_q, avg = quality_benchmark(
+        topk_names, [("q1", "merge"), ("q2", "fast")], qrels, max_results=4)
+    assert per_q[0].recall == 1.0 and per_q[0].num_good_points == 2
+    assert per_q[0].get_mrr() == 1.0
+    assert per_q[1].max_good_points == 1.0 and per_q[1].recall == 1.0
+    assert 0.0 < avg.avp() <= 1.0

@@ -440,3 +440,77 @@ def test_query_auto_stop_word_analyzer_matches_compiled_reference():
                 got.append((t, 1 + skipped))
                 skipped = 0
             assert got == e, (mode, val, q, got, e)
+
+
+def test_quality_benchmark_matches_compiled_reference():
+    """GT round 60 — the benchmark/quality evaluation harness:
+    QualityBenchmark + TrecJudge + QualityStats over randomized corpora
+    and TREC qrels. Ranking comes from the (already rank-identical)
+    control oracle; every per-query AND averaged stats field must match
+    the compiled classes exactly — pinning the rank<=5 MRR rule, the
+    beyond-list precision extrapolation, avp = sum(p@hit)/maxGood, and
+    average()'s positive-judgment-only aggregation."""
+    from lucene_solr_spark.search import queryparser as qp
+    from lucene_solr_spark.search.oracle import (
+        build_oracle_index,
+        oracle_topk_spec,
+    )
+    from lucene_solr_spark.search.quality import (
+        average,
+        judge_results,
+        parse_trec_qrels,
+    )
+
+    class _NoExpand:
+        def expand_terms(self, **kw):  # pragma: no cover
+            raise AssertionError("plain-term queries only")
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    rng = random.Random(6060)
+    for rnd in range(4):
+        n_docs = rng.randint(6, 25)
+        docs = [
+            (f"d{i}", " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+            for i in range(n_docs)
+        ]
+        queries = [
+            (f"q{j}", " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 3))))
+            for j in range(rng.randint(2, 6))
+        ]
+        qrel_lines = []
+        for qid, _t in queries:
+            for name, _txt in docs:
+                if rng.random() < 0.3:
+                    rel = rng.choice(["0", "1", "2"])
+                    qrel_lines.append(f"{qid} 0 {name} {rel}")
+        # ensure at least one positively-judged query (average asserts)
+        qrel_lines.append(f"{queries[0][0]} 0 {docs[0][0]} 1")
+        max_results = rng.choice([3, 10, 20])
+
+        exp = gt.run_quality(docs, queries, qrel_lines, max_results)
+        idx = build_oracle_index(
+            [(i, t) for i, (_n, t) in enumerate(docs)])
+        qrels = parse_trec_qrels(qrel_lines)
+        mine = []
+        for qid, text in queries:
+            spec = qp.to_spec(_NoExpand(), qp.parse(text))
+            ranked = oracle_topk_spec(idx, spec, k=max_results)
+            names = [f"d{doc_id}" for doc_id, _s in ranked]
+            mine.append(judge_results(names, qrels.get(qid, set())))
+        mine.append(average(mine[:]))
+
+        assert len(mine) == len(exp)
+        for k, (m, e) in enumerate(zip(mine, exp)):
+            ctx = (rnd, k, max_results)
+            assert m.recall == e["recall"], (ctx, m.recall, e["recall"])
+            assert m.avp() == e["avp"], (ctx, m.avp(), e["avp"])
+            assert m.get_mrr() == e["mrr"], (ctx, m.get_mrr(), e["mrr"])
+            assert m.num_points == e["num_points"], ctx
+            assert m.num_good_points == e["num_good"], ctx
+            assert m.max_good_points == e["max_good"], ctx
+            for j in range(1, 21):
+                if e["p_at"][j - 1] is None:
+                    continue
+                assert m.precision_at(j) == e["p_at"][j - 1], (ctx, j)

@@ -3177,6 +3177,107 @@ public class GroundTruthAutoStop {
 """
 
 
+QUALITY_JAVA = r"""
+import java.io.StringReader;
+import java.util.HashMap;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.benchmark.quality.Judge;
+import org.apache.lucene.benchmark.quality.QualityBenchmark;
+import org.apache.lucene.benchmark.quality.QualityQuery;
+import org.apache.lucene.benchmark.quality.QualityStats;
+import org.apache.lucene.benchmark.quality.trec.TrecJudge;
+import org.apache.lucene.benchmark.quality.utils.SimpleQQParser;
+import org.apache.lucene.document.Document;
+import org.apache.lucene.document.Field;
+import org.apache.lucene.document.StringField;
+import org.apache.lucene.document.TextField;
+import org.apache.lucene.index.DirectoryReader;
+import org.apache.lucene.index.IndexWriter;
+import org.apache.lucene.index.IndexWriterConfig;
+import org.apache.lucene.search.IndexSearcher;
+import org.apache.lucene.store.RAMDirectory;
+
+public class GroundTruthQuality {
+  static final class WSLower extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new WhitespaceTokenizer();
+      return new TokenStreamComponents(t, new LowerCaseFilter(t));
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    // args: maxResults; stdin: nDocs, docs "name\ttext" hex16, nQueries,
+    // queries "qid\ttext" hex16, nQrels, qrel lines hex16
+    int maxResults = Integer.parseInt(args[0]);
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriter w = new IndexWriter(dir, new IndexWriterConfig(new WSLower()));
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = unhex(in.readLine()).split("\t", 2);
+      Document d = new Document();
+      d.add(new StringField("docid", parts[0], Field.Store.YES));
+      d.add(new TextField("body", parts[1], Field.Store.NO));
+      w.addDocument(d);
+    }
+    w.close();
+    int nQ = Integer.parseInt(in.readLine().trim());
+    QualityQuery[] qqs = new QualityQuery[nQ];
+    for (int i = 0; i < nQ; i++) {
+      String[] parts = unhex(in.readLine()).split("\t", 2);
+      HashMap<String, String> nv = new HashMap<>();
+      nv.put("title", parts[1]);
+      qqs[i] = new QualityQuery(parts[0], nv);
+    }
+    int nR = Integer.parseInt(in.readLine().trim());
+    StringBuilder qrels = new StringBuilder();
+    for (int i = 0; i < nR; i++) qrels.append(unhex(in.readLine())).append("\n");
+    Judge judge = new TrecJudge(new java.io.BufferedReader(
+        new StringReader(qrels.toString())));
+    DirectoryReader r = DirectoryReader.open(dir);
+    IndexSearcher searcher = new IndexSearcher(r);
+    QualityBenchmark qb = new QualityBenchmark(
+        qqs, new SimpleQQParser("title", "body"), searcher, "docid");
+    qb.setMaxResults(maxResults);
+    QualityStats[] stats = qb.execute(judge, null, null);
+    StringBuilder sb = new StringBuilder();
+    for (QualityStats st : stats) emit(sb, st);
+    emit(sb, QualityStats.average(stats));
+    System.out.print(sb);
+  }
+
+  static void emit(StringBuilder sb, QualityStats st) {
+    sb.append(d(st.getRecall())).append(";")
+      .append(d(st.getAvp())).append(";")
+      .append(d(st.getMRR())).append(";")
+      .append(d(st.getNumPoints())).append(";")
+      .append(d(st.getNumGoodPoints())).append(";")
+      .append(d(st.getMaxGoodPoints()));
+    for (int j = 1; j <= 20; j++) {
+      double p;
+      try { p = st.getPrecisionAt(j); } catch (Exception e) { p = -1; }
+      sb.append(";").append(d(p));
+    }
+    sb.append("\n");
+  }
+
+  static String d(double v) { return Double.toString(v); }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -4106,6 +4207,33 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # benchmark/quality (GT round 60) — QualityBenchmark + TrecJudge +
+    # QualityStats; SimpleQQParser resolves against the compiled
+    # queryparser classic
+    qb_root = "/root/reference/lucene/benchmark/src/java/org/apache/lucene/benchmark"
+    qb_marker = os.path.join(
+        CLASSES, "org/apache/lucene/benchmark/quality/QualityBenchmark.class"
+    )
+    if not os.path.exists(qb_marker) and os.path.isdir(qb_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/benchmark/src/java",
+             f"{qb_root}/quality/Judge.java",
+             f"{qb_root}/quality/QualityQuery.java",
+             f"{qb_root}/quality/QualityQueryParser.java",
+             f"{qb_root}/quality/QualityStats.java",
+             f"{qb_root}/quality/QualityBenchmark.java",
+             f"{qb_root}/quality/trec/TrecJudge.java",
+             f"{qb_root}/quality/utils/SimpleQQParser.java",
+             f"{qb_root}/quality/utils/DocNameExtractor.java",
+             f"{qb_root}/quality/utils/SubmissionReport.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # QueryAutoStopWordAnalyzer (GT round 59)
     qa_marker = os.path.join(
         CLASSES, "org/apache/lucene/analysis/query/QueryAutoStopWordAnalyzer.class"
@@ -4261,6 +4389,7 @@ def build() -> bool:
         ("GroundTruthHtmlStrip", HTMLSTRIP_JAVA),
         ("GroundTruthClassicTok", CLASSICTOK_JAVA),
         ("GroundTruthAutoStop", AUTOSTOP_JAVA),
+        ("GroundTruthQuality", QUALITY_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5508,6 +5637,45 @@ def run_classic_tok(
                 int(pi), int(s), int(e),
             ))
         out.append(toks)
+    return out
+
+
+def run_quality(
+    docs: list[tuple[str, str]],
+    queries: list[tuple[str, str]],
+    qrel_lines: list[str],
+    max_results: int = 20,
+) -> list[dict]:
+    """GT round 60 — QualityBenchmark over (docName, text) docs and
+    (qid, querytext) classic-parser queries judged by TREC qrels.
+    Returns one dict per query plus the AVERAGE row last: recall, avp,
+    mrr, num_points, num_good, max_good, p_at[1..20] (None where the
+    reference throws)."""
+    payload = [str(len(docs))]
+    payload += [_hex16(f"{n}\t{t}") for n, t in docs]
+    payload.append(str(len(queries)))
+    payload += [_hex16(f"{q}\t{t}") for q, t in queries]
+    payload.append(str(len(qrel_lines)))
+    payload += [_hex16(ln) for ln in qrel_lines]
+    r = subprocess.run(
+        ["java", "-ea", "-cp", f"{CLASSES}:{HARNESS_DIR}",
+         "GroundTruthQuality", str(max_results)],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        vals = [float(x) for x in ln.split(";")]
+        out.append({
+            "recall": vals[0], "avp": vals[1], "mrr": vals[2],
+            "num_points": vals[3], "num_good": vals[4], "max_good": vals[5],
+            "p_at": [None if v == -1 else v for v in vals[6:26]],
+        })
     return out
 
 
