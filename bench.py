@@ -76,9 +76,20 @@ def main() -> None:
     # operator's cost; without this the FIRST Arrow stage (the index
     # build) absorbs ~10 s of fork/init on a contended host (measured:
     # multimodal_decode cold 11.9 s vs warm 0.53 s on identical data).
+    # the warm-up UDF imports the heavy engine modules IN the worker:
+    # a bare lambda spawns the pool but the first stage whose UDF
+    # references lucene_solr_spark still pays ~2-4 s/worker of module
+    # import (measured: synth stage 4.7 s cold after a lambda warm-up,
+    # 2.1 s warm) — import cost is interpreter setup, not operator cost
+    def _warm(it):
+        import lucene_solr_spark.ops.pipeline  # noqa: F401
+        import lucene_solr_spark.search.engine  # noqa: F401
+
+        yield from it
+
     (
         spark.range(args.parallelism * 4, numPartitions=args.parallelism)
-        .mapInPandas(lambda it: it, schema="id long")
+        .mapInPandas(_warm, schema="id long")
         .count()
     )
 
