@@ -809,3 +809,58 @@ def test_quality_benchmark_over_engine(spark, tmp_root):
     assert per_q[0].get_mrr() == 1.0
     assert per_q[1].max_good_points == 1.0 and per_q[1].recall == 1.0
     assert 0.0 < avg.avp() <= 1.0
+
+
+def test_multifield_searcher_matches_control_oracle(spark, tmp_root):
+    """MultiFieldSearcher (GT round 61) end-to-end: two per-field Spark
+    indexes over the same doc ids (title built over docs that HAVE a
+    title — Lucene's per-field docCount), MultiFieldQueryParser scoring,
+    rank + float32 score identical to the binary-pinned control oracle,
+    with and without per-field boosts."""
+    import random as _random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.multifield import (
+        MultiFieldSearcher,
+        oracle_topk_multifield,
+    )
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = _random.Random(616161)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for i in range(40):
+        title = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(0, 3)))
+        body = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        rows.append((i, title, body))
+    src = spark.createDataFrame(rows, "doc_id long, title string, body string")
+
+    dirs = {}
+    for fld in ("title", "body"):
+        d = os.path.join(tmp_root, f"idx_mf_{fld}")
+        build_index(
+            spark, src.filter(F.length(fld) > 0), out_dir=d,
+            content_col=fld, doc_id_col="doc_id", meta_cols=[],
+            range_size=16, fingerprint=f"mf-{fld}",
+        )
+        dirs[fld] = d
+    mfs = MultiFieldSearcher(
+        spark, {f: IndexSearcher(spark, d) for f, d in dirs.items()})
+
+    ti = build_oracle_index([(i, t) for i, t, _b in rows if t])
+    bi = build_oracle_index([(i, b) for i, _t, b in rows])
+    for boosts in (None, {"title": 2.0, "body": 0.5}):
+        for q in ["aa", "aa bb", "cc dd ee", "aa aa", "bb zz"]:
+            exp = oracle_topk_multifield(
+                {"title": ti, "body": bi}, q.split(), boosts, k=10)
+            got = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in mfs.topk(q, k=10, boosts=boosts).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in exp], (boosts, q, got, exp)
+            for (gd, gs), (ed, es) in zip(got, exp):
+                assert gs == es, (boosts, q, gd, gs, es)

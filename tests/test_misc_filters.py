@@ -514,3 +514,46 @@ def test_quality_benchmark_matches_compiled_reference():
                 if e["p_at"][j - 1] is None:
                     continue
                 assert m.precision_at(j) == e["p_at"][j - 1], (ctx, j)
+
+
+def test_multifield_query_parser_matches_compiled_reference():
+    """GT round 61 — MultiFieldQueryParser over (title, body) per-field
+    indexes: top-10 docids and float32 scores match the compiled parser
+    + IndexSearcher bit-for-bit, with and without per-field boosts —
+    pinning the nested-disjunction float structure (inner per-field
+    SHOULD group cast to float32, outer clause sum in double) and each
+    field's OWN df/avgdl/norm statistics."""
+    import numpy as np
+
+    from lucene_solr_spark.search.multifield import oracle_topk_multifield
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = random.Random(6161)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for rnd in range(4):
+        n = rng.randint(5, 30)
+        docs = [
+            (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 4))),
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 18))))
+            for _ in range(n)
+        ]
+        queries = ["aa", "aa bb", "cc dd ee ff", "aa aa", "zz", "bb zz"] + [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+            for _ in range(10)
+        ]
+        ti = build_oracle_index([(i, t) for i, (t, _b) in enumerate(docs)])
+        bi = build_oracle_index([(i, b) for i, (_t, b) in enumerate(docs)])
+        for boosts in (None, (2.0, 0.5), (0.25, 3.5)):
+            exp = gt.run_multifield(docs, queries, boosts)
+            bmap = (
+                None if boosts is None
+                else {"title": boosts[0], "body": boosts[1]}
+            )
+            for q, e in zip(queries, exp):
+                got = oracle_topk_multifield(
+                    {"title": ti, "body": bi}, q.split(), bmap, k=10)
+                assert [d for d, _ in got] == [d for d, _ in e], (
+                    rnd, boosts, q, got, e)
+                for (gd, gs), (ed, es) in zip(got, e):
+                    assert np.float32(gs) == np.float32(float(es)), (
+                        rnd, boosts, q, gd, float(gs), es)

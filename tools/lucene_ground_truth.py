@@ -3278,6 +3278,87 @@ public class GroundTruthQuality {
 """
 
 
+MULTIFIELD_JAVA = r"""
+import java.io.StringReader;
+import java.util.HashMap;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.document.Document;
+import org.apache.lucene.document.Field;
+import org.apache.lucene.document.FieldType;
+import org.apache.lucene.document.TextField;
+import org.apache.lucene.index.DirectoryReader;
+import org.apache.lucene.index.IndexWriter;
+import org.apache.lucene.index.IndexWriterConfig;
+import org.apache.lucene.queryparser.classic.MultiFieldQueryParser;
+import org.apache.lucene.search.IndexSearcher;
+import org.apache.lucene.search.Query;
+import org.apache.lucene.search.ScoreDoc;
+import org.apache.lucene.search.TopDocs;
+import org.apache.lucene.store.RAMDirectory;
+
+public class GroundTruthMultiField {
+  static final class WSLower extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new WhitespaceTokenizer();
+      return new TokenStreamComponents(t, new LowerCaseFilter(t));
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    // args: k titleBoost bodyBoost ("-" "-" = no boosts map)
+    // stdin: nDocs, docs "title\tbody" hex16, then query lines hex16
+    int k = Integer.parseInt(args[0]);
+    HashMap<String, Float> boosts = null;
+    if (!args[1].equals("-")) {
+      boosts = new HashMap<>();
+      boosts.put("title", Float.parseFloat(args[1]));
+      boosts.put("body", Float.parseFloat(args[2]));
+    }
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriter w = new IndexWriter(dir, new IndexWriterConfig(new WSLower()));
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = unhex(in.readLine()).split("\t", 2);
+      Document d = new Document();
+      d.add(new Field("title", parts[0], new FieldType(TextField.TYPE_NOT_STORED)));
+      d.add(new Field("body", parts[1], new FieldType(TextField.TYPE_NOT_STORED)));
+      w.addDocument(d);
+    }
+    w.close();
+    IndexSearcher searcher = new IndexSearcher(DirectoryReader.open(dir));
+    MultiFieldQueryParser qp = boosts == null
+        ? new MultiFieldQueryParser(new String[] {"title", "body"}, new WSLower())
+        : new MultiFieldQueryParser(new String[] {"title", "body"}, new WSLower(), boosts);
+    String line;
+    StringBuilder sb = new StringBuilder();
+    while ((line = in.readLine()) != null) {
+      Query q = qp.parse(unhex(line));
+      TopDocs td = searcher.search(q, k);
+      sb.setLength(0);
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (sb.length() > 0) sb.append(";");
+        sb.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -4390,6 +4471,7 @@ def build() -> bool:
         ("GroundTruthClassicTok", CLASSICTOK_JAVA),
         ("GroundTruthAutoStop", AUTOSTOP_JAVA),
         ("GroundTruthQuality", QUALITY_JAVA),
+        ("GroundTruthMultiField", MULTIFIELD_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5637,6 +5719,42 @@ def run_classic_tok(
                 int(pi), int(s), int(e),
             ))
         out.append(toks)
+    return out
+
+
+def run_multifield(
+    docs: list[tuple[str, str]],
+    queries: list[str],
+    boosts: tuple[float, float] | None = None,
+    k: int = 10,
+) -> list[list[tuple[int, str]]]:
+    """GT round 61 — MultiFieldQueryParser over (title, body) docs.
+    Returns per query [(docid, Float.toString(score))...]."""
+    payload = [str(len(docs))]
+    payload += [_hex16(f"{t}\t{b}") for t, b in docs]
+    payload += [_hex16(q) for q in queries]
+    args = ["-", "-"] if boosts is None else [str(boosts[0]), str(boosts[1])]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMultiField",
+         str(k), *args],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln == "-":
+            out.append([])
+            continue
+        hits = []
+        for part in ln.split(";"):
+            doc, score = part.split(":")
+            hits.append((int(doc), score))
+        out.append(hits)
     return out
 
 
