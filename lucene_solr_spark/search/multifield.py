@@ -50,10 +50,17 @@ def oracle_topk_multifield(
     terms: list[str],
     boosts: dict[str, float] | None = None,
     k: int = 10,
+    dismax_tie: float | None = None,
+    msm: int = 0,
 ) -> list[tuple[int, np.float32]]:
     """Control oracle: MultiFieldQueryParser's nested-disjunction float
     structure over per-field OracleIndexes. `terms` are the analyzed
-    query terms in order (duplicates = duplicate clauses)."""
+    query terms in order (duplicates = duplicate clauses). With
+    `dismax_tie` set, each term's inner group is the Solr DisMax shape —
+    DisjunctionMaxQuery(per-field clauses, tie): float32 scoreSum
+    accumulation in field order, then max + (sum - max) * tie in float32
+    (DisjunctionMaxScorer.java:50-59) — and `msm` applies the outer
+    BooleanQuery's minimumNumberShouldMatch."""
     boosts = boosts or {}
     fields = list(idx_by_field.keys())
     weights = {}
@@ -71,9 +78,9 @@ def oracle_topk_multifield(
             weights[(f, t)] = make_term_weight(
                 t, df, doc_count, avgdl, boost=boosts.get(f, 1.0))
     scores: dict[int, float] = {}
-    all_docs: set[int] = set()
+    matches: dict[int, int] = {}
     for t in terms:
-        inner: dict[int, float] = {}
+        per_field: dict[int, list[np.float32]] = {}
         for f in fields:
             idx = idx_by_field[f]
             if (f, t) not in weights:
@@ -81,12 +88,25 @@ def oracle_topk_multifield(
             tw = weights[(f, t)]
             for doc, tf in idx.postings.get(t, {}).items():
                 s = tw.score(np.array([tf]), np.array([idx.norm_bytes[doc]]))[0]
-                inner[doc] = inner.get(doc, 0.0) + float(s)
-        for doc, v in inner.items():
-            scores[doc] = scores.get(doc, 0.0) + float(np.float32(v))
-            all_docs.add(doc)
+                per_field.setdefault(doc, []).append(s)
+        for doc, clause_scores in per_field.items():
+            if dismax_tie is None:
+                inner = np.float32(sum(float(s) for s in clause_scores))
+            else:
+                mx = np.float32(max(clause_scores))
+                tot = np.float32(0.0)
+                for s in clause_scores:
+                    tot = np.float32(tot + s)
+                inner = np.float32(
+                    mx + np.float32((tot - mx) * np.float32(dismax_tie)))
+            scores[doc] = scores.get(doc, 0.0) + float(inner)
+            matches[doc] = matches.get(doc, 0) + 1
     ranked = sorted(
-        ((doc, np.float32(s)) for doc, s in scores.items()),
+        (
+            (doc, np.float32(s))
+            for doc, s in scores.items()
+            if matches[doc] >= max(1, msm)
+        ),
         key=lambda x: (-float(x[1]), x[0]),
     )
     return ranked[:k]
@@ -125,10 +145,16 @@ class MultiFieldSearcher:
         query: str,
         k: int = 10,
         boosts: dict[str, float] | None = None,
+        dismax_tie: float | None = None,
+        msm: int = 0,
     ) -> DataFrame:
         """MultiFieldQueryParser.parse(query) for the default-OR plain
         -terms case: each analyzed term becomes an inner SHOULD group of
-        per-field (optionally boosted) TermQueries."""
+        per-field (optionally boosted) TermQueries. With `dismax_tie`
+        set, the inner group is Solr's DisMax shape instead
+        (DisjunctionMaxQuery over the qf fields with the tiebreaker) and
+        `msm` is the outer minimumNumberShouldMatch — the DisMaxQParser
+        main query."""
         boosts = boosts or {}
         fields = sorted(self.searchers.keys())
         any_searcher = self.searchers[fields[0]]
@@ -166,6 +192,9 @@ class MultiFieldSearcher:
             "score": pd.Series([], dtype="float32"),
         })
 
+        tie = dismax_tie
+        min_match = max(1, msm)
+
         def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
                 return empty
@@ -177,9 +206,10 @@ class MultiFieldSearcher:
             all_docs = np.unique(np.concatenate(
                 [v[0] for v in decoded.values()]))
             outer = np.zeros(all_docs.size, dtype=np.float64)
+            n_match = np.zeros(all_docs.size, dtype=np.int64)
             for t in term_order:
-                inner = np.zeros(all_docs.size, dtype=np.float64)
                 hit = np.zeros(all_docs.size, dtype=bool)
+                clause_rows = []
                 for f in fields:
                     if (f, t) not in decoded:
                         continue
@@ -189,11 +219,31 @@ class MultiFieldSearcher:
                         wv * tf.astype(np.float32)
                         / (tf.astype(np.float32) + cache[nb])
                     ).astype(np.float32)
+                    row = np.zeros(all_docs.size, dtype=np.float32)
                     ix = np.searchsorted(all_docs, d)
-                    inner[ix] += s.astype(np.float64)
+                    row[ix] = s
                     hit[ix] = True
-                outer[hit] += inner[hit].astype(np.float32).astype(np.float64)
-            scores = outer.astype(np.float32)
+                    clause_rows.append(row)
+                if not clause_rows:
+                    continue
+                if tie is None:
+                    inner64 = np.zeros(all_docs.size, dtype=np.float64)
+                    for row in clause_rows:
+                        inner64 += row.astype(np.float64)
+                    inner = inner64.astype(np.float32)
+                else:
+                    stack = np.stack(clause_rows)
+                    mx = stack.max(axis=0).astype(np.float32)
+                    tot = np.zeros(all_docs.size, dtype=np.float32)
+                    for row in stack:
+                        tot = (tot + row).astype(np.float32)
+                    inner = (mx + (tot - mx) * np.float32(tie)).astype(
+                        np.float32)
+                outer[hit] += inner[hit].astype(np.float64)
+                n_match[hit] += 1
+            keep = n_match >= min_match
+            all_docs = all_docs[keep]
+            scores = outer[keep].astype(np.float32)
             order = np.lexsort((all_docs, -scores.astype(np.float64)))[:k]
             return pd.DataFrame({
                 "doc_id": all_docs[order],

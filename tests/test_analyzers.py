@@ -853,14 +853,21 @@ def test_multifield_searcher_matches_control_oracle(spark, tmp_root):
 
     ti = build_oracle_index([(i, t) for i, t, _b in rows if t])
     bi = build_oracle_index([(i, b) for i, _t, b in rows])
-    for boosts in (None, {"title": 2.0, "body": 0.5}):
+    for boosts, tie, msm in [
+        (None, None, 0), ({"title": 2.0, "body": 0.5}, None, 0),
+        (None, 0.3, 0), ({"title": 3.0, "body": 0.2}, 0.5, 2),
+    ]:
         for q in ["aa", "aa bb", "cc dd ee", "aa aa", "bb zz"]:
             exp = oracle_topk_multifield(
-                {"title": ti, "body": bi}, q.split(), boosts, k=10)
+                {"title": ti, "body": bi}, q.split(), boosts, k=10,
+                dismax_tie=tie, msm=msm)
             got = [
                 (r["doc_id"], np.float32(r["score"]))
-                for r in mfs.topk(q, k=10, boosts=boosts).collect()
+                for r in mfs.topk(
+                    q, k=10, boosts=boosts, dismax_tie=tie, msm=msm,
+                ).collect()
             ]
-            assert [d for d, _ in got] == [d for d, _ in exp], (boosts, q, got, exp)
+            assert [d for d, _ in got] == [d for d, _ in exp], (
+                boosts, tie, msm, q, got, exp)
             for (gd, gs), (ed, es) in zip(got, exp):
-                assert gs == es, (boosts, q, gd, gs, es)
+                assert gs == es, (boosts, tie, msm, q, gd, gs, es)

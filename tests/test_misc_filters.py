@@ -557,3 +557,50 @@ def test_multifield_query_parser_matches_compiled_reference():
                 for (gd, gs), (ed, es) in zip(got, e):
                     assert np.float32(gs) == np.float32(float(es)), (
                         rnd, boosts, q, gd, float(gs), es)
+
+
+def test_dismax_over_fields_matches_compiled_reference():
+    """GT round 61b — the Solr DisMax main-query shape: per-term
+    DisjunctionMaxQuery over boosted per-field TermQueries with a
+    tiebreaker, outer BooleanQuery with minimumNumberShouldMatch.
+    Docids + float32 scores match the compiled classes (2 fields keep
+    the f32 scoreSum order-free)."""
+    import numpy as np
+
+    from lucene_solr_spark.search.multifield import oracle_topk_multifield
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = random.Random(6162)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for rnd in range(3):
+        n = rng.randint(6, 25)
+        docs = [
+            (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 3))),
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+            for _ in range(n)
+        ]
+        queries = ["aa", "aa bb", "aa bb cc dd", "ee zz aa"] + [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+            for _ in range(8)
+        ]
+        ti = build_oracle_index([(i, t) for i, (t, _b) in enumerate(docs)])
+        bi = build_oracle_index([(i, b) for i, (_t, b) in enumerate(docs)])
+        for boosts, tie, msm in [
+            (None, 0.0, 0), (None, 0.3, 0), ((3.0, 0.1), 0.5, 0),
+            (None, 0.1, 2), ((2.0, 1.0), 1.0, 1),
+        ]:
+            exp = gt.run_multifield(
+                docs, queries, boosts, dismax_tie=tie, msm=msm)
+            bmap = (
+                None if boosts is None
+                else {"title": boosts[0], "body": boosts[1]}
+            )
+            for q, e in zip(queries, exp):
+                got = oracle_topk_multifield(
+                    {"title": ti, "body": bi}, q.split(), bmap, k=10,
+                    dismax_tie=tie, msm=msm)
+                assert [d for d, _ in got] == [d for d, _ in e], (
+                    rnd, boosts, tie, msm, q, got, e)
+                for (gd, gs), (ed, es) in zip(got, e):
+                    assert np.float32(gs) == np.float32(float(es)), (
+                        rnd, boosts, tie, msm, q, gd, float(gs), es)

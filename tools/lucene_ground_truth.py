@@ -3309,6 +3309,9 @@ public class GroundTruthMultiField {
 
   public static void main(String[] args) throws Exception {
     // args: k titleBoost bodyBoost ("-" "-" = no boosts map)
+    //       [dismaxTie msm] (presence switches to the Solr DisMax shape:
+    //       BooleanQuery of per-term DisjunctionMaxQuery over the
+    //       boosted per-field TermQueries + minimumNumberShouldMatch)
     // stdin: nDocs, docs "title\tbody" hex16, then query lines hex16
     int k = Integer.parseInt(args[0]);
     HashMap<String, Float> boosts = null;
@@ -3317,6 +3320,8 @@ public class GroundTruthMultiField {
       boosts.put("title", Float.parseFloat(args[1]));
       boosts.put("body", Float.parseFloat(args[2]));
     }
+    Float dismaxTie = args.length > 3 ? Float.parseFloat(args[3]) : null;
+    int msm = args.length > 4 ? Integer.parseInt(args[4]) : 0;
     java.io.BufferedReader in =
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
     int nDocs = Integer.parseInt(in.readLine().trim());
@@ -3337,7 +3342,33 @@ public class GroundTruthMultiField {
     String line;
     StringBuilder sb = new StringBuilder();
     while ((line = in.readLine()) != null) {
-      Query q = qp.parse(unhex(line));
+      String text = unhex(line);
+      Query q;
+      if (dismaxTie == null) {
+        q = qp.parse(text);
+      } else {
+        // the Solr DisMax main-query shape over qf fields
+        org.apache.lucene.search.BooleanQuery.Builder outer =
+            new org.apache.lucene.search.BooleanQuery.Builder();
+        for (String tok : text.split("\\s+")) {
+          if (tok.isEmpty()) continue;
+          String lower = tok.toLowerCase(java.util.Locale.ROOT);
+          java.util.List<Query> perField = new java.util.ArrayList<>();
+          for (String f : new String[] {"title", "body"}) {
+            Query tq = new org.apache.lucene.search.TermQuery(
+                new org.apache.lucene.index.Term(f, lower));
+            if (boosts != null && boosts.containsKey(f)) {
+              tq = new org.apache.lucene.search.BoostQuery(tq, boosts.get(f));
+            }
+            perField.add(tq);
+          }
+          outer.add(new org.apache.lucene.search.DisjunctionMaxQuery(
+                  perField, dismaxTie),
+              org.apache.lucene.search.BooleanClause.Occur.SHOULD);
+        }
+        outer.setMinimumNumberShouldMatch(msm);
+        q = outer.build();
+      }
       TopDocs td = searcher.search(q, k);
       sb.setLength(0);
       for (ScoreDoc sd : td.scoreDocs) {
@@ -5727,13 +5758,19 @@ def run_multifield(
     queries: list[str],
     boosts: tuple[float, float] | None = None,
     k: int = 10,
+    dismax_tie: float | None = None,
+    msm: int = 0,
 ) -> list[list[tuple[int, str]]]:
-    """GT round 61 — MultiFieldQueryParser over (title, body) docs.
+    """GT round 61 — MultiFieldQueryParser over (title, body) docs; with
+    dismax_tie set, the Solr DisMax main-query shape (per-term
+    DisjunctionMaxQuery over boosted per-field TermQueries + msm).
     Returns per query [(docid, Float.toString(score))...]."""
     payload = [str(len(docs))]
     payload += [_hex16(f"{t}\t{b}") for t, b in docs]
     payload += [_hex16(q) for q in queries]
     args = ["-", "-"] if boosts is None else [str(boosts[0]), str(boosts[1])]
+    if dismax_tie is not None:
+        args += [str(dismax_tie), str(msm)]
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthMultiField",
          str(k), *args],
