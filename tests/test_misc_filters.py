@@ -604,3 +604,36 @@ def test_dismax_over_fields_matches_compiled_reference():
                 for (gd, gs), (ed, es) in zip(got, e):
                     assert np.float32(gs) == np.float32(float(es)), (
                         rnd, boosts, tie, msm, q, gd, float(gs), es)
+
+
+def test_boolean_perceptron_matches_compiled_reference():
+    """GT round 62 — BooleanPerceptronClassifier (the classification
+    module's third classifier): trained online in docid order with
+    stale-snapshot batch semantics, ttf-initialized weights, ±tf
+    updates truncated toward zero at snapshot time, sumDocFreq/2 auto
+    threshold. Assigned classes match the compiled classifier exactly;
+    scores to 1 ULP (Math.exp vs libm exp — the documented
+    cross-runtime transcendental bound)."""
+    import math
+
+    from lucene_solr_spark.search.perceptron import train_boolean_perceptron
+
+    rng = random.Random(6262)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    probes = ["aa", "bb", "cc", "dd", "ee", "ff", "aa bb", "cc dd ee",
+              "aa aa bb", "zz", "", "ff ff ff aa"]
+    for rnd in range(4):
+        docs = []
+        for _ in range(rng.randint(10, 40)):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 9))]
+            cls = (toks.count("aa") + toks.count("bb")) * 3 > len(toks)
+            docs.append((cls, " ".join(toks)))
+        for bs, thr in [(1, None), (3, None), (1, 12.0), (7, 30.0)]:
+            exp = gt.run_perceptron(docs, probes, bs, thr)
+            clf = train_boolean_perceptron(
+                [(t.split(), c) for c, t in docs], bs, thr)
+            for p, (ec, es) in zip(probes, exp):
+                gc, gs = clf.assign(p.split())
+                assert gc == ec, (rnd, bs, thr, repr(p), gc, ec)
+                assert gs == es or abs(gs - es) <= 2 * math.ulp(es), (
+                    rnd, bs, thr, repr(p), gs, es)

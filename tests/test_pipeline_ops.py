@@ -188,3 +188,26 @@ def test_contamination_hand_check(spark):
     assert got == want
     # eval docs never appear; an exact-dup of an eval doc would be 1.0
     assert all(d % CONTAM_EVAL_MOD != 0 for d in got)
+
+
+def test_perceptron_classify_df_distributed(spark):
+    """classify_df: the trained perceptron broadcast into one Arrow
+    stage classifies a DataFrame identically to driver-side assign."""
+    from lucene_solr_spark.search.perceptron import (
+        classify_df,
+        train_boolean_perceptron,
+    )
+
+    docs = [(["aa", "bb"], True), (["cc"], False), (["aa", "cc"], True),
+            (["dd", "dd"], False), (["bb", "bb", "aa"], True)]
+    clf = train_boolean_perceptron(docs, batch_size=2)
+    rows = [(i, t) for i, t in enumerate(
+        ["aa bb", "cc dd", "aa", "dd dd dd", ""])]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["assigned"], r["p_score"])
+        for r in classify_df(sdf, clf, lambda t: t.split()).collect()
+    }
+    for i, t in rows:
+        c, s = clf.assign(t.split())
+        assert got[i] == (c, s), (i, t, got[i], (c, s))

@@ -3390,6 +3390,74 @@ public class GroundTruthMultiField {
 """
 
 
+PERCEPTRON_JAVA = r"""
+import java.io.StringReader;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.classification.BooleanPerceptronClassifier;
+import org.apache.lucene.classification.ClassificationResult;
+import org.apache.lucene.document.Document;
+import org.apache.lucene.document.Field;
+import org.apache.lucene.document.FieldType;
+import org.apache.lucene.document.TextField;
+import org.apache.lucene.index.DirectoryReader;
+import org.apache.lucene.index.IndexWriter;
+import org.apache.lucene.index.IndexWriterConfig;
+import org.apache.lucene.store.RAMDirectory;
+
+public class GroundTruthPerceptron {
+  static final class WSLower extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new WhitespaceTokenizer();
+      return new TokenStreamComponents(t, new LowerCaseFilter(t));
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    // args: batchSize threshold("-" = auto)
+    // stdin: nDocs, docs "class\ttext" hex16, then probe lines hex16
+    int batchSize = Integer.parseInt(args[0]);
+    Double threshold = args[1].equals("-") ? null : Double.parseDouble(args[1]);
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriter w = new IndexWriter(dir, new IndexWriterConfig(new WSLower()));
+    FieldType vecType = new FieldType(TextField.TYPE_STORED);
+    vecType.setStoreTermVectors(true);
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = unhex(in.readLine()).split("\t", 2);
+      Document d = new Document();
+      d.add(new Field("cls", parts[0], new FieldType(TextField.TYPE_STORED)));
+      d.add(new Field("body", parts[1], vecType));
+      w.addDocument(d);
+    }
+    w.close();
+    DirectoryReader r = DirectoryReader.open(dir);
+    BooleanPerceptronClassifier c = new BooleanPerceptronClassifier(
+        r.leaves().get(0).reader(), new WSLower(), null, batchSize,
+        threshold, "cls", "body");
+    String line;
+    while ((line = in.readLine()) != null) {
+      ClassificationResult<Boolean> res = c.assignClass(unhex(line));
+      System.out.println(res.getAssignedClass() + ";"
+          + Double.toString(res.getScore()));
+    }
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -4503,6 +4571,7 @@ def build() -> bool:
         ("GroundTruthAutoStop", AUTOSTOP_JAVA),
         ("GroundTruthQuality", QUALITY_JAVA),
         ("GroundTruthMultiField", MULTIFIELD_JAVA),
+        ("GroundTruthPerceptron", PERCEPTRON_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5750,6 +5819,35 @@ def run_classic_tok(
                 int(pi), int(s), int(e),
             ))
         out.append(toks)
+    return out
+
+
+def run_perceptron(
+    docs: list[tuple[bool, str]],
+    probes: list[str],
+    batch_size: int = 1,
+    threshold: float | None = None,
+) -> list[tuple[bool, float]]:
+    """GT round 62 — BooleanPerceptronClassifier trained over
+    (class, text) docs; returns per probe (assignedClass, score)."""
+    payload = [str(len(docs))]
+    payload += [_hex16(f"{'true' if c else 'false'}\t{t}") for c, t in docs]
+    payload += [_hex16(p) for p in probes]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthPerceptron",
+         str(batch_size), "-" if threshold is None else str(threshold)],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        cls, score = ln.split(";")
+        out.append((cls == "true", float(score)))
     return out
 
 
