@@ -151,3 +151,102 @@ def quality_benchmark(
         names = topk_fn(text, max_results)
         per_q.append(judge_results(names, qrels.get(qid, set())))
     return per_q, average(per_q)
+
+
+# ---------------------------------------------------------------------------
+# ConfusionMatrixGenerator (lucene/classification/src/java/org/apache/
+# lucene/classification/utils/ConfusionMatrixGenerator.java) — pinned vs
+# the compiled generator evaluating the compiled SimpleNaiveBayes
+# classifier in GT round 63 (tests/test_misc_filters.py).
+
+
+class ConfusionMatrix:
+    """Port of ConfusionMatrixGenerator.ConfusionMatrix — including the
+    reference's own aggregate definitions (per-class fp counts INCLUDE
+    the true positives column-wide, tn counts class-absent rows)."""
+
+    def __init__(self, counts: dict[str, dict[str, int]]):
+        self.counts = {k: dict(v) for k, v in counts.items()}
+
+    def precision(self, klass: str) -> float:
+        cl = self.counts.get(klass)
+        tp = fp = 0.0
+        if cl is not None:
+            for assigned, n in cl.items():
+                if assigned == klass:
+                    tp += n
+            for values in self.counts.values():
+                if klass in values:
+                    fp += values[klass]
+        return tp / (tp + fp) if tp > 0 else 0.0
+
+    def recall(self, klass: str) -> float:
+        cl = self.counts.get(klass)
+        tp = fn = 0.0
+        if cl is not None:
+            for assigned, n in cl.items():
+                if assigned == klass:
+                    tp += n
+                else:
+                    fn += n
+        return tp / (tp + fn) if tp + fn > 0 else 0.0
+
+    def f1(self, klass: str) -> float:
+        r, p = self.recall(klass), self.precision(klass)
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+    def accuracy(self) -> float:
+        tp = tn = fp = fn = 0.0
+        for klass, row in self.counts.items():
+            for assigned, n in row.items():
+                if assigned == klass:
+                    tp += n
+                else:
+                    fn += n
+            for values in self.counts.values():
+                if klass in values:
+                    fp += values[klass]
+                else:
+                    tn += 1
+        return (tp + tn) / (fp + fn + tp + tn)
+
+    def total_precision(self) -> float:
+        tp = fp = 0.0
+        for klass, row in self.counts.items():
+            for assigned, n in row.items():
+                if assigned == klass:
+                    tp += n
+            for values in self.counts.values():
+                if klass in values:
+                    fp += values[klass]
+        return tp / (tp + fp) if tp > 0 else 0.0
+
+    def total_recall(self) -> float:
+        tp = fn = 0.0
+        for klass, row in self.counts.items():
+            for assigned, n in row.items():
+                if assigned == klass:
+                    tp += n
+                else:
+                    fn += n
+        return tp / (tp + fn) if tp + fn > 0 else 0.0
+
+    def total_f1(self) -> float:
+        r, p = self.total_recall(), self.total_precision()
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+
+def confusion_matrix(
+    results: list[tuple[list[str], str]],
+) -> ConfusionMatrix:
+    """getConfusionMatrix's counting rule over (sorted correctAnswers,
+    classified) pairs: the 'correct' row is the classified label itself
+    when it appears among the answers, else the lexicographically first
+    answer."""
+    counts: dict[str, dict[str, int]] = {}
+    for answers, classified in results:
+        answers = sorted(answers)
+        correct = classified if classified in answers else answers[0]
+        row = counts.setdefault(correct, {})
+        row[classified] = row.get(classified, 0) + 1
+    return ConfusionMatrix(counts)

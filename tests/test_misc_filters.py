@@ -637,3 +637,57 @@ def test_boolean_perceptron_matches_compiled_reference():
                 assert gc == ec, (rnd, bs, thr, repr(p), gc, ec)
                 assert gs == es or abs(gs - es) <= 2 * math.ulp(es), (
                     rnd, bs, thr, repr(p), gs, es)
+
+
+def _nb_classify(docs: list[tuple[str, list[str]]], text: list[str]) -> str:
+    """The GT-round-14-pinned SimpleNaiveBayes mirror (assigned class)."""
+    import math
+
+    n = len(docs)
+    classes = sorted(set(c for c, _ in docs))
+    sum_doc_freq = sum(len(set(t)) for _c, t in docs)
+    avg_unique = sum_doc_freq / n
+    scored = []
+    for c in classes:
+        nc = sum(1 for cl, _t in docs if cl == c)
+        prior = math.log(nc) - math.log(n)
+        den = avg_unique * nc + n
+        ll = 0.0
+        for w in text:
+            hits = sum(1 for cl, t in docs if cl == c and w in t)
+            ll += math.log((hits + 1) / den)
+        scored.append((c, prior + ll))
+    scored.sort(key=lambda x: -x[1])
+    return scored[0][0]
+
+
+def test_confusion_matrix_matches_compiled_reference():
+    """GT round 63 — ConfusionMatrixGenerator evaluating the (pinned)
+    SimpleNaiveBayes over its own training docs: the counts table, the
+    reference's quirky aggregate accuracy/precision/recall/F1 (fp counts
+    include column-wide tp; tn counts class-absent rows), and every
+    per-class P/R/F1 match the compiled classes exactly."""
+    from lucene_solr_spark.search.quality import confusion_matrix
+
+    rng = random.Random(6363)
+    vocab = ["cat", "dog", "sat", "chat", "chien", "hund", "katze", "the"]
+    for rnd in range(4):
+        n_classes = rng.randint(2, 3)
+        class_names = ["en", "fr", "de"][:n_classes]
+        docs = []
+        for _ in range(rng.randint(6, 25)):
+            cls = rng.choice(class_names)
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+            docs.append((cls, toks))
+        exp = gt.run_confusion([(c, " ".join(t)) for c, t in docs])
+        pairs = [([c], _nb_classify(docs, t)) for c, t in docs]
+        m = confusion_matrix(pairs)
+        assert m.counts == exp["counts"], (rnd, m.counts, exp["counts"])
+        assert m.accuracy() == exp["accuracy"], rnd
+        assert m.total_precision() == exp["precision"], rnd
+        assert m.total_recall() == exp["recall"], rnd
+        assert m.total_f1() == exp["f1"], rnd
+        for k, (p, r, f1) in exp["per_class"].items():
+            assert m.precision(k) == p, (rnd, k)
+            assert m.recall(k) == r, (rnd, k)
+            assert m.f1(k) == f1, (rnd, k)

@@ -3458,6 +3458,90 @@ public class GroundTruthPerceptron {
 """
 
 
+CONFUSION_JAVA = r"""
+import java.util.Map;
+import java.util.TreeMap;
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.classification.SimpleNaiveBayesClassifier;
+import org.apache.lucene.classification.utils.ConfusionMatrixGenerator;
+import org.apache.lucene.document.Document;
+import org.apache.lucene.document.Field;
+import org.apache.lucene.document.FieldType;
+import org.apache.lucene.document.TextField;
+import org.apache.lucene.index.DirectoryReader;
+import org.apache.lucene.index.IndexWriter;
+import org.apache.lucene.index.IndexWriterConfig;
+import org.apache.lucene.index.LeafReader;
+import org.apache.lucene.store.RAMDirectory;
+
+public class GroundTruthConfusion {
+  static final class WSLower extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new WhitespaceTokenizer();
+      return new TokenStreamComponents(t, new LowerCaseFilter(t));
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    // stdin: nDocs, docs "class\ttext" hex16
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriter w = new IndexWriter(dir, new IndexWriterConfig(new WSLower()));
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = unhex(in.readLine()).split("\t", 2);
+      Document d = new Document();
+      d.add(new Field("cls", parts[0], new FieldType(TextField.TYPE_STORED)));
+      d.add(new Field("body", parts[1], new FieldType(TextField.TYPE_STORED)));
+      w.addDocument(d);
+    }
+    w.close();
+    DirectoryReader r = DirectoryReader.open(dir);
+    LeafReader leaf = r.leaves().get(0).reader();
+    SimpleNaiveBayesClassifier c = new SimpleNaiveBayesClassifier(
+        leaf, new WSLower(), null, "cls", "body");
+    ConfusionMatrixGenerator.ConfusionMatrix m =
+        ConfusionMatrixGenerator.getConfusionMatrix(leaf, c, "cls", "body", -1);
+    StringBuilder sb = new StringBuilder();
+    TreeMap<String, Map<String, Long>> sorted = new TreeMap<>(m.getLinearizedMatrix());
+    java.util.TreeSet<String> classes = new java.util.TreeSet<>();
+    for (Map.Entry<String, Map<String, Long>> e : sorted.entrySet()) {
+      classes.add(e.getKey());
+      TreeMap<String, Long> row = new TreeMap<>(e.getValue());
+      for (Map.Entry<String, Long> f : row.entrySet()) {
+        classes.add(f.getKey());
+        sb.append(e.getKey()).append(":").append(f.getKey())
+          .append(":").append(f.getValue()).append(";");
+      }
+    }
+    sb.append("|").append(Double.toString(m.getAccuracy()));
+    sb.append("|").append(Double.toString(m.getPrecision()));
+    sb.append("|").append(Double.toString(m.getRecall()));
+    sb.append("|").append(Double.toString(m.getF1Measure()));
+    for (String k : classes) {
+      sb.append("|").append(k).append(",")
+        .append(Double.toString(m.getPrecision(k))).append(",")
+        .append(Double.toString(m.getRecall(k))).append(",")
+        .append(Double.toString(m.getF1Measure(k)));
+    }
+    System.out.println(sb);
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 COMPOUND_JAVA = r"""
 import java.io.StringReader;
 import java.util.Arrays;
@@ -4572,6 +4656,7 @@ def build() -> bool:
         ("GroundTruthQuality", QUALITY_JAVA),
         ("GroundTruthMultiField", MULTIFIELD_JAVA),
         ("GroundTruthPerceptron", PERCEPTRON_JAVA),
+        ("GroundTruthConfusion", CONFUSION_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5820,6 +5905,38 @@ def run_classic_tok(
             ))
         out.append(toks)
     return out
+
+
+def run_confusion(docs: list[tuple[str, str]]) -> dict:
+    """GT round 63 — ConfusionMatrixGenerator evaluating the compiled
+    SimpleNaiveBayes over its own training docs. Returns {counts:
+    {correct: {classified: n}}, accuracy, precision, recall, f1,
+    per_class: {k: (p, r, f1)}}."""
+    payload = [str(len(docs))]
+    payload += [_hex16(f"{c}\t{t}") for c, t in docs]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthConfusion"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    parts = r.stdout.strip().split("|")
+    counts: dict = {}
+    for cell in parts[0].split(";"):
+        if not cell:
+            continue
+        correct, classified, n = cell.split(":")
+        counts.setdefault(correct, {})[classified] = int(n)
+    per_class = {}
+    for kp in parts[5:]:
+        k, p, rr, f1 = kp.split(",")
+        per_class[k] = (float(p), float(rr), float(f1))
+    return {
+        "counts": counts, "accuracy": float(parts[1]),
+        "precision": float(parts[2]), "recall": float(parts[3]),
+        "f1": float(parts[4]), "per_class": per_class,
+    }
 
 
 def run_perceptron(
