@@ -1685,6 +1685,169 @@ ORDER BY jlh DESC, term ASC LIMIT 15
 """
 
 
+#: DatasetSplitter ratios for the gate's stratified variant
+STRAT_TEST_RATIO = 0.2
+STRAT_CV_RATIO = 0.1
+
+
+def dataset_splitter_assign_py(
+    rows: list[tuple[int, str]], test_ratio: float, cv_ratio: float,
+) -> list[str]:
+    """Pure-Python mirror of DatasetSplitter.split (lucene/
+    classification/utils/DatasetSplitter.java — pinned vs the compiled
+    splitter, GT round 64): classes grouped in FIRST-OCCURRENCE order,
+    docs walked group-major with a GLOBAL counter b; a doc goes to test
+    when b is even and the group's test quota (totalHits * testRatio)
+    is unmet, else to cv under its quota, else to train. Returns the
+    split per input row (rows are (doc_id, class) in doc order)."""
+    order: list[str] = []
+    groups: dict[str, list[int]] = {}
+    for pos, (_doc, cls) in enumerate(rows):
+        if cls not in groups:
+            order.append(cls)
+            groups[cls] = []
+        groups[cls].append(pos)
+    out = [""] * len(rows)
+    b = 0
+    for cls in order:
+        members = groups[cls]
+        total = len(members)
+        tc = cvc = 0
+        for pos in members:
+            if b % 2 == 0 and tc < total * test_ratio:
+                out[pos] = "test"
+                tc += 1
+            elif cvc < total * cv_ratio:
+                out[pos] = "cv"
+                cvc += 1
+            else:
+                out[pos] = "train"
+            b += 1
+    return out
+
+
+def dataset_splitter_assign(
+    df: DataFrame, class_col: str,
+    test_ratio: float = STRAT_TEST_RATIO,
+    cv_ratio: float = STRAT_CV_RATIO,
+) -> DataFrame:
+    """DatasetSplitter's assignment as pure Catalyst windows (no
+    sequential walk needed — the reference's global counter b has the
+    closed form group_offset + row_number, and its tc/cvc counters are
+    rank predicates): test ⟺ b even ∧ even_rank-1 < n*testRatio;
+    cv ⟺ ¬test ∧ nontest_rank-1 < n*cvRatio. Three window passes over
+    one scan — stratified splitting at 100 TB without a shuffle beyond
+    the class partitioning."""
+    wcls = Window.partitionBy(class_col)
+    wcls_ord = wcls.orderBy("doc_id")
+    d = df.withColumn("_first", F.min("doc_id").over(wcls)).withColumn(
+        "_n", F.count("*").over(wcls)
+    ).withColumn("_i", F.row_number().over(wcls_ord) - 1)
+    # group offset: total docs in classes whose first doc comes earlier
+    firsts = (
+        d.groupBy(class_col)
+        .agg(F.min("doc_id").alias("_f"), F.count("*").alias("_cnt"))
+    )
+    woff = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = firsts.select(
+        class_col,
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+    )
+    d = d.join(F.broadcast(offsets), class_col)
+    d = d.withColumn("_b", F.col("_off") + F.col("_i"))
+    d = d.withColumn("_even", F.col("_b") % 2 == 0)
+    d = d.withColumn(
+        "_even_rank",
+        F.sum(F.when(F.col("_even"), 1).otherwise(0)).over(wcls_ord),
+    )
+    d = d.withColumn(
+        "split",
+        F.when(
+            F.col("_even")
+            & ((F.col("_even_rank") - 1) < F.col("_n") * F.lit(test_ratio)),
+            F.lit("test"),
+        ),
+    )
+    d = d.withColumn(
+        "_nt_rank",
+        F.sum(F.when(F.col("split").isNull(), 1).otherwise(0)).over(wcls_ord),
+    )
+    return d.withColumn(
+        "split",
+        F.coalesce(
+            F.col("split"),
+            F.when(
+                (F.col("_nt_rank") - 1) < F.col("_n") * F.lit(cv_ratio),
+                F.lit("cv"),
+            ).otherwise(F.lit("train")),
+        ),
+    ).drop("_first", "_n", "_i", "_off", "_b", "_even", "_even_rank",
+           "_nt_rank")
+
+
+def stratified_splits(spark, sf):
+    """DatasetSplitter over the corpus with lang as the class field:
+    per (class, split) rollup in the splits_family union shape."""
+    d = dataset_splitter_assign(
+        _docs(spark, sf).select("doc_id", "lang", "n_chars"), "lang")
+    return (
+        d.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("n_chars"), 6).alias("metric"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+    )
+
+
+STRATIFIED_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         min(doc_id) OVER (PARTITION BY lang) AS f,
+         count(*) OVER (PARTITION BY lang) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS i
+  FROM documents
+),
+offs AS (
+  SELECT lang,
+         coalesce(sum(cnt) OVER (ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT lang, min(doc_id) AS f, count(*) AS cnt
+        FROM documents GROUP BY lang)
+),
+b AS (
+  SELECT base.*, (base.i + offs.off) % 2 = 0 AS even
+  FROM base JOIN offs USING (lang)
+),
+er AS (
+  SELECT *, sum(CASE WHEN even THEN 1 ELSE 0 END)
+              OVER (PARTITION BY lang ORDER BY doc_id) AS even_rank
+  FROM b
+),
+t AS (
+  SELECT *, (even AND (even_rank - 1) < n * {STRAT_TEST_RATIO}) AS is_test
+  FROM er
+),
+nt AS (
+  SELECT *, sum(CASE WHEN is_test THEN 0 ELSE 1 END)
+              OVER (PARTITION BY lang ORDER BY doc_id) AS nt_rank
+  FROM t
+),
+assigned AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN is_test THEN 'test'
+              WHEN (nt_rank - 1) < n * {STRAT_CV_RATIO} THEN 'cv'
+              ELSE 'train' END AS split
+  FROM nt
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(n_chars), 6) AS metric,
+       min(doc_id) AS lo, max(doc_id) AS hi
+FROM assigned GROUP BY lang, split
+"""
+
+
 def data_splits(spark, sf):
     """Deterministic train/val/test assignment for a training-data
     pipeline: split = first hex nibble of sha256(salt # doc_id) — '0'-'b'
@@ -1824,7 +1987,16 @@ def splits_family(spark, sf):
         F.col("n_seqs").cast("long").alias("lo"),
         F.col("n_crossing").cast("long").alias("hi"),
     )
-    return s.unionByName(p).orderBy("variant", "key", "subkey")
+    t = stratified_splits(spark, sf).select(
+        F.lit("stratified").alias("variant"),
+        F.col("lang").alias("key"),
+        F.col("split").alias("subkey"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("metric").cast("double").alias("metric"),
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    )
+    return s.unionByName(p).unionByName(t).orderBy("variant", "key", "subkey")
 
 
 SPLITS_FAMILY_SQL = """
@@ -1864,8 +2036,13 @@ SELECT * FROM (
          CAST(ceil(n_tokens * 1.0 / {seq}) AS BIGINT),
          CAST(n_crossing AS BIGINT)
   FROM psh
+  UNION ALL
+  SELECT 'stratified', lang, split, cnt, metric, CAST(lo AS BIGINT),
+         CAST(hi AS BIGINT)
+  FROM ({stratified})
 ) ORDER BY variant, key, subkey
-""".format(shards=PACK_SHARDS, seq=PACK_SEQ_LEN)
+""".format(shards=PACK_SHARDS, seq=PACK_SEQ_LEN,
+           stratified=STRATIFIED_SQL)
 
 
 def domain_mixture(spark, sf):

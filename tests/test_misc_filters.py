@@ -691,3 +691,42 @@ def test_confusion_matrix_matches_compiled_reference():
             assert m.precision(k) == p, (rnd, k)
             assert m.recall(k) == r, (rnd, k)
             assert m.f1(k) == f1, (rnd, k)
+
+
+def test_dataset_splitter_matches_compiled_reference():
+    """GT round 64 — DatasetSplitter (classification/utils): stratified
+    train/test/cv splitting with the reference's exact walk — classes in
+    first-occurrence order, a GLOBAL alternating counter deciding test
+    eligibility, per-group float quotas (tc < totalHits*ratio). The
+    pure-Python mirror reproduces each output index's doc sequence
+    exactly."""
+    from lucene_solr_spark.ops.pipeline import dataset_splitter_assign_py
+
+    rng = random.Random(6464)
+    for rnd in range(4):
+        classes = ["a", "b", "c", "d"][: rng.randint(1, 4)]
+        docs = [
+            (rng.choice(classes), f"t{i}")
+            for i in range(rng.randint(3, 40))
+        ]
+        for tr, cv in [(0.2, 0.2), (0.34, 0.25), (0.5, 0.0), (0.0, 0.45)]:
+            train, test, cvl = gt.run_splitter(docs, tr, cv)
+            rows = [(i, c) for i, (c, _t) in enumerate(docs)]
+            splits = dataset_splitter_assign_py(rows, tr, cv)
+            # the output indexes add docs group-major in walk order
+            order: list[str] = []
+            groups: dict[str, list[int]] = {}
+            for pos, (c, _t) in enumerate(docs):
+                if c not in groups:
+                    order.append(c)
+                    groups[c] = []
+                groups[c].append(pos)
+            mine = {"train": [], "test": [], "cv": []}
+            for c in order:
+                for pos in groups[c]:
+                    key = {"test": "test", "cv": "cv", "train": "train"}[
+                        splits[pos]]
+                    mine[key].append(docs[pos][1])
+            assert mine["train"] == train, (rnd, tr, cv, mine["train"], train)
+            assert mine["test"] == test, (rnd, tr, cv, mine["test"], test)
+            assert mine["cv"] == cvl, (rnd, tr, cv, mine["cv"], cvl)

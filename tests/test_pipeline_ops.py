@@ -211,3 +211,26 @@ def test_perceptron_classify_df_distributed(spark):
     for i, t in rows:
         c, s = clf.assign(t.split())
         assert got[i] == (c, s), (i, t, got[i], (c, s))
+
+
+def test_dataset_splitter_spark_matches_python_mirror(spark):
+    """dataset_splitter_assign (pure Catalyst windows) == the
+    binary-pinned sequential mirror over a skewed class distribution."""
+    import random as _random
+
+    from lucene_solr_spark.ops.pipeline import (
+        dataset_splitter_assign,
+        dataset_splitter_assign_py,
+    )
+
+    rng = _random.Random(64)
+    rows = [(i, rng.choice(["x", "y", "z"])) for i in range(200)]
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in dataset_splitter_assign(
+            sdf, "lang", 0.25, 0.15).collect()
+    }
+    exp = dataset_splitter_assign_py(rows, 0.25, 0.15)
+    for (doc, _c), e in zip(rows, exp):
+        assert got[doc] == e, (doc, got[doc], e)

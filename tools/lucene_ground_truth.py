@@ -3458,6 +3458,85 @@ public class GroundTruthPerceptron {
 """
 
 
+SPLITTER_JAVA = r"""
+import org.apache.lucene.analysis.Analyzer;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.WhitespaceTokenizer;
+import org.apache.lucene.classification.utils.DatasetSplitter;
+import org.apache.lucene.document.Document;
+import org.apache.lucene.document.Field;
+import org.apache.lucene.document.FieldType;
+import org.apache.lucene.document.SortedDocValuesField;
+import org.apache.lucene.document.TextField;
+import org.apache.lucene.index.DirectoryReader;
+import org.apache.lucene.index.IndexWriter;
+import org.apache.lucene.index.IndexWriterConfig;
+import org.apache.lucene.store.RAMDirectory;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthSplitter {
+  static final class WSLower extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new WhitespaceTokenizer();
+      return new TokenStreamComponents(t, new LowerCaseFilter(t));
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    // args: testRatio cvRatio; stdin: nDocs, docs "class\ttext" hex16
+    double testRatio = Double.parseDouble(args[0]);
+    double cvRatio = Double.parseDouble(args[1]);
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    RAMDirectory dir = new RAMDirectory();
+    IndexWriter w = new IndexWriter(dir, new IndexWriterConfig(new WSLower()));
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = unhex(in.readLine()).split("\t", 2);
+      Document d = new Document();
+      d.add(new Field("cls", parts[0], new FieldType(TextField.TYPE_STORED)));
+      d.add(new SortedDocValuesField("cls", new BytesRef(parts[0])));
+      d.add(new Field("body", parts[1], new FieldType(TextField.TYPE_STORED)));
+      w.addDocument(d);
+    }
+    w.close();
+    DirectoryReader r = DirectoryReader.open(dir);
+    RAMDirectory train = new RAMDirectory();
+    RAMDirectory test = new RAMDirectory();
+    RAMDirectory cv = new RAMDirectory();
+    new DatasetSplitter(testRatio, cvRatio).split(
+        r.leaves().get(0).reader(), train, test, cv, new WSLower(), false,
+        "cls", "body", "cls");
+    for (RAMDirectory d2 : new RAMDirectory[] {train, test, cv}) {
+      DirectoryReader rr = DirectoryReader.open(d2);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < rr.maxDoc(); i++) {
+        if (sb.length() > 0) sb.append(";");
+        sb.append(_hex(rr.document(i).get("body")));
+      }
+      System.out.println(sb.length() == 0 ? "-" : sb.toString());
+      rr.close();
+    }
+  }
+
+  static String _hex(String s) throws Exception {
+    StringBuilder hx = new StringBuilder();
+    for (byte x : s.getBytes("UTF-16BE")) hx.append(String.format("%02x", x));
+    return hx.toString();
+  }
+
+  static String unhex(String hx) throws Exception {
+    if (hx.isEmpty()) return "";
+    byte[] b = new byte[hx.length() / 2];
+    for (int i = 0; i < b.length; i++)
+      b[i] = (byte) Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16);
+    return new String(b, "UTF-16BE");
+  }
+}
+"""
+
+
 CONFUSION_JAVA = r"""
 import java.util.Map;
 import java.util.TreeMap;
@@ -4657,6 +4736,7 @@ def build() -> bool:
         ("GroundTruthMultiField", MULTIFIELD_JAVA),
         ("GroundTruthPerceptron", PERCEPTRON_JAVA),
         ("GroundTruthConfusion", CONFUSION_JAVA),
+        ("GroundTruthSplitter", SPLITTER_JAVA),
     ):
         cls = os.path.join(HARNESS_DIR, f"{name}.class")
         src = os.path.join(HARNESS_DIR, f"{name}.java")
@@ -5905,6 +5985,33 @@ def run_classic_tok(
             ))
         out.append(toks)
     return out
+
+
+def run_splitter(
+    docs: list[tuple[str, str]], test_ratio: float, cv_ratio: float,
+) -> tuple[list[str], list[str], list[str]]:
+    """GT round 64 — DatasetSplitter over (class, text) docs. Returns
+    (train, test, cv) body lists in each output index's doc order."""
+    payload = [str(len(docs))]
+    payload += [_hex16(f"{c}\t{t}") for c, t in docs]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSplitter",
+         str(test_ratio), str(cv_ratio)],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for ln in r.stdout.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        out.append(
+            [] if ln == "-" else
+            [bytes.fromhex(h).decode("utf-16-be") for h in ln.split(";")]
+        )
+    return out[0], out[1], out[2]
 
 
 def run_confusion(docs: list[tuple[str, str]]) -> dict:
