@@ -456,6 +456,12 @@ def _porter2_map(term: str) -> str:
     return porter2_stem(term)
 
 
+def _german2_map(term: str) -> str:
+    from lucene_solr_spark.analysis.snowball_de import german2_stem
+
+    return german2_stem(term)
+
+
 #: DelimitedPayloadTokenFilter.DEFAULT_DELIMITER
 #: (analysis/payloads/DelimitedPayloadTokenFilter.java:40)
 PAYLOAD_DELIMITER = "|"
@@ -643,6 +649,11 @@ ANALYZERS: dict = {
     # language="English". Porter2 stem pinned vs the compiled
     # org.tartarus.snowball machine (GT round 56, analysis/snowball_en.py)
     "english_snowball": (_english_raw, True, False, _porter2_map),
+    # GermanAnalyzer core: standard tokenizer + lowercase + Snowball
+    # German2 (GT round 65; the German stop list / normalization filter
+    # are separate plug slots) — the multilingual half of the stemmer
+    # plug point, pairing with lang_id in the pipeline
+    "german_snowball": (_tokenize_lowered, False, False, _german2_map),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

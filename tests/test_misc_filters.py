@@ -730,3 +730,43 @@ def test_dataset_splitter_matches_compiled_reference():
             assert mine["train"] == train, (rnd, tr, cv, mine["train"], train)
             assert mine["test"] == test, (rnd, tr, cv, mine["test"], test)
             assert mine["cv"] == cvl, (rnd, tr, cv, mine["cv"], cvl)
+
+
+def test_snowball_german2_matches_compiled_reference():
+    """GT round 65 — Snowball German2: fuzzed tokens stem identically to
+    the compiled stemmer — pinning the u/y vowel-shield pass (which runs
+    BEFORE the umlaut folds, so 'aue' never folds), ae/oe/ue→ä/ö/ü with
+    the qu hop, ß→ss, R1 pushed to position 3, the s/st ending classes
+    with st's hop-3 guard, and the nested derivational rules."""
+    from lucene_solr_spark.analysis.snowball_de import german2_stem
+    from lucene_solr_spark.analysis.tokenizer import _java_lower
+
+    rng = random.Random(6565)
+    stems = ["haus", "häus", "haeus", "quell", "groß", "groess", "buech",
+             "büch", "schön", "freundlich", "möglich", "verständ", "auffass",
+             "bedeut", "beobacht", "ereignis", "brauch", "kauf", "leb",
+             "wurd", "aue", "bau", "mau", "qual", "beispiel", "verschieden",
+             "wissenschaft", "ein", "könig", "predig", "xyz", "aeue", "ssß"]
+    sufs = ["", "e", "em", "en", "ern", "er", "es", "s", "st", "est",
+            "end", "ung", "ig", "ik", "isch", "lich", "heit", "keit",
+            "igkeit", "lichkeit", "erung", "igend", "enheit", "nisse",
+            "ßen", "uen", "yen"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            word = rng.choice(stems) + rng.choice(sufs)
+            if rng.random() < 0.2:
+                word += rng.choice(sufs)
+            if rng.random() < 0.1:
+                word = "".join(rng.choice("abdeghiklmnqrstußäöüy")
+                               for _ in range(rng.randint(1, 8)))
+            words.append(word)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "German2")
+
+    def mine(ln):
+        return [(german2_stem(_java_lower(t)), pi, s, e)
+                for t, pi, s, e in whitespace_tokens(ln)]
+
+    _check(lines, exp, mine, "snowball-de2")

@@ -4608,6 +4608,7 @@ def build() -> bool:
              f"{tart}/Among.java",
              f"{tart}/SnowballProgram.java",
              f"{tart}/ext/EnglishStemmer.java",
+             f"{tart}/ext/German2Stemmer.java",
              f"{ac_root}/snowball/SnowballFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
