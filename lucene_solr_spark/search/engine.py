@@ -1232,57 +1232,34 @@ class IndexSearcher:
         tree = parse_flexible(query, _analyzer_with_positions(self.analyzer))
         return spark_topk_tree(self, tree, k=k)
 
-    def topk_surround(self, query: str, k: int = 10) -> DataFrame:
-        """The surround query language's distance operators
-        (queryparser/surround): prefix form `<n>W(arg, ...)` (ordered) /
-        `<n>N(arg, ...)` (unordered), n defaulting to 1, rewriting to
+    def topk_surround(self, query: str, k: int = 10,
+                      field: str = "content",
+                      max_basic_queries: int = 1024) -> DataFrame:
+        """The surround query language — FULL grammar
+        (queryparser/surround/parser/QueryParser.jj): infix/prefix
+        AND/OR/NOT, infix left-nested and prefix n-ary distance
+        operators `<n>W`/`<n>N` rewriting to
         SpanNearQuery(clauses, n - 1, ordered)
-        (surround/query/DistanceQuery.java:97). Args in this subset are
-        bare terms, `pre*` prefixes (SpanNearClauseFactory's SpanOr over
-        the matching index terms), or `OR(a, b)` groups; nested distance
-        operators are out of scope. Pinned vs the compiled surround
-        parser in tests/test_lucene_ground_truth.py."""
-        import re as _re
+        (surround/query/DistanceQuery.java:97) over generalized span
+        trees (nested nears, SpanOr over mixed members —
+        SpanNearClauseFactory), `^w` weights at any level, `pre*` /
+        `tr?nc*` / quoted terms expanded VERBATIM against the term
+        dictionary (no analysis — SimpleTerm.visitMatchingTerms), field
+        prefixes, and the 1024-basic-query cap (BasicQueryFactory).
+        Replaces the round-24 prefix-form subset; pinned vs the compiled
+        parser + IndexSearcher in tests/test_lucene_ground_truth.py
+        (GT round 66). Raises SurroundParseError /
+        SurroundTooManyBasicQueries with the reference's error behavior.
 
-        m = _re.fullmatch(r"\s*(\d*)([WwNn])\((.*)\)\s*", query)
-        if not m:
-            raise ValueError(f"unsupported surround query: {query!r}")
-        dist = int(m.group(1) or 1)
-        ordered = m.group(2).lower() == "w"
-        args, buf, depth = [], [], 0
-        for ch in m.group(3):  # top-level commas only (or(...) nests)
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                args.append("".join(buf).strip())
-                buf = []
-            else:
-                buf.append(ch)
-        if buf:
-            args.append("".join(buf).strip())
-        args = [a for a in args if a]
-        clauses: list = []
-        for a in args:
-            am = _re.fullmatch(r"[Oo][Rr]\((.*)\)", a)
-            if am:
-                alts = sorted({
-                    t for x in am.group(1).split(",") for t in self._analyze(x.strip())
-                })
-            elif a.endswith("*"):
-                alts = sorted(self.expand_terms(prefix=a[:-1].lower()))
-            else:
-                alts = self._analyze(a)
-            if not alts:
-                return self.spark.createDataFrame([], TOPK_SCHEMA)
-            clauses.append(alts[0] if len(alts) == 1 else tuple(alts))
-        return self.topk_spec(
-            BooleanSpec(
-                span=tuple(clauses), span_slop=dist - 1, span_ordered=ordered
-            ),
-            k=k,
-        )
+        `field` names the index's single field as the parser's default
+        field: `other:term` clauses expand over an absent field and
+        match nothing, exactly as in the reference."""
+        from .simpleqp import spark_topk_tree
+        from .surroundqp import surround_to_tree
+
+        tree = surround_to_tree(query, self, field,
+                                max_basic_queries=max_basic_queries)
+        return spark_topk_tree(self, tree, k=k)
 
     def topk_span_position_range(
         self, term: str, lo: int, hi: int, k: int = 10

@@ -446,6 +446,10 @@ def tree_terms(tree) -> set[str]:
         if tree[1] == "not":
             out |= {t for c in tree[4] for t in c}
         return out
+    if kind == "gspan":
+        from .spans import gspan_term_set
+
+        return gspan_term_set(tree[1])
     return set()
 
 
@@ -478,7 +482,7 @@ def tree_pos_terms(tree) -> set[str]:
     kind = tree[0]
     if kind == "phrase":
         return {t for t, _off in tree[1]}
-    if kind == "span":
+    if kind in ("span", "gspan"):
         return tree_terms(tree)
     if kind == "bool":
         out: set[str] = set()
@@ -550,6 +554,21 @@ def eval_tree(tree, ctx, boost=np.float32(1.0)):
         )
         wv = np.float32(np.float32(idf_sum * boost) * (K1 + np.float32(1.0)))
         pf = ctx.span_freq(skind, clauses, slop, extra).astype(np.float32)
+        m = pf > 0
+        s = (wv * pf / (pf + ctx.cache[ctx.nb])).astype(np.float32)
+        return m, np.where(m, s, zero)
+    if kind == "gspan":
+        # generalized span tree (surround parser): SpanWeight idf over
+        # the distinct terms (TreeMap order), freq from the interval
+        # walks (spans.gspan_freq)
+        from .spans import gspan_term_set
+
+        terms = sorted(gspan_term_set(tree[1]))
+        idf_sum = idf_sum_f32(
+            idf_f32(ctx.df(t), ctx.doc_count) for t in terms
+        )
+        wv = np.float32(np.float32(idf_sum * boost) * (K1 + np.float32(1.0)))
+        pf = ctx.span_freq("g", tree[1], 0, None).astype(np.float32)
         m = pf > 0
         s = (wv * pf / (pf + ctx.cache[ctx.nb])).astype(np.float32)
         return m, np.where(m, s, zero)
@@ -792,6 +811,7 @@ class _OracleCtx:
         """Span leaf freq per doc via the reference walks (search/spans.py)
         — mirrors oracle_topk_spec's span path clause conventions."""
         from .spans import (
+            gspan_freq,
             span_first_freq,
             span_not_freq,
             span_ordered_freq,
@@ -799,6 +819,14 @@ class _OracleCtx:
         )
 
         out = np.zeros(self.n, dtype=np.float32)
+        if kind == "g":
+            # generalized span tree (surround): clauses IS the snode
+            for i, d in enumerate(self.docs):
+                out[i] = gspan_freq(
+                    clauses,
+                    lambda t, _d=int(d): self.idx.positions.get(t, {}).get(_d, []),
+                )
+            return out
         if kind == "or":
             # merged term spans: freq = total occurrence count
             for i, d in enumerate(self.docs):
@@ -972,6 +1000,8 @@ class _RangeCtx:
         sequential like Lucene's own spans, via the reference walks."""
         from .engine import _abs_positions
         from .spans import (
+            gspan_freq,
+            gspan_term_set,
             span_first_freq,
             span_not_freq,
             span_ordered_freq,
@@ -985,8 +1015,12 @@ class _RangeCtx:
                     out += self.tf(t)
             return out
         data = {}
-        aux = list(extra) if kind == "not" else []
-        for c in list(clauses) + aux:
+        if kind == "g":
+            term_cols = [tuple(sorted(gspan_term_set(clauses)))]
+        else:
+            aux = list(extra) if kind == "not" else []
+            term_cols = list(clauses) + aux
+        for c in term_cols:
             for t in c:
                 if t in self.per_term and t not in data:
                     data[t] = _abs_positions(self.per_term, t)
@@ -1001,6 +1035,13 @@ class _RangeCtx:
                 return []
             s = int(run_starts[j])
             return pos_abs[s:s + int(tfv[j])].tolist()
+
+        if kind == "g":
+            for i, d in enumerate(self.docs):
+                out[i] = gspan_freq(
+                    clauses, lambda t, _d=int(d): dslice(t, _d)
+                )
+            return out
 
         for i, d in enumerate(self.docs):
             plists = [

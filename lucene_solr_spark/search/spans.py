@@ -390,3 +390,165 @@ def span_not_span_freq(
             continue
         freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
     return freq
+
+
+# ---------------------------------------------------------------------------
+# generalized (interval) spans: the surround parser's nested span trees
+#
+# The surround query language (queryparser/surround) composes
+# SpanNearQuery over arbitrary sub-SPANS — nested distance operators,
+# SpanOr over mixed term/near members — so the flat per-term position
+# lists above no longer suffice. These walks operate on materialized
+# per-doc INTERVAL lists (start, end, width) and reproduce the exact
+# iterator semantics of NearSpansOrdered.java / NearSpansUnordered.java
+# over sub-Spans: a sub's matches are consumed monotonically (lazy
+# shared iterators never rewind), ordered stretchToOrder advances each
+# later clause to the first interval starting at/after the previous
+# clause's END, and the unordered cells walk keeps the reference's
+# totalSpanLength bookkeeping plus the maxEndPositionCell POINTER quirk
+# (the pointed cell's end can shrink when it advances; the pointer only
+# moves on a strictly greater end — NearSpansUnordered.adjustMax).
+#
+# Span tree nodes ("snode"):
+#   ("t", term)                      SpanTermQuery leaf
+#   ("or", (snode, ...))             SpanOrQuery (surround's
+#                                    SpanNearClauseFactory.makeSpanClause)
+#   ("near", (snode, ...), slop, ordered)   SpanNearQuery
+
+
+def gspan_term_set(snode) -> set:
+    """Distinct terms under a span tree (SpanWeight's TreeMap term
+    contexts — the idf sum's key set)."""
+    if snode[0] == "t":
+        return {snode[1]}
+    out: set = set()
+    for sub in snode[1]:
+        out |= gspan_term_set(sub)
+    return out
+
+
+def _gspan_list(snode, plist_fn) -> list:
+    """Materialize one doc's emissions of a span tree as (start, end,
+    width) triples in the reference iterator's order. plist_fn(term) ->
+    sorted positions of `term` in this doc."""
+    kind = snode[0]
+    if kind == "t":
+        return [(p, p + 1, 0) for p in plist_fn(snode[1])]
+    if kind == "or":
+        # SpanOrQuery: byPositionQueue ordered by positionsOrdered
+        # (start, then end); a sub with no matches in this doc simply
+        # never enters the doc's queue. Stable sort keeps clause order
+        # for full (start, end) ties — the reference heap's layout
+        # decides those; surround's factory dedups members so full ties
+        # across DIFFERENT subs only arise from equal-width emissions,
+        # where order cannot change the float fold.
+        out = []
+        for sub in snode[1]:
+            out.extend(_gspan_list(sub, plist_fn))
+        out.sort(key=lambda m: (m[0], m[1]))
+        return out
+    subs = [_gspan_list(sub, plist_fn) for sub in snode[1]]
+    walk = gspan_ordered_matches if snode[3] else gspan_unordered_matches
+    return list(walk(subs, snode[2]))
+
+
+def gspan_ordered_matches(sublists: list, slop: int):
+    """NearSpansOrdered over sub-span interval lists: for each first
+    clause emission, stretchToOrder advances each later clause (monotone
+    persistent cursors — advancePosition never rewinds) to the first
+    interval with start >= the previous clause's end; width = sum of the
+    gaps; matchEnd = the LAST clause's end (NearSpansOrdered.java:
+    stretchToOrder). A later clause exhausting ends the doc
+    (oneExhaustedInCurrentDoc)."""
+    n = len(sublists)
+    if any(not sl for sl in sublists):
+        return
+    cursors = [0] * n
+    for s0, e0, _w0 in sublists[0]:
+        prev_end = e0
+        width = 0
+        dead = False
+        for i in range(1, n):
+            sl = sublists[i]
+            c = cursors[i]
+            while c < len(sl) and sl[c][0] < prev_end:
+                c += 1
+            cursors[i] = c
+            if c >= len(sl):
+                dead = True
+                break
+            width += sl[c][0] - prev_end
+            prev_end = sl[c][1]
+        if dead:
+            return
+        if width <= slop:
+            yield (s0, prev_end, width)
+
+
+def gspan_unordered_matches(sublists: list, slop: int):
+    """NearSpansUnordered over sub-span interval lists: cells seeded on
+    their first emissions in query order, priority queue by (start, then
+    end), totalSpanLength = sum of current cell lengths, atMatch =
+    maxEndCell.end - minCell.start - totalSpanLength <= slop, emitted
+    width = maxEndCell.START - minCell.start
+    (NearSpansUnordered.java:192). maxEndPositionCell is a POINTER:
+    advancing it can shrink the tracked max end; it moves only when
+    another cell's end strictly exceeds it (adjustMax)."""
+    n = len(sublists)
+    if any(not sl for sl in sublists):
+        return
+    if n == 1:
+        yield from sublists[0]
+        return
+    pq = _SpanPositionQueue(n)
+    cells = []
+    total = 0
+    # cell = [start, end, cursor, clause_idx]
+    max_cell = None
+    for i, sl in enumerate(sublists):  # query order, adjustMax per cell
+        s, e, _w = sl[0]
+        cell = [s, e, 1, i]
+        cells.append(cell)
+        pq.add(cell)
+        total += e - s
+        if max_cell is None or cell[1] > max_cell[1]:
+            max_cell = cell
+
+    def advance_min() -> bool:
+        nonlocal total, max_cell
+        cell = pq.top()
+        sl = sublists[cell[3]]
+        c = cell[2]
+        if c >= len(sl):
+            return False  # oneExhaustedInCurrentDoc
+        total -= cell[1] - cell[0]
+        cell[0], cell[1] = sl[c][0], sl[c][1]
+        cell[2] = c + 1
+        total += cell[1] - cell[0]
+        if cell[1] > max_cell[1]:
+            max_cell = cell
+        pq.update_top()
+        return True
+
+    def at_match() -> bool:
+        return max_cell[1] - pq.top()[0] - total <= slop
+
+    while not at_match():
+        if not advance_min():
+            return
+    while True:
+        yield (pq.top()[0], max_cell[1], max_cell[0] - pq.top()[0])
+        while True:
+            if not advance_min():
+                return
+            if at_match():
+                break
+
+
+def gspan_freq(snode, plist_fn) -> np.float32:
+    """SpanScorer.setFreqCurrentDoc over a span tree's emissions:
+    float32 fold of 1/(1 + width) in iterator order."""
+    freq = np.float32(0.0)
+    for _s, _e, width in _gspan_list(snode, plist_fn):
+        freq = np.float32(freq + np.float32(1.0) / np.float32(width + 1))
+    return freq

@@ -4451,3 +4451,163 @@ def test_path_hierarchy_matches_compiled_reference():
             for ln, e in zip(lines, exp):
                 got = fn(ln, delim, repl, skip)
                 assert got == e, ((reverse, delim, repl, skip), repr(ln), got, e)
+
+
+def test_surround_full_grammar_matches_compiled_reference():
+    """Ground-truth round 66: the surround query language's FULL grammar
+    (surround/parser/QueryParser.jj) — infix AND/OR/NOT chains with the
+    grammar's precedence, infix left-NESTED W/N distance operators
+    (NQuery/WQuery pair left-associatively, so `a W b W c` is
+    SpanNear(SpanNear(a,b), c) over generalized interval spans), prefix
+    n-ary forms, parenthesized or-chains as distance operands, `^w`
+    weights (left-associative products; score-INERT inside span context
+    since sub-SpanWeights are built with needsScores=false —
+    SpanNearQuery.java:182), prefix/truncated/quoted terms expanded
+    VERBATIM over the term dictionary, `field:` prefixes (absent fields
+    match nothing), MatchNoDocs propagation through empty expansions
+    (an empty nested near is SKIPPED by SpanNearClauseFactory.addSpanQuery
+    while an empty direct clause voids the whole distance op), the
+    ParseException surface (too-unrestrictive truncations, bare
+    operators, missing parens, boost <= 0, adjacent terms), and the
+    BasicQueryFactory 1024-cap (TooManyBasicQueries) including its
+    keep-counting-after-MatchNoDocs quirk. Top-10 docids + float32
+    scores and error outcomes exact vs the compiled parser +
+    IndexSearcher."""
+    from lucene_solr_spark.search.simpleqp import _OracleDict, oracle_topk_tree
+    from lucene_solr_spark.search.oracle import build_oracle_index
+    from lucene_solr_spark.search.surroundqp import (
+        SurroundParseError,
+        SurroundTooManyBasicQueries,
+        surround_to_tree,
+    )
+
+    rng = random.Random(20260820)
+    vocab = ["merge", "merga", "mergz", "sort", "sorta", "fast", "join",
+             "aa", "bb", "cc"]
+
+    def atom(depth: int) -> str:
+        r = rng.random()
+        if r < 0.45:
+            t = rng.choice(vocab)
+            if rng.random() < 0.1:
+                t = t.upper()  # no analysis: case mismatch matches nothing
+            return t
+        if r < 0.6:
+            return rng.choice(["mer*", "sor*", "merg*", "zzz*"])
+        if r < 0.7:
+            return rng.choice(["m?rge", "s?rt*", "me*a", "f?st", "jo?n*"])
+        if r < 0.8:
+            return '"%s"' % rng.choice(vocab)
+        return "%s^%s" % (rng.choice(vocab),
+                          rng.choice(["2", "0.5", "3.25", "2^2"]))
+
+    def dist_operand(depth: int) -> str:
+        r = rng.random()
+        if depth <= 0 or r < 0.55:
+            return atom(depth)
+        if r < 0.7:
+            return "(%s)" % " OR ".join(
+                dist_operand(depth - 1) for _ in range(rng.randint(2, 3)))
+        if r < 0.85:
+            num = rng.choice(["", "2", "3", "10"])
+            op = rng.choice(["W", "w", "N", "n"])
+            return "%s%s(%s)" % (num, op, ", ".join(
+                dist_operand(depth - 1) for _ in range(rng.randint(2, 3))))
+        lhs, rhs = dist_operand(0), dist_operand(0)
+        return "%s %s%s %s" % (
+            lhs, rng.choice(["", "2", "4"]), rng.choice(["W", "N"]), rhs)
+
+    def expr(depth: int) -> str:
+        r = rng.random()
+        if depth <= 0 or r < 0.3:
+            return atom(depth)
+        if r < 0.55:
+            op = rng.choice(["AND", "OR", "NOT", "and", "or", "not"])
+            return (" %s " % op).join(
+                expr(depth - 1) for _ in range(rng.randint(2, 3)))
+        if r < 0.7:
+            w = "^%s" % rng.choice(["2", "0.5"]) if rng.random() < 0.4 else ""
+            return "(%s)%s" % (expr(depth - 1), w)
+        if r < 0.8:
+            op = rng.choice(["AND", "OR"])
+            return "%s(%s)" % (op, ", ".join(
+                expr(depth - 1) for _ in range(rng.randint(2, 3))))
+        if r < 0.9:
+            return dist_operand(depth - 1)
+        f = rng.choice(["body", "other"])
+        return "%s:%s" % (f, atom(0))
+
+    fixed = [
+        "merge W sort", "merge w sort AND fast", "aa W bb W cc",
+        "aa N bb N cc", "3W(aa, or(bb, cc), merge)", "W(2N(aa, bb), cc)",
+        "w(n(aa, bb), n(cc, merge))", "aa NOT bb NOT cc",
+        "AND(aa, bb, cc)^2", "zzz W merge", "W(zzzq, aa) OR bb",
+        "(aa W bb)^2 AND cc", "body:merge AND other:sort",
+        "mer* N fast", "m?rge W aa", '"merge" W sort', "merge N mer*",
+        "(merge OR sort) W fast", "aa W (bb OR cc)",
+        "merge OR sort AND fast NOT join", "sort^2^3 OR merge^0.5",
+        "10W(aa, bb)", "2N(merge, sort, fast)",
+        "W(or(merge, sort), or(fast, join), aa)",
+        "(aa N bb) W (cc OR merge)",
+        # error surface
+        "ab*", "a?b", "aa AND AND bb", "aa ^", "w", "aa bb", "merge^0",
+        "1w(aa, bb)", "aa W (bb AND cc)", "W(f:aa, bb)", "merge AND",
+        "W(aa)", "OR(merge)", "*ab", "?aa", "aa NOT (bb OR)",
+    ]
+
+    for corpus_round in range(4):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        d = _OracleDict(idx)
+
+        queries = list(fixed) if corpus_round == 0 else []
+        while len(queries) < 40:
+            queries.append(expr(3))
+
+        expected = gt.run_surround(docs, queries)
+        assert len(expected) == len(queries)
+        for qs, exp in zip(queries, expected):
+            try:
+                tree = surround_to_tree(qs, d, "body")
+                got = oracle_topk_tree(idx, tree, k=10)
+            except SurroundParseError:
+                got = "!PARSE"
+            except SurroundTooManyBasicQueries:
+                got = "!TOOMANY"
+            if isinstance(exp, str):
+                assert got == exp, (corpus_round, qs, got, exp)
+            else:
+                assert not isinstance(got, str), (corpus_round, qs, got, exp)
+                _assert_topk_equal(got, exp, (corpus_round, qs))
+
+
+def test_surround_too_many_basic_queries_parity():
+    """BasicQueryFactory cap parity at the exact boundary: every
+    TermQuery/SpanTermQuery creation ticks checkMax; a MatchNoDocs
+    distance op still ticks its remaining subqueries
+    (DistanceQuery.getSpanNearQuery's error-message loop)."""
+    from lucene_solr_spark.search.simpleqp import _OracleDict, oracle_topk_tree
+    from lucene_solr_spark.search.oracle import build_oracle_index
+    from lucene_solr_spark.search.surroundqp import (
+        SurroundTooManyBasicQueries,
+        surround_to_tree,
+    )
+
+    docs = ["merge merga mergz sort"] * 3
+    idx = build_oracle_index(list(enumerate(docs)))
+    d = _OracleDict(idx)
+    # mer* expands to 3 terms; an AND chain of L copies ticks 3L
+    at_cap = " AND ".join(["mer*"] * 341)      # 1023 ticks: fine
+    over_cap = " AND ".join(["mer*"] * 342)    # 1026 ticks: error
+    exp = gt.run_surround(docs, [at_cap, over_cap])
+    assert not isinstance(exp[0], str) and exp[1] == "!TOOMANY"
+    tree = surround_to_tree(at_cap, d, "body")
+    _assert_topk_equal(oracle_topk_tree(idx, tree, k=10), exp[0], ("cap",))
+    try:
+        surround_to_tree(over_cap, d, "body")
+        raise AssertionError("expected TooManyBasicQueries")
+    except SurroundTooManyBasicQueries:
+        pass

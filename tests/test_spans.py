@@ -381,3 +381,117 @@ def test_surround_api(built):
         k=10,
     )
     assert got_o == [(d, s) for d, s in want_o] and got_o
+
+
+def test_gspan_flat_equivalence_with_pinned_walks():
+    """The generalized interval walks (surround's nested span trees)
+    degenerate to the pinned flat walks when every clause is a term or
+    a term-union: same emitted (start, end, width) sequences, hence the
+    same float32 freq folds."""
+    import random
+
+    from lucene_solr_spark.search.spans import (
+        _gspan_list,
+        gspan_freq,
+        span_ordered_freq,
+        span_ordered_matches,
+        span_unordered_freq,
+        span_unordered_matches,
+    )
+
+    rng = random.Random(7)
+    for case in range(300):
+        n_terms = rng.randint(2, 4)
+        doc_len = rng.randint(2, 18)
+        doc = [rng.randrange(n_terms) for _ in range(doc_len)]
+        pos = {t: [i for i, x in enumerate(doc) if x == t]
+               for t in range(n_terms)}
+        n_clauses = rng.randint(2, 3)
+        clauses = []
+        for _ in range(n_clauses):
+            alts = tuple(sorted(rng.sample(range(n_terms),
+                                           rng.randint(1, 2))))
+            clauses.append(alts)
+        plists = [sorted(p for t in c for p in pos[t]) for c in clauses]
+        if any(not pl for pl in plists):
+            continue
+        slop = rng.randint(0, 4)
+        ordered = rng.random() < 0.5
+
+        def snode_of(c):
+            if len(c) == 1:
+                return ("t", c[0])
+            return ("or", tuple(("t", t) for t in c))
+
+        tree = ("near", tuple(snode_of(c) for c in clauses), slop, ordered)
+        plist_fn = lambda t: pos[t]  # noqa: E731
+        got = _gspan_list(tree, plist_fn)
+        walk = span_ordered_matches if ordered else span_unordered_matches
+        want = list(walk(plists, slop))
+        assert got == want, (case, clauses, slop, ordered, doc)
+        fold = span_ordered_freq if ordered else span_unordered_freq
+        assert gspan_freq(tree, plist_fn) == fold(plists, slop)
+
+
+def test_gspan_nested_interval_semantics():
+    """Hand checks of the interval generalization: nested near widths
+    count only the gaps BETWEEN sub-spans (the inner span's own width is
+    the inner scorer's business), matchEnd is the LAST clause's end, and
+    the unordered walk's maxEndPositionCell is a pointer whose tracked
+    end can shrink when intervals (not term positions) advance."""
+    from lucene_solr_spark.search.spans import (
+        gspan_ordered_matches,
+        gspan_unordered_matches,
+    )
+
+    # inner near (a,b) over doc "a x b a b": a@[0,3], b@[2,4]
+    inner = [(0, 3, 1), (3, 5, 0)]  # (a@0,b@2) width 1; (a@3,b@4) width 0
+    c = [(5, 6, 0)]
+    # outer ordered W(inner, c): first inner match ends at 3, c@5 ->
+    # width 2; second ends at 5, c@5 -> width 0 — matchEnd = c's end
+    got = list(gspan_ordered_matches([inner, c], 2))
+    assert got == [(0, 6, 2), (3, 6, 0)]
+    # slop 1: the first inner match's stretch exceeds slop, second fits
+    assert list(gspan_ordered_matches([inner, c], 1)) == [(3, 6, 0)]
+
+    # unordered: a long interval then a shorter one — the max-end
+    # pointer shrinks with its cell (reference adjustMax quirk)
+    left = [(0, 9, 0), (1, 2, 0)]
+    right = [(3, 4, 0)]
+    # seed: cells (0,9) and (3,4); max = left cell (end 9); total = 10
+    # atMatch: 9 - 0 - 10 = -1 <= slop -> emit (0, 9, width 0-0=0)
+    # advance min (left -> (1,2)): total = 2, max POINTER still left,
+    # now end 2 (shrunk); atMatch: 2 - 1 - 2 = -1 -> emit (1, 2, 0)
+    # NOTE width = max_cell.start - min.start = 1 - 1 = 0
+    got_u = list(gspan_unordered_matches([left, right], 0))
+    assert got_u == [(0, 9, 0), (1, 2, 0)]
+
+
+def test_surround_full_grammar_engine_matches_oracle(built):
+    """GT round 66 engine leg: the full surround grammar through the
+    Spark engine (parse -> generalized span tree -> spark_topk_tree) is
+    rank+float32-score identical to the control oracle, which
+    test_lucene_ground_truth pins to the compiled parser + searcher."""
+    from lucene_solr_spark.search.simpleqp import _OracleDict, oracle_topk_tree
+    from lucene_solr_spark.search.surroundqp import surround_to_tree
+
+    searcher, oidx = built
+    queries = [
+        "parse W index", "parse w index AND merge", "parse W index W merge",
+        "parse N index N token", "w(n(parse, index), merge)",
+        "3W(parse, or(index, merge))", "(parse OR index) N token",
+        "par* W ind*", "p?rse N merge", "parse NOT index",
+        "(parse W index)^2 OR merge^0.5", "content:parse AND token",
+        "2N(parse, index, merge)", "other:parse OR index",
+    ]
+    nonempty = 0
+    for q in queries:
+        tree_o = surround_to_tree(q, _OracleDict(oidx), "content")
+        want = [(d, s) for d, s in oracle_topk_tree(oidx, tree_o, k=10)]
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.topk_surround(q, k=10).collect()
+        ]
+        assert got == want, (q, got, want)
+        nonempty += bool(got)
+    assert nonempty >= 10  # the sweep actually matched things

@@ -1434,17 +1434,27 @@ public class GroundTruthSurround {
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
       String qs = java.net.URLDecoder.decode(in.readLine().trim(), "UTF-8");
-      org.apache.lucene.queryparser.surround.query.SrndQuery sq =
-          org.apache.lucene.queryparser.surround.parser.QueryParser.parse(qs);
-      Query q = sq.makeLuceneQueryField("body",
-          new org.apache.lucene.queryparser.surround.query.BasicQueryFactory(1024));
-      TopDocs td = s.search(q, 10);
-      StringBuilder out = new StringBuilder();
-      for (ScoreDoc sd : td.scoreDocs) {
-        if (out.length() > 0) out.append(";");
-        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      String line;
+      try {
+        org.apache.lucene.queryparser.surround.query.SrndQuery sq =
+            org.apache.lucene.queryparser.surround.parser.QueryParser.parse(qs);
+        Query q = sq.makeLuceneQueryField("body",
+            new org.apache.lucene.queryparser.surround.query.BasicQueryFactory(1024));
+        TopDocs td = s.search(q, 10);
+        StringBuilder out = new StringBuilder();
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc).append(":").append(Float.toString(sd.score));
+        }
+        line = out.length() == 0 ? "-" : out.toString();
+      } catch (org.apache.lucene.queryparser.surround.parser.ParseException e) {
+        line = "!PARSE";
+      } catch (org.apache.lucene.queryparser.surround.parser.TokenMgrError e) {
+        line = "!PARSE";
+      } catch (org.apache.lucene.queryparser.surround.query.TooManyBasicQueries e) {
+        line = "!TOOMANY";
       }
-      System.out.println(out.length() == 0 ? "-" : out.toString());
+      System.out.println(line);
     }
     r.close();
   }
@@ -5349,6 +5359,9 @@ def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, st
             continue
         if line == "-":
             out.append([])
+            continue
+        if line.startswith("!"):
+            out.append(line)  # "!PARSE" / "!TOOMANY" error-parity marker
             continue
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
