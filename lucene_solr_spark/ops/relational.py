@@ -266,6 +266,119 @@ def interval_facet(spark, sf):
     )
 
 
+# Date range facet (facet.range over a date field — solr/core/src/java/
+# org/apache/solr/request/SimpleFacets.java getFacetRangeCounts +
+# RangeEndpointCalculator.DateRangeEndpointCalculator): bucket
+# boundaries are computed by CHAINED DateMathParser gap addition — each
+# high = parseMath(low, gap) — so a month gap from a month-end start
+# CLAMPS and drifts (1992-01-31 +1MONTH = Feb 29, +1MONTH = Mar 29, ...,
+# 1993-01-29 +1MONTH = Feb 28): boundaries are NOT start + i*gap. The
+# default options are reproduced: include=lower ([low, high) buckets),
+# hardend=false (the last bucket overshoots `end`), and the
+# before/after/between "other" counts against start / the actual last
+# high. Bucket keys are the solr response keys (the bucket-start ISO
+# instant). Boundaries are metadata (a ~24-entry driver loop through
+# ops/datemath.py, pinned vs the compiled DateMathParser in GT round
+# 67); the counts are ONE scan + one map-side-combined aggregation via
+# a literal CASE chain — no join, no extra shuffle, scale-independent.
+_DR_START = "1992-01-31T00:00:00Z"
+_DR_END = "1994-01-01T00:00:00Z"
+_DR_GAP = "+1MONTH"
+
+
+def _date_range_bounds() -> list[str]:
+    """Chained gap walk: [start, b1, b2, ..., last_high] as YYYY-MM-DD
+    (all boundaries stay at midnight UTC for a midnight start)."""
+    import datetime as _dtmod
+
+    from .datemath import date_math, parse_no_math
+
+    lo = parse_no_math(_DR_START)
+    end = parse_no_math(_DR_END)
+    bounds = [lo]
+    while lo < end:
+        hi = date_math(lo, _DR_GAP, tz="UTC")
+        if hi <= lo:
+            raise ValueError("gap must move the boundary forward")
+        bounds.append(hi)
+        lo = hi
+    return [
+        (_dtmod.datetime(1970, 1, 1, tzinfo=_dtmod.timezone.utc)
+         + _dtmod.timedelta(milliseconds=b)).strftime("%Y-%m-%d")
+        for b in bounds
+    ]
+
+
+def date_range_facet(spark, sf):
+    bounds = _date_range_bounds()
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    whens = F.when(d < F.lit(bounds[0]).cast("date"), F.lit("before"))
+    for lo, hi in zip(bounds, bounds[1:]):
+        whens = whens.when(
+            (d >= F.lit(lo).cast("date")) & (d < F.lit(hi).cast("date")),
+            F.lit(lo + "T00:00:00Z"),
+        )
+    whens = whens.otherwise(F.lit("after"))
+    counted = (
+        o.select(whens.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("facet_count"))
+    )
+    # facet.mincount defaults to 0: every bucket is emitted, counted or
+    # not — a 26-row literal frame (metadata) left-joined against the
+    # aggregated counts; broadcast, no extra scan
+    labels = ([lo + "T00:00:00Z" for lo in bounds[:-1]]
+              + ["before", "after"])
+    frame = spark.createDataFrame([(b,) for b in labels], ["bucket"])
+    full = (
+        frame.join(F.broadcast(counted), "bucket", "left")
+        .select("bucket",
+                F.coalesce("facet_count", F.lit(0)).alias("facet_count"))
+    )
+    between = (
+        full.filter(~F.col("bucket").isin("before", "after"))
+        .agg(F.sum("facet_count").alias("facet_count"))
+        .select(F.lit("between").alias("bucket"),
+                F.col("facet_count").cast("long").alias("facet_count"))
+    )
+    return full.unionByName(between).orderBy("bucket")
+
+
+def _date_range_sql() -> str:
+    """DuckDB recomputes the chained boundaries itself (timestamp +
+    INTERVAL 1 MONTH clamps exactly like java.time) via a recursive CTE
+    — an independent arithmetic path agreeing with ops/datemath.py."""
+    return f"""
+WITH RECURSIVE bounds(lo, hi) AS (
+  SELECT TIMESTAMP '{_DR_START[:10]} 00:00:00',
+         TIMESTAMP '{_DR_START[:10]} 00:00:00' + INTERVAL 1 MONTH
+  UNION ALL
+  SELECT hi, hi + INTERVAL 1 MONTH FROM bounds
+  WHERE hi < TIMESTAMP '{_DR_END[:10]} 00:00:00'
+), buckets AS (
+  SELECT strftime(b.lo, '%Y-%m-%d') || 'T00:00:00Z' AS bucket,
+         CAST(count(o.o_orderdate) AS BIGINT) AS facet_count
+  FROM bounds b LEFT JOIN orders o
+    ON o.o_orderdate >= CAST(b.lo AS DATE) AND o.o_orderdate < CAST(b.hi AS DATE)
+  GROUP BY 1
+), other AS (
+  SELECT 'before' AS bucket, CAST(count(*) AS BIGINT) AS facet_count
+  FROM orders WHERE o_orderdate < DATE '{_DR_START[:10]}'
+  UNION ALL
+  SELECT 'after', CAST(count(*) AS BIGINT) FROM orders
+  WHERE o_orderdate >= (SELECT CAST(max(hi) AS DATE) FROM bounds)
+  UNION ALL
+  SELECT 'between', CAST(count(*) AS BIGINT) FROM orders
+  WHERE o_orderdate >= DATE '{_DR_START[:10]}'
+    AND o_orderdate < (SELECT CAST(max(hi) AS DATE) FROM bounds)
+)
+SELECT bucket, facet_count FROM (
+  SELECT * FROM buckets UNION ALL SELECT * FROM other
+) ORDER BY bucket
+"""
+
+
 def _interval_sql_pred(lo, hi, lo_inc, hi_inc) -> str:
     p = f"o_totalprice >{'=' if lo_inc else ''} {lo}"
     if hi is not None:
@@ -374,9 +487,15 @@ def facets_combined(spark, sf):
         F.lit("").alias("k2"),
         "facet_count",
     )
+    f9 = date_range_facet(spark, sf).select(
+        F.lit("date_range").alias("variant"),
+        F.col("bucket").alias("k1"),
+        F.lit("").alias("k2"),
+        "facet_count",
+    )
     return (
         f1.unionByName(f2).unionByName(f3).unionByName(f4).unionByName(f5)
-        .unionByName(f6).unionByName(f7).unionByName(f8)
+        .unionByName(f6).unionByName(f7).unionByName(f8).unionByName(f9)
         .orderBy("variant", "k1", "k2")
     )
 
@@ -400,8 +519,14 @@ SELECT * FROM (
   UNION ALL
   SELECT 'prefix_missing' AS variant, bucket AS k1, '' AS k2, facet_count
   FROM ({PREFIX_MISSING_FACET_SQL})
+  UNION ALL
+  SELECT 'date_range' AS variant, bucket AS k1, '' AS k2, facet_count
+  FROM ({{DATE_RANGE_SQL}})
 ) ORDER BY variant, k1, k2
 """
+FACETS_COMBINED_SQL = FACETS_COMBINED_SQL.replace(
+    "{DATE_RANGE_SQL}", _date_range_sql()
+)
 
 
 def stats_component(spark, sf):

@@ -4611,3 +4611,106 @@ def test_surround_too_many_basic_queries_parity():
         raise AssertionError("expected TooManyBasicQueries")
     except SurroundTooManyBasicQueries:
         pass
+
+
+def test_datemath_matches_compiled_reference():
+    """Ground-truth round 67: Solr's DateMathParser
+    (solr/core/src/java/org/apache/solr/util/DateMathParser.java) — the
+    `\\b|(?<=\\d)(?=\\D)` splitter, +/-/round command loop, java.time
+    clamping month arithmetic, millisecond flooring, timezone-local
+    rounding with DST gap/overlap resolution (fold=0 == ZonedDateTime.of),
+    the static NOW.../first-'Z' full-string form, and the error surface —
+    epoch-millis exact vs the patch-compiled reference class."""
+    from lucene_solr_spark.ops.datemath import (
+        DateMathParseError,
+        date_math,
+        parse_math,
+    )
+
+    rng = random.Random(20260867)
+    units = ["YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "DATE",
+             "HOUR", "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS",
+             "MILLI", "MILLIS", "MILLISECOND", "MILLISECONDS"]
+    bad_units = ["WEEK", "days", "Day", "XYZ", "MONTHZ"]
+    tzs = ["UTC", "America/Los_Angeles", "Europe/Berlin", "Asia/Kolkata",
+           "GMT+05:30", "GMT-08:00", "Bad/Zone"]
+
+    def rand_math(allow_bad: bool) -> str:
+        n_ops = rng.randint(1, 5)
+        parts = []
+        for _ in range(n_ops):
+            r = rng.random()
+            if r < 0.35:
+                parts.append("/" + rng.choice(
+                    units + (bad_units if allow_bad and rng.random() < 0.2
+                             else [])))
+            else:
+                sign = rng.choice("+-")
+                val = rng.choice([0, 1, 2, 3, 7, 11, 25, 100, 999])
+                u = rng.choice(units)
+                if allow_bad and rng.random() < 0.1:
+                    u = rng.choice(bad_units)
+                parts.append(f"{sign}{val}{u}")
+        return "".join(parts)
+
+    cases: list[tuple[str, str, int, str]] = []
+    # instance mode: tz-aware rounding/adding over random nows
+    for _ in range(120):
+        tz = rng.choice(tzs)
+        now = rng.randint(-500_000_000_000, 2_000_000_000_000)
+        cases.append(("I", tz, now, rand_math(allow_bad=True)))
+    # DST edges (America/Los_Angeles 2020: spring fwd Mar 8 02:00,
+    # fall back Nov 1 02:00): round/add across both transitions,
+    # including arithmetic landing IN the gap and the overlap
+    la_points = [
+        1583657000000,   # 2020-03-08 ~01:23 PST
+        1583661600000,   # 2020-03-08 03:00 PDT (just after gap)
+        1604219400000,   # 2020-11-01 00:50 PDT
+        1604225700000,   # 2020-11-01 01:35 PDT (first pass of overlap)
+        1604229300000,   # 2020-11-01 01:35 PST (second pass)
+    ]
+    for now in la_points:
+        for math in ["/DAY", "/HOUR", "/DAY+2HOURS+30MINUTES", "/MONTH",
+                     "+1DAY/DAY", "-1DAY/HOUR", "/DAY+26HOURS"]:
+            cases.append(("I", "America/Los_Angeles", now, math))
+    # static full-string mode (default UTC zone)
+    dates = ["2020-01-31T10:20:30Z", "2020-02-29T23:59:59.999Z",
+             "1969-12-31T23:59:59.1234567Z", "2033-06-15T00:00:00.000000001Z",
+             "1993-11-01T05:00:00Z"]
+    for _ in range(60):
+        if rng.random() < 0.5:
+            val = "NOW" + (rand_math(allow_bad=True) if rng.random() < 0.9
+                           else "")
+        else:
+            val = rng.choice(dates) + (rand_math(allow_bad=True)
+                                       if rng.random() < 0.8 else "")
+        now = rng.randint(0, 2_000_000_000_000)
+        cases.append(("S", "UTC", now, val))
+    # fixed error surface
+    for val in ["NOW//DAY", "NOW+DAY", "NOW+1", "NOW/", "NOW+1.5DAYS",
+                "NOW 1DAY", "now/DAY", "2020-01-31T10:20:30z/DAY",
+                "2020-01-31", "2021-02-29T00:00:00Z", "NOW+99999999999DAYS",
+                "NOW*2DAYS", "+1DAY"]:
+        cases.append(("S", "UTC", 1600000000000, val))
+
+    expected = gt.run_datemath(cases)
+    assert len(expected) == len(cases)
+    n_err = n_ok = 0
+    for (mode, tz, now, val), exp in zip(cases, expected):
+        try:
+            if mode == "S":
+                got = str(parse_math(now, val))
+            else:
+                got = str(date_math(now, val, tz=tz))
+            n_ok += 1
+        except DateMathParseError:
+            got = "!ERR"
+            n_err += 1
+        except OverflowError:
+            got = "!ERR"  # out-of-range arithmetic errors both sides
+            n_err += 1
+        if exp in ("!PARSE", "!ERR"):
+            assert got == "!ERR", (mode, tz, now, val, got, exp)
+        else:
+            assert got == exp, (mode, tz, now, val, got, exp)
+    assert n_ok >= 100 and n_err >= 20  # both surfaces actually exercised

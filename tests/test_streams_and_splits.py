@@ -218,3 +218,23 @@ def test_data_splits_stable_under_repartition(spark):
     }
     base = {(r.lang, r.split): r.cnt for r in data_splits(spark, SF).collect()}
     assert re_counts == base
+
+
+def test_date_range_bounds_clamp_drift():
+    """The chained-gap boundary walk (SimpleFacets.getFacetRangeCounts:
+    high = DateMathParser.parseMath(low, gap), iterated) CLAMPS at month
+    ends and drifts — boundaries are not start + i*gap."""
+    from lucene_solr_spark.ops.relational import _date_range_bounds
+
+    bounds = _date_range_bounds()
+    # 1992-01-31 +1MONTH clamps to leap Feb 29, then sticks at day 29
+    # until the non-leap February 1993 re-clamps to 28
+    assert bounds[:4] == ["1992-01-31", "1992-02-29", "1992-03-29",
+                          "1992-04-29"]
+    assert "1993-01-29" in bounds and "1993-02-28" in bounds
+    assert bounds[-1] >= "1994-01-01"  # hardend=false: overshoot kept
+    # every boundary after the first re-derives from the previous one
+    from lucene_solr_spark.ops.datemath import date_math, parse_no_math
+    for lo, hi in zip(bounds, bounds[1:]):
+        assert date_math(parse_no_math(lo + "T00:00:00Z"), "+1MONTH") == \
+            parse_no_math(hi + "T00:00:00Z")

@@ -1462,6 +1462,45 @@ public class GroundTruthSurround {
 """
 
 
+DATEMATH_JAVA = r"""
+public class GroundTruthDateMath {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int n = Integer.parseInt(in.readLine().trim());
+    for (int i = 0; i < n; i++) {
+      String[] parts = in.readLine().split(";", 4);
+      String mode = parts[0];
+      String tz = parts[1];
+      long now = Long.parseLong(parts[2]);
+      String val = java.net.URLDecoder.decode(parts[3], "UTF-8");
+      String out;
+      try {
+        java.util.Date res;
+        if (mode.equals("S")) {
+          // static parseMath(Date, String): full NOW.../date-Z-math form
+          res = org.apache.solr.util.DateMathParser.parseMath(
+              new java.util.Date(now), val);
+        } else {
+          org.apache.solr.util.DateMathParser p =
+              new org.apache.solr.util.DateMathParser(
+                  java.util.TimeZone.getTimeZone(tz));
+          p.setNow(new java.util.Date(now));
+          res = p.parseMath(val);
+        }
+        out = Long.toString(res.getTime());
+      } catch (java.text.ParseException e) {
+        out = "!PARSE";
+      } catch (IllegalArgumentException e) {
+        out = "!ERR";
+      }
+      System.out.println(out);
+    }
+  }
+}
+"""
+
+
 FREETEXT_JAVA = r"""
 import org.apache.lucene.analysis.*;
 import org.apache.lucene.search.suggest.InputIterator;
@@ -4696,6 +4735,53 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # Solr's DateMathParser (solr/core/src/java/org/apache/solr/util/
+    # DateMathParser.java) — the date-math surface is pure java.time, but
+    # the class carries three solr-core imports (SolrException wrapping
+    # and a SolrRequestInfo fallback for implicit now/tz). Compile a
+    # patched copy that replaces the exception wrapper with
+    # IllegalArgumentException and pins the fallback to UTC/current-time
+    # (a build shim — every pinned entry point passes explicit now + tz,
+    # so the patched lines are outside the verified surface).
+    dm_marker = os.path.join(CLASSES, "org/apache/solr/util/DateMathParser.class")
+    dm_src = "/root/reference/solr/core/src/java/org/apache/solr/util/DateMathParser.java"
+    if not os.path.exists(dm_marker) and os.path.exists(dm_src):
+        with open(dm_src) as f:
+            dm_code = f.read()
+        dm_code = dm_code.replace(
+            "import org.apache.solr.common.SolrException;\n", ""
+        ).replace(
+            "import org.apache.solr.common.params.CommonParams;\n", ""
+        ).replace(
+            "import org.apache.solr.request.SolrRequestInfo;\n", ""
+        ).replace(
+            "new SolrException(SolrException.ErrorCode.BAD_REQUEST,",
+            "new IllegalArgumentException(",
+        ).replace(
+            "SolrRequestInfo reqInfo = SolrRequestInfo.getRequestInfo();\n"
+            "      tz = (null != reqInfo) ? reqInfo.getClientTimeZone() : DEFAULT_MATH_TZ;",
+            "tz = DEFAULT_MATH_TZ;",
+        ).replace(
+            "SolrRequestInfo reqInfo = SolrRequestInfo.getRequestInfo();\n"
+            "      if (reqInfo == null) {\n"
+            "        // fall back to current time if no request info set\n"
+            "        now = new Date();\n"
+            "      } else {\n"
+            "        now = reqInfo.getNOW(); // never null\n"
+            "      }",
+            "now = new Date();",
+        )
+        dm_tmp = os.path.join(BUILD, "DateMathParser.java")
+        with open(dm_tmp, "w") as f:
+            f.write(dm_code)
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, dm_tmp],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     os.makedirs(HARNESS_DIR, exist_ok=True)
     for name, code in (
         ("GroundTruth", HARNESS_JAVA),
@@ -4721,6 +4807,7 @@ def build() -> bool:
         ("GroundTruthFacet", FACET_JAVA),
         ("GroundTruthComplex", COMPLEX_JAVA),
         ("GroundTruthSurround", SURROUND_JAVA),
+        ("GroundTruthDateMath", DATEMATH_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
@@ -5367,6 +5454,26 @@ def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, st
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
         ])
     return out
+
+
+def run_datemath(cases: list[tuple[str, str, int, str]]) -> list[str]:
+    """cases: (mode, tz, now_ms, val). mode "S" = the static
+    parseMath(Date, String) full-string form (default UTC zone); "I" =
+    DateMathParser(tz).setNow(now).parseMath(math). Returns epoch-millis
+    strings, or "!PARSE"/"!ERR" markers."""
+    from urllib.parse import quote
+
+    payload = [str(len(cases))] + [
+        f"{m};{tz};{now};{quote(val)}" for m, tz, now, val in cases
+    ]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthDateMath"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
 
 
 def run_porter(lines: list[str]) -> list[str]:
