@@ -176,6 +176,15 @@ REGEXP_QUERIES = {"bm25_regexp": ("^(?:mer[a-z]*)$", 16)}  # (anchored, cap)
 # BoostingQuery: (match, context, demotion boost) — context matches keep
 # matching but score *= boost (GT round 35 pins the semantics)
 BOOSTING_QUERIES = {"bm25_boosting": ("spark merge", "dup", 0.3)}
+# Query-time scored join (JoinUtil.createJoinQuery, GT round 68):
+# fromField == toField == source; every doc matching the query scores,
+# scores aggregate per source (the TermsWithScoreCollector fold), every
+# doc of a collected source ranks by its source's aggregate.
+# name -> (query, score_mode)
+JOIN_UTIL_QUERIES = {
+    "join_util_total": ("spark join merge", "total"),
+    "join_util_max": ("spark join merge", "max"),
+}
 # Solr's q.op=AND (GT round 38): "spark merge OR fast" = +spark with
 # merge retroactively demoted by the OR — must=[spark],
 # should=[merge, fast]
@@ -956,6 +965,18 @@ def _bm25_groups() -> dict[str, list]:
             ),
             bm25_boosting_sql(mq, cq, bst, k=10),
         ))
+    for name, (jq, jmode) in JOIN_UTIL_QUERIES.items():
+        from lucene_solr_spark.ops.bm25_sql import join_util_sql
+
+        def _join_util_fn(spark, sf_dir, jq=jq, jmode=jmode):
+            keys = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "source"
+            )
+            return _ranked(
+                _searcher(spark, sf_dir).topk_join_util(jq, keys, mode=jmode, k=10)
+            )
+
+        derived.append((name, _join_util_fn, join_util_sql(jq, jmode, k=10)))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():
         derived.append((name, _parser_query_fn(qstr), sql_fn()))
     for name, (qstr, sql_fn) in ANDOP_QUERIES.items():

@@ -2710,3 +2710,71 @@ FROM (
 ORDER BY doc_id ASC
 LIMIT {k}
 """
+
+
+def join_util_sql(query: str, mode: str, k: int = 10,
+                  key_col: str = "source") -> str:
+    """Query-time scored join (JoinUtil.createJoinQuery ->
+    TermsWithScoreCollector + TermsIncludingScoreQuery) over
+    documents(doc_id, text, source): score every doc matching the OR
+    query, aggregate per `key_col` (max/min/total/avg; none = constant
+    1), then every doc whose key was collected scores its key's
+    aggregate. Rank-only contract (the aggregation runs in DOUBLE here
+    vs the engine's collector-order float32 fold; the float32 chain is
+    pinned against the compiled JoinUtil in GT round 68)."""
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS INTEGER) AS rank WHERE 1=0")
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    agg = {
+        "none": "1.0",
+        "max": "max(score)",
+        "min": "min(score)",
+        "total": "sum(score)",
+        "avg": "sum(score) / count(*)",
+    }[mode]
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+agg AS (
+  SELECT d.{key_col} AS jkey, {agg} AS jscore
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.{key_col}
+)
+SELECT d.doc_id,
+       CAST(row_number() OVER (ORDER BY a.jscore DESC, d.doc_id ASC) AS INTEGER) AS rank
+FROM documents d JOIN agg a ON d.{key_col} = a.jkey
+ORDER BY a.jscore DESC, d.doc_id ASC
+LIMIT {k}
+"""

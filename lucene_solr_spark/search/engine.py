@@ -580,6 +580,61 @@ class IndexSearcher:
         )
         return self.topk_spec(spec, k=k)
 
+    def topk_join_util(self, query: str, keys_df: DataFrame, mode: str = "max",
+                       k: int = 10, key_col: str = "source") -> DataFrame:
+        """Query-time join — JoinUtil.createJoinQuery (lucene/join/src/
+        java/org/apache/lucene/search/join/JoinUtil.java:95) with
+        fromField == toField == `key_col` over the corpus itself:
+        1. fromQuery (OR of terms) scores EVERY matching doc (not a
+           top-k — the collector sees all hits);
+        2. scores aggregate per join value exactly as
+           TermsWithScoreCollector.SV (float32 running fold in docID
+           order for `total`, first-set-then-compare for `min`/`max`
+           — TermsWithScoreCollector.java:76-99 — and the f32-sum /
+           int-count divide of SV.Avg for `avg`);
+        3. the to side (TermsIncludingScoreQuery's SVInOrderScorer)
+           matches every doc whose `key_col` term was collected, scored
+           by that term's aggregated value (`none` = TermsQuery,
+           constant 1.0), ranked score DESC / doc ASC.
+        Scale: step 1 is the existing pruned block scan; the aggregation
+        is one shuffle keyed by join value (bounded by distinct keys,
+        map-side combined for max/min); the to side is a broadcast join
+        of the aggregated key table — the corpus is scanned once per
+        side and never all-pairs. Pinned vs the compiled JoinUtil in
+        tests/test_lucene_ground_truth.py (GT round 68)."""
+        from pyspark.sql import functions as F
+
+        scores = self.topk_spec(
+            BooleanSpec(should=tuple(self._analyze(query))), k=1 << 30
+        )
+        keyed = scores.join(keys_df, "doc_id")
+        if mode == "none":
+            agg = keyed.select(key_col).distinct().withColumn(
+                "jscore", F.lit(1.0).cast("float"))
+        elif mode in ("max", "min"):
+            agg = keyed.groupBy(key_col).agg(
+                (F.max if mode == "max" else F.min)("score").alias("jscore"))
+        elif mode in ("total", "avg"):
+            # float32 left fold in docID order (the collector's += on a
+            # float[] as hits arrive) — Catalyst higher-order functions,
+            # no UDF; first-assignment == 0.0f + x in float32
+            fold = ("CAST(aggregate(transform(array_sort("
+                    "collect_list(struct(doc_id, score))), "
+                    "x -> CAST(x.score AS FLOAT)), CAST(0.0 AS FLOAT), "
+                    "(a, x) -> CAST(a + x AS FLOAT)) AS FLOAT)")
+            if mode == "avg":
+                fold = f"CAST({fold} / count(*) AS FLOAT)"
+            agg = keyed.groupBy(key_col).agg(F.expr(f"{fold} AS jscore"))
+        else:
+            raise ValueError(f"unknown ScoreMode: {mode}")
+        out = (
+            keys_df.join(F.broadcast(agg), key_col)
+            .select("doc_id", F.col("jscore").cast("float").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        return out
+
     def topk_common_terms(
         self, query: str, max_term_frequency: float = 0.4, k: int = 10
     ) -> DataFrame:

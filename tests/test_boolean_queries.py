@@ -466,3 +466,63 @@ def test_mixed_group_rank_identity(built, spec):
     expected = oracle_topk_spec(oidx, spec, k=10)
     got = [(r["doc_id"], r["score"]) for r in searcher.topk_spec(spec, k=10).collect()]
     _assert_identical(got, expected, spec)
+
+
+def test_join_util_engine_matches_control(built):
+    """GT round 68 engine leg: topk_join_util's per-key float32 folds
+    (Catalyst aggregate() over doc-ordered score lists — no UDF) equal
+    the pinned TermsWithScoreCollector control for every ScoreMode, on
+    the self-join (fromField == toField == key) setup."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.simpleqp import _OracleCtx, eval_tree
+
+    searcher, oidx = built
+    spark = searcher.spark
+    # derive a deterministic join key per doc from doc_id
+    keys_df = spark.range(0, oidx.doc_count).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+    docs = np.array(sorted(oidx.norm_bytes), dtype=np.int64)
+    from_keys = {int(d): f"k{int(d) % 7}" for d in docs}
+
+    for mode in ["none", "min", "max", "total", "avg"]:
+        for q in ["parse index", "merge sort fast", "token"]:
+            terms = searcher._analyze(q)
+            tree = ("bool", tuple(("", ("term", t)) for t in terms))
+            m, s = eval_tree(tree, _OracleCtx(oidx, docs))
+            state, counts = {}, {}
+            for i in np.nonzero(m)[0]:
+                key = from_keys[int(docs[i])]
+                cur = np.float32(s[i])
+                if mode == "none":
+                    state[key] = np.float32(1.0)
+                    continue
+                init = {"min": np.float32(np.inf),
+                        "max": np.float32(-np.inf)}.get(mode, np.float32(0.0))
+                existing = state.get(key, init)
+                if existing == np.float32(0.0):
+                    state[key] = cur
+                    counts[key] = 1
+                elif mode in ("total", "avg"):
+                    state[key] = np.float32(existing + cur)
+                    counts[key] = counts.get(key, 0) + 1
+                elif (mode == "min" and cur < existing) or (
+                        mode == "max" and cur > existing):
+                    state[key] = cur
+            if mode == "avg":
+                state = {k: np.float32(v / np.float32(counts[k]))
+                         for k, v in state.items()}
+            want = sorted(
+                ((int(d), state[from_keys[int(d)]])
+                 for d in docs if from_keys[int(d)] in state),
+                key=lambda h: (-float(h[1]), h[0]),
+            )[:10]
+            got = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in searcher.topk_join_util(q, keys_df, mode=mode,
+                                                 k=10).collect()
+            ]
+            assert got == want, (mode, q, got, want)

@@ -4714,3 +4714,94 @@ def test_datemath_matches_compiled_reference():
         else:
             assert got == exp, (mode, tz, now, val, got, exp)
     assert n_ok >= 100 and n_err >= 20  # both surfaces actually exercised
+
+
+def _joinutil_control(idx, queries, from_keys, to_keys):
+    """TermsWithScoreCollector.SV + TermsIncludingScoreQuery.SVInOrderScorer
+    control: per-key float32 folds in docID collection order
+    (TermsWithScoreCollector.java:76-99 — first assignment when the
+    existing slot Float.compare's equal to 0.0f, else the mode's
+    running op; SV.Avg divides its f32 sum by the int count at
+    getScoresPerTerm), then every to doc with a collected key scores its
+    key's aggregate (None = TermsQuery, constant 1.0f), ranked score
+    DESC / docid ASC. `idx` holds ONLY the from docs — to docs carry no
+    body field, so they are invisible to the body field's
+    CollectionStatistics."""
+    from lucene_solr_spark.search.simpleqp import _OracleCtx, eval_tree
+
+    out = []
+    docs = np.array(sorted(idx.norm_bytes), dtype=np.int64)
+    for mode, terms in queries:
+        tree = ("bool", tuple(("", ("term", t)) for t in terms))
+        m, s = eval_tree(tree, _OracleCtx(idx, docs))
+        state: dict[str, np.float32] = {}
+        counts: dict[str, int] = {}
+        for i in np.nonzero(m)[0]:
+            key = from_keys[int(docs[i])]
+            cur = np.float32(s[i])
+            if mode == "none":
+                state[key] = np.float32(1.0)
+                continue
+            init = {"min": np.float32(np.inf), "max": np.float32(-np.inf),
+                    "total": np.float32(0.0), "avg": np.float32(0.0)}[mode]
+            existing = state.get(key, init)
+            if existing == np.float32(0.0):
+                state[key] = cur
+                counts[key] = 1
+            elif mode == "total":
+                state[key] = np.float32(existing + cur)
+            elif mode == "avg":
+                state[key] = np.float32(existing + cur)
+                counts[key] = counts.get(key, 0) + 1
+            elif mode == "min":
+                if cur < existing:
+                    state[key] = cur
+            elif mode == "max":
+                if cur > existing:
+                    state[key] = cur
+        if mode == "avg":
+            state = {k: np.float32(v / np.float32(counts[k]))
+                     for k, v in state.items()}
+        hits = [
+            (len(from_keys) + ti, state[k])
+            for ti, k in enumerate(to_keys) if k in state
+        ]
+        hits.sort(key=lambda h: (-float(h[1]), h[0]))
+        out.append([(d, np.float32(v)) for d, v in hits[:10]])
+    return out
+
+
+def test_joinutil_matches_compiled_reference():
+    """Ground-truth round 68: query-time scored joins —
+    JoinUtil.createJoinQuery (lucene/join/.../JoinUtil.java:95) across
+    all five ScoreModes (None/Min/Max/Total/Avg), docids + float32
+    scores exact vs the compiled collector + TermsIncludingScoreQuery."""
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = random.Random(20260868)
+    vocab = ["merge", "sort", "fast", "join", "spark", "aa", "bb"]
+    for corpus_round in range(4):
+        n_from = rng.randint(6, 24)
+        n_to = rng.randint(4, 12)
+        keys = [f"k{j}" for j in range(rng.randint(2, 6))]
+        from_docs = [
+            (rng.choice(keys),
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+            for _ in range(n_from)
+        ]
+        to_keys = [rng.choice(keys + ["orphan"]) for _ in range(n_to)]
+        queries = []
+        for mode in ["none", "min", "max", "total", "avg"]:
+            for _ in range(3):
+                terms = rng.sample(vocab, rng.randint(1, 3))
+                if rng.random() < 0.15:
+                    terms.append("zzz_absent")
+                queries.append((mode, terms))
+        exp = gt.run_joinutil(from_docs, to_keys, queries)
+        assert len(exp) == len(queries)
+        idx = build_oracle_index(
+            [(i, body) for i, (_k, body) in enumerate(from_docs)])
+        got = _joinutil_control(
+            idx, queries, [k for k, _b in from_docs], to_keys)
+        for (mode, terms), g, x in zip(queries, got, exp):
+            _assert_topk_equal(g, x, (corpus_round, mode, terms))

@@ -1462,6 +1462,69 @@ public class GroundTruthSurround {
 """
 
 
+JOINUTIL_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthJoinUtil {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    // FROM docs first (ids 0..nFrom-1): "key<TAB>body terms"; then TO
+    // docs (ids nFrom..): "key" only (no body)
+    int nFrom = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(1000000);
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nFrom; i++) {
+      String[] p = in.readLine().split("\t", 2);
+      Document d = new Document();
+      d.add(new BinaryDocValuesField("from_k", new BytesRef(p[0])));
+      d.add(new Field("body", p[1], ft));
+      w.addDocument(d);
+    }
+    int nTo = Integer.parseInt(in.readLine().trim());
+    for (int i = 0; i < nTo; i++) {
+      Document d = new Document();
+      d.add(new StringField("to_k", in.readLine().trim(), Field.Store.NO));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // "<mode> t1 t2 ..."
+      String[] p = in.readLine().trim().split(" ");
+      org.apache.lucene.search.join.ScoreMode sm =
+          org.apache.lucene.search.join.ScoreMode.valueOf(
+              p[0].substring(0, 1).toUpperCase() + p[0].substring(1));
+      BooleanQuery.Builder b = new BooleanQuery.Builder();
+      for (int i = 1; i < p.length; i++)
+        b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+      Query jq = org.apache.lucene.search.join.JoinUtil.createJoinQuery(
+          "from_k", false, "to_k", b.build(), s, sm);
+      TopDocs td = s.search(jq, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 DATEMATH_JAVA = r"""
 public class GroundTruthDateMath {
   public static void main(String[] args) throws Exception {
@@ -4808,6 +4871,7 @@ def build() -> bool:
         ("GroundTruthComplex", COMPLEX_JAVA),
         ("GroundTruthSurround", SURROUND_JAVA),
         ("GroundTruthDateMath", DATEMATH_JAVA),
+        ("GroundTruthJoinUtil", JOINUTIL_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
@@ -5449,6 +5513,38 @@ def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, st
             continue
         if line.startswith("!"):
             out.append(line)  # "!PARSE" / "!TOOMANY" error-parity marker
+            continue
+        out.append([
+            (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
+        ])
+    return out
+
+
+def run_joinutil(from_docs: list[tuple[str, str]], to_keys: list[str],
+                 queries: list[tuple[str, list[str]]]) -> list[list[tuple[int, str]]]:
+    """from_docs: (join key, body); to_keys: one join key per to doc
+    (ids continue after the from docs); queries: (score_mode, terms).
+    Runs the REAL JoinUtil.createJoinQuery. Top-10 [(docid, score)]."""
+    payload = [str(len(from_docs))]
+    payload += [f"{k}\t{b}" for k, b in from_docs]
+    payload.append(str(len(to_keys)))
+    payload += list(to_keys)
+    payload.append(str(len(queries)))
+    payload += [f"{m} {' '.join(ts)}" for m, ts in queries]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthJoinUtil"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
             continue
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
