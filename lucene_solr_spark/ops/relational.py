@@ -266,6 +266,36 @@ def interval_facet(spark, sf):
     )
 
 
+def assoc_sum_facet(spark, sf):
+    """Association facets (lucene/facet/src/java/org/apache/lucene/
+    facet/taxonomy/TaxonomyFacetSumIntAssociations.java): per-doc
+    (category, int value) pairs summed per category over the docs
+    matching a query, top-N children by summed value. Here the part
+    table plays the corpus: docs matching p_size <= 25 carry the
+    association (p_brand -> p_size); top-5 categories by sum. One
+    filter + one map-side-combined aggregation + a bounded TakeOrdered
+    — no shuffle beyond the ~25-key rollup at any corpus size. Ties
+    order by label ASC (the deterministic table-engine analog of the
+    reference's taxonomy-ordinal tie rule, whose exact newest-first
+    walk + bottomValue boundary quirk is pinned vs the compiled classes
+    in GT round 69)."""
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(F.col("p_size") <= 25)
+        .groupBy(F.col("p_brand").alias("label"))
+        .agg(F.sum("p_size").alias("assoc_sum"))
+        .orderBy(F.col("assoc_sum").desc(), F.col("label").asc())
+        .limit(5)
+    )
+
+
+ASSOC_SUM_FACET_SQL = """
+SELECT p_brand AS label, CAST(sum(p_size) AS BIGINT) AS assoc_sum
+FROM part WHERE p_size <= 25
+GROUP BY 1 ORDER BY assoc_sum DESC, label ASC LIMIT 5
+"""
+
+
 # Date range facet (facet.range over a date field — solr/core/src/java/
 # org/apache/solr/request/SimpleFacets.java getFacetRangeCounts +
 # RangeEndpointCalculator.DateRangeEndpointCalculator): bucket
@@ -493,9 +523,16 @@ def facets_combined(spark, sf):
         F.lit("").alias("k2"),
         "facet_count",
     )
+    f10 = assoc_sum_facet(spark, sf).select(
+        F.lit("assoc_sum").alias("variant"),
+        F.col("label").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("assoc_sum").alias("facet_count"),
+    )
     return (
         f1.unionByName(f2).unionByName(f3).unionByName(f4).unionByName(f5)
         .unionByName(f6).unionByName(f7).unionByName(f8).unionByName(f9)
+        .unionByName(f10)
         .orderBy("variant", "k1", "k2")
     )
 
@@ -522,6 +559,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'date_range' AS variant, bucket AS k1, '' AS k2, facet_count
   FROM ({{DATE_RANGE_SQL}})
+  UNION ALL
+  SELECT 'assoc_sum' AS variant, label AS k1, '' AS k2, assoc_sum AS facet_count
+  FROM ({ASSOC_SUM_FACET_SQL})
 ) ORDER BY variant, k1, k2
 """
 FACETS_COMBINED_SQL = FACETS_COMBINED_SQL.replace(

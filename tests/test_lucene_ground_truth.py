@@ -4805,3 +4805,110 @@ def test_joinutil_matches_compiled_reference():
             idx, queries, [k for k, _b in from_docs], to_keys)
         for (mode, terms), g, x in zip(queries, got, exp):
             _assert_topk_equal(g, x, (corpus_round, mode, terms))
+
+
+def test_facet_associations_match_compiled_reference():
+    """Ground-truth round 69: taxonomy association facets
+    (facet/taxonomy/TaxonomyFacetSum{Int,Float}Associations.java) — the
+    packed (ord, value) byte walk summed per category (float32 in DOC
+    order for floats), then getTopChildren's exact machinery: children
+    iterated NEWEST-FIRST (the taxonomy children/siblings linked list),
+    the values[ord] > 0 drop, the bottomValue guard that lets the
+    first-iterated (largest-ord) child keep a boundary TIE, and
+    TopOrdAndIntQueue's larger-ord-is-less ordering for pops. Labels,
+    values (Integer/Float.toString) and childCount exact vs the
+    compiled classes."""
+    import heapq
+
+    rng = random.Random(20260869)
+    labels = ["a", "b", "c", "d", "e"]
+
+    def control(docs, kind, topn):
+        # replay ord assignment: root=0; categories (dim first, then
+        # (dim,label)) in first-appearance order across the doc stream
+        ords: dict = {}
+        nxt = [1]
+
+        def ord_of(path):
+            if path not in ords:
+                ords[path] = nxt[0]
+                nxt[0] += 1
+            return ords[path]
+
+        dim = "idim" if kind == "INT" else "fdim"
+        vals: dict[int, object] = {}
+        for flag, fields in docs:
+            for d, lb, v in fields:
+                ord_of((d,))
+                o = ord_of((d, lb))
+                if flag != "m" or d != dim:
+                    continue
+                if kind == "INT":
+                    vals[o] = vals.get(o, 0) + int(v)
+                else:
+                    vals[o] = np.float32(
+                        vals.get(o, np.float32(0.0)) + np.float32(float(v)))
+        if (dim,) not in ords:
+            return None
+        label_of = {o: p[1] for p, o in ords.items() if len(p) == 2
+                    and p[0] == dim}
+        q: list = []  # heap of (value, -ord): top = lessThan-smallest
+        bottom = 0
+        tot = 0.0
+        child_count = 0
+        for o in sorted(label_of, reverse=True):  # newest-first
+            v = vals.get(o, 0)
+            if v > 0:
+                tot += v
+                child_count += 1
+                if v > bottom:
+                    if len(q) < topn:
+                        heapq.heappush(q, (v, -o))
+                    elif (v, -o) > q[0]:
+                        heapq.heapreplace(q, (v, -o))
+                    if len(q) == topn:
+                        bottom = q[0][0]
+        if tot == 0:
+            return None
+        out = []
+        while q:
+            v, no = heapq.heappop(q)
+            out.append((label_of[-no], v))
+        out.reverse()
+        return out, child_count
+
+    for corpus_round in range(4):
+        n_docs = rng.randint(4, 20)
+        docs = []
+        for _ in range(n_docs):
+            flag = "m" if rng.random() < 0.75 else "x"
+            fields = []
+            for _ in range(rng.randint(0, 5)):
+                if rng.random() < 0.5:
+                    fields.append(("idim", rng.choice(labels),
+                                   str(rng.randint(-3, 9))))
+                else:
+                    v = rng.choice([0.25, 0.5, 1.25, 0.1, 2.3, 3.75])
+                    fields.append(("fdim", rng.choice(labels), repr(v)))
+            docs.append((flag, fields))
+        queries = [(k, n) for k in ("INT", "FLOAT") for n in (1, 2, 3, 10)]
+        exp = gt.run_facet_assoc(docs, queries)
+        assert len(exp) == len(queries)
+        for (kind, topn), x in zip(queries, exp):
+            got = control(docs, kind, topn)
+            if x is None:
+                assert got is None or got[0] == [], (corpus_round, kind, topn, got)
+                continue
+            exp_pairs, exp_cc = x
+            assert got is not None, (corpus_round, kind, topn, x)
+            got_pairs, got_cc = got
+            assert got_cc == exp_cc, (corpus_round, kind, topn, got, x)
+            assert [lb for lb, _ in got_pairs] == [lb for lb, _ in exp_pairs], (
+                corpus_round, kind, topn, got_pairs, exp_pairs)
+            for (glb, gv), (xlb, xv) in zip(got_pairs, exp_pairs):
+                if kind == "INT":
+                    assert int(gv) == int(xv), (
+                        corpus_round, topn, got_pairs, exp_pairs)
+                else:
+                    assert np.float32(gv) == np.float32(float(xv)), (
+                        corpus_round, topn, got_pairs, exp_pairs)

@@ -1462,6 +1462,91 @@ public class GroundTruthSurround {
 """
 
 
+FACETASSOC_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.facet.*;
+import org.apache.lucene.facet.taxonomy.*;
+import org.apache.lucene.facet.taxonomy.directory.*;
+
+public class GroundTruthFacetAssoc {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    Directory dir = new RAMDirectory();
+    Directory tdir = new RAMDirectory();
+    FacetsConfig config = new FacetsConfig();
+    config.setMultiValued("idim", true);
+    config.setIndexFieldName("idim", "$ia");
+    config.setMultiValued("fdim", true);
+    config.setIndexFieldName("fdim", "$fa");
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(1000000);
+    IndexWriter w = new IndexWriter(dir, cfg);
+    DirectoryTaxonomyWriter tw = new DirectoryTaxonomyWriter(tdir);
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    for (int i = 0; i < nDocs; i++) {
+      String[] p = in.readLine().split("\t", 2);
+      Document d = new Document();
+      d.add(new StringField("f", p[0], Field.Store.NO));
+      if (p.length > 1 && !p[1].isEmpty()) {
+        for (String spec : p[1].split(",")) {
+          String[] q = spec.split("/");
+          if (q[0].equals("idim")) {
+            d.add(new IntAssociationFacetField(Integer.parseInt(q[2]), "idim", q[1]));
+          } else {
+            d.add(new FloatAssociationFacetField(Float.parseFloat(q[2]), "fdim", q[1]));
+          }
+        }
+      }
+      w.addDocument(config.build(tw, d));
+    }
+    w.forceMerge(1);
+    w.close();
+    tw.close();
+    IndexReader r = DirectoryReader.open(dir);
+    TaxonomyReader tr = new DirectoryTaxonomyReader(tdir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      int topN = Integer.parseInt(p[1]);
+      FacetsCollector fc = new FacetsCollector();
+      s.search(new TermQuery(new Term("f", "m")), fc);
+      Facets facets;
+      String dim;
+      if (p[0].equals("INT")) {
+        facets = new TaxonomyFacetSumIntAssociations("$ia", tr, config, fc);
+        dim = "idim";
+      } else {
+        facets = new TaxonomyFacetSumFloatAssociations("$fa", tr, config, fc);
+        dim = "fdim";
+      }
+      FacetResult res = facets.getTopChildren(topN, dim);
+      if (res == null) {
+        System.out.println("-");
+        continue;
+      }
+      StringBuilder out = new StringBuilder();
+      for (LabelAndValue lv : res.labelValues) {
+        if (out.length() > 0) out.append(";");
+        out.append(lv.label).append(":").append(
+            p[0].equals("INT") ? Integer.toString(lv.value.intValue())
+                               : Float.toString(lv.value.floatValue()));
+      }
+      out.append("|").append(res.childCount);
+      System.out.println(out.toString());
+    }
+    r.close();
+    tr.close();
+  }
+}
+"""
+
+
 JOINUTIL_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -4872,6 +4957,7 @@ def build() -> bool:
         ("GroundTruthSurround", SURROUND_JAVA),
         ("GroundTruthDateMath", DATEMATH_JAVA),
         ("GroundTruthJoinUtil", JOINUTIL_JAVA),
+        ("GroundTruthFacetAssoc", FACETASSOC_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
@@ -5517,6 +5603,43 @@ def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, st
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
         ])
+    return out
+
+
+def run_facet_assoc(docs: list[tuple[str, list[tuple[str, str, str]]]],
+                    queries: list[tuple[str, int]]) -> list:
+    """docs: (match_flag 'm'/'x', [(dim, label, value_str)...] in field
+    ADD order); queries: ("INT"|"FLOAT", topN). Runs the REAL
+    TaxonomyFacetSum{Int,Float}Associations.getTopChildren. Returns per
+    query ([(label, value_str)...], child_count) or None."""
+    payload = [str(len(docs))]
+    for flag, fields in docs:
+        spec = ",".join(f"{d}/{lb}/{v}" for d, lb, v in fields)
+        payload.append(f"{flag}\t{spec}")
+    payload.append(str(len(queries)))
+    payload += [f"{kind} {topn}" for kind, topn in queries]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFacetAssoc"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append(None)
+            continue
+        lv, child_count = line.rsplit("|", 1)
+        pairs = []
+        if lv:
+            for p in lv.split(";"):
+                lb, v = p.split(":")
+                pairs.append((lb, v))
+        out.append((pairs, int(child_count)))
     return out
 
 
