@@ -2912,6 +2912,62 @@ def _expression_sort_sql() -> str:
     )
 
 
+_FRANGE_L, _FRANGE_U = 1.0, 2.5
+
+
+def frange_query(spark, sf):
+    """Solr's {!frange} — FunctionRangeQuery (solr/core/src/java/org/
+    apache/solr/search/FunctionRangeQuery.java + function/
+    ValueSourceRangeFilter.java): a CONSTANT-SCORE query matching docs
+    whose ValueSource value lies in [l, u] (includeLower/includeUpper
+    default true). The value source here is function_query's expression;
+    matches return score 1.0 (SolrConstantScoreQuery), doc order. The
+    range predicate runs inside the same single-pass projection that
+    computes the expression — as a PostFilter it adds no extra scan."""
+    from .index_access import searcher_for
+
+    s = searcher_for(spark, sf)
+    n = float(s.doc_count)
+    df_ = float(s.term_weights(["vector"])["vector"]["df"])
+    if df_ == 0:
+        return spark.createDataFrame([], "doc_id long, fval double")
+    tf = (
+        _posting_docs(spark, sf, ["vector"])
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    d = _t(spark, sf, "documents")
+    fscore = (
+        F.sqrt(F.col("tf").cast("double"))
+        * F.log(F.lit(n) / F.lit(df_))
+        * (F.lit(1.0) + F.col("n_chars") / F.lit(1000.0))
+    )
+    return (
+        tf.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", F.round(fscore, 6).alias("fv"))
+        .filter((F.col("fv") >= _FRANGE_L) & (F.col("fv") <= _FRANGE_U))
+        .select("doc_id", F.lit(1.0).alias("fval"))
+        .orderBy("doc_id")
+    )
+
+
+FRANGE_QUERY_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term = 'vector' GROUP BY doc_id
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf)
+SELECT doc_id, 1.0 AS fval FROM (
+  SELECT tf.doc_id,
+         round(sqrt(tf.tf) * ln(n.n / dfv.df) * (1 + d.n_chars / 1000.0), 6) AS fv
+  FROM tf JOIN documents d USING (doc_id) CROSS JOIN n CROSS JOIN dfv
+) WHERE fv >= {_FRANGE_L} AND fv <= {_FRANGE_U}
+ORDER BY doc_id
+"""
+
+
 def function_query_combined(spark, sf):
     """ValueSource function query + CustomScoreQuery + Solr recency boost
     + the expressions module as one tagged union (same 50-row-gate
@@ -2932,8 +2988,12 @@ def function_query_combined(spark, sf):
         F.lit("expression").alias("variant"), "doc_id",
         F.col("escore").alias("val"),
     )
+    v5 = frange_query(spark, sf).select(
+        F.lit("frange").alias("variant"), "doc_id",
+        F.col("fval").alias("val"),
+    )
     return (
-        v1.unionByName(v2).unionByName(v3).unionByName(v4)
+        v1.unionByName(v2).unionByName(v3).unionByName(v4).unionByName(v5)
         .orderBy("variant", F.col("val").desc(), "doc_id")
     )
 
@@ -2954,6 +3014,8 @@ SELECT * FROM (
   SELECT 'recency_boost', doc_id, CAST(rrank AS DOUBLE) FROM ({recency})
   UNION ALL
   SELECT 'expression', doc_id, escore FROM ({_expression_sort_sql()})
+  UNION ALL
+  SELECT 'frange', doc_id, fval FROM ({FRANGE_QUERY_SQL})
 ) ORDER BY variant, val DESC, doc_id
 """
 
