@@ -341,38 +341,32 @@ def _date_range_bounds() -> list[str]:
 
 def date_range_facet(spark, sf):
     bounds = _date_range_bounds()
-    o = _t(spark, sf, "orders")
-    d = F.col("o_orderdate")
-    whens = F.when(d < F.lit(bounds[0]).cast("date"), F.lit("before"))
+    # single codegen CASE chain (one expression string — not 26 nested
+    # py4j Column builds), ONE scan + map-side-combined aggregation;
+    # the <= 28-row bucket table is then assembled into the facet
+    # response driver-side (zero-count buckets for mincount=0, the
+    # before/after/between "other" rows) exactly as Solr's response
+    # writer materializes range counts — response assembly over the
+    # bucket rollup, never over docs, at any corpus size
+    cases = ["CASE WHEN o_orderdate < DATE '%s' THEN 'before'" % bounds[0]]
     for lo, hi in zip(bounds, bounds[1:]):
-        whens = whens.when(
-            (d >= F.lit(lo).cast("date")) & (d < F.lit(hi).cast("date")),
-            F.lit(lo + "T00:00:00Z"),
+        cases.append(
+            f"WHEN o_orderdate < DATE '{hi}' THEN '{lo}T00:00:00Z'"
         )
-    whens = whens.otherwise(F.lit("after"))
-    counted = (
-        o.select(whens.alias("bucket"))
-        .groupBy("bucket")
+    bucket_expr = " ".join(cases) + " ELSE 'after' END"
+    counted = dict(
+        _t(spark, sf, "orders")
+        .groupBy(F.expr(bucket_expr).alias("bucket"))
         .agg(F.count("*").alias("facet_count"))
+        .collect()
     )
-    # facet.mincount defaults to 0: every bucket is emitted, counted or
-    # not — a 26-row literal frame (metadata) left-joined against the
-    # aggregated counts; broadcast, no extra scan
-    labels = ([lo + "T00:00:00Z" for lo in bounds[:-1]]
-              + ["before", "after"])
-    frame = spark.createDataFrame([(b,) for b in labels], ["bucket"])
-    full = (
-        frame.join(F.broadcast(counted), "bucket", "left")
-        .select("bucket",
-                F.coalesce("facet_count", F.lit(0)).alias("facet_count"))
-    )
-    between = (
-        full.filter(~F.col("bucket").isin("before", "after"))
-        .agg(F.sum("facet_count").alias("facet_count"))
-        .select(F.lit("between").alias("bucket"),
-                F.col("facet_count").cast("long").alias("facet_count"))
-    )
-    return full.unionByName(between).orderBy("bucket")
+    rows = [(lo + "T00:00:00Z", int(counted.get(lo + "T00:00:00Z", 0)))
+            for lo in bounds[:-1]]
+    rows.append(("before", int(counted.get("before", 0))))
+    rows.append(("after", int(counted.get("after", 0))))
+    rows.append(("between", sum(c for b, c in rows[:-2])))
+    rows.sort()
+    return spark.createDataFrame(rows, "bucket string, facet_count long")
 
 
 def _date_range_sql() -> str:
