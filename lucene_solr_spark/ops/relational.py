@@ -3037,6 +3037,7 @@ def block_join_parent(spark, sf):
     )
     agg = ch.groupBy("l_orderkey").agg(
         F.max("cs").alias("mx"),
+        F.min("cs").alias("mn"),
         F.sum("cs").alias("tot"),
         F.avg("cs").alias("av"),
         F.count(F.lit(1)).alias("n_children"),
@@ -3044,7 +3045,8 @@ def block_join_parent(spark, sf):
     parents = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
     j = agg.join(parents, agg["l_orderkey"] == parents["o_orderkey"])
     out = None
-    for mode, col in [("avg", "av"), ("max", "mx"), ("none", None), ("total", "tot")]:
+    for mode, col in [("avg", "av"), ("max", "mx"), ("min", "mn"),
+                      ("none", None), ("total", "tot")]:
         score = F.round(F.col(col), 2) if col else F.lit(0.0)
         order = (
             [F.col(col).desc(), F.col("o_orderkey").asc()]
@@ -3099,13 +3101,14 @@ BLOCK_JOIN_PARENT_SQL = """
 WITH agg AS (
   SELECT l_orderkey,
          max(l_extendedprice * (1 - l_discount)) AS mx,
+         min(l_extendedprice * (1 - l_discount)) AS mn,
          sum(l_extendedprice * (1 - l_discount)) AS tot,
          avg(l_extendedprice * (1 - l_discount)) AS av,
          count(*) AS n_children
   FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey
 ),
 j AS (
-  SELECT o.o_orderkey, o.o_orderstatus, a.mx, a.tot, a.av, a.n_children
+  SELECT o.o_orderkey, o.o_orderstatus, a.mx, a.mn, a.tot, a.av, a.n_children
   FROM agg a JOIN orders o ON a.l_orderkey = o.o_orderkey
 ),
 u AS (
@@ -3117,6 +3120,10 @@ u AS (
   SELECT * FROM (
     SELECT 'max', o_orderkey, o_orderstatus, round(mx, 2), n_children
     FROM j ORDER BY mx DESC, o_orderkey ASC LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'min', o_orderkey, o_orderstatus, round(mn, 2), n_children
+    FROM j ORDER BY mn DESC, o_orderkey ASC LIMIT 10)
   UNION ALL
   SELECT * FROM (
     SELECT 'none', o_orderkey, o_orderstatus, 0.0, n_children

@@ -1760,7 +1760,7 @@ def test_block_join_matches_compiled_reference():
         cases = []
         for _ in range(10):
             if rng.random() < 0.75:
-                mode = rng.choice(["none", "avg", "max", "total"])
+                mode = rng.choice(["none", "avg", "max", "total", "min"])
                 ts = rng.sample(VOCAB, rng.randint(1, 3))
                 cases.append(("TOPARENT", mode, ts))
             else:
@@ -1784,14 +1784,18 @@ def test_block_join_matches_compiled_reference():
                         continue
                     total = np.float32(0.0)
                     mx = np.float32(-np.inf)
+                    mn = np.float32(np.inf)
                     for d in kids:  # child docid order
                         cs = np.float32(hits[d])
                         total = np.float32(total + cs)
                         mx = max(mx, cs)
+                        mn = min(mn, cs)
                     if mode == "total":
                         sc = total
                     elif mode == "max":
                         sc = mx
+                    elif mode == "min":
+                        sc = mn
                     elif mode == "avg":
                         sc = np.float32(total / np.float32(len(kids)))
                     else:
