@@ -2590,6 +2590,84 @@ def highlight_classic(spark, sf):
     ).orderBy("doc_id")
 
 
+def highlight_fvh(spark, sf):
+    """The REAL FastVectorHighlighter chain (search/fvh.py — pinned
+    fragment-string + float32-score exact vs the compiled classes in GT
+    round 70) over every matching document: query = merge^2 OR sort OR
+    "fast sort"^1.5, fragCharSize larger than any document so the one
+    fragment is the whole text with every match tagged — phrase matches
+    as ONE <b>fast sort</b> span (adjacent positions extend the Toffs),
+    consumed phrase tokens never re-tag, standalone `fast` (a phrase
+    prefix, not a query term) untouched. pscore = the fragment's
+    totalBoost (f32 sum of matched clause boosts — exact in halves).
+    One zero-shuffle Arrow stage over the stored text."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..search.fvh import fvh_fragments
+
+        flat = [(("merge",), 0, 2.0), (("sort",), 0, 1.0),
+                (("fast", "sort"), 0, 1.5)]
+        for pdf in it:
+            ids, scores, snips = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                toks = []
+                off = 0
+                for pos, w in enumerate(t.split(" ")):
+                    toks.append((w, off, off + len(w), pos))
+                    off += len(w) + 1
+                # simple fraglist: FieldTermStack weights are score-inert
+                frags = fvh_fragments(
+                    t, toks, flat, doc_count=1, df_of=lambda _t: 0,
+                    frag_char_size=100000, max_num=1,
+                )
+                if not frags:
+                    continue
+                ids.append(doc_id)
+                snips.append(frags[0][0])
+                scores.append(float(np.float32(frags[0][1])))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "pscore": pd.Series(scores, dtype="float64"),
+                 "snippet": pd.Series(snips, dtype="object")}
+            )
+
+    return d.mapInPandas(
+        gen, "doc_id long, pscore double, snippet string"
+    ).orderBy("doc_id")
+
+
+def _highlight_fvh_sql() -> str:
+    """DuckDB oracle: with one whole-text fragment the chain has a
+    closed form — protect phrase matches with a placeholder, tag the
+    terms, restore the phrase tag; pscore = 2*merge + 1*standalone-sort
+    + 1.5*phrase (counts on the phrase-protected string, so consumed
+    tokens never double-count)."""
+    return r"""
+SELECT doc_id, pscore, snippet FROM (
+  SELECT doc_id,
+         2.0 * len(regexp_extract_all(s1, '\bmerge\b'))
+         + 1.0 * len(regexp_extract_all(s1, '\bsort\b'))
+         + 1.5 * (length(s1) - length(replace(s1, chr(1), ''))) AS pscore,
+         replace(
+           regexp_replace(
+             regexp_replace(s1, '\bmerge\b', '<b>merge</b>', 'g'),
+             '\bsort\b', '<b>sort</b>', 'g'),
+           chr(1), '<b>fast sort</b>') AS snippet
+  FROM (
+    SELECT doc_id,
+           regexp_replace(text, '\bfast sort\b', chr(1), 'g') AS s1
+    FROM documents
+  )
+)
+WHERE pscore > 0
+ORDER BY doc_id
+"""
+
+
 def highlight_combined(spark, sf):
     """Window-density snippet + the reference PostingsHighlighter chain
     + the classic Highlighter chain as one tagged union (same 50-slot
@@ -2603,7 +2681,11 @@ def highlight_combined(spark, sf):
     h3 = highlight_classic(spark, sf).select(
         F.lit("classic").alias("variant"), "doc_id", "pscore", "snippet"
     )
-    return h1.unionByName(h2).unionByName(h3).orderBy("variant", "doc_id")
+    h4 = highlight_fvh(spark, sf).select(
+        F.lit("fvh").alias("variant"), "doc_id", "pscore", "snippet"
+    )
+    return (h1.unionByName(h2).unionByName(h3).unionByName(h4)
+            .orderBy("variant", "doc_id"))
 
 
 def _highlight_unified_sql() -> str:
@@ -2682,6 +2764,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'classic' AS variant, doc_id, pscore, snippet
   FROM ({_highlight_classic_sql()})
+  UNION ALL
+  SELECT 'fvh' AS variant, doc_id, pscore, snippet
+  FROM ({_highlight_fvh_sql()})
 ) ORDER BY variant, doc_id
 """
 

@@ -4916,3 +4916,94 @@ def test_facet_associations_match_compiled_reference():
                 else:
                     assert np.float32(gv) == np.float32(float(xv)), (
                         corpus_round, topn, got_pairs, exp_pairs)
+
+
+def _ws_tokens(text: str):
+    """Whitespace tokens with (term, start_offset, end_offset, position)."""
+    out = []
+    i, pos = 0, 0
+    while i < len(text):
+        while i < len(text) and text[i] == " ":
+            i += 1
+        if i >= len(text):
+            break
+        s = i
+        while i < len(text) and text[i] != " ":
+            i += 1
+        out.append((text[s:i], s, i, pos))
+        pos += 1
+    return out
+
+
+def test_fvh_matches_compiled_reference():
+    """Ground-truth round 70: the FastVectorHighlighter chain
+    (search/vectorhighlight/ — FieldQuery flatten/expand +
+    QueryPhraseMap, FieldTermStack's term-sorted stable position sort
+    with same-position rings, FieldPhraseList's greedy walk with
+    longest-match backtrack and addIfNoOverlap merging,
+    Simple/WeightedFieldFragList scoring, BaseFragListBuilder's window
+    walk, ScoreOrderFragmentsBuilder + SimpleBoundaryScanner splicing).
+    Fragment STRINGS and float32 totalBoost scores exact vs the
+    compiled classes."""
+    from lucene_solr_spark.search.fvh import fvh_fragments
+
+    rng = random.Random(20260870)
+    vocab = ["merge", "sort", "fast", "join", "index", "scan", "ab.cd",
+             "x,", "deep"]
+    for corpus_round in range(4):
+        n_docs = rng.randint(4, 10)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+            for _ in range(n_docs)
+        ]
+        df = {t: sum(1 for d in docs if t in d.split(" ")) for t in vocab}
+        queries = []
+        for _ in range(25):
+            clauses = []
+            for _ in range(rng.randint(1, 3)):
+                boost = rng.choice([1.0, 2.0, 0.5, 1.0])
+                if rng.random() < 0.5:
+                    clauses.append(("t", boost, rng.choice(vocab)))
+                else:
+                    terms = [rng.choice(vocab)
+                             for _ in range(rng.randint(2, 3))]
+                    clauses.append(("p", boost, rng.choice([0, 0, 1, 2]),
+                                    terms))
+            queries.append((
+                rng.randrange(n_docs),
+                rng.random() < 0.8,
+                rng.choice([18, 25, 40, 1000]),
+                rng.choice([1, 2, 3]),
+                rng.choice(["S", "W"]),
+                clauses,
+            ))
+        queries.append((0, True, 10, 1, "S", [("t", 1.0, "merge")]))  # !ERR
+        exp = gt.run_fvh(docs, queries)
+        assert len(exp) == len(queries)
+        for (doc_id, phl, size, num, mode, clauses), x in zip(queries, exp):
+            flat = []
+            for c in clauses:
+                if c[0] == "t":
+                    flat.append(((c[2],), 0, c[1]))
+                else:
+                    flat.append((tuple(c[3]), c[2], c[1]))
+            try:
+                got = fvh_fragments(
+                    docs[doc_id], _ws_tokens(docs[doc_id]), flat,
+                    doc_count=n_docs, df_of=lambda t: df.get(t, 0),
+                    frag_char_size=size, max_num=num,
+                    weighted=(mode == "W"), phrase_highlight=phl,
+                )
+            except ValueError:
+                got = "!ERR"
+            if x == "!ERR":
+                assert got == "!ERR", (corpus_round, doc_id, clauses, got)
+                continue
+            assert got != "!ERR", (corpus_round, doc_id, clauses, x)
+            assert len(got) == len(x), (
+                corpus_round, doc_id, size, num, mode, clauses, got, x)
+            for (gf, gs), (xs, xf) in zip(got, x):
+                assert gf == xf, (corpus_round, doc_id, size, num, mode,
+                                  clauses, gf, xf)
+                assert np.float32(gs) == np.float32(float(xs)), (
+                    corpus_round, doc_id, size, num, mode, clauses, gs, xs)

@@ -1462,6 +1462,133 @@ public class GroundTruthSurround {
 """
 
 
+FVH_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.search.vectorhighlight.*;
+
+public class GroundTruthFVH {
+  // whitespace tokenizer WITH offsets (GroundTruth.WS lacks them)
+  static final class WSO extends Analyzer {
+    protected TokenStreamComponents createComponents(String f) {
+      Tokenizer t = new Tokenizer() {
+        final org.apache.lucene.analysis.tokenattributes.CharTermAttribute term =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.CharTermAttribute.class);
+        final org.apache.lucene.analysis.tokenattributes.OffsetAttribute off =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.OffsetAttribute.class);
+        final org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute pi =
+            addAttribute(org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute.class);
+        String buf; int idx;
+        public boolean incrementToken() throws java.io.IOException {
+          if (buf == null) {
+            StringBuilder sb = new StringBuilder(); int c;
+            while ((c = input.read()) != -1) sb.append((char) c);
+            buf = sb.toString(); idx = 0;
+          }
+          while (idx < buf.length() && buf.charAt(idx) == ' ') idx++;
+          if (idx >= buf.length()) return false;
+          int start = idx;
+          while (idx < buf.length() && buf.charAt(idx) != ' ') idx++;
+          clearAttributes();
+          pi.setPositionIncrement(1);
+          term.append(buf, start, idx);
+          off.setOffset(correctOffset(start), correctOffset(idx));
+          return true;
+        }
+        public void reset() throws java.io.IOException { super.reset(); buf = null; }
+      };
+      return new TokenStreamComponents(t);
+    }
+  }
+
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new WSO());
+    cfg.setMaxBufferedDocs(1000000);
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_STORED);
+    ft.setStoreTermVectors(true);
+    ft.setStoreTermVectorPositions(true);
+    ft.setStoreTermVectorOffsets(true);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", java.net.URLDecoder.decode(in.readLine().trim(), "UTF-8"), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      // "<docId> <phraseHL> <fragSize> <maxNum> <S|W> <clause>|..."
+      // clause: t:<boost>:<term>  or  p:<boost>:<slop>:<t1> <t2> ...
+      String[] p = in.readLine().trim().split(" ", 6);
+      int docId = Integer.parseInt(p[0]);
+      boolean phraseHL = p[1].equals("1");
+      int fragSize = Integer.parseInt(p[2]);
+      int maxNum = Integer.parseInt(p[3]);
+      boolean weighted = p[4].equals("W");
+      BooleanQuery.Builder b = new BooleanQuery.Builder();
+      for (String cl : java.net.URLDecoder.decode(p[5], "UTF-8").split("\\|")) {
+        String[] c = cl.split(":", 3);
+        Query q;
+        if (c[0].equals("t")) {
+          q = new TermQuery(new Term("body", c[2]));
+        } else {
+          String[] sp = c[2].split(":", 2);
+          PhraseQuery.Builder pb = new PhraseQuery.Builder();
+          for (String t : sp[1].split(" ")) pb.add(new Term("body", t));
+          pb.setSlop(Integer.parseInt(sp[0]));
+          q = pb.build();
+        }
+        float boost = Float.parseFloat(c[1]);
+        if (boost != 1f) q = new BoostQuery(q, boost);
+        b.add(q, BooleanClause.Occur.SHOULD);
+      }
+      FragListBuilder flb = weighted
+          ? new WeightedFragListBuilder() : new SimpleFragListBuilder();
+      ScoreOrderFragmentsBuilder fb = new ScoreOrderFragmentsBuilder();
+      String line;
+      try {
+        // FieldQuery's constructor is package-private; the public path
+        // is FastVectorHighlighter.getFieldQuery
+        FastVectorHighlighter fvh = new FastVectorHighlighter(phraseHL, true, flb, fb);
+        FieldQuery fq = fvh.getFieldQuery(b.build(), r);
+        FieldTermStack stack = new FieldTermStack(r, docId, "body", fq);
+        FieldPhraseList fpl = new FieldPhraseList(stack, fq, Integer.MAX_VALUE);
+        FieldFragList ffl = flb.createFieldFragList(fpl, fragSize);
+        java.util.List<FieldFragList.WeightedFragInfo> sorted =
+            fb.getWeightedFragInfoList(ffl.getFragInfos());
+        String[] frags = fb.createFragments(r, docId, "body", ffl, maxNum);
+        if (frags == null || frags.length == 0) {
+          line = "-";
+        } else {
+          StringBuilder out = new StringBuilder();
+          for (int i = 0; i < frags.length; i++) {
+            if (i > 0) out.append(";");
+            out.append(Float.toString((float) sorted.get(i).getTotalBoost()))
+               .append(",").append(java.net.URLEncoder.encode(frags[i], "UTF-8"));
+          }
+          line = out.toString();
+        }
+      } catch (IllegalArgumentException e) {
+        line = "!ERR";
+      }
+      System.out.println(line);
+    }
+    r.close();
+  }
+}
+"""
+
+
 FACETASSOC_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -4547,6 +4674,29 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # FastVectorHighlighter (lucene/highlighter vectorhighlight) needs
+    # core + search/highlight (Encoder/DefaultEncoder, compiled above)
+    fvh_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/search/vectorhighlight/FastVectorHighlighter.class",
+    )
+    fvh_dir = (
+        "/root/reference/lucene/highlighter/src/java/org/apache/lucene/"
+        "search/vectorhighlight"
+    )
+    if not os.path.exists(fvh_marker) and os.path.isdir(fvh_dir):
+        vsrcs = [
+            os.path.join(fvh_dir, f) for f in os.listdir(fvh_dir)
+            if f.endswith(".java")
+        ]
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + vsrcs,
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the bloom codec trio (lucene/codecs bloom package) needs core only;
     # BloomFilteringPostingsFormat itself stays uncompiled (SPI plumbing
     # the FuzzySet pin doesn't need)
@@ -4958,6 +5108,7 @@ def build() -> bool:
         ("GroundTruthDateMath", DATEMATH_JAVA),
         ("GroundTruthJoinUtil", JOINUTIL_JAVA),
         ("GroundTruthFacetAssoc", FACETASSOC_JAVA),
+        ("GroundTruthFVH", FVH_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
@@ -5603,6 +5754,54 @@ def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, st
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
         ])
+    return out
+
+
+def run_fvh(docs: list[str], queries: list) -> list:
+    """docs: body strings (whitespace tokens). queries:
+    (doc_id, phrase_hl, frag_size, max_num, 'S'|'W',
+     [("t", boost, term) | ("p", boost, slop, terms_list)]).
+    Runs the REAL FastVectorHighlighter chain. Per query:
+    [(Float.toString(totalBoost), fragment_string)...] or "!ERR"."""
+    from urllib.parse import quote, unquote_plus
+
+    payload = [str(len(docs))] + [quote(d) for d in docs]
+    payload.append(str(len(queries)))
+    for doc_id, phl, size, num, mode, clauses in queries:
+        specs = []
+        for c in clauses:
+            if c[0] == "t":
+                specs.append(f"t:{c[1]}:{c[2]}")
+            else:
+                specs.append(f"p:{c[1]}:{c[2]}:{' '.join(c[3])}")
+        payload.append(
+            f"{doc_id} {1 if phl else 0} {size} {num} {mode} "
+            + quote("|".join(specs))
+        )
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFVH"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        if line == "!ERR":
+            out.append(line)
+            continue
+        frags = []
+        for part in line.split(";"):
+            score, frag = part.split(",", 1)
+            # URLEncoder.encode writes '+' for spaces
+            frags.append((score, unquote_plus(frag)))
+        out.append(frags)
     return out
 
 
