@@ -2381,6 +2381,125 @@ ORDER BY dist_km ASC, c_custkey ASC LIMIT {SPATIAL_K}
 """
 
 
+#: polygon demo geometry (closed rings; hole inside the shell) — the
+#: same literals feed the Spark Column expression and the DuckDB SQL
+POLY_SHELL = [(35.0, 20.0), (12.0, 48.0), (-18.0, 35.0), (-22.0, -2.0),
+              (8.0, -14.0), (35.0, 20.0)]
+POLY_HOLE = [(18.0, 20.0), (4.0, 30.0), (-2.0, 14.0), (18.0, 20.0)]
+_LAT_STEP = 180.0 / (1 << 32)
+_LON_STEP = 360.0 / (1 << 32)
+
+
+def _pnpoly_col(qlat, qlon, ring):
+    """Edge.contains crossings parity as ONE codegen expression over
+    the quantized point columns (no UDF — ops/geo.py is the pinned
+    semantics reference, this is its Column transliteration; identical
+    IEEE double arithmetic)."""
+    crossings = None
+    for (lat1, lon1), (lat2, lon2) in zip(ring, ring[1:]):
+        cond = (
+            ((F.lit(lat1) > qlat) != (F.lit(lat2) > qlat))
+            & (qlon < (F.lit(lon1 - lon2)) * (qlat - F.lit(lat2))
+               / F.lit(lat1 - lat2) + F.lit(lon2))
+        ).cast("int")
+        crossings = cond if crossings is None else crossings + cond
+    return crossings % 2 == 1
+
+
+def spatial_polygon(spark, sf):
+    """LatLonPoint.newPolygonQuery (sandbox LatLonPointInPolygonQuery +
+    core geo/Polygon2D — pinned docid-exact vs the compiled query in GT
+    round 71, ops/geo.py): points inside the shell ring and outside the
+    hole, containment computed on the QUANTIZED (encode->decode grid)
+    coordinates. Two-phase like the BKD visit: a sargable bounding-box
+    prefilter (row-group pruning at scale), then the pnpoly
+    crossings-parity test as one codegen projection."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    sh_lats = [la for la, _lo in POLY_SHELL]
+    sh_lons = [lo for _la, lo in POLY_SHELL]
+    boxed = c.filter(
+        F.col("lat").between(min(sh_lats), max(sh_lats))
+        & F.col("lon").between(min(sh_lons), max(sh_lons))
+    )
+    qlat = F.floor(F.col("lat") / F.lit(_LAT_STEP)) * F.lit(_LAT_STEP)
+    qlon = F.floor(F.col("lon") / F.lit(_LON_STEP)) * F.lit(_LON_STEP)
+    boxed = boxed.select("c_custkey", "lat", "lon",
+                         qlat.alias("qlat"), qlon.alias("qlon"))
+    in_shell = _pnpoly_col(F.col("qlat"), F.col("qlon"), POLY_SHELL)
+    h_lats = [la for la, _lo in POLY_HOLE]
+    h_lons = [lo for _la, lo in POLY_HOLE]
+    in_hole_box = (
+        F.col("qlat").between(min(h_lats), max(h_lats))
+        & F.col("qlon").between(min(h_lons), max(h_lons))
+    )
+    in_hole = in_hole_box & _pnpoly_col(F.col("qlat"), F.col("qlon"), POLY_HOLE)
+    return (
+        boxed.filter(in_shell & ~in_hole)
+        .select("c_custkey", F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"))
+        .orderBy("c_custkey")
+        .limit(40)
+    )
+
+
+def _pnpoly_sql(qlat: str, qlon: str, ring) -> str:
+    terms = []
+    for (lat1, lon1), (lat2, lon2) in zip(ring, ring[1:]):
+        terms.append(
+            f"CASE WHEN (({lat1} > {qlat}) <> ({lat2} > {qlat})) AND "
+            f"({qlon} < ({lon1} - {lon2}) * ({qlat} - {lat2}) / "
+            f"({lat1} - {lat2}) + {lon2}) THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _spatial_polygon_sql() -> str:
+    sh_lats = [la for la, _lo in POLY_SHELL]
+    sh_lons = [lo for _la, lo in POLY_SHELL]
+    h_lats = [la for la, _lo in POLY_HOLE]
+    h_lons = [lo for _la, lo in POLY_HOLE]
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+boxed AS (
+  SELECT c_custkey, lat, lon,
+         floor(lat / ({_LAT_STEP!r})) * ({_LAT_STEP!r}) AS qlat,
+         floor(lon / ({_LON_STEP!r})) * ({_LON_STEP!r}) AS qlon
+  FROM pts
+  WHERE lat BETWEEN {min(sh_lats)} AND {max(sh_lats)}
+    AND lon BETWEEN {min(sh_lons)} AND {max(sh_lons)}
+)
+SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon
+FROM boxed
+WHERE ({_pnpoly_sql("qlat", "qlon", POLY_SHELL)})
+  AND NOT (qlat BETWEEN {min(h_lats)} AND {max(h_lats)}
+           AND qlon BETWEEN {min(h_lons)} AND {max(h_lons)}
+           AND ({_pnpoly_sql("qlat", "qlon", POLY_HOLE)}))
+ORDER BY c_custkey LIMIT 40
+"""
+
+
+def spatial_family(spark, sf):
+    """Distance knn + polygon containment as one tagged union."""
+    v1 = spatial_knn(spark, sf).select(
+        F.lit("knn").alias("variant"), "c_custkey", "lat", "lon",
+        F.col("dist_km").alias("val"),
+    )
+    v2 = spatial_polygon(spark, sf).select(
+        F.lit("polygon").alias("variant"), "c_custkey", "lat", "lon",
+        F.lit(0.0).alias("val"),
+    )
+    return v1.unionByName(v2).orderBy("variant", "c_custkey")
+
+
 #: passage highlighter query + window geometry
 HL_TERMS = ["merge", "sort", "vector"]
 HL_W = 8  # tokens per passage window
@@ -3369,7 +3488,15 @@ OPS: dict[str, tuple] = {
     "terms_component": (terms_combined, TERMS_COMBINED_SQL),
     # prefix + spell as one tagged union (both term-dict-only)
     "suggest": (suggest_combined, SUGGEST_COMBINED_SQL),
-    "spatial_knn": (spatial_knn, SPATIAL_KNN_SQL),
+    "spatial_knn": (spatial_family, f"""
+SELECT * FROM (
+  SELECT 'knn' AS variant, c_custkey, lat, lon, dist_km AS val
+  FROM ({SPATIAL_KNN_SQL})
+  UNION ALL
+  SELECT 'polygon' AS variant, c_custkey, lat, lon, 0.0 AS val
+  FROM ({{POLY_SQL}})
+) ORDER BY variant, c_custkey
+""".replace("{POLY_SQL}", _spatial_polygon_sql())),
     "highlight_snippet": (highlight_combined, HIGHLIGHT_COMBINED_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),

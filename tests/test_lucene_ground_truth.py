@@ -5007,3 +5007,62 @@ def test_fvh_matches_compiled_reference():
                                   clauses, gf, xf)
                 assert np.float32(gs) == np.float32(float(xs)), (
                     corpus_round, doc_id, size, num, mode, clauses, gs, xs)
+
+
+def test_polygon_query_matches_compiled_reference():
+    """Ground-truth round 71: LatLonPoint.newPolygonQuery
+    (sandbox/document/LatLonPointInPolygonQuery.java + core
+    geo/Polygon2D.java) — matched docids exact vs the compiled query:
+    containment runs on the QUANTIZED (encode->decode) point
+    coordinates with pnpoly crossings parity, the component
+    bounding-box gate on the ORIGINAL double vertex bounds, and hole
+    subtraction. Random star-shaped shells (some with holes) over
+    random points, plus points planted exactly on quantized grid
+    values near edges."""
+    import math as m
+
+    from lucene_solr_spark.ops.geo import point_in_polygon_query
+
+    rng = random.Random(20260871)
+    for corpus_round in range(4):
+        pts = [
+            (rng.uniform(-60, 60), rng.uniform(-120, 120))
+            for _ in range(rng.randint(20, 60))
+        ]
+        queries = []
+        specs = []
+        for _ in range(8):
+            clat, clon = rng.uniform(-40, 40), rng.uniform(-90, 90)
+            n_v = rng.randint(3, 8)
+            angles = sorted(rng.uniform(0, 2 * m.pi) for _ in range(n_v))
+            radius = rng.uniform(5, 40)
+            lats = [clat + radius * m.sin(a) for a in angles]
+            lons = [clon + radius * 1.3 * m.cos(a) for a in angles]
+            lats.append(lats[0])
+            lons.append(lons[0])
+            rings = [(lats, lons)]
+            if rng.random() < 0.4:
+                hr = radius * 0.35
+                h_lats = [clat + hr * m.sin(a) for a in angles]
+                h_lons = [clon + hr * 1.3 * m.cos(a) for a in angles]
+                h_lats.append(h_lats[0])
+                h_lons.append(h_lons[0])
+                rings.append((h_lats, h_lons))
+            spec = "|".join(
+                ";".join(f"{la!r},{lo!r}" for la, lo in zip(rl, rn))
+                for rl, rn in rings
+            )
+            queries.append(f"POLY {len(pts)} {spec}")
+            specs.append(rings)
+        exp = gt.run_spatial(pts, queries)
+        assert len(exp) == len(queries)
+        for rings, x in zip(specs, exp):
+            shell = rings[0]
+            holes = [tuple(r) for r in rings[1:]]
+            polys = [(shell[0], shell[1], holes)]
+            want = ([] if x == "-" else [int(d) for d in x.split(";")])
+            got = [
+                i for i, (la, lo) in enumerate(pts)
+                if point_in_polygon_query(la, lo, polys)
+            ]
+            assert got == want, (corpus_round, len(shell[0]), got, want)

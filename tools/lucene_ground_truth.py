@@ -1382,7 +1382,39 @@ public class GroundTruthSpatial {
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
       // DIST lat lon radiusMeters k
+      // POLY k shell[|hole...]   ring = lat,lon;lat,lon;... (closed)
       String[] p = in.readLine().trim().split(" ");
+      if (p[0].equals("POLY")) {
+        int k = Integer.parseInt(p[1]);
+        String[] rings = p[2].split("\\|");
+        double[][] latAr = new double[rings.length][];
+        double[][] lonAr = new double[rings.length][];
+        for (int ri = 0; ri < rings.length; ri++) {
+          String[] vs = rings[ri].split(";");
+          latAr[ri] = new double[vs.length];
+          lonAr[ri] = new double[vs.length];
+          for (int vi = 0; vi < vs.length; vi++) {
+            String[] c = vs[vi].split(",");
+            latAr[ri][vi] = Double.parseDouble(c[0]);
+            lonAr[ri][vi] = Double.parseDouble(c[1]);
+          }
+        }
+        org.apache.lucene.geo.Polygon[] holes =
+            new org.apache.lucene.geo.Polygon[rings.length - 1];
+        for (int ri = 1; ri < rings.length; ri++) {
+          holes[ri - 1] = new org.apache.lucene.geo.Polygon(latAr[ri], lonAr[ri]);
+        }
+        Query q = LatLonPoint.newPolygonQuery("pt",
+            new org.apache.lucene.geo.Polygon(latAr[0], lonAr[0], holes));
+        TopDocs td = s.search(q, k, new Sort(SortField.FIELD_DOC));
+        StringBuilder out = new StringBuilder();
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc);
+        }
+        System.out.println(out.length() == 0 ? "-" : out.toString());
+        continue;
+      }
       double lat = Double.parseDouble(p[1]);
       double lon = Double.parseDouble(p[2]);
       double radius = Double.parseDouble(p[3]);
