@@ -2204,6 +2204,96 @@ SELECT w, weight FROM (
 """
 
 
+BLENDED_KEY_MUST = "merge"
+BLENDED_KEY_PREFIX = "so"
+BLENDED_NUM = 10
+BLENDED_NUM_FACTOR = 10
+
+
+def suggest_blended_infix(spark, sf):
+    """BlendedInfixSuggester (lucene/suggest/.../BlendedInfixSuggester.java
+    — pinned (score, text) exact vs the compiled suggester in GT round
+    72, search/suggesters.py:blended_infix_lookup): suggestion entries
+    are the corpus docs' first-3-token titles weighted by n_chars; key
+    "merge so" = whole-token MUST 'merge' + prefix 'so'; first pass
+    weight-DESC capped at num*numFactor (the suggester's top-weight
+    search), then POSITION_RECIPROCAL re-scoring by the first matched
+    token's position — score = (long)(weight / (1 + pos)), 1.0
+    coefficient when the title startsWith the raw key — TreeSet
+    (score, text) dedup, DESCENDING output (score DESC, text DESC).
+    One scan + a bounded TakeOrdered; the re-score is a projection over
+    the <= num*numFactor survivors."""
+    d = _t(spark, sf, "documents")
+    parts = F.split(F.col("text"), " ")
+    t1, t2, t3 = (F.element_at(parts, i) for i in (1, 2, 3))
+    title = F.concat_ws(" ", F.slice(parts, 1, 3))
+
+    def m(tok):
+        return (tok == BLENDED_KEY_MUST) | tok.startswith(BLENDED_KEY_PREFIX)
+
+    base = d.select(
+        F.col("doc_id"), title.alias("title"),
+        F.col("n_chars").cast("long").alias("weight"),
+        t1.alias("t1"), t2.alias("t2"), t3.alias("t3"),
+    ).filter(
+        ((F.col("t1") == BLENDED_KEY_MUST) | (F.col("t2") == BLENDED_KEY_MUST)
+         | (F.col("t3") == BLENDED_KEY_MUST))
+        & (F.col("t1").startswith(BLENDED_KEY_PREFIX)
+           | F.col("t2").startswith(BLENDED_KEY_PREFIX)
+           | F.col("t3").startswith(BLENDED_KEY_PREFIX))
+    ).orderBy(F.col("weight").desc(), F.col("doc_id").asc()).limit(
+        BLENDED_NUM * BLENDED_NUM_FACTOR
+    )
+    minpos = (
+        F.when(m(F.col("t1")), F.lit(0))
+        .when(m(F.col("t2")), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    key = f"{BLENDED_KEY_MUST} {BLENDED_KEY_PREFIX}"
+    coef = F.when(F.col("title").startswith(key), F.lit(1.0)).otherwise(
+        F.lit(1.0) / (F.lit(1.0) + minpos)
+    )
+    return (
+        base.select(
+            "title",
+            F.floor(F.col("weight") * coef).cast("long").alias("score"),
+        )
+        .distinct()
+        .orderBy(F.col("score").desc(), F.col("title").desc())
+        .limit(BLENDED_NUM)
+    )
+
+
+SUGGEST_BLENDED_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(l[1:3], ' ') AS title,
+         CAST(n_chars AS BIGINT) AS weight,
+         l[1] AS t1, l[2] AS t2, l[3] AS t3
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS l FROM documents)
+),
+cand AS (
+  SELECT * FROM base
+  WHERE ('{BLENDED_KEY_MUST}' IN (t1, t2, t3))
+    AND (t1 LIKE '{BLENDED_KEY_PREFIX}%' OR t2 LIKE '{BLENDED_KEY_PREFIX}%'
+         OR t3 LIKE '{BLENDED_KEY_PREFIX}%')
+  ORDER BY weight DESC, doc_id ASC
+  LIMIT {BLENDED_NUM * BLENDED_NUM_FACTOR}
+),
+scored AS (
+  SELECT DISTINCT title,
+    CAST(floor(weight * CASE
+      WHEN title LIKE '{BLENDED_KEY_MUST} {BLENDED_KEY_PREFIX}%' THEN 1.0
+      WHEN t1 = '{BLENDED_KEY_MUST}' OR t1 LIKE '{BLENDED_KEY_PREFIX}%' THEN 1.0
+      WHEN t2 = '{BLENDED_KEY_MUST}' OR t2 LIKE '{BLENDED_KEY_PREFIX}%' THEN 1.0 / 2
+      ELSE 1.0 / 3 END) AS BIGINT) AS score
+  FROM cand
+)
+SELECT title, score FROM scored
+ORDER BY score DESC, title DESC LIMIT {BLENDED_NUM}
+"""
+
+
 def suggest_combined(spark, sf):
     """Prefix suggest + infix suggest + DirectSpellChecker + FuzzySuggester
     + WordBreakSpellChecker (break + combine directions) as one tagged
@@ -2255,9 +2345,15 @@ def suggest_combined(spark, sf):
         F.col("df").cast("long").alias("df"),
         F.lit(-1).cast("int").alias("distance"),
     )
+    s9 = suggest_blended_infix(spark, sf).select(
+        F.lit("blended_infix").alias("variant"),
+        F.col("title").alias("term"),
+        F.col("score").alias("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
     return (
         s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
-        .unionByName(s6).unionByName(s7).unionByName(s8)
+        .unionByName(s6).unionByName(s7).unionByName(s8).unionByName(s9)
         .orderBy("variant", "term")
     )
 
@@ -2287,6 +2383,10 @@ SELECT * FROM (
   UNION ALL
   SELECT 'jaspell' AS variant, term, CAST(df AS BIGINT) AS df, CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_JASPELL_SQL})
+  UNION ALL
+  SELECT 'blended_infix' AS variant, title AS term, score AS df,
+         CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_BLENDED_SQL})
 ) ORDER BY variant, term
 """
 

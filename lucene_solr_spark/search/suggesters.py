@@ -378,3 +378,101 @@ def jaspell_lookup(entries, key: str, num: int,
     if only_more_popular:
         return _lookup_pq_topn(items, num)
     return items[: min(num, len(items))]
+
+
+def blended_infix_lookup(entries, key: str, num: int, blender: str = "linear",
+                         num_factor: int = 10, exponent: float = 2.0,
+                         all_terms_required: bool = True):
+    """BlendedInfixSuggester.lookup (lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/BlendedInfixSuggester.java over the
+    AnalyzingInfixSuggester query machinery) for whitespace analyzers:
+
+    - the key's tokens are all REQUIRED whole-token matches (allTerms;
+      SHOULD otherwise) except the LAST, which is a PREFIX match when
+      the key has no trailing whitespace (AnalyzingInfixSuggester.java:
+      520-552) and an exact term otherwise;
+    - first pass: matching suggestions sorted by weight DESC (ties =
+      insertion order, the index docid sort), capped at num*numFactor;
+    - each survivor re-scores as (long)(weight * coefficient) where
+      coefficient = 1 when the raw text startsWith the raw key, else
+      blender(position of the FIRST matched token): linear = 1 - 0.1*p,
+      reciprocal = 1/(p+1), exp_reciprocal = 1/(p+1)^exponent
+      (createCoefficient walks the term vector; min first-occurrence
+      position over tokens in matchedTokens or starting with the
+      prefix);
+    - results keep the best `num` in a TreeSet ordered (value, then
+      text) — ties on BOTH are deduplicated — and return in DESCENDING
+      order (score DESC, text DESC).
+
+    entries: [(text, weight)] in insertion order. Pinned vs the compiled
+    suggester in tests/test_lucene_ground_truth.py (GT round 72)."""
+    toks = key.split()
+    if not toks:
+        return []
+    trailing_ws = key != key.rstrip()
+    matched = set(toks[:-1])
+    prefix = None
+    if trailing_ws:
+        matched.add(toks[-1])
+    else:
+        prefix = toks[-1]
+
+    def hit(text: str) -> bool:
+        ttoks = text.split()
+        for m in matched:
+            if m not in ttoks:
+                if all_terms_required:
+                    return False
+        need = list(matched)
+        ok_any = any(t in ttoks for t in need) if need else False
+        if prefix is not None:
+            pref_ok = any(t.startswith(prefix) for t in ttoks)
+            if all_terms_required:
+                return pref_ok and all(m in ttoks for m in need)
+            return pref_ok or ok_any
+        if all_terms_required:
+            return all(m in ttoks for m in need)
+        return ok_any
+
+    cands = [(w, i, t) for i, (t, w) in enumerate(entries) if hit(t)]
+    cands.sort(key=lambda c: (-c[0], c[1]))
+    cands = cands[: num * num_factor]
+
+    results: list[tuple[int, str]] = []  # (score, text), TreeSet semantics
+    for w, _i, text in cands:
+        if text.startswith(key):
+            coef = 1.0
+        else:
+            pos = None
+            for p, t in enumerate(text.split()):
+                if t in matched or (prefix is not None
+                                    and t.startswith(prefix)):
+                    pos = p
+                    break
+            if pos is None:
+                pos = (1 << 31) - 1  # Integer.MAX_VALUE: nothing matched
+            if blender == "linear":
+                coef = 1.0 - 0.10 * pos
+            elif blender == "reciprocal":
+                coef = 1.0 / (pos + 1)
+            else:
+                coef = 1.0 / float(pow(pos + 1, exponent))
+        score = int(w * coef)  # (long) cast truncates toward zero
+        item = (score, text)
+        if item in results:
+            continue  # TreeSet compare==0 -> dropped
+        if len(results) >= num:
+            smallest = min(results)
+            if smallest < item:
+                results.remove(smallest)
+            else:
+                continue
+        results.append(item)
+    results.sort(key=lambda r: (-r[0], _desc_key(r[1])))
+    return results
+
+
+def _desc_key(s: str):
+    """Sort helper: descending text order inside equal scores
+    (TreeSet.descendingSet reverses the (value, key) comparator)."""
+    return tuple(-ord(c) for c in s)

@@ -5066,3 +5066,45 @@ def test_polygon_query_matches_compiled_reference():
                 if point_in_polygon_query(la, lo, polys)
             ]
             assert got == want, (corpus_round, len(shell[0]), got, want)
+
+
+def test_blended_infix_suggester_matches_compiled_reference():
+    """Ground-truth round 72: BlendedInfixSuggester — the
+    AnalyzingInfixSuggester query machinery (whole-token MUST clauses,
+    trailing-space-sensitive last-token prefix, weight-DESC first pass
+    capped at num*numFactor) re-scored by first-matched-token-position
+    blenders (linear 1-0.1p / reciprocal / exponential-reciprocal),
+    (long)(weight*coefficient) truncation, the raw-startsWith
+    coefficient-1 shortcut, and the TreeSet (value, text) dedup with
+    DESCENDING output. (score, text) lists exact vs the compiled
+    suggester."""
+    from lucene_solr_spark.search.suggesters import blended_infix_lookup
+
+    rng = random.Random(20260872)
+    vocab = ["merge", "sort", "sorted", "soup", "fast", "join", "index",
+             "scan", "source"]
+    for corpus_round in range(4):
+        entries = []
+        for _ in range(rng.randint(8, 25)):
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(1, 5)))
+            entries.append((text, rng.randint(1, 500)))
+        queries = []
+        for _ in range(15):
+            b = rng.choice(["L", "R", "E"])
+            num = rng.choice([2, 3, 5, 10])
+            req = rng.random() < 0.75
+            kt = [rng.choice(vocab + ["so", "me", "zzz"])
+                  for _ in range(rng.randint(1, 2))]
+            key = " ".join(kt) + (" " if rng.random() < 0.3 else "")
+            queries.append((b, num, req, key))
+        exp = gt.run_blended_infix(entries, queries)
+        assert len(exp) == len(queries)
+        blender_of = {"L": "linear", "R": "reciprocal", "E": "exp"}
+        for (b, num, req, key), x in zip(queries, exp):
+            got = blended_infix_lookup(
+                entries, key, num, blender=blender_of[b],
+                all_terms_required=req,
+            )
+            want = [(int(s), t) for s, t in x]
+            assert got == want, (corpus_round, b, num, req, key, got, want)

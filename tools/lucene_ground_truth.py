@@ -1494,6 +1494,84 @@ public class GroundTruthSurround {
 """
 
 
+BLENDEDINFIX_JAVA = r"""
+import org.apache.lucene.analysis.*;
+import org.apache.lucene.search.suggest.InputIterator;
+import org.apache.lucene.search.suggest.Lookup;
+import org.apache.lucene.search.suggest.analyzing.BlendedInfixSuggester;
+import org.apache.lucene.store.*;
+import org.apache.lucene.util.BytesRef;
+
+public class GroundTruthBlendedInfix {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int n = Integer.parseInt(in.readLine().trim());
+    final String[] texts = new String[n];
+    final long[] weights = new long[n];
+    for (int i = 0; i < n; i++) {
+      String[] p = in.readLine().split("\t", 2);
+      weights[i] = Long.parseLong(p[0]);
+      texts[i] = java.net.URLDecoder.decode(p[1], "UTF-8");
+    }
+    InputIterator it = new InputIterator() {
+      int i = -1;
+      public BytesRef next() {
+        i++;
+        return i < texts.length ? new BytesRef(texts[i]) : null;
+      }
+      public long weight() { return weights[i]; }
+      public BytesRef payload() { return null; }
+      public boolean hasPayloads() { return false; }
+      public java.util.Set<BytesRef> contexts() { return null; }
+      public boolean hasContexts() { return false; }
+    };
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    String[][] qs = new String[nQ][];
+    for (int qi = 0; qi < nQ; qi++) qs[qi] = in.readLine().trim().split(" ", 4);
+
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = qs[qi];
+      BlendedInfixSuggester.BlenderType bt =
+          p[0].equals("L") ? BlendedInfixSuggester.BlenderType.POSITION_LINEAR
+        : p[0].equals("R") ? BlendedInfixSuggester.BlenderType.POSITION_RECIPROCAL
+        : BlendedInfixSuggester.BlenderType.POSITION_EXPONENTIAL_RECIPROCAL;
+      int num = Integer.parseInt(p[1]);
+      boolean allTerms = p[2].equals("1");
+      String key = java.net.URLDecoder.decode(p[3], "UTF-8");
+      BlendedInfixSuggester sug = new BlendedInfixSuggester(
+          new RAMDirectory(), new GroundTruthFVH.WSO(), new GroundTruthFVH.WSO(),
+          4, bt, 10, 2.0, false, allTerms, false);
+      // fresh iterator per build
+      final int[] idx = {-1};
+      sug.build(new InputIterator() {
+        public BytesRef next() {
+          idx[0]++;
+          return idx[0] < texts.length ? new BytesRef(texts[idx[0]]) : null;
+        }
+        public long weight() { return weights[idx[0]]; }
+        public BytesRef payload() { return null; }
+        public boolean hasPayloads() { return false; }
+        public java.util.Set<BytesRef> contexts() { return null; }
+        public boolean hasContexts() { return false; }
+      });
+      java.util.List<Lookup.LookupResult> res =
+          sug.lookup(key, (java.util.Set<BytesRef>) null, num, allTerms, false);
+      StringBuilder out = new StringBuilder();
+      for (Lookup.LookupResult r : res) {
+        if (out.length() > 0) out.append(";");
+        out.append(Long.toString(r.value)).append(",")
+           .append(java.net.URLEncoder.encode(r.key.toString(), "UTF-8"));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+      sug.close();
+    }
+  }
+}
+"""
+
+
 FVH_JAVA = r"""
 import org.apache.lucene.analysis.*;
 import org.apache.lucene.document.*;
@@ -1529,6 +1607,13 @@ public class GroundTruthFVH {
           term.append(buf, start, idx);
           off.setOffset(correctOffset(start), correctOffset(idx));
           return true;
+        }
+        public void end() throws java.io.IOException {
+          super.end();
+          // the final offset — AnalyzingInfixSuggester's trailing-space
+          // detection reads offsetAtt.endOffset() after ts.end()
+          int f = correctOffset(buf == null ? 0 : buf.length());
+          off.setOffset(f, f);
         }
         public void reset() throws java.io.IOException { super.reset(); buf = null; }
       };
@@ -4595,6 +4680,23 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # the infix suggesters (suggest/analyzing) — need core +
+    # analysis/common's EdgeNGramTokenFilter (compiled above)
+    bi_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/search/suggest/analyzing/BlendedInfixSuggester.class",
+    )
+    if not os.path.exists(bi_marker) and os.path.isdir(sug_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             os.path.join(sug_root, "analyzing", "AnalyzingInfixSuggester.java"),
+             os.path.join(sug_root, "analyzing", "BlendedInfixSuggester.java")],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # the FST completion-lookup family (suggest/fst + analyzing's
     # Analyzing/Fuzzy suggesters); FSTUtil + the sorter plumbing and the
     # tst/jaspell legacy lookups come along as compile deps
@@ -5141,6 +5243,7 @@ def build() -> bool:
         ("GroundTruthJoinUtil", JOINUTIL_JAVA),
         ("GroundTruthFacetAssoc", FACETASSOC_JAVA),
         ("GroundTruthFVH", FVH_JAVA),
+        ("GroundTruthBlendedInfix", BLENDEDINFIX_JAVA),
         ("GroundTruthFreeText", FREETEXT_JAVA),
         ("GroundTruthSuggesters", SUGGESTERS_JAVA),
         ("GroundTruthBloom", BLOOM_JAVA),
@@ -5786,6 +5889,42 @@ def run_surround(docs: list[str], queries: list[str]) -> list[list[tuple[int, st
         out.append([
             (int(p.split(":")[0]), p.split(":")[1]) for p in line.split(";")
         ])
+    return out
+
+
+def run_blended_infix(entries: list[tuple[str, int]],
+                      queries: list[tuple[str, int, bool, str]]) -> list:
+    """entries: (text, weight) in insertion order; queries: (blender
+    'L'|'R'|'E', num, all_terms_required, key). Runs the REAL
+    BlendedInfixSuggester. Per query: [(score_long_str, text)...]."""
+    from urllib.parse import quote, unquote_plus
+
+    payload = [str(len(entries))] + [f"{w}\t{quote(t)}" for t, w in entries]
+    payload.append(str(len(queries)))
+    payload += [
+        f"{b} {num} {1 if req else 0} {quote(key)}"
+        for b, num, req, key in queries
+    ]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthBlendedInfix"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line == "-":
+            out.append([])
+            continue
+        pairs = []
+        for part in line.split(";"):
+            score, text = part.split(",", 1)
+            pairs.append((score, unquote_plus(text)))
+        out.append(pairs)
     return out
 
 
