@@ -151,6 +151,19 @@ def main() -> None:
 
     parse_and_search(searcher, '+merge fast -dup "fast sort"~2', k=10).collect()
     queries["q_parser"] = round(time.time() - t, 4)
+    # round 66+: nested surround spans, scored query-time join, FVH
+    t = time.time()
+    searcher.topk_surround("merge W sort AND fast", k=10).collect()
+    queries["q_surround_nested"] = round(time.time() - t, 4)
+    t = time.time()
+    keys_df = src.select("doc_id", "source")
+    searcher.topk_join_util("fast merge sort", keys_df, mode="total", k=10).collect()
+    queries["q_join_util"] = round(time.time() - t, 4)
+    t = time.time()
+    from lucene_solr_spark.ops.relational import highlight_fvh
+
+    highlight_fvh(spark, sf_dir).collect()
+    queries["q_fvh_highlight"] = round(time.time() - t, 4)
 
     # ---- relational / pipeline headliners ----
     from lucene_solr_spark.ops.relational import OPS as REL_OPS
