@@ -1214,22 +1214,142 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
 
 
 def group_topk(spark, sf):
-    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        _t(spark, sf, "orders")
-        .withColumn("rnk", F.row_number().over(w))
+    """lucene/grouping as one tagged union (GT round 74 pins the collector
+    semantics bit-exact vs the compiled module; these are the table-scale
+    analogs, every variant a bounded per-group plan):
+
+    - topk: TermFirst/SecondPassGroupingCollector — top groups, top-k
+      docs per group (Window rn<=k; the window partitions by the group
+      key so each group's heap is partition-local, no global sort).
+    - heads: TermAllGroupHeadsCollector — ONE head row per group under a
+      sort; ties keep the earliest doc, expressed as the deterministic
+      (o_orderdate ASC, o_orderkey ASC) tiebreak (rn=1).
+    - all_groups: TermAllGroupsCollector — the set of distinct groups
+      among matching rows (map-side-combinable distinct).
+    - distinct_vals: TermDistinctValuesCollector — per group, the count
+      of DISTINCT values of a second column over matching rows.
+    - group_facet: TermGroupFacetCollector — facet counts deduped PER
+      GROUP ((group, facet) pairs counted once), count DESC / value ASC,
+      top 5, plus the reference's total row (grouping/term/
+      TermGroupFacetCollector.java:91-121: segmentGroupedFacetHits dedup).
+
+    At 100 TB every variant is one shuffle on the group key (the facet
+    variant's dedup is a distinct on (group, facet) — two map-side
+    combinable aggs), never a global window."""
+    o = _t(spark, sf, "orders")
+    match = o.filter(F.col("o_totalprice") > 100000.0)
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    topk = (
+        o.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("o_orderpriority", "rnk", "o_orderkey")
-        .orderBy("o_orderpriority", "rnk")
+        .select(
+            F.lit("topk").alias("variant"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("rnk").cast("string").alias("k2"),
+            F.col("o_orderkey").cast("long").alias("val"),
+        )
+    )
+    wh = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    heads = (
+        match.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("heads").alias("variant"),
+            F.col("o_orderstatus").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("o_orderkey").cast("long").alias("val"),
+        )
+    )
+    all_groups = (
+        match.select("o_orderpriority").distinct()
+        .select(
+            F.lit("all_groups").alias("variant"),
+            F.col("o_orderpriority").alias("k1"),
+            F.lit("").alias("k2"),
+            F.lit(1).cast("long").alias("val"),
+        )
+    )
+    distinct_vals = (
+        match.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderstatus").alias("val"))
+        .select(
+            F.lit("distinct_vals").alias("variant"),
+            F.col("o_orderpriority").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("val").cast("long").alias("val"),
+        )
+    )
+    gf_pairs = (
+        match.select(
+            F.col("o_custkey").alias("grp"),
+            F.col("o_orderpriority").alias("facet"),
+        ).distinct()
+    )
+    gf_top = (
+        gf_pairs.groupBy("facet")
+        .agg(F.count("*").alias("val"))
+        .orderBy(F.col("val").desc(), F.col("facet").asc())
+        .limit(5)
+        .select(
+            F.lit("group_facet").alias("variant"),
+            F.col("facet").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("val").cast("long").alias("val"),
+        )
+    )
+    gf_total = (
+        gf_pairs.agg(F.count("*").alias("val"))
+        .select(
+            F.lit("group_facet").alias("variant"),
+            F.lit("_total_").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("val").cast("long").alias("val"),
+        )
+    )
+    return (
+        topk.unionByName(heads).unionByName(all_groups)
+        .unionByName(distinct_vals).unionByName(gf_top).unionByName(gf_total)
+        .orderBy("variant", "k1", "k2", "val")
     )
 
 
 GROUP_TOPK_SQL = """
-SELECT o_orderpriority, rnk, o_orderkey FROM (
-  SELECT o_orderpriority, o_orderkey,
-         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
-  FROM orders
-) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+SELECT * FROM (
+  SELECT 'topk' AS variant, o_orderpriority AS k1, CAST(rnk AS VARCHAR) AS k2,
+         CAST(o_orderkey AS BIGINT) AS val FROM (
+    SELECT o_orderpriority, o_orderkey,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+    FROM orders
+  ) WHERE rnk <= 3
+  UNION ALL
+  SELECT 'heads', o_orderstatus, '', CAST(o_orderkey AS BIGINT) FROM (
+    SELECT o_orderstatus, o_orderkey,
+           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM orders WHERE o_totalprice > 100000.0
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT DISTINCT 'all_groups', o_orderpriority, '', CAST(1 AS BIGINT)
+  FROM orders WHERE o_totalprice > 100000.0
+  UNION ALL
+  SELECT 'distinct_vals', o_orderpriority, '',
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+  FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'group_facet', facet, '', CAST(val AS BIGINT) FROM (
+    SELECT facet, count(*) AS val FROM (
+      SELECT DISTINCT o_custkey AS grp, o_orderpriority AS facet
+      FROM orders WHERE o_totalprice > 100000.0
+    ) GROUP BY facet ORDER BY val DESC, facet ASC LIMIT 5
+  )
+  UNION ALL
+  SELECT 'group_facet', '_total_', '', CAST(count(*) AS BIGINT) FROM (
+    SELECT DISTINCT o_custkey, o_orderpriority
+    FROM orders WHERE o_totalprice > 100000.0
+  )
+) ORDER BY variant, k1, k2, val
 """
 
 

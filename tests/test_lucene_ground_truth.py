@@ -5108,3 +5108,249 @@ def test_blended_infix_suggester_matches_compiled_reference():
             )
             want = [(int(s), t) for s, t in x]
             assert got == want, (corpus_round, b, num, req, key, got, want)
+
+
+def test_grouping_extras_match_compiled_reference():
+    """Ground-truth round 74: the REST of lucene/grouping plus the join
+    module's global-ordinals JoinUtil path, vs the compiled collectors
+    (GroundTruthGroup2 harness; corpus '<grp|_> <key> <facetCSV|_> <body>'):
+
+    - TermAllGroupsCollector: group values in first-encounter doc order,
+      null group included (AbstractAllGroupsCollector.getGroups()).
+    - TermAllGroupHeadsCollector: one head doc per group under
+      Sort.RELEVANCE / Sort(key ASC) / Sort(key DESC); a later doc
+      replaces the head only when STRICTLY better, so ties keep the
+      earliest doc (AbstractAllGroupHeadsCollector.collect's c<0 return).
+    - TermFirstPassGroupingCollector + TermDistinctValuesCollector:
+      top-N groups by (best-hit score DESC, doc ASC), then the SET of
+      distinct countField values per group over the SINGLE-VALUED 'fs'
+      doc-values, null included when a matching group doc has no value.
+    - TermGroupFacetCollector SV and MV: facet counts deduped PER GROUP
+      ((group, facetValue) pairs counted once), missing = #distinct
+      groups having a matching doc with no facet value — but only
+      counted when facetPrefix is null (the reserved/-1 ord fails the
+      [startFacetOrd, endFacetOrd) check otherwise); total EXCLUDES the
+      missing bucket (SegmentResult's total - counts[missing]); topN by
+      (count DESC, value ASC) or value ASC with the minCount floor
+      (GroupedFacetResult.addFacetCount's TreeSet walk).
+    - BlockGroupingCollector over a block-partitioned twin index (same
+      bodies, docs contiguous per group, last-in-block marker): top-N
+      groups by best hit (score DESC, block-doc ASC), nWithin hits per
+      group, per-group maxScore over ALL matching group docs.
+    - JoinUtil.createJoinQuery(joinField, ..., ScoreMode, ordinalMap,
+      min, max): global-ordinals self-join, toQuery=MatchAllDocs —
+      per join value the from-side scores fold in DOC order in float32
+      (Sum/Min/Max; Avg = f32 sum / occurrence count), occurrence
+      min/max filtering (GlobalOrdinalsWithScoreCollector.match), and
+      the None fast path scoring a constant 1.0.
+
+    All docids, group values, counts, and float32 scores exact."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+    rng = random.Random(20260874)
+    facet_vocab = ["blue", "green", "red", "yellow"]
+    for corpus_round in range(4):
+        n_docs = rng.randint(8, 28)
+        docs, lines = [], []
+        for i in range(n_docs):
+            grp = rng.choice(["g1", "g2", "g3", "g4", None])
+            key = rng.randint(1, 9)
+            nf = rng.randint(0, 2)
+            facets = rng.sample(facet_vocab, nf)
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 10))]
+            docs.append((grp, key, facets, toks))
+            lines.append(
+                f"{grp or '_'} {key} {','.join(facets) or '_'} {' '.join(toks)}"
+            )
+        idx = build_oracle_index(
+            [(i, " ".join(t)) for i, (_g, _k, _f, t) in enumerate(docs)]
+        )
+
+        # block-index doc numbering: groups in first-appearance order
+        block_of = {}
+        order = []
+        by_group: dict = {}
+        for i, (g, _k, _f, _t) in enumerate(docs):
+            gk = g or "_"
+            if gk not in by_group:
+                by_group[gk] = []
+                order.append(gk)
+            by_group[gk].append(i)
+        nxt = 0
+        for gk in order:
+            for i in by_group[gk]:
+                block_of[i] = nxt
+                nxt += 1
+
+        cases = []
+        for _ in range(4):
+            ts = rng.sample(VOCAB, rng.randint(1, 3))
+            cases.append(("ALLGROUPS", f"ALLGROUPS {' '.join(ts)}", ts))
+            srt = rng.choice(["score", "key", "keyrev"])
+            cases.append(("HEADS", f"HEADS {srt} {' '.join(ts)}", (srt, ts)))
+            ng = rng.randint(1, 4)
+            cases.append(("DISTINCT", f"DISTINCT {ng} {' '.join(ts)}", (ng, ts)))
+            mv = rng.choice(["sv", "mv"])
+            size = rng.randint(1, 5)
+            mc = rng.randint(0, 2)
+            byc = rng.choice(["count", "index"])
+            pref = rng.choice(["-", "-", "b", "g", "bl", "z"])
+            cases.append((
+                "GFACET",
+                f"GFACET {mv} {size} {mc} {byc} {pref} {' '.join(ts)}",
+                (mv, size, mc, byc, pref, ts),
+            ))
+            ngb, nwb = rng.randint(1, 4), rng.randint(1, 3)
+            cases.append(("BLOCK", f"BLOCK {ngb} {nwb} {' '.join(ts)}", (ngb, nwb, ts)))
+            mode = rng.choice(["none", "min", "max", "total", "avg"])
+            if rng.random() < 0.5:
+                mn, mx = 0, "inf"
+            else:
+                mn, mx = rng.randint(1, 2), rng.choice(["inf", "2", "3"])
+            cases.append((
+                "GJOIN", f"GJOIN {mode} {mn} {mx} {' '.join(ts)}", (mode, mn, mx, ts),
+            ))
+        expected = gt.run_group2(lines, [c[1] for c in cases])
+        assert len(expected) == len(cases)
+
+        for (kind, _line, arg), exp in zip(cases, expected):
+            if kind in ("ALLGROUPS", "HEADS", "DISTINCT", "GFACET", "GJOIN"):
+                ts = arg if kind == "ALLGROUPS" else arg[-1]
+                hits = oracle_topk(idx, " ".join(ts), k=n_docs, mode="or")
+                by_doc = dict(hits)
+                matching = sorted(by_doc)  # doc order = collect order
+
+            if kind == "ALLGROUPS":
+                seen, got = set(), []
+                for d in matching:
+                    gk = docs[d][0] or "_"
+                    if gk not in seen:
+                        seen.add(gk)
+                        got.append(gk)
+                want = ";".join(got)
+            elif kind == "HEADS":
+                srt, ts = arg
+                heads: dict = {}
+                for d in matching:
+                    gk = docs[d][0] or "_"
+                    if gk not in heads:
+                        heads[gk] = d
+                        continue
+                    h = heads[gk]
+                    if srt == "score":
+                        better = by_doc[d] > by_doc[h]
+                    elif srt == "key":
+                        better = docs[d][1] < docs[h][1]
+                    else:
+                        better = docs[d][1] > docs[h][1]
+                    if better:
+                        heads[gk] = d
+                want = ",".join(str(d) for d in sorted(heads.values()))
+            elif kind == "DISTINCT":
+                ng, ts = arg
+                best: dict = {}
+                for d, s in hits:  # score DESC, doc ASC
+                    gk = docs[d][0] or "_"
+                    best.setdefault(gk, (float(s), d))
+                ranked = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[1][1]))
+                parts = []
+                for gk, _sd in ranked[:ng]:
+                    vals = set()
+                    for d in matching:
+                        if (docs[d][0] or "_") != gk:
+                            continue
+                        f = docs[d][2]
+                        vals.add(f[0] if f else "_")
+                    parts.append(gk + "|" + ",".join(sorted(vals)))
+                want = ";".join(parts)
+            elif kind == "GFACET":
+                mv, size, mc, byc, pref, ts = arg
+                prefix = None if pref == "-" else pref
+                # the merge walks the segment's WHOLE facet dictionary in
+                # the prefix range, so zero-count values emit at minCount 0
+                counts: dict = {}
+                for _g2, _k2, fvals, _t2 in docs:
+                    for v in (fvals if mv == "mv" else fvals[:1]):
+                        if prefix is None or v.startswith(prefix):
+                            counts[v] = 0
+                pairs = set()
+                missing_groups = set()
+                for d in matching:
+                    gk = docs[d][0] or "_"
+                    fv = docs[d][2] if mv == "mv" else docs[d][2][:1]
+                    if not fv:
+                        missing_groups.add(gk)
+                        continue
+                    for v in fv:
+                        if prefix is None or v.startswith(prefix):
+                            pairs.add((gk, v))
+                for _g, v in pairs:
+                    counts[v] = counts.get(v, 0) + 1
+                missing = len(missing_groups) if prefix is None else 0
+                total = len(pairs)
+                if byc == "count":
+                    entries = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                else:
+                    entries = sorted(counts.items())
+                entries = [(v, c) for v, c in entries if c >= mc][:size]
+                want = (
+                    f"{total}|{missing}|"
+                    + ",".join(f"{v}:{c}" for v, c in entries)
+                )
+            elif kind == "BLOCK":
+                ngb, nwb, ts = arg
+                by_grp: dict = {}
+                for d, s in hits:
+                    gk = docs[d][0] or "_"
+                    by_grp.setdefault(gk, []).append((block_of[d], float(s), d))
+                groups = []
+                for gk, ds in by_grp.items():
+                    ds.sort(key=lambda x: (-x[1], x[0]))  # score DESC, bdoc ASC
+                    best_s, best_b = ds[0][1], ds[0][0]
+                    groups.append((-best_s, best_b, ds))
+                groups.sort()
+                parts = []
+                for _ns, _bb, ds in groups[:ngb]:
+                    mx = _fmt_f32(max(s for _b, s, _d in ds))
+                    parts.append(
+                        mx + "|" + ",".join(
+                            f"{d}:{_fmt_f32(s)}" for _b, s, d in ds[:nwb]
+                        )
+                    )
+                want = ";".join(parts)
+            else:  # GJOIN
+                mode, mn, mx, ts = arg
+                mxv = 2**31 - 1 if mx == "inf" else int(mx)
+                agg: dict = {}
+                occ: dict = {}
+                for d in matching:
+                    g = docs[d][0]
+                    if g is None:
+                        continue
+                    s = np.float32(by_doc[d])
+                    occ[g] = occ.get(g, 0) + 1
+                    if mode == "total" or mode == "avg":
+                        agg[g] = np.float32(agg.get(g, np.float32(0.0)) + s)
+                    elif mode == "min":
+                        agg[g] = min(agg.get(g, np.float32(np.inf)), s)
+                    elif mode == "max":
+                        agg[g] = max(agg.get(g, np.float32(-np.inf)), s)
+                if mn > 0 or mxv != 2**31 - 1:
+                    surviving = {g for g, c in occ.items() if mn <= c <= mxv}
+                else:
+                    surviving = set(occ)
+                out = []
+                for d in range(n_docs):
+                    g = docs[d][0]
+                    if g is None or g not in occ or g not in surviving:
+                        continue
+                    if mode == "none":
+                        sc = np.float32(1.0)
+                    elif mode == "avg":
+                        sc = np.float32(agg[g] / np.float32(occ[g]))
+                    else:
+                        sc = agg[g]
+                    out.append((d, sc))
+                out.sort(key=lambda x: (-float(x[1]), x[0]))
+                want = ";".join(f"{d}:{_fmt_f32(s)}" for d, s in out[:10])
+            assert (want or "-") == exp, (corpus_round, kind, arg, want, exp)

@@ -2483,6 +2483,222 @@ public class GroundTruthGroup {
 """
 
 
+GROUP2_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.util.BytesRef;
+import org.apache.lucene.search.grouping.*;
+import org.apache.lucene.search.grouping.term.*;
+
+/** Ground truth for the REST of lucene/grouping (AllGroups, AllGroupHeads,
+ *  DistinctValues, GroupFacet SV+MV, BlockGroupingCollector) plus the
+ *  join module's global-ordinals JoinUtil path (occurrence min/max).
+ *
+ *  Corpus line: "<group|_> <key> <facetCSV|_> <body tokens...>".
+ *  grp  = SortedDocValues (absent when _)
+ *  key  = NumericDocValues
+ *  fs   = SortedDocValues, FIRST facet value (absent when _)
+ *  fm   = SortedSetDocValues, ALL facet values
+ *  orig = NumericDocValues original position (for the block index) */
+public class GroundTruthGroup2 {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    String[][] raw = new String[nDocs][];
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = in.readLine().split(" ", 4);
+      raw[i] = parts;
+      Document d = new Document();
+      if (!parts[0].equals("_"))
+        d.add(new SortedDocValuesField("grp", new BytesRef(parts[0])));
+      d.add(new NumericDocValuesField("key", Long.parseLong(parts[1])));
+      d.add(new NumericDocValuesField("orig", i));
+      if (!parts[2].equals("_")) {
+        String[] fv = parts[2].split(",");
+        d.add(new SortedDocValuesField("fs", new BytesRef(fv[0])));
+        for (String v : fv)
+          d.add(new SortedSetDocValuesField("fm", new BytesRef(v)));
+      }
+      d.add(new Field("body", parts[3], ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    // block index: same docs regrouped into contiguous blocks per group
+    // (groups in first-appearance order, docs in corpus order, null-group
+    // docs under the "_" pseudo group), last doc per block marked.
+    Directory bdir = new RAMDirectory();
+    IndexWriterConfig bcfg = new IndexWriterConfig(new GroundTruth.WS());
+    bcfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter bw = new IndexWriter(bdir, bcfg);
+    java.util.LinkedHashMap<String, java.util.List<Integer>> byGroup =
+        new java.util.LinkedHashMap<>();
+    for (int i = 0; i < nDocs; i++)
+      byGroup.computeIfAbsent(raw[i][0], k -> new java.util.ArrayList<>()).add(i);
+    for (java.util.Map.Entry<String, java.util.List<Integer>> e : byGroup.entrySet()) {
+      java.util.List<Document> block = new java.util.ArrayList<>();
+      java.util.List<Integer> members = e.getValue();
+      for (int j = 0; j < members.size(); j++) {
+        int i = members.get(j);
+        Document d = new Document();
+        d.add(new NumericDocValuesField("orig", i));
+        d.add(new Field("body", raw[i][3], ft));
+        if (j == members.size() - 1)
+          d.add(new StringField("groupEnd", "x", Field.Store.NO));
+        block.add(d);
+      }
+      bw.addDocuments(block);
+    }
+    bw.forceMerge(1);
+    bw.close();
+    IndexReader br = DirectoryReader.open(bdir);
+    IndexSearcher bs = new IndexSearcher(br);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      StringBuilder out = new StringBuilder();
+      if (p[0].equals("ALLGROUPS")) {
+        // ALLGROUPS t1 t2... -> groups in first-encounter order, _ = null
+        TermAllGroupsCollector c = new TermAllGroupsCollector("grp");
+        s.search(orQuery(p, 1), c);
+        for (BytesRef g : c.getGroups()) {
+          if (out.length() > 0) out.append(";");
+          out.append(g == null ? "_" : g.utf8ToString());
+        }
+      } else if (p[0].equals("HEADS")) {
+        // HEADS score|key|keyrev t1 t2... -> head docids ASC
+        Sort sort = p[1].equals("score") ? Sort.RELEVANCE
+            : new Sort(new SortField("key", SortField.Type.LONG,
+                                     p[1].equals("keyrev")));
+        AbstractAllGroupHeadsCollector<?> c =
+            TermAllGroupHeadsCollector.create("grp", sort);
+        s.search(orQuery(p, 2), c);
+        int[] heads = c.retrieveGroupHeads();
+        java.util.Arrays.sort(heads);
+        for (int h : heads) {
+          if (out.length() > 0) out.append(",");
+          out.append(h);
+        }
+      } else if (p[0].equals("DISTINCT")) {
+        // DISTINCT nGroups t1 t2... -> per first-pass group (relevance
+        // order): grp|v1,v2 (values sorted, null first as _)
+        int nGroups = Integer.parseInt(p[1]);
+        Query q = orQuery(p, 2);
+        TermFirstPassGroupingCollector fp =
+            new TermFirstPassGroupingCollector("grp", Sort.RELEVANCE, nGroups);
+        s.search(q, fp);
+        java.util.Collection<SearchGroup<BytesRef>> top =
+            fp.getTopGroups(0, true);
+        if (top != null) {
+          TermDistinctValuesCollector dv =
+              new TermDistinctValuesCollector("grp", "fs", top);
+          s.search(q, dv);
+          for (TermDistinctValuesCollector.GroupCount gc : dv.getGroups()) {
+            if (out.length() > 0) out.append(";");
+            out.append(gc.groupValue == null ? "_"
+                       : gc.groupValue.utf8ToString()).append("|");
+            java.util.List<String> vals = new java.util.ArrayList<>();
+            for (BytesRef v : gc.uniqueValues)
+              vals.add(v == null ? "_" : v.utf8ToString());
+            java.util.Collections.sort(vals);
+            out.append(String.join(",", vals));
+          }
+        }
+      } else if (p[0].equals("GFACET")) {
+        // GFACET sv|mv size minCount count|index prefix|- t1 t2...
+        //   -> total|missing|v1:c1,v2:c2,...
+        boolean mv = p[1].equals("mv");
+        int size = Integer.parseInt(p[2]);
+        int minCount = Integer.parseInt(p[3]);
+        boolean byCount = p[4].equals("count");
+        BytesRef prefix = p[5].equals("-") ? null : new BytesRef(p[5]);
+        TermGroupFacetCollector c =
+            TermGroupFacetCollector.createTermGroupFacetCollector(
+                "grp", mv ? "fm" : "fs", mv, prefix, 16);
+        s.search(orQuery(p, 6), c);
+        AbstractGroupFacetCollector.GroupedFacetResult res =
+            c.mergeSegmentResults(size, minCount, byCount);
+        out.append(res.getTotalCount()).append("|")
+           .append(res.getTotalMissingCount()).append("|");
+        java.util.List<AbstractGroupFacetCollector.FacetEntry> entries =
+            res.getFacetEntries(0, size);
+        for (int i = 0; i < entries.size(); i++) {
+          if (i > 0) out.append(",");
+          out.append(entries.get(i).getValue().utf8ToString())
+             .append(":").append(entries.get(i).getCount());
+        }
+      } else if (p[0].equals("BLOCK")) {
+        // BLOCK nGroups nWithin t1 t2... over the block index ->
+        //   orig:score,orig:score;... per group (relevance group sort),
+        //   groups separated by ';', maxScore prefix per group
+        int nGroups = Integer.parseInt(p[1]);
+        int nWithin = Integer.parseInt(p[2]);
+        Weight lastDoc = bs.createNormalizedWeight(
+            new TermQuery(new Term("groupEnd", "x")), false);
+        BlockGroupingCollector c =
+            new BlockGroupingCollector(Sort.RELEVANCE, nGroups, true, lastDoc);
+        bs.search(orQuery(p, 3), c);
+        TopGroups<?> tg = c.getTopGroups(Sort.RELEVANCE, 0, 0, nWithin, false);
+        if (tg != null) {
+          NumericDocValues orig = MultiDocValues.getNumericValues(br, "orig");
+          for (GroupDocs<?> g : tg.groups) {
+            if (out.length() > 0) out.append(";");
+            out.append(Float.toString(g.maxScore)).append("|");
+            for (int i = 0; i < g.scoreDocs.length; i++) {
+              if (i > 0) out.append(",");
+              out.append(orig.get(g.scoreDocs[i].doc)).append(":")
+                 .append(Float.toString(g.scoreDocs[i].score));
+            }
+          }
+        }
+      } else if (p[0].equals("GJOIN")) {
+        // GJOIN none|min|max|total|avg minOcc maxOcc t1 t2... ->
+        //   global-ordinals JoinUtil (toQuery = MatchAllDocs), top-10
+        org.apache.lucene.search.join.ScoreMode sm =
+            org.apache.lucene.search.join.ScoreMode.valueOf(
+                p[1].substring(0, 1).toUpperCase() + p[1].substring(1));
+        int minOcc = Integer.parseInt(p[2]);
+        int maxOcc = p[3].equals("inf") ? Integer.MAX_VALUE
+                                        : Integer.parseInt(p[3]);
+        Query jq = org.apache.lucene.search.join.JoinUtil.createJoinQuery(
+            "grp", orQuery(p, 4), new MatchAllDocsQuery(), s, sm, null,
+            minOcc, maxOcc);
+        TopDocs td = s.search(jq, 10);
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (out.length() > 0) out.append(";");
+          out.append(sd.doc).append(":").append(Float.toString(sd.score));
+        }
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+    br.close();
+  }
+
+  static Query orQuery(String[] p, int start) {
+    BooleanQuery.Builder b = new BooleanQuery.Builder();
+    for (int i = start; i < p.length; i++)
+      b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
+    return b.build();
+  }
+}
+"""
+
+
 MLT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -4687,9 +4903,13 @@ def build() -> bool:
         "org/apache/lucene/search/suggest/analyzing/BlendedInfixSuggester.class",
     )
     if not os.path.exists(bi_marker) and os.path.isdir(sug_root):
+        # -sourcepath resolves analysis/ngram on a cold cache (the ngram
+        # classes also compile explicitly further down; either order works)
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
              "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/analysis/common/src/java",
              os.path.join(sug_root, "analyzing", "AnalyzingInfixSuggester.java"),
              os.path.join(sug_root, "analyzing", "BlendedInfixSuggester.java")],
             capture_output=True, text=True, timeout=180,
@@ -5227,6 +5447,7 @@ def build() -> bool:
         ("GroundTruthSpell", SPELL_JAVA),
         ("GroundTruthClassify", CLASSIFY_JAVA),
         ("GroundTruthGroup", GROUP_JAVA),
+        ("GroundTruthGroup2", GROUP2_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -5668,6 +5889,22 @@ def run_group(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGroup"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_group2(docs: list[str], queries: list[str]) -> list[str]:
+    """Index docs given as '<group|_> <key> <facetCSV|_> <body...>' and run
+    the rest of the grouping module (ALLGROUPS / HEADS / DISTINCT /
+    GFACET sv|mv / BLOCK) plus the join module's global-ordinals path
+    (GJOIN mode minOcc maxOcc|inf) against the compiled collectors.
+    See GROUP2_JAVA for the per-command output grammar."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGroup2"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
