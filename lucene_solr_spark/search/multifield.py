@@ -45,6 +45,54 @@ from .bm25 import avgdl_f32, make_term_weight
 from .engine import TOPK_SCHEMA, _decode_group
 
 
+def oracle_topk_span_masked(
+    idx_by_field: dict[str, "object"],
+    clauses: list[tuple[str, str]],
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    mask_to: str | None = None,
+    span_first_end: int | None = None,
+) -> list[tuple[int, np.float32]]:
+    """Control oracle for FieldMaskingSpanQuery proximity (pinned
+    bit-for-bit vs the compiled binary in GT round 75): positions from
+    each clause's own field, df from each term's own field, docCount/
+    avgdl/norms from the masked-to field, idf folded f32 in Term order."""
+    from .bm25 import K1, idf_f32, idf_sum_f32, norm_cache
+    from .spans import span_first_freq, span_ordered_freq, span_unordered_freq
+
+    mask_to = mask_to or clauses[0][0]
+    base = idx_by_field[mask_to]
+    base_doc_count = sum(1 for fl in base.field_len.values() if fl > 0)
+    idf_sum = idf_sum_f32(
+        idf_f32(len(idx_by_field[f].postings.get(t, {})), base_doc_count)
+        for f, t in sorted(set(clauses))
+    )
+    wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    cache = norm_cache(avgdl_f32(base.sum_ttf, base_doc_count))
+    out = []
+    all_docs = sorted(base.norm_bytes)
+    for d in all_docs:
+        plists = [
+            idx_by_field[f].positions.get(t, {}).get(d, [])
+            for f, t in clauses
+        ]
+        if any(not pl for pl in plists):
+            continue
+        if span_first_end is not None:
+            fq = span_first_freq(plists[0], span_first_end)
+        elif in_order:
+            fq = span_ordered_freq(plists, slop)
+        else:
+            fq = span_unordered_freq(plists, slop)
+        if fq <= 0:
+            continue
+        nb = base.norm_bytes[d]
+        out.append((d, np.float32(wv * fq / (fq + cache[nb]))))
+    out.sort(key=lambda x: (-float(x[1]), x[0]))
+    return out[:k]
+
+
 def oracle_topk_multifield(
     idx_by_field: dict[str, "object"],
     terms: list[str],
@@ -253,6 +301,153 @@ class MultiFieldSearcher:
         grouped = blocks.groupBy("range_id")
         return (
             grouped.applyInPandas(score_range, schema=TOPK_SCHEMA)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def topk_span_masked(
+        self,
+        clauses: list[tuple[str, str]],
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+        mask_to: str | None = None,
+        span_first_end: int | None = None,
+    ) -> DataFrame:
+        """FieldMaskingSpanQuery (core spans/FieldMaskingSpanQuery.java)
+        — cross-field proximity: SpanNear (or SpanFirst when
+        `span_first_end` is set) over clauses [(field, term)], every
+        non-`mask_to` clause masked to `mask_to` (default: the first
+        clause's field). Pinned semantics (GT round 75):
+
+        - positions iterate from each clause's REAL field
+          (createWeight proxies to the masked query's weight),
+        - each term's df comes from its OWN field, but the idf's
+          docCount, the avgdl, and the norms all come from the
+          masked-to field (buildSimWeight's single
+          collectionStatistics(query.getField()) call + getSimScorer),
+        - idf folds in float32 in Term order (field, then text).
+
+        At least one clause must be on `mask_to` (norms ride in that
+        clause's postings blocks; the pure-annotation-field query shape
+        would need a separate norms sidecar). Plan shape: the per-field
+        pruned block scans are UNIONED (aligned range layouts) and one
+        shuffle-free groupBy(range_id) Arrow stage walks the spans —
+        the same bounded-heap cogroup as every other query."""
+        from .bm25 import K1, idf_f32, idf_sum_f32, norm_cache
+        from .engine import _abs_positions, _decode_group
+
+        mask_to = mask_to or clauses[0][0]
+        if mask_to not in self.searchers:
+            raise ValueError(f"unknown mask_to field {mask_to!r}")
+        base = self.searchers[mask_to]
+        parsed: list[tuple[str, str]] = []
+        for f, text in clauses:
+            if f not in self.searchers:
+                raise ValueError(f"unknown field {f!r}")
+            toks = self.searchers[f]._analyze(text)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span clause must analyze to one token: {text!r}")
+            parsed.append((f, toks[0]))
+        if all(f != mask_to for f, _t in parsed):
+            raise ValueError(
+                f"at least one clause must be on the masked-to field "
+                f"{mask_to!r} (norms source)")
+        if span_first_end is not None and len(parsed) != 1:
+            raise ValueError("SpanFirst takes exactly one clause")
+
+        # SpanWeight.buildSimWeight: df per term from its own field,
+        # docCount/avgdl from the masked-to field, TreeMap fold order
+        idf_sum = idf_sum_f32(
+            idf_f32(
+                self.searchers[f].term_weights([t])[t]["df"],
+                base.doc_count,
+            )
+            for f, t in sorted(set(parsed))
+        )
+        wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        cache = norm_cache(np.float32(float(base.avgdl)))
+
+        blocks = None
+        for f in sorted({f for f, _t in parsed}):
+            ts = sorted({t for f2, t in parsed if f2 == f})
+            b = (
+                self.searchers[f]._blocks_for(ts)
+                .select(
+                    F.lit(f).alias("field"), "term", "range_id",
+                    "first_doc", "docs_buf", "tfs_buf", "norms_buf",
+                    "pos_buf",
+                )
+            )
+            blocks = b if blocks is None else blocks.unionByName(b)
+
+        parsed_l = list(parsed)
+        ordered_l = bool(in_order)
+        slop_l = int(slop)
+        first_end = span_first_end
+        base_key = next((f, t) for f, t in parsed if f == mask_to)
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float32"),
+        })
+
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from .spans import (
+                span_first_freq,
+                span_ordered_freq,
+                span_unordered_freq,
+            )
+
+            if pdf.empty:
+                return empty
+            per_term = {}
+            for (f, t), g in pdf.groupby(["field", "term"], sort=False):
+                per_term[(f, t)] = _decode_group(
+                    g.sort_values("first_doc", kind="mergesort"), True)
+            if any(ft not in per_term for ft in parsed_l):
+                return empty
+            abs_pos = {ft: _abs_positions(per_term, ft)
+                       for ft in set(parsed_l)}
+            # candidates: docs holding every clause
+            cand = None
+            for ft in parsed_l:
+                d = abs_pos[ft][0]
+                cand = d if cand is None else np.intersect1d(cand, d)
+            if cand.size == 0:
+                return empty
+            bd, _btf, bnb, _bp = per_term[base_key]
+
+            def doc_slice(ft, c):
+                d, tf, run_starts, pos_abs = abs_pos[ft]
+                j = int(np.searchsorted(d, c))
+                s = int(run_starts[j])
+                return pos_abs[s: s + int(tf[j])].tolist()
+
+            out_d, out_s = [], []
+            for c in cand:
+                plists = [doc_slice(ft, c) for ft in parsed_l]
+                if first_end is not None:
+                    fq = span_first_freq(plists[0], first_end)
+                elif ordered_l:
+                    fq = span_ordered_freq(plists, slop_l)
+                else:
+                    fq = span_unordered_freq(plists, slop_l)
+                if fq <= 0:
+                    continue
+                nb = bnb[int(np.searchsorted(bd, c))]
+                out_d.append(int(c))
+                out_s.append(np.float32(wv * fq / (fq + cache[nb])))
+            if not out_d:
+                return empty
+            da = np.asarray(out_d, dtype=np.int64)
+            sa = np.asarray(out_s, dtype=np.float32)
+            order = np.lexsort((da, -sa.astype(np.float64)))[:k]
+            return pd.DataFrame({"doc_id": da[order], "score": sa[order]})
+
+        return (
+            blocks.groupBy("range_id")
+            .applyInPandas(score_range, schema=TOPK_SCHEMA)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )

@@ -871,3 +871,75 @@ def test_multifield_searcher_matches_control_oracle(spark, tmp_root):
                 boosts, tie, msm, q, got, exp)
             for (gd, gs), (ed, es) in zip(got, exp):
                 assert gs == es, (boosts, tie, msm, q, gd, gs, es)
+
+
+def test_span_masked_engine_matches_pinned_oracle(spark, tmp_root):
+    """FieldMaskingSpanQuery end-to-end (GT round 75): cross-field
+    SpanNear/SpanFirst over two per-field Spark indexes, rank + float32
+    score identical to `oracle_topk_span_masked` (itself pinned
+    bit-for-bit vs the compiled binary). Includes docs with an empty
+    annotation field so the per-field docCounts differ."""
+    import random as _random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.multifield import (
+        MultiFieldSearcher,
+        oracle_topk_span_masked,
+    )
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = _random.Random(757575)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    alt_vocab = ["nn", "vb", "jj"]
+    rows = []
+    for i in range(36):
+        n = rng.randint(1, 10)
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        m = n if rng.random() < 0.6 else rng.choice([0, rng.randint(1, 10)])
+        alt = " ".join(rng.choice(alt_vocab) for _ in range(m))
+        rows.append((i, body, alt))
+    src = spark.createDataFrame(rows, "doc_id long, body string, alt string")
+
+    dirs = {}
+    for fld in ("body", "alt"):
+        d = os.path.join(tmp_root, f"idx_mask_{fld}")
+        build_index(
+            spark, src.filter(F.length(fld) > 0), out_dir=d,
+            content_col=fld, doc_id_col="doc_id", meta_cols=[],
+            range_size=16, fingerprint=f"mask-{fld}",
+        )
+        dirs[fld] = d
+    mfs = MultiFieldSearcher(
+        spark, {f: IndexSearcher(spark, d) for f, d in dirs.items()})
+
+    bi = build_oracle_index([(i, b) for i, b, _a in rows])
+    ai = build_oracle_index([(i, a) for i, _b, a in rows if a])
+    of = {"body": bi, "alt": ai}
+
+    for _ in range(10):
+        nc = rng.randint(2, 3)
+        clauses = [("body", rng.choice(vocab))]
+        for _ci in range(nc - 1):
+            if rng.random() < 0.7:
+                clauses.append(("alt", rng.choice(alt_vocab)))
+            else:
+                clauses.append(("body", rng.choice(vocab)))
+        rng.shuffle(clauses)
+        slop = rng.randint(0, 3)
+        in_order = rng.random() < 0.5
+        exp = oracle_topk_span_masked(
+            of, clauses, slop=slop, in_order=in_order, k=10,
+            mask_to="body")
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in mfs.topk_span_masked(
+                clauses, slop=slop, in_order=in_order, k=10,
+                mask_to="body",
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            clauses, slop, in_order, got, exp)
+        for (gd, gs), (_ed, es) in zip(got, exp):
+            assert gs == es, (clauses, slop, in_order, gd, gs, es)

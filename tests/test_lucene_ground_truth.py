@@ -5354,3 +5354,92 @@ def test_grouping_extras_match_compiled_reference():
                 out.sort(key=lambda x: (-float(x[1]), x[0]))
                 want = ";".join(f"{d}:{_fmt_f32(s)}" for d, s in out[:10])
             assert (want or "-") == exp, (corpus_round, kind, arg, want, exp)
+
+
+def test_field_masking_span_query_matches_compiled_reference():
+    """Ground-truth round 75: FieldMaskingSpanQuery (core spans/
+    FieldMaskingSpanQuery.java) vs the compiled binary — cross-field
+    proximity: SpanNear/SpanFirst over clauses where an 'alt'-field
+    SpanTermQuery is masked as 'body'. The pinned semantics:
+
+    - positions iterate from each clause's REAL field (createWeight
+      proxies straight to the masked query's weight),
+    - term statistics come from each term's own field (SpanWeight's
+      TreeMap term contexts — idf folds in float32 in Term order, field
+      then text, so 'alt' terms fold before 'body' terms),
+    - norms and collection stats (avgdl AND the idf's docCount) come
+      from the MASKED-TO field: buildSimWeight calls
+      collectionStatistics(query.getField()) ONCE, so an alt-field term
+      scores idf(df_alt, docCount_body) — corpora include docs with an
+      EMPTY alt field so the two docCounts genuinely differ.
+
+    Docids + float32 scores exact over 4 two-field corpora; the fold is
+    `oracle_topk_span_masked`, which the engine e2e test reuses."""
+    from lucene_solr_spark.search.multifield import oracle_topk_span_masked
+    from lucene_solr_spark.search.oracle import build_oracle_index
+
+    rng = random.Random(20260875)
+    alt_vocab = ["nn", "vb", "jj", "rb"]  # pos-tag-style parallel field
+    for corpus_round in range(4):
+        n_docs = rng.randint(6, 24)
+        bodies, alts, lines = [], [], []
+        for _ in range(n_docs):
+            n = rng.randint(1, 12)
+            b = [rng.choice(VOCAB) for _ in range(n)]
+            # alt usually position-aligned (the masking use case), but
+            # lengths drift to exercise independent norms, and some docs
+            # have NO alt field at all (distinct per-field docCounts)
+            m = (
+                n if rng.random() < 0.6
+                else rng.choice([0, rng.randint(1, 12)])
+            )
+            a = [rng.choice(alt_vocab) for _ in range(m)]
+            bodies.append(b)
+            alts.append(a)
+            lines.append(" ".join(b) + "|" + " ".join(a))
+        bidx = build_oracle_index([(i, " ".join(b)) for i, b in enumerate(bodies)])
+        aidx = build_oracle_index([(i, " ".join(a)) for i, a in enumerate(alts)])
+        of = {"body": bidx, "alt": aidx}
+
+        cases = []
+        for _ in range(24):
+            if rng.random() < 0.8:
+                nc = rng.randint(2, 3)
+                clauses = []
+                for ci in range(nc):
+                    if rng.random() < 0.5:
+                        clauses.append(("alt", rng.choice(alt_vocab)))
+                    else:
+                        clauses.append(("body", rng.choice(VOCAB)))
+                if all(f == "body" for f, _t in clauses):
+                    clauses[rng.randrange(nc)] = ("alt", rng.choice(alt_vocab))
+                slop = rng.randint(0, 3)
+                o = rng.choice(["o", "u"])
+                spec = " ".join(
+                    ("a:" if f == "alt" else "b:") + t for f, t in clauses
+                )
+                cases.append((
+                    "MNEAR", f"MNEAR {slop} {o} {spec}", (slop, o, clauses),
+                ))
+            else:
+                t = rng.choice(alt_vocab)
+                end = rng.randint(1, 6)
+                cases.append((
+                    "MFIRST", f"MFIRST {end} a:{t}", (end, [("alt", t)]),
+                ))
+        expected = gt.run_fieldmask(lines, [c[1] for c in cases])
+        assert len(expected) == len(cases)
+
+        for (kind, _line, arg), exp in zip(cases, expected):
+            clauses = arg[-1]
+            if kind == "MFIRST":
+                out = oracle_topk_span_masked(
+                    of, clauses, k=10, mask_to="body",
+                    span_first_end=arg[0])
+            else:
+                slop, o, _cl = arg
+                out = oracle_topk_span_masked(
+                    of, clauses, slop=slop, in_order=(o == "o"), k=10,
+                    mask_to="body")
+            want = ";".join(f"{d}:{_fmt_f32(s)}" for d, s in out)
+            assert (want or "-") == exp, (corpus_round, kind, arg, want, exp)

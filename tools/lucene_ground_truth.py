@@ -2699,6 +2699,79 @@ public class GroundTruthGroup2 {
 """
 
 
+FIELDMASK_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.search.spans.*;
+import org.apache.lucene.store.*;
+
+/** FieldMaskingSpanQuery ground truth: two WS TextFields per doc
+ *  ('body' and 'alt', corpus line "<body tokens>|<alt tokens>");
+ *  clauses given as b:term / a:term, a: wrapped in
+ *  FieldMaskingSpanQuery(..., "body") so it can join a SpanNear/
+ *  SpanFirst on body. Scoring: inner-field TERM stats, masked-to
+ *  field's norms + collection stats (SpanWeight.buildSimWeight). */
+public class GroundTruthFieldMask {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      String[] parts = in.readLine().split("\\|", 2);
+      Document d = new Document();
+      d.add(new Field("body", parts[0], ft));
+      d.add(new Field("alt", parts[1], ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      Query q;
+      if (p[0].equals("MNEAR")) {
+        // MNEAR slop o|u clause clause ...
+        int slop = Integer.parseInt(p[1]);
+        boolean inOrder = p[2].equals("o");
+        SpanQuery[] cl = new SpanQuery[p.length - 3];
+        for (int i = 3; i < p.length; i++) cl[i - 3] = clause(p[i]);
+        q = new SpanNearQuery(cl, slop, inOrder);
+      } else if (p[0].equals("MFIRST")) {
+        // MFIRST end clause
+        q = new SpanFirstQuery(clause(p[2]), Integer.parseInt(p[1]));
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+
+  static SpanQuery clause(String spec) {
+    String field = spec.startsWith("a:") ? "alt" : "body";
+    SpanTermQuery t = new SpanTermQuery(
+        new Term(field, spec.substring(2)));
+    return field.equals("alt") ? new FieldMaskingSpanQuery(t, "body") : t;
+  }
+}
+"""
+
+
 MLT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -5448,6 +5521,7 @@ def build() -> bool:
         ("GroundTruthClassify", CLASSIFY_JAVA),
         ("GroundTruthGroup", GROUP_JAVA),
         ("GroundTruthGroup2", GROUP2_JAVA),
+        ("GroundTruthFieldMask", FIELDMASK_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -5905,6 +5979,21 @@ def run_group2(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGroup2"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_fieldmask(docs: list[str], queries: list[str]) -> list[str]:
+    """Index docs '<body tokens>|<alt tokens>' (two WS TextFields) and run
+    MNEAR slop o|u <b:t|a:t>... / MFIRST end <b:t|a:t> where a: clauses
+    wrap in FieldMaskingSpanQuery(..., 'body'). Output per query:
+    'doc:score;...' top-10 (Float.toString)."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFieldMask"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
