@@ -1470,28 +1470,95 @@ ORDER BY p_partkey, w
 """
 
 
+def slow_fuzzy_query(spark, sf):
+    """Sandbox SlowFuzzyQuery (distance-3 raw fuzzy, prefix 1 — beyond
+    core FuzzyQuery's 2-edit cap; the full enumeration machinery is
+    pinned vs the compiled binary in GT round 76, search/fuzzy_slow.py).
+    The expansion runs DRIVER-SIDE over the distinct word dictionary
+    (term-dict metadata scan at scale, never the corpus) through the
+    real `slow_fuzzy_expand`; matches broadcast back as an isin + a
+    literal boost map. < maxExpansions candidates here, so the PQ never
+    fills and the linear-enum boost formula
+    1 - d/(prefix + min(suffix lens)) holds — which is what the DuckDB
+    oracle replays in closed form (CAST AS REAL == the stepwise float32
+    fold for these exact small-integer ratios)."""
+    from ..search.fuzzy_slow import slow_fuzzy_expand
+
+    p = _t(spark, sf, "part")
+    words = p.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("w")
+    )
+    dictionary = sorted(
+        r["w"] for r in words.select("w").distinct().collect())
+    exp = slow_fuzzy_expand(dictionary, "grean", 3.0, 1, 50)
+    if not exp:
+        return words.select(
+            "p_partkey", "w", F.lit(0.0).cast("float").alias("boost")
+        ).limit(0)
+    mapping = F.create_map(
+        *[F.lit(x) for t, b in exp for x in (t, float(b))])
+    return (
+        words.filter(F.col("w").isin([t for t, _b in exp]))
+        .select(
+            "p_partkey", "w",
+            mapping[F.col("w")].cast("float").alias("boost"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "w")
+    )
+
+
+SLOW_FUZZY_QUERY_SQL = """
+SELECT DISTINCT p_partkey, w,
+       CAST(1.0 - CAST(levenshtein(substr(w, 2), 'rean')
+            / (1.0 + least(length(w) - 1, 4)) AS REAL) AS REAL) AS boost
+FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)
+WHERE substr(w, 1, 1) = 'g'
+  AND levenshtein(substr(w, 2), 'rean') <= 3
+ORDER BY p_partkey, w
+"""
+
+
 def multiterm_combined(spark, sf):
-    """prefix/wildcard/fuzzy term queries as one tagged union (same
-    rationale as facets_combined; each variant's plan is unchanged)."""
+    """prefix/wildcard/fuzzy/slow-fuzzy term queries as one tagged union
+    (same rationale as facets_combined; each variant's plan is
+    unchanged)."""
+    zero = F.lit(0.0).cast("float").alias("boost")
     q1 = prefix_query(spark, sf).select(
-        F.lit("prefix").alias("variant"), "p_partkey", F.col("p_name").alias("v")
+        F.lit("prefix").alias("variant"), "p_partkey",
+        F.col("p_name").alias("v"), zero,
     )
     q2 = wildcard_query(spark, sf).select(
-        F.lit("wildcard").alias("variant"), "p_partkey", F.col("p_type").alias("v")
+        F.lit("wildcard").alias("variant"), "p_partkey",
+        F.col("p_type").alias("v"), zero,
     )
     q3 = fuzzy_query(spark, sf).select(
-        F.lit("fuzzy").alias("variant"), "p_partkey", F.col("w").alias("v")
+        F.lit("fuzzy").alias("variant"), "p_partkey",
+        F.col("w").alias("v"), zero,
     )
-    return q1.unionByName(q2).unionByName(q3).orderBy("variant", "p_partkey", "v")
+    q4 = slow_fuzzy_query(spark, sf).select(
+        F.lit("slow_fuzzy").alias("variant"), "p_partkey",
+        F.col("w").alias("v"), F.col("boost"),
+    )
+    return (
+        q1.unionByName(q2).unionByName(q3).unionByName(q4)
+        .orderBy("variant", "p_partkey", "v")
+    )
 
 
 MULTITERM_COMBINED_SQL = f"""
 SELECT * FROM (
-  SELECT 'prefix' AS variant, p_partkey, p_name AS v FROM ({PREFIX_QUERY_SQL})
+  SELECT 'prefix' AS variant, p_partkey, p_name AS v,
+         CAST(0.0 AS REAL) AS boost FROM ({PREFIX_QUERY_SQL})
   UNION ALL
-  SELECT 'wildcard' AS variant, p_partkey, p_type AS v FROM ({WILDCARD_QUERY_SQL})
+  SELECT 'wildcard' AS variant, p_partkey, p_type AS v,
+         CAST(0.0 AS REAL) AS boost FROM ({WILDCARD_QUERY_SQL})
   UNION ALL
-  SELECT 'fuzzy' AS variant, p_partkey, w AS v FROM ({FUZZY_QUERY_SQL})
+  SELECT 'fuzzy' AS variant, p_partkey, w AS v,
+         CAST(0.0 AS REAL) AS boost FROM ({FUZZY_QUERY_SQL})
+  UNION ALL
+  SELECT 'slow_fuzzy' AS variant, p_partkey, w AS v, boost
+  FROM ({SLOW_FUZZY_QUERY_SQL})
 ) ORDER BY variant, p_partkey, v
 """
 
@@ -2707,8 +2774,128 @@ ORDER BY c_custkey LIMIT 40
 """
 
 
+#: z-order bbox demo bounds (no dateline crossing; engine splits first)
+ZORDER_BBOX = (10.0, 45.0, -30.0, 25.0)
+ZORDER_DETAIL = 6  # quad-split depth -> bounded literal range count
+
+
+def _zcode_sql(lat_expr: str, lon_expr: str) -> str:
+    """GeoPointField.encodeLatLon as ONE portable SQL arithmetic
+    expression (identical string runs through Catalyst codegen AND the
+    DuckDB oracle — only `& | << >>` + arithmetic, no XOR/hex):
+    32-bit GeoEncodingUtils quantization, the sign-bit flip expressed
+    as +2^31 (values are in [-2^31, 2^31)), >>1 per dimension to the
+    31-bit halves (== the reference's interleave >>> 2), then the
+    BitUtil magic-constant bit spread, lat odd / lon even. Pinned
+    transitively: ops/geo.py's geopoint_encode is pinned vs the
+    compiled module (GT round 77) and the pytest cross-checks this SQL
+    against it. The corpus derives lat < 90 and lon < 180 so neither
+    the encode clamp nor the all-ones special case can trigger."""
+    lat_step = repr(180.0 / (1 << 32))
+    lon_step = repr(360.0 / (1 << 32))
+
+    def spread(v: str) -> str:
+        v = f"((({v}) | (({v}) << 16)) & 281470681808895)"
+        v = f"(({v} | ({v} << 8)) & 71777214294589695)"
+        v = f"(({v} | ({v} << 4)) & 1085102592571150095)"
+        v = f"(({v} | ({v} << 2)) & 3689348814741910323)"
+        v = f"(({v} | ({v} << 1)) & 6148914691236517205)"
+        return v
+
+    lat31 = f"((CAST(FLOOR(({lat_expr}) / {lat_step}) AS BIGINT) + 2147483648) >> 1)"
+    lon31 = f"((CAST(FLOOR(({lon_expr}) / {lon_step}) AS BIGINT) + 2147483648) >> 1)"
+    return f"(({spread(lat31)} << 1) | {spread(lon31)})"
+
+
+def _zdecode_sql(lat31: str, lon31: str) -> tuple[str, str]:
+    """GeoPointField unscale: cell-corner doubles from the 31-bit
+    halves (computed from the POINT columns — decode(encode) — so no
+    deinterleave is needed in SQL)."""
+    return (
+        f"(({lat31}) / (CAST(2147483648 AS DOUBLE) / 180.0) - 90.0)",
+        f"(({lon31}) / (CAST(2147483648 AS DOUBLE) / 360.0) - 180.0)",
+    )
+
+
+def spatial_zorder(spark, sf):
+    """GeoPointField / z-order bbox query (lucene/spatial geopoint:
+    GeoPointInBBoxQuery over morton prefix terms — encoding + accept
+    set pinned vs the compiled module, GT round 77). The 100-TB spatial
+    layout: each point becomes a 62-bit z-code in ONE codegen
+    projection; the bbox decomposes driver-side into a bounded list of
+    z-RANGES (`morton_ranges` — the GeoPointNumericTermsEnum
+    computeRange shape) pushed as literal BETWEENs (sargable: with a
+    z-sorted/partitioned table these are parquet row-group prunes, the
+    BKD/prefix-term visit analog); boundary ranges re-check exactly on
+    the DECODED (quantized) coordinates, reference-inclusive bounds."""
+    from .geo import morton_ranges
+
+    mn_la, mx_la, mn_lo, mx_lo = ZORDER_BBOX
+    ranges = morton_ranges(mn_la, mx_la, mn_lo, mx_lo,
+                           detail_level=ZORDER_DETAIL)
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    z = F.expr(_zcode_sql("lat", "lon"))
+    pts = c.select("c_custkey", "lat", "lon", z.alias("zcode"))
+    rng_pred = None
+    for lo, hi, _b in ranges:
+        p = F.col("zcode").between(lo, hi)
+        rng_pred = p if rng_pred is None else (rng_pred | p)
+    lat_step = repr(180.0 / (1 << 32))
+    lon_step = repr(360.0 / (1 << 32))
+    lat31 = f"((CAST(FLOOR(lat / {lat_step}) AS BIGINT) + 2147483648) >> 1)"
+    lon31 = f"((CAST(FLOOR(lon / {lon_step}) AS BIGINT) + 2147483648) >> 1)"
+    dlat, dlon = _zdecode_sql(lat31, lon31)
+    exact = F.expr(
+        f"{dlat} >= {mn_la} AND {dlat} <= {mx_la} "
+        f"AND {dlon} >= {mn_lo} AND {dlon} <= {mx_lo}"
+    )
+    return (
+        pts.filter(rng_pred).filter(exact)
+        .select("c_custkey", F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"), F.col("zcode"))
+        .orderBy("c_custkey")
+        .limit(60)
+    )
+
+
+def _spatial_zorder_sql() -> str:
+    from .geo import morton_ranges
+
+    mn_la, mx_la, mn_lo, mx_lo = ZORDER_BBOX
+    ranges = morton_ranges(mn_la, mx_la, mn_lo, mx_lo,
+                           detail_level=ZORDER_DETAIL)
+    rng_pred = " OR ".join(
+        f"zcode BETWEEN {lo} AND {hi}" for lo, hi, _b in ranges)
+    lat_step = repr(180.0 / (1 << 32))
+    lon_step = repr(360.0 / (1 << 32))
+    lat31 = f"((CAST(FLOOR(lat / {lat_step}) AS BIGINT) + 2147483648) >> 1)"
+    lon31 = f"((CAST(FLOOR(lon / {lon_step}) AS BIGINT) + 2147483648) >> 1)"
+    dlat, dlon = _zdecode_sql(lat31, lon31)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+coded AS (
+  SELECT c_custkey, lat, lon, {_zcode_sql("lat", "lon")} AS zcode FROM pts
+)
+SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon, zcode
+FROM coded
+WHERE ({rng_pred})
+  AND {dlat} >= {mn_la} AND {dlat} <= {mx_la}
+  AND {dlon} >= {mn_lo} AND {dlon} <= {mx_lo}
+ORDER BY c_custkey LIMIT 60
+"""
+
+
 def spatial_family(spark, sf):
-    """Distance knn + polygon containment as one tagged union."""
+    """Distance knn + polygon containment + z-order bbox as one union."""
     v1 = spatial_knn(spark, sf).select(
         F.lit("knn").alias("variant"), "c_custkey", "lat", "lon",
         F.col("dist_km").alias("val"),
@@ -2717,7 +2904,11 @@ def spatial_family(spark, sf):
         F.lit("polygon").alias("variant"), "c_custkey", "lat", "lon",
         F.lit(0.0).alias("val"),
     )
-    return v1.unionByName(v2).orderBy("variant", "c_custkey")
+    v3 = spatial_zorder(spark, sf).select(
+        F.lit("zorder").alias("variant"), "c_custkey", "lat", "lon",
+        F.col("zcode").cast("double").alias("val"),
+    )
+    return v1.unionByName(v2).unionByName(v3).orderBy("variant", "c_custkey")
 
 
 #: passage highlighter query + window geometry
@@ -3595,10 +3786,30 @@ def point_set_field_value(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("field_value").alias("variant"), "key", "n")
     )
-    return pis.unionByName(fv).orderBy("variant", "key")
+    # sandbox DocValuesRangeQuery (GT round 78): per-bound inclusivity
+    # over a numeric column ({lo TO hi] here) and a BytesRef range over
+    # a string column — both sargable BETWEEN-style scan filters
+    dvn = (
+        part.filter((F.col("p_size") > 10) & (F.col("p_size") <= 20))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dv_long_range").alias("variant"),
+                F.lit("(10 TO 20]").alias("key"), "n")
+    )
+    dvb = (
+        part.filter((F.col("p_brand") >= "Brand#2")
+                    & (F.col("p_brand") < "Brand#4"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dv_bytes_range").alias("variant"),
+                F.lit("[Brand#2 TO Brand#4)").alias("key"), "n")
+    )
+    return (
+        pis.unionByName(fv).unionByName(dvn).unionByName(dvb)
+        .orderBy("variant", "key")
+    )
 
 
 POINT_SET_FIELD_VALUE_SQL = """
+SELECT * FROM (
 SELECT 'point_in_set' AS variant, CAST(p_size AS VARCHAR) AS key, count(*) AS n
 FROM part WHERE p_size IN (5, 15, 25) GROUP BY p_size
 UNION ALL
@@ -3606,7 +3817,13 @@ SELECT 'field_value', event_type, count(*)
 FROM (SELECT event_type, CASE WHEN value > 90 THEN value END AS big_value
       FROM events)
 WHERE big_value IS NOT NULL GROUP BY event_type
-ORDER BY variant, key
+UNION ALL
+SELECT 'dv_long_range', '(10 TO 20]', count(*)
+FROM part WHERE p_size > 10 AND p_size <= 20
+UNION ALL
+SELECT 'dv_bytes_range', '[Brand#2 TO Brand#4)', count(*)
+FROM part WHERE p_brand >= 'Brand#2' AND p_brand < 'Brand#4'
+) ORDER BY variant, key
 """
 
 
@@ -3715,8 +3932,13 @@ SELECT * FROM (
   UNION ALL
   SELECT 'polygon' AS variant, c_custkey, lat, lon, 0.0 AS val
   FROM ({{POLY_SQL}})
+  UNION ALL
+  SELECT 'zorder' AS variant, c_custkey, lat, lon,
+         CAST(zcode AS DOUBLE) AS val
+  FROM ({{ZORDER_SQL}})
 ) ORDER BY variant, c_custkey
-""".replace("{POLY_SQL}", _spatial_polygon_sql())),
+""".replace("{POLY_SQL}", _spatial_polygon_sql())
+   .replace("{ZORDER_SQL}", _spatial_zorder_sql())),
     "highlight_snippet": (highlight_combined, HIGHLIGHT_COMBINED_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),

@@ -195,3 +195,42 @@ def test_explain_matches_topk_scores(built):
         all_ids = {d for d, _ in hits}
         miss = searcher.explain("zzz_missing", hits[0][0])
         assert miss["match"] is False and miss["value"] == 0.0
+
+
+def test_slow_fuzzy_engine_matches_oracle(built):
+    """SlowFuzzyQuery end-to-end (GT round 76): the pinned
+    `slow_fuzzy_expand` runs over the ENGINE's term dictionary
+    (term_stats metadata scan), and the rewritten boosted-SHOULD query
+    scores rank+float32 identical to the control oracle, including a
+    raw distance-3 case core FuzzyQuery cannot express."""
+    import numpy as np
+
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.fuzzy_slow import slow_fuzzy_expand
+    from lucene_solr_spark.search.oracle import oracle_topk_spec
+
+    _, searcher, oidx = built
+    dictionary = sorted(oidx.postings)  # == the index term dict (stats
+    # equality asserted in test_corpus_stats_match_oracle)
+    for text, ms, pl, me in [
+        ("parse", 3.0, 1, 50),     # raw, beyond-FuzzyQuery distance
+        ("parze", 2.0, 0, 5),      # raw, capped expansion
+        ("indexx", 0.5, 1, 50),    # fractional similarity
+        ("clas", 1.0, 0, 3),
+    ]:
+        exp = slow_fuzzy_expand(dictionary, text, ms, pl, me)
+        if not exp:
+            continue
+        spec = BooleanSpec(
+            should=tuple(t for t, _b in exp),
+            boosts=tuple((t, float(b)) for t, b in exp),
+        )
+        expected = oracle_topk_spec(oidx, spec, k=10)
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.topk_spec(spec, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], (
+            text, ms, pl, me, exp, got, expected)
+        for (gd, gs), (_ed, es) in zip(got, expected):
+            assert gs == es, (text, ms, pl, me, gd, gs, es)

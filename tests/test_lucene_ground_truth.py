@@ -5443,3 +5443,296 @@ def test_field_masking_span_query_matches_compiled_reference():
                     mask_to="body")
             want = ";".join(f"{d}:{_fmt_f32(s)}" for d, s in out)
             assert (want or "-") == exp, (corpus_round, kind, arg, want, exp)
+
+
+def test_slow_fuzzy_query_matches_compiled_reference():
+    """Ground-truth round 76: sandbox SlowFuzzyQuery (edit distances > 2
+    and deprecated fractional similarities, linear dictionary
+    enumeration) vs the compiled binary. Pins the REWRITTEN clause list
+    (term:boost, Float.toString exact) and the top-10 docid + float32
+    scores, including:
+
+    - raw vs fractional modes (internal minSimilarity 0 vs the strict
+      similarity > minSim accept), the double-arithmetic
+      initialMaxDistance vs the float32 calculateMaxDistance,
+    - the termLongEnough collapse to an exact SingleTermsEnum match,
+    - the TWO similarity formulas (linear enum: prefix-adjusted
+      min-suffix-length denominator; automaton enum at maxEdits <= 2:
+      min FULL-length denominator, exact match pinned to 1.0) and the
+    - TopTermsRewrite PQ bottom feedback that shrinks maxEdits and can
+      switch linear -> automaton MID-ENUMERATION with a one-accepted-term
+      lag (FuzzyTermsEnum.next()'s queuedBottom),
+    - negative/zero raw-mode boosts flowing into BoostQuery clauses,
+    - the (boost DESC, term ASC) queue tie rule and term-sorted output.
+
+    Scoring of the rewritten BooleanQuery reuses the boosted-SHOULD
+    oracle (boost folds into the weight BEFORE (k1+1), parity fix #6)."""
+    from lucene_solr_spark.search.engine import BooleanSpec
+    from lucene_solr_spark.search.fuzzy_slow import slow_fuzzy_expand
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk_spec
+
+    rng = random.Random(20260876)
+    for corpus_round in range(4):
+        # short dense vocabulary over {a,b,c} => rich fuzzy
+        # neighborhoods; 'a' excluded (stopword in the analyzed oracle
+        # chain but a live term in the harness's WS index)
+        vocab = sorted({
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(8, 20))
+        } - {"a"})
+        n_docs = rng.randint(5, 22)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+            for _ in range(n_docs)
+        ]
+        idx = build_oracle_index(list(enumerate(docs)))
+        dictionary = sorted(idx.postings)
+
+        cases = []
+        for _ in range(30):
+            if rng.random() < 0.5:
+                q = "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            else:  # mutate a vocab word
+                w = list(rng.choice(vocab))
+                for _m in range(rng.randint(0, 2)):
+                    op = rng.choice(["sub", "ins", "del"])
+                    pos = rng.randrange(len(w) + (op == "ins"))
+                    if op == "sub" and w:
+                        w[min(pos, len(w) - 1)] = rng.choice("abc")
+                    elif op == "ins":
+                        w.insert(pos, rng.choice("abc"))
+                    elif w and len(w) > 1:
+                        w.pop(min(pos, len(w) - 1))
+                q = "".join(w)
+            min_sim = rng.choice(
+                [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 1.0, 2.0, 3.0, 4.0, 5.0])
+            prefix_len = rng.choice([0, 0, 1, 2])
+            max_exp = rng.choice([1, 2, 3, 5, 50])
+            cases.append((q, min_sim, prefix_len, max_exp))
+        expected = gt.run_slow_fuzzy(
+            docs,
+            [f"SF {ms} {pl} {me} {q}" for q, ms, pl, me in cases],
+        )
+        assert len(expected) == len(cases)
+
+        for (q, ms, pl, me), exp in zip(cases, expected):
+            exp_clauses, exp_hits = exp.split("|")
+            got = slow_fuzzy_expand(dictionary, q, ms, pl, me)
+            want_clauses = ",".join(
+                f"{t}:{_fmt_f32(b)}" for t, b in got) or "-"
+            assert want_clauses == exp_clauses, (
+                corpus_round, q, ms, pl, me, want_clauses, exp_clauses)
+            if got:
+                hits = oracle_topk_spec(
+                    idx,
+                    BooleanSpec(
+                        should=tuple(t for t, _b in got),
+                        boosts=tuple((t, float(b)) for t, b in got),
+                    ),
+                    k=10,
+                )
+                want_hits = ";".join(
+                    f"{d}:{_fmt_f32(s)}" for d, s in hits) or "-"
+            else:
+                want_hits = "-"
+            assert want_hits == exp_hits, (
+                corpus_round, q, ms, pl, me, got, want_hits, exp_hits)
+
+
+def test_geopoint_morton_matches_compiled_reference():
+    """Ground-truth round 77: the lucene/spatial geopoint family —
+    GeoPointField's 62-bit morton/z-order encoding (MortonEncoder's
+    32-bit quantization with the sign-bit flip, lon-even/lat-odd
+    interleave, the >>> 2 to 31 bits per dimension, and the all-ones
+    special case), its decode (31-bit unscale to the cell corner), and
+    GeoPointInBBoxQuery's accept set (decoded point inside the raw
+    double bounds INCLUSIVE, dateline split, whole-world rewrite) — all
+    pinned vs the compiled module. Also asserts the engine's
+    `morton_ranges` z-cover is CONSISTENT: every matching doc's code
+    falls in a range, and every non-boundary range holds only matches."""
+    import struct
+
+    from lucene_solr_spark.ops.geo import (
+        geopoint_bbox_matches,
+        geopoint_decode_lat,
+        geopoint_decode_lon,
+        geopoint_encode,
+        morton_ranges,
+    )
+
+    rng = random.Random(20260877)
+    for corpus_round in range(4):
+        n_docs = rng.randint(10, 40)
+        pts = []
+        for _ in range(n_docs):
+            if rng.random() < 0.15:  # edge coordinates
+                lat = rng.choice([-90.0, 90.0, 0.0, 89.999999, -89.999999])
+                lon = rng.choice([-180.0, 180.0, 0.0, 179.999999])
+            else:
+                lat = rng.uniform(-90, 90)
+                lon = rng.uniform(-180, 180)
+            pts.append((lat, lon))
+        lines = [f"{lat!r} {lon!r}" for lat, lon in pts]
+        codes = [geopoint_encode(lat, lon) for lat, lon in pts]
+
+        cases = []
+        for lat, lon in pts[:8]:
+            cases.append(("ENC", f"ENC {lat!r} {lon!r}", (lat, lon)))
+        for h in codes[:6]:
+            cases.append(("DEC", f"DEC {h}", h))
+        for _ in range(10):
+            if rng.random() < 0.2:
+                b = (-90.0, 90.0, -180.0, 180.0)  # whole world
+            else:
+                la = sorted([rng.uniform(-90, 90), rng.uniform(-90, 90)])
+                lo = [rng.uniform(-180, 180), rng.uniform(-180, 180)]
+                if rng.random() < 0.25:
+                    lo = [max(lo), min(lo)]  # dateline crossing
+                else:
+                    lo = sorted(lo)
+                b = (la[0], la[1], lo[0], lo[1])
+            cases.append((
+                "BBOX",
+                f"BBOX {b[0]!r} {b[1]!r} {b[2]!r} {b[3]!r}", b,
+            ))
+        expected = gt.run_geopoint(lines, [c[1] for c in cases])
+        assert len(expected) == len(cases)
+
+        for (kind, _line, arg), exp in zip(cases, expected):
+            if kind == "ENC":
+                lat, lon = arg
+                assert str(geopoint_encode(lat, lon)) == exp, (
+                    corpus_round, arg, geopoint_encode(lat, lon), exp)
+            elif kind == "DEC":
+                jl, jo = exp.split(" ")
+                dlat, dlon = geopoint_decode_lat(arg), geopoint_decode_lon(arg)
+                # Double.toString round-trips; compare the parsed bits
+                assert struct.pack(">d", float(jl)) == struct.pack(
+                    ">d", dlat), (corpus_round, arg, jl, dlat)
+                assert struct.pack(">d", float(jo)) == struct.pack(
+                    ">d", dlon), (corpus_round, arg, jo, dlon)
+            else:
+                mn_la, mx_la, mn_lo, mx_lo = arg
+                want = geopoint_bbox_matches(codes, mn_la, mx_la, mn_lo, mx_lo)
+                want_s = ",".join(str(i) for i in want) or "-"
+                assert want_s == exp, (corpus_round, arg, want_s, exp)
+                # engine z-cover consistency (skip dateline: engine
+                # callers split the box first)
+                if mx_lo >= mn_lo:
+                    rngs = morton_ranges(mn_la, mx_la, mn_lo, mx_lo)
+                    match_set = set(want)
+                    for i, c in enumerate(codes):
+                        in_rng = next(
+                            ((lo, hi, b) for lo, hi, b in rngs
+                             if lo <= c <= hi), None)
+                        if i in match_set:
+                            assert in_rng is not None, (corpus_round, arg, i)
+                        elif in_rng is not None:
+                            assert in_rng[2], (  # only boundary ranges
+                                corpus_round, arg, i, in_rng)
+
+
+def test_zcode_sql_matches_pinned_encode():
+    """The portable SQL z-code expression (spatial_zorder's single
+    codegen projection, same string in Catalyst and DuckDB) equals the
+    GT-77-pinned `geopoint_encode` on random and edge points."""
+    import duckdb
+
+    from lucene_solr_spark.ops.geo import geopoint_encode
+    from lucene_solr_spark.ops.relational import _zcode_sql
+
+    rng = random.Random(20260878)
+    pts = [(rng.uniform(-90, 89.99), rng.uniform(-180, 179.99))
+           for _ in range(300)]
+    pts += [(-90.0, -180.0), (0.0, 0.0), (89.99, 179.99), (-89.99, 0.0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pts)
+    got = [r[0] for r in con.execute(
+        "SELECT " + _zcode_sql("lat", "lon") + " FROM t").fetchall()]
+    exp = [geopoint_encode(la, lo) for la, lo in pts]
+    assert got == exp
+
+
+def test_docvalues_queries_match_compiled_reference():
+    """Ground-truth round 78: the sandbox doc-values queries
+    (DocValuesTermsQuery / DocValuesNumbersQuery / DocValuesRangeQuery
+    long + BytesRef forms) vs the compiled classes over the Group2
+    corpus — constant-score accept sets: a doc matches when ANY of its
+    values hits (set membership / range with per-bound inclusivity;
+    a * bound is open; both bounds * rewrites to FieldValueQuery =
+    every doc holding the field)."""
+    rng = random.Random(20260879)
+    for corpus_round in range(4):
+        n_docs = rng.randint(8, 26)
+        docs, lines = [], []
+        facet_vocab = ["blue", "green", "red", "yellow"]
+        for _i in range(n_docs):
+            grp = rng.choice(["g1", "g2", "g3", "g4", None])
+            key = rng.randint(1, 9)
+            facets = rng.sample(facet_vocab, rng.randint(0, 2))
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 6))]
+            docs.append((grp, key, facets))
+            lines.append(
+                f"{grp or '_'} {key} {','.join(facets) or '_'} {' '.join(toks)}"
+            )
+
+        cases = []
+        for _ in range(6):
+            gs = rng.sample(["g1", "g2", "g3", "g4", "g9"], rng.randint(1, 3))
+            cases.append(("DVTERMS", f"DVTERMS {' '.join(gs)}", gs))
+            ks = rng.sample(range(1, 12), rng.randint(1, 4))
+            cases.append((
+                "DVNUM", f"DVNUM {' '.join(map(str, ks))}", ks))
+            lo = rng.choice(["*", rng.randint(0, 8)])
+            hi = rng.choice(["*", rng.randint(3, 11)])
+            il, iu = rng.randint(0, 1), rng.randint(0, 1)
+            cases.append((
+                "DVRANGE", f"DVRANGE {lo} {hi} {il} {iu}", (lo, hi, il, iu)))
+            blo = rng.choice(["*", "blue", "green", "c"])
+            bhi = rng.choice(["*", "red", "yellow", "m"])
+            cases.append((
+                "DVRANGEB", f"DVRANGEB {blo} {bhi} {il} {iu}",
+                (blo, bhi, il, iu)))
+        expected = gt.run_group2(lines, [c[1] for c in cases])
+        assert len(expected) == len(cases)
+
+        def in_range(v, lo, hi, il, iu):
+            if lo != "*":
+                if il and not v >= lo:
+                    return False
+                if not il and not v > lo:
+                    return False
+            if hi != "*":
+                if iu and not v <= hi:
+                    return False
+                if not iu and not v < hi:
+                    return False
+            return True
+
+        for (kind, _line, arg), exp in zip(cases, expected):
+            want = []
+            for i, (grp, key, facets) in enumerate(docs):
+                if kind == "DVTERMS":
+                    ok = grp is not None and grp in arg
+                elif kind == "DVNUM":
+                    ok = key in arg
+                elif kind == "DVRANGE":
+                    lo, hi, il, iu = arg
+                    if lo == "*" and hi == "*":
+                        ok = True  # FieldValueQuery: key always present
+                    else:
+                        ok = in_range(key, lo, hi, bool(il), bool(iu))
+                else:
+                    blo, bhi, il, iu = arg
+                    if blo == "*" and bhi == "*":
+                        ok = bool(facets)
+                    else:
+                        ok = any(
+                            in_range(v, blo, bhi, bool(il), bool(iu))
+                            for v in facets
+                        )
+                if ok:
+                    want.append(i)
+            want_s = ",".join(map(str, want)) or "-"
+            assert want_s == exp, (corpus_round, kind, arg, want_s, exp)

@@ -2663,6 +2663,45 @@ public class GroundTruthGroup2 {
             }
           }
         }
+      } else if (p[0].equals("DVTERMS") || p[0].equals("DVNUM")
+                 || p[0].equals("DVRANGE") || p[0].equals("DVRANGEB")) {
+        // sandbox doc-values queries over this corpus's dv fields:
+        //   DVTERMS g1 g2...              (grp SORTED)
+        //   DVNUM k1 k2...                (key NUMERIC)
+        //   DVRANGE lo|* hi|* incLo incHi (key, newLongRange)
+        //   DVRANGEB lo|* hi|* incLo incHi (fm SORTED_SET, newBytesRefRange)
+        Query q;
+        if (p[0].equals("DVTERMS")) {
+          org.apache.lucene.util.BytesRef[] ts =
+              new org.apache.lucene.util.BytesRef[p.length - 1];
+          for (int i = 1; i < p.length; i++)
+            ts[i - 1] = new org.apache.lucene.util.BytesRef(p[i]);
+          q = new DocValuesTermsQuery("grp", ts);
+        } else if (p[0].equals("DVNUM")) {
+          Long[] ks = new Long[p.length - 1];
+          for (int i = 1; i < p.length; i++) ks[i - 1] = Long.parseLong(p[i]);
+          q = new DocValuesNumbersQuery("key", ks);
+        } else if (p[0].equals("DVRANGE")) {
+          Long lo = p[1].equals("*") ? null : Long.parseLong(p[1]);
+          Long hi = p[2].equals("*") ? null : Long.parseLong(p[2]);
+          q = DocValuesRangeQuery.newLongRange(
+              "key", lo, hi, p[3].equals("1"), p[4].equals("1"));
+        } else {
+          org.apache.lucene.util.BytesRef lo = p[1].equals("*") ? null
+              : new org.apache.lucene.util.BytesRef(p[1]);
+          org.apache.lucene.util.BytesRef hi = p[2].equals("*") ? null
+              : new org.apache.lucene.util.BytesRef(p[2]);
+          q = DocValuesRangeQuery.newBytesRefRange(
+              "fm", lo, hi, p[3].equals("1"), p[4].equals("1"));
+        }
+        TopDocs td = s.search(q, Math.max(1, nDocs));
+        int[] ids = new int[td.scoreDocs.length];
+        for (int i = 0; i < ids.length; i++) ids[i] = td.scoreDocs[i].doc;
+        java.util.Arrays.sort(ids);
+        for (int id : ids) {
+          if (out.length() > 0) out.append(",");
+          out.append(id);
+        }
       } else if (p[0].equals("GJOIN")) {
         // GJOIN none|min|max|total|avg minOcc maxOcc t1 t2... ->
         //   global-ordinals JoinUtil (toQuery = MatchAllDocs), top-10
@@ -2694,6 +2733,156 @@ public class GroundTruthGroup2 {
     for (int i = start; i < p.length; i++)
       b.add(new TermQuery(new Term("body", p[i])), BooleanClause.Occur.SHOULD);
     return b.build();
+  }
+}
+"""
+
+
+GEOPOINT_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.spatial.geopoint.document.GeoPointField;
+import org.apache.lucene.spatial.geopoint.search.GeoPointInBBoxQuery;
+
+/** GeoPointField (lucene/spatial geopoint — morton/z-order prefix
+ *  terms) ground truth: docs are 'lat lon' doubles; queries:
+ *  ENC lat lon              -> Long.toString(encodeLatLon)
+ *  DEC hash                 -> decodeLatitude + ' ' + decodeLongitude
+ *  BBOX minLat maxLat minLon maxLon -> matching docids ASC */
+public class GroundTruthGeoPoint {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    for (int i = 0; i < nDocs; i++) {
+      String[] p = in.readLine().trim().split(" ");
+      Document d = new Document();
+      d.add(new GeoPointField("p", Double.parseDouble(p[0]),
+                              Double.parseDouble(p[1]), Field.Store.NO));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      StringBuilder out = new StringBuilder();
+      if (p[0].equals("ENC")) {
+        out.append(Long.toString(GeoPointField.encodeLatLon(
+            Double.parseDouble(p[1]), Double.parseDouble(p[2]))));
+      } else if (p[0].equals("DEC")) {
+        long h = Long.parseLong(p[1]);
+        out.append(Double.toString(GeoPointField.decodeLatitude(h)))
+           .append(" ")
+           .append(Double.toString(GeoPointField.decodeLongitude(h)));
+      } else if (p[0].equals("BBOX")) {
+        Query q = new GeoPointInBBoxQuery("p",
+            Double.parseDouble(p[1]), Double.parseDouble(p[2]),
+            Double.parseDouble(p[3]), Double.parseDouble(p[4]));
+        TopDocs td = s.search(q, Math.max(1, nDocs));
+        int[] ids = new int[td.scoreDocs.length];
+        for (int i = 0; i < ids.length; i++) ids[i] = td.scoreDocs[i].doc;
+        java.util.Arrays.sort(ids);
+        for (int id : ids) {
+          if (out.length() > 0) out.append(",");
+          out.append(id);
+        }
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
+SLOWFUZZY_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+
+/** SlowFuzzyQuery ground truth: WS body docs; query
+ *  'SF <minSimOrEdits> <prefixLen> <maxExpansions> <term>' runs the
+ *  sandbox SlowFuzzyQuery (TopTermsScoringBooleanQueryRewrite). Output:
+ *  '<t:boost,...>|<doc:score;...>' — the REWRITTEN query's clauses
+ *  (term order, Float.toString boosts) and the top-10. */
+public class GroundTruthSlowFuzzy {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      float minSim = Float.parseFloat(p[1]);
+      int prefixLen = Integer.parseInt(p[2]);
+      int maxExp = Integer.parseInt(p[3]);
+      org.apache.lucene.sandbox.queries.SlowFuzzyQuery q =
+          new org.apache.lucene.sandbox.queries.SlowFuzzyQuery(
+              new Term("body", p[4]), minSim, prefixLen, maxExp);
+      Query rw = s.rewrite(q);
+      StringBuilder cl = new StringBuilder();
+      if (rw instanceof BooleanQuery) {
+        for (BooleanClause c : (BooleanQuery) rw) {
+          if (cl.length() > 0) cl.append(",");
+          appendClause(cl, c.getQuery());
+        }
+      } else if (!(rw instanceof MatchNoDocsQuery)) {
+        appendClause(cl, rw);
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(
+          (cl.length() == 0 ? "-" : cl.toString()) + "|"
+          + (out.length() == 0 ? "-" : out.toString()));
+    }
+    r.close();
+  }
+
+  /** unwrap BoostQuery / the zero-boost ConstantScoreQuery rewrite
+   *  (BoostQuery.rewrite wraps boost==0f clauses in a CSQ) */
+  static void appendClause(StringBuilder cl, Query cq) {
+    float boost = 1f;
+    if (cq instanceof BoostQuery) {
+      boost = ((BoostQuery) cq).getBoost();
+      cq = ((BoostQuery) cq).getQuery();
+    }
+    if (cq instanceof ConstantScoreQuery) {
+      cq = ((ConstantScoreQuery) cq).getQuery();
+    }
+    cl.append(((TermQuery) cq).getTerm().text())
+      .append(":").append(Float.toString(boost));
   }
 }
 """
@@ -4552,6 +4741,49 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # sandbox SlowFuzzyQuery (+ its TermsEnum) depends only on core
+    sf_marker = os.path.join(
+        CLASSES, "org/apache/lucene/sandbox/queries/SlowFuzzyQuery.class"
+    )
+    sf_dir = "/root/reference/lucene/sandbox/src/java/org/apache/lucene/sandbox/queries"
+    if not os.path.exists(sf_marker) and os.path.isdir(sf_dir):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             os.path.join(sf_dir, "SlowFuzzyQuery.java"),
+             os.path.join(sf_dir, "SlowFuzzyTermsEnum.java"),
+             os.path.join(os.path.dirname(os.path.dirname(sf_dir)),
+                          "search", "DocValuesTermsQuery.java"),
+             os.path.join(os.path.dirname(os.path.dirname(sf_dir)),
+                          "search", "DocValuesNumbersQuery.java"),
+             os.path.join(os.path.dirname(os.path.dirname(sf_dir)),
+                          "search", "DocValuesRangeQuery.java")],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+    # lucene/spatial (geopoint morton terms + util) depends only on core
+    gp_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/spatial/geopoint/document/GeoPointField.class",
+    )
+    gp_root = "/root/reference/lucene/spatial/src/java"
+    if not os.path.exists(gp_marker) and os.path.isdir(gp_root):
+        gpsrcs = os.path.join(BUILD, "gpsrcs.txt")
+        with open(gpsrcs, "w") as f:
+            for root, _dirs, files in os.walk(gp_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + gpsrcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # SweetSpotSimilarity (lucene/misc) depends only on core
     ss_marker = os.path.join(
         CLASSES, "org/apache/lucene/misc/SweetSpotSimilarity.class"
@@ -5522,6 +5754,8 @@ def build() -> bool:
         ("GroundTruthGroup", GROUP_JAVA),
         ("GroundTruthGroup2", GROUP2_JAVA),
         ("GroundTruthFieldMask", FIELDMASK_JAVA),
+        ("GroundTruthSlowFuzzy", SLOWFUZZY_JAVA),
+        ("GroundTruthGeoPoint", GEOPOINT_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -5979,6 +6213,33 @@ def run_group2(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGroup2"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_slow_fuzzy(docs: list[str], queries: list[str]) -> list[str]:
+    """Index WS body docs and run 'SF <minSim> <prefixLen> <maxExp>
+    <term>' through the compiled sandbox SlowFuzzyQuery. Output lines
+    '<term:boost,...>|<doc:score;...>' (rewritten clauses + top-10)."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSlowFuzzy"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_geopoint(docs: list[str], queries: list[str]) -> list[str]:
+    """Index 'lat lon' docs as GeoPointField (PREFIX morton terms) and
+    run ENC/DEC/BBOX commands against the compiled geopoint module."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGeoPoint"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
