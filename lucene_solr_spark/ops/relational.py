@@ -2481,6 +2481,55 @@ ORDER BY score DESC, title DESC LIMIT {BLENDED_NUM}
 """
 
 
+def suggest_completion(spark, sf):
+    """suggest/document completion family (GT round 79,
+    search/completion.py): ContextSuggestField entries (surface = first
+    p_name word, weight = p_size, context = p_brand) under a
+    ContextQuery(PrefixCompletionQuery('c')) with contexts
+    {Brand#13: boost 2, Brand#11: boost 0} — exercising the
+    pinned CompletionScorer 0-rule (a zero-boost context scores the
+    PLAIN weight, not 0) and the (score DESC, doc ASC) collector order.
+    At scale this is one sargable prefix+isin scan + a bounded
+    TakeOrdered — the suggestion FST's term-dictionary role is played by
+    the dictionary-shaped projection, never a corpus re-read."""
+    p = _t(spark, sf, "part")
+    e = p.select(
+        F.col("p_partkey").alias("doc"),
+        F.element_at(F.split(F.col("p_name"), " "), 1).alias("surface"),
+        F.col("p_size").cast("double").alias("w"),
+        F.col("p_brand").alias("ctx"),
+    ).filter(
+        F.col("surface").startswith("c")
+        & F.col("ctx").isin("Brand#13", "Brand#11")
+    )
+    boost = F.when(F.col("ctx") == "Brand#13", F.lit(2.0)).otherwise(
+        F.lit(0.0))
+    score = F.when(boost == 0.0, F.col("w")).otherwise(F.col("w") * boost)
+    return (
+        e.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(12)
+        .select(
+            F.concat_ws(":", "ctx", "surface").alias("term"),
+            F.col("score").cast("long").alias("df"),
+        )
+    )
+
+
+SUGGEST_COMPLETION_SQL = """
+SELECT ctx || ':' || surface AS term, CAST(score AS BIGINT) AS df
+FROM (
+  SELECT p_partkey AS doc, string_split(p_name, ' ')[1] AS surface,
+         p_brand AS ctx,
+         CASE WHEN p_brand = 'Brand#13'
+              THEN p_size * 2.0 ELSE CAST(p_size AS DOUBLE) END AS score
+  FROM part
+  WHERE string_split(p_name, ' ')[1] LIKE 'c%'
+    AND p_brand IN ('Brand#13', 'Brand#11')
+) ORDER BY score DESC, doc ASC LIMIT 12
+"""
+
+
 def suggest_combined(spark, sf):
     """Prefix suggest + infix suggest + DirectSpellChecker + FuzzySuggester
     + WordBreakSpellChecker (break + combine directions) as one tagged
@@ -2538,9 +2587,16 @@ def suggest_combined(spark, sf):
         F.col("score").alias("df"),
         F.lit(-1).cast("int").alias("distance"),
     )
+    s10 = suggest_completion(spark, sf).select(
+        F.lit("completion").alias("variant"),
+        "term",
+        F.col("df"),
+        F.lit(-1).cast("int").alias("distance"),
+    )
     return (
         s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
         .unionByName(s6).unionByName(s7).unionByName(s8).unionByName(s9)
+        .unionByName(s10)
         .orderBy("variant", "term")
     )
 
@@ -2574,6 +2630,9 @@ SELECT * FROM (
   SELECT 'blended_infix' AS variant, title AS term, score AS df,
          CAST(-1 AS INTEGER) AS distance
   FROM ({SUGGEST_BLENDED_SQL})
+  UNION ALL
+  SELECT 'completion' AS variant, term, df, CAST(-1 AS INTEGER) AS distance
+  FROM ({SUGGEST_COMPLETION_SQL})
 ) ORDER BY variant, term
 """
 

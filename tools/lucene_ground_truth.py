@@ -2738,6 +2738,105 @@ public class GroundTruthGroup2 {
 """
 
 
+COMPLETION_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.search.suggest.document.*;
+
+/** suggest/document completion family ground truth. Corpus line:
+ *  '<surface> <weight> <ctxCSV|_>' — every doc gets
+ *  SuggestField("sugg", surface, weight); docs with contexts also get
+ *  ContextSuggestField("csugg", surface, weight, ctxs). Queries:
+ *  CPREFIX num prefix
+ *  CREGEX num regex
+ *  CFUZZY num maxEdits prefLen minFuzzy transp(0|1) term
+ *  CCTX num prefix all|ctx:boost:exact01,...
+ *  Output: 'doc:surface:ctx:score;...' (ctx '_' when null). */
+public class GroundTruthCompletion {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setCodec(new org.apache.lucene.codecs.lucene62.Lucene62Codec() {
+      @Override
+      public org.apache.lucene.codecs.PostingsFormat
+          getPostingsFormatForField(String field) {
+        if (field.equals("sugg") || field.equals("csugg")) {
+          return org.apache.lucene.codecs.PostingsFormat.forName("completion");
+        }
+        return super.getPostingsFormatForField(field);
+      }
+    });
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    for (int i = 0; i < nDocs; i++) {
+      String[] p = in.readLine().trim().split(" ");
+      Document d = new Document();
+      int weight = Integer.parseInt(p[1]);
+      d.add(new SuggestField("sugg", p[0], weight));
+      if (!p[2].equals("_")) {
+        d.add(new ContextSuggestField("csugg", p[0], weight,
+                                      p[2].split(",")));
+      }
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    SuggestIndexSearcher s =
+        new SuggestIndexSearcher(DirectoryReader.open(dir));
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      int num = Integer.parseInt(p[1]);
+      CompletionQuery q;
+      if (p[0].equals("CPREFIX")) {
+        q = new PrefixCompletionQuery(
+            new GroundTruth.WS(), new Term("sugg", p[2]));
+      } else if (p[0].equals("CREGEX")) {
+        q = new RegexCompletionQuery(new Term("sugg", p[2]));
+      } else if (p[0].equals("CFUZZY")) {
+        q = new FuzzyCompletionQuery(
+            new GroundTruth.WS(), new Term("sugg", p[6]), null,
+            Integer.parseInt(p[2]), p[5].equals("1"),
+            Integer.parseInt(p[3]), Integer.parseInt(p[4]), false,
+            org.apache.lucene.util.automaton.Operations
+                .DEFAULT_MAX_DETERMINIZED_STATES);
+      } else if (p[0].equals("CCTX")) {
+        ContextQuery cq = new ContextQuery(new PrefixCompletionQuery(
+            new GroundTruth.WS(), new Term("csugg", p[2])));
+        if (p[3].equals("all")) {
+          cq.addAllContexts();
+        } else {
+          for (String spec : p[3].split(",")) {
+            String[] cb = spec.split(":");
+            cq.addContext(cb[0], Float.parseFloat(cb[1]),
+                          cb[2].equals("1"));
+          }
+        }
+        q = cq;
+      } else {
+        throw new IllegalArgumentException(p[0]);
+      }
+      TopSuggestDocs td = s.suggest(q, num);
+      StringBuilder out = new StringBuilder();
+      for (TopSuggestDocs.SuggestScoreDoc sd : td.scoreLookupDocs()) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(sd.key).append(":")
+           .append(sd.context == null ? "_" : sd.context).append(":")
+           .append(Float.toString(sd.score));
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+  }
+}
+"""
+
+
 GEOPOINT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -4784,6 +4883,38 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # suggest/document (SuggestField + NRTSuggester completion family)
+    # depends on core + suggest (FSTUtil); the Completion50 postings
+    # format must also be registered with SPI in the merged META-INF
+    cq_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/search/suggest/document/NRTSuggester.class",
+    )
+    cq_dir = ("/root/reference/lucene/suggest/src/java/org/apache/lucene/"
+              "search/suggest/document")
+    if not os.path.exists(cq_marker) and os.path.isdir(cq_dir):
+        csrcs = [os.path.join(cq_dir, f) for f in os.listdir(cq_dir)
+                 if f.endswith(".java")]
+        bp = os.path.join(os.path.dirname(cq_dir), "BitsProducer.java")
+        if os.path.exists(bp):
+            csrcs.append(bp)
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES] + csrcs,
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+    spi = os.path.join(
+        CLASSES, "META-INF/services/org.apache.lucene.codecs.PostingsFormat")
+    spi_line = "org.apache.lucene.search.suggest.document.Completion50PostingsFormat"
+    if os.path.exists(spi):
+        with open(spi) as f:
+            have = f.read()
+        if spi_line not in have:
+            with open(spi, "a") as f:
+                f.write("\n" + spi_line + "\n")
     # SweetSpotSimilarity (lucene/misc) depends only on core
     ss_marker = os.path.join(
         CLASSES, "org/apache/lucene/misc/SweetSpotSimilarity.class"
@@ -5756,6 +5887,7 @@ def build() -> bool:
         ("GroundTruthFieldMask", FIELDMASK_JAVA),
         ("GroundTruthSlowFuzzy", SLOWFUZZY_JAVA),
         ("GroundTruthGeoPoint", GEOPOINT_JAVA),
+        ("GroundTruthCompletion", COMPLETION_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -6227,6 +6359,21 @@ def run_slow_fuzzy(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSlowFuzzy"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_completion(docs: list[str], queries: list[str]) -> list[str]:
+    """Index '<surface> <weight> <ctxCSV|_>' docs as SuggestField (+
+    ContextSuggestField) under the completion postings format and run
+    CPREFIX/CREGEX/CFUZZY/CCTX through the compiled SuggestIndexSearcher.
+    Output lines 'doc:surface:ctx:score;...'."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthCompletion"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
