@@ -62,3 +62,16 @@ def load_deleted(
             None,
         )
     return None, df
+
+
+def delete_docs_df(spark: SparkSession, index_dir: str, ids_df) -> None:
+    """`delete_docs` for corpus-scale delete sets: the ids stay a
+    DataFrame end-to-end (no driver materialization — the splitters
+    tombstone half the corpus, which must never collect)."""
+    paths = IndexPaths(index_dir)
+    (
+        ids_df.selectExpr("CAST(doc_id AS LONG) AS doc_id")
+        .distinct()
+        .write.mode("append")
+        .parquet(paths.deletes)
+    )

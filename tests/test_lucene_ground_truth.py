@@ -5835,3 +5835,72 @@ def test_completion_suggest_matches_compiled_reference():
                 f"{d}:{s}:{c or '_'}:{_fmt_f32(sc)}" for d, s, c, sc in got
             ) or "-"
             assert want == exp, (corpus_round, qline, want, exp)
+
+
+def test_index_splitters_match_compiled_reference():
+    """Ground-truth round 80: lucene/misc's PKIndexSplitter and
+    MultiPassIndexSplitter vs the compiled classes. Pins the assignment
+    rules — PK: docs with pk IN [null, mid) to part 1 (mid itself goes
+    to part 2: TermRangeQuery(field, null, mid, true, FALSE)); MultiPass
+    seq: equal docid ranges with the LAST part absorbing the integer-
+    division remainder; round-robin: doc j -> part (j % numParts) — and
+    that each part IS a fresh index over its subset (addIndexes applies
+    the fake deletes, so df/docCount shrink): per-part top-10 docids +
+    float32 scores equal the control oracle over the renumbered subset."""
+    from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+
+    rng = random.Random(20260881)
+    for corpus_round in range(4):
+        n_docs = rng.randint(6, 24)
+        docs = []
+        for i in range(n_docs):
+            pk = f"k{rng.randint(0, 99):02d}x{i}"  # unique, sortable
+            body = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 8)))
+            docs.append((pk, body))
+        lines = [f"{pk} {body}" for pk, body in docs]
+
+        cases = []
+        for _ in range(8):
+            t = rng.choice(VOCAB)
+            if rng.random() < 0.4:
+                mid = f"k{rng.randint(10, 90):02d}"
+                cases.append(("PK", f"PK {mid} {t}", (mid, t)))
+            else:
+                n = rng.randint(2, 4)
+                seq = rng.randint(0, 1)
+                cases.append(("MP", f"MP {n} {seq} {t}", (n, seq, t)))
+        expected = gt.run_idx_split(lines, [c[1] for c in cases])
+        assert len(expected) == len(cases)
+
+        for (kind, _line, arg), exp in zip(cases, expected):
+            if kind == "PK":
+                mid, t = arg
+                parts = [
+                    [i for i, (pk, _b) in enumerate(docs) if pk < mid],
+                    [i for i, (pk, _b) in enumerate(docs) if pk >= mid],
+                ]
+            else:
+                n, seq, t = arg
+                if seq:
+                    plen = n_docs // n
+                    parts = []
+                    for i in range(n):
+                        lo = plen * i
+                        hi = lo + plen if i < n - 1 else n_docs
+                        parts.append(list(range(lo, hi)))
+                else:
+                    parts = [
+                        [j for j in range(n_docs) if j % n == i]
+                        for i in range(n)
+                    ]
+            out_parts = []
+            for members in parts:
+                sub = [(j, docs[orig][1]) for j, orig in enumerate(members)]
+                idx = build_oracle_index(sub)
+                hits = oracle_topk(idx, t, k=10, mode="or")
+                ids = ",".join(str(orig) for orig in members) or "-"
+                hs = ";".join(
+                    f"{members[d]}:{_fmt_f32(s)}" for d, s in hits) or "-"
+                out_parts.append(f"{ids}|{hs}")
+            want = "#".join(out_parts)
+            assert want == exp, (corpus_round, kind, arg, want, exp)

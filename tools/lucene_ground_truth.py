@@ -2738,6 +2738,91 @@ public class GroundTruthGroup2 {
 """
 
 
+IDXSPLIT_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+
+/** lucene/misc index splitters ground truth. Corpus line:
+ *  '<pk> <body tokens...>' (pk = StringField + NumericDocValues orig).
+ *  Queries:
+ *  PK <midTerm> <term>     -> PKIndexSplitter(midTerm): per half,
+ *                             orig ids in docid order + top-10 of a
+ *                             body TermQuery as orig:score
+ *  MP <numParts> <seq01> <term> -> MultiPassIndexSplitter
+ *  Output parts joined by '#': '<origs_csv>|<orig:score;...>' */
+public class GroundTruthIdxSplit {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      String[] p = in.readLine().split(" ", 2);
+      Document d = new Document();
+      d.add(new StringField("pk", p[0], Field.Store.NO));
+      d.add(new NumericDocValuesField("orig", i));
+      d.add(new Field("body", p[1], ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      Directory[] parts;
+      if (p[0].equals("PK")) {
+        parts = new Directory[] { new RAMDirectory(), new RAMDirectory() };
+        org.apache.lucene.index.PKIndexSplitter sp =
+            new org.apache.lucene.index.PKIndexSplitter(
+                dir, parts[0], parts[1], new Term("pk", p[1]));
+        sp.split();
+      } else {
+        int n = Integer.parseInt(p[1]);
+        parts = new Directory[n];
+        for (int i = 0; i < n; i++) parts[i] = new RAMDirectory();
+        org.apache.lucene.index.MultiPassIndexSplitter sp =
+            new org.apache.lucene.index.MultiPassIndexSplitter();
+        IndexReader r0 = DirectoryReader.open(dir);
+        sp.split(r0, parts, p[2].equals("1"));
+        r0.close();
+      }
+      String term = p[p.length - 1];
+      StringBuilder out = new StringBuilder();
+      for (Directory part : parts) {
+        if (out.length() > 0) out.append("#");
+        IndexReader r = DirectoryReader.open(part);
+        IndexSearcher s = new IndexSearcher(r);
+        NumericDocValues orig = MultiDocValues.getNumericValues(r, "orig");
+        StringBuilder ids = new StringBuilder();
+        for (int d2 = 0; d2 < r.maxDoc(); d2++) {
+          if (ids.length() > 0) ids.append(",");
+          ids.append(orig.get(d2));
+        }
+        TopDocs td = s.search(new TermQuery(new Term("body", term)), 10);
+        StringBuilder hits = new StringBuilder();
+        for (ScoreDoc sd : td.scoreDocs) {
+          if (hits.length() > 0) hits.append(";");
+          hits.append(orig.get(sd.doc)).append(":")
+              .append(Float.toString(sd.score));
+        }
+        out.append(ids.length() == 0 ? "-" : ids.toString())
+           .append("|").append(hits.length() == 0 ? "-" : hits.toString());
+        r.close();
+      }
+      System.out.println(out.toString());
+    }
+  }
+}
+"""
+
+
 COMPLETION_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -4915,6 +5000,21 @@ def build() -> bool:
         if spi_line not in have:
             with open(spi, "a") as f:
                 f.write("\n" + spi_line + "\n")
+    # lucene/misc index splitters depend only on core
+    sp2_marker = os.path.join(
+        CLASSES, "org/apache/lucene/index/PKIndexSplitter.class")
+    mi_dir = "/root/reference/lucene/misc/src/java/org/apache/lucene/index"
+    if not os.path.exists(sp2_marker) and os.path.isdir(mi_dir):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             os.path.join(mi_dir, "PKIndexSplitter.java"),
+             os.path.join(mi_dir, "MultiPassIndexSplitter.java")],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # SweetSpotSimilarity (lucene/misc) depends only on core
     ss_marker = os.path.join(
         CLASSES, "org/apache/lucene/misc/SweetSpotSimilarity.class"
@@ -5888,6 +5988,7 @@ def build() -> bool:
         ("GroundTruthSlowFuzzy", SLOWFUZZY_JAVA),
         ("GroundTruthGeoPoint", GEOPOINT_JAVA),
         ("GroundTruthCompletion", COMPLETION_JAVA),
+        ("GroundTruthIdxSplit", IDXSPLIT_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -6359,6 +6460,20 @@ def run_slow_fuzzy(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSlowFuzzy"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_idx_split(docs: list[str], queries: list[str]) -> list[str]:
+    """Index '<pk> <body...>' docs and run PKIndexSplitter /
+    MultiPassIndexSplitter via the compiled lucene/misc classes; per
+    part: orig ids in docid order + top-10 of a body TermQuery."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthIdxSplit"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
