@@ -3636,6 +3636,83 @@ ORDER BY doc_id
 """
 
 
+STRDIST_TARGET = "bold"
+#: shared vocabulary for the strdist literal value table: the synthetic
+#: corpus's p_name first words plus the classic TPC-H color list (the
+#: generator draws from a closed set, so both engines embed the same
+#: pinned values; an out-of-vocabulary word would surface as a parity
+#: mismatch — the alarm we want)
+STRDIST_VOCAB = sorted({
+    "cold", "new", "red", "hot", "old", "large", "blue", "small",
+    "almond", "antique", "aquamarine", "azure", "beige", "bisque",
+    "black", "blanched", "blush", "brown", "burlywood", "burnished",
+    "chartreuse", "chiffon", "chocolate", "coral", "cornflower",
+    "cornsilk", "cream", "cyan", "dark", "deep", "dim", "dodger", "drab",
+    "firebrick", "floral", "forest", "frosted", "gainsboro", "ghost",
+    "goldenrod", "green", "grey", "honeydew", "indian", "ivory", "khaki",
+    "lace", "lavender", "lawn", "lemon", "light", "lime", "linen",
+    "magenta", "maroon", "medium", "metallic", "midnight", "mint",
+    "misty", "moccasin", "navajo", "navy", "olive", "orange", "orchid",
+    "pale", "papaya", "peach", "peru", "pink", "plum", "powder", "puff",
+    "purple", "rose", "rosy", "royal", "saddle", "salmon", "sandy",
+    "seashell", "sienna", "sky", "slate", "smoke", "snow", "spring",
+    "steel", "tan", "thistle", "tomato", "turquoise", "violet", "wheat",
+    "white", "yellow",
+})
+
+
+def strdist_query(spark, sf):
+    """Solr strdist() function query (solr ValueSourceParser's strdist ->
+    the spell StringDistance family, pinned bit-for-bit in GT round 81,
+    search/strdist.py): JaroWinkler similarity of each distinct first
+    p_name word to 'bold', >= 0.5. Like slow_fuzzy, the distances
+    compare a literal against a BOUNDED word dictionary, so the pinned
+    python computes per-word values driver-side and both engines replay
+    them as literals — term-dict-scale work, never a per-row UDF."""
+    from ..search.strdist import jaro_winkler
+
+    p = _t(spark, sf, "part")
+    words = p.select(
+        F.element_at(F.split(F.col("p_name"), " "), 1).alias("w"))
+    dictionary = sorted(r["w"] for r in words.distinct().collect())
+    keep = {
+        w: float(jaro_winkler(STRDIST_TARGET, w))
+        for w in dictionary
+        if jaro_winkler(STRDIST_TARGET, w) >= 0.5
+    }
+    if not keep:
+        return words.select(
+            F.col("w"), F.lit(0.0).cast("float").alias("jw")).limit(0)
+    mapping = F.create_map(*[F.lit(x) for w, v in keep.items()
+                             for x in (w, v)])
+    return (
+        words.filter(F.col("w").isin(list(keep)))
+        .distinct()
+        .select("w", mapping[F.col("w")].cast("float").alias("jw"))
+        .orderBy(F.col("jw").desc(), F.col("w"))
+    )
+
+
+def _strdist_query_sql() -> str:
+    """DuckDB replay: the same pinned driver-side values as a literal
+    VALUES table over the shared closed vocabulary."""
+    from ..search.strdist import jaro_winkler
+
+    rows = []
+    for w in STRDIST_VOCAB:
+        v = float(jaro_winkler(STRDIST_TARGET, w))
+        if v >= 0.5:
+            rows.append(f"(\'{w}\', CAST(CAST({v!r} AS DOUBLE) AS REAL))")
+    values = ",\n       ".join(rows)
+    return f"""
+SELECT w, jw FROM (
+  SELECT DISTINCT string_split(p_name, \' \')[1] AS w FROM part
+) words
+JOIN (VALUES {values}) AS jwv(w2, jw) ON words.w = jwv.w2
+ORDER BY jw DESC, w
+"""
+
+
 def function_query_combined(spark, sf):
     """ValueSource function query + CustomScoreQuery + Solr recency boost
     + the expressions module as one tagged union (same 50-row-gate
@@ -3660,8 +3737,20 @@ def function_query_combined(spark, sf):
         F.lit("frange").alias("variant"), "doc_id",
         F.col("fval").alias("val"),
     )
+    # strdist rows are keyed by word, not doc; reuse the (variant, key,
+    # val) shape with the word hashed into the doc_id slot's role via a
+    # dense rank — simpler: carry the word's jw as val and a stable
+    # surrogate id (the row's position in the jw DESC, w ASC order)
+    sd = strdist_query(spark, sf)
+    w6 = Window.orderBy(F.col("jw").desc(), F.col("w").asc())
+    v6 = sd.select(
+        F.lit("strdist").alias("variant"),
+        (F.row_number().over(w6)).cast("long").alias("doc_id"),
+        F.col("jw").cast("double").alias("val"),
+    )
     return (
         v1.unionByName(v2).unionByName(v3).unionByName(v4).unionByName(v5)
+        .unionByName(v6)
         .orderBy("variant", F.col("val").desc(), "doc_id")
     )
 
@@ -3684,6 +3773,11 @@ SELECT * FROM (
   SELECT 'expression', doc_id, escore FROM ({_expression_sort_sql()})
   UNION ALL
   SELECT 'frange', doc_id, fval FROM ({FRANGE_QUERY_SQL})
+  UNION ALL
+  SELECT 'strdist',
+         CAST(row_number() OVER (ORDER BY jw DESC, w ASC) AS BIGINT),
+         CAST(jw AS DOUBLE)
+  FROM ({_strdist_query_sql()})
 ) ORDER BY variant, val DESC, doc_id
 """
 

@@ -5904,3 +5904,45 @@ def test_index_splitters_match_compiled_reference():
                 out_parts.append(f"{ids}|{hs}")
             want = "#".join(out_parts)
             assert want == exp, (corpus_round, kind, arg, want, exp)
+
+
+def test_string_distances_match_compiled_reference():
+    """Ground-truth round 81: the spell StringDistance family
+    (JaroWinkler / NGram(2,3) / Levenstein / LuceneLevenshtein — the
+    functions behind Solr's strdist() and the spellchecker comparators)
+    vs the compiled classes: Float.toString EXACT over 400 randomized +
+    edge pairs, including JaroWinkler's argument-order prefix quirk, the
+    NGram NUL-prefix discounting with fractional f32 DP costs, and
+    LuceneLevenshtein's min-length normalization (negative values) and
+    integer-valued empty-side returns."""
+    from lucene_solr_spark.search.strdist import (
+        jaro_winkler,
+        levenstein_sim,
+        lucene_levenshtein_sim,
+        ngram_distance,
+    )
+
+    rng = random.Random(20260882)
+    pairs = [
+        ("", ""), ("", "abc"), ("abc", ""), ("a", "a"), ("a", "b"),
+        ("martha", "marhta"), ("dwayne", "duane"), ("dixon", "dicksonx"),
+        ("green", "grean"), ("aaaa", "aa"), ("ab", "ba"),
+    ]
+    for _ in range(400):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 9)))
+        pairs.append((a, b))
+    expected = gt.run_strdist(pairs)
+    assert len(expected) == len(pairs)
+    for (a, b), exp in zip(pairs, expected):
+        want = ":".join(
+            _fmt_f32(v)
+            for v in (
+                jaro_winkler(a, b),
+                ngram_distance(a, b, 2),
+                ngram_distance(a, b, 3),
+                levenstein_sim(a, b),
+                lucene_levenshtein_sim(a, b),
+            )
+        )
+        assert want == exp, (a, b, want, exp)

@@ -2738,6 +2738,37 @@ public class GroundTruthGroup2 {
 """
 
 
+STRDIST_JAVA = r"""
+import org.apache.lucene.search.spell.*;
+
+/** StringDistance family ground truth: stdin lines '<s1>|<s2>', output
+ *  per line Float.toString of JaroWinkler : NGram(2) : NGram(3) :
+ *  Levenstein : LuceneLevenshtein. */
+public class GroundTruthStrDist {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    JaroWinklerDistance jw = new JaroWinklerDistance();
+    NGramDistance n2 = new NGramDistance(2);
+    NGramDistance n3 = new NGramDistance(3);
+    LevensteinDistance lev = new LevensteinDistance();
+    LuceneLevenshteinDistance luc = new LuceneLevenshteinDistance();
+    String line;
+    while ((line = in.readLine()) != null) {
+      if (line.isEmpty()) continue;
+      String[] p = line.split("\\|", -1);
+      System.out.println(
+          Float.toString(jw.getDistance(p[0], p[1])) + ":"
+          + Float.toString(n2.getDistance(p[0], p[1])) + ":"
+          + Float.toString(n3.getDistance(p[0], p[1])) + ":"
+          + Float.toString(lev.getDistance(p[0], p[1])) + ":"
+          + Float.toString(luc.getDistance(p[0], p[1])));
+    }
+  }
+}
+"""
+
+
 IDXSPLIT_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -5989,6 +6020,7 @@ def build() -> bool:
         ("GroundTruthGeoPoint", GEOPOINT_JAVA),
         ("GroundTruthCompletion", COMPLETION_JAVA),
         ("GroundTruthIdxSplit", IDXSPLIT_JAVA),
+        ("GroundTruthStrDist", STRDIST_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -6460,6 +6492,19 @@ def run_slow_fuzzy(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSlowFuzzy"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_strdist(pairs: list[tuple[str, str]]) -> list[str]:
+    """Run (s1, s2) pairs through the compiled spell StringDistance
+    classes; one 'jw:ng2:ng3:lev:luc' line per pair."""
+    payload = [f"{a}|{b}" for a, b in pairs]
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthStrDist"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
