@@ -2953,6 +2953,92 @@ ORDER BY c_custkey LIMIT 60
 """
 
 
+
+#: geo3d demo circle (WGS84 ellipsoid, ops/geo3d.py — GT round 82)
+GEO3D_CENTER = (12.0, 34.0)
+GEO3D_RADIUS_M = 2_000_000.0
+
+
+def _geo3d_within_sql() -> str:
+    """Geo3D circle membership as ONE portable SQL expression (same
+    string through Catalyst and DuckDB): WGS84 (x,y,z) projection of the
+    derived lat/lon, 32-bit floor-encode/center-decode quantization, and
+    the pinned circle plane's sided evaluation. Plane coefficients come
+    from the GT-82-pinned python; every literal is emitted in scientific
+    notation so DuckDB types it DOUBLE (bare long decimals parse as
+    DECIMAL and double-round). Corpus margins from the flip thresholds
+    are >= 2.3e-5 at sf0.1 — far above libm sin/cos ULP divergence."""
+    import math
+
+    from .geo3d import (
+        DECODE,
+        GeoStandardCircle,
+        RADIANS_PER_DEGREE,
+        RADIANS_PER_METER,
+        _INV_AB2,
+        _INV_C2,
+    )
+
+    shape = GeoStandardCircle(
+        GEO3D_CENTER[0] * RADIANS_PER_DEGREE,
+        GEO3D_CENTER[1] * RADIANS_PER_DEGREE,
+        GEO3D_RADIUS_M * RADIANS_PER_METER,
+    )
+    pl = shape.circle_plane
+
+    def lit(v: float) -> str:
+        return f"{v:.17e}"
+
+    ux = "(cos(radians(lat)) * cos(radians(lon)))"
+    uy = "(cos(radians(lat)) * sin(radians(lon)))"
+    uz = "(sin(radians(lat)))"
+    m = (f"(1.0 / sqrt({ux}*{ux}*{lit(_INV_AB2)} + {uy}*{uy}*{lit(_INV_AB2)}"
+         f" + {uz}*{uz}*{lit(_INV_C2)}))")
+
+    def q(u: str) -> str:
+        return (f"((floor(({u} * {m}) / {lit(DECODE)}) + 0.5)"
+                f" * {lit(DECODE)})")
+
+    ev = (f"({lit(pl.a)} * {q(ux)} + {lit(pl.b)} * {q(uy)}"
+          f" + {lit(pl.c)} * {q(uz)} + {lit(pl.d)})")
+    sig = lit(pl.sig_num)
+    return (f"(abs({ev}) < 1e-12 OR "
+            f"(CASE WHEN {ev} > 0 THEN 1.0 ELSE -1.0 END) = {sig})")
+
+
+def spatial_geo3d(spark, sf):
+    """Geo3DPoint.newDistanceQuery analog (lucene/spatial3d, pinned
+    docid-exact GT round 82): ellipsoidal circle membership as a single
+    codegen projection — no UDF, the same expression string replayed by
+    the DuckDB oracle."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return (
+        c.filter(F.expr(_geo3d_within_sql()))
+        .select("c_custkey", F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"))
+        .orderBy("c_custkey")
+        .limit(60)
+    )
+
+
+def _spatial_geo3d_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon
+FROM pts WHERE {_geo3d_within_sql()}
+ORDER BY c_custkey LIMIT 60
+"""
+
+
 def spatial_family(spark, sf):
     """Distance knn + polygon containment + z-order bbox as one union."""
     v1 = spatial_knn(spark, sf).select(
@@ -2967,7 +3053,12 @@ def spatial_family(spark, sf):
         F.lit("zorder").alias("variant"), "c_custkey", "lat", "lon",
         F.col("zcode").cast("double").alias("val"),
     )
-    return v1.unionByName(v2).unionByName(v3).orderBy("variant", "c_custkey")
+    v4 = spatial_geo3d(spark, sf).select(
+        F.lit("geo3d").alias("variant"), "c_custkey", "lat", "lon",
+        F.lit(0.0).alias("val"),
+    )
+    return (v1.unionByName(v2).unionByName(v3).unionByName(v4)
+            .orderBy("variant", "c_custkey"))
 
 
 #: passage highlighter query + window geometry
@@ -4089,9 +4180,13 @@ SELECT * FROM (
   SELECT 'zorder' AS variant, c_custkey, lat, lon,
          CAST(zcode AS DOUBLE) AS val
   FROM ({{ZORDER_SQL}})
+  UNION ALL
+  SELECT 'geo3d' AS variant, c_custkey, lat, lon, 0.0 AS val
+  FROM ({{GEO3D_SQL}})
 ) ORDER BY variant, c_custkey
 """.replace("{POLY_SQL}", _spatial_polygon_sql())
-   .replace("{ZORDER_SQL}", _spatial_zorder_sql())),
+   .replace("{ZORDER_SQL}", _spatial_zorder_sql())
+   .replace("{GEO3D_SQL}", _spatial_geo3d_sql())),
     "highlight_snippet": (highlight_combined, HIGHLIGHT_COMBINED_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),

@@ -5946,3 +5946,58 @@ def test_string_distances_match_compiled_reference():
             )
         )
         assert want == exp, (a, b, want, exp)
+
+
+def test_geo3d_distance_query_matches_compiled_reference():
+    """Ground-truth round 82: lucene/spatial3d's ellipsoidal
+    point-in-circle membership (Geo3DPoint.newDistanceQuery ->
+    GeoStandardCircle on WGS84) vs the compiled module, docid-exact:
+    the WGS84 ab/c scalings, the desired-ellipsoid-magnitude
+    projection, the 32-bit floor-encode / center-decode x/y/z
+    quantization, the antipodal-safe cutoff-point construction, and the
+    single SidedPlane membership evaluation with MINIMUM_RESOLUTION
+    slop (ops/geo3d.py). Points whose plane evaluation sits within
+    1e-10 of a flip threshold are excluded from the assertion (Java
+    Math vs C libm may round sin/cos one ULP apart there); every corpus
+    asserts that at least 95% of points are comparable."""
+    from lucene_solr_spark.ops.geo3d import circle_margin, distance_query_matches
+
+    rng = random.Random(20260883)
+    for corpus_round in range(4):
+        n_docs = rng.randint(15, 50)
+        pts = []
+        base_lat = rng.uniform(-80, 80)
+        base_lon = rng.uniform(-170, 170)
+        for _ in range(n_docs):
+            if rng.random() < 0.6:  # cluster near the base for near-hits
+                pts.append((
+                    base_lat + rng.uniform(-2, 2),
+                    base_lon + rng.uniform(-2, 2),
+                ))
+            else:
+                pts.append((rng.uniform(-89, 89), rng.uniform(-179, 179)))
+        lines = [f"{la!r} {lo!r}" for la, lo in pts]
+
+        cases = []
+        for _ in range(10):
+            cla = base_lat + rng.uniform(-1, 1)
+            clo = base_lon + rng.uniform(-1, 1)
+            radius = rng.choice([5e3, 5e4, 2e5, 1e6, 5e6])
+            cases.append((cla, clo, radius))
+        expected = gt.run_geo3d(
+            lines, [f"CIRCLE {a!r} {b!r} {r!r}" for a, b, r in cases])
+        assert len(expected) == len(cases)
+
+        skipped = 0
+        for (cla, clo, radius), exp in zip(cases, expected):
+            want = set(distance_query_matches(pts, cla, clo, radius))
+            got = set() if exp == "-" else {int(x) for x in exp.split(",")}
+            comparable = set()
+            for i, p in enumerate(pts):
+                if circle_margin(p, cla, clo, radius) > 1e-10:
+                    comparable.add(i)
+                else:
+                    skipped += 1
+            assert want & comparable == got & comparable, (
+                corpus_round, cla, clo, radius, sorted(want), sorted(got))
+        assert skipped <= n_docs * 10 * 0.05, skipped

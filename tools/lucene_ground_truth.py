@@ -2738,6 +2738,60 @@ public class GroundTruthGroup2 {
 """
 
 
+GEO3D_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+import org.apache.lucene.spatial3d.Geo3DPoint;
+
+/** Geo3D distance query ground truth: docs 'lat lon' (degrees) indexed
+ *  as Geo3DPoint (WGS84); query 'CIRCLE lat lon radiusMeters' ->
+ *  Geo3DPoint.newDistanceQuery, output matching docids ASC. */
+public class GroundTruthGeo3D {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    for (int i = 0; i < nDocs; i++) {
+      String[] p = in.readLine().trim().split(" ");
+      Document d = new Document();
+      d.add(new Geo3DPoint("p", Double.parseDouble(p[0]),
+                           Double.parseDouble(p[1])));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().trim().split(" ");
+      Query q = Geo3DPoint.newDistanceQuery(
+          "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
+          Double.parseDouble(p[3]));
+      TopDocs td = s.search(q, Math.max(1, nDocs));
+      int[] ids = new int[td.scoreDocs.length];
+      for (int i = 0; i < ids.length; i++) ids[i] = td.scoreDocs[i].doc;
+      java.util.Arrays.sort(ids);
+      StringBuilder out = new StringBuilder();
+      for (int id : ids) {
+        if (out.length() > 0) out.append(",");
+        out.append(id);
+      }
+      System.out.println(out.length() == 0 ? "-" : out.toString());
+    }
+    r.close();
+  }
+}
+"""
+
+
 STRDIST_JAVA = r"""
 import org.apache.lucene.search.spell.*;
 
@@ -5031,6 +5085,25 @@ def build() -> bool:
         if spi_line not in have:
             with open(spi, "a") as f:
                 f.write("\n" + spi_line + "\n")
+    # lucene/spatial3d depends only on core
+    g3_marker = os.path.join(
+        CLASSES, "org/apache/lucene/spatial3d/Geo3DPoint.class")
+    g3_root = "/root/reference/lucene/spatial3d/src/java"
+    if not os.path.exists(g3_marker) and os.path.isdir(g3_root):
+        g3srcs = os.path.join(BUILD, "g3srcs.txt")
+        with open(g3srcs, "w") as f:
+            for root, _dirs, files in os.walk(g3_root):
+                for fn in files:
+                    if fn.endswith(".java"):
+                        f.write(os.path.join(root, fn) + "\n")
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES, "@" + g3srcs],
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/misc index splitters depend only on core
     sp2_marker = os.path.join(
         CLASSES, "org/apache/lucene/index/PKIndexSplitter.class")
@@ -6021,6 +6094,7 @@ def build() -> bool:
         ("GroundTruthCompletion", COMPLETION_JAVA),
         ("GroundTruthIdxSplit", IDXSPLIT_JAVA),
         ("GroundTruthStrDist", STRDIST_JAVA),
+        ("GroundTruthGeo3D", GEO3D_JAVA),
         ("GroundTruthHighlight", HIGHLIGHT_JAVA),
         ("GroundTruthClassicHL", CLASSICHL_JAVA),
         ("GroundTruthFlexible", FLEXIBLE_JAVA),
@@ -6492,6 +6566,19 @@ def run_slow_fuzzy(docs: list[str], queries: list[str]) -> list[str]:
     payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
     r = subprocess.run(
         ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthSlowFuzzy"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def run_geo3d(docs: list[str], queries: list[str]) -> list[str]:
+    """Index 'lat lon' docs as Geo3DPoint (WGS84) and run
+    'CIRCLE lat lon radiusMeters' distance queries; docids ASC."""
+    payload = [str(len(docs))] + list(docs) + [str(len(queries))] + list(queries)
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthGeo3D"],
         input="\n".join(payload) + "\n", capture_output=True, text=True, timeout=600,
     )
     if r.returncode != 0:
