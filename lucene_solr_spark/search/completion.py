@@ -43,6 +43,19 @@ import numpy as np
 CONTEXT_SEP = ""
 
 
+#: CompletionAnalyzer.SEP_LABEL (= NRTSuggesterBuilder.PAYLOAD_SEP,
+#: 0x1F): preserveSep inserts it between analyzed tokens, so a
+#: multi-token surface's FST key is tok1 SEP tok2 SEP ...; a context
+#: entry is ctx 0x1D SEP key (the ContextQuery automaton's
+#: optionalSepLabel models exactly this byte)
+SEP_LABEL = "\x1f"
+
+
+def _key(text: str) -> str:
+    """Analyzed FST key of a (whitespace-analyzable) surface or query."""
+    return SEP_LABEL.join(t for t in text.split() if t)
+
+
 def _osa(a: str, b: str) -> int:
     """Optimal-string-alignment distance (LevenshteinAutomata with
     transpositions=true)."""
@@ -198,15 +211,17 @@ def completion_lookup(
     candidates: list[tuple] = []
     if kind in ("prefix", "regex", "fuzzy"):
         if kind == "prefix":
+            pkey = _key(prefix)
+
             def accept(p: str) -> bool:
-                return p == prefix
+                return p == pkey
         elif kind == "regex":
             cre = re.compile(regex)
 
             def accept(p: str) -> bool:
                 return cre.fullmatch(p) is not None
         else:
-            q = term
+            q = _key(term)
             fuzzy_on = (len(q) > non_fuzzy_prefix
                         and len(q) >= min_fuzzy_length)
             dist = _osa if transpositions else _lev
@@ -220,13 +235,14 @@ def completion_lookup(
                             q[non_fuzzy_prefix:]) <= max_edits
 
         for doc, surface, weight, _ctxs in entries:
-            p = _min_accepted_prefix(surface, accept)
+            skey = _key(surface)
+            p = _min_accepted_prefix(skey, accept)
             if p is None:
                 continue
             boost = 0.0 if kind != "fuzzy" else float(
-                _common_prefix_len(p, term))
+                _common_prefix_len(p, _key(term)))
             candidates.append(
-                (_score(weight, boost), surface, doc, surface, None))
+                (_score(weight, boost), skey, doc, surface, None))
     else:  # context query wrapping a prefix query
         defined = {c: b for c, b, _e in (contexts or [])}
         # longest DEFINED context first (ContextCompletionWeight's
@@ -241,20 +257,23 @@ def completion_lookup(
                     return True
             return False
 
+        pkey = _key(prefix)
         for doc, surface, weight, ctxs in entries:
-            if not ctxs or not surface.startswith(prefix):
+            skey = _key(surface)
+            if not ctxs or not skey.startswith(pkey):
                 continue
             for ctx in ctxs:
                 if not ctx_accepted(ctx):
                     continue
                 boost = 0.0
-                path = ctx + CONTEXT_SEP + prefix
+                path = ctx + CONTEXT_SEP + SEP_LABEL + pkey
                 for c in def_order:
                     if len(c) <= len(path) and path[:len(c)] == c:
                         boost = defined[c]
                         break
                 candidates.append((
-                    _score(weight, boost), ctx + CONTEXT_SEP + surface,
+                    _score(weight, boost),
+                    ctx + CONTEXT_SEP + SEP_LABEL + skey,
                     doc, surface, ctx,
                 ))
     return [(d, s, c, sc) for sc, _k, d, s, c in _collect(candidates, num)]

@@ -5772,11 +5772,15 @@ def test_completion_suggest_matches_compiled_reference():
         entries, lines = [], []
         n_docs = rng.randint(6, 18)
         for i in range(n_docs):
-            s = rng.choice(surf_vocab)
+            # 30% multi-token surfaces: exercises the preserveSep
+            # SEP_LABEL key machinery (corpus line encodes spaces as _)
+            n_tok = 1 if rng.random() < 0.7 else rng.randint(2, 3)
+            s = " ".join(rng.choice(surf_vocab) for _ in range(n_tok))
             w = rng.choice([0, rng.randint(1, 40), rng.randint(1, 40)])
             ctxs = sorted(rng.sample(ctx_vocab, rng.randint(0, 2)))
             entries.append((i, s, w, ctxs))
-            lines.append(f"{s} {w} {','.join(ctxs) or '_'}")
+            lines.append(
+                f"{s.replace(' ', '_')} {w} {','.join(ctxs) or '_'}")
 
         cases = []
         for _ in range(20):
@@ -5784,6 +5788,8 @@ def test_completion_suggest_matches_compiled_reference():
             kind = rng.choice(["prefix", "regex", "fuzzy", "ctx"])
             if kind == "prefix":
                 p = "".join(rng.choice("abc") for _ in range(rng.randint(1, 3)))
+                if rng.random() < 0.3:  # multi-token prefix
+                    p = rng.choice(surf_vocab) + " " + p
                 cases.append((f"CPREFIX {num} {p}", dict(
                     kind="prefix", num=num, prefix=p)))
             elif kind == "regex":

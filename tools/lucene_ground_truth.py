@@ -2947,9 +2947,10 @@ public class GroundTruthCompletion {
       String[] p = in.readLine().trim().split(" ");
       Document d = new Document();
       int weight = Integer.parseInt(p[1]);
-      d.add(new SuggestField("sugg", p[0], weight));
+      String surface = p[0].replace('_', ' ');  // _ = multi-token space
+      d.add(new SuggestField("sugg", surface, weight));
       if (!p[2].equals("_")) {
-        d.add(new ContextSuggestField("csugg", p[0], weight,
+        d.add(new ContextSuggestField("csugg", surface, weight,
                                       p[2].split(",")));
       }
       w.addDocument(d);
@@ -2965,8 +2966,12 @@ public class GroundTruthCompletion {
       int num = Integer.parseInt(p[1]);
       CompletionQuery q;
       if (p[0].equals("CPREFIX")) {
+        // remaining args re-join: multi-token prefixes analyze through
+        // the CompletionAnalyzer's preserveSep machinery (SEP_LABEL)
         q = new PrefixCompletionQuery(
-            new GroundTruth.WS(), new Term("sugg", p[2]));
+            new GroundTruth.WS(),
+            new Term("sugg", String.join(
+                " ", java.util.Arrays.copyOfRange(p, 2, p.length))));
       } else if (p[0].equals("CREGEX")) {
         q = new RegexCompletionQuery(new Term("sugg", p[2]));
       } else if (p[0].equals("CFUZZY")) {
