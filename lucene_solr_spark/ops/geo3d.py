@@ -188,3 +188,92 @@ def circle_margin(
     ev = shape.circle_plane.evaluate(*q)
     # flips happen at eval == 0 (sign) or |eval| == MINIMUM_RESOLUTION
     return min(abs(ev), abs(abs(ev) - MINIMUM_RESOLUTION))
+
+
+def _magnitude_for_z(z: float) -> float:
+    return 1.0 / math.sqrt((1.0 - z * z) * _INV_AB2 + z * z * _INV_C2)
+
+
+class GeoRectangle:
+    """geom/GeoRectangle.java (the GeoBBoxFactory path for a
+    non-degenerate box with extent < PI): four SidedPlanes — two
+    latitude z-planes (D = -sinLat * desired-magnitude-at-z) and two
+    vertical longitude planes ((sinLon, -cosLon, 0), D = 0) — all sided
+    by the middle point; membership = the conjunction."""
+
+    def __init__(self, top_lat, bottom_lat, left_lon, right_lon):
+        extent = right_lon - left_lon
+        if extent < 0.0:
+            extent += 2.0 * math.pi
+        if extent > math.pi:
+            raise ValueError("Width of rectangle too great")
+        if top_lat < bottom_lat:
+            raise ValueError("Top latitude less than bottom latitude")
+        sin_top, sin_bottom = math.sin(top_lat), math.sin(bottom_lat)
+        sin_left, cos_left = math.sin(left_lon), math.cos(left_lon)
+        sin_right, cos_right = math.sin(right_lon), math.cos(right_lon)
+        middle_lat = (top_lat + bottom_lat) * 0.5
+        rl = right_lon
+        while left_lon > rl:
+            rl += math.pi * 2.0
+        middle_lon = (left_lon + rl) * 0.5
+        center = geo_point(middle_lat, middle_lon)
+        self.planes = [
+            # new SidedPlane(center, planetModel, sinTopLat)
+            _SidedPlane((0.0, 0.0, 1.0),
+                        -sin_top * _magnitude_for_z(sin_top), center),
+            _SidedPlane((0.0, 0.0, 1.0),
+                        -sin_bottom * _magnitude_for_z(sin_bottom), center),
+            # new SidedPlane(center, cosLon, sinLon): Plane(y=sinLon,
+            # x-coef... Plane(x, y) -> (y, -x, 0), D=0
+            _SidedPlane((sin_left, -cos_left, 0.0), 0.0, center),
+            _SidedPlane((sin_right, -cos_right, 0.0), 0.0, center),
+        ]
+
+    def is_within(self, x, y, z):
+        return all(p.is_within(x, y, z) for p in self.planes)
+
+
+def box_query_matches(
+    points_deg: list[tuple[float, float]],
+    min_lat_deg: float,
+    max_lat_deg: float,
+    min_lon_deg: float,
+    max_lon_deg: float,
+) -> list[int]:
+    """Geo3DPoint.newBoxQuery accept set (non-degenerate, extent < PI
+    boxes -> GeoRectangle)."""
+    shape = GeoRectangle(
+        max_lat_deg * RADIANS_PER_DEGREE,
+        min_lat_deg * RADIANS_PER_DEGREE,
+        min_lon_deg * RADIANS_PER_DEGREE,
+        max_lon_deg * RADIANS_PER_DEGREE,
+    )
+    out = []
+    for i, (lat, lon) in enumerate(points_deg):
+        x, y, z = geo_point(lat * RADIANS_PER_DEGREE,
+                            lon * RADIANS_PER_DEGREE)
+        q = (decode_value(encode_value(x)), decode_value(encode_value(y)),
+             decode_value(encode_value(z)))
+        if shape.is_within(*q):
+            out.append(i)
+    return out
+
+
+def box_margin(point_deg, min_lat_deg, max_lat_deg, min_lon_deg,
+               max_lon_deg) -> float:
+    shape = GeoRectangle(
+        max_lat_deg * RADIANS_PER_DEGREE,
+        min_lat_deg * RADIANS_PER_DEGREE,
+        min_lon_deg * RADIANS_PER_DEGREE,
+        max_lon_deg * RADIANS_PER_DEGREE,
+    )
+    lat, lon = point_deg
+    x, y, z = geo_point(lat * RADIANS_PER_DEGREE, lon * RADIANS_PER_DEGREE)
+    q = (decode_value(encode_value(x)), decode_value(encode_value(y)),
+         decode_value(encode_value(z)))
+    m = math.inf
+    for p in shape.planes:
+        ev = p.evaluate(*q)
+        m = min(m, abs(ev), abs(abs(ev) - MINIMUM_RESOLUTION))
+    return m

@@ -5988,22 +5988,38 @@ def test_geo3d_distance_query_matches_compiled_reference():
         for _ in range(10):
             cla = base_lat + rng.uniform(-1, 1)
             clo = base_lon + rng.uniform(-1, 1)
-            radius = rng.choice([5e3, 5e4, 2e5, 1e6, 5e6])
-            cases.append((cla, clo, radius))
-        expected = gt.run_geo3d(
-            lines, [f"CIRCLE {a!r} {b!r} {r!r}" for a, b, r in cases])
+            if rng.random() < 0.4:
+                dla = rng.uniform(0.2, 4.0)
+                dlo = rng.uniform(0.2, 4.0)
+                box = (max(cla - dla, -89.9), min(cla + dla, 89.9),
+                       max(clo - dlo, -179.9), min(clo + dlo, 179.9))
+                cases.append(("BOX", f"BOX {box[0]!r} {box[1]!r} "
+                              f"{box[2]!r} {box[3]!r}", box))
+            else:
+                radius = rng.choice([5e3, 5e4, 2e5, 1e6, 5e6])
+                cases.append(("CIRCLE",
+                              f"CIRCLE {cla!r} {clo!r} {radius!r}",
+                              (cla, clo, radius)))
+        expected = gt.run_geo3d(lines, [c[1] for c in cases])
         assert len(expected) == len(cases)
 
+        from lucene_solr_spark.ops.geo3d import box_margin, box_query_matches
+
         skipped = 0
-        for (cla, clo, radius), exp in zip(cases, expected):
-            want = set(distance_query_matches(pts, cla, clo, radius))
+        for (kind, _line, arg), exp in zip(cases, expected):
+            if kind == "CIRCLE":
+                want = set(distance_query_matches(pts, *arg))
+                margins = [circle_margin(p, *arg) for p in pts]
+            else:
+                want = set(box_query_matches(pts, *arg))
+                margins = [box_margin(p, *arg) for p in pts]
             got = set() if exp == "-" else {int(x) for x in exp.split(",")}
             comparable = set()
-            for i, p in enumerate(pts):
-                if circle_margin(p, cla, clo, radius) > 1e-10:
+            for i, m in enumerate(margins):
+                if m > 1e-10:
                     comparable.add(i)
                 else:
                     skipped += 1
             assert want & comparable == got & comparable, (
-                corpus_round, cla, clo, radius, sorted(want), sorted(got))
+                corpus_round, kind, arg, sorted(want), sorted(got))
         assert skipped <= n_docs * 10 * 0.05, skipped

@@ -2772,9 +2772,17 @@ public class GroundTruthGeo3D {
     int nQ = Integer.parseInt(in.readLine().trim());
     for (int qi = 0; qi < nQ; qi++) {
       String[] p = in.readLine().trim().split(" ");
-      Query q = Geo3DPoint.newDistanceQuery(
-          "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
-          Double.parseDouble(p[3]));
+      Query q;
+      if (p[0].equals("BOX")) {
+        // BOX minLat maxLat minLon maxLon
+        q = Geo3DPoint.newBoxQuery(
+            "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
+            Double.parseDouble(p[3]), Double.parseDouble(p[4]));
+      } else {
+        q = Geo3DPoint.newDistanceQuery(
+            "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
+            Double.parseDouble(p[3]));
+      }
       TopDocs td = s.search(q, Math.max(1, nDocs));
       int[] ids = new int[td.scoreDocs.length];
       for (int i = 0; i < ids.length; i++) ids[i] = td.scoreDocs[i].doc;
