@@ -2899,10 +2899,20 @@ def spatial_zorder(spark, sf):
     )
     z = F.expr(_zcode_sql("lat", "lon"))
     pts = c.select("c_custkey", "lat", "lon", z.alias("zcode"))
-    rng_pred = None
-    for lo, hi, _b in ranges:
-        p = F.col("zcode").between(lo, hi)
-        rng_pred = p if rng_pred is None else (rng_pred | p)
+    # z-range prefilter as a BROADCAST left-semi range join, NOT an OR
+    # chain: Catalyst's projection collapse would inline the (large)
+    # zcode expression into every BETWEEN branch, and past ~50 ranges
+    # the duplicated tree overflows the codegen stack under default
+    # driver stack sizes. The join keeps zcode computed ONCE and is the
+    # honest 100-TB shape anyway (the range list is KBs; on a z-sorted
+    # table the same ranges prune row groups).
+    rng_df = spark.createDataFrame(
+        [(lo, hi) for lo, hi, _b in ranges], "zlo long, zhi long")
+    pts = pts.join(
+        F.broadcast(rng_df),
+        (F.col("zcode") >= F.col("zlo")) & (F.col("zcode") <= F.col("zhi")),
+        "left_semi",
+    )
     lat_step = repr(180.0 / (1 << 32))
     lon_step = repr(360.0 / (1 << 32))
     lat31 = f"((CAST(FLOOR(lat / {lat_step}) AS BIGINT) + 2147483648) >> 1)"
@@ -2913,7 +2923,7 @@ def spatial_zorder(spark, sf):
         f"AND {dlon} >= {mn_lo} AND {dlon} <= {mx_lo}"
     )
     return (
-        pts.filter(rng_pred).filter(exact)
+        pts.filter(exact)
         .select("c_custkey", F.round("lat", 2).alias("lat"),
                 F.round("lon", 2).alias("lon"), F.col("zcode"))
         .orderBy("c_custkey")
