@@ -275,3 +275,22 @@ def test_expression_sort_pure_codegen(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_spatial_zorder_range_join_single_zcode(spark):
+    """The z-order bbox leg (GT round 77) must prefilter via a BROADCAST
+    range join — NOT an OR chain of BETWEENs, which Catalyst inlines the
+    multi-KB z-code expression into (one copy per range) until codegen
+    overflows the stack under default driver configs. The plan must show
+    one broadcast nested-loop join and exactly ONE z-code computation
+    (one shiftleft cascade per dimension pair = the magic-constant
+    spread appears a bounded number of times), and no Python stage."""
+    df = R.spatial_zorder(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # the spread constant 6148914691236517205 appears once per spread
+    # step per dimension in ONE zcode projection (2 dims x <=2 plan
+    # renderings); an OR-chain regression would multiply it by ~50
+    assert plan.count("6148914691236517205") <= 8, plan.count(
+        "6148914691236517205")
