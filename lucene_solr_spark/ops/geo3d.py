@@ -277,3 +277,319 @@ def box_margin(point_deg, min_lat_deg, max_lat_deg, min_lon_deg,
         ev = p.evaluate(*q)
         m = min(m, abs(ev), abs(abs(ev) - MINIMUM_RESOLUTION))
     return m
+
+
+MINIMUM_RESOLUTION_SQUARED = MINIMUM_RESOLUTION * MINIMUM_RESOLUTION
+MIN_MAGNITUDE = min(AB, C)  # PlanetModel.getMinimumMagnitude
+
+
+def _sided_from_normal(normal, d, inside):
+    return _SidedPlane(normal, d, inside)
+
+
+def _sided_from_cross(inside, a, b):
+    """SidedPlane(p, A, B): plane = normalized cross(A, B) through the
+    origin (D = 0), sided by p."""
+    return _SidedPlane(_cross_normalized(a, b), 0.0, inside)
+
+
+def _three_point_sided_plane(inside, p1, p2, p3):
+    """SidedPlane.constructNormalizedThreePointSidedPlane: plane through
+    the three points (normal = cross of the difference vectors,
+    D = -dot(normal, point2)), sided by `inside`; None on degeneracy."""
+    try:
+        d1 = (p1[0] - p2[0], p1[1] - p2[1], p1[2] - p2[2])
+        d2 = (p2[0] - p3[0], p2[1] - p3[1], p2[2] - p3[2])
+        n = _cross_normalized(d1, d2)
+        d = -(n[0] * p2[0] + n[1] * p2[1] + n[2] * p2[2])
+        return _SidedPlane(n, d, inside)
+    except ValueError:
+        return None
+
+
+def _flip(sp: _SidedPlane) -> _SidedPlane:
+    """SidedPlane copy ctor: same plane, sigNum NEGATED."""
+    out = _SidedPlane.__new__(_SidedPlane)
+    out.a, out.b, out.c, out.d = sp.a, sp.b, sp.c, sp.d
+    out.sig_num = -sp.sig_num
+    return out
+
+
+def _find_intersections(pl, q, bounds, more_bounds):
+    """Plane.findIntersections(planetModel, q, bounds, moreBounds):
+    intersect the two planes' line with the WGS84 ellipsoid, keep points
+    inside every bound."""
+    lx = pl.b * q.c - pl.c * q.b
+    ly = pl.c * q.a - pl.a * q.c
+    lz = pl.a * q.b - pl.b * q.a
+    if (abs(lx) < MINIMUM_RESOLUTION and abs(ly) < MINIMUM_RESOLUTION
+            and abs(lz) < MINIMUM_RESOLUTION):
+        return []
+    denom_yz = pl.b * q.c - pl.c * q.b
+    denom_xz = pl.a * q.c - pl.c * q.a
+    denom_xy = pl.a * q.b - pl.b * q.a
+    if abs(denom_yz) >= abs(denom_xz) and abs(denom_yz) >= abs(denom_xy):
+        if abs(denom_yz) < MINIMUM_RESOLUTION_SQUARED:
+            return []
+        denom = 1.0 / denom_yz
+        x0 = 0.0
+        y0 = (-pl.d * q.c - pl.c * -q.d) * denom
+        z0 = (pl.b * -q.d + pl.d * q.b) * denom
+    elif abs(denom_xz) >= abs(denom_xy) and abs(denom_xz) >= abs(denom_yz):
+        if abs(denom_xz) < MINIMUM_RESOLUTION_SQUARED:
+            return []
+        denom = 1.0 / denom_xz
+        x0 = (-pl.d * q.c - pl.c * -q.d) * denom
+        y0 = 0.0
+        z0 = (pl.a * -q.d + pl.d * q.a) * denom
+    else:
+        if abs(denom_xy) < MINIMUM_RESOLUTION_SQUARED:
+            return []
+        denom = 1.0 / denom_xy
+        x0 = (-pl.d * q.b - pl.b * -q.d) * denom
+        y0 = (pl.a * -q.d + pl.d * q.a) * denom
+        z0 = 0.0
+    qa = (lx * lx * _INV_AB2 + ly * ly * _INV_AB2 + lz * lz * _INV_C2)
+    qb = 2.0 * (lx * x0 * _INV_AB2 + ly * y0 * _INV_AB2 + lz * z0 * _INV_C2)
+    qc = (x0 * x0 * _INV_AB2 + y0 * y0 * _INV_AB2 + z0 * z0 * _INV_C2 - 1.0)
+    disc = qb * qb - 4.0 * qa * qc
+
+    def ok(p):
+        return all(b.is_within(*p) for b in bounds) and all(
+            b.is_within(*p) for b in more_bounds)
+
+    if abs(disc) < MINIMUM_RESOLUTION_SQUARED:
+        t = -qb / (2.0 * qa)
+        p = (lx * t + x0, ly * t + y0, lz * t + z0)
+        return [p] if ok(p) else []
+    if disc > 0.0:
+        inv2a = 1.0 / (2.0 * qa)
+        sq = math.sqrt(disc)
+        t1 = (-qb + sq) * inv2a
+        t2 = (-qb - sq) * inv2a
+        p1 = (lx * t1 + x0, ly * t1 + y0, lz * t1 + z0)
+        p2 = (lx * t2 + x0, ly * t2 + y0, lz * t2 + z0)
+        out = []
+        if ok(p1):
+            out.append(p1)
+        if ok(p2):
+            out.append(p2)
+        return out
+    return []
+
+
+class _PathSegment:
+    def __init__(self, start, end, ncp, offset):
+        self.start, self.end = start, end
+        self.upper = _SidedPlane(ncp, -offset, start)
+        self.lower = _SidedPlane(ncp, offset, start)
+        ncp_pl = _SidedPlane.__new__(_SidedPlane)
+        ncp_pl.a, ncp_pl.b, ncp_pl.c, ncp_pl.d = ncp[0], ncp[1], ncp[2], 0.0
+        self.start_cut = _sided_from_cross(end, ncp, start)
+        self.end_cut = _sided_from_cross(start, ncp, end)
+        pts = _find_intersections(
+            self.upper, self.start_cut, [self.lower], [self.end_cut])
+        if not pts:
+            raise ValueError("path too wide")
+        self.ULHC = pts[0]
+        pts = _find_intersections(
+            self.upper, self.end_cut, [self.lower], [self.start_cut])
+        if not pts:
+            raise ValueError("path too wide")
+        self.URHC = pts[0]
+        pts = _find_intersections(
+            self.lower, self.start_cut, [self.upper], [self.end_cut])
+        if not pts:
+            raise ValueError("path too wide")
+        self.LLHC = pts[0]
+        pts = _find_intersections(
+            self.lower, self.end_cut, [self.upper], [self.start_cut])
+        if not pts:
+            raise ValueError("path too wide")
+        self.LRHC = pts[0]
+
+    def is_within(self, x, y, z):
+        return (self.start_cut.is_within(x, y, z)
+                and self.end_cut.is_within(x, y, z)
+                and self.upper.is_within(x, y, z)
+                and self.lower.is_within(x, y, z))
+
+
+class _SegmentEndpoint:
+    def __init__(self, circle_plane, cutoffs):
+        self.circle_plane = circle_plane
+        self.cutoffs = cutoffs
+
+    def is_within(self, x, y, z):
+        if self.circle_plane is None:
+            return False
+        if not self.circle_plane.is_within(x, y, z):
+            return False
+        return all(m.is_within(x, y, z) for m in self.cutoffs)
+
+
+def _perpendicular_sided(inside, normal_vec, p1, p2):
+    """SidedPlane.constructNormalizedPerpendicularSidedPlane."""
+    pts = (p1[0] - p2[0], p1[1] - p2[1], p1[2] - p2[2])
+    try:
+        nn = _cross_normalized(normal_vec, pts)
+    except ValueError:
+        return None
+    d = -(nn[0] * p1[0] + nn[1] * p1[1] + nn[2] * p1[2])
+    try:
+        return _SidedPlane(nn, d, inside)
+    except ValueError:
+        return None
+
+
+class GeoStandardPath:
+    """geom/GeoStandardPath.java membership (Geo3DPoint.newPathQuery):
+    per-segment four-plane corridors plus endpoint circle caps — the
+    middle endpoints using the reference's four-candidate
+    three-point-plane selection (pick the candidate containing the
+    fourth corner; drop the prev/next cutoff accordingly; flipped-side
+    cutoff copies)."""
+
+    def __init__(self, points_latlon_rad, cutoff):
+        if cutoff <= 0.0 or cutoff > math.pi * 0.5:
+            raise ValueError("Cutoff angle out of bounds")
+        sin_angle = math.sin(cutoff)
+        pts = [geo_point(la, lo) for la, lo in points_latlon_rad]
+        offset = sin_angle * MIN_MAGNITUDE
+        self.segments = []
+        last = None
+        for end in pts:
+            if last is not None:
+                ncp = _cross_normalized(last, end)
+                self.segments.append(_PathSegment(last, end, ncp, offset))
+            last = end
+        self.end_points = []
+        if not self.segments:
+            lat, lon = points_latlon_rad[0]
+            upper_lat, upper_lon = lat + cutoff, lon
+            if upper_lat > math.pi * 0.5:
+                upper_lon += math.pi
+                if upper_lon > math.pi:
+                    upper_lon -= 2.0 * math.pi
+                upper_lat = math.pi - upper_lat
+            lower_lat, lower_lon = lat - cutoff, lon
+            if lower_lat < -math.pi * 0.5:
+                lower_lon += math.pi
+                if lower_lon > math.pi:
+                    lower_lon -= 2.0 * math.pi
+                lower_lat = -math.pi - lower_lat
+            upper = geo_point(upper_lat, upper_lon)
+            lower = geo_point(lower_lat, lower_lon)
+            point = pts[0]
+            best, best_d = None, 0.0
+            for p in (upper, lower, point):
+                pd = p[0] * p[0] + p[1] * p[1]
+                if pd > best_d:
+                    best_d, best = pd, p
+            denom = 1.0 / math.sqrt(best[0] * best[0] + best[1] * best[1])
+            normal_plane = (best[1] * denom, -best[0] * denom, 0.0)
+            cp = _perpendicular_sided(point, normal_plane, upper, lower)
+            self.end_points.append(_SegmentEndpoint(cp, []))
+            return
+        for i, seg in enumerate(self.segments):
+            if i == 0:
+                cp = _perpendicular_sided(
+                    seg.start, (seg.start_cut.a, seg.start_cut.b,
+                                seg.start_cut.c), seg.ULHC, seg.LLHC)
+                self.end_points.append(
+                    _SegmentEndpoint(cp, [_flip(seg.start_cut)]))
+                continue
+            prev = self.segments[i - 1]
+            cand1 = _three_point_sided_plane(
+                seg.start, prev.URHC, seg.ULHC, seg.LLHC)
+            cand2 = _three_point_sided_plane(
+                seg.start, seg.ULHC, seg.LLHC, prev.LRHC)
+            cand3 = _three_point_sided_plane(
+                seg.start, seg.LLHC, prev.LRHC, prev.URHC)
+            cand4 = _three_point_sided_plane(
+                seg.start, prev.LRHC, prev.URHC, seg.ULHC)
+            if (cand1 is None and cand2 is None and cand3 is None
+                    and cand4 is None):
+                cp = _perpendicular_sided(
+                    seg.start, (prev.end_cut.a, prev.end_cut.b,
+                                prev.end_cut.c), seg.ULHC, seg.LLHC)
+                self.end_points.append(_SegmentEndpoint(
+                    cp, [_flip(prev.end_cut), _flip(seg.start_cut)]))
+            else:
+                c1w = cand1.is_within(*seg.LLHC) if cand1 else False
+                c2w = cand2.is_within(*prev.URHC) if cand2 else False
+                c3w = cand3.is_within(*seg.ULHC) if cand3 else False
+                c4w = cand4.is_within(*prev.LRHC) if cand4 else False
+                if c1w and c2w and c3w and c4w:
+                    self.end_points.append(_SegmentEndpoint(
+                        cand1,
+                        [_flip(prev.end_cut), _flip(seg.start_cut)]))
+                elif c1w:
+                    self.end_points.append(_SegmentEndpoint(
+                        cand1, [_flip(seg.start_cut)]))
+                elif c2w:
+                    self.end_points.append(_SegmentEndpoint(
+                        cand2, [_flip(seg.start_cut)]))
+                elif c3w:
+                    self.end_points.append(_SegmentEndpoint(
+                        cand3, [_flip(prev.end_cut)]))
+                elif c4w:
+                    self.end_points.append(_SegmentEndpoint(
+                        cand4, [_flip(prev.end_cut)]))
+                else:
+                    raise RuntimeError(
+                        "Couldn't come up with a plane through three "
+                        "points that included the fourth")
+        last_seg = self.segments[-1]
+        cp = _perpendicular_sided(
+            last_seg.end, (last_seg.end_cut.a, last_seg.end_cut.b,
+                           last_seg.end_cut.c), last_seg.URHC,
+            last_seg.LRHC)
+        self.end_points.append(
+            _SegmentEndpoint(cp, [_flip(last_seg.end_cut)]))
+
+    def is_within(self, x, y, z):
+        return any(e.is_within(x, y, z) for e in self.end_points) or any(
+            s.is_within(x, y, z) for s in self.segments)
+
+
+def path_query_matches(points_deg, path_deg, width_meters):
+    """Geo3DPoint.newPathQuery accept set over quantized points."""
+    shape = GeoStandardPath(
+        [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+         for la, lo in path_deg],
+        width_meters * RADIANS_PER_METER,
+    )
+    out = []
+    for i, (lat, lon) in enumerate(points_deg):
+        x, y, z = geo_point(lat * RADIANS_PER_DEGREE,
+                            lon * RADIANS_PER_DEGREE)
+        q = (decode_value(encode_value(x)), decode_value(encode_value(y)),
+             decode_value(encode_value(z)))
+        if shape.is_within(*q):
+            out.append(i)
+    return out
+
+
+def path_margin(point_deg, path_deg, width_meters) -> float:
+    shape = GeoStandardPath(
+        [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+         for la, lo in path_deg],
+        width_meters * RADIANS_PER_METER,
+    )
+    lat, lon = point_deg
+    x, y, z = geo_point(lat * RADIANS_PER_DEGREE, lon * RADIANS_PER_DEGREE)
+    q = (decode_value(encode_value(x)), decode_value(encode_value(y)),
+         decode_value(encode_value(z)))
+    m = math.inf
+    planes = []
+    for e in shape.end_points:
+        if e.circle_plane is not None:
+            planes.append(e.circle_plane)
+        planes.extend(e.cutoffs)
+    for s in shape.segments:
+        planes.extend([s.upper, s.lower, s.start_cut, s.end_cut])
+    for p in planes:
+        ev = p.evaluate(*q)
+        m = min(m, abs(ev), abs(abs(ev) - MINIMUM_RESOLUTION))
+    return m

@@ -5955,9 +5955,14 @@ def test_string_distances_match_compiled_reference():
 
 
 def test_geo3d_distance_query_matches_compiled_reference():
-    """Ground-truth round 82: lucene/spatial3d's ellipsoidal
-    point-in-circle membership (Geo3DPoint.newDistanceQuery ->
-    GeoStandardCircle on WGS84) vs the compiled module, docid-exact:
+    """Ground-truth rounds 82-83: lucene/spatial3d's ellipsoidal
+    membership vs the compiled module, docid-exact — circles
+    (Geo3DPoint.newDistanceQuery -> GeoStandardCircle), rectangles
+    (newBoxQuery -> GeoRectangle's four planes), and PATHS
+    (newPathQuery -> GeoStandardPath: per-segment four-plane corridors,
+    endpoint circle caps with flipped cutoff copies, the middle
+    endpoints' four-candidate three-point-plane selection, and the
+    plane-plane-ellipsoid corner intersections). Also pinned:
     the WGS84 ab/c scalings, the desired-ellipsoid-magnitude
     projection, the 32-bit floor-encode / center-decode x/y/z
     quantization, the antipodal-safe cutoff-point construction, and the
@@ -5988,13 +5993,27 @@ def test_geo3d_distance_query_matches_compiled_reference():
         for _ in range(10):
             cla = base_lat + rng.uniform(-1, 1)
             clo = base_lon + rng.uniform(-1, 1)
-            if rng.random() < 0.4:
+            roll = rng.random()
+            if roll < 0.3:
                 dla = rng.uniform(0.2, 4.0)
                 dlo = rng.uniform(0.2, 4.0)
                 box = (max(cla - dla, -89.9), min(cla + dla, 89.9),
                        max(clo - dlo, -179.9), min(clo + dlo, 179.9))
                 cases.append(("BOX", f"BOX {box[0]!r} {box[1]!r} "
                               f"{box[2]!r} {box[3]!r}", box))
+            elif roll < 0.6:
+                n_wp = rng.randint(1, 4)
+                path = [(cla, clo)]
+                for _w in range(n_wp - 1):
+                    pl, po = path[-1]
+                    path.append((
+                        max(min(pl + rng.uniform(-2, 2), 85.0), -85.0),
+                        max(min(po + rng.uniform(0.5, 3), 175.0), -175.0),
+                    ))
+                width = rng.choice([2e4, 8e4, 3e5])
+                spec = " ".join(f"{la!r} {lo!r}" for la, lo in path)
+                cases.append(("PATH", f"PATH {width!r} {spec}",
+                              (path, width)))
             else:
                 radius = rng.choice([5e3, 5e4, 2e5, 1e6, 5e6])
                 cases.append(("CIRCLE",
@@ -6003,13 +6022,22 @@ def test_geo3d_distance_query_matches_compiled_reference():
         expected = gt.run_geo3d(lines, [c[1] for c in cases])
         assert len(expected) == len(cases)
 
-        from lucene_solr_spark.ops.geo3d import box_margin, box_query_matches
+        from lucene_solr_spark.ops.geo3d import (
+            box_margin,
+            box_query_matches,
+            path_margin,
+            path_query_matches,
+        )
 
         skipped = 0
         for (kind, _line, arg), exp in zip(cases, expected):
             if kind == "CIRCLE":
                 want = set(distance_query_matches(pts, *arg))
                 margins = [circle_margin(p, *arg) for p in pts]
+            elif kind == "PATH":
+                path, width = arg
+                want = set(path_query_matches(pts, path, width))
+                margins = [path_margin(p, path, width) for p in pts]
             else:
                 want = set(box_query_matches(pts, *arg))
                 margins = [box_margin(p, *arg) for p in pts]

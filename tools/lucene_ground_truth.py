@@ -2773,7 +2773,18 @@ public class GroundTruthGeo3D {
     for (int qi = 0; qi < nQ; qi++) {
       String[] p = in.readLine().trim().split(" ");
       Query q;
-      if (p[0].equals("BOX")) {
+      if (p[0].equals("PATH")) {
+        // PATH widthMeters lat1 lon1 lat2 lon2 ...
+        int n = (p.length - 2) / 2;
+        double[] lats = new double[n];
+        double[] lons = new double[n];
+        for (int i = 0; i < n; i++) {
+          lats[i] = Double.parseDouble(p[2 + 2 * i]);
+          lons[i] = Double.parseDouble(p[3 + 2 * i]);
+        }
+        q = Geo3DPoint.newPathQuery("p", lats, lons,
+                                    Double.parseDouble(p[1]));
+      } else if (p[0].equals("BOX")) {
         // BOX minLat maxLat minLon maxLon
         q = Geo3DPoint.newBoxQuery(
             "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
