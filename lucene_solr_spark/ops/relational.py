@@ -3049,6 +3049,99 @@ ORDER BY c_custkey LIMIT 60
 """
 
 
+#: geo3d corridor demo (GT round 83): a 2-segment path, width 500 km
+GEO3D_PATH = ((5.0, -20.0), (12.0, -12.0), (18.0, -2.0))
+GEO3D_PATH_WIDTH_M = 500_000.0
+
+
+def _geo3d_path_within_sql() -> str:
+    """GeoStandardPath membership as ONE portable SQL expression: the
+    pinned shape's plane coefficients (segment corridors + endpoint
+    caps, GT round 83) emitted as literals over the quantized WGS84
+    (x, y, z) of the derived coords. Corpus margins from the flip
+    thresholds are >= 1.0e-5 at sf0.1 — far above libm divergence."""
+    from .geo3d import (
+        DECODE,
+        GeoStandardPath,
+        MINIMUM_RESOLUTION,
+        RADIANS_PER_DEGREE,
+        RADIANS_PER_METER,
+        _INV_AB2,
+        _INV_C2,
+    )
+
+    shape = GeoStandardPath(
+        [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+         for la, lo in GEO3D_PATH],
+        GEO3D_PATH_WIDTH_M * RADIANS_PER_METER,
+    )
+
+    def lit(v: float) -> str:
+        return f"{v:.17e}"
+
+    ux = "(cos(radians(lat)) * cos(radians(lon)))"
+    uy = "(cos(radians(lat)) * sin(radians(lon)))"
+    uz = "(sin(radians(lat)))"
+    m = (f"(1.0 / sqrt({ux}*{ux}*{lit(_INV_AB2)} + {uy}*{uy}*{lit(_INV_AB2)}"
+         f" + {uz}*{uz}*{lit(_INV_C2)}))")
+
+    def q(u: str) -> str:
+        return (f"((floor(({u} * {m}) / {lit(DECODE)}) + 0.5)"
+                f" * {lit(DECODE)})")
+
+    qx, qy, qz = q(ux), q(uy), q(uz)
+
+    def plane_ok(pl) -> str:
+        ev = (f"({lit(pl.a)} * {qx} + {lit(pl.b)} * {qy}"
+              f" + {lit(pl.c)} * {qz} + {lit(pl.d)})")
+        return (f"(abs({ev}) < {lit(MINIMUM_RESOLUTION)} OR "
+                f"(CASE WHEN {ev} > 0 THEN 1.0 ELSE -1.0 END)"
+                f" = {lit(pl.sig_num)})")
+
+    parts = []
+    for e in shape.end_points:
+        conj = [plane_ok(e.circle_plane)] + [plane_ok(c) for c in e.cutoffs]
+        parts.append("(" + " AND ".join(conj) + ")")
+    for seg in shape.segments:
+        conj = [plane_ok(pl) for pl in
+                (seg.start_cut, seg.end_cut, seg.upper, seg.lower)]
+        parts.append("(" + " AND ".join(conj) + ")")
+    return "(" + " OR ".join(parts) + ")"
+
+
+def spatial_geo3d_path(spark, sf):
+    """Geo3DPoint.newPathQuery analog (GT round 83): corridor membership
+    as a single codegen projection — the route-proximity query shape
+    (points within W meters of a polyline) with the pinned plane
+    arithmetic replayed identically by the DuckDB oracle."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return (
+        c.filter(F.expr(_geo3d_path_within_sql()))
+        .select("c_custkey", F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"))
+        .orderBy("c_custkey")
+        .limit(70)
+    )
+
+
+def _spatial_geo3d_path_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon
+FROM pts WHERE {_geo3d_path_within_sql()}
+ORDER BY c_custkey LIMIT 70
+"""
+
+
 def spatial_family(spark, sf):
     """Distance knn + polygon containment + z-order bbox as one union."""
     v1 = spatial_knn(spark, sf).select(
@@ -3067,7 +3160,12 @@ def spatial_family(spark, sf):
         F.lit("geo3d").alias("variant"), "c_custkey", "lat", "lon",
         F.lit(0.0).alias("val"),
     )
+    v5 = spatial_geo3d_path(spark, sf).select(
+        F.lit("geo3d_path").alias("variant"), "c_custkey", "lat", "lon",
+        F.lit(0.0).alias("val"),
+    )
     return (v1.unionByName(v2).unionByName(v3).unionByName(v4)
+            .unionByName(v5)
             .orderBy("variant", "c_custkey"))
 
 
@@ -4193,10 +4291,14 @@ SELECT * FROM (
   UNION ALL
   SELECT 'geo3d' AS variant, c_custkey, lat, lon, 0.0 AS val
   FROM ({{GEO3D_SQL}})
+  UNION ALL
+  SELECT 'geo3d_path' AS variant, c_custkey, lat, lon, 0.0 AS val
+  FROM ({{GEO3D_PATH_SQL}})
 ) ORDER BY variant, c_custkey
 """.replace("{POLY_SQL}", _spatial_polygon_sql())
    .replace("{ZORDER_SQL}", _spatial_zorder_sql())
-   .replace("{GEO3D_SQL}", _spatial_geo3d_sql())),
+   .replace("{GEO3D_SQL}", _spatial_geo3d_sql())
+   .replace("{GEO3D_PATH_SQL}", _spatial_geo3d_path_sql())),
     "highlight_snippet": (highlight_combined, HIGHLIGHT_COMBINED_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),
