@@ -53,7 +53,17 @@ def pk_split(
     mid: str,
 ) -> dict:
     """PKIndexSplitter: rows with docs-table pk_col < mid -> out1, the
-    rest (including mid) -> out2."""
+    rest (including mid) -> out2.
+
+    Ordering parity (ADVICE r3, investigated): the reference's
+    TermRangeQuery compares term BYTES (UTF-8 unsigned lexicographic,
+    BytesRef.compareTo). Spark's string `<` under the default
+    UTF8_BINARY collation compares the underlying UTF8String bytes —
+    the SAME order, including supplementary-plane keys (verified:
+    U+FFFD sorts below U+10400 in both, unlike Java String.compareTo's
+    UTF-16 code-unit order which Spark does not use). A plain column
+    comparison is therefore parity-correct AND stays pushdown-friendly;
+    do not wrap in encode()."""
     s1 = _carve(spark, index_dir, out1, F.col(pk_col) < mid)
     s2 = _carve(spark, index_dir, out2, F.col(pk_col) >= mid)
     return {"part1": s1, "part2": s2}

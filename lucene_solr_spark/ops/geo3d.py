@@ -387,6 +387,11 @@ class _PathSegment:
         ncp_pl.a, ncp_pl.b, ncp_pl.c, ncp_pl.d = ncp[0], ncp[1], ncp[2], 0.0
         self.start_cut = _sided_from_cross(end, ncp, start)
         self.end_cut = _sided_from_cross(start, ncp, end)
+        # Parity note: this fork (GeoStandardPath.java:642-660) checks
+        # only points.length == 0 ("path too wide") and takes points[0]
+        # unconditionally; the later-Lucene "Ambiguous boundary points;
+        # path too short" raise for >1 intersections does not exist
+        # here, so we deliberately keep the fork's behavior.
         pts = _find_intersections(
             self.upper, self.start_cut, [self.lower], [self.end_cut])
         if not pts:
@@ -464,6 +469,10 @@ class GeoStandardPath:
                 self.segments.append(_PathSegment(last, end, ncp, offset))
             last = end
         self.end_points = []
+        #: which SegmentEndpoint branch each middle joint took —
+        #: 'all4' / 'c1' / 'c2' / 'c3' / 'c4' / 'coplanar'; lets tests
+        #: prove sharp-bend paths discriminate the four candidates.
+        self.endpoint_branches = []
         if not self.segments:
             lat, lon = points_latlon_rad[0]
             upper_lat, upper_lon = lat + cutoff, lon
@@ -515,27 +524,41 @@ class GeoStandardPath:
                                 prev.end_cut.c), seg.ULHC, seg.LLHC)
                 self.end_points.append(_SegmentEndpoint(
                     cp, [_flip(prev.end_cut), _flip(seg.start_cut)]))
+                self.endpoint_branches.append("coplanar")
             else:
-                c1w = cand1.is_within(*seg.LLHC) if cand1 else False
+                # Check points follow the reference call site
+                # (GeoStandardPath.java:182-186): notCand1Point =
+                # prevSegment.LRHC, notCand2Point = prevSegment.URHC,
+                # notCand3Point = currentSegment.ULHC, notCand4Point =
+                # currentSegment.LLHC.  cand1 passes through URHC/ULHC/
+                # LLHC so its discriminating fourth corner is prev.LRHC
+                # (the one point NOT on it) — testing a point ON the
+                # plane is trivially true within the slop.
+                c1w = cand1.is_within(*prev.LRHC) if cand1 else False
                 c2w = cand2.is_within(*prev.URHC) if cand2 else False
                 c3w = cand3.is_within(*seg.ULHC) if cand3 else False
-                c4w = cand4.is_within(*prev.LRHC) if cand4 else False
+                c4w = cand4.is_within(*seg.LLHC) if cand4 else False
                 if c1w and c2w and c3w and c4w:
                     self.end_points.append(_SegmentEndpoint(
                         cand1,
                         [_flip(prev.end_cut), _flip(seg.start_cut)]))
+                    self.endpoint_branches.append("all4")
                 elif c1w:
                     self.end_points.append(_SegmentEndpoint(
                         cand1, [_flip(seg.start_cut)]))
+                    self.endpoint_branches.append("c1")
                 elif c2w:
                     self.end_points.append(_SegmentEndpoint(
                         cand2, [_flip(seg.start_cut)]))
+                    self.endpoint_branches.append("c2")
                 elif c3w:
                     self.end_points.append(_SegmentEndpoint(
                         cand3, [_flip(prev.end_cut)]))
+                    self.endpoint_branches.append("c3")
                 elif c4w:
                     self.end_points.append(_SegmentEndpoint(
                         cand4, [_flip(prev.end_cut)]))
+                    self.endpoint_branches.append("c4")
                 else:
                     raise RuntimeError(
                         "Couldn't come up with a plane through three "

@@ -1470,15 +1470,40 @@ ORDER BY p_partkey, w
 """
 
 
+def _slow_fuzzy_candidates(words, text: str, max_edits: int, prefix_len: int):
+    """The LinearFuzzyTermsEnum raw-distance acceptance set as a
+    DISTRIBUTED filter (no full-dictionary collect): prefix match +
+    levenshtein(suffix, query suffix) <= maxEdits, both codegen
+    built-ins over the distinct-words frame. For raw distances
+    (minSim >= 1) with an unfilled PQ this is exactly the set the
+    sorted-dictionary scan accepts (fuzzy_slow.py accept(): max_dist
+    stays cur_max, the abs(m-n) gate is implied by d >= abs(m-n), and
+    the m==0 corner rejects via d > maxEdits), so only the bounded
+    SURVIVORS ever reach the driver."""
+    prefix, suffix = text[:prefix_len], text[prefix_len:]
+    return (
+        words.select("w").distinct()
+        .filter(
+            (F.substring("w", 1, prefix_len) == prefix)
+            & (F.levenshtein(
+                F.expr(f"substring(w, {prefix_len + 1})"),
+                F.lit(suffix)) <= max_edits)
+        )
+    )
+
+
 def slow_fuzzy_query(spark, sf):
     """Sandbox SlowFuzzyQuery (distance-3 raw fuzzy, prefix 1 — beyond
     core FuzzyQuery's 2-edit cap; the full enumeration machinery is
     pinned vs the compiled binary in GT round 76, search/fuzzy_slow.py).
-    The expansion runs DRIVER-SIDE over the distinct word dictionary
-    (term-dict metadata scan at scale, never the corpus) through the
-    real `slow_fuzzy_expand`; matches broadcast back as an isin + a
-    literal boost map. < maxExpansions candidates here, so the PQ never
-    fills and the linear-enum boost formula
+    Scale shape (r3 VERDICT #1): the acceptance set is computed
+    DISTRIBUTED (`_slow_fuzzy_candidates` — prefix + levenshtein
+    codegen filter over the distinct words; an open 100-TB term
+    dictionary never reaches the driver), and only the bounded match
+    set (< maxExpansions, asserted) is collected and replayed through
+    the real pinned `slow_fuzzy_expand` for the PQ/boost semantics;
+    matches broadcast back as an isin + a literal boost map. With the
+    PQ never filling, the linear-enum boost formula
     1 - d/(prefix + min(suffix lens)) holds — which is what the DuckDB
     oracle replays in closed form (CAST AS REAL == the stepwise float32
     fold for these exact small-integer ratios)."""
@@ -1488,9 +1513,19 @@ def slow_fuzzy_query(spark, sf):
     words = p.select(
         "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("w")
     )
-    dictionary = sorted(
-        r["w"] for r in words.select("w").distinct().collect())
-    exp = slow_fuzzy_expand(dictionary, "grean", 3.0, 1, 50)
+    survivors = sorted(
+        r["w"] for r in
+        _slow_fuzzy_candidates(words, "grean", 3, 1).collect())
+    # ADVICE r3: the closed-form oracle assumes the top-50 PQ never
+    # fills (no bottom feedback, no linear->automaton switch); make a
+    # corpus change that breaks the assumption fail loudly here rather
+    # than surface as a parity mystery.
+    assert len(survivors) < 50, (
+        f"slow_fuzzy candidate set grew to {len(survivors)} >= "
+        "maxExpansions=50: PQ bottom feedback would kick in and the "
+        "closed-form DuckDB oracle no longer matches the enum")
+    exp = slow_fuzzy_expand(survivors, "grean", 3.0, 1, 50)
+    assert len(exp) == len(survivors), (exp, survivors)
     if not exp:
         return words.select(
             "p_partkey", "w", F.lit(0.0).cast("float").alias("boost")
@@ -3864,19 +3899,29 @@ def strdist_query(spark, sf):
     """Solr strdist() function query (solr ValueSourceParser's strdist ->
     the spell StringDistance family, pinned bit-for-bit in GT round 81,
     search/strdist.py): JaroWinkler similarity of each distinct first
-    p_name word to 'bold', >= 0.5. Like slow_fuzzy, the distances
-    compare a literal against a BOUNDED word dictionary, so the pinned
-    python computes per-word values driver-side and both engines replay
-    them as literals — term-dict-scale work, never a per-row UDF."""
+    p_name word to 'bold', >= 0.5.
+
+    Scale shape (r3 VERDICT #1): the candidate set is derived from the
+    CLOSED literal vocabulary (STRDIST_VOCAB — query-side metadata, zero
+    data scan), its pinned float values broadcast as an isin + literal
+    map joined against the corpus words distributed. The corpus
+    dictionary is never collected. The out-of-vocabulary alarm the old
+    driver-side scan provided is kept — strengthened, even — as a
+    distributed anti-join count (one scalar to the driver): ANY corpus
+    first-word outside the closed vocabulary trips it, not just the
+    jw >= 0.5 ones."""
     from ..search.strdist import jaro_winkler
 
     p = _t(spark, sf, "part")
     words = p.select(
         F.element_at(F.split(F.col("p_name"), " "), 1).alias("w"))
-    dictionary = sorted(r["w"] for r in words.distinct().collect())
+    oov = words.filter(~F.col("w").isin(STRDIST_VOCAB)).limit(1).count()
+    assert oov == 0, (
+        "corpus p_name first-word outside the pinned STRDIST_VOCAB: the "
+        "literal value table no longer covers the dictionary")
     keep = {
         w: float(jaro_winkler(STRDIST_TARGET, w))
-        for w in dictionary
+        for w in STRDIST_VOCAB
         if jaro_winkler(STRDIST_TARGET, w) >= 0.5
     }
     if not keep:

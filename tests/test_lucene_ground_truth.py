@@ -6051,3 +6051,47 @@ def test_geo3d_distance_query_matches_compiled_reference():
             assert want & comparable == got & comparable, (
                 corpus_round, kind, arg, sorted(want), sorted(got))
         assert skipped <= n_docs * 10 * 0.05, skipped
+
+
+def test_geo3d_sharp_bend_path_candidate_branches():
+    """Ground-truth round 84 (ADVICE r3 high fix): GeoStandardPath's
+    four-candidate SegmentEndpoint selection at SHARP bends, docid-exact
+    vs the compiled reference. The reference call site
+    (GeoStandardPath.java:182-186) tests candidate1 against
+    prevSegment.LRHC and candidate4 against currentSegment.LLHC — the
+    one corner NOT on each plane; testing a corner ON the plane is
+    trivially true within the 1e-12 slop and silently forces candidate1
+    everywhere. These 10 cases were mined so the swapped-check-point
+    variant picks a different branch AND flips membership of at least
+    one listed point, so the pin actually discriminates (the r83 pin's
+    gentle bends did not). Also asserts the c3 branch is exercised."""
+    from tests.geo3d_sharp_cases import GEO3D_SHARP_BEND_CASES
+    from lucene_solr_spark.ops.geo3d import (
+        GeoStandardPath,
+        RADIANS_PER_DEGREE,
+        RADIANS_PER_METER,
+        path_margin,
+        path_query_matches,
+    )
+
+    branches = set()
+    for case in GEO3D_SHARP_BEND_CASES:
+        path, width, pts = case["path"], case["width"], case["pts"]
+        shape = GeoStandardPath(
+            [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+             for la, lo in path],
+            width * RADIANS_PER_METER,
+        )
+        branches.update(shape.endpoint_branches)
+        lines = [f"{la!r} {lo!r}" for la, lo in pts]
+        spec = " ".join(f"{la!r} {lo!r}" for la, lo in path)
+        exp = gt.run_geo3d(lines, [f"PATH {width!r} {spec}"])[0]
+        got = set() if exp == "-" else {int(x) for x in exp.split(",")}
+        want = set(path_query_matches(pts, path, width))
+        comparable = {
+            i for i, p in enumerate(pts)
+            if path_margin(p, path, width) > 1e-10
+        }
+        assert want & comparable == got & comparable, (
+            path, width, sorted(want), sorted(got))
+    assert "c3" in branches, branches

@@ -84,3 +84,20 @@ def test_multipass_split_round_robin(spark, tmp_root, source):
     multipass_split(spark, src_dir, outs, seq=False)
     for i, d in enumerate(outs):
         _assert_part(spark, d, pdf[pdf["doc_id"] % 2 == i])
+
+
+def test_pk_split_ordering_is_utf8_byte_order(spark):
+    """pk_split parity invariant (ADVICE r3): the reference compares PK
+    terms as UTF-8 bytes (BytesRef.compareTo); Spark's default
+    UTF8_BINARY collation must order strings identically — including
+    supplementary-plane keys where Java String.compareTo's UTF-16
+    code-unit order would diverge (U+FFFD vs U+10400)."""
+    from pyspark.sql import functions as F
+
+    keys = ["a", "z�", "z\U00010400", "", "\U0001f600", "Z"]
+    df = spark.createDataFrame([(k,) for k in keys], "pk string")
+    for mid in keys:
+        got = sorted(
+            r["pk"] for r in df.filter(F.col("pk") < mid).collect())
+        want = sorted(k for k in keys if k.encode() < mid.encode())
+        assert got == want, (mid, got, want)
