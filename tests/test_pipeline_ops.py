@@ -234,3 +234,70 @@ def test_dataset_splitter_spark_matches_python_mirror(spark):
     exp = dataset_splitter_assign_py(rows, 0.25, 0.15)
     for (doc, _c), e in zip(rows, exp):
         assert got[doc] == e, (doc, got[doc], e)
+
+
+def test_vectorized_shingle_hash_matches_reference():
+    """r4 (VERDICT #2): the vectorized shingle-hash path — sha256 once
+    per DISTINCT token (factorize) + numpy uint64 fold — must equal the
+    per-shingle reference computation exactly, including boundary docs
+    (len < k, empty, None) and the uint64 wraparound the DuckDB HUGEINT
+    replay mirrors."""
+    import hashlib
+
+    import numpy as np
+
+    from lucene_solr_spark.ops.pipeline import _MH_P, _shingle_hash_batch
+
+    texts = ["the quick brown fox the quick", "a b", "", None,
+             "x " * 300 + "y z", "solo"]
+    dids = [7, 8, 9, 10, 11, 12]
+
+    def ref(txt, k=3):
+        t = [x for x in (txt or "").split(" ") if x]
+        out = []
+        for i in range(max(len(t) - k + 1, 0)):
+            # seeding h=0 collapses the first step to th (0*P+th == th),
+            # matching the engine's seed-with-first-token-hash fold
+            h = 0
+            for w in t[i:i + k]:
+                th = int.from_bytes(
+                    hashlib.sha256(w.encode()).digest()[:8], "big")
+                h = (h * int(_MH_P) + th) % (1 << 64)
+            out.append(h)
+        return out
+
+    want_ids, want_h = [], []
+    for did, txt in zip(dids, texts):
+        for h in ref(txt):
+            want_ids.append(did)
+            want_h.append(h)
+    got_ids, got_h = _shingle_hash_batch(dids, texts, 3)
+    assert list(got_ids) == want_ids
+    assert [int(v) for v in got_h] == want_h
+    assert got_h.dtype == np.uint64
+
+
+def test_vectorized_shingle_rows_distinct(spark):
+    """shingle_rows' object-array concat path must emit the same gram
+    stream as the naive join loop, and distinct=True must dedupe
+    per-doc without dropping cross-doc repeats."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import shingle_rows
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c a b c a b", "a b c", "short"],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {(r["doc_id"], r["s"])
+           for r in shingle_rows(df, k=3, distinct=True).collect()}
+    want = set()
+    for did, txt in zip(pdf["doc_id"], pdf["text"]):
+        t = txt.split(" ")
+        for i in range(max(len(t) - 2, 0)):
+            want.add((did, " ".join(t[i:i + 3])))
+    assert got == want
+    # non-distinct keeps duplicates: doc 1 has 6 grams, 2 distinct
+    rows = shingle_rows(df, k=3, distinct=False).where("doc_id = 1").count()
+    assert rows == 6
