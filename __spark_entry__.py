@@ -228,6 +228,13 @@ LM_QUERIES = {
     # SimilarityBase float32 avgFieldLength
     "dfr_inl2": ("spark merge vector", "dfr_inl2"),
     "ib_ll": ("spark merge vector", "ib_ll"),
+    # r4: the remaining DFR/IB grid cells (VERDICT #3) — BasicModel
+    # G/IF/Ine × AfterEffectB and Distribution SPL × LambdaTTF, all
+    # NormalizationH2, all GT-pinned bit-exact vs the compiled binary
+    "dfr_gb2": ("spark merge vector", "dfr_gb2"),
+    "dfr_ifb2": ("spark merge vector", "dfr_ifb2"),
+    "dfr_ineb2": ("spark merge vector", "dfr_ineb2"),
+    "ib_spl_ttf": ("spark merge vector", "ib_spl_ttf"),
     # DFI (DFISimilarity.java, chi-squared independence): the 7th scoring
     # model through the plug point — needs per-term ttf + sum_ttf
     "dfi_chi_squared": ("spark merge vector", "dfi_chi_squared"),
@@ -768,8 +775,12 @@ def _bm25_groups() -> dict[str, list]:
     for name, (q, sim) in LM_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import (
             dfi_sql,
+            dfr_gb2_sql,
+            dfr_ifb2_sql,
+            dfr_ineb2_sql,
             dfr_inl2_sql,
             ib_ll_sql,
+            ib_spl_ttf_sql,
             lm_dirichlet_sql,
             lm_jelinek_mercer_sql,
             multi_bm25_classic_sql,
@@ -780,6 +791,10 @@ def _bm25_groups() -> dict[str, list]:
             "lm_jelinek_mercer": lm_jelinek_mercer_sql,
             "dfr_inl2": dfr_inl2_sql,
             "ib_ll": ib_ll_sql,
+            "dfr_gb2": dfr_gb2_sql,
+            "dfr_ifb2": dfr_ifb2_sql,
+            "dfr_ineb2": dfr_ineb2_sql,
+            "ib_spl_ttf": ib_spl_ttf_sql,
             "dfi_chi_squared": dfi_sql,
             "multi_bm25_classic": multi_bm25_classic_sql,
         }[sim]

@@ -2134,6 +2134,46 @@ def ib_ll_sql(query: str, k: int = 10) -> str:
     return _simbase_dfr_sql(query, k, expr)
 
 
+#: AfterEffectB (AfterEffectB.java:33-36): (F+1+1)/((df+1)*(tfn+1))
+_AE_B = f"((ttfs.ttf + 2) / ((dfs.df + 1) * ({_TFN_H2} + 1)))"
+
+
+def dfr_gb2_sql(query: str, k: int = 10) -> str:
+    """DFR GB2 oracle (BasicModelG.java:38-43 + AfterEffectB +
+    NormalizationH2): lambda=(F+1)/(N+F+1);
+    (log2(lambda+1) + tfn*log2((1+lambda)/lambda)) * afterEffectB."""
+    lam = "((ttfs.ttf + 1) / (st.n + ttfs.ttf + 1))"
+    bm = f"(log2({lam} + 1) + {_TFN_H2} * log2((1 + {lam}) / {lam}))"
+    return _simbase_dfr_sql(query, k, f"({bm} * {_AE_B})", with_ttf=True)
+
+
+def dfr_ifb2_sql(query: str, k: int = 10) -> str:
+    """DFR IFB2 oracle (BasicModelIF.java:35-37 + AfterEffectB +
+    NormalizationH2): tfn*log2(1 + (N+1)/(F+0.5)) * afterEffectB."""
+    bm = f"({_TFN_H2} * log2(1 + (st.n + 1) / (ttfs.ttf + 0.5)))"
+    return _simbase_dfr_sql(query, k, f"({bm} * {_AE_B})", with_ttf=True)
+
+
+def dfr_ineb2_sql(query: str, k: int = 10) -> str:
+    """DFR IneB2 oracle (BasicModelIne.java:35-39 + AfterEffectB +
+    NormalizationH2): ne = N*(1-((N-1)/N)^F);
+    tfn*log2((N+1)/(ne+0.5)) * afterEffectB."""
+    ne = "(st.n * (1 - pow((st.n - 1) / st.n, ttfs.ttf)))"
+    bm = f"({_TFN_H2} * log2((st.n + 1) / ({ne} + 0.5)))"
+    return _simbase_dfr_sql(query, k, f"({bm} * {_AE_B})", with_ttf=True)
+
+
+def ib_spl_ttf_sql(query: str, k: int = 10) -> str:
+    """IB SPL/TTF oracle (DistributionSPL.java:34-39 + LambdaTTF.java:31
+    + NormalizationH2): lambda=(ttf+1)/(N+1) (corpus keeps it < 1, so
+    the ==1f -> 0.99f guard never fires);
+    -ln((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda))."""
+    lam = "((ttfs.ttf + 1) / (st.n + 1))"
+    expr = (f"(-ln((pow({lam}, {_TFN_H2} / ({_TFN_H2} + 1)) - {lam})"
+            f" / (1 - {lam})))")
+    return _simbase_dfr_sql(query, k, expr, with_ttf=True)
+
+
 _DFI_MEASURES = {
     "chi_squared": "(((tf.tf - {e}) * (tf.tf - {e})) / {e})",
     "standardized": "((tf.tf - {e}) / sqrt({e}))",

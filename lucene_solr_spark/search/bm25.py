@@ -297,6 +297,126 @@ def ib_ll_scores(
     return (np.float32(boost) * dist).astype(np.float32)
 
 
+def dfr_gb2_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    df: int,
+    ttf: int,
+    doc_count: int,
+    avgdl32: np.float32,
+    boost: float = 1.0,
+) -> np.ndarray:
+    """DFRSimilarity(BasicModelG, AfterEffectB, NormalizationH2()) — GB2.
+    BasicModelG.java:38-43: lambda = (F+1)/(N+(F+1)) in DOUBLE, score =
+    (float)(log2(lambda+1) + tfn*log2((1+lambda)/lambda)) (tfn promoted
+    to double inside, ONE cast to float). AfterEffectB.java:33-36:
+    (F+1+1)/((df+1)*(tfn+1)) — the longs promote to float32, so the
+    multiply and divide are float32 ops."""
+    tfn = _tfn_h2(freq, norm_byte, avgdl32)
+    big_f = np.float64(ttf) + 1.0
+    lam = big_f / (np.float64(doc_count) + big_f)
+    bm = (
+        np.log(lam + 1.0) / _LN2
+        + tfn.astype(np.float64) * (np.log((1.0 + lam) / lam) / _LN2)
+    ).astype(np.float32)
+    ae = (
+        np.float32(ttf + 2)
+        / (np.float32(df + 1) * (tfn + np.float32(1.0)))
+    ).astype(np.float32)
+    return ((np.float32(boost) * bm) * ae).astype(np.float32)
+
+
+def dfr_ifb2_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    df: int,
+    ttf: int,
+    doc_count: int,
+    avgdl32: np.float32,
+    boost: float = 1.0,
+) -> np.ndarray:
+    """DFRSimilarity(BasicModelIF, AfterEffectB, NormalizationH2()) —
+    IFB2. BasicModelIF.java:35-37: tfn * (float)log2(1 + (N+1)/(F+0.5))
+    — the inner ratio is all-double ((N+1) long promoted over the
+    double F+0.5), one cast, then a float32 multiply with tfn."""
+    tfn = _tfn_h2(freq, norm_byte, avgdl32)
+    bmlog = np.float32(
+        np.log(1.0 + (np.float64(doc_count) + 1.0) / (np.float64(ttf) + 0.5))
+        / _LN2
+    )
+    bm = (tfn * bmlog).astype(np.float32)
+    ae = (
+        np.float32(ttf + 2)
+        / (np.float32(df + 1) * (tfn + np.float32(1.0)))
+    ).astype(np.float32)
+    return ((np.float32(boost) * bm) * ae).astype(np.float32)
+
+
+def dfr_ineb2_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    df: int,
+    ttf: int,
+    doc_count: int,
+    avgdl32: np.float32,
+    boost: float = 1.0,
+) -> np.ndarray:
+    """DFRSimilarity(BasicModelIne, AfterEffectB, NormalizationH2()) —
+    IneB2. BasicModelIne.java:35-39: ne = N*(1 - ((N-1)/N)^F) in double,
+    score = tfn * (float)log2((N+1)/(ne+0.5))."""
+    tfn = _tfn_h2(freq, norm_byte, avgdl32)
+    n64 = np.float64(doc_count)
+    ne = n64 * (1.0 - np.power((n64 - 1.0) / n64, np.float64(ttf)))
+    bmlog = np.float32(np.log((n64 + 1.0) / (ne + 0.5)) / _LN2)
+    bm = (tfn * bmlog).astype(np.float32)
+    ae = (
+        np.float32(ttf + 2)
+        / (np.float32(df + 1) * (tfn + np.float32(1.0)))
+    ).astype(np.float32)
+    return ((np.float32(boost) * bm) * ae).astype(np.float32)
+
+
+def ib_spl_ttf_scores(
+    freq: np.ndarray,
+    norm_byte: np.ndarray,
+    df: int,
+    ttf: int,
+    doc_count: int,
+    avgdl32: np.float32,
+    boost: float = 1.0,
+) -> np.ndarray:
+    """IBSimilarity(DistributionSPL, LambdaTTF, NormalizationH2()).
+    LambdaTTF.java:31: (totalTermFreq+1F)/(N+1F) in float32;
+    DistributionSPL.java:34-39: lambda==1f -> 0.99f, then
+    (float)-log((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda)) — the
+    exponent tfn/(tfn+1) is a float32 division, everything after
+    promotes to double for pow/log, one cast back."""
+    tfn = _tfn_h2(freq, norm_byte, avgdl32)
+    lam = np.float32(
+        (np.float32(ttf) + np.float32(1.0))
+        / (np.float32(doc_count) + np.float32(1.0))
+    )
+    if lam == np.float32(1.0):
+        lam = np.float32(0.99)
+    expo = (tfn / (tfn + np.float32(1.0))).astype(np.float32)
+    lam64 = np.float64(lam)
+    inner = (np.power(lam64, expo.astype(np.float64)) - lam64) / (1.0 - lam64)
+    dist = (-np.log(inner)).astype(np.float32)
+    return (np.float32(boost) * dist).astype(np.float32)
+
+
+#: SimilarityBase DFR/IB plug-point registry: name -> (scorer,
+#: needs_ttf). The two r3 models keep their pinned ttf-free signature.
+DFR_IB_SCORERS = {
+    "dfr_inl2": (dfr_inl2_scores, False),
+    "ib_ll": (ib_ll_scores, False),
+    "dfr_gb2": (dfr_gb2_scores, True),
+    "dfr_ifb2": (dfr_ifb2_scores, True),
+    "dfr_ineb2": (dfr_ineb2_scores, True),
+    "ib_spl_ttf": (ib_spl_ttf_scores, True),
+}
+
+
 #: SweetSpotSimilarity.setBaselineTfFactors demo parameters.
 SWEETSPOT_TF_BASE = np.float32(1.5)
 SWEETSPOT_TF_MIN = np.float32(2.0)

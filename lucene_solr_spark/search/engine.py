@@ -55,6 +55,10 @@ from ..index.builder import BLOCK_SCHEMA, DEFAULT_TERM_BUCKETS, IndexPaths
 from ..index.codec import delta_decode, vbyte_decode
 from .bm25 import B, K1, avgdl_f32, idf_f32, idf_sum_f32, make_term_weight, norm_cache
 
+#: SimilarityBase DFR/IB grid cells the engine accepts (bm25.DFR_IB_SCORERS)
+DFR_IB_SIMS = ("dfr_inl2", "ib_ll", "dfr_gb2", "dfr_ifb2", "dfr_ineb2",
+               "ib_spl_ttf")
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -1689,11 +1693,12 @@ class IndexSearcher:
             for t in weights:
                 weights[t]["sum_ttf"] = int(self.sum_ttf)
                 weights[t]["boost"] = float(boost_map.get(t, 1.0))
-        elif spec.similarity in ("dfr_inl2", "ib_ll"):
+        elif spec.similarity in DFR_IB_SIMS:
             # SimilarityBase DFR/IB models (DFRSimilarity.java /
-            # IBSimilarity.java): need SimilarityBase's own float32
-            # avgFieldLength cast order plus the per-term df already in
-            # the weights
+            # IBSimilarity.java — the full BasicModel/AfterEffect/
+            # Distribution/Lambda grid cells in bm25.DFR_IB_SCORERS):
+            # need SimilarityBase's own float32 avgFieldLength cast
+            # order plus the per-term df/ttf already in the weights
             if spec.positional_terms:
                 raise ValueError("DFR/IB similarities cover term clauses only")
             from .bm25 import simbase_avgdl_f32
@@ -2619,15 +2624,16 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         lm_fn = lm_dirichlet_scores if lm == "lm_dirichlet" else lm_jelinek_mercer_scores
         lm_ps = {t: np.float32(weights[t]["lm_p"]) for t in weights if "lm_p" in weights[t]}
         lm_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
-    dfr = spec.similarity if spec.similarity in ("dfr_inl2", "ib_ll") else None
+    dfr = spec.similarity if spec.similarity in DFR_IB_SIMS else None
     if dfr:
-        from .bm25 import dfr_inl2_scores, ib_ll_scores
+        from .bm25 import DFR_IB_SCORERS
 
-        dfr_fn = dfr_inl2_scores if dfr == "dfr_inl2" else ib_ll_scores
+        dfr_fn, dfr_needs_ttf = DFR_IB_SCORERS[dfr]
         dfr_av = np.float32(
             next(w["simbase_avgdl"] for w in weights.values() if "simbase_avgdl" in w)
         )
         dfr_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
+        dfr_ttfs = {t: int(weights[t]["ttf"]) for t in weights}
     multi = spec.similarity == "multi_bm25_classic"
     if multi:
         from .bm25 import CLASSIC_DECODE as _MULTI_DECODE
@@ -2658,6 +2664,11 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         if lm:
             return lm_fn(freq, nb, lm_ps[t], boost=lm_boosts[t])
         if dfr:
+            if dfr_needs_ttf:
+                return dfr_fn(
+                    freq, nb, dfs[t], dfr_ttfs[t], doc_count, dfr_av,
+                    boost=dfr_boosts[t]
+                )
             return dfr_fn(
                 freq, nb, dfs[t], doc_count, dfr_av, boost=dfr_boosts[t]
             )

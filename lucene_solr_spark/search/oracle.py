@@ -107,10 +107,9 @@ def oracle_lm_topk(
     measures): SHOULD-sum over analyzed clauses, each clause scored by
     the model's formula over (tf, norm byte, collection stats)."""
     from .bm25 import (
+        DFR_IB_SCORERS,
         collection_probability_f32,
         dfi_scores,
-        dfr_inl2_scores,
-        ib_ll_scores,
         lm_dirichlet_scores,
         lm_jelinek_mercer_scores,
         simbase_avgdl_f32,
@@ -129,9 +128,13 @@ def oracle_lm_topk(
     for t in terms:  # duplicates = duplicate clauses
         post = idx.postings.get(t, {})
         tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
-        if similarity in ("dfr_inl2", "ib_ll"):
-            fn = dfr_inl2_scores if similarity == "dfr_inl2" else ib_ll_scores
-            s = fn(tf, norm, len(post), idx.doc_count, av32)
+        if similarity in DFR_IB_SCORERS:
+            fn, needs_ttf = DFR_IB_SCORERS[similarity]
+            if needs_ttf:
+                s = fn(tf, norm, len(post), sum(post.values()),
+                       idx.doc_count, av32)
+            else:
+                s = fn(tf, norm, len(post), idx.doc_count, av32)
         elif similarity == "multi_bm25_classic":
             # MultiSimilarity CombSUM: float32 running sum of BM25 and
             # Classic(queryNorm=1) sub-scores, BM25 norms (sims[0])

@@ -150,6 +150,22 @@ public class GroundTruthTopK {
           new org.apache.lucene.search.similarities.DistributionLL(),
           new org.apache.lucene.search.similarities.LambdaDF(),
           new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_gb2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelG(),
+          new org.apache.lucene.search.similarities.AfterEffectB(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_ifb2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelIF(),
+          new org.apache.lucene.search.similarities.AfterEffectB(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_ineb2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelIne(),
+          new org.apache.lucene.search.similarities.AfterEffectB(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "ib_spl_ttf": return new org.apache.lucene.search.similarities.IBSimilarity(
+          new org.apache.lucene.search.similarities.DistributionSPL(),
+          new org.apache.lucene.search.similarities.LambdaTTF(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
       case "dfi_chi_squared": return new org.apache.lucene.search.similarities.DFISimilarity(
           new org.apache.lucene.search.similarities.IndependenceChiSquared());
       case "dfi_standardized": return new org.apache.lucene.search.similarities.DFISimilarity(
