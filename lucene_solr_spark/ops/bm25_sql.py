@@ -2107,9 +2107,13 @@ scored AS (
   CROSS JOIN st CROSS JOIN av{ttf_join}
   GROUP BY tf.doc_id
 )
-SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+-- rank over the FLOAT32 quantization of the double clause sum: the
+-- engine scores in float32, and the double sum's addition order is
+-- plan-dependent (a union wrapper reordered an exact tie once), so
+-- ranking raw doubles is fragile exactly where f32 sees a tie
+SELECT doc_id, CAST(row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS INTEGER) AS rank
 FROM scored
-ORDER BY score DESC, doc_id ASC
+ORDER BY CAST(score AS REAL) DESC, doc_id ASC
 LIMIT {k}
 """
 

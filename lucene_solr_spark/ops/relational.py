@@ -1866,10 +1866,22 @@ def terms_combined(spark, sf):
         F.col("tf").cast("long").alias("freq"),
         "positions",
     )
-    return t1.unionByName(t2).orderBy("variant", "doc_id", "term")
+    # r4 (VERDICT #4): the Snowball analyzer family rides the same
+    # union — per-language stemmed term dictionaries (what a
+    # multilingual index's per-language term dict would hold)
+    t3 = snowball_analyzers(spark, sf).select(
+        F.concat(F.lit("snowball_"), F.col("lang")).alias("variant"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("stem").alias("term"),
+        F.col("cnt").cast("long").alias("freq"),
+        F.lit("").alias("positions"),
+    )
+    return (t1.unionByName(t2).unionByName(t3)
+            .orderBy("variant", "doc_id", "term"))
 
 
-TERMS_COMBINED_SQL = f"""
+def _terms_combined_sql() -> str:
+    return f"""
 SELECT * FROM (
   SELECT 'dict' AS variant, CAST(-1 AS BIGINT) AS doc_id, term,
          CAST(df AS BIGINT) AS freq, '' AS positions
@@ -1877,6 +1889,10 @@ SELECT * FROM (
   UNION ALL
   SELECT 'vector' AS variant, doc_id, term, CAST(tf AS BIGINT) AS freq, positions
   FROM ({TERM_VECTORS_SQL})
+  UNION ALL
+  SELECT 'snowball_' || lang AS variant, CAST(-1 AS BIGINT) AS doc_id,
+         stem AS term, CAST(cnt AS BIGINT) AS freq, '' AS positions
+  FROM ({_snowball_analyzers_sql()})
 ) ORDER BY variant, doc_id, term
 """
 
@@ -4299,6 +4315,84 @@ def jdbc_stream(
 # `facets` and `multiterm_query` are tagged unions of three unchanged
 # plans each — consolidation that keeps every operator family inside the
 # driver's 50-row CORRECTNESS cap (the individual fns remain public API).
+#: the synthetic documents table's CLOSED token vocabulary (corpus.py
+#: generator draws from a fixed set; same 31 words at every SF). Like
+#: STRDIST_VOCAB: literal query-side metadata, with a distributed
+#: out-of-vocabulary alarm so generator drift fails loudly.
+SNOWBALL_DOC_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def _snowball_stem_rows() -> list[tuple[str, str, str]]:
+    """(lang, word, stem) across the Snowball family — values derived
+    from the closed literal vocabulary through the GT-pinned stemmers
+    (analysis/snowball_*.py, GT rounds 56/65/85): driver-side literal
+    work, zero data scan, identical in engine and oracle."""
+    from ..analysis.snowball_de import german2_stem
+    from ..analysis.snowball_en import porter2_stem
+    from ..analysis.snowball_es import spanish_stem
+    from ..analysis.snowball_fr import french_stem
+    from ..analysis.snowball_it import italian_stem
+    from ..analysis.snowball_nl import dutch_stem
+
+    langs = {
+        "english": porter2_stem, "german2": german2_stem,
+        "french": french_stem, "spanish": spanish_stem,
+        "italian": italian_stem, "dutch": dutch_stem,
+    }
+    return [(lang, w, fn(w))
+            for lang, fn in sorted(langs.items())
+            for w in SNOWBALL_DOC_VOCAB]
+
+
+def snowball_analyzers(spark, sf):
+    """The Snowball analyzer family as a gate leg (r3 VERDICT #4): each
+    language chain's stem table over the corpus tokens — per-(lang,
+    stem) occurrence counts, i.e. what the per-language term dictionary
+    of a multilingual index would hold. The stem mapping is broadcast
+    from literals (closed vocabulary), the corpus tokens stream through
+    one explode + broadcast join + partial agg — no full-dictionary
+    collect, one shuffle of <= |langs|x|vocab| rows."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    oov = toks.filter(~F.col("w").isin(list(SNOWBALL_DOC_VOCAB))) \
+        .limit(1).count()
+    assert oov == 0, (
+        "documents token outside the pinned SNOWBALL_DOC_VOCAB: the "
+        "literal stem table no longer covers the corpus")
+    m = spark.createDataFrame(
+        _snowball_stem_rows(), "lang string, w string, stem string")
+    return (
+        toks.join(F.broadcast(m), "w")
+        .groupBy("lang", "stem")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "stem")
+    )
+
+
+def _snowball_analyzers_sql() -> str:
+    rows = ",\n       ".join(
+        f"('{lang}', '{w}', '{s}')" for lang, w, s in _snowball_stem_rows()
+    )
+    return f"""
+WITH toks AS (
+  SELECT t.tok AS w FROM documents d,
+         unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+m(lang, w2, stem) AS (SELECT * FROM (VALUES {rows}))
+SELECT lang, stem, count(*) AS cnt
+FROM toks JOIN m ON toks.w = m.w2
+GROUP BY lang, stem ORDER BY lang, stem
+"""
+
+
 OPS: dict[str, tuple] = {
     "facets": (facets_combined, FACETS_COMBINED_SQL),
     "stats_component": (stats_component, STATS_COMPONENT_SQL),
@@ -4319,7 +4413,8 @@ OPS: dict[str, tuple] = {
     "match_all_count": (match_all_count, MATCH_ALL_COUNT_SQL),
     "min_should_match": (min_should_match, MIN_SHOULD_MATCH_SQL),
     "export_sorted": (export_sorted, _export_sorted_sql),
-    "terms_component": (terms_combined, TERMS_COMBINED_SQL),
+    # includes the snowball_<lang> stemmed-dictionary variants (r4)
+    "terms_component": (terms_combined, _terms_combined_sql),
     # prefix + spell as one tagged union (both term-dict-only)
     "suggest": (suggest_combined, SUGGEST_COMBINED_SQL),
     "spatial_knn": (spatial_family, f"""

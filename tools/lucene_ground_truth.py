@@ -5977,7 +5977,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/tartarus/snowball/ext/EnglishStemmer.class"
+        CLASSES, "org/tartarus/snowball/ext/RussianStemmer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -5990,6 +5990,11 @@ def build() -> bool:
              f"{tart}/SnowballProgram.java",
              f"{tart}/ext/EnglishStemmer.java",
              f"{tart}/ext/German2Stemmer.java",
+             f"{tart}/ext/FrenchStemmer.java",
+             f"{tart}/ext/SpanishStemmer.java",
+             f"{tart}/ext/ItalianStemmer.java",
+             f"{tart}/ext/DutchStemmer.java",
+             f"{tart}/ext/RussianStemmer.java",
              f"{ac_root}/snowball/SnowballFilter.java"],
             capture_output=True, text=True, timeout=180,
         )

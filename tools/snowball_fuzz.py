@@ -1,0 +1,149 @@
+"""Dev loop: fuzz a python Snowball port against the compiled reference.
+
+Usage: python tools/snowball_fuzz.py <lang> [n_rounds]
+lang in {Spanish, Italian, French, Dutch, Russian, KpDutch, ...}
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import lucene_ground_truth as gt
+
+LANG_SETUP = {
+    "Spanish": dict(
+        alphabet="abcdefghijlmnopqrstuvxyzáéíóúüñ",
+        stems=["cas", "habl", "com", "viv", "cant", "torment", "llegu",
+               "logic", "nacional", "capac", "atac", "guij", "sigu",
+               "ayu", "cuy", "huy", "constru", "relig", "penalti",
+               "gener", "import", "real", "visit", "trabaj", "estudi"],
+        sufs=["a", "o", "os", "as", "e", "es", "é", "ó", "í", "á",
+              "amente", "mente", "idad", "idades", "iva", "ivo", "able",
+              "ible", "ación", "aciones", "ador", "adora", "logía",
+              "ución", "encia", "encias", "amiento", "imiento", "ista",
+              "ismo", "oso", "ico", "anza", "aba", "ado", "ando",
+              "iendo", "ar", "er", "ir", "aría", "aré", "eremos",
+              "ieron", "iese", "ase", "áramos", "ábamos", "íamos",
+              "yendo", "ya", "yeron", "yo", "uye", "uyen", "emos",
+              "éis", "en", "me", "se", "la", "lo", "nos", "sela",
+               "selos", "ándola", "iéndolo", "árselo"],
+    ),
+    "Italian": dict(
+        alphabet="abcdefghilmnopqrstuvzàèìòùáéíóú",
+        stems=["cas", "parl", "cant", "legg", "finisc", "mangi", "stud",
+               "nazional", "logic", "amic", "bell", "grand", "lavor",
+               "pens", "ultim", "qualc", "guid", "acqu", "pioggi",
+               "famigli", "uom", "ragazz", "important"],
+        sufs=["a", "o", "i", "e", "à", "è", "ì", "ò", "amente", "mente",
+              "ità", "ivo", "iva", "abile", "ibile", "azione", "atore",
+              "logia", "uzione", "enza", "amento", "imento", "ista",
+              "ismo", "oso", "ico", "anza", "ava", "ato", "ando",
+              "endo", "are", "ere", "ire", "erebbe", "irebbero",
+              "assimo", "issero", "iamo", "iate", "ano", "ono", "ci",
+              "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti",
+              "vi", "sene", "gliela", "mela", "cela", "vela",
+              "andoci", "endogli", "arla", "erlo", "irne", "ch", "gh"],
+    ),
+    "French": dict(
+        alphabet="abcdefghijlmnopqrstuvxyzàâçèéêëîïôùûü",
+        stems=["port", "march", "parl", "fin", "mang", "nation", "log",
+               "continu", "import", "commenc", "étud", "chât", "franç",
+               "jou", "cri", "pay", "env", "bataill", "travaill",
+               "princ", "machin", "copi", "ennem", "beau", "joua", "ayu",
+               "oui", "yeu", "aïeu", "quiou", "uy", "yay", "ouiy"],
+        sufs=["e", "es", "é", "ée", "ées", "és", "èrent", "er", "era",
+              "erait", "eraient", "erons", "eront", "ez", "iez",
+              "ance", "ances", "ique", "iques", "isme", "ismes",
+              "able", "ables", "iste", "istes", "eux", "atrice",
+              "ation", "ations", "ateur", "logie", "logies", "usion",
+              "ution", "ence", "ences", "ement", "ements", "ité",
+              "ités", "if", "ive", "ifs", "ives", "eaux", "aux",
+              "euse", "euses", "issement", "issements", "amment",
+              "emment", "ment", "ments", "ie", "ir", "it", "issant",
+              "issante", "is", "ira", "irait", "iront", "ons", "ont",
+              "ant", "ante", "antes", "ants", "ais", "ait", "aient",
+              "asse", "assent", "âmes", "âtes", "enn", "onn", "ett",
+              "ell", "eill", "s", "x"],
+    ),
+    "Dutch": dict(
+        alphabet="abcdefghijklmnopqrstuvwyzäëïöüáéíóú",
+        stems=["lop", "werk", "lichamelijk", "opmerk", "gel", "baker",
+               "hand", "kind", "groot", "klein", "huiz", "duid", "jarig",
+               "koning", "landbouw", "water", "gemeen", "zoek", "vlieg",
+               "typ", "bijzonder", "aanw", "bloe", "boe", "moe"],
+        sufs=["", "e", "en", "ene", "s", "se", "heid", "heden", "end",
+              "ing", "ig", "lijk", "baar", "bar", "ingen", "igen",
+              "ende", "elijk", "den", "ten", "je", "tje", "aa", "ee",
+              "oo", "uu", "aat", "eet", "oot", "uut", "y", "ij"],
+    ),
+    "Russian": dict(
+        alphabet="абвгдежзиклмнопрстуфхцчшщъыьэюяё",
+        stems=["книг", "говор", "красн", "работ", "человеч", "студентк",
+               "бел", "сильн", "нов", "стар", "делат", "ходи", "больш",
+               "перв", "важн", "密".replace("密", "глубок"), "высок"],
+        sufs=["", "а", "ы", "и", "о", "е", "у", "ю", "я", "ой", "ого",
+              "ому", "ыми", "ая", "яя", "ое", "ее", "ть", "ешь", "ет",
+              "ем", "ете", "ут", "ают", "ил", "ила", "ило", "или",
+              "вши", "вшись", "ся", "сь", "ость", "ости", "ейш",
+              "ейше", "нн", "ь", "ий", "ый", "ов", "ев", "ами", "ях",
+              "иями", "ями", "ением", "ение", "ируя", "ывая", "ав"],
+    ),
+}
+
+
+def main():
+    lang = sys.argv[1]
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 8501
+    setup = LANG_SETUP[lang]
+    fn = {
+        "Spanish": "snowball_es.spanish_stem",
+        "Italian": "snowball_it.italian_stem",
+        "French": "snowball_fr.french_stem",
+        "Dutch": "snowball_nl.dutch_stem",
+        "Russian": "snowball_ru.russian_stem",
+    }[lang]
+    mod_name, fn_name = fn.split(".")
+    mod = __import__(f"lucene_solr_spark.analysis.{mod_name}",
+                     fromlist=[fn_name])
+    stem = getattr(mod, fn_name)
+
+    assert gt.build()
+    rng = random.Random(seed)
+    words = []
+    for _ in range(rounds * 8):
+        r = rng.random()
+        if r < 0.45:
+            word = rng.choice(setup["stems"]) + rng.choice(setup["sufs"])
+            if rng.random() < 0.35:
+                word += rng.choice(setup["sufs"])
+        elif r < 0.75:
+            word = (rng.choice(setup["stems"])[:rng.randint(1, 4)]
+                    + "".join(rng.choice(setup["alphabet"])
+                              for _ in range(rng.randint(1, 6))))
+        else:
+            word = "".join(rng.choice(setup["alphabet"])
+                           for _ in range(rng.randint(1, 10)))
+        words.append(word)
+    words = sorted(set(words))
+    lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+    exp = gt.run_snowball(lines, lang)
+    n_bad = 0
+    for ln, ex in zip(lines, exp):
+        toks = ln.split(" ")
+        got = [stem(t) for t in toks]
+        want = [t for (t, _pi, _s, _e) in ex]
+        for tok, g, w in zip(toks, got, want):
+            if g != w:
+                n_bad += 1
+                if n_bad <= 25:
+                    print(f"DIFF {tok!r}: mine={g!r} java={w!r}")
+    print(f"{lang}: {len(words)} words, {n_bad} mismatches")
+
+
+if __name__ == "__main__":
+    main()
