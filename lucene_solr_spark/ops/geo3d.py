@@ -576,6 +576,134 @@ class GeoStandardPath:
             s.is_within(x, y, z) for s in self.segments)
 
 
+def _winding(pole_lat, pole_lon, pts):
+    """GeoPolygonFactory.isInsidePolygon's signed arc distance of the
+    ring as seen from a pole (computeAngle rotation + wrapped angle
+    deltas); > 0 means the pole is INSIDE the described shape
+    (GeoPolygonFactory.java: 'Clockwise == inside == negative')."""
+    sin_lat, cos_lat = math.sin(pole_lat), math.cos(pole_lat)
+    sin_lon, cos_lon = math.sin(pole_lon), math.cos(pole_lon)
+
+    def angle(p):
+        x1 = p[0] * cos_lon + p[1] * sin_lon
+        y1 = -p[0] * sin_lon + p[1] * cos_lon
+        z1 = p[2]
+        y2 = y1
+        z2 = -x1 * sin_lat + z1 * cos_lat
+        if math.sqrt(y2 * y2 + z2 * z2) < MINIMUM_RESOLUTION:
+            return None
+        return math.atan2(z2, y2)
+
+    arc = 0.0
+    prev = None
+    for p in list(pts) + [pts[0]]:
+        a = angle(p)
+        if a is None:
+            return None
+        if prev is not None:
+            d = a - prev
+            if d < -math.pi:
+                d += 2.0 * math.pi
+            if d > math.pi:
+                d -= 2.0 * math.pi
+            if abs(d - math.pi) < MINIMUM_RESOLUTION:
+                return None
+            arc += d
+        prev = a
+    if abs(arc) < MINIMUM_RESOLUTION:
+        return None
+    return arc > 0.0
+
+
+class GeoConvexPolygonMembership:
+    """Geo3DPoint.newPolygonQuery membership for a truly convex ring,
+    either orientation. Edge i = SidedPlane(check, points[i],
+    points[i+1]) with check = the next vertex NOT on the edge plane
+    (GeoConvexPolygon.java:180-204). The ring's winding around an
+    interior point of the small cap decides which side the factory
+    describes (GeoPolygonFactory.isInsidePolygon): winding > 0 → the
+    small cap itself (GeoConvexPolygon: within ALL edges); winding < 0
+    → its complement (GeoConcavePolygon over the flipped planes:
+    within ANY flipped edge, GeoConcavePolygon.java:300-310). Pinned
+    docid-exact vs the compiled binary in the GT round-86 test."""
+
+    def __init__(self, pts):
+        n = len(pts)
+        self.edges = []
+        for i in range(n):
+            start, end = pts[i], pts[(i + 1) % n]
+            normal = _cross_normalized(start, end)
+            check = None
+            for j in range(n):
+                p = pts[(j + i + 2) % n]
+                ev = (normal[0] * p[0] + normal[1] * p[1]
+                      + normal[2] * p[2])
+                if abs(ev) >= MINIMUM_RESOLUTION:
+                    check = p
+                    break
+            if check is None:
+                raise ValueError("Polygon points are all coplanar")
+            self.edges.append(_sided_from_cross(check, start, end))
+        cx = sum(p[0] for p in pts) / n
+        cy = sum(p[1] for p in pts) / n
+        cz = sum(p[2] for p in pts) / n
+        pole_lat = math.atan2(cz, math.hypot(cx, cy))
+        pole_lon = math.atan2(cy, cx)
+        inside = _winding(pole_lat, pole_lon, pts)
+        if inside is None:
+            raise ValueError("cannot determine ring orientation")
+        # negative winding (clockwise) around the interior pole = the
+        # pole is in-set = the small cap is the shape
+        self.convex = not inside
+        if not self.convex:
+            self.edges = [_flip(e) for e in self.edges]
+
+    def is_within(self, x, y, z):
+        if self.convex:
+            return all(e.is_within(x, y, z) for e in self.edges)
+        return any(e.is_within(x, y, z) for e in self.edges)
+
+    def margin(self, x, y, z):
+        return min(abs(e.evaluate(x, y, z)) for e in self.edges)
+
+
+def polygon_query_matches(points_deg, polys_deg):
+    """Geo3DPoint.newPolygonQuery accept set over quantized points —
+    convex rings, composite = OR over rings
+    (GeoCompositePolygon.java:277-286)."""
+    shapes = [
+        GeoConvexPolygonMembership(
+            [geo_point(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+             for la, lo in ring])
+        for ring in polys_deg
+    ]
+    out = []
+    for i, (lat, lon) in enumerate(points_deg):
+        x, y, z = geo_point(lat * RADIANS_PER_DEGREE,
+                            lon * RADIANS_PER_DEGREE)
+        q = (decode_value(encode_value(x)), decode_value(encode_value(y)),
+             decode_value(encode_value(z)))
+        if any(s.is_within(*q) for s in shapes):
+            out.append(i)
+    return out
+
+
+def polygon_margin(point_deg, polys_deg):
+    """Min |plane evaluation| across every edge of every ring at the
+    quantized point — flip-threshold distance for test comparability."""
+    lat, lon = point_deg
+    x, y, z = geo_point(lat * RADIANS_PER_DEGREE, lon * RADIANS_PER_DEGREE)
+    q = (decode_value(encode_value(x)), decode_value(encode_value(y)),
+         decode_value(encode_value(z)))
+    m = float("inf")
+    for ring in polys_deg:
+        shape = GeoConvexPolygonMembership(
+            [geo_point(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+             for la, lo in ring])
+        m = min(m, shape.margin(*q))
+    return m
+
+
 def path_query_matches(points_deg, path_deg, width_meters):
     """Geo3DPoint.newPathQuery accept set over quantized points."""
     shape = GeoStandardPath(

@@ -3193,6 +3193,96 @@ ORDER BY c_custkey LIMIT 70
 """
 
 
+#: geo3d polygon demo (GT round 86): composite of two disjoint convex
+#: rings (clockwise-on-map = small-cap side under fromPolygon's ring
+#: reversal + the factory's winding rule)
+GEO3D_POLY_RINGS = (
+    ((12.0, -25.0), (9.0, -18.0), (3.0, -20.0), (4.0, -27.0)),
+    ((30.0, -8.0), (27.0, -2.0), (22.0, -6.0), (24.5, -12.0)),
+)
+
+
+def _geo3d_polygon_within_sql() -> str:
+    """GeoCompositePolygon membership as ONE portable SQL expression:
+    each convex ring's GeoConvexPolygon edge planes (GT round 86)
+    emitted as literals over the quantized WGS84 (x, y, z), ORed across
+    rings — the same pinned-plane-literal pattern as the corridor
+    leg."""
+    from .geo3d import (
+        DECODE,
+        GeoConvexPolygonMembership,
+        MINIMUM_RESOLUTION,
+        RADIANS_PER_DEGREE,
+        _INV_AB2,
+        _INV_C2,
+        geo_point,
+    )
+
+    def lit(v: float) -> str:
+        return f"{v:.17e}"
+
+    ux = "(cos(radians(lat)) * cos(radians(lon)))"
+    uy = "(cos(radians(lat)) * sin(radians(lon)))"
+    uz = "(sin(radians(lat)))"
+    m = (f"(1.0 / sqrt({ux}*{ux}*{lit(_INV_AB2)} + {uy}*{uy}*{lit(_INV_AB2)}"
+         f" + {uz}*{uz}*{lit(_INV_C2)}))")
+
+    def q(u: str) -> str:
+        return (f"((floor(({u} * {m}) / {lit(DECODE)}) + 0.5)"
+                f" * {lit(DECODE)})")
+
+    qx, qy, qz = q(ux), q(uy), q(uz)
+
+    def plane_ok(pl) -> str:
+        ev = (f"({lit(pl.a)} * {qx} + {lit(pl.b)} * {qy}"
+              f" + {lit(pl.c)} * {qz} + {lit(pl.d)})")
+        return (f"(abs({ev}) < {lit(MINIMUM_RESOLUTION)} OR "
+                f"(CASE WHEN {ev} > 0 THEN 1.0 ELSE -1.0 END)"
+                f" = {lit(pl.sig_num)})")
+
+    parts = []
+    for ring in GEO3D_POLY_RINGS:
+        shape = GeoConvexPolygonMembership(
+            [geo_point(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+             for la, lo in ring])
+        assert shape.convex, "demo rings must be small-cap side"
+        parts.append(
+            "(" + " AND ".join(plane_ok(e) for e in shape.edges) + ")")
+    return "(" + " OR ".join(parts) + ")"
+
+
+def spatial_geo3d_polygon(spark, sf):
+    """Geo3DPoint.newPolygonQuery analog (GT round 86): composite
+    convex-polygon membership as a single codegen projection, oracle
+    replaying the identical pinned plane arithmetic."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return (
+        c.filter(F.expr(_geo3d_polygon_within_sql()))
+        .select("c_custkey", F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"))
+        .orderBy("c_custkey")
+        .limit(70)
+    )
+
+
+def _spatial_geo3d_polygon_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon
+FROM pts WHERE {_geo3d_polygon_within_sql()}
+ORDER BY c_custkey LIMIT 70
+"""
+
+
 def spatial_family(spark, sf):
     """Distance knn + polygon containment + z-order bbox as one union."""
     v1 = spatial_knn(spark, sf).select(
@@ -3215,8 +3305,12 @@ def spatial_family(spark, sf):
         F.lit("geo3d_path").alias("variant"), "c_custkey", "lat", "lon",
         F.lit(0.0).alias("val"),
     )
+    v6 = spatial_geo3d_polygon(spark, sf).select(
+        F.lit("geo3d_polygon").alias("variant"), "c_custkey", "lat", "lon",
+        F.lit(0.0).alias("val"),
+    )
     return (v1.unionByName(v2).unionByName(v3).unionByName(v4)
-            .unionByName(v5)
+            .unionByName(v5).unionByName(v6)
             .orderBy("variant", "c_custkey"))
 
 
@@ -4434,11 +4528,15 @@ SELECT * FROM (
   UNION ALL
   SELECT 'geo3d_path' AS variant, c_custkey, lat, lon, 0.0 AS val
   FROM ({{GEO3D_PATH_SQL}})
+  UNION ALL
+  SELECT 'geo3d_polygon' AS variant, c_custkey, lat, lon, 0.0 AS val
+  FROM ({{GEO3D_POLYGON_SQL}})
 ) ORDER BY variant, c_custkey
 """.replace("{POLY_SQL}", _spatial_polygon_sql())
    .replace("{ZORDER_SQL}", _spatial_zorder_sql())
    .replace("{GEO3D_SQL}", _spatial_geo3d_sql())
-   .replace("{GEO3D_PATH_SQL}", _spatial_geo3d_path_sql())),
+   .replace("{GEO3D_PATH_SQL}", _spatial_geo3d_path_sql())
+   .replace("{GEO3D_POLYGON_SQL}", _spatial_geo3d_polygon_sql())),
     "highlight_snippet": (highlight_combined, HIGHLIGHT_COMBINED_SQL),
     "json_facet_aggs": (json_facet_aggs, JSON_FACET_AGGS_SQL),
     "gather_nodes": (gather_nodes, GATHER_NODES_SQL),

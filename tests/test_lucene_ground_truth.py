@@ -17,6 +17,7 @@ Skipped when javac or the reference tree is unavailable.
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -6096,3 +6097,65 @@ def test_geo3d_sharp_bend_path_candidate_branches():
         assert want & comparable == got & comparable, (
             path, width, sorted(want), sorted(got))
     assert "c3" in branches, branches
+
+
+def test_geo3d_polygon_matches_compiled_reference():
+    """Ground-truth round 86 (r3 VERDICT #5): Geo3D polygons —
+    Geo3DPoint.newPolygonQuery membership docid-exact vs the compiled
+    reference for convex rings in BOTH orientations plus composite
+    (multi-ring) queries. Pins: fromPolygon's ring REVERSAL
+    (Geo3DPoint.java:272-275), GeoPolygonFactory's winding-based
+    in-set decision (isInsidePolygon — clockwise-on-map ring = the
+    small cap, counter-clockwise = its complement), GeoConvexPolygon's
+    SidedPlane(check, start, end) edges with the next-vertex-off-plane
+    check selection, and GeoConcavePolygon's any-flipped-edge
+    membership for the complement case (ops/geo3d.py
+    GeoConvexPolygonMembership)."""
+    from lucene_solr_spark.ops.geo3d import (
+        polygon_margin,
+        polygon_query_matches,
+    )
+
+    rng = random.Random(8686)
+    n_cases = n_skipped = 0
+    saw_complement = False
+    for _t in range(16):
+        cla, clo = rng.uniform(-60, 60), rng.uniform(-150, 150)
+        rings = []
+        n_rings = rng.choice([1, 1, 2])
+        for r in range(n_rings):
+            ccla = cla + r * 12
+            nv = rng.randint(3, 7)
+            rad = rng.uniform(1.0, 5.0)
+            angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(nv))
+            ring = [(ccla + rad * math.cos(a), clo + rad * math.sin(a) * 1.3)
+                    for a in angles]
+            if rng.random() < 0.5:
+                ring = ring[::-1]
+                saw_complement = True
+            rings.append(ring)
+        pts = []
+        for _ in range(50):
+            which = rng.randrange(n_rings)
+            base = cla + which * 12
+            pts.append((base + rng.uniform(-7, 7), clo + rng.uniform(-9, 9)))
+        lines = [f"{la!r} {lo!r}" for la, lo in pts]
+        spec = " | ".join(
+            " ".join(f"{la!r} {lo!r}" for la, lo in ring) for ring in rings)
+        try:
+            exp = gt.run_geo3d(lines, [f"POLY {spec}"])[0]
+        except RuntimeError:
+            continue  # factory rejected the random ring (e.g. too thin)
+        got = set() if exp == "-" else {int(x) for x in exp.split(",")}
+        want = set(polygon_query_matches(pts, rings))
+        comparable = set()
+        for i, p in enumerate(pts):
+            if polygon_margin(p, rings) > 1e-10:
+                comparable.add(i)
+            else:
+                n_skipped += 1
+        n_cases += 1
+        assert want & comparable == got & comparable, (
+            rings, sorted(want), sorted(got))
+    assert n_cases >= 12, n_cases
+    assert n_skipped <= n_cases * 50 * 0.05, n_skipped

@@ -2805,6 +2805,28 @@ public class GroundTruthGeo3D {
         q = Geo3DPoint.newBoxQuery(
             "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
             Double.parseDouble(p[3]), Double.parseDouble(p[4]));
+      } else if (p[0].equals("POLY")) {
+        // POLY lat1 lon1 lat2 lon2 ... [| lat1 lon1 ...] — composite of
+        // convex rings; rings are auto-closed (first point appended)
+        String spec = String.join(" ",
+            java.util.Arrays.copyOfRange(p, 1, p.length));
+        String[] ringSpecs = spec.split("\\|");
+        org.apache.lucene.geo.Polygon[] polys =
+            new org.apache.lucene.geo.Polygon[ringSpecs.length];
+        for (int ri = 0; ri < ringSpecs.length; ri++) {
+          String[] c = ringSpecs[ri].trim().split(" ");
+          int np = c.length / 2;
+          double[] lats = new double[np + 1];
+          double[] lons = new double[np + 1];
+          for (int i = 0; i < np; i++) {
+            lats[i] = Double.parseDouble(c[2 * i]);
+            lons[i] = Double.parseDouble(c[2 * i + 1]);
+          }
+          lats[np] = lats[0];
+          lons[np] = lons[0];
+          polys[ri] = new org.apache.lucene.geo.Polygon(lats, lons);
+        }
+        q = Geo3DPoint.newPolygonQuery("p", polys);
       } else {
         q = Geo3DPoint.newDistanceQuery(
             "p", Double.parseDouble(p[1]), Double.parseDouble(p[2]),
