@@ -992,6 +992,27 @@ def _bm25_groups() -> dict[str, list]:
             )
 
         derived.append((name, _join_util_fn, join_util_sql(jq, jmode, k=10)))
+    # r4 (VERDICT #8): the multi-field surface as a default gate path —
+    # DisMax qf over a TWO-field build (body text + derived title),
+    # per-field stats recomputed from scratch by the oracle
+    from lucene_solr_spark.ops.bm25_sql import bm25_dismax_qf_sql
+
+    _DMQF_Q, _DMQF_TB, _DMQF_BOOSTS = "spark merge vector", 0.3, {
+        "text": 1.0, "title": 2.0}
+
+    def _dismax_qf_fn(spark, sf_dir):
+        from lucene_solr_spark.ops.index_access import multifield_searcher_for
+
+        mfs = multifield_searcher_for(spark, sf_dir)
+        return _ranked(mfs.topk(
+            _DMQF_Q, k=10, boosts=_DMQF_BOOSTS, dismax_tie=_DMQF_TB))
+
+    derived.append((
+        "dismax_qf",
+        _dismax_qf_fn,
+        bm25_dismax_qf_sql(_DMQF_Q, k=10, tiebreak=_DMQF_TB,
+                           boosts=_DMQF_BOOSTS),
+    ))
     for name, (qstr, sql_fn) in PARSER_QUERIES.items():
         derived.append((name, _parser_query_fn(qstr), sql_fn()))
     for name, (qstr, sql_fn) in ANDOP_QUERIES.items():

@@ -2822,3 +2822,79 @@ FROM documents d JOIN agg a ON d.{key_col} = a.jkey
 ORDER BY a.jscore DESC, d.doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_dismax_qf_sql(query: str, k: int = 10, tiebreak: float = 0.3,
+                       boosts: dict | None = None) -> str:
+    """Multi-field DisMax qf oracle (r3 VERDICT #8): two fields — body
+    `text` and derived `title` (its first five whitespace words,
+    derived identically by the engine's multifield_searcher_for) — each
+    with its OWN per-field statistics (docCount/avgdl/df/norms over the
+    docs that HAVE the field, Lucene's getDocCount semantics). Per
+    analyzed term, the inner DisjunctionMax over the boosted per-field
+    clause scores (max + tiebreak*(sum-max)); outer SHOULD-sum across
+    terms. Rank-only, ranked over the float32-cast score."""
+    boosts = boosts or {}
+    terms = sorted(set(analyze(query)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rank WHERE 1=0"
+    terms_in = ",".join(f"'{t}'" for t in terms)
+    b_text = float(boosts.get("text", 1.0))
+    b_title = float(boosts.get("title", 1.0))
+
+    def field_ctes(fld: str, src_expr: str) -> str:
+        return f"""
+docs_{fld} AS (
+  SELECT doc_id, {src_expr} AS fval FROM documents WHERE {src_expr} <> ''
+),
+tok_{fld} AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM docs_{fld} d, unnest(string_split(d.fval, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl_{fld} AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM docs_{fld} d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok_{fld} GROUP BY doc_id) c USING (doc_id)
+),
+stats_{fld} AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl_{fld}
+),
+tf_{fld} AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok_{fld} WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs_{fld} AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf_{fld} GROUP BY term),
+clause_{fld} AS (
+  SELECT tf.doc_id, tf.term,
+         {{boost}} * ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+         * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl)) AS s
+  FROM tf_{fld} tf
+  JOIN dfs_{fld} dfs USING (term)
+  JOIN dl_{fld} dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats_{fld} s
+)"""
+
+    title_expr = "array_to_string((string_split(text, ' '))[1:5], ' ')"
+    return f"""
+WITH norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+{field_ctes("text", "text").format(boost=b_text).strip()},
+{field_ctes("title", title_expr).format(boost=b_title).strip()},
+all_clauses AS (
+  SELECT doc_id, term, s FROM clause_text
+  UNION ALL
+  SELECT doc_id, term, s FROM clause_title
+),
+per_term AS (
+  SELECT doc_id, term,
+         max(s) + {tiebreak} * (sum(s) - max(s)) AS s
+  FROM all_clauses GROUP BY doc_id, term
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY CAST(score AS REAL) DESC, doc_id ASC
+LIMIT {k}
+"""
