@@ -896,21 +896,46 @@ def _word_bits(word: str, cache: dict) -> np.ndarray:
 
 
 def _simhash_map(iterator):
-    cache: dict[str, np.ndarray] = {}
+    """r4 vectorization (same shape as the minhash fold): factorize the
+    batch's flat tokens, build the ±1 bit matrix once per DISTINCT word
+    (sha256 per word, numpy nibble unpack), then accumulate every doc's
+    64-dim signed vector in ONE np.add.at scatter over the
+    (doc, word, count) triples — no per-token or per-(doc, word) Python
+    loop. Identical convention to the SQL oracle (bit j = bit (j%4) of
+    hex nibble j//4 of sha256(word)[:16])."""
     pow_lo = (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.int64)
     for pdf in iterator:
-        ids, los, his = [], [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = [t for t in str(text or "").split(" ") if t]
-            v = np.zeros(64, dtype=np.int64)
-            for w, c in Counter(toks).items():
-                bits = _word_bits(w, cache)
-                v += np.where(bits == 1, c, -c)
-            sb = (v > 0).astype(np.int64)
-            ids.append(int(doc_id))
-            los.append(int((sb[:32] * pow_lo).sum()))
-            his.append(int((sb[32:] * pow_lo).sum()))
-        yield pd.DataFrame({"doc_id": ids, "simhash_lo": los, "simhash_hi": his})
+        flat, lens, dids = _flat_tokens(pdf["doc_id"], pdf["text"])
+        n_docs = len(lens)
+        if len(flat) == 0:
+            yield pd.DataFrame(
+                {"doc_id": dids.astype("int64"),
+                 "simhash_lo": np.zeros(n_docs, dtype=np.int64),
+                 "simhash_hi": np.zeros(n_docs, dtype=np.int64)})
+            continue
+        codes, uniques = pd.factorize(flat)
+        sign = np.empty((len(uniques), 64), dtype=np.int64)
+        for ui, w in enumerate(uniques):
+            h16 = hashlib.sha256(w.encode()).hexdigest()[:16]
+            nib = np.frombuffer(h16.encode("ascii"), dtype=np.uint8)
+            vals = np.where(nib >= 97, nib - 87, nib - 48).astype(np.int64)
+            sign[ui] = ((vals[_J // 4] >> (_J % 4)) & 1) * 2 - 1
+        tok_doc = np.repeat(np.arange(n_docs), lens)
+        # (doc, word) counts via C-level hash groupby — memory O(nnz),
+        # never O(docs x vocab)
+        gb = (pd.DataFrame({"d": tok_doc, "c": codes})
+              .groupby(["d", "c"], sort=False).size())
+        d_idx = gb.index.get_level_values(0).to_numpy()
+        w_idx = gb.index.get_level_values(1).to_numpy()
+        cnt = gb.to_numpy()
+        v = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(v, d_idx, cnt[:, None] * sign[w_idx])
+        sb = (v > 0).astype(np.int64)
+        yield pd.DataFrame({
+            "doc_id": dids.astype("int64"),
+            "simhash_lo": (sb[:, :32] * pow_lo).sum(axis=1),
+            "simhash_hi": (sb[:, 32:] * pow_lo).sum(axis=1),
+        })
 
 
 def simhash_fingerprints(df: DataFrame) -> DataFrame:
