@@ -492,6 +492,30 @@ def _russian_map(term: str) -> str:
     return russian_stem(term)
 
 
+def _portuguese_map(term: str) -> str:
+    from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
+
+    return portuguese_stem(term)
+
+
+def _norwegian_map(term: str) -> str:
+    from lucene_solr_spark.analysis.snowball_scand import norwegian_stem
+
+    return norwegian_stem(term)
+
+
+def _danish_map(term: str) -> str:
+    from lucene_solr_spark.analysis.snowball_scand import danish_stem
+
+    return danish_stem(term)
+
+
+def _swedish_map(term: str) -> str:
+    from lucene_solr_spark.analysis.snowball_scand import swedish_stem
+
+    return swedish_stem(term)
+
+
 #: DelimitedPayloadTokenFilter.DEFAULT_DELIMITER
 #: (analysis/payloads/DelimitedPayloadTokenFilter.java:40)
 PAYLOAD_DELIMITER = "|"
@@ -695,6 +719,10 @@ ANALYZERS: dict = {
     "italian_snowball": (_tokenize_lowered, False, False, _italian_map),
     "dutch_snowball": (_tokenize_lowered, False, False, _dutch_map),
     "russian_snowball": (_tokenize_lowered, False, False, _russian_map),
+    "portuguese_snowball": (_tokenize_lowered, False, False, _portuguese_map),
+    "norwegian_snowball": (_tokenize_lowered, False, False, _norwegian_map),
+    "danish_snowball": (_tokenize_lowered, False, False, _danish_map),
+    "swedish_snowball": (_tokenize_lowered, False, False, _swedish_map),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

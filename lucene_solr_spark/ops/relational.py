@@ -4538,11 +4538,19 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
     from ..analysis.snowball_fr import french_stem
     from ..analysis.snowball_it import italian_stem
     from ..analysis.snowball_nl import dutch_stem
+    from ..analysis.snowball_pt import portuguese_stem
+    from ..analysis.snowball_scand import (
+        danish_stem,
+        norwegian_stem,
+        swedish_stem,
+    )
 
     langs = {
         "english": porter2_stem, "german2": german2_stem,
         "french": french_stem, "spanish": spanish_stem,
         "italian": italian_stem, "dutch": dutch_stem,
+        "portuguese": portuguese_stem, "norwegian": norwegian_stem,
+        "danish": danish_stem, "swedish": swedish_stem,
     }
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())

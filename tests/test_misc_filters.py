@@ -778,6 +778,10 @@ def test_snowball_german2_matches_compiled_reference():
     ("Italian", "snowball_it", "italian_stem"),
     ("Dutch", "snowball_nl", "dutch_stem"),
     ("Russian", "snowball_ru", "russian_stem"),
+    ("Portuguese", "snowball_pt", "portuguese_stem"),
+    ("Norwegian", "snowball_scand", "norwegian_stem"),
+    ("Danish", "snowball_scand", "danish_stem"),
+    ("Swedish", "snowball_scand", "swedish_stem"),
 ])
 def test_snowball_language_family_matches_compiled_reference(lang, mod, fn):
     """GT round 85 (r3 VERDICT #4) — the Snowball language family

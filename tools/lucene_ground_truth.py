@@ -5999,7 +5999,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/tartarus/snowball/ext/RussianStemmer.class"
+        CLASSES, "org/tartarus/snowball/ext/PortugueseStemmer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6017,6 +6017,10 @@ def build() -> bool:
              f"{tart}/ext/ItalianStemmer.java",
              f"{tart}/ext/DutchStemmer.java",
              f"{tart}/ext/RussianStemmer.java",
+             f"{tart}/ext/NorwegianStemmer.java",
+             f"{tart}/ext/DanishStemmer.java",
+             f"{tart}/ext/SwedishStemmer.java",
+             f"{tart}/ext/PortugueseStemmer.java",
              f"{ac_root}/snowball/SnowballFilter.java"],
             capture_output=True, text=True, timeout=180,
         )

@@ -80,6 +80,56 @@ LANG_SETUP = {
               "ende", "elijk", "den", "ten", "je", "tje", "aa", "ee",
               "oo", "uu", "aat", "eet", "oot", "uut", "y", "ij"],
     ),
+    "Norwegian": dict(
+        alphabet="abdefghijklmnoprstuvyæåø",
+        stems=["arbeid", "bok", "hus", "venn", "vakker", "norsk", "kjær",
+               "spill", "bygg", "lærer", "jent", "gutt", "havn", "trygg",
+               "mulig", "viktig", "løs", "forsk", "lov", "het"],
+        sufs=["", "a", "e", "ede", "ande", "ende", "ane", "ene",
+              "hetene", "en", "heten", "ar", "er", "heter", "as", "es",
+              "enes", "ens", "ets", "et", "het", "ast", "s", "erte",
+              "ert", "leg", "eleg", "ig", "eig", "lig", "elig", "els",
+              "lov", "elov", "slov", "hetslov", "dt", "vt", "ks", "ys"],
+    ),
+    "Danish": dict(
+        alphabet="abdefghijklmnoprstuvyzæåø",
+        stems=["arbejd", "bog", "hus", "ven", "smuk", "dansk", "kærlig",
+               "spil", "byg", "lærer", "pige", "dreng", "havn", "tryg",
+               "mulig", "vigtig", "løs", "forsk", "indtag", "hek"],
+        sufs=["", "hed", "ethed", "ered", "e", "erede", "ende",
+              "erende", "ene", "erne", "ere", "en", "heden", "eren",
+              "er", "heder", "erer", "heds", "es", "endes", "enes",
+              "ens", "ets", "et", "eret", "s", "igst", "lig", "elig",
+              "els", "løst", "gd", "dt", "gt", "kt", "tt", "nn", "ss"],
+    ),
+    "Swedish": dict(
+        alphabet="abdefghijklmnoprstuvyäåö",
+        stems=["arbet", "bok", "hus", "vän", "vacker", "svensk", "kärlek",
+               "spel", "bygg", "lärar", "flick", "pojk", "hamn", "trygg",
+               "möjlig", "viktig", "lös", "forsk", "full", "het"],
+        sufs=["", "a", "arna", "erna", "heterna", "orna", "ad", "e",
+              "ade", "ande", "arne", "are", "aste", "en", "anden",
+              "aren", "heten", "ern", "ar", "er", "heter", "or", "as",
+              "arnas", "es", "ades", "ens", "hetens", "at", "andet",
+              "het", "ast", "s", "lig", "ig", "els", "löst", "fullt",
+              "dd", "gd", "nn", "dt", "gt", "kt", "tt"],
+    ),
+    "Portuguese": dict(
+        alphabet="abcdefghijlmnopqrstuvxzáéíóúâêôãõç",
+        stems=["cas", "fal", "com", "viv", "cant", "trabalh", "cheg",
+               "logic", "nacional", "capac", "atac", "segu", "constru",
+               "relig", "gener", "import", "real", "visit", "estud",
+               "form", "grac", "informaç", "coraç", "decis"],
+        sufs=["a", "o", "os", "as", "e", "es", "é", "ê", "ó", "í", "á",
+              "amente", "mente", "idade", "idades", "iva", "ivo",
+              "ável", "ível", "ação", "ações", "ador", "adora",
+              "logia", "ução", "uções", "ência", "amento", "imento",
+              "ista", "ismo", "oso", "ico", "eza", "ava", "ado",
+              "ando", "endo", "indo", "ar", "er", "ir", "aria",
+              "arei", "eremos", "aram", "isse", "asse", "áramos",
+              "ávamos", "íamos", "eira", "eiras", "ções", "ão", "ã",
+              "ões", "ou", "eu", "iu", "ci", "gue", "que", "ce"],
+    ),
     "Russian": dict(
         alphabet="абвгдежзиклмнопрстуфхцчшщъыьэюяё",
         stems=["книг", "говор", "красн", "работ", "человеч", "студентк",
@@ -106,6 +156,10 @@ def main():
         "French": "snowball_fr.french_stem",
         "Dutch": "snowball_nl.dutch_stem",
         "Russian": "snowball_ru.russian_stem",
+        "Norwegian": "snowball_scand.norwegian_stem",
+        "Danish": "snowball_scand.danish_stem",
+        "Swedish": "snowball_scand.swedish_stem",
+        "Portuguese": "snowball_pt.portuguese_stem",
     }[lang]
     mod_name, fn_name = fn.split(".")
     mod = __import__(f"lucene_solr_spark.analysis.{mod_name}",
