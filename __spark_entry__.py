@@ -235,6 +235,10 @@ LM_QUERIES = {
     "dfr_ifb2": ("spark merge vector", "dfr_ifb2"),
     "dfr_ineb2": ("spark merge vector", "dfr_ineb2"),
     "ib_spl_ttf": ("spark merge vector", "ib_spl_ttf"),
+    # the remaining normalization axis (H1/H3/Z with In-L)
+    "dfr_inl1": ("spark merge vector", "dfr_inl1"),
+    "dfr_inl3": ("spark merge vector", "dfr_inl3"),
+    "dfr_inlz": ("spark merge vector", "dfr_inlz"),
     # DFI (DFISimilarity.java, chi-squared independence): the 7th scoring
     # model through the plug point — needs per-term ttf + sum_ttf
     "dfi_chi_squared": ("spark merge vector", "dfi_chi_squared"),
@@ -776,6 +780,9 @@ def _bm25_groups() -> dict[str, list]:
         from lucene_solr_spark.ops.bm25_sql import (
             dfi_sql,
             dfr_gb2_sql,
+            dfr_inl1_sql,
+            dfr_inl3_sql,
+            dfr_inlz_sql,
             dfr_ifb2_sql,
             dfr_ineb2_sql,
             dfr_inl2_sql,
@@ -792,6 +799,9 @@ def _bm25_groups() -> dict[str, list]:
             "dfr_inl2": dfr_inl2_sql,
             "ib_ll": ib_ll_sql,
             "dfr_gb2": dfr_gb2_sql,
+            "dfr_inl1": dfr_inl1_sql,
+            "dfr_inl3": dfr_inl3_sql,
+            "dfr_inlz": dfr_inlz_sql,
             "dfr_ifb2": dfr_ifb2_sql,
             "dfr_ineb2": dfr_ineb2_sql,
             "ib_spl_ttf": ib_spl_ttf_sql,

@@ -2142,6 +2142,29 @@ def ib_ll_sql(query: str, k: int = 10) -> str:
 _AE_B = f"((ttfs.ttf + 2) / ((dfs.df + 1) * ({_TFN_H2} + 1)))"
 
 
+_INL = "({tfn} * log2((st.n + 1) / (dfs.df + 0.5)) * (1 / ({tfn} + 1)))"
+_TFN_H1 = "(tf.tf * av.avgdl / lut.dld)"
+_TFN_H3 = ("((tf.tf + 800 * ((ttfs.ttf + 1) / (coll.sum_ttf + 1)))"
+           " / (lut.dld + 800) * 800)")
+_TFN_Z = "(tf.tf * pow(av.avgdl / lut.dld, 0.3))"
+
+
+def dfr_inl1_sql(query: str, k: int = 10) -> str:
+    """DFR In/L/H1 oracle (NormalizationH1.java:44-46, c=1)."""
+    return _simbase_dfr_sql(query, k, _INL.format(tfn=_TFN_H1))
+
+
+def dfr_inl3_sql(query: str, k: int = 10) -> str:
+    """DFR In/L/H3 oracle (NormalizationH3.java:51-53, mu=800)."""
+    return _simbase_dfr_sql(query, k, _INL.format(tfn=_TFN_H3),
+                            with_ttf=True)
+
+
+def dfr_inlz_sql(query: str, k: int = 10) -> str:
+    """DFR In/L/Z oracle (NormalizationZ.java:46-48, z=0.3)."""
+    return _simbase_dfr_sql(query, k, _INL.format(tfn=_TFN_Z))
+
+
 def dfr_gb2_sql(query: str, k: int = 10) -> str:
     """DFR GB2 oracle (BasicModelG.java:38-43 + AfterEffectB +
     NormalizationH2): lambda=(F+1)/(N+F+1);

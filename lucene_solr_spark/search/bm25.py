@@ -405,15 +405,86 @@ def ib_spl_ttf_scores(
     return (np.float32(boost) * dist).astype(np.float32)
 
 
-#: SimilarityBase DFR/IB plug-point registry: name -> (scorer,
-#: needs_ttf). The two r3 models keep their pinned ttf-free signature.
+def _tfn_h1(freq: np.ndarray, norm_byte: np.ndarray,
+            avgdl32: np.float32) -> np.ndarray:
+    """NormalizationH1.tfn, c=1 (NormalizationH1.java:44-46):
+    tf * c * avgFieldLength / len — float32 at every step."""
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    f = np.asarray(freq, dtype=np.float32)
+    return (((f * np.float32(1.0)) * np.float32(avgdl32)) / dl).astype(
+        np.float32)
+
+
+def _tfn_h3(freq: np.ndarray, norm_byte: np.ndarray, ttf: int,
+            sum_ttf: int, mu: float = 800.0) -> np.ndarray:
+    """NormalizationH3.tfn, mu=800 (NormalizationH3.java:51-53):
+    (tf + mu*((ttf+1F)/(sumttf+1F))) / (len + mu) * mu — float32."""
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    f = np.asarray(freq, dtype=np.float32)
+    mu32 = np.float32(mu)
+    prior = np.float32(
+        mu32 * np.float32((np.float32(ttf) + np.float32(1.0))
+                          / (np.float32(sum_ttf) + np.float32(1.0))))
+    return (((f + prior) / (dl + mu32)) * mu32).astype(np.float32)
+
+
+def _tfn_z(freq: np.ndarray, norm_byte: np.ndarray,
+           avgdl32: np.float32, z: float = 0.30) -> np.ndarray:
+    """NormalizationZ.tfn, z=0.30 (NormalizationZ.java:46-48):
+    (float)(tf * pow(avgFieldLength/len, z)) — the ratio is a float32
+    division, pow/multiply run in double, one cast back."""
+    dl = SIMBASE_DECODE[np.asarray(norm_byte, dtype=np.uint8)]
+    f = np.asarray(freq, dtype=np.float32)
+    ratio = (np.float32(avgdl32) / dl).astype(np.float32)
+    return (f.astype(np.float64)
+            * np.power(ratio.astype(np.float64),
+                       np.float64(np.float32(z)))).astype(np.float32)
+
+
+def _inl_from_tfn(tfn: np.ndarray, df: int, doc_count: int,
+                  boost: float) -> np.ndarray:
+    """BasicModelIn + AfterEffectL over a precomputed tfn (the shared
+    half of every dfr_inl* cell)."""
+    bmlog = np.float32(
+        np.log((np.float64(doc_count) + 1.0) / (np.float64(df) + 0.5))
+        / _LN2)
+    bm = (tfn * bmlog).astype(np.float32)
+    ae = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+    return ((np.float32(boost) * bm) * ae).astype(np.float32)
+
+
+def dfr_inl1_scores(freq, norm_byte, df, doc_count, avgdl32, boost=1.0):
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH1())."""
+    return _inl_from_tfn(
+        _tfn_h1(freq, norm_byte, avgdl32), df, doc_count, boost)
+
+
+def dfr_inl3_scores(freq, norm_byte, df, ttf, sum_ttf, doc_count,
+                    avgdl32, boost=1.0):
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH3())."""
+    return _inl_from_tfn(
+        _tfn_h3(freq, norm_byte, ttf, sum_ttf), df, doc_count, boost)
+
+
+def dfr_inlz_scores(freq, norm_byte, df, doc_count, avgdl32, boost=1.0):
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationZ())."""
+    return _inl_from_tfn(
+        _tfn_z(freq, norm_byte, avgdl32), df, doc_count, boost)
+
+
+#: SimilarityBase DFR/IB plug-point registry: name -> (scorer, mode).
+#: mode: 'basic' = (freq, nb, df, N, avgdl); 'ttf' adds per-term ttf;
+#: 'ttf_sum' adds ttf AND the collection token count (H3's prior).
 DFR_IB_SCORERS = {
-    "dfr_inl2": (dfr_inl2_scores, False),
-    "ib_ll": (ib_ll_scores, False),
-    "dfr_gb2": (dfr_gb2_scores, True),
-    "dfr_ifb2": (dfr_ifb2_scores, True),
-    "dfr_ineb2": (dfr_ineb2_scores, True),
-    "ib_spl_ttf": (ib_spl_ttf_scores, True),
+    "dfr_inl2": (dfr_inl2_scores, "basic"),
+    "ib_ll": (ib_ll_scores, "basic"),
+    "dfr_gb2": (dfr_gb2_scores, "ttf"),
+    "dfr_ifb2": (dfr_ifb2_scores, "ttf"),
+    "dfr_ineb2": (dfr_ineb2_scores, "ttf"),
+    "ib_spl_ttf": (ib_spl_ttf_scores, "ttf"),
+    "dfr_inl1": (dfr_inl1_scores, "basic"),
+    "dfr_inl3": (dfr_inl3_scores, "ttf_sum"),
+    "dfr_inlz": (dfr_inlz_scores, "basic"),
 }
 
 

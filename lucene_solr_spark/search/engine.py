@@ -57,7 +57,7 @@ from .bm25 import B, K1, avgdl_f32, idf_f32, idf_sum_f32, make_term_weight, norm
 
 #: SimilarityBase DFR/IB grid cells the engine accepts (bm25.DFR_IB_SCORERS)
 DFR_IB_SIMS = ("dfr_inl2", "ib_ll", "dfr_gb2", "dfr_ifb2", "dfr_ineb2",
-               "ib_spl_ttf")
+               "ib_spl_ttf", "dfr_inl1", "dfr_inl3", "dfr_inlz")
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -1707,6 +1707,7 @@ class IndexSearcher:
             av = float(simbase_avgdl_f32(self.sum_ttf, self.doc_count))
             for t in weights:
                 weights[t]["simbase_avgdl"] = av
+                weights[t]["sum_ttf"] = int(self.sum_ttf)
                 weights[t]["boost"] = float(boost_map.get(t, 1.0))
         else:
             # BM25Stats.normalize: weight = (float)(idf * boost), then
@@ -2628,12 +2629,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
     if dfr:
         from .bm25 import DFR_IB_SCORERS
 
-        dfr_fn, dfr_needs_ttf = DFR_IB_SCORERS[dfr]
+        dfr_fn, dfr_mode = DFR_IB_SCORERS[dfr]
         dfr_av = np.float32(
             next(w["simbase_avgdl"] for w in weights.values() if "simbase_avgdl" in w)
         )
         dfr_boosts = {t: weights[t].get("boost", 1.0) for t in weights}
         dfr_ttfs = {t: int(weights[t]["ttf"]) for t in weights}
+        dfr_sum_ttf = int(
+            next(w["sum_ttf"] for w in weights.values() if "sum_ttf" in w)
+        ) if dfr_mode == "ttf_sum" else 0
     multi = spec.similarity == "multi_bm25_classic"
     if multi:
         from .bm25 import CLASSIC_DECODE as _MULTI_DECODE
@@ -2664,10 +2668,15 @@ def _make_range_scorer(spec: BooleanSpec, weights: dict, avgdl: float, doc_count
         if lm:
             return lm_fn(freq, nb, lm_ps[t], boost=lm_boosts[t])
         if dfr:
-            if dfr_needs_ttf:
+            if dfr_mode == "ttf":
                 return dfr_fn(
                     freq, nb, dfs[t], dfr_ttfs[t], doc_count, dfr_av,
                     boost=dfr_boosts[t]
+                )
+            if dfr_mode == "ttf_sum":
+                return dfr_fn(
+                    freq, nb, dfs[t], dfr_ttfs[t], dfr_sum_ttf,
+                    doc_count, dfr_av, boost=dfr_boosts[t]
                 )
             return dfr_fn(
                 freq, nb, dfs[t], doc_count, dfr_av, boost=dfr_boosts[t]

@@ -129,10 +129,13 @@ def oracle_lm_topk(
         post = idx.postings.get(t, {})
         tf = np.array([post.get(int(d), 0) for d in docs], dtype=np.float32)
         if similarity in DFR_IB_SCORERS:
-            fn, needs_ttf = DFR_IB_SCORERS[similarity]
-            if needs_ttf:
+            fn, mode = DFR_IB_SCORERS[similarity]
+            if mode == "ttf":
                 s = fn(tf, norm, len(post), sum(post.values()),
                        idx.doc_count, av32)
+            elif mode == "ttf_sum":
+                s = fn(tf, norm, len(post), sum(post.values()),
+                       idx.sum_ttf, idx.doc_count, av32)
             else:
                 s = fn(tf, norm, len(post), idx.doc_count, av32)
         elif similarity == "multi_bm25_classic":

@@ -285,6 +285,7 @@ def test_multi_phrase_clauses_rank_identity(built, pcs, should):
 @pytest.mark.parametrize(
     "similarity", ["lm_dirichlet", "lm_jelinek_mercer", "dfr_inl2", "ib_ll",
                    "dfr_gb2", "dfr_ifb2", "dfr_ineb2", "ib_spl_ttf",
+                   "dfr_inl1", "dfr_inl3", "dfr_inlz",
                    "dfi_chi_squared", "dfi_standardized", "dfi_saturated",
                    "multi_bm25_classic"]
 )

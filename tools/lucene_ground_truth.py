@@ -166,6 +166,18 @@ public class GroundTruthTopK {
           new org.apache.lucene.search.similarities.DistributionSPL(),
           new org.apache.lucene.search.similarities.LambdaTTF(),
           new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_inl1": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelIn(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationH1());
+      case "dfr_inl3": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelIn(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationH3());
+      case "dfr_inlz": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelIn(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationZ());
       case "dfi_chi_squared": return new org.apache.lucene.search.similarities.DFISimilarity(
           new org.apache.lucene.search.similarities.IndependenceChiSquared());
       case "dfi_standardized": return new org.apache.lucene.search.similarities.DFISimilarity(
