@@ -492,6 +492,18 @@ def _russian_map(term: str) -> str:
     return russian_stem(term)
 
 
+def _french_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.french_light import french_tokens
+
+    return french_tokens(t)
+
+
+def _french_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.french_light import french_posinc_stream
+
+    return french_posinc_stream(t)
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -594,6 +606,7 @@ def _cjk_tokens(t: str) -> list[str]:
 POSINC_STREAMS: dict = {
     "code": _code_posinc_stream,
     "cjk": _cjk_posinc_stream,
+    "french_light": _french_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -723,6 +736,11 @@ ANALYZERS: dict = {
     "norwegian_snowball": (_tokenize_lowered, False, False, _norwegian_map),
     "danish_snowball": (_tokenize_lowered, False, False, _danish_map),
     "swedish_snowball": (_tokenize_lowered, False, False, _swedish_map),
+    # the full FrenchAnalyzer chain (fr/FrenchAnalyzer.java): Standard +
+    # Elision + LowerCase + french stop + FrenchLightStem — stops and
+    # elision handled inside the stream fn (GT round 85c pin,
+    # analysis/french_light.py); posInc gaps via POSINC_STREAMS
+    "french_light": (_french_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

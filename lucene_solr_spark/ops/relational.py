@@ -4538,6 +4538,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
     from ..analysis.snowball_fr import french_stem
     from ..analysis.snowball_it import italian_stem
     from ..analysis.snowball_nl import dutch_stem
+    from ..analysis.french_light import french_light_stem
     from ..analysis.snowball_pt import portuguese_stem
     from ..analysis.snowball_scand import (
         danish_stem,
@@ -4551,6 +4552,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "italian": italian_stem, "dutch": dutch_stem,
         "portuguese": portuguese_stem, "norwegian": norwegian_stem,
         "danish": danish_stem, "swedish": swedish_stem,
+        "french_light": french_light_stem,
     }
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())

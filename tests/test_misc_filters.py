@@ -831,3 +831,49 @@ def test_snowball_language_family_matches_compiled_reference(lang, mod, fn):
                 for t, pi, s, e in whitespace_tokens(ln)]
 
     _check(lines, exp, mine, f"snowball-{lang}")
+
+
+def test_french_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — the full FrenchAnalyzer chain
+    (fr/FrenchAnalyzer.java createComponents: StandardTokenizer +
+    StandardFilter + ElisionFilter(DEFAULT_ARTICLES) + LowerCaseFilter +
+    StopFilter(french_stop.txt) + FrenchLightStemFilter) pinned on the
+    full (term, posInc, startOffset, endOffset) stream vs the compiled
+    analyzer: elision of both apostrophe forms on the case-insensitive
+    article set, the 164-word stop set's position gaps, and the
+    FrenchLightStemmer's suffix rewrites + norm pass (accent fold at
+    len>4, adjacent-duplicate collapse, ie/r/e/e/double tail)."""
+    from lucene_solr_spark.analysis.french_light import french_stream
+
+    rng = random.Random(8585)
+    stems = ["nation", "inform", "continu", "commenc", "travaill",
+             "bataill", "princ", "machin", "copi", "électr", "polit",
+             "class", "modifi", "organis", "fort", "déleg", "rappell",
+             "belle", "mou", "foll", "éduc", "signif"]
+    sufs = ["", "e", "es", "s", "x", "aux", "eaux", "issement",
+            "issant", "ement", "ements", "ficatrice", "ficateur",
+            "catrice", "cateur", "atrice", "ateur", "trice", "ième",
+            "teuse", "teur", "euse", "ère", "ive", "folle", "molle",
+            "nnelle", "nnel", "ète", "ique", "esse", "inage",
+            "isation", "isateur", "ation", "ition", "ie", "rr", "tt"]
+    articles = ["l'", "d'", "qu'", "jusqu'", "c'", "m'", "x'", "l’"]
+    stopw = ["des", "le", "la", "et", "qu", "été", "aurions", "même"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.25:
+                w = rng.choice(articles) + w
+            elif r < 0.4:
+                w = rng.choice(stopw)
+            elif r < 0.5:
+                w = "".join(rng.choice("abcdefiélnorstuàâçèêîôûù'x")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "FrenchAnalyzer")
+    _check(lines, exp, french_stream, "french-analyzer")

@@ -4210,9 +4210,18 @@ public class GroundTruthSnowball {
     StringBuilder sb = new StringBuilder();
     while ((line = in.readLine()) != null) {
       String text = unhex(line);
-      WhitespaceTokenizer tok = new WhitespaceTokenizer();
-      tok.setReader(new StringReader(text));
-      TokenStream ts = new SnowballFilter(new LowerCaseFilter(tok), lang);
+      TokenStream ts;
+      if (lang.equals("FrenchAnalyzer")) {
+        // the full per-language chain: StandardTokenizer + Standard +
+        // Elision + LowerCase + Stop(french) + FrenchLightStem
+        org.apache.lucene.analysis.fr.FrenchAnalyzer an =
+            new org.apache.lucene.analysis.fr.FrenchAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else {
+        WhitespaceTokenizer tok = new WhitespaceTokenizer();
+        tok.setReader(new StringReader(text));
+        ts = new SnowballFilter(new LowerCaseFilter(tok), lang);
+      }
       CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
       PositionIncrementAttribute pi = ts.addAttribute(PositionIncrementAttribute.class);
       OffsetAttribute off = ts.addAttribute(OffsetAttribute.class);
@@ -6011,7 +6020,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/tartarus/snowball/ext/PortugueseStemmer.class"
+        CLASSES, "org/apache/lucene/analysis/fr/FrenchAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6033,12 +6042,25 @@ def build() -> bool:
              f"{tart}/ext/DanishStemmer.java",
              f"{tart}/ext/SwedishStemmer.java",
              f"{tart}/ext/PortugueseStemmer.java",
-             f"{ac_root}/snowball/SnowballFilter.java"],
+             f"{ac_root}/snowball/SnowballFilter.java",
+             f"{ac_root}/fr/FrenchAnalyzer.java",
+             f"{ac_root}/fr/FrenchLightStemFilter.java",
+             f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+        # FrenchAnalyzer loads its stop set from the snowball resource dir
+        res_src = ("/root/reference/lucene/analysis/common/src/resources/"
+                   "org/apache/lucene/analysis/snowball")
+        res_dst = os.path.join(CLASSES, "org/apache/lucene/analysis/snowball")
+        if os.path.isdir(res_src):
+            os.makedirs(res_dst, exist_ok=True)
+            for fn in os.listdir(res_src):
+                if fn.endswith(".txt"):
+                    shutil.copy(os.path.join(res_src, fn),
+                                os.path.join(res_dst, fn))
     # keyword-marker cluster (miscellaneous): KeywordRepeat +
     # SetKeywordMarker + RemoveDuplicates — KeywordAttribute + the
     # already-compiled PorterStemFilter
