@@ -504,6 +504,18 @@ def _french_light_posinc(t: str) -> list[tuple[str, int]]:
     return french_posinc_stream(t)
 
 
+def _german_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.german_light import german_tokens
+
+    return german_tokens(t)
+
+
+def _german_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.german_light import german_posinc_stream
+
+    return german_posinc_stream(t)
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -607,6 +619,7 @@ POSINC_STREAMS: dict = {
     "code": _code_posinc_stream,
     "cjk": _cjk_posinc_stream,
     "french_light": _french_light_posinc,
+    "german_light": _german_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -741,6 +754,10 @@ ANALYZERS: dict = {
     # elision handled inside the stream fn (GT round 85c pin,
     # analysis/french_light.py); posInc gaps via POSINC_STREAMS
     "french_light": (_french_light_tokens, False, False, None),
+    # the full GermanAnalyzer chain (de/GermanAnalyzer.java): Standard +
+    # LowerCase + german stop + GermanNormalization + GermanLightStem
+    # (GT round 85c pin, analysis/german_light.py)
+    "german_light": (_german_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

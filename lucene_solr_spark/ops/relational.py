@@ -4539,6 +4539,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
     from ..analysis.snowball_it import italian_stem
     from ..analysis.snowball_nl import dutch_stem
     from ..analysis.french_light import french_light_stem
+    from ..analysis.german_light import german_light_stem, german_normalize
     from ..analysis.snowball_pt import portuguese_stem
     from ..analysis.snowball_scand import (
         danish_stem,
@@ -4553,6 +4554,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "portuguese": portuguese_stem, "norwegian": norwegian_stem,
         "danish": danish_stem, "swedish": swedish_stem,
         "french_light": french_light_stem,
+        "german_light": lambda w: german_light_stem(german_normalize(w)),
     }
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())

@@ -877,3 +877,42 @@ def test_french_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "FrenchAnalyzer")
     _check(lines, exp, french_stream, "french-analyzer")
+
+
+def test_german_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — the full GermanAnalyzer chain
+    (de/GermanAnalyzer.java: StandardTokenizer + StandardFilter +
+    LowerCaseFilter + StopFilter(german_stop.txt) +
+    GermanNormalizationFilter + GermanLightStemFilter) pinned on the
+    full (term, posInc, offsets) stream: the N/V/U umlaut state machine
+    (ß→ss expansion, e-after-U deletion), the 231-word stop gaps, and
+    the light stemmer's ending steps."""
+    from lucene_solr_spark.analysis.german_light import german_stream
+
+    rng = random.Random(8586)
+    stems = ["haus", "häus", "lauf", "mädchen", "straß", "kind",
+             "arbeit", "wissenschaft", "freund", "lehrer", "spiel",
+             "berg", "baum", "bäum", "auge", "feuer", "quell", " säue",
+             "aue", "böse", "grün", "jung", "universität"]
+    sufs = ["", "e", "en", "er", "ern", "em", "es", "s", "est", "st",
+            "ere", "eren", "ße", "ßen", "ue", "ael", "oel", "uel",
+            "ten", "ndest", "nd"]
+    stopw = ["der", "die", "das", "und", "über", "für", "während",
+             "könnte", "außerdem"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.3:
+                w = "".join(rng.choice("abdeghiklmnoqrstußäöüyf")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.2:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "GermanAnalyzer")
+    _check(lines, exp, german_stream, "german-analyzer")

@@ -4217,6 +4217,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.fr.FrenchAnalyzer an =
             new org.apache.lucene.analysis.fr.FrenchAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("GermanAnalyzer")) {
+        org.apache.lucene.analysis.de.GermanAnalyzer an =
+            new org.apache.lucene.analysis.de.GermanAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6020,7 +6024,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/fr/FrenchAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/de/GermanAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6045,6 +6049,9 @@ def build() -> bool:
              f"{ac_root}/snowball/SnowballFilter.java",
              f"{ac_root}/fr/FrenchAnalyzer.java",
              f"{ac_root}/fr/FrenchLightStemFilter.java",
+             f"{ac_root}/de/GermanAnalyzer.java",
+             f"{ac_root}/de/GermanNormalizationFilter.java",
+             f"{ac_root}/de/GermanLightStemFilter.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
