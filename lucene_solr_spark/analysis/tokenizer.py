@@ -516,6 +516,18 @@ def _german_light_posinc(t: str) -> list[tuple[str, int]]:
     return german_posinc_stream(t)
 
 
+def _italian_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.italian_light import italian_tokens
+
+    return italian_tokens(t)
+
+
+def _italian_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.italian_light import italian_posinc_stream
+
+    return italian_posinc_stream(t)
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -620,6 +632,7 @@ POSINC_STREAMS: dict = {
     "cjk": _cjk_posinc_stream,
     "french_light": _french_light_posinc,
     "german_light": _german_light_posinc,
+    "italian_light": _italian_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -758,6 +771,9 @@ ANALYZERS: dict = {
     # LowerCase + german stop + GermanNormalization + GermanLightStem
     # (GT round 85c pin, analysis/german_light.py)
     "german_light": (_german_light_tokens, False, False, None),
+    # the full ItalianAnalyzer chain (GT round 85c pin,
+    # analysis/italian_light.py)
+    "italian_light": (_italian_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

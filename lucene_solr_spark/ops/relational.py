@@ -4540,6 +4540,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
     from ..analysis.snowball_nl import dutch_stem
     from ..analysis.french_light import french_light_stem
     from ..analysis.german_light import german_light_stem, german_normalize
+    from ..analysis.italian_light import italian_light_stem
     from ..analysis.snowball_pt import portuguese_stem
     from ..analysis.snowball_scand import (
         danish_stem,
@@ -4555,6 +4556,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "danish": danish_stem, "swedish": swedish_stem,
         "french_light": french_light_stem,
         "german_light": lambda w: german_light_stem(german_normalize(w)),
+        "italian_light": italian_light_stem,
     }
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())

@@ -916,3 +916,45 @@ def test_german_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "GermanAnalyzer")
     _check(lines, exp, german_stream, "german-analyzer")
+
+
+def test_italian_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — the full ItalianAnalyzer chain
+    (it/ItalianAnalyzer.java: StandardTokenizer + StandardFilter +
+    ElisionFilter(21 Italian articles) + LowerCaseFilter +
+    StopFilter(italian_stop.txt) + ItalianLightStemFilter) pinned on
+    the full (term, posInc, offsets) stream: dell'/sull'-style
+    elisions, the 279-word stop gaps, and the light stemmer's
+    final-vowel step with i/h digraph guards and the <6 pass-through."""
+    from lucene_solr_spark.analysis.italian_light import italian_stream
+
+    rng = random.Random(8587)
+    stems = ["cas", "studi", "universit", "ital", "bell", "grand",
+             "lavor", "pensier", "famigl", "ragazz", "amich", "vecch",
+             "spiagg", "formaggi", "stori", "second", "bibliotec"]
+    sufs = ["", "a", "e", "i", "o", "ia", "ie", "io", "hi", "he",
+            "ii", "chi", "che", "ghe", "ghi", "ato", "ata", "are",
+            "ità", "oso", "osa", "ale", "ani", "à", "è", "ì"]
+    articles = ["l'", "dell'", "sull'", "un'", "all'", "degl'", "c'",
+                "x'", "dall’"]
+    stopw = ["della", "degli", "perché", "quello", "avevano", "starò",
+             "più", "è"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.25:
+                w = rng.choice(articles) + w
+            elif r < 0.4:
+                w = rng.choice(stopw)
+            elif r < 0.5:
+                w = "".join(rng.choice("abcdefghilmnopqrstuvzàèìòù'")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "ItalianAnalyzer")
+    _check(lines, exp, italian_stream, "italian-analyzer")
