@@ -528,6 +528,18 @@ def _italian_light_posinc(t: str) -> list[tuple[str, int]]:
     return italian_posinc_stream(t)
 
 
+def _spanish_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.spanish_light import spanish_tokens
+
+    return spanish_tokens(t)
+
+
+def _spanish_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.spanish_light import spanish_posinc_stream
+
+    return spanish_posinc_stream(t)
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -633,6 +645,7 @@ POSINC_STREAMS: dict = {
     "french_light": _french_light_posinc,
     "german_light": _german_light_posinc,
     "italian_light": _italian_light_posinc,
+    "spanish_light": _spanish_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -774,6 +787,9 @@ ANALYZERS: dict = {
     # the full ItalianAnalyzer chain (GT round 85c pin,
     # analysis/italian_light.py)
     "italian_light": (_italian_light_tokens, False, False, None),
+    # the full SpanishAnalyzer chain (GT round 85c pin,
+    # analysis/spanish_light.py)
+    "spanish_light": (_spanish_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

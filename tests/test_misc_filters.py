@@ -958,3 +958,39 @@ def test_italian_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "ItalianAnalyzer")
     _check(lines, exp, italian_stream, "italian-analyzer")
+
+
+def test_spanish_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — the full SpanishAnalyzer chain
+    (es/SpanishAnalyzer.java: StandardTokenizer + StandardFilter +
+    LowerCaseFilter + StopFilter(spanish_stop.txt) +
+    SpanishLightStemFilter) pinned on the full (term, posInc, offsets)
+    stream: the 308-word stop gaps, accent folds, the ces→z plural
+    rewrite, and the <5 pass-through."""
+    from lucene_solr_spark.analysis.spanish_light import spanish_stream
+
+    rng = random.Random(8588)
+    stems = ["cas", "herm", "lápic", "jóven", "estacion", "trabaj",
+             "niñ", "ciudad", "luz", "vec", "montañ", "papel",
+             "canción", "franc", "grand", "importante"]
+    sufs = ["", "a", "o", "e", "as", "os", "es", "eses", "ces", "ás",
+            "ón", "ones", "és", "ídos", "üé", "s"]
+    stopw = ["las", "los", "de", "que", "está", "también", "más",
+             "habían", "tuviésemos"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.25:
+                w = rng.choice(stopw)
+            elif r < 0.35:
+                w = "".join(rng.choice("abcdefghijlmnopqrstuvzáéíóúüñ")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "SpanishAnalyzer")
+    _check(lines, exp, spanish_stream, "spanish-analyzer")

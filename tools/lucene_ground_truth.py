@@ -4225,6 +4225,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.it.ItalianAnalyzer an =
             new org.apache.lucene.analysis.it.ItalianAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("SpanishAnalyzer")) {
+        org.apache.lucene.analysis.es.SpanishAnalyzer an =
+            new org.apache.lucene.analysis.es.SpanishAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6028,7 +6032,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/it/ItalianAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/es/SpanishAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6058,6 +6062,8 @@ def build() -> bool:
              f"{ac_root}/de/GermanLightStemFilter.java",
              f"{ac_root}/it/ItalianAnalyzer.java",
              f"{ac_root}/it/ItalianLightStemFilter.java",
+             f"{ac_root}/es/SpanishAnalyzer.java",
+             f"{ac_root}/es/SpanishLightStemFilter.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
