@@ -540,6 +540,38 @@ def _spanish_light_posinc(t: str) -> list[tuple[str, int]]:
     return spanish_posinc_stream(t)
 
 
+def _russian_full_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.lang_analyzers import (
+        russian_analyzer_stream,
+    )
+
+    return [x for x, _pi, _s, _e in russian_analyzer_stream(t)]
+
+
+def _russian_full_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.lang_analyzers import (
+        russian_analyzer_stream,
+    )
+
+    return [(x, pi) for x, pi, _s, _e in russian_analyzer_stream(t)]
+
+
+def _dutch_full_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.lang_analyzers import (
+        dutch_analyzer_stream,
+    )
+
+    return [x for x, _pi, _s, _e in dutch_analyzer_stream(t)]
+
+
+def _dutch_full_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.lang_analyzers import (
+        dutch_analyzer_stream,
+    )
+
+    return [(x, pi) for x, pi, _s, _e in dutch_analyzer_stream(t)]
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -646,6 +678,8 @@ POSINC_STREAMS: dict = {
     "german_light": _german_light_posinc,
     "italian_light": _italian_light_posinc,
     "spanish_light": _spanish_light_posinc,
+    "russian_full": _russian_full_posinc,
+    "dutch_full": _dutch_full_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -790,6 +824,11 @@ ANALYZERS: dict = {
     # the full SpanishAnalyzer chain (GT round 85c pin,
     # analysis/spanish_light.py)
     "spanish_light": (_spanish_light_tokens, False, False, None),
+    # RussianAnalyzer / DutchAnalyzer full chains (GT round 85c,
+    # analysis/lang_analyzers.py — pinned snowball stemmers + real stop
+    # gaps; Dutch adds the 4-entry StemmerOverride dict)
+    "russian_full": (_russian_full_tokens, False, False, None),
+    "dutch_full": (_dutch_full_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

@@ -994,3 +994,78 @@ def test_spanish_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "SpanishAnalyzer")
     _check(lines, exp, spanish_stream, "spanish-analyzer")
+
+
+def test_russian_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — RussianAnalyzer (ru/RussianAnalyzer.java:
+    Standard + LowerCase + StopFilter(russian_stop.txt, 159 words) +
+    SnowballFilter(RussianStemmer)) pinned on the full stream — the
+    pinned snowball stemmer composed with the real stop gaps."""
+    import sys as _sys
+
+    from lucene_solr_spark.analysis.lang_analyzers import (
+        russian_analyzer_stream,
+    )
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import snowball_fuzz as sf
+
+    rng = random.Random(8589)
+    setup = sf.LANG_SETUP["Russian"]
+    stopw = ["был", "для", "его", "чтобы", "этого", "него", "будучи"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(setup["stems"]) + rng.choice(setup["sufs"])
+            if r < 0.25:
+                w = rng.choice(stopw)
+            elif r < 0.35:
+                w = "".join(rng.choice(setup["alphabet"])
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "RussianAnalyzer")
+    _check(lines, exp, russian_analyzer_stream, "russian-analyzer")
+
+
+def test_dutch_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — DutchAnalyzer (nl/DutchAnalyzer.java: Standard +
+    LowerCase + StopFilter(dutch_stop.txt, 101 words) +
+    StemmerOverrideFilter(the 4-entry stem dict, override -> keyword,
+    so the snowball stage skips it) + SnowballFilter(DutchStemmer))."""
+    import sys as _sys
+
+    from lucene_solr_spark.analysis.lang_analyzers import (
+        dutch_analyzer_stream,
+    )
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import snowball_fuzz as sf
+
+    rng = random.Random(8590)
+    setup = sf.LANG_SETUP["Dutch"]
+    stopw = ["de", "het", "van", "zijn", "wordt", "zonder", "kunnen"]
+    overrides = ["fiets", "bromfiets", "ei", "kind", "fietsen", "eieren"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(setup["stems"]) + rng.choice(setup["sufs"])
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.35:
+                w = rng.choice(overrides)
+            elif r < 0.45:
+                w = "".join(rng.choice(setup["alphabet"])
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "DutchAnalyzer")
+    _check(lines, exp, dutch_analyzer_stream, "dutch-analyzer")

@@ -4229,6 +4229,14 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.es.SpanishAnalyzer an =
             new org.apache.lucene.analysis.es.SpanishAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("RussianAnalyzer")) {
+        org.apache.lucene.analysis.ru.RussianAnalyzer an =
+            new org.apache.lucene.analysis.ru.RussianAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("DutchAnalyzer")) {
+        org.apache.lucene.analysis.nl.DutchAnalyzer an =
+            new org.apache.lucene.analysis.nl.DutchAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6032,7 +6040,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/es/SpanishAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/nl/DutchAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6064,6 +6072,8 @@ def build() -> bool:
              f"{ac_root}/it/ItalianLightStemFilter.java",
              f"{ac_root}/es/SpanishAnalyzer.java",
              f"{ac_root}/es/SpanishLightStemFilter.java",
+             f"{ac_root}/ru/RussianAnalyzer.java",
+             f"{ac_root}/nl/DutchAnalyzer.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
