@@ -572,6 +572,20 @@ def _dutch_full_posinc(t: str) -> list[tuple[str, int]]:
     return [(x, pi) for x, pi, _s, _e in dutch_analyzer_stream(t)]
 
 
+def _portuguese_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.portuguese_light import portuguese_tokens
+
+    return portuguese_tokens(t)
+
+
+def _portuguese_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.portuguese_light import (
+        portuguese_posinc_stream,
+    )
+
+    return portuguese_posinc_stream(t)
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -680,6 +694,7 @@ POSINC_STREAMS: dict = {
     "spanish_light": _spanish_light_posinc,
     "russian_full": _russian_full_posinc,
     "dutch_full": _dutch_full_posinc,
+    "portuguese_light": _portuguese_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -829,6 +844,9 @@ ANALYZERS: dict = {
     # gaps; Dutch adds the 4-entry StemmerOverride dict)
     "russian_full": (_russian_full_tokens, False, False, None),
     "dutch_full": (_dutch_full_tokens, False, False, None),
+    # PortugueseAnalyzer full chain (GT round 85c,
+    # analysis/portuguese_light.py)
+    "portuguese_light": (_portuguese_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

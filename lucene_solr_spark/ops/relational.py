@@ -4541,6 +4541,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
     from ..analysis.french_light import french_light_stem
     from ..analysis.german_light import german_light_stem, german_normalize
     from ..analysis.italian_light import italian_light_stem
+    from ..analysis.portuguese_light import portuguese_light_stem
     from ..analysis.spanish_light import spanish_light_stem
     from ..analysis.snowball_pt import portuguese_stem
     from ..analysis.snowball_scand import (
@@ -4559,6 +4560,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "german_light": lambda w: german_light_stem(german_normalize(w)),
         "italian_light": italian_light_stem,
         "spanish_light": spanish_light_stem,
+        "portuguese_light": portuguese_light_stem,
     }
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())

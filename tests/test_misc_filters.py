@@ -1069,3 +1069,43 @@ def test_dutch_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "DutchAnalyzer")
     _check(lines, exp, dutch_analyzer_stream, "dutch-analyzer")
+
+
+def test_portuguese_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — PortugueseAnalyzer (pt/PortugueseAnalyzer.java:
+    Standard + LowerCase + StopFilter(portuguese_stop.txt, 203 words) +
+    PortugueseLightStemFilter) pinned on the full stream: the
+    ões/ães→ão and is→il rewrites, the feminine normalization step
+    (ona→ão, esa→ês), final-vowel strip, and the accent fold running
+    LAST (after the suffix machinery sees the accented forms)."""
+    from lucene_solr_spark.analysis.portuguese_light import (
+        portuguese_stream,
+    )
+
+    rng = random.Random(8591)
+    stems = ["informaç", "coraç", "nacion", "menin", "bonit", "fregu",
+             "trabalhador", "papel", "jornal", "anim", "cançõ",
+             "portugu", "professor", "irm", "capit", "veloz", "mar"]
+    sufs = ["", "a", "o", "e", "as", "os", "es", "ões", "ães", "ns",
+            "eis", "éis", "ais", "óis", "is", "mente", "inha", "iaca",
+            "eira", "osa", "ica", "ida", "ada", "iva", "ama", "ona",
+            "ora", "esa", "na", "res", "ses", "zes", "les", "ás", "ã"]
+    stopw = ["as", "dos", "de", "que", "não", "são", "está", "fôssemos",
+             "tivéssemos"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.25:
+                w = rng.choice(stopw)
+            elif r < 0.35:
+                w = "".join(rng.choice("abcdefghijlmnopqrstuvzáéíóúâêôãõç")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "PortugueseAnalyzer")
+    _check(lines, exp, portuguese_stream, "portuguese-analyzer")

@@ -4237,6 +4237,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.nl.DutchAnalyzer an =
             new org.apache.lucene.analysis.nl.DutchAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("PortugueseAnalyzer")) {
+        org.apache.lucene.analysis.pt.PortugueseAnalyzer an =
+            new org.apache.lucene.analysis.pt.PortugueseAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6040,7 +6044,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/nl/DutchAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/pt/PortugueseAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6074,6 +6078,8 @@ def build() -> bool:
              f"{ac_root}/es/SpanishLightStemFilter.java",
              f"{ac_root}/ru/RussianAnalyzer.java",
              f"{ac_root}/nl/DutchAnalyzer.java",
+             f"{ac_root}/pt/PortugueseAnalyzer.java",
+             f"{ac_root}/pt/PortugueseLightStemFilter.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
