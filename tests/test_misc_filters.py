@@ -1109,3 +1109,42 @@ def test_portuguese_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "PortugueseAnalyzer")
     _check(lines, exp, portuguese_stream, "portuguese-analyzer")
+
+
+def test_arabic_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — ArabicAnalyzer (ar/ArabicAnalyzer.java:
+    StandardTokenizer + LowerCase + DecimalDigit + StopFilter(119-word
+    ar stop list, applied BEFORE normalization — the list is not
+    normalized) + ArabicNormalizationFilter (hamza-alef folds, teh
+    marbuta → heh, harakat deletion) + ArabicStemFilter (one al-family
+    prefix strip with length floors, then EVERY matching suffix in
+    table order))."""
+    from lucene_solr_spark.analysis.arabic_light import arabic_stream
+
+    rng = random.Random(8592)
+    stems = ["كتاب", "مدرس", "علم", "درس", "عمل", "شرك", "حكوم",
+             "جامع", "طالب", "مدين", "صحيف", "وزير", "رئيس", "بلد"]
+    prefixes = ["", "ال", "وال", "بال", "كال", "فال", "لل", "و"]
+    sufs = ["", "ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة",
+            "ي", "تان", "ىة", "اء"]
+    stopw = ["من", "في", "على", "إلى", "هذا", "التي", "أن", "لم"]
+    harakat = "ًٌٍَُِّْـ"
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(prefixes) + rng.choice(stems) + rng.choice(sufs)
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.3:
+                w = "".join(rng.choice("ابتثجحخدذرزسشصضطظعغفقكلمنهويىةأإآ١٢٣٤٥")
+                            for _ in range(rng.randint(1, 8)))
+            if rng.random() < 0.2 and w:
+                # sprinkle harakat (deleted by normalization)
+                pos = rng.randrange(len(w))
+                w = w[:pos] + rng.choice(harakat) + w[pos:]
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "ArabicAnalyzer")
+    _check(lines, exp, arabic_stream, "arabic-analyzer")

@@ -4241,6 +4241,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.pt.PortugueseAnalyzer an =
             new org.apache.lucene.analysis.pt.PortugueseAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("ArabicAnalyzer")) {
+        org.apache.lucene.analysis.ar.ArabicAnalyzer an =
+            new org.apache.lucene.analysis.ar.ArabicAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6044,7 +6048,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/pt/PortugueseAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/ar/ArabicAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6080,6 +6084,7 @@ def build() -> bool:
              f"{ac_root}/nl/DutchAnalyzer.java",
              f"{ac_root}/pt/PortugueseAnalyzer.java",
              f"{ac_root}/pt/PortugueseLightStemFilter.java",
+             f"{ac_root}/ar/ArabicAnalyzer.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
