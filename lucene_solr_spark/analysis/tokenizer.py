@@ -598,6 +598,18 @@ def _arabic_light_posinc(t: str) -> list[tuple[str, int]]:
     return [(x, pi) for x, pi, _s, _e in arabic_stream(t)]
 
 
+def _czech_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.czech_light import czech_stream
+
+    return [x for x, _pi, _s, _e in czech_stream(t)]
+
+
+def _czech_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.czech_light import czech_stream
+
+    return [(x, pi) for x, pi, _s, _e in czech_stream(t)]
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -708,6 +720,7 @@ POSINC_STREAMS: dict = {
     "dutch_full": _dutch_full_posinc,
     "portuguese_light": _portuguese_light_posinc,
     "arabic_light": _arabic_light_posinc,
+    "czech_light": _czech_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -862,6 +875,8 @@ ANALYZERS: dict = {
     "portuguese_light": (_portuguese_light_tokens, False, False, None),
     # ArabicAnalyzer full chain (GT round 85c, analysis/arabic_light.py)
     "arabic_light": (_arabic_light_tokens, False, False, None),
+    # CzechAnalyzer full chain (GT round 85c, analysis/czech_light.py)
+    "czech_light": (_czech_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

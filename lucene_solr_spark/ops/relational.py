@@ -4541,6 +4541,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
     from ..analysis.french_light import french_light_stem
     from ..analysis.german_light import german_light_stem, german_normalize
     from ..analysis.italian_light import italian_light_stem
+    from ..analysis.czech_light import czech_stem
     from ..analysis.portuguese_light import portuguese_light_stem
     from ..analysis.spanish_light import spanish_light_stem
     from ..analysis.snowball_pt import portuguese_stem
@@ -4561,6 +4562,7 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "italian_light": italian_light_stem,
         "spanish_light": spanish_light_stem,
         "portuguese_light": portuguese_light_stem,
+        "czech_light": czech_stem,
     }
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())

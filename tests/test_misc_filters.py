@@ -1148,3 +1148,43 @@ def test_arabic_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "ArabicAnalyzer")
     _check(lines, exp, arabic_stream, "arabic-analyzer")
+
+
+def test_czech_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — CzechAnalyzer (cz/CzechAnalyzer.java: Standard +
+    LowerCase + StopFilter(cz stopwords, 172 words) + CzechStemFilter):
+    case-ending removal by length class, possessive ov/in/ův, and the
+    palatalization normalization (čt→ck, št→sk, c/č→k, z/ž→h,
+    e-collapse, ů→o)."""
+    from lucene_solr_spark.analysis.czech_light import czech_stream
+
+    rng = random.Random(8593)
+    stems = ["měst", "matk", "hračk", "dělostřelectv", "krásn", "běž",
+             "stroj", "vlád", "knih", "uč", "přítel", "škol", "nůž",
+             "vůz", "souč", "myš", "ledviček", "prác"]
+    sufs = ["", "a", "y", "e", "ě", "u", "o", "í", "ý", "á", "é", "ů",
+            "atech", "ětem", "etem", "atům", "ech", "ich", "ích",
+            "ého", "ěmi", "emi", "ému", "ího", "ími", "ách", "ata",
+            "aty", "ých", "ama", "ami", "ové", "ovi", "ými", "em",
+            "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+            "mi", "ou", "ov", "in", "ův", "čt", "št", "ec", "ez"]
+    stopw = ["a", "je", "na", "že", "který", "této", "budeš", "jsme"]
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if rng.random() < 0.3:
+                w += rng.choice(sufs)
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.3:
+                w = "".join(rng.choice("abcdeěfhijklmnoprsštuůvyzžáéíý")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "CzechAnalyzer")
+    _check(lines, exp, czech_stream, "czech-analyzer")

@@ -4245,6 +4245,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.ar.ArabicAnalyzer an =
             new org.apache.lucene.analysis.ar.ArabicAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("CzechAnalyzer")) {
+        org.apache.lucene.analysis.cz.CzechAnalyzer an =
+            new org.apache.lucene.analysis.cz.CzechAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6048,7 +6052,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/ar/ArabicAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/cz/CzechAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6085,6 +6089,7 @@ def build() -> bool:
              f"{ac_root}/pt/PortugueseAnalyzer.java",
              f"{ac_root}/pt/PortugueseLightStemFilter.java",
              f"{ac_root}/ar/ArabicAnalyzer.java",
+             f"{ac_root}/cz/CzechAnalyzer.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
