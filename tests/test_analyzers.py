@@ -943,3 +943,41 @@ def test_span_masked_engine_matches_pinned_oracle(spark, tmp_root):
             clauses, slop, in_order, got, exp)
         for (gd, gs), (_ed, es) in zip(got, exp):
             assert gs == es, (clauses, slop, in_order, gd, gs, es)
+
+
+def test_language_chain_index_end_to_end(spark, tmp_root):
+    """A language analyzer chain through the REAL index build+search
+    path (r4): build with analyzer='french_light' over a French corpus,
+    assert the term dictionary equals the pinned chain's stemmed
+    output (elision + stop + light stem applied at index time), and a
+    stemmed-form query matches docs whose surface forms differ."""
+    from lucene_solr_spark.analysis.french_light import french_tokens
+
+    docs = [
+        (0, "les nations nationales l'information"),
+        (1, "nous informons la nation"),
+        (2, "d'autres continuations sans rapport"),
+    ]
+    d = os.path.join(tmp_root, "idx_frlight")
+    src = spark.createDataFrame(docs, "doc_id long, content string")
+    build_index(
+        spark, src, out_dir=d, content_col="content", doc_id_col="doc_id",
+        meta_cols=[], range_size=16, fingerprint="an-frlight",
+        analyzer="french_light",
+    )
+    s = IndexSearcher(spark, d)
+    terms = {r["term"] for r in s._term_stats.select("term").collect()}
+    want = {t for _i, txt in docs for t in french_tokens(txt)}
+    assert terms == want, (terms, want)
+    # expected hits derived from the SAME pinned chain: a query matches
+    # every doc sharing its stemmed form (surface forms differ)
+    for q in ("nation", "nations", "l'information", "informons",
+              "continuation"):
+        want_hits = {
+            i for i, txt in docs
+            if set(french_tokens(q)) & set(french_tokens(txt))
+        }
+        hits = {r["doc_id"] for r in s.topk(q, k=10).collect()}
+        assert hits == want_hits, (q, hits, want_hits)
+    # and at least one conflation across distinct surface forms exists
+    assert {r["doc_id"] for r in s.topk("nations", k=10).collect()} == {0, 1}
