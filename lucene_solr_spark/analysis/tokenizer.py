@@ -610,6 +610,18 @@ def _czech_light_posinc(t: str) -> list[tuple[str, int]]:
     return [(x, pi) for x, pi, _s, _e in czech_stream(t)]
 
 
+def _persian_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.persian_light import persian_stream
+
+    return [x for x, _pi, _s, _e in persian_stream(t)]
+
+
+def _persian_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.persian_light import persian_stream
+
+    return [(x, pi) for x, pi, _s, _e in persian_stream(t)]
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -721,6 +733,7 @@ POSINC_STREAMS: dict = {
     "portuguese_light": _portuguese_light_posinc,
     "arabic_light": _arabic_light_posinc,
     "czech_light": _czech_light_posinc,
+    "persian_light": _persian_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -877,6 +890,9 @@ ANALYZERS: dict = {
     "arabic_light": (_arabic_light_tokens, False, False, None),
     # CzechAnalyzer full chain (GT round 85c, analysis/czech_light.py)
     "czech_light": (_czech_light_tokens, False, False, None),
+    # PersianAnalyzer full chain (GT round 85c,
+    # analysis/persian_light.py — incl. the ZWNJ->space char filter)
+    "persian_light": (_persian_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

@@ -1188,3 +1188,38 @@ def test_czech_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "CzechAnalyzer")
     _check(lines, exp, czech_stream, "czech-analyzer")
+
+
+def test_persian_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — PersianAnalyzer (fa/PersianAnalyzer.java:
+    PersianCharFilter (ZWNJ→space, pre-tokenization, offset-aligned) +
+    StandardTokenizer + LowerCase + DecimalDigit +
+    ArabicNormalization + PersianNormalization (farsi yeh / yeh barree
+    → yeh, keheh → kaf, heh-goal forms → heh, hamza-above deleted) +
+    StopFilter(308-word fa list, applied AFTER normalization — the
+    reverse of Arabic's order, the list ships pre-normalized)."""
+    from lucene_solr_spark.analysis.persian_light import persian_stream
+
+    rng = random.Random(8594)
+    stems = ["کتاب", "فارس", "ایران", "دانشگاه", "خوان", "نویس",
+             "گفت", "شهر", "زبان", "مدرسه", "هفته", "دوست"]
+    sufs = ["", "ها", "های", "ی", "م", "ند", "ان", "ۀ", "ه"]
+    stopw = ["که", "از", "این", "را", "با", "برای", "وقتیکه"]
+    zwnj = "‌"
+    lines = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.25:
+                w = rng.choice(stems) + zwnj + rng.choice(sufs or ["ها"])
+            elif r < 0.4:
+                w = rng.choice(stopw)
+            elif r < 0.5:
+                w = "".join(rng.choice("ابپتثجچحخدذرزژسشصضطظعغفقکگلمنوهیيكۀے۱۲۳٤ٔ")
+                            for _ in range(rng.randint(1, 8)))
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "PersianAnalyzer")
+    _check(lines, exp, persian_stream, "persian-analyzer")

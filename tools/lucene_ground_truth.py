@@ -4249,6 +4249,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.cz.CzechAnalyzer an =
             new org.apache.lucene.analysis.cz.CzechAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("PersianAnalyzer")) {
+        org.apache.lucene.analysis.fa.PersianAnalyzer an =
+            new org.apache.lucene.analysis.fa.PersianAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6052,7 +6056,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/cz/CzechAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/fa/PersianAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6090,6 +6094,7 @@ def build() -> bool:
              f"{ac_root}/pt/PortugueseLightStemFilter.java",
              f"{ac_root}/ar/ArabicAnalyzer.java",
              f"{ac_root}/cz/CzechAnalyzer.java",
+             f"{ac_root}/fa/PersianAnalyzer.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
