@@ -1223,3 +1223,53 @@ def test_persian_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "PersianAnalyzer")
     _check(lines, exp, persian_stream, "persian-analyzer")
+
+
+def test_greek_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — GreekAnalyzer (el/GreekAnalyzer.java:
+    StandardTokenizer + GreekLowerCaseFilter (final sigma +
+    tonos/dialytika folds) + StopFilter(75 words) + GreekStemFilter —
+    the 854-line 22-rule stemmer with whole-stem exception sets,
+    buffer re-exposure add-backs, and the rule-0/8 guard
+    parenthesization quirks preserved as behavior)."""
+    from lucene_solr_spark.analysis.greek_light import greek_stream
+
+    rng = random.Random(8595)
+    stems = ["καθεστωτ", "γεγονοτ", "ολογι", "φαγι", "φωτ", "κρεατ",
+             "παιδ", "εργαζ", "μαθητ", "τραγουδ", "αγαπ", "μιλ",
+             "γραφ", "δουλευ", "σπιτ", "ανθρωπ", "ελλην", "θαλασσ",
+             "ονειρ", "αρχ", "ον", "τρ", "τσ", "πατερ", "μαμ", "οπ",
+             "αρκ", "θ", "δ", "π", "χερσον", "σπι", "ψοφ", "κολλ"]
+    sufs = ["", "α", "ο", "οσ", "ου", "ων", "εσ", "η", "ησ", "ια",
+            "ιου", "ιων", "αδεσ", "αδων", "εδεσ", "εδων", "ουδεσ",
+            "ουδων", "εωσ", "εων", "ικα", "ικο", "ικου", "ικων",
+            "αμε", "ηθηκαμε", "ουσαμε", "ησαμε", "ηκαμε", "αγαμε",
+            "ανε", "ιουντανε", "οντανε", "ουσανε", "ησανε", "ετε",
+            "ησετε", "οντασ", "ωντασ", "ομαστε", "ιομαστε", "ιεστε",
+            "εστε", "ηθηκεσ", "ηκεσ", "ηκα", "ουσεσ", "ουσα", "αγεσ",
+            "αγα", "ησου", "ησε", "ηστε", "ησουνε", "ουνε", "ησουμε",
+            "ουμε", "ματων", "ματοσ", "ματα", "ιοντουσαν", "ομασταν",
+            "ουμαστε", "ηθηκατε", "ονται", "ομαι", "εισ", "ουν",
+            "αν", "ασ", "ει", "εστερ", "οτερ", "υτατ", "ωτατ"]
+    stopw = ["και", "το", "την", "που", "των", "αυτο", "εκεινοσ",
+             "οπωσ"]
+    lines = []
+    for _ in range(150):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if rng.random() < 0.3:
+                w += rng.choice(sufs)
+            if r < 0.15:
+                w = rng.choice(stopw)
+            elif r < 0.25:
+                w = "".join(
+                    rng.choice("αβγδεζηθικλμνξοπρστυφχψωςάέήίόύώϊϋ")
+                    for _ in range(rng.randint(1, 10)))
+            if rng.random() < 0.2:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "GreekAnalyzer")
+    _check(lines, exp, greek_stream, "greek-analyzer")

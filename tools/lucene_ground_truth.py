@@ -4253,6 +4253,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.fa.PersianAnalyzer an =
             new org.apache.lucene.analysis.fa.PersianAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("GreekAnalyzer")) {
+        org.apache.lucene.analysis.el.GreekAnalyzer an =
+            new org.apache.lucene.analysis.el.GreekAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6056,7 +6060,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/fa/PersianAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/el/GreekAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6095,6 +6099,9 @@ def build() -> bool:
              f"{ac_root}/ar/ArabicAnalyzer.java",
              f"{ac_root}/cz/CzechAnalyzer.java",
              f"{ac_root}/fa/PersianAnalyzer.java",
+             f"{ac_root}/el/GreekAnalyzer.java",
+             f"{ac_root}/el/GreekLowerCaseFilter.java",
+             f"{ac_root}/el/GreekStemFilter.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
