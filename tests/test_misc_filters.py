@@ -1273,3 +1273,44 @@ def test_greek_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "GreekAnalyzer")
     _check(lines, exp, greek_stream, "greek-analyzer")
+
+
+def test_hindi_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — HindiAnalyzer (hi/HindiAnalyzer.java: Standard +
+    LowerCase + DecimalDigit + IndicNormalizationFilter (the 9-script
+    first-match compose table with same-block and ZWJ rules) +
+    HindiNormalizationFilter (nukta deletion, anusvara unification,
+    virama/ZWJ/ZWNJ deletion, vowel and matra shortening) +
+    StopFilter(227 words) + HindiStemFilter (suffix ladder))."""
+    from lucene_solr_spark.analysis.hindi_light import hindi_stream
+
+    rng = random.Random(8596)
+    stems = ["लडक", "किताब", "पढ", "लिख", "खेल", "बोल", "समझ",
+             "बच्च", "विद्यालय", "भाषा", "हिन्द", "राज", "देश",
+             "शहर", "गाँव"]
+    sufs = ["", "ा", "ी", "े", "ो", "ु", "ू", "ि", "ाएंगी", "ाऊंगा",
+            "ाइयों", "ाएगी", "ेंगे", "ूंगी", "ियाँ", "ियों", "ाकर",
+            "ाया", "ाने", "ाता", "ाओं", "ुएं", "कर", "ने", "ना",
+            "ती", "ों", "ें", "ीं", "ाँ", "ां"]
+    stopw = ["के", "का", "एक", "में", "की", "है", "यह", "और", "से",
+             "हैं"]
+    lines = []
+    for _ in range(150):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.3:
+                w = "".join(
+                    rng.choice("अआइईउऊएऐओऔकखगघचछजझटठडढणतथदधनपफबभमयरलवशषसहिीुूेैोौंँः१२३॥ऽ")
+                    for _ in range(rng.randint(1, 8)))
+            if rng.random() < 0.2 and w:
+                pos = rng.randrange(len(w))
+                w = w[:pos] + rng.choice(["़", "्", "ऍ", "ॉ", "ऱ"]) \
+                    + w[pos:]
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "HindiAnalyzer")
+    _check(lines, exp, hindi_stream, "hindi-analyzer")
