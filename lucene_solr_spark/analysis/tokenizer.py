@@ -646,6 +646,18 @@ def _hindi_light_posinc(t: str) -> list[tuple[str, int]]:
     return [(x, pi) for x, pi, _s, _e in hindi_stream(t)]
 
 
+def _bulgarian_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.bulgarian_light import bulgarian_stream
+
+    return [x for x, _pi, _s, _e in bulgarian_stream(t)]
+
+
+def _bulgarian_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.bulgarian_light import bulgarian_stream
+
+    return [(x, pi) for x, pi, _s, _e in bulgarian_stream(t)]
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -760,6 +772,7 @@ POSINC_STREAMS: dict = {
     "persian_light": _persian_light_posinc,
     "greek_light": _greek_light_posinc,
     "hindi_light": _hindi_light_posinc,
+    "bulgarian_light": _bulgarian_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -923,6 +936,9 @@ ANALYZERS: dict = {
     "greek_light": (_greek_light_tokens, False, False, None),
     # HindiAnalyzer full chain (GT round 85c, analysis/hindi_light.py)
     "hindi_light": (_hindi_light_tokens, False, False, None),
+    # BulgarianAnalyzer full chain (GT round 85c,
+    # analysis/bulgarian_light.py)
+    "bulgarian_light": (_bulgarian_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

@@ -1314,3 +1314,42 @@ def test_hindi_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "HindiAnalyzer")
     _check(lines, exp, hindi_stream, "hindi-analyzer")
+
+
+def test_bulgarian_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — BulgarianAnalyzer (bg/BulgarianAnalyzer.java:
+    Standard + LowerCase + StopFilter(190 words) + BulgarianStemFilter
+    — definite-article removal, plural rewrites with palatalization
+    reversals (ци→к, зи→г, си→х, е..и→я), final-vowel strips, ен→н and
+    the ъN→N collapse)."""
+    from lucene_solr_spark.analysis.bulgarian_light import (
+        bulgarian_stream,
+    )
+
+    rng = random.Random(8597)
+    stems = ["книг", "град", "учител", "работ", "български", "дет",
+             "нов", "стар", "машин", "прозорец", "мъж", "ръц", "крак",
+             "уч", "направ", "избор"]
+    sufs = ["", "а", "о", "е", "я", "и", "ища", "ият", "ът", "то",
+            "те", "та", "ия", "ят", "овци", "ове", "еве", "ци", "зи",
+            "си", "ен", "ъл", "ър", "ени", "ета", "ите"]
+    stopw = ["и", "в", "на", "не", "за", "това", "които", "само"]
+    lines = []
+    for _ in range(150):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if rng.random() < 0.3:
+                w += rng.choice(sufs)
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.3:
+                w = "".join(rng.choice("абвгдежзийклмнопрстуфхцчшщъьюя")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "BulgarianAnalyzer")
+    _check(lines, exp, bulgarian_stream, "bulgarian-analyzer")
