@@ -658,6 +658,22 @@ def _bulgarian_light_posinc(t: str) -> list[tuple[str, int]]:
     return [(x, pi) for x, pi, _s, _e in bulgarian_stream(t)]
 
 
+def _indonesian_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.indonesian_light import (
+        indonesian_stream,
+    )
+
+    return [x for x, _pi, _s, _e in indonesian_stream(t)]
+
+
+def _indonesian_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.indonesian_light import (
+        indonesian_stream,
+    )
+
+    return [(x, pi) for x, pi, _s, _e in indonesian_stream(t)]
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -773,6 +789,7 @@ POSINC_STREAMS: dict = {
     "greek_light": _greek_light_posinc,
     "hindi_light": _hindi_light_posinc,
     "bulgarian_light": _bulgarian_light_posinc,
+    "indonesian_light": _indonesian_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -939,6 +956,9 @@ ANALYZERS: dict = {
     # BulgarianAnalyzer full chain (GT round 85c,
     # analysis/bulgarian_light.py)
     "bulgarian_light": (_bulgarian_light_tokens, False, False, None),
+    # IndonesianAnalyzer full chain (GT round 85c,
+    # analysis/indonesian_light.py)
+    "indonesian_light": (_indonesian_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

@@ -1353,3 +1353,48 @@ def test_bulgarian_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "BulgarianAnalyzer")
     _check(lines, exp, bulgarian_stream, "bulgarian-analyzer")
+
+
+def test_indonesian_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — IndonesianAnalyzer (id/IndonesianAnalyzer.java:
+    Standard + LowerCase + StopFilter(357 words) +
+    IndonesianStemFilter): the syllable-budgeted Asian/Tala algorithm —
+    particle and possessive strips, the first-order prefix family with
+    sound-change rewrites (meny→s, pen+vowel→t), the prefix-gated
+    suffix rules, and second-order ber/per/pe prefixes in the
+    rule-fired order."""
+    from lucene_solr_spark.analysis.indonesian_light import (
+        indonesian_stream,
+    )
+
+    rng = random.Random(8598)
+    roots = ["sapu", "ajar", "baca", "tulis", "main", "kerja", "jalan",
+             "buku", "rumah", "makan", "minum", "lari", "pikir",
+             "satu", "bijak", "guna", "bangun", "lihat", "dengar"]
+    prefixes = ["", "meng", "meny", "men", "mem", "me", "peng", "peny",
+                "pen", "pem", "di", "ter", "ke", "ber", "be", "per",
+                "pe", "bel"]
+    sufs = ["", "kan", "an", "i", "kah", "lah", "pun", "ku", "mu",
+            "nya"]
+    stopw = ["yang", "dan", "di", "dari", "ini", "untuk", "dengan",
+             "tidak"]
+    lines = []
+    for _ in range(150):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = (rng.choice(prefixes) + rng.choice(roots)
+                 + rng.choice(sufs))
+            if rng.random() < 0.3:
+                w += rng.choice(sufs)
+            if r < 0.15:
+                w = rng.choice(stopw)
+            elif r < 0.25:
+                w = "".join(rng.choice("abcdefghijklmnoprstuwy")
+                            for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "IndonesianAnalyzer")
+    _check(lines, exp, indonesian_stream, "indonesian-analyzer")
