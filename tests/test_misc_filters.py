@@ -1398,3 +1398,42 @@ def test_indonesian_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "IndonesianAnalyzer")
     _check(lines, exp, indonesian_stream, "indonesian-analyzer")
+
+
+def test_latvian_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — LatvianAnalyzer (lv/LatvianAnalyzer.java:
+    Standard + LowerCase + StopFilter(163 words) + LatvianStemFilter):
+    the ordered 38-affix table gated on the word's vowel count and a
+    3-char stem floor, with the unpalatalization rewrites that peek at
+    the just-removed buffer character (kš+u → kst)."""
+    from lucene_solr_spark.analysis.latvian_light import latvian_stream
+
+    rng = random.Random(8599)
+    stems = ["valod", "grāmat", "skol", "latvij", "cilvēk", "bērn",
+             "dzīv", "laik", "gad", "vēlēšan", "kuģ", "ceļ", "brīv",
+             "kok", "zaķ", "akmeņ", "kalņ", "šķirš", "mež", "vilkš",
+             "kukš"]
+    sufs = ["", "ajiem", "ajai", "ajam", "ajām", "ajos", "ajās",
+            "iem", "ajā", "ais", "ai", "ei", "ām", "am", "ēm", "īm",
+            "im", "um", "us", "as", "ās", "es", "os", "ij", "īs",
+            "ēs", "is", "ie", "u", "a", "i", "e", "ā", "ē", "ī", "ū",
+            "o", "s", "š"]
+    stopw = ["un", "ir", "es", "ka", "tikai", "būt", "viņš", "savu"]
+    lines = []
+    for _ in range(150):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if r < 0.2:
+                w = rng.choice(stopw)
+            elif r < 0.3:
+                w = "".join(
+                    rng.choice("abcdefgijklmnoprstuvzāčēģīķļņšūž")
+                    for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.15:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "LatvianAnalyzer")
+    _check(lines, exp, latvian_stream, "latvian-analyzer")

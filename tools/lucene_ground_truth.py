@@ -4269,6 +4269,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.id.IndonesianAnalyzer an =
             new org.apache.lucene.analysis.id.IndonesianAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("LatvianAnalyzer")) {
+        org.apache.lucene.analysis.lv.LatvianAnalyzer an =
+            new org.apache.lucene.analysis.lv.LatvianAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6072,7 +6076,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/id/IndonesianAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/lv/LatvianAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6117,6 +6121,7 @@ def build() -> bool:
              f"{ac_root}/hi/HindiAnalyzer.java",
              f"{ac_root}/bg/BulgarianAnalyzer.java",
              f"{ac_root}/id/IndonesianAnalyzer.java",
+             f"{ac_root}/lv/LatvianAnalyzer.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
