@@ -686,6 +686,18 @@ def _latvian_light_posinc(t: str) -> list[tuple[str, int]]:
     return [(x, pi) for x, pi, _s, _e in latvian_stream(t)]
 
 
+def _sorani_light_tokens(t: str) -> list[str]:
+    from lucene_solr_spark.analysis.sorani_light import sorani_stream
+
+    return [x for x, _pi, _s, _e in sorani_stream(t)]
+
+
+def _sorani_light_posinc(t: str) -> list[tuple[str, int]]:
+    from lucene_solr_spark.analysis.sorani_light import sorani_stream
+
+    return [(x, pi) for x, pi, _s, _e in sorani_stream(t)]
+
+
 def _portuguese_map(term: str) -> str:
     from lucene_solr_spark.analysis.snowball_pt import portuguese_stem
 
@@ -803,6 +815,7 @@ POSINC_STREAMS: dict = {
     "bulgarian_light": _bulgarian_light_posinc,
     "indonesian_light": _indonesian_light_posinc,
     "latvian_light": _latvian_light_posinc,
+    "sorani_light": _sorani_light_posinc,
     "english_dual": _english_dual_posinc_stream,
 }
 POSINC_ANALYZERS = POSINC_STREAMS.keys()
@@ -975,6 +988,9 @@ ANALYZERS: dict = {
     # LatvianAnalyzer full chain (GT round 85c,
     # analysis/latvian_light.py)
     "latvian_light": (_latvian_light_tokens, False, False, None),
+    # SoraniAnalyzer full chain (GT round 85c,
+    # analysis/sorani_light.py)
+    "sorani_light": (_sorani_light_tokens, False, False, None),
     "folding": (_folding_raw, True, False, None),
     # ClassicAnalyzer: the pre-3.1 grammar keeps emails/hosts/acronyms/
     # serial numbers as single searchable terms (GT round 58)

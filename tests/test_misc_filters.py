@@ -1437,3 +1437,40 @@ def test_latvian_analyzer_chain_matches_compiled_reference():
         lines.append(" ".join(words))
     exp = gt.run_snowball(lines, "LatvianAnalyzer")
     _check(lines, exp, latvian_stream, "latvian-analyzer")
+
+
+def test_sorani_analyzer_chain_matches_compiled_reference():
+    """GT round 85c — SoraniAnalyzer (ckb/SoraniAnalyzer.java —
+    Kurdish: Standard + SoraniNormalizationFilter BEFORE lowercase
+    (yeh/kaf unification, ZWNJ deletion promoting a preceding heh to
+    ae, final heh → ae, initial reh → rreh, harakat + every FORMAT
+    char deleted) + LowerCase + DecimalDigit + StopFilter(63 words) +
+    SoraniStemFilter's definite-article/plural/ezafe ladder)."""
+    from lucene_solr_spark.analysis.sorani_light import sorani_stream
+
+    rng = random.Random(8600)
+    stems = ["کتێب", "رووداو", "شار", "زمان", "گوند", "خوێندن",
+             "منداڵ", "کوردستان", "هەواڵ", "نووسەر", "یاری", "گۆڤار",
+             "ره‌وش"]
+    sufs = ["", "دا", "نا", "ەوە", "مان", "یان", "تان", "ێکی",
+            "یەکی", "ێک", "یەک", "ەکە", "کە", "ەکان", "کان", "یانی",
+            "انی", "ان", "یانە", "انە", "ایە", "ەیە", "ە", "ی"]
+    stopw = ["و", "لە", "بە", "کە", "بۆ", "ئەم", "لەگەڵ", "وەک"]
+    lines = []
+    for _ in range(150):
+        words = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            w = rng.choice(stems) + rng.choice(sufs)
+            if rng.random() < 0.3:
+                w += rng.choice(sufs)
+            if r < 0.15:
+                w = rng.choice(stopw)
+            elif r < 0.25:
+                w = "".join(
+                    rng.choice("ئابپتجچحخدرڕزژسشعغفڤقکگلڵمنوۆهەیێيكىةھ‌َُ١٢")
+                    for _ in range(rng.randint(1, 8)))
+            words.append(w)
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "SoraniAnalyzer")
+    _check(lines, exp, sorani_stream, "sorani-analyzer")

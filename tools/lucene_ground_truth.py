@@ -4273,6 +4273,10 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.lv.LatvianAnalyzer an =
             new org.apache.lucene.analysis.lv.LatvianAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("SoraniAnalyzer")) {
+        org.apache.lucene.analysis.ckb.SoraniAnalyzer an =
+            new org.apache.lucene.analysis.ckb.SoraniAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6076,7 +6080,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/lv/LatvianAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/ckb/SoraniAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6122,6 +6126,9 @@ def build() -> bool:
              f"{ac_root}/bg/BulgarianAnalyzer.java",
              f"{ac_root}/id/IndonesianAnalyzer.java",
              f"{ac_root}/lv/LatvianAnalyzer.java",
+             f"{ac_root}/ckb/SoraniAnalyzer.java",
+             f"{ac_root}/ckb/SoraniNormalizationFilter.java",
+             f"{ac_root}/ckb/SoraniStemFilter.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
