@@ -4277,6 +4277,38 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.ckb.SoraniAnalyzer an =
             new org.apache.lucene.analysis.ckb.SoraniAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("FinnishAnalyzer")) {
+        org.apache.lucene.analysis.fi.FinnishAnalyzer an =
+            new org.apache.lucene.analysis.fi.FinnishAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("TurkishAnalyzer")) {
+        org.apache.lucene.analysis.tr.TurkishAnalyzer an =
+            new org.apache.lucene.analysis.tr.TurkishAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("HungarianAnalyzer")) {
+        org.apache.lucene.analysis.hu.HungarianAnalyzer an =
+            new org.apache.lucene.analysis.hu.HungarianAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("RomanianAnalyzer")) {
+        org.apache.lucene.analysis.ro.RomanianAnalyzer an =
+            new org.apache.lucene.analysis.ro.RomanianAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("CatalanAnalyzer")) {
+        org.apache.lucene.analysis.ca.CatalanAnalyzer an =
+            new org.apache.lucene.analysis.ca.CatalanAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("BasqueAnalyzer")) {
+        org.apache.lucene.analysis.eu.BasqueAnalyzer an =
+            new org.apache.lucene.analysis.eu.BasqueAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("IrishAnalyzer")) {
+        org.apache.lucene.analysis.ga.IrishAnalyzer an =
+            new org.apache.lucene.analysis.ga.IrishAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("ArmenianAnalyzer")) {
+        org.apache.lucene.analysis.hy.ArmenianAnalyzer an =
+            new org.apache.lucene.analysis.hy.ArmenianAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6080,7 +6112,7 @@ def build() -> bool:
     # snowball (GT round 56): org.tartarus.snowball program + the English
     # (Porter2) generated stemmer + the SnowballFilter wrapper
     sn_marker = os.path.join(
-        CLASSES, "org/apache/lucene/analysis/ckb/SoraniAnalyzer.class"
+        CLASSES, "org/apache/lucene/analysis/tr/TurkishAnalyzer.class"
     )
     if not os.path.exists(sn_marker) and os.path.isdir(ac_root):
         tart = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball"
@@ -6102,6 +6134,14 @@ def build() -> bool:
              f"{tart}/ext/DanishStemmer.java",
              f"{tart}/ext/SwedishStemmer.java",
              f"{tart}/ext/PortugueseStemmer.java",
+             f"{tart}/ext/FinnishStemmer.java",
+             f"{tart}/ext/HungarianStemmer.java",
+             f"{tart}/ext/RomanianStemmer.java",
+             f"{tart}/ext/TurkishStemmer.java",
+             f"{tart}/ext/CatalanStemmer.java",
+             f"{tart}/ext/BasqueStemmer.java",
+             f"{tart}/ext/IrishStemmer.java",
+             f"{tart}/ext/ArmenianStemmer.java",
              f"{ac_root}/snowball/SnowballFilter.java",
              f"{ac_root}/fr/FrenchAnalyzer.java",
              f"{ac_root}/fr/FrenchLightStemFilter.java",
@@ -6129,6 +6169,17 @@ def build() -> bool:
              f"{ac_root}/ckb/SoraniAnalyzer.java",
              f"{ac_root}/ckb/SoraniNormalizationFilter.java",
              f"{ac_root}/ckb/SoraniStemFilter.java",
+             f"{ac_root}/fi/FinnishAnalyzer.java",
+             f"{ac_root}/tr/TurkishAnalyzer.java",
+             f"{ac_root}/tr/ApostropheFilter.java",
+             f"{ac_root}/tr/TurkishLowerCaseFilter.java",
+             f"{ac_root}/hu/HungarianAnalyzer.java",
+             f"{ac_root}/ro/RomanianAnalyzer.java",
+             f"{ac_root}/ca/CatalanAnalyzer.java",
+             f"{ac_root}/eu/BasqueAnalyzer.java",
+             f"{ac_root}/ga/IrishAnalyzer.java",
+             f"{ac_root}/ga/IrishLowerCaseFilter.java",
+             f"{ac_root}/hy/ArmenianAnalyzer.java",
              f"{ac_root}/util/ElisionFilter.java"],
             capture_output=True, text=True, timeout=180,
         )
@@ -6145,6 +6196,20 @@ def build() -> bool:
                 if fn.endswith(".txt"):
                     shutil.copy(os.path.join(res_src, fn),
                                 os.path.join(res_dst, fn))
+        # package-local stopword resources (tr/ro/ca/eu/ga/hy load
+        # stopwords.txt from their own package dir)
+        pkg_res_root = ("/root/reference/lucene/analysis/common/src/"
+                        "resources/org/apache/lucene/analysis")
+        for pkg in ("tr", "ro", "ca", "eu", "ga", "hy"):
+            src_dir = os.path.join(pkg_res_root, pkg)
+            dst_dir = os.path.join(
+                CLASSES, "org/apache/lucene/analysis", pkg)
+            if os.path.isdir(src_dir):
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    if fn.endswith(".txt"):
+                        shutil.copy(os.path.join(src_dir, fn),
+                                    os.path.join(dst_dir, fn))
     # keyword-marker cluster (miscellaneous): KeywordRepeat +
     # SetKeywordMarker + RemoveDuplicates — KeywordAttribute + the
     # already-compiled PorterStemFilter
