@@ -130,6 +130,49 @@ LANG_SETUP = {
               "ávamos", "íamos", "eira", "eiras", "ções", "ão", "ã",
               "ões", "ou", "eu", "iu", "ci", "gue", "que", "ce"],
     ),
+    "Finnish": dict(
+        alphabet="abdeghijklmnoprstuvyäö",
+        stems=["kaupung", "talo", "nopea", "kirj", "opiskelij", "suur",
+               "pien", "vanh", "uus", "katu", "järv", "tyttö", "poik",
+               "ihmis", "käs", "ves", "puhu", "sano", "elä", "juo",
+               "syö", "tietokone", "yliopisto", "aatonaatto", "eläkk",
+               "po", "joj", "oj", "ie", "taivaa"],
+        sufs=["", "a", "ä", "n", "en", "in", "na", "nä", "ssa", "ssä",
+              "sta", "stä", "lla", "llä", "lta", "ltä", "lle", "ksi",
+              "tta", "ttä", "han", "hän", "hen", "hin", "hon", "hön",
+              "seen", "siin", "den", "tten", "ine", "kin", "kaan",
+              "kään", "ko", "kö", "pa", "pä", "sti", "si", "ni", "nsa",
+              "nsä", "mme", "nne", "an", "än", "mpi", "mpa", "immi",
+              "imma", "eja", "ejä", "mmä", "impä", "i", "j", "t", "it",
+              "at", "ät", "et", "ut", "aa", "ee", "ii", "oo", "uu",
+              "ää", "öö", "ie", "kse", "ksen"],
+    ),
+    "Hungarian": dict(
+        alphabet="abcdefghijklmnoprstuvzáéíóöõúüû",
+        stems=["ház", "asszony", "ember", "gyerek", "kert", "fall",
+               "szekrény", "mall", "balett", "munk", "iskol", "tanár",
+               "madzs", "épp", "öccs", "vissz", "hosszú", "könyv",
+               "ablak", "utc", "magyar", "nagy", "dolgoz", "barát"],
+        sufs=["", "ban", "ben", "ba", "be", "ra", "re", "nak", "nek",
+              "val", "vel", "tól", "tõl", "ból", "bõl", "ról", "rõl",
+              "nál", "nél", "hoz", "hez", "höz", "ig", "ért", "ul",
+              "ül", "vá", "vé", "kor", "t", "at", "et", "ot", "öt",
+              "n", "an", "en", "on", "ön", "képp", "képpen", "ként",
+              "anként", "enként", "onként", "án", "én", "ánként",
+              "stul", "stül", "astul", "estül", "ástul", "éstül",
+              "á", "é", "k", "ak", "ek", "ok", "ök", "ák", "ék",
+              "éi", "áéi", "ééi", "ké", "aké", "eké", "oké", "áké",
+              "éké", "öké", "éé", "a", "ja", "d", "ad", "ed", "od",
+              "öd", "ád", "éd", "e", "je", "nk", "unk", "ünk", "ánk",
+              "énk", "uk", "juk", "ájuk", "ük", "jük", "éjük", "m",
+              "am", "em", "om", "ám", "ém", "o", "id", "aid", "jaid",
+              "eid", "jeid", "áid", "éid", "i", "ai", "jai", "ei",
+              "jei", "ái", "itek", "eitek", "jeitek", "éitek", "ik",
+              "aik", "jaik", "eik", "jeik", "áik", "éik", "ink",
+              "aink", "jaink", "eink", "jeink", "áink", "éink",
+              "aitok", "jaitok", "áitok", "im", "aim", "jaim", "eim",
+              "jeim", "áim", "éim", "al", "el"],
+    ),
     "Russian": dict(
         alphabet="абвгдежзиклмнопрстуфхцчшщъыьэюяё",
         stems=["книг", "говор", "красн", "работ", "человеч", "студентк",
@@ -160,6 +203,14 @@ def main():
         "Danish": "snowball_scand.danish_stem",
         "Swedish": "snowball_scand.swedish_stem",
         "Portuguese": "snowball_pt.portuguese_stem",
+        "Finnish": "snowball_fi.finnish_stem",
+        "Hungarian": "snowball_hu.hungarian_stem",
+        "Romanian": "snowball_ro.romanian_stem",
+        "Turkish": "snowball_tr.turkish_stem",
+        "Catalan": "snowball_misc.catalan_stem",
+        "Basque": "snowball_misc.basque_stem",
+        "Irish": "snowball_misc.irish_stem",
+        "Armenian": "snowball_misc.armenian_stem",
     }[lang]
     mod_name, fn_name = fn.split(".")
     mod = __import__(f"lucene_solr_spark.analysis.{mod_name}",
