@@ -173,6 +173,34 @@ LANG_SETUP = {
               "aitok", "jaitok", "áitok", "im", "aim", "jaim", "eim",
               "jeim", "áim", "éim", "al", "el"],
     ),
+    "Romanian": dict(
+        alphabet="abcdefghijlmnoprstuvzâîăşţ",
+        stems=["cas", "copil", "oraş", "lucr", "frumos", "român",
+               "naţional", "studenţ", "profes", "cânt", "vorb", "citit",
+               "abil", "staţ", "ab", "fet", "băiat", "munc", "iubit",
+               "gândit", "istoric", "politic", "important", "deose"],
+        sufs=["", "a", "e", "i", "ă", "ie", "ea", "ia", "ele", "ile",
+              "iile", "ul", "ului", "aua", "iua", "aţia", "aţie", "iei",
+              "atei", "ii", "elor", "ilor", "iilor", "ică", "ica",
+              "abila", "ibila", "oasa", "ata", "ita", "anta", "ista",
+              "uta", "iva", "ice", "isme", "iune", "iuni", "oase",
+              "ate", "itate", "ite", "ante", "iste", "ute", "ive",
+              "ici", "abili", "atori", "osi", "ati", "itati", "iti",
+              "anti", "isti", "uti", "işti", "ivi", "ităi", "oşi",
+              "ităţi", "abil", "ibil", "ism", "ator", "os", "at", "it",
+              "ant", "ist", "ut", "iv", "icala", "ativa", "itiva",
+              "aţiune", "iţiune", "atoare", "itoare", "ătoare",
+              "icitate", "abilitate", "ibilitate", "ivitate", "icatori",
+              "ători", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+              "âre", "se", "ase", "sese", "ise", "use", "âse", "eşte",
+              "ăşte", "eze", "ai", "eai", "iai", "sei", "eşti", "ăşti",
+              "ui", "ezi", "âi", "aşi", "seşi", "aseşi", "işi", "uşi",
+              "aţi", "eaţi", "iaţi", "eţi", "iţi", "âţi", "arăţi",
+              "serăţi", "am", "eam", "iam", "em", "asem", "im", "âm",
+              "ăm", "arăm", "serăm", "au", "eau", "iau", "indu",
+              "ându", "ez", "ească", "ară", "seră", "aseră", "iră",
+              "ură", "âră", "ează"],
+    ),
     "Russian": dict(
         alphabet="абвгдежзиклмнопрстуфхцчшщъыьэюяё",
         stems=["книг", "говор", "красн", "работ", "человеч", "студентк",
