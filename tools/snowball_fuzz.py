@@ -201,6 +201,35 @@ LANG_SETUP = {
               "ându", "ez", "ească", "ară", "seră", "aseră", "iră",
               "ură", "âră", "ează"],
     ),
+    "Turkish": dict(
+        alphabet="abcçdefgğhıijklmnoöprsştuüvyz",
+        stems=["ev", "kitap", "ağaç", "okul", "göz", "araba", "çocuk",
+               "insan", "şehir", "gün", "yol", "el", "kapı", "deniz",
+               "türk", "ankara", "çiçek", "dağ", "köy", "su", "baş",
+               "kalem", "masa", "pencere", "ders", "öğrenci", "ad",
+               "soyad", "kedi", "balık", "kuş", "arkadaş", "anne"],
+        sufs=["", "lar", "ler", "ları", "leri", "da", "de", "ta", "te",
+              "nda", "nde", "dan", "den", "tan", "ten", "ndan", "nden",
+              "la", "le", "yla", "yle", "ca", "ce", "nca", "nce", "ki",
+              "daki", "deki", "ndaki", "in", "un", "ün", "ın", "nin",
+              "nun", "nün", "nın", "a", "e", "ya", "ye", "na", "ne",
+              "i", "u", "ü", "ı", "yi", "yu", "yü", "yı", "ni", "nu",
+              "nü", "nı", "si", "su", "sü", "sı", "m", "n", "miz",
+              "niz", "muz", "nuz", "müz", "nüz", "mız", "nız", "im",
+              "um", "üm", "ım", "yim", "yum", "yüm", "yım", "sin",
+              "sun", "sün", "sın", "iz", "uz", "üz", "ız", "yiz",
+              "yuz", "yüz", "yız", "siniz", "sunuz", "sünüz", "sınız",
+              "dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır",
+              "casına", "cesine", "di", "ti", "dik", "tik", "duk",
+              "tuk", "dük", "tük", "dık", "tık", "dim", "tim", "dum",
+              "tum", "düm", "tüm", "dım", "tım", "din", "tin", "dun",
+              "tun", "dün", "tün", "dın", "tın", "du", "tu", "dü",
+              "tü", "dı", "tı", "ydi", "yti", "ydı", "ytı", "ydu",
+              "ydü", "sa", "se", "sak", "sek", "sam", "sem", "san",
+              "sen", "ysa", "yse", "miş", "muş", "müş", "mış", "ymiş",
+              "ymuş", "ymüş", "ymış", "ken", "yken", "ndekiler",
+              "lerindeki", "larındaki", "sındaki", "indekilerden"],
+    ),
     "Russian": dict(
         alphabet="абвгдежзиклмнопрстуфхцчшщъыьэюяё",
         stems=["книг", "говор", "красн", "работ", "человеч", "студентк",
