@@ -245,10 +245,53 @@ LANG_SETUP = {
 }
 
 
+def _table_setup(alphabet, stems, *tables):
+    """Build a fuzz setup whose suffix pool is the among tables
+    themselves (plus bare letters), for table-driven stemmers."""
+    sufs = {""}
+    for tab in tables:
+        for s, _v in tab:
+            if s:
+                sufs.add(s)
+    sufs.update(alphabet[:8])
+    return dict(alphabet=alphabet, stems=stems, sufs=sorted(sufs))
+
+
+def _misc_setups():
+    from lucene_solr_spark.analysis import snowball_misc_tables as t
+
+    return {
+        "Catalan": _table_setup(
+            "abcdefghijlmnopqrstuvxyzàáèéíïòóúü·",
+            ["cas", "parl", "cant", "nacional", "log", "amig", "ic",
+             "practic", "quiss", "gat", "taul", "barcelon", "catal",
+             "treball", "pens", "form"],
+            t.CA_A1, t.CA_A2, t.CA_A3, t.CA_A4),
+        "Basque": _table_setup(
+            "abdefghijklmnoprstuxz",
+            ["etxe", "gizon", "eder", "lan", "buru", "herri", "zehar",
+             "jok", "atseden", "mendi", "itsaso", "liburu", "eskol"],
+            t.EU_A0, t.EU_A1, t.EU_A2),
+        "Irish": _table_setup(
+            "abcdefghilmnoprstuáéíóú'-",
+            ["scoil", "gin", "grafaíoch", "pata", "arcach", "óide",
+             "ceol", "amhr", "litr", "beal", "dún", "fear", "cos",
+             "bhfear", "gcat", "tsol", "d'fhear", "n-éan", "mball"],
+            t.GA_A0, t.GA_A1, t.GA_A2, t.GA_A3),
+        "Armenian": _table_setup(
+            "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ",
+            ["գիրք", "տուն", "մարդ", "քաղաք", "սեր", "ջուր", "հայ",
+             "լեռ", "ծառ", "գործ", "խոսք", "երգ"],
+            t.HY_A0, t.HY_A1, t.HY_A2, t.HY_A3),
+    }
+
+
 def main():
     lang = sys.argv[1]
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 8501
+    if lang in ("Catalan", "Basque", "Irish", "Armenian"):
+        LANG_SETUP.update(_misc_setups())
     setup = LANG_SETUP[lang]
     fn = {
         "Spanish": "snowball_es.spanish_stem",
