@@ -4564,6 +4564,25 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "portuguese_light": portuguese_light_stem,
         "czech_light": czech_stem,
     }
+    # r5: the remaining Snowball family (fi/hu/ro/tr + ca/eu/ga/hy),
+    # each fuzz-pinned vs the compiled org.tartarus machines
+    from ..analysis.snowball_fi import finnish_stem
+    from ..analysis.snowball_hu import hungarian_stem
+    from ..analysis.snowball_misc import (
+        armenian_stem,
+        basque_stem,
+        catalan_stem,
+        irish_stem,
+    )
+    from ..analysis.snowball_ro import romanian_stem
+    from ..analysis.snowball_tr import turkish_stem
+
+    langs.update({
+        "finnish": finnish_stem, "hungarian": hungarian_stem,
+        "romanian": romanian_stem, "turkish": turkish_stem,
+        "catalan": catalan_stem, "basque": basque_stem,
+        "irish": irish_stem, "armenian": armenian_stem,
+    })
     return [(lang, w, fn(w))
             for lang, fn in sorted(langs.items())
             for w in SNOWBALL_DOC_VOCAB]
