@@ -242,6 +242,14 @@ LM_QUERIES = {
     # DFI (DFISimilarity.java, chi-squared independence): the 7th scoring
     # model through the plug point — needs per-term ttf + sum_ttf
     "dfi_chi_squared": ("spark merge vector", "dfi_chi_squared"),
+    # r5: BasicModel BE/P/D x AfterEffect B/L over H2 (incl. the
+    # classic PL2) — closes the DFR BasicModel axis (VERDICT r4 #4)
+    "dfr_beb2": ("spark merge vector", "dfr_beb2"),
+    "dfr_bel2": ("spark merge vector", "dfr_bel2"),
+    "dfr_pb2": ("spark merge vector", "dfr_pb2"),
+    "dfr_pl2": ("spark merge vector", "dfr_pl2"),
+    "dfr_db2": ("spark merge vector", "dfr_db2"),
+    "dfr_dl2": ("spark merge vector", "dfr_dl2"),
     # MultiSimilarity (CombSUM over [BM25, Classic]) — the composite plug
     "multi_similarity": ("spark merge vector", "multi_bm25_classic"),
 }
@@ -779,6 +787,10 @@ def _bm25_groups() -> dict[str, list]:
     for name, (q, sim) in LM_QUERIES.items():
         from lucene_solr_spark.ops.bm25_sql import (
             dfi_sql,
+            dfr_beb2_sql,
+            dfr_bel2_sql,
+            dfr_db2_sql,
+            dfr_dl2_sql,
             dfr_gb2_sql,
             dfr_inl1_sql,
             dfr_inl3_sql,
@@ -786,6 +798,8 @@ def _bm25_groups() -> dict[str, list]:
             dfr_ifb2_sql,
             dfr_ineb2_sql,
             dfr_inl2_sql,
+            dfr_pb2_sql,
+            dfr_pl2_sql,
             ib_ll_sql,
             ib_spl_ttf_sql,
             lm_dirichlet_sql,
@@ -805,6 +819,12 @@ def _bm25_groups() -> dict[str, list]:
             "dfr_ifb2": dfr_ifb2_sql,
             "dfr_ineb2": dfr_ineb2_sql,
             "ib_spl_ttf": ib_spl_ttf_sql,
+            "dfr_beb2": dfr_beb2_sql,
+            "dfr_bel2": dfr_bel2_sql,
+            "dfr_pb2": dfr_pb2_sql,
+            "dfr_pl2": dfr_pl2_sql,
+            "dfr_db2": dfr_db2_sql,
+            "dfr_dl2": dfr_dl2_sql,
             "dfi_chi_squared": dfi_sql,
             "multi_bm25_classic": multi_bm25_classic_sql,
         }[sim]

@@ -2201,6 +2201,83 @@ def ib_spl_ttf_sql(query: str, k: int = 10) -> str:
     return _simbase_dfr_sql(query, k, expr, with_ttf=True)
 
 
+_AE_L = f"(1 / ({_TFN_H2} + 1))"
+
+
+def _be_bm() -> str:
+    """BasicModelBE (BasicModelBE.java:37-48) in SQL: F = ttf+1+tfn,
+    N = F + docCount; -log2((N-1)e) + f(N+F-1, N+F-tfn-2) - f(F, F-tfn),
+    f(n,m) = (m+0.5)log2(n/m) + (n-m)log2(n). Rank-only double math (the
+    engine carries the float32 promotion quirks)."""
+    F = f"(ttfs.ttf + 1 + {_TFN_H2})"
+    N2 = f"({F} + st.n)"
+
+    def f(n, m):
+        return f"(({m} + 0.5) * log2({n} / {m}) + ({n} - {m}) * log2({n}))"
+
+    return (f"(-log2(({N2} - 1) * exp(1))"
+            f" + {f(f'({N2} + {F} - 1)', f'({N2} + {F} - {_TFN_H2} - 2)')}"
+            f" - {f(F, f'({F} - {_TFN_H2})')})")
+
+
+def _p_bm() -> str:
+    """BasicModelP (BasicModelP.java:38-43): lambda = (F+1)/(N+1);
+    tfn log2(tfn/lambda) + (lambda + 1/(12 tfn) - tfn) log2(e) +
+    0.5 log2(2 pi tfn)."""
+    lam = "((ttfs.ttf + 1) / (st.n + 1))"
+    return (f"({_TFN_H2} * log2({_TFN_H2} / {lam})"
+            f" + ({lam} + 1 / (12 * {_TFN_H2}) - {_TFN_H2}) * log2(exp(1))"
+            f" + 0.5 * log2(2 * pi() * {_TFN_H2}))")
+
+
+def _d_bm() -> str:
+    """BasicModelD (BasicModelD.java:39-51): F = ttf+1+tfn, phi = tfn/F,
+    p = 1/(N+1); (phi log2(phi/p) + (1-phi) log2((1-phi)/(1-p))) F +
+    0.5 log2(1 + 2 pi tfn (1-phi))."""
+    F = f"(ttfs.ttf + 1 + {_TFN_H2})"
+    phi = f"({_TFN_H2} / {F})"
+    p = "(1 / (st.n + 1))"
+    return (f"(({phi} * log2({phi} / {p})"
+            f" + (1 - {phi}) * log2((1 - {phi}) / (1 - {p}))) * {F}"
+            f" + 0.5 * log2(1 + 2 * pi() * {_TFN_H2} * (1 - {phi})))")
+
+
+def dfr_beb2_sql(query: str, k: int = 10) -> str:
+    """DFR BE/B/H2 oracle."""
+    return _simbase_dfr_sql(query, k, f"({_be_bm()} * {_AE_B})",
+                            with_ttf=True)
+
+
+def dfr_bel2_sql(query: str, k: int = 10) -> str:
+    """DFR BE/L/H2 oracle."""
+    return _simbase_dfr_sql(query, k, f"({_be_bm()} * {_AE_L})",
+                            with_ttf=True)
+
+
+def dfr_pb2_sql(query: str, k: int = 10) -> str:
+    """DFR P/B/H2 oracle."""
+    return _simbase_dfr_sql(query, k, f"({_p_bm()} * {_AE_B})",
+                            with_ttf=True)
+
+
+def dfr_pl2_sql(query: str, k: int = 10) -> str:
+    """DFR P/L/H2 (the classic PL2) oracle."""
+    return _simbase_dfr_sql(query, k, f"({_p_bm()} * {_AE_L})",
+                            with_ttf=True)
+
+
+def dfr_db2_sql(query: str, k: int = 10) -> str:
+    """DFR D/B/H2 oracle."""
+    return _simbase_dfr_sql(query, k, f"({_d_bm()} * {_AE_B})",
+                            with_ttf=True)
+
+
+def dfr_dl2_sql(query: str, k: int = 10) -> str:
+    """DFR D/L/H2 oracle."""
+    return _simbase_dfr_sql(query, k, f"({_d_bm()} * {_AE_L})",
+                            with_ttf=True)
+
+
 _DFI_MEASURES = {
     "chi_squared": "(((tf.tf - {e}) * (tf.tf - {e})) / {e})",
     "standardized": "((tf.tf - {e}) / sqrt({e}))",

@@ -472,6 +472,111 @@ def dfr_inlz_scores(freq, norm_byte, df, doc_count, avgdl32, boost=1.0):
         _tfn_z(freq, norm_byte, avgdl32), df, doc_count, boost)
 
 
+def _jlog(x: np.ndarray) -> np.ndarray:
+    """Element-wise double log via libm (math.log) — bit-matches Java
+    Math.log where numpy's SIMD log drifts by 1 ulp; the BE/P/D basic
+    models subtract nearly-equal logs, so that ulp survives the float32
+    cast (np.log is fine for the other cells, where it washes out)."""
+    import math
+
+    flat = np.asarray(x, dtype=np.float64).ravel()
+    out = np.fromiter(
+        (math.log(v) if v > 0.0
+         else (float("-inf") if v == 0.0 else float("nan"))
+         for v in flat),
+        dtype=np.float64, count=flat.size)
+    return out.reshape(np.shape(x))
+
+
+def _ae_b(tfn: np.ndarray, df: int, ttf: int) -> np.ndarray:
+    """AfterEffectB.score (AfterEffectB.java:32-36): F=ttf+1, n=df+1
+    longs; (F+1)/(n*(tfn+1)) — the long operands promote to float32, so
+    the multiply and divide are float32 ops."""
+    return (np.float32(ttf + 2)
+            / (np.float32(df + 1) * (tfn + np.float32(1.0)))
+            ).astype(np.float32)
+
+
+def _ae_l(tfn: np.ndarray) -> np.ndarray:
+    """AfterEffectL.score (AfterEffectL.java:32-34): 1/(tfn+1), float32."""
+    return (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+
+
+def _bm_be(tfn: np.ndarray, ttf: int, doc_count: int) -> np.ndarray:
+    """BasicModelBE.score (BasicModelBE.java:37-48): F = ttf+1+tfn and
+    N = F + numberOfDocuments in DOUBLE; -log2((N-1)e) + f(N+F-1,
+    N+F-tfn-2) - f(F, F-tfn) with f(n,m) = (m+0.5)log2(n/m) +
+    (n-m)log2(n); ONE cast to float at the end."""
+    t = tfn.astype(np.float64)
+    # Java binary numeric promotion: (ttf + 1) is a long, long + float
+    # tfn is a FLOAT add; only the assignment widens to double
+    big_f = (np.float32(ttf + 1) + tfn).astype(np.float32).astype(np.float64)
+    big_n = big_f + np.float64(doc_count)
+
+    def f(n, m):
+        return (m + 0.5) * (_jlog(n / m) / _LN2) + (n - m) * (_jlog(n) / _LN2)
+
+    val = (-(_jlog((big_n - 1.0) * np.e) / _LN2)
+           + f(big_n + big_f - 1.0, big_n + big_f - t - 2.0)
+           - f(big_f, big_f - t))
+    return val.astype(np.float32)
+
+
+def _bm_p(tfn: np.ndarray, ttf: int, doc_count: int) -> np.ndarray:
+    """BasicModelP.score (BasicModelP.java:38-43): lambda =
+    (float)(F+1)/(N+1) — float32 division; tfn/lambda is ALSO a float32
+    division before the double log2; (lambda + 1/(12 tfn) - tfn) chains
+    in float32 then multiplies the double LOG2_E; one final cast."""
+    lam = np.float32(np.float32(ttf + 1) / np.float32(doc_count + 1))
+    ratio = (tfn / lam).astype(np.float32)
+    mid = ((lam + (np.float32(1.0) / (np.float32(12.0) * tfn))) - tfn
+           ).astype(np.float32)
+    t = tfn.astype(np.float64)
+    log2_e = 1.0 / _LN2
+    val = (t * (_jlog(ratio.astype(np.float64)) / _LN2)
+           + mid.astype(np.float64) * log2_e
+           + 0.5 * (_jlog(2.0 * np.pi * t) / _LN2))
+    return val.astype(np.float32)
+
+
+def _bm_d(tfn: np.ndarray, ttf: int, doc_count: int) -> np.ndarray:
+    """BasicModelD.score (BasicModelD.java:39-51): F = ttf+1+tfn, phi =
+    tfn/F, p = 1/(N+1), D = phi log2(phi/p) + (1-phi) log2((1-phi)/(1-p));
+    (float)(D*F + 0.5 log2(1 + 2 pi tfn (1-phi))) — all double, one cast."""
+    t = tfn.astype(np.float64)
+    # same long + float -> float promotion as BE (see above)
+    big_f = (np.float32(ttf + 1) + tfn).astype(np.float32).astype(np.float64)
+    phi = t / big_f
+    nphi = 1.0 - phi
+    p = 1.0 / (np.float64(doc_count) + 1.0)
+    d = (phi * (_jlog(phi / p) / _LN2)
+         + nphi * (_jlog(nphi / (1.0 - p)) / _LN2))
+    val = d * big_f + 0.5 * (_jlog(1.0 + 2.0 * np.pi * t * nphi) / _LN2)
+    return val.astype(np.float32)
+
+
+def _dfr_cell(bm_fn, ae):
+    """DFRSimilarity.score (DFRSimilarity.java:84-87): boost *
+    basicModel * afterEffect, each product a float32 op, over the
+    shared NormalizationH2 tfn."""
+
+    def scorer(freq, norm_byte, df, ttf, doc_count, avgdl32, boost=1.0):
+        tfn = _tfn_h2(freq, norm_byte, avgdl32)
+        bm = bm_fn(tfn, ttf, doc_count)
+        a = _ae_b(tfn, df, ttf) if ae == "b" else _ae_l(tfn)
+        return ((np.float32(boost) * bm) * a).astype(np.float32)
+
+    return scorer
+
+
+dfr_beb2_scores = _dfr_cell(_bm_be, "b")
+dfr_bel2_scores = _dfr_cell(_bm_be, "l")
+dfr_pb2_scores = _dfr_cell(_bm_p, "b")
+dfr_pl2_scores = _dfr_cell(_bm_p, "l")
+dfr_db2_scores = _dfr_cell(_bm_d, "b")
+dfr_dl2_scores = _dfr_cell(_bm_d, "l")
+
+
 #: SimilarityBase DFR/IB plug-point registry: name -> (scorer, mode).
 #: mode: 'basic' = (freq, nb, df, N, avgdl); 'ttf' adds per-term ttf;
 #: 'ttf_sum' adds ttf AND the collection token count (H3's prior).
@@ -485,6 +590,13 @@ DFR_IB_SCORERS = {
     "dfr_inl1": (dfr_inl1_scores, "basic"),
     "dfr_inl3": (dfr_inl3_scores, "ttf_sum"),
     "dfr_inlz": (dfr_inlz_scores, "basic"),
+    # r5: BasicModel BE/P/D x AfterEffect B/L over H2 (incl. PL2)
+    "dfr_beb2": (dfr_beb2_scores, "ttf"),
+    "dfr_bel2": (dfr_bel2_scores, "ttf"),
+    "dfr_pb2": (dfr_pb2_scores, "ttf"),
+    "dfr_pl2": (dfr_pl2_scores, "ttf"),
+    "dfr_db2": (dfr_db2_scores, "ttf"),
+    "dfr_dl2": (dfr_dl2_scores, "ttf"),
 }
 
 

@@ -57,7 +57,9 @@ from .bm25 import B, K1, avgdl_f32, idf_f32, idf_sum_f32, make_term_weight, norm
 
 #: SimilarityBase DFR/IB grid cells the engine accepts (bm25.DFR_IB_SCORERS)
 DFR_IB_SIMS = ("dfr_inl2", "ib_ll", "dfr_gb2", "dfr_ifb2", "dfr_ineb2",
-               "ib_spl_ttf", "dfr_inl1", "dfr_inl3", "dfr_inlz")
+               "ib_spl_ttf", "dfr_inl1", "dfr_inl3", "dfr_inlz",
+               "dfr_beb2", "dfr_bel2", "dfr_pb2", "dfr_pl2",
+               "dfr_db2", "dfr_dl2")
 
 TOPK_SCHEMA = T.StructType(
     [

@@ -286,6 +286,8 @@ def test_multi_phrase_clauses_rank_identity(built, pcs, should):
     "similarity", ["lm_dirichlet", "lm_jelinek_mercer", "dfr_inl2", "ib_ll",
                    "dfr_gb2", "dfr_ifb2", "dfr_ineb2", "ib_spl_ttf",
                    "dfr_inl1", "dfr_inl3", "dfr_inlz",
+                   "dfr_beb2", "dfr_bel2", "dfr_pb2", "dfr_pl2",
+                   "dfr_db2", "dfr_dl2",
                    "dfi_chi_squared", "dfi_standardized", "dfi_saturated",
                    "multi_bm25_classic"]
 )

@@ -178,6 +178,30 @@ public class GroundTruthTopK {
           new org.apache.lucene.search.similarities.BasicModelIn(),
           new org.apache.lucene.search.similarities.AfterEffectL(),
           new org.apache.lucene.search.similarities.NormalizationZ());
+      case "dfr_beb2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelBE(),
+          new org.apache.lucene.search.similarities.AfterEffectB(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_bel2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelBE(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_pb2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelP(),
+          new org.apache.lucene.search.similarities.AfterEffectB(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_pl2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelP(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_db2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelD(),
+          new org.apache.lucene.search.similarities.AfterEffectB(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
+      case "dfr_dl2": return new org.apache.lucene.search.similarities.DFRSimilarity(
+          new org.apache.lucene.search.similarities.BasicModelD(),
+          new org.apache.lucene.search.similarities.AfterEffectL(),
+          new org.apache.lucene.search.similarities.NormalizationH2());
       case "dfi_chi_squared": return new org.apache.lucene.search.similarities.DFISimilarity(
           new org.apache.lucene.search.similarities.IndependenceChiSquared());
       case "dfi_standardized": return new org.apache.lucene.search.similarities.DFISimilarity(
