@@ -24,6 +24,8 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_dismax_sql,
     bm25_filter_clause_sql,
     bm25_mlt_sql,
+    bm25_numeric_filter_sql as _bm25_numeric_filter_sql,
+    numeric_range_root_sql as _numeric_range_root_sql,
     bm25_multi_phrase_sql,
     bm25_phrase_sql,
     bm25_regexp_sql,
@@ -373,6 +375,25 @@ XML_QUERIES = {
         '<SpanNear fieldName="text" slop="2" inOrder="true">'
         "<SpanTerm>fast</SpanTerm><SpanTerm>sort</SpanTerm></SpanNear>",
         lambda: bm25_span_near_sql(["fast", "sort"], slop=2, ordered=True, k=10),
+    ),
+    # Numeric elements (xml/builders/PointRangeQueryBuilder.java /
+    # LegacyNumericRangeQueryBuilder.java) over the index's stored
+    # per-doc token-count field (field_len): root = constant score in
+    # doc order; as a FILTER clause the range splits out as a liveDocs
+    # mask over the scorer (engine._exec_xml_tree)
+    "xml_point_filter": (
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="filter"><PointRangeQuery fieldName="field_len"'
+        ' lowerTerm="40" upperTerm="90" type="int"/></Clause>'
+        '<Clause occurs="should"><TermQuery>spark</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+        "</BooleanQuery>",
+        lambda: _bm25_numeric_filter_sql(40, 90, "spark merge", k=10),
+    ),
+    "xml_legacy_numeric": (
+        '<LegacyNumericRangeQuery fieldName="field_len" lowerTerm="40"'
+        ' upperTerm="90" includeUpper="false" type="long"/>',
+        lambda: _numeric_range_root_sql(40, 90, k=10, hi_inc=False),
     ),
 }
 
@@ -1057,6 +1078,21 @@ def _bm25_groups() -> dict[str, list]:
         derived.append((name, _simple_query_fn(qstr), sql_fn()))
     for name, (xmlq, sql_fn) in XML_QUERIES.items():
         derived.append((name, _xml_query_fn(xmlq), sql_fn()))
+    # BoostingTermQuery (xml/builders/BoostingTermBuilder.java):
+    # PayloadScoreQuery(SpanTermQuery raw, AveragePayloadFunction, true)
+    # in SpanBoostQuery(2.5) — runs on the payload-field index; the
+    # uniform span-leg boost preserves ranks (rank contract; the f32
+    # score scaling itself is pinned in tests/test_xmlqp.py)
+    from lucene_solr_spark.ops.bm25_sql import payload_score_sql
+
+    derived.append((
+        "xml_boosting_term",
+        lambda spark, sf_dir: _ranked(_payload_searcher(spark, sf_dir).topk_xml(
+            '<BoostingTermQuery fieldName="text" boost="2.5">merge'
+            "</BoostingTermQuery>", k=10)),
+        payload_score_sql(["merge"], "avg", include_span_score=True,
+                          slop=0, k=10),
+    ))
     for name, (qstr, sql_fn) in FLEXIBLE_QUERIES.items():
         derived.append((name, _flexible_query_fn(qstr), sql_fn()))
     for name, (pattern, like_pat) in REVWILD_QUERIES.items():

@@ -251,6 +251,100 @@ LIMIT {k}
 """
 
 
+def numeric_range_root_sql(lo, hi, k: int = 10, lo_inc: bool = True,
+                           hi_inc: bool = True) -> str:
+    """Root-level PointRangeQuery / LegacyNumericRangeQuery over the
+    engine's stored per-doc token-count field (field_len — the norm
+    field length; the oracle's dl CTE reproduces it exactly: non-empty
+    non-stop tokens). ConstantScoreWeight: every hit scores 1.0, so the
+    top-k order is pure doc order. Open bound = None."""
+    conds = []
+    if lo is not None:
+        conds.append(f"dl {'>=' if lo_inc else '>'} {lo}")
+    if hi is not None:
+        conds.append(f"dl {'<=' if hi_inc else '<'} {hi}")
+    where = " AND ".join(conds) or "TRUE"
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank
+FROM dl WHERE {where}
+ORDER BY doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_numeric_filter_sql(lo, hi, should: str, k: int = 10) -> str:
+    """BooleanQuery with a FILTER PointRangeQuery clause over field_len
+    plus SHOULD term clauses: the numeric filter is required for
+    matching and contributes nothing to the score; a doc inside the
+    range that matches NO should clause still matches, at score 0
+    (BooleanWeight: FILTER+optional SHOULD with msm 0), so the tail
+    pads with filter-only docs in doc order — exactly the engine's
+    split-and-mask plan in engine._exec_xml_tree."""
+    should_t = analyze(should)
+    assert should_t and lo is not None and hi is not None
+    uniq = sorted(set(should_t))
+    clause_vals = ",".join(f"('{t}',{should_t.count(t)})" for t in uniq)
+    terms_in = ",".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+clauses(term, clause_n) AS (VALUES {clause_vals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+flt AS (SELECT doc_id FROM dl WHERE dl >= {lo} AND dl <= {hi}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1) * c.clause_n
+           * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN clauses c USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM flt)
+  GROUP BY tf.doc_id
+),
+final AS (
+  SELECT doc_id, score FROM scored
+  UNION ALL
+  SELECT f.doc_id, 0.0 AS score FROM flt f
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM scored)
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM final
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_filter_clause_sql(filter_term: str, should: str, k: int = 10) -> str:
     """BooleanQuery with a FILTER clause (BooleanClause.Occur.FILTER —
     xml/builders/BooleanQueryBuilder.java getOccursValue 'filter'):

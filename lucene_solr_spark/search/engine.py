@@ -709,12 +709,17 @@ class IndexSearcher:
         return self.topk_spec(BooleanSpec(span_first=(toks[0], end)), k=k)
 
     def _topk_payload_walk(self, terms: list[str], slop: int, ordered: bool,
-                           k: int, per_doc_fn) -> DataFrame:
+                           k: int, per_doc_fn, boost: float = 1.0) -> DataFrame:
         """Shared plan for the payload query family: pruned block scan of
         the clause terms (positions + payload stream), one bounded-heap
         scorer per doc range, global top-k merge. per_doc_fn(spans_iter,
         paylists, wv, nb) -> float32 score or None (no hit); spans_iter
-        yields (width, idx_tuple) from payloads.span_match_positions."""
+        yields (width, idx_tuple) from payloads.span_match_positions.
+        `boost` is a SpanBoostQuery wrapper: SpanWeight.normalize threads
+        it into BM25Stats (weight = idf * boost in float32 —
+        similarities/BM25Similarity.java:296 — then
+        weightValue = weight * (k1 + 1)), so it scales the SPAN score
+        leg only, never the payload factor."""
         from .payloads import span_match_positions
 
         clauses = tuple(terms)
@@ -725,7 +730,9 @@ class IndexSearcher:
         idf_sum = idf_sum_f32(
             idf_f32(weights[t]["df"], self.doc_count) for t in sorted(set(clauses))
         )
-        wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        wv = np.float32(
+            np.float32(idf_sum * np.float32(boost)) * (K1 + np.float32(1.0))
+        )
         cache = norm_cache(np.float32(float(self.avgdl)))
         blocks = self._blocks_for(list(set(clauses)))
         deleted = self.deleted
@@ -799,6 +806,7 @@ class IndexSearcher:
     def topk_payload_score(
         self, terms: list[str], function: str = "avg", *, slop: int = 0,
         ordered: bool = True, include_span_score: bool = True, k: int = 10,
+        boost: float = 1.0, raw: bool = False,
     ) -> DataFrame:
         """PayloadScoreQuery(SpanQuery, PayloadFunction, includeSpanScore)
         (queries/payloads/PayloadScoreQuery.java): the wrapped span query
@@ -810,10 +818,17 @@ class IndexSearcher:
         (the DelimitedPayloadTokenFilter(FloatEncoder) pairing); null
         payloads are skipped. A doc with no matching span is not a hit —
         pinned vs the compiled reference in
-        tests/test_lucene_ground_truth.py."""
+        tests/test_lucene_ground_truth.py.
+
+        `boost`: SpanBoostQuery wrapper (the XML BoostingTermBuilder
+        emits one — builders/BoostingTermBuilder.java:41); scales only
+        the span-score leg, in float32 at the BM25Stats.normalize call
+        site. `raw`: take `terms` VERBATIM as index terms (SpanTermQuery
+        over raw Term text, the XML element's contract) instead of
+        running them through the analyzer."""
         from .payloads import payload_doc_score
 
-        toks = self._analyze(" ".join(terms))
+        toks = list(terms) if raw else self._analyze(" ".join(terms))
         if not toks:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
@@ -847,7 +862,8 @@ class IndexSearcher:
             span_score = np.float32(wv * freq / (freq + nb_cache))
             return np.float32(span_score * pay_score)
 
-        return self._topk_payload_walk(toks, slop, ordered, k, per_doc)
+        return self._topk_payload_walk(toks, slop, ordered, k, per_doc,
+                                       boost=boost)
 
     def topk_span_payload_check(
         self, terms: list[str], payloads: list[float | None], *,
@@ -1193,16 +1209,153 @@ class IndexSearcher:
         TermQuery/TermsQuery/BooleanQuery (all four occurs incl. FILTER)/
         RangeQuery/DisjunctionMaxQuery/ConstantScoreQuery/UserQuery/
         span elements, mapped onto the shared tree evaluator — pinned
-        bit-for-bit vs the compiled CoreParser (GT round 29). See
-        search/xmlqp.py."""
-        from .simpleqp import _analyzer_with_positions, spark_topk_tree
+        bit-for-bit vs the compiled CoreParser (GT round 29) — plus the
+        numeric elements (PointRangeQuery / LegacyNumericRangeQuery over
+        a stored numeric doc-store column; the Points/BKD substitution
+        is the parquet column scan with min/max row-group pruning) and
+        BoostingTermQuery (PayloadScoreQuery through the payload
+        machinery). See search/xmlqp.py."""
+        from .simpleqp import _analyzer_with_positions
         from .xmlqp import parse_xml_query
 
         tree = parse_xml_query(
             xml_string, _analyzer_with_positions(self.analyzer),
             content_field=content_field,
         )
-        return spark_topk_tree(self, tree, k=k)
+        return self._exec_xml_tree(tree, k)
+
+    _XML_SPECIAL = frozenset(("numeric_range", "payload_term"))
+
+    def _exec_xml_tree(self, tree, k: int) -> DataFrame:
+        """Execute a parsed XML tree, routing the node kinds the shared
+        tree evaluator doesn't know:
+
+        - root ("numeric_range", ...): IndexSearcher.search(
+          PointRangeQuery) — ConstantScoreWeight, every hit scores 1.0,
+          doc-order tie-break;
+        - root ("payload_term", ...): BoostingTermBuilder's
+          PayloadScoreQuery(SpanTermQuery raw term, Average, true)
+          wrapped in SpanBoostQuery(boost);
+        - root bool with FILTER numeric clauses: the clause splits out
+          as a liveDocs-style mask — non-matching doc_ids join the
+          scorer cogrouped by range_id (bounded per range, the
+          per-segment BKD->bitset analog; index/deletes.py machinery),
+          so per-range top-k truncation stays correct; a filter-only
+          BooleanQuery matches at score 0 (BooleanWeight with no
+          scoring clause), and when every remaining clause is SHOULD
+          with msm 0, filter-matching docs that hit no SHOULD clause
+          pad the tail at score 0, exactly as in the reference.
+
+        Anything else containing those nodes raises NotImplementedError
+        (documented engine scope)."""
+        import copy
+
+        from .simpleqp import spark_topk_tree
+        from .xmlqp import tree_contains
+
+        if tree is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if tree[0] == "numeric_range":
+            live = self._live_docs(self._numeric_match_docs(tree))
+            return live.orderBy("doc_id").limit(k).select(
+                "doc_id", F.lit(1.0).cast("float").alias("score")
+            )
+        if tree[0] == "payload_term":
+            return self.topk_payload_score(
+                [tree[1]], "avg", include_span_score=True, k=k,
+                boost=tree[2], raw=True,
+            )
+        if tree[0] == "bool":
+            clauses, msm = tree[1], tree[2]
+            is_numf = [
+                c[0] == "f" and isinstance(c[1], tuple)
+                and c[1][0] == "numeric_range" for c in clauses
+            ]
+            if any(is_numf):
+                rest = tuple(c for c, nf in zip(clauses, is_numf) if not nf)
+                if tree_contains(rest, self._XML_SPECIAL):
+                    raise NotImplementedError(
+                        "numeric/payload elements are supported at the "
+                        "root or as BooleanQuery FILTER clauses only"
+                    )
+                allowed = None
+                for c, nf in zip(clauses, is_numf):
+                    if nf:
+                        d = self._numeric_match_docs(c[1])
+                        allowed = d if allowed is None else allowed.join(
+                            d, "doc_id", "leftsemi"
+                        )
+                if not rest:
+                    live = self._live_docs(allowed)
+                    return live.orderBy("doc_id").limit(k).select(
+                        "doc_id", F.lit(0.0).cast("float").alias("score")
+                    )
+                excl = (
+                    self.spark.read.parquet(self.paths.docs)
+                    .select("doc_id")
+                    .join(allowed, "doc_id", "left_anti")
+                )
+                if self.deleted is not None and len(self.deleted):
+                    excl = excl.unionByName(self.spark.createDataFrame(
+                        [(int(d),) for d in self.deleted], "doc_id long"
+                    ))
+                if self.deleted_df is not None:
+                    excl = excl.unionByName(self.deleted_df.select("doc_id"))
+                masked = copy.copy(self)
+                masked.deleted = None
+                masked.deleted_df = excl
+                hits = spark_topk_tree(masked, ("bool", rest, msm), k=k)
+                if msm == 0 and all(c[0] == "" for c in rest):
+                    live = self._live_docs(allowed)
+                    pad = (
+                        live.join(hits.select("doc_id"), "doc_id", "left_anti")
+                        .orderBy("doc_id").limit(k)
+                        .select("doc_id",
+                                F.lit(0.0).cast("float").alias("score"))
+                    )
+                    hits = hits.unionByName(pad)
+                return hits.orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                ).limit(k)
+        if tree_contains(tree, self._XML_SPECIAL):
+            raise NotImplementedError(
+                "numeric/payload elements are supported at the root or "
+                "as BooleanQuery FILTER clauses only"
+            )
+        from .simpleqp import spark_topk_tree as _run
+
+        return _run(self, tree, k=k)
+
+    def _numeric_match_docs(self, node) -> DataFrame:
+        """doc_ids matching one ("numeric_range", field, lo, hi, lo_inc,
+        hi_inc) node against the doc store. The predicate pushes into
+        the parquet scan (PushedFilters: min/max row-group + file
+        pruning — the BKD 1-D range analog); a field with no stored
+        column matches nothing, and a NULL value never matches (a doc
+        without the point field is absent from the BKD tree)."""
+        docs = self.spark.read.parquet(self.paths.docs)
+        _tag, f, lo, hi, lo_inc, hi_inc = node
+        if f not in docs.columns:
+            return docs.select("doc_id").limit(0)
+        c = F.col(f)
+        pred = c.isNotNull()
+        if lo is not None:
+            pred = pred & ((c >= F.lit(lo)) if lo_inc else (c > F.lit(lo)))
+        if hi is not None:
+            pred = pred & ((c <= F.lit(hi)) if hi_inc else (c < F.lit(hi)))
+        return docs.filter(pred).select("doc_id")
+
+    def _live_docs(self, docs: DataFrame) -> DataFrame:
+        """Mask both delete representations out of a doc_id frame."""
+        if self.deleted is not None and len(self.deleted):
+            docs = docs.filter(
+                ~F.col("doc_id").isin([int(d) for d in self.deleted])
+            )
+        if self.deleted_df is not None:
+            docs = docs.join(
+                self.deleted_df.select("doc_id"), "doc_id", "left_anti"
+            )
+        return docs
 
     def explain(self, query: str, doc_id: int, mode: str = "or") -> dict:
         """IndexSearcher.explain: the BM25 score-decomposition tree for

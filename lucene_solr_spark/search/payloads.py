@@ -190,10 +190,12 @@ class PayloadOracleIndex:
 def payload_topk(
     idx: PayloadOracleIndex, terms: list[str], function: str = "avg", *,
     include_span_score: bool = True, slop: int = 0, ordered: bool = True,
-    k: int = 10,
+    k: int = 10, boost: float = 1.0,
 ) -> list[tuple[int, np.float32]]:
     """PayloadScoreQuery top-k over the oracle index (see module
-    docstring for the reference semantics)."""
+    docstring for the reference semantics). `boost` is a SpanBoostQuery
+    wrapper: weight = idf * boost in float32 (BM25Similarity.java:296),
+    then weightValue = weight * (k1 + 1) — span-score leg only."""
     from ..search.bm25 import K1, idf_f32, idf_sum_f32, norm_cache
 
     dset = sorted(set(terms))
@@ -202,7 +204,9 @@ def payload_topk(
     idf_sum = idf_sum_f32(
         idf_f32(len(idx.postings[t]), idx.doc_count) for t in dset
     )
-    wv = np.float32(idf_sum * (K1 + np.float32(1.0)))
+    wv = np.float32(
+        np.float32(idf_sum * np.float32(boost)) * (K1 + np.float32(1.0))
+    )
     cache = norm_cache(idx.avgdl)
     cand = set.intersection(*[set(idx.postings[t]) for t in set(terms)])
     hits = []

@@ -36,12 +36,23 @@ Element -> node mapping (builders/ cited per element):
   NotImplementedError. Inner-span boosts != 1 raise (only the OUTER
   span element's SpanBoostQuery is supported).
 
+- PointRangeQuery / LegacyNumericRangeQuery (PointRangeQueryBuilder /
+  LegacyNumericRangeQueryBuilder): numeric range over a stored numeric
+  doc field (the engine's Points/BKD substitution is the parquet doc
+  store + stats pruning); Point bounds always inclusive, Legacy honors
+  includeLower/includeUpper; missing/empty bound attr = open; bad type
+  or number -> ParserException analog. Supported as the root query
+  (constant score) or as a BooleanQuery FILTER clause (engine.topk_xml
+  splits the filter out and semi-joins the doc store).
+- BoostingTermQuery (BoostingTermBuilder): PayloadScoreQuery(SpanTerm,
+  AveragePayloadFunction, includeSpanScore) + SpanBoostQuery — root
+  level only; runs on the payload index.
+
 fieldName resolves with ancestor inheritance
 (DOMUtils.getAttributeWithInheritance) and must name the index's single
-content field. LegacyNumericRange/PointRange (numeric fields),
-BoostingTermQuery (payload chain) and LikeThisQuery/BoostingQuery/
-FuzzyLikeThis (CorePlusQueries extras) are not mapped — ParserException
-analog raised.
+content field (numeric elements name a stored numeric column instead).
+LikeThisQuery/BoostingQuery/FuzzyLikeThis (CorePlusQueries extras) are
+not mapped — ParserException analog raised.
 """
 
 from __future__ import annotations
@@ -162,6 +173,45 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
         msm = _attr_int(e, "minimumNumberShouldMatch", 0)
         node = ("bool", tuple(clauses), msm)
         return _maybe_boost(node, _attr_float(e, "boost", 1.0))
+    if tag in ("PointRangeQuery", "LegacyNumericRangeQuery"):
+        # PointRangeQueryBuilder.java:73-102 / LegacyNumericRangeQuery-
+        # Builder.java:92-130: fieldName with inheritance (OrFail),
+        # lowerTerm/upperTerm default null (missing OR empty attr = open
+        # bound, DOMUtils.getAttribute String overload), type defaults
+        # "int" (case-insensitive int/long/double/float, else
+        # ParserException); NumberFormatException -> ParserException.
+        # PointRange bounds are always inclusive; Legacy reads
+        # includeLower/includeUpper (default true). precisionStep only
+        # shapes the legacy trie encoding, not match semantics. Neither
+        # builder reads a boost attribute.
+        f = _field(e, inherited_field)
+        lo_s = e.get("lowerTerm", "") or None
+        hi_s = e.get("upperTerm", "") or None
+        typ = (e.get("type", "") or "int").lower()
+        if typ not in ("int", "long", "double", "float"):
+            raise XmlParserError(
+                "type attribute must be one of: [long, int, double, float]")
+        conv = int if typ in ("int", "long") else float
+        try:
+            lo = None if lo_s is None else conv(lo_s)
+            hi = None if hi_s is None else conv(hi_s)
+        except ValueError as ex:
+            raise XmlParserError(
+                "Could not parse lowerTerm or upperTerm into a number"
+            ) from ex
+        if tag == "PointRangeQuery":
+            lo_inc = hi_inc = True
+        else:
+            lo_inc = _attr_bool(e, "includeLower", True)
+            hi_inc = _attr_bool(e, "includeUpper", True)
+        return ("numeric_range", f, lo, hi, lo_inc, hi_inc)
+    if tag == "BoostingTermQuery":
+        # BoostingTermBuilder.java:35-44: PayloadScoreQuery(SpanTermQuery,
+        # AveragePayloadFunction) — the 2-arg ctor, includeSpanScore
+        # true — wrapped in SpanBoostQuery(boost).
+        _check_field(e, inherited_field, content_field)
+        return ("payload_term", _nonblank_text(e),
+                _attr_float(e, "boost", 1.0))
     if tag == "RangeQuery":
         _check_field(e, inherited_field, content_field)
         # getAttribute: missing attr == "" — a real (lowest) bound here
@@ -207,6 +257,17 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
 
 def default_or(v, d):
     return v if v else d
+
+
+def tree_contains(node, kinds: frozenset | set) -> bool:
+    """True if any node tagged with one of `kinds` appears anywhere in
+    the (nested-tuple) query tree — used by engine.topk_xml to reject
+    numeric/payload elements outside their supported positions."""
+    if not isinstance(node, tuple):
+        return False
+    if node and isinstance(node[0], str) and node[0] in kinds:
+        return True
+    return any(tree_contains(c, kinds) for c in node)
 
 
 def _span_clause(e, analyze_fn, content_field, inherited_field) -> tuple:

@@ -150,3 +150,36 @@ def test_payload_stream_survives_compaction(spark, tmp_root, built):
         for r in s2.topk_payload_score(["a", "b"], "avg", slop=2).collect()
     ]
     assert before == after and before
+
+
+@pytest.mark.parametrize("boost", [0.4, 1.0, 2.5])
+def test_payload_boost_identity(spark, built, boost):
+    """SpanBoostQuery(PayloadScoreQuery, boost) — the XML
+    BoostingTermBuilder shape: boost folds into the span weight
+    (weight = idf * boost in f32, BM25Similarity.java:296) and scales
+    the span leg only; engine == oracle bit-for-bit, and the raw path
+    (verbatim SpanTermQuery term, no analysis) agrees."""
+    stale, oidx = built
+    # the compaction test above rewrote the postings in place — reopen
+    # (a real reader would too; the stale searcher's file listing is
+    # from the pre-compaction generation)
+    searcher = IndexSearcher(spark, stale.paths.root)
+    expected = payload_topk(
+        oidx, ["a"], "avg", include_span_score=True, boost=boost
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk_payload_score(
+            ["a"], "avg", include_span_score=True, boost=boost, raw=True
+        ).collect()
+    ]
+    _assert_identical(got, expected, ("boost", boost))
+    # through the XML element end-to-end
+    got_xml = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk_xml(
+            f'<BoostingTermQuery fieldName="content" boost="{boost}">a'
+            "</BoostingTermQuery>", content_field="content"
+        ).collect()
+    ]
+    _assert_identical(got_xml, expected, ("boost-xml", boost))

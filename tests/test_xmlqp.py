@@ -123,3 +123,114 @@ def test_parser_errors():
             '<SpanNear slop="0"><SpanTerm>aa</SpanTerm>'
             "<SpanTerm>bb</SpanTerm></SpanNear>"
             "<SpanTerm>cc</SpanTerm></SpanNear>", _ws_analyze)
+
+
+def test_numeric_elements_parse():
+    # PointRangeQueryBuilder.java: type defaults int, missing/empty
+    # bound attr = open bound, bounds always inclusive
+    t = parse_xml_query('<PointRangeQuery fieldName="f" lowerTerm="3"/>',
+                        _ws_analyze)
+    assert t == ("numeric_range", "f", 3, None, True, True)
+    t = parse_xml_query(
+        '<PointRangeQuery fieldName="f" upperTerm="4.5" type="Double"/>',
+        _ws_analyze)
+    assert t == ("numeric_range", "f", None, 4.5, True, True)
+    # LegacyNumericRangeQueryBuilder.java: include flags honored
+    t = parse_xml_query(
+        '<LegacyNumericRangeQuery fieldName="f" lowerTerm="1" upperTerm="9"'
+        ' includeUpper="false" type="LONG"/>', _ws_analyze)
+    assert t == ("numeric_range", "f", 1, 9, True, False)
+    # fieldName inherits from an ancestor (DOMUtils inheritance)
+    t = parse_xml_query(
+        '<BooleanQuery fieldName="f"><Clause occurs="filter">'
+        '<PointRangeQuery lowerTerm="2" upperTerm="7"/></Clause>'
+        '<Clause occurs="should"><TermQuery fieldName="body">aa'
+        "</TermQuery></Clause></BooleanQuery>", _ws_analyze)
+    assert t[1][0] == ("f", ("numeric_range", "f", 2, 7, True, True))
+    with pytest.raises(XmlParserError, match="type attribute"):
+        parse_xml_query(
+            '<PointRangeQuery fieldName="f" type="short" lowerTerm="1"/>',
+            _ws_analyze)
+    with pytest.raises(XmlParserError, match="Could not parse"):
+        parse_xml_query('<PointRangeQuery fieldName="f" lowerTerm="xx"/>',
+                        _ws_analyze)
+    with pytest.raises(XmlParserError):  # fieldName OrFail, no inheritance
+        parse_xml_query('<PointRangeQuery lowerTerm="1"/>', _ws_analyze)
+    # BoostingTermBuilder.java: raw term text, boost defaults 1.0
+    t = parse_xml_query(
+        '<BoostingTermQuery fieldName="body">aa</BoostingTermQuery>',
+        _ws_analyze)
+    assert t == ("payload_term", "aa", 1.0)
+    t = parse_xml_query(
+        '<BoostingTermQuery fieldName="body" boost="1.5">aa'
+        "</BoostingTermQuery>", _ws_analyze)
+    assert t == ("payload_term", "aa", 1.5)
+    with pytest.raises(XmlParserError):  # getNonBlankTextOrFail
+        parse_xml_query(
+            '<BoostingTermQuery fieldName="body"> </BoostingTermQuery>',
+            _ws_analyze)
+
+
+def test_numeric_root_constant_score(spark, ws_searcher, ws_corpus):
+    lens = {i: len(c.split()) for i, c in ws_corpus}
+    got = ws_searcher.topk_xml(
+        '<PointRangeQuery fieldName="field_len" lowerTerm="4" upperTerm="8"'
+        ' type="int"/>', k=10, content_field="body").collect()
+    exp = [i for i in sorted(lens) if 4 <= lens[i] <= 8][:10]
+    assert [int(r.doc_id) for r in got] == exp
+    assert all(r.score == 1.0 for r in got)
+    # a field with no stored column matches nothing (no points indexed)
+    assert ws_searcher.topk_xml(
+        '<PointRangeQuery fieldName="nope" lowerTerm="1"/>', k=5,
+        content_field="body").count() == 0
+    # exclusive legacy upper bound
+    got = ws_searcher.topk_xml(
+        '<LegacyNumericRangeQuery fieldName="field_len" lowerTerm="4"'
+        ' upperTerm="8" includeUpper="false" type="int"/>', k=40,
+        content_field="body").collect()
+    assert [int(r.doc_id) for r in got] == [
+        i for i in sorted(lens) if 4 <= lens[i] < 8][:40]
+
+
+def test_numeric_filter_clause_split(spark, ws_searcher, ws_corpus):
+    """FILTER PointRangeQuery + SHOULD terms: score from the should
+    clauses only, restricted to in-range docs, score-0 pad for docs
+    matching only the filter (BooleanWeight with msm 0)."""
+    lens = {i: len(c.split()) for i, c in ws_corpus}
+    idx = build_ws_oracle_index(ws_corpus)
+    tree = parse_xml_query('<TermQuery fieldName="body">aa</TermQuery>',
+                           _ws_analyze)
+    all_scores = dict(oracle_topk_tree(idx, tree, k=10_000))
+    inr = [i for i in lens if 4 <= lens[i] <= 8]
+    scored = sorted(
+        ((i, np.float32(all_scores[i])) for i in inr if i in all_scores),
+        key=lambda t: (-float(t[1]), t[0]))
+    pad = [(i, np.float32(0.0)) for i in sorted(inr) if i not in all_scores]
+    exp = (scored + pad)[:10]
+    xml = ('<BooleanQuery fieldName="body">'
+           '<Clause occurs="filter"><PointRangeQuery fieldName="field_len"'
+           ' lowerTerm="4" upperTerm="8" type="int"/></Clause>'
+           '<Clause occurs="should"><TermQuery>aa</TermQuery></Clause>'
+           "</BooleanQuery>")
+    got = [(int(r.doc_id), np.float32(r.score))
+           for r in ws_searcher.topk_xml(xml, k=10, content_field="body")
+           .collect()]
+    assert got == exp
+    # filter-only BooleanQuery: matches at score 0, doc order
+    xmlf = ('<BooleanQuery fieldName="body">'
+            '<Clause occurs="filter"><PointRangeQuery fieldName="field_len"'
+            ' lowerTerm="4" upperTerm="8" type="int"/></Clause>'
+            "</BooleanQuery>")
+    gotf = [(int(r.doc_id), np.float32(r.score))
+            for r in ws_searcher.topk_xml(xmlf, k=10, content_field="body")
+            .collect()]
+    assert gotf == [(i, np.float32(0.0)) for i in sorted(inr)][:10]
+
+
+def test_numeric_unsupported_position_raises(spark, ws_searcher):
+    with pytest.raises(NotImplementedError):
+        ws_searcher.topk_xml(
+            '<DisjunctionMaxQuery fieldName="body">'
+            '<PointRangeQuery fieldName="field_len" lowerTerm="1"/>'
+            "<TermQuery>aa</TermQuery></DisjunctionMaxQuery>",
+            k=5, content_field="body")
