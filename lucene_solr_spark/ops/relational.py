@@ -1870,7 +1870,7 @@ def terms_combined(spark, sf):
     # union — per-language stemmed term dictionaries (what a
     # multilingual index's per-language term dict would hold)
     t3 = snowball_analyzers(spark, sf).select(
-        F.concat(F.lit("snowball_"), F.col("lang")).alias("variant"),
+        F.col("lang").alias("variant"),
         F.lit(-1).cast("long").alias("doc_id"),
         F.col("stem").alias("term"),
         F.col("cnt").cast("long").alias("freq"),
@@ -1890,7 +1890,7 @@ SELECT * FROM (
   SELECT 'vector' AS variant, doc_id, term, CAST(tf AS BIGINT) AS freq, positions
   FROM ({TERM_VECTORS_SQL})
   UNION ALL
-  SELECT 'snowball_' || lang AS variant, CAST(-1 AS BIGINT) AS doc_id,
+  SELECT lang AS variant, CAST(-1 AS BIGINT) AS doc_id,
          stem AS term, CAST(cnt AS BIGINT) AS freq, '' AS positions
   FROM ({_snowball_analyzers_sql()})
 ) ORDER BY variant, doc_id, term
@@ -4583,8 +4583,16 @@ def _snowball_stem_rows() -> list[tuple[str, str, str]]:
         "catalan": catalan_stem, "basque": basque_stem,
         "irish": irish_stem, "armenian": armenian_stem,
     })
-    return [(lang, w, fn(w))
-            for lang, fn in sorted(langs.items())
+    # variant names carry the family prefix directly; the Egothor
+    # multi-trie Polish stemmer (analysis/stempel.py, GT-pinned vs the
+    # compiled PolishAnalyzer) is not a Snowball machine, so it keeps
+    # its own prefix
+    from ..analysis.stempel import polish_stem
+
+    named = {f"snowball_{lang}": fn for lang, fn in langs.items()}
+    named["stempel_polish"] = polish_stem
+    return [(variant, w, fn(w))
+            for variant, fn in sorted(named.items())
             for w in SNOWBALL_DOC_VOCAB]
 
 

@@ -51,7 +51,7 @@ EXPECTED = {
     "suggest": {"blended_infix", "completion", "freetext", "fst_bucket",
                 "fuzzy", "infix", "jaspell", "prefix", "spell",
                 "wordbreak", "wordcombine"},
-    "terms_component": {"dict", "vector"} | {
+    "terms_component": {"dict", "vector", "stempel_polish"} | {
         "snowball_" + lang for lang in (
             "armenian", "basque", "catalan", "czech_light", "danish",
             "dutch", "english", "finnish", "french", "french_light",

@@ -203,3 +203,56 @@ def test_armenian_analyzer_chain_matches_compiled_reference():
         "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ")
     exp = gt.run_snowball(lines, "ArmenianAnalyzer")
     _check(lines, exp, armenian_analyzer_stream, "armenian-analyzer")
+
+
+def test_polish_analyzer_chain_matches_compiled_reference():
+    """PolishAnalyzer (stempel): StandardTokenizer + LowerCase +
+    Stop(stopwords.txt) + StempelFilter over the in-tree
+    stemmer_20000.tbl multi-trie — the engine parses the serialized
+    Egothor MultiTrie2 directly (analysis/stempel.py)."""
+    from lucene_solr_spark.analysis.stempel import polish_analyzer_stream
+
+    rng = random.Random(9509)
+    lines = _lines(
+        rng,
+        ["dom", "zamk", "kot", "komputer", "królewsk", "piękn",
+         "dziewczyn", "nauczyciel", "miast", "książk", "wysok",
+         "polsk", "przyjaciel", "dzieck", "ważn"],
+        ["", "a", "y", "ami", "ach", "owi", "em", "ie", "ów", "om",
+         "ego", "iego", "ych", "imi", "ość", "ości", "ku", "kach"],
+        ["i", "w", "na", "się", "nie", "jest", "że", "do", "ale",
+         "po", "który", "była"],
+        "abcdeghijklmnoprstuwyzłążśćęóń")
+    exp = gt.run_snowball(lines, "PolishAnalyzer")
+    _check(lines, exp, polish_analyzer_stream, "polish-analyzer")
+
+
+def test_stempel_stem_matches_compiled_reference():
+    """Raw StempelStemmer.stem over random letter soup (exercises the
+    patch interpreter's swallowed-out-of-bounds paths, minLength
+    boundary, and null-stem pass-through)."""
+    from lucene_solr_spark.analysis.stempel import polish_stem
+
+    rng = random.Random(9510)
+    alphabet = "abcdefghijklmnoprstuvwxyzłążśćęóń"
+    lines = []
+    for _ in range(150):
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 14)))
+                 for _ in range(rng.randint(1, 8))]
+        lines.append(" ".join(words))
+    exp = gt.run_snowball(lines, "StempelStem")
+    for ln, e in zip(lines, exp):
+        toks = [t for t in ln.split(" ") if t]
+        got = [(polish_stem(t), 1, s, s + len(t))
+               for t, s in zip(toks, _ws_offsets(ln))]
+        assert got == e, (repr(ln), got, e)
+
+
+def _ws_offsets(line):
+    offs, i = [], 0
+    for t in line.split(" "):
+        if t:
+            offs.append(i)
+        i += len(t) + 1
+    return offs

@@ -4333,6 +4333,17 @@ public class GroundTruthSnowball {
         org.apache.lucene.analysis.hy.ArmenianAnalyzer an =
             new org.apache.lucene.analysis.hy.ArmenianAnalyzer();
         ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("PolishAnalyzer")) {
+        org.apache.lucene.analysis.pl.PolishAnalyzer an =
+            new org.apache.lucene.analysis.pl.PolishAnalyzer();
+        ts = an.tokenStream("f", new StringReader(text));
+      } else if (lang.equals("StempelStem")) {
+        // raw StempelStemmer.stem per whitespace token (null -> token)
+        WhitespaceTokenizer tok = new WhitespaceTokenizer();
+        tok.setReader(new StringReader(text));
+        ts = new org.apache.lucene.analysis.stempel.StempelFilter(
+            tok, new org.apache.lucene.analysis.stempel.StempelStemmer(
+                org.apache.lucene.analysis.pl.PolishAnalyzer.getDefaultTable()));
       } else {
         WhitespaceTokenizer tok = new WhitespaceTokenizer();
         tok.setReader(new StringReader(text));
@@ -6255,6 +6266,39 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # stempel (Egothor) Polish: org.egothor.stemmer tries + StempelFilter
+    # + PolishAnalyzer, with the in-tree stemmer_20000.tbl/stopwords.txt
+    # resources on the classpath
+    stp_root = "/root/reference/lucene/analysis/stempel/src/java"
+    stp_marker = os.path.join(
+        CLASSES, "org/apache/lucene/analysis/pl/PolishAnalyzer.class"
+    )
+    if not os.path.exists(stp_marker) and os.path.isdir(stp_root):
+        eg = f"{stp_root}/org/egothor/stemmer"
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             f"{stp_root}:/root/reference/lucene/analysis/common/src/java",
+             f"{eg}/Cell.java", f"{eg}/Row.java", f"{eg}/Trie.java",
+             f"{eg}/MultiTrie.java", f"{eg}/MultiTrie2.java",
+             f"{eg}/Diff.java", f"{eg}/Gener.java", f"{eg}/Lift.java",
+             f"{eg}/Optimizer.java", f"{eg}/Optimizer2.java",
+             f"{eg}/Reduce.java",
+             f"{stp_root}/org/apache/lucene/analysis/stempel/StempelStemmer.java",
+             f"{stp_root}/org/apache/lucene/analysis/stempel/StempelFilter.java",
+             f"{stp_root}/org/apache/lucene/analysis/pl/PolishAnalyzer.java"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+        stp_res = ("/root/reference/lucene/analysis/stempel/src/resources/"
+                   "org/apache/lucene/analysis/pl")
+        stp_dst = os.path.join(CLASSES, "org/apache/lucene/analysis/pl")
+        os.makedirs(stp_dst, exist_ok=True)
+        for fn in ("stemmer_20000.tbl", "stopwords.txt"):
+            shutil.copy(os.path.join(stp_res, fn), os.path.join(stp_dst, fn))
     # ngram package (NGram/EdgeNGram token filters) — CodepointCount +
     # CharacterUtils deps resolve via sourcepath
     ng_marker = os.path.join(
