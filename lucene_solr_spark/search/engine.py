@@ -76,6 +76,13 @@ _EMPTY = pd.DataFrame(
 #: (the same boundary DELETES_DRIVER_MAX draws for tombstones)
 FILTER_DRIVER_MAX = 1_000_000
 
+#: WAND two-wave: up to this many doc ranges the per-range block-max
+#: bounds are collected to the driver once and reused for both wave-1
+#: selection and the wave-2 survivor filter (16 bytes per range — the
+#: Lucene analog keeps block metadata driver-side too); beyond it the
+#: bounds frame persists and the survivor filter stays distributed
+WAND_DRIVER_BOUNDS_MAX = 1_000_000
+
 
 @dataclass(frozen=True)
 class BooleanSpec:
@@ -571,7 +578,7 @@ class IndexSearcher:
     # ---------------- top-k entry points ----------------
 
     def topk(self, query: str, k: int = 10, mode: str = "or", prune: bool | None = None,
-             first_wave_ranges: int = 8) -> DataFrame:
+             first_wave_ranges: int = 32) -> DataFrame:
         terms = tuple(self._analyze(query))
         spec = BooleanSpec(must=terms) if mode == "and" else BooleanSpec(should=terms)
         return self.topk_spec(spec, k=k, prune=prune, first_wave_ranges=first_wave_ranges)
@@ -1747,7 +1754,7 @@ class IndexSearcher:
         )
 
     def topk_spec(self, spec: BooleanSpec, k: int = 10, prune: bool | None = None,
-                  first_wave_ranges: int = 8,
+                  first_wave_ranges: int = 32,
                   candidates: list[int] | None = None,
                   range_ids: list[int] | None = None) -> DataFrame:
         """-> DataFrame(doc_id long, score float): k best rows ordered
@@ -1971,8 +1978,7 @@ class IndexSearcher:
             # measured on a 3M-doc/366-range corpus: two-wave WAND costs
             # more than it prunes below ~512 ranges (flat bounds); at true
             # 10^12 scale (10^8+ ranges) pruning is mandatory
-            est_ranges = max(1, -(-self.doc_count // self._range_size))
-            prune = est_ranges > 512
+            prune = self._est_ranges() > 512
         if self.deleted_df is not None:
             # corpus-scale delete sets pause WAND (its two-wave bounds
             # would need per-range tombstone counts); sets that large
@@ -2209,10 +2215,20 @@ class IndexSearcher:
         )
         return out, timed_out, visited
 
+    def _est_ranges(self) -> int:
+        return max(1, -(-self.doc_count // self._range_size))
+
     def _wand_pruned(
         self, blocks: DataFrame, scan_cols: list[str], score_fn, weights: dict,
         k: int, first_wave_ranges: int
     ) -> DataFrame:
+        # Wave 1 must surface >= k COMPETITIVE docs or theta comes out
+        # weak and wave 2 prunes nothing (measured at 3M docs: 8 ranges
+        # -> theta 2.08, 1457/1465 survive, pruning loses; 16-32 ranges
+        # -> the true theta 4.40, 51-99 survive, pruning wins 2x). The
+        # top-k docs of a skewed term concentrate ~1-2 per range, so
+        # scale the wave with k and floor it well above it.
+        first_wave_ranges = max(first_wave_ranges, 2 * k)
         wv_map = F.create_map(
             *[x for t, w in weights.items() for x in (F.lit(t), F.lit(w["weight_value"]))]
         )
@@ -2226,10 +2242,27 @@ class IndexSearcher:
             .groupBy("range_id")
             .agg(F.sum("tub").alias("bound"))
         )
-        wave1_ids = [
-            int(r["range_id"])
-            for r in bounds.orderBy(F.col("bound").desc()).limit(first_wave_ranges).collect()
-        ]
+        # One metadata aggregation, used twice (wave-1 selection AND the
+        # survivor filter). Under WAND_DRIVER_BOUNDS_MAX ranges the
+        # (range_id, bound) pairs come to the driver ONCE — Lucene's
+        # block metadata lives driver-side too — which drops a whole
+        # recomputation of the aggregation from the wave-2 plan; above
+        # the cap (10^8-range scale) the frame persists and the survivor
+        # filter stays distributed.
+        driver_bounds = None
+        if self._est_ranges() <= WAND_DRIVER_BOUNDS_MAX:
+            driver_bounds = [
+                (int(r["range_id"]), float(r["bound"])) for r in bounds.collect()
+            ]
+            driver_bounds.sort(key=lambda rb: -rb[1])
+            wave1_ids = [r for r, _b in driver_bounds[:first_wave_ranges]]
+        else:
+            bounds = bounds.persist()
+            wave1_ids = [
+                int(r["range_id"])
+                for r in bounds.orderBy(F.col("bound").desc())
+                .limit(first_wave_ranges).collect()
+            ]
         if not wave1_ids:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         scan = blocks.select(scan_cols)
@@ -2250,12 +2283,31 @@ class IndexSearcher:
             wave2 = rest.groupBy("range_id").applyInPandas(score_fn, schema=TOPK_SCHEMA)
             return wave1_df.unionByName(wave2)
         theta = float(wave1_top[-1]["score"])
-        surviving = bounds.filter(
-            (~F.col("range_id").isin(wave1_ids)) & (F.col("bound") > F.lit(theta))
-        )
+        if driver_bounds is not None:
+            w1 = set(wave1_ids)
+            surviving_ids = [
+                r for r, b in driver_bounds if b > theta and r not in w1
+            ]
+            if not surviving_ids:
+                return wave1_df
+            if len(surviving_ids) <= 10_000:
+                wave2_scan = scan.filter(F.col("range_id").isin(surviving_ids))
+            else:
+                ids_df = self.spark.createDataFrame(
+                    [(r,) for r in surviving_ids], "range_id long"
+                )
+                wave2_scan = scan.join(
+                    F.broadcast(ids_df), "range_id", "left_semi"
+                )
+        else:
+            surviving = bounds.filter(
+                (~F.col("range_id").isin(wave1_ids)) & (F.col("bound") > F.lit(theta))
+            )
+            wave2_scan = scan.join(
+                F.broadcast(surviving.select("range_id")), "range_id", "left_semi"
+            )
         wave2 = (
-            scan.join(F.broadcast(surviving.select("range_id")), "range_id", "left_semi")
-            .groupBy("range_id")
+            wave2_scan.groupBy("range_id")
             .applyInPandas(score_fn, schema=TOPK_SCHEMA)
         )
         return wave1_df.unionByName(wave2)
