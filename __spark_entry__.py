@@ -22,8 +22,10 @@ from lucene_solr_spark.ops.bm25_sql import (
     bm25_boosted_sql,
     bm25_compound_sql,
     bm25_dismax_sql,
+    bm25_boosting_sql,
     bm25_filter_clause_sql,
     bm25_mlt_sql,
+    bm25_mlt_text_sql,
     bm25_numeric_filter_sql as _bm25_numeric_filter_sql,
     numeric_range_root_sql as _numeric_range_root_sql,
     bm25_multi_phrase_sql,
@@ -394,6 +396,28 @@ XML_QUERIES = {
         '<LegacyNumericRangeQuery fieldName="field_len" lowerTerm="40"'
         ' upperTerm="90" includeUpper="false" type="long"/>',
         lambda: _numeric_range_root_sql(40, 90, k=10, hi_inc=False),
+    ),
+    # CorePlusQueries elements (xml/CorePlusQueriesParser.java):
+    # BoostingQuery -> the engine's GT-35 "boosting" node; LikeThisQuery
+    # -> MoreLikeThisQuery term selection against index stats
+    "xml_boosting_query": (
+        '<BoostingQuery fieldName="text"><Query><BooleanQuery>'
+        '<Clause occurs="should"><TermQuery>fast</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>sort</TermQuery></Clause>'
+        "</BooleanQuery></Query>"
+        '<BoostQuery boost="0.25"><TermQuery>merge</TermQuery></BoostQuery>'
+        "</BoostingQuery>",
+        lambda: bm25_boosting_sql("fast sort", "merge", 0.25, k=10),
+    ),
+    # likeText exercises a tf=2 candidate ('spark') and a df=0 drop
+    # ('index'); ranked under BM25 f32 — text chosen tie-free at both
+    # gate SFs (the f32-vs-double oracle boundary)
+    "xml_like_this": (
+        '<LikeThisQuery fieldNames="text" maxQueryTerms="8">'
+        "spark spark merge fast vector index table</LikeThisQuery>",
+        lambda: bm25_mlt_text_sql(
+            "spark spark merge fast vector index table", max_q=8, k=10
+        ),
     ),
 }
 

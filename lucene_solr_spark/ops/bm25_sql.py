@@ -1343,6 +1343,76 @@ LIMIT {k}
 """
 
 
+def bm25_mlt_text_sql(like_text: str, max_q: int = 20, min_tf: int = 1,
+                      min_df: int = 5, pct: float = 0.3,
+                      k: int = 10) -> str:
+    """MoreLikeThisQuery over likeText (the XML LikeThisQuery element —
+    queries/mlt/MoreLikeThisQuery.java rewrite): candidate (term, tf)
+    pairs come from the LITERAL text (computed here at build time, same
+    analysis), df filters + top-maxQueryTerms by tf x classic idf run in
+    SQL against the corpus, and the surviving SHOULD clauses score under
+    BM25 with minimumNumberShouldMatch = (int)(clauses * pct) — Java
+    (int) truncation = floor for non-negative values."""
+    from collections import Counter
+
+    counts = Counter(analyze(like_text)[:5000])
+    assert counts
+    # Java truncates (int)(clauses * pct) in FLOAT32 — embed the f32
+    # value of pct so 10 * 0.3 lands on 3, not 2 (the engine mirrors
+    # this in engine._resolve_mlt_text)
+    pct = float(np.float32(pct))
+    cand_vals = ",".join(
+        f"('{t}',{c})" for t, c in sorted(counts.items())
+    )
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' AND t.tok NOT IN {stoplist_sql()}
+),
+dl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+norm_lut(dl_lo, dl_hi, dnorm) AS (SELECT * FROM {norm_lut_values_sql()}),
+all_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term
+),
+all_df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM all_tf GROUP BY term),
+qcand(term, qtf) AS (VALUES {cand_vals}),
+qterms AS (
+  SELECT c.term
+  FROM qcand c JOIN all_df USING (term) CROSS JOIN stats s
+  WHERE c.qtf >= {min_tf} AND all_df.df >= {min_df}
+  ORDER BY c.qtf * (ln((s.n + 1) / (all_df.df + 1)) + 1) DESC, c.term ASC
+  LIMIT {max_q}
+),
+msm AS (SELECT CAST(floor(count(*) * {pct}) AS INTEGER) AS m FROM qterms),
+tf AS (SELECT * FROM all_tf WHERE term IN (SELECT term FROM qterms)),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * ({K1} + 1)
+             * tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * lut.dnorm / s.avgdl))) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN norm_lut lut ON dl.dl BETWEEN lut.dl_lo AND lut.dl_hi
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  HAVING count(*) >= (SELECT m FROM msm)
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_term_automaton_sql(transitions, accepts, k: int = 10) -> str:
     """TermAutomatonQuery oracle (sandbox/search/TermAutomatonScorer.java:
     226-345): the per-position NFA walk as a recursive CTE. Arrivals are a

@@ -1231,7 +1231,7 @@ class IndexSearcher:
         )
         return self._exec_xml_tree(tree, k)
 
-    _XML_SPECIAL = frozenset(("numeric_range", "payload_term"))
+    _XML_SPECIAL = frozenset(("numeric_range", "payload_term", "mlt_text"))
 
     def _exec_xml_tree(self, tree, k: int) -> DataFrame:
         """Execute a parsed XML tree, routing the node kinds the shared
@@ -1262,6 +1262,21 @@ class IndexSearcher:
 
         if tree is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if tree[0] == "mlt_text" or (
+            tree[0] == "boosted" and isinstance(tree[2], tuple)
+            and tree[2][0] == "mlt_text"
+        ):
+            boost, m = (
+                (tree[1], tree[2]) if tree[0] == "boosted" else (1.0, tree)
+            )
+            sub = self._resolve_mlt_text(*m[1:])
+            if sub is None:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            if boost != 1.0:
+                sub = ("boosted", boost, sub)
+            from .simpleqp import spark_topk_tree as _run_tree
+
+            return _run_tree(self, sub, k=k)
         if tree[0] == "numeric_range":
             live = self._live_docs(self._numeric_match_docs(tree))
             return live.orderBy("doc_id").limit(k).select(
@@ -1332,6 +1347,51 @@ class IndexSearcher:
         from .simpleqp import spark_topk_tree as _run
 
         return _run(self, tree, k=k)
+
+    def _resolve_mlt_text(self, field_ok, text, maxq, mintf, pct, stops,
+                          mindf):
+        """MoreLikeThisQuery.rewrite (queries/mlt/MoreLikeThisQuery.java:
+        58-78): analyze likeText (first maxNumTokensParsed=5000 tokens),
+        drop isNoiseWord terms (the stopWords set; min/maxWordLen stay
+        at their disabled defaults), select via MoreLikeThis.createQueue
+        (tf >= minTermFreq, df >= minDocFreq — the MLT default 5 when the
+        XML attr is absent — top maxQueryTerms by tf x classic idf), and
+        build the SHOULD tree with msm = (int)(clauses *
+        percentTermsToMatch). Returns None when no clause survives (a
+        clause-less BooleanQuery matches nothing). The term-stats lookup
+        is the same metadata scan every query pays; the corpus is never
+        touched before the final scoring tree runs."""
+        from collections import Counter
+
+        from .mlt import mlt_select_terms
+
+        if not field_ok:
+            # the builder's field list missed the index's content field:
+            # no term source, the query matches nothing (reference
+            # behavior for an absent field — see the parser note)
+            return None
+        toks = self._analyze(text)[:5000]
+        counts = Counter(toks)
+        if stops:
+            for t in stops:
+                counts.pop(t, None)
+        if not counts:
+            return None
+        weights = self.term_weights(sorted(counts))
+        terms = mlt_select_terms(
+            dict(counts),
+            {t: w["df"] for t, w in weights.items()},
+            self.doc_count,
+            max_query_terms=maxq,
+            min_term_freq=mintf,
+            min_doc_freq=(mindf if mindf >= 0 else 5),
+        )
+        if not terms:
+            return None
+        # (int)(clauses.size() * percentTermsToMatch) — float32 multiply
+        # then truncate (MoreLikeThisQuery.java:76)
+        msm = int(np.float32(len(terms)) * np.float32(pct))
+        return ("bool", tuple(("", ("term", t)) for t in terms), msm)
 
     def _numeric_match_docs(self, node) -> DataFrame:
         """doc_ids matching one ("numeric_range", field, lo, hi, lo_inc,

@@ -48,11 +48,20 @@ Element -> node mapping (builders/ cited per element):
   AveragePayloadFunction, includeSpanScore) + SpanBoostQuery — root
   level only; runs on the payload index.
 
+- BoostingQuery (CorePlusQueries BoostingQueryBuilder): <Query> match +
+  <BoostQuery boost=0.01> context -> the engine's "boosting" node
+  (context-matching docs get the match score scaled, GT round 35).
+- LikeThisQuery (CorePlusQueries LikeThisQueryBuilder over
+  MoreLikeThisQuery): likeText -> MoreLikeThis term selection against
+  the index stats at execute time (engine._resolve_mlt_text), SHOULD
+  clauses with msm = (int)(clauses * percentTermsToMatch/100).
+
 fieldName resolves with ancestor inheritance
 (DOMUtils.getAttributeWithInheritance) and must name the index's single
 content field (numeric elements name a stored numeric column instead).
-LikeThisQuery/BoostingQuery/FuzzyLikeThis (CorePlusQueries extras) are
-not mapped — ParserException analog raised.
+FuzzyLikeThisQuery (CorePlusExtensions) is not mapped — ParserException
+analog raised (its SlowFuzzyTermsEnum variant ranking is tracked
+separately).
 """
 
 from __future__ import annotations
@@ -249,6 +258,71 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
         tree = classic_parsed_to_tree(classic_parse(text))
         boost = _attr_float(e, "boost", 1.0)
         return _maybe_boost(tree, boost) if tree is not None else None
+    if tag == "BoostingQuery":
+        # CorePlusQueries BoostingQueryBuilder.java:43-58: <Query> child's
+        # first element is the match query, <BoostQuery boost=0.01>'s
+        # first element is the context query; docs matching BOTH have the
+        # match score multiplied by the context boost (queries/
+        # BoostingQuery.java — the engine's existing "boosting" node,
+        # GT round 35); an outer boost attr wraps BoostQuery.
+        q_holder = next((kid for kid in _children(e) if kid.tag == "Query"),
+                        None)
+        b_holder = next(
+            (kid for kid in _children(e) if kid.tag == "BoostQuery"), None)
+        if q_holder is None or b_holder is None:
+            raise XmlParserError(
+                "BoostingQuery requires Query and BoostQuery elements")
+        q_kids, b_kids = _children(q_holder), _children(b_holder)
+        if not q_kids or not b_kids:
+            raise XmlParserError("BoostingQuery child with no query element")
+        ctx_boost = _attr_float(b_holder, "boost", 0.01)
+        node = ("boosting", float(ctx_boost),
+                _q(q_kids[0], analyze_fn, content_field, own_field),
+                _q(b_kids[0], analyze_fn, content_field, own_field))
+        return _maybe_boost(node, _attr_float(e, "boost", 1.0))
+    if tag == "LikeThisQuery":
+        # CorePlusQueries LikeThisQueryBuilder.java:55-96 over
+        # MoreLikeThisQuery.rewrite (queries/mlt/MoreLikeThisQuery.java:
+        # 58-78): likeText -> MoreLikeThis.like term selection
+        # (tf >= minTermFrequency=1, df >= minDocFreq or the MLT default
+        # 5, top maxQueryTerms=20 by tf x classic idf), unboosted SHOULD
+        # clauses with minimumNumberShouldMatch =
+        # (int)(clauses * percentTermsToMatch/100). stopWords analyze
+        # through the chain into MoreLikeThis.isNoiseWord. The builder's
+        # hardcoded default field list {"contents"} maps to the engine's
+        # single content field; an explicit fieldNames attr must name it.
+        fl = (e.get("fieldNames", "") or "").strip()
+        # builder default field list is the LITERAL {"contents"}
+        # (CorePlusQueriesParser.java:52); a field the index doesn't
+        # have contributes no terms — MultiFields.getTerms null — so the
+        # query silently matches nothing, it does NOT throw
+        fields = (
+            tuple(x.strip() for x in fl.split(",")) if fl else ("contents",)
+        )
+        stop_attr = e.get("stopWords")
+        stops = (
+            frozenset(t for t, _p in analyze_fn(stop_attr))
+            if stop_attr is not None else None
+        )
+        import numpy as _np
+
+        # the builder divides the FLOAT attr by 100 in float32
+        # (LikeThisQueryBuilder.java:88) and MoreLikeThisQuery truncates
+        # (int)(clauses * percentTermsToMatch) in float32 — 10 * 0.3f is
+        # 3.0000001 -> 3, while python's double 10 * 0.3 is 2.999... -> 2
+        pct = float(
+            _np.float32(_attr_float(e, "percentTermsToMatch", 30.0))
+            / _np.float32(100.0)
+        )
+        node = (
+            "mlt_text", content_field in fields, _text(e),
+            _attr_int(e, "maxQueryTerms", 20),
+            _attr_int(e, "minTermFrequency", 1),
+            pct,
+            stops,
+            _attr_int(e, "minDocFreq", -1),
+        )
+        return _maybe_boost(node, _attr_float(e, "boost", 1.0))
     if tag in ("SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanFirst",
                "SpanNot"):
         return _span_query(e, analyze_fn, content_field, inherited_field)

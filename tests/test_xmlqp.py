@@ -234,3 +234,49 @@ def test_numeric_unsupported_position_raises(spark, ws_searcher):
             '<PointRangeQuery fieldName="field_len" lowerTerm="1"/>'
             "<TermQuery>aa</TermQuery></DisjunctionMaxQuery>",
             k=5, content_field="body")
+
+
+def test_coreplus_engine_matches_control_oracle(spark, ws_searcher,
+                                                ws_corpus):
+    """BoostingQuery end-to-end on the Spark engine (the tree node is
+    GT-round-35-pinned; this pins the XML mapping + engine execution),
+    and LikeThisQuery resolved against the index's own stats."""
+    idx = build_ws_oracle_index(ws_corpus)
+    xmlq = ('<BoostingQuery fieldName="body"><Query><BooleanQuery>'
+            '<Clause occurs="should"><TermQuery>aa</TermQuery></Clause>'
+            '<Clause occurs="should"><TermQuery>bb</TermQuery></Clause>'
+            "</BooleanQuery></Query>"
+            '<BoostQuery boost="0.25"><TermQuery>dd</TermQuery></BoostQuery>'
+            "</BoostingQuery>")
+    tree = parse_xml_query(xmlq, _ws_analyze)
+    exp = [(d, np.float32(s)) for d, s in oracle_topk_tree(idx, tree, k=10)]
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in ws_searcher.topk_xml(xmlq, k=10, content_field="body")
+           .collect()]
+    assert got == exp, (got, exp)
+
+    # LikeThisQuery: engine selects terms from its own stats; the
+    # control resolves the same selection against the ws oracle index
+    from collections import Counter
+
+    from lucene_solr_spark.search.mlt import mlt_select_terms
+
+    likeq = ('<LikeThisQuery fieldNames="body" maxQueryTerms="3"'
+             ' minDocFreq="1">aa aa bb cc</LikeThisQuery>')
+    counts = Counter("aa aa bb cc".split())
+    df = {t: len(idx.postings.get(t, {})) for t in counts}
+    terms = mlt_select_terms(dict(counts), df, idx.doc_count,
+                             max_query_terms=3, min_term_freq=1,
+                             min_doc_freq=1)
+    msm = int(np.float32(len(terms)) * np.float32(np.float32(30.0)
+                                                  / np.float32(100.0)))
+    sub = ("bool", tuple(("", ("term", t)) for t in terms), msm)
+    exp = [(d, np.float32(s)) for d, s in oracle_topk_tree(idx, sub, k=10)]
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in ws_searcher.topk_xml(likeq, k=10, content_field="body")
+           .collect()]
+    assert got == exp, (terms, msm, got, exp)
+    # default field list {"contents"} misses the content field: no hits
+    assert ws_searcher.topk_xml(
+        '<LikeThisQuery minDocFreq="1">aa bb</LikeThisQuery>',
+        k=10, content_field="body").count() == 0

@@ -851,6 +851,7 @@ import org.apache.lucene.index.*;
 import org.apache.lucene.search.*;
 import org.apache.lucene.store.*;
 import org.apache.lucene.queryparser.xml.CoreParser;
+import org.apache.lucene.queryparser.xml.CorePlusQueriesParser;
 
 public class GroundTruthXml {
   public static void main(String[] args) throws Exception {
@@ -875,7 +876,8 @@ public class GroundTruthXml {
     // one single-line XML query per case; parse errors print "!<msg>"
     for (int qi = 0; qi < nQ; qi++) {
       String xml = in.readLine();
-      CoreParser cp = new CoreParser("body", new GroundTruth.WS());
+      // CorePlusQueriesParser = CoreParser + LikeThisQuery/BoostingQuery
+      CoreParser cp = new CorePlusQueriesParser("body", new GroundTruth.WS());
       try {
         Query q = cp.parse(new java.io.ByteArrayInputStream(
             xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)));
@@ -5576,6 +5578,28 @@ def build() -> bool:
         r = subprocess.run(
             ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
              "-d", CLASSES] + xsrcs,
+            capture_output=True, text=True, timeout=300,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
+    # CorePlusQueriesParser (GT round 29b): LikeThisQueryBuilder +
+    # BoostingQueryBuilder over the queries module (MoreLikeThisQuery /
+    # BoostingQuery resolve via sourcepath)
+    xp_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/queryparser/xml/CorePlusQueriesParser.class",
+    )
+    if not os.path.exists(xp_marker) and os.path.isdir(xq_root):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             "-sourcepath",
+             "/root/reference/lucene/queryparser/src/java:"
+             "/root/reference/lucene/queries/src/java",
+             os.path.join(xq_root, "CorePlusQueriesParser.java"),
+             os.path.join(xq_root, "builders", "LikeThisQueryBuilder.java"),
+             os.path.join(xq_root, "builders", "BoostingQueryBuilder.java")],
             capture_output=True, text=True, timeout=300,
         )
         if r.returncode != 0:
