@@ -1086,6 +1086,173 @@ class IndexSearcher:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk_boosted(boosts, k=k)
 
+    #: bound on the per-source-term candidate superset the FLT replay
+    #: collects (a term-stats METADATA scan, never the corpus; the same
+    #: boundary FILTER_DRIVER_MAX draws)
+    FLT_DRIVER_MAX = 20_000
+
+    def topk_fuzzy_like_this_ref(
+        self, fields, max_num_terms: int = 50, ignore_tf: bool = False,
+        k: int = 10, boost: float = 1.0,
+    ) -> DataFrame:
+        """FuzzyLikeThisQuery, REFERENCE-EXACT (sandbox/queries/
+        FuzzyLikeThisQuery.java; pinned bit-for-bit vs the compiled
+        binary, GT round 29c) — unlike topk_fuzzy_like_this (the
+        documented simplified analog the bm25_fuzzy_like_this gate
+        rides), this replays the whole machinery: SlowFuzzyTermsEnum
+        variant enumeration with the MaxNonCompetitiveBoost feedback
+        loop, the 50-cap per-term variant queue, float32
+        (boost^2 * ClassicSimilarity.idf) global ranking with avgDf
+        substitution, and scoring where EVERY variant carries an
+        artificial df=ttf=1 TermContext (newTermQuery :268-283 — idf is
+        idf(1, N) no matter the variant's real docFreq), grouped
+        per source term (inner group float32-casts its double sum, the
+        outer SHOULD sums the group floats in double and casts).
+
+        fields: [(query_string, min_similarity, prefix_length)] —
+        one entry per addTerms call; tokens analyze through the index
+        chain with addTerms' per-call processedTerms dedup.
+
+        Scale shape: candidate supersets come from a bucket-pruned
+        term-stats METADATA scan (prefix pushdown + codegen levenshtein
+        on the suffix — the same distributed-filter plan the slow_fuzzy
+        gate asserts), bounded by FLT_DRIVER_MAX; the corpus is only
+        touched by the final pruned block scan over the <= maxNumTerms
+        selected variants. The suffix-Levenshtein <= initial-maxEdits
+        bound is exact: every accept() branch implies it (automaton
+        ed <= curMax; linear raw d <= curMax; linear fractional
+        sim > minSim => d < (1-minSim)(realPrefix+min(n,m)) <=
+        (1-minSim)*termLen)."""
+        from .fuzzy_like_this import flt_select
+
+        sources: list[tuple[str, float, int]] = []
+        for qs, ms, pl in fields:
+            seen: set[str] = set()
+            for t in self._analyze(qs):
+                if t not in seen:
+                    seen.add(t)
+                    sources.append((t, float(ms), int(pl)))
+        if not sources:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        src_dfs = {
+            t: int(w["df"])
+            for t, w in self.term_weights(
+                sorted({s for s, _m, _p in sources})).items()
+        }
+        cand_map: dict[str, list[tuple[str, int]]] = {}
+        for src, ms, pl in sources:
+            if src in cand_map:
+                continue
+            term_length = len(src)
+            real_prefix = min(pl, term_length)
+            prefix, suffix = src[:real_prefix], src[real_prefix:]
+            if ms >= 1.0:
+                max_edits = int(ms)
+            else:
+                max_edits = int((1.0 - float(np.float32(ms))) * term_length)
+            stats = self._term_stats
+            if prefix:
+                stats = stats.filter(F.col("term").startswith(prefix))
+            stats = stats.filter(
+                F.levenshtein(
+                    F.expr(f"substring(term, {real_prefix + 1})"),
+                    F.lit(suffix),
+                ) <= F.lit(max_edits)
+            )
+            rows = stats.select("term", "df").limit(
+                self.FLT_DRIVER_MAX + 1).collect()
+            assert len(rows) <= self.FLT_DRIVER_MAX, (
+                "FLT candidate superset exceeded FLT_DRIVER_MAX — raise "
+                "the bound or tighten prefixLength")
+            cand_map[src] = [(r["term"], int(r["df"])) for r in rows]
+        groups = flt_select(sources, cand_map, src_dfs, self.doc_count,
+                            max_num_terms)
+        if not groups:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        idf1 = idf_f32(1, self.doc_count)
+        # per group: [(variant term, weightValue or const boost)]; an
+        # outer BoostQuery (the XML builder's boost attr) merges into
+        # each variant's BoostQuery at rewrite (BoostQuery.rewrite:96 —
+        # boost * in.boost in float32) before the weight forms
+        group_specs: list[list[tuple[str, np.float32]]] = []
+        for _src, members in groups.items():
+            g = []
+            for term, score in members:
+                eff = (np.float32(score) if boost == 1.0
+                       else np.float32(np.float32(boost) * np.float32(score)))
+                if ignore_tf:
+                    g.append((term, eff))
+                else:
+                    g.append((term, np.float32(
+                        np.float32(idf1 * eff) * (K1 + np.float32(1.0)))))
+            group_specs.append(g)
+        vterms = sorted({t for g in group_specs for t, _w in g})
+        cache = norm_cache(np.float32(float(self.avgdl)))
+        deleted = self.deleted
+        itf = bool(ignore_tf)
+        kk = int(k)
+
+        def _score_impl(key, pdf: pd.DataFrame,
+                        deleted_local=None) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY
+            d_arr = deleted_local if deleted_local is not None else deleted
+            per_term = {
+                t: _decode_group(
+                    g.sort_values("first_doc", kind="mergesort"), False)
+                for t, g in pdf.groupby("term", sort=False)
+            }
+            base = min(int(v[0][0]) for v in per_term.values())
+            top = max(int(v[0][-1]) for v in per_term.values())
+            width = top - base + 1
+            total = np.zeros(width, dtype=np.float64)
+            matched = np.zeros(width, dtype=bool)
+            for g in group_specs:
+                acc = np.zeros(width, dtype=np.float64)
+                hit = np.zeros(width, dtype=bool)
+                for term, wv in g:
+                    if term not in per_term:
+                        continue
+                    d, tf, nb, _ = per_term[term]
+                    idxs = d - base
+                    if itf:
+                        s = np.full(len(d), np.float32(wv),
+                                    dtype=np.float32)
+                    else:
+                        tff = tf.astype(np.float32)
+                        s = (np.float32(wv) * tff
+                             / (tff + cache[nb])).astype(np.float32)
+                    acc[idxs] += s.astype(np.float64)
+                    hit[idxs] = True
+                # inner BooleanQuery: (float) of the double sum
+                total[hit] += acc[hit].astype(np.float32).astype(np.float64)
+                matched |= hit
+            if d_arr is not None and d_arr.size:
+                lo = np.searchsorted(d_arr, base)
+                hi = np.searchsorted(d_arr, base + width)
+                matched[d_arr[lo:hi] - base] = False
+            idx = np.flatnonzero(matched)
+            if idx.size == 0:
+                return _EMPTY
+            scores = total[idx].astype(np.float32)
+            da = (idx + base).astype(np.int64)
+            order = np.lexsort((da, -scores.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc_id": da[order], "score": scores[order]})
+
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_impl(key, pdf)
+
+        score_range.cogroup = _cogroup_wrapper(_score_impl)
+        scan_cols = ["term", "range_id", "first_doc", "last_doc",
+                     "docs_buf", "tfs_buf", "norms_buf"]
+        return (
+            self._apply_range_scorer(
+                self._blocks_for(vterms), scan_cols, score_range)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def topk_term_automaton(
         self, transitions, accepts, k: int = 10
     ) -> DataFrame:
@@ -1211,7 +1378,8 @@ class IndexSearcher:
         )
 
     def topk_xml(self, xml_string: str, k: int = 10,
-                 content_field: str = "text") -> DataFrame:
+                 content_field: str = "text",
+                 extensions: bool = False) -> DataFrame:
         """The XML query parser (queryparser/xml/CoreParser.java):
         TermQuery/TermsQuery/BooleanQuery (all four occurs incl. FILTER)/
         RangeQuery/DisjunctionMaxQuery/ConstantScoreQuery/UserQuery/
@@ -1227,11 +1395,13 @@ class IndexSearcher:
 
         tree = parse_xml_query(
             xml_string, _analyzer_with_positions(self.analyzer),
-            content_field=content_field,
+            content_field=content_field, extensions=extensions,
         )
         return self._exec_xml_tree(tree, k)
 
-    _XML_SPECIAL = frozenset(("numeric_range", "payload_term", "mlt_text"))
+    _XML_SPECIAL = frozenset(
+        ("numeric_range", "payload_term", "mlt_text", "fuzzy_like_this")
+    )
 
     def _exec_xml_tree(self, tree, k: int) -> DataFrame:
         """Execute a parsed XML tree, routing the node kinds the shared
@@ -1262,6 +1432,20 @@ class IndexSearcher:
 
         if tree is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if tree[0] == "fuzzy_like_this" or (
+            tree[0] == "boosted" and isinstance(tree[2], tuple)
+            and tree[2][0] == "fuzzy_like_this"
+        ):
+            boost, m = (
+                (tree[1], tree[2]) if tree[0] == "boosted" else (1.0, tree)
+            )
+            _tag, maxn, itf, specs = m
+            flds = [(t, ms, pl) for t, ms, pl, ok in specs if ok]
+            if not flds:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.topk_fuzzy_like_this_ref(
+                flds, max_num_terms=maxn, ignore_tf=itf, k=k, boost=boost
+            )
         if tree[0] == "mlt_text" or (
             tree[0] == "boosted" and isinstance(tree[2], tuple)
             and tree[2][0] == "mlt_text"

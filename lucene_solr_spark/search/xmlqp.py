@@ -56,12 +56,19 @@ Element -> node mapping (builders/ cited per element):
   the index stats at execute time (engine._resolve_mlt_text), SHOULD
   clauses with msm = (int)(clauses * percentTermsToMatch/100).
 
+- FuzzyLikeThisQuery (CorePlusEXTENSIONS FuzzyLikeThisQueryBuilder —
+  only under parse_xml_query(extensions=True), mirroring which parser
+  registers the builder; the CorePlusQueriesParser surface keeps the
+  reference's ParserException): maxNumTerms/ignoreTF attrs + <Field>
+  descendants (minSimilarity default 2.0 = SlowFuzzyQuery.
+  defaultMinSimilarity, prefixLength default 1, fieldName inheritance;
+  a field list missing the content field contributes nothing — absent
+  Terms, addTerms returns). Executes through
+  engine.topk_fuzzy_like_this_ref (GT round 29c).
+
 fieldName resolves with ancestor inheritance
 (DOMUtils.getAttributeWithInheritance) and must name the index's single
 content field (numeric elements name a stored numeric column instead).
-FuzzyLikeThisQuery (CorePlusExtensions) is not mapped — ParserException
-analog raised (its SlowFuzzyTermsEnum variant ranking is tracked
-separately).
 """
 
 from __future__ import annotations
@@ -119,13 +126,17 @@ def _maybe_boost(node, boost: float):
 
 
 def parse_xml_query(xml_string: str, analyze_fn, content_field: str = "body",
-                    default_field: str | None = None):
+                    default_field: str | None = None,
+                    extensions: bool = False):
     """CoreParser.parse over one XML document -> query tree (simpleqp
     node shapes). analyze_fn(text) -> [(token, position)] — the index's
     chain; default_field feeds UserQuery's classic parser (single-field
-    engine: it must equal content_field)."""
+    engine: it must equal content_field). extensions=True models
+    CorePlusEXTENSIONSParser's additional builder registrations
+    (currently FuzzyLikeThisQuery); False (the CorePlusQueriesParser
+    surface) keeps the reference's ParserException for them."""
     root = ET.fromstring(xml_string)
-    return _q(root, analyze_fn, content_field, None)
+    return _q(root, analyze_fn, content_field, None, extensions)
 
 
 def _check_field(e, inherited, content_field):
@@ -137,7 +148,8 @@ def _check_field(e, inherited, content_field):
     return f
 
 
-def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
+def _q(e, analyze_fn, content_field: str, inherited_field: str | None,
+       extensions: bool = False):
     tag = e.tag
     own_field = e.get("fieldName", "") or inherited_field
     if tag == "TermQuery":
@@ -178,7 +190,7 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
             if not sub_elems:
                 raise XmlParserError("Clause with no child query")
             clauses.append((occ, _q(sub_elems[0], analyze_fn, content_field,
-                                    own_field)))
+                                    own_field, extensions)))
         msm = _attr_int(e, "minimumNumberShouldMatch", 0)
         node = ("bool", tuple(clauses), msm)
         return _maybe_boost(node, _attr_float(e, "boost", 1.0))
@@ -233,7 +245,8 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
     if tag == "DisjunctionMaxQuery":
         tie = _attr_float(e, "tieBreaker", 0.0)
         subs = tuple(
-            _q(kid, analyze_fn, content_field, own_field) for kid in _children(e)
+            _q(kid, analyze_fn, content_field, own_field, extensions)
+            for kid in _children(e)
         )
         return _maybe_boost(("dismax", float(tie), subs),
                             _attr_float(e, "boost", 1.0))
@@ -241,7 +254,8 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
         kids = _children(e)
         if not kids:
             raise XmlParserError("ConstantScoreQuery with no child query")
-        node = ("const_q", _q(kids[0], analyze_fn, content_field, own_field))
+        node = ("const_q", _q(kids[0], analyze_fn, content_field,
+                              own_field, extensions))
         return _maybe_boost(node, _attr_float(e, "boost", 1.0))
     if tag == "UserQuery":
         from .queryparser import parse as classic_parse
@@ -277,8 +291,10 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
             raise XmlParserError("BoostingQuery child with no query element")
         ctx_boost = _attr_float(b_holder, "boost", 0.01)
         node = ("boosting", float(ctx_boost),
-                _q(q_kids[0], analyze_fn, content_field, own_field),
-                _q(b_kids[0], analyze_fn, content_field, own_field))
+                _q(q_kids[0], analyze_fn, content_field, own_field,
+                   extensions),
+                _q(b_kids[0], analyze_fn, content_field, own_field,
+                   extensions))
         return _maybe_boost(node, _attr_float(e, "boost", 1.0))
     if tag == "LikeThisQuery":
         # CorePlusQueries LikeThisQueryBuilder.java:55-96 over
@@ -322,6 +338,27 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None):
             stops,
             _attr_int(e, "minDocFreq", -1),
         )
+        return _maybe_boost(node, _attr_float(e, "boost", 1.0))
+    if tag == "FuzzyLikeThisQuery" and extensions:
+        # FuzzyLikeThisQueryBuilder.java:47-70 (CorePlusExtensions
+        # registration only): getElementsByTagName finds ALL Field
+        # descendants; per field minSimilarity default 2.0
+        # (SlowFuzzyQuery.defaultMinSimilarity), prefixLength default 1,
+        # fieldName with inheritance (nullable — a null/mismatched field
+        # has no Terms and addTerms contributes nothing); boost wraps.
+        specs = []
+        for fe in e.iter("Field"):
+            if fe is e:
+                continue
+            fname = fe.get("fieldName", "") or own_field
+            specs.append((
+                _text(fe),
+                _attr_float(fe, "minSimilarity", 2.0),
+                _attr_int(fe, "prefixLength", 1),
+                fname == content_field,
+            ))
+        node = ("fuzzy_like_this", _attr_int(e, "maxNumTerms", 50),
+                _attr_bool(e, "ignoreTF", False), tuple(specs))
         return _maybe_boost(node, _attr_float(e, "boost", 1.0))
     if tag in ("SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanFirst",
                "SpanNot"):

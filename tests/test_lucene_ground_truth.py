@@ -6292,3 +6292,187 @@ def test_xml_coreplus_elements_match_compiled_reference():
         assert gt.run_xml(docs, [flt]) == ["!ParserException"]
         with pytest.raises(XmlParserError):
             parse_xml_query(flt, _ws_analyze)
+
+
+def test_fuzzy_like_this_matches_compiled_reference():
+    """Ground-truth round 29c — FuzzyLikeThisQuery (sandbox/queries/
+    FuzzyLikeThisQuery.java) vs the compiled binary: the SELECTION
+    (SlowFuzzyTermsEnum + 50-cap variant queue + boost feedback +
+    float32 boost^2 x ClassicSimilarity.idf with avgDf substitution +
+    maxNumTerms global queue) compared group-for-group boost-for-boost,
+    and the SCORING (artificial df=1 TermContext per variant, inner
+    group f32-casts its double sum, outer SHOULD sums group floats)
+    compared docid + Float.toString score bit-for-bit."""
+    from lucene_solr_spark.search.bm25 import K1, idf_f32, norm_cache
+    from lucene_solr_spark.search.fuzzy_like_this import flt_select
+    from lucene_solr_spark.search.simpleqp import build_ws_oracle_index
+
+    def control(idx, cases10):
+        dict_df = sorted(
+            (t, len(d)) for t, d in idx.postings.items())
+        out = []
+        for mnt, itf, ms, pl, text in cases10:
+            sources, seen = [], set()
+            for t in text.split():
+                if t not in seen:
+                    seen.add(t)
+                    sources.append((t, float(ms), int(pl)))
+            cand_map = {s: dict_df for s, _m, _p in sources}
+            src_dfs = {s: len(idx.postings.get(s, {}))
+                       for s, _m, _p in sources}
+            groups = flt_select(sources, cand_map, src_dfs,
+                                idx.doc_count, mnt)
+            idf1 = idf_f32(1, idx.doc_count)
+            cache = norm_cache(idx.avgdl)
+            totals: dict[int, float] = {}
+            for _src, members in groups.items():
+                gacc: dict[int, float] = {}
+                for term, score in members:
+                    w = (np.float32(score) if itf else np.float32(
+                        np.float32(idf1 * score) * (K1 + np.float32(1.0))))
+                    for doc, tf in idx.postings.get(term, {}).items():
+                        if itf:
+                            s = np.float32(w)
+                        else:
+                            tff = np.float32(tf)
+                            nb = cache[idx.norm_bytes[doc]]
+                            s = np.float32(
+                                np.float32(w * tff) / (tff + nb))
+                        gacc[doc] = gacc.get(doc, 0.0) + float(s)
+                for doc, acc in gacc.items():
+                    totals[doc] = totals.get(doc, 0.0) + float(
+                        np.float32(acc))
+            hits = sorted(
+                ((d, np.float32(s)) for d, s in totals.items()),
+                key=lambda h: (-float(h[1]), h[0]))[:10]
+            out.append((groups, hits))
+        return out
+
+    vocab = ["aaab", "aabb", "abcd", "abcc", "bbbb", "bbcc", "ccdd",
+             "cdcd", "dddd", "abab"]
+    rng = random.Random(2929301)
+    for corpus_round in range(3):
+        n_docs = rng.randint(6, 20)
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            for _ in range(n_docs)
+        ]
+        idx = build_ws_oracle_index(list(enumerate(docs)))
+        cases = []
+        for _ in range(25):
+            n_terms = rng.randint(1, 3)
+            text = " ".join(
+                rng.choice(vocab + ["aax", "bbz", "zzzz", "ab"])
+                for _ in range(n_terms))
+            cases.append((
+                rng.choice([2, 3, 10, 50]),
+                rng.random() < 0.3,
+                rng.choice([2.0, 1.0, 0.5, 0.4, 0.7]),
+                rng.choice([0, 1, 2]),
+                text,
+            ))
+        exp = gt.run_flt(docs, cases)
+        got = control(idx, cases)
+        for case, (eg, eh), (gg, gh) in zip(cases, exp, got):
+            # groups: order is HashMap iteration — compare as sets;
+            # boosts Float.toString-exact
+            eset = {frozenset((t, np.float32(float(b))) for t, b in grp)
+                    for grp in eg}
+            gset = {frozenset((t, np.float32(float(b))) for t, b in grp)
+                    for grp in gg.values()}
+            assert gset == eset, (corpus_round, case, gg, eg)
+            _assert_topk_equal(gh, eh, (corpus_round, case))
+
+
+def test_fuzzy_like_this_engine_matches_compiled_reference(spark, tmp_root):
+    """GT round 29c, Spark leg: topk_fuzzy_like_this_ref end-to-end —
+    distributed candidate superset (term-stats metadata scan) + exact
+    selection replay + the df=1 grouped scorer — docids and
+    Float.toString float32 scores bit-for-bit vs the compiled
+    FuzzyLikeThisQuery over the same whitespace index."""
+    import os as _os
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.engine import IndexSearcher
+
+    rng = random.Random(2929302)
+    vocab = ["aaab", "aabb", "abcd", "abcc", "bbbb", "bbcc", "ccdd",
+             "cdcd", "dddd", "abab"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+        for _ in range(30)
+    ]
+    d = _os.path.join(tmp_root, "idx_flt_gt")
+    src = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, content string")
+    build_index(spark, src, out_dir=d, content_col="content",
+                doc_id_col="doc_id", meta_cols=[], range_size=8,
+                fingerprint="flt-gt", analyzer="whitespace")
+    s = IndexSearcher(spark, d)
+    cases = [
+        (50, False, 2.0, 1, "aaab"),
+        (50, False, 0.5, 1, "aaab bbzb"),
+        (10, True, 1.0, 0, "abcd"),
+        (3, False, 0.4, 2, "abcc dddd"),
+        (2, False, 2.0, 1, "aab"),
+    ]
+    exp = gt.run_flt(docs, cases)
+    for (mnt, itf, ms, pl, text), (_eg, eh) in zip(cases, exp):
+        got = [
+            (int(r["doc_id"]), np.float32(r["score"]))
+            for r in s.topk_fuzzy_like_this_ref(
+                [(text, ms, pl)], max_num_terms=mnt, ignore_tf=itf, k=10
+            ).collect()
+        ]
+        _assert_topk_equal(got, eh, ("flt-engine", mnt, itf, ms, pl, text))
+
+
+def test_fuzzy_like_this_xml_extensions(spark, tmp_root):
+    """The XML FuzzyLikeThisQuery element under extensions=True
+    (CorePlusExtensionsParser's registration) end-to-end, including the
+    builder's boost attr (BoostQuery.rewrite merges it into each
+    variant boost in f32) and the absent-field no-op."""
+    import os as _os
+
+    from lucene_solr_spark.search.engine import IndexSearcher
+
+    d = _os.path.join(tmp_root, "idx_flt_gt")  # built by the test above
+    if not _os.path.isdir(d):
+        pytest.skip("engine GT index not built in this session order")
+    s = IndexSearcher(spark, d)
+    xml = ('<FuzzyLikeThisQuery fieldName="content" maxNumTerms="10">'
+           '<Field minSimilarity="0.5" prefixLength="1">aaab bbzb</Field>'
+           "</FuzzyLikeThisQuery>")
+    got = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in s.topk_xml(xml, k=10, content_field="content",
+                            extensions=True).collect()
+    ]
+    direct = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in s.topk_fuzzy_like_this_ref(
+            [("aaab bbzb", 0.5, 1)], max_num_terms=10, k=10).collect()
+    ]
+    assert got == direct and got
+    # boost attr: every score scales by f32-merged per-variant boosts
+    xmlb = xml.replace("maxNumTerms=\"10\">", "maxNumTerms=\"10\" "
+                       "boost=\"2.0\">")
+    got_b = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in s.topk_xml(xmlb, k=10, content_field="content",
+                            extensions=True).collect()
+    ]
+    assert [d_ for d_, _s2 in got_b] == [d_ for d_, _s2 in got]
+    for (_d1, s1), (_d2, s2) in zip(got, got_b):
+        assert abs(float(s2) / float(s1) - 2.0) < 1e-5
+    # absent field -> no Terms -> matches nothing
+    none = s.topk_xml(
+        '<FuzzyLikeThisQuery maxNumTerms="10"><Field fieldName="nope">'
+        "aaab</Field></FuzzyLikeThisQuery>",
+        k=10, content_field="content", extensions=True)
+    assert none.count() == 0
+    # without extensions the reference surface still throws
+    from lucene_solr_spark.search.xmlqp import XmlParserError
+
+    with pytest.raises(XmlParserError):
+        s.topk_xml(xml, k=10, content_field="content")

@@ -3257,6 +3257,98 @@ public class GroundTruthSlowFuzzy {
 """
 
 
+FLT_JAVA = r"""
+import org.apache.lucene.document.*;
+import org.apache.lucene.index.*;
+import org.apache.lucene.search.*;
+import org.apache.lucene.store.*;
+
+/** FuzzyLikeThisQuery ground truth (GT round 29c): WS body docs; query
+ *  'maxNumTerms;ignoreTF;minSim;prefixLen;text...' runs the sandbox
+ *  FuzzyLikeThisQuery with one addTerms call. Output:
+ *  '<rewritten groups>|<doc:score;...>' where groups print as
+ *  t^b or [t1^b1,t2^b2] joined by '/', Float.toString boosts. */
+public class GroundTruthFLT {
+  public static void main(String[] args) throws Exception {
+    java.io.BufferedReader in =
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in));
+    int nDocs = Integer.parseInt(in.readLine().trim());
+    Directory dir = new RAMDirectory();
+    IndexWriterConfig cfg = new IndexWriterConfig(new GroundTruth.WS());
+    cfg.setMaxBufferedDocs(Math.max(2, nDocs + 1));
+    IndexWriter w = new IndexWriter(dir, cfg);
+    FieldType ft = new FieldType(TextField.TYPE_NOT_STORED);
+    for (int i = 0; i < nDocs; i++) {
+      Document d = new Document();
+      d.add(new Field("body", in.readLine(), ft));
+      w.addDocument(d);
+    }
+    w.forceMerge(1);
+    w.close();
+    IndexReader r = DirectoryReader.open(dir);
+    IndexSearcher s = new IndexSearcher(r);
+
+    int nQ = Integer.parseInt(in.readLine().trim());
+    for (int qi = 0; qi < nQ; qi++) {
+      String[] p = in.readLine().split(";", 5);
+      org.apache.lucene.sandbox.queries.FuzzyLikeThisQuery q =
+          new org.apache.lucene.sandbox.queries.FuzzyLikeThisQuery(
+              Integer.parseInt(p[0]), new GroundTruth.WS());
+      q.setIgnoreTF(Boolean.parseBoolean(p[1]));
+      q.addTerms(p[4], "body", Float.parseFloat(p[2]),
+                 Integer.parseInt(p[3]));
+      // ONE rewrite step: the raw group structure, before the
+      // 1-clause-BooleanQuery collapse (scoring-equivalent:
+      // (float) of a double holding one float is that float)
+      Query rw = q.rewrite(r);
+      StringBuilder cl = new StringBuilder();
+      if (rw instanceof BooleanQuery) {
+        for (BooleanClause c : (BooleanQuery) rw) {
+          if (cl.length() > 0) cl.append("/");
+          Query cq = c.getQuery();
+          if (cq instanceof BooleanQuery) {
+            cl.append("[");
+            boolean first = true;
+            for (BooleanClause ic : (BooleanQuery) cq) {
+              if (!first) cl.append(",");
+              first = false;
+              appendFlt(cl, ic.getQuery());
+            }
+            cl.append("]");
+          } else {
+            appendFlt(cl, cq);
+          }
+        }
+      }
+      TopDocs td = s.search(q, 10);
+      StringBuilder out = new StringBuilder();
+      for (ScoreDoc sd : td.scoreDocs) {
+        if (out.length() > 0) out.append(";");
+        out.append(sd.doc).append(":").append(Float.toString(sd.score));
+      }
+      System.out.println(
+          (cl.length() == 0 ? "-" : cl.toString()) + "|"
+          + (out.length() == 0 ? "-" : out.toString()));
+    }
+    r.close();
+  }
+
+  static void appendFlt(StringBuilder cl, Query cq) {
+    float boost = 1f;
+    if (cq instanceof BoostQuery) {
+      boost = ((BoostQuery) cq).getBoost();
+      cq = ((BoostQuery) cq).getQuery();
+    }
+    if (cq instanceof ConstantScoreQuery) {
+      cq = ((ConstantScoreQuery) cq).getQuery();
+    }
+    cl.append(((TermQuery) cq).getTerm().text())
+      .append("^").append(Float.toString(boost));
+  }
+}
+"""
+
+
 FIELDMASK_JAVA = r"""
 import org.apache.lucene.document.*;
 import org.apache.lucene.index.*;
@@ -5244,6 +5336,22 @@ def build() -> bool:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return False
+    # sandbox FuzzyLikeThisQuery (GT round 29c) — rides the compiled
+    # SlowFuzzyTermsEnum + queries-module ClassicSimilarity
+    flt_marker = os.path.join(
+        CLASSES,
+        "org/apache/lucene/sandbox/queries/FuzzyLikeThisQuery.class",
+    )
+    if not os.path.exists(flt_marker) and os.path.isdir(sf_dir):
+        r = subprocess.run(
+            ["javac", "-nowarn", "-encoding", "UTF-8", "-cp", CLASSES,
+             "-d", CLASSES,
+             os.path.join(sf_dir, "FuzzyLikeThisQuery.java")],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            return False
     # lucene/spatial (geopoint morton terms + util) depends only on core
     gp_marker = os.path.join(
         CLASSES,
@@ -6436,6 +6544,7 @@ def build() -> bool:
         ("GroundTruthGroup2", GROUP2_JAVA),
         ("GroundTruthFieldMask", FIELDMASK_JAVA),
         ("GroundTruthSlowFuzzy", SLOWFUZZY_JAVA),
+        ("GroundTruthFLT", FLT_JAVA),
         ("GroundTruthGeoPoint", GEOPOINT_JAVA),
         ("GroundTruthCompletion", COMPLETION_JAVA),
         ("GroundTruthIdxSplit", IDXSPLIT_JAVA),
@@ -8238,6 +8347,43 @@ def run_snowball(lines: list[str], lang: str = "English") -> list[list[tuple]]:
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return _parse_revwild_lines(r.stdout)
+
+
+def run_flt(docs: list[str], cases: list[tuple]) -> list[tuple]:
+    """GT round 29c — FuzzyLikeThisQuery. cases =
+    [(max_num_terms, ignore_tf, min_sim, prefix_len, text)]. Returns per
+    case (groups, hits): groups = [[(term, boost_str), ...]] in the
+    rewritten clause order, hits = [(docid, score_str)] top-10."""
+    lines = [
+        f"{mnt};{'true' if itf else 'false'};{ms};{pl};{text}"
+        for mnt, itf, ms, pl, text in cases
+    ]
+    payload = [str(len(docs))] + list(docs) + [str(len(lines))] + lines
+    r = subprocess.run(
+        ["java", "-cp", f"{CLASSES}:{HARNESS_DIR}", "GroundTruthFLT"],
+        input="\n".join(payload) + "\n", capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = []
+    for line in r.stdout.splitlines():
+        cl, _sep, hits = line.strip().partition("|")
+        groups = []
+        if cl != "-":
+            for grp in cl.split("/"):
+                inner = grp[1:-1].split(",") if grp.startswith("[") else [grp]
+                groups.append([
+                    (m.rsplit("^", 1)[0], m.rsplit("^", 1)[1])
+                    for m in inner
+                ])
+        hl = []
+        if hits != "-":
+            for h in hits.split(";"):
+                d, _s, sc = h.partition(":")
+                hl.append((int(d), sc))
+        out.append((groups, hl))
+    return out
 
 
 def run_minstem(tokens: list[str]) -> list[str]:
