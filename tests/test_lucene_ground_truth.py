@@ -6312,11 +6312,16 @@ def test_fuzzy_like_this_matches_compiled_reference():
             (t, len(d)) for t, d in idx.postings.items())
         out = []
         for mnt, itf, ms, pl, text in cases10:
-            sources, seen = [], set()
-            for t in text.split():
-                if t not in seen:
-                    seen.add(t)
-                    sources.append((t, float(ms), int(pl)))
+            # '|' segments = separate addTerms calls: processedTerms is
+            # PER CALL, so a term repeated across segments enumerates
+            # (and queues) twice
+            sources = []
+            for seg in text.split("|"):
+                seen: set = set()
+                for t in seg.split():
+                    if t not in seen:
+                        seen.add(t)
+                        sources.append((t, float(ms), int(pl)))
             cand_map = {s: dict_df for s, _m, _p in sources}
             src_dfs = {s: len(idx.postings.get(s, {}))
                        for s, _m, _p in sources}
@@ -6364,6 +6369,10 @@ def test_fuzzy_like_this_matches_compiled_reference():
             text = " ".join(
                 rng.choice(vocab + ["aax", "bbz", "zzzz", "ab"])
                 for _ in range(n_terms))
+            if rng.random() < 0.3:
+                # a second addTerms call (possibly repeating a term —
+                # processedTerms is per call)
+                text += "|" + rng.choice(vocab + ["aax"])
             cases.append((
                 rng.choice([2, 3, 10, 50]),
                 rng.random() < 0.3,

@@ -3295,8 +3295,10 @@ public class GroundTruthFLT {
           new org.apache.lucene.sandbox.queries.FuzzyLikeThisQuery(
               Integer.parseInt(p[0]), new GroundTruth.WS());
       q.setIgnoreTF(Boolean.parseBoolean(p[1]));
-      q.addTerms(p[4], "body", Float.parseFloat(p[2]),
-                 Integer.parseInt(p[3]));
+      // '|'-separated segments = one addTerms call each (same params)
+      for (String seg : p[4].split("\\|"))
+        q.addTerms(seg, "body", Float.parseFloat(p[2]),
+                   Integer.parseInt(p[3]));
       // ONE rewrite step: the raw group structure, before the
       // 1-clause-BooleanQuery collapse (scoring-equivalent:
       // (float) of a double holding one float is that float)
