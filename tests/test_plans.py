@@ -330,3 +330,30 @@ def test_slow_fuzzy_and_strdist_no_full_dictionary_collect():
     src2 = inspect.getsource(R.strdist_query)
     assert ".collect()" not in src2
     assert "STRDIST_VOCAB" in src2
+
+
+def test_flt_candidate_scan_distributed_and_bounded(spark):
+    """FuzzyLikeThisQuery (reference-exact path): the per-source-term
+    candidate superset must come from a DISTRIBUTED term-stats metadata
+    filter (prefix pushdown + codegen levenshtein on the suffix, no
+    Python stage) with only the bounded survivors collected — the same
+    no-full-dictionary-collect contract the slow_fuzzy gate pins."""
+    import inspect
+
+    from lucene_solr_spark.ops.index_access import searcher_for
+    from lucene_solr_spark.search.engine import IndexSearcher
+
+    s = searcher_for(spark, SF)
+    stats = s._term_stats.filter(F.col("term").startswith("me")).filter(
+        F.levenshtein(F.expr("substring(term, 2)"), F.lit("erge")) <= F.lit(2)
+    )
+    plan = _plan(stats.select("term", "df"))
+    assert "levenshtein" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "StartsWith" in plan or "startswith" in plan.lower()
+    # the engine method builds exactly this shape and asserts the bound
+    src = inspect.getsource(IndexSearcher.topk_fuzzy_like_this_ref)
+    assert "FLT_DRIVER_MAX" in src and "levenshtein" in src
+    # end-to-end: selection survives and the query runs
+    hits = s.topk_fuzzy_like_this_ref([("merge", 0.5, 1)], k=5)
+    assert hits.count() > 0
