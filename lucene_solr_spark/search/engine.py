@@ -1113,6 +1113,14 @@ class IndexSearcher:
         one entry per addTerms call; tokens analyze through the index
         chain with addTerms' per-call processedTerms dedup.
 
+        Deletes note: the reference passes reader.numDocs() (live count)
+        into the selection idf while its docFreqs ignore deletes until
+        merge; this engine's documented delete policy is stats-stay-
+        stale-until-compact everywhere (index/deletes.py), so both df
+        and the doc count here are the build-time values — selection
+        under tombstones can differ from the mixed-freshness reference
+        until compaction, exactly like every other stats consumer.
+
         Scale shape: candidate supersets come from a bucket-pruned
         term-stats METADATA scan (prefix pushdown + codegen levenshtein
         on the suffix — the same distributed-filter plan the slow_fuzzy
@@ -1139,9 +1147,12 @@ class IndexSearcher:
             for t, w in self.term_weights(
                 sorted({s for s, _m, _p in sources})).items()
         }
-        cand_map: dict[str, list[tuple[str, int]]] = {}
+        # keyed by the FULL (term, minSim, prefixLen) spec: repeated
+        # addTerms calls with looser parameters need their own (wider)
+        # superset — a fresh SlowFuzzyTermsEnum per FieldVals
+        cand_map: dict[tuple, list[tuple[str, int]]] = {}
         for src, ms, pl in sources:
-            if src in cand_map:
+            if (src, ms, pl) in cand_map:
                 continue
             term_length = len(src)
             real_prefix = min(pl, term_length)
@@ -1164,7 +1175,8 @@ class IndexSearcher:
             assert len(rows) <= self.FLT_DRIVER_MAX, (
                 "FLT candidate superset exceeded FLT_DRIVER_MAX — raise "
                 "the bound or tighten prefixLength")
-            cand_map[src] = [(r["term"], int(r["df"])) for r in rows]
+            cand_map[(src, ms, pl)] = [
+                (r["term"], int(r["df"])) for r in rows]
         groups = flt_select(sources, cand_map, src_dfs, self.doc_count,
                             max_num_terms)
         if not groups:
@@ -1458,9 +1470,7 @@ class IndexSearcher:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
             if boost != 1.0:
                 sub = ("boosted", boost, sub)
-            from .simpleqp import spark_topk_tree as _run_tree
-
-            return _run_tree(self, sub, k=k)
+            return spark_topk_tree(self, sub, k=k)
         if tree[0] == "numeric_range":
             live = self._live_docs(self._numeric_match_docs(tree))
             return live.orderBy("doc_id").limit(k).select(
@@ -1471,8 +1481,14 @@ class IndexSearcher:
                 [tree[1]], "avg", include_span_score=True, k=k,
                 boost=tree[2], raw=True,
             )
-        if tree[0] == "bool":
-            clauses, msm = tree[1], tree[2]
+        bool_boost, btree = (
+            (tree[1], tree[2])
+            if tree[0] == "boosted" and isinstance(tree[2], tuple)
+            and tree[2][0] == "bool"
+            else (1.0, tree)
+        )
+        if btree[0] == "bool":
+            clauses, msm = btree[1], btree[2]
             is_numf = [
                 c[0] == "f" and isinstance(c[1], tuple)
                 and c[1][0] == "numeric_range" for c in clauses
@@ -1510,9 +1526,51 @@ class IndexSearcher:
                 masked = copy.copy(self)
                 masked.deleted = None
                 masked.deleted_df = excl
-                hits = spark_topk_tree(masked, ("bool", rest, msm), k=k)
-                if msm == 0 and all(c[0] == "" for c in rest):
+                scoring = [c for c in rest if c[0] != "-"]
+                rest_tree = ("bool", rest, msm)
+                if bool_boost != 1.0:
+                    # BooleanQueryBuilder's boost attr wraps the whole
+                    # query; FILTER scores nothing so only the scoring
+                    # clauses scale (and the score-0 pad stays 0)
+                    rest_tree = ("boosted", bool_boost, rest_tree)
+                if scoring:
+                    hits = spark_topk_tree(masked, rest_tree, k=k)
+                else:
+                    # only FILTER + MUST_NOT clauses: matches score 0
+                    hits = self.spark.createDataFrame([], TOPK_SCHEMA)
+                # BooleanWeight with msm 0 and no MUST clause: a doc
+                # matching the filter (and no prohibited clause) still
+                # matches at score 0 — pad the tail in doc order
+                if msm == 0 and all(c[0] in ("", "-") for c in rest):
+                    neg_terms = []
+                    neg_ok = True
+                    for c in rest:
+                        if c[0] != "-":
+                            continue
+                        node = c[1]
+                        if (isinstance(node, tuple) and node
+                                and node[0] == "boosted"):
+                            node = node[2]
+                        if (isinstance(node, tuple) and node
+                                and node[0] == "term"):
+                            neg_terms.append(node[1])
+                        else:
+                            neg_ok = False
+                    if not neg_ok:
+                        raise NotImplementedError(
+                            "numeric FILTER + non-term MUST_NOT clause: "
+                            "the score-0 pad's prohibited-match set is "
+                            "only computed for term clauses"
+                        )
                     live = self._live_docs(allowed)
+                    if neg_terms:
+                        # tree ("term", t) nodes carry INDEX-level term
+                        # text (XML TermQuery is raw) — no re-analysis
+                        live = live.join(
+                            self._posting_doc_ids(sorted(set(neg_terms)))
+                            .select("doc_id").distinct(),
+                            "doc_id", "left_anti",
+                        )
                     pad = (
                         live.join(hits.select("doc_id"), "doc_id", "left_anti")
                         .orderBy("doc_id").limit(k)
@@ -1528,9 +1586,7 @@ class IndexSearcher:
                 "numeric/payload elements are supported at the root or "
                 "as BooleanQuery FILTER clauses only"
             )
-        from .simpleqp import spark_topk_tree as _run
-
-        return _run(self, tree, k=k)
+        return spark_topk_tree(self, tree, k=k)
 
     def _resolve_mlt_text(self, field_ok, text, maxq, mintf, pct, stops,
                           mindf):
@@ -2501,7 +2557,15 @@ class IndexSearcher:
             driver_bounds.sort(key=lambda rb: -rb[1])
             wave1_ids = [r for r, _b in driver_bounds[:first_wave_ranges]]
         else:
+            # one persisted bounds frame per searcher at a time: release
+            # the previous query's (lazily-referenced) cache before
+            # pinning a new one, or repeated huge-corpus queries leak
+            # executor storage
+            prev = getattr(self, "_wand_bounds_cached", None)
+            if prev is not None:
+                prev.unpersist()
             bounds = bounds.persist()
+            self._wand_bounds_cached = bounds
             wave1_ids = [
                 int(r["range_id"])
                 for r in bounds.orderBy(F.col("bound").desc())

@@ -219,14 +219,15 @@ def flt_select(sources, cand_map, src_dfs, doc_count: int,
     enumeration, idf-rescore, rank in the global queue, group by source.
 
     sources: [(term, min_sim, prefix_len)] in token-stream first-
-    occurrence order; cand_map[term] = [(variant, df)]; src_dfs[term] =
+    occurrence order; cand_map[(term, min_sim, prefix_len)] =
+    [(variant, df)]; src_dfs[term] =
     the source term's own docFreq. Returns an insertion-ordered dict
     source_term -> [(variant_term, score_f32)] in global-pop (ascending)
     order — the exact ArrayList build order of rewrite() step 1."""
     q = ScoreTermQueue(max_num_terms)
     for src, min_sim, prefix_len in sources:
         popped, num_v, total_dfs = flt_enum_variants(
-            cand_map[src], src, min_sim, prefix_len)
+            cand_map[(src, min_sim, prefix_len)], src, min_sim, prefix_len)
         if num_v == 0:
             continue
         avg_df = total_dfs // num_v

@@ -125,6 +125,36 @@ def _maybe_boost(node, boost: float):
     return node if boost == 1.0 else ("boosted", float(boost), node)
 
 
+def _java_parse_int(s: str) -> int:
+    """Integer/Long.valueOf grammar: [+-]?digits only — python's int()
+    is laxer (strips whitespace, allows '1_0') and would silently parse
+    input the reference turns into NumberFormatException ->
+    ParserException."""
+    import re
+
+    if not re.fullmatch(r"[+-]?\d+", s):
+        raise ValueError(s)
+    return int(s)
+
+
+def _java_parse_fp(s: str) -> float:
+    """Float/Double.valueOf: no whitespace/underscores, optional f/F/d/D
+    suffix, 'Infinity'/'NaN' spelled exactly (python's lax 'inf'/'nan'
+    shortforms rejected). Residual documented divergence: Java hex-float
+    literals ('0x1.8p1') are not parsed here."""
+    if s != s.strip() or "_" in s or not s:
+        raise ValueError(s)
+    body = s[:-1] if s[-1] in "fFdD" else s
+    stripped = body.lstrip("+-")
+    if any(c.isalpha() for c in stripped) and stripped not in (
+            "Infinity", "NaN") and "e" not in stripped.lower():
+        raise ValueError(s)
+    if stripped.lower() in ("inf", "nan", "infinity") and stripped not in (
+            "Infinity", "NaN"):
+        raise ValueError(s)
+    return float(body)
+
+
 def parse_xml_query(xml_string: str, analyze_fn, content_field: str = "body",
                     default_field: str | None = None,
                     extensions: bool = False):
@@ -212,7 +242,7 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None,
         if typ not in ("int", "long", "double", "float"):
             raise XmlParserError(
                 "type attribute must be one of: [long, int, double, float]")
-        conv = int if typ in ("int", "long") else float
+        conv = _java_parse_int if typ in ("int", "long") else _java_parse_fp
         try:
             lo = None if lo_s is None else conv(lo_s)
             hi = None if hi_s is None else conv(hi_s)
@@ -220,6 +250,13 @@ def _q(e, analyze_fn, content_field: str, inherited_field: str | None,
             raise XmlParserError(
                 "Could not parse lowerTerm or upperTerm into a number"
             ) from ex
+        if typ == "float":
+            # Float.valueOf rounds the literal to float32 before the
+            # range compares (FloatPoint.newRangeQuery bounds are f32)
+            import numpy as _np
+
+            lo = None if lo is None else float(_np.float32(lo))
+            hi = None if hi is None else float(_np.float32(hi))
         if tag == "PointRangeQuery":
             lo_inc = hi_inc = True
         else:

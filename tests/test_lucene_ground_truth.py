@@ -6314,15 +6314,19 @@ def test_fuzzy_like_this_matches_compiled_reference():
         for mnt, itf, ms, pl, text in cases10:
             # '|' segments = separate addTerms calls: processedTerms is
             # PER CALL, so a term repeated across segments enumerates
-            # (and queues) twice
+            # (and queues) twice; 'ms~pl~text' overrides per segment
             sources = []
             for seg in text.split("|"):
+                sms, spl = float(ms), int(pl)
+                if "~" in seg:
+                    a, b, seg = seg.split("~", 2)
+                    sms, spl = float(a), int(b)
                 seen: set = set()
                 for t in seg.split():
                     if t not in seen:
                         seen.add(t)
-                        sources.append((t, float(ms), int(pl)))
-            cand_map = {s: dict_df for s, _m, _p in sources}
+                        sources.append((t, sms, spl))
+            cand_map = {(s, m, p): dict_df for s, m, p in sources}
             src_dfs = {s: len(idx.postings.get(s, {}))
                        for s, _m, _p in sources}
             groups = flt_select(sources, cand_map, src_dfs,
@@ -6371,8 +6375,14 @@ def test_fuzzy_like_this_matches_compiled_reference():
                 for _ in range(n_terms))
             if rng.random() < 0.3:
                 # a second addTerms call (possibly repeating a term —
-                # processedTerms is per call)
-                text += "|" + rng.choice(vocab + ["aax"])
+                # processedTerms is per call); half the time with its
+                # OWN looser/tighter (minSim, prefixLen), which must get
+                # a fresh enum + candidate superset
+                seg = rng.choice(vocab + ["aax"])
+                if rng.random() < 0.5:
+                    seg = (f"{rng.choice([2.0, 0.5, 0.7])}~"
+                           f"{rng.choice([0, 1, 2])}~{seg}")
+                text += "|" + seg
             cases.append((
                 rng.choice([2, 3, 10, 50]),
                 rng.random() < 0.3,
@@ -6424,13 +6434,25 @@ def test_fuzzy_like_this_engine_matches_compiled_reference(spark, tmp_root):
         (10, True, 1.0, 0, "abcd"),
         (3, False, 0.4, 2, "abcc dddd"),
         (2, False, 2.0, 1, "aab"),
+        # the SAME source term via two addTerms calls with DIFFERENT
+        # (minSim, prefixLen): each call needs its own enum + candidate
+        # superset (prefix-0 sees variants prefix-3 cannot)
+        (50, False, 0.5, 3, "aaab|0.5~0~aaab"),
+        (50, False, 2.0, 2, "abcc|0.4~0~abcc"),
     ]
     exp = gt.run_flt(docs, cases)
     for (mnt, itf, ms, pl, text), (_eg, eh) in zip(cases, exp):
+        fields = []
+        for seg in text.split("|"):
+            sms, spl = ms, pl
+            if "~" in seg:
+                a, b, seg = seg.split("~", 2)
+                sms, spl = float(a), int(b)
+            fields.append((seg, sms, spl))
         got = [
             (int(r["doc_id"]), np.float32(r["score"]))
             for r in s.topk_fuzzy_like_this_ref(
-                [(text, ms, pl)], max_num_terms=mnt, ignore_tf=itf, k=10
+                fields, max_num_terms=mnt, ignore_tf=itf, k=10
             ).collect()
         ]
         _assert_topk_equal(got, eh, ("flt-engine", mnt, itf, ms, pl, text))

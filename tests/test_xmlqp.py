@@ -280,3 +280,94 @@ def test_coreplus_engine_matches_control_oracle(spark, ws_searcher,
     assert ws_searcher.topk_xml(
         '<LikeThisQuery minDocFreq="1">aa bb</LikeThisQuery>',
         k=10, content_field="body").count() == 0
+
+
+def test_numeric_filter_with_boost_and_mustnot(spark, ws_searcher,
+                                               ws_corpus):
+    """Review fixes: (a) a boost attr on the FILTER-carrying
+    BooleanQuery scales the scoring clauses (the split path must unwrap
+    the boosted node, not raise); (b) MUST_NOT + numeric FILTER: docs
+    in range and not prohibited match at score 0 (BooleanWeight with no
+    scoring clause), and the score-0 pad excludes prohibited docs."""
+    lens = {i: len(c.split()) for i, c in ws_corpus}
+    has = {i: set(c.split()) for i, c in ws_corpus}
+    flt = ('<Clause occurs="filter"><PointRangeQuery fieldName="field_len"'
+           ' lowerTerm="4" upperTerm="8" type="int"/></Clause>')
+    # (a) boosted bool: same ranks, scores x2 (f32)
+    base = ('<BooleanQuery fieldName="body">' + flt +
+            '<Clause occurs="should"><TermQuery>aa</TermQuery></Clause>'
+            "</BooleanQuery>")
+    boosted = base.replace('fieldName="body"', 'fieldName="body" boost="2"')
+    g1 = [(int(r.doc_id), np.float32(r.score))
+          for r in ws_searcher.topk_xml(base, k=10, content_field="body")
+          .collect()]
+    g2 = [(int(r.doc_id), np.float32(r.score))
+          for r in ws_searcher.topk_xml(boosted, k=10, content_field="body")
+          .collect()]
+    assert [d for d, _ in g1] == [d for d, _ in g2] and g1
+    for (_d, s1), (_d2, s2) in zip(g1, g2):
+        if float(s1) > 0:
+            assert abs(float(s2) / float(s1) - 2.0) < 1e-6
+        else:
+            assert float(s2) == 0.0
+    # (b) filter + mustNot only: in-range and not holding 'aa', score 0
+    xmln = ('<BooleanQuery fieldName="body">' + flt +
+            '<Clause occurs="mustNot"><TermQuery>aa</TermQuery></Clause>'
+            "</BooleanQuery>")
+    got = [(int(r.doc_id), np.float32(r.score))
+           for r in ws_searcher.topk_xml(xmln, k=40, content_field="body")
+           .collect()]
+    exp = [(i, np.float32(0.0)) for i in sorted(lens)
+           if 4 <= lens[i] <= 8 and "aa" not in has[i]][:40]
+    assert got == exp
+    # filter + should + mustNot: scored hits first, prohibited docs
+    # excluded from the score-0 pad
+    xmlm = ('<BooleanQuery fieldName="body">' + flt +
+            '<Clause occurs="should"><TermQuery>bb</TermQuery></Clause>'
+            '<Clause occurs="mustNot"><TermQuery>aa</TermQuery></Clause>'
+            "</BooleanQuery>")
+    got = [(int(r.doc_id), np.float32(r.score))
+           for r in ws_searcher.topk_xml(xmlm, k=40, content_field="body")
+           .collect()]
+    inr = [i for i in sorted(lens)
+           if 4 <= lens[i] <= 8 and "aa" not in has[i]]
+    assert {d for d, _s in got} == set(inr[:40]) if len(inr) <= 40 else True
+    for d, s in got:
+        assert "aa" not in has[d]
+        if "bb" not in has[d]:
+            assert float(s) == 0.0
+    # a non-term mustNot alongside a numeric filter raises loudly
+    # instead of silently dropping the pad
+    xmlp = ('<BooleanQuery fieldName="body">' + flt +
+            '<Clause occurs="mustNot"><SpanNear slop="0" inOrder="true">'
+            "<SpanTerm>aa</SpanTerm><SpanTerm>bb</SpanTerm></SpanNear>"
+            "</Clause></BooleanQuery>")
+    with pytest.raises(NotImplementedError):
+        ws_searcher.topk_xml(xmlp, k=10, content_field="body")
+
+
+def test_numeric_parse_java_parity():
+    """Java Integer/Long/Float.valueOf grammar: python's lax int()/
+    float() must not silently parse what the reference rejects, and a
+    valid Java 'f' suffix must parse; float-typed bounds round to f32."""
+    for bad in (" 40", "40 ", "1_0", "inf", "nan", "infinity"):
+        with pytest.raises(XmlParserError):
+            parse_xml_query(
+                f'<PointRangeQuery fieldName="f" lowerTerm="{bad}"'
+                ' type="long"/>', _ws_analyze)
+        with pytest.raises(XmlParserError):
+            parse_xml_query(
+                f'<PointRangeQuery fieldName="f" lowerTerm="{bad}"'
+                ' type="double"/>', _ws_analyze)
+    t = parse_xml_query(
+        '<PointRangeQuery fieldName="f" lowerTerm="1.5f" type="double"/>',
+        _ws_analyze)
+    assert t[2] == 1.5
+    t = parse_xml_query(
+        '<PointRangeQuery fieldName="f" upperTerm="0.1" type="float"/>',
+        _ws_analyze)
+    assert t[3] == float(np.float32(0.1))  # Float.valueOf rounds to f32
+    t = parse_xml_query(
+        '<PointRangeQuery fieldName="f" lowerTerm="-Infinity"'
+        ' type="double"/>', _ws_analyze)
+    assert t[2] == float("-inf")

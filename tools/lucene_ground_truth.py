@@ -3295,10 +3295,19 @@ public class GroundTruthFLT {
           new org.apache.lucene.sandbox.queries.FuzzyLikeThisQuery(
               Integer.parseInt(p[0]), new GroundTruth.WS());
       q.setIgnoreTF(Boolean.parseBoolean(p[1]));
-      // '|'-separated segments = one addTerms call each (same params)
-      for (String seg : p[4].split("\\|"))
-        q.addTerms(seg, "body", Float.parseFloat(p[2]),
-                   Integer.parseInt(p[3]));
+      // '|'-separated segments = one addTerms call each; a segment
+      // 'ms~pl~text' overrides the default (minSim, prefixLen)
+      for (String seg : p[4].split("\\|")) {
+        float ms = Float.parseFloat(p[2]);
+        int pl = Integer.parseInt(p[3]);
+        if (seg.contains("~")) {
+          String[] sp = seg.split("~", 3);
+          ms = Float.parseFloat(sp[0]);
+          pl = Integer.parseInt(sp[1]);
+          seg = sp[2];
+        }
+        q.addTerms(seg, "body", ms, pl);
+      }
       // ONE rewrite step: the raw group structure, before the
       // 1-clause-BooleanQuery collapse (scoring-equivalent:
       // (float) of a double holding one float is that float)
